@@ -1,0 +1,52 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+/** Inverted index — the Spark-native re-expression of the reference's
+  * single MR job (ref: InvertedIndex.java:36-133):
+  *
+  *   tokenize(scrub(text)) → (word, doc_id) per OCCURRENCE →
+  *   group by word → comma-joined posting list.
+  *
+  * Reference semantics kept:
+  *  - duplicates preserved: one id per word occurrence, no dedup
+  *    (ref: InvertedIndex.java:103-105);
+  *  - words are lowercased alpha runs (ref: InvertedIndex.java:100-104).
+  *
+  * Deliberate divergence (SURVEY.md §7.5): posting lists are sorted by
+  * doc id (numeric) before joining — the reference's order is shuffle-order
+  * nondeterministic (ref: InvertedIndex.java:125-130), which would make any
+  * cross-engine check impossible.
+  *
+  * Scale notes: one shuffle (the groupBy), identical topology to the MR
+  * job but with Spark's map-side partial aggregation. At 100 TB the only
+  * hazard is posting-list skew for stop-words; `postings` keeps the list
+  * as ArrayType so a later consumer can spill per-word, and callers who
+  * only need frequencies should aggregate counts instead of lists.
+  */
+object InvertedIndex {
+
+  /** (word, docId) pair stream — one row per occurrence. */
+  def occurrences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextOps
+      .explodeTokens(
+        docs.select(col(idCol).as("doc_id"),
+          TextOps.normalizeToken(TextOps.scrubNonAlpha(col(textCol))).as("t")),
+        col("t"), "word")
+      .select(col("word"), col("doc_id"))
+
+  /** word → sorted ArrayType posting list (ids repeat per occurrence). */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    occurrences(docs, idCol, textCol)
+      .groupBy("word")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+
+  /** word → "id1,id2,…" string rows, byte-compatible with the reference's
+    * text sink shape (ref: InvertedIndex.java:123-131) modulo sort order. */
+  def postingStrings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    postings(docs, idCol, textCol)
+      .select(col("word"),
+        concat_ws(",", transform(col("postings"), _.cast("string"))).as("doc_ids"))
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+import graft.index.InvertedIndex
+
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("filterMatching keeps only regex-matching non-empty rows") {
+    val df = Seq("<title>A</title>", "", "no tags here", "<title>B</title>").toDF("v")
+    val got = TextOps.filterMatching(df, col("v"), "<title>.*?</title>")
+      .as[String].collect().sorted
+    assert(got.toSeq == Seq("<title>A</title>", "<title>B</title>"))
+  }
+
+  test("extractGroup pulls the regex group like the reference title extract") {
+    val df = Seq("<title>Page One</title>").toDF("v")
+    val got = df.select(TextOps.extractGroup(col("v"), "<title>(.*?)</title>", 1))
+      .as[String].head()
+    assert(got == "Page One")
+  }
+
+  test("extractAll finds every [[link]] occurrence on a line") {
+    val df = Seq("x [[A]] y [[B|c]] z [[A]]").toDF("v")
+    val got = df.select(TextOps.extractAll(col("v"), "\\[\\[.*?\\]\\]")).as[Seq[String]].head()
+    assert(got == Seq("[[A]]", "[[B|c]]", "[[A]]"))
+  }
+
+  test("scrubNonAlpha + normalize matches InvertedIndex.java:100-104 semantics") {
+    val df = Seq("Hello, World!!2  Ok").toDF("v")
+    val got = df.select(TextOps.normalizeToken(TextOps.scrubNonAlpha(col("v"))))
+      .as[String].head()
+    assert(got == "hello world ok")
+  }
+
+  test("tokenize drops empty tokens like StringTokenizer") {
+    val df = Seq("  a  b   c ").toDF("v")
+    val got = df.select(TextOps.tokenize(col("v"))).as[Seq[String]].head()
+    assert(got == Seq("a", "b", "c"))
+  }
+
+  test("inverted index keeps duplicate occurrences and sorts posting lists") {
+    val docs = Seq((1L, "dog cat dog"), (2L, "cat")).toDF("doc_id", "text")
+    val got = InvertedIndex.postingStrings(docs, "doc_id", "text")
+      .orderBy("word").as[(String, String)].collect().toSeq
+    // "dog" appears twice in doc 1 → id repeated (ref InvertedIndex.java:103-105)
+    assert(got == Seq(("cat", "1,2"), ("dog", "1,1")))
+  }
+
+  test("explodeTokensWithPos preserves in-document order") {
+    val docs = Seq((7L, "a b c")).toDF("doc_id", "text")
+    val got = TextOps.explodeTokensWithPos(docs, col("text"), "pos", "word")
+      .select("pos", "word").as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0, "a"), (1, "b"), (2, "c")))
+  }
+}
