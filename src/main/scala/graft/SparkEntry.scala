@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.index.InvertedIndex
-import graft.ops.TextOps
+import graft.ops.{Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -136,6 +137,123 @@ object SparkEntry {
     "inverted_index" -> ((s, d) =>
       InvertedIndex.postingStrings(documents(s, d), "doc_id", "text")
         .orderBy("word")),
+
+    // §2.4 A3 — group + sum (TPC-H Q1 shape; cent-exact aggregates)
+    "group_sum" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Relational.fixedPointSum(col("l_quantity"), 0).as("sum_qty"),
+          Relational.moneySum(col("l_extendedprice")).as("sum_base"),
+          round(Relational.fixedPointSum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            / lit(10000.0), 4).as("sum_disc_price"),
+          Relational.fixedPointAvg(col("l_quantity"), 0, 6).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // §2.5 J1 — inner equi-join (fact × dim)
+    "join_inner" -> ((s, d) => {
+      val o = orders(s, d); val c = customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.5 J2 — left outer join (adjacency re-attach analog)
+    "join_left" -> ((s, d) => {
+      val c = customer(s, d); val o = orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.5 J1 — semi join (the "page exists" marker filter analog)
+    "join_semi" -> ((s, d) => {
+      val c = customer(s, d)
+      val big = orders(s, d).filter(col("o_totalprice") > 200000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // §2.5 — anti join (the dropped red-link complement)
+    "join_anti" -> ((s, d) => {
+      val c = customer(s, d)
+      val big = orders(s, d).filter(col("o_totalprice") > 200000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // §2.7 — union all (tagged-row multiplexing, first-class)
+    "union_all" -> ((s, d) =>
+      customer(s, d).select(col("c_custkey").as("id"), lit("customer").as("src"))
+        .unionByName(
+          supplier(s, d).select(col("s_suppkey").as("id"), lit("supplier").as("src")))
+        .orderBy("src", "id")),
+
+    // §2.6 O1 — global descending sort (range-partitioned, not 1-reducer)
+    "sort_desc" -> ((s, d) =>
+      orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))),
+
+    // §2.6 — top-k (plans TakeOrderedAndProject: no global sort at scale)
+    "topk_limit" -> ((s, d) =>
+      orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)),
+
+    // §2.9 — window functions: ranking + partition aggregate
+    "window_rank" -> ((s, d) => {
+      val byCust = Window.partitionBy("o_custkey")
+      val rankW = byCust.orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          row_number().over(rankW).cast("long").as("rn"),
+          round(sum(col("o_totalprice")).over(byCust), 2).as("cust_total"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.4 extension — rollup aggregation
+    "rollup_agg" -> ((s, d) => {
+      val c = customer(s, d); val n = nation(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+             Relational.moneySum(col("c_acctbal")).as("acct_total"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+    }),
+
+    // §2.4 extension — cube aggregation
+    "cube_agg" -> ((s, d) =>
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+             Relational.moneySum(col("o_totalprice")).as("price_total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // §2.9 extension — tumbling event-time window (batch form of the
+    // Structured Streaming hourly window; ts arrives as epoch-nanos long)
+    "events_window" -> ((s, d) =>
+      events(s, d)
+        .withColumn("t", timestamp_micros(Relational.nanosColToMicros("ts")))
+        .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             Relational.moneySum(col("value")).as("v"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+                col("event_type"), col("n"), col("v"))
+        .orderBy("hour_start", "event_type")),
+
+    // §2.9 extension — gap-based sessionization (session-window analog)
+    "sessionize" -> ((s, d) =>
+      Relational.sessionize(events(s, d), "user_id", "event_id", "ts",
+          gapUs = 1800L * 1000000L)
+        .orderBy("user_id", "session_id")),
   )
 
   // ---------------------------------------------------------------------
@@ -190,5 +308,84 @@ object SparkEntry {
       """SELECT word, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
          GROUP BY word ORDER BY word""",
+    "group_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_base,
+             round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 4) AS sum_disc_price,
+             round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS avg_qty,
+             count(*) AS cnt
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "join_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+         ORDER BY c_custkey""",
+    "union_all" ->
+      """SELECT id, src FROM (
+           SELECT c_custkey AS id, 'customer' AS src FROM customer
+           UNION ALL
+           SELECT s_suppkey AS id, 'supplier' AS src FROM supplier)
+         ORDER BY src, id""",
+    "sort_desc" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey""",
+    "topk_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "window_rank" ->
+      """SELECT o_orderkey, o_custkey,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS cust_total
+         FROM orders ORDER BY o_orderkey""",
+    "rollup_agg" ->
+      """SELECT n_name, c_mktsegment, count(*) AS cnt,
+             round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS acct_total
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP (n_name, c_mktsegment)
+         ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS price_total
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "events_window" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, count(*) AS n,
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS v
+         FROM events
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "sessionize" ->
+      """WITH b AS (
+           SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+         f AS (
+           SELECT *, CASE WHEN t_us - lag(t_us) OVER
+               (PARTITION BY user_id ORDER BY t_us, event_id) > 1800000000
+             THEN 1 ELSE 0 END AS flag FROM b),
+         s AS (
+           SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             count(*) AS n_events, min(t_us) AS start_us, max(t_us) AS end_us
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
   )
 }

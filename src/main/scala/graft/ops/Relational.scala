@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator helpers shared by the declared query keys.
+  *
+  * Cross-engine float determinism: a parallel double sum is not
+  * bit-reproducible (partition fold order differs between engines and even
+  * between runs), so any aggregate the oracle hash-checks must avoid
+  * accumulating rounding error.  Monetary columns in the testdata are on
+  * the 0.01 grid (verified), so we sum EXACT integer cents and divide once
+  * at the end — both engines then produce the identical double.  This also
+  * holds at 100 TB: long sums don't lose precision below 2^63 cents.
+  */
+object Relational {
+
+  /** Exact integer sum of a fixed-point column scaled by 10^scale.
+    * `round(c * 10^scale)` lands exactly on an integer (inputs are on the
+    * grid; fp error ~1e-9 ≪ 0.5), so the cast is lossless. */
+  def fixedPointSum(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    sum(round(c * lit(f)).cast("long"))
+  }
+
+  /** Deterministic money sum: cent-exact, emitted as a 2dp double. */
+  def moneySum(c: Column): Column =
+    round(fixedPointSum(c, 2) / lit(100.0), 2)
+
+  /** Deterministic mean: exact integer numerator / exact count. */
+  def fixedPointAvg(c: Column, scale: Int, digits: Int): Column =
+    round(fixedPointSum(c, scale).cast("double") /
+      (count(lit(1)) * lit(math.pow(10, scale))), digits)
+
+  /** Epoch-nanos long column (how we read TIMESTAMP(NANOS) parquet) →
+    * epoch micros, exactly — `div` is INTEGER division; a plain `/` would
+    * roundtrip through double, and an ns epoch ~1.7e18 is not exactly
+    * representable as double. */
+  def nanosColToMicros(colName: String): Column = expr(s"$colName div 1000")
+
+  /** Gap-based sessionization over an event stream — the batch analog of
+    * streaming session windows.  A new session starts when the gap to the
+    * previous event of the same user exceeds `gapUs` microseconds.
+    * All arithmetic in exact integer micros for oracle parity.
+    *
+    * Scale: one shuffle on user_id (the window partition); session ids are
+    * per-user running sums, so no global coordination. Skewed users are the
+    * hazard at 100 TB — mitigate upstream with AQE skew handling.
+    */
+  def sessionize(events: DataFrame, userCol: String, idCol: String,
+                 tsNanosCol: String, gapUs: Long): DataFrame = {
+    val tUs = expr(s"$tsNanosCol div 1000").as("t_us")
+    val w = Window.partitionBy(userCol).orderBy("t_us", idCol)
+    val flagged = events
+      .select(col(userCol), col(idCol), tUs)
+      .withColumn("new_session",
+        when(col("t_us") - lag("t_us", 1).over(w) > gapUs, 1).otherwise(0))
+    flagged
+      .withColumn("session_id",
+        sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session_id").cast("long").as("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min("t_us").as("start_us"),
+           max("t_us").as("end_us"))
+  }
+}
