@@ -4,8 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
+import graft.dedup.Dedup
 import graft.index.InvertedIndex
 import graft.ops.{Relational, TextOps}
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -254,6 +257,61 @@ object SparkEntry {
       Relational.sessionize(events(s, d), "user_id", "event_id", "ts",
           gapUs = 1800L * 1000000L)
         .orderBy("user_id", "session_id")),
+
+    // ---- training-data pipeline suite ------------------------------------
+
+    // exact dedup by content hash
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(documents(s, d), "doc_id", "text").orderBy("keep_id")),
+
+    // MinHash+LSH candidate pairs (portable md5 variant, oracle-checked)
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.lshCandidatePairs(
+          Dedup.minhashSignatures(documents(s, d), "doc_id", "text"))
+        .orderBy("doc_a", "doc_b")),
+
+    // exact 3-gram Jaccard ≥ 0.5 on the LSH candidates
+    "dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    // 64-bit SimHash signatures (xxhash64 — Spark-internal, rows-only check)
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // exact cosine top-5 per query vector (queries = vec_id < 10)
+    "similarity_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(embeddings(s, d), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5)
+        .orderBy("query_id", "rn")),
+
+    // banded sign-LSH ANN (rows-only check; recall-tested in the spec)
+    "similarity_ann" -> ((s, d) =>
+      Similarity.annTopK(embeddings(s, d), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5)
+        .orderBy("query_id", "rn")),
+
+    // IVF ANN — coarse-quantizer cells + nprobe (the 100 TB path)
+    "similarity_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(embeddings(s, d), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5)
+        .orderBy("query_id", "rn")),
+
+    // quality features per document
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.quality(documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // token-count estimators
+    "token_count" -> ((s, d) =>
+      TextAnalysis.tokenCounts(documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // portable polynomial content fingerprint
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // stopword-profile language ID heuristic (rows-only check)
+    "text_langid" -> ((s, d) =>
+      TextAnalysis.langId(documents(s, d), "doc_id", "text").orderBy("doc_id")),
   )
 
   // ---------------------------------------------------------------------
@@ -387,5 +445,107 @@ object SparkEntry {
              count(*) AS n_events, min(t_us) AS start_us, max(t_us) AS end_us
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "dedup_minhash" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sgl FROM tok),
+         sig AS (SELECT doc_id,
+             list_min(list_transform(sgl, s -> md5('0:' || s))) AS s0,
+             list_min(list_transform(sgl, s -> md5('1:' || s))) AS s1,
+             list_min(list_transform(sgl, s -> md5('2:' || s))) AS s2,
+             list_min(list_transform(sgl, s -> md5('3:' || s))) AS s3,
+             list_min(list_transform(sgl, s -> md5('4:' || s))) AS s4,
+             list_min(list_transform(sgl, s -> md5('5:' || s))) AS s5,
+             list_min(list_transform(sgl, s -> md5('6:' || s))) AS s6,
+             list_min(list_transform(sgl, s -> md5('7:' || s))) AS s7
+           FROM sh),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, s0 || '|' || s1 AS bkey FROM sig
+           UNION ALL SELECT doc_id, 1, s2 || '|' || s3 FROM sig
+           UNION ALL SELECT doc_id, 2, s4 || '|' || s5 FROM sig
+           UNION ALL SELECT doc_id, 3, s6 || '|' || s7 FROM sig)
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.band_id = y.band_id AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         ORDER BY doc_a, doc_b""",
+    "dedup_ngram" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sgl FROM tok),
+         sig AS (SELECT doc_id,
+             list_min(list_transform(sgl, s -> md5('0:' || s))) AS s0,
+             list_min(list_transform(sgl, s -> md5('1:' || s))) AS s1,
+             list_min(list_transform(sgl, s -> md5('2:' || s))) AS s2,
+             list_min(list_transform(sgl, s -> md5('3:' || s))) AS s3,
+             list_min(list_transform(sgl, s -> md5('4:' || s))) AS s4,
+             list_min(list_transform(sgl, s -> md5('5:' || s))) AS s5,
+             list_min(list_transform(sgl, s -> md5('6:' || s))) AS s6,
+             list_min(list_transform(sgl, s -> md5('7:' || s))) AS s7
+           FROM sh),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, s0 || '|' || s1 AS bkey FROM sig
+           UNION ALL SELECT doc_id, 1, s2 || '|' || s3 FROM sig
+           UNION ALL SELECT doc_id, 2, s4 || '|' || s5 FROM sig
+           UNION ALL SELECT doc_id, 3, s6 || '|' || s7 FROM sig),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.band_id = y.band_id AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         j AS (
+           SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.sgl, sb.sgl)) AS BIGINT) AS i,
+               CAST(len(sa.sgl) + len(sb.sgl) - len(list_intersect(sa.sgl, sb.sgl)) AS BIGINT) AS u
+           FROM cand c
+           JOIN sh sa ON sa.doc_id = c.doc_a
+           JOIN sh sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / u, 6) AS jaccard
+         FROM j WHERE CAST(i AS DOUBLE) / u >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "similarity_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*v[i]),
+                              (x, y) -> x + y)) AS nv
+           FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM n WHERE vec_id < 10),
+         pairs AS (
+           SELECT q.query_id, n.vec_id AS neighbor_id,
+               list_reduce(list_transform(generate_series(1, len(n.v)), i -> q.qv[i]*n.v[i]),
+                           (x, y) -> x + y) / (q.nq * n.nv) AS cos
+           FROM q, n WHERE q.query_id <> n.vec_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+           FROM pairs)
+         SELECT query_id, neighbor_id, round(cos, 6) AS sim, rn
+         FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
+    "text_quality" ->
+      """SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             round(CAST(len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS stop_ratio,
+             round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS distinct_ratio,
+             round((CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1))
+               / len(string_split(text, ' ')), 6) AS mean_word_len
+         FROM documents ORDER BY doc_id""",
+    "token_count" ->
+      """SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+         FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+             list_reduce([CAST(0 AS BIGINT)] ||
+                 list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)),
+               (h, c) -> (h * 31 + c) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,149 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+/** Document deduplication for training-data pipelines: exact, MinHash+LSH,
+  * n-gram Jaccard verification, and SimHash.
+  *
+  * Two hash families coexist deliberately:
+  *  - `minhashSignatures(portable = true)` uses md5 over salted shingles —
+  *    reproducible in ANY engine (the DuckDB oracle mirrors it exactly).
+  *  - `portable = false` uses xxhash64 — ~10× cheaper, the 100 TB path
+  *    (no hex-string materialization), same statistical behavior.
+  *
+  * Everything before the LSH self-join is a pure per-row projection
+  * (no explode→groupBy shuffle for signatures): signatures fold over the
+  * shingle ARRAY with `transform`/`array_min`, so a 1000-executor scan
+  * computes them map-side in one pass. The only shuffles are the band-key
+  * self-join (bounded: band keys are 2-minhash concatenations, so bucket
+  * sizes stay small for non-near-dup corpora) and the final distinct.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash; keeper = min doc id.
+    * One hash-partitioned shuffle on a 32-hex key; at 100 TB prefer
+    * xxhash64(text) as the group key (8 bytes vs 32) — md5 kept here for
+    * oracle portability. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Distinct word n-gram shingles of the tokenized text, in document
+    * order, 1-based to mirror SQL list indexing. Docs with fewer than n
+    * tokens get an EMPTY array (Spark's sequence(1, k) is descending for
+    * k<1 — must guard). */
+  def shingles(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      array_distinct(transform(sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(words, i + lit(k))): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** One MinHash value: min over shingles of hash(perm ++ ":" ++ shingle).
+    * Portable: md5 hex string (lexicographic min). Fast: xxhash64 long. */
+  private def minhashOne(sgl: Column, perm: Int, portable: Boolean): Column =
+    if (portable) array_min(transform(sgl, s => md5(concat(lit(s"$perm:"), s))))
+    else array_min(transform(sgl, s => xxhash64(concat(lit(s"$perm:"), s))))
+
+  /** doc_id + sig0..sig{p-1} columns — map-side only, no shuffle. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numPerms: Int = 8, shingleSize: Int = 3,
+                        portable: Boolean = true): DataFrame = {
+    val sgl = shingles(TextOps.tokenize(col(textCol)), shingleSize)
+    val sigs = (0 until numPerms).map(p => minhashOne(col("sgl"), p, portable).as(s"sig$p"))
+    docs.select(col(idCol).as("doc_id"), sgl.as("sgl"))
+      .select(col("doc_id") +: sigs: _*)
+  }
+
+  /** LSH banding: rows (doc_id, band_id, bkey) where bkey concatenates the
+    * band's minhashes. A null minhash (no shingles) nulls the band key,
+    * and null keys never match in the equi-join — shingle-less docs drop
+    * out, matching SQL semantics. */
+  def lshBands(sigs: DataFrame, numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numPerms / rowsPerBand
+    val bandStructs = (0 until numBands).map { b =>
+      // concat (not concat_ws): a null minhash means "no shingles" and must
+      // null the whole band key so the join drops the doc.
+      val key = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}").cast("string"))
+        .reduce((a, c) => concat(a, lit("|"), c))
+      struct(lit(b).as("band_id"), key.as("bkey"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.bkey").as("bkey"))
+  }
+
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket.
+    * The self-join shuffles on (band_id, bkey); `distinct` collapses
+    * multi-band collisions. */
+  def lshCandidatePairs(sigs: DataFrame, numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = lshBands(sigs, numPerms, rowsPerBand)
+    val x = bands.as("x"); val y = bands.as("y")
+    x.join(y, col("x.band_id") === col("y.band_id") &&
+              col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard on LSH candidates: re-attach each side's distinct
+    * shingle array and compare with array_intersect — per-pair, map-side
+    * after the two (small) joins; integers → the division is reproducible
+    * bit-exactly across engines. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, numPerms: Int = 8,
+                        shingleSize: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, numPerms, shingleSize)
+    val cands = lshCandidatePairs(sigs, numPerms)
+    val sgl = docs.select(col(idCol).as("doc_id"),
+      shingles(TextOps.tokenize(col(textCol)), shingleSize).as("sgl"))
+    val a = sgl.select(col("doc_id").as("doc_a"), col("sgl").as("sgl_a"))
+    val b = sgl.select(col("doc_id").as("doc_b"), col("sgl").as("sgl_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sgl_a"), col("sgl_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sgl_a")).cast("long") + size(col("sgl_b")).cast("long") - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per document, occurrence-weighted xxhash64 over words.
+    * Two shuffles: (doc, word) term frequencies, then per-doc bit sums —
+    * both partial-aggregated map-side by Catalyst. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokenize(col(textCol))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("word")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$i")
+    }
+    val sums = occ.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: 4×16-bit band join (any equal quarter →
+    * candidate; catches all pairs with Hamming distance ≤ 3 by pigeonhole
+    * when ≤ 3 of 4 bands differ), verified with bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_id").as("band_id"), col("band.bkey").as("bkey"))
+    val x = banded.as("x"); val y = banded.as("y")
+    x.join(y, col("x.band_id") === col("y.band_id") &&
+              col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,172 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`ArrayType(FloatType)`).
+  *
+  * All vector math is composed from codegen'd array expressions
+  * (`zip_with` + `aggregate` = sequential left fold), in DOUBLE: the fold
+  * order is deterministic and matches a SQL `list_reduce` left fold
+  * bit-for-bit, which is what lets the DuckDB oracle hash-check cosine
+  * results exactly (after a defensive round(6)).
+  *
+  * Scale design:
+  *  - `bruteForceTopK` is O(|Q|·|N|) — correct baseline; viable when |Q|
+  *    is small (the query side is broadcast, so the big side streams
+  *    map-side with NO shuffle of the corpus).
+  *  - `annTopK` buckets vectors by random-hyperplane LSH signs; the join
+  *    is then bucket-equi (shuffle on a small int key) and each bucket is
+  *    tiny — the 100 TB path. Recall tunes with `numPlanes` (fewer planes
+  *    → bigger buckets → higher recall, more compute).
+  */
+object Similarity {
+
+  /** Cast a float vector to double exactly (fp widening is lossless). */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential left-fold dot product — bit-reproducible. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, sim, rn), rn = 1..k. */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, k: Int): DataFrame = {
+    val e = embeddings.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", l2norm(col("v")))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
+    val pairs = e.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v"), col("nq"), col("nv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("sim"), col("rn"))
+  }
+
+  /** Deterministic random hyperplanes: numPlanes × dim gaussians from a
+    * seeded java.util.Random (spec-fixed sequence — reproducible across
+    * JVMs and sessions). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** One sign-LSH band key: bits = sign(dot(plane_p, v)) for the band's
+    * planes. Pure projection — computed map-side during the scan. */
+  private def bandKey(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(typedlit(p.toSeq), v) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** Banded sign-LSH ANN top-k (OR of ANDs, like MinHash banding):
+    * candidate iff ANY of `numBands` bands of `planesPerBand` sign bits
+    * matches. Per-neighbor recall ≈ 1-(1-p^r)^B with p = 1-θ/π — banding
+    * is what makes moderate-similarity neighbors reachable; a single
+    * conjunctive bucket only works for near-duplicate vectors.
+    * The join shuffles on (band_id, key) — no cross join of the corpus. */
+  def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, numBands: Int = 8,
+              planesPerBand: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numBands * planesPerBand, dim)
+    val e = embeddings.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", l2norm(col("v")))
+    val banded = e.select(col("vec_id"), col("v"), col("nv"),
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band_id"),
+          bandKey(col("v"), (0 until planesPerBand)
+            .map(r => planes(b * planesPerBand + r))).as("bkey"))): _*)).as("band"))
+      .select(col("vec_id"), col("v"), col("nv"),
+        col("band.band_id").as("band_id"), col("band.bkey").as("bkey"))
+    val q = banded.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"),
+        col("band_id").as("qband"), col("bkey").as("qbkey"))
+    val pairs = banded.join(broadcast(q),
+        col("band_id") === col("qband") && col("bkey") === col("qbkey") &&
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v"), col("nq"), col("nv")).as("cos"))
+      .distinct() // multi-band collisions
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("sim"), col("rn"))
+  }
+
+  /** IVF coarse quantizer: deterministic seeds (first `numCells` vectors
+    * by id) refined with `iters` Lloyd steps. Centroid update is the
+    * classic posexplode → (cell, dim) mean → re-collect; two shuffles per
+    * iteration, both tiny (numCells × dim rows). Returns (cell, cv) with
+    * cv the (non-normalized) mean vector. */
+  def ivfCentroids(e: DataFrame, numCells: Int, iters: Int): DataFrame = {
+    var cents = e.orderBy("vec_id").limit(numCells)
+      .select(row_number().over(Window.orderBy("vec_id")).cast("long").as("cell"),
+        col("v").as("cv"))
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(e, cents)
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("cv"))
+    }
+    cents
+  }
+
+  /** Assign each vector to its max-cosine cell (broadcast the centroids;
+    * pure map-side argmax — no shuffle of the corpus). */
+  def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nv"),
+        struct((dot(col("v"), col("cv")) / (l2norm(col("cv")) * col("nv"))).as("cs"),
+          col("cell").as("cell")).as("sc"))
+    scored.groupBy("vec_id")
+      .agg(max(col("sc")).as("best"), first(col("v")).as("v"), first(col("nv")).as("nv"))
+      .select(col("vec_id"), col("v"), col("nv"), col("best.cell").as("cell"))
+  }
+
+  /** IVF ANN top-k: probe the query's `nprobe` closest cells, exact
+    * cosine within candidates. The scan side shuffles once on `cell`;
+    * queries broadcast. The 100 TB path: cells partition the corpus so
+    * each query touches ~nprobe/numCells of the data. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, numCells: Int = 16,
+              nprobe: Int = 4, iters: Int = 1): DataFrame = {
+    val e = embeddings.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", l2norm(col("v")))
+    val cents = ivfCentroids(e, numCells, iters)
+    val assigned = assignCells(e, cents)
+    // query → its nprobe closest cells
+    val qcells = e.filter(queryPred).crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"),
+        col("cell"),
+        (dot(col("v"), col("cv")) / (l2norm(col("cv")) * col("nv"))).as("cs"))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cs"), asc("cell"))))
+      .filter(col("cr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("nq"), col("cell"))
+    val pairs = assigned.join(broadcast(qcells), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v"), col("nq"), col("nv")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("sim"), col("rn"))
+  }
+}

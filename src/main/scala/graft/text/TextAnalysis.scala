@@ -1,0 +1,80 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+/** Text-quality metrics for training-data curation: quality scoring,
+  * token counting, document fingerprinting, language identification.
+  * All pure per-row projections (no shuffle) built from codegen'd array
+  * expressions — they run at scan speed on a 1000-executor cluster.
+  */
+object TextAnalysis {
+
+  private val StopWords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  /** Quality features per document. Ratios are exact-integer divisions
+    * (bit-reproducible across engines). */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = TextOps.tokenize(col(textCol))
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(words).cast("long").as("n_tokens"),
+      round(size(filter(words, w => w.isInCollection(StopWords))).cast("double")
+        / size(words), 6).as("stop_ratio"),
+      round(size(array_distinct(words)).cast("double") / size(words), 6)
+        .as("distinct_ratio"),
+      // single-spaced text: letters = chars - (tokens-1) separators
+      round((length(col(textCol)).cast("double") - (size(words) - lit(1)))
+        / size(words), 6).as("mean_word_len"))
+  }
+
+  /** Whitespace tokens vs BPE-ish regex tokens (letter runs / digit runs /
+    * single other non-space chars) — the cheap token-count estimators a
+    * data pipeline uses for budget accounting. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(TextOps.tokenize(col(textCol))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("re_tokens"))
+
+  /** Polynomial rolling hash over characters, mod 1e9+7 — a portable
+    * content fingerprint (identical in any engine with a left fold;
+    * the classic h = h*31 + c). Codepoint-exact for ASCII corpora. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      aggregate(
+        transform(filter(split(col(textCol), ""), c => length(c) > 0),
+          c => ascii(c).cast("long")),
+        lit(0L), (h, c) => (h * 31 + c) % 1000000007L).as("fp"))
+
+  private val LangStopWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"))
+
+  /** N-gram/stopword-profile language ID heuristic. Latin languages score
+    * by stopword hits; CJK by han-character count; argmax wins (ties break
+    * lexicographically via struct ordering — deterministic). Emits "und"
+    * when nothing scores. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = TextOps.tokenize(lower(col(textCol)))
+    val scored = LangStopWords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(size(filter(words, w => w.isInCollection(sw))).cast("long").as("score"),
+        lit(lang).as("lang"))
+    } :+ struct(
+      (length(col(textCol)) - length(regexp_replace(col(textCol), "[\\u4e00-\\u9fff]", "")))
+        .cast("long").as("score"),
+      lit("zh").as("lang"))
+    val best = array_max(array(scored: _*))
+    docs.select(
+      col(idCol).as("doc_id"),
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+        .as("lang_pred"),
+      best.getField("score").as("lang_score"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different words about spark engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (5L, "a b")                                            // < 3 tokens: no shingles
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeper = min id") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id").select("keep_id", "n").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L), (3L, 1L), (5L, 1L)))
+  }
+
+  test("shingles: ordered distinct 3-grams; short docs get empty array") {
+    val got = docs.select(col("doc_id"),
+      Dedup.shingles(split(col("text"), " "), 3).as("s"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect()
+    assert(got(0)._2.head == "the quick brown")
+    assert(got(0)._2.size == 7)   // 9 tokens → 7 shingles, all distinct
+    assert(got(4)._2.isEmpty)     // "a b"
+  }
+
+  test("minhash+LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs, "doc_id", "text"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))           // identical → all bands collide
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never pairs
+  }
+
+  test("ngram jaccard is the exact rational value") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1)
+      .filter(col("doc_a") === 1 && col("doc_b") === 4)
+      .select("jaccard").as[Double].collect()
+    assert(got.toSeq == Seq(1.0)) // identical docs
+    val near = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1)
+      .filter(col("doc_a") === 1 && col("doc_b") === 2)
+      .select("jaccard").as[Double].collect()
+    // docs 1/2 share 6 of 8 distinct shingles → 6/8... compute: 7+7 shingles,
+    // differ in last token → shingles containing "dog"/"cat" differ (1) →
+    // inter=6, union=8 → 0.75
+    assert(near.isEmpty || near.head == 0.75) // present only if LSH banded them
+  }
+
+  test("simhash: identical docs share signature; near-dups are close in Hamming") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+    val m = sigs.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(4L))
+    val hamming12 = java.lang.Long.bitCount(m(1L) ^ m(2L))
+    val hamming13 = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    assert(hamming12 < hamming13, s"near-dup $hamming12 should beat unrelated $hamming13")
+    val pairs = Dedup.simhashPairs(sigs, maxHamming = 3).as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf001 = "/root/testdata/sf0.001"
+
+  test("dot and l2norm fold exactly") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val (d, n) = df.select(
+      Similarity.dot(col("a"), col("b")),
+      Similarity.l2norm(col("a"))).as[(Double, Double)].head()
+    assert(d == 32.0)
+    assert(n == math.sqrt(14.0))
+  }
+
+  test("bruteForceTopK: k rows per query, self excluded, descending sim") {
+    val emb = Tables.embeddings(spark, sf001)
+    val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 5, k = 5).collect()
+    assert(got.length == 25)
+    val byQ = got.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(!rows.exists(_.getLong(1) == q), "self must be excluded")
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "descending")
+    }
+  }
+
+  test("banded LSH ANN achieves usable recall on weakly-similar vectors") {
+    val emb = Tables.embeddings(spark, sf001)
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ann & bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"banded LSH recall $recall < 0.5")
+  }
+
+  test("IVF ANN achieves higher recall than plain LSH budget") {
+    val emb = Tables.embeddings(spark, sf001)
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & bf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"IVF recall $recall < 0.6")
+  }
+}

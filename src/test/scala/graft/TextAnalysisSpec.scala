@@ -1,0 +1,44 @@
+package graft
+
+import graft.text.TextAnalysis
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("quality features on a crafted doc") {
+    val docs = Seq((1L, "the cat the cat mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(docs, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_chars") == 19L)
+    assert(r.getAs[Long]("n_tokens") == 5L)
+    assert(r.getAs[Double]("stop_ratio") == 0.4)      // 2×"the" / 5
+    assert(r.getAs[Double]("distinct_ratio") == 0.6)  // the,cat,mat / 5
+    assert(r.getAs[Double]("mean_word_len") == 3.0)   // (19-4)/5
+  }
+
+  test("token counts: whitespace vs regex tokenizer") {
+    val docs = Seq((1L, "ab 12 c-d")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(docs, "doc_id", "text").head()
+    assert(r.getAs[Long]("ws_tokens") == 3L)
+    assert(r.getAs[Long]("re_tokens") == 5L) // ab, 12, c, -, d
+  }
+
+  test("fingerprint matches the classic h*31+c polynomial") {
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    val r = TextAnalysis.fingerprint(docs, "doc_id", "text").head()
+    assert(r.getAs[Long]("fp") == 96354L) // ((0*31+97)*31+98)*31+99
+  }
+
+  test("langId identifies real-language samples via stopword profiles") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was happy for a while"),
+      (2L, "el gato se sienta en la mesa y no es un problema"),
+      (3L, "der hund und die katze sind mit dem ball in den garten"),
+      (4L, "le chat et les chiens sont dans un jardin du village"),
+      (5L, "中文文本处理很有趣"),
+      (6L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(docs, "doc_id", "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en"); assert(got(2L) == "es"); assert(got(3L) == "de")
+    assert(got(4L) == "fr"); assert(got(5L) == "zh"); assert(got(6L) == "und")
+  }
+}
