@@ -7,6 +7,8 @@ import graft.Tables._
 import graft.dedup.Dedup
 import graft.index.InvertedIndex
 import graft.ops.{Relational, TextOps}
+import graft.pagerank.PageRank
+import graft.parse.WikiParser
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
 
@@ -312,7 +314,50 @@ object SparkEntry {
     // stopword-profile language ID heuristic (rows-only check)
     "text_langid" -> ((s, d) =>
       TextAnalysis.langId(documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // §2.10 — the reference's flagship: 10-iteration unnormalized PageRank
+    // on a deterministic graph derived from testdata (orders↔customers
+    // cycle; lineitem parts are red links whose mass is dropped).
+    // Rows-only check; semantics verified against an in-test interpreter.
+    "pagerank" -> ((s, d) =>
+      PageRank.ranked(pagerankGraph(s, d))
+        .select(col("title"), round(col("rank"), 6).as("rank"))),
+
+    // WikiParser end-to-end over synthesized wiki XML (oracle-checked via
+    // an independent SQL formulation of the same link extraction)
+    "wiki_parse" -> ((s, d) => {
+      val xml = documents(s, d).select(concat(
+        lit("<page><title>D"), col("doc_id"),
+        lit("</title><id>"), col("doc_id"),
+        lit("</id><text xml:space=\"preserve\">"),
+        regexp_replace(col("text"), "(spark|join|merge)", "[[$1]]"),
+        lit("</text></page>")).as("value"))
+      WikiParser.linkGraph(WikiParser.pages(xml))
+        .select(col("title"), size(col("outlinks")).cast("long").as("n_links"),
+          concat_ws(",", col("outlinks")).as("links"))
+        .orderBy("title")
+    }),
   )
+
+  /** Deterministic PageRank input graph from the TPC-H-ish tables:
+    * vertex `o<orderkey>` links its customer + one `p<partkey>` per
+    * lineitem occurrence (duplicates kept — out-degree semantics);
+    * vertex `c<custkey>` links all its orders. Part targets have no
+    * vertex → red links (dropped mass), exercising the reference's
+    * marker-join semantics at scale. */
+  private[graft] def pagerankGraph(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d); val li = lineitem(s, d)
+    val orderParts = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(concat(lit("p"), col("l_partkey")))).as("parts"))
+    val orderVerts = o.join(orderParts, o("o_orderkey") === orderParts("l_orderkey"), "left")
+      .select(concat(lit("o"), col("o_orderkey")).as("title"),
+        concat(array(concat(lit("c"), col("o_custkey"))),
+          coalesce(col("parts"), array().cast("array<string>"))).as("outlinks"))
+    val custVerts = o.groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(concat(lit("o"), col("o_orderkey")))).as("outlinks"))
+      .select(concat(lit("c"), col("o_custkey")).as("title"), col("outlinks"))
+    orderVerts.unionByName(custVerts)
+  }
 
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — same column names, same ordering, same rounding.
@@ -547,5 +592,10 @@ object SparkEntry {
                  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)),
                (h, c) -> (h * 31 + c) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
+    "wiki_parse" ->
+      """SELECT 'D' || CAST(doc_id AS VARCHAR) AS title,
+             CAST(len(regexp_extract_all(text, 'spark|join|merge')) AS BIGINT) AS n_links,
+             coalesce(array_to_string(regexp_extract_all(text, 'spark|join|merge'), ','), '') AS links
+         FROM documents ORDER BY title""",
   )
 }

@@ -1,0 +1,65 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MediaWiki-export parser — the Spark-native re-expression of the
+  * reference's line-oriented regex mappers
+  * (ref: PageRankAlgorithm.java:207-267, InvertedIndex.java:69-110).
+  *
+  * The reference parses line-by-line with mutable mapper state (the last
+  * seen `<title>`/`<id>` field carried across lines), which mis-attributes
+  * pages straddling input-split boundaries and picks the LAST `<id>`
+  * before the text (revision/contributor ids!) despite README.md:80
+  * claiming the first (ref: InvertedIndex.java:93-95; SURVEY.md §1.3).
+  * This parser works PAGE-level instead: pages are isolated first with a
+  * DOTALL regex, so attribution is structural and the accidental-quirk
+  * class is unreachable. Documented divergences (SURVEY.md §7.4-7.5):
+  *  - first `<id>` per page (the page id), per the README's spec;
+  *  - empty links `[[]]` dropped (the reference emits "" links that
+  *    inflate out-degree — an accident, not semantics).
+  *
+  * Kept reference semantics:
+  *  - nested links `[[w|[[x]]` resolve to the innermost segment
+  *    (ref: PageRankAlgorithm.java:245-250; README.md:57-60);
+  *  - self-loops kept (README.md:62, the commented-out filter at :252-255);
+  *  - duplicate link occurrences kept — out-degree counts occurrences;
+  *  - a `<text>` body only parses when opened and closed in the same page
+  *    blob (the reference's same-line constraint, relaxed to same-page).
+  */
+object WikiParser {
+
+  /** One row per `<page>…</page>` block from whole-file text
+    * (`spark.read.option("wholetext", true).text(dir)`). */
+  def pages(wholeFiles: DataFrame, textCol: String = "value"): DataFrame =
+    wholeFiles
+      .select(explode(regexp_extract_all(col(textCol),
+        lit("(?s)<page>(.*?)</page>"), lit(1))).as("page"))
+      .select(
+        regexp_extract(col("page"), "(?s)<title>(.*?)</title>", 1).as("title"),
+        regexp_extract(col("page"), "(?s)<id>(\\d+)</id>", 1).as("id"),
+        regexp_extract(col("page"), "(?s)<text[^>]*>(.*?)</text>", 1).as("text"))
+      .filter(length(col("title")) > 0)
+
+  /** The reference's nested-link rewrite: innermost `[[` segment
+    * (ref: PageRankAlgorithm.java:245-250). */
+  def resolveNested(link: Column): Column =
+    element_at(split(link, "\\[\\["), -1)
+
+  /** Raw `[[…]]` occurrences of a text body, nested-resolved, trimmed,
+    * empties dropped; duplicates and self-links KEPT (reference parity). */
+  def outlinks(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit("\\[\\[(.*?)\\]\\]"), lit(1)),
+        l => trim(resolveNested(l))),
+      l => length(l) > 0)
+
+  /** title → outlink array (the PageRank vertex relation). */
+  def linkGraph(pagesDf: DataFrame): DataFrame =
+    pagesDf.select(col("title"), outlinks(col("text")).as("outlinks"))
+
+  /** id/text rows for the inverted-index pipeline (first id per page). */
+  def docs(pagesDf: DataFrame): DataFrame =
+    pagesDf.filter(length(col("id")) > 0)
+      .select(col("id").cast("long").as("doc_id"), col("text"))
+}
