@@ -315,6 +315,14 @@ object SparkEntry {
     "text_langid" -> ((s, d) =>
       TextAnalysis.langId(documents(s, d), "doc_id", "text").orderBy("doc_id")),
 
+    // multimodal plumbing: binary payload → per-partition decode (stub) →
+    // fixed-width features (rows-only check; cross-checked in spec)
+    "multimodal_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.syntheticMedia(documents(s, d), "doc_id", "text"))
+        .toDF().select("media_id", "n_bytes", "checksum")
+        .orderBy("media_id")),
+
     // §2.10 — the reference's flagship: 10-iteration unnormalized PageRank
     // on a deterministic graph derived from testdata (orders↔customers
     // cycle; lineitem parts are red links whose mass is dropped).

@@ -46,13 +46,19 @@ object Dedup {
     if (portable) array_min(transform(sgl, s => md5(concat(lit(s"$perm:"), s))))
     else array_min(transform(sgl, s => xxhash64(concat(lit(s"$perm:"), s))))
 
-  /** doc_id + sig0..sig{p-1} columns — map-side only, no shuffle. */
+  /** doc_id + sig0..sig{p-1} columns — map-side only, no shuffle.
+    *
+    * The explode(array(…)) wrapper is a deliberate one-row Generate
+    * barrier: CollapseProject would otherwise inline the shingle
+    * expression into all `numPerms` signature expressions, and lambda
+    * expressions are excluded from codegen subexpression elimination —
+    * measured 8× recomputation of tokenize+shingling per row without it. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numPerms: Int = 8, shingleSize: Int = 3,
                         portable: Boolean = true): DataFrame = {
     val sgl = shingles(TextOps.tokenize(col(textCol)), shingleSize)
     val sigs = (0 until numPerms).map(p => minhashOne(col("sgl"), p, portable).as(s"sig$p"))
-    docs.select(col(idCol).as("doc_id"), sgl.as("sgl"))
+    docs.select(col(idCol).as("doc_id"), explode(array(sgl)).as("sgl"))
       .select(col("doc_id") +: sigs: _*)
   }
 
@@ -74,17 +80,28 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
-    * The self-join shuffles on (band_id, bkey); `distinct` collapses
-    * multi-band collisions. */
-  def lshCandidatePairs(sigs: DataFrame, numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val bands = lshBands(sigs, numPerms, rowsPerBand)
-    val x = bands.as("x"); val y = bands.as("y")
-    x.join(y, col("x.band_id") === col("y.band_id") &&
-              col("x.bkey") === col("y.bkey") &&
-              col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    *
+    * NOT a self-join: a DataFrame self-join re-executes the whole
+    * signature pipeline for each side (measured 2× the scan cost).
+    * Instead: groupBy bucket → expand pairs inside each bucket with an
+    * array expression. One scan, one shuffle; the quadratic is local to
+    * a bucket (bounded for non-degenerate corpora — and a degenerate
+    * bucket would break the self-join formulation just as hard). */
+  def lshCandidatePairs(sigs: DataFrame, numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    bucketPairs(lshBands(sigs, numPerms, rowsPerBand), Seq("band_id", "bkey"))
+
+  /** All intra-bucket id pairs (a < b), distinct across buckets. */
+  private[dedup] def bucketPairs(banded: DataFrame, bucketCols: Seq[String]): DataFrame =
+    banded
+      .groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+           transform(slice(ids, i + 2, size(ids)), b ->
+             named_struct('doc_a', a, 'doc_b', b))))""")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-  }
 
   /** Exact n-gram Jaccard on LSH candidates: re-attach each side's distinct
     * shingle array and compare with array_intersect — per-pair, map-side
@@ -127,23 +144,22 @@ object Dedup {
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash: 4×16-bit band join (any equal quarter →
-    * candidate; catches all pairs with Hamming distance ≤ 3 by pigeonhole
-    * when ≤ 3 of 4 bands differ), verified with bit_count(xor) ≤ maxHamming. */
+  /** Near-dup pairs by SimHash: 4×16-bit band bucketing (any equal
+    * quarter → candidate; catches all pairs with Hamming distance ≤ 3 by
+    * pigeonhole when ≤ 3 of 4 bands differ), verified with
+    * bit_count(xor) ≤ maxHamming after re-attaching the signatures. */
   def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    val banded = sigs.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
           shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("band"))
-      .select(col("doc_id"), col("simhash"),
-        col("band.band_id").as("band_id"), col("band.bkey").as("bkey"))
-    val x = banded.as("x"); val y = banded.as("y")
-    x.join(y, col("x.band_id") === col("y.band_id") &&
-              col("x.bkey") === col("y.bkey") &&
-              col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.bkey").as("bkey"))
+    val pairs = bucketPairs(banded, Seq("band_id", "bkey"))
+    val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface — the streaming form of the batch event
+  * operators (events_window / sessionize keys). The reference is batch-
+  * only (SURVEY.md §2.9), so this is an extension: the same transforms
+  * compiled against `readStream` sources with event-time watermarks.
+  *
+  * The transforms are DataFrame→DataFrame and identical in shape to the
+  * batch keys, so correctness is checked by running them over a bounded
+  * stream (memory sink, processAllAvailable) and comparing to the batch
+  * result — see StreamingSpec.
+  */
+object EventStream {
+
+  /** Tumbling hourly window with late-data tolerance. Input needs an
+    * event-time `t` TimestampType column (convert epoch-nanos longs with
+    * `timestamp_micros(ts div 1000)` as the batch key does). */
+  def hourlyTypeCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("t", watermark)
+      .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("v"))
+
+  /** Sliding 15-minute window advanced every 5 minutes — the overlap case
+    * (each event lands in 3 windows). */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("t", watermark)
+      .groupBy(window(col("t"), "15 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("n"))
+
+  /** Session windows with a 30-minute gap, per user — the streaming-native
+    * form of the batch `sessionize` key (session_window fuses the gap
+    * logic into state management instead of lag/cumsum). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("t", watermark)
+      .groupBy(session_window(col("t"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+}

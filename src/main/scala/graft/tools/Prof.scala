@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiling entry: `tools/run.sh graft.tools.Prof <sfDir> <what>`.
+  * Not part of the driver contract — a developer loop for plan tuning. */
+object Prof {
+  def t[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime; val r = f
+    println(f"PROF $name: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val what = if (args.length > 1) args(1) else "pagerank"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    what match {
+      case "dedupstep" =>
+        import org.apache.spark.sql.functions._
+        val docs = graft.Tables.documents(spark, sfDir)
+        val toks = docs.select(graft.ops.TextOps.tokenize(col("text")).as("w"))
+        t("tokenize only")(toks.select(size(col("w"))).agg(sum("size(w)")).collect())
+        val sgl = docs.select(graft.dedup.Dedup.shingles(
+          graft.ops.TextOps.tokenize(col("text")), 3).as("s"))
+        t("shingles")(sgl.select(size(col("s"))).agg(max("size(s)")).collect())
+        val sigs = graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text")
+        t("signatures")(sigs.count())
+        t("signatures again")(sigs.count())
+        val bands = graft.dedup.Dedup.lshBands(sigs)
+        t("bands")(bands.count())
+        val pairs = graft.dedup.Dedup.lshCandidatePairs(sigs)
+        t("pairs")(pairs.count())
+      case "prstep" =>
+        // instrumented copy of PageRank.run to localize per-iteration cost
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.storage.StorageLevel
+        val g = graft.SparkEntry.pagerankGraph(spark, sfDir)
+        val verts = g.select(col("title"), col("outlinks"))
+          .repartition(col("title")).persist(StorageLevel.MEMORY_AND_DISK)
+        val n = t("verts count")(verts.count())
+        var ranks = verts.select(col("title"), lit(1.0 / n).as("rank"))
+        for (i <- 1 to 10) {
+          val contribs = ranks.join(verts, "title")
+            .filter(size(col("outlinks")) > 0)
+            .select(explode(col("outlinks")).as("title"),
+              (col("rank") / size(col("outlinks"))).as("c"))
+          val summed = contribs.groupBy("title").agg(sum("c").as("s"))
+          val next = verts.select("title").join(summed, Seq("title"), "left")
+            .select(col("title"),
+              (lit(0.85) * coalesce(col("s"), lit(0.0)) + lit(0.15)).as("rank"))
+          ranks = t(s"iter $i checkpoint")(next.localCheckpoint())
+        }
+        t("final count")(ranks.count())
+      case s if s.startsWith("pr") && s.drop(2).forall(_.isDigit) =>
+        val iters = s.drop(2).toInt
+        val g = graft.SparkEntry.pagerankGraph(spark, sfDir)
+        t(s"pagerank iters=$iters")(graft.pagerank.PageRank.run(g, iters = iters).count())
+      case "explain" =>
+        val q = graft.SparkEntry.queries(args(2))
+        q(spark, sfDir).explain("formatted")
+      case key =>
+        val q = graft.SparkEntry.queries(key)
+        t(s"$key run1")(q(spark, sfDir).count())
+        t(s"$key run2")(q(spark, sfDir).count())
+    }
+    spark.stop()
+  }
+}

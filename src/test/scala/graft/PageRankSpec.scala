@@ -81,6 +81,14 @@ class PageRankSpec extends SparkTestBase {
     r2.foreach { case (t, r) => assert(math.abs(r - w2(t)) < 1e-12) }
   }
 
+  test("RDD loop and DataFrame formulation agree") {
+    val graph = WikiParser.linkGraph(parsed)
+    val a = PageRank.run(graph, iters = 6).as[(String, Double)].collect().toMap
+    val b = PageRank.runDataFrame(graph, iters = 6).as[(String, Double)].collect().toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (t, r) => assert(math.abs(r - b(t)) < 1e-12) }
+  }
+
   test("checkpoint cadence does not change results") {
     val graph = WikiParser.linkGraph(parsed)
     val a = PageRank.run(graph, iters = 7, checkpointEvery = 2)

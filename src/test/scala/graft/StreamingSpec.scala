@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.EventStream
+
+/** Streaming ≡ batch: run the streaming transforms over a bounded file
+  * stream (memory sink, synchronous processAllAvailable) and compare with
+  * the same transform applied in batch. */
+class StreamingSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def withEventTime(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("t", timestamp_micros(expr("ts div 1000")))
+
+  // file streams need a DIRECTORY source
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming hourly window equals the batch result") {
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStream.hourlyTypeCounts(withEventTime(stream))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("hourly")
+      .select("hour_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = EventStream.hourlyTypeCounts(withEventTime(Tables.events(spark, sf)))
+      .select("hour_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming session windows produce per-user sessions") {
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStream.sessionCounts(withEventTime(stream))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessions").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("sessions").collect()
+    assert(rows.nonEmpty)
+    // session event counts must sum to the total event count
+    assert(rows.map(_.getLong(2)).sum == Tables.events(spark, sf).count())
+  }
+}
