@@ -129,6 +129,11 @@ object SparkEntry {
     "count_distinct" -> ((s, d) =>
       orders(s, d).agg(countDistinct(col("o_custkey")).as("n"))),
 
+    // §2.4 — HLL sketch variant, the 100 TB path for A1 (rows-only: HLL
+    // estimates differ across engines; accuracy asserted in spec)
+    "approx_distinct" -> ((s, d) =>
+      orders(s, d).agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_approx"))),
+
     // §2.4 A2 — group + sorted collect list + concat (posting-list shape)
     "group_collect_list" -> ((s, d) =>
       orders(s, d)
@@ -223,6 +228,31 @@ object SparkEntry {
           round(sum(col("o_totalprice")).over(byCust), 2).as("cust_total"))
         .orderBy("o_orderkey")
     }),
+
+    // §2.9 — window frame: per-customer running total by order date
+    "window_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.7 — set intersection: customers who placed a big order
+    "set_intersect" -> ((s, d) =>
+      customer(s, d).select(col("c_custkey").as("id"))
+        .intersect(orders(s, d).filter(col("o_totalprice") > 250000)
+          .select(col("o_custkey").as("id")))
+        .orderBy("id")),
+
+    // §2.7 — set difference: customers who never placed a big order
+    "set_except" -> ((s, d) =>
+      customer(s, d).select(col("c_custkey").as("id"))
+        .except(orders(s, d).filter(col("o_totalprice") > 250000)
+          .select(col("o_custkey").as("id")))
+        .orderBy("id")),
 
     // §2.4 extension — rollup aggregation
     "rollup_agg" -> ((s, d) => {
@@ -466,6 +496,24 @@ object SparkEntry {
                                      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
              round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS cust_total
          FROM orders ORDER BY o_orderkey""",
+    "window_running" ->
+      """SELECT o_orderkey, o_custkey,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         FROM orders ORDER BY o_orderkey""",
+    "set_intersect" ->
+      """SELECT id FROM (
+           SELECT c_custkey AS id FROM customer
+           INTERSECT
+           SELECT o_custkey AS id FROM orders WHERE o_totalprice > 250000)
+         ORDER BY id""",
+    "set_except" ->
+      """SELECT id FROM (
+           SELECT c_custkey AS id FROM customer
+           EXCEPT
+           SELECT o_custkey AS id FROM orders WHERE o_totalprice > 250000)
+         ORDER BY id""",
     "rollup_agg" ->
       """SELECT n_name, c_mktsegment, count(*) AS cnt,
              round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS acct_total

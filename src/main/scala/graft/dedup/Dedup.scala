@@ -41,9 +41,11 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
 
   /** One MinHash value: min over shingles of hash(perm ++ ":" ++ shingle).
-    * Portable: md5 hex string (lexicographic min). Fast: xxhash64 long. */
+    * Portable: md5 hex string (lexicographic min) via the fused custom
+    * Expression (same result as array_min∘transform∘md5, one pass, no
+    * per-shingle hex; see graft.functions.MinHashMd5). Fast: xxhash64. */
   private def minhashOne(sgl: Column, perm: Int, portable: Boolean): Column =
-    if (portable) array_min(transform(sgl, s => md5(concat(lit(s"$perm:"), s))))
+    if (portable) graft.functions.MinHashMd5.minhashMd5(sgl, perm)
     else array_min(transform(sgl, s => xxhash64(concat(lit(s"$perm:"), s))))
 
   /** doc_id + sig0..sig{p-1} columns — map-side only, no shuffle.

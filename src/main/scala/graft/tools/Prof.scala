@@ -22,6 +22,10 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     what match {
+      case "entry" =>
+        val df = t("entry")(graft.SparkEntry.entry(spark))
+        df.show(5, false)
+        println("rows=" + df.count())
       case "dedupstep" =>
         import org.apache.spark.sql.functions._
         val docs = graft.Tables.documents(spark, sfDir)
