@@ -1,0 +1,71 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.InvertedIndex
+import graft.pagerank.PageRank
+import graft.parse.WikiParser
+import graft.sources.TextKV
+
+/** End-to-end pipelines mirroring the reference's two CLI entry points —
+  * the surface a user of the reference would switch to:
+  *
+  *  - `PageRankAlgorithm <in> <out>` (ref: PageRankAlgorithm.java:43-134,
+  *    13 MR jobs) → [[WikiPageRank]]: one Spark job graph, same output
+  *    shape `<out>` of `title \t rank` sorted by rank descending;
+  *  - `InvertedIndex <in> <out>` (ref: InvertedIndex.java:36-59) →
+  *    [[WikiInvertedIndex]]: `word \t id1,id2,…` (ids per occurrence,
+  *    sorted — SURVEY.md §7.5 determinism divergence).
+  *
+  * Argument validation replaces the reference's log-and-NPE behavior
+  * (SURVEY.md §3.4) with a fail-fast message.
+  */
+object WikiPipelines {
+
+  /** XML text → (title, rank) ranked relation (the 13-job pipeline as one
+    * lazy plan + the iterative loop). */
+  def pageRank(spark: SparkSession, inPath: String, iters: Int = 10,
+               damping: Double = 0.85): DataFrame = {
+    val pages = WikiParser.pages(TextKV.readWholeFiles(spark, inPath))
+    PageRank.ranked(WikiParser.linkGraph(pages), iters, damping)
+  }
+
+  /** XML text → (word, doc_ids) posting relation. */
+  def invertedIndex(spark: SparkSession, inPath: String): DataFrame = {
+    val pages = WikiParser.pages(TextKV.readWholeFiles(spark, inPath))
+    InvertedIndex.postingStrings(WikiParser.docs(pages), "doc_id", "text")
+      .orderBy("word")
+  }
+
+  private[pipelines] def requireArgs(args: Array[String], usage: String): Unit =
+    require(args.length >= 2, s"usage: $usage <input-path> <output-path>")
+
+  private[pipelines] def session(app: String): SparkSession = SparkSession.builder()
+    .master(sys.env.getOrElse("SPARK_GRAFT_MASTER",
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
+    .appName(app)
+    .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** CLI parity with `PageRankAlgorithm <in> <out>`. */
+object WikiPageRank {
+  def main(args: Array[String]): Unit = {
+    WikiPipelines.requireArgs(args, "WikiPageRank")
+    val spark = WikiPipelines.session("WikiPageRank")
+    TextKV.writeKV(
+      WikiPipelines.pageRank(spark, args(0))
+        .select(col("title"), col("rank").cast("string")), args(1))
+  }
+}
+
+/** CLI parity with `InvertedIndex <in> <out>`. */
+object WikiInvertedIndex {
+  def main(args: Array[String]): Unit = {
+    WikiPipelines.requireArgs(args, "WikiInvertedIndex")
+    val spark = WikiPipelines.session("WikiInvertedIndex")
+    TextKV.writeKV(WikiPipelines.invertedIndex(spark, args(0)), args(1))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's I/O surface (SURVEY.md §2.1):
+  *  - S1 line-oriented text scan, multi-path (ref: PageRankAlgorithm.java:66,
+  *    :84, :102-103, :119-120 `addInputPaths`; InvertedIndex.java:51);
+  *  - S2 `key \t value` text sink (TextOutputFormat default, ref: :67,
+  *    :85-86, :104-105, :121-122; InvertedIndex.java:52).
+  *
+  * Spark-native: `spark.read.text` keeps the scan splittable (a 100 TB
+  * text corpus splits on line boundaries across executors); the sink
+  * formats rows to `k\tv` and writes partitioned text part-files —
+  * byte-compatible with what the reference's reducers emit, without the
+  * single-reducer bottleneck.
+  */
+object TextKV {
+
+  /** S1 — line scan over one or more paths (the reference's comma-joined
+    * `addInputPaths`). One `value: string` column, one row per line. */
+  def readLines(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.textFile(paths: _*).toDF("value")
+
+  /** S1 (page-level variant) — whole-file rows for WikiParser, which
+    * needs `<page>` blocks intact rather than split on line boundaries. */
+  def readWholeFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+
+  /** S2 — `key \t value` text sink. Every column after the first is
+    * concatenated into the value with the same tab separator the
+    * reference's TextOutputFormat uses. */
+  def writeKV(df: DataFrame, path: String): Unit = {
+    val cols = df.columns
+    require(cols.length >= 2, s"KV sink needs >= 2 columns, got ${cols.mkString(",")}")
+    df.select(concat_ws("\t", cols.map(c => col(c).cast("string")): _*).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
+  /** S2 round-trip reader for two-column KV output (positional split on
+    * the first tab, like the reference's own re-parse at
+    * PageRankAlgorithm.java:326-341 — but schema-explicit). */
+  def readKV(spark: SparkSession, path: String,
+             keyName: String = "key", valueName: String = "value"): DataFrame =
+    spark.read.text(path)
+      .select(
+        substring_index(col("value"), "\t", 1).as(keyName),
+        expr("substring(value, instr(value, '\t') + 1)").as(valueName))
+}
