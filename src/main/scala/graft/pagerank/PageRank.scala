@@ -76,6 +76,11 @@ object PageRank {
         ranks.localCheckpoint() // truncate lineage; materialized by next job
       }
     }
+    // Materialize the final iteration, then release the vertex cache —
+    // callers otherwise accumulate cached relations across runs.
+    ranks.localCheckpoint()
+    ranks.count()
+    links.unpersist(false)
     ranks.toDF("title", "rank")
   }
 

@@ -50,6 +50,16 @@ class DedupSpec extends SparkTestBase {
     assert(near.isEmpty || near.head == 0.75) // present only if LSH banded them
   }
 
+  test("minhash_md5 SQL registration matches the built-in composition") {
+    graft.functions.Functions.register(spark)
+    val viaSql = spark.sql("SELECT minhash_md5(array('xx yy zz', 'aa bb cc'), 3) AS m")
+      .as[String].head()
+    val viaBuiltins = Seq(Seq("xx yy zz", "aa bb cc")).toDF("sgl")
+      .select(array_min(transform(col("sgl"), s => md5(concat(lit("3:"), s)))).as("m"))
+      .as[String].head()
+    assert(viaSql == viaBuiltins)
+  }
+
   test("simhash: identical docs share signature; near-dups are close in Hamming") {
     val sigs = Dedup.simhash(docs, "doc_id", "text")
     val m = sigs.as[(Long, Long)].collect().toMap

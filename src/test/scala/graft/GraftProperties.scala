@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+import graft.pagerank.PageRank
+import graft.text.TextAnalysis
+
+/** Property tests (SURVEY.md §5.2.1). Each case runs a real Spark job, so
+  * the per-property case count is small — breadth comes from randomness
+  * across rounds, not volume. */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  private val rawText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaChar, 2 -> Gen.const(' '), 1 -> Gen.numChar,
+      1 -> Gen.oneOf('!', ',', '.', '\t'))).map(_.mkString)
+
+  property("tokenizer normalize∘scrub is idempotent") = forAll(rawText) { s =>
+    val df = Seq(s).toDF("v")
+    val once = df.select(
+      TextOps.normalizeToken(TextOps.scrubNonAlpha(col("v"))).as("t"))
+    val twice = once.select(
+      TextOps.normalizeToken(TextOps.scrubNonAlpha(col("t"))).as("t"))
+    once.as[String].head() == twice.as[String].head()
+  }
+
+  property("fingerprint matches an independent fold") = forAll(rawText) { s =>
+    val got = TextAnalysis.fingerprint(Seq((1L, s)).toDF("id", "t"), "id", "t")
+      .select("fp").as[Long].head()
+    val want = s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    got == want
+  }
+
+  private val graphGen: Gen[Map[String, Seq[String]]] = for {
+    n <- Gen.choose(2, 7)
+    nodes = (0 until n).map(i => s"n$i")
+    links <- Gen.sequence[Seq[Seq[String]], Seq[String]](nodes.map(_ =>
+      Gen.listOfN(3, Gen.oneOf(nodes :+ "RED")).map(_.take(3))))
+  } yield nodes.zip(links).toMap
+
+  private def naive(graph: Map[String, Seq[String]], iters: Int): Map[String, Double] = {
+    val titles = graph.keySet
+    var rank = graph.map { case (t, _) => t -> 1.0 / graph.size }
+    for (_ <- 1 to iters) {
+      val contribs = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      for ((t, ls) <- graph if ls.nonEmpty; l <- ls if titles(l))
+        contribs(l) += rank(t) / ls.size
+      rank = graph.map { case (t, _) => t -> (0.85 * contribs(t) + 0.15) }
+    }
+    rank
+  }
+
+  property("pagerank equals the naive interpreter on random graphs") =
+    forAll(graphGen) { g =>
+      val df = g.toSeq.toDF("title", "outlinks")
+      val got = PageRank.run(df, iters = 3).as[(String, Double)].collect().toMap
+      val want = naive(g, 3)
+      got.keySet == want.keySet &&
+        got.forall { case (t, r) => math.abs(r - want(t)) < 1e-9 }
+    }
+
+  property("every surviving page has rank >= 1-d and output is complete") =
+    forAll(graphGen) { g =>
+      val got = PageRank.run(g.toSeq.toDF("title", "outlinks"), iters = 2)
+        .as[(String, Double)].collect()
+      got.length == g.size && got.forall(_._2 >= 0.15 - 1e-12)
+    }
+}
