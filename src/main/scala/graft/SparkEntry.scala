@@ -651,7 +651,7 @@ object SparkEntry {
     "wiki_parse" ->
       """SELECT 'D' || CAST(doc_id AS VARCHAR) AS title,
              CAST(len(regexp_extract_all(text, 'spark|join|merge')) AS BIGINT) AS n_links,
-             coalesce(array_to_string(regexp_extract_all(text, 'spark|join|merge'), ','), '') AS links
+             coalesce(array_to_string(list_sort(regexp_extract_all(text, 'spark|join|merge')), ','), '') AS links
          FROM documents ORDER BY title""",
   )
 }

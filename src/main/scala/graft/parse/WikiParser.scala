@@ -54,9 +54,16 @@ object WikiParser {
         l => trim(resolveNested(l))),
       l => length(l) > 0)
 
-  /** title → outlink array (the PageRank vertex relation). */
+  /** title → outlink array (the PageRank vertex relation).
+    * Duplicate titles MERGE into one vertex with the union of their link
+    * occurrences — the reference gets this for free from reduce-by-title
+    * (ref: PageRankAlgorithm.java:300-313; N counts DISTINCT titles,
+    * :186-201). Merged links are sorted for determinism (link order never
+    * affects rank: contributions are per-occurrence). */
   def linkGraph(pagesDf: DataFrame): DataFrame =
-    pagesDf.select(col("title"), outlinks(col("text")).as("outlinks"))
+    pagesDf.select(col("title"), outlinks(col("text")).as("links"))
+      .groupBy("title")
+      .agg(array_sort(flatten(collect_list(col("links")))).as("outlinks"))
 
   /** id/text rows for the inverted-index pipeline (first id per page). */
   def docs(pagesDf: DataFrame): DataFrame =

@@ -51,7 +51,8 @@ class PageRankSpec extends SparkTestBase {
   test("parser: nested-link rewrite, self loops, duplicates, empties") {
     val g = WikiParser.linkGraph(parsed)
       .as[(String, Seq[String])].collect().toMap
-    assert(g("A") == Seq("B", "B", "A", "X")) // duplicates + self loop + red link
+    // linkGraph sorts outlinks (deterministic merge); occurrences kept
+    assert(g("A") == Seq("A", "B", "B", "X")) // duplicates + self loop + red link
     assert(g("B") == Seq("A", "C"))           // [[]] dropped
     assert(g("C") == Seq())                   // title-without-text kept, no links
     assert(g("D") == Seq("A"))                // [[w|[[A]] → innermost
@@ -62,7 +63,7 @@ class PageRankSpec extends SparkTestBase {
     val got = PageRank.run(graph.toDF("title", "outlinks"), iters = 10)
       .as[(String, Double)].collect().toMap
     val want = naive(
-      Seq("A" -> Seq("B", "B", "A", "X"), "B" -> Seq("A", "C"),
+      Seq("A" -> Seq("A", "B", "B", "X"), "B" -> Seq("A", "C"),
           "C" -> Seq.empty, "D" -> Seq("A")), iters = 10)
     assert(got.keySet == want.keySet)
     got.foreach { case (t, r) =>
