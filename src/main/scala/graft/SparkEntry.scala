@@ -240,6 +240,37 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // as-of join (operator Spark lacks; union+window formulation, oracle
+    // is DuckDB's NATIVE ASOF JOIN — an independent implementation):
+    // each purchase enriched with the user's latest prior-or-equal click
+    "join_asof" -> ((s, d) => {
+      val ev = events(s, d).withColumn("t_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      // dedupe the right side per (key, ts): keep the max-event_id click
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "t_us")
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("t_us"),
+          col("m.event_id").as("click_id"), col("m.value").as("click_value"))
+      graft.ops.AsOfJoin.asOf(purchases, clicks, "user_id", "t_us",
+          Seq("click_id", "click_value"))
+        .filter(col("click_id").isNotNull) // inner semantics like ASOF JOIN
+        .orderBy("event_id")
+    }),
+
+    // skew-resistant two-phase salted aggregation (same result as a plain
+    // group-sum — oracle is the UNSALTED formulation)
+    "group_sum_salted" -> ((s, d) =>
+      Relational.saltedSum(
+          lineitem(s, d),
+          Seq("l_returnflag", "l_linestatus"),
+          round(col("l_extendedprice") * lit(100)).cast("long"),
+          saltSrc = col("l_orderkey"), buckets = 16)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("salted_sum") / lit(100.0), 2).as("sum_base"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
     // §2.7 — set intersection: customers who placed a big order
     "set_intersect" -> ((s, d) =>
       customer(s, d).select(col("c_custkey").as("id"))
@@ -502,6 +533,24 @@ object SparkEntry {
                  ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
          FROM orders ORDER BY o_orderkey""",
+    "join_asof" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                  event_type, value
+           FROM events),
+         p AS (SELECT event_id, user_id, t_us FROM ev WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, t_us, max(event_id) AS click_id,
+                      arg_max(value, event_id) AS click_value
+               FROM ev WHERE event_type = 'click' GROUP BY user_id, t_us)
+         SELECT p.event_id, p.user_id, p.t_us, c.click_id, c.click_value
+         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.t_us >= c.t_us
+         ORDER BY p.event_id""",
+    "group_sum_salted" ->
+      """SELECT l_returnflag, l_linestatus,
+             round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_base
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
     "set_intersect" ->
       """SELECT id FROM (
            SELECT c_custkey AS id FROM customer

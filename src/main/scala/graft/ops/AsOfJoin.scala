@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join — for each left row, the latest right row of the same key
+  * with right.ts <= left.ts. Spark has no built-in; the scalable
+  * formulation is the UNION + WINDOW trick, not a custom SparkPlan
+  * (SURVEY.md §7.3 escalation: compose built-ins first):
+  *
+  *   union both sides tagged → one shuffle on (key) for the window →
+  *   last non-null right-payload over (key ORDER BY ts, side) → keep
+  *   left rows.
+  *
+  * vs the naive alternatives: an inequality join is O(n·m) nested-loop
+  * (no equi predicate on time); a per-key sort-merge custom operator
+  * would need a SparkPlan. The union-window is ONE hash shuffle + sort —
+  * the same cost class as a regular join, and AQE-skew-aware for free.
+  *
+  * Ties: right rows sort BEFORE left rows at equal ts (`<=` semantics,
+  * matching DuckDB/pandas ASOF); callers must de-duplicate the right
+  * side per (key, ts) for a well-defined result (both engines are
+  * otherwise ambiguous).
+  */
+object AsOfJoin {
+
+  /** @param left      rows to enrich
+    * @param right     lookup side (must be unique per (key, ts))
+    * @param key       equi key column name (both sides)
+    * @param ts        event-time column name (both sides, numeric)
+    * @param rightCols right payload columns to carry to matches
+    * @return left rows + `rightCols` (null where no right row precedes) */
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+           rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__side", lit(1))
+      .select(leftCols.map(col) ++ Seq(col("__side")) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val r = right
+      .withColumn("__side", lit(0))
+      .select(leftCols.map(c =>
+          if (c == key || c == ts) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("__side")) ++ rightCols.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select((leftCols.map(col) :+ col("__side")) ++
+        rightCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+}

@@ -39,6 +39,21 @@ object Relational {
     * representable as double. */
   def nanosColToMicros(colName: String): Column = expr(s"$colName div 1000")
 
+  /** Two-phase SALTED aggregation — the skew pattern for keys whose row
+    * count dwarfs a single task (at 100 TB a hot key otherwise pins one
+    * reducer): spread each key over `buckets` salt partitions, partial-
+    * aggregate, then combine. Correct for any commutative monoid; use
+    * exact-integer values (fixedPointSum) so the two-phase double sum
+    * stays reproducible. `saltSrc` must vary WITHIN a key (any row-level
+    * column) — salt derived from it is deterministic, unlike rand(). */
+  def saltedSum(df: DataFrame, keys: Seq[String], value: Column,
+                saltSrc: Column, buckets: Int): DataFrame =
+    df.withColumn("__salt", pmod(hash(saltSrc), lit(buckets)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(value).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as("salted_sum"))
+
   /** Gap-based sessionization over an event stream — the batch analog of
     * streaming session windows.  A new session starts when the gap to the
     * previous event of the same user exceeds `gapUs` microseconds.

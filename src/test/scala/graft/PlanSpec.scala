@@ -1,0 +1,41 @@
+package graft
+
+/** Plan-shape regression guards: the scale properties README promises
+  * (pushdown, pruning, broadcast) asserted against the actual physical
+  * plans — a perf regression that un-pushes a filter fails HERE, not in
+  * a benchmark three rounds later. */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan.toString
+
+  test("scan_project pushes the predicate into the parquet scan") {
+    val p = plan("scan_project")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_quantity,30.0)"), p.take(800))
+  }
+
+  test("group_sum prunes the read schema to needed columns") {
+    val p = plan("group_sum")
+    assert(p.contains("l_shipdate"), "shipdate filter pushed")
+    // pruned scan must NOT read unused wide columns
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"), p.take(800))
+  }
+
+  test("entry broadcasts the dimension tables") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("topk_limit plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("topk_limit")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("similarity_topk keeps the corpus side un-shuffled (broadcast queries)") {
+    val p = plan("similarity_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+  }
+}
