@@ -271,6 +271,36 @@ object SparkEntry {
           round(col("salted_sum") / lit(100.0), 2).as("sum_base"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // range join (no equi key): suppliers whose balance falls inside a
+    // ±10 window of a customer's balance — bucketized to a bucket-equi
+    // join instead of a nested loop; oracle is DuckDB's inequality join
+    "join_range" -> ((s, d) =>
+      graft.ops.RangeJoin.pointInInterval(
+          supplier(s, d).select(col("s_suppkey"), col("s_acctbal")),
+          customer(s, d).select(col("c_custkey"),
+            (col("c_acctbal") - 10).as("lo"), (col("c_acctbal") + 10).as("hi")),
+          "s_acctbal", "lo", "hi", bucketWidth = 20.0)
+        .select(col("s_suppkey"), col("c_custkey"))
+        .orderBy("s_suppkey", "c_custkey")),
+
+    // exact interpolated percentiles (medians on the 0.5 grid — exact
+    // rationals, so cross-engine equality holds)
+    "percentile_agg" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+             expr("percentile(l_quantity, 0.95)").as("p95_qty"))
+        .select(col("l_returnflag"), round(col("median_qty"), 6).as("median_qty"),
+          round(col("p95_qty"), 6).as("p95_qty"))
+        .orderBy("l_returnflag")),
+
+    // JSON path extraction (oracle via an independent regexp formulation)
+    "json_extract" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy("event_id")),
+
     // §2.7 — set intersection: customers who placed a big order
     "set_intersect" -> ((s, d) =>
       customer(s, d).select(col("c_custkey").as("id"))
@@ -551,6 +581,19 @@ object SparkEntry {
          FROM lineitem
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "join_range" ->
+      """SELECT s_suppkey, c_custkey
+         FROM supplier, customer
+         WHERE s_acctbal >= c_acctbal - 10 AND s_acctbal <= c_acctbal + 10
+         ORDER BY s_suppkey, c_custkey""",
+    "percentile_agg" ->
+      """SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+             round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "json_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val
+         FROM events ORDER BY event_id""",
     "set_intersect" ->
       """SELECT id FROM (
            SELECT c_custkey AS id FROM customer
