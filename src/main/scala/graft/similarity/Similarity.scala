@@ -64,11 +64,20 @@ object Similarity {
   }
 
   /** One sign-LSH band key: bits = sign(dot(plane_p, v)) for the band's
-    * planes. Pure projection — computed map-side during the scan. */
-  private def bandKey(v: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(typedlit(p.toSeq), v) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+    * planes. Pure projection — computed map-side during the scan.
+    * The plane matrix is ONE array literal iterated with a codegen loop
+    * (aggregate over plane indices) instead of per-plane unrolled dot
+    * products — unrolling 32 64-double literals bloats the generated
+    * method past JIT-friendly sizes. */
+  private def bandKey(v: Column, planes: Seq[Array[Double]]): Column = {
+    val matrix = typedlit(planes.map(_.toSeq))
+    aggregate(
+      sequence(lit(0), lit(planes.size - 1)),
+      lit(0L),
+      (acc, p) => acc.bitwiseOR(
+        when(dot(element_at(matrix, p + 1), v) > 0,
+          call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))))
+  }
 
   /** Banded sign-LSH ANN top-k (OR of ANDs, like MinHash banding):
     * candidate iff ANY of `numBands` bands of `planesPerBand` sign bits
