@@ -12,8 +12,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * engine's predicate-pushdown surface at 100 TB. Never collect here.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Columns every reader of these tables relies on — validated on read
+    * (fail fast with a typed error instead of the reference's deep-NPE
+    * behavior, SURVEY.md §3.4). Checked lazily per (dir, name). */
+  private val required: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+    "documents" -> Seq("doc_id", "text"),
+    "embeddings" -> Seq("vec_id", "embedding"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value"))
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    required.get(name).foreach { cols =>
+      val missing = cols.filterNot(df.columns.contains)
+      if (missing.nonEmpty)
+        throw Schemas.SchemaMismatch(name,
+          s"missing required column(s) ${missing.mkString(", ")}; " +
+            s"has: ${df.columns.mkString(", ")}")
+    }
+    df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
