@@ -52,7 +52,7 @@ object PageRank {
     * minimum. See `runDataFrame` for the Catalyst formulation (kept for
     * cross-checking; same semantics). */
   def run(vertices: DataFrame, iters: Int = 10, d: Double = 0.85,
-          checkpointEvery: Int = 1): DataFrame = {
+          checkpointEvery: Int = 3): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
     val numParts = spark.sessionState.conf.numShufflePartitions

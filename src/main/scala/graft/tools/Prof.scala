@@ -62,6 +62,11 @@ object Prof {
           ranks = t(s"iter $i checkpoint")(next.localCheckpoint())
         }
         t("final count")(ranks.count())
+      case "prtwice" =>
+        val g = graft.SparkEntry.pagerankGraph(spark, sfDir)
+        t("pagerank run A")(graft.pagerank.PageRank.run(g, iters = 10).count())
+        t("pagerank run B")(graft.pagerank.PageRank.run(g, iters = 10).count())
+        t("pagerank run C")(graft.pagerank.PageRank.run(g, iters = 10).count())
       case s if s.startsWith("pr") && s.drop(2).forall(_.isDigit) =>
         val iters = s.drop(2).toInt
         val g = graft.SparkEntry.pagerankGraph(spark, sfDir)
