@@ -50,19 +50,30 @@ object Dedup {
 
   /** doc_id + sig0..sig{p-1} columns — map-side only, no shuffle.
     *
+    * Portable path: the fused MinHashSignatures expression (one pass over
+    * the token array for ALL permutations; see its scaladoc). Fast path:
+    * xxhash64 over materialized shingles.
+    *
     * The explode(array(…)) wrapper is a deliberate one-row Generate
-    * barrier: CollapseProject would otherwise inline the shingle
-    * expression into all `numPerms` signature expressions, and lambda
-    * expressions are excluded from codegen subexpression elimination —
-    * measured 8× recomputation of tokenize+shingling per row without it. */
+    * barrier: CollapseProject would otherwise inline the signature
+    * expression into all `numPerms` extraction projections, and lambda/
+    * fallback expressions are excluded from codegen subexpression
+    * elimination — measured 8× recomputation without it. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numPerms: Int = 8, shingleSize: Int = 3,
-                        portable: Boolean = true): DataFrame = {
-    val sgl = shingles(TextOps.tokenize(col(textCol)), shingleSize)
-    val sigs = (0 until numPerms).map(p => minhashOne(col("sgl"), p, portable).as(s"sig$p"))
-    docs.select(col(idCol).as("doc_id"), explode(array(sgl)).as("sgl"))
-      .select(col("doc_id") +: sigs: _*)
-  }
+                        portable: Boolean = true): DataFrame =
+    if (portable) {
+      val sigsExpr = graft.functions.MinHashSignatures.minhashSignatures(
+        TextOps.tokenize(col(textCol)), numPerms, shingleSize)
+      docs.select(col(idCol).as("doc_id"), explode(array(sigsExpr)).as("sigs"))
+        .select(col("doc_id") +:
+          (0 until numPerms).map(p => element_at(col("sigs"), p + 1).as(s"sig$p")): _*)
+    } else {
+      val sgl = shingles(TextOps.tokenize(col(textCol)), shingleSize)
+      val sigs = (0 until numPerms).map(p => minhashOne(col("sgl"), p, portable).as(s"sig$p"))
+      docs.select(col(idCol).as("doc_id"), explode(array(sgl)).as("sgl"))
+        .select(col("doc_id") +: sigs: _*)
+    }
 
   /** LSH banding: rows (doc_id, band_id, bkey) where bkey concatenates the
     * band's minhashes. A null minhash (no shingles) nulls the band key,

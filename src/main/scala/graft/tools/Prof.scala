@@ -62,6 +62,11 @@ object Prof {
           ranks = t(s"iter $i checkpoint")(next.localCheckpoint())
         }
         t("final count")(ranks.count())
+      case "sigdump" =>
+        graft.dedup.Dedup.minhashSignatures(
+            graft.Tables.documents(spark, sfDir), "doc_id", "text")
+          .orderBy("doc_id").limit(3).collect()
+          .foreach(r => println("SIG " + r.mkString("|")))
       case "prtwice" =>
         val g = graft.SparkEntry.pagerankGraph(spark, sfDir)
         t("pagerank run A")(graft.pagerank.PageRank.run(g, iters = 10).count())
