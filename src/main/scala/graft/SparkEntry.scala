@@ -422,6 +422,14 @@ object SparkEntry {
       PageRank.ranked(pagerankGraph(s, d))
         .select(col("title"), round(col("rank"), 6).as("rank"))),
 
+    // the flagship, ORACLE-CHECKED: same recurrence with every iteration
+    // rounded to the 1e-9 grid so DuckDB's recursive CTE carries
+    // identical values (SURVEY.md §5.3d)
+    "pagerank_oracle" -> ((s, d) =>
+      PageRank.run(pagerankGraph(s, d), iters = 10, roundTo = 9)
+        .select(col("title"), round(col("rank"), 6).as("rank"))
+        .orderBy("title")),
+
     // WikiParser end-to-end over synthesized wiki XML (oracle-checked via
     // an independent SQL formulation of the same link extraction)
     "wiki_parse" -> ((s, d) => {
@@ -740,6 +748,31 @@ object SparkEntry {
                  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)),
                (h, c) -> (h * 31 + c) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
+    "pagerank_oracle" ->
+      """WITH RECURSIVE
+         verts AS (
+           SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS title FROM orders
+           UNION ALL SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) FROM orders),
+         edges AS (
+           SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst FROM orders
+           UNION ALL SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+                  'p' || CAST(l_partkey AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR),
+                  'o' || CAST(o_orderkey AS VARCHAR) FROM orders),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         n AS (SELECT count(*) AS n FROM verts),
+         ranks(iter, title, rank) AS (
+           SELECT 0, title, round(1.0 / (SELECT n FROM n), 9) FROM verts
+           UNION ALL
+           SELECT r.iter + 1, r.title,
+             round(0.85 * coalesce((
+               SELECT sum(r2.rank / dg.d)
+               FROM ranks r2 JOIN edges e ON e.src = r2.title AND e.dst = r.title
+               JOIN deg dg ON dg.src = r2.title), 0) + 0.15, 9)
+           FROM ranks r WHERE r.iter < 10)
+         SELECT title, round(rank, 6) AS rank FROM ranks WHERE iter = 10
+         ORDER BY title""",
     "wiki_parse" ->
       """SELECT 'D' || CAST(doc_id AS VARCHAR) AS title,
              CAST(len(regexp_extract_all(text, 'spark|join|merge')) AS BIGINT) AS n_links,

@@ -52,7 +52,7 @@ object PageRank {
     * minimum. See `runDataFrame` for the Catalyst formulation (kept for
     * cross-checking; same semantics). */
   def run(vertices: DataFrame, iters: Int = 10, d: Double = 0.85,
-          checkpointEvery: Int = 3): DataFrame = {
+          checkpointEvery: Int = 3, roundTo: Int = -1): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
     val numParts = spark.sessionState.conf.numShufflePartitions
@@ -61,7 +61,17 @@ object PageRank {
       .rdd.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     val n = links.count()
 
-    var ranks = links.mapValues(_ => 1.0 / n) // mapValues preserves partitioning
+    // Optional per-iteration decimal rounding: pins every iteration's
+    // state to the 10^-roundTo grid so an independent engine running the
+    // same rounded recurrence (the DuckDB recursive-CTE oracle) carries
+    // IDENTICAL values — cross-engine float drift cannot accumulate.
+    // Exact-binary HALF_UP == DuckDB round() on the same binary input.
+    val rnd: Double => Double =
+      if (roundTo < 0) identity
+      else r => new java.math.BigDecimal(r)
+        .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    var ranks = links.mapValues(_ => rnd(1.0 / n)) // mapValues preserves partitioning
     for (i <- 1 to iters) {
       val contribs = links.join(ranks, part).flatMap { case (_, (ls, r)) =>
         if (ls.isEmpty) Iterator.empty
@@ -71,7 +81,7 @@ object PageRank {
       // left join FROM the vertex set: keeps contribution-less pages at
       // rank 1-d AND drops red-link targets in one step (ref :369,:392-394)
       ranks = links.leftOuterJoin(sums, part)
-        .mapValues { case (_, s) => d * s.getOrElse(0.0) + (1.0 - d) }
+        .mapValues { case (_, s) => rnd(d * s.getOrElse(0.0) + (1.0 - d)) }
       if (i % checkpointEvery == 0 && i < iters) {
         ranks.localCheckpoint() // truncate lineage; materialized by next job
       }
