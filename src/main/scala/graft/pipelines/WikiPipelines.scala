@@ -23,16 +23,19 @@ import graft.sources.TextKV
 object WikiPipelines {
 
   /** XML text → (title, rank) ranked relation (the 13-job pipeline as one
-    * lazy plan + the iterative loop). */
+    * lazy plan + the iterative loop). Reads via the SPLITTABLE
+    * `</page>`-delimited record reader, so a single multi-GB dump fans out
+    * across executors (the reference's line-split property restored;
+    * `TextKV.readWholeFiles` would make one task per file). */
   def pageRank(spark: SparkSession, inPath: String, iters: Int = 10,
                damping: Double = 0.85): DataFrame = {
-    val pages = WikiParser.pages(TextKV.readWholeFiles(spark, inPath))
+    val pages = WikiParser.pages(TextKV.readPages(spark, inPath))
     PageRank.ranked(WikiParser.linkGraph(pages), iters, damping)
   }
 
-  /** XML text → (word, doc_ids) posting relation. */
+  /** XML text → (word, doc_ids) posting relation (splittable read). */
   def invertedIndex(spark: SparkSession, inPath: String): DataFrame = {
-    val pages = WikiParser.pages(TextKV.readWholeFiles(spark, inPath))
+    val pages = WikiParser.pages(TextKV.readPages(spark, inPath))
     InvertedIndex.postingStrings(WikiParser.docs(pages), "doc_id", "text")
       .orderBy("word")
   }

