@@ -60,6 +60,31 @@ class DedupSpec extends SparkTestBase {
     assert(viaSql == viaBuiltins)
   }
 
+  test("degenerate corpus: bucket cap bounds pairs, keeps overflow connected to keeper") {
+    // 1000 identical docs land in ONE bucket per band; uncapped that is
+    // 499 500 pairs per band. With cap 50: quadratic only among the 50
+    // smallest ids (1 225 pairs) plus a star from the min id to each of
+    // the 950 overflow ids — every doc stays connected to keeper id 0.
+    val many = (0L until 1000L).map(i => (i, "all these documents carry the same boilerplate text payload"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(many, "doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(sigs, maxBucket = 50)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.size == 50 * 49 / 2 + 950, s"got ${pairs.size}")
+    for (i <- Seq(50L, 500L, 999L))
+      assert(pairs.contains((0L, i)), s"overflow id $i must star-pair with keeper 0")
+    val overflow = Dedup.bucketOverflow(
+      Dedup.lshBands(sigs), Seq("band_id", "bkey"), maxBucket = 50)
+      .as[(Int, String, Long)].collect()
+    assert(overflow.length == 4 && overflow.forall(_._3 == 1000L)) // 4 bands, all size 1000
+    // At or under the cap the expansion is identical to the uncapped one.
+    val capped = Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs, "doc_id", "text"),
+      maxBucket = 1000).as[(Long, Long)].collect().toSet
+    val tiny = Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs, "doc_id", "text"),
+      maxBucket = 5).as[(Long, Long)].collect().toSet
+    assert(capped == tiny)
+  }
+
   test("simhash: identical docs share signature; near-dups are close in Hamming") {
     val sigs = Dedup.simhash(docs, "doc_id", "text")
     val m = sigs.as[(Long, Long)].collect().toMap
