@@ -372,6 +372,15 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(documents(s, d), "doc_id", "text").orderBy("doc_id")),
 
+    // SimHash near-dup pairs over the PORTABLE md5-bit signature —
+    // oracle-checked: DuckDB rebuilds the 60-bit signature digit for
+    // digit and mirrors the 4x15-bit banding + bit_count(xor) verify
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Dedup.simhashPortable(documents(s, d), "doc_id", "text"),
+          maxHamming = 3, bandBits = 15)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_a", "doc_b")),
+
     // exact cosine top-5 per query vector (queries = vec_id < 10)
     "similarity_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embeddings(s, d), "vec_id", "embedding",
@@ -707,6 +716,35 @@ object SparkEntry {
          SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / u, 6) AS jaccard
          FROM j WHERE CAST(i AS DOUBLE) / u >= 0.5
          ORDER BY doc_a, doc_b""",
+    // The portable SimHash oracle rebuilds the 60-bit signature exactly as
+    // Dedup.simhashPortable does: bit 4j+k of the signature = bit k of hex
+    // digit j+1 of md5(word), occurrence-weighted. The 60 per-bit sums and
+    // the signature assembly are generated, not hand-written.
+    "dedup_simhash_pairs" -> {
+      val bitSums = (0 until 60).map { i =>
+        s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1) >> ${i % 4}) & 1) = 1 THEN cnt ELSE -cnt END) AS b$i"
+      }.mkString(",\n             ")
+      val sigExpr = (0 until 60)
+        .map(i => s"(CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         occ AS (SELECT doc_id, word, count(*) AS cnt
+           FROM (SELECT doc_id, unnest(w) AS word FROM tok) GROUP BY doc_id, word),
+         hh AS (SELECT doc_id, cnt, md5(word) AS h FROM occ),
+         bits AS (SELECT doc_id,
+             $bitSums
+           FROM hh GROUP BY doc_id),
+         sig AS (SELECT doc_id, $sigExpr AS sig FROM bits),
+         bands AS (SELECT s.doc_id, b.band_id, (s.sig >> (b.band_id * 15)) & 32767 AS bkey
+           FROM sig s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.band_id = y.band_id AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+         FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+         WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+         ORDER BY doc_a, doc_b"""
+    },
     "similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v,

@@ -184,16 +184,44 @@ object Dedup {
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash: 4×16-bit band bucketing (any equal
-    * quarter → candidate; catches all pairs with Hamming distance ≤ 3 by
-    * pigeonhole when ≤ 3 of 4 bands differ), verified with
-    * bit_count(xor) ≤ maxHamming after re-attaching the signatures. */
+  /** Portable SimHash: per-word bits from the md5 HEX of the word — bit
+    * `4j+k` of the signature is bit `k` of hex digit `j+1` — so any
+    * engine with md5 reproduces it digit for digit (the DuckDB oracle
+    * does exactly that). 60 bits (15 hex digits) keeps the signature
+    * strictly positive in a signed 64-bit integer in every engine.
+    * Prefer [[simhash]] (xxhash64, full 64 bits) at scale: no hex-string
+    * materialization or per-digit conv. */
+  def simhashPortable(docs: DataFrame, idCol: String, textCol: String,
+                      nBits: Int = 60): DataFrame = {
+    val occ = docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokenize(col(textCol))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("word")))
+    val bitSums = (0 until nBits).map { i =>
+      val digit = conv(substring(col("h"), i / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(digit, i % 4).bitwiseAND(lit(1)) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$i")
+    }
+    val sums = occ.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until nBits)
+      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: 4-band bucketing over `bandBits`-wide
+    * slices (any equal band → candidate; catches all pairs with Hamming
+    * distance ≤ 3 by pigeonhole when ≤ 3 of 4 bands differ), verified
+    * with bit_count(xor) ≤ maxHamming after re-attaching the signatures.
+    * bandBits = 16 covers the 64-bit [[simhash]]; 15 covers the 60-bit
+    * [[simhashPortable]]. */
   def simhashPairs(sigs: DataFrame, maxHamming: Int,
-                   maxBucket: Int = 1000): DataFrame = {
+                   maxBucket: Int = 1000, bandBits: Int = 16): DataFrame = {
+    val mask = (1L << bandBits) - 1
     val banded = sigs.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("band"))
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bkey"))): _*)).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.bkey").as("bkey"))
     val pairs = bucketPairs(banded, Seq("band_id", "bkey"), maxBucket)
     val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
