@@ -38,7 +38,13 @@ class SimilaritySpec extends SparkTestBase {
     val ann = Similarity.annTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (ann & bf).size.toDouble / bf.size
-    assert(recall >= 0.5, s"banded LSH recall $recall < 0.5")
+    assert(recall >= 0.8, s"multi-probe banded LSH recall $recall < 0.8")
+    // multi-probe must strictly dominate exact-bucket probing
+    val exact = Similarity.annTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5,
+        probeBits = 0)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exactRecall = (exact & bf).size.toDouble / bf.size
+    assert(recall >= exactRecall, s"probing lowered recall: $recall < $exactRecall")
   }
 
   test("IVF ANN achieves higher recall than plain LSH budget") {
