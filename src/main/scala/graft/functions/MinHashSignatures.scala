@@ -57,25 +57,37 @@ case class MinHashSignatures(child: Expression, numPerms: Int, shingleSize: Int)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i <= n - shingleSize) {
-      sb.setLength(0)
+      // a window containing a null token contributes no shingle (the
+      // input type admits containsNull=true; mirrors MinHashMd5)
+      var hasNull = false
       var k = 0
       while (k < shingleSize) {
-        if (k > 0) sb.append(' ')
-        sb.append(words.getUTF8String(i + k).toString)
-        k += 1
+        if (words.isNullAt(i + k)) { hasNull = true; k = shingleSize }
+        else k += 1
       }
-      val shingleBytes = sb.toString.getBytes("UTF-8")
-      var p = 0
-      while (p < numPerms) {
-        digest.reset()
-        digest.update(prefixes(p))
-        digest.update(shingleBytes)
-        val h = digest.digest()
-        if (mins(p) == null || compareBytes(h, mins(p)) < 0) mins(p) = h
-        p += 1
+      if (!hasNull) {
+        sb.setLength(0)
+        k = 0
+        while (k < shingleSize) {
+          if (k > 0) sb.append(' ')
+          sb.append(words.getUTF8String(i + k).toString)
+          k += 1
+        }
+        val shingleBytes = sb.toString.getBytes("UTF-8")
+        var p = 0
+        while (p < numPerms) {
+          digest.reset()
+          digest.update(prefixes(p))
+          digest.update(shingleBytes)
+          val h = digest.digest()
+          if (mins(p) == null || compareBytes(h, mins(p)) < 0) mins(p) = h
+          p += 1
+        }
       }
       i += 1
     }
+    // all windows null-skipped → no shingles → same as a too-short doc
+    if (mins(0) == null) return null
     new GenericArrayData(mins.map(m => UTF8String.fromString(hex(m)): AnyRef))
   }
 

@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * matching DuckDB/pandas ASOF); callers must de-duplicate the right
   * side per (key, ts) for a well-defined result (both engines are
   * otherwise ambiguous).
+  *
+  * The right payload travels as ONE struct and the window takes
+  * `last(struct)` — the match is atomic per right row. Per-column
+  * `last(c, ignoreNulls)` would tear rows: a legitimately-NULL payload
+  * column would back-fill from an OLDER right row while the other
+  * columns came from the newer one (ADVICE r1). With the struct, a
+  * matched right row with null fields yields those nulls verbatim, and
+  * only a genuinely absent match yields an all-null payload.
   */
 object AsOfJoin {
 
@@ -34,22 +42,25 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
     val l = left
       .withColumn("__side", lit(1))
-      .select(leftCols.map(col) ++ Seq(col("__side")) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      .select(leftCols.map(col) ++
+        Seq(col("__side"), lit(null).cast(payloadType).as("__r")): _*)
     val r = right
       .withColumn("__side", lit(0))
       .select(leftCols.map(c =>
           if (c == key || c == ts) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col("__side")) ++ rightCols.map(c => col(c).as(s"__r_$c")): _*)
+        Seq(col("__side"), struct(rightCols.map(col): _*).as("__r")): _*)
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select((leftCols.map(col) :+ col("__side")) ++
-        rightCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .select((leftCols.map(col) :+ col("__side")) :+
+        last(col("__r"), ignoreNulls = true).over(w).as("__m"): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col("__m").getField(c).as(c)): _*)
   }
 }

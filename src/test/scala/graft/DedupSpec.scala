@@ -60,6 +60,27 @@ class DedupSpec extends SparkTestBase {
     assert(viaSql == viaBuiltins)
   }
 
+  test("minhash signatures skip null-token windows instead of NPE") {
+    // input type admits array<string> with nulls (containsNull=true): a
+    // window touching a null contributes no shingle, mirroring MinHashMd5
+    val toks = Seq(Tuple1(Seq("aa", "bb", null, "cc", "dd", "ee"))).toDF("toks")
+    val got = toks.select(graft.functions.MinHashSignatures
+        .minhashSignatures(col("toks"), 2, 3).as("s"))
+      .as[Seq[String]].head()
+    // only "cc dd ee" survives (every other 3-window touches the null)
+    val want = (0 until 2).map(p =>
+      Seq(Tuple1(Seq("cc dd ee"))).toDF("sgl")
+        .select(array_min(transform(col("sgl"), s => md5(concat(lit(s"$p:"), s)))))
+        .as[String].head())
+    assert(got == want)
+    // every window nulled → no shingles → null signature (= too-short doc)
+    val allNull = Seq(Tuple1(Seq("aa", null, "bb"))).toDF("toks")
+      .select(graft.functions.MinHashSignatures
+        .minhashSignatures(col("toks"), 2, 3).as("s"))
+      .select(col("s").isNull).as[Boolean].head()
+    assert(allNull)
+  }
+
   test("degenerate corpus: bucket cap bounds pairs, keeps overflow connected to keeper") {
     // 1000 identical docs land in ONE bucket per band; uncapped that is
     // 499 500 pairs per band. With cap 50: quadratic only among the 50

@@ -28,6 +28,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getAs[Long]("fp") == 96354L) // ((0*31+97)*31+98)*31+99
   }
 
+  test("corpus is single-spaced (tokenize ≡ string_split(' ') precondition)") {
+    // Every text oracle compares TextOps.tokenize (\s+ split, trimmed)
+    // against DuckDB string_split(text, ' '); they agree only when no
+    // document has leading/trailing/double whitespace or tabs/newlines —
+    // text_quality's mean_word_len formula assumes the same. Assert it so
+    // a testdata regeneration that breaks the property fails HERE instead
+    // of as an unexplained oracle hash mismatch (ADVICE r1).
+    import org.apache.spark.sql.functions.col
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val bad = Tables.documents(spark, sf)
+        .filter(col("text").rlike("""\s\s|^\s|\s$|[\t\n\r]"""))
+        .count()
+      assert(bad == 0L, s"$sf has $bad non-single-spaced documents")
+    }
+  }
+
   test("langId identifies real-language samples via stopword profiles") {
     val docs = Seq(
       (1L, "the cat sat on the mat and it was happy for a while"),

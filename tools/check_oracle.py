@@ -16,9 +16,16 @@ import pyarrow.parquet as pq
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def load_spark_result(path):
+    # Verify writes coalesce(1), and row ORDER matters (the ORDER BY
+    # results are compared positionally) — a multi-part result means that
+    # contract broke, and silently reading glob()[0] would mis-order or
+    # truncate rows. Fail loudly instead (ADVICE r1).
     files = glob.glob(f"{path}/*.parquet")
     if not files:
         return None
+    assert len(files) == 1, (
+        f"{path}: expected exactly one part file (Verify coalesces to 1; "
+        f"row order is part of the comparison), found {len(files)}")
     return pq.read_table(files[0]).to_pandas()
 
 def main(sf_dir, out_dir):
