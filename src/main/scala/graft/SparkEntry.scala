@@ -416,12 +416,33 @@ object SparkEntry {
       TextAnalysis.langId(documents(s, d), "doc_id", "text").orderBy("doc_id")),
 
     // multimodal plumbing: binary payload → per-partition decode (stub) →
-    // fixed-width features (rows-only check; cross-checked in spec)
+    // fixed-width features. ORACLE-CHECKED: the corpus is ASCII (asserted
+    // by TextAnalysisSpec), so the stub's byte fold equals DuckDB's
+    // per-character unicode() fold — the mapPartitions decode path is
+    // verified end-to-end, not just rows-counted.
     "multimodal_features" -> ((s, d) =>
       graft.multimodal.Multimodal.extractFeatures(
           graft.multimodal.Multimodal.syntheticMedia(documents(s, d), "doc_id", "text"))
         .toDF().select("media_id", "n_bytes", "checksum")
         .orderBy("media_id")),
+
+    // metadata-only resize plan: pure column ops over the meta struct —
+    // payload never touched (oracle mirrors the synthetic meta arithmetic)
+    "multimodal_resize" -> ((s, d) =>
+      graft.multimodal.Multimodal.resizePlan(
+          graft.multimodal.Multimodal.syntheticMedia(documents(s, d), "doc_id", "text"),
+          maxW = 32, maxH = 32)
+        .select(col("media_id"), col("meta.kind").as("kind"),
+          col("resize.w").as("w"), col("resize.h").as("h"))
+        .orderBy("media_id")),
+
+    // frame-sample plan for video rows, one row per sampled frame
+    "multimodal_frames" -> ((s, d) =>
+      graft.multimodal.Multimodal.frameSamplePlan(
+          graft.multimodal.Multimodal.syntheticMedia(documents(s, d), "doc_id", "text"),
+          everyMs = 500L)
+        .select(col("media_id"), col("frame_ms"))
+        .orderBy("media_id", "frame_ms")),
 
     // §2.10 — the reference's flagship: 10-iteration unnormalized PageRank
     // on a deterministic graph derived from testdata (orders↔customers
@@ -745,6 +766,39 @@ object SparkEntry {
          WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
          ORDER BY doc_a, doc_b"""
     },
+    // The decode-stub checksum is ((acc*31 + byte) % 1000000007) folded
+    // over the utf-8 payload bytes; on the (spec-asserted) ASCII corpus
+    // byte == unicode(char), so DuckDB reproduces it character by
+    // character. list_reduce without an init seeds with the first element
+    // — identical to a 0-seeded fold since 0*31 + b0 = b0.
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+             CAST(length(text) AS BIGINT) AS n_bytes,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE list_reduce(
+                    list_transform(generate_series(1, length(text)),
+                                   i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)),
+                    (acc, c) -> (acc * 31 + c) % 1000000007)
+             END AS checksum
+         FROM documents ORDER BY media_id""",
+    "multimodal_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+             (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+             CAST(doc_id % 64 + 1 AS INT) AS width,
+             CAST(doc_id % 48 + 1 AS INT) AS height
+           FROM documents),
+         s AS (SELECT media_id, kind, width, height,
+             least(32.0 / width, 32.0 / height, 1.0) AS sc FROM m)
+         SELECT media_id, kind,
+             CAST(trunc(width * sc) AS INT) AS w,
+             CAST(trunc(height * sc) AS INT) AS h
+         FROM s ORDER BY media_id""",
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+             (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+             doc_id * 40 % 10000 AS dur FROM documents)
+         SELECT media_id, unnest(generate_series(0, dur, 500)) AS frame_ms
+         FROM m WHERE kind = 'video' ORDER BY media_id, frame_ms""",
     "similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v,
