@@ -381,6 +381,22 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("doc_a", "doc_b")),
 
+    // embedding-cosine near-dup pairs. The corpus has no natural
+    // near-dups (max pairwise cosine ~0.46), so the key unions each
+    // vector with a +0.01-on-dim-0 perturbed copy (id+10000) IN DOUBLE
+    // SPACE (both engines perturb after the double cast — perturbing the
+    // float col would diverge) and must find exactly those 500 pairs via
+    // axis-sign LSH banding + exact cosine >= 0.99.
+    "dedup_embedding" -> ((s, d) => {
+      val base = embeddings(s, d).select(col("vec_id").cast("long").as("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      val pert = base.select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + lit(0.01)).otherwise(x)).as("v"))
+      Similarity.embeddingNearDupPairs(base.unionByName(pert), "vec_id", "v",
+          threshold = 0.99)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // exact cosine top-5 per query vector (queries = vec_id < 10)
     "similarity_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embeddings(s, d), "vec_id", "embedding",
@@ -799,6 +815,38 @@ object SparkEntry {
              doc_id * 40 % 10000 AS dur FROM documents)
          SELECT media_id, unnest(generate_series(0, dur, 500)) AS frame_ms
          FROM m WHERE kind = 'video' ORDER BY media_id, frame_ms""",
+    // mirrors dedup_embedding exactly: double-cast first, perturb dim 1,
+    // axis-sign 4x4-bit banding, sequential-fold cosine (list_reduce
+    // without init seeds with the first element == a 0.0-seeded fold)
+    "dedup_embedding" ->
+      """WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pert AS (SELECT vec_id + 10000 AS vec_id,
+             list_transform(generate_series(1, len(v)),
+                            i -> CASE WHEN i = 1 THEN v[i] + 0.01 ELSE v[i] END) AS v
+           FROM base),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*v[i]),
+                              (x, y) -> x + y)) AS nv
+           FROM u),
+         bands AS (
+           SELECT vec_id AS doc_id, b.band_id,
+               (CASE WHEN v[b.band_id * 4 + 1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v[b.band_id * 4 + 2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v[b.band_id * 4 + 3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v[b.band_id * 4 + 4] > 0 THEN 8 ELSE 0 END) AS bkey
+           FROM n CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.band_id = y.band_id AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         scored AS (
+           SELECT c.doc_a, c.doc_b,
+               list_reduce(list_transform(generate_series(1, len(na.v)), i -> na.v[i]*nb.v[i]),
+                           (x, y) -> x + y) / (na.nv * nb.nv) AS cos
+           FROM cand c JOIN n na ON na.vec_id = c.doc_a JOIN n nb ON nb.vec_id = c.doc_b)
+         SELECT doc_a, doc_b, round(cos, 6) AS cos
+         FROM scored WHERE cos >= 0.99 ORDER BY doc_a, doc_b""",
     "similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v,

@@ -118,7 +118,7 @@ object Dedup {
     * under the cap the result is identical to the uncapped expansion
     * (which is why the small-corpus oracles are unaffected). Overflowing
     * buckets are observable via [[bucketOverflow]]. */
-  private[dedup] def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
+  private[graft] def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
                                  maxBucket: Int = 1000): DataFrame =
     banded
       .groupBy(bucketCols.map(col): _*)

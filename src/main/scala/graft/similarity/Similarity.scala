@@ -131,6 +131,44 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("sim"), col("rn"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the vector-space member of
+    * the dedup family (exact / MinHash / SimHash / n-gram / THIS).
+    *
+    * Candidates come from AXIS-SIGN LSH banding: band b's key packs the
+    * sign bits of dims [b·bitsPerBand, (b+1)·bitsPerBand). Axis signs are
+    * a legitimate random-hyperplane family (the basis vectors are the
+    * hyperplanes) and — unlike the seeded gaussian planes of [[annTopK]],
+    * the tunable-recall path — are exactly reproducible in ANY engine, so
+    * the DuckDB oracle mirrors the banding bit for bit. Near-dup vectors
+    * agree on almost every sign, so any-band collision recall is ≈1 at
+    * near-dup thresholds. Candidates expand through the capped bucket
+    * walk (quadratic bounded at maxBucket², overflow starred to the
+    * bucket keeper — `Dedup.bucketPairs`), then exact sequential-fold
+    * cosine ≥ threshold verifies each pair. Shuffles: one on the band
+    * key, two id-equi joins to re-attach vectors. No cross join. */
+  def embeddingNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, numBands: Int = 4,
+                            bitsPerBand: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    val e = embeddings.select(col(idCol).as("doc_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", l2norm(col("v")))
+    val banded = e.select(col("doc_id"),
+      explode(array((0 until numBands).map { b =>
+        val key = (0 until bitsPerBand).map(k =>
+          when(element_at(col("v"), b * bitsPerBand + k + 1) > 0, lit(1L << k))
+            .otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _)
+        struct(lit(b).as("band_id"), key.as("bkey"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.bkey").as("bkey"))
+    val pairs = graft.dedup.Dedup.bucketPairs(banded, Seq("band_id", "bkey"), maxBucket)
+    val a = e.select(col("doc_id").as("doc_a"), col("v").as("va"), col("nv").as("na"))
+    val b = e.select(col("doc_id").as("doc_b"), col("v").as("vb"), col("nv").as("nb"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** IVF coarse quantizer: deterministic seeds (first `numCells` vectors
     * by id) refined with `iters` Lloyd steps. Centroid update is the
     * classic posexplode → (cell, dim) mean → re-collect; two shuffles per

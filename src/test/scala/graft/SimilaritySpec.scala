@@ -47,6 +47,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= exactRecall, s"probing lowered recall: $recall < $exactRecall")
   }
 
+  test("embedding near-dup finds exactly the synthesized perturbed pairs") {
+    val base = Tables.embeddings(spark, sf001)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+    val pert = base.select((col("vec_id") + 10000L).as("vec_id"),
+      transform(col("v"), (x, i) => when(i === 0, x + lit(0.01)).otherwise(x)).as("v"))
+    val got = Similarity.embeddingNearDupPairs(base.unionByName(pert), "vec_id", "v",
+        threshold = 0.99)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val ids = base.select("vec_id").as[Long].collect().toSet
+    // the corpus has no natural near-dups at 0.99, so the result must be
+    // precisely every (i, i+10000) perturbed pair — none missed (axis-sign
+    // banding recall at near-dup similarity), none extra (exact verify)
+    assert(got == ids.map(i => (i, i + 10000L)))
+  }
+
   test("IVF ANN achieves higher recall than plain LSH budget") {
     val emb = Tables.embeddings(spark, sf001)
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
