@@ -490,6 +490,22 @@ object SparkEntry {
           concat_ws(",", col("outlinks")).as("links"))
         .orderBy("title")
     }),
+
+    // Same pipeline through the fused Generator UDTF (WikiPageParse):
+    // one forward scan instead of four regex re-scans per page; must
+    // hash-match the identical oracle as wiki_parse
+    "wiki_parse_fused" -> ((s, d) => {
+      val xml = documents(s, d).select(concat(
+        lit("<page><title>D"), col("doc_id"),
+        lit("</title><id>"), col("doc_id"),
+        lit("</id><text xml:space=\"preserve\">"),
+        regexp_replace(col("text"), "(spark|join|merge)", "[[$1]]"),
+        lit("</text></page>")).as("value"))
+      WikiParser.linkGraphFused(xml)
+        .select(col("title"), size(col("outlinks")).cast("long").as("n_links"),
+          concat_ws(",", col("outlinks")).as("links"))
+        .orderBy("title")
+    }),
   )
 
   /** Deterministic PageRank input graph from the TPC-H-ish tables:
@@ -914,6 +930,13 @@ object SparkEntry {
          SELECT title, round(rank, 6) AS rank FROM ranks WHERE iter = 10
          ORDER BY title""",
     "wiki_parse" ->
+      """SELECT 'D' || CAST(doc_id AS VARCHAR) AS title,
+             CAST(len(regexp_extract_all(text, 'spark|join|merge')) AS BIGINT) AS n_links,
+             coalesce(array_to_string(list_sort(regexp_extract_all(text, 'spark|join|merge')), ','), '') AS links
+         FROM documents ORDER BY title""",
+    // identical result contract as wiki_parse — the fused Generator must
+    // reproduce the regex pipeline bit for bit
+    "wiki_parse_fused" ->
       """SELECT 'D' || CAST(doc_id AS VARCHAR) AS title,
              CAST(len(regexp_extract_all(text, 'spark|join|merge')) AS BIGINT) AS n_links,
              coalesce(array_to_string(list_sort(regexp_extract_all(text, 'spark|join|merge')), ','), '') AS links

@@ -23,5 +23,12 @@ object Functions {
         MinHashMd5(exprs.head, perm)
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "wiki_pages",
+      exprs => {
+        require(exprs.length == 1, "wiki_pages(xml_string)")
+        WikiPageParse(exprs.head)
+      },
+      "scala_udf")
   }
 }

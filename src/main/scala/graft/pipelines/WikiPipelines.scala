@@ -26,16 +26,17 @@ object WikiPipelines {
     * lazy plan + the iterative loop). Reads via the SPLITTABLE
     * `</page>`-delimited record reader, so a single multi-GB dump fans out
     * across executors (the reference's line-split property restored;
-    * `TextKV.readWholeFiles` would make one task per file). */
+    * `TextKV.readWholeFiles` would make one task per file), and parses
+    * with the fused Generator UDTF (one forward scan per page instead of
+    * four regex re-scans; identical semantics, WikiPageParseSpec). */
   def pageRank(spark: SparkSession, inPath: String, iters: Int = 10,
-               damping: Double = 0.85): DataFrame = {
-    val pages = WikiParser.pages(TextKV.readPages(spark, inPath))
-    PageRank.ranked(WikiParser.linkGraph(pages), iters, damping)
-  }
+               damping: Double = 0.85): DataFrame =
+    PageRank.ranked(
+      WikiParser.linkGraphFused(TextKV.readPages(spark, inPath)), iters, damping)
 
-  /** XML text → (word, doc_ids) posting relation (splittable read). */
+  /** XML text → (word, doc_ids) posting relation (splittable fused read). */
   def invertedIndex(spark: SparkSession, inPath: String): DataFrame = {
-    val pages = WikiParser.pages(TextKV.readPages(spark, inPath))
+    val pages = WikiParser.pagesFused(TextKV.readPages(spark, inPath))
     InvertedIndex.postingStrings(WikiParser.docs(pages), "doc_id", "text")
       .orderBy("word")
   }
