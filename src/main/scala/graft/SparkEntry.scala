@@ -392,8 +392,12 @@ object SparkEntry {
         Similarity.asDouble(col("embedding")).as("v"))
       val pert = base.select((col("vec_id") + 10000L).as("vec_id"),
         transform(col("v"), (x, i) => when(i === 0, x + lit(0.01)).otherwise(x)).as("v"))
+      // 8-bit bands: near-dup vectors flip a sign bit with prob ~theta/pi
+      // ~0.005, so a band of 8 bits still matches w.p. ~0.96 and ANY of 4
+      // bands w.p. ~1-2e-6 — while buckets shrink ~16x vs 4-bit bands
+      // (the quadratic verify was 19s at sf0.1 with 4-bit bands)
       Similarity.embeddingNearDupPairs(base.unionByName(pert), "vec_id", "v",
-          threshold = 0.99)
+          threshold = 0.99, numBands = 4, bitsPerBand = 8)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -832,10 +836,14 @@ object SparkEntry {
          SELECT media_id, unnest(generate_series(0, dur, 500)) AS frame_ms
          FROM m WHERE kind = 'video' ORDER BY media_id, frame_ms""",
     // mirrors dedup_embedding exactly: double-cast first, perturb dim 1,
-    // axis-sign 4x4-bit banding, sequential-fold cosine (list_reduce
-    // without init seeds with the first element == a 0.0-seeded fold)
-    "dedup_embedding" ->
-      """WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+    // axis-sign 4x8-bit banding (generated), sequential-fold cosine
+    // (list_reduce without init seeds with the first element == a
+    // 0.0-seeded fold)
+    "dedup_embedding" -> {
+      val bandKey = (0 until 8)
+        .map(k => s"(CASE WHEN v[b.band_id * 8 + ${k + 1}] > 0 THEN ${1 << k} ELSE 0 END)")
+        .mkString("\n             + ")
+      s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
              CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          pert AS (SELECT vec_id + 10000 AS vec_id,
              list_transform(generate_series(1, len(v)),
@@ -848,10 +856,7 @@ object SparkEntry {
            FROM u),
          bands AS (
            SELECT vec_id AS doc_id, b.band_id,
-               (CASE WHEN v[b.band_id * 4 + 1] > 0 THEN 1 ELSE 0 END)
-             + (CASE WHEN v[b.band_id * 4 + 2] > 0 THEN 2 ELSE 0 END)
-             + (CASE WHEN v[b.band_id * 4 + 3] > 0 THEN 4 ELSE 0 END)
-             + (CASE WHEN v[b.band_id * 4 + 4] > 0 THEN 8 ELSE 0 END) AS bkey
+               $bandKey AS bkey
            FROM n CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            FROM bands x JOIN bands y
@@ -862,7 +867,8 @@ object SparkEntry {
                            (x, y) -> x + y) / (na.nv * nb.nv) AS cos
            FROM cand c JOIN n na ON na.vec_id = c.doc_a JOIN n nb ON nb.vec_id = c.doc_b)
          SELECT doc_a, doc_b, round(cos, 6) AS cos
-         FROM scored WHERE cos >= 0.99 ORDER BY doc_a, doc_b""",
+         FROM scored WHERE cos >= 0.99 ORDER BY doc_a, doc_b"""
+    },
     "similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v,

