@@ -407,7 +407,11 @@ object SparkEntry {
           col("vec_id") < 10, k = 5)
         .orderBy("query_id", "rn")),
 
-    // banded sign-LSH ANN (rows-only check; recall-tested in the spec)
+    // banded sign-LSH ANN with multi-probe — oracle-checked: the seeded
+    // gaussian planes are deterministic arrays, EMBEDDED AS LITERALS in
+    // the generated DuckDB SQL (Double.toString round-trips exactly), so
+    // the oracle mirrors the banding, probing, and cosine bit for bit;
+    // recall additionally spec-tested
     "similarity_ann" -> ((s, d) =>
       Similarity.annTopK(embeddings(s, d), "vec_id", "embedding",
           col("vec_id") < 10, k = 5)
@@ -431,7 +435,9 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(documents(s, d), "doc_id", "text").orderBy("doc_id")),
 
-    // stopword-profile language ID heuristic (rows-only check)
+    // stopword-profile language ID heuristic — oracle-checked: the DuckDB
+    // SQL is GENERATED from the same LangStopWords table, so the profile
+    // lists can never drift between engines
     "text_langid" -> ((s, d) =>
       TextAnalysis.langId(documents(s, d), "doc_id", "text").orderBy("doc_id")),
 
@@ -887,6 +893,75 @@ object SparkEntry {
            FROM pairs)
          SELECT query_id, neighbor_id, round(cos, 6) AS sim, rn
          FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
+    // Generated: the 32 seeded gaussian hyperplanes are embedded as double
+    // literals (Double.toString round-trips to the identical bits), and
+    // the SQL mirrors annTopK exactly — per-band sign keys (bit r = sign
+    // of plane b*4+r), multi-probe (exact key + each single-bit flip of
+    // the first 4 bits, query side only), distinct candidates, exact
+    // sequential-fold cosine, row_number top-5.
+    "similarity_ann" -> {
+      val planes = Similarity.hyperplanes(32, 64)
+      val planeRows = planes.zipWithIndex
+        .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
+        .mkString(",\n           ")
+      s"""WITH planes(plane_id, pv) AS (VALUES
+           $planeRows),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*v[i]),
+                              (x, y) -> x + y)) AS nv FROM e),
+         signs AS (SELECT n.vec_id, p.plane_id,
+             CASE WHEN list_reduce(list_transform(generate_series(1, len(n.v)),
+                                                  i -> p.pv[i]*n.v[i]),
+                                   (x, y) -> x + y) > 0 THEN 1 ELSE 0 END AS s
+           FROM n CROSS JOIN planes p),
+         bands AS (SELECT vec_id, plane_id // 4 AS band_id,
+             CAST(sum(s * (1 << (plane_id % 4))) AS BIGINT) AS bkey
+           FROM signs GROUP BY vec_id, plane_id // 4),
+         qb AS (SELECT b.vec_id AS query_id, b.band_id,
+             CASE WHEN pr.p < 0 THEN b.bkey ELSE xor(b.bkey, 1 << pr.p) END AS bkey
+           FROM bands b CROSS JOIN (SELECT unnest([-1, 0, 1, 2, 3]) AS p) pr
+           WHERE b.vec_id < 10),
+         cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+           FROM qb q JOIN bands c ON c.band_id = q.band_id AND c.bkey = q.bkey
+           WHERE c.vec_id <> q.query_id),
+         scored AS (SELECT c.query_id, c.neighbor_id,
+             list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]),
+                         (x, y) -> x + y) / (a.nv * b.nv) AS cos
+           FROM cand c JOIN n a ON a.vec_id = c.query_id
+                       JOIN n b ON b.vec_id = c.neighbor_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+           FROM scored)
+         SELECT query_id, neighbor_id, round(cos, 6) AS sim, rn
+         FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
+    },
+    // Generated from TextAnalysis.LangStopWords — one branch per language,
+    // argmax with Spark's struct-max tie-break (score DESC, lang DESC).
+    // The zh CJK branch is omitted: on the spec-asserted ASCII corpus its
+    // score is identically 0, which can neither win a positive argmax nor
+    // change the all-zero case (both engines then emit 'und' with score 0).
+    "text_langid" -> {
+      val branches = graft.text.TextAnalysis.LangStopWords.toSeq.sortBy(_._1)
+        .map { case (lang, sw) =>
+          val list = sw.map(s => s"'$s'").mkString("[", ", ", "]")
+          s"""SELECT doc_id, '$lang' AS lang,
+             CAST(len(list_filter(w, x -> list_contains($list, x))) AS BIGINT) AS score
+           FROM tok"""
+        }.mkString("\n         UNION ALL ")
+      s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         scored AS (
+         $branches),
+         best AS (SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rn
+           FROM scored)
+         SELECT doc_id,
+             CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+             score AS lang_score
+         FROM best WHERE rn = 1 ORDER BY doc_id"""
+    },
     "text_quality" ->
       """SELECT doc_id,
              CAST(length(text) AS BIGINT) AS n_chars,

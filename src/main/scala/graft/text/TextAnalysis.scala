@@ -51,7 +51,9 @@ object TextAnalysis {
           c => ascii(c).cast("long")),
         lit(0L), (h, c) => (h * 31 + c) % 1000000007L).as("fp"))
 
-  private val LangStopWords: Map[String, Seq[String]] = Map(
+  /** Shared with the generated DuckDB oracle (SparkEntry.oracleSql) so the
+    * two engines can never drift on the profile lists. */
+  private[graft] val LangStopWords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
     "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "ist"),
