@@ -38,4 +38,28 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(800))
   }
+
+  test("dedup_ngram prunes shingles via a broadcast semi-join, no corpus self-join") {
+    val p = plan("dedup_ngram")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1200))
+    // candidates come from the staged (materialized) relation, not a
+    // re-executed LSH pipeline: the checkpoint scan shows as an RDD scan
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"), p.take(1200))
+  }
+
+  test("dedup_embedding and similarity_ann never cross-join the corpus") {
+    for (key <- Seq("dedup_embedding", "similarity_ann")) {
+      val p = plan(key)
+      assert(!p.contains("CartesianProduct"), s"$key: ${p.take(800)}")
+      // the only joins are the band-bucket equi-join and id re-attach
+      assert(p.contains("Join") || p.contains("join"), s"$key has joins")
+    }
+  }
+
+  test("fused wiki parse plans a single Generate over the scan") {
+    val p = plan("wiki_parse_fused")
+    assert(p.contains("Generate wiki_pages"), p.take(1200))
+    // the regex chain's repeated regexp_extract projections must be gone
+    assert(!p.contains("regexp_extract("), p.take(1200))
+  }
 }
