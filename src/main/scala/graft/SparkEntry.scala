@@ -526,14 +526,19 @@ object SparkEntry {
     * marker-join semantics at scale. */
   private[graft] def pagerankGraph(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d); val li = lineitem(s, d)
+    // No sort_array on the collected link lists: out-link ORDER is
+    // rank-irrelevant (contributions are per-occurrence and summation is
+    // order-absorbed by the per-iteration 1e-9 rounding that keeps the
+    // DuckDB CTE oracle in lock-step), and sorting 150k arrays was pure
+    // graph-build overhead in both pagerank bench keys.
     val orderParts = li.groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_list(concat(lit("p"), col("l_partkey")))).as("parts"))
+      .agg(collect_list(concat(lit("p"), col("l_partkey"))).as("parts"))
     val orderVerts = o.join(orderParts, o("o_orderkey") === orderParts("l_orderkey"), "left")
       .select(concat(lit("o"), col("o_orderkey")).as("title"),
         concat(array(concat(lit("c"), col("o_custkey"))),
           coalesce(col("parts"), array().cast("array<string>"))).as("outlinks"))
     val custVerts = o.groupBy(col("o_custkey"))
-      .agg(sort_array(collect_list(concat(lit("o"), col("o_orderkey")))).as("outlinks"))
+      .agg(collect_list(concat(lit("o"), col("o_orderkey"))).as("outlinks"))
       .select(concat(lit("c"), col("o_custkey")).as("title"), col("outlinks"))
     orderVerts.unionByName(custVerts)
   }

@@ -67,6 +67,38 @@ object Prof {
             graft.Tables.documents(spark, sfDir), "doc_id", "text")
           .orderBy("doc_id").limit(3).collect()
           .foreach(r => println("SIG " + r.mkString("|")))
+      case "prsetup" =>
+        // stage-by-stage fixed-cost breakdown of PageRank.run's setup
+        import org.apache.spark.storage.StorageLevel
+        for (round <- 1 to 2) {
+          val g = graft.SparkEntry.pagerankGraph(spark, sfDir)
+          t(s"df count $round")(g.count())
+          val raw = t(s"rdd convert+persist+count $round") {
+            import spark.implicits._
+            val r = g.select("title", "outlinks").as[(String, Seq[String])]
+              .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+            r.count(); r
+          }
+          val part = new org.apache.spark.HashPartitioner(1)
+          val links = t(s"partitionBy+count $round") {
+            val l = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+            l.count(); l
+          }
+          t(s"10 iters $round") {
+            var ranks = links.mapValues(_ => 1.0 / 16500)
+            for (_ <- 1 to 10) {
+              val contribs = links.join(ranks, part).flatMap { case (_, (ls, r)) =>
+                if (ls.isEmpty) Iterator.empty
+                else { val c = r / ls.size; ls.iterator.map(l => (l, c)) }
+              }
+              val sums = contribs.reduceByKey(part, _ + _)
+              ranks = links.leftOuterJoin(sums, part)
+                .mapValues { case (_, s) => 0.85 * s.getOrElse(0.0) + 0.15 }
+            }
+            ranks.count()
+          }
+          raw.unpersist(false); links.unpersist(false)
+        }
       case "prtwice" =>
         val g = graft.SparkEntry.pagerankGraph(spark, sfDir)
         t("pagerank run A")(graft.pagerank.PageRank.run(g, iters = 10).count())
