@@ -194,16 +194,32 @@ object Similarity {
     cents
   }
 
-  /** Assign each vector to its max-cosine cell (broadcast the centroids;
-    * pure map-side argmax — no shuffle of the corpus). */
+  /** Assign each vector to its max-cosine cell — a PURE PROJECTION.
+    *
+    * The centroid relation is bounded (`numCells` rows, data-independent),
+    * so it is pulled to the driver and embedded as array literals; the
+    * per-row argmax then runs entirely inside whole-stage codegen. The
+    * previous formulation (crossJoin(broadcast) + groupBy(vec_id) max)
+    * re-SHUFFLED the whole corpus with its vectors just to collapse the
+    * 1-row-per-centroid expansion — two full-corpus shuffles per ivfTopK
+    * call. The bounded driver collect is the same cost class as the
+    * broadcast it replaces. Tie-break unchanged: max (cosine, cell). */
   def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nv"),
-        struct((dot(col("v"), col("cv")) / (l2norm(col("cv")) * col("nv"))).as("cs"),
-          col("cell").as("cell")).as("sc"))
-    scored.groupBy("vec_id")
-      .agg(max(col("sc")).as("best"), first(col("v")).as("v"), first(col("nv")).as("nv"))
-      .select(col("vec_id"), col("v"), col("nv"), col("best.cell").as("cell"))
+    val rows = cents.select(col("cell").cast("long"), col("cv")).collect()
+    val cellIds = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Double](1))
+    // driver-side norms: Seq.sum is the same sequential left fold l2norm
+    // compiles to, so the routing is identical to the old Spark-side math
+    val norms = vecs.map(cv => math.sqrt(cv.map(x => x * x).sum))
+    val matrix = typedlit(vecs.map(_.toSeq).toSeq)
+    val cellArr = typedlit(cellIds.toSeq)
+    val normArr = typedlit(norms.toSeq)
+    val best = array_max(transform(sequence(lit(0), lit(rows.length - 1)), p =>
+      struct(
+        (dot(element_at(matrix, p + 1), col("v")) /
+          (element_at(normArr, p + 1) * col("nv"))).as("cs"),
+        element_at(cellArr, p + 1).as("cell"))))
+    e.select(col("vec_id"), col("v"), col("nv"), best.getField("cell").as("cell"))
   }
 
   /** IVF ANN top-k: probe the query's `nprobe` closest cells, exact
