@@ -37,6 +37,20 @@ class SplittableIngestSpec extends SparkTestBase {
     assert(viaSplit("Dup") == Seq("A", "B")) // dup-title merge survives
   }
 
+  test("flagship pipeline end-to-end: file → splittable read → fused parse → ranks") {
+    import graft.pagerank.PageRank
+    val path = writeTemp("fixture.xml", fixtureXml)
+    val viaPipeline = graft.pipelines.WikiPipelines.pageRank(spark, path)
+      .as[(String, Double)].collect().toSeq
+    val viaMemory = PageRank.ranked(
+        WikiParser.linkGraph(WikiParser.pages(Seq(fixtureXml).toDF("value"))))
+      .as[(String, Double)].collect().toSeq
+    assert(viaPipeline.map(_._1) == viaMemory.map(_._1), "same rank order + titles")
+    viaPipeline.zip(viaMemory).foreach { case ((t, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-12, s"$t: $a vs $b")
+    }
+  }
+
   test("multi-MB dump under a tiny split.maxsize attributes every page once") {
     val nPages = 2000
     // ~2 KB of filler per page => ~4 MB file; 64 KB max splits => ~70
