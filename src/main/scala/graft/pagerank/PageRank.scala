@@ -205,11 +205,68 @@ object PageRank {
       return Seq.empty[(String, Double)].toDF("title", "rank")
     }
     val confParts = spark.sessionState.conf.numShufflePartitions
-    val numParts = math.min(confParts.toLong, 1L + (n - 1) / 50000L).toInt
+    val numParts =
+      if (n <= 250000L) 1
+      else math.min(confParts.toLong, 1L + (n - 1) / 50000L).toInt
     val part = new org.apache.spark.HashPartitioner(numParts)
     val links = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     links.count()
     raw.unpersist(false)
+
+    if (numParts == 1) {
+      // Small-graph fast path (see `run`): sweep-to-convergence inside one
+      // task, with the delta check a free local comparison instead of a
+      // per-iteration distributed join — the difference between ~130
+      // scheduler roundtrips and one job for a cold convergence, which is
+      // what keeps streaming micro-batch latency flat.
+      val prev = init match {
+        case Some(df) => df.select("title", "rank").as[(String, Double)]
+          .rdd.partitionBy(part)
+        case None => spark.sparkContext.emptyRDD[(String, Double)].partitionBy(part)
+      }
+      val joined = links.leftOuterJoin(prev, part)
+      val res = joined.mapPartitions({ it =>
+        val vertices = it.toArray // (title, (links, Option[prevRank]))
+        val m = vertices.length
+        val idx = new java.util.HashMap[String, Integer](m * 2)
+        vertices.iterator.zipWithIndex.foreach { case ((t, _), i) => idx.put(t, i) }
+        val targets: Array[Array[Int]] = vertices.map(_._2._1.iterator.map { l =>
+          val j = idx.get(l); if (j == null) -1 else j.intValue()
+        }.toArray)
+        val rank = vertices.map(_._2._2.getOrElse(1.0 / n))
+        val sums = new Array[Double](m)
+        var iter = 0
+        var delta = Double.MaxValue
+        while (iter < maxIters && delta >= eps) {
+          java.util.Arrays.fill(sums, 0.0)
+          var i = 0
+          while (i < m) {
+            val ts = targets(i)
+            if (ts.length > 0) {
+              val c = rank(i) / ts.length
+              var k = 0
+              while (k < ts.length) { if (ts(k) >= 0) sums(ts(k)) += c; k += 1 }
+            }
+            i += 1
+          }
+          delta = 0.0
+          i = 0
+          while (i < m) {
+            val next = d * sums(i) + (1.0 - d)
+            val dd = math.abs(next - rank(i))
+            if (dd > delta) delta = dd
+            rank(i) = next
+            i += 1
+          }
+          iter += 1
+        }
+        vertices.iterator.zipWithIndex.map { case ((t, _), i) => (t, rank(i)) }
+      }, preservesPartitioning = true)
+      res.localCheckpoint()
+      res.count()
+      links.unpersist(false)
+      return res.toDF("title", "rank")
+    }
 
     var ranks = init match {
       case Some(df) =>
