@@ -37,6 +37,24 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRank {
 
+  /** Loop partition sizing. One partition (⇒ the single-task fast path)
+    * only when BOTH the vertex count and the total link occurrences fit a
+    * task comfortably — the vertex bound alone would admit a
+    * small-vertex/high-degree graph whose adjacency lists are GBs.
+    * Otherwise ~50k vertices/partition with the session conf as the
+    * ceiling (below that, per-task scheduling overhead dominates the
+    * per-partition work — measured 2× at 16.5k vertices on 32
+    * partitions; above it, a cluster operator can still bound task
+    * size). The edge-count pass only runs for small-n graphs and reads
+    * the already-persisted RDD. */
+  private def sizeParts(raw: org.apache.spark.rdd.RDD[(String, Seq[String])],
+                        n: Long, confParts: Int): Int = {
+    val small = n <= 250000L &&
+      raw.map(_._2.size.toLong).fold(0L)(_ + _) <= 5000000L
+    if (small) 1
+    else math.min(confParts.toLong, 1L + (n - 1).max(0L) / 50000L).toInt
+  }
+
   /** @param vertices (title: String, outlinks: Array[String]) — one row
     *                 per page; outlinks may repeat and may self-reference.
     * @return (title, rank), one row per page.
@@ -67,13 +85,7 @@ object PageRank {
       .rdd.persist(StorageLevel.MEMORY_AND_DISK)
     val n = raw.count()
     val confParts = spark.sessionState.conf.numShufflePartitions
-    // Fast-path bound is separate from distributed partition sizing: a
-    // single task comfortably holds ~250k adjacency lists (tens of MB of
-    // strings), and below that the per-iteration scheduler roundtrips of
-    // the distributed loop cost more than the whole in-task computation.
-    val numParts =
-      if (n <= 250000L) 1
-      else math.min(confParts.toLong, 1L + (n - 1).max(0L) / 50000L).toInt
+    val numParts = sizeParts(raw, n, confParts)
     val part = new org.apache.spark.HashPartitioner(numParts)
     val links = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     links.count()
@@ -205,9 +217,7 @@ object PageRank {
       return Seq.empty[(String, Double)].toDF("title", "rank")
     }
     val confParts = spark.sessionState.conf.numShufflePartitions
-    val numParts =
-      if (n <= 250000L) 1
-      else math.min(confParts.toLong, 1L + (n - 1) / 50000L).toInt
+    val numParts = sizeParts(raw, n, confParts)
     val part = new org.apache.spark.HashPartitioner(numParts)
     val links = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     links.count()
