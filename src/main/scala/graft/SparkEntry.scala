@@ -486,6 +486,21 @@ object SparkEntry {
         .select(col("title"), round(col("rank"), 6).as("rank"))
         .orderBy("title")),
 
+    // NORMALIZED PageRank extension (mass-conserving: (1-d)/N base +
+    // dangling-mass redistribution). Parts become VERTICES with no
+    // outlinks — genuine dangling sinks, no red links, total mass exactly
+    // 1 every iteration. Oracle = recursive CTE with the dangling sum as
+    // a second correlated aggregate over the working table.
+    "pagerank_norm" -> ((s, d) => {
+      val partVerts = lineitem(s, d)
+        .select(concat(lit("p"), col("l_partkey")).as("title")).distinct()
+        .select(col("title"), array().cast("array<string>").as("outlinks"))
+      PageRank.runNormalized(pagerankGraph(s, d).unionByName(partVerts),
+          iters = 10, roundTo = 9)
+        .select(col("title"), round(col("rank"), 6).as("rank"))
+        .orderBy("title")
+    }),
+
     // WikiParser end-to-end over synthesized wiki XML (oracle-checked via
     // an independent SQL formulation of the same link extraction)
     "wiki_parse" -> ((s, d) => {
@@ -1012,6 +1027,40 @@ object SparkEntry {
                SELECT sum(r2.rank / dg.d)
                FROM ranks r2 JOIN edges e ON e.src = r2.title AND e.dst = r.title
                JOIN deg dg ON dg.src = r2.title), 0) + 0.15, 9)
+           FROM ranks r WHERE r.iter < 10)
+         SELECT title, round(rank, 6) AS rank FROM ranks WHERE iter = 10
+         ORDER BY title""",
+    // normalized variant: parts are vertices (dangling sinks), every edge
+    // resolves; the recursive arm carries TWO correlated aggregates over
+    // the working table — contributions and the dangling mass D
+    "pagerank_norm" ->
+      """WITH RECURSIVE
+         verts AS (
+           SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS title FROM orders
+           UNION ALL SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) FROM orders
+           UNION ALL SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+         edges AS (
+           SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst FROM orders
+           UNION ALL SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+                  'p' || CAST(l_partkey AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR),
+                  'o' || CAST(o_orderkey AS VARCHAR) FROM orders),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         n AS (SELECT count(*) AS n FROM verts),
+         ranks(iter, title, rank) AS (
+           SELECT 0, title, round(1.0 / (SELECT n FROM n), 9) FROM verts
+           UNION ALL
+           SELECT r.iter + 1, r.title,
+             round(0.15 / (SELECT n FROM n)
+               + 0.85 * (coalesce((
+                   SELECT sum(r2.rank / dg.d)
+                   FROM ranks r2 JOIN edges e ON e.src = r2.title AND e.dst = r.title
+                   JOIN deg dg ON dg.src = r2.title), 0)
+                 + coalesce((
+                     SELECT sum(r3.rank) FROM ranks r3
+                     WHERE NOT EXISTS (SELECT 1 FROM deg dg2 WHERE dg2.src = r3.title)), 0)
+                   / (SELECT n FROM n)), 9)
            FROM ranks r WHERE r.iter < 10)
          SELECT title, round(rank, 6) AS rank FROM ranks WHERE iter = 10
          ORDER BY title""",

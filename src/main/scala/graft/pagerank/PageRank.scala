@@ -47,9 +47,14 @@ object PageRank {
     * partitions; above it, a cluster operator can still bound task
     * size). The edge-count pass only runs for small-n graphs and reads
     * the already-persisted RDD. */
+  /** Test hook: lets specs force the distributed loop on small graphs so
+    * both execution tiers stay covered (every test graph would otherwise
+    * take the fast path). Production code never touches this. */
+  @volatile private[graft] var fastPathEnabled: Boolean = true
+
   private def sizeParts(raw: org.apache.spark.rdd.RDD[(String, Seq[String])],
                         n: Long, confParts: Int): Int = {
-    val small = n <= 250000L &&
+    val small = fastPathEnabled && n <= 250000L &&
       raw.map(_._2.size.toLong).fold(0L)(_ + _) <= 5000000L
     if (small) 1
     else math.min(confParts.toLong, 1L + (n - 1).max(0L) / 50000L).toInt
@@ -187,6 +192,122 @@ object PageRank {
     links.unpersist(false)
     ranks.toDF("title", "rank")
   }
+
+  /** NORMALIZED PageRank — the textbook mass-conserving variant, built as
+    * an extension beyond reference parity (SURVEY §7.6):
+    *
+    *   rᵢ₊₁(p) = (1−d)/N + d·(Σ_{q→p} rᵢ(q)/deg(q) + Dᵢ/N)
+    *
+    * with deg counting only RESOLVED links (red links pruned up front, so
+    * no mass leaks to non-vertices) and Dᵢ the total rank of dangling
+    * pages, redistributed uniformly. Total mass is EXACTLY 1 after every
+    * iteration (Σr' = (1−d) + d·(Σ_{linked} r + D) = 1) — the invariant
+    * the spec asserts — unlike the reference recurrence where red-link
+    * and dangling mass evaporates.
+    *
+    * Same two execution tiers as [[run]]: single-task loop for small
+    * graphs; for large ones the per-iteration dangling sum is one scalar
+    * action over the co-partitioned join (the price of normalization). */
+  def runNormalized(vertices: DataFrame, iters: Int = 10, d: Double = 0.85,
+                    roundTo: Int = -1): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val v = vertices.select("title", "outlinks")
+    val titles = v.select(col("title"))
+    // close the graph: drop links whose target is not a vertex
+    val resolved = v.select(col("title"), explode(col("outlinks")).as("link"))
+      .join(titles.select(col("title").as("link")).distinct(), Seq("link"), "left_semi")
+      .groupBy("title").agg(collect_list("link").as("outlinks"))
+    val closed = titles.join(resolved, Seq("title"), "left")
+      .select(col("title"),
+        coalesce(col("outlinks"), array().cast("array<string>")).as("outlinks"))
+
+    val raw = closed.as[(String, Seq[String])]
+      .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = raw.count()
+    if (n == 0) {
+      raw.unpersist(false)
+      return Seq.empty[(String, Double)].toDF("title", "rank")
+    }
+    val confParts = spark.sessionState.conf.numShufflePartitions
+    val numParts = sizeParts(raw, n, confParts)
+    val part = new org.apache.spark.HashPartitioner(numParts)
+    val links = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    links.count()
+    raw.unpersist(false)
+
+    val rnd: Double => Double =
+      if (roundTo < 0) identity
+      else r => new java.math.BigDecimal(r)
+        .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+    val base = (1.0 - d) / n
+
+    var ranks =
+      if (numParts == 1) {
+        links.mapPartitions({ it =>
+          val vertices = it.toArray
+          val m = vertices.length
+          val idx = new java.util.HashMap[String, Integer](m * 2)
+          vertices.iterator.zipWithIndex.foreach { case ((t, _), i) => idx.put(t, i) }
+          // graph is closed: every link resolves
+          val targets: Array[Array[Int]] =
+            vertices.map(_._2.iterator.map(l => idx.get(l).intValue()).toArray)
+          val rank = Array.fill(m)(rnd(1.0 / n))
+          val sums = new Array[Double](m)
+          var it2 = 0
+          while (it2 < iters) {
+            java.util.Arrays.fill(sums, 0.0)
+            var dMass = 0.0
+            var i = 0
+            while (i < m) {
+              val ts = targets(i)
+              if (ts.length > 0) {
+                val c = rank(i) / ts.length
+                var k = 0
+                while (k < ts.length) { sums(ts(k)) += c; k += 1 }
+              } else dMass += rank(i)
+              i += 1
+            }
+            i = 0
+            while (i < m) {
+              rank(i) = rnd(base + d * (sums(i) + dMass / n)); i += 1
+            }
+            it2 += 1
+          }
+          vertices.iterator.zipWithIndex.map { case ((t, _), i) => (t, rank(i)) }
+        }, preservesPartitioning = true)
+      } else {
+        var r = links.mapValues(_ => rnd(1.0 / n))
+        var lastCkpt: Option[org.apache.spark.rdd.RDD[(String, Double)]] = None
+        for (i <- 1 to iters) {
+          val joined = links.join(r, part) // narrow: co-partitioned
+          val dMass = joined.values
+            .map { case (ls, rk) => if (ls.isEmpty) rk else 0.0 }.sum()
+          val contribs = joined.flatMap { case (_, (ls, rk)) =>
+            if (ls.isEmpty) Iterator.empty
+            else { val c = rk / ls.size; ls.iterator.map(l => (l, c)) }
+          }
+          val sums = contribs.reduceByKey(part, _ + _)
+          r = links.leftOuterJoin(sums, part)
+            .mapValues { case (_, s) =>
+              rnd(base + d * (s.getOrElse(0.0) + dMass / n))
+            }
+          if (i % checkpointCadence == 0 || i == iters) {
+            r.localCheckpoint()
+            r.count()
+            lastCkpt.foreach(_.unpersist(false))
+            lastCkpt = Some(r)
+          }
+        }
+        r
+      }
+    ranks.localCheckpoint()
+    ranks.count()
+    links.unpersist(false)
+    ranks.toDF("title", "rank")
+  }
+
+  private val checkpointCadence = 3
 
   /** Fixed-point (converged) variant for incremental/streaming use.
     *

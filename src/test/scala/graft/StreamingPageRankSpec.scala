@@ -62,6 +62,56 @@ class StreamingPageRankSpec extends SparkTestBase {
     assert(rows.toSet == Set(("X", Seq("A", "B")), ("X", Seq("A"))))
   }
 
+  test("normalized pagerank matches a naive interpreter and conserves mass exactly") {
+    // A links B,X(red); B dangling after X is pruned? no — B links nothing.
+    // Closed graph: A→[B], B→[], C→[A,B]. B is dangling.
+    def naive(graph: Map[String, Seq[String]], iters: Int): Map[String, Double] = {
+      val titles = graph.keySet
+      val resolved = graph.map { case (t, ls) => t -> ls.filter(titles) }
+      val nn = graph.size
+      var rank: Map[String, Double] = resolved.map { case (t, _) => t -> 1.0 / nn }
+      for (_ <- 1 to iters) {
+        val contribs = scala.collection.mutable.Map.empty[String, Double]
+          .withDefaultValue(0.0)
+        for ((t, ls) <- resolved if ls.nonEmpty; l <- ls) contribs(l) += rank(t) / ls.size
+        val dMass = resolved.collect { case (t, ls) if ls.isEmpty => rank(t) }.sum
+        rank = resolved.map { case (t, _) =>
+          t -> (0.15 / nn + 0.85 * (contribs(t) + dMass / nn))
+        }
+      }
+      rank
+    }
+    val graph = Map(
+      "A" -> Seq("B", "X"),          // X is a red link → pruned
+      "B" -> Seq[String](),          // dangling
+      "C" -> Seq("A", "B"))
+    val got = PageRank.runNormalized(graph.toSeq.toDF("title", "outlinks"), iters = 10)
+      .as[(String, Double)].collect().toMap
+    val want = naive(graph, 10)
+    assert(got.keySet == want.keySet)
+    for ((t, r) <- want) assert(math.abs(got(t) - r) < 1e-12, s"$t: ${got(t)} vs $r")
+    assert(math.abs(got.values.sum - 1.0) < 1e-12, s"mass ${got.values.sum} != 1")
+  }
+
+  test("fast path and distributed loop agree on run/runNormalized/runConverged") {
+    val g = Seq(
+      ("A", Seq("B", "X", "A")), ("B", Seq[String]()), ("C", Seq("A", "B")),
+      ("D", Seq("C", "C")))
+      .toDF("title", "outlinks")
+    def all(): (Map[String, Double], Map[String, Double], Map[String, Double]) = (
+      PageRank.run(g, iters = 7).as[(String, Double)].collect().toMap,
+      PageRank.runNormalized(g, iters = 7).as[(String, Double)].collect().toMap,
+      PageRank.runConverged(g, eps = 1e-10).as[(String, Double)].collect().toMap)
+    val (f1, f2, f3) = all()
+    PageRank.fastPathEnabled = false
+    val (d1, d2, d3) =
+      try all() finally PageRank.fastPathEnabled = true
+    for ((fast, dist) <- Seq((f1, d1), (f2, d2), (f3, d3))) {
+      assert(fast.keySet == dist.keySet)
+      for ((t, r) <- fast) assert(math.abs(dist(t) - r) < 1e-9, s"$t: $r vs ${dist(t)}")
+    }
+  }
+
   test("warm start from a perturbed vector still reaches the cold fixed point") {
     val g = Seq(("A", Seq("B")), ("B", Seq("A", "C")), ("C", Seq[String]()))
       .toDF("title", "outlinks")
