@@ -35,7 +35,9 @@ object Bench {
     // ~5s of one-off compilation that isn't its cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
 
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ").take(200)
