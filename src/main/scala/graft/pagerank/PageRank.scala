@@ -212,25 +212,36 @@ object PageRank {
                     roundTo: Int = -1): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    val v = vertices.select("title", "outlinks")
-    val titles = v.select(col("title"))
-    // close the graph: drop links whose target is not a vertex
-    val resolved = v.select(col("title"), explode(col("outlinks")).as("link"))
-      .join(titles.select(col("title").as("link")).distinct(), Seq("link"), "left_semi")
-      .groupBy("title").agg(collect_list("link").as("outlinks"))
-    val closed = titles.join(resolved, Seq("title"), "left")
-      .select(col("title"),
-        coalesce(col("outlinks"), array().cast("array<string>")).as("outlinks"))
-
-    val raw = closed.as[(String, Seq[String])]
+    val raw0 = vertices.select("title", "outlinks").as[(String, Seq[String])]
       .rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    val n = raw.count()
+    val n = raw0.count()
     if (n == 0) {
-      raw.unpersist(false)
+      raw0.unpersist(false)
       return Seq.empty[(String, Double)].toDF("title", "rank")
     }
     val confParts = spark.sessionState.conf.numShufflePartitions
-    val numParts = sizeParts(raw, n, confParts)
+    val numParts = sizeParts(raw0, n, confParts)
+    // Only the DISTRIBUTED tier closes the graph relationally (explode +
+    // vertex semi-join + regroup): the fast path prunes red links for
+    // free while building its target-index arrays, so the extra pass
+    // would be pure overhead exactly where the graph is smallest.
+    val raw =
+      if (numParts == 1) raw0
+      else {
+        val v = vertices.select("title", "outlinks")
+        val titles = v.select(col("title"))
+        val resolved = v.select(col("title"), explode(col("outlinks")).as("link"))
+          .join(titles.select(col("title").as("link")).distinct(), Seq("link"), "left_semi")
+          .groupBy("title").agg(collect_list("link").as("outlinks"))
+        val closed = titles.join(resolved, Seq("title"), "left")
+          .select(col("title"),
+            coalesce(col("outlinks"), array().cast("array<string>")).as("outlinks"))
+        val r = closed.as[(String, Seq[String])]
+          .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        r.count()
+        raw0.unpersist(false)
+        r
+      }
     val part = new org.apache.spark.HashPartitioner(numParts)
     val links = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     links.count()
@@ -249,9 +260,13 @@ object PageRank {
           val m = vertices.length
           val idx = new java.util.HashMap[String, Integer](m * 2)
           vertices.iterator.zipWithIndex.foreach { case ((t, _), i) => idx.put(t, i) }
-          // graph is closed: every link resolves
+          // red links pruned HERE: unresolved targets simply don't make
+          // it into the index arrays, and deg is the resolved count
           val targets: Array[Array[Int]] =
-            vertices.map(_._2.iterator.map(l => idx.get(l).intValue()).toArray)
+            vertices.map(_._2.iterator.flatMap { l =>
+              val j = idx.get(l)
+              if (j == null) Iterator.empty else Iterator.single(j.intValue())
+            }.toArray)
           val rank = Array.fill(m)(rnd(1.0 / n))
           val sums = new Array[Double](m)
           var it2 = 0
