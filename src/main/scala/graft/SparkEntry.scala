@@ -470,6 +470,16 @@ object SparkEntry {
         .select(col("media_id"), col("frame_ms"))
         .orderBy("media_id", "frame_ms")),
 
+    // UDAF surface: bounded per-group top-k via a typed Aggregator —
+    // O(k) buffer with map-side partial aggregation (the scale path vs a
+    // window that shuffles and sorts every row of every group)
+    "topk_per_group" -> ((s, d) =>
+      orders(s, d).groupBy(col("o_orderpriority").as("grp"))
+        .agg(graft.functions.TopKAgg.topK(3,
+          col("o_totalprice").cast("double"),
+          col("o_orderkey").cast("string")).as("top_keys"))
+        .orderBy("grp")),
+
     // §2.10 — the reference's flagship: 10-iteration unnormalized PageRank
     // on a deterministic graph derived from testdata (orders↔customers
     // cycle; lineitem parts are red links whose mass is dropped).
@@ -1030,6 +1040,18 @@ object SparkEntry {
            FROM ranks r WHERE r.iter < 10)
          SELECT title, round(rank, 6) AS rank FROM ranks WHERE iter = 10
          ORDER BY title""",
+    // ties broken by the STRING form of the key in both engines (the
+    // aggregator compares tags as strings)
+    "topk_per_group" ->
+      """WITH r AS (SELECT o_orderpriority AS grp,
+             CAST(o_orderkey AS VARCHAR) AS okey,
+             CAST(o_totalprice AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY CAST(o_totalprice AS DOUBLE) DESC,
+                                         CAST(o_orderkey AS VARCHAR)) AS rn
+           FROM orders)
+         SELECT grp, string_agg(okey, ',' ORDER BY rn) AS top_keys
+         FROM r WHERE rn <= 3 GROUP BY grp ORDER BY grp""",
     // normalized variant: parts are vertices (dangling sinks), every edge
     // resolves; the recursive arm carries TWO correlated aggregates over
     // the working table — contributions and the dangling mass D
