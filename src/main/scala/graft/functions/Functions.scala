@@ -30,5 +30,7 @@ object Functions {
         WikiPageParse(exprs.head)
       },
       "scala_udf")
+    // UDAF surface: SELECT topk3(value, tag) ... GROUP BY g
+    spark.udf.register("topk3", TopKAgg.topK(3))
   }
 }

@@ -22,6 +22,14 @@ class TopKAggSpec extends SparkTestBase {
     assert(got("g3") == "o,p,q")  // all-tie group → first 3 tags
   }
 
+  test("topk3 is SQL-callable as a registered UDAF") {
+    graft.functions.Functions.register(spark)
+    rows.toDF("g", "v", "tag").createOrReplaceTempView("topk_rows")
+    val got = spark.sql("SELECT g, topk3(v, tag) AS top FROM topk_rows GROUP BY g")
+      .as[(String, String)].collect().toMap
+    assert(got("g1") == "aa,b,c")
+  }
+
   test("partial aggregation merges correctly across many partitions") {
     val big = (0 until 1000).map(i => ("g", i.toDouble, f"t$i%04d"))
     val one = big.toDF("g", "v", "tag").coalesce(1)
