@@ -198,6 +198,20 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // §2.5 — full outer join: per-nation high-balance customer vs supplier
+    // counts; thresholds make the key sets asymmetric so both outer sides
+    // produce null-padded rows
+    "join_full" -> ((s, d) => {
+      val c = customer(s, d).filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+      val sup = supplier(s, d).filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("nk2")).agg(count(lit(1)).as("n_supp"))
+      c.join(sup, c("nk") === sup("nk2"), "full")
+        .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+        .orderBy("nationkey")
+    }),
+
     // §2.7 — union all (tagged-row multiplexing, first-class)
     "union_all" -> ((s, d) =>
       customer(s, d).select(col("c_custkey").as("id"), lit("customer").as("src"))
@@ -237,6 +251,19 @@ object SparkEntry {
       orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
           round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.9 — offset windows (lag/lead) + ntile bucketing in one pass:
+    // a single partitioned sort serves all three window functions
+    "window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"))
         .orderBy("o_orderkey")
     }),
 
@@ -332,6 +359,71 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
              Relational.moneySum(col("o_totalprice")).as("price_total"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // §2.4 extension — explicit grouping sets (the generalization rollup
+    // and cube compile down to; planned as one Expand, not two scans)
+    "grouping_sets_agg" -> ((s, d) =>
+      orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+             Relational.moneySum(col("o_totalprice")).as("price_total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // §2.4 extension — pivot (wide conditional aggregation; explicit value
+    // list so the plan is a single pass, no distinct-values pre-query)
+    "pivot_agg" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(Relational.moneySum(col("o_totalprice")))
+        .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+        .orderBy("o_orderpriority")),
+
+    // §2.4 extension — unpivot/melt (inverse of pivot; map-side Expand,
+    // no shuffle)
+    "unpivot_agg" -> ((s, d) =>
+      lineitem(s, d)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
+    // §2.4 extension — conditional aggregation (count_if / filtered sum):
+    // one scan, no self-join, the idiomatic replacement for per-predicate
+    // subqueries
+    "cond_agg" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count_if(col("o_totalprice") > 150000).as("n_big"),
+             count(lit(1)).as("n_all"),
+             Relational.moneySum(
+               when(col("o_orderstatus") === "F", col("o_totalprice"))
+                 .otherwise(lit(0.0))).as("f_total"))
+        .orderBy("o_orderpriority")),
+
+    // §2.4 extension — multiple distinct aggregates in one query (plans a
+    // single Expand + two-stage agg, not N scans)
+    "multi_distinct" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+             countDistinct(col("o_orderpriority")).as("n_prio"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("o_orderstatus")),
+
+    // §2.4 extension — argmax via struct max: deterministic max_by with a
+    // total tie-break (price DESC, then orderkey DESC), single agg pass
+    "argmax_agg" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"), col("m.o_orderkey").as("best_order"),
+          col("m.o_totalprice").as("best_price"))
+        .orderBy("o_custkey")),
 
     // §2.9 extension — tumbling event-time window (batch form of the
     // Structured Streaming hourly window; ts arrives as epoch-nanos long)
@@ -1098,5 +1190,65 @@ object SparkEntry {
              CAST(len(regexp_extract_all(text, 'spark|join|merge')) AS BIGINT) AS n_links,
              coalesce(array_to_string(list_sort(regexp_extract_all(text, 'spark|join|merge')), ','), '') AS links
          FROM documents ORDER BY title""",
+    "join_full" ->
+      """SELECT coalesce(c.nk, s.nk2) AS nationkey, n_cust, n_supp
+         FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+               FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+         FULL JOIN
+              (SELECT s_nationkey AS nk2, count(*) AS n_supp
+               FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+         ON c.nk = s.nk2
+         ORDER BY nationkey""",
+    "window_lag_lead" ->
+      """SELECT o_orderkey, o_custkey,
+             lag(o_totalprice, 1) OVER w AS prev_price,
+             lead(o_totalprice, 1) OVER w AS next_price,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_orderkey""",
+    "grouping_sets_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS price_total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "pivot_agg" ->
+      """SELECT o_orderpriority,
+             round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   FILTER (WHERE o_orderstatus = 'F') AS BIGINT) / 100.0, 2) AS total_f,
+             round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   FILTER (WHERE o_orderstatus = 'O') AS BIGINT) / 100.0, 2) AS total_o,
+             round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   FILTER (WHERE o_orderstatus = 'P') AS BIGINT) / 100.0, 2) AS total_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "unpivot_agg" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+           SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric,
+                  l_extendedprice AS value FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem)
+         ORDER BY l_orderkey, l_linenumber, metric""",
+    "cond_agg" ->
+      """SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+             count(*) AS n_all,
+             round(CAST(sum(CAST(round(
+                 (CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END) * 100)
+                 AS BIGINT)) AS BIGINT) / 100.0, 2) AS f_total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "multi_distinct" ->
+      """SELECT o_orderstatus,
+             count(DISTINCT o_custkey) AS n_cust,
+             count(DISTINCT o_orderpriority) AS n_prio,
+             count(*) AS n_rows
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "argmax_agg" ->
+      """SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+               FROM orders)
+         WHERE rn = 1 ORDER BY o_custkey""",
   )
 }

@@ -62,4 +62,36 @@ class PlanSpec extends SparkTestBase {
     // the regex chain's repeated regexp_extract projections must be gone
     assert(!p.contains("regexp_extract("), p.take(1200))
   }
+
+  test("grouping_sets_agg plans one Expand over one scan, not a scan per set") {
+    val p = plan("grouping_sets_agg")
+    assert(p.contains("Expand"), p.take(800))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("pivot_agg is a single-pass conditional agg: one scan, no join") {
+    val p = plan("pivot_agg")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
+  test("unpivot_agg expands map-side: no shuffle below the final sort") {
+    val p = plan("unpivot_agg")
+    assert(p.contains("Expand"), p.take(800))
+    // exactly one exchange — the range partitioning for the ORDER BY
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("multi_distinct plans one scan (Expand-based multi-distinct)") {
+    val p = plan("multi_distinct")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("window_lag_lead serves all three window functions from one sort") {
+    val p = plan("window_lag_lead")
+    // one Window operator (lag/lead/ntile share the partition+order), so a
+    // single partition-by-custkey exchange + sort feeds them all
+    assert("Window\\b".r.findAllIn(p).size >= 1, p.take(1200))
+    assert("hashpartitioning\\(o_custkey".r.findAllIn(p).size <= 1, p.take(1200))
+  }
 }
