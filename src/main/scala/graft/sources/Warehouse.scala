@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Warehouse-layout sinks (SURVEY.md §2.1 / §4.3 scale extensions).
+  *
+  * The reference's only layout lever is "one output directory per job"
+  * (ref: PageRankAlgorithm.java:67, :85-86 — TextOutputFormat part files);
+  * every downstream job re-reads and re-shuffles everything. At 100 TB the
+  * two layout decisions that matter are made at WRITE time:
+  *
+  *  - '''Partitioned layout''': one directory per distinct value of the
+  *    partition columns. A reader filtering on them prunes at the file
+  *    listing — the scan never opens non-matching directories
+  *    (`PartitionFilters` in the plan). Scanning one day instead of the
+  *    archive is this, not a faster filter.
+  *  - '''Bucketed layout''': both join sides hash-bucketed on the join key
+  *    at write time. Equi-joins between matching bucket counts plan as a
+  *    shuffle-free SortMergeJoin — the shuffle is paid once at write, not
+  *    per query.
+  *
+  * Both properties are asserted against actual physical plans in
+  * `WarehouseSpec`, so a regression that un-prunes a partition filter or
+  * re-introduces the join exchange fails in CI.
+  */
+object Warehouse {
+
+  /** Partition-pruned parquet sink: `path/col=value/part-*.parquet`.
+    * Partition columns should be low-cardinality (file-count explosion is
+    * the failure mode — a 10k-cardinality partition column at 1000
+    * executors is 10M files). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed external table: hash-bucketed (and optionally sorted) on
+    * `key` at `path`, registered as `table` in the session catalog.
+    * Joining two tables bucketed with the SAME bucket count on their join
+    * keys plans with no Exchange on either side. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    buckets: Int, key: String,
+                    sorted: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", path).bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Warehouse
+
+/** Plan-level proof of the two write-time layout levers: partition
+  * pruning (the scan lists only matching directories) and bucketed
+  * co-located joins (no Exchange on either side). */
+class WarehouseSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("partitioned sink prunes non-matching partitions at the scan") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val orders = Tables.orders(spark, sf)
+    Warehouse.writePartitioned(orders, dir, "o_orderstatus")
+
+    val back = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+    val plan = back.queryExecution.executedPlan.toString
+
+    // the filter must reach the file listing, not just the row filter
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+      plan.take(1200))
+    // and the pruned read returns exactly the directly-filtered rows
+    val expected = orders.filter(col("o_orderstatus") === "F").count()
+    assert(back.count() === expected)
+    // layout sanity: one directory per distinct status
+    val statuses = orders.select("o_orderstatus").distinct().count()
+    val dirs = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("o_orderstatus="))
+    assert(dirs.toLong === statuses)
+  }
+
+  test("bucketed tables join with no Exchange on either side") {
+    val base = Files.createTempDirectory("graft_bucket").toString
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    Warehouse.writeBucketed(orders, "orders_b", s"$base/orders_b", 4, "o_custkey")
+    Warehouse.writeBucketed(customer, "customer_b", s"$base/customer_b", 4, "c_custkey")
+    // force the join to consider a shuffle (disable broadcast) so the
+    // assertion is about bucketing, not about a small dim fitting in RAM
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ob = spark.table("orders_b"); val cb = spark.table("customer_b")
+      val joined = ob.join(cb, ob("o_custkey") === cb("c_custkey"))
+        .select("o_orderkey", "c_name")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1200))
+      assert(!plan.contains("Exchange"), plan.take(1200))
+      // co-located join returns the same rows as the plain shuffled join
+      val expected = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey")).count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}
