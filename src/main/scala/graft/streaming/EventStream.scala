@@ -44,4 +44,24 @@ object EventStream {
       .groupBy(session_window(col("t"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  /** Streaming exact dedup — the streaming form of the `dedup_exact` key.
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * key's event time falls behind the watermark, so state is bounded by
+    * (watermark × arrival rate) instead of growing with the all-time key
+    * count — the only viable form for an unbounded ingest feed. Re-sent
+    * events (at-least-once sources, replayed files) inside the tolerance
+    * window are emitted exactly once. */
+  def dedupEvents(events: DataFrame, keyCol: String = "event_id",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("t", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Stream-static enrichment join: each micro-batch left-joins the
+    * (small) static dimension, explicitly broadcast — stateless, no
+    * watermark, no shuffle of the stream side. The streaming analog of
+    * the batch broadcast dim join in `entry`. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
 }

@@ -55,4 +55,35 @@ class StreamingSpec extends SparkTestBase {
     // session event counts must sum to the total event count
     assert(rows.map(_.getLong(2)).sum == Tables.events(spark, sf).count())
   }
+
+  test("streaming dedup emits each event once despite a replayed input file") {
+    // at-least-once delivery simulated by the same file arriving twice
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    for (name <- Seq("events_a.parquet", "events_b.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve(name))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = EventStream.dedupEvents(withEventTime(stream))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_ev").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = Tables.events(spark, sf).count()
+    assert(spark.table("dedup_ev").count() === n)
+    assert(spark.table("dedup_ev").select("event_id").distinct().count() === n)
+  }
+
+  test("stream-static enrichment joins every event to the broadcast dim") {
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val dim = Tables.events(spark, sf)
+      .select(col("user_id")).distinct()
+      .withColumn("cohort", (col("user_id") % 2).cast("string"))
+    val q = EventStream.enrich(withEventTime(stream), dim, "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("enriched")
+    assert(out.count() === Tables.events(spark, sf).count())
+    // every user is in the dim, so the left join never null-pads
+    assert(out.filter(col("cohort").isNull).count() === 0L)
+  }
 }
