@@ -226,6 +226,19 @@ object Dedup {
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** 4-band banding of a simhash signature relation: one row per
+    * (doc_id, band_id, bkey) where bkey is the `bandBits`-wide slice of
+    * the signature. Shared by [[simhashPairs]] (candidate mining) and the
+    * bucket-health observability key (`dedup_bucket_overflow`). */
+  def simhashBands(sigs: DataFrame, bandBits: Int = 16): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    sigs.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bkey"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.bkey").as("bkey"))
+  }
+
   /** Near-dup pairs by SimHash: 4-band bucketing over `bandBits`-wide
     * slices (any equal band → candidate; catches all pairs with Hamming
     * distance ≤ 3 by pigeonhole when ≤ 3 of 4 bands differ), verified
@@ -234,13 +247,7 @@ object Dedup {
     * [[simhashPortable]]. */
   def simhashPairs(sigs: DataFrame, maxHamming: Int,
                    maxBucket: Int = 1000, bandBits: Int = 16): DataFrame = {
-    val mask = (1L << bandBits) - 1
-    val banded = sigs.select(col("doc_id"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band_id"),
-          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bkey"))): _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.bkey").as("bkey"))
-    val pairs = bucketPairs(banded, Seq("band_id", "bkey"), maxBucket)
+    val pairs = bucketPairs(simhashBands(sigs, bandBits), Seq("band_id", "bkey"), maxBucket)
     val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
     pairs.join(a, "doc_a").join(b, "doc_b")
