@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{Functions, MinHashMd5, WikiPageParse}
+
+/** Library integration point: the engine's custom SQL functions injected
+  * at session build time, the standard way a Spark library ships its
+  * surface to users who never call Scala code:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   -- or --
+  *   SparkSession.builder().withExtensions(new GraftExtensions()) ...
+  * }}}
+  *
+  * After which `minhash_md5`, `wiki_pages` (a LATERAL VIEW generator) and
+  * `topk3` resolve in plain SQL. Shares its builders with the runtime
+  * [[graft.functions.Functions.register]] path so the two never drift.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("minhash_md5"),
+      new ExpressionInfo(classOf[MinHashMd5].getName, "minhash_md5"),
+      Functions.minhashMd5Builder))
+    ext.injectFunction((FunctionIdentifier("wiki_pages"),
+      new ExpressionInfo(classOf[WikiPageParse].getName, "wiki_pages"),
+      Functions.wikiPagesBuilder))
+    ext.injectFunction((FunctionIdentifier("topk3"),
+      new ExpressionInfo(classOf[graft.functions.TopKAgg].getName, "topk3"),
+      Functions.topk3Builder))
+  }
+}

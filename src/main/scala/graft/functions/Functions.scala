@@ -1,6 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftshim.ColumnShim
 
 /** SQL registration for the engine's custom expressions, so `spark.sql`
   * users get the same surface as the Column API:
@@ -9,27 +11,37 @@ import org.apache.spark.sql.SparkSession
   *   graft.functions.Functions.register(spark)
   *   spark.sql("SELECT minhash_md5(shingles, 0) FROM docs")
   * }}}
+  *
+  * For registration without code (spark-submit / thrift server), set
+  * `spark.sql.extensions=graft.GraftExtensions` instead — both paths
+  * share the builders below.
   */
 object Functions {
+
+  private[graft] def minhashMd5Builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "minhash_md5(array<string>, perm_int)")
+    val perm = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => other.eval().asInstanceOf[Number].intValue()
+    }
+    MinHashMd5(exprs.head, perm)
+  }
+
+  private[graft] def wikiPagesBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "wiki_pages(xml_string)")
+    WikiPageParse(exprs.head)
+  }
+
+  /** The typed-Aggregator UDAF as an Expression builder (the same
+    * ScalaAggregator construction `spark.udf.register` performs). */
+  private[graft] def topk3Builder(exprs: Seq[Expression]): Expression =
+    ColumnShim.udafExpression(TopKAgg.topK(3), exprs)
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_md5",
-      exprs => {
-        require(exprs.length == 2, "minhash_md5(array<string>, perm_int)")
-        val perm = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => other.eval().asInstanceOf[Number].intValue()
-        }
-        MinHashMd5(exprs.head, perm)
-      },
-      "scala_udf")
+      "minhash_md5", minhashMd5Builder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "wiki_pages",
-      exprs => {
-        require(exprs.length == 1, "wiki_pages(xml_string)")
-        WikiPageParse(exprs.head)
-      },
-      "scala_udf")
+      "wiki_pages", wikiPagesBuilder, "scala_udf")
     // UDAF surface: SELECT topk3(value, tag) ... GROUP BY g
     spark.udf.register("topk3", TopKAgg.topK(3))
   }

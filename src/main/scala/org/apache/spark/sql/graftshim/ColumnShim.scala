@@ -12,4 +12,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** A typed-Aggregator UDAF as a catalyst aggregate expression — what
+    * `UDFRegistration.register(name, udaf)` builds internally (the
+    * `ScalaAggregator` companion is `private[sql]`); needed to inject a
+    * UDAF through `SparkSessionExtensions.injectFunction`, where the
+    * builder must return a plain `Expression`. */
+  def udafExpression(udf: org.apache.spark.sql.expressions.UserDefinedFunction,
+                     children: Seq[Expression]): Expression = udf match {
+    case agg: org.apache.spark.sql.expressions.UserDefinedAggregator[_, _, _] =>
+      org.apache.spark.sql.execution.aggregate.ScalaAggregator(
+        agg.asInstanceOf[org.apache.spark.sql.expressions.UserDefinedAggregator[Any, Any, Any]],
+        children).toAggregateExpression()
+    case other =>
+      throw new IllegalArgumentException(s"not a typed-Aggregator UDAF: $other")
+  }
 }

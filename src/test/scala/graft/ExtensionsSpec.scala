@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The config-time integration path: a session built with
+  * `withExtensions(new GraftExtensions())` (equivalently
+  * `spark.sql.extensions=graft.GraftExtensions`) resolves the engine's
+  * SQL functions with NO runtime `Functions.register` call. */
+class ExtensionsSpec extends SparkTestBase {
+
+  test("GraftExtensions injects minhash_md5, wiki_pages and topk3 at build time") {
+    val base = SparkTestBase.session // force the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // reuses base's SparkContext; a fresh session gets the extensions
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      assert(s2 ne base, "builder must create a NEW session for injection")
+
+      val mh = s2.sql("SELECT minhash_md5(array('a','b','c'), 0) AS h").collect()
+      assert(mh.length == 1 && mh.head.get(0) != null)
+
+      val titles = s2.sql(
+        """SELECT p.title FROM
+             (SELECT '<page><title>T</title><id>1</id><text>x</text></page>' AS xml)
+           LATERAL VIEW wiki_pages(xml) p AS title, id, text, links""")
+        .collect().map(_.getString(0))
+      assert(titles.toSeq == Seq("T"))
+
+      val tk = s2.sql(
+        "SELECT topk3(v, t) AS top FROM VALUES (3.0D,'a'),(1.0D,'b'),(2.0D,'c') AS x(v, t)")
+        .collect().head.getString(0)
+      assert(tk == "a,c,b")
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
