@@ -473,6 +473,19 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("doc_a", "doc_b")),
 
+    // LSH bucket-health observability (the side-channel behind the
+    // bucketPairs degenerate-corpus cap): band keys shared by >cap docs,
+    // with their sizes — what a pipeline operator would alert on before
+    // a boilerplate-heavy corpus goes quadratic
+    "dedup_bucket_overflow" -> ((s, d) =>
+      Dedup.bucketOverflow(
+          Dedup.simhashBands(
+            Dedup.simhashPortable(documents(s, d), "doc_id", "text"), bandBits = 15),
+          Seq("band_id", "bkey"), maxBucket = 1)
+        .select(col("band_id").cast("long").as("band_id"), col("bkey"),
+          col("bucket_size"))
+        .orderBy("band_id", "bkey")),
+
     // embedding-cosine near-dup pairs. The corpus has no natural
     // near-dups (max pairwise cosine ~0.46), so the key unions each
     // vector with a +0.01-on-dim-0 perturbed copy (id+10000) IN DOUBLE
@@ -532,6 +545,15 @@ object SparkEntry {
     // lists can never drift between engines
     "text_langid" -> ((s, d) =>
       TextAnalysis.langId(documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // composite corpus curation: quality gates + language filter +
+    // exact-dedup keeper, all in one scan + one content-hash shuffle
+    "curate_corpus" -> ((s, d) =>
+      TextAnalysis.curate(documents(s, d), "doc_id", "text")
+        .filter(col("is_keeper") && col("n_tokens") >= 10 &&
+          col("stop_ratio") > 0 && col("lang_pred") === "en")
+        .select("doc_id", "n_tokens", "stop_ratio", "lang_pred")
+        .orderBy("doc_id")),
 
     // multimodal plumbing: binary payload → per-partition decode (stub) →
     // fixed-width features. ORACLE-CHECKED: the corpus is ASCII (asserted
@@ -663,6 +685,50 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — same column names, same ordering, same rounding.
   // ---------------------------------------------------------------------
+
+  /** Shared CTE prefix for the portable-simhash oracles: tokenize →
+    * per-word md5-bit sums → 60-bit signature → 4×15-bit bands. Mirrors
+    * `Dedup.simhashPortable` + `Dedup.simhashBands` digit for digit. */
+  private lazy val simhashOracleCtes: String = {
+    val bitSums = (0 until 60).map { i =>
+      s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1) >> ${i % 4}) & 1) = 1 THEN cnt ELSE -cnt END) AS b$i"
+    }.mkString(",\n             ")
+    val sigExpr = (0 until 60)
+      .map(i => s"(CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         occ AS (SELECT doc_id, word, count(*) AS cnt
+           FROM (SELECT doc_id, unnest(w) AS word FROM tok) GROUP BY doc_id, word),
+         hh AS (SELECT doc_id, cnt, md5(word) AS h FROM occ),
+         bits AS (SELECT doc_id,
+             $bitSums
+           FROM hh GROUP BY doc_id),
+         sig AS (SELECT doc_id, $sigExpr AS sig FROM bits),
+         bands AS (SELECT s.doc_id, b.band_id, (s.sig >> (b.band_id * 15)) & 32767 AS bkey
+           FROM sig s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) b)"""
+  }
+
+  /** Shared CTE body (no leading WITH) for the language-ID oracles:
+    * tokenize → per-language stopword scores → ranked argmax (`best`).
+    * Generated from the same `TextAnalysis.LangStopWords` the Spark side
+    * uses, so the profile lists can never drift. */
+  private lazy val langIdOracleCtes: String = {
+    val branches = graft.text.TextAnalysis.LangStopWords.toSeq.sortBy(_._1)
+      .map { case (lang, sw) =>
+        val list = sw.map(s => s"'$s'").mkString("[", ", ", "]")
+        s"""SELECT doc_id, '$lang' AS lang,
+             CAST(len(list_filter(w, x -> list_contains($list, x))) AS BIGINT) AS score
+           FROM tok"""
+      }.mkString("\n         UNION ALL ")
+    s"""tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         scored AS (
+         $branches),
+         best AS (SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rn
+           FROM scored)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -905,31 +971,20 @@ object SparkEntry {
     // Dedup.simhashPortable does: bit 4j+k of the signature = bit k of hex
     // digit j+1 of md5(word), occurrence-weighted. The 60 per-bit sums and
     // the signature assembly are generated, not hand-written.
-    "dedup_simhash_pairs" -> {
-      val bitSums = (0 until 60).map { i =>
-        s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1) >> ${i % 4}) & 1) = 1 THEN cnt ELSE -cnt END) AS b$i"
-      }.mkString(",\n             ")
-      val sigExpr = (0 until 60)
-        .map(i => s"(CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
-        .mkString(" + ")
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         occ AS (SELECT doc_id, word, count(*) AS cnt
-           FROM (SELECT doc_id, unnest(w) AS word FROM tok) GROUP BY doc_id, word),
-         hh AS (SELECT doc_id, cnt, md5(word) AS h FROM occ),
-         bits AS (SELECT doc_id,
-             $bitSums
-           FROM hh GROUP BY doc_id),
-         sig AS (SELECT doc_id, $sigExpr AS sig FROM bits),
-         bands AS (SELECT s.doc_id, b.band_id, (s.sig >> (b.band_id * 15)) & 32767 AS bkey
-           FROM sig s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+    "dedup_simhash_pairs" ->
+      s"""$simhashOracleCtes,
          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            FROM bands x JOIN bands y
              ON x.band_id = y.band_id AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
          SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
          FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
          WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
-         ORDER BY doc_a, doc_b"""
-    },
+         ORDER BY doc_a, doc_b""",
+    "dedup_bucket_overflow" ->
+      s"""$simhashOracleCtes
+         SELECT CAST(band_id AS BIGINT) AS band_id, bkey, count(*) AS bucket_size
+         FROM bands GROUP BY band_id, bkey HAVING count(*) > 1
+         ORDER BY band_id, bkey""",
     // The decode-stub checksum is ((acc*31 + byte) % 1000000007) folded
     // over the utf-8 payload bytes; on the (spec-asserted) ASCII corpus
     // byte == unicode(char), so DuckDB reproduces it character by
@@ -1064,26 +1119,32 @@ object SparkEntry {
     // The zh CJK branch is omitted: on the spec-asserted ASCII corpus its
     // score is identically 0, which can neither win a positive argmax nor
     // change the all-zero case (both engines then emit 'und' with score 0).
-    "text_langid" -> {
-      val branches = graft.text.TextAnalysis.LangStopWords.toSeq.sortBy(_._1)
-        .map { case (lang, sw) =>
-          val list = sw.map(s => s"'$s'").mkString("[", ", ", "]")
-          s"""SELECT doc_id, '$lang' AS lang,
-             CAST(len(list_filter(w, x -> list_contains($list, x))) AS BIGINT) AS score
-           FROM tok"""
-        }.mkString("\n         UNION ALL ")
-      s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-         scored AS (
-         $branches),
-         best AS (SELECT doc_id, lang, score,
-             row_number() OVER (PARTITION BY doc_id
-                                ORDER BY score DESC, lang DESC) AS rn
-           FROM scored)
+    "text_langid" ->
+      s"""WITH $langIdOracleCtes
          SELECT doc_id,
              CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
              score AS lang_score
-         FROM best WHERE rn = 1 ORDER BY doc_id"""
-    },
+         FROM best WHERE rn = 1 ORDER BY doc_id""",
+    // Composite curation: quality gates + language filter + exact-dedup
+    // keeper flag — a min-over-content-hash window, the same shape as the
+    // Spark side (no keeper-set join)
+    "curate_corpus" ->
+      s"""WITH $langIdOracleCtes,
+         lang AS (SELECT doc_id,
+             CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+           FROM best WHERE rn = 1),
+         m AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             round(CAST(len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS stop_ratio,
+             (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_keeper
+           FROM documents)
+         SELECT m.doc_id, m.n_tokens, m.stop_ratio, l.lang_pred
+         FROM m JOIN lang l ON l.doc_id = m.doc_id
+         WHERE m.is_keeper AND m.n_tokens >= 10 AND m.stop_ratio > 0
+           AND l.lang_pred = 'en'
+         ORDER BY m.doc_id""",
     "text_quality" ->
       """SELECT doc_id,
              CAST(length(text) AS BIGINT) AS n_chars,

@@ -13,6 +13,12 @@ object TextAnalysis {
 
   private val StopWords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 
+  /** Stopword fraction of a token array (shared by [[quality]] and
+    * [[curate]] so the two can't drift). */
+  private def stopRatio(words: Column): Column =
+    round(size(filter(words, w => w.isInCollection(StopWords))).cast("double")
+      / size(words), 6)
+
   /** Quality features per document. Ratios are exact-integer divisions
     * (bit-reproducible across engines). */
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -21,8 +27,7 @@ object TextAnalysis {
       col(idCol).as("doc_id"),
       length(col(textCol)).cast("long").as("n_chars"),
       size(words).cast("long").as("n_tokens"),
-      round(size(filter(words, w => w.isInCollection(StopWords))).cast("double")
-        / size(words), 6).as("stop_ratio"),
+      stopRatio(words).as("stop_ratio"),
       round(size(array_distinct(words)).cast("double") / size(words), 6)
         .as("distinct_ratio"),
       // single-spaced text: letters = chars - (tokens-1) separators
@@ -63,20 +68,50 @@ object TextAnalysis {
     * by stopword hits; CJK by han-character count; argmax wins (ties break
     * lexicographically via struct ordering — deterministic). Emits "und"
     * when nothing scores. */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = TextOps.tokenize(lower(col(textCol)))
+  /** The winning (score, lang) struct for a text column — argmax over the
+    * per-language stopword hit counts plus the CJK codepoint branch.
+    * Shared by [[langId]] and [[curate]]. */
+  private def bestLang(textCol: Column): Column = {
+    val words = TextOps.tokenize(lower(textCol))
     val scored = LangStopWords.toSeq.sortBy(_._1).map { case (lang, sw) =>
       struct(size(filter(words, w => w.isInCollection(sw))).cast("long").as("score"),
         lit(lang).as("lang"))
     } :+ struct(
-      (length(col(textCol)) - length(regexp_replace(col(textCol), "[\\u4e00-\\u9fff]", "")))
+      (length(textCol) - length(regexp_replace(textCol, "[\\u4e00-\\u9fff]", "")))
         .cast("long").as("score"),
       lit("zh").as("lang"))
-    val best = array_max(array(scored: _*))
+    array_max(array(scored: _*))
+  }
+
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val best = bestLang(col(textCol))
     docs.select(
       col(idCol).as("doc_id"),
       when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
         .as("lang_pred"),
       best.getField("score").as("lang_score"))
+  }
+
+  /** One-pass corpus curation — the composite filter chain a training-data
+    * pipeline runs before tokenization: quality metrics, language ID and
+    * the exact-dedup keeper flag computed together.
+    *
+    * Scale shape: everything except the keeper flag is a per-row
+    * projection fused into the scan; the keeper flag is a min-over-window
+    * partitioned by the content hash — ONE shuffle, no second scan of the
+    * corpus and no keeper-set join (a keeper relation at 100 TB is nearly
+    * as large as the corpus, so a semi-join formulation would shuffle
+    * twice and scan twice). Callers filter on the emitted columns. */
+  def curate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = TextOps.tokenize(col(textCol))
+    val best = bestLang(col(textCol))
+    val byContent = org.apache.spark.sql.expressions.Window.partitionBy(md5(col(textCol)))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(words).cast("long").as("n_tokens"),
+      stopRatio(words).as("stop_ratio"),
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+        .as("lang_pred"),
+      (col(idCol) === min(col(idCol)).over(byContent)).as("is_keeper"))
   }
 }

@@ -87,6 +87,12 @@ class PlanSpec extends SparkTestBase {
     assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
   }
 
+  test("curate_corpus reads the corpus once: no keeper-set self-join") {
+    val p = plan("curate_corpus")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
   test("window_lag_lead serves all three window functions from one sort") {
     val p = plan("window_lag_lead")
     // one Window operator (lag/lead/ntile share the partition+order), so a
