@@ -64,4 +64,28 @@ object EventStream {
     * the batch broadcast dim join in `entry`. */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream interval join: each purchase paired with the same
+    * user's clicks from the preceding `window`. Both sides are streams,
+    * so each buffers rows in join state; the event-time range condition
+    * plus the watermarks lets Spark evict state once the watermark passes
+    * a row's join horizon — state is bounded by (window + watermark) ×
+    * arrival rate, never by history. Without the range condition this
+    * join would be unbounded-state and must not ship. */
+  def purchaseClickJoin(events: DataFrame, window: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("t").as("click_t"))
+      .withWatermark("click_t", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("t").as("purchase_t"))
+      .withWatermark("purchase_t", watermark)
+    purchases.join(clicks,
+        col("click_user") === col("user_id") &&
+        col("click_t") <= col("purchase_t") &&
+        col("click_t") >= col("purchase_t") - expr(s"INTERVAL $window"))
+      .select("purchase_id", "user_id", "purchase_t", "click_id", "click_t")
+  }
 }

@@ -72,6 +72,34 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("dedup_ev").select("event_id").distinct().count() === n)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStream.purchaseClickJoin(withEventTime(stream))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssjoin")
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch reference: identical predicate, no watermarks
+    val ev = withEventTime(Tables.events(spark, sf))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("t").as("click_t"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("t").as("purchase_t"))
+    val want = p.join(c,
+        col("click_user") === col("user_id") &&
+        col("click_t") <= col("purchase_t") &&
+        col("click_t") >= col("purchase_t") - expr("INTERVAL 1 hour"))
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("stream-static enrichment joins every event to the broadcast dim") {
     val stream = spark.readStream.schema(schema).parquet(streamDir)
     val dim = Tables.events(spark, sf)
