@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("wiki_pages"),
       new ExpressionInfo(classOf[WikiPageParse].getName, "wiki_pages"),
       Functions.wikiPagesBuilder))
+    ext.injectFunction((FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[graft.functions.SimHashPortable].getName, "simhash60"),
+      Functions.simhash60Builder))
     ext.injectFunction((FunctionIdentifier("topk3"),
       new ExpressionInfo(classOf[graft.functions.TopKAgg].getName, "topk3"),
       Functions.topk3Builder))

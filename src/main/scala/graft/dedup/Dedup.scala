@@ -206,10 +206,24 @@ object Dedup {
     * engine with md5 reproduces it digit for digit (the DuckDB oracle
     * does exactly that). 60 bits (15 hex digits) keeps the signature
     * strictly positive in a signed 64-bit integer in every engine.
-    * Prefer [[simhash]] (xxhash64, full 64 bits) at scale: no hex-string
-    * materialization or per-digit conv. */
+    *
+    * Computed by the fused [[graft.functions.SimHashPortable]]
+    * expression: a per-document map-side projection — no token explode,
+    * no shuffles (the composed relational form below shuffles twice).
+    * Byte-equality of the two forms is spec-asserted. */
   def simhashPortable(docs: DataFrame, idCol: String, textCol: String,
-                      nBits: Int = 60): DataFrame = {
+                      nBits: Int = 60): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.SimHashPortable.simhash(
+          TextOps.tokenize(col(textCol)), nBits).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The composed relational formulation of [[simhashPortable]] (explode
+    * → count per word → 60 conditional sums): kept as the independent
+    * cross-check the equivalence spec runs against the fused expression,
+    * and as the shape the DuckDB oracle mirrors. */
+  private[graft] def simhashPortableComposed(docs: DataFrame, idCol: String, textCol: String,
+                                             nBits: Int = 60): DataFrame = {
     val occ = docs
       .select(col(idCol).as("doc_id"), explode(TextOps.tokenize(col(textCol))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
@@ -245,8 +259,13 @@ object Dedup {
     * with bit_count(xor) ≤ maxHamming after re-attaching the signatures.
     * bandBits = 16 covers the 64-bit [[simhash]]; 15 covers the 60-bit
     * [[simhashPortable]]. */
-  def simhashPairs(sigs: DataFrame, maxHamming: Int,
+  def simhashPairs(sigs0: DataFrame, maxHamming: Int,
                    maxBucket: Int = 1000, bandBits: Int = 16): DataFrame = {
+    // The signature relation feeds THREE consumers (banding + both
+    // re-attach sides) and Spark re-executes a shared lazy subplan per
+    // consumer — materialize the tiny (doc_id, simhash) relation once
+    // (same staging pattern as ngramVerify's candidate set).
+    val sigs = sigs0.localCheckpoint()
     val pairs = bucketPairs(simhashBands(sigs, bandBits), Seq("band_id", "bkey"), maxBucket)
     val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))

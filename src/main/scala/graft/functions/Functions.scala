@@ -32,6 +32,11 @@ object Functions {
     WikiPageParse(exprs.head)
   }
 
+  private[graft] def simhash60Builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "simhash60(array<string> tokens)")
+    SimHashPortable(exprs.head, 60)
+  }
+
   /** The typed-Aggregator UDAF as an Expression builder (the same
     * ScalaAggregator construction `spark.udf.register` performs). */
   private[graft] def topk3Builder(exprs: Seq[Expression]): Expression =
@@ -42,6 +47,8 @@ object Functions {
       "minhash_md5", minhashMd5Builder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "wiki_pages", wikiPagesBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash60", simhash60Builder, "scala_udf")
     // UDAF surface: SELECT topk3(value, tag) ... GROUP BY g
     spark.udf.register("topk3", TopKAgg.topK(3))
   }

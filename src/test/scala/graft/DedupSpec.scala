@@ -106,6 +106,24 @@ class DedupSpec extends SparkTestBase {
     assert(capped == tiny)
   }
 
+  test("fused simhash_portable equals the composed relational form on the corpus") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fused = Dedup.simhashPortable(real, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val composed = Dedup.simhashPortableComposed(real, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fused == composed)
+    assert(fused.nonEmpty)
+    // degenerate inputs: empty / all-null token arrays drop the doc on
+    // both forms (composed loses the rows in the explode)
+    import org.apache.spark.sql.functions._
+    val empty = spark.sql("SELECT 1L AS doc_id, '' AS text")
+      .select(col("doc_id"),
+        graft.functions.SimHashPortable.simhash(
+          graft.ops.TextOps.tokenize(col("text")), 60).as("simhash"))
+    assert(empty.collect().head.isNullAt(1))
+  }
+
   test("simhash: identical docs share signature; near-dups are close in Hamming") {
     val sigs = Dedup.simhash(docs, "doc_id", "text")
     val m = sigs.as[(Long, Long)].collect().toMap

@@ -35,6 +35,10 @@ class ExtensionsSpec extends SparkTestBase {
         "SELECT topk3(v, t) AS top FROM VALUES (3.0D,'a'),(1.0D,'b'),(2.0D,'c') AS x(v, t)")
         .collect().head.getString(0)
       assert(tk == "a,c,b")
+
+      val sh = s2.sql("SELECT simhash60(array('spark', 'join')) AS sig")
+        .collect().head.getLong(0)
+      assert(sh > 0L) // 60-bit signature is strictly positive by design
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
