@@ -114,4 +114,20 @@ object TextAnalysis {
         .as("lang_pred"),
       (col(idCol) === min(col(idCol)).over(byContent)).as("is_keeper"))
   }
+
+  /** [[curate]] plus free data-quality counters via `Dataset.observe`:
+    * total docs, dedup keepers, language histogram top slot and token
+    * mass, accumulated DURING the pass (no second scan, no count jobs) —
+    * the numbers a production curation pipeline alerts on. Read the
+    * `Observation` after an action on the returned frame. */
+  def curateObserved(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("curation")
+    val df = curate(docs, idCol, textCol).observe(obs,
+      count(lit(1)).as("n_docs"),
+      sum(when(col("is_keeper"), 1L).otherwise(0L)).as("n_keepers"),
+      sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"),
+      sum(col("n_tokens")).as("token_mass"))
+    (df, obs)
+  }
 }

@@ -100,6 +100,27 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("foreachBatch sink: per-batch transform lands in queryable parquet") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-febatch").toString
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStream.hourlyTypeCounts(withEventTime(stream))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the arbitrary-sink escape hatch: full batch DataFrame API
+        // available per micro-batch (complete mode → overwrite = upsert)
+        batch.write.mode("overwrite").parquet(outDir)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("hour_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = EventStream.hourlyTypeCounts(withEventTime(Tables.events(spark, sf)))
+      .select("hour_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("stream-static enrichment joins every event to the broadcast dim") {
     val stream = spark.readStream.schema(schema).parquet(streamDir)
     val dim = Tables.events(spark, sf)

@@ -44,6 +44,17 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("curateObserved accumulates data-quality counters during the pass") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (df, obs) = TextAnalysis.curateObserved(docs, "doc_id", "text")
+    val rows = df.collect()
+    val m = obs.get
+    assert(m("n_docs") == docs.count())
+    assert(m("n_keepers") == rows.count(_.getBoolean(4)))
+    assert(m("n_en") == rows.count(_.getString(3) == "en"))
+    assert(m("token_mass") == rows.map(_.getLong(1)).sum)
+  }
+
   test("langId identifies real-language samples via stopword profiles") {
     val docs = Seq(
       (1L, "the cat sat on the mat and it was happy for a while"),
