@@ -21,6 +21,8 @@ import graft.functions.{Functions, MinHashMd5, WikiPageParse}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator surface: the as-of merge-scan plan
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((FunctionIdentifier("minhash_md5"),
       new ExpressionInfo(classOf[MinHashMd5].getName, "minhash_md5"),
       Functions.minhashMd5Builder))

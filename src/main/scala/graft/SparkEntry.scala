@@ -286,6 +286,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // the same as-of join through the CUSTOM PLAN route (§7.3 step c):
+    // AsOfJoinPlan logical node → AsOfJoinStrategy → co-partitioned
+    // merge-scan exec. Must hash-match the identical DuckDB oracle as
+    // join_asof (the union+window form is the engine-internal cross-check)
+    "join_asof_merge" -> ((s, d) => {
+      val ev = events(s, d).withColumn("t_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "t_us")
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("t_us"),
+          col("m.event_id").as("click_id"), col("m.value").as("click_value"))
+      graft.plans.AsOfMergeJoin.asOf(purchases, clicks, "user_id", "t_us",
+          Seq("click_id", "click_value"))
+        .filter(col("click_id").isNotNull) // inner semantics like ASOF JOIN
+        .orderBy("event_id")
+    }),
+
     // skew-resistant two-phase salted aggregation (same result as a plain
     // group-sum — oracle is the UNSALTED formulation)
     "group_sum_salted" -> ((s, d) =>
@@ -708,6 +727,22 @@ object SparkEntry {
            FROM sig s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) b)"""
   }
 
+  /** One oracle, two engine formulations (`join_asof` union+window,
+    * `join_asof_merge` custom merge-scan plan): DuckDB's NATIVE ASOF
+    * JOIN — an independent third implementation. */
+  private val asOfOracleSql: String =
+    """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                  event_type, value
+           FROM events),
+         p AS (SELECT event_id, user_id, t_us FROM ev WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, t_us, max(event_id) AS click_id,
+                      arg_max(value, event_id) AS click_value
+               FROM ev WHERE event_type = 'click' GROUP BY user_id, t_us)
+         SELECT p.event_id, p.user_id, p.t_us, c.click_id, c.click_value
+         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.t_us >= c.t_us
+         ORDER BY p.event_id"""
+
   /** Shared CTE body (no leading WITH) for the language-ID oracles:
     * tokenize → per-language stopword scores → ranked argmax (`best`).
     * Generated from the same `TextAnalysis.LangStopWords` the Spark side
@@ -831,18 +866,10 @@ object SparkEntry {
                  ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
          FROM orders ORDER BY o_orderkey""",
-    "join_asof" ->
-      """WITH ev AS (
-           SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
-                  event_type, value
-           FROM events),
-         p AS (SELECT event_id, user_id, t_us FROM ev WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, t_us, max(event_id) AS click_id,
-                      arg_max(value, event_id) AS click_value
-               FROM ev WHERE event_type = 'click' GROUP BY user_id, t_us)
-         SELECT p.event_id, p.user_id, p.t_us, c.click_id, c.click_value
-         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.t_us >= c.t_us
-         ORDER BY p.event_id""",
+    "join_asof" -> asOfOracleSql,
+    // identical oracle: the custom merge-scan operator must reproduce the
+    // union+window formulation bit for bit
+    "join_asof_merge" -> asOfOracleSql,
     "group_sum_salted" ->
       """SELECT l_returnflag, l_linestatus,
              round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_base

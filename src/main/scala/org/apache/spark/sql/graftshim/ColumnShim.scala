@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Spark 4 made Column↔Expression conversion `private[sql]`
@@ -27,4 +28,11 @@ object ColumnShim {
     case other =>
       throw new IllegalArgumentException(s"not a typed-Aggregator UDAF: $other")
   }
+
+  /** Wrap a (resolved) logical plan as a DataFrame —
+    * `classic.Dataset.ofRows` is `private[sql]`; needed by libraries that
+    * contribute custom logical operators (graft's as-of merge join). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.AsOfJoin
+import graft.plans.AsOfMergeJoin
+
+/** The custom merge-scan as-of operator must agree with the composed
+  * union+window formulation everywhere — including the edges the real
+  * corpus doesn't exercise. */
+class AsOfMergeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def crafted = (
+    // left: (id, key, t)
+    Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 10L, 200L),
+        (4L, 20L, 100L), (5L, 30L, 100L), (6L, 20L, 99L))
+      .toDF("id", "k", "t"),
+    // right: (key, t, payload); unique per (key, t); key 30 absent;
+    // key 20 has a row exactly AT a left time (<= must match it)
+    Seq((10L, 40L, "a"), (10L, 100L, "b"), (10L, 150L, "c"),
+        (20L, 100L, "d"), (40L, 10L, "z"))
+      .toDF("k", "t", "payload"))
+
+  test("merge exec equals the union+window form on crafted edges") {
+    val (l, r) = crafted
+    val viaWindow = AsOfJoin.asOf(l, r, "k", "t", Seq("payload"))
+      .select("id", "payload").as[(Long, Option[String])].collect().toMap
+    val viaMerge = AsOfMergeJoin.asOf(l, r, "k", "t", Seq("payload"))
+      .select("id", "payload").as[(Long, Option[String])].collect().toMap
+    assert(viaMerge == viaWindow)
+    // and both match the hand-computed truth
+    assert(viaMerge == Map(
+      1L -> Some("b"), // equal-time right row matches (<=)
+      2L -> Some("a"), // earlier row only
+      3L -> Some("c"),
+      4L -> Some("d"), // exact-time match on another key
+      5L -> None,      // key with no right rows at all
+      6L -> None))     // right rows exist but all later
+  }
+
+  test("merge exec equals the union+window form on the events corpus") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("t_us", expr("ts div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("t_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "t_us")
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("t_us"),
+        col("m.event_id").as("click_id"), col("m.value").as("click_value"))
+    val a = AsOfJoin.asOf(purchases, clicks, "user_id", "t_us",
+        Seq("click_id", "click_value"))
+      .collect().map(_.toSeq).toSet
+    val b = AsOfMergeJoin.asOf(purchases, clicks, "user_id", "t_us",
+        Seq("click_id", "click_value"))
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("merge exec plans one shuffle per side and no union relation") {
+    val (l, r) = crafted
+    val p = AsOfMergeJoin.asOf(l, r, "k", "t", Seq("payload"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfMergeJoin"), p.take(1200))
+    assert(!p.contains("Union") && !p.contains("Window"), p.take(1200))
+  }
+}
