@@ -93,6 +93,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), p.take(800))
   }
 
+  test("curate_corpus never shuffles the raw text, only metrics + hash") {
+    val exec = SparkEntry.queries("curate_corpus")(spark, sf)
+      .queryExecution.executedPlan match {
+      // AQE wraps the real plan; collect() does not descend into it
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffleInputs = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name)
+    }
+    assert(shuffleInputs.nonEmpty)
+    assert(!shuffleInputs.flatten.contains("text"),
+      s"text column crossed a shuffle: $shuffleInputs")
+  }
+
   test("window_lag_lead serves all three window functions from one sort") {
     val p = plan("window_lag_lead")
     // one Window operator (lag/lead/ntile share the partition+order), so a
