@@ -73,4 +73,30 @@ object GraftProperties extends Properties("graft") {
         .as[(String, Double)].collect()
       got.length == g.size && got.forall(_._2 >= 0.15 - 1e-12)
     }
+
+  // random as-of inputs: few keys + small times force heavy key/time
+  // collisions; right side deduped per (key, ts) as the contract requires
+  private val asofGen: Gen[(Seq[(Long, Long, Long)], Seq[(Long, Long, String)])] = for {
+    nl <- Gen.choose(1, 12)
+    nr <- Gen.choose(0, 12)
+    ls <- Gen.listOfN(nl, for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 9L)
+    } yield (k, t))
+    rs <- Gen.listOfN(nr, for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 9L)
+      p <- Gen.alphaStr.map(_.take(3))
+    } yield (k, t, p))
+  } yield (ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+           rs.groupBy(r => (r._1, r._2)).values.map(_.head).toSeq)
+
+  property("merge-scan as-of equals the union+window form on random inputs") =
+    forAll(asofGen) { case (ls, rs) =>
+      val l = ls.toDF("id", "k", "t")
+      val r = rs.toDF("k", "t", "p")
+      val a = graft.ops.AsOfJoin.asOf(l, r, "k", "t", Seq("p"))
+        .select("id", "p").as[(Long, Option[String])].collect().toMap
+      val b = graft.plans.AsOfMergeJoin.asOf(l, r, "k", "t", Seq("p"))
+        .select("id", "p").as[(Long, Option[String])].collect().toMap
+      a == b
+    }
 }
