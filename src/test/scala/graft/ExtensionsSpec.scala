@@ -39,6 +39,18 @@ class ExtensionsSpec extends SparkTestBase {
       val sh = s2.sql("SELECT simhash60(array('spark', 'join')) AS sig")
         .collect().head.getLong(0)
       assert(sh > 0L) // 60-bit signature is strictly positive by design
+
+      // planner strategy injection: build the custom logical node
+      // directly (bypassing AsOfMergeJoin.asOf's lazy extraStrategies
+      // registration) — only the injected strategy can plan it
+      import org.apache.spark.sql.graftshim.ColumnShim
+      val l = s2.range(3).selectExpr("id", "id AS k", "id * 10 AS t")
+      val r = s2.range(2).selectExpr("id AS k", "id * 10 AS t",
+        "concat('p', id) AS p")
+      val asof = ColumnShim.ofRows(s2, graft.plans.AsOfJoinPlan(
+        l.queryExecution.analyzed, r.queryExecution.analyzed, "k", "t"))
+      assert(asof.count() == 3L)
+      assert(asof.queryExecution.executedPlan.toString.contains("AsOfMergeJoin"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
