@@ -565,6 +565,16 @@ object SparkEntry {
     "text_langid" -> ((s, d) =>
       TextAnalysis.langId(documents(s, d), "doc_id", "text").orderBy("doc_id")),
 
+    // Gopher-style repetition fractions (map-side only)
+    "text_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // corpus-frequency scoring (perplexity stand-in): mean corpus count
+    // of a doc's tokens + out-of-vocabulary fraction vs the top-1000
+    "text_corpus_freq" -> ((s, d) =>
+      TextAnalysis.corpusFrequency(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // composite corpus curation: quality gates + language filter +
     // exact-dedup keeper, all in one scan + one content-hash shuffle
     "curate_corpus" -> ((s, d) =>
@@ -1338,5 +1348,32 @@ object SparkEntry {
                        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
                FROM orders)
          WHERE rn = 1 ORDER BY o_custkey""",
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         b AS (SELECT doc_id, w,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i + 1])
+                  ELSE [] END AS bg
+           FROM t)
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS dup_token_frac,
+             CASE WHEN len(w) >= 2
+                  THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+                  ELSE 0.0 END AS dup_2gram_frac
+         FROM b ORDER BY doc_id""",
+    "text_corpus_freq" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         wc AS (SELECT word, count(*) AS wc FROM tok GROUP BY word),
+         top AS (SELECT word FROM wc ORDER BY wc DESC, word LIMIT 1000),
+         j AS (SELECT t.doc_id, c.wc,
+                  t.word IN (SELECT word FROM top) AS known
+               FROM tok t JOIN wc c USING (word))
+         SELECT doc_id,
+             count(*) AS n_tokens,
+             round(CAST(sum(wc) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS mean_word_freq,
+             round(CAST(sum(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT)
+               / CAST(count(*) AS DOUBLE), 6) AS oov_frac
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
   )
 }

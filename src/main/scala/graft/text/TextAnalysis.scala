@@ -115,6 +115,53 @@ object TextAnalysis {
       (col(idCol) === min(col(idCol)).over(byContent)).as("is_keeper"))
   }
 
+  /** Repetition metrics — the Gopher-style duplicate-fraction filters
+    * (repeated boilerplate is the classic low-quality signal): fraction
+    * of duplicate tokens and duplicate 2-grams per document. Pure
+    * per-row array expressions: zero shuffles, scan speed. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = TextOps.tokenize(col(textCol))
+    val bg = zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(w).cast("long").as("n_tokens"),
+      round(lit(1.0) - size(array_distinct(w)).cast("double") / size(w), 6)
+        .as("dup_token_frac"),
+      when(size(w) >= 2,
+        round(lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg), 6))
+        .otherwise(lit(0.0)).as("dup_2gram_frac"))
+  }
+
+  /** Corpus-frequency scoring — the cheap stand-in for LM perplexity in a
+    * curation pipeline: mean corpus occurrence count of a document's
+    * tokens (rare-word-heavy docs score low) and the fraction of tokens
+    * outside the top-`topK` vocabulary.
+    *
+    * Scale shape: one corpus-wide word count (single shuffle, partial
+    * aggregation), the top-k vocabulary is bounded and BROADCAST, and the
+    * per-token count re-attach is a plain equi-join — integer sums only,
+    * so the per-doc averages are exact rationals. Top-k ties break on the
+    * word for determinism. */
+  def corpusFrequency(docs: DataFrame, idCol: String, textCol: String,
+                      topK: Int = 1000): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokenize(col(textCol))).as("word"))
+    val counts = tok.groupBy("word").agg(count(lit(1)).as("wc"))
+    val top = counts.orderBy(desc("wc"), asc("word")).limit(topK)
+      .select(col("word").as("vword"))
+    tok.join(counts, "word")
+      .join(broadcast(top), tok("word") === top("vword"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("wc")).as("freq_sum"),
+        sum(when(col("vword").isNull, 1L).otherwise(0L)).as("oov"))
+      .select(col("doc_id"),
+        col("n").as("n_tokens"),
+        round(col("freq_sum").cast("double") / col("n"), 6).as("mean_word_freq"),
+        round(col("oov").cast("double") / col("n"), 6).as("oov_frac"))
+  }
+
   /** [[curate]] plus free data-quality counters via `Dataset.observe`:
     * total docs, dedup keepers, language histogram top slot and token
     * mass, accumulated DURING the pass (no second scan, no count jobs) —
