@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.dedup.Dedup
+import graft.graph.ConnectedComponents
 import graft.index.InvertedIndex
 import graft.ops.{Relational, TextOps}
 import graft.pagerank.PageRank
@@ -525,6 +526,63 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // near-dup CLUSTER resolution: transitive closure over the MinHash
+    // LSH candidate-pair graph (alternating large-star/small-star — see
+    // ConnectedComponents scaladoc for the 100 TB shape); component =
+    // the cluster's min doc_id, so component == doc_id marks the keeper.
+    // Oracle: DuckDB recursive-CTE min-label closure over the same pairs.
+    "neardup_components" -> ((s, d) =>
+      ConnectedComponents.run(
+          Dedup.lshCandidatePairs(
+            Dedup.minhashSignatures(documents(s, d), "doc_id", "text")),
+          "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")),
+
+    // the full near-dup curation chain a training-data pipeline runs:
+    // LSH candidates → exact n-gram-Jaccard verify → connected components
+    // → ONE keeper per near-dup cluster + quality/language gates. The
+    // corpus-side join carries only skinny metric rows (curate projects
+    // the raw text away before the shuffle), and the cluster relation is
+    // bounded by the near-dup candidate set — at scale AQE broadcasts it
+    // when small and shuffle-joins otherwise. Exact dups need no separate
+    // keeper gate here: any two ≥10-token identical texts share all
+    // shingles (Jaccard 1.0), so they land in one cluster by construction.
+    "curate_corpus_neardup" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cc = ConnectedComponents.run(
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5),
+          "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))
+      TextAnalysis.curate(docs, "doc_id", "text")
+        .join(cc, Seq("doc_id"), "left")
+        .filter(coalesce(col("component"), col("doc_id")) === col("doc_id") &&
+          col("n_tokens") >= 10 && col("stop_ratio") > 0 &&
+          col("lang_pred") === "en")
+        .select("doc_id", "n_tokens", "stop_ratio", "lang_pred")
+        .orderBy("doc_id")
+    }),
+
+    // embedding near-dup pairs → clusters: THREE copies of each vector
+    // (base, +0.01 and +0.02 on dim 1 — unit-norm corpus, so all pairwise
+    // cosines stay ≥ 0.9997) must collapse to one component rooted at the
+    // base id; exercises transitivity (a chain a–b, b–c with no a–c pair
+    // still merges) end-to-end on the vector-space dedup path.
+    "dedup_embedding_clusters" -> ((s, d) => {
+      val base = embeddings(s, d).select(col("vec_id").cast("long").as("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      def pert(off: Long, delta: Double) =
+        base.select((col("vec_id") + off).as("vec_id"),
+          transform(col("v"), (x, i) => when(i === 0, x + lit(delta)).otherwise(x)).as("v"))
+      ConnectedComponents.run(
+          Similarity.embeddingNearDupPairs(
+            base.unionByName(pert(10000L, 0.01)).unionByName(pert(20000L, 0.02)),
+            "vec_id", "v", threshold = 0.99, numBands = 4, bitsPerBand = 8),
+          "doc_a", "doc_b")
+        .select(col("node").as("vec_id"), col("component"))
+        .orderBy("vec_id")
+    }),
+
     // exact cosine top-5 per query vector (queries = vec_id < 10)
     "similarity_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embeddings(s, d), "vec_id", "embedding",
@@ -737,6 +795,50 @@ object SparkEntry {
            FROM sig s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) b)"""
   }
 
+  /** Shared CTE prefix for the MinHash oracles: tokenize → distinct
+    * 3-shingles (`sh`) → 8 md5 minhashes → 4×2-row bands → candidate
+    * pairs (`cand`). Mirrors `Dedup.minhashSignatures` + `lshBands` +
+    * `bucketPairs` hash for hash (the sf0.01 corpus has no bucket above
+    * the pair cap, so the capped expansion equals the full self-join). */
+  private lazy val minhashOracleCtes: String = {
+    val sigCols = (0 until 8)
+      .map(p => s"list_min(list_transform(sgl, s -> md5('$p:' || s))) AS s$p")
+      .mkString(",\n             ")
+    val bandRows = (0 until 4).map { b =>
+      val prefix = if (b == 0) "SELECT doc_id, 0 AS band_id, " else s"UNION ALL SELECT doc_id, $b, "
+      s"$prefix s${2 * b} || '|' || s${2 * b + 1}${if (b == 0) " AS bkey" else ""} FROM sig"
+    }.mkString("\n           ")
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sgl FROM tok),
+         sig AS (SELECT doc_id,
+             $sigCols
+           FROM sh),
+         bands AS (
+           $bandRows),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.band_id = y.band_id AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""
+  }
+
+  /** Min-label transitive closure over a pair CTE, as recursive SQL: node
+    * × every label reachable from it, min per node = component. The
+    * closure is O(component²) rows — fine at oracle scale; the Spark side
+    * is the O(log² n)-round star algorithm, which is the point of the
+    * cross-check (two unrelated formulations, one fixpoint). Yields CTEs
+    * `edges`, `cc`, `comp(node, component)`; the full query must open
+    * with WITH RECURSIVE. */
+  private def ccClosureCtes(pairsCte: String, a: String, b: String): String =
+    s"""edges AS (SELECT $a AS eu, $b AS ev FROM $pairsCte
+           UNION ALL SELECT $b, $a FROM $pairsCte),
+         cc(cu, lbl) AS (
+           SELECT eu, eu FROM (SELECT DISTINCT eu FROM edges)
+           UNION
+           SELECT e.eu, c.lbl FROM edges e JOIN cc c ON c.cu = e.ev),
+         comp AS (SELECT cu AS node, min(lbl) AS component FROM cc GROUP BY cu)"""
+
   /** One oracle, two engine formulations (`join_asof` union+window,
     * `join_asof_merge` custom merge-scan plan): DuckDB's NATIVE ASOF
     * JOIN — an independent third implementation. */
@@ -757,21 +859,25 @@ object SparkEntry {
     * tokenize → per-language stopword scores → ranked argmax (`best`).
     * Generated from the same `TextAnalysis.LangStopWords` the Spark side
     * uses, so the profile lists can never drift. */
-  private lazy val langIdOracleCtes: String = {
+  private lazy val langIdOracleCtes: String = langOracleCtes("")
+
+  /** Same CTEs with a name prefix, for composition into oracles whose
+    * namespace already has a (non-lowercased) `tok`. */
+  private def langOracleCtes(p: String): String = {
     val branches = graft.text.TextAnalysis.LangStopWords.toSeq.sortBy(_._1)
       .map { case (lang, sw) =>
         val list = sw.map(s => s"'$s'").mkString("[", ", ", "]")
         s"""SELECT doc_id, '$lang' AS lang,
              CAST(len(list_filter(w, x -> list_contains($list, x))) AS BIGINT) AS score
-           FROM tok"""
+           FROM ${p}tok"""
       }.mkString("\n         UNION ALL ")
-    s"""tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-         scored AS (
+    s"""${p}tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         ${p}scored AS (
          $branches),
-         best AS (SELECT doc_id, lang, score,
+         ${p}best AS (SELECT doc_id, lang, score,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY score DESC, lang DESC) AS rn
-           FROM scored)"""
+           FROM ${p}scored)"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -947,53 +1053,11 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     "dedup_minhash" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (SELECT doc_id, list_distinct(list_transform(
-             generate_series(1, len(w) - 2),
-             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sgl FROM tok),
-         sig AS (SELECT doc_id,
-             list_min(list_transform(sgl, s -> md5('0:' || s))) AS s0,
-             list_min(list_transform(sgl, s -> md5('1:' || s))) AS s1,
-             list_min(list_transform(sgl, s -> md5('2:' || s))) AS s2,
-             list_min(list_transform(sgl, s -> md5('3:' || s))) AS s3,
-             list_min(list_transform(sgl, s -> md5('4:' || s))) AS s4,
-             list_min(list_transform(sgl, s -> md5('5:' || s))) AS s5,
-             list_min(list_transform(sgl, s -> md5('6:' || s))) AS s6,
-             list_min(list_transform(sgl, s -> md5('7:' || s))) AS s7
-           FROM sh),
-         bands AS (
-           SELECT doc_id, 0 AS band_id, s0 || '|' || s1 AS bkey FROM sig
-           UNION ALL SELECT doc_id, 1, s2 || '|' || s3 FROM sig
-           UNION ALL SELECT doc_id, 2, s4 || '|' || s5 FROM sig
-           UNION ALL SELECT doc_id, 3, s6 || '|' || s7 FROM sig)
-         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         FROM bands x JOIN bands y
-           ON x.band_id = y.band_id AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      s"""WITH $minhashOracleCtes
+         SELECT doc_a, doc_b FROM cand
          ORDER BY doc_a, doc_b""",
     "dedup_ngram" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (SELECT doc_id, list_distinct(list_transform(
-             generate_series(1, len(w) - 2),
-             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sgl FROM tok),
-         sig AS (SELECT doc_id,
-             list_min(list_transform(sgl, s -> md5('0:' || s))) AS s0,
-             list_min(list_transform(sgl, s -> md5('1:' || s))) AS s1,
-             list_min(list_transform(sgl, s -> md5('2:' || s))) AS s2,
-             list_min(list_transform(sgl, s -> md5('3:' || s))) AS s3,
-             list_min(list_transform(sgl, s -> md5('4:' || s))) AS s4,
-             list_min(list_transform(sgl, s -> md5('5:' || s))) AS s5,
-             list_min(list_transform(sgl, s -> md5('6:' || s))) AS s6,
-             list_min(list_transform(sgl, s -> md5('7:' || s))) AS s7
-           FROM sh),
-         bands AS (
-           SELECT doc_id, 0 AS band_id, s0 || '|' || s1 AS bkey FROM sig
-           UNION ALL SELECT doc_id, 1, s2 || '|' || s3 FROM sig
-           UNION ALL SELECT doc_id, 2, s4 || '|' || s5 FROM sig
-           UNION ALL SELECT doc_id, 3, s6 || '|' || s7 FROM sig),
-         cand AS (
-           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           FROM bands x JOIN bands y
-             ON x.band_id = y.band_id AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      s"""WITH $minhashOracleCtes,
          j AS (
            SELECT c.doc_a, c.doc_b,
                CAST(len(list_intersect(sa.sgl, sb.sgl)) AS BIGINT) AS i,
@@ -1004,6 +1068,45 @@ object SparkEntry {
          SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / u, 6) AS jaccard
          FROM j WHERE CAST(i AS DOUBLE) / u >= 0.5
          ORDER BY doc_a, doc_b""",
+    // Transitive closure over the MinHash candidate pairs: the recursive
+    // min-label CTE is a formulation-independent cross-check of the
+    // large-star/small-star fixpoint (same components, totally different
+    // algorithm).
+    "neardup_components" ->
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         ${ccClosureCtes("cand", "doc_a", "doc_b")}
+         SELECT node AS doc_id, component FROM comp ORDER BY doc_id""",
+    // Full near-dup curation: ngram-verified pairs → closure → cluster
+    // keeper (node = component min) + the curate_corpus quality gates.
+    // Lang CTEs carry an 'l' prefix — their tokenizer lowercases, the
+    // minhash tok must not.
+    "curate_corpus_neardup" ->
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         j AS (
+           SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.sgl, sb.sgl)) AS BIGINT) AS i,
+               CAST(len(sa.sgl) + len(sb.sgl) - len(list_intersect(sa.sgl, sb.sgl)) AS BIGINT) AS u
+           FROM cand c
+           JOIN sh sa ON sa.doc_id = c.doc_a
+           JOIN sh sb ON sb.doc_id = c.doc_b),
+         verified AS (SELECT doc_a, doc_b FROM j WHERE CAST(i AS DOUBLE) / u >= 0.5),
+         ${ccClosureCtes("verified", "doc_a", "doc_b")},
+         ${langOracleCtes("l")},
+         lang AS (SELECT doc_id,
+             CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+           FROM lbest WHERE rn = 1),
+         m AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             round(CAST(len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS stop_ratio
+           FROM documents)
+         SELECT m.doc_id, m.n_tokens, m.stop_ratio, l.lang_pred
+         FROM m JOIN lang l ON l.doc_id = m.doc_id
+         LEFT JOIN comp ON comp.node = m.doc_id
+         WHERE coalesce(comp.component, m.doc_id) = m.doc_id
+           AND m.n_tokens >= 10 AND m.stop_ratio > 0 AND l.lang_pred = 'en'
+         ORDER BY m.doc_id""",
     // The portable SimHash oracle rebuilds the 60-bit signature exactly as
     // Dedup.simhashPortable does: bit 4j+k of the signature = bit k of hex
     // digit j+1 of md5(word), occurrence-weighted. The 60 per-bit sums and
@@ -1088,6 +1191,45 @@ object SparkEntry {
            FROM cand c JOIN n na ON na.vec_id = c.doc_a JOIN n nb ON nb.vec_id = c.doc_b)
          SELECT doc_a, doc_b, round(cos, 6) AS cos
          FROM scored WHERE cos >= 0.99 ORDER BY doc_a, doc_b"""
+    },
+    // pairs → clusters on the vector path: base / +0.01 / +0.02 copies of
+    // each vector all collapse to the base id through the recursive
+    // closure (even where the LSH pair set is only a chain).
+    "dedup_embedding_clusters" -> {
+      val bandKey = (0 until 8)
+        .map(k => s"(CASE WHEN v[b.band_id * 8 + ${k + 1}] > 0 THEN ${1 << k} ELSE 0 END)")
+        .mkString("\n             + ")
+      s"""WITH RECURSIVE base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pert1 AS (SELECT vec_id + 10000 AS vec_id,
+             list_transform(generate_series(1, len(v)),
+                            i -> CASE WHEN i = 1 THEN v[i] + 0.01 ELSE v[i] END) AS v
+           FROM base),
+         pert2 AS (SELECT vec_id + 20000 AS vec_id,
+             list_transform(generate_series(1, len(v)),
+                            i -> CASE WHEN i = 1 THEN v[i] + 0.02 ELSE v[i] END) AS v
+           FROM base),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM pert1
+               UNION ALL SELECT * FROM pert2),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*v[i]),
+                              (x, y) -> x + y)) AS nv
+           FROM u),
+         bands AS (
+           SELECT vec_id AS doc_id, b.band_id,
+               $bandKey AS bkey
+           FROM n CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.band_id = y.band_id AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         scored AS (
+           SELECT c.doc_a, c.doc_b,
+               list_reduce(list_transform(generate_series(1, len(na.v)), i -> na.v[i]*nb.v[i]),
+                           (x, y) -> x + y) / (na.nv * nb.nv) AS cos
+           FROM cand c JOIN n na ON na.vec_id = c.doc_a JOIN n nb ON nb.vec_id = c.doc_b),
+         pairs AS (SELECT doc_a, doc_b FROM scored WHERE cos >= 0.99),
+         ${ccClosureCtes("pairs", "doc_a", "doc_b")}
+         SELECT node AS vec_id, component FROM comp ORDER BY vec_id"""
     },
     "similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

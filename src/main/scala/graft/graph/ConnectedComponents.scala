@@ -1,0 +1,129 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected pair graph — the cluster
+  * resolution step a dedup pipeline runs AFTER candidate-pair mining
+  * (MinHash / SimHash / embedding LSH all emit *pairs*; picking one
+  * keeper per near-dup *cluster* needs the transitive closure).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al. 2014),
+  * the MapReduce-native formulation that converges in O(log² n) rounds on
+  * ANY graph — unlike plain min-label propagation, whose round count is
+  * the graph DIAMETER (a 10⁶-long chain of near-dups would need 10⁶
+  * shuffles; boilerplate-heavy corpora really do produce long chains
+  * through overlapping LSH buckets).
+  *
+  * Scale shape — each half-round is exactly:
+  *   groupBy(node).min(neighbor)   — ONE shuffle, partial-agg map-side
+  *   join edges ⋈ mins on node     — co-partitioned with the groupBy
+  *                                   (same key ⇒ the exchange is reused)
+  *   per-row select + distinct     — distinct shuffles on the edge itself
+  * There is NO collect_list adjacency materialization anywhere: a star
+  * center of degree 10⁸ (every doc in a giant near-dup cluster) flows
+  * through as 10⁸ skinny (node, min) rows, never as one array in one
+  * task. Skewed hub keys are plain aggregation/join skew — AQE's skew
+  * split applies; nothing here assumes a bounded degree.
+  *
+  * The loop is Catalyst-planned per round (unlike PageRank's fixed-shape
+  * RDD inner loop): round count is ~log² of the LARGEST component (≤ ~10
+  * in practice), so per-round planning cost is immaterial, and each round
+  * is localCheckpoint-ed eagerly — lineage stays flat and the convergence
+  * fingerprint action reuses the materialized result.
+  *
+  * Semantics: nodes are the ids appearing in `pairs`; the component label
+  * is the component's MINIMUM node id (so `label == node` identifies the
+  * cluster keeper under min-id keeper policy). Self-pairs are ignored;
+  * singleton nodes (no surviving pair) don't appear — callers re-attach
+  * the full corpus with a left join + coalesce(label, id).
+  */
+object ConnectedComponents {
+
+  /** Large-star: every node u connects its LARGER neighbors to
+    * m(u) = min(Γ(u) ∪ {u}). Works on the symmetric edge relation. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: operates on (u, v) edges oriented u > v (large-star
+    * output is always so oriented); every node u connects its smaller
+    * neighbors AND itself to m(u) = min(Γ⁻(u)). */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("u").agg(min("v").as("m"))
+    edges.join(mins, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionByName(mins.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** Star-round fixpoint: canonicalized edges → (fixpoint edges, rounds).
+    *
+    * Convergence = edge-set fixpoint, detected by an order-independent
+    * fingerprint (count + XOR of per-edge hashes; XOR, not sum — the
+    * edges are distinct so nothing cancels, and a Long sum would trip
+    * ANSI overflow) — one cheap action per round over the already-
+    * materialized checkpoint, no except()/join against the previous
+    * round. A fingerprint collision would need two DIFFERENT edge sets
+    * with equal count and equal 64-bit hash XOR in consecutive rounds
+    * (~2⁻⁶⁴); the downstream oracle would still catch it. */
+  private def fixpoint(pairs: DataFrame, aCol: String, bCol: String,
+                       maxIters: Int): (DataFrame, Int) = {
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var fp = fingerprint(edges)
+    var converged = fp._1 == 0L
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      edges = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds " +
+          "(O(log² n) expected — this indicates a bug, not a big graph)")
+    (edges, it)
+  }
+
+  /** @param pairs candidate pairs, two Long id columns (undirected; order
+    *              and duplicates irrelevant)
+    * @return (node, component) for every node in `pairs`, component = min
+    *         id of the node's connected component */
+  def run(pairs: DataFrame, aCol: String, bCol: String,
+          maxIters: Int = 50): DataFrame = {
+    val (edges, _) = fixpoint(pairs, aCol, bCol, maxIters)
+    // Fixpoint edges form stars (node > root, root = component min):
+    // members are the u side; roots appear only as v and label themselves.
+    edges.select(col("u").as("node"), col("v").as("component"))
+      .unionByName(
+        edges.select(col("v").as("node"), col("v").as("component")).distinct())
+  }
+
+  /** Number of star rounds the fixpoint took — observability for the
+    * iteration-bound spec (same loop the operator runs, not a replica). */
+  private[graft] def roundsToConverge(pairs: DataFrame, aCol: String,
+                                      bCol: String, maxIters: Int = 50): Int =
+    fixpoint(pairs, aCol, bCol, maxIters)._2
+}

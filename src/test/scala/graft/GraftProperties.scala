@@ -99,4 +99,37 @@ object GraftProperties extends Properties("graft") {
         .select("id", "p").as[(Long, Option[String])].collect().toMap
       a == b
     }
+
+  private val pairGraphGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(2, 24)
+    m <- Gen.choose(0, 30)
+    pairs <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong - 1)
+      b <- Gen.choose(0L, n.toLong - 1)
+    } yield (a, b))
+  } yield pairs
+
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs if a != b) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.filter(p => p._1 != p._2).flatMap(p => Seq(p._1, p._2)).distinct
+    // min-id root: union always hangs the larger root under the smaller,
+    // so find() already lands on the component minimum
+    nodes.map(x => x -> find(x)).toMap
+  }
+
+  property("star-algorithm components equal union-find on random pair graphs") =
+    forAll(pairGraphGen) { pairs =>
+      val got = graft.graph.ConnectedComponents
+        .run(pairs.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(pairs)
+    }
 }
