@@ -642,15 +642,28 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "stop_ratio", "lang_pred")
         .orderBy("doc_id")),
 
-    // multimodal plumbing: binary payload → per-partition decode (stub) →
-    // fixed-width features. ORACLE-CHECKED: the corpus is ASCII (asserted
-    // by TextAnalysisSpec), so the stub's byte fold equals DuckDB's
-    // per-character unicode() fold — the mapPartitions decode path is
-    // verified end-to-end, not just rows-counted.
+    // multimodal plumbing: binary payload → per-partition decode →
+    // fixed-width features. Text payloads are not images, so they take
+    // extractFeatures' byte-fold branch. ORACLE-CHECKED: the corpus is
+    // ASCII (asserted by TextAnalysisSpec), so the byte fold equals
+    // DuckDB's per-character unicode() fold — the mapPartitions decode
+    // path is verified end-to-end, not just rows-counted.
     "multimodal_features" -> ((s, d) =>
       graft.multimodal.Multimodal.extractFeatures(
           graft.multimodal.Multimodal.syntheticMedia(documents(s, d), "doc_id", "text"))
         .toDF().select("media_id", "n_bytes", "checksum")
+        .orderBy("media_id")),
+
+    // REAL image decode, oracle-checked end to end: synthesize a BMP per
+    // doc whose pixels are a closed form of (id, x, y, channel), decode
+    // with javax.imageio inside the mapPartitions batch, checksum the
+    // DECODED pixels; DuckDB computes the same closed form directly —
+    // a hash match proves decode(encode(f)) == f through the actual
+    // codec, independent of container/header layout.
+    "multimodal_decode" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.syntheticImages(documents(s, d), "doc_id"))
+        .toDF().select("media_id", "width", "height", "n_pixels", "checksum")
         .orderBy("media_id")),
 
     // metadata-only resize plan: pure column ops over the meta struct —
@@ -1140,6 +1153,24 @@ object SparkEntry {
                     (acc, c) -> (acc * 31 + c) % 1000000007)
              END AS checksum
          FROM documents ORDER BY media_id""",
+    // The decoded-pixel checksum: channel c of pixel (x,y) of image id is
+    // (id + 7x + 13y + 29c) mod 256 (the Multimodal.pixelValue closed
+    // form); the fold walks flattened index i in row-major (y, x, RGB)
+    // order. Spark reaches the same numbers THROUGH ImageIO decode of a
+    // real BMP — the roundtrip is what the hash match certifies.
+    "multimodal_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+             CAST(doc_id % 16 + 1 AS INT) AS width,
+             CAST(doc_id % 12 + 1 AS INT) AS height
+           FROM documents)
+         SELECT media_id, width, height,
+             CAST(width * height AS BIGINT) AS n_pixels,
+             list_reduce([CAST(0 AS BIGINT)] || list_transform(
+                 generate_series(0, width * height * 3 - 1),
+                 i -> (media_id + ((i % (width * 3)) // 3) * 7
+                       + (i // (width * 3)) * 13 + (i % 3) * 29) % 256),
+               (acc, v) -> (acc * 31 + v) % 1000000007) AS checksum
+         FROM m ORDER BY media_id""",
     "multimodal_resize" ->
       """WITH m AS (SELECT doc_id AS media_id,
              (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

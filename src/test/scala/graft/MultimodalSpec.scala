@@ -40,6 +40,43 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("BMP roundtrip: ImageIO decode returns the exact formula pixels") {
+    // no Spark in the loop — encode, decode, compare pixel by pixel
+    for (id <- Seq(0L, 1L, 7L, 255L, 1000L)) {
+      val (w, h) = ((id % 16 + 1).toInt, (id % 12 + 1).toInt)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodeBmp(id, w, h)))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == Multimodal.pixelValue(id, x, y, 0))
+        assert(((rgb >> 8) & 0xff) == Multimodal.pixelValue(id, x, y, 1))
+        assert((rgb & 0xff) == Multimodal.pixelValue(id, x, y, 2))
+      }
+    }
+  }
+
+  test("decoded-pixel features match an independent fold of the formula") {
+    val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticImages(Tables.documents(spark, sf), "doc_id"))
+      .toDF().select("media_id", "width", "height", "n_pixels", "checksum")
+      .as[(Long, Int, Int, Long, Long)].collect()
+    assert(feats.nonEmpty)
+    feats.foreach { case (id, w, h, np, cs) =>
+      assert(w == (id % 16 + 1).toInt && h == (id % 12 + 1).toInt)
+      assert(np == w.toLong * h)
+      var want = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        want = (want * 31 + Multimodal.pixelValue(id, x, y, c)) % 1000000007L
+      assert(cs == want, s"id=$id")
+    }
+  }
+
+  test("non-image payloads fall back to the byte fold (width 0)") {
+    val row = Multimodal.extractFeatures(media).filter(_.media_id >= 0).head()
+    assert(row.width == 0 && row.height == 0 && row.n_pixels == 0L)
+  }
+
   test("frame sampling emits one row per interval for video rows only") {
     val f = Multimodal.frameSamplePlan(media, everyMs = 1000L)
     val kinds = f.select("meta.kind").distinct().as[String].collect()
