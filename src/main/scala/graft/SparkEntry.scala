@@ -1324,6 +1324,63 @@ object SparkEntry {
          SELECT query_id, neighbor_id, round(cos, 6) AS sim, rn
          FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
     },
+    // The full IVF quantizer re-run in SQL: md5-spread seeds, two Lloyd
+    // steps with FIXED-POINT means (integer 1e-6-grid sums — order-
+    // independent, which is what made this key oracle-able at all; a
+    // float avg() depends on partial-sum order), then probe + exact
+    // cosine. Assignment tie-break mirrors Spark's struct-max: cs DESC,
+    // cell DESC; query probing mirrors row_number: cs DESC, cell ASC.
+    "similarity_ivf" -> {
+      val dim = 64
+      def dotSql(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, $dim), i -> $a[i]*$b[i]), (x, y) -> x + y)"
+      def normSql(a: String) = s"sqrt(${dotSql(a, a)})"
+      def assign(name: String, cents: String) =
+        s"""${name}s AS (SELECT n.vec_id, n.v, n.nv, c.cell,
+             ${dotSql("n.v", "c.cv")} / (${normSql("c.cv")} * n.nv) AS cs
+           FROM n CROSS JOIN $cents c),
+         $name AS (SELECT vec_id, v, nv, cell FROM (
+             SELECT vec_id, v, nv, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cs DESC, cell DESC) AS arn
+             FROM ${name}s)
+           WHERE arn = 1)"""
+      def update(prev: String, out: String) =
+        s"""${out}u AS (SELECT cell, g.i AS dim,
+             CAST(sum(CAST(floor(v[g.i] * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             count(*) AS cnt
+           FROM $prev CROSS JOIN generate_series(1, $dim) g(i)
+           GROUP BY cell, g.i),
+         $out AS (SELECT cell,
+             list((CAST(s AS DOUBLE) / cnt) / 1000000.0 ORDER BY dim) AS cv
+           FROM ${out}u GROUP BY cell)"""
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, ${normSql("v")} AS nv FROM e),
+         c0 AS (SELECT vec_id AS cell, v AS cv FROM n
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         ${assign("a1", "c0")},
+         ${update("a1", "c1")},
+         ${assign("a2", "c1")},
+         ${update("a2", "c2")},
+         ${assign("af", "c2")},
+         q AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nv AS nq, c.cell,
+             ${dotSql("n.v", "c.cv")} / (${normSql("c.cv")} * n.nv) AS cs
+           FROM n CROSS JOIN c2 c WHERE n.vec_id < 10),
+         qc AS (SELECT query_id, qv, nq, cell FROM (
+             SELECT query_id, qv, nq, cell,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cs DESC, cell ASC) AS cr
+             FROM q) WHERE cr <= 4),
+         pairs AS (SELECT DISTINCT qc.query_id, af.vec_id AS neighbor_id,
+             ${dotSql("qc.qv", "af.v")} / (qc.nq * af.nv) AS cos
+           FROM af JOIN qc ON af.cell = qc.cell AND qc.query_id <> af.vec_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rn
+           FROM pairs)
+         SELECT query_id, neighbor_id, round(cos, 6) AS sim, rn
+         FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
+    },
     // Generated from TextAnalysis.LangStopWords — one branch per language,
     // argmax with Spark's struct-max tie-break (score DESC, lang DESC).
     // The zh CJK branch is omitted: on the spec-asserted ASCII corpus its

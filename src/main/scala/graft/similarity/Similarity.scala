@@ -169,24 +169,39 @@ object Similarity {
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
   }
 
-  /** IVF coarse quantizer: deterministic seeds (first `numCells` vectors
-    * by id) refined with `iters` Lloyd steps. Centroid update is the
-    * classic posexplode → (cell, dim) mean → re-collect; two shuffles per
-    * iteration, both tiny (numCells × dim rows). Returns (cell, cv) with
-    * cv the (non-normalized) mean vector. */
+  /** IVF coarse quantizer: deterministic hash-spread seeds refined with
+    * `iters` Lloyd steps. Centroid update is the classic posexplode →
+    * (cell, dim) mean → re-collect; two shuffles per iteration, both tiny
+    * (numCells × dim rows). Returns (cell, cv) with cv the
+    * (non-normalized) mean vector.
+    *
+    * Two determinism choices make the whole quantizer reproducible in ANY
+    * engine (which is what lets the DuckDB oracle hash-check `ivfTopK`):
+    *  - SEEDS order by md5 of the id — a portable pseudo-random spread
+    *    (first-N ids would correlate with data layout and seed k-means
+    *    from one corner of the corpus);
+    *  - MEANS are fixed-point: per-dim values quantize to the 1e-6 grid
+    *    (floor(x·1e6 + 0.5) — exact HALF-UP in both engines, no float
+    *    round()), the per-cell SUM is an exact integer (order-independent
+    *    — a float sum would depend on partial-aggregation order and was
+    *    what made this operator un-oracle-able), and the mean is two IEEE
+    *    divisions every engine performs identically. */
   def ivfCentroids(e: DataFrame, numCells: Int, iters: Int): DataFrame = {
     // Seed cell ids ARE the seed vec_ids: cell ids only need to be
     // distinct and deterministic, so a dense 1..numCells renumbering via
-    // a global Window.orderBy (a single-partition WindowExec, and the
-    // source of every "No Partition Defined" warning in the bench log)
-    // buys nothing. TakeOrderedAndProject handles the seed selection.
-    var cents = e.orderBy("vec_id").limit(numCells)
+    // a global Window.orderBy (a single-partition WindowExec) buys
+    // nothing. TakeOrderedAndProject handles the seed selection.
+    var cents = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numCells)
       .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
     for (_ <- 0 until iters) {
       val assigned = assignCells(e, cents)
       cents = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .groupBy("cell", "dim")
+        .agg(sum(floor(col("x") * 1000000.0 + 0.5)).as("s"),
+             count(lit(1)).as("cnt"))
+        .withColumn("m", col("s").cast("double") / col("cnt") / 1000000.0)
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("cv"))
@@ -228,7 +243,7 @@ object Similarity {
     * each query touches ~nprobe/numCells of the data. */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, numCells: Int = 16,
-              nprobe: Int = 4, iters: Int = 1): DataFrame = {
+              nprobe: Int = 4, iters: Int = 2): DataFrame = {
     val e = embeddings.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nv", l2norm(col("v")))
     val cents = ivfCentroids(e, numCells, iters)

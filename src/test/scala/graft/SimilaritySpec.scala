@@ -63,13 +63,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == ids.map(i => (i, i + 10000L)))
   }
 
-  test("IVF ANN achieves higher recall than plain LSH budget") {
-    val emb = Tables.embeddings(spark, sf001)
+  test("IVF recall ≥ 0.8 at half-corpus probe budget, and beats uniform") {
+    // This corpus is deliberately WEAKLY similar (max pairwise cos ~0.46),
+    // so cells have little structure to exploit and recall is dominated
+    // by the probe fraction: probing nprobe/numCells = 1/2 of the cells
+    // would yield ~0.5 recall if the quantizer were no better than a
+    // random partition. Measured 0.84 (500 vectors, md5-spread seeds,
+    // 2 Lloyd steps) — the ≥ 0.8 bound asserts the quantizer's gain over
+    // uniform, with slack for data regeneration. On a clustered real
+    // corpus the same shape probes a far smaller fraction.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5,
+        numCells = 8, nprobe = 4, iters = 2)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (ivf & bf).size.toDouble / bf.size
-    assert(recall >= 0.6, s"IVF recall $recall < 0.6")
+    assert(recall >= 0.8, s"IVF recall $recall < 0.8")
   }
 }
