@@ -330,6 +330,25 @@ object SparkEntry {
         .select(col("s_suppkey"), col("c_custkey"))
         .orderBy("s_suppkey", "c_custkey")),
 
+    // SKEWED join: ~3/4 of the fact rows collapse onto one hot key before
+    // the dim join. The result is partition-layout-independent (what this
+    // oracle certifies); the runtime handling is AQE's skew-split, proven
+    // to engage — and to leave results untouched — by AQESkewJoinSpec.
+    // Salting (see group_sum_salted) stays the manual fallback for
+    // engines/paths without AQE.
+    "join_skew" -> ((s, d) => {
+      val fact = lineitem(s, d).select(
+        when(col("l_orderkey") % 4 =!= 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_quantity"))
+      val dim = orders(s, d).select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      fact.join(dim, "k")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // exact interpolated percentiles (medians on the 0.5 grid — exact
     // rationals, so cross-engine equality holds)
     "percentile_agg" -> ((s, d) =>
@@ -1010,6 +1029,15 @@ object SparkEntry {
          FROM supplier, customer
          WHERE s_acctbal >= c_acctbal - 10 AND s_acctbal <= c_acctbal + 10
          ORDER BY s_suppkey, c_custkey""",
+    // quantities are integral (TPC-H 1..50), so the BIGINT cast agrees
+    // across engines despite Spark truncating and DuckDB rounding
+    "join_skew" ->
+      """WITH f AS (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 1
+               ELSE l_orderkey END AS k, l_quantity FROM lineitem)
+         SELECT o.o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(f.l_quantity AS BIGINT)) AS BIGINT) AS qty
+         FROM f JOIN orders o ON f.k = o.o_orderkey
+         GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
     "percentile_agg" ->
       """SELECT l_returnflag,
              round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
