@@ -17,6 +17,63 @@ import org.apache.spark.sql.SparkSession
   *    real regression (tight spread at a worse level).
   */
 object Bench {
+
+  /** Deterministic `</page>`-delimited dump, generated once and cached
+    * (marker file records the page count; regeneration only on mismatch).
+    * ~4.7 KB/page → 300k pages ≈ 1.4 GB in one file. Content shape matches
+    * what the pipelines stress: [[Pn]] links with ~9% red links (targets
+    * beyond the page range, whose mass the recurrence drops), and a 50k-
+    * word vocabulary so inverted-index posting lists stay thousands of
+    * entries, not one degenerate multi-million-id list per stopword. */
+  private def ensureDump(path: String, pages: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    val marker = Paths.get(path + ".meta")
+    if (Files.exists(p) && Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == pages.toString) return
+    // Vocabulary words must be ALPHA-ONLY: the index pipeline keeps the
+    // reference's lowercase-alpha-run tokenizer, so digits scrub to
+    // separators — a digit-bearing vocabulary would collapse to a couple
+    // of 10⁸-occurrence stopwords whose posting lists each sort+join in
+    // ONE task (measured: 8 minutes of exactly that). Base-26 ids keep
+    // the 50k words distinct through the scrub. The [[Pn]] link markup
+    // still scrubs to a single hot "p" word — kept deliberately as the
+    // documented stop-word-skew case at a realistic magnitude.
+    def alpha(v0: Long): String = {
+      var x = v0; val sb = new java.lang.StringBuilder(8)
+      do { sb.append(('a' + (x % 26)).toChar); x /= 26 } while (x > 0)
+      sb.toString
+    }
+    val w = Files.newBufferedWriter(p, java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      var i = 0
+      while (i < pages) {
+        w.write("<page><title>P"); w.write(i.toString)
+        w.write("</title><id>"); w.write(i.toString)
+        w.write("</id><text xml:space=\"preserve\">")
+        var l = 0
+        while (l < 12) {
+          val t = (i * 31L + l * 9973L) % (pages + pages / 10)
+          w.write("[[P"); w.write(t.toString); w.write("]] ")
+          // 25 fat tokens per link block: index cost scales with TOKEN
+          // COUNT (measured ~2 µs/occurrence through explode + shuffle +
+          // posting build), scan cost with BYTES — long tokens buy scan
+          // scale without blowing up the posting-list stage
+          var k = 0
+          while (k < 25) {
+            w.write("w"); w.write(alpha((i + l * 7L + k * 13L) % 50000L))
+            w.write("paddingpadding ")
+            k += 1
+          }
+          l += 1
+        }
+        w.write("</text></page>\n")
+        i += 1
+      }
+    } finally w.close()
+    Files.write(marker, pages.toString.getBytes("UTF-8"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,7 +101,13 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev knob: comma-separated key filter ("" / unset = all keys)
+    val onlyKeys = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    SparkEntry.queries
+      .filter { case (name, _) => onlyKeys.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val runs = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -57,6 +120,44 @@ object Bench {
         }
       }
       if (runs.nonEmpty && !errors.contains(name)) timings(name) = runs.sorted
+    }
+
+    // ---- end-to-end dump drive -------------------------------------
+    // The reference's own entry points over ONE multi-GB `</page>`-
+    // delimited dump file: exercises the SPLITTABLE ingest (a single
+    // file fanning out to many tasks), the fused page parse, the
+    // DISTRIBUTED PageRank loop (300k vertices / 3.6M links exceeds the
+    // ≤250k-vertex ∧ ≤5M-edge fast-path gate, so the real Pregel loop
+    // runs) and the inverted-index pipeline at a scale the parquet keys
+    // never reach. One rep each — these are 10–100× the per-key cost
+    // above, and the shared host makes single reps noisy anyway (see
+    // BASELINE.md's spike note). SPARK_GRAFT_DUMP_PAGES=0 disables.
+    val dumpPages = sys.env.getOrElse("SPARK_GRAFT_DUMP_PAGES", "300000").toInt
+    if (dumpPages > 0) {
+      val dumpPath = sys.env.getOrElse("SPARK_GRAFT_DUMP_PATH", "/tmp/graft_dump.xml")
+      def timeOnce(name: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        try { body; timings(name) = Seq((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          errors(name) = esc(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      }
+      try ensureDump(dumpPath, dumpPages) catch { case e: Throwable =>
+        errors("dump_generate") = esc(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      if (!errors.contains("dump_generate")) {
+        timeOnce("dump_ingest") {
+          val pages = graft.sources.TextKV.readPages(spark, dumpPath)
+          // the whole point is splittability: one file, many tasks
+          val parts = pages.rdd.getNumPartitions
+          require(parts > 1, s"dump ingest produced a single split ($parts)")
+          pages.count()
+        }
+        timeOnce("dump_pagerank") {
+          graft.pipelines.WikiPipelines.pageRank(spark, dumpPath).count()
+        }
+        timeOnce("dump_index") {
+          graft.pipelines.WikiPipelines.invertedIndex(spark, dumpPath).count()
+        }
+      }
     }
 
     val qs = timings.map { case (k, rs) => s"\"$k\":${fmt(rs.head)}" }

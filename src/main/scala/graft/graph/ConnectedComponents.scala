@@ -65,6 +65,17 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** Canonical edge relation: Long ids, self-pairs dropped, oriented
+    * (max, min), distinct, MATERIALIZED — the count the fast-path gate
+    * needs and every star round reuse this checkpoint. */
+  private def canonicalize(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
   /** Star-round fixpoint: canonicalized edges → (fixpoint edges, rounds).
     *
     * Convergence = edge-set fixpoint, detected by an order-independent
@@ -75,14 +86,8 @@ object ConnectedComponents {
     * round. A fingerprint collision would need two DIFFERENT edge sets
     * with equal count and equal 64-bit hash XOR in consecutive rounds
     * (~2⁻⁶⁴); the downstream oracle would still catch it. */
-  private def fixpoint(pairs: DataFrame, aCol: String, bCol: String,
-                       maxIters: Int): (DataFrame, Int) = {
-    var edges = pairs
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint()
+  private def fixpoint(canonical: DataFrame, maxIters: Int): (DataFrame, Int) = {
+    var edges = canonical
 
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
@@ -109,21 +114,52 @@ object ConnectedComponents {
 
   /** @param pairs candidate pairs, two Long id columns (undirected; order
     *              and duplicates irrelevant)
+    * @param fastPathMaxEdges ≤ this many distinct edges → solve in one
+    *              driver union-find instead of star rounds. Each star
+    *              round schedules ~8 jobs; for the candidate-pair graphs
+    *              dedup actually emits (pairs survive banding + verify,
+    *              so |edges| ≪ |corpus|) the whole closure is
+    *              sub-millisecond on the driver, and the collect is
+    *              BOUNDED by the gate — the same bounded-collect call as
+    *              the IVF centroid table and PageRank's ≤250k-vertex
+    *              fast path. The distributed loop is unchanged above the
+    *              gate and spec-compared against this path.
     * @return (node, component) for every node in `pairs`, component = min
     *         id of the node's connected component */
   def run(pairs: DataFrame, aCol: String, bCol: String,
-          maxIters: Int = 50): DataFrame = {
-    val (edges, _) = fixpoint(pairs, aCol, bCol, maxIters)
-    // Fixpoint edges form stars (node > root, root = component min):
-    // members are the u side; roots appear only as v and label themselves.
-    edges.select(col("u").as("node"), col("v").as("component"))
-      .unionByName(
-        edges.select(col("v").as("node"), col("v").as("component")).distinct())
+          maxIters: Int = 50, fastPathMaxEdges: Long = 100000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val canonical = canonicalize(pairs, aCol, bCol)
+    if (canonical.count() <= fastPathMaxEdges) {
+      val edges = canonical.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      // union by hanging the LARGER root under the smaller, so every
+      // root IS its component's minimum id — same labels as the stars
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.toSeq.map(x => (x, find(x)))
+      spark.createDataset(labels).toDF("node", "component")
+    } else {
+      val (edges, _) = fixpoint(canonical, maxIters)
+      // Fixpoint edges form stars (node > root, root = component min):
+      // members are the u side; roots appear only as v and label
+      // themselves.
+      edges.select(col("u").as("node"), col("v").as("component"))
+        .unionByName(
+          edges.select(col("v").as("node"), col("v").as("component")).distinct())
+    }
   }
 
   /** Number of star rounds the fixpoint took — observability for the
     * iteration-bound spec (same loop the operator runs, not a replica). */
   private[graft] def roundsToConverge(pairs: DataFrame, aCol: String,
                                       bCol: String, maxIters: Int = 50): Int =
-    fixpoint(pairs, aCol, bCol, maxIters)._2
+    fixpoint(canonicalize(pairs, aCol, bCol), maxIters)._2
 }

@@ -11,9 +11,18 @@ import graft.graph.ConnectedComponents
 class ConnectedComponentsSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.run(pairs.toDF("a", "b"), "a", "b")
+  /** Runs BOTH execution paths (driver union-find fast path and the
+    * distributed star loop) and asserts they agree before returning —
+    * every case in this suite checks the gate can't change results. */
+  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = pairs.toDF("a", "b")
+    val fast = ConnectedComponents.run(df, "a", "b")
       .as[(Long, Long)].collect().toMap
+    val dist = ConnectedComponents.run(df, "a", "b", fastPathMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist, "fast path and star loop disagree")
+    fast
+  }
 
   test("two components, chain + triangle, labels = component min") {
     // chain 5-3-9 and triangle 1-2, 2-4, 4-1 (one redundant + reversed pair)
@@ -32,7 +41,8 @@ class ConnectedComponentsSpec extends SparkTestBase {
 
   test("exactly one row per node (star fixpoint is a function)") {
     val pairs = Seq((10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L), (30L, 31L))
-    val df = ConnectedComponents.run(pairs.toDF("a", "b"), "a", "b")
+    val df = ConnectedComponents.run(pairs.toDF("a", "b"), "a", "b",
+      fastPathMaxEdges = 0L)
     assert(df.count() == df.select("node").distinct().count())
   }
 
