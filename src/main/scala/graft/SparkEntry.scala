@@ -602,6 +602,31 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // deterministic hash-bucket sampling: subset fixed to the DATA (not
+    // the partition layout, unlike df.sample) — a pure map-side filter,
+    // reproducible in any engine; the reproducible-subset primitive a
+    // training pipeline needs for downsampling and ablations
+    "sample_hash" -> ((s, d) =>
+      graft.ops.Sampling.hashSample(documents(s, d), "doc_id", buckets = 32)
+        .select(col("doc_id"),
+          graft.ops.Sampling.hashBucket(col("doc_id")).cast("long").as("bucket"))
+        .orderBy("doc_id")),
+
+    // leakage-free train/eval split: bucket by the NEAR-DUP CLUSTER hash
+    // (components over ngram-verified pairs), so a paraphrase of a
+    // training doc can never sit in eval — contamination is structurally
+    // impossible, not just unlikely. ~10% eval (26/256 buckets).
+    "split_leakage_free" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cc = ConnectedComponents.run(
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5),
+          "doc_a", "doc_b")
+      graft.ops.Sampling.assignSplits(docs, "doc_id", cc, evalBuckets = 26)
+        .select(col("doc_id"), col("component"),
+          col("bucket").cast("long").as("bucket"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // exact cosine top-5 per query vector (queries = vec_id < 10)
     "similarity_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embeddings(s, d), "vec_id", "embedding",
@@ -854,6 +879,27 @@ object SparkEntry {
            FROM bands x JOIN bands y
              ON x.band_id = y.band_id AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""
   }
+
+  /** [[minhashOracleCtes]] extended through the exact n-gram-Jaccard
+    * verification: adds `j` (intersection/union sizes) and `verified`
+    * (pairs with Jaccard ≥ 0.5) — the pair relation the cluster-keeper
+    * and split oracles close over. */
+  private lazy val ngramVerifiedCtes: String =
+    s"""$minhashOracleCtes,
+         j AS (
+           SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.sgl, sb.sgl)) AS BIGINT) AS i,
+               CAST(len(sa.sgl) + len(sb.sgl) - len(list_intersect(sa.sgl, sb.sgl)) AS BIGINT) AS u
+           FROM cand c
+           JOIN sh sa ON sa.doc_id = c.doc_a
+           JOIN sh sb ON sb.doc_id = c.doc_b),
+         verified AS (SELECT doc_a, doc_b FROM j WHERE CAST(i AS DOUBLE) / u >= 0.5)"""
+
+  /** First-md5-byte bucket (0..255) of a BIGINT column's string form —
+    * the portable hash `Sampling.hashBucket` computes with conv(). */
+  private def md5BucketSql(c: String): String =
+    s"""((strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), 1, 1)) - 1) * 16
+       + strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), 2, 1)) - 1)"""
 
   /** Min-label transitive closure over a pair CTE, as recursive SQL: node
     * × every label reachable from it, min per node = component. The
@@ -1122,15 +1168,7 @@ object SparkEntry {
     // Lang CTEs carry an 'l' prefix — their tokenizer lowercases, the
     // minhash tok must not.
     "curate_corpus_neardup" ->
-      s"""WITH RECURSIVE $minhashOracleCtes,
-         j AS (
-           SELECT c.doc_a, c.doc_b,
-               CAST(len(list_intersect(sa.sgl, sb.sgl)) AS BIGINT) AS i,
-               CAST(len(sa.sgl) + len(sb.sgl) - len(list_intersect(sa.sgl, sb.sgl)) AS BIGINT) AS u
-           FROM cand c
-           JOIN sh sa ON sa.doc_id = c.doc_a
-           JOIN sh sb ON sb.doc_id = c.doc_b),
-         verified AS (SELECT doc_a, doc_b FROM j WHERE CAST(i AS DOUBLE) / u >= 0.5),
+      s"""WITH RECURSIVE $ngramVerifiedCtes,
          ${ccClosureCtes("verified", "doc_a", "doc_b")},
          ${langOracleCtes("l")},
          lang AS (SELECT doc_id,
@@ -1290,6 +1328,22 @@ object SparkEntry {
          ${ccClosureCtes("pairs", "doc_a", "doc_b")}
          SELECT node AS vec_id, component FROM comp ORDER BY vec_id"""
     },
+    "sample_hash" ->
+      s"""WITH b AS (SELECT doc_id, ${md5BucketSql("doc_id")} AS bucket FROM documents)
+         SELECT doc_id, CAST(bucket AS BIGINT) AS bucket
+         FROM b WHERE bucket < 32 ORDER BY doc_id""",
+    // closure over ngram-verified pairs (shared CTEs), then bucket by the
+    // COMPONENT hash — the oracle reproduces the leakage-free property
+    // bit for bit, not just statistically
+    "split_leakage_free" ->
+      s"""WITH RECURSIVE $ngramVerifiedCtes,
+         ${ccClosureCtes("verified", "doc_a", "doc_b")},
+         lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+           FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         b AS (SELECT doc_id, component, ${md5BucketSql("component")} AS bucket FROM lab)
+         SELECT doc_id, component, CAST(bucket AS BIGINT) AS bucket,
+             CASE WHEN bucket < 26 THEN 'eval' ELSE 'train' END AS split
+         FROM b ORDER BY doc_id""",
     "similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v,

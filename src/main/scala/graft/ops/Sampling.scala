@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / train-eval splitting for training-data
+  * pipelines.
+  *
+  * `df.sample()` is seed-dependent on partition LAYOUT (the seed mixes
+  * with the partition index), so the same corpus sampled on a different
+  * cluster yields a different subset — unacceptable for reproducible
+  * train/eval splits. Hash-bucket sampling fixes the subset to the DATA:
+  * bucket = first md5 byte of the id (256 buckets), membership = bucket
+  * threshold. Any engine reproduces it (the DuckDB oracle does), adding
+  * or removing rows never reassigns surviving rows, and it is a pure
+  * map-side projection — no shuffle, no sort, scan speed at 100 TB.
+  *
+  * [[assignSplits]] is the leakage-aware variant: bucketing by the
+  * NEAR-DUP CLUSTER label instead of the doc id guarantees near-
+  * duplicate documents land in the same split — the classic train/eval
+  * contamination (a paraphrase of a training doc sitting in eval) is
+  * structurally impossible, not just unlikely.
+  */
+object Sampling {
+
+  /** 0..255 from the first md5 byte of the id's string form — the
+    * portable hash both engines agree on byte for byte. */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
+
+  /** Keep rows whose bucket < `buckets` (of 256): a buckets/256 sample,
+    * deterministic across engines, partitionings, and reruns. */
+  def hashSample(df: DataFrame, idCol: String, buckets: Int): DataFrame =
+    df.filter(hashBucket(col(idCol)) < buckets)
+
+  /** (doc_id, component, bucket, split) — split by the CLUSTER hash:
+    * `clusters` is a (node, component) relation (e.g. from
+    * [[graft.graph.ConnectedComponents]] over verified near-dup pairs);
+    * singletons fall back to their own id. Every member of a component
+    * shares its bucket, so no near-dup pair can straddle train/eval.
+    * `evalBuckets` of 256 go to eval. */
+  def assignSplits(docs: DataFrame, idCol: String, clusters: DataFrame,
+                   evalBuckets: Int): DataFrame = {
+    val labeled = docs
+      .join(clusters.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    labeled
+      .withColumn("bucket", hashBucket(col("component")))
+      .withColumn("split",
+        when(col("bucket") < evalBuckets, lit("eval")).otherwise(lit("train")))
+      .select(col(idCol), col("component"), col("bucket"), col("split"))
+  }
+}

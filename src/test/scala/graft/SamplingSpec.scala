@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.ConnectedComponents
+import graft.ops.Sampling
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hash sample is layout-independent (same subset after repartition)") {
+    val docs = Tables.documents(spark, sf)
+    val a = Sampling.hashSample(docs, "doc_id", 32)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs.repartition(13), "doc_id", 32)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // ~32/256 = 12.5% with binomial slack on a small corpus
+    val frac = a.size.toDouble / docs.count()
+    assert(frac > 0.04 && frac < 0.25, s"sample fraction $frac implausible")
+  }
+
+  test("hash sample plan is a pure scan filter — no shuffle") {
+    val plan = Sampling.hashSample(Tables.documents(spark, sf), "doc_id", 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
+  test("sample membership is stable under corpus growth (bucket property)") {
+    val docs = Tables.documents(spark, sf)
+    val full = Sampling.hashSample(docs, "doc_id", 32)
+      .select("doc_id").as[Long].collect().toSet
+    val half = Sampling.hashSample(docs.filter(col("doc_id") % 2 === 0), "doc_id", 32)
+      .select("doc_id").as[Long].collect().toSet
+    // removing rows never changes surviving rows' membership
+    assert(half == full.filter(_ % 2 == 0))
+  }
+
+  test("leakage-free split: no near-dup component straddles train/eval") {
+    // synthetic clusters: docs 0-2 one component, 3-4 another, 5+ singletons
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L))
+      .toDF("node", "component")
+    val docs = spark.range(0, 50).select(col("id").as("doc_id"))
+    val got = Sampling.assignSplits(docs, "doc_id", clusters, evalBuckets = 128)
+    val spansPerComponent = got.groupBy("component")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+    assert(spansPerComponent == 0)
+    // cluster members share the bucket of their component label
+    val m = got.filter(col("component") === 0L)
+      .select("bucket").distinct().as[Int].collect()
+    assert(m.length == 1)
+    // both splits are populated at a half/half bucket threshold
+    assert(got.select("split").distinct().count() == 2)
+  }
+
+  test("split over real CC clusters matches per-pair check end to end") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+    val cc = ConnectedComponents.run(pairs, "doc_a", "doc_b")
+    val split = Sampling.assignSplits(docs, "doc_id", cc, evalBuckets = 128)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    val badPairs = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .count { case (a, b) => split(a) != split(b) }
+    assert(badPairs == 0, s"$badPairs near-dup pairs straddle the split")
+  }
+}
