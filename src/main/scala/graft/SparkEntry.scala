@@ -545,6 +545,20 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // INCREMENTAL dedup: docs ≥ 400 arrive as a new batch; the corpus
+    // (< 400) contributes only its persisted band index. Result must
+    // equal full-corpus pair mining restricted to pairs touching the
+    // batch — per-ingest cost scales with the batch, not the corpus.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = documents(s, d)
+      val corpusBands = Dedup.lshBands(
+        Dedup.minhashSignatures(docs.filter(col("doc_id") < 400), "doc_id", "text"))
+      val newSigs = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") >= 400), "doc_id", "text")
+      Dedup.incrementalPairs(newSigs, corpusBands)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // near-dup CLUSTER resolution: transitive closure over the MinHash
     // LSH candidate-pair graph (alternating large-star/small-star — see
     // ConnectedComponents scaladoc for the 100 TB shape); component =
@@ -1154,6 +1168,13 @@ object SparkEntry {
            JOIN sh sb ON sb.doc_id = c.doc_b)
          SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / u, 6) AS jaccard
          FROM j WHERE CAST(i AS DOUBLE) / u >= 0.5
+         ORDER BY doc_a, doc_b""",
+    // the full-corpus mining restricted to pairs touching the new batch —
+    // exactly what the incremental path must reproduce
+    "dedup_incremental" ->
+      s"""WITH $minhashOracleCtes
+         SELECT doc_a, doc_b FROM cand
+         WHERE doc_a >= 400 OR doc_b >= 400
          ORDER BY doc_a, doc_b""",
     // Transitive closure over the MinHash candidate pairs: the recursive
     // min-label CTE is a formulation-independent cross-check of the

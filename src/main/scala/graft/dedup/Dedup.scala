@@ -143,6 +143,34 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
 
+  /** INCREMENTAL dedup — the continuous-ingest shape: candidate pairs for
+    * a NEW batch against an already-deduped corpus without re-mining the
+    * corpus. The corpus contributes only its banded signature INDEX
+    * (doc_id, band_id, bkey) — the small relation a production pipeline
+    * persists between ingests (at 100 TB: a bucketed table on bkey via
+    * [[graft.sources.Warehouse]], so this join is shuffle-free on the
+    * corpus side and the per-ingest cost scales with the BATCH, not the
+    * corpus).
+    *
+    * Emits intra-batch pairs (capped bucket expansion, as [[bucketPairs]])
+    * plus batch×corpus pairs (band-key equi-join). With identical
+    * signature parameters the union equals the full-corpus pair mining
+    * restricted to pairs touching the batch — which is what the oracle
+    * checks. */
+  def incrementalPairs(newSigs: DataFrame, corpusBands: DataFrame,
+                       numPerms: Int = 8, rowsPerBand: Int = 2,
+                       maxBucket: Int = 1000): DataFrame = {
+    val newBands = lshBands(newSigs, numPerms, rowsPerBand).localCheckpoint()
+    val intra = bucketPairs(newBands, Seq("band_id", "bkey"), maxBucket)
+    val cross = newBands
+      .join(corpusBands.withColumnRenamed("doc_id", "corpus_id"),
+        Seq("band_id", "bkey"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .select(least(col("doc_id"), col("corpus_id")).as("doc_a"),
+        greatest(col("doc_id"), col("corpus_id")).as("doc_b"))
+    intra.unionByName(cross).distinct()
+  }
+
   /** Exact n-gram Jaccard on LSH candidates: re-attach each side's distinct
     * shingle array and compare with array_intersect — per-pair, map-side
     * after the two (small) joins; integers → the division is reproducible

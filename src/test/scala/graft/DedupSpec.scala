@@ -124,6 +124,24 @@ class DedupSpec extends SparkTestBase {
     assert(empty.collect().head.isNullAt(1))
   }
 
+  test("incremental pairs = full mining restricted to the new batch") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions._
+    val full = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(real, "doc_id", "text"))
+      .as[(Long, Long)].collect().toSet
+    for (cut <- Seq(20L, 50L, 80L)) {
+      val corpusBands = Dedup.lshBands(
+        Dedup.minhashSignatures(real.filter(col("doc_id") < cut), "doc_id", "text"))
+      val newSigs = Dedup.minhashSignatures(
+        real.filter(col("doc_id") >= cut), "doc_id", "text")
+      val inc = Dedup.incrementalPairs(newSigs, corpusBands)
+        .as[(Long, Long)].collect().toSet
+      val want = full.filter { case (a, b) => a >= cut || b >= cut }
+      assert(inc == want, s"cut=$cut")
+    }
+  }
+
   test("simhash: identical docs share signature; near-dups are close in Hamming") {
     val sigs = Dedup.simhash(docs, "doc_id", "text")
     val m = sigs.as[(Long, Long)].collect().toMap
