@@ -102,17 +102,25 @@ object TextAnalysis {
     * corpus and no keeper-set join (a keeper relation at 100 TB is nearly
     * as large as the corpus, so a semi-join formulation would shuffle
     * twice and scan twice). Callers filter on the emitted columns. */
-  def curate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The STATELESS per-document column set [[curate]] is built from —
+    * also the streaming-safe subset ([[graft.streaming.TextStream]] runs
+    * exactly these expressions over an unbounded stream; sharing the
+    * trees is what makes stream ≡ batch hold by construction). */
+  private[graft] def metricCols(idCol: String, textCol: String): Seq[Column] = {
     val words = TextOps.tokenize(col(textCol))
     val best = bestLang(col(textCol))
-    val byContent = org.apache.spark.sql.expressions.Window.partitionBy(md5(col(textCol)))
-    docs.select(
+    Seq(
       col(idCol).as("doc_id"),
       size(words).cast("long").as("n_tokens"),
       stopRatio(words).as("stop_ratio"),
       when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-        .as("lang_pred"),
-      (col(idCol) === min(col(idCol)).over(byContent)).as("is_keeper"))
+        .as("lang_pred"))
+  }
+
+  def curate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val byContent = org.apache.spark.sql.expressions.Window.partitionBy(md5(col(textCol)))
+    docs.select(metricCols(idCol, textCol) :+
+      (col(idCol) === min(col(idCol)).over(byContent)).as("is_keeper"): _*)
   }
 
   /** Repetition metrics — the Gopher-style duplicate-fraction filters

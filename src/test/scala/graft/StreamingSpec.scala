@@ -121,6 +121,65 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming curation metrics equal the batch metrics exactly") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir.toString)
+    val q = graft.streaming.TextStream.metrics(stream, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_metrics").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("doc_metrics").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val want = graft.streaming.TextStream
+      .metrics(Tables.documents(spark, sf), "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming curation dedups by content within the watermark") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstream2")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    // replay the same file: at-least-once delivery of every document
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents_replayed.parquet"))
+    // +1s offset: epoch-0 event time equals Spark's INITIAL watermark and
+    // the row would be discarded as late before any data arrived
+    val withT = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("t", timestamp_micros(col("doc_id") + 1000000L))
+    val stream = spark.readStream.schema(docSchema).parquet(dir.toString)
+    val q = graft.streaming.TextStream.curateStream(withT(stream), "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_curated").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("doc_curated").collect()
+      .map(r => (r.getString(4), r.getLong(1), r.getDouble(2), r.getString(3)))
+    // exactly one row per surviving content hash despite full replay...
+    assert(got.map(_._1).distinct.length == got.length)
+    // ...and the kept content set + metrics equal the batch curation's
+    // (keeper CHOICE may differ — identical text ⇒ identical metrics)
+    val want = graft.text.TextAnalysis.curate(Tables.documents(spark, sf), "doc_id", "text")
+      .filter(col("is_keeper") && col("n_tokens") >= 10 &&
+        col("stop_ratio") > 0 && col("lang_pred") === "en")
+      .join(Tables.documents(spark, sf), "doc_id")
+      .select(md5(col("text")), col("n_tokens"), col("stop_ratio"), col("lang_pred"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(got.toSet == want.toSet)
+    assert(got.nonEmpty)
+  }
+
   test("stream-static enrichment joins every event to the broadcast dim") {
     val stream = spark.readStream.schema(schema).parquet(streamDir)
     val dim = Tables.events(spark, sf)
