@@ -268,6 +268,22 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // §2.9 — RANGE frame over event TIME (not row offsets): each event's
+    // per-user trailing-hour total. Value sums are cent-integers (the
+    // float sum would be partial-order-dependent); RANGE includes ts
+    // peers on both engines, so ties are deterministic by construction
+    "window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("hour_total", round(sum(col("cents")).over(w) / 100.0, 2))
+        .select("event_id", "user_id", "ts_us", "hour_total")
+        .orderBy("event_id")
+    }),
+
     // as-of join (operator Spark lacks; union+window formulation, oracle
     // is DuckDB's NATIVE ASOF JOIN — an independent implementation):
     // each purchase enriched with the user's latest prior-or-equal click
@@ -499,6 +515,15 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // character-level verification on the same LSH candidates: Levenshtein
+    // distance ≤ 30% of the longer text (integer permille math — no
+    // doubles). O(len²)-per-pair cost is bounded by the candidate set;
+    // the corpus itself is never touched by the quadratic step
+    "dedup_edit" -> ((s, d) =>
+      Dedup.editVerifiedPairs(documents(s, d), "doc_id", "text",
+          maxDistPermille = 300)
+        .orderBy("doc_a", "doc_b")),
+
     // 64-bit SimHash signatures (xxhash64 — Spark-internal, rows-only check)
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(documents(s, d), "doc_id", "text").orderBy("doc_id")),
@@ -626,6 +651,16 @@ object SparkEntry {
           graft.ops.Sampling.hashBucket(col("doc_id")).cast("long").as("bucket"))
         .orderBy("doc_id")),
 
+    // stratified deterministic sampling: keep 64/256 of English docs,
+    // 16/256 of every other language — the corpus-rebalancing pass, as a
+    // pure map-side filter (no sampleBy partition-layout dependence)
+    "sample_stratified" -> ((s, d) =>
+      graft.ops.Sampling.stratifiedSample(documents(s, d), "doc_id", "lang",
+          rates = Map("en" -> 64), defaultBuckets = 16)
+        .select(col("doc_id"), col("lang"),
+          graft.ops.Sampling.hashBucket(col("doc_id")).cast("long").as("bucket"))
+        .orderBy("doc_id")),
+
     // leakage-free train/eval split: bucket by the NEAR-DUP CLUSTER hash
     // (components over ngram-verified pairs), so a paraphrase of a
     // training doc can never sit in eval — contamination is structurally
@@ -670,6 +705,22 @@ object SparkEntry {
     // token-count estimators
     "token_count" -> ((s, d) =>
       TextAnalysis.tokenCounts(documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // exact heavy hitters / vocabulary building: top-50 tokens by total
+    // occurrences (+doc frequency); TakeOrderedAndProject, never a global
+    // sort. Note the result IS the ranking — no extra ORDER BY needed,
+    // but the total (count desc, token asc) order makes the cut and the
+    // row order deterministic
+    "heavy_hitters" -> ((s, d) =>
+      TextAnalysis.vocabulary(documents(s, d), "doc_id", "text", k = 50)),
+
+    // corpus-RELATIVE quality gate: docs at/above the 75th percentile of
+    // token count — scalar threshold aggregated once, broadcast back,
+    // filtered map-side (a global percent_rank window would sort the
+    // corpus into one partition)
+    "quality_cut" -> ((s, d) =>
+      TextAnalysis.qualityCut(documents(s, d), "doc_id", "text", q = 0.75)
+        .orderBy("doc_id")),
 
     // portable polynomial content fingerprint
     "text_fingerprint" -> ((s, d) =>
@@ -1169,6 +1220,18 @@ object SparkEntry {
          SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / u, 6) AS jaccard
          FROM j WHERE CAST(i AS DOUBLE) / u >= 0.5
          ORDER BY doc_a, doc_b""",
+    // same candidate CTEs, character-level Levenshtein verify; the
+    // integer permille threshold mirrors the Spark side exactly
+    "dedup_edit" ->
+      s"""WITH $minhashOracleCtes
+         SELECT c.doc_a, c.doc_b,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+         FROM cand c
+         JOIN documents da ON da.doc_id = c.doc_a
+         JOIN documents db ON db.doc_id = c.doc_b
+         WHERE CAST(levenshtein(da.text, db.text) AS BIGINT) * 1000
+             <= 300 * greatest(length(da.text), length(db.text))
+         ORDER BY doc_a, doc_b""",
     // the full-corpus mining restricted to pairs touching the new batch —
     // exactly what the incremental path must reproduce
     "dedup_incremental" ->
@@ -1353,6 +1416,12 @@ object SparkEntry {
       s"""WITH b AS (SELECT doc_id, ${md5BucketSql("doc_id")} AS bucket FROM documents)
          SELECT doc_id, CAST(bucket AS BIGINT) AS bucket
          FROM b WHERE bucket < 32 ORDER BY doc_id""",
+    "sample_stratified" ->
+      s"""WITH b AS (SELECT doc_id, lang, ${md5BucketSql("doc_id")} AS bucket
+           FROM documents)
+         SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+         FROM b WHERE bucket < CASE WHEN lang = 'en' THEN 64 ELSE 16 END
+         ORDER BY doc_id""",
     // closure over ngram-verified pairs (shared CTEs), then bucket by the
     // COMPONENT hash — the oracle reproduces the leakage-free property
     // bit for bit, not just statistically
@@ -1532,6 +1601,18 @@ object SparkEntry {
              CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
          FROM documents ORDER BY doc_id""",
+    "heavy_hitters" ->
+      """SELECT tok, count(*) AS n_total,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY tok ORDER BY n_total DESC, tok LIMIT 50""",
+    "quality_cut" ->
+      """WITH s AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         t AS (SELECT quantile_cont(n_tokens, 0.75) AS thr FROM s)
+         SELECT s.doc_id, s.n_tokens, round(t.thr, 6) AS thr
+         FROM s, t WHERE s.n_tokens >= t.thr
+         ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id,
              list_reduce([CAST(0 AS BIGINT)] ||
@@ -1638,6 +1719,13 @@ object SparkEntry {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_orderkey""",
+    "window_range_frame" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS BIGINT) / 100.0, 2) AS hour_total
+         FROM events ORDER BY event_id""",
     "grouping_sets_agg" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
              round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS price_total

@@ -210,6 +210,38 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Edit-distance verification on LSH candidates: re-attach each side's
+    * raw text and keep pairs whose Levenshtein distance is at most
+    * `maxDistPermille`/1000 of the LONGER text — a character-level
+    * near-dup check that catches small in-place edits n-gram Jaccard
+    * over-penalizes (a shifted word disturbs 3 shingles but only 1 edit).
+    *
+    * Scale shape: Levenshtein is O(len_a·len_b) PER PAIR, so it must
+    * never see the corpus — it runs only on the LSH candidate pairs
+    * (same staging as [[ngramJaccardPairs]]: materialized candidates,
+    * broadcast semi-join prune before the text re-attach, so the corpus
+    * is never shuffled and the quadratic cost scales with |candidates|).
+    * The relative threshold is integer math (d·1000 ≤ permille·len):
+    * bit-reproducible, no doubles. */
+  def editVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDistPermille: Int = 300, numPerms: Int = 8,
+                        shingleSize: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, numPerms, shingleSize)
+    val cands = lshCandidatePairs(sigs, numPerms).localCheckpoint()
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val txt = docs
+      .join(broadcast(candDocs), docs(idCol) === candDocs("doc_id"), "left_semi")
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+    val a = txt.select(col("doc_id").as("doc_a"), col("t").as("t_a"))
+    val b = txt.select(col("doc_id").as("doc_b"), col("t").as("t_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .filter(col("edit_dist") * 1000 <=
+        lit(maxDistPermille) * greatest(length(col("t_a")), length(col("t_b"))).cast("long"))
+      .select("doc_a", "doc_b", "edit_dist")
+  }
+
   /** 64-bit SimHash per document, occurrence-weighted xxhash64 over words.
     * Two shuffles: (doc, word) term frequencies, then per-doc bit sums —
     * both partial-aggregated map-side by Catalyst. */

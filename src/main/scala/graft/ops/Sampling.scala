@@ -33,6 +33,24 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, buckets: Int): DataFrame =
     df.filter(hashBucket(col(idCol)) < buckets)
 
+  /** Stratified deterministic sampling: a different bucket threshold per
+    * stratum (e.g. keep 25% of English, 6.25% of everything else — the
+    * language-rebalancing pass of a corpus pipeline). Same md5-bucket
+    * membership as [[hashSample]], so it inherits every property that
+    * matters at scale: pure map-side filter (no shuffle, no sampleBy
+    * seed-vs-partition-layout dependence), growth-stable, and the rate
+    * CASE folds into the scan filter. `rates` maps stratum value →
+    * buckets-of-256 kept; unlisted strata fall back to `defaultBuckets`.
+    * The fold is over a sorted key sequence so the generated plan (and
+    * therefore the oracle SQL) is deterministic. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Int], defaultBuckets: Int): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultBuckets)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < thr)
+  }
+
   /** (doc_id, component, bucket, split) — split by the CLUSTER hash:
     * `clusters` is a (node, component) relation (e.g. from
     * [[graft.graph.ConnectedComponents]] over verified near-dup pairs);

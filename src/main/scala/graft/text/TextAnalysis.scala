@@ -45,6 +45,45 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .cast("long").as("re_tokens"))
 
+  /** Corpus vocabulary / exact heavy hitters: top-`k` tokens by total
+    * occurrence count (ties broken by token — total order, so the cut is
+    * deterministic), with document frequency alongside — the vocab-
+    * building pass of a training pipeline.
+    *
+    * Scale shape: one explode → groupBy shuffle with map-side partial
+    * aggregation (token cardinality ≪ occurrence count, so partials
+    * collapse hard); `orderBy.limit(k)` plans as TakeOrderedAndProject —
+    * per-partition top-k heaps + a k-row driver merge, never a global
+    * sort. countDistinct adds the standard two-phase expand; at 100 TB
+    * swap it for approx_count_distinct if exact df is not required. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokenize(col(textCol))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_total").desc, col("tok"))
+      .limit(k)
+
+  /** Corpus-RELATIVE quality cut: keep documents at or above the `q`-th
+    * exact percentile of token count — "top (1−q) of the corpus by
+    * length", the distribution-aware twin of [[curate]]'s absolute gates.
+    *
+    * Scale shape: a global percent_rank window would sort the corpus into
+    * ONE partition (Spark's unpartitioned Window). Instead: aggregate the
+    * scalar threshold (one reduce to a single row), broadcast it back,
+    * and filter map-side — two scans of a two-column projection, no wide
+    * shuffle, no single-task sort. The exact interpolated percentile over
+    * integer token counts reproduces bit for bit in any engine. */
+  def qualityCut(docs: DataFrame, idCol: String, textCol: String,
+                 q: Double): DataFrame = {
+    val scored = docs.select(col(idCol).as("doc_id"),
+      size(TextOps.tokenize(col(textCol))).cast("long").as("n_tokens"))
+    val thr = scored.agg(expr(s"percentile(n_tokens, $q)").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("n_tokens") >= col("thr"))
+      .select(col("doc_id"), col("n_tokens"), round(col("thr"), 6).as("thr"))
+  }
+
   /** Polynomial rolling hash over characters, mod 1e9+7 — a portable
     * content fingerprint (identical in any engine with a left fold;
     * the classic h = h*31 + c). Codepoint-exact for ASCII corpora. */

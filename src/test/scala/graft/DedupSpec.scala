@@ -14,6 +14,43 @@ class DedupSpec extends SparkTestBase {
     (5L, "a b")                                            // < 3 tokens: no shingles
   ).toDF("doc_id", "text")
 
+  test("edit-verified pairs agree with an in-test Levenshtein oracle") {
+    // perturbed copies guarantee LSH candidates; the in-test DP is an
+    // independent implementation of both the distance and the permille
+    // threshold, so this checks the whole verify stage, not just Spark's
+    // levenshtein builtin
+    val vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    val base = (0 until 10).map { i =>
+      (i.toLong, (0 until 12).map(j => vocab((i * 7 + j * 3) % vocab.length)).mkString(" "))
+    }
+    val copies = (0 until 5).map { i =>
+      val words = base(i)._2.split(" "); words(6) = "mutated"
+      (100L + i, words.mkString(" "))
+    }
+    val corpus = (base ++ copies).toDF("doc_id", "text")
+    val got = Dedup.editVerifiedPairs(corpus, "doc_id", "text", maxDistPermille = 300)
+      .as[(Long, Long, Long)].collect().toSet
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j => i.max(j)))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val texts = corpus.as[(Long, String)].collect().toMap
+    val cands = Dedup.lshCandidatePairs(Dedup.minhashSignatures(corpus, "doc_id", "text"))
+      .as[(Long, Long)].collect()
+    val expect = cands.flatMap { case (x, y) =>
+      val d = lev(texts(x), texts(y))
+      if (d.toLong * 1000 <= 300L * math.max(texts(x).length, texts(y).length))
+        Some((x, y, d.toLong))
+      else None
+    }.toSet
+    assert(got == expect)
+    assert(expect.nonEmpty, "corpus must produce at least one verified pair")
+  }
+
   test("exact dedup groups identical texts, keeper = min id") {
     val got = Dedup.exact(docs, "doc_id", "text")
       .orderBy("keep_id").select("keep_id", "n").as[(Long, Long)].collect().toSeq

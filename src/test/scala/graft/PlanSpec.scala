@@ -33,6 +33,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("heavy_hitters plans TakeOrderedAndProject (per-partition heaps, no global sort)") {
+    val p = plan("heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("quality_cut broadcasts the scalar threshold — no corpus-wide window sort") {
+    val p = plan("quality_cut")
+    // the percentile threshold arrives as a broadcast 1-row relation;
+    // an unpartitioned Window would have sorted the corpus in ONE task
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("window_range_frame serves the frame from a single partitioned Window") {
+    val p = plan("window_range_frame")
+    assert(p.linesIterator.count(_.contains("Window [")) == 1, p.take(1200))
+  }
+
   test("similarity_topk keeps the corpus side un-shuffled (broadcast queries)") {
     val p = plan("similarity_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -37,6 +37,28 @@ class SamplingSpec extends SparkTestBase {
     assert(half == full.filter(_ % 2 == 0))
   }
 
+  test("stratified sample: per-stratum rates, default fallback, no shuffle") {
+    val docs = Tables.documents(spark, sf)
+    val got = Sampling.stratifiedSample(docs, "doc_id", "lang",
+        rates = Map("en" -> 64), defaultBuckets = 16)
+      .select("doc_id").as[Long].collect().toSet
+    // membership recomputed independently from (bucket, lang)
+    val withB = docs.select(col("doc_id"), col("lang"),
+        Sampling.hashBucket(col("doc_id")).as("b"))
+      .as[(Long, String, Int)].collect()
+    val expect = withB.collect {
+      case (id, lang, b) if b < (if (lang == "en") 64 else 16) => id
+    }.toSet
+    assert(got == expect)
+    assert(expect.nonEmpty)
+    // both strata sides must be represented for the test to mean anything
+    val langs = withB.filter(r => expect(r._1)).map(_._2).toSet
+    assert(langs.contains("en") && langs.exists(_ != "en"))
+    val plan = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 64), 16).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"stratified sampling must not shuffle:\n$plan")
+  }
+
   test("leakage-free split: no near-dup component straddles train/eval") {
     // synthetic clusters: docs 0-2 one component, 3-4 another, 5+ singletons
     val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L))

@@ -5,6 +5,25 @@ import graft.text.TextAnalysis
 class TextAnalysisSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("vocabulary: exact counts, doc frequency, deterministic tie cut") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // a:2 occurrences/1 doc, b:2/2, c:1/1 — ties broken token-asc, k=2
+    // cuts c and orders a before b
+    val got = TextAnalysis.vocabulary(docs, "doc_id", "text", k = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L, 1L), ("b", 2L, 2L)))
+  }
+
+  test("qualityCut keeps exactly the docs at/above the exact percentile") {
+    val docs = (1 to 8).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    // percentile([1..8], 0.5) = 4.5 interpolated → keep token counts 5..8
+    val got = TextAnalysis.qualityCut(docs, "doc_id", "text", q = 0.5)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(5L, 6L, 7L, 8L))
+    assert(got.forall(_._3 == 4.5))
+  }
+
   test("quality features on a crafted doc") {
     val docs = Seq((1L, "the cat the cat mat")).toDF("doc_id", "text")
     val r = TextAnalysis.quality(docs, "doc_id", "text").head()
