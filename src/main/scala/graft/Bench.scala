@@ -86,6 +86,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Tungsten handles DataFrame exchanges; this is for the RDD loop
+      // shuffles (PageRank, CC), where Java serialization of small tuples
+      // is measurable overhead
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup: whichever query runs first otherwise absorbs

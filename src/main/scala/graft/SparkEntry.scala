@@ -383,6 +383,15 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("long").as("k_val"))
         .orderBy("event_id")),
 
+    // schema-ful JSON decode: from_json parses the whole document against
+    // a declared struct (the typed-ingest path; get_json_object above is
+    // the per-path probe) — same independent regexp oracle
+    "from_json_struct" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          expr("from_json(props, 'k BIGINT')").getField("k").as("k_val"))
+        .orderBy("event_id")),
+
     // §2.7 — set intersection: customers who placed a big order
     "set_intersect" -> ((s, d) =>
       customer(s, d).select(col("c_custkey").as("id"))
@@ -1155,6 +1164,9 @@ object SparkEntry {
              round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "json_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val
+         FROM events ORDER BY event_id""",
+    "from_json_struct" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val
          FROM events ORDER BY event_id""",
     "set_intersect" ->

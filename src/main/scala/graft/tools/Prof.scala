@@ -19,6 +19,9 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.serializer",
+        sys.env.getOrElse("SPARK_GRAFT_PROF_SERIALIZER",
+          "org.apache.spark.serializer.JavaSerializer"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     what match {
@@ -108,6 +111,82 @@ object Prof {
         val iters = s.drop(2).toInt
         val g = graft.SparkEntry.pagerankGraph(spark, sfDir)
         t(s"pagerank iters=$iters")(graft.pagerank.PageRank.run(g, iters = iters).count())
+      case "dump" =>
+        // stage-wise cost of the end-to-end dump drive (BENCH dump_* keys)
+        val path = sys.env.getOrElse("SPARK_GRAFT_DUMP_PATH", "/tmp/graft_dump.xml")
+        val pages = graft.sources.TextKV.readPages(spark, path)
+        t("ingest count")(pages.count())
+        val edges = graft.parse.WikiParser.linkGraphFused(pages)
+        t("parse+links count")(edges.count())
+        t("parse+links again")(edges.count())
+        t("pagerank e2e")(graft.pipelines.WikiPipelines.pageRank(spark, path).count())
+      case "dumpstep" =>
+        // instrumented copy of PageRank.run's distributed path over the
+        // bench dump: where do the ~30 s go?
+        import org.apache.spark.storage.StorageLevel
+        val path = sys.env.getOrElse("SPARK_GRAFT_DUMP_PATH", "/tmp/graft_dump.xml")
+        val edgesDf = graft.parse.WikiParser.linkGraphFused(
+          graft.sources.TextKV.readPages(spark, path))
+        import spark.implicits._
+        val raw = edgesDf.select("title", "outlinks").as[(String, Seq[String])]
+          .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        val n = t("raw persist+count")(raw.count())
+        val parts = Integer.parseInt(sys.env.getOrElse("SPARK_GRAFT_PROF_PARTS", "24"))
+        val part = new org.apache.spark.HashPartitioner(parts)
+        val links = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+        t("links partitionBy+count")(links.count())
+        var r = links.mapValues(_ => 1.0 / n)
+        for (i <- 1 to 10) {
+          t(s"iter $i") {
+            val contribs = links.join(r, part).flatMap { case (_, (ls, rk)) =>
+              if (ls.isEmpty) Iterator.empty
+              else { val c = rk / ls.size; ls.iterator.map(l => (l, c)) }
+            }
+            val sums = contribs.reduceByKey(part, _ + _)
+            r = links.leftOuterJoin(sums, part)
+              .mapValues { case (_, s) => 0.85 * s.getOrElse(0.0) + 0.15 }
+            if (i % 3 == 0 || i == 10) { r.localCheckpoint(); r.count() }
+          }
+        }
+        t("final count")(r.count())
+      case "dumpint" =>
+        // ceiling probe: same loop with INT vertex ids (broadcast-resolved
+        // here; a real implementation would resolve by join) — how much of
+        // the iteration cost is String keys?
+        import org.apache.spark.storage.StorageLevel
+        val path = sys.env.getOrElse("SPARK_GRAFT_DUMP_PATH", "/tmp/graft_dump.xml")
+        val edgesDf = graft.parse.WikiParser.linkGraphFused(
+          graft.sources.TextKV.readPages(spark, path))
+        import spark.implicits._
+        val raw = edgesDf.select("title", "outlinks").as[(String, Seq[String])]
+          .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        val n = raw.count()
+        val parts = Integer.parseInt(sys.env.getOrElse("SPARK_GRAFT_PROF_PARTS", "6"))
+        val part = new org.apache.spark.HashPartitioner(parts)
+        val idMap = t("id map build")(
+          raw.keys.collect().zipWithIndex.toMap)
+        val bc = spark.sparkContext.broadcast(idMap)
+        val intLinks = t("int links build") {
+          val l = raw.map { case (ti, ls) =>
+            val m = bc.value
+            (m(ti), (ls.size, ls.iterator.flatMap(m.get).toArray))
+          }.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+          l.count(); l
+        }
+        var r = intLinks.mapValues(_ => 1.0 / n)
+        for (i <- 1 to 10) {
+          t(s"int iter $i") {
+            val contribs = intLinks.join(r, part).flatMap { case (_, ((deg, ts), rk)) =>
+              if (deg == 0) Iterator.empty
+              else { val c = rk / deg; ts.iterator.map(tg => (tg, c)) }
+            }
+            val sums = contribs.reduceByKey(part, _ + _)
+            r = intLinks.leftOuterJoin(sums, part)
+              .mapValues { case (_, s) => 0.85 * s.getOrElse(0.0) + 0.15 }
+            if (i % 3 == 0 || i == 10) { r.localCheckpoint(); r.count() }
+          }
+        }
+        t("int final count")(r.count())
       case "explain" =>
         val q = graft.SparkEntry.queries(args(2))
         q(spark, sfDir).explain("formatted")
