@@ -715,6 +715,20 @@ object SparkEntry {
     "token_count" -> ((s, d) =>
       TextAnalysis.tokenCounts(documents(s, d), "doc_id", "text").orderBy("doc_id")),
 
+    // per-source document cap (domain caps for the training mix): first
+    // 10 docs per source in deterministic id order
+    "curate_source_cap" -> ((s, d) =>
+      TextAnalysis.sourceCap(documents(s, d), "doc_id", "source", k = 10)
+        .orderBy("doc_id")),
+
+    // benchmark-decontamination sweep: train docs (eval = hash buckets
+    // 0-7) sharing any 5-gram with the eval split, with distinct-shingle
+    // hit counts; eval shingles broadcast, corpus never self-joined
+    "decontaminate" -> ((s, d) =>
+      TextAnalysis.decontaminate(documents(s, d), "doc_id", "text",
+          evalPred = graft.ops.Sampling.hashBucket(col("doc_id")) < 8)
+        .orderBy("doc_id")),
+
     // exact heavy hitters / vocabulary building: top-50 tokens by total
     // occurrences (+doc frequency); TakeOrderedAndProject, never a global
     // sort. Note the result IS the ranking — no extra ORDER BY needed,
@@ -1613,6 +1627,26 @@ object SparkEntry {
              CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
          FROM documents ORDER BY doc_id""",
+    "curate_source_cap" ->
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
+           SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 10 ORDER BY doc_id""",
+    // same 5-gram construction as the Spark side, from the shared
+    // tokenize ≡ string_split precondition; eval = md5 buckets 0-7
+    "decontaminate" ->
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS w,
+             ${md5BucketSql("doc_id")} AS bucket FROM documents),
+         ev AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(w) - 4),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sgl
+           FROM b WHERE bucket < 8),
+         tr AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 4),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS sgl
+           FROM b WHERE bucket >= 8)
+         SELECT tr.doc_id, CAST(count(DISTINCT tr.sgl) AS BIGINT) AS n_hits
+         FROM tr JOIN ev USING (sgl)
+         GROUP BY tr.doc_id ORDER BY doc_id""",
     "heavy_hitters" ->
       """SELECT tok, count(*) AS n_total,
              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs

@@ -84,6 +84,48 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), round(col("thr"), 6).as("thr"))
   }
 
+  /** Per-source document cap — the domain-cap pass of a web-corpus
+    * pipeline (no single domain may dominate the training mix): keep the
+    * first `k` docs per source in deterministic (doc id) order.
+    *
+    * Scale shape: one hash shuffle on the source key + a per-partition
+    * sort — the window never sees more than one source's docs in one
+    * frame, and source cardinality ≫ executor count keeps partitions
+    * balanced. A pathologically hot source is exactly what the cap
+    * REMOVES, so the skew self-heals: only k rows per source survive. */
+  def sourceCap(docs: DataFrame, idCol: String, srcCol: String,
+                k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Train/eval DECONTAMINATION: train documents sharing any `n`-gram
+    * with the eval split (rows where `evalPred` holds), with the count of
+    * distinct shared shingles — the standard benchmark-leakage sweep run
+    * before training.
+    *
+    * Scale shape: the eval side is small BY CONSTRUCTION (an eval split
+    * is a fixed benchmark, not a corpus), so its distinct shingle set
+    * broadcasts and the train side is checked map-side after its shingle
+    * explode — the corpus is never self-joined. For a large eval set,
+    * drop the broadcast() hint and the same plan becomes a shuffle
+    * semi-join. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    evalPred: Column, shingleSize: Int = 5): DataFrame = {
+    val sgl = graft.dedup.Dedup.shingles(
+      TextOps.tokenize(col(textCol)), shingleSize)
+    val evalShingles = docs.filter(evalPred)
+      .select(explode(sgl).as("sgl")).distinct()
+    docs.filter(!evalPred)
+      .select(col(idCol).as("doc_id"), explode(sgl).as("sgl"))
+      .join(broadcast(evalShingles), Seq("sgl"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sgl")).as("n_hits"))
+  }
+
   /** Polynomial rolling hash over characters, mod 1e9+7 — a portable
     * content fingerprint (identical in any engine with a left fold;
     * the classic h = h*31 + c). Codepoint-exact for ASCII corpora. */

@@ -51,6 +51,11 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("Window [")) == 1, p.take(1200))
   }
 
+  test("decontaminate broadcasts eval shingles — no corpus self-join shuffle") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("similarity_topk keeps the corpus side un-shuffled (broadcast queries)") {
     val p = plan("similarity_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -24,6 +24,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.forall(_._3 == 4.5))
   }
 
+  test("sourceCap keeps the first k docs per source, deterministic order") {
+    val docs = (1L to 10L).map(i => (i, s"src${i % 2}")).toDF("doc_id", "src")
+    val got = TextAnalysis.sourceCap(docs, "doc_id", "src", k = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    // per source the 3 LOWEST ids survive with ranks 1..3
+    assert(got == Seq((1L, "src1", 1L), (2L, "src0", 1L), (3L, "src1", 2L),
+      (4L, "src0", 2L), (5L, "src1", 3L), (6L, "src0", 3L)))
+  }
+
+  test("decontaminate flags exactly the train docs sharing an eval 5-gram") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),          // eval
+      (10L, "x alpha beta gamma delta epsilon y"),          // shares 5-gram
+      (11L, "alpha beta gamma q delta epsilon zeta p"),     // only 3-gram overlap
+      (12L, "totally unrelated words in this one here")     // clean
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(docs, "doc_id", "text",
+        evalPred = col("doc_id") < 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 1L))
+  }
+
   test("quality features on a crafted doc") {
     val docs = Seq((1L, "the cat the cat mat")).toDF("doc_id", "text")
     val r = TextAnalysis.quality(docs, "doc_id", "text").head()
