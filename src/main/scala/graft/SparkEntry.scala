@@ -685,6 +685,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // int8 max-abs embedding quantization (float32 → codes + scale): the
+    // 4× storage/bandwidth saver for embedding stores; map-side only
+    "embedding_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(embeddings(s, d), "vec_id", "embedding")
+        .orderBy("vec_id")),
+
     // exact cosine top-5 per query vector (queries = vec_id < 10)
     "similarity_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embeddings(s, d), "vec_id", "embedding",
@@ -1460,6 +1466,17 @@ object SparkEntry {
          SELECT doc_id, component, CAST(bucket AS BIGINT) AS bucket,
              CASE WHEN bucket < 26 THEN 'eval' ELSE 'train' END AS split
          FROM b ORDER BY doc_id""",
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT vec_id, v,
+             list_reduce([0.0] || list_transform(v, x -> abs(x)),
+                         (m, x) -> greatest(m, x)) AS scale
+           FROM e)
+         SELECT vec_id, round(scale, 6) AS scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT))
+             END AS codes
+         FROM s ORDER BY vec_id""",
     "similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v,

@@ -8,6 +8,27 @@ class SimilaritySpec extends SparkTestBase {
 
   private val sf001 = "/root/testdata/sf0.001"
 
+  test("int8 quantization: reconstruction error ≤ half a code step, zero-safe") {
+    val emb = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)),           // zero vector: scale 0, codes 0
+      (3L, Seq(2.0f, -2.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .as[(Long, Double, Seq[Int])].collect()
+    assert(got(1) == ((2L, 0.0, Seq(0, 0, 0))))
+    // max|code| hits exactly 127 and dequantized values land within half
+    // a quantization step of the originals
+    val originals = Map(1L -> Seq(0.5, -1.0, 0.25), 3L -> Seq(2.0, -2.0, 1.0))
+    got.filter(_._1 != 2L).foreach { case (id, scale, codes) =>
+      assert(codes.map(math.abs).max == 127)
+      codes.zip(originals(id)).foreach { case (c, x) =>
+        assert(math.abs(c * scale / 127 - x) <= scale / 127 / 2 + 1e-9)
+      }
+    }
+  }
+
   test("dot and l2norm fold exactly") {
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
     val (d, n) = df.select(
