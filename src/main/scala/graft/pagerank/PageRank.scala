@@ -349,18 +349,36 @@ object PageRank {
           vertices.iterator.zipWithIndex.map { case ((t, _), i) => (t, rank(i)) }
         }, preservesPartitioning = true)
       } else {
-        var r = links.mapValues(_ => rnd(1.0 / n))
-        var lastCkpt: Option[org.apache.spark.rdd.RDD[(String, Double)]] = None
+        // Numeric-id loop, as in [[run]] (same measured ~1.6× shuffle
+        // win). Red links are already pruned from `raw` on this path, so
+        // every target resolves and deg == targets.length; dangling
+        // detection stays deg == 0.
+        val ids = links.keys.zipWithIndex()
+          .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+        val resolvedTargets = links
+          .flatMap { case (src, ls) => ls.iterator.map(dst => (dst, src)) }
+          .join(ids, part)
+          .map { case (_, (src, dstId)) => (src, dstId) }
+          .groupByKey(part)
+        val intLinks = ids.join(links.mapValues(_.size), part)
+          .leftOuterJoin(resolvedTargets, part)
+          .map { case (_, ((id, deg), ts)) =>
+            (id, (deg, ts.fold(Array.empty[Long])(_.toArray))) }
+          .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+        intLinks.count()
+
+        var r = intLinks.mapValues(_ => rnd(1.0 / n))
+        var lastCkpt: Option[org.apache.spark.rdd.RDD[(Long, Double)]] = None
         for (i <- 1 to iters) {
-          val joined = links.join(r, part) // narrow: co-partitioned
+          val joined = intLinks.join(r, part) // narrow: co-partitioned
           val dMass = joined.values
-            .map { case (ls, rk) => if (ls.isEmpty) rk else 0.0 }.sum()
-          val contribs = joined.flatMap { case (_, (ls, rk)) =>
-            if (ls.isEmpty) Iterator.empty
-            else { val c = rk / ls.size; ls.iterator.map(l => (l, c)) }
+            .map { case ((deg, _), rk) => if (deg == 0) rk else 0.0 }.sum()
+          val contribs = joined.flatMap { case (_, ((deg, ts), rk)) =>
+            if (deg == 0) Iterator.empty
+            else { val c = rk / deg; ts.iterator.map(tg => (tg, c)) }
           }
           val sums = contribs.reduceByKey(part, _ + _)
-          r = links.leftOuterJoin(sums, part)
+          r = intLinks.leftOuterJoin(sums, part)
             .mapValues { case (_, s) =>
               rnd(base + d * (s.getOrElse(0.0) + dMass / n))
             }
@@ -371,7 +389,15 @@ object PageRank {
             lastCkpt = Some(r)
           }
         }
-        r
+        val named = r
+          .join(ids.map(_.swap).partitionBy(part), part)
+          .map { case (_, (rk, t)) => (t, rk) }
+        named.localCheckpoint()
+        named.count()
+        ids.unpersist(false)
+        intLinks.unpersist(false)
+        lastCkpt.foreach(_.unpersist(false))
+        named
       }
     ranks.localCheckpoint()
     ranks.count()
@@ -471,13 +497,32 @@ object PageRank {
       return res.toDF("title", "rank")
     }
 
+    // Numeric-id loop (see [[run]]). The warm-start init is (title, rank)
+    // by nature — ids are NOT stable across graph deltas — so it joins
+    // through the fresh title→id relation; absent vertices start at 1/N,
+    // departed vertices drop out in the same join.
+    val ids = links.keys.zipWithIndex()
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val resolvedTargets = links
+      .flatMap { case (src, ls) => ls.iterator.map(dst => (dst, src)) }
+      .join(ids, part)
+      .map { case (_, (src, dstId)) => (src, dstId) }
+      .groupByKey(part)
+    val intLinks = ids.join(links.mapValues(_.size), part)
+      .leftOuterJoin(resolvedTargets, part)
+      .map { case (_, ((id, deg), ts)) =>
+        (id, (deg, ts.fold(Array.empty[Long])(_.toArray))) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    intLinks.count()
+
     var ranks = init match {
       case Some(df) =>
         val prev = df.select("title", "rank").as[(String, Double)]
           .rdd.partitionBy(part)
-        links.leftOuterJoin(prev, part)
-          .mapValues { case (_, r) => r.getOrElse(1.0 / n) }
-      case None => links.mapValues(_ => 1.0 / n)
+        ids.leftOuterJoin(prev, part)
+          .map { case (_, (id, r)) => (id, r.getOrElse(1.0 / n)) }
+          .partitionBy(part)
+      case None => intLinks.mapValues(_ => 1.0 / n)
     }
     ranks.localCheckpoint()
     ranks.count()
@@ -485,12 +530,12 @@ object PageRank {
     var iter = 0
     var delta = Double.MaxValue
     while (iter < maxIters && delta >= eps) {
-      val contribs = links.join(ranks, part).flatMap { case (_, (ls, r)) =>
-        if (ls.isEmpty) Iterator.empty
-        else { val c = r / ls.size; ls.iterator.map(l => (l, c)) }
+      val contribs = intLinks.join(ranks, part).flatMap { case (_, ((deg, ts), r)) =>
+        if (deg == 0 || ts.isEmpty) Iterator.empty
+        else { val c = r / deg; ts.iterator.map(tg => (tg, c)) }
       }
       val sums = contribs.reduceByKey(part, _ + _)
-      val next = links.leftOuterJoin(sums, part)
+      val next = intLinks.leftOuterJoin(sums, part)
         .mapValues { case (_, s) => d * s.getOrElse(0.0) + (1.0 - d) }
       next.localCheckpoint()
       // the delta action materializes next's checkpoint in the same job
@@ -501,8 +546,16 @@ object PageRank {
       ranks = next
       iter += 1
     }
+    val named = ranks
+      .join(ids.map(_.swap).partitionBy(part), part)
+      .map { case (_, (rk, t)) => (t, rk) }
+    named.localCheckpoint()
+    named.count()
+    ids.unpersist(false)
+    intLinks.unpersist(false)
+    prevCkpt.unpersist(false)
     links.unpersist(false)
-    ranks.toDF("title", "rank")
+    named.toDF("title", "rank")
   }
 
   /** The declarative Catalyst formulation of the same semantics — used by
