@@ -29,6 +29,23 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("int8-quantized cosine preserves exact top-5 with recall ≥ 0.8") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // dequantize codes back to an embedding column and rank with the
+    // same brute-force operator — recall measures quantization loss only
+    val deq = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("codes"), c => c * col("scale") / 127).as("embedding"))
+    val approx = Similarity.bruteForceTopK(deq, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall")
+  }
+
   test("dot and l2norm fold exactly") {
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
     val (d, n) = df.select(
