@@ -126,6 +126,18 @@ object SparkEntry {
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy("word")),
 
+    // positional explode: token + 1-based position in one Generate —
+    // the ordinal the plain explode discards (n-gram/window builders
+    // downstream need it)
+    "explode_pos" -> ((s, d) =>
+      documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(graft.ops.TextOps.tokenize(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("word"))
+        .orderBy("doc_id", "pos")),
+
     // §2.4 A1/A4 — count distinct (the N counter analog)
     "count_distinct" -> ((s, d) =>
       orders(s, d).agg(countDistinct(col("o_custkey")).as("n"))),
@@ -197,6 +209,19 @@ object SparkEntry {
       c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
+    }),
+
+    // null-safe equality join (<=>): NULL keys MATCH each other — the
+    // semantics regular equi-joins silently drop; keys made nullable via
+    // nullif so both engines exercise the null-match branch
+    "join_null_safe" -> ((s, d) => {
+      val o = orders(s, d)
+        .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("O")).as("k"))
+      val dim = orders(s, d).select(nullif(col("o_orderstatus"), lit("O")).as("k"))
+        .distinct().withColumn("tag", coalesce(col("k"), lit("open")))
+      o.join(dim, o("k") <=> dim("k"))
+        .select(col("o_orderkey"), col("tag"))
+        .orderBy("o_orderkey")
     }),
 
     // §2.5 — full outer join: per-nation high-balance customer vs supplier
@@ -1189,6 +1214,20 @@ object SparkEntry {
     "from_json_struct" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val
          FROM events ORDER BY event_id""",
+    "join_null_safe" ->
+      """SELECT o_orderkey, tag FROM (
+           SELECT o_orderkey, nullif(o_orderstatus, 'O') AS k FROM orders) o
+         JOIN (SELECT k, coalesce(k, 'open') AS tag FROM
+                (SELECT DISTINCT nullif(o_orderstatus, 'O') AS k FROM orders)) d
+           ON o.k IS NOT DISTINCT FROM d.k
+         ORDER BY o_orderkey""",
+    "explode_pos" ->
+      """SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.word AS word FROM (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+               i -> {'pos': i, 'word': w[i]})) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE doc_id < 50))
+         ORDER BY doc_id, pos""",
     "set_intersect" ->
       """SELECT id FROM (
            SELECT c_custkey AS id FROM customer
