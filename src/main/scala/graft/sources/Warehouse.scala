@@ -32,6 +32,24 @@ object Warehouse {
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Compacted parquet sink — the small-files killer: a 1000-executor job
+    * naively writes ≥1000 files per partition directory, and a 100 TB
+    * warehouse dies by metadata (file listing dominates scan planning).
+    * Repartitions to ceil(rows/targetRows) writers and caps rows per file,
+    * so output file count tracks DATA size, not executor count.
+    *
+    * The row count is one extra pass over `df` — acceptable for a sink
+    * that runs once per table; pipelines that already know the count
+    * should pass it via `knownRows`. */
+  def writeCompacted(df: DataFrame, path: String, targetRows: Long,
+                     knownRows: Long = -1L): Unit = {
+    val rows = if (knownRows >= 0) knownRows else df.count()
+    val files = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
+    df.repartition(files).write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRows)
+      .parquet(path)
+  }
+
   /** Bucketed external table: hash-bucketed (and optionally sorted) on
     * `key` at `path`, registered as `table` in the session catalog.
     * Joining two tables bucketed with the SAME bucket count on their join

@@ -56,6 +56,32 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("PNG payloads decode through the same format-agnostic reader path") {
+    // a second real JDK codec (PNG is lossless like BMP): the extractor
+    // never looks at the format — ImageIO's reader registry dispatches —
+    // so pixel features must be identical to the BMP formula fold
+    import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+    val id = 42L
+    val (w, h) = ((id % 16 + 1).toInt, (id % 12 + 1).toInt)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y,
+        (Multimodal.pixelValue(id, x, y, 0) << 16) |
+        (Multimodal.pixelValue(id, x, y, 1) << 8) |
+        Multimodal.pixelValue(id, x, y, 2))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq(MediaRow(id, bos.toByteArray, MediaMeta("image", w, h, 0L))).toDF()
+    val (gw, gh, cs) = Multimodal.extractFeatures(df)
+      .toDF().select("width", "height", "checksum")
+      .as[(Int, Int, Long)].head()
+    var want = 0L
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      want = (want * 31 + Multimodal.pixelValue(id, x, y, c)) % 1000000007L
+    assert(gw == w && gh == h && cs == want)
+  }
+
   test("decoded-pixel features match an independent fold of the formula") {
     val feats = Multimodal.extractFeatures(
         Multimodal.syntheticImages(Tables.documents(spark, sf), "doc_id"))

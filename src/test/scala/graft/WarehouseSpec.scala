@@ -11,6 +11,24 @@ class WarehouseSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("compacted sink: file count tracks data size, not writer count") {
+    val docs = Tables.documents(spark, sf).repartition(13) // many writers
+    val n = docs.count()
+    def partFiles(dir: String): Int =
+      new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+
+    val few = Files.createTempDirectory("graft_compact1").toString
+    Warehouse.writeCompacted(docs, few, targetRows = n + 1)
+    assert(partFiles(few) == 1, s"expected 1 file for target>rows")
+
+    val five = Files.createTempDirectory("graft_compact5").toString
+    Warehouse.writeCompacted(docs, five, targetRows = (n + 4) / 5, knownRows = n)
+    val got = partFiles(five)
+    assert(got >= 5 && got <= 6, s"expected ~5 files, got $got")
+    // round-trip intact
+    assert(spark.read.parquet(five).count() == n)
+  }
+
   test("partitioned sink prunes non-matching partitions at the scan") {
     val dir = Files.createTempDirectory("graft_part").toString
     val orders = Tables.orders(spark, sf)
