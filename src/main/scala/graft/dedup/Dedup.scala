@@ -197,8 +197,13 @@ object Dedup {
       .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
     val sgl = docs
       .join(broadcast(candDocs), docs(idCol) === candDocs("doc_id"), "left_semi")
+      // Generate barrier before shingling: without it the split() inlines
+      // into every element_at of the shingle lambda (HOF lambdas get no
+      // codegen subexpression elimination) — O(tokens²) per doc; see
+      // TextAnalysis.decontaminate for the measurement
       .select(col(idCol).as("doc_id"),
-        shingles(TextOps.tokenize(col(textCol)), shingleSize).as("sgl"))
+        explode(array(TextOps.tokenize(col(textCol)))).as("w"))
+      .select(col("doc_id"), shingles(col("w"), shingleSize).as("sgl"))
     val a = sgl.select(col("doc_id").as("doc_a"), col("sgl").as("sgl_a"))
     val b = sgl.select(col("doc_id").as("doc_b"), col("sgl").as("sgl_b"))
     cands.join(a, "doc_a").join(b, "doc_b")

@@ -115,12 +115,21 @@ object TextAnalysis {
     * semi-join. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     evalPred: Column, shingleSize: Int = 5): DataFrame = {
-    val sgl = graft.dedup.Dedup.shingles(
-      TextOps.tokenize(col(textCol)), shingleSize)
-    val evalShingles = docs.filter(evalPred)
+    // The token array must be MATERIALIZED behind a one-row Generate
+    // barrier before shingling: CollapseProject would otherwise inline
+    // the split() into every element_at inside the shingle lambda, and
+    // HOF lambdas are excluded from codegen subexpression elimination —
+    // the text re-splits once per shingle position (O(tokens²) per doc;
+    // measured 12.6 s → 1.7 s for the train explode at sf0.1). Same
+    // idiom as Dedup.minhashSignatures' explode(array(…)) wrapper.
+    def withTokens(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"),
+        explode(array(TextOps.tokenize(col(textCol)))).as("w"))
+    val sgl = graft.dedup.Dedup.shingles(col("w"), shingleSize)
+    val evalShingles = withTokens(docs.filter(evalPred))
       .select(explode(sgl).as("sgl")).distinct()
-    docs.filter(!evalPred)
-      .select(col(idCol).as("doc_id"), explode(sgl).as("sgl"))
+    withTokens(docs.filter(!evalPred))
+      .select(col("doc_id"), explode(sgl).as("sgl"))
       .join(broadcast(evalShingles), Seq("sgl"))
       .groupBy("doc_id")
       .agg(countDistinct(col("sgl")).as("n_hits"))

@@ -187,6 +187,21 @@ object Prof {
           }
         }
         t("int final count")(r.count())
+      case "deconstep" =>
+        import org.apache.spark.sql.functions._
+        val docs = graft.Tables.documents(spark, sfDir)
+        val bucket = graft.ops.Sampling.hashBucket(col("doc_id"))
+        val sgl = graft.dedup.Dedup.shingles(
+          graft.ops.TextOps.tokenize(col("text")), 5)
+        t("eval distinct shingles")(
+          docs.filter(bucket < 8).select(explode(sgl).as("sgl")).distinct().count())
+        t("train shingle explode")(
+          docs.filter(bucket >= 8).select(col("doc_id"), explode(sgl).as("sgl")).count())
+        t("train shingles no-distinct")(
+          docs.filter(bucket >= 8).select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(graft.ops.TextOps.tokenize(col("text"))) - 4),
+              i => concat_ws(" ", (0 until 5).map(k =>
+                element_at(graft.ops.TextOps.tokenize(col("text")), i + lit(k))): _*))).as("s")).count())
       case "explain" =>
         val q = graft.SparkEntry.queries(args(2))
         q(spark, sfDir).explain("formatted")
