@@ -47,8 +47,13 @@ object Similarity {
     * zero vector keeps scale 0 and all-zero codes. */
   def quantizeInt8(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
     embeddings.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("scale",
-        aggregate(col("v"), lit(0.0), (m, x) => greatest(m, abs(x))))
+      // Generate barrier: without it CollapseProject inlines the scale
+      // aggregate into the code lambda and the max-abs fold recomputes
+      // PER ELEMENT — O(d²) per vector at real embedding widths (the
+      // shingle-lambda lesson, see TextAnalysis.decontaminate)
+      .select(col("vec_id"), col("v"),
+        explode(array(aggregate(col("v"), lit(0.0),
+          (m, x) => greatest(m, abs(x))))).as("scale"))
       .select(col("vec_id"), round(col("scale"), 6).as("scale"),
         when(col("scale") === 0, transform(col("v"), _ => lit(0)))
           .otherwise(transform(col("v"),

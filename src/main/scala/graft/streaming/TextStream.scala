@@ -28,6 +28,41 @@ object TextStream {
   def metrics(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(TextAnalysis.metricCols(idCol, textCol): _*)
 
+  /** Streaming per-source admission cap — the ingestion-time form of
+    * `TextAnalysis.sourceCap` (domain caps applied AS documents arrive,
+    * so an over-represented feed is throttled before it ever lands).
+    *
+    * State per source is ONE long (the admitted count): memory is
+    * bounded by SOURCE CARDINALITY, never by stream length — the shape
+    * that survives an endless feed. Admission is per micro-batch in id
+    * order (rows within a batch are sorted before the counter applies),
+    * so on an id-ordered replay the admitted set equals the batch
+    * operator's k-lowest-ids exactly — which is what the spec asserts;
+    * under arbitrary arrival the cap still holds, only the CHOICE of
+    * survivors differs (first k arrivals), the documented streaming
+    * divergence. */
+  def sourceCapStream(docs: DataFrame, idCol: String, srcCol: String,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"), col(srcCol).as("source"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (src, rows, state) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).flatMap { case (id, _) =>
+            if (admitted < k) { admitted += 1; Some((id, src, admitted)) }
+            else None
+          }
+          state.update(admitted)
+          out.iterator
+      }
+      .toDF("doc_id", "source", "rn")
+  }
+
   /** Watermark-bounded exact dedup + quality/language gates. `docs`
     * needs an event-time column `t` (ingest time for a real feed). */
   def curateStream(docs: DataFrame, idCol: String, textCol: String,

@@ -180,6 +180,32 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming source cap admits exactly the batch operator's k per source") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstream3")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(docSchema).parquet(dir.toString)
+    val q = graft.streaming.TextStream.sourceCapStream(stream, "doc_id", "source", k = 5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_capped").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("doc_capped").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // one ordered delivery → identical to the batch k-lowest-ids cap
+    val want = graft.text.TextAnalysis
+      .sourceCap(Tables.documents(spark, sf), "doc_id", "source", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the cap held per source
+    assert(got.groupBy(_._2).values.forall(_.size <= 5))
+  }
+
   test("stream-static enrichment joins every event to the broadcast dim") {
     val stream = spark.readStream.schema(schema).parquet(streamDir)
     val dim = Tables.events(spark, sf)
