@@ -138,6 +138,39 @@ object SparkEntry {
           col("col").as("word"))
         .orderBy("doc_id", "pos")),
 
+    // CSV source: schema-declared header CSV scan (quoting exercised by
+    // the comment column). The file is the parquet table round-tripped
+    // once through Spark's CSV writer (cached per sf-dir), so the oracle
+    // — reading the PARQUET truth — certifies the whole parse path
+    "scan_csv" -> ((s, d) => {
+      val cache = new java.io.File(s"/tmp/graft_csv_${new java.io.File(d).getName}")
+      if (!new java.io.File(cache, "_graft_done").exists) {
+        nation(s, d).coalesce(1).write.mode("overwrite")
+          .option("header", "true").csv(cache.toString)
+        new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+      }
+      s.read.option("header", "true")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, n_comment STRING")
+        .csv(cache.toString)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
+    // JSONL source: line-delimited JSON scan with declared schema (the
+    // big-data JSON shape); same round-trip-vs-parquet-oracle contract
+    "scan_json" -> ((s, d) => {
+      val cache = new java.io.File(s"/tmp/graft_json_${new java.io.File(d).getName}")
+      if (!new java.io.File(cache, "_graft_done").exists) {
+        orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .coalesce(1).write.mode("overwrite").json(cache.toString)
+        new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+      }
+      s.read
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .json(cache.toString)
+        .orderBy("o_orderkey")
+    }),
+
     // §2.4 A1/A4 — count distinct (the N counter analog)
     "count_distinct" -> ((s, d) =>
       orders(s, d).agg(countDistinct(col("o_custkey")).as("n"))),
@@ -1214,6 +1247,12 @@ object SparkEntry {
     "from_json_struct" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val
          FROM events ORDER BY event_id""",
+    "scan_csv" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+    "scan_json" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM orders ORDER BY o_orderkey""",
     "join_null_safe" ->
       """SELECT o_orderkey, tag FROM (
            SELECT o_orderkey, nullif(o_orderstatus, 'O') AS k FROM orders) o
