@@ -202,6 +202,117 @@ object Prof {
             explode(transform(sequence(lit(1), size(graft.ops.TextOps.tokenize(col("text"))) - 4),
               i => concat_ws(" ", (0 until 5).map(k =>
                 element_at(graft.ops.TextOps.tokenize(col("text")), i + lit(k))): _*))).as("s")).count())
+      case "dumpenc" =>
+        // ceiling probe: partition-encoded ids ((p<<32)|local) + chunked
+        // primitive-array message shuffle — the aggregateMessages shape.
+        // Per iteration the shuffle moves ≤ parts² records of primitive
+        // arrays instead of millions of (Long, Double) tuples.
+        import org.apache.spark.storage.StorageLevel
+        val path = sys.env.getOrElse("SPARK_GRAFT_DUMP_PATH", "/tmp/graft_dump.xml")
+        val edgesDf = graft.parse.WikiParser.linkGraphFused(
+          graft.sources.TextKV.readPages(spark, path))
+        import spark.implicits._
+        val raw = edgesDf.select("title", "outlinks").as[(String, Seq[String])]
+          .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        val n = raw.count()
+        val parts = Integer.parseInt(sys.env.getOrElse("SPARK_GRAFT_PROF_PARTS", "24"))
+        val part = new org.apache.spark.HashPartitioner(parts)
+        val pPart = new org.apache.spark.Partitioner {
+          def numPartitions: Int = parts
+          def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        }
+        val links = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+        links.count(); raw.unpersist(false)
+        val ids = links.mapPartitionsWithIndex({ (p, it) =>
+          it.zipWithIndex.map { case ((t, _), i) => (t, (p.toLong << 32) | i) }
+        }, preservesPartitioning = true).persist(StorageLevel.MEMORY_AND_DISK)
+        val csr = t("csr build") {
+          val c = links.mapPartitionsWithIndex { (p, it) =>
+            it.zipWithIndex.flatMap { case ((_, ls), i) =>
+              val src = (p.toLong << 32) | i
+              ls.iterator.map(dst => (dst, src))
+            }
+          }.join(ids, part)
+            .map { case (_, (src, dstEnc)) =>
+              ((src >> 32).toInt, ((src & 0xffffffffL).toInt, dstEnc)) }
+            .groupByKey(pPart)
+          val r = c.persist(StorageLevel.MEMORY_AND_DISK); r.count(); r
+        }
+        // per-partition graph: degrees (original, incl red links) +
+        // resolved target lists aligned by local index
+        val graph = t("graph build") {
+          val g = links.zipPartitions(csr, preservesPartitioning = true) { (lit, cit) =>
+            val degs = lit.map(_._2.size).toArray
+            val m = degs.length
+            val targets = Array.fill(m)(Array.empty[Long])
+            val buf = Array.fill(m)(new scala.collection.mutable.ArrayBuffer[Long]())
+            cit.foreach { case (_, pairs) =>
+              pairs.foreach { case (local, dst) => buf(local) += dst } }
+            var i = 0
+            while (i < m) { targets(i) = buf(i).toArray; i += 1 }
+            Iterator.single((degs, targets))
+          }.persist(StorageLevel.MEMORY_AND_DISK)
+          g.count(); g
+        }
+        var ranks = graph.mapPartitions(
+          { it => it.map { case (degs, _) => Array.fill(degs.length)(1.0 / n) } },
+          preservesPartitioning = true)
+        for (i <- 1 to 10) {
+          t(s"enc iter $i") {
+            val msgs = graph.zipPartitions(ranks) { (git, rit) =>
+              if (git.isEmpty) Iterator.empty
+              else {
+                val (degs, targets) = git.next()
+                val rank = rit.next()
+                val accs = Array.fill(parts)(new scala.collection.mutable.LongMap[Double]())
+                var v = 0
+                while (v < degs.length) {
+                  if (degs(v) > 0 && targets(v).nonEmpty) {
+                    val c = rank(v) / degs(v)
+                    val ts = targets(v)
+                    var k = 0
+                    while (k < ts.length) {
+                      val tEnc = ts(k)
+                      val acc = accs((tEnc >> 32).toInt)
+                      val key = tEnc & 0xffffffffL
+                      acc(key) = acc.getOrElse(key, 0.0) + c
+                      k += 1
+                    }
+                  }
+                  v += 1
+                }
+                (0 until parts).iterator.filter(p => accs(p).nonEmpty).map { p =>
+                  val m2 = accs(p)
+                  val idx = new Array[Int](m2.size); val s2 = new Array[Double](m2.size)
+                  var j = 0
+                  m2.foreach { case (k2, v2) => idx(j) = k2.toInt; s2(j) = v2; j += 1 }
+                  (p, (idx, s2))
+                }
+              }
+            }.partitionBy(pPart)
+            val next = graph.zipPartitions(msgs) { (git, mit) =>
+              if (git.isEmpty) Iterator.empty
+              else {
+                val (degs, _) = git.next()
+                val sums = new Array[Double](degs.length)
+                mit.foreach { case (_, (idx, s2)) =>
+                  var j = 0
+                  while (j < idx.length) { sums(idx(j)) += s2(j); j += 1 }
+                }
+                var v = 0
+                while (v < sums.length) { sums(v) = 0.85 * sums(v) + 0.15; v += 1 }
+                Iterator.single(sums)
+              }
+            }
+            if (i % 3 == 0 || i == 10) { next.localCheckpoint(); next.count() }
+            ranks = next
+          }
+        }
+        val named = links.zipPartitions(ranks) { (lit, rit) =>
+          if (lit.isEmpty) Iterator.empty
+          else { val r = rit.next(); lit.zipWithIndex.map { case ((t2, _), i) => (t2, r(i)) } }
+        }
+        t("final named count")(named.count())
       case "explain" =>
         val q = graft.SparkEntry.queries(args(2))
         q(spark, sfDir).explain("formatted")
