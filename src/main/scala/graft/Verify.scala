@@ -19,7 +19,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration helper: GRAFT_VERIFY_KEYS=a,b,c dumps only those
+    // keys (the driver sets nothing and gets the full run).
+    val keep = sys.env.get("GRAFT_VERIFY_KEYS").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => keep.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
