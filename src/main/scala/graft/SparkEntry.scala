@@ -862,6 +862,18 @@ object SparkEntry {
         .toDF().select("media_id", "width", "height", "n_pixels", "checksum")
         .orderBy("media_id")),
 
+    // REAL audio decode, oracle-checked end to end: synthesize a mono
+    // 16-bit PCM WAV per doc whose samples are a closed form of (id, i),
+    // decode with javax.sound.sampled inside the mapPartitions batch,
+    // checksum the DECODED samples; DuckDB computes the closed form
+    // directly — decode(encode(f)) == f through the JDK's actual WAV
+    // parser. Video is now the engine's only stubbed decode.
+    "multimodal_audio" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractAudioFeatures(
+          graft.multimodal.Multimodal.syntheticAudio(documents(s, d), "doc_id"))
+        .toDF().select("media_id", "sample_rate", "n_samples", "checksum")
+        .orderBy("media_id")),
+
     // metadata-only resize plan: pure column ops over the meta struct —
     // payload never touched (oracle mirrors the synthetic meta arithmetic)
     "multimodal_resize" -> ((s, d) =>
@@ -951,6 +963,29 @@ object SparkEntry {
           concat_ws(",", col("outlinks")).as("links"))
         .orderBy("title")
     }),
+
+    // §2.12 — HITS hubs/authorities: the iterative-dataflow framework
+    // generalized to a two-vector mutual recurrence (max-normalized half
+    // steps keep the DuckDB recursive CTE in 1e-9 lockstep; the
+    // normalizer is a broadcast 1-row aggregate, no driver sync/iter)
+    "graph_hits" -> ((s, d) =>
+      graft.graph.Hits.run(graphEdges(s, d), iters = 10)
+        .select(col("title"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+        .orderBy("title")),
+
+    // degree profile of the same graph — one shuffle per side, full outer
+    // so pure sources/sinks appear with a zero degree
+    "graph_degrees" -> ((s, d) => {
+      val e = graphEdges(s, d)
+      val outd = e.groupBy(col("src").as("title")).agg(count(lit(1)).as("out_deg"))
+      val ind  = e.groupBy(col("dst").as("title")).agg(count(lit(1)).as("in_deg"))
+      outd.join(ind, Seq("title"), "full")
+        .select(col("title"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+        .orderBy("title")
+    }),
   )
 
   /** Deterministic PageRank input graph from the TPC-H-ish tables:
@@ -976,6 +1011,19 @@ object SparkEntry {
       .agg(collect_list(concat(lit("o"), col("o_orderkey"))).as("outlinks"))
       .select(concat(lit("c"), col("o_custkey")).as("title"), col("outlinks"))
     orderVerts.unionByName(custVerts)
+  }
+
+  /** The same deterministic testdata graph as `pagerankGraph`, as a flat
+    * (src, dst) edge relation: o→c and c→o from orders, o→p from
+    * lineitem (parts are pure authorities — no out-edges). */
+  private[graft] def graphEdges(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d); val li = lineitem(s, d)
+    o.select(concat(lit("o"), col("o_orderkey")).as("src"),
+        concat(lit("c"), col("o_custkey")).as("dst"))
+      .unionByName(li.select(concat(lit("o"), col("l_orderkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst")))
+      .unionByName(o.select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("o"), col("o_orderkey")).as("dst")))
   }
 
   // ---------------------------------------------------------------------
@@ -1429,6 +1477,19 @@ object SparkEntry {
                  generate_series(0, width * height * 3 - 1),
                  i -> (media_id + ((i % (width * 3)) // 3) * 7
                        + (i // (width * 3)) * 13 + (i % 3) * 29) % 256),
+               (acc, v) -> (acc * 31 + v) % 1000000007) AS checksum
+         FROM m ORDER BY media_id""",
+    // The decoded-sample checksum: unsigned sample i of signal id is
+    // (31·id + 17·i) mod 65536 (Multimodal.sampleValue); Spark reaches
+    // the same numbers through a REAL WAV encode→decode roundtrip.
+    "multimodal_audio" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+             CAST(doc_id % 50 + 10 AS BIGINT) AS n FROM documents)
+         SELECT media_id,
+             CAST(8000 AS BIGINT) AS sample_rate,
+             n AS n_samples,
+             list_reduce([CAST(0 AS BIGINT)] || list_transform(
+                 range(n), i -> (media_id * 31 + i * 17) % 65536),
                (acc, v) -> (acc * 31 + v) % 1000000007) AS checksum
          FROM m ORDER BY media_id""",
     "multimodal_resize" ->
@@ -1937,5 +1998,51 @@ object SparkEntry {
              round(CAST(sum(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT)
                / CAST(count(*) AS DOUBLE), 6) AS oov_frac
          FROM j GROUP BY doc_id ORDER BY doc_id""",
+    // HITS: 20 half-steps (even iter updates auth from hub, odd updates
+    // hub from the JUST-computed auth); normalization divides by the MAX
+    // of the working table — order-independent, unlike an L1/L2 norm's
+    // global float sum — so both engines stay on the same 1e-9 grid
+    "graph_hits" ->
+      """WITH RECURSIVE
+         edges AS (
+           SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst FROM orders
+           UNION ALL SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+                  'p' || CAST(l_partkey AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR),
+                  'o' || CAST(o_orderkey AS VARCHAR) FROM orders),
+         verts AS (SELECT DISTINCT title FROM
+           (SELECT src AS title FROM edges UNION ALL SELECT dst FROM edges)),
+         state(iter, title, hub, auth) AS (
+           SELECT 0, title, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE) FROM verts
+           UNION ALL
+           SELECT s.iter + 1, s.title,
+             CASE WHEN s.iter % 2 = 0 THEN s.hub
+                  ELSE coalesce(round((SELECT sum(s2.auth) FROM state s2
+                           JOIN edges e ON e.dst = s2.title AND e.src = s.title)
+                         / (SELECT max(s3.auth) FROM state s3), 9), 0) END,
+             CASE WHEN s.iter % 2 = 0
+                  THEN coalesce(round((SELECT sum(s2.hub) FROM state s2
+                           JOIN edges e ON e.src = s2.title AND e.dst = s.title)
+                         / (SELECT max(s3.hub) FROM state s3), 9), 0)
+                  ELSE s.auth END
+           FROM state s WHERE s.iter < 20)
+         SELECT title, round(hub, 6) AS hub, round(auth, 6) AS auth
+         FROM state WHERE iter = 20 ORDER BY title""",
+    "graph_degrees" ->
+      """WITH edges AS (
+           SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst FROM orders
+           UNION ALL SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+                  'p' || CAST(l_partkey AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR),
+                  'o' || CAST(o_orderkey AS VARCHAR) FROM orders),
+         o AS (SELECT src AS title, count(*) AS out_deg FROM edges GROUP BY src),
+         i AS (SELECT dst AS title, count(*) AS in_deg FROM edges GROUP BY dst)
+         SELECT coalesce(o.title, i.title) AS title,
+             CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+             CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
+         FROM o FULL OUTER JOIN i ON o.title = i.title
+         ORDER BY title""",
   )
 }

@@ -173,6 +173,104 @@ object Multimodal {
       }
   }
 
+  // -------------------------------------------------------------------
+  // AUDIO: real decode through javax.sound.sampled (JDK-built-in WAV/
+  // AIFF/AU parsing — no external codec needed for PCM). Mirrors the
+  // image path: synthesize payloads whose samples are a closed form of
+  // (id, i), decode REAL bytes back through the JDK codec, and fold the
+  // decoded samples — so the oracle hash certifies decode(encode(f))==f.
+  // Video remains the only stubbed decode (the JDK ships no video codec).
+  // -------------------------------------------------------------------
+
+  case class AudioFeatures(media_id: Long, n_bytes: Long, sample_rate: Long,
+                           n_samples: Long, checksum: Long,
+                           embedding: Array[Float])
+
+  /** Closed-form UNSIGNED 16-bit sample value u(id, i) ∈ [0, 65536); the
+    * encoded PCM sample is the signed u − 32768. Shared by the encoder,
+    * the spec ground truth, and the generated DuckDB oracle. */
+  private[graft] def sampleValue(id: Long, i: Int): Int =
+    ((id * 31L + i * 17L) % 65536L).toInt
+
+  /** Mono 16-bit little-endian PCM WAV at 8 kHz for the formula signal. */
+  private[graft] def encodeWav(id: Long, nSamples: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = sampleValue(id, i) - 32768 // signed
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic AUDIO table: one real WAV payload per doc,
+    * samples from [[sampleValue]], lengths cycling 10..59. */
+  def syntheticAudio(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val n = (id % 50 + 10).toInt
+      MediaRow(id, encodeWav(id, n), MediaMeta("audio", 0, 0, n * 1000L / 8000L))
+    }.toDF()
+  }
+
+  /** Per-partition audio decode; payloads the JDK can't parse as
+    * 16-bit signed PCM take the byte-fold branch (n_samples = 0) — the
+    * same "decode failure is data, not a task failure" contract as the
+    * image path. Checksum folds the UNSIGNED samples (s + 32768) with
+    * the engine-wide (acc·31 + v) mod 1e9+7 fold. */
+  def extractAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val decoded =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new ByteArrayInputStream(payload))
+              val fmt = ais.getFormat
+              if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+                  || fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1)
+                None
+              else {
+                val bytes = ais.readAllBytes()
+                val n = bytes.length / 2
+                val dim = 16
+                val acc = new Array[Float](dim)
+                var checksum = 0L
+                var i = 0
+                while (i < n) {
+                  val b0 = bytes(2 * i)
+                  val b1 = bytes(2 * i + 1)
+                  // sign lives in the HIGH byte (first if big-endian)
+                  val s = if (fmt.isBigEndian) (b0.toInt << 8) | (b1 & 0xff)
+                          else (b1.toInt << 8) | (b0 & 0xff)
+                  val u = s + 32768 // unsigned form, matches sampleValue
+                  checksum = (checksum * 31 + u) % 1000000007L
+                  acc(i % dim) += u / 65535.0f
+                  i += 1
+                }
+                Some(AudioFeatures(id, payload.length.toLong,
+                  fmt.getSampleRate.toLong, n.toLong, checksum, acc))
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          decoded.getOrElse {
+            val (checksum, emb) = byteFold(payload)
+            AudioFeatures(id, payload.length.toLong, 0L, 0L, checksum, emb)
+          }
+        }
+      }
+  }
+
   /** Metadata-only transforms (resize / frame-sample plans): pure column
     * ops over the meta struct — no payload touch, so they stay codegen'd
     * and never deserialize the media. */

@@ -103,6 +103,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(row.width == 0 && row.height == 0 && row.n_pixels == 0L)
   }
 
+  test("WAV roundtrip: javax.sound decode returns the exact formula samples") {
+    // encode → AudioSystem decode must recover sampleValue bit for bit
+    val id = 42L
+    val n = 25
+    val bytes = Multimodal.encodeWav(id, n)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(ais.getFormat.getSampleRate == 8000f)
+    assert(ais.getFormat.getChannels == 1)
+    val pcm = ais.readAllBytes()
+    assert(pcm.length == n * 2)
+    for (i <- 0 until n) {
+      val s = ((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff))
+      assert(s + 32768 == Multimodal.sampleValue(id, i), s"sample $i")
+    }
+  }
+
+  test("decoded-sample audio features match an independent fold of the formula") {
+    val sf = "/root/testdata/sf0.001"
+    val feats = Multimodal.extractAudioFeatures(
+        Multimodal.syntheticAudio(Tables.documents(spark, sf), "doc_id"))
+      .toDF().select("media_id", "sample_rate", "n_samples", "checksum")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(feats.nonEmpty)
+    feats.foreach { case (id, sr, n, cs) =>
+      assert(sr == 8000L && n == id % 50 + 10)
+      var want = 0L
+      for (i <- 0 until n.toInt)
+        want = (want * 31 + Multimodal.sampleValue(id, i)) % 1000000007L
+      assert(cs == want, s"id=$id")
+    }
+  }
+
+  test("non-audio payloads fall back to the byte fold (n_samples 0)") {
+    val row = Multimodal.extractAudioFeatures(media).filter(_.media_id >= 0).head()
+    assert(row.n_samples == 0L && row.sample_rate == 0L)
+  }
+
   test("frame sampling emits one row per interval for video rows only") {
     val f = Multimodal.frameSamplePlan(media, everyMs = 1000L)
     val kinds = f.select("meta.kind").distinct().as[String].collect()
