@@ -986,6 +986,39 @@ object SparkEntry {
           coalesce(col("in_deg"), lit(0L)).as("in_deg"))
         .orderBy("title")
     }),
+
+    // PII redaction — the pre-training privacy scrub. The corpus has no
+    // PII (alpha word soup), so the key injects deterministic emails/
+    // IPs/phone tokens per doc (same injection pattern as wiki_parse),
+    // then redacts with the Java∩RE2-shared patterns; counts are the
+    // pre-redaction observability feed. Zero-shuffle map-side chain.
+    "text_pii_redact" -> ((s, d) => {
+      val withPii = documents(s, d).select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com from 10."),
+        col("doc_id") % 256, lit("."), col("doc_id") % 100, lit(".7 call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      val (ne, ni, np) = TextOps.piiCounts(col("text"))
+      withPii.select(col("doc_id"),
+          TextOps.redactPii(col("text")).as("redacted"),
+          ne.as("n_emails"), ni.as("n_ips"), np.as("n_phones"))
+        .orderBy("doc_id")
+    }),
+
+    // Passage-level (C4-style) dedup: repeated 20-token chunks across
+    // docs. A fixed boilerplate passage is prepended to every 7th doc —
+    // chunk-aligned by construction — and every non-keeper occurrence
+    // must be flagged. Raw text never shuffles (hash-only exchange).
+    "dedup_passage" -> ((s, d) => {
+      val boiler = "this corpus entry is provided as is without warranty " +
+        "of any kind express or implied including merchantability " +
+        "fitness and noninfringement"
+      val docs2 = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit(boiler + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.passageDupes(docs2, "doc_id", "text", chunkTokens = 20)
+        .orderBy("doc_id", "chunk_idx")
+    }),
   )
 
   /** Deterministic PageRank input graph from the TPC-H-ish tables:
@@ -2044,5 +2077,46 @@ object SparkEntry {
              CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
          FROM o FULL OUTER JOIN i ON o.title = i.title
          ORDER BY title""",
+    // identical injected PII, identical Java∩RE2 patterns ('g' = all
+    // occurrences, matching Spark regexp_replace's replace-all default)
+    "text_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.' || CAST(doc_id % 100 AS VARCHAR) || '.7 call 555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+           FROM documents)
+         SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+               '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted,
+             CAST(len(regexp_extract_all(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+             CAST(len(regexp_extract_all(text,
+               '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones
+         FROM p ORDER BY doc_id""",
+    // exact passage grouping (no hash on the oracle side — grouping by
+    // the string itself is the collision-free reference formulation)
+    "dedup_passage" ->
+      """WITH d2 AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'this corpus entry is provided as is without warranty of any kind express or implied including merchantability fitness and noninfringement ' || text
+                  ELSE text END AS text
+           FROM documents),
+         tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM d2),
+         ch0 AS (SELECT doc_id, w,
+             unnest(range(CAST(ceil(len(w) / 20.0) AS BIGINT))) AS g FROM tok),
+         ch AS (SELECT doc_id, CAST(g AS BIGINT) AS chunk_idx,
+             array_to_string(list_slice(w, g * 20 + 1, g * 20 + 20), ' ') AS passage
+           FROM ch0 WHERE len(w) >= (g + 1) * 20),
+         r AS (SELECT doc_id, chunk_idx, passage,
+             row_number() OVER (PARTITION BY passage
+                                ORDER BY doc_id, chunk_idx) AS rn
+           FROM ch)
+         SELECT doc_id, chunk_idx, passage FROM r WHERE rn > 1
+         ORDER BY doc_id, chunk_idx""",
   )
 }

@@ -339,4 +339,52 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** PASSAGE-level dedup (C4-style): find repeated fixed-width token
+    * chunks ACROSS documents — boilerplate paragraphs, license headers,
+    * navigation text — and emit every non-keeper occurrence for removal.
+    * Chunks are disjoint `chunkTokens`-wide windows (stride = width);
+    * only full-width chunks participate (short tails would match
+    * trivially). Keeper = first occurrence in (doc_id, chunk_idx) order.
+    *
+    * Scale shape (the curate_corpus discipline — raw text never
+    * shuffles): chunking is map-side fan-out ×(n/width); the ONE
+    * corpus-sized shuffle carries only (xxhash64, doc_id, chunk_idx)
+    * — ~24 B/row instead of the 20-token string; the repeated-hash
+    * keeper relation (distinct boilerplate passages — small by nature)
+    * broadcasts back against a map-side re-derivation of the chunks, so
+    * the passage text appears only in the final (dupe-only) output.
+    * Chunks are derived twice, but both passes are scan-speed map work —
+    * at 100 TB recomputing beats materializing corpus-sized chunk text.
+    * Hash-collision risk (a non-dupe tagged dupe) is 2⁻⁶⁴-scale and
+    * accepted, as everywhere else xxhash64 keys a dedup decision.
+    */
+  def passageDupes(docs: DataFrame, idCol: String, textCol: String,
+                   chunkTokens: Int = 20): DataFrame = {
+    def chunks: DataFrame = docs
+      // Generate barrier: materialize the token array once (HOF slice
+      // lambdas would otherwise re-split per chunk — the shingle lesson)
+      .select(col(idCol).as("doc_id"),
+        explode(array(TextOps.tokenize(col(textCol)))).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0),
+          greatest(ceil(size(col("w")) / lit(chunkTokens)).cast("int"), lit(1)) - 1)))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        slice(col("w"), col("pos") * chunkTokens + 1, lit(chunkTokens)).as("chunk"))
+      .filter(size(col("chunk")) === chunkTokens)
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", col("chunk")).as("passage"))
+    val keepers = chunks
+      .select(col("doc_id"), col("chunk_idx"), xxhash64(col("passage")).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("keep"))
+      .filter(col("n") > 1)
+      .select(col("h"), col("keep.doc_id").as("__kdoc"),
+        col("keep.chunk_idx").as("__kidx"))
+    chunks.join(broadcast(keepers), xxhash64(col("passage")) === keepers("h"))
+      .filter(!(col("doc_id") === col("__kdoc") && col("chunk_idx") === col("__kidx")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("passage"))
+  }
 }

@@ -53,6 +53,33 @@ object TextOps {
   def explodeTokens(df: DataFrame, c: Column, as: String): DataFrame =
     df.withColumn(as, explode(tokenize(c)))
 
+  /** PII patterns for corpus redaction — the scrub every published LLM
+    * pipeline runs before training. Kept to the Java∩RE2 subset (char
+    * classes + \b only, no lookaround) so the DuckDB oracle runs the
+    * IDENTICAL patterns. Order-safe: the three patterns cannot overlap. */
+  val piiEmail: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val piiIp: String    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val piiPhone: String = "\\b555-[0-9]{4}\\b"
+
+  /** Redact emails / IPv4s / phone-shaped tokens to typed placeholders.
+    * Pure map-side regexp_replace chain — codegen'd, zero shuffle; at
+    * 100 TB this runs at scan speed alongside the quality gates. IP
+    * before phone: both match digit runs, and fixing the order makes the
+    * composition deterministic even if patterns evolve to overlap. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, piiEmail, "<EMAIL>"),
+        piiIp, "<IP>"),
+      piiPhone, "<PHONE>")
+
+  /** Per-row PII hit counts (pre-redaction) — the observability feed a
+    * privacy pass reports; same zero-shuffle shape. */
+  def piiCounts(c: Column): (Column, Column, Column) =
+    (size(regexp_extract_all(c, lit(piiEmail), lit(0))).cast("long"),
+     size(regexp_extract_all(c, lit(piiIp), lit(0))).cast("long"),
+     size(regexp_extract_all(c, lit(piiPhone), lit(0))).cast("long"))
+
   /** Positional tokenize — (pos, word) pairs; the deterministic form used
     * by shingling (dedup) where token order matters.  posexplode keeps the
     * in-document order as an explicit column instead of relying on row

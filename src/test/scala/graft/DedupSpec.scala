@@ -189,4 +189,31 @@ class DedupSpec extends SparkTestBase {
     val pairs = Dedup.simhashPairs(sigs, maxHamming = 3).as[(Long, Long, Int)].collect()
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
   }
+
+  test("passageDupes flags every non-keeper occurrence of a repeated chunk") {
+    // 4-token chunks for a readable fixture. Docs 1/5/9 share an aligned
+    // boilerplate chunk; doc 3 repeats a chunk INSIDE itself; doc 7 is
+    // clean; doc 8's tail is shorter than a chunk (never matches).
+    val boiler = "all rights reserved worldwide"
+    val docs = Seq(
+      (1L, s"$boiler unique one text here"),
+      (5L, s"$boiler other words go here"),
+      (9L, s"$boiler more filler words yet"),
+      (3L, "x y z w x y z w"),
+      (7L, "nothing repeated in this document at all ok"),
+      (8L, s"pad pad pad pad $boiler".split(" ").dropRight(1).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.passageDupes(docs, "doc_id", "text", chunkTokens = 4)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (5L, 0L, boiler),          // keeper is (1,0): first in (doc, idx) order
+      (9L, 0L, boiler),
+      (3L, 1L, "x y z w")))      // in-doc repeat: keeper (3,0), dupe (3,1)
+  }
+
+  test("passageDupes: empty result when no chunk repeats") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "h g f e d c b a"))
+      .toDF("doc_id", "text")
+    assert(Dedup.passageDupes(docs, "doc_id", "text", chunkTokens = 4).count() == 0)
+  }
 }

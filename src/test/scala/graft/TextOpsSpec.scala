@@ -54,4 +54,21 @@ class TextOpsSpec extends SparkTestBase {
       .select("pos", "word").as[(Int, String)].collect().sortBy(_._1).toSeq
     assert(got == Seq((0, "a"), (1, "b"), (2, "c")))
   }
+
+  test("redactPii replaces every email/IP/phone and nothing else") {
+    val docs = Seq(
+      "mail bob.smith+x@corp.example.org and sue@a.io from 192.168.0.1 call 555-0134 twice 555-9999",
+      "no pii here just words and numbers 42 and 1.5 fractions",
+      "555-123 is not a phone 1.2.3 is not an ip a@b is not an email"
+    ).toDF("text")
+    val got = docs.select(TextOps.redactPii(col("text")).as("r"))
+      .as[String].collect()
+    assert(got(0) == "mail <EMAIL> and <EMAIL> from <IP> call <PHONE> twice <PHONE>")
+    assert(got(1) == "no pii here just words and numbers 42 and 1.5 fractions")
+    assert(got(2) == "555-123 is not a phone 1.2.3 is not an ip a@b is not an email")
+    val (ne, ni, np) = TextOps.piiCounts(col("text"))
+    val counts = docs.select(ne, ni, np).as[(Long, Long, Long)].collect()
+    assert(counts(0) == ((2L, 1L, 2L)) && counts(1) == ((0L, 0L, 0L))
+      && counts(2) == ((0L, 0L, 0L)))
+  }
 }
