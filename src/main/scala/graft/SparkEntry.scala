@@ -1019,6 +1019,41 @@ object SparkEntry {
       Dedup.passageDupes(docs2, "doc_id", "text", chunkTokens = 20)
         .orderBy("doc_id", "chunk_idx")
     }),
+
+    // MERGE/upsert of a changes batch into a snapshot (the nightly
+    // warehouse apply): every 3rd key gets a price correction (update),
+    // every 5th spawns a shifted new key (insert), the rest keep.
+    "merge_upsert" -> ((s, d) => {
+      val cur = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val chg = orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") + 1.0, 2).as("price"))
+        .unionByName(orders(s, d).filter(col("o_orderkey") % 5 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"), round(col("o_totalprice"), 2).as("price")))
+      Relational.mergeUpsert(cur, chg, "o_orderkey").orderBy("o_orderkey")
+    }),
+
+    // SCD type-2 historization: event_type per user collapsed to
+    // validity intervals, valid_to null on the open row
+    "scd2_build" -> ((s, d) =>
+      Relational.scd2(events(s, d), "user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "valid_from", "attr")),
+
+    // Native session_window grouping (the batch twin of the streaming
+    // session operator; end = last event + gap per Spark's semantics —
+    // the oracle mirrors the >= gap split exactly)
+    "events_session_window" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("t"))
+        .groupBy(col("user_id"), session_window(col("t"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"), col("n_events"))
+        .orderBy("user_id", "start_us")),
   )
 
   /** Deterministic PageRank input graph from the TPC-H-ish tables:
@@ -2118,5 +2153,57 @@ object SparkEntry {
            FROM ch)
          SELECT doc_id, chunk_idx, passage FROM r WHERE rn > 1
          ORDER BY doc_id, chunk_idx""",
+    "merge_upsert" ->
+      """WITH cur AS (SELECT o_orderkey AS k, o_custkey,
+             round(o_totalprice, 2) AS price FROM orders),
+         chg AS (SELECT o_orderkey AS k, o_custkey,
+               round(o_totalprice + 1.0, 2) AS price
+             FROM orders WHERE o_orderkey % 3 = 0
+           UNION ALL SELECT o_orderkey + 10000000, o_custkey,
+               round(o_totalprice, 2)
+             FROM orders WHERE o_orderkey % 5 = 0)
+         SELECT coalesce(chg.k, cur.k) AS o_orderkey,
+             CASE WHEN chg.k IS NOT NULL THEN chg.o_custkey
+                  ELSE cur.o_custkey END AS o_custkey,
+             CASE WHEN chg.k IS NOT NULL THEN chg.price
+                  ELSE cur.price END AS price,
+             CASE WHEN chg.k IS NOT NULL AND cur.k IS NOT NULL THEN 'update'
+                  WHEN cur.k IS NULL THEN 'insert'
+                  ELSE 'keep' END AS action
+         FROM cur FULL OUTER JOIN chg ON cur.k = chg.k
+         ORDER BY o_orderkey""",
+    "scd2_build" ->
+      """WITH b AS (SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+         f AS (SELECT user_id, event_id, event_type, t_us,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY t_us, event_id) IS NULL
+                  OR lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY t_us, event_id) <> event_type
+                  THEN 1 ELSE 0 END AS chg
+           FROM b),
+         g AS (SELECT user_id, event_type AS attr, t_us,
+             lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+               AS valid_to
+           FROM f WHERE chg = 1)
+         SELECT user_id, attr, t_us AS valid_from, valid_to,
+             valid_to IS NULL AS is_current
+         FROM g ORDER BY user_id, valid_from, attr""",
+    // split when the gap is >= 30 min (Spark session_window merges only
+    // strictly-overlapping sessions); end = last event + gap
+    "events_session_window" ->
+      """WITH b AS (SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+         f AS (SELECT user_id, event_id, t_us, CASE WHEN t_us - lag(t_us) OVER
+                 (PARTITION BY user_id ORDER BY t_us, event_id)
+                 >= 1800000000 THEN 1 ELSE 0 END AS flag
+           FROM b),
+         s AS (SELECT user_id, t_us, sum(flag) OVER
+                 (PARTITION BY user_id ORDER BY t_us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid
+           FROM f)
+         SELECT user_id, min(t_us) AS start_us,
+             max(t_us) + 1800000000 AS end_us, count(*) AS n_events
+         FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
   )
 }

@@ -79,4 +79,64 @@ object Relational {
            min("t_us").as("start_us"),
            max("t_us").as("end_us"))
   }
+
+  /** MERGE / upsert: apply a `changes` batch to a `current` snapshot by
+    * key — matched keys take the changed row, unmatched changes insert,
+    * untouched current rows persist; each output row is tagged with its
+    * action. The payload travels as ONE struct per side so a match is
+    * atomic per row (the as-of join lesson: per-column coalesce would
+    * stitch fields from both versions).
+    *
+    * Scale: one equi-shuffle full outer join — the canonical SMJ; with
+    * the snapshot bucketed on the key (sources/Warehouse bucketed
+    * tables) the snapshot side needs no exchange at all, which is how a
+    * nightly 100 TB MERGE stays bounded by the batch size, not the
+    * table. Both inputs must be unique per key (standard MERGE
+    * precondition; violations surface as row-count growth).
+    */
+  def mergeUpsert(current: DataFrame, changes: DataFrame, keyCol: String): DataFrame = {
+    require(current.columns.sameElements(changes.columns),
+      s"schema mismatch: ${current.columns.mkString(",")} vs ${changes.columns.mkString(",")}")
+    val payload = current.columns.filterNot(_ == keyCol)
+    def pack(df: DataFrame, as: String) =
+      df.select(col(keyCol).as("__k"), struct(payload.map(col): _*).as(as))
+    pack(current, "__cur").join(pack(changes, "__new"), Seq("__k"), "full")
+      .select(col("__k").as(keyCol),
+        // the WHOLE struct, never per-column coalesce: a change row with
+        // a legitimately-null field must yield that null, not a stitched
+        // hybrid of old and new versions
+        coalesce(col("__new"), col("__cur")).as("__row"),
+        when(col("__new").isNotNull && col("__cur").isNotNull, "update")
+          .when(col("__cur").isNull, "insert")
+          .otherwise("keep").as("action"))
+      .select(col(keyCol) +: payload.map(c => col(s"__row.$c").as(c))
+        :+ col("action"): _*)
+  }
+
+  /** SCD type-2 dimension build: collapse an event stream into validity
+    * intervals [valid_from, valid_to) per entity — one row per VALUE
+    * CHANGE of `attrCol`, `valid_to` null on the current row. The
+    * standard warehouse historization the reference's batch world never
+    * had.
+    *
+    * Two window passes share ONE (entity, ts) sort: change detection
+    * (lag) and interval close (lead) use the same window spec, so
+    * Catalyst plans a single Exchange+Sort. All times exact integer
+    * micros. Ties on ts break by `idCol` — deterministic end to end.
+    */
+  def scd2(events: DataFrame, entityCol: String, attrCol: String,
+           idCol: String, tsNanosCol: String): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy("t_us", idCol)
+    events
+      .select(col(entityCol), col(idCol), col(attrCol).as("attr"),
+        expr(s"$tsNanosCol div 1000").as("t_us"))
+      .withColumn("chg",
+        when(lag("attr", 1).over(w).isNull ||
+             lag("attr", 1).over(w) =!= col("attr"), 1).otherwise(0))
+      .filter(col("chg") === 1)
+      .withColumn("valid_to", lead("t_us", 1).over(w))
+      .select(col(entityCol), col("attr"),
+        col("t_us").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+/** mergeUpsert / scd2 edge cases the sf0.01 oracle can't reach (the
+  * injected testdata carries no nulls and no same-timestamp ties). */
+class RelationalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("mergeUpsert: matched rows are replaced ATOMICALLY (null fields stick)") {
+    val cur = Seq((1L, Some("a"), Some(10.0)), (2L, Some("b"), Some(20.0)))
+      .toDF("k", "name", "price")
+    // change for key 1 sets name to NULL — the output row must carry
+    // (null, 11.0), never a stitched ("a", 11.0) from the old version
+    val chg = Seq((1L, None: Option[String], Some(11.0)),
+                  (3L, Some("c"), Some(30.0)))
+      .toDF("k", "name", "price")
+    val got = Relational.mergeUpsert(cur, chg, "k")
+      .as[(Long, Option[String], Option[Double], String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, None, Some(11.0), "update"),
+      (2L, Some("b"), Some(20.0), "keep"),
+      (3L, Some("c"), Some(30.0), "insert")))
+  }
+
+  test("mergeUpsert rejects schema drift between snapshot and batch") {
+    val cur = Seq((1L, "a")).toDF("k", "name")
+    val chg = Seq((1L, "a")).toDF("k", "other")
+    intercept[IllegalArgumentException] {
+      Relational.mergeUpsert(cur, chg, "k")
+    }
+  }
+
+  test("scd2 collapses runs and leaves the last interval open") {
+    // user 7: A A B A  → intervals A[10,30) B[30,40) A[40,null)
+    val events = Seq(
+      (7L, 100L, "A", 10L * 1000), (7L, 101L, "A", 20L * 1000),
+      (7L, 102L, "B", 30L * 1000), (7L, 103L, "A", 40L * 1000),
+      (8L, 200L, "X", 5L * 1000))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Relational.scd2(events, "user_id", "event_type", "event_id", "ts")
+      .as[(Long, String, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got == Seq(
+      (7L, "A", 10L, Some(30L), false),
+      (7L, "B", 30L, Some(40L), false),
+      (7L, "A", 40L, None, true),
+      (8L, "X", 5L, None, true)))
+  }
+
+  test("scd2: same-timestamp ties order by the id column deterministically") {
+    val events = Seq(
+      (1L, 10L, "A", 1000L), (1L, 11L, "B", 1000L), (1L, 12L, "C", 2000L))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Relational.scd2(events, "user_id", "event_type", "event_id", "ts")
+      .as[(Long, String, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._3, r._2)).toSeq
+    // A (id 10) precedes B (id 11) at t=1: A[1,1) B[1,2) C[2,null)
+    assert(got == Seq(
+      (1L, "A", 1L, Some(1L), false),
+      (1L, "B", 1L, Some(2L), false),
+      (1L, "C", 2L, None, true)))
+  }
+}
