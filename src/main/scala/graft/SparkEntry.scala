@@ -1041,6 +1041,15 @@ object SparkEntry {
       Relational.scd2(events(s, d), "user_id", "event_type", "event_id", "ts")
         .orderBy("user_id", "valid_from", "attr")),
 
+    // Z-order (Morton) clustering key over a 1024x1024 grid — the
+    // multi-dim layout index writeZOrdered sorts by; pure bitwise
+    // codegen'd projection, oracle replays the identical bit algebra
+    "zorder_index" -> ((s, d) =>
+      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        graft.sources.Warehouse.zorder2(
+          col("l_partkey") % 1024, col("l_orderkey") % 1024, bits = 10).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Native session_window grouping (the batch twin of the streaming
     // session operator; end = last event + gap per Spark's semantics —
     // the oracle mirrors the >= gap split exactly)
@@ -2189,6 +2198,16 @@ object SparkEntry {
          SELECT user_id, attr, t_us AS valid_from, valid_to,
              valid_to IS NULL AS is_current
          FROM g ORDER BY user_id, valid_from, attr""",
+    // generated: the same 10-bit interleave Spark's zorder2 folds up
+    "zorder_index" -> {
+      val terms = (0 until 10).flatMap(i => Seq(
+        s"((x & ${1L << i}) << $i)", s"((y & ${1L << i}) << ${i + 1})"))
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber,
+             l_partkey % 1024 AS x, l_orderkey % 1024 AS y FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+             ${terms.mkString(" | ")} AS z
+         FROM b ORDER BY l_orderkey, l_linenumber"""
+    },
     // split when the gap is >= 30 min (Spark session_window merges only
     // strictly-overlapping sessions); end = last event + gap
     "events_session_window" ->

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Warehouse-layout sinks (SURVEY.md §2.1 / §4.3 scale extensions).
   *
@@ -49,6 +50,34 @@ object Warehouse {
       .option("maxRecordsPerFile", targetRows)
       .parquet(path)
   }
+
+  /** Z-order (Morton) interleave of two non-negative int columns over a
+    * 2^bits grid — the multi-dimensional clustering key. Sorting a table
+    * by z-value makes every parquet file a small BOUNDING BOX in (x, y)
+    * space, so min/max row-group stats prune scans filtered on EITHER
+    * dimension — a plain sort clusters one dimension and leaves the
+    * other unpruned. Pure bitwise column expression: codegen'd,
+    * engine-independent (the oracle replays the same bit algebra).
+    */
+  def zorder2(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(x.cast("long").bitwiseAND(lit(1L << i)), i))
+        .bitwiseOR(shiftleft(y.cast("long").bitwiseAND(lit(1L << i)), i + 1))
+    }
+
+  /** Z-ordered compacted sink: range-partition + sort by the z-value so
+    * each of `files` output files covers a compact (x, y) box. The
+    * z-column itself is dropped at the sink — it's a layout key, not
+    * data. WarehouseSpec asserts the per-file bounding boxes actually
+    * shrink vs an unordered write. */
+  def writeZOrdered(df: DataFrame, path: String, files: Int,
+                    x: Column, y: Column, bits: Int = 16): Unit =
+    df.withColumn("__z", zorder2(x, y, bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 
   /** Bucketed external table: hash-bucketed (and optionally sorted) on
     * `key` at `path`, registered as `table` in the session catalog.
