@@ -77,6 +77,18 @@ class HitsSpec extends SparkTestBase {
     assert(res("s")._2 == 0.0) // source: no in-edges → no auth mass
   }
 
+  test("fast path and distributed loop agree exactly") {
+    val df = fixture.toDF("src", "dst")
+    val fast = Hits.run(df, iters = 6)
+      .as[(String, Double, Double)].collect().toSet
+    try {
+      Hits.fastPathEnabled = false
+      val dist = Hits.run(df, iters = 6)
+        .as[(String, Double, Double)].collect().toSet
+      assert(fast == dist)
+    } finally Hits.fastPathEnabled = true
+  }
+
   test("iteration count changes values (loop really iterates)") {
     val a = Hits.run(fixture.toDF("src", "dst"), iters = 1)
       .as[(String, Double, Double)].collect()
