@@ -1041,6 +1041,15 @@ object SparkEntry {
       Relational.scd2(events(s, d), "user_id", "event_type", "event_id", "ts")
         .orderBy("user_id", "valid_from", "attr")),
 
+    // BM25 lexical retrieval: top-10 docs per query — the search
+    // complement to the embedding ANN stack (hard-negative mining /
+    // eval retrieval). Corpus pruned to query terms map-side before any
+    // agg; stats ride as a broadcast 1-row aggregate.
+    "bm25_topk" -> ((s, d) =>
+      graft.text.Retrieval.bm25TopK(documents(s, d), "doc_id", "text",
+          bm25Queries)
+        .orderBy("query_id", "rank")),
+
     // Z-order (Morton) clustering key over a 1024x1024 grid — the
     // multi-dim layout index writeZOrdered sorts by; pure bitwise
     // codegen'd projection, oracle replays the identical bit algebra
@@ -1089,6 +1098,12 @@ object SparkEntry {
       .select(concat(lit("c"), col("o_custkey")).as("title"), col("outlinks"))
     orderVerts.unionByName(custVerts)
   }
+
+  /** Shared BM25 query set — the oracle SQL is GENERATED from this, so
+    * Spark and DuckDB can never drift on the query terms. */
+  private[graft] val bm25Queries: Seq[(Long, String)] = Seq(
+    (0L, "spark join merge"), (1L, "table scan filter"),
+    (2L, "window agg hash"))
 
   /** The same deterministic testdata graph as `pagerankGraph`, as a flat
     * (src, dst) edge relation: o→c and c→o from orders, o→p from
@@ -2198,6 +2213,43 @@ object SparkEntry {
          SELECT user_id, attr, t_us AS valid_from, valid_to,
              valid_to IS NULL AS is_current
          FROM g ORDER BY user_id, valid_from, attr""",
+    // generated from bm25Queries + the default k1/b so constants parse
+    // to the identical doubles (Double.toString round-trips; a bare 1.2
+    // literal would be DECIMAL to DuckDB and diverge in the last ulp)
+    "bm25_topk" -> {
+      val k1 = 1.2; val b = 0.75
+      val qvals = bm25Queries.flatMap { case (qid, q) =>
+        q.split(" ").distinct.map(w => s"($qid, '$w')") }.mkString(", ")
+      val qwords = bm25Queries.flatMap(_._2.split(" ")).distinct
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (SELECT CAST(c0 AS BIGINT) AS query_id, c1 AS word
+             FROM (VALUES $qvals) t(c0, c1)),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         stats AS (SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+             WHERE word IN ($qwords) GROUP BY doc_id, word),
+         df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         sc AS (SELECT t.doc_id, t.word,
+             ln((s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+               * (t.tf * CAST(${k1 + 1} AS DOUBLE))
+               / (t.tf + CAST($k1 AS DOUBLE) * (CAST(${1.0 - b} AS DOUBLE)
+                  + CAST($b AS DOUBLE) * l.dl / s.avgdl)) AS tscore
+           FROM tf t JOIN df d USING (word)
+           JOIN dl l ON l.doc_id = t.doc_id, stats s),
+         agg AS (SELECT q.query_id, sc.doc_id,
+             round(sum(sc.tscore), 6) AS score
+           FROM sc JOIN q ON q.word = sc.word
+           GROUP BY q.query_id, sc.doc_id),
+         r AS (SELECT query_id, doc_id, score, row_number() OVER
+                 (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM agg)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+    },
     // generated: the same 10-bit interleave Spark's zorder2 folds up
     "zorder_index" -> {
       val terms = (0 until 10).flatMap(i => Seq(

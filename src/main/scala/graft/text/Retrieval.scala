@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Full-text retrieval scoring — BM25 (Robertson/Sparck Jones) top-k
+  * over the corpus, the lexical-search complement to the embedding ANN
+  * stack (`graft.similarity`): hard-negative mining, eval-set retrieval
+  * and dedup-by-query all start here.
+  *
+  *   score(q,d) = Σ_{t∈q} ln((N−df+0.5)/(df+0.5)+1) ·
+  *                tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  *
+  * Scale shape: the corpus is pruned to QUERY TERMS map-side (isin
+  * filter folded into the token explode) before any aggregation — tf/df
+  * relations are query-vocabulary-sized, never corpus-vocabulary-sized.
+  * Corpus stats (N, avgdl) ride in-plan as a broadcast 1-row aggregate
+  * (no driver round-trip); avgdl is exact-integer sum ÷ count, so both
+  * engines derive the identical double. Every float literal is written
+  * as an explicit double on both sides (a bare 1.2 is DECIMAL to DuckDB
+  * — decimal-exact arithmetic would diverge from IEEE in the last ulp).
+  * Per-(query,doc) scores round(6) after the final sum; ties break by
+  * doc_id so the top-k cut is total.
+  */
+object Retrieval {
+
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, String)], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, q) => q.split(" ").distinct.map(w => (qid, w)) }
+      .toDF("query_id", "word")
+    val qwords = queries.flatMap(_._2.split(" ")).distinct
+
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokenize(col(textCol))).as("word"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // exact: integer sum ÷ count, one IEEE division — not a float avg()
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tfq = toks.filter(col("word").isin(qwords: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfq = tfq.groupBy("word").agg(count(lit(1)).as("df"))
+
+    val scored = tfq
+      .join(broadcast(dfq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("tscore",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .join(broadcast(qterms), Seq("word"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("tscore")), 6).as("score"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.text.Retrieval
+
+/** BM25 checked against a naive in-test implementation (plain Scala
+  * loops — a second independent formulation of the same recurrence);
+  * the DuckDB oracle re-checks cross-engine at sf0.01. */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana cherry date"),
+    (2L, "apple apple apple apple"),
+    (3L, "banana cherry cherry banana cherry"),
+    (4L, "dog egg fish grape"),
+    (5L, "apple banana dog egg fish grape plum"))
+
+  private def reference(queries: Seq[(Long, String)], k1: Double = 1.2,
+                        b: Double = 0.75): Map[(Long, Long), Double] = {
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val nDocs = corpus.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / nDocs
+    val out = scala.collection.mutable.Map[(Long, Long), Double]()
+    for ((qid, q) <- queries; (did, words) <- toks.toSeq) {
+      val dl = words.size
+      var s = 0.0
+      for (term <- q.split(" ").distinct) {
+        val tf = words.count(_ == term)
+        if (tf > 0) {
+          val df = toks.values.count(_.contains(term))
+          val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+          s += idf * (tf * (k1 + 1)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        }
+      }
+      if (s > 0.0)
+        out((qid, did)) =
+          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.toMap
+  }
+
+  test("scores match the naive implementation exactly after round(6)") {
+    val queries = Seq((0L, "banana cherry"), (1L, "apple"), (2L, "plum grape"))
+    val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", queries, k = 10)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (q, _, d, s) => (q, d) -> s }.toMap
+    val want = reference(queries)
+    assert(got.keySet == want.keySet)
+    for (key <- want.keySet)
+      assert(got(key) == want(key), s"query/doc $key: ${got(key)} vs ${want(key)}")
+  }
+
+  test("ranking: heavy repetition of one term saturates below broad coverage") {
+    val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", Seq((0L, "banana cherry")), k = 10)
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(_._2).map(_._3).toSeq
+    // doc 3 (both terms, high tf) > doc 1 (both terms once) > doc 5 (one)
+    assert(got == Seq(3L, 1L, 5L))
+  }
+
+  test("rank cut respects k with the doc_id tie-break") {
+    val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", Seq((0L, "apple")), k = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 2 && got.forall(_._2 <= 2))
+  }
+}
