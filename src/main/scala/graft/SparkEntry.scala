@@ -582,6 +582,14 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // containment |A∩B|/min(|A|,|B|) on the same candidates — the
+    // asymmetric-length fix: a short doc quoted whole inside a long one
+    // scores 1.0 here while Jaccard dilutes it toward 0
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(documents(s, d), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("doc_a", "doc_b")),
+
     // character-level verification on the same LSH candidates: Levenshtein
     // distance ≤ 30% of the longer text (integer permille math — no
     // doubles). O(len²)-per-pair cost is bounded by the candidate set;
@@ -1041,6 +1049,31 @@ object SparkEntry {
       Relational.scd2(events(s, d), "user_id", "event_type", "event_id", "ts")
         .orderBy("user_id", "valid_from", "attr")),
 
+    // Bigram language-model counts: top-100 bigrams with MLE conditional
+    // probability P(w2|w1) = cnt(w1 w2)/cnt(w1 ·) — the n-gram-LM
+    // building block (perplexity filtering at corpus scale starts from
+    // exactly this relation). Bigrams form map-side from the token array
+    // (one Generate barrier, no window); prefix counts derive from the
+    // bigram counts themselves — ONE corpus shuffle total. Exact integer
+    // counts, one IEEE division, total (cnt, bigram) order.
+    "ngram_lm" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"),
+          explode(array(TextOps.tokenize(col("text")))).as("w"))
+        .filter(size(col("w")) >= 2)
+      val bigrams = toks.select(explode(transform(
+          sequence(lit(0), size(col("w")) - 2),
+          i => concat(col("w")(i), lit(" "), col("w")(i + 1)))).as("bigram"))
+      val c = bigrams.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      val p = c.withColumn("w1", split(col("bigram"), " ").getItem(0))
+      val pc = p.groupBy("w1").agg(sum(col("cnt")).as("pcnt"))
+      p.join(pc, "w1")
+        .select(col("bigram"), col("cnt"),
+          round(col("cnt").cast("double") / col("pcnt"), 6).as("prob"))
+        .orderBy(desc("cnt"), asc("bigram")).limit(100)
+        .orderBy(desc("cnt"), asc("bigram"))
+    }),
+
     // BM25 lexical retrieval: top-10 docs per query — the search
     // complement to the embedding ANN stack (hard-negative mining /
     // eval retrieval). Corpus pruned to query terms map-side before any
@@ -1469,6 +1502,19 @@ object SparkEntry {
            JOIN sh sb ON sb.doc_id = c.doc_b)
          SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / u, 6) AS jaccard
          FROM j WHERE CAST(i AS DOUBLE) / u >= 0.5
+         ORDER BY doc_a, doc_b""",
+    // same candidate CTEs, containment verify (min-size denominator)
+    "dedup_containment" ->
+      s"""WITH $minhashOracleCtes,
+         j AS (
+           SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.sgl, sb.sgl)) AS BIGINT) AS i,
+               CAST(least(len(sa.sgl), len(sb.sgl)) AS BIGINT) AS m
+           FROM cand c
+           JOIN sh sa ON sa.doc_id = c.doc_a
+           JOIN sh sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / m, 6) AS containment
+         FROM j WHERE CAST(i AS DOUBLE) / m >= 0.8
          ORDER BY doc_a, doc_b""",
     // same candidate CTEs, character-level Levenshtein verify; the
     // integer permille threshold mirrors the Spark side exactly
@@ -2213,6 +2259,19 @@ object SparkEntry {
          SELECT user_id, attr, t_us AS valid_from, valid_to,
              valid_to IS NULL AS is_current
          FROM g ORDER BY user_id, valid_from, attr""",
+    "ngram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         bg AS (SELECT unnest(list_transform(range(len(w) - 1),
+               i -> w[i+1] || ' ' || w[i+2])) AS bigram
+           FROM tok WHERE len(w) >= 2),
+         c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram),
+         p AS (SELECT string_split(bigram, ' ')[1] AS w1, bigram, cnt FROM c),
+         pc AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS pcnt FROM p GROUP BY w1)
+         SELECT p.bigram, CAST(p.cnt AS BIGINT) AS cnt,
+             round(CAST(p.cnt AS DOUBLE) / pc.pcnt, 6) AS prob
+         FROM p JOIN pc USING (w1)
+         ORDER BY cnt DESC, bigram LIMIT 100""",
     // generated from bm25Queries + the default k1/b so constants parse
     // to the identical doubles (Double.toString round-trips; a bare 1.2
     // literal would be DECIMAL to DuckDB and diverge in the last ulp)

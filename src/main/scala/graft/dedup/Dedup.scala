@@ -186,10 +186,13 @@ object Dedup {
     *    semi-join prune before the shingle projection), not the whole
     *    corpus — exact verification cost scales with |candidates|, and
     *    the corpus is never shuffled. */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        threshold: Double, numPerms: Int = 8,
-                        shingleSize: Int = 3,
-                        materializeCandidates: Boolean = true): DataFrame = {
+  /** Shared staging for shingle-verified pair mining: LSH candidates
+    * (materialized once) joined to each side's shingle set. The corpus
+    * meets only the semi-join prune; the expensive shingle projection
+    * runs on candidate docs alone. */
+  private def candidateShingles(docs: DataFrame, idCol: String, textCol: String,
+                                numPerms: Int, shingleSize: Int,
+                                materializeCandidates: Boolean): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, numPerms, shingleSize)
     val cands0 = lshCandidatePairs(sigs, numPerms)
     val cands = if (materializeCandidates) cands0.localCheckpoint() else cands0
@@ -207,13 +210,36 @@ object Dedup {
     val a = sgl.select(col("doc_id").as("doc_a"), col("sgl").as("sgl_a"))
     val b = sgl.select(col("doc_id").as("doc_b"), col("sgl").as("sgl_b"))
     cands.join(a, "doc_a").join(b, "doc_b")
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, numPerms: Int = 8,
+                        shingleSize: Int = 3,
+                        materializeCandidates: Boolean = true): DataFrame =
+    candidateShingles(docs, idCol, textCol, numPerms, shingleSize, materializeCandidates)
       .withColumn("inter", size(array_intersect(col("sgl_a"), col("sgl_b"))).cast("long"))
       .withColumn("uni",
         size(col("sgl_a")).cast("long") + size(col("sgl_b")).cast("long") - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
       .filter(col("inter").cast("double") / col("uni") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
+
+  /** CONTAINMENT-scored near-dup pairs over the same LSH candidates:
+    * |A∩B| / min(|A|, |B|) — the asymmetric-length fix for Jaccard,
+    * which under-scores a short doc quoted whole inside a long one
+    * (|∩|/|∪| shrinks with the big doc's size; containment doesn't).
+    * Same staging, same scale shape as [[ngramJaccardPairs]]; only the
+    * verify arithmetic differs. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, numPerms: Int = 8,
+                       shingleSize: Int = 3,
+                       materializeCandidates: Boolean = true): DataFrame =
+    candidateShingles(docs, idCol, textCol, numPerms, shingleSize, materializeCandidates)
+      .withColumn("inter", size(array_intersect(col("sgl_a"), col("sgl_b"))).cast("long"))
+      .withColumn("mn", least(size(col("sgl_a")), size(col("sgl_b"))).cast("long"))
+      .withColumn("containment", round(col("inter").cast("double") / col("mn"), 6))
+      .filter(col("inter").cast("double") / col("mn") >= threshold)
+      .select("doc_a", "doc_b", "containment")
 
   /** Edit-distance verification on LSH candidates: re-attach each side's
     * raw text and keep pairs whose Levenshtein distance is at most

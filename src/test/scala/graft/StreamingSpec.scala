@@ -8,6 +8,7 @@ import graft.streaming.EventStream
   * stream (memory sink, synchronous processAllAvailable) and compare with
   * the same transform applied in batch. */
 class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
   private val schema = StructType(Seq(
@@ -44,16 +45,23 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
-  test("streaming session windows produce per-user sessions") {
+  test("streaming session windows equal the batch session_window key exactly") {
     val stream = spark.readStream.schema(schema).parquet(streamDir)
     val q = EventStream.sessionCounts(withEventTime(stream))
       .writeStream.outputMode("complete")
       .format("memory").queryName("sessions").start()
     try q.processAllAvailable() finally q.stop()
-    val rows = spark.table("sessions").collect()
-    assert(rows.nonEmpty)
-    // session event counts must sum to the total event count
-    assert(rows.map(_.getLong(2)).sum == Tables.events(spark, sf).count())
+    val got = spark.table("sessions")
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    // the batch twin (the events_session_window oracle key) must agree
+    // session for session — same splits, same starts, same counts
+    val batch = SparkEntry.queries("events_session_window")(spark, sf)
+      .select(col("user_id"), col("start_us"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == batch)
   }
 
   test("streaming dedup emits each event once despite a replayed input file") {
