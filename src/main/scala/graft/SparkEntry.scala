@@ -1049,6 +1049,37 @@ object SparkEntry {
       Relational.scd2(events(s, d), "user_id", "event_type", "event_id", "ts")
         .orderBy("user_id", "valid_from", "attr")),
 
+    // Point-in-time-correct dimension lookup (the feature-store join):
+    // each purchase picks the user's attribute VALID AT its event time
+    // from the SCD2 change relation — the as-of machinery applied to
+    // historized dimensions; training-serving skew starts when this
+    // join is done wrong (e.g. with the current row). Oracle = DuckDB's
+    // native ASOF JOIN, an independent implementation.
+    "join_pit" -> ((s, d) => {
+      val changes = Relational.scd2(events(s, d), "user_id", "event_type",
+          "event_id", "ts")
+        .groupBy(col("user_id"), col("valid_from").as("t_us"))
+        .agg(max(col("attr")).as("attr")) // unique per (key, ts): as-of precondition
+      val purchases = events(s, d).withColumn("t_us", expr("ts div 1000"))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      graft.ops.AsOfJoin.asOf(purchases, changes, "user_id", "t_us", Seq("attr"))
+        .orderBy("event_id")
+    }),
+
+    // ranking-function completions: percent_rank / cume_dist /
+    // first_value sharing ONE window sort (total order via the key
+    // tie-break, so the quotients are engine-exact)
+    "window_pct" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          first(col("o_orderkey")).over(w).as("first_key"))
+        .orderBy("o_orderkey")
+    }),
+
     // Bigram language-model counts: top-100 bigrams with MLE conditional
     // probability P(w2|w1) = cnt(w1 w2)/cnt(w1 ·) — the n-gram-LM
     // building block (perplexity filtering at corpus scale starts from
@@ -2259,6 +2290,36 @@ object SparkEntry {
          SELECT user_id, attr, t_us AS valid_from, valid_to,
              valid_to IS NULL AS is_current
          FROM g ORDER BY user_id, valid_from, attr""",
+    // change relation rebuilt as in scd2_build, then DuckDB's NATIVE
+    // ASOF JOIN — an independent as-of implementation — picks the
+    // interval containing each purchase
+    "join_pit" ->
+      """WITH b AS (SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+         f AS (SELECT user_id, event_id, event_type, t_us,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY t_us, event_id) IS NULL
+                  OR lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY t_us, event_id) <> event_type
+                  THEN 1 ELSE 0 END AS chg
+           FROM b),
+         g AS (SELECT user_id, t_us AS vf, max(event_type) AS attr
+           FROM f WHERE chg = 1 GROUP BY user_id, t_us),
+         p AS (SELECT event_id, user_id, t_us FROM b
+           WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.t_us, g.attr
+         FROM p ASOF LEFT JOIN g
+           ON p.user_id = g.user_id AND p.t_us >= g.vf
+         ORDER BY event_id""",
+    "window_pct" ->
+      """SELECT o_orderkey, o_orderpriority,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd,
+             first_value(o_orderkey) OVER w AS first_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
     "ngram_lm" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
              FROM documents),
