@@ -39,12 +39,19 @@ object Retrieval {
 
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextOps.tokenize(col(textCol))).as("word"))
+    // materialize the skinny (doc_id, dl) relation: THREE consumers
+    // (stats, the score join, and the count) would otherwise each
+    // re-scan + re-tokenize the corpus — 4 scans instead of 2
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint()
     // exact: integer sum ÷ count, one IEEE division — not a float avg()
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // materialize: two consumers (dfq + the score join) would re-scan
+    // the corpus; the relation itself is query-vocabulary-sized
     val tfq = toks.filter(col("word").isin(qwords: _*))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfq = tfq.groupBy("word").agg(count(lit(1)).as("df"))
 
     val scored = tfq

@@ -25,6 +25,11 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     what match {
+      // `Prof <sfDir> explain <key>`: formatted physical plan of any
+      // declared query key — the .explain audit loop for new operators
+      case "explain" =>
+        val key = args(2)
+        graft.SparkEntry.queries(key)(spark, sfDir).explain("formatted")
       case "entry" =>
         val df = t("entry")(graft.SparkEntry.entry(spark))
         df.show(5, false)
