@@ -156,6 +156,22 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // ORC source (columnar sibling; orc-core ships with Spark): same
+    // round-trip-certification trick — supplier parquet → ORC once,
+    // scanned back with pushdown; the oracle reads the parquet truth.
+    // Completes the source matrix: text/KV, parquet, CSV, JSONL, ORC.
+    "scan_orc" -> ((s, d) => {
+      val cache = new java.io.File(s"/tmp/graft_orc_${new java.io.File(d).getName}")
+      if (!new java.io.File(cache, "_graft_done").exists) {
+        supplier(s, d).coalesce(1).write.mode("overwrite").orc(cache.toString)
+        new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+      }
+      s.read.orc(cache.toString)
+        .filter(col("s_acctbal") > 0)
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    }),
+
     // JSONL source: line-delimited JSON scan with declared schema (the
     // big-data JSON shape); same round-trip-vs-parquet-oracle contract
     "scan_json" -> ((s, d) => {
@@ -1114,6 +1130,25 @@ object SparkEntry {
           bm25Queries)
         .orderBy("query_id", "rank")),
 
+    // Hybrid-retrieval fusion: reciprocal-rank fusion of the BM25 list
+    // with a document-length prior list — the no-calibration combiner
+    // for lexical + vector + prior signals (consumes only RANKS, so
+    // incomparable scores fuse safely)
+    "rank_fusion" -> ((s, d) => {
+      import s.implicits._
+      val bm = graft.text.Retrieval.bm25TopK(documents(s, d), "doc_id", "text",
+          bm25Queries)
+        .select("query_id", "doc_id", "rank")
+      val qids = bm25Queries.map(_._1).toDF("query_id")
+      val prior = documents(s, d)
+        .orderBy(desc("n_chars"), asc("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("n_chars"), asc("doc_id"))).cast("long"))
+        .crossJoin(broadcast(qids))
+        .select("query_id", "doc_id", "rank")
+      graft.text.Retrieval.rrf(Seq(bm, prior)).orderBy("query_id", "rank")
+    }),
+
     // Z-order (Morton) clustering key over a 1024x1024 grid — the
     // multi-dim layout index writeZOrdered sorts by; pure bitwise
     // codegen'd projection, oracle replays the identical bit algebra
@@ -1168,6 +1203,43 @@ object SparkEntry {
   private[graft] val bm25Queries: Seq[(Long, String)] = Seq(
     (0L, "spark join merge"), (1L, "table scan filter"),
     (2L, "window agg hash"))
+
+  /** Generated BM25 oracle CTEs (`q` = query terms, `r` = ranked
+    * results) — shared by the bm25_topk and rank_fusion oracles so the
+    * two can never drift. Constants interpolate from the same doubles
+    * the Spark side uses (Double.toString round-trips exactly). */
+  private[graft] lazy val bm25OracleCtes: String = {
+    val k1 = 1.2; val b = 0.75
+    val qvals = bm25Queries.flatMap { case (qid, q) =>
+      q.split(" ").distinct.map(w => s"($qid, '$w')") }.mkString(", ")
+    val qwords = bm25Queries.flatMap(_._2.split(" ")).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""q AS (SELECT CAST(c0 AS BIGINT) AS query_id, c1 AS word
+           FROM (VALUES $qvals) t(c0, c1)),
+       tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       stats AS (SELECT count(*) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+           WHERE word IN ($qwords) GROUP BY doc_id, word),
+       df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       sc AS (SELECT t.doc_id, t.word,
+           ln((s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+              / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+             * (t.tf * CAST(${k1 + 1} AS DOUBLE))
+             / (t.tf + CAST($k1 AS DOUBLE) * (CAST(${1.0 - b} AS DOUBLE)
+                + CAST($b AS DOUBLE) * l.dl / s.avgdl)) AS tscore
+         FROM tf t JOIN df d USING (word)
+         JOIN dl l ON l.doc_id = t.doc_id, stats s),
+       agg AS (SELECT q.query_id, sc.doc_id,
+           round(sum(sc.tscore), 6) AS score
+         FROM sc JOIN q ON q.word = sc.word
+         GROUP BY q.query_id, sc.doc_id),
+       r AS (SELECT query_id, doc_id, score, row_number() OVER
+               (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         FROM agg)"""
+  }
 
   /** The same deterministic testdata graph as `pagerankGraph`, as a flat
     * (src, dst) edge relation: o→c and c→o from orders, o→p from
@@ -1457,6 +1529,9 @@ object SparkEntry {
     "scan_json" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_orderkey""",
+    "scan_orc" ->
+      """SELECT s_suppkey, s_name, s_nationkey
+         FROM supplier WHERE s_acctbal > 0 ORDER BY s_suppkey""",
     "join_null_safe" ->
       """SELECT o_orderkey, tag FROM (
            SELECT o_orderkey, nullif(o_orderstatus, 'O') AS k FROM orders) o
@@ -2336,40 +2411,31 @@ object SparkEntry {
     // generated from bm25Queries + the default k1/b so constants parse
     // to the identical doubles (Double.toString round-trips; a bare 1.2
     // literal would be DECIMAL to DuckDB and diverge in the last ulp)
-    "bm25_topk" -> {
-      val k1 = 1.2; val b = 0.75
-      val qvals = bm25Queries.flatMap { case (qid, q) =>
-        q.split(" ").distinct.map(w => s"($qid, '$w')") }.mkString(", ")
-      val qwords = bm25Queries.flatMap(_._2.split(" ")).distinct
-        .map(w => s"'$w'").mkString(", ")
-      s"""WITH q AS (SELECT CAST(c0 AS BIGINT) AS query_id, c1 AS word
-             FROM (VALUES $qvals) t(c0, c1)),
-         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-             FROM documents),
-         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-         stats AS (SELECT count(*) AS n_docs,
-             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
-             WHERE word IN ($qwords) GROUP BY doc_id, word),
-         df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-         sc AS (SELECT t.doc_id, t.word,
-             ln((s.n_docs - d.df + CAST(0.5 AS DOUBLE))
-                / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
-               * (t.tf * CAST(${k1 + 1} AS DOUBLE))
-               / (t.tf + CAST($k1 AS DOUBLE) * (CAST(${1.0 - b} AS DOUBLE)
-                  + CAST($b AS DOUBLE) * l.dl / s.avgdl)) AS tscore
-           FROM tf t JOIN df d USING (word)
-           JOIN dl l ON l.doc_id = t.doc_id, stats s),
-         agg AS (SELECT q.query_id, sc.doc_id,
-             round(sum(sc.tscore), 6) AS score
-           FROM sc JOIN q ON q.word = sc.word
-           GROUP BY q.query_id, sc.doc_id),
-         r AS (SELECT query_id, doc_id, score, row_number() OVER
-                 (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-           FROM agg)
+    "bm25_topk" ->
+      s"""WITH $bm25OracleCtes
          SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
-         FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
-    },
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    // bm25 ranks ∪ the length-prior ranks → Σ 1/(60+rank); two-double
+    // sums are commutative-exact, so the fusion is engine-exact
+    "rank_fusion" ->
+      s"""WITH $bm25OracleCtes,
+         prior AS (SELECT qq.query_id, d.doc_id, d.rank
+           FROM (SELECT doc_id,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+                 FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10) d
+           CROSS JOIN (SELECT DISTINCT query_id FROM q) qq),
+         u AS (SELECT query_id, doc_id,
+               CAST(1.0 AS DOUBLE) / (60 + rank) AS sc
+             FROM r WHERE rank <= 10
+           UNION ALL SELECT query_id, doc_id,
+               CAST(1.0 AS DOUBLE) / (60 + rank) FROM prior),
+         f AS (SELECT query_id, doc_id, round(sum(sc), 6) AS score
+           FROM u GROUP BY query_id, doc_id),
+         rr AS (SELECT query_id, doc_id, score, row_number() OVER
+                 (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM f)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+         FROM rr WHERE rank <= 10 ORDER BY query_id, rank""",
     // generated: the same 10-bit interleave Spark's zorder2 folds up
     "zorder_index" -> {
       val terms = (0 until 10).flatMap(i => Seq(

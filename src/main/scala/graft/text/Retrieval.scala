@@ -74,4 +74,27 @@ object Retrieval {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("doc_id"), col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of ranked lists:
+    * score(q,d) = Σ_lists 1/(k0 + rank) — the standard hybrid-retrieval
+    * combiner (lexical BM25 + vector ANN + priors) that needs no score
+    * calibration because it consumes only RANKS. Engine-exact by
+    * construction: each term is one IEEE division, two-double sums are
+    * commutative-exact, so round(6) is decoration, not absorption.
+    * Inputs are top-k lists (bounded), so everything after the union is
+    * kilobytes — fusion cost is the cost of producing the input lists.
+    * @param lists (query_id, doc_id, rank) relations, one per signal */
+  def rrf(lists: Seq[DataFrame], k0: Int = 60, topK: Int = 10): DataFrame = {
+    val u = lists.map(_.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(k0) + col("rank"))).as("sc")))
+      .reduce(_ unionByName _)
+    val fused = u.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("sc")), 6).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
+  }
 }

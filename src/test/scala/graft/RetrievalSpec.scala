@@ -60,6 +60,22 @@ class RetrievalSpec extends SparkTestBase {
     assert(got == Seq(3L, 1L, 5L))
   }
 
+  test("rrf fuses ranks exactly: doc on both lists beats either top-1") {
+    val a = Seq((0L, 10L, 1L), (0L, 20L, 2L), (0L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 99L, 1L), (0L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrf(Seq(a, b), k0 = 60, topK = 10)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 20: 1/62 + 1/62 tops doc 10/99's single 1/61
+    assert(got.map(_._3).toSeq == Seq(20L, 10L, 99L, 30L))
+    val m = got.map(r => r._3 -> r._4).toMap
+    assert(m(20L) == r6(1.0 / 62 + 1.0 / 62))
+    assert(m(10L) == r6(1.0 / 61) && m(99L) == r6(1.0 / 61)) // tie → doc_id
+    assert(m(30L) == r6(1.0 / 63))
+  }
+
   test("rank cut respects k with the doc_id tie-break") {
     val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"),
         "doc_id", "text", Seq((0L, "apple")), k = 2)
