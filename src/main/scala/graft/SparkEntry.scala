@@ -1130,6 +1130,43 @@ object SparkEntry {
           bm25Queries)
         .orderBy("query_id", "rank")),
 
+    // Array/map scalar-function coverage beyond the reference's string
+    // set (§2.8): union/except/position/flatten/zip over the token
+    // array plus a map built from entries — all map-side codegen'd
+    "array_map_ops" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          explode(array(TextOps.tokenize(col("text")))).as("w"))
+        .select(col("doc_id"),
+          size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+          size(array_union(slice(col("w"), 1, 5), slice(col("w"), 3, 5)))
+            .cast("long").as("n_union"),
+          size(array_except(col("w"), array(lit("the"), lit("a"))))
+            .cast("long").as("n_except"),
+          array_position(col("w"), "spark").cast("long").as("spark_pos"),
+          size(flatten(array(slice(col("w"), 1, 3), slice(col("w"), 1, 2))))
+            .cast("long").as("n_flat"),
+          element_at(map_from_arrays(
+            array(lit("len"), lit("half")),
+            array(size(col("w")).cast("long"),
+              (size(col("w")) / lit(2)).cast("long"))), "half").as("half_len"))
+        .orderBy("doc_id")),
+
+    // Temporal extraction over the event stream (UTC end to end): the
+    // date-dimension derivation every warehouse fact table needs
+    "time_parts" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("t"))
+        .select(col("event_id"),
+          year(col("t")).cast("long").as("y"),
+          month(col("t")).cast("long").as("m"),
+          dayofmonth(col("t")).cast("long").as("dom"),
+          hour(col("t")).cast("long").as("h"),
+          minute(col("t")).cast("long").as("mi"),
+          date_format(col("t"), "yyyy-MM-dd").as("d"))
+        .orderBy("event_id")),
+
     // Hybrid-retrieval fusion: reciprocal-rank fusion of the BM25 list
     // with a document-length prior list — the no-calibration combiner
     // for lexical + vector + prior signals (consumes only RANKS, so
@@ -2415,6 +2452,32 @@ object SparkEntry {
       s"""WITH $bm25OracleCtes
          SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    // array_union/array_except dedup in Spark → list_distinct mirrors;
+    // array_position absent→0 → coalesce(list_position); the half_len
+    // cast truncates (Spark double→long) → floor on the DuckDB side
+    "array_map_ops" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+             CAST(len(list_distinct(list_slice(w, 1, 5)
+               || list_slice(w, 3, 7))) AS BIGINT) AS n_union,
+             CAST(len(list_distinct(list_filter(w,
+               x -> x <> 'the' AND x <> 'a'))) AS BIGINT) AS n_except,
+             CAST(coalesce(list_position(w, 'spark'), 0) AS BIGINT) AS spark_pos,
+             CAST(len(list_slice(w, 1, 3)) + len(list_slice(w, 1, 2))
+               AS BIGINT) AS n_flat,
+             CAST(floor(len(w) / 2.0) AS BIGINT) AS half_len
+         FROM b ORDER BY doc_id""",
+    "time_parts" ->
+      """SELECT event_id,
+             CAST(year(t) AS BIGINT) AS y,
+             CAST(month(t) AS BIGINT) AS m,
+             CAST(day(t) AS BIGINT) AS dom,
+             CAST(hour(t) AS BIGINT) AS h,
+             CAST(minute(t) AS BIGINT) AS mi,
+             strftime(t, '%Y-%m-%d') AS d
+         FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events)
+         ORDER BY event_id""",
     // bm25 ranks ∪ the length-prior ranks → Σ 1/(60+rank); two-double
     // sums are commutative-exact, so the fusion is engine-exact
     "rank_fusion" ->
