@@ -135,4 +135,54 @@ object GraftProperties extends Properties("graft") {
         .as[(Long, Long)].collect().toMap
       got == unionFind(pairs)
     }
+
+  // small vocab so chunk collisions actually occur across random docs
+  private val chunkCorpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 8)
+    texts <- Gen.listOfN(n,
+      Gen.listOf(Gen.oneOf("aa", "bb", "cc")).map(_.mkString(" ")))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("passage dedup equals the naive chunk scan on random corpora") =
+    forAll(chunkCorpusGen) { corpus =>
+      val w = 3
+      val got = graft.dedup.Dedup
+        .passageDupes(corpus.toDF("doc_id", "text"), "doc_id", "text", w)
+        .as[(Long, Long, String)].collect().toSet
+      // naive: enumerate full-width disjoint chunks, first occurrence in
+      // (doc, idx) order keeps, everything else is a dupe
+      val chunks = for {
+        (id, t) <- corpus
+        ws = t.split("\\s+").filter(_.nonEmpty)
+        i <- 0 to (if (ws.isEmpty) -1 else (ws.length - 1) / w)
+        c = ws.slice(i * w, i * w + w)
+        if c.length == w
+      } yield (id, i.toLong, c.mkString(" "))
+      val keeper = chunks.groupBy(_._3).map { case (p, occ) =>
+        p -> occ.map(o => (o._1, o._2)).min }
+      val want = chunks.filter { case (id, i, p) =>
+        keeper(p) != ((id, i)) &&
+        chunks.count(_._3 == p) > 1
+      }.toSet
+      got == want
+    }
+
+  private val mergeGen: Gen[(List[(Long, String)], List[(Long, String)])] = for {
+    cur <- Gen.listOf(Gen.zip(Gen.choose(0L, 20L), Gen.alphaStr.map(_.take(4))))
+    chg <- Gen.listOf(Gen.zip(Gen.choose(0L, 25L), Gen.alphaStr.map(_.take(4))))
+  } yield (cur.distinctBy(_._1), chg.distinctBy(_._1))
+
+  property("mergeUpsert equals the naive map merge on random batches") =
+    forAll(mergeGen) { case (cur, chg) =>
+      val got = graft.ops.Relational
+        .mergeUpsert(cur.toDF("k", "v"), chg.toDF("k", "v"), "k")
+        .as[(Long, String, String)].collect().toSet
+      val cm = cur.toMap; val gm = chg.toMap
+      val want = (cm.keySet ++ gm.keySet).map { k =>
+        (k, gm.getOrElse(k, cm(k)),
+          if (gm.contains(k) && cm.contains(k)) "update"
+          else if (!cm.contains(k)) "insert" else "keep")
+      }
+      got == want
+    }
 }
