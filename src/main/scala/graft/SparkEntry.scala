@@ -661,6 +661,26 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // kNN self-join: every vector's top-3 neighbors among its LSH
+    // candidates — the all-pairs form of similarity search (similarity_
+    // ann/_ivf are the query-set forms), composed from the banding
+    // machinery + the bounded TopKAgg (O(k) per group, map-side
+    // partials — never a per-doc sort of all candidates). threshold=-1
+    // keeps every candidate; ranking uses the rounded cosine with a
+    // string tie-break in BOTH engines.
+    "knn_join" -> ((s, d) => {
+      val base = embeddings(s, d).select(col("vec_id").cast("long").as("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      val pairs = Similarity.embeddingNearDupPairs(base, "vec_id", "v",
+        threshold = -1.0, numBands = 4, bitsPerBand = 8)
+      val sym = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("cos"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"), col("cos")))
+      sym.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_cands"),
+          graft.functions.TopKAgg.topK(3, col("cos"), col("nbr").cast("string")).as("top_nbrs"))
+        .orderBy("doc_id")
+    }),
+
     // INCREMENTAL dedup: docs ≥ 400 arrive as a new batch; the corpus
     // (< 400) contributes only its persisted band index. Result must
     // equal full-corpus pair mining restricted to pairs touching the
@@ -1824,6 +1844,43 @@ object SparkEntry {
            FROM cand c JOIN n na ON na.vec_id = c.doc_a JOIN n nb ON nb.vec_id = c.doc_b)
          SELECT doc_a, doc_b, round(cos, 6) AS cos
          FROM scored WHERE cos >= 0.99 ORDER BY doc_a, doc_b"""
+    },
+    // same banding CTEs over the UNPERTURBED vectors; rank = rounded
+    // cosine desc, then the STRING form of the neighbor id (TopKAgg
+    // compares tags as strings)
+    "knn_join" -> {
+      val bandKey = (0 until 8)
+        .map(k => s"(CASE WHEN v[b.band_id * 8 + ${k + 1}] > 0 THEN ${1 << k} ELSE 0 END)")
+        .mkString("\n             + ")
+      s"""WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*v[i]),
+                              (x, y) -> x + y)) AS nv
+           FROM base),
+         bands AS (
+           SELECT vec_id AS doc_id, b.band_id,
+               $bandKey AS bkey
+           FROM n CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bands x JOIN bands y
+             ON x.band_id = y.band_id AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         sym AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM cand
+           UNION ALL SELECT doc_b, doc_a FROM cand),
+         scored AS (SELECT s.doc_id, s.nbr,
+             round(list_reduce(list_transform(generate_series(1, len(na.v)), i -> na.v[i]*nb.v[i]),
+                         (x, y) -> x + y) / (na.nv * nb.nv), 6) AS cos
+           FROM sym s JOIN n na ON na.vec_id = s.doc_id
+           JOIN n nb ON nb.vec_id = s.nbr),
+         r AS (SELECT doc_id, nbr, cos,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY cos DESC, CAST(nbr AS VARCHAR)) AS rn,
+             count(*) OVER (PARTITION BY doc_id) AS n_cands
+           FROM scored)
+         SELECT doc_id, CAST(max(n_cands) AS BIGINT) AS n_cands,
+             string_agg(CASE WHEN rn <= 3 THEN CAST(nbr AS VARCHAR) END,
+                        ',' ORDER BY rn) AS top_nbrs
+         FROM r GROUP BY doc_id ORDER BY doc_id"""
     },
     // pairs → clusters on the vector path: base / +0.01 / +0.02 copies of
     // each vector all collapse to the base id through the recursive
