@@ -156,6 +156,31 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // Malformed-ingest robustness: JSONL where every 13th record is
+    // broken; PERMISSIVE parse routes them to _corrupt_record instead
+    // of failing the job (the reference NPEs on its first malformed
+    // line — SURVEY.md §3.4). The oracle derives the expected split
+    // from the parquet truth and the injection rule.
+    "scan_json_corrupt" -> ((s, d) => {
+      val cache = new java.io.File(s"/tmp/graft_jsonbad_${new java.io.File(d).getName}")
+      if (!new java.io.File(cache, "_graft_done").exists) {
+        documents(s, d).select(
+          when(col("doc_id") % 13 === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"n_chars\": oops}")))
+          .otherwise(concat(lit("{\"doc_id\": "), col("doc_id"),
+            lit(", \"n_chars\": "), col("n_chars"), lit("}"))).as("value"))
+          .coalesce(1).write.mode("overwrite").text(cache.toString)
+        new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+      }
+      s.read
+        .schema("doc_id BIGINT, n_chars BIGINT, _corrupt_record STRING")
+        .json(cache.toString)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("doc_id")).as("n_parsed"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ORC source (columnar sibling; orc-core ships with Spark): same
     // round-trip-certification trick — supplier parquet → ORC once,
     // scanned back with pushdown; the oracle reads the parquet truth.
@@ -1589,6 +1614,12 @@ object SparkEntry {
     "scan_orc" ->
       """SELECT s_suppkey, s_name, s_nationkey
          FROM supplier WHERE s_acctbal > 0 ORDER BY s_suppkey""",
+    "scan_json_corrupt" ->
+      """SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+             CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+             CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN n_chars ELSE 0 END) AS BIGINT) AS sum_chars
+         FROM documents""",
     "join_null_safe" ->
       """SELECT o_orderkey, tag FROM (
            SELECT o_orderkey, nullif(o_orderstatus, 'O') AS k FROM orders) o
