@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("topk3"),
       new ExpressionInfo(classOf[graft.functions.TopKAgg].getName, "topk3"),
       Functions.topk3Builder))
+    ext.injectFunction((FunctionIdentifier("zorder2"),
+      new ExpressionInfo(graft.sources.Warehouse.getClass.getName, "zorder2"),
+      Functions.zorder2Builder))
   }
 }

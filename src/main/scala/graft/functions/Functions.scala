@@ -42,6 +42,17 @@ object Functions {
   private[graft] def topk3Builder(exprs: Seq[Expression]): Expression =
     ColumnShim.udafExpression(TopKAgg.topK(3), exprs)
 
+  /** Z-order key as SQL: `zorder2(x, y[, bits])` — builds the same
+    * bitwise fold as [[graft.sources.Warehouse.zorder2]], so SQL users
+    * can cluster writes without Scala. */
+  private[graft] def zorder2Builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2 || exprs.length == 3,
+      "zorder2(x_int, y_int[, bits])")
+    val bits = if (exprs.length == 3) exprs(2).eval().asInstanceOf[Number].intValue() else 16
+    ColumnShim.expression(graft.sources.Warehouse.zorder2(
+      ColumnShim.column(exprs(0)), ColumnShim.column(exprs(1)), bits))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_md5", minhashMd5Builder, "scala_udf")
@@ -49,6 +60,8 @@ object Functions {
       "wiki_pages", wikiPagesBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", simhash60Builder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder2", zorder2Builder, "scala_udf")
     // UDAF surface: SELECT topk3(value, tag) ... GROUP BY g
     spark.udf.register("topk3", TopKAgg.topK(3))
   }

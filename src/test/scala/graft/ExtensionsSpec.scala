@@ -40,6 +40,11 @@ class ExtensionsSpec extends SparkTestBase {
         .collect().head.getLong(0)
       assert(sh > 0L) // 60-bit signature is strictly positive by design
 
+      // zorder2 in SQL builds the same bit interleave as the Column API
+      val z = s2.sql("SELECT zorder2(3, 5, 10) AS z").collect().head.getLong(0)
+      assert(z == ((1L) | (1L << 2) | (1L << 1) | (1L << 5))) // morton(3,5)=39
+      assert(s2.sql("SELECT zorder2(1, 0) AS z").collect().head.getLong(0) == 1L)
+
       // planner strategy injection: build the custom logical node
       // directly (bypassing AsOfMergeJoin.asOf's lazy extraStrategies
       // registration) — only the injected strategy can plan it
