@@ -42,15 +42,26 @@ object Functions {
   private[graft] def topk3Builder(exprs: Seq[Expression]): Expression =
     ColumnShim.udafExpression(TopKAgg.topK(3), exprs)
 
-  /** Z-order key as SQL: `zorder2(x, y[, bits])` — builds the same
-    * bitwise fold as [[graft.sources.Warehouse.zorder2]], so SQL users
-    * can cluster writes without Scala. */
+  /** Z-order key as SQL: `zorder2(x, y[, bits])` — the same bitwise
+    * fold as [[graft.sources.Warehouse.zorder2]], built directly from
+    * catalyst nodes (a Column→Expression shim here would leave
+    * unresolved ColumnNode placeholders in the SQL analyzer's tree —
+    * Unevaluable at codegen). Both forms are spec-pinned to the same
+    * reference interleave. */
   private[graft] def zorder2Builder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Literal, ShiftLeft}
+    import org.apache.spark.sql.types.LongType
     require(exprs.length == 2 || exprs.length == 3,
       "zorder2(x_int, y_int[, bits])")
     val bits = if (exprs.length == 3) exprs(2).eval().asInstanceOf[Number].intValue() else 16
-    ColumnShim.expression(graft.sources.Warehouse.zorder2(
-      ColumnShim.column(exprs(0)), ColumnShim.column(exprs(1)), bits))
+    val xl = Cast(exprs(0), LongType)
+    val yl = Cast(exprs(1), LongType)
+    (0 until bits).foldLeft(Literal(0L): Expression) { (acc, i) =>
+      BitwiseOr(
+        BitwiseOr(acc,
+          ShiftLeft(BitwiseAnd(xl, Literal(1L << i)), Literal(i))),
+        ShiftLeft(BitwiseAnd(yl, Literal(1L << i)), Literal(i + 1)))
+    }
   }
 
   def register(spark: SparkSession): Unit = {
