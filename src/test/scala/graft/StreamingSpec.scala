@@ -80,6 +80,29 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("dedup_ev").select("event_id").distinct().count() === n)
   }
 
+  test("session_window MERGES an event at exactly the gap (strict > split)") {
+    // Pins the boundary the events_session_window oracle mirrors: an
+    // event at exactly window-end (t+30min, window [t, t+30min]) MERGES
+    // into the session; only a gap strictly greater than 30min splits.
+    // Written because the sf data has no exact-microsecond-gap pair —
+    // a wrong >= mirror in the oracle would pass the key silently
+    // (and did, until this fixture flushed it out).
+    val gapUs = 1800L * 1000000L
+    val base = 1600000000L * 1000000L
+    val rows = Seq(
+      (1L, base), (1L, base + gapUs), (1L, base + gapUs + 1L),
+      (1L, base + 3 * gapUs)).toDF("user_id", "t_us")
+      .select(col("user_id"), timestamp_micros(col("t_us")).as("t"))
+    val got = rows
+      .groupBy(col("user_id"), session_window(col("t"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("s"), col("n"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set(
+      (base, 3L),             // exact-gap event and its +1us follower merge
+      (base + 3 * gapUs, 1L)))
+  }
+
   test("dedup state survives a query RESTART from its checkpoint") {
     // run 1 consumes the events file and stops; the same file is then
     // delivered AGAIN (at-least-once redelivery across process death)
