@@ -1141,6 +1141,25 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Sequence packing for pretraining: documents concatenated per shard
+    // and cut every 2048 tokens — each doc's (bin, offset) locates it in
+    // the packed stream. Shards pack independently (64-way parallel
+    // windows; the cumsum never sees the corpus in one task) — the
+    // deterministic, restart-safe packing a 100 TB tokenization run
+    // needs, vs greedy first-fit whose output depends on worker timing.
+    "pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 64).as("shard"),
+          size(TextOps.tokenize(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"),
+          expr("cum_before div 2048").as("bin"),
+          (col("cum_before") % 2048).as("offset"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     // Bigram language-model counts: top-100 bigrams with MLE conditional
     // probability P(w2|w1) = cnt(w1 w2)/cnt(w1 ·) — the n-gram-LM
     // building block (perplexity filtering at corpus scale starts from
@@ -2520,6 +2539,18 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY o_orderpriority
                       ORDER BY o_totalprice, o_orderkey)
          ORDER BY o_orderkey""",
+    "pack_sequences" ->
+      """WITH b AS (SELECT doc_id, doc_id % 64 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (SELECT doc_id, shard, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+           FROM b)
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+             cum_before // 2048 AS bin, cum_before % 2048 AS offset, n_tok
+         FROM c ORDER BY doc_id""",
     "ngram_lm" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
              FROM documents),
