@@ -161,6 +161,11 @@ object Bench {
         timeOnce("dump_index") {
           graft.pipelines.WikiPipelines.invertedIndex(spark, dumpPath).count()
         }
+        // the training-pipeline path at the same GB scale: single-scan
+        // curation (quality + langid + dedup keeper) over 300k pages
+        timeOnce("dump_curate") {
+          graft.pipelines.WikiPipelines.curate(spark, dumpPath).count()
+        }
       }
     }
 

@@ -41,6 +41,16 @@ object WikiPipelines {
       .orderBy("word")
   }
 
+  /** XML text → curated-corpus relation: the TRAINING-PIPELINE path
+    * (quality metrics + language ID + exact-dedup keeper in one scan —
+    * `TextAnalysis.curate`) over the same splittable dump ingest the
+    * reference pipelines use. The GB-scale form of the `curate_corpus`
+    * key; driven by Bench's dump leg. */
+  def curate(spark: SparkSession, inPath: String): DataFrame = {
+    val pages = WikiParser.pagesFused(TextKV.readPages(spark, inPath))
+    graft.text.TextAnalysis.curate(WikiParser.docs(pages), "doc_id", "text")
+  }
+
   private[pipelines] def requireArgs(args: Array[String], usage: String): Unit =
     require(args.length >= 2, s"usage: $usage <input-path> <output-path>")
 
