@@ -1194,6 +1194,39 @@ object SparkEntry {
           bm25Queries)
         .orderBy("query_id", "rank")),
 
+    // SQL-text frontend with a CORRELATED scalar subquery — Catalyst
+    // decorrelates it into a join+agg (SURVEY §4.1: the optimizer work
+    // the reference never had). Integer-cents comparison (a_cents·n >
+    // sum_cents) so the threshold can't flip on a float ulp; the SAME
+    // text runs on both engines.
+    "sql_correlated" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT c_custkey FROM customer c
+           WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+                 * (SELECT count(*) FROM customer c2
+                    WHERE c2.c_nationkey = c.c_nationkey)
+               > (SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+                  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+           ORDER BY c_custkey""")
+    }),
+
+    // SQL EXISTS / NOT EXISTS → semi/anti joins out of the decorrelator
+    "sql_exists" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("customer")
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, c_acctbal FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 350000)
+             AND EXISTS (SELECT 1 FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey
+                           AND c2.c_custkey <> c.c_custkey
+                           AND c2.c_acctbal < c.c_acctbal)
+           ORDER BY c_custkey""")
+    }),
+
     // Array/map scalar-function coverage beyond the reference's string
     // set (§2.8): union/except/position/flatten/zip over the token
     // array plus a map built from entries — all map-side codegen'd
@@ -2571,6 +2604,24 @@ object SparkEntry {
       s"""WITH $bm25OracleCtes
          SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "sql_correlated" ->
+      """SELECT c_custkey FROM customer c
+         WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+               * (SELECT count(*) FROM customer c2
+                  WHERE c2.c_nationkey = c.c_nationkey)
+             > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""",
+    "sql_exists" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_totalprice > 350000)
+           AND EXISTS (SELECT 1 FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey
+                         AND c2.c_custkey <> c.c_custkey
+                         AND c2.c_acctbal < c.c_acctbal)
+         ORDER BY c_custkey""",
     // array_union/array_except dedup in Spark → list_distinct mirrors;
     // array_position absent→0 → coalesce(list_position); the half_len
     // cast truncates (Spark double→long) → floor on the DuckDB side
