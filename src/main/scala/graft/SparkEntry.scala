@@ -1106,9 +1106,15 @@ object SparkEntry {
 
     // SCD type-2 historization: event_type per user collapsed to
     // validity intervals, valid_to null on the open row
+    // valid_to joins the sort (explicit NULLS FIRST = Spark's asc
+    // default) so the order stays total even if a user has same-micro
+    // events with alternating types — two rows identical but for
+    // valid_to; the sf data has no such tie, which is exactly when a
+    // latent nondeterminism survives the oracle
     "scd2_build" -> ((s, d) =>
       Relational.scd2(events(s, d), "user_id", "event_type", "event_id", "ts")
-        .orderBy("user_id", "valid_from", "attr")),
+        .orderBy(col("user_id"), col("valid_from"), col("attr"),
+          col("valid_to").asc_nulls_first)),
 
     // Point-in-time-correct dimension lookup (the feature-store join):
     // each purchase picks the user's attribute VALID AT its event time
@@ -2541,7 +2547,8 @@ object SparkEntry {
            FROM f WHERE chg = 1)
          SELECT user_id, attr, t_us AS valid_from, valid_to,
              valid_to IS NULL AS is_current
-         FROM g ORDER BY user_id, valid_from, attr""",
+         FROM g ORDER BY user_id, valid_from, attr,
+             valid_to NULLS FIRST""",
     // change relation rebuilt as in scd2_build, then DuckDB's NATIVE
     // ASOF JOIN — an independent as-of implementation — picks the
     // interval containing each purchase
