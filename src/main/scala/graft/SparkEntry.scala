@@ -267,6 +267,16 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // right outer (the J2 mirror — completes the join matrix)
+    "join_right" -> ((s, d) => {
+      val c = customer(s, d).filter(col("c_acctbal") > 9000)
+      val o = orders(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
     // §2.5 J1 — semi join (the "page exists" marker filter analog)
     "join_semi" -> ((s, d) => {
       val c = customer(s, d)
@@ -504,6 +514,44 @@ object SparkEntry {
         .except(orders(s, d).filter(col("o_totalprice") > 250000)
           .select(col("o_custkey").as("id")))
         .orderBy("id")),
+
+    // §2.7 — MULTISET difference: each lineitem part occurrence removes
+    // one matching occurrence from the order-side bag (exceptAll keeps
+    // multiplicity; the distinct form above would hide it)
+    "set_except_all" -> ((s, d) =>
+      lineitem(s, d).filter(col("l_quantity") >= 45)
+        .select(col("l_partkey").as("id"))
+        .exceptAll(lineitem(s, d).filter(col("l_quantity") >= 48)
+          .select(col("l_partkey").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("n"))
+        .orderBy("id")),
+
+    // Statistical aggregates (corr/covariance) composed from EXACT
+    // integer moments (Σx, Σy, Σxy, Σx², Σy² as bigints; x = integral
+    // quantity, y = floor-dollars — floor, not round: exact-.50 values
+    // are engine-divergent halfway cases) then finished in doubles with
+    // an identical op sequence on both sides. Native corr()/
+    // covar_pop()'s parallel float partials are not bit-reproducible
+    // across engines; moments are. Units sized so no product leaves
+    // long range at sf0.1 (y² ≤ 1e10, Σ per group ≤ 6e15).
+    "stats_agg" -> ((s, d) => {
+      val x = col("l_quantity").cast("long")
+      val y = floor(col("l_extendedprice")).cast("long")
+      val n = col("n").cast("double")
+      val mx = col("sx").cast("double") / n
+      val my = col("sy").cast("double") / n
+      val cov = col("sxy").cast("double") / n - mx * my
+      val varx = col("sxx").cast("double") / n - mx * mx
+      val vary = col("syy").cast("double") / n - my * my
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round(cov, 6).as("cov_pop"),
+          round(cov / sqrt(varx * vary), 6).as("corr"))
+        .orderBy("l_returnflag")
+    }),
 
     // §2.4 extension — rollup aggregation
     "rollup_agg" -> ((s, d) => {
@@ -1594,6 +1642,11 @@ object SparkEntry {
       """SELECT c_custkey, count(o_orderkey) AS n_orders
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey ORDER BY c_custkey""",
+    "join_right" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM orders RIGHT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+           ON o_custkey = c_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders
@@ -1704,6 +1757,34 @@ object SparkEntry {
            EXCEPT
            SELECT o_custkey AS id FROM orders WHERE o_totalprice > 250000)
          ORDER BY id""",
+    "set_except_all" ->
+      """SELECT id, count(*) AS n FROM (
+           SELECT l_partkey AS id FROM lineitem WHERE l_quantity >= 45
+           EXCEPT ALL
+           SELECT l_partkey AS id FROM lineitem WHERE l_quantity >= 48)
+         GROUP BY id ORDER BY id""",
+    "stats_agg" ->
+      """WITH m AS (SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+                      * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+             round(CAST(sxy AS DOUBLE) / n
+               - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 6) AS cov_pop,
+             round((CAST(sxy AS DOUBLE) / n
+                 - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+               / sqrt((CAST(sxx AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                 * (CAST(syy AS DOUBLE) / n
+                   - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))), 6) AS corr
+         FROM m ORDER BY l_returnflag""",
     "rollup_agg" ->
       """SELECT n_name, c_mktsegment, count(*) AS cnt,
              round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS acct_total
