@@ -79,6 +79,23 @@ object Warehouse {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Idempotent partition backfill: overwrite ONLY the partitions
+    * present in `df`, leaving sibling partitions untouched (dynamic
+    * partitionOverwriteMode — the default STATIC mode would truncate
+    * the whole table root). This is how a 100 TB warehouse re-runs one
+    * bad day: the job is idempotent per partition, so retries and
+    * backfills never need a table lock or a full rewrite. */
+  def replacePartitions(df: DataFrame, path: String, partitionCols: String*): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Bucketed external table: hash-bucketed (and optionally sorted) on
     * `key` at `path`, registered as `table` in the session catalog.
     * Joining two tables bucketed with the SAME bucket count on their join

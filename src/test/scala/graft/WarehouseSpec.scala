@@ -78,6 +78,36 @@ class WarehouseSpec extends SparkTestBase {
     }
   }
 
+  test("replacePartitions overwrites only the arriving partitions (backfill)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_backfill").toString
+    Seq((1L, "d1", "old1"), (2L, "d2", "old2"), (3L, "d3", "old3"))
+      .toDF("id", "ds", "v")
+      .write.partitionBy("ds").parquet(s"$base/t")
+    // re-run day 2 with corrected data; days 1 and 3 must survive
+    Warehouse.replacePartitions(
+      Seq((20L, "d2", "new2")).toDF("id", "ds", "v"), s"$base/t", "ds")
+    val got = spark.read.parquet(s"$base/t")
+      .select("id", "ds", "v").as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "d1", "old1"), (20L, "d2", "new2"), (3L, "d3", "old3")))
+    // idempotent: the same backfill again changes nothing
+    Warehouse.replacePartitions(
+      Seq((20L, "d2", "new2")).toDF("id", "ds", "v"), s"$base/t", "ds")
+    assert(spark.read.parquet(s"$base/t").count() == 3)
+  }
+
+  test("schema evolution: mergeSchema unifies files written with drifted schemas") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$base/t/batch=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(s"$base/t/batch=2")
+    val df = spark.read.option("mergeSchema", "true").parquet(s"$base/t")
+    assert(df.columns.toSet == Set("id", "v", "score", "batch"))
+    val got = df.select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got == Map(1L -> None, 2L -> Some(9.5))) // old rows null-fill
+  }
+
   test("zorder2 interleaves bits (known values)") {
     import spark.implicits._
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 1023L))
