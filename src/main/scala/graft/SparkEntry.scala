@@ -553,6 +553,14 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // fixed-bin histogram (width_bucket analog via integer division —
+    // the distribution profile every quality dashboard starts from)
+    "histogram_fixed" -> ((s, d) =>
+      orders(s, d)
+        .groupBy((col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
     // §2.4 extension — rollup aggregation
     "rollup_agg" -> ((s, d) => {
       val c = customer(s, d); val n = nation(s, d)
@@ -1757,6 +1765,10 @@ object SparkEntry {
            EXCEPT
            SELECT o_custkey AS id FROM orders WHERE o_totalprice > 250000)
          ORDER BY id""",
+    "histogram_fixed" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+             count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY bucket""",
     "set_except_all" ->
       """SELECT id, count(*) AS n FROM (
            SELECT l_partkey AS id FROM lineitem WHERE l_quantity >= 45
