@@ -987,6 +987,18 @@ object SparkEntry {
         .toDF().select("media_id", "width", "height", "n_pixels", "checksum")
         .orderBy("media_id")),
 
+    // Frame-sampled VIDEO decode: a frame container of real BMPs (the
+    // JDK ships no video codec — the container is synthetic, the
+    // per-frame pixel decode is javax.imageio for real); every 2nd
+    // frame decodes and its pixels fold into one checksum the oracle
+    // reproduces from the closed form.
+    "multimodal_video" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractVideoFeatures(
+          graft.multimodal.Multimodal.syntheticVideos(documents(s, d), "doc_id"),
+          everyN = 2)
+        .toDF().select("media_id", "n_frames", "n_sampled", "checksum")
+        .orderBy("media_id")),
+
     // REAL audio decode, oracle-checked end to end: synthesize a mono
     // 16-bit PCM WAV per doc whose samples are a closed form of (id, i),
     // decode with javax.sound.sampled inside the mapPartitions batch,
@@ -1962,6 +1974,24 @@ object SparkEntry {
                        + (i // (width * 3)) * 13 + (i % 3) * 29) % 256),
                (acc, v) -> (acc * 31 + v) % 1000000007) AS checksum
          FROM m ORDER BY media_id""",
+    // sampled-frame pixel fold: frame 2s of video id uses pixelValue
+    // with id + 1e6·2s; flat index i walks (frame, y, x, channel)
+    "multimodal_video" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+             CAST(doc_id % 8 + 1 AS BIGINT) AS w,
+             CAST(doc_id % 6 + 1 AS BIGINT) AS h,
+             CAST(doc_id % 5 + 2 AS BIGINT) AS nf
+           FROM documents),
+         s AS (SELECT media_id, w, h, nf, (nf + 1) // 2 AS ns FROM m)
+         SELECT media_id, nf AS n_frames, ns AS n_sampled,
+             list_reduce([CAST(0 AS BIGINT)] || list_transform(
+                 range(ns * h * w * 3),
+                 i -> (media_id + 1000000 * (2 * (i // (h * w * 3)))
+                       + ((i % (w * 3)) // 3) * 7
+                       + ((i % (h * w * 3)) // (w * 3)) * 13
+                       + (i % 3) * 29) % 256),
+               (acc, v) -> (acc * 31 + v) % 1000000007) AS checksum
+         FROM s ORDER BY media_id""",
     // The decoded-sample checksum: unsigned sample i of signal id is
     // (31·id + 17·i) mod 65536 (Multimodal.sampleValue); Spark reaches
     // the same numbers through a REAL WAV encode→decode roundtrip.

@@ -136,6 +136,28 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("video container roundtrip: sampled frames decode to the formula pixels") {
+    val id = 7L
+    val (w, h, nf) = (3, 2, 5)
+    val bytes = Multimodal.encodeVideo(id, w, h, nf)
+    val feats = Multimodal.extractVideoFeatures(
+        Seq((id, bytes)).toDF("media_id", "payload"), everyN = 2)
+      .collect().head
+    assert(feats.n_frames == nf && feats.n_sampled == 3) // frames 0, 2, 4
+    var want = 0L
+    for (f <- Seq(0, 2, 4); y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      want = (want * 31 +
+        Multimodal.pixelValue(Multimodal.framePixelId(id, f), x, y, c)) % 1000000007L
+    assert(feats.checksum == want)
+  }
+
+  test("non-video payloads fall back to the byte fold (n_frames 0)") {
+    val feats = Multimodal.extractVideoFeatures(
+      Seq((1L, "not a container".getBytes("UTF-8"))).toDF("media_id", "payload"))
+      .collect().head
+    assert(feats.n_frames == 0L && feats.n_sampled == 0L)
+  }
+
   test("non-audio payloads fall back to the byte fold (n_samples 0)") {
     val row = Multimodal.extractAudioFeatures(media).filter(_.media_id >= 0).head()
     assert(row.n_samples == 0L && row.sample_rate == 0L)
