@@ -167,6 +167,20 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  private val hitsGraphGen: Gen[List[(String, String)]] = for {
+    n <- Gen.choose(2, 9)
+    edges <- Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+  } yield edges.map { case (a, b) => (s"v$a", s"v$b") }.distinct
+
+  property("HITS equals the naive interpreter on random graphs") =
+    forAll(hitsGraphGen) { edges =>
+      val got = graft.graph.Hits.run(edges.toDF("src", "dst"), iters = 3)
+        .as[(String, Double, Double)].collect()
+        .map { case (t, h, a) => t -> (h, a) }.toMap
+      got == HitsReference.interpret(edges, 3)
+    }
+
   private val mergeGen: Gen[(List[(Long, String)], List[(Long, String)])] = for {
     cur <- Gen.listOf(Gen.zip(Gen.choose(0L, 20L), Gen.alphaStr.map(_.take(4))))
     chg <- Gen.listOf(Gen.zip(Gen.choose(0L, 25L), Gen.alphaStr.map(_.take(4))))

@@ -8,11 +8,10 @@ import graft.graph.Hits
   * recursive-CTE oracle (`graph_hits`) re-checks the same recurrence
   * cross-engine at sf0.01.
   */
-class HitsSpec extends SparkTestBase {
-  import spark.implicits._
-
-  /** The same recurrence, naive and sequential. */
-  private def interpret(edges: Seq[(String, String)], iters: Int)
+/** Naive sequential HITS — the independent reference implementation
+  * shared by HitsSpec and the GraftProperties random-graph property. */
+object HitsReference {
+  def interpret(edges: Seq[(String, String)], iters: Int)
       : Map[String, (Double, Double)] = {
     def rnd(x: Double): Double =
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -33,6 +32,13 @@ class HitsSpec extends SparkTestBase {
     }
     verts.map(v => v -> (hub(v), auth(v))).toMap
   }
+}
+
+class HitsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def interpret(edges: Seq[(String, String)], iters: Int)
+      : Map[String, (Double, Double)] = HitsReference.interpret(edges, iters)
 
   private val fixture = Seq(
     // a "hub" page h1 pointing at three authorities, h2 at two of them,
