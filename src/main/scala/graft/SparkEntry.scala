@@ -553,6 +553,30 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // DECIMAL-typed aggregation: exact decimal(12,2) sums — unlike
+    // parallel double sums, decimal addition is associative-exact, so
+    // this is the other engine-exact money form beside integer cents
+    "decimal_sum" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(round(col("o_totalprice"), 2).cast("decimal(14,2)")).as("total"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"), col("total").cast("string").as("total"),
+          col("n"))
+        .orderBy("o_orderpriority")),
+
+    // DATE/interval arithmetic over the order dates (UTC): truncation,
+    // offsets, and day differences — the date-dimension math
+    "date_arith" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("dt"))
+        .select(col("o_orderkey"),
+          date_format(col("dt"), "yyyy-MM-dd").as("d"),
+          date_format(date_add(col("dt"), 30), "yyyy-MM-dd").as("d30"),
+          date_format(trunc(col("dt"), "month"), "yyyy-MM-dd").as("mstart"),
+          datediff(col("dt"), to_date(lit("1995-01-01"))).cast("long").as("since"))
+        .orderBy("o_orderkey")),
+
     // fixed-bin histogram (width_bucket analog via integer division —
     // the distribution profile every quality dashboard starts from)
     "histogram_fixed" -> ((s, d) =>
@@ -1777,6 +1801,19 @@ object SparkEntry {
            EXCEPT
            SELECT o_custkey AS id FROM orders WHERE o_totalprice > 250000)
          ORDER BY id""",
+    "decimal_sum" ->
+      """SELECT o_orderpriority,
+             CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(14,2))) AS VARCHAR) AS total,
+             count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "date_arith" ->
+      """SELECT o_orderkey,
+             strftime(dt, '%Y-%m-%d') AS d,
+             strftime(dt + INTERVAL 30 DAY, '%Y-%m-%d') AS d30,
+             strftime(date_trunc('month', dt), '%Y-%m-%d') AS mstart,
+             CAST(dt - DATE '1995-01-01' AS BIGINT) AS since
+         FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt FROM orders)
+         ORDER BY o_orderkey""",
     "histogram_fixed" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
              count(*) AS n
