@@ -1390,6 +1390,25 @@ object SparkEntry {
           col("l_partkey") % 1024, col("l_orderkey") % 1024, bits = 10).as("z"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // SCD2 MAINTENANCE: the dimension built from pre-cutoff history,
+    // then a latest-change-per-user batch (post-cutoff) applied —
+    // close/open/insert. At 100 TB the dimension is never rebuilt;
+    // this delta-apply is the nightly op.
+    "scd2_apply" -> ((s, d) => {
+      val cutoff = 1705600000000000L
+      val ev = events(s, d).withColumn("t_us", expr("ts div 1000"))
+      val dim = Relational.scd2(ev.filter(col("t_us") < cutoff),
+        "user_id", "event_type", "event_id", "ts")
+      val chg = ev.filter(col("t_us") >= cutoff)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("t_us"), col("event_id"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_type").as("attr"),
+          col("m.t_us").as("t_us"))
+      Relational.scd2Apply(dim, chg, "user_id")
+        .orderBy(col("user_id"), col("valid_from"), col("attr"),
+          col("valid_to").asc_nulls_first)
+    }),
+
     // Native session_window grouping (the batch twin of the streaming
     // session operator; end = last event + gap, and an event at exactly
     // window-end MERGES — the oracle mirrors the strict > gap split)
@@ -2846,6 +2865,46 @@ object SparkEntry {
              ${terms.mkString(" | ")} AS z
          FROM b ORDER BY l_orderkey, l_linenumber"""
     },
+    "scd2_apply" ->
+      """WITH b AS (SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+         f AS (SELECT user_id, event_id, event_type, t_us,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY t_us, event_id) IS NULL
+                  OR lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY t_us, event_id) <> event_type
+                  THEN 1 ELSE 0 END AS chg
+           FROM b WHERE t_us < 1705600000000000),
+         dim AS (SELECT user_id, event_type AS attr, t_us AS valid_from,
+             lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+               AS valid_to,
+             lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+               IS NULL AS is_current
+           FROM f WHERE chg = 1),
+         post AS (SELECT user_id, event_type, t_us, row_number() OVER
+               (PARTITION BY user_id ORDER BY t_us DESC, event_id DESC) AS rn
+           FROM b WHERE t_us >= 1705600000000000),
+         ch AS (SELECT user_id, event_type AS new_attr, t_us AS t
+           FROM post WHERE rn = 1),
+         closed AS (SELECT d.user_id, d.attr, d.valid_from,
+             CASE WHEN d.is_current AND c.new_attr IS NOT NULL
+                       AND c.new_attr <> d.attr
+                  THEN c.t ELSE d.valid_to END AS valid_to,
+             (d.is_current AND (c.new_attr IS NULL OR c.new_attr = d.attr))
+               AS is_current
+           FROM dim d LEFT JOIN ch c ON c.user_id = d.user_id),
+         opened AS (SELECT d.user_id, c.new_attr AS attr, c.t AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+           FROM dim d JOIN ch c ON c.user_id = d.user_id
+           WHERE d.is_current AND c.new_attr <> d.attr),
+         ins AS (SELECT c.user_id, c.new_attr AS attr, c.t AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+           FROM ch c WHERE NOT EXISTS
+             (SELECT 1 FROM dim d WHERE d.user_id = c.user_id))
+         SELECT user_id, attr, valid_from, valid_to, is_current FROM closed
+         UNION ALL SELECT * FROM opened
+         UNION ALL SELECT * FROM ins
+         ORDER BY user_id, valid_from, attr, valid_to NULLS FIRST""",
     // split only when the gap EXCEEDS 30 min — Spark merges an event at
     // exactly window-end into the session (StreamingSpec pins this with
     // a crafted exact-gap fixture; the sf data has no such pair, so the

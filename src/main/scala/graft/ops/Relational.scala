@@ -113,6 +113,38 @@ object Relational {
         :+ col("action"): _*)
   }
 
+  /** SCD2 MAINTENANCE: apply a changes batch (at most one change row
+    * per key — latest-wins resolved upstream) to a historized dimension:
+    * current rows whose attribute differs CLOSE at the change time and
+    * a new current row OPENS; unchanged/matching keys pass through;
+    * unseen keys INSERT as current. The nightly dimension-update
+    * companion to [[scd2]] (which builds history from scratch) — at
+    * 100 TB one never rebuilds the dimension, one applies deltas.
+    *
+    * Inputs: dim (key, attr, valid_from, valid_to, is_current);
+    * changes (key, attr, t_us). One equi-shuffle left join + an
+    * anti-join on the (small) batch side. */
+  def scd2Apply(dim: DataFrame, changes: DataFrame, keyCol: String): DataFrame = {
+    val c = changes.select(col(keyCol),
+      col("attr").as("__new_attr"), col("t_us").as("__t"))
+    val cur = dim.join(c, Seq(keyCol), "left")
+    val isReal = col("is_current") && col("__new_attr").isNotNull &&
+      col("__new_attr") =!= col("attr")
+    val closed = cur.select(col(keyCol), col("attr"), col("valid_from"),
+      when(isReal, col("__t")).otherwise(col("valid_to")).as("valid_to"),
+      (col("is_current") && (col("__new_attr").isNull ||
+        col("__new_attr") === col("attr"))).as("is_current"))
+    val opened = cur.filter(isReal)
+      .select(col(keyCol), col("__new_attr").as("attr"),
+        col("__t").as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+    val inserted = c.join(dim.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+      .select(col(keyCol), col("__new_attr").as("attr"),
+        col("__t").as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+    closed.unionByName(opened).unionByName(inserted)
+  }
+
   /** SCD type-2 dimension build: collapse an event stream into validity
     * intervals [valid_from, valid_to) per entity — one row per VALUE
     * CHANGE of `attrCol`, `valid_to` null on the current row. The

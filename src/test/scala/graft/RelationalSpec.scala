@@ -50,6 +50,25 @@ class RelationalSpec extends SparkTestBase {
       (8L, "X", 5L, None, true)))
   }
 
+  test("scd2Apply: close/open, no-op, passthrough and insert paths") {
+    val dim = Seq(
+      (1L, "A", 10L, Some(20L), false), (1L, "B", 20L, None: Option[Long], true),
+      (2L, "X", 5L, None: Option[Long], true),
+      (3L, "Z", 7L, None: Option[Long], true))
+      .toDF("user_id", "attr", "valid_from", "valid_to", "is_current")
+    val chg = Seq((1L, "C", 30L), (2L, "X", 40L), (9L, "N", 50L))
+      .toDF("user_id", "attr", "t_us")
+    val got = Relational.scd2Apply(dim, chg, "user_id")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "A", 10L, Some(20L), false),   // closed history untouched
+      (1L, "B", 20L, Some(30L), false),   // current row CLOSED at change time
+      (1L, "C", 30L, None, true),         // new current row OPENED
+      (2L, "X", 5L, None, true),          // no-op: change matches current attr
+      (3L, "Z", 7L, None, true),          // passthrough: no change arrived
+      (9L, "N", 50L, None, true)))        // unseen key INSERTED as current
+  }
+
   test("scd2: same-timestamp ties order by the id column deterministically") {
     val events = Seq(
       (1L, 10L, "A", 1000L), (1L, 11L, "B", 1000L), (1L, 12L, "C", 2000L))
