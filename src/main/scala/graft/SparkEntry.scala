@@ -585,6 +585,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")),
 
+    // explode_outer: rows with NO matches survive with a null element
+    // (plain explode silently drops them — the left-join flavor of the
+    // reference's flatMap); null ordering pinned explicitly (Spark asc
+    // defaults NULLS FIRST, DuckDB NULLS LAST)
+    "explode_outer" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode_outer(
+          expr("regexp_extract_all(text, 'spark|merge', 0)")).as("hit"))
+        .orderBy(col("doc_id"), col("hit").asc_nulls_first)),
+
     // §2.4 extension — rollup aggregation
     "rollup_agg" -> ((s, d) => {
       val c = customer(s, d); val n = nation(s, d)
@@ -1820,6 +1830,13 @@ object SparkEntry {
            EXCEPT
            SELECT o_custkey AS id FROM orders WHERE o_totalprice > 250000)
          ORDER BY id""",
+    "explode_outer" ->
+      """WITH e AS (SELECT doc_id,
+             regexp_extract_all(text, 'spark|merge') AS hits FROM documents)
+         SELECT doc_id,
+             unnest(CASE WHEN len(hits) = 0
+                         THEN [CAST(NULL AS VARCHAR)] ELSE hits END) AS hit
+         FROM e ORDER BY doc_id, hit NULLS FIRST""",
     "decimal_sum" ->
       """SELECT o_orderpriority,
              CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(14,2))) AS VARCHAR) AS total,
