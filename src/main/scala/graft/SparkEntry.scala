@@ -172,13 +172,19 @@ object SparkEntry {
           .coalesce(1).write.mode("overwrite").text(cache.toString)
         new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
       }
+      // Parsed/corrupt split derives from _corrupt_record ONLY: with
+      // spark.sql.json.enablePartialResults (default true since 3.4) a
+      // corrupt row can still carry the fields parsed before the bad
+      // token (doc_id here), so count(doc_id) would be version- and
+      // flag-sensitive (ADVICE r3). A row is "parsed" iff it routed
+      // nothing to _corrupt_record — stable under either setting.
       s.read
         .schema("doc_id BIGINT, n_chars BIGINT, _corrupt_record STRING")
         .json(cache.toString)
         .agg(count(lit(1)).as("n_rows"),
-          count(col("doc_id")).as("n_parsed"),
+          count(when(col("_corrupt_record").isNull, lit(1))).as("n_parsed"),
           count(col("_corrupt_record")).as("n_corrupt"),
-          sum(col("n_chars")).as("sum_chars"))
+          sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("sum_chars"))
     }),
 
     // ORC source (columnar sibling; orc-core ships with Spark): same
@@ -786,8 +792,14 @@ object SparkEntry {
     "knn_join" -> ((s, d) => {
       val base = embeddings(s, d).select(col("vec_id").cast("long").as("vec_id"),
         Similarity.asDouble(col("embedding")).as("v"))
+      // maxBucket is EXPLICITLY unbounded here (1<<20 ≫ any band bucket
+      // at oracle/bench scale): the DuckDB oracle enumerates ALL
+      // intra-bucket pairs, so the default star-expansion cap would
+      // silently shrink candidate sets the moment a bucket passed it
+      // (ADVICE r3). The capped form stays the 100 TB default; this key
+      // pins the exact all-pairs contract.
       val pairs = Similarity.embeddingNearDupPairs(base, "vec_id", "v",
-        threshold = -1.0, numBands = 4, bitsPerBand = 8)
+        threshold = -1.0, numBands = 4, bitsPerBand = 8, maxBucket = 1 << 20)
       val sym = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("cos"))
         .unionByName(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"), col("cos")))
       sym.groupBy("doc_id")
@@ -903,9 +915,15 @@ object SparkEntry {
     }),
 
     // int8 max-abs embedding quantization (float32 → codes + scale): the
-    // 4× storage/bandwidth saver for embedding stores; map-side only
+    // 4× storage/bandwidth saver for embedding stores; map-side only.
+    // Codes surface as a comma-joined string — the driver's comparator
+    // sorts rows through pandas, which cannot factorize raw array cells
+    // (ADVICE r3: the list-typed column crashed the harness, leaving the
+    // key unverified); every other list-valued key already strings out.
     "embedding_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes"))
         .orderBy("vec_id")),
 
     // exact cosine top-5 per query vector (queries = vec_id < 10)
@@ -2235,9 +2253,10 @@ object SparkEntry {
                          (m, x) -> greatest(m, x)) AS scale
            FROM e)
          SELECT vec_id, round(scale, 6) AS scale,
-             CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
-                  ELSE list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT))
-             END AS codes
+             array_to_string(
+               CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT))
+               END, ',') AS codes
          FROM s ORDER BY vec_id""",
     "similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

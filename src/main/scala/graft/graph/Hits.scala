@@ -109,8 +109,21 @@ object Hits {
         names.indices.iterator.map(i => (names(i), hub(i), auth(i)))
         }
       }
-      res.toDF("title", "hub", "auth")
-    } else runDistributed(spark, e.toDF("src", "dst"), iters, roundTo)
+      // Materialize (localCheckpoint is eager) so the cached edges RDD can
+      // be released NOW — run() is called repeatedly (bench reps, specs),
+      // and without the unpersist every call leaked a MEMORY_AND_DISK RDD
+      // for the session lifetime (ADVICE r3). Bounded: the fast path is
+      // gated at ≤5M edges.
+      val out = res.toDF("title", "hub", "auth").localCheckpoint()
+      e.unpersist(blocking = false)
+      out
+    } else {
+      // runDistributed eagerly localCheckpoints the edge relation on
+      // entry, so the source RDD cache is droppable as soon as it returns
+      val out = runDistributed(spark, e.toDF("src", "dst"), iters, roundTo)
+      e.unpersist(blocking = false)
+      out
+    }
   }
 
   /** The scale tier: Catalyst-planned half-steps, one shuffle each, the
