@@ -37,11 +37,26 @@ object InvertedIndex {
         col("t"), "word")
       .select(col("word"), col("doc_id"))
 
-  /** word → sorted ArrayType posting list (ids repeat per occurrence). */
+  /** word → sorted ArrayType posting list (ids repeat per occurrence).
+    *
+    * Two-level aggregation, NOT a direct collect_list over occurrences:
+    * level 1 counts per (word, doc_id) — a plain `count` with map-side
+    * partial aggregation, so the shuffle carries one row per DISTINCT
+    * (word, doc_id) pair instead of one row per occurrence (the dump
+    * drive's 1.4 GB corpus has ~200M occurrences but far fewer distinct
+    * pairs — this is exactly the combiner the reference never configured,
+    * SURVEY.md §4.2). Level 2 rebuilds the duplicate-preserving list with
+    * `array_repeat`, bounding a stop-word's group at #docs entries rather
+    * than #occurrences. Output is bit-identical to the one-level form:
+    * sort_array over (doc_id, n) structs orders by doc_id (unique within
+    * a word group), and repeats expand adjacently. */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     occurrences(docs, idCol, textCol)
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("n"))
       .groupBy("word")
-      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("doc_id"), col("n")))),
+        p => array_repeat(p("doc_id"), p("n").cast("int")))).as("postings"))
 
   /** word → "id1,id2,…" string rows, byte-compatible with the reference's
     * text sink shape (ref: InvertedIndex.java:123-131) modulo sort order. */
