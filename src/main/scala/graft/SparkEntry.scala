@@ -702,6 +702,35 @@ object SparkEntry {
           gapUs = 1800L * 1000000L)
         .orderBy("user_id", "session_id")),
 
+    // §2.9 extension — ntile bucketing (the remaining ranking function;
+    // deterministic under the unique-key tie-break like every window key)
+    "window_ntile" -> ((s, d) =>
+      orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(Window.partitionBy(col("o_orderstatus"))
+            .orderBy(col("o_totalprice"), col("o_orderkey")))
+          .cast("long").as("quartile"))
+        .orderBy("o_orderkey")),
+
+    // ordered funnel signup → view → click → purchase: per-user greedy
+    // stage walk over per-stage sorted timestamp arrays — ONE aggregation
+    // pass over the event log, per-user state bounded by that user's own
+    // events (no k-pass self-joins). Micros ticks: the finest grid DuckDB's
+    // nano-truncating parquet reader can mirror (sessionize precedent).
+    "funnel_stages" -> ((s, d) =>
+      graft.ops.Analytics.funnel(
+          events(s, d).withColumn("t_us", expr("ts div 1000")),
+          "user_id", "t_us", "event_type",
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("user_id")),
+
+    // weekly cohort retention: corpus reduces to distinct (user, week)
+    // map-side; everything after is bounded by users × weeks
+    "cohort_retention" -> ((s, d) =>
+      graft.ops.Analytics.cohortRetention(
+          events(s, d).withColumn("t_us", expr("ts div 1000")),
+          "user_id", "t_us")
+        .orderBy("cohort_wk", "week_offset")),
+
     // ---- training-data pipeline suite ------------------------------------
 
     // exact dedup by content hash
@@ -1932,6 +1961,51 @@ object SparkEntry {
              count(*) AS n_events, min(t_us) AS start_us, max(t_us) AS end_us
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    "window_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+             CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                                 ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+         FROM orders ORDER BY o_orderkey""",
+    // greedy stage walk mirrored with chained CTEs; a missed stage makes
+    // every later bound NULL (x > NULL is not true → list_filter drops)
+    "funnel_stages" ->
+      """WITH u AS (
+           SELECT user_id,
+             list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+                       FILTER (WHERE event_type = 'signup')) AS a0,
+             list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+                       FILTER (WHERE event_type = 'view')) AS a1,
+             list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+                       FILTER (WHERE event_type = 'click')) AS a2,
+             list_sort(list(epoch_us(CAST(ts AS TIMESTAMP)))
+                       FILTER (WHERE event_type = 'purchase')) AS a3
+           FROM events
+           WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+           GROUP BY user_id),
+         s0 AS (SELECT user_id, a1, a2, a3, a0[1] AS t0 FROM u),
+         s1 AS (SELECT user_id, a2, a3, t0,
+             list_filter(a1, x -> x > t0)[1] AS t1 FROM s0),
+         s2 AS (SELECT user_id, a3, t0, t1,
+             list_filter(a2, x -> x > t1)[1] AS t2 FROM s1),
+         s3 AS (SELECT user_id, t0, t1, t2,
+             list_filter(a3, x -> x > t2)[1] AS t3 FROM s2)
+         SELECT user_id,
+             CAST(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage_reached,
+             t0 AS t_first, coalesce(t3, t2, t1, t0) AS t_last
+         FROM s3 WHERE t0 IS NOT NULL ORDER BY user_id""",
+    "cohort_retention" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+           FROM events),
+         f AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id)
+         SELECT f.cohort_wk, uw.wk - f.cohort_wk AS week_offset,
+             CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
+         FROM uw JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics: ordered funnels and cohort retention.
+  *
+  * Both are single-aggregation-pass shapes designed for the 100 TB event
+  * log, where the only thing that scales is "group by user once, keep
+  * per-user state bounded":
+  *
+  *  - [[funnel]] collects per user one SORTED timestamp array per stage
+  *    (bounded by that user's own event count, never the corpus) and
+  *    walks the stage chain with scalar array expressions — no
+  *    self-joins, no k passes over the log for k stages.
+  *  - [[cohortRetention]] reduces the log to DISTINCT (user, week) pairs
+  *    map-side before anything else; every later relation is bounded by
+  *    users × weeks, not by events.
+  *
+  * Timestamps are integer ticks end to end — all comparisons are exact
+  * integer ops, so any engine reproduces the result bit for bit. Callers
+  * pick the resolution; the declared keys feed epoch-MICROS (`ts div
+  * 1000` over the nanosAsLong read) because DuckDB's parquet reader
+  * truncates nano timestamps to micros, so micros is the finest grid
+  * both engines can actually agree on.
+  */
+object Analytics {
+
+  /** Ordered funnel: stage k counts only if one of its events happened
+    * STRICTLY after the timestamp that satisfied stage k-1 (first-match
+    * greedy walk — the standard product-funnel semantics; ties at the
+    * exact same nanosecond do NOT advance the funnel, pinned by spec).
+    *
+    * Returns one row per user that reached at least stage 1:
+    * (user_id, stage_reached, t_first, t_last) where t_first/t_last are
+    * the satisfying timestamps of the first and deepest reached stage.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val perStage = stages.zipWithIndex.map { case (st, i) =>
+      sort_array(collect_list(when(col(typeCol) === st, col(tsCol))))
+        .as(s"a$i")
+    }
+    val agged = events
+      .filter(col(typeCol).isin(stages: _*))
+      .groupBy(col(userCol).as("user_id"))
+      .agg(perStage.head, perStage.tail: _*)
+    // greedy walk: t0 = first stage-0 ts; t_k = first stage-k ts > t_{k-1}.
+    // try_element_at, NOT element_at: ANSI mode (Spark 4 default) makes
+    // element_at THROW on an empty array, and a user who never reaches a
+    // stage has exactly that. try_element_at is null on miss, and a null
+    // bound makes every later stage null too (null lambda predicate →
+    // element dropped).
+    val ts = stages.indices.foldLeft(Vector.empty[Column]) { (acc, i) =>
+      val t =
+        if (i == 0) try_element_at(col("a0"), lit(1))
+        else try_element_at(filter(col(s"a$i"), x => x > acc.last), lit(1))
+      acc :+ t
+    }
+    val named = ts.zipWithIndex.map { case (t, i) => t.as(s"t$i") }
+    val reached = stages.indices
+      .map(i => when(col(s"t$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    agged
+      .select(col("user_id") +: named: _*)
+      .select(col("user_id"),
+        reached.cast("long").as("stage_reached"),
+        col("t0").as("t_first"),
+        coalesce(stages.indices.reverse.map(i => col(s"t$i")): _*).as("t_last"))
+      .filter(col("stage_reached") > 0)
+  }
+
+  /** One epoch-week in microsecond ticks (7 · 24 · 3600 · 1e6). */
+  val WeekUs = 604800000000L
+
+  /** Weekly cohort retention: cohort = epoch-week of the user's first
+    * event, offset = active week − cohort week, value = distinct users.
+    * Every cohort has an offset-0 row (the cohort size itself), so
+    * retention rates are a division away.
+    *
+    * @param weekTicks one week in the tick unit of `tsCol`
+    *                  (e.g. [[WeekUs]] for epoch-micros)
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      weekTicks: Long = WeekUs): DataFrame = {
+    // events → distinct (user, week): the ONLY corpus-sized aggregation,
+    // and it partial-aggregates map-side. Integer `div`, NOT `/`: Spark's
+    // `/` on longs goes through double, and epoch ticks can sit above
+    // 2^53 where doubles drop low bits. ts ≥ 0 so div is floor.
+    val uw = events
+      .select(col(userCol).as("user_id"),
+        expr(s"$tsCol div ${weekTicks}L").as("wk"))
+      .distinct()
+    val first = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    uw.join(first, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+}

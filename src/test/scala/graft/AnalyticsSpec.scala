@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.ops.Analytics
+
+/** Funnel + cohort semantics, including the boundaries the sf test data
+  * cannot reach (SURVEY.md §2.14's session-boundary lesson: pin every
+  * comparison boundary with a fixture BEFORE trusting the oracle).
+  */
+class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val stages = Seq("signup", "view", "purchase")
+
+  private def funnelOf(rows: (Long, Long, String)*): Map[Long, (Long, Long, Long)] =
+    Analytics.funnel(rows.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", stages)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("funnel walks stages strictly forward in time") {
+    val res = funnelOf(
+      (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 30L, "purchase"),
+      // user 2: purchase BEFORE view — stalls at view
+      (2L, 10L, "signup"), (2L, 30L, "view"), (2L, 20L, "purchase"),
+      // user 3: no signup — excluded entirely (stage_reached would be 0)
+      (3L, 10L, "view"), (3L, 20L, "purchase"))
+    assert(res === Map(1L -> ((3L, 10L, 30L)), 2L -> ((2L, 10L, 30L))))
+  }
+
+  test("a stage at the EXACT same tick does not advance the funnel (strict >)") {
+    val res = funnelOf(
+      (1L, 10L, "signup"), (1L, 10L, "view"), (1L, 11L, "purchase"),
+      (2L, 10L, "signup"), (2L, 11L, "view"), (2L, 11L, "purchase"))
+    // user 1: view at t=10 is NOT after signup at t=10 → stalls at stage 1
+    // (so the later purchase can't count either); user 2: purchase at the
+    // same tick as the view it needs to follow → stalls at stage 2
+    assert(res === Map(1L -> ((1L, 10L, 10L)), 2L -> ((2L, 10L, 11L))))
+  }
+
+  test("funnel picks the FIRST qualifying event per stage, not any") {
+    // two views: the earliest after signup (t=15) bounds the purchase
+    // search, so the t=16 purchase counts even though a later view (t=40)
+    // exists
+    val res = funnelOf(
+      (1L, 10L, "signup"), (1L, 15L, "view"), (1L, 40L, "view"),
+      (1L, 16L, "purchase"))
+    assert(res === Map(1L -> ((3L, 10L, 16L))))
+  }
+
+  test("cohort retention counts distinct users per (cohort, offset)") {
+    val wk = 7L // tiny tick unit for readability
+    val ev = Seq(
+      (1L, 0L, "x"), (1L, 7L, "x"), (1L, 15L, "x"),  // weeks 0,1,2
+      (2L, 3L, "x"), (2L, 16L, "x"),                 // weeks 0,2
+      (3L, 8L, "x")                                  // week 1 cohort
+    ).toDF("user_id", "ts", "event_type")
+    val res = Analytics.cohortRetention(ev, "user_id", "ts", weekTicks = wk)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(res === Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 2L,
+      (1L, 0L) -> 1L))
+  }
+}
