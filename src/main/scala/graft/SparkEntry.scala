@@ -1192,6 +1192,27 @@ object SparkEntry {
           round(col("auth"), 6).as("auth"))
         .orderBy("title")),
 
+    // per-vertex triangle counts over the co-purchase graph (parts
+    // sharing an order) — id-oriented wedge enumeration, each triangle
+    // produced exactly once
+    "graph_triangles" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.k") === col("y.k") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("pa"), col("y.p").as("pb"))
+      graft.graph.Triangles.perVertex(pairs, "pa", "pb").orderBy("node")
+    }),
+
+    // bounded-hop BFS from customer c1 over the order graph — frontier
+    // expansion with anti-join settlement; oracle = DuckDB recursive CTE
+    "graph_bfs" -> ((s, d) => {
+      import s.implicits._
+      graft.graph.ShortestPaths.run(graphEdges(s, d),
+          Seq("c1").toDF("title"), maxHops = 4)
+        .orderBy("title")
+    }),
+
     // degree profile of the same graph — one shuffle per side, full outer
     // so pure sources/sinks appear with a zero degree
     "graph_degrees" -> ((s, d) => {
@@ -2760,6 +2781,40 @@ object SparkEntry {
              CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
          FROM o FULL OUTER JOIN i ON o.title = i.title
          ORDER BY title""",
+    "graph_triangles" ->
+      """WITH pp AS (
+           SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM pp e1
+           JOIN pp e2 ON e2.a = e1.b
+           JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b),
+         v AS (SELECT x AS node FROM tri
+           UNION ALL SELECT y FROM tri
+           UNION ALL SELECT z FROM tri)
+         SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+         FROM v GROUP BY node ORDER BY node""",
+    // UNION (not UNION ALL) recursion: the working set is distinct
+    // (title, dist) pairs, so cycles terminate and the row count is
+    // bounded by V × hops; min(dist) collapses to the BFS hop count
+    "graph_bfs" ->
+      """WITH RECURSIVE edges AS (
+           SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst FROM orders
+           UNION ALL SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+                  'p' || CAST(l_partkey AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR),
+                  'o' || CAST(o_orderkey AS VARCHAR) FROM orders),
+         d AS (
+           SELECT 'c1' AS title, 0 AS dist
+           UNION
+           SELECT e.dst, d.dist + 1
+           FROM d JOIN edges e ON e.src = d.title
+           WHERE d.dist < 4)
+         SELECT title, CAST(min(dist) AS BIGINT) AS dist
+         FROM d GROUP BY title ORDER BY title""",
     // identical injected PII, identical Java∩RE2 patterns ('g' = all
     // occurrences, matching Spark regexp_replace's replace-all default)
     "text_pii_redact" ->

@@ -1,0 +1,90 @@
+package graft
+
+import graft.graph.{ShortestPaths, Triangles}
+import scala.util.Random
+
+/** Triangle counting + bounded-hop BFS vs naive in-test interpreters on
+  * fixed and random graphs (the HITS/CC lockstep pattern). */
+class GraphOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def triNaive(edges: Seq[(Int, Int)]): Map[Int, Long] = {
+    val e = edges.map { case (a, b) => (a min b, a max b) }
+      .filter(p => p._1 != p._2).distinct.toSet
+    val verts = e.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val counts = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    for {
+      x <- verts; y <- verts if x < y && e((x, y))
+      z <- verts if y < z && e((y, z)) && e((x, z))
+    } { counts(x) += 1; counts(y) += 1; counts(z) += 1 }
+    counts.toMap
+  }
+
+  private def triSpark(edges: Seq[(Int, Int)]): Map[Int, Long] =
+    Triangles.perVertex(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  test("K4 has every vertex in 3 triangles; pendant edges in none") {
+    val k4 = for (i <- 0 to 3; j <- 0 to 3 if i < j) yield (i, j)
+    assert(triSpark(k4 :+ ((3, 9))) === Map(0 -> 3L, 1 -> 3L, 2 -> 3L, 3 -> 3L))
+  }
+
+  test("triangle counts ignore orientation, duplicates and self-loops") {
+    // same triangle given in mixed orientations + noise
+    val e = Seq((1, 2), (2, 1), (3, 2), (1, 3), (1, 1), (1, 2))
+    assert(triSpark(e) === Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("random graphs: per-vertex triangle counts match the naive interpreter") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 3) {
+      val n = 12
+      val edges = for {
+        i <- 0 until n; j <- 0 until n
+        if i != j && rnd.nextDouble() < 0.3
+      } yield (i, j)
+      assert(triSpark(edges) === triNaive(edges))
+    }
+  }
+
+  private def bfsNaive(edges: Seq[(String, String)], src: String,
+                       maxHops: Int): Map[String, Long] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    var frontier = Seq(src)
+    for (h <- 1 to maxHops) {
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+        .distinct.filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = h.toLong)
+    }
+    dist.toMap
+  }
+
+  private def bfsSpark(edges: Seq[(String, String)], src: String,
+                       maxHops: Int): Map[String, Long] =
+    ShortestPaths.run(edges.toDF("src", "dst"), Seq(src).toDF("title"), maxHops)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("BFS: cycles settle at first reach, unreachable stay absent, cap holds") {
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a", // 3-cycle
+      "c" -> "d", "d" -> "e", "e" -> "f",           // tail
+      "x" -> "y")                                   // disconnected
+    assert(bfsSpark(e, "a", 4) ===
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L, "e" -> 4L))
+    // hop cap cuts the tail; the empty-frontier short-circuit must not
+    // truncate earlier levels
+    assert(bfsSpark(e, "a", 2) === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
+  test("random graphs: BFS hop counts match the naive interpreter") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 3) {
+      val n = 15
+      val edges = for {
+        i <- 0 until n; j <- 0 until n
+        if i != j && rnd.nextDouble() < 0.15
+      } yield (s"v$i", s"v$j")
+      assert(bfsSpark(edges, "v0", 5) === bfsNaive(edges, "v0", 5))
+    }
+  }
+}
