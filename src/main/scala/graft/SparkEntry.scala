@@ -1361,6 +1361,32 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("bigram"))
     }),
 
+    // per-doc avg bigram log-likelihood under the corpus's own MLE LM —
+    // the cheap perplexity proxy quality filters rank on; fixed-point
+    // integer sums make the float pipeline order-independent
+    "lm_score" -> ((s, d) =>
+      TextAnalysis.bigramLmScore(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // top-5 tf-idf terms per doc (doc_id < 50), df/N over the FULL corpus
+    "tfidf_topk" -> ((s, d) =>
+      graft.text.Retrieval.tfidfTopK(documents(s, d), "doc_id", "text",
+          col("doc_id") < 50, k = 5)
+        .orderBy("doc_id", "rn")),
+
+    // overlapping 64-token windows every 32 (RAG chunking prep) with a
+    // per-chunk content digest — pure Generate, no shuffle
+    "chunk_overlap" -> ((s, d) =>
+      TextAnalysis.chunkOverlap(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id", "chunk_id")),
+
+    // integral source up-sampling (epoch mixing) — deterministic data-
+    // mixture construction, no RNG
+    "mix_epochs" -> ((s, d) =>
+      graft.ops.Sampling.mixEpochs(documents(s, d), "doc_id", "source",
+          Map("src0" -> 4, "src1" -> 3, "src2" -> 3, "src3" -> 2, "src4" -> 2))
+        .orderBy("doc_id", "epoch")),
+
     // BM25 lexical retrieval: top-10 docs per query — the search
     // complement to the embedding ANN stack (hard-negative mining /
     // eval retrieval). Corpus pruned to query terms map-side before any
@@ -2948,6 +2974,69 @@ object SparkEntry {
              round(CAST(p.cnt AS DOUBLE) / pc.pcnt, 6) AS prob
          FROM p JOIN pc USING (w1)
          ORDER BY cnt DESC, bigram LIMIT 100""",
+    // same LM CTEs as ngram_lm; each bigram's ln P quantizes to an exact
+    // integer before the per-doc sum (order-independent), and the final
+    // division is the identical IEEE op sequence on both engines
+    "lm_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+               i -> w[i+1] || ' ' || w[i+2])) AS bigram
+           FROM tok WHERE len(w) >= 2),
+         c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram),
+         pc AS (SELECT string_split(bigram, ' ')[1] AS w1,
+               CAST(sum(cnt) AS BIGINT) AS pcnt
+           FROM c GROUP BY 1),
+         lm AS (SELECT c.bigram,
+               CAST(floor(ln(CAST(c.cnt AS DOUBLE) / CAST(pc.pcnt AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT) AS q
+           FROM c JOIN pc ON pc.w1 = string_split(c.bigram, ' ')[1])
+         SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(lm.q) AS BIGINT) / 1000000.0
+               / CAST(count(*) AS DOUBLE) AS avg_logp
+         FROM bg b JOIN lm USING (bigram)
+         GROUP BY b.doc_id ORDER BY doc_id""",
+    "tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf
+           FROM tok GROUP BY doc_id, word),
+         dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         n AS (SELECT count(*) AS n FROM documents),
+         sc AS (SELECT t.doc_id, t.word,
+               round(t.tf * ln(CAST(n.n AS DOUBLE) / CAST(f.df AS DOUBLE)), 6)
+                 AS tfidf
+           FROM tf t JOIN dfq f USING (word) CROSS JOIN n
+           WHERE t.doc_id < 50),
+         r AS (SELECT doc_id, word, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, word) AS BIGINT) AS rn
+           FROM sc)
+         SELECT doc_id, rn, word, tfidf FROM r WHERE rn <= 5
+         ORDER BY doc_id, rn""",
+    "chunk_overlap" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         m AS (SELECT doc_id, w, len(w) AS m FROM tok WHERE len(w) > 0),
+         ch AS (SELECT doc_id, w, m,
+               unnest(generate_series(0,
+                 CASE WHEN m <= 64 THEN 0 ELSE (m - 64 + 31) // 32 END))
+                 AS chunk_id
+           FROM m)
+         SELECT doc_id, chunk_id,
+             CAST(least(64, m - chunk_id * 32) AS BIGINT) AS n_tokens,
+             md5(array_to_string(list_slice(w, chunk_id * 32 + 1,
+               chunk_id * 32 + least(64, m - chunk_id * 32)), ' ')) AS digest
+         FROM ch ORDER BY doc_id, chunk_id""",
+    "mix_epochs" ->
+      """WITH f AS (SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 3
+                         WHEN 'src2' THEN 3 WHEN 'src3' THEN 2
+                         WHEN 'src4' THEN 2 ELSE 1 END AS fac
+           FROM documents)
+         SELECT doc_id, source,
+             CAST(unnest(generate_series(1, fac)) AS BIGINT) AS epoch
+         FROM f ORDER BY doc_id, epoch""",
     // generated from bm25Queries + the default k1/b so constants parse
     // to the identical doubles (Double.toString round-trips; a bare 1.2
     // literal would be DECIMAL to DuckDB and diverge in the last ulp)

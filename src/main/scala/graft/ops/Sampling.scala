@@ -68,4 +68,24 @@ object Sampling {
         when(col("bucket") < evalBuckets, lit("eval")).otherwise(lit("train")))
       .select(col(idCol), col("component"), col("bucket"), col("split"))
   }
+
+  /** Integral source up-sampling — the standard LLM data-mixing move:
+    * each source's documents repeat `weights(source)` times (default 1)
+    * tagged with an epoch index, so the trainer's shuffle sees the
+    * target mixture without any RNG (reproducible on any engine, unlike
+    * fraction-based sampling) and downstream dedup/packing can still
+    * distinguish repeats by (doc_id, epoch). Pure Generate projection —
+    * no shuffle; output size is the weighted sum, chosen by config. */
+  def mixEpochs(docs: DataFrame, idCol: String, srcCol: String,
+                weights: Map[String, Int], default: Int = 1): DataFrame = {
+    require((default +: weights.values.toSeq).forall(_ >= 1),
+      "epoch factors must be >= 1")
+    val factor = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(default)) { case (acc, (k, v)) =>
+        when(col(srcCol) === k, lit(v)).otherwise(acc)
+      }
+    docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        explode(sequence(lit(1), factor)).as("epoch"))
+      .withColumn("epoch", col("epoch").cast("long"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,5 +96,36 @@ object Retrieval {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("doc_id"), col("score"))
+  }
+
+  /** Top-k tf-idf terms per document: tf = in-doc occurrence count,
+    * idf = ln(N/df) over the WHOLE corpus — df and N are computed before
+    * the doc filter, so a query subset scores against global statistics
+    * (scoring a shard against shard-local df is the classic federation
+    * bug). Ranking uses the ROUNDED score with a word tie-break, making
+    * the cut total and engine-independent.
+    *
+    * Scale shape: the (doc, word, tf) relation is materialized once and
+    * feeds both the df aggregation and the scoring join (the bm25
+    * interim-reuse lesson — without it the token explode runs twice);
+    * the corpus count rides in-plan as a broadcast 1-row aggregate.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                queryDocs: Column, k: Int): DataFrame = {
+    val tf = graft.index.InvertedIndex.occurrences(docs, idCol, textCol)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.filter(queryDocs)
+      .join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        log(col("n").cast("double") / col("df").cast("double")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("word").asc)
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("rn"), col("word"), col("tfidf"))
   }
 }

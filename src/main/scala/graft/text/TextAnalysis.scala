@@ -275,4 +275,69 @@ object TextAnalysis {
       sum(col("n_tokens")).as("token_mass"))
     (df, obs)
   }
+
+  /** Per-document average bigram log-likelihood under the corpus's own
+    * MLE bigram LM — the cheap perplexity proxy quality filters rank on
+    * (a doc of improbable bigrams reads as noise/boilerplate). The LM is
+    * trained on the scored corpus itself, so every bigram is in-vocab
+    * and no smoothing constant has to be chosen.
+    *
+    * Determinism: each bigram's ln P(w2|w1) quantizes to the 1e-6 grid
+    * as an exact INTEGER (floor(x·1e6 + 0.5) — exact half-up in any
+    * engine), the per-doc sum is integer (order-independent, where a
+    * double sum would depend on partial-aggregation order), and the
+    * final division is two IEEE ops every engine performs identically —
+    * the ivfCentroids fixed-point recipe.
+    *
+    * Returns (doc_id, n_bigrams, avg_logp), docs with ≥ 2 tokens. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val big = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokenize(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => concat(col("w")(i), lit(" "), col("w")(i + 1)))).as("bigram"))
+      // consumed twice (LM counts + per-doc scoring) — materialize once
+      .localCheckpoint()
+    val c = big.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val pc = c.groupBy("w1").agg(sum(col("cnt")).as("pcnt"))
+    val lm = c.join(pc, "w1")
+      .select(col("bigram"),
+        floor(log(col("cnt").cast("double") / col("pcnt").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+    big.join(lm, "bigram")
+      .groupBy("doc_id")
+      .agg(sum(col("q")).as("qsum"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("qsum").cast("double") / lit(1000000.0)
+          / col("n_bigrams").cast("double")).as("avg_logp"))
+  }
+
+  /** Overlapping token-window chunking (RAG / context-window packing
+    * prep): windows of `chunk` tokens every `stride`, the last window
+    * truncated at the document end. Pure per-row Generate + array
+    * expressions — no shuffle, scan speed at any corpus size. Each chunk
+    * carries an md5 digest of its joined tokens so chunk-level dedup /
+    * provenance wiring composes downstream without re-tokenizing. */
+  def chunkOverlap(docs: DataFrame, idCol: String, textCol: String,
+                   chunk: Int = 64, stride: Int = 32): DataFrame = {
+    require(stride > 0 && chunk >= stride, "need 0 < stride <= chunk")
+    docs
+      .select(col(idCol).as("doc_id"), TextOps.tokenize(col(textCol)).as("w"))
+      .withColumn("m", size(col("w")))
+      .filter(col("m") > 0)
+      // n_chunks = 1 + ceil((m - chunk) / stride) for m > chunk else 1
+      .withColumn("n_chunks",
+        expr(s"1 + CASE WHEN m <= $chunk THEN 0L " +
+          s"ELSE (m - $chunk + ${stride - 1}) div $stride END"))
+      .select(col("doc_id"), col("w"), col("m"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("start", (col("chunk_id") * stride).cast("int"))
+      .withColumn("n_tokens", least(lit(chunk), col("m") - col("start")))
+      .select(col("doc_id"), col("chunk_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("start") + 1, col("n_tokens")))).as("digest"))
+  }
 }

@@ -82,4 +82,22 @@ class RetrievalSpec extends SparkTestBase {
       .as[(Long, Long, Long, Double)].collect()
     assert(got.length == 2 && got.forall(_._2 <= 2))
   }
+
+  test("tfidf scores a doc subset against FULL-corpus df and N") {
+    import org.apache.spark.sql.functions.col
+    // 'rare' appears only in doc 1; 'common' in all 4 docs (idf = ln(1)=0)
+    val docs = Seq(
+      (1L, "rare common common"),
+      (2L, "common mid"),
+      (3L, "common mid"),
+      (4L, "common")).toDF("doc_id", "text")
+    val got = Retrieval.tfidfTopK(docs, "doc_id", "text", col("doc_id") === 1, 5)
+      .as[(Long, Long, String, Double)].collect().toList
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // df('rare')=1 of N=4 → 1·ln(4); df('common')=4 → 2·ln(1)=0; the
+    // global df must see docs 2..4 even though they're filtered out
+    assert(got == List(
+      (1L, 1L, "rare", r6(math.log(4.0))),
+      (1L, 2L, "common", 0.0)))
+  }
 }

@@ -86,4 +86,18 @@ class SamplingSpec extends SparkTestBase {
       .count { case (a, b) => split(a) != split(b) }
     assert(badPairs == 0, s"$badPairs near-dup pairs straddle the split")
   }
+
+  test("mixEpochs repeats each source by its weight with 1..f epoch tags") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("doc_id", "source")
+    val got = Sampling.mixEpochs(docs, "doc_id", "source",
+        Map("a" -> 3, "b" -> 2))
+      .as[(Long, String, Long)].collect().toSet
+    val expect = Set(
+      (1L, "a", 1L), (1L, "a", 2L), (1L, "a", 3L),
+      (2L, "a", 1L), (2L, "a", 2L), (2L, "a", 3L),
+      (3L, "b", 1L), (3L, "b", 2L),
+      (4L, "c", 1L))
+    assert(got == expect)
+  }
 }

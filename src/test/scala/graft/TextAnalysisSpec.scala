@@ -110,4 +110,46 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(1L) == "en"); assert(got(2L) == "es"); assert(got(3L) == "de")
     assert(got(4L) == "fr"); assert(got(5L) == "zh"); assert(got(6L) == "und")
   }
+
+  test("bigramLmScore matches a naive MLE LM computed in-test") {
+    val docs = Seq(
+      (1L, "a b a b"),    // bigrams: ab, ba, ab
+      (2L, "a b c"),      // bigrams: ab, bc
+      (3L, "solo"))       // < 2 tokens → excluded
+      .toDF("doc_id", "text")
+    // corpus counts: ab=3, ba=1, bc=1; prefixes: a→3, b→2
+    def q(c: Long, p: Long): Long =
+      math.floor(math.log(c.toDouble / p.toDouble) * 1e6 + 0.5).toLong
+    def score(qs: Seq[Long]): Double = qs.sum.toDouble / 1e6 / qs.size
+    val expect = Map(
+      1L -> (3L, score(Seq(q(3, 3), q(1, 2), q(3, 3)))),
+      2L -> (2L, score(Seq(q(3, 3), q(1, 2)))))
+    val got = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect)
+  }
+
+  test("chunkOverlap boundaries: exact fit, one-over, sub-stride, empty") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(64)),  // exact chunk size → exactly 1 chunk
+      (2L, words(65)),  // one over → 2 chunks, second = tokens 33..65 (33)
+      (3L, words(10)),  // below stride → 1 chunk of 10
+      (4L, ""))         // empty → no rows
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkOverlap(docs, "doc_id", "text")
+      .select("doc_id", "chunk_id", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 64L), (2L, 0L, 64L), (2L, 1L, 33L), (3L, 0L, 10L)))
+  }
+
+  test("chunk digests cover the doc: consecutive chunks overlap by chunk-stride") {
+    val docs = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // 100 tokens → chunks at 0..63, 32..95, 64..99
+    val got = TextAnalysis.chunkOverlap(docs, "doc_id", "text")
+      .select("chunk_id", "n_tokens").as[(Long, Long)].collect().sorted
+    assert(got.toList == List((0L, 64L), (1L, 64L), (2L, 36L)))
+  }
 }
