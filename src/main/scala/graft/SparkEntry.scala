@@ -731,6 +731,46 @@ object SparkEntry {
           "user_id", "t_us")
         .orderBy("cohort_wk", "week_offset")),
 
+    // OHLC bar downsampling: hourly bars per event_type; open/close ride
+    // the same hash-agg as lexicographic (t_us, event_id) struct min/max
+    // — one pass, no join back to the log
+    "events_ohlc" -> ((s, d) =>
+      graft.ops.TimeSeries.ohlc(
+          events(s, d).withColumn("t_us", expr("ts div 1000")),
+          "event_type", "event_id", "t_us", "value", barUs = 3600L * 1000000L)
+        .orderBy("bar_us", "event_type")),
+
+    // gaps-and-islands interval coalescing: each event opens a 600 s
+    // closed interval; overlapping-or-touching intervals merge per user.
+    // Running-max-end (not lag-1) so a long interval swallows later short
+    // ones — pinned by TimeSeriesSpec fixture
+    "interval_merge" -> ((s, d) =>
+      graft.ops.TimeSeries.mergeIntervals(
+          events(s, d).select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("s_us"),
+            (expr("ts div 1000") + lit(600000000L)).as("e_us")),
+          "user_id", "event_id", "s_us", "e_us")
+        .orderBy("user_id", "island")),
+
+    // per-user daily spine + forward fill: spine bounded by users × days
+    // (never events); fill is a running last(ignoreNulls) in the same
+    // partition as the daily agg — no second shuffle
+    "gapfill_ffill" -> ((s, d) =>
+      graft.ops.TimeSeries.gapFillForward(
+          events(s, d).withColumn("t_us", expr("ts div 1000")),
+          "user_id", "t_us", "value")
+        .orderBy("user_id", "day")),
+
+    // burst dedup: collapse same-(user, type) runs closer than 1 h to
+    // their first event (telemetry double-fire collapse); exact-gap ties
+    // stay in the burst (sessionize's strict-> convention)
+    "dedup_temporal" -> ((s, d) =>
+      graft.ops.TimeSeries.dedupTemporal(
+          events(s, d).withColumn("t_us", expr("ts div 1000")),
+          Seq("user_id", "event_type"), "event_id", "t_us",
+          gapUs = 3600L * 1000000L)
+        .orderBy("user_id", "event_type", "burst")),
+
     // ---- training-data pipeline suite ------------------------------------
 
     // exact dedup by content hash
@@ -2053,6 +2093,92 @@ object SparkEntry {
              CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
          FROM uw JOIN f USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // open/close picked by row_number over the same (t_us, event_id)
+    // total order the Spark struct min/max encodes
+    "events_ohlc" ->
+      """WITH b AS (
+           SELECT event_type, event_id, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - epoch_us(CAST(ts AS TIMESTAMP)) % 3600000000 AS bar_us
+           FROM events),
+         r AS (
+           SELECT *,
+               row_number() OVER (PARTITION BY bar_us, event_type
+                                  ORDER BY t_us, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY bar_us, event_type
+                                  ORDER BY t_us DESC, event_id DESC) AS rn_d
+           FROM b)
+         SELECT bar_us, event_type,
+             max(CASE WHEN rn_a = 1 THEN value END) AS open,
+             max(CASE WHEN rn_d = 1 THEN value END) AS close,
+             max(value) AS high, min(value) AS low, count(*) AS n,
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+         FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+    // island flag compares against the RUNNING max end of all previous
+    // intervals (a long interval can swallow several later short ones)
+    "interval_merge" ->
+      """WITH b AS (
+           SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+               epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e_us
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN s_us > coalesce(
+               max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(-9223372036854775808 AS BIGINT)) THEN 1 ELSE 0 END AS nw
+           FROM b),
+         i AS (
+           SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS island
+           FROM f)
+         SELECT user_id, CAST(island AS BIGINT) AS island,
+             min(s_us) AS start, max(e_us) AS "end", count(*) AS n_src
+         FROM i GROUP BY 1, 2 ORDER BY 1, 2""",
+    "gapfill_ffill" ->
+      """WITH d AS (
+           SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS v_day
+           FROM events GROUP BY 1, 2),
+         sp AS (
+           SELECT user_id, unnest(generate_series(d0, d1)) AS day
+           FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+                 FROM d GROUP BY user_id)),
+         j AS (
+           SELECT sp.user_id, sp.day, d.v_day
+           FROM sp LEFT JOIN d USING (user_id, day))
+         SELECT user_id, day,
+             last_value(v_day IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+             CAST(CASE WHEN v_day IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+         FROM j ORDER BY user_id, day""",
+    "dedup_temporal" ->
+      """WITH b AS (
+           SELECT user_id, event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN t_us - lag(t_us) OVER
+               (PARTITION BY user_id, event_type ORDER BY t_us, event_id)
+               > 3600000000 THEN 1 ELSE 0 END AS nw
+           FROM b),
+         s AS (
+           SELECT *, sum(nw) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY t_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS burst
+           FROM f),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id, event_type, burst
+                                        ORDER BY t_us, event_id) AS rn
+           FROM s)
+         SELECT user_id, event_type, CAST(burst AS BIGINT) AS burst,
+             max(CASE WHEN rn = 1 THEN event_id END) AS kept_id,
+             max(CASE WHEN rn = 1 THEN t_us END) AS kept_ts,
+             count(*) AS n_absorbed
+         FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
