@@ -1469,6 +1469,19 @@ object SparkEntry {
            ORDER BY c_custkey""")
     }),
 
+    // WITH RECURSIVE hierarchy rollup (UnionLoopExec) — §2.16
+    "sql_recursive" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("customer")
+      s.sql(sqlRecursiveText)
+    }),
+
+    // correlated LATERAL top-k per group — §2.16
+    "sql_lateral" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("customer")
+      nation(s, d).createOrReplaceTempView("nation")
+      s.sql(sqlLateralText)
+    }),
+
     // Array/map scalar-function coverage beyond the reference's string
     // set (§2.8): union/except/position/flatten/zip over the token
     // array plus a map built from entries — all map-side codegen'd
@@ -1739,6 +1752,49 @@ object SparkEntry {
            UNION
            SELECT e.eu, c.lbl FROM edges e JOIN cc c ON c.cu = e.ev),
          comp AS (SELECT cu AS node, min(lbl) AS component FROM cc GROUP BY cu)"""
+
+  /** SQL 2008 `WITH RECURSIVE` — the SAME text runs on both engines.
+    * Spark 4 executes it as a `UnionLoopExec` (iterative union-anchor
+    * plan); DuckDB runs its native recursive CTE. The hierarchy is the
+    * synthetic org tree parent = floor(key/10): every node has exactly
+    * one parent, so UNION ALL recursion visits each node once (no path
+    * explosion) and the rollup is an exact integer-cents sum. Children
+    * are constrained to key > 9 so the root band 1..9 can't re-enter
+    * (custkey 0's floor(0/10)=0 self-loop stays out of the tree). */
+  private val sqlRecursiveText: String =
+    """WITH RECURSIVE org AS (
+         SELECT c_custkey AS node, c_custkey AS root,
+                0 AS depth,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+         FROM customer WHERE c_custkey BETWEEN 1 AND 9
+         UNION ALL
+         SELECT c.c_custkey, org.root, org.depth + 1,
+                CAST(round(c.c_acctbal * 100) AS BIGINT)
+         FROM org JOIN customer c
+           ON CAST(floor(c.c_custkey / 10.0) AS BIGINT) = org.node
+              AND c.c_custkey > 9
+         WHERE org.depth < 6
+       )
+       SELECT root, CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(max(depth) AS BIGINT) AS max_depth,
+              CAST(sum(bal_cents) AS BIGINT) AS subtree_cents
+       FROM org GROUP BY root ORDER BY root"""
+
+  /** Correlated LATERAL derived table with ORDER BY + LIMIT — per-group
+    * top-k in pure SQL, same text on both engines. Catalyst decorrelates
+    * the LIMIT into a ranked window join (no per-row subquery
+    * execution); integer-cents ranking with a key tie-break keeps the
+    * order total. */
+  private val sqlLateralText: String =
+    """SELECT n.n_nationkey, l.c_custkey, l.bal_cents
+       FROM nation n,
+       LATERAL (SELECT c_custkey,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+                FROM customer c
+                WHERE c.c_nationkey = n.n_nationkey
+                ORDER BY bal_cents DESC, c_custkey
+                LIMIT 2) l
+       ORDER BY n_nationkey, bal_cents DESC, c_custkey"""
 
   /** One oracle, two engine formulations (`join_asof` union+window,
     * `join_asof_merge` custom merge-scan plan): DuckDB's NATIVE ASOF
@@ -3188,6 +3244,9 @@ object SparkEntry {
                          AND c2.c_custkey <> c.c_custkey
                          AND c2.c_acctbal < c.c_acctbal)
          ORDER BY c_custkey""",
+    // the IDENTICAL text the Spark side executes — zero drift possible
+    "sql_recursive" -> sqlRecursiveText,
+    "sql_lateral" -> sqlLateralText,
     // array_union/array_except dedup in Spark → list_distinct mirrors;
     // array_position absent→0 → coalesce(list_position); the half_len
     // cast truncates (Spark double→long) → floor on the DuckDB side

@@ -140,4 +140,18 @@ class PlanSpec extends SparkTestBase {
     assert("Window\\b".r.findAllIn(p).size >= 1, p.take(1200))
     assert("hashpartitioning\\(o_custkey".r.findAllIn(p).size <= 1, p.take(1200))
   }
+
+  test("sql_recursive executes as an iterative UnionLoop, not an unrolled union") {
+    val p = plan("sql_recursive")
+    assert(p.contains("UnionLoop"), p.take(1200))
+  }
+
+  test("sql_lateral decorrelates the LIMIT into a group-limited window join") {
+    val p = plan("sql_lateral")
+    // per-group top-k must come from WindowGroupLimit (map-side group
+    // pruning before the rank filter), joined broadcast — never a
+    // per-outer-row subquery execution
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
 }
