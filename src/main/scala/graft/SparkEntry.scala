@@ -1482,6 +1482,39 @@ object SparkEntry {
       s.sql(sqlLateralText)
     }),
 
+    // one-pass column profile (the ingest-gate observability surface):
+    // null/distinct/min/max per column from a SINGLE scan via the
+    // Expand-based multi-distinct; money and timestamps normalized to
+    // integer grids BEFORE profiling so string renderings can't drift
+    "profile_table" -> ((s, d) =>
+      graft.ops.DataQuality.profile(orders(s, d), Seq(
+          "o_orderkey" -> col("o_orderkey"),
+          "o_custkey" -> col("o_custkey"),
+          "o_orderstatus" -> col("o_orderstatus"),
+          "o_totalprice_cents" ->
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+          // parquet TIMESTAMP(MS) reads as NTZ; the UTC session makes
+          // the cast a zero-shift relabel, matching DuckDB epoch_ms
+          "o_orderdate_ms" -> unix_millis(col("o_orderdate").cast("timestamp"))))
+        .orderBy("col_name")),
+
+    // declarative constraint gate: uniqueness + referential + range +
+    // null checks folded into ONE aggregation over one scan (the FK
+    // key set pre-joins as a broadcast); adding a check adds zero I/O
+    "dq_checks" -> ((s, d) => {
+      val ck = customer(s, d).select(col("c_custkey"))
+      val j = orders(s, d)
+        .join(broadcast(ck), col("o_custkey") === col("c_custkey"), "left")
+      graft.ops.DataQuality.checks(j,
+          rowViolations = Seq(
+            "custkey_fk" -> col("c_custkey").isNull,
+            "totalprice_range" ->
+              (col("o_totalprice") <= 0.0 || col("o_totalprice") > 600000.0),
+            "orderdate_nonnull" -> col("o_orderdate").isNull),
+          uniqueKeys = Seq("orderkey_unique" -> col("o_orderkey")))
+        .orderBy("check_name")
+    }),
+
     // Array/map scalar-function coverage beyond the reference's string
     // set (§2.8): union/except/position/flatten/zip over the token
     // array plus a map built from entries — all map-side codegen'd
@@ -3247,6 +3280,57 @@ object SparkEntry {
     // the IDENTICAL text the Spark side executes — zero drift possible
     "sql_recursive" -> sqlRecursiveText,
     "sql_lateral" -> sqlLateralText,
+    // same normalizations (cents grid, epoch-ms) as the Spark side, so
+    // min/max stringify identically on both engines
+    "profile_table" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             epoch_ms(o_orderdate) AS date_ms FROM orders),
+         p AS (
+           SELECT 'o_orderkey' AS col_name,
+               CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM b
+           UNION ALL
+           SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
+               CAST(count(DISTINCT o_custkey) AS BIGINT),
+               CAST(min(o_custkey) AS VARCHAR),
+               CAST(max(o_custkey) AS VARCHAR) FROM b
+           UNION ALL
+           SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+               CAST(min(o_orderstatus) AS VARCHAR),
+               CAST(max(o_orderstatus) AS VARCHAR) FROM b
+           UNION ALL
+           SELECT 'o_totalprice_cents', CAST(count(*) - count(price_cents) AS BIGINT),
+               CAST(count(DISTINCT price_cents) AS BIGINT),
+               CAST(min(price_cents) AS VARCHAR),
+               CAST(max(price_cents) AS VARCHAR) FROM b
+           UNION ALL
+           SELECT 'o_orderdate_ms', CAST(count(*) - count(date_ms) AS BIGINT),
+               CAST(count(DISTINCT date_ms) AS BIGINT),
+               CAST(min(date_ms) AS VARCHAR),
+               CAST(max(date_ms) AS VARCHAR) FROM b)
+         SELECT * FROM p ORDER BY col_name""",
+    "dq_checks" ->
+      """WITH j AS (SELECT o.*, c.c_custkey AS ck FROM orders o
+                    LEFT JOIN customer c ON c.c_custkey = o.o_custkey),
+         a AS (SELECT
+             CAST(sum(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fk_v,
+             CAST(sum(CASE WHEN o_totalprice <= 0.0
+                            OR o_totalprice > 600000.0 THEN 1 ELSE 0 END) AS BIGINT) AS range_v,
+             CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS date_v,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS uniq_v
+           FROM j),
+         u AS (
+           SELECT 'custkey_fk' AS check_name, fk_v AS n_violations FROM a
+           UNION ALL SELECT 'totalprice_range', range_v FROM a
+           UNION ALL SELECT 'orderdate_nonnull', date_v FROM a
+           UNION ALL SELECT 'orderkey_unique', uniq_v FROM a)
+         SELECT check_name, n_violations,
+             CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok
+         FROM u ORDER BY check_name""",
     // array_union/array_except dedup in Spark → list_distinct mirrors;
     // array_position absent→0 → coalesce(list_position); the half_len
     // cast truncates (Spark double→long) → floor on the DuckDB side

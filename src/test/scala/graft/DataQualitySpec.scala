@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.DataQuality
+
+/** Pins the profile/checks semantics the sf data can't reach (it has no
+  * nulls and no duplicate keys): null counting, distinct-vs-null
+  * interaction, uniqueness violation math, and the single-scan plan
+  * shape both surfaces promise.
+  */
+class DataQualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val df = Seq[(java.lang.Long, String)](
+    (1L, "a"), (2L, null), (2L, "b"), (null, "b"), (3L, "c")
+  ).toDF("k", "s")
+
+  test("profile counts nulls, excludes them from distinct, stringifies min/max") {
+    val res = DataQuality.profile(df, Seq("k" -> col("k"), "s" -> col("s")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    // k: one null, distinct {1,2,3}; s: one null, distinct {a,b,c}
+    assert(res === Map(
+      "k" -> ((1L, 3L, "1", "3")),
+      "s" -> ((1L, 3L, "a", "c"))))
+  }
+
+  test("checks: uniqueness = rows - distinct; row predicates count violations; ok flips") {
+    val res = DataQuality.checks(df,
+        rowViolations = Seq(
+          "s_nonnull" -> col("s").isNull,
+          "k_positive" -> (col("k") <= 0L)),
+        uniqueKeys = Seq("k_unique" -> col("k")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // k_unique: 5 rows - 3 distinct = 2 violations (the null AND the dup
+    // both count — a nullable "unique" key is itself a finding)
+    assert(res === Map(
+      "s_nonnull" -> ((1L, 0L)),
+      "k_positive" -> ((0L, 1L)),
+      "k_unique" -> ((2L, 0L))))
+  }
+
+  test("profile_table and dq_checks plan exactly one scan of orders") {
+    for (key <- Seq("profile_table", "dq_checks")) {
+      val exec = SparkEntry.queries(key)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val orderScans = exec.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("orders")) => f
+      }
+      assert(orderScans.size == 1,
+        s"$key scans orders ${orderScans.size} times:\n${exec.toString.take(1200)}")
+    }
+  }
+}
