@@ -968,6 +968,14 @@ object SparkEntry {
           graft.ops.Sampling.hashBucket(col("doc_id")).cast("long").as("bucket"))
         .orderBy("doc_id")),
 
+    // weighted sampling without replacement (derandomized A-ES): 200
+    // docs drawn with probability ∝ token count — the length-aware
+    // corpus downsampling pass; k-smallest race keys via per-partition
+    // heaps (TakeOrderedAndProject), no global sort
+    "sample_weighted" -> ((s, d) =>
+      graft.ops.Sampling.weightedSample(documents(s, d), "doc_id",
+          size(split(col("text"), " ")).cast("long"), k = 200)),
+
     // leakage-free train/eval split: bucket by the NEAR-DUP CLUSTER hash
     // (components over ngram-verified pairs), so a paraphrase of a
     // training doc can never sit in eval — contamination is structurally
@@ -2570,6 +2578,18 @@ object SparkEntry {
          SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
          FROM b WHERE bucket < CASE WHEN lang = 'en' THEN 64 ELSE 16 END
          ORDER BY doc_id""",
+    // same md5-derived uniform, same -ln(u)/w race, same 1e-9 rounding;
+    // ln agrees between Java Math.log and DuckDB (the bm25 precedent)
+    "sample_weighted" ->
+      """WITH b AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS h
+           FROM documents),
+         r AS (SELECT doc_id, w,
+             round(-ln((CAST(h AS DOUBLE) + 0.5) / 4294967296.0) / w, 9) AS es_key
+           FROM b)
+         SELECT doc_id, w, es_key FROM r
+         ORDER BY es_key, doc_id LIMIT 200""",
     // closure over ngram-verified pairs (shared CTEs), then bucket by the
     // COMPONENT hash — the oracle reproduces the leakage-free property
     // bit for bit, not just statistically

@@ -69,6 +69,32 @@ object Sampling {
       .select(col(idCol), col("component"), col("bucket"), col("split"))
   }
 
+  /** Derandomized Efraimidis–Spirakis weighted sampling WITHOUT
+    * replacement: each row draws a deterministic pseudo-uniform u from
+    * its id's md5 (first 8 hex chars → u = (h + 0.5) / 2^32, never 0),
+    * races with key = -ln(u) / w, and the k SMALLEST keys win — each
+    * row's inclusion probability is proportional to its weight, with no
+    * RNG and no partition-layout dependence (the [[hashSample]]
+    * discipline applied to weighted selection; the corpus-rebalancing
+    * pass when strata are continuous instead of categorical).
+    *
+    * Scale shape: the race key is a pure map-side expression and the
+    * k-smallest selection plans as TakeOrderedAndProject (per-partition
+    * heaps, merge on the driver) — no global sort, no shuffle of the
+    * losers. Selection and output order use the 1e-9-ROUNDED key with
+    * the id as tie-break so the ordering is engine-exact (the knn_join
+    * rounded-ranking discipline). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     k: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val u = (h + lit(0.5)) / lit(4294967296.0)
+    val key = round(-log(u) / weight, 9)
+    df.select(col(idCol), weight.cast("long").as("w"), key.as("es_key"))
+      .orderBy(col("es_key"), col(idCol))
+      .limit(k)
+  }
+
   /** Integral source up-sampling — the standard LLM data-mixing move:
     * each source's documents repeat `weights(source)` times (default 1)
     * tagged with an epoch index, so the trainer's shuffle sees the

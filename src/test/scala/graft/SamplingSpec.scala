@@ -100,4 +100,31 @@ class SamplingSpec extends SparkTestBase {
       (4L, "c", 1L))
     assert(got == expect)
   }
+
+  test("weighted sample is layout-independent and weight-monotone") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = spark.range(1, 2001).toDF("id")
+      .withColumn("w", (col("id") % 10) + 1)
+    val a = Sampling.weightedSample(df, "id", col("w"), k = 100)
+      .collect().map(_.getLong(0)).toSeq
+    val b = Sampling.weightedSample(df.repartition(13), "id", col("w"), k = 100)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a === b, "subset depends on partition layout")
+    // weight-monotone: doubling every weight halves every race key, so
+    // the selected SET is invariant under uniform weight scaling …
+    val c = Sampling.weightedSample(df, "id", col("w") * lit(2), k = 100)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a === c, "selection not invariant under uniform weight scaling")
+    // … while heavier rows are favored: the weight-10 decile must beat
+    // its 10%-uniform share in a weight-proportional draw
+    val heavy = df.filter(col("w") === 10).count().toDouble
+    val heavyInSample = a.count(id => id % 10 == 9)
+    assert(heavyInSample > 10, s"weight-10 rows under-selected: $heavyInSample")
+  }
+
+  test("weighted sample plans per-partition heaps (TakeOrderedAndProject)") {
+    val p = SparkEntry.queries("sample_weighted")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
 }
