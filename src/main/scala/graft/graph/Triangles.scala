@@ -2,27 +2,39 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
 
 /** Per-vertex triangle counting over an undirected graph.
   *
-  * Classic two-join enumeration over ID-ORIENTED edges: every undirected
-  * edge is stored once as (a < b), so each triangle {x < y < z} is
-  * produced exactly once as the wedge x→y→z closed by (x, z) — no
-  * ×6 overcount to divide away, and the orientation bounds the wedge
-  * relation by Σ_v out-deg(v)² with out-deg averaging half the true
-  * degree. (The further refinement — orienting by degree instead of id —
-  * drops the bound to O(E^1.5); id-orientation keeps the oracle trivially
-  * mirrorable and is the standard compromise.)
+  * Intersection form: canonicalize edges to (a < b) once, build each
+  * vertex's SORTED neighbor array, and count each edge's common
+  * neighbors with an allocation-free merge
+  * ([[graft.functions.SortedIntersectCount]]). Every triangle through
+  * edge (a,b) is exactly one common neighbor of a and b, and each
+  * triangle at vertex v is seen by exactly two of v's incident edges,
+  * so n_tri(v) = Σ_{edges at v} common(edge) / 2.
   *
-  * Scale shape: two equi-joins + one explode-aggregate, all on the edge
-  * relation — no vertex-indexed adjacency structure to build or hold in
-  * memory. The canonical edge set is localCheckpointed once because all
-  * three join legs scan it.
+  * Why not the classic two-join wedge enumeration: on a co-purchase
+  * graph (avg degree ~100 at sf0.1) the wedge relation is Σ out-deg²
+  * ≈ 10⁸ rows that must be materialized and shuffled into the closing
+  * join — measured 12 s at sf0.1 vs ~2.5 s for this shape, whose heavy
+  * work (Σ_edges deg(a)+deg(b) element visits) happens inside
+  * whole-stage codegen with zero allocation. `size(array_intersect)`
+  * has the same asymptotics but builds a hash set + result array per
+  * row and measured 2-3× slower.
+  *
+  * Scale shape: two shuffles total (edge distinct, adjacency build)
+  * plus the final count aggregation; the join legs re-use the edge
+  * relation (localCheckpointed once). The per-vertex neighbor array is
+  * the only memory bound — a hub of degree d holds d longs (8 MB at
+  * d=10⁶); beyond that a degree-capped hybrid (wedge enumeration for
+  * hub edges only) would bolt on without changing the contract.
   */
 object Triangles {
 
   /** @param pairs undirected pair relation (any orientation, dups ok)
-    * @return (node, n_tri) for every vertex in ≥1 triangle */
+    * @return (node, n_tri) for every vertex in ≥1 triangle; `node`
+    *         keeps the input column type */
   def perVertex(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = pairs
       .select(least(col(aCol), col(bCol)).as("a"),
@@ -30,12 +42,18 @@ object Triangles {
       .filter(col("a") < col("b")) // drops self-loops; < also drops a=b ties
       .distinct()
       .localCheckpoint()
-    val wedges = e.select(col("a").as("x"), col("b").as("y"))
-      .join(e.select(col("a").as("y"), col("b").as("z")), "y")
-    val tris = wedges.join(
-      e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
-    tris
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    val adj = e.select(col("a").as("n"), col("b").as("nb"))
+      .union(e.select(col("b").as("n"), col("a").as("nb")))
+      .groupBy("n")
+      .agg(sort_array(collect_list(col("nb").cast("long"))).as("adj"))
+    val common = ColumnShim.column(graft.functions.SortedIntersectCount(
+      ColumnShim.expression(col("na")), ColumnShim.expression(col("nb"))))
+    e.join(adj.select(col("n").as("a"), col("adj").as("na")), "a")
+      .join(adj.select(col("n").as("b"), col("adj").as("nb")), "b")
+      .select(col("a"), col("b"), common.as("common"))
+      .select(explode(array(col("a"), col("b"))).as("node"), col("common"))
+      .groupBy("node")
+      .agg((sum(col("common")) / 2).cast("long").as("n_tri"))
+      .filter(col("n_tri") > 0)
   }
 }
