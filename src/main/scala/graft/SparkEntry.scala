@@ -1512,6 +1512,35 @@ object SparkEntry {
           "o_orderdate_ms" -> unix_millis(col("o_orderdate").cast("timestamp"))))
         .orderBy("col_name")),
 
+    // dataset-versioning diff: classify keys added/removed/changed
+    // between two snapshots (the "after" is a deterministic evolution
+    // of orders: %97 deletes, %89 price bumps, %101 key-shifted
+    // inserts). Whole-payload struct compare; unchanged keys drop
+    // before any downstream work, so output is bounded by churn
+    "snapshot_diff" -> ((s, d) => {
+      val base = orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val after = base
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("cents", when(col("o_orderkey") % 89 === 0,
+          col("cents") + 100).otherwise(col("cents")))
+        .unionByName(base.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      Relational.snapshotDiff(base, after, "o_orderkey")
+        .select(col("o_orderkey"), col("change_type"),
+          col("__old.cents").as("old_cents"), col("__new.cents").as("new_cents"))
+        .orderBy("o_orderkey", "change_type")
+    }),
+
+    // order-independent dataset fingerprint — the reproducibility
+    // receipt: count + commutative sum of per-row md5 hashes over the
+    // canonical row string; any engine/partitioning reproduces it
+    "dataset_hash" -> ((s, d) =>
+      graft.ops.DataQuality.datasetHash(orders(s, d),
+        concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)")))),
+
     // declarative constraint gate: uniqueness + referential + range +
     // null checks folded into ONE aggregation over one scan (the FK
     // key set pre-joins as a broadcast); adding a check adds zero I/O
@@ -3339,6 +3368,36 @@ object SparkEntry {
                CAST(min(date_ms) AS VARCHAR),
                CAST(max(date_ms) AS VARCHAR) FROM b)
          SELECT * FROM p ORDER BY col_name""",
+    // same deterministic evolution; IS DISTINCT FROM mirrors the
+    // null-safe struct compare
+    "snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         aft AS (
+           SELECT k, st,
+               CASE WHEN k % 89 = 0 THEN cents + 100 ELSE cents END AS cents
+           FROM base WHERE k % 97 <> 0
+           UNION ALL
+           SELECT k + 100000000, st, cents FROM base WHERE k % 101 = 0),
+         d AS (SELECT coalesce(b.k, a.k) AS o_orderkey,
+             CASE WHEN a.k IS NULL THEN 'removed'
+                  WHEN b.k IS NULL THEN 'added'
+                  WHEN b.st IS DISTINCT FROM a.st
+                    OR b.cents IS DISTINCT FROM a.cents THEN 'changed'
+             END AS change_type,
+             b.cents AS old_cents, a.cents AS new_cents
+           FROM base b FULL OUTER JOIN aft a ON a.k = b.k)
+         SELECT o_orderkey, change_type, old_cents, new_cents
+         FROM d WHERE change_type IS NOT NULL
+         ORDER BY o_orderkey, change_type""",
+    "dataset_hash" ->
+      """WITH h AS (SELECT CAST(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+               || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)),
+             1, 8)) AS UBIGINT) AS h
+           FROM orders)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(h) AS BIGINT) AS fingerprint FROM h""",
     "dq_checks" ->
       """WITH j AS (SELECT o.*, c.c_custkey AS ck FROM orders o
                     LEFT JOIN customer c ON c.c_custkey = o.o_custkey),

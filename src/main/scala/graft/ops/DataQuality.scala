@@ -48,6 +48,21 @@ object DataQuality {
     one.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
 
+  /** Order-independent dataset fingerprint: exact row count + the sum
+    * of a 32-bit md5-derived hash of each row's canonical string. Sum
+    * is commutative, so ANY engine, partitioning, or row order
+    * reproduces the same value — two pipelines can assert they
+    * produced the SAME dataset without sorting or shuffling anything
+    * (the reproducibility receipt next to a training-data drop). Pure
+    * map-side hash + one 1-row aggregate; headroom: 2^32 per row keeps
+    * the sum exact in a BIGINT to ~2×10⁹ rows per fingerprinted
+    * partition — fingerprint per date-partition at 100 TB, then hash
+    * the partition fingerprints. */
+  def datasetHash(df: DataFrame, rowCanon: Column): DataFrame =
+    df.select(
+        conv(substring(md5(rowCanon), 1, 8), 16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("fingerprint"))
+
   /** Declarative constraint validation: one row per check with its
     * violation count and a 0/1 `ok` flag.
     *

@@ -113,6 +113,35 @@ object Relational {
         :+ col("action"): _*)
   }
 
+  /** Snapshot diff — the dataset-versioning primitive: classify every
+    * key as added / removed / changed between two snapshots of the same
+    * schema, comparing the WHOLE non-key payload as one struct (the
+    * [[mergeUpsert]] discipline — per-column comparison would miss a
+    * field going null). Unchanged keys (the overwhelming majority of a
+    * 100 TB nightly diff) are dropped BEFORE any downstream work, so
+    * the output is bounded by the churn, not the table. One full-outer
+    * equi-join on the key; with both snapshots bucketed on it (the
+    * WarehouseSpec layout) the join co-locates with no exchange.
+    *
+    * Struct equality is null-safe per Spark SQL semantics (`<=>` over
+    * fields), so a field changing to/from null reports as `changed`.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCol: String): DataFrame = {
+    require(before.columns.sameElements(after.columns),
+      s"schema mismatch: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val payload = before.columns.filterNot(_ == keyCol)
+    def pack(df: DataFrame, as: String) =
+      df.select(col(keyCol).as("__k"), struct(payload.map(col): _*).as(as))
+    pack(before, "__old").join(pack(after, "__new"), Seq("__k"), "full")
+      .withColumn("change_type",
+        when(col("__new").isNull, "removed")
+          .when(col("__old").isNull, "added")
+          .when(!(col("__old") <=> col("__new")), "changed"))
+      .filter(col("change_type").isNotNull)
+      .select(col("__k").as(keyCol), col("change_type"),
+        col("__old"), col("__new"))
+  }
+
   /** SCD2 MAINTENANCE: apply a changes batch (at most one change row
     * per key — latest-wins resolved upstream) to a historized dimension:
     * current rows whose attribute differs CLOSE at the change time and

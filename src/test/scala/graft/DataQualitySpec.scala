@@ -40,6 +40,40 @@ class DataQualitySpec extends SparkTestBase {
       "k_unique" -> ((2L, 0L))))
   }
 
+  test("snapshotDiff: whole-struct null-safe compare; unchanged rows drop") {
+    import graft.ops.Relational
+    val before = Seq[(Long, String, java.lang.Long)](
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", null)
+    ).toDF("k", "s", "v")
+    val after = Seq[(Long, String, java.lang.Long)](
+      (1L, "a", 10L),     // unchanged — must NOT appear
+      (2L, "b", null),    // field -> null is a CHANGE (null-safe compare)
+      (4L, "d", 40L),     // null -> value is a change too
+      (5L, "e", 50L)      // added
+    ).toDF("k", "s", "v") // 3L removed
+    val res = Relational.snapshotDiff(before, after, "k")
+      .select(col("k"), col("change_type")).as[(Long, String)]
+      .collect().toMap
+    assert(res === Map(2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "added"))
+  }
+
+  test("datasetHash: invariant to order/partitioning, sensitive to any row edit") {
+    val df = spark.range(1, 1001).toDF("id")
+      .withColumn("s", concat_ws("|", col("id"), lit("x")))
+    def fp(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = DataQuality.datasetHash(d, col("s")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val a = fp(df)
+    assert(a === fp(df.repartition(17)), "fingerprint depends on layout")
+    assert(a === fp(df.orderBy(col("id").desc)), "fingerprint depends on order")
+    val edited = df.withColumn("s",
+      when(col("id") === 500, lit("500|y")).otherwise(col("s")))
+    assert(a._2 !== fp(edited)._2, "single-row edit not detected")
+    assert(fp(df.filter(col("id") =!= 500))._1 === 999L)
+  }
+
   test("profile_table and dq_checks plan exactly one scan of orders") {
     for (key <- Seq("profile_table", "dq_checks")) {
       val exec = SparkEntry.queries(key)(spark, "/root/testdata/sf0.001")
