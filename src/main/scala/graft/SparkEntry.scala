@@ -1083,6 +1083,22 @@ object SparkEntry {
       TextAnalysis.corpusFrequency(documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // C4-style line-level boilerplate strip. The corpus has no repeated
+    // lines (single-line word soup), so boilerplate is INJECTED
+    // deterministically (the wiki_parse/PII pattern): shared footer
+    // lines on the %2 and %3 docs, a per-doc unique line that must
+    // survive. Frequency pass shuffles (md5(line), doc) only; rebuild
+    // is map-side against the driver-collected frequent-hash set
+    "boilerplate_strip" -> ((s, d) => {
+      val injected = documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit("\nboiler alpha")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("\nboiler beta")).otherwise(lit("")),
+          concat(lit("\nunique "), col("doc_id"))).as("text"))
+      TextAnalysis.boilerplateStrip(injected, "doc_id", "text", minDocs = 100)
+        .orderBy("doc_id")
+    }),
+
     // composite corpus curation: quality gates + language filter +
     // exact-dedup keeper, all in one scan + one content-hash shuffle
     "curate_corpus" -> ((s, d) =>
@@ -3018,6 +3034,30 @@ object SparkEntry {
                   THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
                   ELSE 0.0 END AS dup_2gram_frac
          FROM b ORDER BY doc_id""",
+    // identical injection; reassembly via unnest + generate_subscripts
+    // (positional zip) and an ORDER BY-ed string_agg
+    "boilerplate_strip" ->
+      """WITH d AS (SELECT doc_id,
+             text || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'boiler alpha' ELSE '' END
+                  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'boiler beta' ELSE '' END
+                  || chr(10) || 'unique ' || CAST(doc_id AS VARCHAR) AS text
+           FROM documents),
+         l AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+         le AS (SELECT doc_id, unnest(arr) AS line,
+                       generate_subscripts(arr, 1) AS idx FROM l),
+         f AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd
+                                 FROM le GROUP BY line) x WHERE nd >= 100),
+         kept AS (SELECT le.doc_id, le.line, le.idx
+                  FROM le LEFT JOIN f ON f.line = le.line
+                  WHERE f.line IS NULL),
+         res AS (SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+                     count(*) AS n_kept
+                 FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, len(arr) AS n_lines FROM l)
+         SELECT r.doc_id, r.clean_text,
+             CAST(t.n_lines - r.n_kept AS BIGINT) AS n_removed
+         FROM res r JOIN tot t USING (doc_id) ORDER BY doc_id""",
     "text_corpus_freq" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
          wc AS (SELECT word, count(*) AS wc FROM tok GROUP BY word),

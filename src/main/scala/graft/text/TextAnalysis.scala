@@ -340,4 +340,39 @@ object TextAnalysis {
         md5(concat_ws(" ",
           slice(col("w"), col("start") + 1, col("n_tokens")))).as("digest"))
   }
+
+  /** C4-style line-level boilerplate removal: a line occurring in at
+    * least `minDocs` DISTINCT documents (nav bars, cookie banners,
+    * footers) is stripped from every document; cleaned text preserves
+    * the surviving lines in order.
+    *
+    * Scale shape — the curate_corpus discipline, applied twice:
+    *  1. The frequency pass shuffles (md5(line), doc_id) pairs only —
+    *     raw line text NEVER crosses the wire.
+    *  2. The frequent-hash set is BOUNDED by total_lines / minDocs
+    *     (≥minDocs occurrences each), so it collects to the driver
+    *     (the Similarity centroid precedent) and the rebuild is a pure
+    *     map-side array filter over a second scan — the corpus itself
+    *     is never shuffled, and a doc's lines never leave their task.
+    * At 100 TB this is one metrics-width shuffle + two scan-speed
+    * passes; the alternative (join lines against the frequent set and
+    * re-aggregate per doc) would shuffle every line of the corpus.
+    */
+  def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
+                       minDocs: Long): DataFrame = {
+    val frequent = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .groupBy(md5(col("line")).as("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val hashes = frequent.collect().map(_.getString(0)).sorted
+    val hs = typedlit(hashes)
+    val parts = split(col(textCol), "\n")
+    val kept = filter(parts, l => !array_contains(hs, md5(l)))
+    docs.select(col(idCol),
+      array_join(kept, "\n").as("clean_text"),
+      (size(parts) - size(kept)).cast("long").as("n_removed"))
+  }
 }

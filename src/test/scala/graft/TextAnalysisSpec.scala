@@ -152,4 +152,25 @@ class TextAnalysisSpec extends SparkTestBase {
       .select("chunk_id", "n_tokens").as[(Long, Long)].collect().sorted
     assert(got.toList == List((0L, 64L), (1L, 64L), (2L, 36L)))
   }
+
+  test("boilerplateStrip: >= minDocs strips, minDocs-1 survives, order kept, empty ok") {
+    // "footer" in docs 1,2,3 (= minDocs) → stripped everywhere;
+    // "promo" in docs 1,2 (= minDocs-1) → survives; doc 4 is ALL
+    // boilerplate → empty clean_text. Distinct-doc counting: doc 3
+    // repeats "footer" twice but still counts once.
+    val docs = Seq(
+      (1L, "alpha\nfooter\npromo\nomega"),
+      (2L, "footer\npromo"),
+      (3L, "footer\nfooter\nbeta"),
+      (4L, "footer")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateStrip(docs, "doc_id", "text", minDocs = 3)
+      .as[(Long, String, Long)].collect()
+      .map { case (k, v, n) => k -> ((v, n)) }.toMap
+    assert(got === Map(
+      1L -> (("alpha\npromo\nomega", 1L)),
+      2L -> (("promo", 1L)),
+      3L -> (("beta", 2L)),
+      4L -> (("", 1L))))
+  }
 }
