@@ -1009,6 +1009,15 @@ object SparkEntry {
           col("vec_id") < 10, k = 5)
         .orderBy("query_id", "rn")),
 
+    // MMR diversity re-rank: greedy λ·rel − (1−λ)·max-sim-to-selected
+    // over a bounded candidate set, unrolled into k−1 relational steps —
+    // the redundancy-aware retrieval pass (RAG context assembly). Only
+    // candidate generation touches the corpus
+    "mmr_rerank" -> ((s, d) =>
+      Similarity.mmrRerank(embeddings(s, d), "vec_id", "embedding",
+          col("vec_id") < 3, candK = 20, k = 5)
+        .orderBy("query_id", "rank")),
+
     // banded sign-LSH ANN with multi-probe — oracle-checked: the seeded
     // gaussian planes are deterministic arrays, EMBEDDED AS LITERALS in
     // the generated DuckDB SQL (Double.toString round-trips exactly), so
@@ -1888,6 +1897,66 @@ object SparkEntry {
                 LIMIT 2) l
        ORDER BY n_nationkey, bal_cents DESC, c_custkey"""
 
+  /** Generated MMR oracle: the greedy loop unrolled into the SAME k−1
+    * steps the Spark side executes — per-step max-sim aggregate against
+    * the accumulated selection, NOT-EXISTS remaining filter, argmax on
+    * the identical unrounded mmr double (0.5-halves of 1e-6-rounded
+    * inputs are IEEE-exact, so ranking can't diverge). */
+  private lazy val mmrOracleSql: String = {
+    val candK = 20; val k = 5
+    val steps = (2 to k).map { i =>
+      val prev = s"acc${i - 1}"
+      s"""sel$i AS (
+           SELECT query_id, cid, rel, $i AS rank,
+               round(0.5 * rel - 0.5 * max_sim, 7) AS mmr_score
+           FROM (
+             SELECT r.query_id, r.cid, r.rel, m.max_sim,
+                 row_number() OVER (PARTITION BY r.query_id
+                   ORDER BY (0.5 * r.rel - 0.5 * m.max_sim) DESC, r.cid) AS rn
+             FROM cand r
+             JOIN (SELECT p.query_id, p.ca AS cid, max(p.ps) AS max_sim
+                   FROM ps p JOIN $prev s
+                     ON s.query_id = p.query_id AND s.cid = p.cb
+                   GROUP BY p.query_id, p.ca) m
+               ON m.query_id = r.query_id AND m.cid = r.cid
+             WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+                               WHERE s2.query_id = r.query_id
+                                 AND s2.cid = r.cid)
+           ) x WHERE rn = 1),
+         acc$i AS (SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM sel$i)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*v[i]),
+                              (x, y) -> x + y)) AS nv
+           FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM n WHERE vec_id < 3),
+         prs AS (
+           SELECT q.query_id, n.vec_id AS cid,
+               list_reduce(list_transform(generate_series(1, len(n.v)), i -> q.qv[i]*n.v[i]),
+                           (x, y) -> x + y) / (q.nq * n.nv) AS cos
+           FROM q, n WHERE q.query_id <> n.vec_id),
+         cand AS (SELECT query_id, cid, round(cos, 6) AS rel FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, cid) AS rn FROM prs) x
+           WHERE rn <= $candK),
+         cv AS (SELECT c.query_id, c.cid, n.v, n.nv
+                FROM cand c JOIN n ON n.vec_id = c.cid),
+         ps AS (
+           SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+               round(list_reduce(list_transform(generate_series(1, len(a.v)),
+                       i -> a.v[i] * b.v[i]), (x, y) -> x + y) / (a.nv * b.nv), 6) AS ps
+           FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.cid <> b.cid),
+         sel1 AS (SELECT query_id, cid, rel, 1 AS rank, rel AS mmr_score FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY rel DESC, cid) AS rn FROM cand) x WHERE rn = 1),
+         acc1 AS (SELECT * FROM sel1),
+         $steps
+         SELECT query_id, cid AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+             rel, mmr_score
+         FROM acc$k ORDER BY query_id, rank"""
+  }
+
   /** One oracle, two engine formulations (`join_asof` union+window,
     * `join_asof_merge` custom merge-scan plan): DuckDB's NATIVE ASOF
     * JOIN — an independent third implementation. */
@@ -2665,6 +2734,7 @@ object SparkEntry {
                     ELSE list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT))
                END, ',') AS codes
          FROM s ORDER BY vec_id""",
+    "mmr_rerank" -> mmrOracleSql,
     "similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v,

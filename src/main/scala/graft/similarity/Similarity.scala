@@ -78,6 +78,73 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("sim"), col("rn"))
   }
 
+  /** MMR (maximal marginal relevance) diversity re-rank — the
+    * redundancy-aware complement to plain top-k: greedily pick the
+    * candidate maximizing `lam·rel − (1−lam)·max_sim_to_selected`, so
+    * near-duplicate hits don't crowd the result list (RAG context
+    * assembly, diverse negative mining).
+    *
+    * Execution: candidates come from [[bruteForceTopK]] (bounded candK
+    * per query), pairwise candidate sims are one tiny self-join
+    * (candK² per query), and the inherently-sequential greedy loop is
+    * UNROLLED into k−1 relational steps (anti-join remaining, max-sim
+    * aggregate against the selected set, per-query argmax window) —
+    * all operating on candidate-bounded relations, never the corpus.
+    * At 100 TB only the candidate generation touches the corpus; the
+    * re-rank works on |Q|·candK rows regardless of corpus size.
+    *
+    * Determinism: rel and pair sims are 1e-6-rounded; `lam = 0.5`
+    * halves are IEEE-exact, so every engine computes identical mmr
+    * doubles — ranking can't diverge; ties break on candidate id. The
+    * emitted score rounds at 7 dp (the 5e-7 grid of half-sums has no
+    * 1e-7 halfway points, so engine rounding modes can't split).
+    * Rank 1 is pure argmax relevance; its score is its relevance. */
+  def mmrRerank(embeddings: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, candK: Int, k: Int,
+                lam: Double = 0.5): DataFrame = {
+    val cands = bruteForceTopK(embeddings, idCol, vecCol, queryPred, candK)
+      .select(col("query_id"), col("neighbor_id").as("cid"), col("sim").as("rel"))
+      .localCheckpoint() // consumed by every unrolled step
+    val e = embeddings.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", l2norm(col("v")))
+    val ca = cands.select("query_id", "cid").join(e, "cid")
+      .select(col("query_id"), col("cid").as("ca"),
+        col("v").as("va"), col("nv").as("na"))
+    val cb = ca.select(col("query_id"), col("ca").as("cb"),
+      col("va").as("vb"), col("na").as("nb"))
+    val pairSims = ca.join(cb, "query_id")
+      .filter(col("ca") =!= col("cb"))
+      .select(col("query_id"), col("ca"), col("cb"),
+        round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6).as("ps"))
+      .localCheckpoint()
+    val wSel = Window.partitionBy("query_id")
+    var selected = cands
+      .withColumn("rn", row_number().over(wSel.orderBy(desc("rel"), asc("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cid"), col("rel"),
+        lit(1L).as("rank"), col("rel").as("mmr_score"))
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      val remaining = cands.join(selected.select("query_id", "cid"),
+        Seq("query_id", "cid"), "left_anti")
+      val maxSim = pairSims
+        .join(selected.select(col("query_id"), col("cid").as("cb")),
+          Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca").as("cid"))
+        .agg(max(col("ps")).as("max_sim"))
+      val next = remaining.join(maxSim, Seq("query_id", "cid"))
+        .withColumn("mmr",
+          lit(lam) * col("rel") - lit(1.0 - lam) * col("max_sim"))
+        .withColumn("rn", row_number().over(wSel.orderBy(desc("mmr"), asc("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cid"), col("rel"),
+          lit(i.toLong).as("rank"), round(col("mmr"), 7).as("mmr_score"))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected.select(col("query_id"), col("cid").as("neighbor_id"),
+      col("rank"), col("rel"), col("mmr_score"))
+  }
+
   /** Deterministic random hyperplanes: numPlanes × dim gaussians from a
     * seeded java.util.Random (spec-fixed sequence — reproducible across
     * JVMs and sessions). */

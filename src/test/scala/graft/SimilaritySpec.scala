@@ -119,4 +119,59 @@ class SimilaritySpec extends SparkTestBase {
     val recall = (ivf & bf).size.toDouble / bf.size
     assert(recall >= 0.8, s"IVF recall $recall < 0.8")
   }
+
+  test("mmrRerank demotes a near-duplicate of the first pick") {
+    // query 0 = (1,0,0,0). id 10 ≈ id 11 (near-identical, both highly
+    // relevant); id 12 orthogonal-ish but somewhat relevant. Plain top-2
+    // = {10, 11}; MMR rank 2 must skip 11 (max-sim ≈ 1) for 12.
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (10L, Seq(0.99f, 0.1f, 0f, 0f)),
+      (11L, Seq(0.99f, 0.11f, 0f, 0f)),
+      (12L, Seq(0.6f, 0f, 0.8f, 0f))
+    ).toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrRerank(emb, "vec_id", "embedding",
+        col("vec_id") === 0, candK = 3, k = 3)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(mmr === Map(1L -> 10L, 2L -> 12L, 3L -> 11L))
+  }
+
+  test("mmrRerank matches a naive greedy MMR on the sf0.001 embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.mmrRerank(emb, "vec_id", "embedding",
+        col("vec_id") < 3, candK = 10, k = 4)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // naive greedy on driver-side doubles, same rounding discipline
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = (0L until 3L).flatMap { q =>
+      val qv = vecs(q)
+      val cands = vecs.keys.filter(_ != q).toSeq
+        .map(id => (id, cos(qv, vecs(id))))
+        .sortBy { case (id, c) => (-c, id) }.take(10)
+        .map { case (id, c) => (id, r6(c)) }
+      val sel = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+      sel += cands.minBy { case (id, rel) => (-rel, id) }
+      while (sel.size < 4) {
+        val rest = cands.filterNot(c => sel.exists(_._1 == c._1))
+        val next = rest.minBy { case (id, rel) =>
+          val maxSim = sel.map(s => r6(cos(vecs(id), vecs(s._1)))).max
+          (-(0.5 * rel - 0.5 * maxSim), id)
+        }
+        sel += next
+      }
+      sel.zipWithIndex.map { case ((id, _), i) => (q, (i + 1).toLong, id) }
+    }.toSet
+    assert(got === expect)
+  }
 }
