@@ -199,4 +199,62 @@ object GraftProperties extends Properties("graft") {
       }
       got == want
     }
+
+  // random closed intervals on a coarse grid so touching/overlap/swallow
+  // cases all occur
+  property("mergeIntervals equals a naive sweep on random intervals") =
+    forAll(Gen.listOf(for {
+      key <- Gen.choose(0L, 2L)
+      s <- Gen.choose(0L, 40L)
+      len <- Gen.choose(0L, 15L)
+    } yield (key, s, s + len))) { raw =>
+      val rows = raw.zipWithIndex.map { case ((k, s, e), i) => (k, i.toLong, s, e) }
+      raw.isEmpty || {
+        val got = graft.ops.TimeSeries
+          .mergeIntervals(rows.toDF("k", "id", "s", "e"), "k", "id", "s", "e")
+          .select("k", "start", "end", "n_src")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        // naive sweep per key over (s, id)-sorted closed intervals
+        val want = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+          val sorted = rs.sortBy(r => (r._3, r._2))
+          val islands = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          for ((_, _, s, e) <- sorted) {
+            if (islands.nonEmpty && s <= islands.last._2)
+              islands(islands.size - 1) = (islands.last._1,
+                math.max(islands.last._2, e), islands.last._3 + 1)
+            else islands += ((s, e, 1L))
+          }
+          islands.map { case (s, e, n) => (k, s, e, n) }
+        }.toSet
+        got == want
+      }
+    }
+
+  property("dedupTemporal keeps exactly the naive burst leaders") =
+    forAll(Gen.listOf(for {
+      key <- Gen.choose(0L, 2L)
+      t <- Gen.choose(0L, 60L)
+    } yield (key, t))) { raw =>
+      val rows = raw.zipWithIndex.map { case ((k, t), i) => (k, i.toLong, t) }
+      val gap = 5L
+      raw.isEmpty || {
+        val got = graft.ops.TimeSeries
+          .dedupTemporal(rows.toDF("k", "id", "t"), Seq("k"), "id", "t", gap)
+          .select("k", "kept_id", "n_absorbed")
+          .as[(Long, Long, Long)].collect().toSet
+        val want = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+          val sorted = rs.sortBy(r => (r._3, r._2))
+          val bursts = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          var prevT = Long.MinValue
+          for ((_, id, t) <- sorted) {
+            if (bursts.isEmpty || t - prevT > gap) bursts += ((k, id, 1L))
+            else bursts(bursts.size - 1) =
+              (k, bursts.last._2, bursts.last._3 + 1)
+            prevT = t
+          }
+          bursts
+        }.toSet
+        got == want
+      }
+    }
 }
