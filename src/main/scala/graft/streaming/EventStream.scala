@@ -45,6 +45,29 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Streaming OHLC bars — the streaming form of the `events_ohlc` key:
+    * open/close as lexicographic (event-time, id) struct min/max inside
+    * the windowed aggregation, exactly as in batch
+    * ([[graft.ops.TimeSeries.ohlc]]). Struct min/max is a commutative
+    * monoid, so the incremental state merge across micro-batches is the
+    * same fold as the batch partial-combine — stream ≡ batch holds
+    * structurally (spec-asserted bar for bar). */
+  def ohlcBars(events: DataFrame, idCol: String = "event_id",
+               valueCol: String = "value",
+               watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("t", watermark)
+      .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        min(struct(col("t"), col(idCol), col(valueCol))).as("__o"),
+        max(struct(col("t"), col(idCol), col(valueCol))).as("__c"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("bar_start"), col("event_type"),
+        col(s"__o.$valueCol").as("open"), col(s"__c.$valueCol").as("close"),
+        col("high"), col("low"), col("n"))
+
   /** Streaming exact dedup — the streaming form of the `dedup_exact` key.
     * `dropDuplicatesWithinWatermark` keeps per-key state only until the
     * key's event time falls behind the watermark, so state is bounded by

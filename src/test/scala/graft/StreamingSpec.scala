@@ -64,6 +64,28 @@ class StreamingSpec extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("streaming OHLC bars equal the batch events_ohlc aggregation") {
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStream.ohlcBars(withEventTime(stream))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ohlc")
+      .select(unix_micros(col("bar_start")).as("bar_us"), col("event_type"),
+        col("open"), col("close"), col("high"), col("low"), col("n"))
+      .as[(Long, String, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    val want = graft.ops.TimeSeries.ohlc(
+        Tables.events(spark, sf).withColumn("t_us", expr("ts div 1000")),
+        "event_type", "event_id", "t_us", "value", barUs = 3600L * 1000000L)
+      .select(col("bar_us"), col("event_type"), col("open"), col("close"),
+        col("high"), col("low"), col("n"))
+      .as[(Long, String, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup emits each event once despite a replayed input file") {
     // at-least-once delivery simulated by the same file arriving twice
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
