@@ -180,11 +180,23 @@ object Bench {
     val total = timings.values.map(_.head).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
-    println(line)
+    // The driver captures only the LAST ~2000 chars of stdout; with 140+
+    // keys the full line overflows that window and its parse records
+    // `parsed: null` (observed in BENCH_r01..r03.json). Emit the full
+    // line first (humans, logs), then a compact line that fits the tail
+    // window: total + the slowest keys + a pointer to the full detail,
+    // which always lands in `outPath` (BENCH_LAST.json) on disk.
+    val slowest = timings.toSeq.sortBy { case (_, rs) => -rs.head }.take(12)
+      .map { case (k, rs) => s"\"$k\":${fmt(rs.head)}" }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"queries":$slowest,"errors":$errs,"reps":$reps,"detail":"$outPath","sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // stdout line already emitted
+    } catch { case _: Throwable => () } // stdout lines still emitted
+    println(line)
+    println(compact)
     spark.stop()
   }
 }
