@@ -1209,6 +1209,16 @@ object SparkEntry {
         .select(col("title"), round(col("rank"), 6).as("rank"))
         .orderBy("title")),
 
+    // PERSONALIZED PageRank: teleport mass pinned to a 3-customer seed
+    // set (the "related to THESE entities" ranking — recommendation /
+    // entity-expansion queries). Same rounded-lockstep oracle discipline
+    // as pagerank_oracle; zero-rank vertices stay in the output
+    "pagerank_personal" -> ((s, d) =>
+      PageRank.run(pagerankGraph(s, d), iters = 10, roundTo = 9,
+          seeds = Some(Set("c1", "c2", "c3")))
+        .select(col("title"), round(col("rank"), 6).as("rank"))
+        .orderBy("title")),
+
     // NORMALIZED PageRank extension (mass-conserving: (1-d)/N base +
     // dangling-mass redistribution). Parts become VERTICES with no
     // outlinks — genuine dangling sinks, no red links, total mass exactly
@@ -2962,6 +2972,37 @@ object SparkEntry {
                SELECT sum(r2.rank / dg.d)
                FROM ranks r2 JOIN edges e ON e.src = r2.title AND e.dst = r.title
                JOIN deg dg ON dg.src = r2.title), 0) + 0.15, 9)
+           FROM ranks r WHERE r.iter < 10)
+         SELECT title, round(rank, 6) AS rank FROM ranks WHERE iter = 10
+         ORDER BY title""",
+    // personalized teleport: 1/3 to each seed, 0 elsewhere; 1.0/3 is the
+    // same IEEE division on both engines, every iteration 1e-9-pinned
+    "pagerank_personal" ->
+      """WITH RECURSIVE
+         verts AS (
+           SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS title FROM orders
+           UNION ALL SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) FROM orders),
+         edges AS (
+           SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst FROM orders
+           UNION ALL SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+                  'p' || CAST(l_partkey AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR),
+                  'o' || CAST(o_orderkey AS VARCHAR) FROM orders),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         ranks(iter, title, rank) AS (
+           SELECT 0, title,
+               round(CASE WHEN title IN ('c1', 'c2', 'c3')
+                          THEN 1.0 / 3 ELSE 0.0 END, 9)
+           FROM verts
+           UNION ALL
+           SELECT r.iter + 1, r.title,
+             round(0.85 * coalesce((
+               SELECT sum(r2.rank / dg.d)
+               FROM ranks r2 JOIN edges e ON e.src = r2.title AND e.dst = r.title
+               JOIN deg dg ON dg.src = r2.title), 0)
+               + 0.15 * CASE WHEN r.title IN ('c1', 'c2', 'c3')
+                             THEN 1.0 / 3 ELSE 0.0 END, 9)
            FROM ranks r WHERE r.iter < 10)
          SELECT title, round(rank, 6) AS rank FROM ranks WHERE iter = 10
          ORDER BY title""",

@@ -92,9 +92,17 @@ object PageRank {
     * minimum. See `runDataFrame` for the Catalyst formulation (kept for
     * cross-checking; same semantics). */
   def run(vertices: DataFrame, iters: Int = 10, d: Double = 0.85,
-          checkpointEvery: Int = 3, roundTo: Int = -1): DataFrame = {
+          checkpointEvery: Int = 3, roundTo: Int = -1,
+          seeds: Option[Set[String]] = None): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
+    // PERSONALIZED variant (seeds = Some(S)): teleport mass goes to the
+    // seed set instead of uniformly — init r₀ = 1[v∈S]/|S|, recurrence
+    // r' = d·Σ contributions + (1−d)·1[v∈S]/|S|. Same unnormalized
+    // red-link semantics as the reference recurrence; `None` keeps the
+    // reference formula (init 1/n, constant 1−d base) bit for bit.
+    // Seeds are broadcast-size by definition (a query's seed set).
+    val seedBc = seeds.map(s => (spark.sparkContext.broadcast(s), 1.0 / s.size))
     // Partition count scales with DATA, capped by the session conf: at
     // ~50k vertices/partition the per-task scheduling overhead is already
     // small next to the per-partition work; below that it dominates
@@ -152,7 +160,16 @@ object PageRank {
             val j = idx.get(l); if (j == null) -1 else j.intValue()
           }.toArray)
           val m = vertices.length
-          val rank = Array.fill(m)(rnd(1.0 / n))
+          // teleport weight per vertex: 1 for every vertex in the
+          // reference formula, 1[v∈S]/|S| for the personalized variant
+          val tele: Array[Double] = seedBc match {
+            case Some((bc, invS)) =>
+              vertices.map { case (t, _) => if (bc.value(t)) invS else 0.0 }
+            case None => null
+          }
+          val rank =
+            if (tele == null) Array.fill(m)(rnd(1.0 / n))
+            else tele.map(rnd)
           val sums = new Array[Double](m)
           var it2 = 0
           while (it2 < iters) {
@@ -168,7 +185,10 @@ object PageRank {
               i += 1
             }
             i = 0
-            while (i < m) { rank(i) = rnd(d * sums(i) + (1.0 - d)); i += 1 }
+            while (i < m) {
+              val base = if (tele == null) 1.0 - d else (1.0 - d) * tele(i)
+              rank(i) = rnd(d * sums(i) + base); i += 1
+            }
             it2 += 1
           }
           vertices.iterator.zipWithIndex.map { case ((t, _), i) => (t, rank(i)) }
@@ -216,8 +236,22 @@ object PageRank {
         }.persist(StorageLevel.MEMORY_AND_DISK)
         graph.count()
 
-        var r = graph.mapPartitions(
-          _.map { case (degs, _) => Array.fill(degs.length)(rnd(1.0 / n)) })
+        // per-partition teleport arrays, aligned with the links order the
+        // rank arrays follow (null sentinel = uniform reference formula)
+        val teleRdd = seedBc.map { case (bc, invS) =>
+          val t = links.mapPartitions({ it =>
+            Iterator.single(it.map { case (title, _) =>
+              if (bc.value(title)) invS else 0.0 }.toArray)
+          }, preservesPartitioning = true).persist(StorageLevel.MEMORY_AND_DISK)
+          t.count()
+          t
+        }
+
+        var r = teleRdd match {
+          case Some(t) => t.mapPartitions(_.map(_.map(rnd)))
+          case None => graph.mapPartitions(
+            _.map { case (degs, _) => Array.fill(degs.length)(rnd(1.0 / n)) })
+        }
         var lastCkpt: Option[org.apache.spark.rdd.RDD[Array[Double]]] = None
         for (i <- 1 to iters) {
           val msgs = graph.zipPartitions(r) { (git, rit) =>
@@ -253,18 +287,37 @@ object PageRank {
               }
             }
           }.partitionBy(pPart)
-          r = graph.zipPartitions(msgs) { (git, mit) =>
-            if (git.isEmpty) Iterator.empty
-            else {
-              val (degs, _) = git.next()
-              val sums = new Array[Double](degs.length)
-              mit.foreach { case (_, (idx, s2)) =>
-                var j = 0
-                while (j < idx.length) { sums(idx(j)) += s2(j); j += 1 }
+          r = teleRdd match {
+            case None => graph.zipPartitions(msgs) { (git, mit) =>
+              if (git.isEmpty) Iterator.empty
+              else {
+                val (degs, _) = git.next()
+                val sums = new Array[Double](degs.length)
+                mit.foreach { case (_, (idx, s2)) =>
+                  var j = 0
+                  while (j < idx.length) { sums(idx(j)) += s2(j); j += 1 }
+                }
+                var v = 0
+                while (v < sums.length) { sums(v) = rnd(d * sums(v) + (1.0 - d)); v += 1 }
+                Iterator.single(sums)
               }
-              var v = 0
-              while (v < sums.length) { sums(v) = rnd(d * sums(v) + (1.0 - d)); v += 1 }
-              Iterator.single(sums)
+            }
+            case Some(t) => graph.zipPartitions(msgs, t) { (git, mit, tit) =>
+              if (git.isEmpty) Iterator.empty
+              else {
+                val (degs, _) = git.next()
+                val tele = tit.next()
+                val sums = new Array[Double](degs.length)
+                mit.foreach { case (_, (idx, s2)) =>
+                  var j = 0
+                  while (j < idx.length) { sums(idx(j)) += s2(j); j += 1 }
+                }
+                var v = 0
+                while (v < sums.length) {
+                  sums(v) = rnd(d * sums(v) + (1.0 - d) * tele(v)); v += 1
+                }
+                Iterator.single(sums)
+              }
             }
           }
           if (i % checkpointEvery == 0 || i == iters) {
@@ -288,6 +341,7 @@ object PageRank {
         ids.unpersist(false)
         graph.unpersist(false)
         links.unpersist(false)
+        teleRdd.foreach(_.unpersist(false))
         lastCkpt.foreach(_.unpersist(false))
         named
       }

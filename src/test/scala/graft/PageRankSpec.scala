@@ -99,6 +99,45 @@ class PageRankSpec extends SparkTestBase {
     a.foreach { case (t, r) => assert(math.abs(r - b(t)) < 1e-12) }
   }
 
+  private def naivePersonal(graph: Seq[(String, Seq[String])], seeds: Set[String],
+                            iters: Int, d: Double = 0.85): Map[String, Double] = {
+    val titles = graph.map(_._1).toSet
+    val invS = 1.0 / seeds.size
+    def tele(t: String) = if (seeds(t)) invS else 0.0
+    var rank = graph.map { case (t, _) => t -> tele(t) }.toMap
+    for (_ <- 1 to iters) {
+      val contribs = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      for ((t, ls) <- graph if ls.nonEmpty; l <- ls if titles(l))
+        contribs(l) += rank(t) / ls.size
+      rank = graph.map { case (t, _) => t -> (d * contribs(t) + (1 - d) * tele(t)) }.toMap
+    }
+    rank
+  }
+
+  test("personalized pagerank matches the naive interpreter; both tiers agree") {
+    val graph = WikiParser.linkGraph(parsed)
+    val seeds = Set("A")
+    val got = PageRank.run(graph, iters = 10, seeds = Some(seeds))
+      .as[(String, Double)].collect().toMap
+    val want = naivePersonal(
+      Seq("A" -> Seq("A", "B", "B", "X"), "B" -> Seq("A", "C"),
+          "C" -> Seq.empty, "D" -> Seq("A")), seeds, iters = 10)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (t, r) =>
+      assert(math.abs(r - want(t)) < 1e-9, s"$t: got $r want ${want(t)}")
+    }
+    // D never receives mass (nothing links to it, it is not a seed)
+    assert(got("D") === 0.0)
+    // distributed tier computes the same personalized recurrence
+    PageRank.fastPathEnabled = false
+    val dist = try {
+      PageRank.run(graph, iters = 10, seeds = Some(seeds))
+        .as[(String, Double)].collect().toMap
+    } finally PageRank.fastPathEnabled = true
+    assert(dist.keySet == got.keySet)
+    got.foreach { case (t, r) => assert(math.abs(r - dist(t)) < 1e-12) }
+  }
+
   test("ranked output is descending with title tie-break") {
     val rows = PageRank.ranked(WikiParser.linkGraph(parsed), iters = 3)
       .as[(String, Double)].collect()
