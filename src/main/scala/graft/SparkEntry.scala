@@ -702,6 +702,15 @@ object SparkEntry {
           gapUs = 1800L * 1000000L)
         .orderBy("user_id", "session_id")),
 
+    // session path mining: top-20 event-type trigrams along sessionized
+    // journeys — sequence analytics over the sessionize machinery; one
+    // user shuffle + map-side n-gram Generate + TakeOrdered
+    "session_paths" -> ((s, d) =>
+      graft.ops.Analytics.sessionPaths(
+        events(s, d).withColumn("t_us", expr("ts div 1000")),
+        "user_id", "event_id", "t_us", "event_type",
+        gapUs = 1800L * 1000000L)),
+
     // §2.9 extension — ntile bucketing (the remaining ranking function;
     // deterministic under the unique-key tie-break like every window key)
     "window_ntile" -> ((s, d) =>
@@ -2280,6 +2289,29 @@ object SparkEntry {
              CAST(ntile(4) OVER (PARTITION BY o_orderstatus
                                  ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY o_orderkey""",
+    // same sessionization CTE as `sessionize`; trigram expansion via
+    // list_transform + unnest, inclusive list_slice = 3 elements
+    "session_paths" ->
+      """WITH b AS (
+           SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+         f AS (
+           SELECT *, CASE WHEN t_us - lag(t_us) OVER
+               (PARTITION BY user_id ORDER BY t_us, event_id) > 1800000000
+             THEN 1 ELSE 0 END AS flag FROM b),
+         s AS (
+           SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id FROM f),
+         seq AS (
+           SELECT user_id, session_id,
+               list(event_type ORDER BY t_us, event_id) AS types
+           FROM s GROUP BY user_id, session_id),
+         g AS (
+           SELECT unnest(list_transform(generate_series(1, len(types) - 2),
+               i -> array_to_string(list_slice(types, i, i + 2), '>'))) AS path
+           FROM seq WHERE len(types) >= 3)
+         SELECT path, count(*) AS n FROM g
+         GROUP BY path ORDER BY n DESC, path LIMIT 20""",
     // greedy stage walk mirrored with chained CTEs; a missed stage makes
     // every later bound NULL (x > NULL is not true → list_filter drops)
     "funnel_stages" ->

@@ -97,4 +97,40 @@ object Analytics {
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
+
+  /** Session path mining: the top-`k` `n`-grams of event types along
+    * sessionized user journeys — "what do users do in sequence"
+    * (navigation analysis, funnel discovery).
+    *
+    * Scale shape: one shuffle on the user (sessionize window + the
+    * per-session collect share the partitioning), the n-gram expansion
+    * is a map-side Generate over the bounded per-session type array,
+    * the path count partial-aggregates map-side (path cardinality ≪
+    * occurrence count), and top-k plans as TakeOrderedAndProject.
+    * Session arrays are bounded by the gap parameter in any realistic
+    * event stream; paths order deterministically by (count desc, path).
+    */
+  def sessionPaths(events: DataFrame, userCol: String, idCol: String,
+                   tsUsCol: String, typeCol: String, gapUs: Long,
+                   n: Int = 3, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(tsUsCol, idCol)
+    val sess = events
+      .withColumn("__flag", when(
+        col(tsUsCol) - lag(col(tsUsCol), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("__sid",
+        sum(col("__flag")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val seqs = sess
+      .groupBy(col(userCol), col("__sid"))
+      .agg(array_sort(collect_list(
+        struct(col(tsUsCol), col(idCol), col(typeCol)))).as("evs"))
+      .select(transform(col("evs"), e => e.getField(typeCol)).as("types"))
+    seqs
+      .filter(size(col("types")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(types) - ${n - 1}), " +
+          s"i -> concat_ws('>', slice(types, i, $n)))")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path")).limit(k)
+  }
 }

@@ -49,6 +49,22 @@ class AnalyticsSpec extends SparkTestBase {
     assert(res === Map(1L -> ((3L, 10L, 16L))))
   }
 
+  test("sessionPaths: trigrams never span a session boundary; short sessions drop") {
+    val gap = 100L
+    val ev = Seq(
+      // user 1, session 0: a b c d -> paths a>b>c, b>c>d
+      (1L, 10L, 0L, "a"), (1L, 11L, 10L, "b"), (1L, 12L, 20L, "c"), (1L, 13L, 30L, "d"),
+      // gap > 100 -> session 1: a b c (the boundary kills c|d>a>b paths)
+      (1L, 14L, 200L, "a"), (1L, 15L, 210L, "b"), (1L, 16L, 220L, "c"),
+      // user 2: only 2 events -> no trigram
+      (2L, 17L, 0L, "x"), (2L, 18L, 10L, "y")
+    ).toDF("user_id", "event_id", "t_us", "event_type")
+    val got = graft.ops.Analytics.sessionPaths(ev, "user_id", "event_id",
+        "t_us", "event_type", gapUs = gap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a>b>c" -> 2L, "b>c>d" -> 1L))
+  }
+
   test("cohort retention counts distinct users per (cohort, offset)") {
     val wk = 7L // tiny tick unit for readability
     val ev = Seq(
