@@ -702,6 +702,22 @@ object SparkEntry {
           gapUs = 1800L * 1000000L)
         .orderBy("user_id", "session_id")),
 
+    // trailing-window anomaly detection: per-type daily totals scored
+    // against the strictly-PRECEDING 7 days (self-exclusion keeps the
+    // anomaly out of its own baseline). Mean/variance from exact integer
+    // moment sums in ONE window pass; identical float op sequence on
+    // both engines (the stats_agg discipline); greatest(0,·) absorbs
+    // the catastrophic-cancellation ulp
+    "anomaly_zscore" -> ((s, d) => {
+      val daily = events(s, d)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("event_type", "day").agg(sum("cents").as("x"))
+      graft.ops.TimeSeries.anomalyZScore(daily, "event_type", "day", "x")
+        .orderBy("event_type", "day")
+    }),
+
     // session path mining: top-20 event-type trigrams along sessionized
     // journeys — sequence analytics over the sessionize machinery; one
     // user shuffle + map-side n-gram Generate + TakeOrdered
@@ -2289,6 +2305,32 @@ object SparkEntry {
              CAST(ntile(4) OVER (PARTITION BY o_orderstatus
                                  ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY o_orderkey""",
+    // identical moment arithmetic: m = tsum/7, sd = sqrt(greatest(0,
+    // tsum2/7 - m*m)) — one float rounding per op, same sequence
+    "anomaly_zscore" ->
+      """WITH daily AS (
+           SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT event_type, day, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS tsum,
+             CAST(sum(x * x) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS tsum2
+           FROM daily),
+         z AS (SELECT event_type, day, x,
+             CAST(tsum AS DOUBLE) / 7.0 AS m,
+             sqrt(greatest(0.0, CAST(tsum2 AS DOUBLE) / 7.0
+               - (CAST(tsum AS DOUBLE) / 7.0) * (CAST(tsum AS DOUBLE) / 7.0))) AS sd
+           FROM t WHERE rn > 7)
+         SELECT event_type, day, x,
+             CASE WHEN sd > 0
+                  THEN round((CAST(x AS DOUBLE) - m) / sd, 6) END AS z,
+             CAST(CASE WHEN sd > 0 AND abs(CAST(x AS DOUBLE) - m) > 2.0 * sd
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         FROM z ORDER BY event_type, day""",
     // same sessionization CTE as `sessionize`; trigram expansion via
     // list_transform + unnest, inclusive list_slice = 3 elements
     "session_paths" ->

@@ -118,6 +118,38 @@ object TimeSeries {
       .drop("v_day")
   }
 
+  /** Trailing-window z-score anomaly detection over a per-key daily
+    * series of INTEGER observations: each day scores against the
+    * strictly-preceding `win` days (self-exclusion — an anomalous day
+    * never inflates its own baseline). Mean/std derive from exact
+    * integer moment sums in ONE window pass; the float finish is a
+    * fixed op sequence (m = tsum/win, sd = sqrt(greatest(0, tsum2/win
+    * − m²))) so any engine computes identical doubles — the stats_agg
+    * discipline. Days with fewer than `win` predecessors are dropped
+    * (no partial baselines); a zero-variance baseline yields null z and
+    * no flag. Integer headroom: |x| ≤ ~3·10⁹·√win keeps x² sums in a
+    * long. */
+  def anomalyZScore(daily: DataFrame, keyCol: String, dayCol: String,
+                    xCol: String, win: Int = 7,
+                    threshold: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(dayCol)
+    val wt = w.rowsBetween(-win, -1)
+    daily
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__tsum", sum(col(xCol)).over(wt))
+      .withColumn("__tsum2", sum(col(xCol) * col(xCol)).over(wt))
+      .filter(col("__rn") > win)
+      .withColumn("__m", col("__tsum").cast("double") / win.toDouble)
+      .withColumn("__sd", sqrt(greatest(lit(0.0),
+        col("__tsum2").cast("double") / win.toDouble - col("__m") * col("__m"))))
+      .select(col(keyCol), col(dayCol), col(xCol),
+        when(col("__sd") > 0,
+          round((col(xCol).cast("double") - col("__m")) / col("__sd"), 6)).as("z"),
+        when(col("__sd") > 0 &&
+            abs(col(xCol).cast("double") - col("__m")) > lit(threshold) * col("__sd"), 1L)
+          .otherwise(0L).as("is_anomaly"))
+  }
+
   /** Burst dedup: collapse runs of same-(key) events closer than `gapUs`
     * to their FIRST event (telemetry retry / double-fire collapse). A
     * burst is a session by another name — an event is kept iff its gap

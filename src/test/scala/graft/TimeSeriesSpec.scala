@@ -76,6 +76,28 @@ class TimeSeriesSpec extends SparkTestBase {
       (2L, 7L) -> ((4.0, 0L))))
   }
 
+  test("anomalyZScore: self-exclusion, warm-up drop, zero-variance null") {
+    import graft.ops.TimeSeries
+    // key "a": 7 flat days (x=10), then a spike day 107 — baseline is the
+    // flat window (sd=0 → null z, no flag), then day 8's spike makes day
+    // 9's baseline non-flat
+    val rows = (0L to 6L).map(i => ("a", i, 10L)) ++ Seq(
+      ("a", 7L, 107L),  // sd=0 baseline → z null, flag 0 (can't score)
+      ("a", 8L, 10L)    // baseline now {10x6, 107}: sd > 0 → scored
+    ) ++ (0L to 3L).map(i => ("b", i, 5L)) // < win+1 days → all dropped
+    val res = TimeSeries.anomalyZScore(rows.toDF("k", "day", "x"),
+        "k", "day", "x")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)),
+          r.getLong(4)))).toMap
+    assert(res.keySet === Set(("a", 7L), ("a", 8L)))
+    assert(res(("a", 7L)) === ((null, 0L)))
+    // day 8 baseline: 6×10 + 107 → m = 167/7, sd > 0; x=10 is below mean
+    val (z8, flag8) = res(("a", 8L))
+    assert(z8 != null && z8.doubleValue() < 0)
+    assert(flag8 === 0L) // |10 - 23.857| ≈ 13.9 < 2sd (sd ≈ 33.9)
+  }
+
   test("dedupTemporal: exact-gap stays in burst (strict >); keeper is first by (ts, id)") {
     val gap = 100L
     val ev = Seq(
