@@ -141,6 +141,23 @@ class PlanSpec extends SparkTestBase {
     assert("hashpartitioning\\(o_custkey".r.findAllIn(p).size <= 1, p.take(1200))
   }
 
+  test("interval_merge and dedup_temporal shuffle the log exactly once") {
+    for (key <- Seq("interval_merge", "dedup_temporal")) {
+      val exec = SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      // exactly two exchanges total: the entity partitioning + the final
+      // presentation sort; both windows and the aggregate reuse the first
+      val shuffles = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.size <= 2,
+        s"$key has ${shuffles.size} shuffles:\n${exec.toString.take(1000)}")
+    }
+  }
+
   test("sql_recursive executes as an iterative UnionLoop, not an unrolled union") {
     val p = plan("sql_recursive")
     assert(p.contains("UnionLoop"), p.take(1200))
