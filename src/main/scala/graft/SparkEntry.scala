@@ -1667,6 +1667,9 @@ object SparkEntry {
       val qids = bm25Queries.map(_._1).toDF("query_id")
       val prior = documents(s, d)
         .orderBy(desc("n_chars"), asc("doc_id")).limit(10)
+        // the unpartitioned window (single-partition WindowExec warning)
+        // runs AFTER limit(10): it ranks a 10-row relation, never the
+        // corpus — the TakeOrderedAndProject above did the heavy cut
         .withColumn("rank", row_number().over(
           Window.orderBy(desc("n_chars"), asc("doc_id"))).cast("long"))
         .crossJoin(broadcast(qids))

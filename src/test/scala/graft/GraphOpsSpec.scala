@@ -35,6 +35,20 @@ class GraphOpsSpec extends SparkTestBase {
     assert(triSpark(e) === Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
   }
 
+  test("BFS fast and distributed tiers agree (incl. edge-less seeds)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("x", "y"))
+      .toDF("src", "dst")
+    val seeds = Seq("a", "lonely").toDF("title") // lonely: no edges, dist 0
+    def bfs() = ShortestPaths.run(edges, seeds, maxHops = 3)
+      .as[(String, Long)].collect().toMap
+    val fast = bfs()
+    ShortestPaths.fastPathEnabled = false
+    val dist = try bfs() finally ShortestPaths.fastPathEnabled = true
+    assert(fast === dist)
+    assert(fast("lonely") === 0L && fast("a") === 0L && fast("d") === 3L)
+    assert(!fast.contains("x") && !fast.contains("y"))
+  }
+
   test("random graphs: per-vertex triangle counts match the naive interpreter") {
     val rnd = new Random(42)
     for (_ <- 1 to 3) {
