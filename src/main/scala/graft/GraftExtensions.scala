@@ -38,5 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("zorder2"),
       new ExpressionInfo(graft.sources.Warehouse.getClass.getName, "zorder2"),
       Functions.zorder2Builder))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName, "jaro_winkler"),
+      Functions.jaroWinklerBuilder))
   }
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftshim.ColumnShim
 import graft.Tables._
 import graft.dedup.Dedup
 import graft.graph.ConnectedComponents
@@ -829,6 +830,29 @@ object SparkEntry {
       Dedup.editVerifiedPairs(documents(s, d), "doc_id", "text",
           maxDistPermille = 300)
         .orderBy("doc_a", "doc_b")),
+
+    // blocked fuzzy match (record linkage): Jaro–Winkler ≥ 0.9 on
+    // DIFFERENT part names within first-token blocks — the native
+    // codegen'd expression (functions/JaroWinkler), not a UDF. Blocking
+    // bounds the quadratic exactly like LSH banding does for documents:
+    // pairs form per block (groupBy-sized, never a corpus cross join),
+    // and the key-range filter bounds both sides. Oracle = DuckDB's
+    // built-in jaro_winkler_similarity (same 0.7-boost-threshold
+    // variant, verified case by case)
+    "fuzzy_join" -> ((s, d) => {
+      val p = part(s, d).filter(col("p_partkey") < 600)
+        .select(col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      val a = p.select(col("blk"), col("p_partkey").as("a_key"), col("p_name").as("a_name"))
+      val b = p.select(col("blk"), col("p_partkey").as("b_key"), col("p_name").as("b_name"))
+      val jw = ColumnShim.column(graft.functions.JaroWinkler(
+        ColumnShim.expression(col("a_name")), ColumnShim.expression(col("b_name"))))
+      a.join(b, Seq("blk"))
+        .filter(col("a_key") < col("b_key") && col("a_name") =!= col("b_name"))
+        .select(col("a_key"), col("b_key"), round(jw, 6).as("jw"))
+        .filter(col("jw") >= 0.9)
+        .orderBy("a_key", "b_key")
+    }),
 
     // 64-bit SimHash signatures (xxhash64 — Spark-internal, rows-only check)
     "dedup_simhash" -> ((s, d) =>
@@ -2527,6 +2551,20 @@ object SparkEntry {
          WHERE CAST(levenshtein(da.text, db.text) AS BIGINT) * 1000
              <= 300 * greatest(length(da.text), length(db.text))
          ORDER BY doc_a, doc_b""",
+    // DuckDB's jaro_winkler_similarity IS the 0.7-boost-threshold
+    // variant the native expression implements (byte-level on ASCII
+    // names); filter on the 6dp-rounded value on both sides so the
+    // threshold test sees identical doubles
+    "fuzzy_join" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+               split_part(p_name, ' ', 1) AS blk
+           FROM part WHERE p_partkey < 600)
+         SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+             round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+         FROM p a JOIN p b ON a.blk = b.blk
+           AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name
+         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
+         ORDER BY a_key, b_key""",
     // the full-corpus mining restricted to pairs touching the new batch —
     // exactly what the incremental path must reproduce
     "dedup_incremental" ->

@@ -42,6 +42,11 @@ object Functions {
   private[graft] def topk3Builder(exprs: Seq[Expression]): Expression =
     ColumnShim.udafExpression(TopKAgg.topK(3), exprs)
 
+  private[graft] def jaroWinklerBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "jaro_winkler(string, string)")
+    JaroWinkler(exprs(0), exprs(1))
+  }
+
   /** Z-order key as SQL: `zorder2(x, y[, bits])` — the same bitwise
     * fold as [[graft.sources.Warehouse.zorder2]], built directly from
     * catalyst nodes (a Column→Expression shim here would leave
@@ -73,6 +78,8 @@ object Functions {
       "simhash60", simhash60Builder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zorder2", zorder2Builder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", jaroWinklerBuilder, "scala_udf")
     // UDAF surface: SELECT topk3(value, tag) ... GROUP BY g
     spark.udf.register("topk3", TopKAgg.topK(3))
   }
