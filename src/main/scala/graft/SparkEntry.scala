@@ -1400,6 +1400,21 @@ object SparkEntry {
     // MERGE/upsert of a changes batch into a snapshot (the nightly
     // warehouse apply): every 3rd key gets a price correction (update),
     // every 5th spawns a shifted new key (insert), the rest keep.
+    // CDC changelog compaction: events as a keyed op log (error = a
+    // delete tombstone, everything else upserts the value), compacted
+    // to latest surviving state per user in ONE hash agg — max_by via
+    // lexicographic struct-max on the unique seq; no window sort of the
+    // log. Money in integer cents (driver data is on the 0.01 grid)
+    "cdc_apply" -> ((s, d) => {
+      val log = events(s, d).select(col("user_id"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+      Relational.cdcCompact(log, "user_id", "event_id", "op")
+        .select(col("user_id"), col("n_ops"), col("last_seq"),
+          col("v_cents").as("value_cents"))
+        .orderBy("user_id")
+    }),
+
     "merge_upsert" -> ((s, d) => {
       val cur = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
         round(col("o_totalprice"), 2).as("price"))
@@ -3418,6 +3433,19 @@ object SparkEntry {
            FROM ch)
          SELECT doc_id, chunk_idx, passage FROM r WHERE rn > 1
          ORDER BY doc_id, chunk_idx""",
+    // arg_max on the unique event_id is DuckDB's max_by — same
+    // last-writer-wins semantics as the Spark struct-max
+    "cdc_apply" ->
+      """WITH log AS (SELECT user_id, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             CAST(round(value * 100) AS BIGINT) AS v_cents FROM events),
+         last AS (SELECT user_id, count(*) AS n_ops,
+             max(event_id) AS last_seq,
+             arg_max(op, event_id) AS last_op,
+             arg_max(v_cents, event_id) AS value_cents
+           FROM log GROUP BY user_id)
+         SELECT user_id, n_ops, last_seq, value_cents
+         FROM last WHERE last_op <> 'D' ORDER BY user_id""",
     "merge_upsert" ->
       """WITH cur AS (SELECT o_orderkey AS k, o_custkey,
              round(o_totalprice, 2) AS price FROM orders),

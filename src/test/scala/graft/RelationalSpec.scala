@@ -33,6 +33,28 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("cdcCompact: tombstones, reinsert after delete, arrival-order invariance") {
+    // key 1: U,U -> lives with last value; key 2: U,D -> vanishes;
+    // key 3: U,D,U -> reinserted; key 4: lone D -> vanishes
+    val ops = Seq(
+      (1L, 10L, "U", 100L), (1L, 20L, "U", 110L),
+      (2L, 11L, "U", 200L), (2L, 21L, "D", 0L),
+      (3L, 12L, "U", 300L), (3L, 22L, "D", 0L), (3L, 32L, "U", 330L),
+      (4L, 13L, "D", 0L))
+    def run(rows: Seq[(Long, Long, String, Long)]) =
+      Relational.cdcCompact(rows.toDF("k", "seq", "op", "v"), "k", "seq", "op")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val expected = Seq((1L, 2L, 20L, 110L), (3L, 3L, 32L, 330L))
+    assert(run(ops) === expected)
+    // compaction must commute with arrival order and partition layout
+    val shuffled = scala.util.Random.shuffle(ops)
+    assert(run(shuffled) === expected)
+    val got = Relational.cdcCompact(
+      shuffled.toDF("k", "seq", "op", "v").repartition(7), "k", "seq", "op")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === expected)
+  }
+
   test("scd2 collapses runs and leaves the last interval open") {
     // user 7: A A B A  → intervals A[10,30) B[30,40) A[40,null)
     val events = Seq(
