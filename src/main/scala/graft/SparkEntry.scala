@@ -1400,6 +1400,21 @@ object SparkEntry {
     // MERGE/upsert of a changes batch into a snapshot (the nightly
     // warehouse apply): every 3rd key gets a price correction (update),
     // every 5th spawns a shifted new key (insert), the rest keep.
+    // robust outlier detection: median/MAD (not mean/stddev — a single
+    // extreme value inflates stddev and masks its neighbors) flags
+    // events with |v − median| > 2.5·MAD per event type. ALL comparisons
+    // in scaled integers: medians of cents land on the 0.5 grid, so
+    // 2·median and 2·MAD are exact longs — zero float drift across
+    // engines. Group stats are 5 rows → broadcast back; the event log
+    // shuffles only for the two tiny grouped percentiles
+    "robust_outliers" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+      graft.ops.DataQuality.robustOutliers(ev, "event_type", "event_id",
+          "v_cents", numHalf = 5)
+        .orderBy("event_id")
+    }),
+
     // CDC changelog compaction: events as a keyed op log (error = a
     // delete tombstone, everything else upserts the value), compacted
     // to latest surviving state per user in ONE hash agg — max_by via
@@ -3433,6 +3448,24 @@ object SparkEntry {
            FROM ch)
          SELECT doc_id, chunk_idx, passage FROM r WHERE rn > 1
          ORDER BY doc_id, chunk_idx""",
+    // quantile_cont ≡ Spark percentile (interpolated, proven by
+    // percentile_agg); everything after the two medians is BIGINT math
+    "robust_outliers" ->
+      """WITH ev AS (SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS v_cents FROM events),
+         med AS (SELECT event_type,
+             CAST(round(quantile_cont(v_cents, 0.5) * 2) AS BIGINT) AS m2
+           FROM ev GROUP BY event_type),
+         dev AS (SELECT ev.event_id, ev.event_type, ev.v_cents,
+             abs(2 * ev.v_cents - med.m2) AS dev2
+           FROM ev JOIN med USING (event_type)),
+         mad AS (SELECT event_type,
+             CAST(round(quantile_cont(dev2, 0.5) * 2) AS BIGINT) AS mad4
+           FROM dev GROUP BY event_type)
+         SELECT d.event_id, d.event_type, d.v_cents, d.dev2
+         FROM dev d JOIN mad USING (event_type)
+         WHERE 2 * d.dev2 > 5 * mad.mad4
+         ORDER BY event_id""",
     // arg_max on the unique event_id is DuckDB's max_by — same
     // last-writer-wins semantics as the Spark struct-max
     "cdc_apply" ->

@@ -58,6 +58,33 @@ object DataQuality {
     * the sum exact in a BIGINT to ~2×10⁹ rows per fingerprinted
     * partition — fingerprint per date-partition at 100 TB, then hash
     * the partition fingerprints. */
+  /** Median/MAD robust outliers: flag rows where
+    * |v − median(v)| > (numHalf/2)·MAD(v) within each group. Unlike
+    * mean/stddev z-scores, a handful of extreme values cannot inflate
+    * the spread estimate and mask each other (breakdown point 50%).
+    *
+    * Exactness contract: `centsCol` must be integer-scaled (e.g. money
+    * cents). Interpolated medians of integers land on the 0.5 grid, so
+    * 2·median and 2·MAD are exact longs and the flag comparison is pure
+    * integer math — bit-reproducible on any engine, any partitioning.
+    *
+    * Shape: two tiny grouped percentiles (one row per group) broadcast
+    * back onto the rows — the data shuffles only into those grouped
+    * aggregates, never for a window.
+    */
+  def robustOutliers(rows: DataFrame, groupCol: String, idCol: String,
+                     centsCol: String, numHalf: Int = 5): DataFrame = {
+    val med = rows.groupBy(groupCol)
+      .agg(round(expr(s"percentile($centsCol, 0.5)") * 2).cast("long").as("m2"))
+    val dev = rows.join(broadcast(med), groupCol)
+      .withColumn("dev2", abs(col(centsCol) * 2 - col("m2")))
+    val mad = dev.groupBy(groupCol)
+      .agg(round(expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), groupCol)
+      .filter(col("dev2") * 2 > col("mad4") * numHalf)
+      .select(col(idCol), col(groupCol), col(centsCol), col("dev2"))
+  }
+
   def datasetHash(df: DataFrame, rowCanon: Column): DataFrame =
     df.select(
         conv(substring(md5(rowCanon), 1, 8), 16, 10).cast("long").as("h"))

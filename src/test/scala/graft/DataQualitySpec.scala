@@ -90,4 +90,26 @@ class DataQualitySpec extends SparkTestBase {
         s"$key scans orders ${orderScans.size} times:\n${exec.toString.take(1200)}")
     }
   }
+
+  test("robustOutliers: half-integral medians stay exact; naive-double lockstep") {
+    // even group count => median 1050.5 cents and MAD on the .5 grid —
+    // the integer-scaled path must agree with a naive double reference
+    val vals = Seq(1000L, 1010L, 1050L, 1051L, 1090L, 1101L, 5000L, 980L)
+    val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp", "cents")
+    val got = graft.ops.DataQuality.robustOutliers(rows, "grp", "id", "cents")
+      .as[(Long, String, Long, Long)].collect().map(_._1).sorted.toSeq
+    // naive reference in doubles
+    def medD(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val m = medD(vals.map(_.toDouble))
+    val mad = medD(vals.map(v => math.abs(v - m)))
+    val expect = vals.zipWithIndex
+      .filter { case (v, _) => math.abs(v - m) > 2.5 * mad }
+      .map(_._2.toLong).sorted
+    assert(got === expect)
+    assert(got.nonEmpty) // the 5000-cent spike must flag
+  }
 }
