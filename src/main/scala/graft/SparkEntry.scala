@@ -1351,6 +1351,27 @@ object SparkEntry {
         .orderBy("title")
     }),
 
+    // k-core of the co-purchase graph: peel until every surviving part
+    // has >= 80 surviving co-purchase partners — the density filter
+    // that drops the periphery before community/similarity mining.
+    // Pair-gen reuses the triangles groupBy expansion (orders hold <=7
+    // parts) + distinct across orders; KCore handles the two-tier
+    // peeling. The k-core is unique, so the oracle's parallel-round
+    // unrolling meets the engine's (fast tier: sequential queue) peel
+    // at the same fixpoint
+    "graph_kcore" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      val pairs = li.groupBy("k")
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+          .as("pr"))
+        .select(col("pr.a"), col("pr.b")).distinct()
+      graft.graph.KCore.run(pairs, k = 80).orderBy("node")
+    }),
+
     // degree profile of the same graph — one shuffle per side, full outer
     // so pure sources/sinks appear with a zero degree
     "graph_degrees" -> ((s, d) => {
@@ -1945,6 +1966,37 @@ object SparkEntry {
            UNION
            SELECT e.eu, c.lbl FROM edges e JOIN cc c ON c.cu = e.ev),
          comp AS (SELECT cu AS node, min(lbl) AS component FROM cc GROUP BY cu)"""
+
+  /** Unrolled parallel k-core peeling for the DuckDB oracle: round i+1
+    * keeps the vertices whose degree WITHIN round i's survivor set is
+    * ≥ k. The k-core is the unique fixpoint of that map, and once a
+    * round removes nothing every later round is an identity — so a
+    * fixed unroll depth is exact as long as peeling converges within
+    * it (5 rounds at sf0.01 for k=80; 16 leaves ×3 headroom, and the
+    * Spark side runs to convergence regardless). A recursive CTE can't
+    * express this (the recursive relation would need TWO self-joins
+    * per step); chaining generated CTEs can. MATERIALIZED is load-
+    * bearing: inlined, DuckDB re-expands `edges` at every reference
+    * and runs out of file handles re-opening the parquet. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT e.u AS node FROM edges e
+           JOIN v${i - 1} x ON e.u = x.node JOIN v${i - 1} y ON e.v = y.node
+           GROUP BY e.u HAVING count(*) >= $k)"""
+    }.mkString(",\n         ")
+    s"""WITH pp AS MATERIALIZED (
+           SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         edges AS MATERIALIZED (SELECT a AS u, b AS v FROM pp
+           UNION ALL SELECT b, a FROM pp),
+         v0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM edges),
+         $peels
+         SELECT e.u AS node, CAST(count(*) AS BIGINT) AS core_deg
+         FROM edges e
+         JOIN v$rounds x ON e.u = x.node JOIN v$rounds y ON e.v = y.node
+         GROUP BY e.u ORDER BY node"""
+  }
 
   /** SQL 2008 `WITH RECURSIVE` — the SAME text runs on both engines.
     * Spark 4 executes it as a `UnionLoopExec` (iterative union-anchor
@@ -3388,6 +3440,9 @@ object SparkEntry {
            UNION ALL SELECT z FROM tri)
          SELECT node, CAST(count(*) AS BIGINT) AS n_tri
          FROM v GROUP BY node ORDER BY node""",
+    // unrolled parallel peeling — see kcoreOracleSql; identity rounds
+    // past the fixpoint make the fixed depth exact
+    "graph_kcore" -> kcoreOracleSql(k = 80, rounds = 16),
     // UNION (not UNION ALL) recursion: the working set is distinct
     // (title, dist) pairs, so cycles terminate and the row count is
     // bounded by V × hops; min(dist) collapses to the BFS hop count

@@ -1,6 +1,6 @@
 package graft
 
-import graft.graph.{ShortestPaths, Triangles}
+import graft.graph.{KCore, ShortestPaths, Triangles}
 import scala.util.Random
 
 /** Triangle counting + bounded-hop BFS vs naive in-test interpreters on
@@ -99,6 +99,55 @@ class GraphOpsSpec extends SparkTestBase {
         if i != j && rnd.nextDouble() < 0.15
       } yield (s"v$i", s"v$j")
       assert(bfsSpark(edges, "v0", 5) === bfsNaive(edges, "v0", 5))
+    }
+  }
+  private def kcoreNaive(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    var alive = und.map(_._1).toSet
+    var changed = true
+    while (changed) {
+      val deg = und.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).map { case (v, es) => v -> es.size }
+      val keep = alive.filter(v => deg.getOrElse(v, 0) >= k)
+      changed = keep != alive
+      alive = keep
+    }
+    und.filter(e => alive(e._1) && alive(e._2))
+      .groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+  }
+
+  private def kcoreSpark(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    KCore.run(edges.toDF("a", "b"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("k-core: clique survives, pendant chain peels, both tiers agree") {
+    // K5 (nodes 0..4) + a chain 4-10-11-12 hanging off it
+    val clique = for (i <- 0L to 4L; j <- i + 1 to 4L) yield (i, j)
+    val e = clique ++ Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val expected = clique.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, _) => v -> 4L }
+    assert(kcoreSpark(e, 4) === expected)  // chain gone, core degs = 4
+    assert(kcoreSpark(e, 5) === Map.empty) // K5 has max degree 4
+    KCore.fastPathEnabled = false
+    val dist = try kcoreSpark(e, 4) finally KCore.fastPathEnabled = true
+    assert(dist === expected)
+  }
+
+  test("random graphs: k-core matches the naive parallel peel, both tiers") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 3) {
+      val n = 20
+      val edges = (for {
+        i <- 0L until n; j <- i + 1 until n
+        if rnd.nextDouble() < 0.3
+      } yield (i, j)).toSeq
+      for (k <- Seq(2, 4, 6)) {
+        val want = kcoreNaive(edges, k)
+        assert(kcoreSpark(edges, k) === want, s"fast tier trial=$trial k=$k")
+        KCore.fastPathEnabled = false
+        try assert(kcoreSpark(edges, k) === want, s"dist tier trial=$trial k=$k")
+        finally KCore.fastPathEnabled = true
+      }
     }
   }
 }
