@@ -839,20 +839,20 @@ object SparkEntry {
     // and the key-range filter bounds both sides. Oracle = DuckDB's
     // built-in jaro_winkler_similarity (same 0.7-boost-threshold
     // variant, verified case by case)
-    "fuzzy_join" -> ((s, d) => {
-      val p = part(s, d).filter(col("p_partkey") < 600)
-        .select(col("p_partkey"), col("p_name"),
-          split(col("p_name"), " ").getItem(0).as("blk"))
-      val a = p.select(col("blk"), col("p_partkey").as("a_key"), col("p_name").as("a_name"))
-      val b = p.select(col("blk"), col("p_partkey").as("b_key"), col("p_name").as("b_name"))
-      val jw = ColumnShim.column(graft.functions.JaroWinkler(
-        ColumnShim.expression(col("a_name")), ColumnShim.expression(col("b_name"))))
-      a.join(b, Seq("blk"))
-        .filter(col("a_key") < col("b_key") && col("a_name") =!= col("b_name"))
-        .select(col("a_key"), col("b_key"), round(jw, 6).as("jw"))
-        .filter(col("jw") >= 0.9)
-        .orderBy("a_key", "b_key")
-    }),
+    "fuzzy_join" -> ((s, d) =>
+      fuzzyNamePairs(s, d).orderBy("a_key", "b_key")),
+
+    // entity resolution completed: the fuzzy pairs are only EVIDENCE of
+    // sameness — the entity is the transitive closure. Connected
+    // components (the generic large-star/small-star operator) turns
+    // pair evidence into one cluster id per part name variant, exactly
+    // as it does for MinHash document pairs
+    "fuzzy_clusters" -> ((s, d) =>
+      ConnectedComponents.run(
+          fuzzyNamePairs(s, d).select(col("a_key"), col("b_key")),
+          "a_key", "b_key")
+        .select(col("node").as("p_partkey"), col("component"))
+        .orderBy("p_partkey")),
 
     // 64-bit SimHash signatures (xxhash64 — Spark-internal, rows-only check)
     "dedup_simhash" -> ((s, d) =>
@@ -1866,6 +1866,22 @@ object SparkEntry {
   /** The same deterministic testdata graph as `pagerankGraph`, as a flat
     * (src, dst) edge relation: o→c and c→o from orders, o→p from
     * lineitem (parts are pure authorities — no out-edges). */
+  /** Blocked Jaro–Winkler candidate pairs shared by fuzzy_join /
+    * fuzzy_clusters — must stay in lockstep with `fuzzyPairsCtes`. */
+  private[graft] def fuzzyNamePairs(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).filter(col("p_partkey") < 600)
+      .select(col("p_partkey"), col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+    val a = p.select(col("blk"), col("p_partkey").as("a_key"), col("p_name").as("a_name"))
+    val b = p.select(col("blk"), col("p_partkey").as("b_key"), col("p_name").as("b_name"))
+    val jw = ColumnShim.column(graft.functions.JaroWinkler(
+      ColumnShim.expression(col("a_name")), ColumnShim.expression(col("b_name"))))
+    a.join(b, Seq("blk"))
+      .filter(col("a_key") < col("b_key") && col("a_name") =!= col("b_name"))
+      .select(col("a_key"), col("b_key"), round(jw, 6).as("jw"))
+      .filter(col("jw") >= 0.9)
+  }
+
   private[graft] def graphEdges(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d); val li = lineitem(s, d)
     o.select(concat(lit("o"), col("o_orderkey")).as("src"),
@@ -1966,6 +1982,23 @@ object SparkEntry {
            UNION
            SELECT e.eu, c.lbl FROM edges e JOIN cc c ON c.cu = e.ev),
          comp AS (SELECT cu AS node, min(lbl) AS component FROM cc GROUP BY cu)"""
+
+  /** DuckDB mirror of [[fuzzyNamePairs]] — blocked Jaro–Winkler pairs,
+    * filtered on the 6dp-rounded value on both sides so the threshold
+    * test sees identical doubles. DuckDB's jaro_winkler_similarity IS
+    * the 0.7-boost-threshold variant the native expression implements
+    * (byte-level on these ASCII names). Yields CTEs `fp`,
+    * `fcand(a_key, b_key, jw)`. */
+  private val fuzzyPairsCtes: String =
+    """fp AS (SELECT p_partkey, p_name,
+               split_part(p_name, ' ', 1) AS blk
+           FROM part WHERE p_partkey < 600),
+         fcand AS (
+           SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+               round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+           FROM fp a JOIN fp b ON a.blk = b.blk
+             AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name
+           WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9)"""
 
   /** Unrolled parallel k-core peeling for the DuckDB oracle: round i+1
     * keeps the vertices whose degree WITHIN round i's survivor set is
@@ -2638,15 +2671,15 @@ object SparkEntry {
     // names); filter on the 6dp-rounded value on both sides so the
     // threshold test sees identical doubles
     "fuzzy_join" ->
-      """WITH p AS (SELECT p_partkey, p_name,
-               split_part(p_name, ' ', 1) AS blk
-           FROM part WHERE p_partkey < 600)
-         SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
-             round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
-         FROM p a JOIN p b ON a.blk = b.blk
-           AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name
-         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
-         ORDER BY a_key, b_key""",
+      s"""WITH $fuzzyPairsCtes
+         SELECT a_key, b_key, jw FROM fcand ORDER BY a_key, b_key""",
+    // same pair evidence, closed transitively — the recursive min-label
+    // CTE cross-checks the large-star/small-star fixpoint over the
+    // Jaro-Winkler pair graph
+    "fuzzy_clusters" ->
+      s"""WITH RECURSIVE $fuzzyPairsCtes,
+         ${ccClosureCtes("fcand", "a_key", "b_key")}
+         SELECT node AS p_partkey, component FROM comp ORDER BY p_partkey""",
     // the full-corpus mining restricted to pairs touching the new batch —
     // exactly what the incremental path must reproduce
     "dedup_incremental" ->
