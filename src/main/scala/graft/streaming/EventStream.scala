@@ -68,6 +68,31 @@ object EventStream {
         col(s"__o.$valueCol").as("open"), col(s"__c.$valueCol").as("close"),
         col("high"), col("low"), col("n"))
 
+  /** Streaming CDC compaction — the streaming form of the `cdc_apply`
+    * key ([[graft.ops.Relational.cdcCompact]]). The lexicographic
+    * struct-max on the unique sequence is a commutative monoid, so the
+    * per-key streaming state IS the batch partial-aggregate: micro-batch
+    * arrival order, batch boundaries and replays cannot change the
+    * fixpoint (spec-asserted against the batch operator). The tombstone
+    * filter runs on the emitted rows — in update mode a key whose last
+    * op becomes a delete simply stops being emitted, which is the
+    * standard changelog-consumer contract (the sink owns retraction).
+    * State per key is one (seq, op, payload) struct — bounded by live
+    * keys, not by log length. */
+  def cdcLatest(ops: DataFrame, keyCol: String = "user_id",
+                seqCol: String = "event_id", opCol: String = "op",
+                deleteOp: String = "D"): DataFrame = {
+    val payload = ops.columns.filterNot(
+      Set(keyCol, seqCol, opCol, "t").contains).toSeq
+    val packed = struct((col(seqCol) +: col(opCol) +: payload.map(col)): _*)
+    ops.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_ops"), max(packed).as("last"))
+      .filter(col(s"last.$opCol") =!= deleteOp)
+      .select(col(keyCol) +: col("n_ops") +:
+        col(s"last.$seqCol").as("last_seq") +:
+        payload.map(c => col(s"last.$c").as(c)): _*)
+  }
+
   /** Streaming exact dedup — the streaming form of the `dedup_exact` key.
     * `dropDuplicatesWithinWatermark` keeps per-key state only until the
     * key's event time falls behind the watermark, so state is bounded by

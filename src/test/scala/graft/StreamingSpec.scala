@@ -86,6 +86,27 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming CDC compaction equals the batch cdcCompact fixpoint") {
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    def asOps(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+    val q = EventStream.cdcLatest(asOps(stream))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cdc").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("cdc")
+      .select("user_id", "n_ops", "last_seq", "v_cents")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = graft.ops.Relational.cdcCompact(
+        asOps(Tables.events(spark, sf)), "user_id", "event_id", "op")
+      .select("user_id", "n_ops", "last_seq", "v_cents")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup emits each event once despite a replayed input file") {
     // at-least-once delivery simulated by the same file arriving twice
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
