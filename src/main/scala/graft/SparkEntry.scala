@@ -242,6 +242,26 @@ object SparkEntry {
       InvertedIndex.postingStrings(documents(s, d), "doc_id", "text")
         .orderBy("word")),
 
+    // incremental materialized-view maintenance: the standing aggregate
+    // absorbs a delta batch by MERGING PARTIAL AGGREGATES (count/sum
+    // are commutative monoids) instead of rescanning the fact table —
+    // at 100 TB the refresh touches |delta| + |MV| rows, not the
+    // corpus. The oracle is the full direct recompute over base+delta:
+    // a hash-match IS the proof that merge ≡ recompute
+    "agg_incremental" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      val base  = o.filter(col("o_orderkey") % 7 =!= 0) // the standing MV's input
+      val delta = o.filter(col("o_orderkey") % 7 === 0) // the arriving batch
+      def partial(df: DataFrame) = df.groupBy("pri")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      partial(base).unionByName(partial(delta))
+        .groupBy("pri")
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("revenue_cents"))
+        .orderBy("pri")
+    }),
+
     // §2.4 A3 — group + sum (TPC-H Q1 shape; cent-exact aggregates)
     "group_sum" -> ((s, d) =>
       lineitem(s, d)
@@ -2224,6 +2244,14 @@ object SparkEntry {
       """SELECT word, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
          GROUP BY word ORDER BY word""",
+    // deliberately NOT the incremental formulation: the direct
+    // recompute over the whole table is the semantic the merge of
+    // partials must reproduce
+    "agg_incremental" ->
+      """SELECT o_orderpriority AS pri, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+         FROM orders GROUP BY o_orderpriority ORDER BY pri""",
     "group_sum" ->
       """SELECT l_returnflag, l_linestatus,
              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
