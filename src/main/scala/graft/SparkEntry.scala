@@ -1371,6 +1371,53 @@ object SparkEntry {
         .orderBy("title")
     }),
 
+    // weighted bipartite projection: the order–part incidence collapsed
+    // to a part–part graph weighted by co-occurrence support (the edge
+    // relation the triangle/k-core keys consume, with its weight kept).
+    // Pair-gen is the same groupBy + bounded per-order expansion (≤7
+    // parts/order ⇒ ≤21 pairs) — the naive self-join would shuffle the
+    // fact table against itself; support ≥ 3 prunes noise edges
+    "graph_project" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      li.groupBy("k")
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+          .as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 3)
+        .orderBy("a", "b")
+    }),
+
+    // equi-depth histogram: 10 buckets of near-equal row count over the
+    // price distribution — the data-profiling / optimizer-stats shape
+    // the fixed-bin histogram_fixed can't give on skewed data. NOT the
+    // ntile formulation: an unpartitioned ntile window is a single-task
+    // global sort (the one plan shape this engine bans). Instead: one
+    // aggregation computes the 9 decile cutpoints, broadcast back, and
+    // bucketing is a map-side comparison count. Exactness: deciles of
+    // integer cents interpolate on the 0.1 grid, so cut×10 is a true
+    // integer and the bucket test is pure long comparison
+    "histogram_equidepth" -> ((s, d) => {
+      val li = lineitem(s, d).select(
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val cutCols = (1 to 9).map(i => round(expr(s"percentile(cents, 0.$i)") * 10)
+        .cast("long").as(s"c$i"))
+      val cuts = li.agg(cutCols.head, cutCols.tail: _*)
+      val bucket = (1 to 9).foldLeft(lit(1)) { (acc, i) =>
+        acc + when(col("cents") * 10 > col(s"c$i"), 1).otherwise(0)
+      }
+      li.crossJoin(broadcast(cuts))
+        .select(col("cents"), bucket.cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+        .orderBy("bucket")
+    }),
+
     // k-core of the co-purchase graph: peel until every surviving part
     // has >= 80 surviving co-purchase partners — the density filter
     // that drops the periphery before community/similarity mining.
@@ -3501,6 +3548,33 @@ object SparkEntry {
            UNION ALL SELECT z FROM tri)
          SELECT node, CAST(count(*) AS BIGINT) AS n_tri
          FROM v GROUP BY node ORDER BY node""",
+    // the DISTINCT per (order, pair) inside pp mirrors the collect_set;
+    // the count over pp is then the order-support weight
+    "graph_project" ->
+      """WITH pp AS (
+           SELECT DISTINCT x.l_orderkey, x.l_partkey AS a, y.l_partkey AS b
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)
+         SELECT a, b, count(*) AS w FROM pp
+         GROUP BY a, b HAVING count(*) >= 3 ORDER BY a, b""",
+    // quantile_cont interpolates at rank p·(n−1) exactly like Spark's
+    // percentile, and the interpolated value lands on the 0.1-cent grid,
+    // so cut×10 rounds to the same long on both engines; the bucket test
+    // is then the same pure integer comparison (value-based: ties share
+    // a bucket — deliberately NOT ntile, which splits ties by row order)
+    "histogram_equidepth" ->
+      s"""WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+         c AS (SELECT ${(1 to 9).map(i =>
+          s"CAST(round(quantile_cont(cents, 0.$i) * 10) AS BIGINT) AS c$i")
+          .mkString(", ")} FROM li),
+         b AS (SELECT cents, CAST(1 ${(1 to 9).map(i =>
+          s"+ (CASE WHEN cents * 10 > c$i THEN 1 ELSE 0 END)").mkString(" ")}
+             AS BIGINT) AS bucket
+           FROM li, c)
+         SELECT bucket, count(*) AS n,
+             min(cents) AS lo_cents, max(cents) AS hi_cents
+         FROM b GROUP BY bucket ORDER BY bucket""",
     // unrolled parallel peeling — see kcoreOracleSql; identity rounds
     // past the fixpoint make the fixed depth exact
     "graph_kcore" -> kcoreOracleSql(k = 80, rounds = 16),
