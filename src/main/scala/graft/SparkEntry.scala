@@ -8,7 +8,7 @@ import graft.Tables._
 import graft.dedup.Dedup
 import graft.graph.ConnectedComponents
 import graft.index.InvertedIndex
-import graft.ops.{Relational, TextOps}
+import graft.ops.{Features, Relational, TextOps}
 import graft.pagerank.PageRank
 import graft.parse.WikiParser
 import graft.similarity.Similarity
@@ -1416,6 +1416,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
         .orderBy("bucket")
+    }),
+
+    // hashing-trick bag of words: fixed 64-dim sparse text features with
+    // NO vocabulary pass — token→md5 bucket, collisions by design
+    // (Weinberger et al. 2009). The two-level agg keeps the shuffle at
+    // (doc, bucket) granularity; features surface as a sorted
+    // "bucket:count" string (the engine-wide list-column convention)
+    "feature_hash" -> ((s, d) =>
+      Features.hashFeatures(documents(s, d), "doc_id", "text", dim = 64)
+        .orderBy("doc_id")),
+
+    // deterministic categorical indexing: (freq desc, value asc) total
+    // order — StringIndexer made engine-portable; the 5-row mapping
+    // broadcasts back so the fact table never shuffles
+    "label_index" -> ((s, d) =>
+      Features.indexLabels(orders(s, d), "o_orderpriority", "pri_idx")
+        .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+          col("pri_idx"))
+        .orderBy("o_orderkey")),
+
+    // min–max scaling to ppm in pure long math: one global (min,max) row
+    // broadcast back, truncating div on the cents/qty grid — bit-exact
+    // under any partitioning, no float rounding anywhere
+    "feature_scale" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_quantity")).cast("long").as("qty"))
+      Features.minMaxScale(li, Seq("cents", "qty"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("cents_ppm"), col("qty_ppm"))
+        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // k-core of the co-purchase graph: peel until every surviving part
@@ -3575,6 +3606,41 @@ object SparkEntry {
          SELECT bucket, count(*) AS n,
              min(cents) AS lo_cents, max(cents) AS hi_cents
          FROM b GROUP BY bucket ORDER BY bucket""",
+    // same md5-byte bucket convention as the sampling keys (md5BucketSql)
+    "feature_hash" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         b AS (SELECT doc_id, ${md5BucketSql("tok")} % 64 AS bucket
+           FROM t WHERE len(tok) > 0),
+         c AS (SELECT doc_id, bucket, count(*) AS cnt
+           FROM b GROUP BY doc_id, bucket)
+         SELECT doc_id,
+             string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(cnt AS VARCHAR),
+                        ' ' ORDER BY bucket) AS features
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "label_index" ->
+      """WITH m AS (SELECT o_orderpriority AS pri,
+             CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderpriority)
+                  - 1 AS BIGINT) AS pri_idx
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o.o_orderkey, o.o_orderpriority AS pri, m.pri_idx
+         FROM orders o JOIN m ON m.pri = o.o_orderpriority
+         ORDER BY o_orderkey""",
+    // // on non-negative BIGINTs is the same floor div as Spark's `div`
+    "feature_scale" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem),
+         s AS (SELECT min(cents) AS mnc, max(cents) AS mxc,
+             min(qty) AS mnq, max(qty) AS mxq FROM li)
+         SELECT l_orderkey, l_linenumber,
+             CAST(CASE WHEN mxc > mnc
+                  THEN (cents - mnc) * 1000000 // (mxc - mnc) ELSE 0
+               END AS BIGINT) AS cents_ppm,
+             CAST(CASE WHEN mxq > mnq
+                  THEN (qty - mnq) * 1000000 // (mxq - mnq) ELSE 0
+               END AS BIGINT) AS qty_ppm
+         FROM li, s ORDER BY l_orderkey, l_linenumber""",
     // unrolled parallel peeling — see kcoreOracleSql; identity rounds
     // past the fixpoint make the fixed depth exact
     "graph_kcore" -> kcoreOracleSql(k = 80, rounds = 16),
