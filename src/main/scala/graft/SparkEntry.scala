@@ -1371,6 +1371,17 @@ object SparkEntry {
         .orderBy("title")
     }),
 
+    // weighted bounded-cost SSSP from c1: Dijkstra fast tier /
+    // improved-only Bellman-Ford distributed; integer weights ≥ 1 make
+    // the 8-round oracle unroll provably sufficient (cost ≤ 8 ⇒ ≤ 8
+    // edges), not just empirically converged
+    "graph_sssp" -> ((s, d) => {
+      import s.implicits._
+      graft.graph.ShortestPaths.runWeighted(weightedEdges(s, d),
+          Seq("c1").toDF("title"), maxCost = 8)
+        .orderBy("title")
+    }),
+
     // weighted bipartite projection: the order–part incidence collapsed
     // to a part–part graph weighted by co-occurrence support (the edge
     // relation the triangle/k-core keys consume, with its weight kept).
@@ -1990,6 +2001,26 @@ object SparkEntry {
         concat(lit("o"), col("o_orderkey")).as("dst")))
   }
 
+  /** The tripartite graph with POSITIVE INTEGER weights: customer↔order
+    * hops cost 1; order→part costs 1 + ⌊quantity/10⌋ (1..6) — integer by
+    * construction, which is the [[graft.graph.ShortestPaths.runWeighted]]
+    * convergence contract. */
+  private[graft] def weightedEdges(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d); val li = lineitem(s, d)
+    o.select(concat(lit("o"), col("o_orderkey")).as("src"),
+        concat(lit("c"), col("o_custkey")).as("dst"), lit(1L).as("w"))
+      .unionByName(o.select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("o"), col("o_orderkey")).as("dst"), lit(1L).as("w")))
+      .unionByName(li.select(concat(lit("o"), col("l_orderkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"),
+        (lit(1L) + floor(col("l_quantity") / 10).cast("long")).as("w")))
+      // the reverse part→order arm keeps parts from being sinks, so the
+      // traversal actually fans out across the co-purchase structure
+      .unionByName(li.select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("o"), col("l_orderkey")).as("dst"),
+        (lit(1L) + floor(col("l_quantity") / 10).cast("long")).as("w")))
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — same column names, same ordering, same rounding.
   // ---------------------------------------------------------------------
@@ -2109,6 +2140,40 @@ object SparkEntry {
     * per step); chaining generated CTEs can. MATERIALIZED is load-
     * bearing: inlined, DuckDB re-expands `edges` at every reference
     * and runs out of file handles re-opening the parquet. */
+  /** Unrolled Bellman–Ford over the weighted tripartite graph. With
+    * integer weights ≥ 1, a shortest path of cost ≤ maxCost has ≤
+    * maxCost edges, so maxCost rounds reach the fixpoint EXACTLY (extra
+    * rounds are identity) — same discipline as kcoreOracleSql, but here
+    * the unroll depth is a theorem, not an observation. MATERIALIZED
+    * stops DuckDB inlining d_{r-1} twice per round (2^rounds blowup). */
+  private def ssspOracleSql(maxCost: Int): String = {
+    val rounds = (1 to maxCost).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT title, min(d) AS d FROM (
+             SELECT title, d FROM d${r - 1}
+             UNION ALL
+             SELECT e.dst, p.d + e.w FROM d${r - 1} p
+             JOIN edges e ON e.src = p.title
+             WHERE p.d + e.w <= $maxCost) GROUP BY title)"""
+    }.mkString(",\n         ")
+    s"""WITH edges AS MATERIALIZED (
+           SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst,
+                  CAST(1 AS BIGINT) AS w FROM orders
+           UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR),
+                  'o' || CAST(o_orderkey AS VARCHAR), CAST(1 AS BIGINT)
+             FROM orders
+           UNION ALL SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+                  'p' || CAST(l_partkey AS VARCHAR),
+                  1 + CAST(floor(l_quantity / 10) AS BIGINT) FROM lineitem
+           UNION ALL SELECT 'p' || CAST(l_partkey AS VARCHAR),
+                  'o' || CAST(l_orderkey AS VARCHAR),
+                  1 + CAST(floor(l_quantity / 10) AS BIGINT) FROM lineitem),
+         d0 AS (SELECT 'c1' AS title, CAST(0 AS BIGINT) AS d),
+         $rounds
+         SELECT title, CAST(d AS BIGINT) AS dist
+         FROM d$maxCost ORDER BY title"""
+  }
+
   private def kcoreOracleSql(k: Int, rounds: Int): String = {
     val peels = (1 to rounds).map { i =>
       s"""v$i AS MATERIALIZED (SELECT e.u AS node FROM edges e
@@ -3644,6 +3709,7 @@ object SparkEntry {
     // unrolled parallel peeling — see kcoreOracleSql; identity rounds
     // past the fixpoint make the fixed depth exact
     "graph_kcore" -> kcoreOracleSql(k = 80, rounds = 16),
+    "graph_sssp" -> ssspOracleSql(maxCost = 8),
     // UNION (not UNION ALL) recursion: the working set is distinct
     // (title, dist) pairs, so cycles terminate and the row count is
     // bounded by V × hops; min(dist) collapses to the BFS hop count

@@ -150,4 +150,56 @@ class GraphOpsSpec extends SparkTestBase {
       }
     }
   }
+
+  // ---------------------------------------------------------------- SSSP
+
+  private def ssspNaive(edges: Seq[(String, String, Long)], src: String,
+                        maxCost: Long): Map[String, Long] = {
+    // Bellman-Ford to fixpoint, then the cost cap
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    var changed = true
+    while (changed) {
+      changed = false
+      edges.foreach { case (u, v, w) =>
+        dist.get(u).foreach { du =>
+          if (du + w < dist.getOrElse(v, Long.MaxValue)) {
+            dist(v) = du + w; changed = true
+          }
+        }
+      }
+    }
+    dist.filter(_._2 <= maxCost).toMap
+  }
+
+  private def ssspSpark(edges: Seq[(String, String, Long)], src: String,
+                        maxCost: Long): Map[String, Long] =
+    ShortestPaths.runWeighted(edges.toDF("src", "dst", "w"),
+        Seq(src).toDF("title"), maxCost)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("SSSP: cheaper long path beats expensive short one; cap is on cost") {
+    val e = Seq(("a", "d", 5L),                       // direct, cost 5
+      ("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L), // 3 hops, cost 3
+      ("d", "z", 9L))                                 // z at 12 > cap
+    assert(ssspSpark(e, "a", 10L) ===
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    // a tight cap prunes mid-traversal, not just at the end
+    assert(ssspSpark(e, "a", 2L) === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
+  test("random weighted graphs: SSSP matches Bellman-Ford, both tiers") {
+    val rnd = new Random(23)
+    for (trial <- 1 to 3) {
+      val n = 15
+      val edges = for {
+        i <- 0 until n; j <- 0 until n
+        if i != j && rnd.nextDouble() < 0.2
+      } yield (s"v$i", s"v$j", 1L + rnd.nextInt(4).toLong)
+      val want = ssspNaive(edges, "v0", 8L)
+      assert(ssspSpark(edges, "v0", 8L) === want, s"fast tier trial=$trial")
+      ShortestPaths.fastPathEnabled = false
+      try assert(ssspSpark(edges, "v0", 8L) === want, s"dist tier trial=$trial")
+      finally ShortestPaths.fastPathEnabled = true
+    }
+  }
 }
