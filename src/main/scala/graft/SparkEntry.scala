@@ -1481,6 +1481,22 @@ object SparkEntry {
       graft.graph.KCore.run(pairs, k = 80).orderBy("node")
     }),
 
+    // 4 rounds of synchronous min-tie label propagation on the same
+    // co-purchase graph — fixed-round contract (not fixpoint), so the
+    // unrolled oracle is exact even where synchronous LPA oscillates
+    "graph_lpa" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      val pairs = li.groupBy("k")
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+          .as("pr"))
+        .select(col("pr.a"), col("pr.b")).distinct()
+      graft.graph.LabelPropagation.run(pairs, rounds = 4).orderBy("node")
+    }),
+
     // degree profile of the same graph — one shuffle per side, full outer
     // so pure sources/sinks appear with a zero degree
     "graph_degrees" -> ((s, d) => {
@@ -2172,6 +2188,33 @@ object SparkEntry {
          $rounds
          SELECT title, CAST(d AS BIGINT) AS dist
          FROM d$maxCost ORDER BY title"""
+  }
+
+  /** Unrolled synchronous LPA rounds: the (freq desc, label asc) winner
+    * via a per-round row_number — the window formulation is fine at
+    * oracle scale; the Spark side computes the same argmax as a
+    * max(struct) monoid. Fixed-round contract ⇒ the unroll IS the
+    * semantics (no fixpoint assumption needed). */
+  private def lpaOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+             SELECT node, label FROM (
+               SELECT e.u AS node, l.label, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY e.u
+                     ORDER BY count(*) DESC, l.label ASC) AS rn
+               FROM edges e JOIN l${r - 1} l ON l.node = e.v
+               GROUP BY e.u, l.label) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    s"""WITH pp AS MATERIALIZED (
+           SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         edges AS MATERIALIZED (SELECT a AS u, b AS v FROM pp
+           UNION ALL SELECT b, a FROM pp),
+         l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM edges),
+         $steps
+         SELECT node, CAST(label AS BIGINT) AS label
+         FROM l$rounds ORDER BY node"""
   }
 
   private def kcoreOracleSql(k: Int, rounds: Int): String = {
@@ -3710,6 +3753,7 @@ object SparkEntry {
     // past the fixpoint make the fixed depth exact
     "graph_kcore" -> kcoreOracleSql(k = 80, rounds = 16),
     "graph_sssp" -> ssspOracleSql(maxCost = 8),
+    "graph_lpa" -> lpaOracleSql(rounds = 4),
     // UNION (not UNION ALL) recursion: the working set is distinct
     // (title, dist) pairs, so cycles terminate and the row count is
     // bounded by V × hops; min(dist) collapses to the BFS hop count

@@ -1,6 +1,6 @@
 package graft
 
-import graft.graph.{KCore, ShortestPaths, Triangles}
+import graft.graph.{KCore, LabelPropagation, ShortestPaths, Triangles}
 import scala.util.Random
 
 /** Triangle counting + bounded-hop BFS vs naive in-test interpreters on
@@ -200,6 +200,56 @@ class GraphOpsSpec extends SparkTestBase {
       ShortestPaths.fastPathEnabled = false
       try assert(ssspSpark(edges, "v0", 8L) === want, s"dist tier trial=$trial")
       finally ShortestPaths.fastPathEnabled = true
+    }
+  }
+
+  // ----------------------------------------------------------------- LPA
+
+  private def lpaNaive(pairs: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val clean = pairs.filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap)).distinct
+    val adj = clean.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      labels = adj.map { case (v, ns) =>
+        val votes = ns.groupBy(labels).view.mapValues(_.size.toLong)
+        // freq desc, label asc
+        v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  private def lpaSpark(pairs: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    LabelPropagation.run(pairs.toDF("a", "b"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("LPA: two cliques joined by a bridge settle into two communities") {
+    val c1 = for (i <- 1L to 4L; j <- i + 1 to 4L) yield (i, j)
+    val c2 = for (i <- 11L to 14L; j <- i + 1 to 14L) yield (i, j)
+    val e = c1 ++ c2 :+ ((4L, 11L))
+    val got = lpaSpark(e, 4)
+    // each clique converges onto its own minimum label
+    assert((1L to 4L).map(got).toSet.size == 1)
+    assert((11L to 14L).map(got).toSet.size == 1)
+    assert(got(1L) != got(14L))
+  }
+
+  test("random graphs: LPA matches the naive synchronous rounds, both tiers") {
+    val rnd = new Random(31)
+    for (trial <- 1 to 3) {
+      val n = 18L
+      val edges = (for {
+        i <- 0L until n; j <- i + 1 until n
+        if rnd.nextDouble() < 0.25
+      } yield (i, j)).toSeq
+      for (rounds <- Seq(1, 3, 5)) {
+        val want = lpaNaive(edges, rounds)
+        assert(lpaSpark(edges, rounds) === want, s"fast trial=$trial r=$rounds")
+        LabelPropagation.fastPathEnabled = false
+        try assert(lpaSpark(edges, rounds) === want, s"dist trial=$trial r=$rounds")
+        finally LabelPropagation.fastPathEnabled = true
+      }
     }
   }
 }
