@@ -1429,6 +1429,35 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // TPC-H Q5-shaped star join: one fact-fact shuffle (lineitem ⋈
+    // orders on orderkey), every dimension broadcast (region-filtered
+    // nations, suppliers, customers), the same-nation customer=supplier
+    // constraint applied as a post-join filter. Revenue in exact 1e-4
+    // units (cents × discount-percent longs) — associative, so any
+    // partial-agg order agrees. The plan to want at 100 TB: the fact
+    // table shuffles ONCE; nothing else does
+    "star_join" -> ((s, d) => {
+      val li = lineitem(s, d); val o = orders(s, d); val c = customer(s, d)
+      val su = supplier(s, d); val n = nation(s, d); val r = region(s, d)
+      val asiaNations = n
+        .join(broadcast(r.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      li.join(o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+            * round((lit(1) - col("l_discount")) * 100).cast("long"))
+          .as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue_e4"), asc("n_name"))
+    }),
+
     // hashing-trick bag of words: fixed 64-dim sparse text features with
     // NO vocabulary pass — token→md5 bucket, collisions by design
     // (Weinberger et al. 2009). The two-level agg keeps the shuffle at
@@ -3714,6 +3743,24 @@ object SparkEntry {
          SELECT bucket, count(*) AS n,
              min(cents) AS lo_cents, max(cents) AS hi_cents
          FROM b GROUP BY bucket ORDER BY bucket""",
+    "star_join" ->
+      """SELECT n.n_name,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+               AS BIGINT) AS revenue_e4,
+             count(*) AS n_items
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND c.c_nationkey = s.s_nationkey
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n.n_name
+         ORDER BY revenue_e4 DESC, n_name""",
     // same md5-byte bucket convention as the sampling keys (md5BucketSql)
     "feature_hash" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

