@@ -1458,6 +1458,40 @@ object SparkEntry {
         .orderBy(desc("revenue_e4"), asc("n_name"))
     }),
 
+    // URL parsing/normalization — the first pass of every web-corpus
+    // pipeline (canonical URL = dedup key, domain = quality/source
+    // signal). URLs are synthesized deterministically (the PII-injection
+    // pattern: the corpus has none); parsing is pure Java∩RE2 regex so
+    // the oracle runs the IDENTICAL patterns. Normalization: lowercase
+    // host, strip port/query/fragment; domain = last two host labels
+    // (registrable-domain heuristic). Port stays a string ('' when
+    // absent) — casting '' to BIGINT diverges between engines. Map-side
+    // only: zero shuffles below the output sort
+    "url_parse" -> ((s, d) => {
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("http")).otherwise(lit("https")),
+        lit("://WWW.Site"), (col("doc_id") % 50).cast("string"),
+        lit(".Example.COM"),
+        when(col("doc_id") % 4 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/docs/"), col("doc_id").cast("string"), lit("/view"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?id="), col("doc_id").cast("string"), lit("&ref=feed")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#top")).otherwise(lit("")))
+      val withUrl = documents(s, d).select(col("doc_id"), url.as("url"))
+      val host = lower(regexp_extract(col("url"), "^[a-z]+://([^/?#:]+)", 1))
+      withUrl.select(col("doc_id"), col("url"),
+          regexp_extract(col("url"), "^([a-z]+)://", 1).as("scheme"),
+          host.as("host"),
+          regexp_extract(host, "([a-z0-9-]+\\.[a-z0-9-]+)$", 1).as("domain"),
+          regexp_extract(col("url"), "^[a-z]+://[^/?#:]+:([0-9]+)", 1).as("port"),
+          regexp_extract(col("url"), "^[a-z]+://[^/?#]+(/[^?#]*)", 1).as("path"),
+          regexp_extract(col("url"), "[?&]id=([0-9]+)", 1).as("qid"))
+        .withColumn("norm",
+          concat(col("scheme"), lit("://"), col("host"), col("path")))
+        .orderBy("doc_id")
+    }),
+
     // hashing-trick bag of words: fixed 64-dim sparse text features with
     // NO vocabulary pass — token→md5 bucket, collisions by design
     // (Weinberger et al. 2009). The two-level agg keeps the shuffle at
@@ -3761,6 +3795,30 @@ object SparkEntry {
            AND o.o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n.n_name
          ORDER BY revenue_e4 DESC, n_name""",
+    // identical synthesized URLs, identical Java∩RE2 patterns
+    "url_parse" ->
+      """WITH u AS (SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
+             || '://WWW.Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
+             || (CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END)
+             || '/docs/' || CAST(doc_id AS VARCHAR) || '/view'
+             || (CASE WHEN doc_id % 2 = 0
+                 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&ref=feed'
+                 ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url
+           FROM documents),
+         p AS (SELECT doc_id, url,
+             regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+             lower(regexp_extract(url, '^[a-z]+://([^/?#:]+)', 1)) AS host,
+             regexp_extract(url, '^[a-z]+://[^/?#:]+:([0-9]+)', 1) AS port,
+             regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+             regexp_extract(url, '[?&]id=([0-9]+)', 1) AS qid
+           FROM u)
+         SELECT doc_id, url, scheme, host,
+             regexp_extract(host, '([a-z0-9-]+\.[a-z0-9-]+)$', 1) AS domain,
+             port, path, qid,
+             scheme || '://' || host || path AS norm
+         FROM p ORDER BY doc_id""",
     // same md5-byte bucket convention as the sampling keys (md5BucketSql)
     "feature_hash" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
