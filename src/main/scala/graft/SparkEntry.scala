@@ -834,6 +834,16 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // PPJoin prefix filtering: EXACT all-pairs Jaccard ≥ 0.5 (provably
+    // no false negatives — the oracle is brute-force all-pairs, NOT a
+    // candidate re-derivation). maxBucket unbounded here so the cap
+    // can't silently truncate vs that oracle (the knn_join precedent);
+    // production callers keep the 1000 default + bucketOverflow feed
+    "dedup_prefix" -> ((s, d) =>
+      Dedup.prefixFilterPairs(documents(s, d), "doc_id", "text",
+          threshold = 0.5, maxBucket = 1 << 20)
+        .orderBy("doc_a", "doc_b")),
+
     // containment |A∩B|/min(|A|,|B|) on the same candidates — the
     // asymmetric-length fix: a short doc quoted whole inside a long one
     // scores 1.0 here while Jaccard dilutes it toward 0
@@ -2917,6 +2927,22 @@ object SparkEntry {
            JOIN sh sb ON sb.doc_id = c.doc_b)
          SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / u, 6) AS jaccard
          FROM j WHERE CAST(i AS DOUBLE) / u >= 0.5
+         ORDER BY doc_a, doc_b""",
+    // brute-force ALL-pairs Jaccard — deliberately NOT the prefix-filter
+    // re-derivation: hash-match proves the pruning loses nothing
+    "dedup_prefix" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sgl FROM tok),
+         nz AS (SELECT doc_id, sgl FROM sh WHERE len(sgl) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sgl, b.sgl)) AS BIGINT) AS i,
+             CAST(len(a.sgl) + len(b.sgl)
+                  - len(list_intersect(a.sgl, b.sgl)) AS BIGINT) AS u
+           FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / u, 6) AS jaccard
+         FROM p WHERE CAST(i AS DOUBLE) / u >= 0.5
          ORDER BY doc_a, doc_b""",
     // same candidate CTEs, containment verify (min-size denominator)
     "dedup_containment" ->

@@ -413,4 +413,59 @@ object Dedup {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("passage"))
   }
+
+  /** PPJoin-style prefix-filtered set-similarity join: ALL pairs with
+    * n-gram Jaccard ≥ `threshold` — EXACT (no false negatives), unlike
+    * the MinHash-LSH staging of [[ngramJaccardPairs]], which is only as
+    * complete as its banding recall.
+    *
+    * The prefix-filter theorem (Chaudhuri et al. 2006 / Xiao et al.
+    * PPJoin 2008): order every doc's shingles by ONE global canonical
+    * order — rarest first, here (document-frequency asc, shingle asc) —
+    * and keep only each doc's first |d| − ⌈t·|d|⌉ + 1 shingles. Any pair
+    * with J ≥ t needs overlap ≥ ⌈t·max(|a|,|b|)⌉, and two sets whose
+    * overlap exceeds what they can cover outside their prefixes must
+    * share a PREFIX shingle — so candidates = docs sharing ≥1 prefix
+    * shingle, everything else is provably below threshold. Rare-first
+    * ordering makes those shared-prefix buckets the SMALLEST possible
+    * ones: the frequent shingles that create mega-buckets in a plain
+    * inverted-index join sort to the suffix and never generate pairs.
+    *
+    * Scale shape: one word-count shuffle for df, one (doc,shingle)⋈df
+    * shuffle to rank, capped bucket expansion on prefix shingles
+    * ([[bucketPairs]]), then the usual broadcast-semi-join-pruned exact
+    * verify. The corpus text is never shuffled; the quadratic step is
+    * bounded per prefix-bucket.
+    */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, shingleSize: Int = 3,
+                        maxBucket: Int = 1000): DataFrame = {
+    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
+        shingles(graft.ops.TextOps.tokenize(col(textCol)), shingleSize).as("sgl"))
+      .filter(size(col("sgl")) > 0)
+      .localCheckpoint() // consumed 3×: df count, prefix ranking, verify
+    val df = sh.select(explode(col("sgl")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    val prefixes = sh.select(col("doc_id"), explode(col("sgl")).as("s"))
+      .join(df, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("rs"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(
+              slice(rs, 1, CAST(size(rs) - ceil($threshold * size(rs)) + 1 AS INT)),
+              x -> x.s)""")).as("s"))
+    val cands = bucketPairs(prefixes, Seq("s"), maxBucket).localCheckpoint()
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val pruned = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    cands
+      .join(pruned.select(col("doc_id").as("doc_a"), col("sgl").as("sgl_a")), "doc_a")
+      .join(pruned.select(col("doc_id").as("doc_b"), col("sgl").as("sgl_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sgl_a"), col("sgl_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sgl_a")).cast("long") + size(col("sgl_b")).cast("long") - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
 }

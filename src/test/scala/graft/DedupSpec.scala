@@ -216,4 +216,49 @@ class DedupSpec extends SparkTestBase {
       .toDF("doc_id", "text")
     assert(Dedup.passageDupes(docs, "doc_id", "text", chunkTokens = 4).count() == 0)
   }
+
+  test("prefix-filter pairs = brute-force all-pairs Jaccard (no false negatives)") {
+    // random word soup over a small vocab → plenty of shared shingles
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (1L to 40L).map { id =>
+      val base = Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (id, base)
+    }.toDF("doc_id", "text")
+    def naive(th: Double): Set[(Long, Long, Double)] = {
+      def sgl(t: String): Set[String] =
+        t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val m = docs.as[(Long, String)].collect().toMap.view.mapValues(sgl).toMap
+      (for {
+        (a, sa) <- m.toSeq; (b, sb) <- m.toSeq
+        if a < b && sa.nonEmpty && sb.nonEmpty
+        i = (sa & sb).size.toDouble; u = (sa | sb).size.toDouble
+        if i / u >= th
+      } yield (a, b, BigDecimal(i / u).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    }
+    for (th <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.prefixFilterPairs(docs, "doc_id", "text", th)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == naive(th), s"threshold $th")
+    }
+  }
+
+  test("prefix filter prunes: candidate prefixes are a strict subset of shingles") {
+    // high threshold → prefix length |d| − ⌈t|d|⌉ + 1 ≪ |d|: the operator
+    // must consider far fewer (doc, shingle) index rows than a full
+    // inverted-index self-join would
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = docs.select(col("doc_id"),
+      graft.dedup.Dedup.shingles(
+        graft.ops.TextOps.tokenize(col("text")), 3).as("sgl"))
+    val totalShingles = sh.select(explode(col("sgl"))).count()
+    // reproduce the operator's prefix length at t = 0.8: ~20% of rows
+    val prefixRows = sh.filter(size(col("sgl")) > 0)
+      .select((size(col("sgl")).cast("long")
+        - ceil(size(col("sgl")) * 0.8) + 1).as("len"))
+      .agg(sum(col("len"))).as[Long].head()
+    assert(prefixRows.toDouble / totalShingles < 0.35,
+      s"prefix index $prefixRows rows vs $totalShingles shingles")
+  }
 }
