@@ -884,6 +884,33 @@ object SparkEntry {
         .select(col("node").as("p_partkey"), col("component"))
         .orderBy("p_partkey")),
 
+    // survivorship ("golden record"): one canonical record per fuzzy
+    // entity cluster, each field by its own deterministic precedence —
+    // name from the OLDEST member (min-key struct monoid), price/size as
+    // maxima, all in ONE hash agg over parts left-joined to the
+    // (bounded, broadcast) cluster labels. Singletons are their own
+    // entity — the merge covers the whole table, not just matched rows
+    "golden_record" -> ((s, d) => {
+      val clusters = ConnectedComponents.run(
+          fuzzyNamePairs(s, d).select(col("a_key"), col("b_key")),
+          "a_key", "b_key")
+        .withColumnRenamed("node", "p_partkey")
+      part(s, d)
+        .join(broadcast(clusters), Seq("p_partkey"), "left")
+        .select(coalesce(col("component"), col("p_partkey")).as("entity_id"),
+          col("p_partkey"), col("p_name"),
+          round(col("p_retailprice") * 100).cast("long").as("cents"),
+          col("p_size").cast("long").as("psize"))
+        .groupBy("entity_id")
+        .agg(min(struct(col("p_partkey"), col("p_name"))).as("oldest"),
+          max(col("cents")).as("max_price_cents"),
+          max(col("psize")).as("max_size"),
+          count(lit(1)).as("n_members"))
+        .select(col("entity_id"), col("oldest.p_name").as("canon_name"),
+          col("max_price_cents"), col("max_size"), col("n_members"))
+        .orderBy("entity_id")
+    }),
+
     // 64-bit SimHash signatures (xxhash64 — Spark-internal, rows-only check)
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(documents(s, d), "doc_id", "text").orderBy("doc_id")),
@@ -2983,6 +3010,21 @@ object SparkEntry {
       s"""WITH RECURSIVE $fuzzyPairsCtes,
          ${ccClosureCtes("fcand", "a_key", "b_key")}
          SELECT node AS p_partkey, component FROM comp ORDER BY p_partkey""",
+    // same closure, then per-field survivorship: arg_min for the oldest
+    // name, plain maxima for the rest — DuckDB's arg_min ≡ the Spark
+    // min(struct) monoid because p_partkey is unique
+    "golden_record" ->
+      s"""WITH RECURSIVE $fuzzyPairsCtes,
+         ${ccClosureCtes("fcand", "a_key", "b_key")},
+         lab AS (SELECT p.p_partkey,
+             coalesce(c.component, p.p_partkey) AS entity_id, p.p_name,
+             CAST(round(p.p_retailprice * 100) AS BIGINT) AS cents,
+             CAST(p.p_size AS BIGINT) AS psize
+           FROM part p LEFT JOIN comp c ON c.node = p.p_partkey)
+         SELECT entity_id, arg_min(p_name, p_partkey) AS canon_name,
+             max(cents) AS max_price_cents, max(psize) AS max_size,
+             count(*) AS n_members
+         FROM lab GROUP BY entity_id ORDER BY entity_id""",
     // the full-corpus mining restricted to pairs touching the new batch —
     // exactly what the incremental path must reproduce
     "dedup_incremental" ->
