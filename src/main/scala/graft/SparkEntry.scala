@@ -519,6 +519,28 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("long").as("k_val"))
         .orderBy("event_id")),
 
+    // semi-structured VARIANT path (Spark 4's open-schema ingest type):
+    // parse_json once into a binary variant, then typed variant_get
+    // probes — nested object, array index, scalar — without re-parsing
+    // the string per path (what repeated get_json_object does) and
+    // without declaring a schema up front (what from_json needs). The
+    // nested doc is synthesized deterministically from event columns;
+    // the oracle runs DuckDB's native JSON extraction on the same text
+    "variant_json" -> ((s, d) => {
+      val json = concat(lit("{\"k\": "),
+        get_json_object(col("props"), "$.k"),
+        lit(", \"user\": {\"id\": "), col("user_id").cast("string"),
+        lit("}, \"tags\": [\"t"), (col("event_id") % 3).cast("string"),
+        lit("\", \"x\"]}"))
+      events(s, d)
+        .select(col("event_id"), parse_json(json).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k_val"),
+          expr("variant_get(v, '$.user.id', 'bigint')").as("uid"),
+          expr("variant_get(v, '$.tags[0]', 'string')").as("tag0"))
+        .orderBy("event_id")
+    }),
+
     // schema-ful JSON decode: from_json parses the whole document against
     // a declared struct (the typed-ingest path; get_json_object above is
     // the per-path probe) — same independent regexp oracle
@@ -2496,6 +2518,21 @@ object SparkEntry {
     "regex_replace" ->
       """SELECT doc_id, regexp_replace(text, '[aeiou]', '', 'g') AS scrubbed
          FROM documents ORDER BY doc_id""",
+    // DuckDB native JSON probes over the identically-synthesized text;
+    // json_extract_string strips the quotes exactly like the typed
+    // variant_get(..., 'string') does
+    "variant_json" ->
+      """WITH j AS (SELECT event_id,
+             '{"k": ' || json_extract_string(props, '$.k')
+             || ', "user": {"id": ' || CAST(user_id AS VARCHAR)
+             || '}, "tags": ["t' || CAST(event_id % 3 AS VARCHAR)
+             || '", "x"]}' AS doc
+           FROM events)
+         SELECT event_id,
+             CAST(json_extract(doc, '$.k') AS BIGINT) AS k_val,
+             CAST(json_extract(doc, '$.user.id') AS BIGINT) AS uid,
+             json_extract_string(doc, '$.tags[0]') AS tag0
+         FROM j ORDER BY event_id""",
     "project_lower_trim" ->
       """SELECT c_custkey, lower(c_name) AS lname, trim(c_mktsegment) AS seg
          FROM customer ORDER BY c_custkey""",
