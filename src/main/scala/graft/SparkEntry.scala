@@ -1517,6 +1517,25 @@ object SparkEntry {
         .orderBy(desc("revenue_e4"), asc("n_name"))
     }),
 
+    // training-shard manifest: deterministic doc→shard assignment (md5
+    // bucket — growth-stable, engine-portable) + per-shard audit row
+    // (count, token budget, commutative content fingerprint). The
+    // manifest is what a training job checks BEFORE reading 100 TB of
+    // shards: row counts and fingerprints localize a bad shard without
+    // re-reading the corpus. One scan, one 16-group agg
+    "shard_manifest" -> ((s, d) =>
+      documents(s, d).select(
+          (graft.ops.Sampling.hashBucket(col("doc_id")) % 16).cast("long")
+            .as("shard"),
+          size(TextOps.tokenize(col("text"))).cast("long").as("ntok"),
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"),
+            col("n_chars").cast("string"))), 1, 8), 16, 10).cast("long")
+            .as("h"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("token_sum"),
+          sum(col("h")).as("fingerprint"))
+        .orderBy("shard")),
+
     // URL parsing/normalization — the first pass of every web-corpus
     // pipeline (canonical URL = dedup key, domain = quality/source
     // signal). URLs are synthesized deterministically (the PII-injection
@@ -3900,6 +3919,18 @@ object SparkEntry {
            AND o.o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n.n_name
          ORDER BY revenue_e4 DESC, n_name""",
+    // md5-byte shard bucket + the dataset_hash fingerprint convention
+    "shard_manifest" ->
+      s"""WITH rows_h AS (SELECT
+             ${md5BucketSql("doc_id")} % 16 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+               || CAST(n_chars AS VARCHAR)), 1, 8)) AS UBIGINT) AS h
+           FROM documents)
+         SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS token_sum,
+             CAST(sum(h) AS BIGINT) AS fingerprint
+         FROM rows_h GROUP BY shard ORDER BY shard""",
     // identical synthesized URLs, identical Java∩RE2 patterns
     "url_parse" ->
       """WITH u AS (SELECT doc_id,
