@@ -1759,6 +1759,34 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // last-touch attribution: each purchase credits the latest
+    // click/view of the same user at-or-before it — the marketing
+    // analytics staple, expressed as the SAME as-of machinery as
+    // join_pit (one union-window shuffle, no inequality join). The touch
+    // side is pre-deduplicated per (user, ts) by max event_id — the
+    // as-of precondition; latency in exact integer micros
+    "attribution_last_touch" -> ((s, d) => {
+      // micro-resolution time (ts div 1000) on BOTH engines: DuckDB's
+      // TIMESTAMP truncates parquet nanos to micros, so comparing at ns
+      // would shift latencies by the truncated remainder (join_pit set
+      // the precedent). Same-microsecond touches dedupe by max event_id
+      val ev = events(s, d).withColumn("t_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(struct(col("event_id"), col("event_type"))).as("t"))
+        .select(col("user_id"), col("t_us"),
+          col("t.event_id").as("touch_id"),
+          col("t.event_type").as("touch_type"), col("t_us").as("touch_us"))
+      graft.ops.AsOfJoin.asOf(purchases, touches, "user_id", "t_us",
+          Seq("touch_id", "touch_type", "touch_us"))
+        .select(col("event_id"), col("user_id"), col("touch_id"),
+          col("touch_type"),
+          (col("t_us") - col("touch_us")).as("latency_us"))
+        .orderBy("event_id")
+    }),
+
     // ranking-function completions: percent_rank / cume_dist /
     // first_value sharing ONE window sort (total order via the key
     // tie-break, so the quotients are engine-exact)
@@ -4143,6 +4171,24 @@ object SparkEntry {
          SELECT p.event_id, p.user_id, p.t_us, g.attr
          FROM p ASOF LEFT JOIN g
            ON p.user_id = g.user_id AND p.t_us >= g.vf
+         ORDER BY event_id""",
+    // DuckDB native ASOF again; arg_max(x, event_id) per (user, ts)
+    // mirrors the Spark max(struct(event_id, ...)) dedup exactly
+    // (event_id is unique, so it alone determines the winner)
+    "attribution_last_touch" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+         t AS (SELECT user_id, t_us,
+             arg_max(event_id, event_id) AS touch_id,
+             arg_max(event_type, event_id) AS touch_type
+           FROM e WHERE event_type IN ('click', 'view')
+           GROUP BY user_id, t_us),
+         p AS (SELECT event_id, user_id, t_us FROM e
+           WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, t.touch_id, t.touch_type,
+             CAST(p.t_us - t.t_us AS BIGINT) AS latency_us
+         FROM p ASOF LEFT JOIN t
+           ON p.user_id = t.user_id AND p.t_us >= t.t_us
          ORDER BY event_id""",
     "window_pct" ->
       """SELECT o_orderkey, o_orderpriority,
