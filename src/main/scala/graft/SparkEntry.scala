@@ -2087,6 +2087,142 @@ object SparkEntry {
           unix_micros(col("w.start")).as("start_us"),
           unix_micros(col("w.end")).as("end_us"), col("n_events"))
         .orderBy("user_id", "start_us")),
+
+    // EXACT distinct custkeys per priority via two-level bitmap agg
+    // (Sketches.bitmapDistinct): the shuffle carries 4 KB bitmaps per
+    // (group, 32k-key bucket) instead of every (group, key) occurrence —
+    // the exact counterpart of approx_distinct's HLL. Oracle is the
+    // plain COUNT(DISTINCT): hash-match = the bitmap path is exact.
+    "bitmap_distinct" -> ((s, d) =>
+      graft.ops.Sketches.bitmapDistinct(
+          orders(s, d), "o_orderpriority", "o_custkey", "n_cust")
+        .orderBy("o_orderpriority")),
+
+    // Bloom-pruned semi join (Sketches.bloomPrunedSemi): high-value order
+    // keys build a Bloom filter probed inside the lineitem scan's
+    // codegen (BloomMightContain), exact semi join verifies survivors
+    // only — Spark's InjectRuntimeFilter shape made explicit. The result
+    // is bloom-independent (no false negatives + exact verify), which is
+    // exactly what the plain semi-join oracle certifies.
+    "bloom_semi_prune" -> ((s, d) =>
+      graft.ops.Sketches.bloomPrunedSemi(
+          lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity")),
+          "l_orderkey",
+          orders(s, d).filter(col("o_totalprice") > 400000)
+            .select("o_orderkey"),
+          "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy("l_returnflag")),
+
+    // per-group OLS regression (price-cents vs quantity) from EXACT
+    // integer moments: sums stay in longs (magnitudes bounded at bench
+    // scale; decimal(38,0) for the moment COMBINATION, which overflows
+    // long), the slope/intercept divisions happen once on doubles cast
+    // from exact integers — both engines run the identical IEEE ops, so
+    // round(6) agrees. DuckDB mirrors via HUGEINT sums. At 100 TB the
+    // raw sums move to decimal too — same plan shape, one hash agg.
+    "regr_agg" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val m = lineitem(s, d).select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      val num = col("n").cast(dec) * col("sxy").cast(dec) -
+        col("sx").cast(dec) * col("sy").cast(dec)
+      val den = col("n").cast(dec) * col("sxx").cast(dec) -
+        col("sx").cast(dec) * col("sx").cast(dec)
+      val slope = num.cast("double") / den.cast("double")
+      m.select(col("l_returnflag"), col("n"),
+          round(slope, 6).as("slope"),
+          round((col("sy").cast("double") - slope * col("sx").cast("double"))
+            / col("n").cast("double"), 6).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
+    // 2-D Pareto frontier over distinct (price, size) points — the
+    // two-phase distributed skyline (Analytics.skyline): per-x-bucket
+    // window prune, then a global pass over the tiny per-bucket chains.
+    // Oracle is the quadratic NOT EXISTS dominance test.
+    "skyline_pareto" -> ((s, d) =>
+      graft.ops.Analytics.skyline(
+          part(s, d).select(
+            expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"),
+            col("p_size").cast("long").as("psize")),
+          "price_cents", "psize", bucketWidth = 10000L)
+        .orderBy("price_cents", "psize")),
+
+    // first-order Markov transition matrix over sessionized journeys
+    // (Analytics.markovTransitions): one user shuffle, #types² output;
+    // probabilities as ppm via INTEGER floor division (no float grid)
+    "markov_transitions" -> ((s, d) =>
+      graft.ops.Analytics.markovTransitions(
+          events(s, d).withColumn("t_us", expr("ts div 1000")),
+          "user_id", "event_id", "t_us", "event_type",
+          gapUs = 1800L * 1000000L)
+        .orderBy("from_type", "to_type")),
+
+    // interval-OVERLAP join (RangeJoin.intervalOverlap): order activity
+    // windows × supplier promo windows on the day axis, bucket-equi with
+    // unique pair claiming (no distinct, no BNL). Day arithmetic is pure
+    // integer on both engines.
+    "join_interval" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
+            .cast("long").as("a_lo"))
+        .withColumn("a_hi", col("a_lo") + (col("o_orderkey") % 7) + 1)
+      val sup = supplier(s, d).select(col("s_suppkey"),
+          ((col("s_suppkey") % 100) * 7).cast("long").as("b_lo"))
+        .withColumn("b_hi", col("b_lo") + 13)
+      graft.ops.RangeJoin.intervalOverlap(o, sup,
+          "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 14.0)
+        .groupBy("s_suppkey").agg(count(lit(1)).as("n_orders"))
+        .orderBy("s_suppkey")
+    }),
+
+    // two-proportion A/B z-statistic from exact integer counts (variant
+    // = orderkey parity, conversion = status 'F'); the only floats are
+    // the final identical-op-order divisions — the stats_agg discipline
+    "ab_test" -> ((s, d) => {
+      val t = orders(s, d).select(
+          (col("o_orderkey") % 2).cast("long").as("v"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("c"))
+        .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("v") === 0, col("c")).otherwise(0L)).as("k0"),
+          sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("v") === 1, col("c")).otherwise(0L)).as("k1"))
+      val p0 = col("k0").cast("double") / col("n0").cast("double")
+      val p1 = col("k1").cast("double") / col("n1").cast("double")
+      val ph = (col("k0") + col("k1")).cast("double") /
+        (col("n0") + col("n1")).cast("double")
+      t.select(col("n0"), col("k0"), col("n1"), col("k1"),
+        round((p1 - p0) / sqrt(ph * (lit(1.0) - ph) *
+          (lit(1.0) / col("n0").cast("double") +
+           lit(1.0) / col("n1").cast("double"))), 6).as("z"))
+    }),
+
+    // incremental JOIN-view maintenance: the per-nation revenue view
+    // absorbs a delta batch of orders by joining ONLY the delta against
+    // the dim and merging partial aggregates — refresh cost is
+    // |delta ⋈ dim| + |view|, never the fact table. The oracle is the
+    // full recompute: hash-match = delta-merge ≡ recompute.
+    "join_incremental" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      def agg(o: DataFrame) = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      val base = agg(orders(s, d).filter(col("o_orderkey") % 10 =!= 0))
+      val delta = agg(orders(s, d).filter(col("o_orderkey") % 10 === 0))
+      base.unionByName(delta).groupBy("c_nationkey")
+        .agg(sum("n").cast("long").as("n"),
+          sum("cents").cast("long").as("cents"))
+        .orderBy("c_nationkey")
+    }),
   )
 
   /** Deterministic PageRank input graph from the TPC-H-ish tables:
@@ -4511,5 +4647,102 @@ object SparkEntry {
          SELECT user_id, min(t_us) AS start_us,
              max(t_us) + 1800000000 AS end_us, count(*) AS n_events
          FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
+    // the bitmap path must equal the plain exact distinct
+    "bitmap_distinct" ->
+      """SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // bloom-independence: the composed bloom+verify pipeline must equal
+    // the plain semi join (quantities integral, so the BIGINT cast
+    // agrees across Spark truncation / DuckDB rounding)
+    "bloom_semi_prune" ->
+      """SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         FROM lineitem
+         WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // HUGEINT keeps the moment combination exact (the Spark side uses
+    // decimal(38,0)); both engines then cast the SAME integers to double
+    // and run the identical division/multiply sequence
+    "regr_agg" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+             sum(CAST(l_quantity AS BIGINT)) AS sx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             sum(CAST(l_quantity AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+             round((CAST(sy AS DOUBLE)
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+         FROM m ORDER BY l_returnflag""",
+    // quadratic dominance reference for the windowed two-phase skyline
+    "skyline_pareto" ->
+      """WITH pts AS (SELECT DISTINCT
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS psize FROM part)
+         SELECT price_cents, psize FROM pts p
+         WHERE NOT EXISTS (SELECT 1 FROM pts q
+           WHERE q.price_cents <= p.price_cents AND q.psize <= p.psize
+             AND (q.price_cents < p.price_cents OR q.psize < p.psize))
+         ORDER BY price_cents, psize""",
+    // ppm via integer floor division — no float anywhere
+    "markov_transitions" ->
+      """WITH b AS (SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+         p AS (SELECT event_type AS to_type,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY t_us, event_id) AS from_type,
+             t_us - lag(t_us) OVER
+               (PARTITION BY user_id ORDER BY t_us, event_id) AS gap
+           FROM b),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM p
+           WHERE from_type IS NOT NULL AND gap <= 1800000000
+           GROUP BY from_type, to_type)
+         SELECT from_type, to_type, n,
+             CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type)
+                  AS BIGINT) AS p_ppm
+         FROM c ORDER BY from_type, to_type""",
+    // brute-force overlap predicate join (closed intervals)
+    "join_interval" ->
+      """WITH o AS (SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS a_lo,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+               + (o_orderkey % 7) + 1 AS a_hi
+           FROM orders),
+         s AS (SELECT s_suppkey, (s_suppkey % 100) * 7 AS b_lo,
+             (s_suppkey % 100) * 7 + 13 AS b_hi FROM supplier)
+         SELECT s.s_suppkey, count(*) AS n_orders
+         FROM o, s WHERE o.a_lo <= s.b_hi AND s.b_lo <= o.a_hi
+         GROUP BY s.s_suppkey ORDER BY s.s_suppkey""",
+    "ab_test" ->
+      """WITH t AS (SELECT
+             sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN o_orderkey % 2 = 0 AND o_orderstatus = 'F'
+                 THEN 1 ELSE 0 END) AS k0,
+             sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN o_orderkey % 2 = 1 AND o_orderstatus = 'F'
+                 THEN 1 ELSE 0 END) AS k1
+           FROM orders)
+         SELECT CAST(n0 AS BIGINT) AS n0, CAST(k0 AS BIGINT) AS k0,
+             CAST(n1 AS BIGINT) AS n1, CAST(k1 AS BIGINT) AS k1,
+             round((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                   / sqrt((CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                          * (1.0 - CAST(k0 + k1 AS DOUBLE)
+                                   / CAST(n0 + n1 AS DOUBLE))
+                          * (1.0 / CAST(n0 AS DOUBLE)
+                             + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z
+         FROM t""",
+    // full recompute — hash-match proves delta-merge ≡ recompute
+    "join_incremental" ->
+      """SELECT c_nationkey, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
   )
 }

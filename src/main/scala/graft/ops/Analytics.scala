@@ -133,4 +133,69 @@ object Analytics {
       .groupBy("path").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("path")).limit(k)
   }
+
+  /** 2-D Pareto frontier (skyline), both axes minimized: keep a point
+    * iff no other point is ≤ on both axes and < on at least one.
+    *
+    * On DISTINCT points sorted by (x asc, y asc), a point survives iff
+    * its y is strictly below the min-y of every earlier point — equal-x
+    * ties resolve correctly because an earlier same-x point has smaller
+    * y (distinct) and dominates, and an equal-y earlier point has
+    * smaller x and dominates. That turns a quadratic dominance test
+    * into one window pass.
+    *
+    * Scale shape (two-phase, the classic distributed skyline): phase 1
+    * runs that pass WITHIN each x-range bucket (hash-parallel windows) —
+    * survivors per bucket form a strictly y-decreasing chain, so the
+    * candidate set is tiny (bounded by the y-domain walk, not the row
+    * count). Phase 2 repeats the pass globally over candidates only.
+    * The global window is a single partition by construction, but over
+    * per-bucket chains, never the input.
+    */
+  def skyline(points: DataFrame, xCol: String, yCol: String,
+              bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def pass(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
+      df.withColumn("__pmin",
+          min(col(yCol)).over(w.orderBy(col(xCol), col(yCol))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("__pmin").isNull || col(yCol) < col("__pmin"))
+        .drop("__pmin")
+    val pts = points.select(col(xCol), col(yCol)).distinct()
+      .withColumn("__bkt", floor(col(xCol) / lit(bucketWidth)))
+    val local = pass(pts, Window.partitionBy("__bkt"))
+    pass(local.drop("__bkt"), Window.partitionBy())
+  }
+
+  /** First-order Markov transition model over sessionized event streams:
+    * count[(from, to)] and the row-normalized transition probability.
+    *
+    * One shuffle on the user (the lag window), then the pair count
+    * partial-aggregates map-side into the #types² matrix; the
+    * normalizing row totals ride a second window over that tiny matrix.
+    * Pairs never cross a user boundary (lag partitions by user) nor a
+    * session boundary when `gapUs` splits one (strict >, the sessionize
+    * convention). Probability emits as parts-per-million via INTEGER
+    * floor division of the exact counts — no float ever, so engines
+    * agree bit-for-bit (the count-ratio grid 1/total has no fixed
+    * decimal width, so round(6) would be halfway-unsafe).
+    */
+  def markovTransitions(events: DataFrame, userCol: String, idCol: String,
+                        tsUsCol: String, typeCol: String,
+                        gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(tsUsCol, idCol)
+    val pairs = events
+      .select(col(userCol), col(idCol), col(tsUsCol), col(typeCol))
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .withColumn("__gap", col(tsUsCol) - lag(col(tsUsCol), 1).over(w))
+      .filter(col("__from").isNotNull && col("__gap") <= gapUs)
+    val counts = pairs.groupBy(col("__from").as("from_type"),
+        col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("__tot", sum(col("n")).over(Window.partitionBy("from_type")))
+      .withColumn("p_ppm", expr("n * 1000000 DIV __tot").cast("long"))
+      .drop("__tot")
+  }
 }

@@ -78,4 +78,42 @@ class AnalyticsSpec extends SparkTestBase {
       (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 2L,
       (1L, 0L) -> 1L))
   }
+
+  test("skyline equals the naive quadratic dominance test (incl. axis ties)") {
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)) ++
+      Seq((0L, 49L), (49L, 0L), (5L, 5L), (5L, 7L), (7L, 5L)) // tie shapes
+    val distinct = pts.distinct
+    val naive = distinct.filter { case (x, y) =>
+      !distinct.exists { case (a, b) =>
+        a <= x && b <= y && (a < x || b < y) }
+    }.sorted
+    // tiny bucket width forces many buckets -> the cross-bucket phase
+    // actually has pruning work to do
+    val got = Analytics.skyline(pts.toDF("x", "y"), "x", "y", bucketWidth = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === naive)
+  }
+
+  test("markov transitions never cross a user or session boundary; ppm is floor") {
+    val ev = Seq(
+      // user 1: a->b->c within gap, then a session break before d
+      (1L, 1L, 0L, "a"), (1L, 2L, 10L, "b"), (1L, 3L, 20L, "c"),
+      (1L, 4L, 500L, "d"),
+      // user 2: c->a (no cross-user pair d->c)
+      (2L, 5L, 0L, "c"), (2L, 6L, 10L, "a"),
+      // user 1 again later: another a->b strengthens that row
+      (1L, 7L, 1000L, "a"), (1L, 8L, 1010L, "b")
+    ).toDF("user_id", "event_id", "t_us", "event_type")
+    val got = graft.ops.Analytics.markovTransitions(ev, "user_id", "event_id",
+        "t_us", "event_type", gapUs = 100L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // from 'a': 2x a->b of 2 total = 1000000 ppm; from 'b': b->c 1 of 1;
+    // from 'c': c->a 1 of 1; the break before d and user change emit none
+    assert(got === Map(
+      ("a", "b") -> ((2L, 1000000L)),
+      ("b", "c") -> ((1L, 1000000L)),
+      ("c", "a") -> ((1L, 1000000L))))
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import graft.functions.BloomMightContain
+import graft.ops.Sketches
+
+/** Exactness proofs for the sketch-composed operators: the sketches are
+  * approximate, but the OPERATORS built on them must be exact.
+  */
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bitmapDistinct equals exact count(distinct) incl. negatives and bucket straddles") {
+    // keys straddle bitmap buckets (32768-wide), repeat, and go negative
+    val rows = Seq.tabulate(5000) { i =>
+      ("g" + (i % 3), (i * 7919L % 90000L) - 20000L)
+    } ++ Seq(("g0", 1L), ("g0", 1L), ("g1", 32768L), ("g1", 32769L))
+    val df = rows.toDF("g", "k")
+    val got = Sketches.bitmapDistinct(df, "g", "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = df.groupBy("g").agg(countDistinct("k").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("BloomMightContain has no false negatives; codegen equals interpreted") {
+    val keys = (0L until 2000L).map(_ * 104729L % 1000003L)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(keys.size, 0.01)
+    keys.foreach(bloom.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val probeOf = (c: org.apache.spark.sql.Column) =>
+      ColumnShim.column(BloomMightContain(bos.toByteArray, ColumnShim.expression(c)))
+    val df = keys.toDF("k")
+    // no false negatives: every inserted key probes true (codegen path)
+    assert(df.filter(!probeOf(col("k"))).count() === 0)
+    // interpreted path (eval) agrees with the codegen path on a mixed set
+    val expr = BloomMightContain(bos.toByteArray,
+      ColumnShim.expression(lit(0L)))
+    val mixed = (keys ++ (2000000L until 2002000L)).toDF("k")
+    val viaCodegen = mixed.withColumn("m", probeOf(col("k")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    mixed.collect().foreach { r =>
+      val k = r.getLong(0)
+      assert(expr.test(k) === viaCodegen(k), s"codegen/interp disagree on $k")
+    }
+  }
+
+  test("bloomPrunedSemi is exact regardless of false positives") {
+    // fpp cranked high so false positives certainly occur; the exact
+    // verify join must erase them
+    val fact = (0L until 5000L).map(k => (k, k % 7)).toDF("fk", "payload")
+    val dim = (0L until 5000L by 13L).toDF("dk")
+    val got = Sketches.bloomPrunedSemi(fact, "fk", dim, "dk", fpp = 0.5)
+      .select("fk").as[Long].collect().sorted
+    val want = fact.join(dim, col("fk") === col("dk"), "left_semi")
+      .select("fk").as[Long].collect().sorted
+    assert(got === want)
+  }
+}
