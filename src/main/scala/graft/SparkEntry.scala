@@ -2205,6 +2205,39 @@ object SparkEntry {
            lit(1.0) / col("n1").cast("double"))), 6).as("z"))
     }),
 
+    // per-doc Shannon token entropy on the bigramLmScore fixed-point
+    // grid (integer q-sum; two identical IEEE finishing divisions)
+    "text_entropy" -> ((s, d) =>
+      graft.text.TextAnalysis.tokenEntropy(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // corpus PMI collocations: top-50 above-chance adjacent pairs,
+    // ranked on the exact 1e-6 integer grid (ties by (w1, w2))
+    "collocation_pmi" -> ((s, d) =>
+      graft.text.TextAnalysis.collocations(documents(s, d), "text",
+        minCount = 5, topK = 50)),
+
+    // FORWARD as-of: each purchase matched to the NEXT click at-or-after
+    // it — the reflection of join_asof through the negated axis; same
+    // union-window single-shuffle machinery, DuckDB ASOF JOIN with the
+    // <= inequality as the oracle
+    "join_asof_forward" -> ((s, d) => {
+      val ev = events(s, d).withColumn("t_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "t_us")
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("t_us"),
+          col("m.event_id").as("click_id"), col("m.value").as("click_value"))
+      graft.ops.AsOfJoin.asOfForward(purchases, clicks, "user_id", "t_us",
+          Seq("click_id", "click_value"))
+        .filter(col("click_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          col("click_id"), col("click_value"))
+        .orderBy("event_id")
+    }),
+
     // incremental JOIN-view maintenance: the per-nation revenue view
     // absorbs a delta batch of orders by joining ONLY the delta against
     // the dim and merging partial aggregates — refresh cost is
@@ -4738,6 +4771,55 @@ object SparkEntry {
                           * (1.0 / CAST(n0 AS DOUBLE)
                              + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z
          FROM t""",
+    // same discipline as lm_score: exact counts, floor(ln·1e6 + 0.5)
+    // integer grid, identical finishing divisions
+    "text_entropy" ->
+      """WITH c AS (SELECT doc_id, word, count(*) AS c FROM
+             (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents) GROUP BY doc_id, word),
+         n AS (SELECT doc_id, word, c,
+               sum(c) OVER (PARTITION BY doc_id) AS n FROM c)
+         SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+             CAST(sum(c * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0
+               / CAST(max(n) AS DOUBLE) AS entropy
+         FROM n GROUP BY doc_id ORDER BY doc_id""",
+    // ln-term op order mirrors the Spark side exactly; ranking on the
+    // quantized integer grid with (w1, w2) tie-break
+    "collocation_pmi" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS w FROM documents
+             WHERE len(string_split(text, ' ')) >= 1),
+         uni AS (SELECT unnest(w) AS word FROM tok),
+         u AS (SELECT word, count(*) AS u FROM uni GROUP BY word),
+         t AS (SELECT CAST(sum(u) AS BIGINT) AS t FROM u),
+         tb AS (SELECT CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS tb
+             FROM tok),
+         b AS (SELECT w1, w2, count(*) AS n FROM
+             (SELECT unnest(list_transform(range(len(w) - 1),
+                  i -> {'w1': w[i+1], 'w2': w[i+2]}), recursive := true)
+              FROM tok WHERE len(w) >= 2)
+           GROUP BY w1, w2 HAVING count(*) >= 5)
+         SELECT b.w1, b.w2, b.n,
+             CAST(floor((ln(CAST(b.n AS DOUBLE) / CAST(tb.tb AS DOUBLE))
+               - ln(CAST(u1.u AS DOUBLE) / CAST(t.t AS DOUBLE))
+               - ln(CAST(u2.u AS DOUBLE) / CAST(t.t AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS pmi_q
+         FROM b JOIN u u1 ON u1.word = b.w1
+                JOIN u u2 ON u2.word = b.w2, t, tb
+         ORDER BY pmi_q DESC, w1, w2 LIMIT 50""",
+    // the <= inequality flips ASOF to forward (earliest right >= left)
+    "join_asof_forward" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                  event_type, value
+           FROM events),
+         p AS (SELECT event_id, user_id, t_us FROM ev WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, t_us, max(event_id) AS click_id,
+                      arg_max(value, event_id) AS click_value
+               FROM ev WHERE event_type = 'click' GROUP BY user_id, t_us)
+         SELECT p.event_id, p.user_id, p.t_us, c.click_id, c.click_value
+         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.t_us <= c.t_us
+         ORDER BY p.event_id""",
     // full recompute — hash-match proves delta-merge ≡ recompute
     "join_incremental" ->
       """SELECT c_nationkey, count(*) AS n,

@@ -63,4 +63,20 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         rightCols.map(c => col("__m").getField(c).as(c)): _*)
   }
+
+  /** FORWARD as-of: for each left row, the EARLIEST right row of the
+    * same key with right.ts >= left.ts (the "next event after" lookup —
+    * next maintenance window, next price tick). Pure axis reflection of
+    * [[asOf]]: run the backward machinery on the negated timestamp, so
+    * the one-shuffle union-window shape — and the tie rule (equal ts
+    * matches, rights sort before lefts) — carry over verbatim. `ts`
+    * must be numeric (negatable); callers dedupe the right side per
+    * (key, ts) exactly as for [[asOf]].
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+                  rightCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__negts", negate(col(ts)))
+    val r = right.withColumn("__negts", negate(col(ts)))
+    asOf(l, r, key, "__negts", rightCols).drop("__negts")
+  }
 }

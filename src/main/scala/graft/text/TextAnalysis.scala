@@ -375,4 +375,82 @@ object TextAnalysis {
       array_join(kept, "\n").as("clean_text"),
       (size(parts) - size(kept)).cast("long").as("n_removed"))
   }
+
+  /** Per-document Shannon token entropy — the vocabulary-diversity
+    * quality signal (near-zero entropy = repeated-token spam; quality
+    * filters cut on it alongside [[qualityMetrics]]'s ratios).
+    *
+    * H = Σ (c/N)·ln(N/c) over the doc's token counts, computed on the
+    * bigramLmScore fixed-point grid: each ln quantizes to an exact
+    * integer via floor(x·1e6 + 0.5), the per-doc accumulation is an
+    * INTEGER sum (order-independent where a double sum is not), and the
+    * two final divisions are identical IEEE ops on both engines.
+    *
+    * Scale shape: one shuffle to (doc, word) counts (map-side partials),
+    * then the doc-total window and the final agg share the doc_id
+    * partitioning. Never shuffles raw text.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokenize(col(textCol))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    c.withColumn("n", sum(col("c")).over(Window.partitionBy("doc_id")))
+      .select(col("doc_id"), col("n"),
+        (col("c") * floor(log(col("n").cast("double") / col("c").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long")).as("q"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_tokens"), sum(col("q")).as("qsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("qsum").cast("double") / lit(1000000.0)
+          / col("n_tokens").cast("double")).as("entropy"))
+  }
+
+  /** Corpus-level PMI collocations: the `topK` adjacent word pairs that
+    * co-occur far above chance —
+    * PMI = ln(B/TB) − ln(U₁/T) − ln(U₂/T) for bigram count B over TB
+    * total bigrams and unigram counts U over T total tokens. The phrase
+    * detector every tokenizer-training pipeline runs (word2vec-style
+    * phrase merging).
+    *
+    * Determinism: every count is exact; the three ln terms are computed
+    * in the SAME op order on both engines and the result quantizes via
+    * floor(x·1e6 + 0.5) BEFORE ranking, so ties break on the exact
+    * integer grid + (w1, w2).
+    *
+    * Scale shape: bigram + unigram counts are two map-side-partial
+    * aggregations; `minCount` bounds the candidate set BEFORE the
+    * unigram attach (broadcast of the filtered candidates), and top-k
+    * plans as TakeOrderedAndProject. The corpus shuffles only as
+    * (hash-sized) count rows.
+    */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Int = 5, topK: Int = 50): DataFrame = {
+    val toks = docs.select(TextOps.tokenize(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 1)
+    val uni = toks.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("u"))
+    val big = toks.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("w")) - 2),
+        i => struct(col("w")(i).as("w1"), col("w")(i + 1).as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    // exact totals: T = Σ unigram counts; TB = Σ per-doc (len-1)
+    val totals = uni.agg(sum(col("u")).as("t"))
+    val tbDf = toks.agg(sum(greatest(size(col("w")) - 1, lit(0))).as("tb"))
+    val u1 = uni.select(col("word").as("w1"), col("u").as("u1"))
+    val u2 = uni.select(col("word").as("w2"), col("u").as("u2"))
+    big.join(u1, "w1").join(u2, "w2")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(tbDf))
+      .select(col("w1"), col("w2"), col("n"),
+        floor((log(col("n").cast("double") / col("tb").cast("double"))
+          - log(col("u1").cast("double") / col("t").cast("double"))
+          - log(col("u2").cast("double") / col("t").cast("double")))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("pmi_q"))
+      .orderBy(desc("pmi_q"), asc("w1"), asc("w2"))
+      .limit(topK)
+  }
 }

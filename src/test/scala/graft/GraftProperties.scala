@@ -100,6 +100,19 @@ object GraftProperties extends Properties("graft") {
       a == b
     }
 
+  property("forward as-of equals a naive earliest-at-or-after lookup") =
+    forAll(asofGen) { case (ls, rs) =>
+      val l = ls.toDF("id", "k", "t")
+      val r = rs.toDF("k", "t", "p")
+      val got = graft.ops.AsOfJoin.asOfForward(l, r, "k", "t", Seq("p"))
+        .select("id", "p").as[(Long, Option[String])].collect().toMap
+      val naive = ls.map { case (id, k, t) =>
+        id -> rs.filter(x => x._1 == k && x._2 >= t)
+          .sortBy(_._2).headOption.map(_._3)
+      }.toMap
+      got == naive
+    }
+
   private val pairGraphGen: Gen[Seq[(Long, Long)]] = for {
     n <- Gen.choose(2, 24)
     m <- Gen.choose(0, 30)

@@ -173,4 +173,56 @@ class TextAnalysisSpec extends SparkTestBase {
       3L -> (("beta", 2L)),
       4L -> (("", 1L))))
   }
+
+  test("tokenEntropy matches a naive fixed-point entropy computed in-test") {
+    val docs = Seq(
+      (1L, "a a a a"),       // zero entropy: one distinct token
+      (2L, "a b c d"),       // max entropy: all distinct (ln 4)
+      (3L, "a a b"),         // mixed counts
+      (4L, "x"))             // single token -> entropy 0
+      .toDF("doc_id", "text")
+    def naive(counts: Seq[Long]): (Long, Double) = {
+      val n = counts.sum
+      val q = counts.map(c =>
+        c * math.floor(math.log(n.toDouble / c.toDouble) * 1e6 + 0.5).toLong).sum
+      (n, q.toDouble / 1e6 / n.toDouble)
+    }
+    val expect = Map(
+      1L -> naive(Seq(4L)), 2L -> naive(Seq(1L, 1L, 1L, 1L)),
+      3L -> naive(Seq(2L, 1L)), 4L -> naive(Seq(1L)))
+    val got = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === expect)
+    assert(got(1L)._2 === 0.0)
+    assert(got(2L)._2 > got(3L)._2)
+  }
+
+  test("collocations ranks above-chance pairs by exact quantized PMI") {
+    // 'new york' always adjacent (strong collocation); 'the' everywhere
+    // (chance-level pairs); minCount prunes singletons
+    val docs = Seq.tabulate(10) { i =>
+      (i.toLong, s"new york the w$i the city the")
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 5, topK = 3)
+      .as[(String, String, Long, Long)].collect()
+    // naive PMI on the same fixed-point grid
+    val toks = (0 until 10).map(i => s"new york the w$i the city the".split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = toks.map(_.size).sum.toLong
+    val tb = toks.map(_.size - 1).sum.toLong
+    val bigs = toks.flatMap(w => w.init.zip(w.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 5)
+    def pmiQ(p: ((String, String), Long)): Long = {
+      val ((w1, w2), n) = p
+      math.floor((math.log(n.toDouble / tb.toDouble)
+        - math.log(uni(w1).toDouble / t.toDouble)
+        - math.log(uni(w2).toDouble / t.toDouble)) * 1e6 + 0.5).toLong
+    }
+    val naive = bigs.toSeq.map(p => (p._1._1, p._1._2, p._2, pmiQ(p)))
+      .sortBy(r => (-r._4, r._1, r._2)).take(3)
+    assert(got.toSeq === naive)
+    assert(got.head._1 === "new" && got.head._2 === "york")
+  }
 }
