@@ -2205,6 +2205,40 @@ object SparkEntry {
            lit(1.0) / col("n1").cast("double"))), 6).as("z"))
     }),
 
+    // WEIGHTED PageRank: customer↔order edges weighted by order value
+    // (cents-exact); r' = (1−d) + d·Σ (w/W)·r in the declarative loop,
+    // 1e-9-pinned per iteration so the recursive-CTE oracle locksteps
+    "pagerank_weighted" -> ((s, d) => {
+      val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+      val fwd = orders(s, d).select(
+        concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("o"), col("o_orderkey")).as("dst"), cents.as("w"))
+      val back = orders(s, d).select(
+        concat(lit("o"), col("o_orderkey")).as("src"),
+        concat(lit("c"), col("o_custkey")).as("dst"), cents.as("w"))
+      PageRank.weightedDataFrame(fwd.unionByName(back), iters = 5)
+        .select(col("title"), round(col("rank"), 6).as("rank"))
+        .orderBy("title")
+    }),
+
+    // per-edge neighbor Jaccard over the co-purchase graph — link
+    // prediction on the triangle machinery (sorted adjacency +
+    // SortedIntersectCount); |∪| = da + db − common, score in ppm via
+    // integer floor division: the whole key is float-free
+    "graph_jaccard" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      val pairs = li.groupBy("k")
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
+          .as("pr"))
+        .select(col("pr.pa"), col("pr.pb"))
+      graft.graph.Triangles.edgeJaccard(pairs, "pa", "pb")
+        .orderBy("a", "b")
+    }),
+
     // per-doc Shannon token entropy on the bigramLmScore fixed-point
     // grid (integer q-sum; two identical IEEE finishing divisions)
     "text_entropy" -> ((s, d) =>
@@ -4771,6 +4805,61 @@ object SparkEntry {
                           * (1.0 / CAST(n0 AS DOUBLE)
                              + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z
          FROM t""",
+    // weighted recurrence in lockstep: exact long weights, one double
+    // fraction division, 1e-9 per-iteration pinning (pagerank_oracle
+    // discipline)
+    "pagerank_weighted" ->
+      """WITH RECURSIVE
+         edges0 AS (
+           SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  'o' || CAST(o_orderkey AS VARCHAR) AS dst,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS w FROM orders
+           UNION ALL
+           SELECT 'o' || CAST(o_orderkey AS VARCHAR),
+                  'c' || CAST(o_custkey AS VARCHAR),
+                  CAST(round(o_totalprice * 100) AS BIGINT) FROM orders),
+         eagg AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w
+           FROM edges0 GROUP BY src, dst),
+         ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+           FROM eagg GROUP BY src),
+         e AS (SELECT eagg.src, eagg.dst,
+             CAST(eagg.w AS DOUBLE) / CAST(ws.wsum AS DOUBLE) AS frac
+           FROM eagg JOIN ws ON ws.src = eagg.src),
+         verts AS (SELECT DISTINCT title FROM
+           (SELECT src AS title FROM edges0
+            UNION ALL SELECT dst FROM edges0)),
+         n AS (SELECT count(*) AS n FROM verts),
+         ranks(iter, title, rank) AS (
+           SELECT 0, title, round(1.0 / (SELECT n FROM n), 9) FROM verts
+           UNION ALL
+           SELECT r.iter + 1, r.title,
+             round(0.85 * coalesce((SELECT sum(e2.frac * r2.rank)
+               FROM ranks r2 JOIN e e2
+                 ON e2.src = r2.title AND e2.dst = r.title), 0) + 0.15, 9)
+           FROM ranks r WHERE r.iter < 5)
+         SELECT title, round(rank, 6) AS rank FROM ranks WHERE iter = 5
+         ORDER BY title""",
+    // relational common-neighbor count mirrors the sorted-merge; ppm by
+    // integer floor division on both engines
+    "graph_jaccard" ->
+      """WITH pp AS (
+           SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         adjn AS (SELECT a AS n, b AS nb FROM pp
+           UNION ALL SELECT b, a FROM pp),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+           FROM adjn GROUP BY n),
+         cm AS (SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS c
+           FROM pp p JOIN adjn x ON x.n = p.a
+                     JOIN adjn y ON y.n = p.b AND y.nb = x.nb
+           GROUP BY p.a, p.b)
+         SELECT p.a, p.b, CAST(coalesce(cm.c, 0) AS BIGINT) AS common,
+             CAST(coalesce(cm.c, 0) * 1000000
+                  // (da.d + db.d - coalesce(cm.c, 0)) AS BIGINT) AS jac_ppm
+         FROM pp p LEFT JOIN cm ON cm.a = p.a AND cm.b = p.b
+         JOIN deg da ON da.n = p.a JOIN deg db ON db.n = p.b
+         ORDER BY p.a, p.b""",
     // same discipline as lm_score: exact counts, floor(ln·1e6 + 0.5)
     // integer grid, identical finishing divisions
     "text_entropy" ->

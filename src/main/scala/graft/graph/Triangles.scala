@@ -56,4 +56,38 @@ object Triangles {
       .agg((sum(col("common")) / 2).cast("long").as("n_tri"))
       .filter(col("n_tri") > 0)
   }
+
+  /** Per-edge neighbor-set Jaccard similarity — the classic
+    * link-prediction / "related items" score:
+    * `|N(a) ∩ N(b)| / |N(a) ∪ N(b)|` for every undirected edge (a, b).
+    *
+    * Same machinery as [[perVertex]]: canonical distinct edges, sorted
+    * adjacency arrays, the allocation-free [[graft.functions.SortedIntersectCount]]
+    * merge inside whole-stage codegen. The union size needs no second
+    * pass — `|∪| = deg(a) + deg(b) − common` — and it is never zero on
+    * an edge (b ∈ N(a) by definition). The score emits as ppm via
+    * INTEGER floor division: counts are exact, so the whole result is
+    * float-free and engine-exact.
+    */
+  def edgeJaccard(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint()
+    val adj = e.select(col("a").as("n"), col("b").as("nb"))
+      .union(e.select(col("b").as("n"), col("a").as("nb")))
+      .groupBy("n")
+      .agg(sort_array(collect_list(col("nb").cast("long"))).as("adj"))
+    val common = ColumnShim.column(graft.functions.SortedIntersectCount(
+      ColumnShim.expression(col("na")), ColumnShim.expression(col("nb"))))
+    e.join(adj.select(col("n").as("a"), col("adj").as("na")), "a")
+      .join(adj.select(col("n").as("b"), col("adj").as("nb")), "b")
+      .select(col("a"), col("b"), common.as("common"),
+        size(col("na")).cast("long").as("da"),
+        size(col("nb")).cast("long").as("db"))
+      .select(col("a"), col("b"), col("common"),
+        expr("common * 1000000 DIV (da + db - common)").as("jac_ppm"))
+  }
 }

@@ -708,4 +708,50 @@ object PageRank {
     * the deterministic title tie-break (SURVEY.md §7.5). */
   def ranked(vertices: DataFrame, iters: Int = 10, d: Double = 0.85): DataFrame =
     run(vertices, iters, d).orderBy(desc("rank"), asc("title"))
+
+  /** WEIGHTED PageRank over an explicit edge relation —
+    * `r'(v) = (1−d) + d·Σ_{(u,v)} (w(u,v)/W(u))·r(u)` with `W(u)` the
+    * out-weight sum (the weighted generalization of the reference
+    * recurrence; unit weights reduce to it exactly).
+    *
+    * Declarative DataFrame loop (SURVEY.md §7.3 composition-first): the
+    * edge fractions are computed ONCE (exact long weights, one double
+    * division both engines perform identically) and localCheckpointed;
+    * each iteration is join → map-side-partial sum → left join from the
+    * vertex set (contribution-less vertices rest at 1−d, unresolvable
+    * targets drop — the reference's red-link semantics). Per-iteration
+    * `roundTo` pinning keeps a recursive-CTE oracle in lockstep, the
+    * [[run]] discipline. Meant for MODEST iteration counts on weighted
+    * graphs; high-iteration unweighted runs take [[run]]'s Pregel loop.
+    *
+    * @param edges (src: String, dst: String, w: Long) — parallel edges
+    *              allowed (weights add); zero/negative weights are the
+    *              caller's responsibility to exclude
+    */
+  def weightedDataFrame(edges: DataFrame, iters: Int = 5, d: Double = 0.85,
+                        roundTo: Int = 9): DataFrame = {
+    val agg = edges.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val wsum = agg.groupBy("src").agg(sum(col("w")).as("wsum"))
+    val e = agg.join(wsum, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("wsum").cast("double")).as("frac"))
+      .localCheckpoint()
+    val verts = edges.select(col("src").as("title"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    val n = verts.count()
+    var ranks = verts.select(col("title"),
+      round(lit(1.0 / n), roundTo).as("rank"))
+    for (i <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("title"))
+        .select(col("dst").as("title"), (col("frac") * col("rank")).as("c"))
+        .groupBy("title").agg(sum(col("c")).as("s"))
+      val next = verts
+        .join(contribs, Seq("title"), "left")
+        .select(col("title"),
+          round(lit(d) * coalesce(col("s"), lit(0.0)) + lit(1.0 - d), roundTo)
+            .as("rank"))
+      ranks = if (i < iters) next.localCheckpoint() else next
+    }
+    ranks
+  }
 }

@@ -252,4 +252,61 @@ class GraphOpsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("edgeJaccard matches the naive neighbor-set computation") {
+    val rnd = new scala.util.Random(11)
+    val n = 20L
+    val edges = (for {
+      i <- 0L until n; j <- i + 1 until n
+      if rnd.nextDouble() < 0.3
+    } yield (i, j)).toSeq
+    val nbrs = (edges.map(e => (e._1, e._2)) ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = edges.map { case (a, b) =>
+      val c = (nbrs(a) & nbrs(b)).size.toLong
+      val u = nbrs(a).size + nbrs(b).size - c
+      (a, b, c, c * 1000000L / u)
+    }.sorted
+    // feed duplicated + reversed pairs: canonicalization must absorb them
+    val messy = (edges ++ edges.map(e => (e._2, e._1))).toDF("x", "y")
+    val got = graft.graph.Triangles.edgeJaccard(messy, "x", "y")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got === want)
+  }
+
+  test("weighted PageRank: unit weights reduce to the unweighted recurrence") {
+    // star + cycle graph with every edge weight 1: weightedDataFrame must
+    // equal runDataFrame on the same topology (same iters, no rounding
+    // beyond the 1e-9 pin)
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"))
+    val wdf = graft.pagerank.PageRank.weightedDataFrame(
+        edges.map { case (s, t) => (s, t, 1L) }.toDF("src", "dst", "w"),
+        iters = 6, roundTo = 12)
+      .as[(String, Double)].collect().toMap
+    val verts = edges.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    val all = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val vdf = all.map(v => (v, verts.getOrElse(v, Seq.empty)))
+      .toDF("title", "outlinks")
+    val ref = graft.pagerank.PageRank.runDataFrame(vdf, iters = 6)
+      .as[(String, Double)].collect().toMap
+    assert(wdf.keySet === ref.keySet)
+    wdf.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-9, k) }
+  }
+
+  test("weighted PageRank: mass follows the heavier edge") {
+    // s splits 9:1 between x and y -> x must end up well above y
+    val edges = Seq(("s", "x", 9L), ("s", "y", 1L)).toDF("src", "dst", "w")
+    val r = graft.pagerank.PageRank.weightedDataFrame(edges, iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(r("x") > r("y") + 0.1)
+    // s has no in-edges, so from iteration 2 on its rank rests at 1-d
+    // and x recomputes the same pinned value every later iteration:
+    // x = round(0.85 * (0.9 * round(0.15, 9)) + 0.15..., 9)
+    val s2 = BigDecimal(1.0 - 0.85).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val x3 = BigDecimal(0.85 * (0.9 * s2) + (1.0 - 0.85))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r("x") - x3) < 1e-12, s"got ${r("x")} want $x3")
+  }
 }
