@@ -2205,6 +2205,56 @@ object SparkEntry {
            lit(1.0) / col("n1").cast("double"))), 6).as("z"))
     }),
 
+    // grid-bucketed 2-D radius self-join (Spatial.radiusSelfJoin): cell
+    // equi-join over the 3×3 neighborhood, integer squared-distance
+    // residual — float-free; coordinates derive from custkey by exact
+    // modular hashing on both engines. Oracle is the brute-force
+    // predicate self-join.
+    "spatial_radius_join" -> ((s, d) => {
+      val pts = customer(s, d).select(col("c_custkey").as("id"),
+        ((col("c_custkey") * 2654435761L) % 10000).as("x"),
+        ((col("c_custkey") * 40503L) % 10000).as("y"))
+      graft.ops.Spatial.radiusSelfJoin(pts, "id", "x", "y", radius = 150L)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // TPC-H Q18 shape (large-volume customers): heavy orders by a
+    // HAVING-filtered per-order aggregate, re-attached to orders +
+    // customer; the heavy set is tiny so both joins broadcast it —
+    // the one-fact-scan composite the ORDER-BY/LIMIT output bounds
+    "tpch_q18" -> ((s, d) => {
+      val heavy = lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      orders(s, d).join(broadcast(heavy),
+          col("o_orderkey") === heavy("l_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("odate"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+          col("sum_qty"))
+        .orderBy(desc("price_cents"), asc("o_orderkey")).limit(100)
+    }),
+
+    // Unicode NFC canonicalization (native NfcNormalize expression vs
+    // DuckDB's nfc_normalize — both implement the Unicode algorithm):
+    // decomposed sequences are INJECTED (the corpus is ASCII) and must
+    // compose identically — lengths shrink, digests agree
+    "text_nfc" -> ((s, d) => {
+      val nfc = (c: org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.graftshim.ColumnShim
+        .column(graft.functions.NfcNormalize(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
+      val aug = documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" cafe\u0301 u\u0308ber no\u0308e\u0301l"))
+          .as("t"))
+      aug.select(col("doc_id"),
+          length(col("t")).cast("long").as("len_raw"),
+          length(nfc(col("t"))).cast("long").as("len_nfc"),
+          md5(nfc(col("t")).cast("binary")).as("digest"))
+        .orderBy("doc_id")
+    }),
+
     // WEIGHTED PageRank: customer↔order edges weighted by order value
     // (cents-exact); r' = (1−d) + d·Σ (w/W)·r in the declarative loop,
     // 1e-9-pinned per iteration so the recursive-CTE oracle locksteps
@@ -4805,6 +4855,42 @@ object SparkEntry {
                           * (1.0 / CAST(n0 AS DOUBLE)
                              + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z
          FROM t""",
+    // brute-force distance predicate — the grid join must reproduce it
+    "spatial_radius_join" ->
+      """WITH pts AS (SELECT c_custkey AS id,
+             (c_custkey * 2654435761) % 10000 AS x,
+             (c_custkey * 40503) % 10000 AS y FROM customer)
+         SELECT a.id AS a_id, b.id AS b_id,
+             CAST((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+         FROM pts a JOIN pts b ON a.id < b.id
+         WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 22500
+         ORDER BY a_id, b_id""",
+    "tpch_q18" ->
+      """WITH heavy AS (SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+         SELECT c_name, c_custkey, o_orderkey,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             sum_qty
+         FROM orders JOIN heavy ON o_orderkey = heavy.l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY price_cents DESC, o_orderkey LIMIT 100""",
+    // chr(769)=U+0301 combining acute, chr(776)=U+0308 combining
+    // diaeresis — the injected decomposed runs the Spark side appends
+    // as literals; both engines' NFC must compose them identically
+    "text_nfc" ->
+      """SELECT doc_id,
+             CAST(length(t) AS BIGINT) AS len_raw,
+             CAST(length(nfc_normalize(t)) AS BIGINT) AS len_nfc,
+             md5(nfc_normalize(t)) AS digest
+         FROM (SELECT doc_id,
+             text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber no'
+                  || chr(776) || 'e' || chr(769) || 'l' AS t
+           FROM documents)
+         ORDER BY doc_id""",
     // weighted recurrence in lockstep: exact long weights, one double
     // fraction division, 1e-9 per-iteration pinning (pagerank_oracle
     // discipline)
