@@ -1925,6 +1925,35 @@ object SparkEntry {
       s.sql(sqlLateralText)
     }),
 
+    // ranking + framed running window, one shared SQL text — completes
+    // the same-text family with the window surface
+    "sql_window" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(sqlWindowText)
+    }),
+
+    // LSH quality evaluation: banding candidates measured against the
+    // exact all-pairs Jaccard≥0.5 ground truth (the prefix-filter
+    // relation) — recall/precision as ppm by integer division. The
+    // observability number a production near-dup pipeline tracks when
+    // tuning bands×rows; every count exact, no float anywhere.
+    "dedup_eval" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cand = Dedup.lshCandidatePairs(
+          Dedup.minhashSignatures(docs, "doc_id", "text"))
+        .select("doc_a", "doc_b")
+      val truth = Dedup.prefixFilterPairs(docs, "doc_id", "text",
+          threshold = 0.5, maxBucket = 1 << 20)
+        .select("doc_a", "doc_b")
+      val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_cand"), col("n_truth"), col("n_hit"),
+          expr("n_hit * 1000000 DIV n_truth").as("recall_ppm"),
+          expr("n_hit * 1000000 DIV n_cand").as("precision_ppm"))
+    }),
+
     // one-pass column profile (the ingest-gate observability surface):
     // null/distinct/min/max per column from a SINGLE scan via the
     // Expand-based multi-distinct; money and timestamps normalized to
@@ -2667,6 +2696,19 @@ object SparkEntry {
     * explosion) and the rollup is an exact integer-cents sum. Children
     * are constrained to key > 9 so the root band 1..9 can't re-enter
     * (custkey 0's floor(0/10)=0 self-loop stays out of the tree). */
+  /** Ranking + framed running window in pure SQL — IDENTICAL text on
+    * both engines (the sql_recursive zero-drift discipline); money on
+    * the exact cents grid, every tie broken by the unique order key. */
+  private val sqlWindowText: String =
+    """SELECT o_orderkey, o_orderstatus,
+         CAST(row_number() OVER (PARTITION BY o_orderstatus
+             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                      o_orderkey) AS BIGINT) AS rn,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+       FROM orders ORDER BY o_orderkey"""
+
   private val sqlRecursiveText: String =
     """WITH RECURSIVE org AS (
          SELECT c_custkey AS node, c_custkey AS root,
@@ -4568,6 +4610,30 @@ object SparkEntry {
     // the IDENTICAL text the Spark side executes — zero drift possible
     "sql_recursive" -> sqlRecursiveText,
     "sql_lateral" -> sqlLateralText,
+    "sql_window" -> sqlWindowText,
+    // candidates + ground truth from the SAME shared shingle CTEs the
+    // minhash/prefix oracles use — the metric cannot drift from them
+    "dedup_eval" ->
+      s"""WITH $minhashOracleCtes,
+         nz AS (SELECT doc_id, sgl FROM sh WHERE len(sgl) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sgl, b.sgl)) AS BIGINT) AS i,
+             CAST(len(a.sgl) + len(b.sgl)
+                  - len(list_intersect(a.sgl, b.sgl)) AS BIGINT) AS u
+           FROM nz a JOIN nz b ON a.doc_id < b.doc_id),
+         truth AS (SELECT doc_a, doc_b FROM p
+           WHERE CAST(i AS DOUBLE) / u >= 0.5),
+         hit AS (SELECT t.doc_a, t.doc_b FROM truth t
+           JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+         m AS (SELECT (SELECT count(*) FROM cand) AS n_cand,
+                      (SELECT count(*) FROM truth) AS n_truth,
+                      (SELECT count(*) FROM hit) AS n_hit)
+         SELECT CAST(n_cand AS BIGINT) AS n_cand,
+             CAST(n_truth AS BIGINT) AS n_truth,
+             CAST(n_hit AS BIGINT) AS n_hit,
+             CAST(n_hit * 1000000 // n_truth AS BIGINT) AS recall_ppm,
+             CAST(n_hit * 1000000 // n_cand AS BIGINT) AS precision_ppm
+         FROM m""",
     // same normalizations (cents grid, epoch-ms) as the Spark side, so
     // min/max stringify identically on both engines
     "profile_table" ->
