@@ -2234,6 +2234,70 @@ object SparkEntry {
            lit(1.0) / col("n1").cast("double"))), 6).as("z"))
     }),
 
+    // INCREMENTAL connected components: a delta edge batch is absorbed
+    // by running CC over the LABEL graph only — old components collapse
+    // to single label nodes, so the merge pass touches |delta| + #labels
+    // rows, never the full graph (the union-find "union by link" step,
+    // relationally). Oracle = full recompute over old ∪ delta: hash
+    // match proves merge ≡ recompute. Graph: custkey blocks of 8 star
+    // to their leader; the delta bridges every third leader pair.
+    "graph_cc_incremental" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey").as("k"))
+      val oldE = c.select(col("k").as("a"), (col("k") - col("k") % 8).as("b"))
+        .filter(col("a") =!= col("b"))
+      val delta = c.filter(col("k") % 8 === 0)
+        .filter(expr("(k DIV 8) % 3 = 0"))
+        .select(col("k").as("a"), (col("k") + 8).as("b"))
+        .join(c.withColumnRenamed("k", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+      val cc0 = ConnectedComponents.run(oldE, "a", "b")
+      ConnectedComponents.incremental(cc0, delta, "a", "b").orderBy("node")
+    }),
+
+    // k-anonymity audit (the privacy gate's first number): group sizes
+    // over the quasi-identifier projection, each group flagged against
+    // k=10 — plus the summary a release decision reads (smallest group,
+    // violating-row count) computable from the same relation
+    "dq_k_anonymity" -> ((s, d) =>
+      customer(s, d).select(col("c_nationkey"),
+          (col("c_acctbal") < 0).as("in_debt"),
+          (col("c_custkey") % 4).cast("long").as("segment"))
+        .groupBy("c_nationkey", "in_debt", "segment")
+        .agg(count(lit(1)).as("n"))
+        .select(col("c_nationkey"), col("in_debt"), col("segment"), col("n"),
+          (col("n") < 10).as("violates_k10"))
+        .orderBy("c_nationkey", "in_debt", "segment")),
+
+    // NEAREST as-of: the backward and forward passes composed, smaller
+    // absolute distance wins, ties to the earlier click — completes the
+    // as-of direction family (backward / forward / nearest)
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = events(s, d).withColumn("t_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "t_us")
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("t_us"), col("click_id"),
+          col("t_us").as("ct"))
+      val b = graft.ops.AsOfJoin.asOf(purchases, clicks, "user_id", "t_us",
+          Seq("click_id", "ct"))
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          col("click_id").as("b_id"), col("ct").as("b_t"))
+      val f = graft.ops.AsOfJoin.asOfForward(purchases, clicks, "user_id", "t_us",
+          Seq("click_id", "ct"))
+        .select(col("event_id"), col("click_id").as("f_id"), col("ct").as("f_t"))
+      val pickB = col("f_t").isNull ||
+        (col("b_t").isNotNull && (col("t_us") - col("b_t")) <= (col("f_t") - col("t_us")))
+      b.join(f, "event_id")
+        .filter(col("b_id").isNotNull || col("f_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          when(pickB, col("b_id")).otherwise(col("f_id")).as("near_id"),
+          when(pickB, col("t_us") - col("b_t"))
+            .otherwise(col("f_t") - col("t_us")).as("dist_us"))
+        .orderBy("event_id")
+    }),
+
     // grid-bucketed 2-D radius self-join (Spatial.radiusSelfJoin): cell
     // equi-join over the 3×3 neighborhood, integer squared-distance
     // residual — float-free; coordinates derive from custkey by exact
@@ -4921,6 +4985,40 @@ object SparkEntry {
                           * (1.0 / CAST(n0 AS DOUBLE)
                              + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z
          FROM t""",
+    // full recompute over old ∪ delta via the recursive min-label
+    // closure — the incremental label-graph merge must reproduce it
+    "graph_cc_incremental" ->
+      s"""WITH RECURSIVE
+         ks AS (SELECT c_custkey AS k FROM customer),
+         alle AS (
+           SELECT k AS a, k - (k % 8) AS b FROM ks WHERE k % 8 <> 0
+           UNION ALL
+           SELECT k, k + 8 FROM ks WHERE k % 8 = 0 AND (k // 8) % 3 = 0
+             AND k + 8 IN (SELECT k FROM ks)),
+         ${ccClosureCtes("alle", "a", "b")}
+         SELECT node, component FROM comp ORDER BY node""",
+    "dq_k_anonymity" ->
+      """SELECT c_nationkey, c_acctbal < 0 AS in_debt,
+             c_custkey % 4 AS segment, count(*) AS n,
+             count(*) < 10 AS violates_k10
+         FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // brute-force nearest with the backward tie preference the composed
+    // pass implements; clicks deduped per (user, ts) as ever
+    "join_asof_nearest" ->
+      """WITH ev AS (SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_type
+           FROM events),
+         p AS (SELECT event_id, user_id, t_us FROM ev
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, t_us AS ct, max(event_id) AS click_id
+           FROM ev WHERE event_type = 'click' GROUP BY user_id, t_us)
+         SELECT p.event_id, p.user_id, p.t_us, c.click_id AS near_id,
+             abs(c.ct - p.t_us) AS dist_us
+         FROM p JOIN c ON c.user_id = p.user_id
+         QUALIFY row_number() OVER (PARTITION BY p.event_id
+             ORDER BY abs(c.ct - p.t_us),
+                      CASE WHEN c.ct <= p.t_us THEN 0 ELSE 1 END) = 1
+         ORDER BY p.event_id""",
     // brute-force distance predicate — the grid join must reproduce it
     "spatial_radius_join" ->
       """WITH pts AS (SELECT c_custkey AS id,

@@ -162,4 +162,39 @@ object ConnectedComponents {
   private[graft] def roundsToConverge(pairs: DataFrame, aCol: String,
                                       bCol: String, maxIters: Int = 50): Int =
     fixpoint(canonicalize(pairs, aCol, bCol), maxIters)._2
+
+  /** INCREMENTAL maintenance: absorb a delta edge batch into existing
+    * component labels without re-running CC on the full graph.
+    *
+    * Old components collapse to their label (min node id), so running
+    * CC over the LABEL graph — delta endpoints mapped through their old
+    * labels, unseen endpoints labeling themselves — merges everything
+    * the delta connects at |delta| + #touched-labels cost. A label
+    * graph's component minimum is the global component minimum (labels
+    * ARE node ids), so relabeling old rows through the meta result
+    * reproduces `run(old ∪ delta)` exactly (property-tested, and the
+    * graph_cc_incremental oracle is the full recompute).
+    *
+    * @param cc0   prior labels (node, component) — i.e. `run(oldEdges)`
+    * @param delta new edges (aCol, bCol)
+    * @return (node, component) for old nodes ∪ delta endpoints */
+  def incremental(cc0: DataFrame, delta: DataFrame,
+                  aCol: String, bCol: String): DataFrame = {
+    val la = cc0.select(col("node").as(aCol), col("component").as("__la"))
+    val lb = cc0.select(col("node").as(bCol), col("component").as("__lb"))
+    val dl = delta.join(la, Seq(aCol), "left").join(lb, Seq(bCol), "left")
+      .select(coalesce(col("__la"), col(aCol)).as("x"),
+        coalesce(col("__lb"), col(bCol)).as("y"))
+    val meta = run(dl, "x", "y")
+    val oldUpd = cc0
+      .join(meta.select(col("node").as("component"),
+        col("component").as("__c2")), Seq("component"), "left")
+      .select(col("node"),
+        coalesce(col("__c2"), col("component")).as("component"))
+    val newRows = meta.join(
+        cc0.select(col("component").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .select(col("node"), col("component"))
+    oldUpd.unionByName(newRows)
+  }
 }

@@ -100,6 +100,26 @@ object GraftProperties extends Properties("graft") {
       a == b
     }
 
+  property("incremental CC equals full recompute on random edge splits") =
+    forAll(pairGraphGen) { pairs =>
+      val spark2 = SparkTestBase.session
+      import spark2.implicits._
+      // split edges deterministically: every third edge is the delta
+      val (delta, old) = pairs.zipWithIndex.partition(_._2 % 3 == 0)
+      val cc0 = graft.graph.ConnectedComponents.run(
+        old.map(_._1).toDF("a", "b"), "a", "b")
+      val got = graft.graph.ConnectedComponents.incremental(
+          cc0, delta.map(_._1).toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val want = graft.graph.ConnectedComponents.run(
+          pairs.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // self-loop-only nodes can drop out of either side; compare on
+      // the union domain with self-labels as the default
+      val keys = got.keySet ++ want.keySet
+      keys.forall(k => got.getOrElse(k, k) == want.getOrElse(k, k))
+    }
+
   property("forward as-of equals a naive earliest-at-or-after lookup") =
     forAll(asofGen) { case (ls, rs) =>
       val l = ls.toDF("id", "k", "t")
