@@ -77,4 +77,55 @@ object Sketches {
     fact.filter(probe)
       .join(keys.distinct(), col(factKey) === col(dimKey), "left_semi")
   }
+
+  /** Exact heavy hitters via per-partition Misra–Gries candidate
+    * generation + exact verification — frequent items WITHOUT a full
+    * (key → count) shuffle.
+    *
+    * Pass 1 (mapPartitions, `k` counters per task, the genuine
+    * per-partition-imperative case): each partition's MG summary
+    * over-approximates its frequent items; any key with GLOBAL count
+    * > N/(k+1) exceeds n_p/(k+1) in at least one partition (pigeonhole),
+    * so the union of summaries is a SOUND candidate superset
+    * (property-tested). Partition row counts ride along as sentinel
+    * rows, so N needs no second job. Pass 2 re-scans counting ONLY
+    * candidate keys — the shuffle carries ≤ #partitions·k groups
+    * instead of every distinct key. The final filter
+    * `count·(k+1) > N` is exact integer math; the result is identical
+    * to the full groupBy (which is what the oracle computes).
+    *
+    * vs [[bitmapDistinct]]: same philosophy (bound the shuffle by a
+    * fixed-size per-task summary), different aggregate.
+    */
+  def misraGriesHeavy(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, "need at least one counter")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string")).as[String]
+    // (key, 0) = candidate marker; (null, n) = partition row count
+    val summary: Array[(String, Long)] = keys.mapPartitions { it =>
+      val m = new java.util.HashMap[String, Long]()
+      var n = 0L
+      it.foreach { w =>
+        n += 1
+        if (m.containsKey(w)) m.put(w, m.get(w) + 1)
+        else if (m.size < k) m.put(w, 1L)
+        else {
+          val e = m.entrySet().iterator()
+          while (e.hasNext) {
+            val x = e.next()
+            if (x.getValue == 1L) e.remove() else x.setValue(x.getValue - 1)
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      (m.keySet().asScala.iterator.map(w => (w, 0L)) ++ Iterator((null: String, n)))
+    }.collect()
+    val n = summary.collect { case (null, c) => c }.sum
+    val cands = summary.collect { case (w, _) if w != null => w }.distinct.toSeq
+    df.filter(col(keyCol).isInCollection(cands))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * (k + 1) > n)
+  }
 }
