@@ -2234,6 +2234,19 @@ object SparkEntry {
            lit(1.0) / col("n1").cast("double"))), 6).as("z"))
     }),
 
+    // EXACT heavy hitters without the full word-count shuffle: per-
+    // partition Misra-Gries summaries (k=200 counters/task) generate a
+    // provably-sound candidate superset, then one candidate-filtered
+    // exact count pass; final filter cnt·(k+1) > N in pure longs. The
+    // oracle is the plain HAVING over the full groupBy — hash-match
+    // proves the two-pass path drops nothing.
+    "heavy_hitters_mg" -> ((s, d) =>
+      graft.ops.Sketches.misraGriesHeavy(
+          documents(s, d).select(
+            explode(graft.ops.TextOps.tokenize(col("text"))).as("word")),
+          "word", k = 200)
+        .orderBy("word")),
+
     // INCREMENTAL connected components: a delta edge batch is absorbed
     // by running CC over the LABEL graph only — old components collapse
     // to single label nodes, so the merge pass touches |delta| + #labels
@@ -4985,6 +4998,14 @@ object SparkEntry {
                           * (1.0 / CAST(n0 AS DOUBLE)
                              + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z
          FROM t""",
+    // the full-shuffle ground truth the two-pass MG path must equal
+    "heavy_hitters_mg" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word
+             FROM documents)
+         SELECT word, count(*) AS n FROM tok
+         GROUP BY word
+         HAVING count(*) * 201 > (SELECT count(*) FROM tok)
+         ORDER BY word""",
     // full recompute over old ∪ delta via the recursive min-label
     // closure — the incremental label-graph merge must reproduce it
     "graph_cc_incremental" ->

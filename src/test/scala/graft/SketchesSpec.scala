@@ -47,6 +47,24 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("misraGriesHeavy equals the full groupBy HAVING on skewed data") {
+    // zipf-ish skew + a long tail, shuffled across partitions; k small
+    // enough that summaries evict constantly
+    val rnd = new scala.util.Random(3)
+    val rows = rnd.shuffle(
+      (1 to 8).flatMap(h => Seq.fill(400 / h)(s"hot$h")) ++
+        (0 until 3000).map(i => s"tail${i % 1500}"))
+    val df = rows.toDF("w").repartition(7)
+    val k = 10
+    val got = Sketches.misraGriesHeavy(df, "w", k)
+      .as[(String, Long)].collect().toMap
+    val n = rows.size.toLong
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 * (k + 1) > n).toMap
+    assert(got === want)
+    assert(want.nonEmpty) // the fixture actually has heavy hitters
+  }
+
   test("bloomPrunedSemi is exact regardless of false positives") {
     // fpp cranked high so false positives certainly occur; the exact
     // verify join must erase them
