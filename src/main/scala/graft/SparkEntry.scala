@@ -2234,6 +2234,55 @@ object SparkEntry {
            lit(1.0) / col("n1").cast("double"))), 6).as("z"))
     }),
 
+    // TPC-H Q1 (pricing summary), EXACT-INTEGER form: discount/tax are
+    // 2dp so price·(1−disc) lands on the 1e-4 dollar grid and
+    // price·(1−disc)·(1+tax) on 1e-6 — every sum is a long (decimal at
+    // 100 TB, same plan), averages emit as ppm by integer division.
+    // ONE map-side-partial hash agg over the pushed-down scan.
+    "tpch_q1" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(to_date(col("l_shipdate")) <= to_date(lit("1998-09-02")))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("qty"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("base_c"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_c"),
+          expr("CAST(round(l_tax * 100) AS BIGINT)").as("tax_c"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("qty"),
+          col("base_c"),
+          (col("base_c") * (lit(100L) - col("disc_c"))).as("disc_e4"),
+          (col("base_c") * (lit(100L) - col("disc_c"))
+            * (lit(100L) + col("tax_c"))).as("charge_e6"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("qty").as("sum_qty"), sum("base_c").as("sum_base_cents"),
+          sum("disc_e4").as("sum_disc_e4"), sum("charge_e6").as("sum_charge_e6"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_cents"), col("sum_disc_e4"), col("sum_charge_e6"),
+          col("n"), expr("sum_qty * 1000000 DIV n").as("avg_qty_ppm"),
+          expr("sum_base_cents * 10000 DIV n").as("avg_base_c_e4"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q3 shape (shipping-priority revenue): selective dim filter
+    // broadcast into the fact join, exact-1e-4 revenue, top-10 as
+    // TakeOrderedAndProject
+    "tpch_q3" -> ((s, d) => {
+      val cut = to_date(lit("1995-03-15"))
+      val c = customer(s, d).filter(col("c_nationkey") < 5).select("c_custkey")
+      val o = orders(s, d).filter(to_date(col("o_orderdate")) < cut)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("odate"))
+      lineitem(s, d).filter(to_date(col("l_shipdate")) > cut)
+        .select(col("l_orderkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("rev_e4"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderkey", "odate", "o_orderpriority")
+        .agg(sum("rev_e4").as("revenue_e4"))
+        .orderBy(desc("revenue_e4"), asc("o_orderkey")).limit(10)
+    }),
+
     // EXACT heavy hitters without the full word-count shuffle: per-
     // partition Misra-Gries summaries (k=200 counters/task) generate a
     // provably-sound candidate superset, then one candidate-filtered
@@ -4998,6 +5047,40 @@ object SparkEntry {
                           * (1.0 / CAST(n0 AS DOUBLE)
                              + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z
          FROM t""",
+    "tpch_q1" ->
+      """WITH b AS (SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS base_c,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+           FROM lineitem
+           WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02')
+         SELECT l_returnflag, l_linestatus,
+             CAST(sum(qty) AS BIGINT) AS sum_qty,
+             CAST(sum(base_c) AS BIGINT) AS sum_base_cents,
+             CAST(sum(base_c * (100 - disc_c)) AS BIGINT) AS sum_disc_e4,
+             CAST(sum(base_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT)
+               AS sum_charge_e6,
+             count(*) AS n,
+             CAST(sum(qty) * 1000000 // count(*) AS BIGINT) AS avg_qty_ppm,
+             CAST(sum(base_c) * 10000 // count(*) AS BIGINT) AS avg_base_c_e4
+         FROM b GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "tpch_q3" ->
+      """SELECT o.o_orderkey,
+             strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS odate,
+             o.o_orderpriority,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_e4
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_nationkey < 5
+           AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+           AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+         GROUP BY o.o_orderkey, odate, o.o_orderpriority
+         ORDER BY revenue_e4 DESC, o.o_orderkey LIMIT 10""",
     // the full-shuffle ground truth the two-pass MG path must equal
     "heavy_hitters_mg" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word
