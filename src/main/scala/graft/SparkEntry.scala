@@ -2234,6 +2234,27 @@ object SparkEntry {
            lit(1.0) / col("n1").cast("double"))), 6).as("z"))
     }),
 
+    // The DSv2 graftkv connector end-to-end: supplier rows round-trip
+    // through the reference's key\tvalue text format ONCE (cache), then
+    // scan back through format("graftkv") with a key-prefix pushed into
+    // the reader and only the pruned columns materialized. The oracle
+    // reads the parquet truth — hash-match certifies the connector's
+    // byte contract, split planning and filter semantics together.
+    "scan_kv_dsv2" -> ((s, d) => {
+      val cache = new java.io.File(s"/tmp/graft_kvds_${new java.io.File(d).getName}")
+      if (!new java.io.File(cache, "_graft_done").exists) {
+        graft.sources.TextKV.writeKV(
+          supplier(s, d).select(col("s_name"),
+            expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("cents")),
+          cache.toString)
+        new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+      }
+      s.read.format("graftkv").load(cache.toString)
+        .filter(col("key").startsWith("Supplier#00000001"))
+        .select(col("key"), col("value").cast("long").as("cents"))
+        .orderBy("key")
+    }),
+
     // TPC-H Q1 (pricing summary), EXACT-INTEGER form: discount/tax are
     // 2dp so price·(1−disc) lands on the 1e-4 dollar grid and
     // price·(1−disc)·(1+tax) on 1e-6 — every sum is a long (decimal at
@@ -5047,6 +5068,12 @@ object SparkEntry {
                           * (1.0 / CAST(n0 AS DOUBLE)
                              + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z
          FROM t""",
+    "scan_kv_dsv2" ->
+      """SELECT s_name AS key,
+             CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+         FROM supplier
+         WHERE s_name LIKE 'Supplier#00000001%'
+         ORDER BY key""",
     "tpch_q1" ->
       """WITH b AS (SELECT l_returnflag, l_linestatus,
              CAST(l_quantity AS BIGINT) AS qty,
