@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator surface: the as-of merge-scan plan
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // custom plans are opaque to Catalyst's own pushdown — restore it
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     ext.injectFunction((FunctionIdentifier("minhash_md5"),
       new ExpressionInfo(classOf[MinHashMd5].getName, "minhash_md5"),
       Functions.minhashMd5Builder))

@@ -191,6 +191,11 @@ object AsOfMergeJoin {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // the pushdown rule travels with the operator: a custom node is
+    // opaque to Catalyst's own PushPredicateThroughJoin
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOf))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOf
     val lPlan = left.queryExecution.analyzed
     // keep only key/time/payload on the right so the merge state and the
     // shuffle carry nothing else

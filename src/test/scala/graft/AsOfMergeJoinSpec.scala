@@ -64,4 +64,32 @@ class AsOfMergeJoinSpec extends SparkTestBase {
     assert(p.contains("AsOfMergeJoin"), p.take(1200))
     assert(!p.contains("Union") && !p.contains("Window"), p.take(1200))
   }
+
+  test("left-only filters push below the as-of node; payload filters stay") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import graft.plans.AsOfJoinPlan
+    val (l, r) = crafted
+    val joined = AsOfMergeJoin.asOf(l, r, "k", "t", Seq("payload"))
+
+    // left-only predicate: must land BELOW AsOfJoinPlan
+    val pushed = joined.filter(col("id") > 1 && col("k") === 1)
+    val oplan = pushed.queryExecution.optimizedPlan
+    val above = oplan.collectFirst {
+      case LFilter(_, _: AsOfJoinPlan) => true }
+    assert(above.isEmpty, s"filter stayed above the join:\n$oplan")
+    val below = oplan.collectFirst {
+      case aj: AsOfJoinPlan => aj.left.collectFirst { case f: LFilter => f } }
+    assert(below.flatten.nonEmpty, s"no filter below the join:\n$oplan")
+    // and semantics are unchanged vs the unpushed union+window form
+    val want = graft.ops.AsOfJoin.asOf(l, r, "k", "t", Seq("payload"))
+      .filter(col("id") > 1 && col("k") === 1)
+      .collect().map(_.toSeq).toSet
+    assert(pushed.collect().map(_.toSeq).toSet === want)
+
+    // payload predicate: must NOT move (it needs the join's result)
+    val stay = joined.filter(col("payload").isNotNull)
+    val oplan2 = stay.queryExecution.optimizedPlan
+    val above2 = oplan2.collectFirst { case LFilter(_, _: AsOfJoinPlan) => true }
+    assert(above2.nonEmpty, s"payload filter was moved:\n$oplan2")
+  }
 }
