@@ -2234,6 +2234,45 @@ object SparkEntry {
            lit(1.0) / col("n1").cast("double"))), 6).as("z"))
     }),
 
+    // DISCRETE percentile (an ACTUAL member value, not interpolation):
+    // value at row ceil(p·n) in (value, unique-key) order — exact cents,
+    // no float anywhere (the quantile_cont sibling is percentile_agg).
+    // Window rides one partition per group; at scale the same shape
+    // range-partitions by group.
+    "percentile_disc" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("cents"), col("o_orderkey"))
+      val ranked = orders(s, d).select(col("o_orderpriority"),
+          col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+      ranked
+        .filter(col("rn") === expr("CAST(ceil(n * 0.5) AS BIGINT)") ||
+          col("rn") === expr("CAST(ceil(n * 0.95) AS BIGINT)"))
+        .groupBy("o_orderpriority")
+        .agg(min(when(col("rn") === expr("CAST(ceil(n * 0.5) AS BIGINT)"),
+            col("cents"))).as("p50_cents"),
+          min(when(col("rn") === expr("CAST(ceil(n * 0.95) AS BIGINT)"),
+            col("cents"))).as("p95_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ID-continuity audit: missing ranges in a supposedly-dense key
+    // sequence (dropped batches show up as gaps) — lead-window islands,
+    // output bounded by the number of gaps. Gaps are INJECTED by
+    // filtering multiples of 97 (the corpus is dense).
+    "dq_id_gaps" -> ((s, d) => {
+      val ids = orders(s, d).filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey").as("id"))
+      val w = Window.orderBy("id")
+      ids.withColumn("nxt", lead(col("id"), 1).over(w))
+        .filter(col("nxt") > col("id") + 1)
+        .select((col("id") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"),
+          (col("nxt") - col("id") - 1).as("n_missing"))
+        .orderBy("gap_start")
+    }),
+
     // The DSv2 graftkv connector end-to-end: supplier rows round-trip
     // through the reference's key\tvalue text format ONCE (cache), then
     // scan back through format("graftkv") with a key-prefix pushed into
@@ -5068,6 +5107,32 @@ object SparkEntry {
                           * (1.0 / CAST(n0 AS DOUBLE)
                              + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z
          FROM t""",
+    // quantile_disc picks lower-of-halves; the ceil(p·n) rank convention
+    // is written out long-hand on both sides instead so the tie rule is
+    // pinned by construction, not by engine defaults
+    "percentile_disc" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                          o_orderkey) AS BIGINT) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders)
+         SELECT o_orderpriority,
+             CAST(min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                 THEN cents END) AS BIGINT) AS p50_cents,
+             CAST(min(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                 THEN cents END) AS BIGINT) AS p95_cents
+         FROM r WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)
+             OR rn = CAST(ceil(n * 0.95) AS BIGINT)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "dq_id_gaps" ->
+      """WITH ids AS (SELECT o_orderkey AS id FROM orders
+           WHERE o_orderkey % 97 <> 0),
+         x AS (SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM ids)
+         SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
+             nxt - id - 1 AS n_missing
+         FROM x WHERE nxt > id + 1 ORDER BY gap_start""",
     "scan_kv_dsv2" ->
       """SELECT s_name AS key,
              CAST(round(s_acctbal * 100) AS BIGINT) AS cents

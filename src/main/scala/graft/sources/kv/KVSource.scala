@@ -85,13 +85,19 @@ object KVSource {
 }
 
 class KVTable(paths: Seq[String], maxSplitBytes: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graftkv(${paths.mkString(",")})"
   override def schema(): StructType = KVSource.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KVScanBuilder(paths, maxSplitBytes)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new KVWriteBuilder(paths.head, info)
 }
 
 class KVScanBuilder(paths: Seq[String], maxSplitBytes: Long)

@@ -71,6 +71,33 @@ class KVSourceSpec extends SparkTestBase {
     assert(prefix.count() === 11) // k42, k420..k429
   }
 
+  test("V2 write path round-trips; overwrite truncates; multi-col joins by tab") {
+    val d3 = java.nio.file.Files.createTempDirectory("graft_kvw").toString + "/out"
+    val df = Seq(("a", "1", "x"), ("b", "2", "y")).toDF("k", "v1", "v2")
+    df.write.format("graftkv").mode("append").save(d3)
+    val back = spark.read.format("graftkv").load(d3)
+      .as[(String, String)].collect().sorted.toSeq
+    assert(back === Seq(("a", "1\tx"), ("b", "2\ty"))) // first tab splits
+    // overwrite replaces, not appends
+    Seq(("c", "3", "z")).toDF("k", "v1", "v2")
+      .write.format("graftkv").mode("overwrite").save(d3)
+    val after = spark.read.format("graftkv").load(d3)
+      .as[(String, String)].collect().toSeq
+    assert(after === Seq(("c", "3\tz")))
+    // byte-identical to TextKV.writeKV on the same rows
+    val d4 = java.nio.file.Files.createTempDirectory("graft_kvw2").toString + "/out"
+    graft.sources.TextKV.writeKV(df, d4)
+    def bytes(dir: String) = {
+      val base = new java.io.File(dir)
+      base.listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
+          && !f.getName.endsWith(".crc"))
+        .flatMap(f => scala.io.Source.fromFile(f).getLines()).sorted.toSeq
+    }
+    // compare line sets of the ORIGINAL write (re-write d3 with df)
+    df.write.format("graftkv").mode("overwrite").save(d3)
+    assert(bytes(d3) === bytes(d4))
+  }
+
   test("multi-file directories and the _-prefixed skip rule") {
     val d2 = java.nio.file.Files.createTempDirectory("graft_kv2").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(d2, "a.txt"),
