@@ -2234,6 +2234,46 @@ object SparkEntry {
            lit(1.0) / col("n1").cast("double"))), 6).as("z"))
     }),
 
+    // §2.8 widening: the second string-scalar block (translate / pads /
+    // repeat / reverse / ascii / left / right) — every function paired
+    // with a DuckDB twin
+    "string_funcs2" -> ((s, d) =>
+      part(s, d).select(col("p_partkey"),
+          translate(col("p_name"), "ae", "4&").as("t"),
+          lpad(col("p_size").cast("string"), 4, "0").as("lp"),
+          rpad(col("p_size").cast("string"), 3, "_").as("rp"),
+          expr("repeat(p_brand, 2)").as("rep"),
+          reverse(col("p_name")).as("rev"),
+          ascii(col("p_name")).cast("long").as("a"),
+          expr("left(p_name, 3)").as("l3"),
+          expr("right(p_name, 3)").as("r3"))
+        .orderBy("p_partkey")),
+
+    // bitwise scalar block (&, |, ^, shifts) — integer-exact by nature;
+    // DuckDB spells xor as a function and precedence differs, so this
+    // key is DF-side + mirrored SQL rather than same-text
+    "bitwise_ops" -> ((s, d) =>
+      orders(s, d).select(col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(255)).as("b_and"),
+          (col("o_orderkey").bitwiseOR(4096)).as("b_or"),
+          (col("o_orderkey").bitwiseXOR(170)).as("b_xor"),
+          shiftleft(col("o_orderkey"), 3).cast("long").as("b_shl"),
+          shiftright(col("o_orderkey"), 2).cast("long").as("b_shr"))
+        .orderBy("o_orderkey")),
+
+    // error-tolerant casting in ONE shared SQL text (try_cast semantics:
+    // malformed -> NULL, never an exception — the reference NPEs)
+    "sql_try_cast" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(sqlTryCastText)
+    }),
+
+    // GROUP BY ALL / ORDER BY ALL (the modern SQL shorthand), one text
+    "sql_group_by_all" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(sqlGroupByAllText)
+    }),
+
     // DISCRETE percentile (an ACTUAL member value, not interpolation):
     // value at row ceil(p·n) in (value, unique-key) order — exact cents,
     // no float anywhere (the quantile_cont sibling is percentile_agg).
@@ -2882,6 +2922,21 @@ object SparkEntry {
     * explosion) and the rollup is an exact integer-cents sum. Children
     * are constrained to key > 9 so the root band 1..9 can't re-enter
     * (custkey 0's floor(0/10)=0 self-loop stays out of the tree). */
+  /** Shared same-text constants (zero-drift family). */
+  private val sqlTryCastText: String =
+    """SELECT doc_id,
+         try_cast(CASE WHEN doc_id % 3 = 0
+             THEN 'x' || CAST(doc_id AS STRING)
+             ELSE CAST(doc_id AS STRING) END AS BIGINT) AS parsed,
+         try_cast(CASE WHEN doc_id % 5 = 0 THEN NULL
+             ELSE CAST(doc_id AS STRING) END AS BIGINT) AS parsed2
+       FROM documents ORDER BY doc_id"""
+
+  private val sqlGroupByAllText: String =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+       FROM orders GROUP BY ALL ORDER BY ALL"""
+
   /** Ranking + framed running window in pure SQL — IDENTICAL text on
     * both engines (the sql_recursive zero-drift discipline); money on
     * the exact cents grid, every tie broken by the unique order key. */
@@ -5107,6 +5162,27 @@ object SparkEntry {
                           * (1.0 / CAST(n0 AS DOUBLE)
                              + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z
          FROM t""",
+    "string_funcs2" ->
+      """SELECT p_partkey,
+             translate(p_name, 'ae', '4&') AS t,
+             lpad(CAST(p_size AS STRING), 4, '0') AS lp,
+             rpad(CAST(p_size AS STRING), 3, '_') AS rp,
+             repeat(p_brand, 2) AS rep,
+             reverse(p_name) AS rev,
+             CAST(ascii(p_name) AS BIGINT) AS a,
+             left(p_name, 3) AS l3,
+             right(p_name, 3) AS r3
+         FROM part ORDER BY p_partkey""",
+    "bitwise_ops" ->
+      """SELECT o_orderkey,
+             o_orderkey & 255 AS b_and,
+             o_orderkey | 4096 AS b_or,
+             xor(o_orderkey, 170) AS b_xor,
+             CAST(o_orderkey << 3 AS BIGINT) AS b_shl,
+             CAST(o_orderkey >> 2 AS BIGINT) AS b_shr
+         FROM orders ORDER BY o_orderkey""",
+    "sql_try_cast" -> sqlTryCastText,
+    "sql_group_by_all" -> sqlGroupByAllText,
     // quantile_disc picks lower-of-halves; the ceil(p·n) rank convention
     // is written out long-hand on both sides instead so the tie rule is
     // pinned by construction, not by engine defaults
