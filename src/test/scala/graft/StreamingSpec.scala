@@ -326,4 +326,43 @@ class StreamingSpec extends SparkTestBase {
     // every user is in the dim, so the left join never null-pads
     assert(out.filter(col("cohort").isNull).count() === 0L)
   }
+
+  test("transformWithState running totals equal the batch groupBy (RocksDB store)") {
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // two source files -> at least two micro-batches exercising state
+      // carry-over (maxFilesPerTrigger pins one file per batch)
+      val dir = java.nio.file.Files.createTempDirectory("graft-tws")
+      val ev = Tables.events(spark, sf)
+      ev.filter(col("event_id") % 2 === 0).coalesce(1).write
+        .parquet(dir.resolve("b0").toString)
+      ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write
+        .parquet(dir.resolve("b1").toString)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString + "/*/")
+      val q = graft.streaming.StateStream.userTotals(stream)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_totals").start()
+      try q.processAllAvailable() finally q.stop()
+      // update mode appends one row per (user, batch); the LATEST row
+      // per user (max n_events — monotone) is the running total
+      val got = spark.table("tws_totals")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("cents"))).as("m"))
+        .select(col("user_id"), col("m.n_events"), col("m.cents"))
+        .as[(Long, Long, Long)].collect().toSet
+      val want = ev
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally saved.fold(conf.unset(key))(conf.set(key, _))
+  }
 }
