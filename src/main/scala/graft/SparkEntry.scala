@@ -575,6 +575,16 @@ object SparkEntry {
         .groupBy("id").agg(count(lit(1)).as("n"))
         .orderBy("id")),
 
+    // INTERSECT ALL — occurrence-level min-multiplicity (completes the
+    // multiset family with set_except_all)
+    "set_intersect_all" -> ((s, d) =>
+      lineitem(s, d).filter(col("l_quantity") >= 45)
+        .select(col("l_partkey").as("id"))
+        .intersectAll(lineitem(s, d).filter(col("l_discount") >= 0.05)
+          .select(col("l_partkey").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("n"))
+        .orderBy("id")),
+
     // Statistical aggregates (corr/covariance) composed from EXACT
     // integer moments (Σx, Σy, Σxy, Σx², Σy² as bigints; x = integral
     // quantity, y = floor-dollars — floor, not round: exact-.50 values
@@ -3321,6 +3331,12 @@ object SparkEntry {
            SELECT l_partkey AS id FROM lineitem WHERE l_quantity >= 45
            EXCEPT ALL
            SELECT l_partkey AS id FROM lineitem WHERE l_quantity >= 48)
+         GROUP BY id ORDER BY id""",
+    "set_intersect_all" ->
+      """SELECT id, count(*) AS n FROM (
+           SELECT l_partkey AS id FROM lineitem WHERE l_quantity >= 45
+           INTERSECT ALL
+           SELECT l_partkey AS id FROM lineitem WHERE l_discount >= 0.05)
          GROUP BY id ORDER BY id""",
     "stats_agg" ->
       """WITH m AS (SELECT l_returnflag,
