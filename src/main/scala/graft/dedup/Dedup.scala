@@ -440,8 +440,26 @@ object Dedup {
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleSize: Int = 3,
                         maxBucket: Int = 1000): DataFrame = {
-    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
-        shingles(graft.ops.TextOps.tokenize(col(textCol)), shingleSize).as("sgl"))
+    // Shingling the WHOLE corpus is the CPU-heavy step (tokenize +
+    // n·concat_ws + array_distinct per doc) and inherits the SCAN's
+    // partitioning — a sub-128MB compressed input is one partition, so
+    // it ran in ONE task (measured 19.6 s of the key's 24 s at sf0.1).
+    // Repartitioning the raw text first is a trivially small shuffle
+    // that fans the compute across the session's parallelism; no-op
+    // when the scan already splits (the 100 TB case).
+    val conf = docs.sparkSession.sessionState.conf
+    val src =
+      if (docs.rdd.getNumPartitions < conf.numShufflePartitions)
+        docs.repartition(conf.numShufflePartitions)
+      else docs
+    // Generate barrier before shingling (the candidateShingles rule):
+    // without it the tokenize split() inlines into every element_at of
+    // the shingle lambda — O(tokens²) per doc, measured ~10 s of this
+    // key's cost at sf0.1
+    val sh = src
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(array(graft.ops.TextOps.tokenize(col(textCol)))).as("w"))
+      .select(col("doc_id"), shingles(col("w"), shingleSize).as("sgl"))
       .filter(size(col("sgl")) > 0)
       .localCheckpoint() // consumed 3×: df count, prefix ranking, verify
     val df = sh.select(explode(col("sgl")).as("s"))
@@ -458,12 +476,26 @@ object Dedup {
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
     val pruned = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    // BROADCAST the array side of both verify joins: the candidate-pair
+    // relation can be orders of magnitude larger than the doc set (409k
+    // pairs vs 5k docs at sf0.1), and a shuffle join would move every
+    // pair WITH two multi-KB shingle arrays attached (measured ~29 s of
+    // the key's 33 s). Broadcasting the bounded doc-array map keeps the
+    // pairs map-side; the arrays exist once per executor, not per pair.
+    // explode(array(…)) Generate barrier around the intersection (the
+    // minhashSignatures trick): CollapseProject would otherwise inline
+    // the array_intersect into uni + jaccard + the filter — ~6
+    // evaluations of the O(|A|+|B|) intersection per pair (measured
+    // 24 s -> 4 s on the 409k-pair sf0.1 verify)
     cands
-      .join(pruned.select(col("doc_id").as("doc_a"), col("sgl").as("sgl_a")), "doc_a")
-      .join(pruned.select(col("doc_id").as("doc_b"), col("sgl").as("sgl_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sgl_a"), col("sgl_b"))).cast("long"))
-      .withColumn("uni",
-        size(col("sgl_a")).cast("long") + size(col("sgl_b")).cast("long") - col("inter"))
+      .join(broadcast(pruned.select(col("doc_id").as("doc_a"), col("sgl").as("sgl_a"))), "doc_a")
+      .join(broadcast(pruned.select(col("doc_id").as("doc_b"), col("sgl").as("sgl_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sgl_a")).cast("long").as("sa"),
+        size(col("sgl_b")).cast("long").as("sb"),
+        explode(array(size(array_intersect(col("sgl_a"), col("sgl_b")))
+          .cast("long"))).as("inter"))
+      .withColumn("uni", col("sa") + col("sb") - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
       .filter(col("inter").cast("double") / col("uni") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
