@@ -292,7 +292,11 @@ object TextAnalysis {
     * Returns (doc_id, n_bigrams, avg_logp), docs with ≥ 2 tokens. */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val big = docs
-      .select(col(idCol).as("doc_id"), TextOps.tokenize(col(textCol)).as("w"))
+      // Generate barrier: the per-bigram element_at lambda would
+      // otherwise inline (and re-run) the tokenize split per element —
+      // O(tokens²)/doc (the candidateShingles rule)
+      .select(col(idCol).as("doc_id"),
+        explode(array(TextOps.tokenize(col(textCol)))).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("w")) - 2),
@@ -427,7 +431,8 @@ object TextAnalysis {
     */
   def collocations(docs: DataFrame, textCol: String,
                    minCount: Int = 5, topK: Int = 50): DataFrame = {
-    val toks = docs.select(TextOps.tokenize(col(textCol)).as("w"))
+    // Generate barrier — same O(tokens²) inlining hazard as bigramLmScore
+    val toks = docs.select(explode(array(TextOps.tokenize(col(textCol)))).as("w"))
       .filter(size(col("w")) >= 1)
     val uni = toks.select(explode(col("w")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("u"))
