@@ -1484,9 +1484,15 @@ object SparkEntry {
     "histogram_equidepth" -> ((s, d) => {
       val li = lineitem(s, d).select(
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
-      val cutCols = (1 to 9).map(i => round(expr(s"percentile(cents, 0.$i)") * 10)
-        .cast("long").as(s"c$i"))
-      val cuts = li.agg(cutCols.head, cutCols.tail: _*)
+      // ONE percentile aggregate with the whole cut array: nine scalar
+      // percentile() calls each build and merge their own per-partition
+      // value-counts map (measured 21.5 s at sf0.1); the array form
+      // shares a single map for all cuts (1.1 s), same values exactly
+      val cuts = li
+        .agg(expr("percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+          .as("cs"))
+        .select((1 to 9).map(i =>
+          round(element_at(col("cs"), i) * 10).cast("long").as(s"c$i")): _*)
       val bucket = (1 to 9).foldLeft(lit(1)) { (acc, i) =>
         acc + when(col("cents") * 10 > col(s"c$i"), 1).otherwise(0)
       }
