@@ -2350,6 +2350,62 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // Matryoshka-truncated retrieval (MRL): top-k cosine on the FIRST 8
+    // dims only — the cheap-first-stage ranking a matryoshka-trained
+    // embedding enables (re-rank survivors with full dims downstream).
+    // Same brute-force machinery, sliced input; identical fold order
+    // keeps the DuckDB mirror bit-exact.
+    "similarity_mrl" -> ((s, d) =>
+      Similarity.bruteForceTopK(
+          embeddings(s, d).select(col("vec_id"),
+            slice(col("embedding"), 1, 8).as("embedding")),
+          "vec_id", "embedding", col("vec_id") < 10, k = 5)
+        .orderBy("query_id", "rn")),
+
+    // degree assortativity of the co-purchase graph: Pearson r over
+    // per-edge (deg a, deg b) pairs in both orientations — the
+    // regr_agg discipline (exact long moments, decimal combination,
+    // one identical IEEE finish)
+    "graph_assortativity" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      val e = li.select(col("k"), col("p")).distinct()
+        .join(li.select(col("k"), col("p").as("p2")).distinct(), "k")
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("a"), col("p2").as("b")).distinct()
+      val deg = e.select(col("a").as("n"))
+        .unionByName(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val pairs = e
+        .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      val xy = pairs.select(col("da").as("x"), col("db").as("y"))
+        .unionByName(pairs.select(col("db").as("x"), col("da").as("y")))
+      val dec = "decimal(38,0)"
+      val m = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      val num = m("n").cast(dec) * col("sxy").cast(dec) -
+        col("sx").cast(dec) * col("sy").cast(dec)
+      val denx = m("n").cast(dec) * col("sxx").cast(dec) -
+        col("sx").cast(dec) * col("sx").cast(dec)
+      val deny = m("n").cast(dec) * col("syy").cast(dec) -
+        col("sy").cast(dec) * col("sy").cast(dec)
+      m.select(col("n"),
+        round(num.cast("double") /
+          sqrt(denx.cast("double") * deny.cast("double")), 6).as("r"))
+    }),
+
+    // vowel-run syllable proxy (readability signal for a corpus with no
+    // sentence punctuation): counts + ppm ratio — float-free; also the
+    // regexp_count surface
+    "text_syllables" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+          size(graft.ops.TextOps.tokenize(col("text"))).cast("long").as("n_words"),
+          regexp_count(col("text"), lit("[aeiou]+")).cast("long").as("n_syl"))
+        .withColumn("syl_per_word_ppm", expr("n_syl * 1000000 DIV n_words"))
+        .orderBy("doc_id")),
+
     // TPC-H Q1 (pricing summary), EXACT-INTEGER form: discount/tax are
     // 2dp so price·(1−disc) lands on the 1e-4 dollar grid and
     // price·(1−disc)·(1+tax) on 1e-6 — every sum is a long (decimal at
@@ -5237,6 +5293,56 @@ object SparkEntry {
          FROM supplier
          WHERE s_name LIKE 'Supplier#00000001%'
          ORDER BY key""",
+    // same fold as similarity_topk over the 8-dim prefix slice
+    "similarity_mrl" ->
+      """WITH e AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:8] AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*v[i]),
+                              (x, y) -> x + y)) AS nv
+           FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM n WHERE vec_id < 10),
+         pairs AS (
+           SELECT q.query_id, n.vec_id AS neighbor_id,
+               list_reduce(list_transform(generate_series(1, len(n.v)), i -> q.qv[i]*n.v[i]),
+                           (x, y) -> x + y) / (q.nq * n.nv) AS cos
+           FROM q, n WHERE q.query_id <> n.vec_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+           FROM pairs)
+         SELECT query_id, neighbor_id, round(cos, 6) AS sim, rn
+         FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
+    // HUGEINT moment combination; identical finishing ops
+    "graph_assortativity" ->
+      """WITH pp AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+             (SELECT a AS n FROM pp UNION ALL SELECT b FROM pp)
+           GROUP BY n),
+         xy AS (SELECT da.deg AS x, db.deg AS y FROM pp
+             JOIN deg da ON da.n = pp.a JOIN deg db ON db.n = pp.b
+           UNION ALL
+           SELECT db.deg, da.deg FROM pp
+             JOIN deg da ON da.n = pp.a JOIN deg db ON db.n = pp.b),
+         m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM xy)
+         SELECT CAST(n AS BIGINT) AS n,
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+         FROM m""",
+    "text_syllables" ->
+      """SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_syl,
+             CAST(CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+                  * 1000000
+                  // CAST(len(string_split(text, ' ')) AS BIGINT)
+                  AS BIGINT) AS syl_per_word_ppm
+         FROM documents ORDER BY doc_id""",
     "tpch_q1" ->
       """WITH b AS (SELECT l_returnflag, l_linestatus,
              CAST(l_quantity AS BIGINT) AS qty,
