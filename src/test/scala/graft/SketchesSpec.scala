@@ -47,6 +47,33 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("plan guards: bitmap path is two hash aggs (no Expand); bloom probe sits in the scan-side Filter") {
+    val df = (0L until 1000L).map(k => ("g" + (k % 3), k)).toDF("g", "k")
+    val bitmapPlan = Sketches.bitmapDistinct(df, "g", "k")
+      .queryExecution.executedPlan.toString
+    assert(bitmapPlan.contains("HashAggregate") &&
+      !bitmapPlan.contains("Expand"), bitmapPlan.take(800))
+    assert(bitmapPlan.contains("bitmap_construct_agg") ||
+      bitmapPlan.toLowerCase.contains("bitmapconstructagg"), bitmapPlan.take(800))
+
+    // parquet-backed fact: over a LocalRelation the optimizer executes
+    // the probe at plan time (ConvertToLocalRelation) and no Filter
+    // node survives to assert on
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomplan").toString
+    (0L until 1000L).toDF("fk").write.parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = (0L until 1000L by 7L).toDF("dk")
+    val plan = Sketches.bloomPrunedSemi(fact, "fk", dim, "dk")
+      .queryExecution.executedPlan.toString
+    // the probe must appear as a Filter condition (scan side), i.e.
+    // BEFORE the semi join in the plan tree
+    assert(plan.contains("graft_might_contain"), plan.take(1200))
+    val filterIdx = plan.indexOf("graft_might_contain")
+    val joinIdx = plan.indexOf("LeftSemi")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"probe not below the semi join:\n${plan.take(1200)}")
+  }
+
   test("misraGriesHeavy equals the full groupBy HAVING on skewed data") {
     // zipf-ish skew + a long tail, shuffled across partitions; k small
     // enough that summaries evict constantly
