@@ -1654,6 +1654,40 @@ object SparkEntry {
       graft.graph.LabelPropagation.run(pairs, rounds = 4).orderBy("node")
     }),
 
+    // community quality of the LPA partition: per-community modularity
+    // numerator 4m·e_in − deg_c² — EXACT LONGS only (the global Q is
+    // Σ q_num / 4m², consumer math); one labels join + two tiny aggs
+    // beyond the LPA run itself
+    "graph_modularity" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      val pairs = li.groupBy("k")
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+          .as("pr"))
+        .select(col("pr.a"), col("pr.b")).distinct()
+        .localCheckpoint() // consumed by LPA and by the edge-label join
+      val labels = graft.graph.LabelPropagation.run(pairs, rounds = 4)
+      val m = pairs.count()
+      val e = pairs
+        .join(labels.select(col("node").as("a"), col("label").as("la")), "a")
+        .join(labels.select(col("node").as("b"), col("label").as("lb")), "b")
+        .localCheckpoint()
+      val inc = e.filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+      val degc = e.select(col("la").as("label"))
+        .unionByName(e.select(col("lb").as("label")))
+        .groupBy("label").agg(count(lit(1)).as("deg_c"))
+      degc.join(inc, Seq("label"), "left")
+        .select(col("label"), coalesce(col("e_in"), lit(0L)).as("e_in"),
+          col("deg_c"))
+        .withColumn("q_num",
+          lit(4L * m) * col("e_in") - col("deg_c") * col("deg_c"))
+        .orderBy("label")
+    }),
+
     // degree profile of the same graph — one shuffle per side, full outer
     // so pure sources/sinks appear with a zero degree
     "graph_degrees" -> ((s, d) => {
@@ -2944,7 +2978,10 @@ object SparkEntry {
     * oracle scale; the Spark side computes the same argmax as a
     * max(struct) monoid. Fixed-round contract ⇒ the unroll IS the
     * semantics (no fixpoint assumption needed). */
-  private def lpaOracleSql(rounds: Int): String = {
+  /** Shared LPA unrolled-round CTE body (through `l$rounds`) — used by
+    * the graph_lpa oracle and composed into graph_modularity so the
+    * community assignment can never drift between the two. */
+  private def lpaOracleCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
       s"""l$r AS MATERIALIZED (
              SELECT node, label FROM (
@@ -2954,17 +2991,20 @@ object SparkEntry {
                FROM edges e JOIN l${r - 1} l ON l.node = e.v
                GROUP BY e.u, l.label) WHERE rn = 1)"""
     }.mkString(",\n         ")
-    s"""WITH pp AS MATERIALIZED (
+    s"""pp AS MATERIALIZED (
            SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
            FROM lineitem x JOIN lineitem y
              ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
          edges AS MATERIALIZED (SELECT a AS u, b AS v FROM pp
            UNION ALL SELECT b, a FROM pp),
          l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM edges),
-         $steps
+         $steps"""
+  }
+
+  private def lpaOracleSql(rounds: Int): String =
+    s"""WITH ${lpaOracleCtes(rounds)}
          SELECT node, CAST(label AS BIGINT) AS label
          FROM l$rounds ORDER BY node"""
-  }
 
   private def kcoreOracleSql(k: Int, rounds: Int): String = {
     val peels = (1 to rounds).map { i =>
@@ -4637,6 +4677,25 @@ object SparkEntry {
     "graph_kcore" -> kcoreOracleSql(k = 80, rounds = 16),
     "graph_sssp" -> ssspOracleSql(maxCost = 8),
     "graph_lpa" -> lpaOracleSql(rounds = 4),
+    // the SAME unrolled LPA CTEs, modularity aggregation on top —
+    // 4m·e_in − deg_c² in exact integers (DuckDB HUGEINT → BIGINT)
+    "graph_modularity" ->
+      s"""WITH ${lpaOracleCtes(rounds = 4)},
+         m AS (SELECT count(*) AS m FROM pp),
+         el AS (SELECT la.label AS la, lb.label AS lb FROM pp
+           JOIN l4 la ON la.node = pp.a JOIN l4 lb ON lb.node = pp.b),
+         inc AS (SELECT la AS label, count(*) AS e_in FROM el
+           WHERE la = lb GROUP BY la),
+         degc AS (SELECT label, count(*) AS deg_c FROM
+             (SELECT la AS label FROM el UNION ALL SELECT lb FROM el)
+           GROUP BY label)
+         SELECT CAST(degc.label AS BIGINT) AS label,
+             CAST(coalesce(inc.e_in, 0) AS BIGINT) AS e_in,
+             CAST(degc.deg_c AS BIGINT) AS deg_c,
+             CAST(4 * (SELECT m FROM m) * coalesce(inc.e_in, 0)
+                  - degc.deg_c * degc.deg_c AS BIGINT) AS q_num
+         FROM degc LEFT JOIN inc ON inc.label = degc.label
+         ORDER BY label""",
     // UNION (not UNION ALL) recursion: the working set is distinct
     // (title, dist) pairs, so cycles terminate and the row count is
     // bounded by V × hops; min(dist) collapses to the BFS hop count
