@@ -2384,6 +2384,36 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // class-balanced downsampling: every label keeps exactly
+    // min-class-count rows (deterministic: lowest vec_id first) — the
+    // imbalance fix before classifier training; one window + one
+    // broadcast scalar
+    "sample_balanced" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("label").cast("long").as("label"))
+      val minCnt = e.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(min("n")).head.getLong(0)
+      e.withColumn("rn", row_number().over(
+          Window.partitionBy("label").orderBy("vec_id")).cast("long"))
+        .filter(col("rn") <= minCnt)
+        .select("label", "vec_id", "rn")
+        .orderBy("label", "vec_id")
+    }),
+
+    // leave-one-out target encoding (the mean-encode that does not leak
+    // the row's own target): (group sum − own) DIV (n − 1) in exact
+    // cents; one window pass, no self-join
+    "feature_target_encode" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+      orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y"))
+        .withColumn("sum_c", sum(col("y")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("n") > 1)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("(sum_c - y) DIV (n - 1)").as("loo_mean_cents"))
+        .orderBy("o_orderkey")
+    }),
+
     // Matryoshka-truncated retrieval (MRL): top-k cosine on the FIRST 8
     // dims only — the cheap-first-stage ranking a matryoshka-trained
     // embedding enables (re-rank survivors with full dims downstream).
@@ -5352,6 +5382,25 @@ object SparkEntry {
          FROM supplier
          WHERE s_name LIKE 'Supplier#00000001%'
          ORDER BY key""",
+    "sample_balanced" ->
+      """WITH c AS (SELECT min(n) AS mn FROM
+             (SELECT label, count(*) AS n FROM embeddings GROUP BY label)),
+         r AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+             CAST(row_number() OVER (PARTITION BY label ORDER BY vec_id)
+                  AS BIGINT) AS rn
+           FROM embeddings)
+         SELECT label, vec_id, rn FROM r, c WHERE rn <= c.mn
+         ORDER BY label, vec_id""",
+    "feature_target_encode" ->
+      """WITH b AS (SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_orderpriority) AS sum_c,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders)
+         SELECT o_orderkey, o_orderpriority,
+             CAST((sum_c - y) // (n - 1) AS BIGINT) AS loo_mean_cents
+         FROM b WHERE n > 1 ORDER BY o_orderkey""",
     // same fold as similarity_topk over the 8-dim prefix slice
     "similarity_mrl" ->
       """WITH e AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:8] AS v
