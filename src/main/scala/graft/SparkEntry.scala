@@ -2566,6 +2566,27 @@ object SparkEntry {
           (col("n") < 10).as("violates_k10"))
         .orderBy("c_nationkey", "in_debt", "segment")),
 
+    // TOLERANCE as-of (pandas merge_asof's `tolerance`): the backward
+    // match only counts within 2 hours — stale lookups become
+    // no-match instead of silently joining hours-old state
+    "join_asof_tolerance" -> ((s, d) => {
+      val ev = events(s, d).withColumn("t_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "t_us")
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("t_us"), col("click_id"),
+          col("t_us").as("ct"))
+      graft.ops.AsOfJoin.asOf(purchases, clicks, "user_id", "t_us",
+          Seq("click_id", "ct"))
+        .filter(col("click_id").isNotNull &&
+          col("t_us") - col("ct") <= 7200L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          col("click_id"), (col("t_us") - col("ct")).as("age_us"))
+        .orderBy("event_id")
+    }),
+
     // NEAREST as-of: the backward and forward passes composed, smaller
     // absolute distance wins, ties to the earlier click — completes the
     // as-of direction family (backward / forward / nearest)
@@ -5510,6 +5531,20 @@ object SparkEntry {
              c_custkey % 4 AS segment, count(*) AS n,
              count(*) < 10 AS violates_k10
          FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "join_asof_tolerance" ->
+      """WITH ev AS (SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_type
+           FROM events),
+         p AS (SELECT event_id, user_id, t_us FROM ev
+           WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, t_us AS ct, max(event_id) AS click_id
+           FROM ev WHERE event_type = 'click' GROUP BY user_id, t_us)
+         SELECT p.event_id, p.user_id, p.t_us, c.click_id,
+             p.t_us - c.ct AS age_us
+         FROM p ASOF JOIN c
+           ON p.user_id = c.user_id AND p.t_us >= c.ct
+         WHERE p.t_us - c.ct <= 7200000000
+         ORDER BY p.event_id""",
     // brute-force nearest with the backward tie preference the composed
     // pass implements; clicks deduped per (user, ts) as ever
     "join_asof_nearest" ->
