@@ -2566,6 +2566,39 @@ object SparkEntry {
           (col("n") < 10).as("violates_k10"))
         .orderBy("c_nationkey", "in_debt", "segment")),
 
+    // ORACLE-CHECKED STREAMING: the key runs a real Structured
+    // Streaming query over a bounded file stream to completion
+    // (processAllAvailable, memory sink) and returns the sink table —
+    // so the DuckDB hash gate applies to a STREAMING result, not just
+    // a stream≡batch spec. Sums are exact cents; the window start is
+    // epoch-micros.
+    "stream_hourly_counts" -> ((s, d) => {
+      val cache = new java.io.File(s"/tmp/graft_stream_${new java.io.File(d).getName}")
+      if (!new java.io.File(cache, "_graft_done").exists) {
+        java.nio.file.Files.createDirectories(cache.toPath)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          cache.toPath.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+      }
+      val schema = events(s, d).schema
+      val stream = s.readStream.schema(schema)
+        .parquet(cache.toString + "/*.parquet")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        .withWatermark("t", "2 hours")
+        .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .select(unix_micros(col("w.start")).as("hour_us"),
+          col("event_type"), col("n"), col("cents"))
+      val qname = "graft_stream_hourly"
+      val q = stream.writeStream.outputMode("complete")
+        .format("memory").queryName(qname).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qname).orderBy("hour_us", "event_type")
+    }),
+
     // TOLERANCE as-of (pandas merge_asof's `tolerance`): the backward
     // match only counts within 2 hours — stale lookups become
     // no-match instead of silently joining hours-old state
@@ -5531,6 +5564,14 @@ object SparkEntry {
              c_custkey % 4 AS segment, count(*) AS n,
              count(*) < 10 AS violates_k10
          FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // the batch truth a correct streaming aggregation must converge to
+    "stream_hourly_counts" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events
+         GROUP BY hour_us, event_type
+         ORDER BY hour_us, event_type""",
     "join_asof_tolerance" ->
       """WITH ev AS (SELECT event_id, user_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_type
