@@ -2573,18 +2573,9 @@ object SparkEntry {
     // a stream≡batch spec. Sums are exact cents; the window start is
     // epoch-micros.
     "stream_hourly_counts" -> ((s, d) => {
-      val cache = new java.io.File(s"/tmp/graft_stream_${new java.io.File(d).getName}")
-      if (!new java.io.File(cache, "_graft_done").exists) {
-        java.nio.file.Files.createDirectories(cache.toPath)
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          cache.toPath.resolve("events.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
-      }
       val schema = events(s, d).schema
       val stream = s.readStream.schema(schema)
-        .parquet(cache.toString + "/*.parquet")
+        .parquet(streamCache(s, d) + "/*.parquet")
         .withColumn("t", timestamp_micros(expr("ts div 1000")))
         .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
         .withWatermark("t", "2 hours")
@@ -2597,6 +2588,38 @@ object SparkEntry {
         .format("memory").queryName(qname).start()
       try q.processAllAvailable() finally q.stop()
       s.table(qname).orderBy("hour_us", "event_type")
+    }),
+
+    // streaming SLIDING windows (15 min / 5 min — every event in 3
+    // overlapping windows), same run-to-completion oracle pattern; the
+    // oracle unrolls the 3 window memberships arithmetically
+    "stream_sliding_counts" -> ((s, d) => {
+      val src = streamCache(s, d)
+      val stream = s.readStream.schema(events(s, d).schema)
+        .parquet(src + "/*.parquet")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      val q = graft.streaming.EventStream.slidingCounts(stream)
+        .select(unix_micros(col("win_start")).as("win_us"), col("n"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_sliding").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_stream_sliding").orderBy("win_us")
+    }),
+
+    // streaming SESSION windows per user (30-min gap) — the streaming
+    // twin of events_session_window, now ORACLE-checked end to end
+    "stream_session_counts" -> ((s, d) => {
+      val src = streamCache(s, d)
+      val stream = s.readStream.schema(events(s, d).schema)
+        .parquet(src + "/*.parquet")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      val q = graft.streaming.EventStream.sessionCounts(stream)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"), col("n_events"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_sessions").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_stream_sessions").orderBy("user_id", "start_us")
     }),
 
     // TOLERANCE as-of (pandas merge_asof's `tolerance`): the backward
@@ -2786,6 +2809,23 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
   )
+
+  /** File-stream source directory for the oracle-checked streaming keys:
+    * the events parquet copied once into a dedicated dir (streaming file
+    * sources list DIRECTORIES; reusing the testdata dir would stream
+    * every table). */
+  private def streamCache(s: SparkSession, d: String): String = {
+    val cache = new java.io.File(s"/tmp/graft_stream_${new java.io.File(d).getName}")
+    if (!new java.io.File(cache, "_graft_done").exists) {
+      java.nio.file.Files.createDirectories(cache.toPath)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        cache.toPath.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+    }
+    cache.toString
+  }
 
   /** Deterministic PageRank input graph from the TPC-H-ish tables:
     * vertex `o<orderkey>` links its customer + one `p<partkey>` per
@@ -5572,6 +5612,30 @@ object SparkEntry {
          FROM events
          GROUP BY hour_us, event_type
          ORDER BY hour_us, event_type""",
+    // every event lands in exactly 3 sliding windows: starts
+    // (t DIV 5min − k)·5min for k ∈ {0,1,2} (t − s = t mod 5min +
+    // k·5min < 15min always) — arithmetic unroll, no window function
+    "stream_sliding_counts" ->
+      """WITH b AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+             FROM events)
+         SELECT (t_us // 300000000 - k) * 300000000 AS win_us,
+             count(*) AS n
+         FROM b, unnest([0, 1, 2]) AS u(k)
+         GROUP BY win_us ORDER BY win_us""",
+    // the events_session_window sessionize CTEs, per-user output shape
+    "stream_session_counts" ->
+      """WITH b AS (SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+         f AS (SELECT user_id, event_id, t_us, CASE WHEN t_us - lag(t_us) OVER
+                 (PARTITION BY user_id ORDER BY t_us, event_id)
+                 > 1800000000 THEN 1 ELSE 0 END AS flag
+           FROM b),
+         s AS (SELECT user_id, t_us, sum(flag) OVER
+                 (PARTITION BY user_id ORDER BY t_us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid
+           FROM f)
+         SELECT user_id, min(t_us) AS start_us, count(*) AS n_events
+         FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
     "join_asof_tolerance" ->
       """WITH ev AS (SELECT event_id, user_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_type
