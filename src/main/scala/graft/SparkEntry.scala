@@ -2622,6 +2622,25 @@ object SparkEntry {
       s.table("graft_stream_sessions").orderBy("user_id", "start_us")
     }),
 
+    // streaming CDC compaction run to completion — REUSES the batch
+    // cdc_apply oracle verbatim (the struct-max monoid state merge must
+    // land on the same surviving rows); complete-mode memory sink holds
+    // the final compacted state
+    "stream_cdc_apply" -> ((s, d) => {
+      val stream = s.readStream.schema(events(s, d).schema)
+        .parquet(streamCache(s, d) + "/*.parquet")
+        .select(col("user_id"), col("event_id"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+          round(col("value") * 100).cast("long").as("v_cents"))
+      val q = graft.streaming.EventStream.cdcLatest(stream)
+        .select(col("user_id"), col("n_ops"), col("last_seq"),
+          col("v_cents").as("value_cents"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_cdc").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_stream_cdc").orderBy("user_id")
+    }),
+
     // TOLERANCE as-of (pandas merge_asof's `tolerance`): the backward
     // match only counts within 2 hours — stale lookups become
     // no-match instead of silently joining hours-old state
@@ -3158,6 +3177,19 @@ object SparkEntry {
     * explosion) and the rollup is an exact integer-cents sum. Children
     * are constrained to key > 9 so the root band 1..9 can't re-enter
     * (custkey 0's floor(0/10)=0 self-loop stays out of the tree). */
+  /** Shared by cdc_apply and its streaming twin stream_cdc_apply. */
+  private val cdcApplyOracleSql: String =
+    """WITH log AS (SELECT user_id, event_id,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           CAST(round(value * 100) AS BIGINT) AS v_cents FROM events),
+       last AS (SELECT user_id, count(*) AS n_ops,
+           max(event_id) AS last_seq,
+           arg_max(op, event_id) AS last_op,
+           arg_max(v_cents, event_id) AS value_cents
+         FROM log GROUP BY user_id)
+       SELECT user_id, n_ops, last_seq, value_cents
+       FROM last WHERE last_op <> 'D' ORDER BY user_id"""
+
   /** Shared same-text constants (zero-drift family). */
   private val sqlTryCastText: String =
     """SELECT doc_id,
@@ -4900,17 +4932,10 @@ object SparkEntry {
          ORDER BY event_id""",
     // arg_max on the unique event_id is DuckDB's max_by — same
     // last-writer-wins semantics as the Spark struct-max
-    "cdc_apply" ->
-      """WITH log AS (SELECT user_id, event_id,
-             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-             CAST(round(value * 100) AS BIGINT) AS v_cents FROM events),
-         last AS (SELECT user_id, count(*) AS n_ops,
-             max(event_id) AS last_seq,
-             arg_max(op, event_id) AS last_op,
-             arg_max(v_cents, event_id) AS value_cents
-           FROM log GROUP BY user_id)
-         SELECT user_id, n_ops, last_seq, value_cents
-         FROM last WHERE last_op <> 'D' ORDER BY user_id""",
+    "cdc_apply" -> cdcApplyOracleSql,
+    // IDENTICAL oracle: the streaming monoid merge must land on the
+    // same compacted state as the batch hash agg
+    "stream_cdc_apply" -> cdcApplyOracleSql,
     "merge_upsert" ->
       """WITH cur AS (SELECT o_orderkey AS k, o_custkey,
              round(o_totalprice, 2) AS price FROM orders),
