@@ -91,16 +91,20 @@ class KVTable(paths: Seq[String], maxSplitBytes: Long)
   override def schema(): StructType = KVSource.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA,
+      TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KVScanBuilder(paths, maxSplitBytes)
+    new KVScanBuilder(paths, maxSplitBytes,
+      Option(options.get("filesPerTrigger")).map(_.toInt)
+        .getOrElse(Int.MaxValue))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new KVWriteBuilder(paths.head, info)
 }
 
-class KVScanBuilder(paths: Seq[String], maxSplitBytes: Long)
+class KVScanBuilder(paths: Seq[String], maxSplitBytes: Long,
+                    filesPerTrigger: Int = Int.MaxValue)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -123,14 +127,16 @@ class KVScanBuilder(paths: Seq[String], maxSplitBytes: Long)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new KVScan(paths, maxSplitBytes, required, pushed)
+  override def build(): Scan =
+    new KVScan(paths, maxSplitBytes, required, pushed, filesPerTrigger)
 }
 
 /** One byte range of one file. */
 case class KVRange(file: String, start: Long, length: Long) extends InputPartition
 
 class KVScan(paths: Seq[String], maxSplitBytes: Long,
-             required: StructType, filters: Array[Filter])
+             required: StructType, filters: Array[Filter],
+             filesPerTrigger: Int)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -138,7 +144,10 @@ class KVScan(paths: Seq[String], maxSplitBytes: Long,
   override def description(): String =
     s"graftkv ${paths.mkString(",")} PushedFilters: ${filters.mkString("[", ", ", "]")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Deterministically ordered (path, length) list — shared by the batch
+    * planner and the micro-batch offset space (an offset IS an index
+    * into this list, so ordering must be stable). */
+  private[kv] def listFiles(): Seq[(String, Long)] = {
     val conf = new Configuration()
     paths.flatMap { p =>
       val path = new Path(p)
@@ -151,14 +160,18 @@ class KVScan(paths: Seq[String], maxSplitBytes: Long,
         }
       }
       files.filter(f => f.getLen > 0 && !f.getPath.getName.startsWith("_"))
-        .flatMap { f =>
-          val len = f.getLen
-          (0L until len by maxSplitBytes).map { off =>
-            KVRange(f.getPath.toString, off, math.min(maxSplitBytes, len - off))
-          }
-        }
-    }.toArray
+        .map(f => (f.getPath.toString, f.getLen))
+    }.sortBy(_._1)
   }
+
+  private[kv] def ranges(files: Seq[(String, Long)]): Array[InputPartition] =
+    files.flatMap { case (p, len) =>
+      (0L until len by maxSplitBytes).map { off =>
+        KVRange(p, off, math.min(maxSplitBytes, len - off))
+      }
+    }.toArray
+
+  override def planInputPartitions(): Array[InputPartition] = ranges(listFiles())
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val needKey = required.fieldNames.contains("key")
@@ -167,6 +180,47 @@ class KVScan(paths: Seq[String], maxSplitBytes: Long,
     val prefix = filters.collectFirst { case StringStartsWith("key", v) => v }
     KVReaderFactory(needKey, needValue, eq, prefix)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new KVMicroBatchStream(this, filesPerTrigger)
+}
+
+/** File-granular micro-batch streaming over the SAME byte contract:
+  * the offset space is an index into the stable sorted file list, and
+  * each trigger admits at most `filesPerTrigger` new files (so a
+  * bounded directory replays as a multi-batch stream — the shape the
+  * stream ≡ batch spec needs to exercise real batch boundaries). Files
+  * must be immutable once listed, the standard file-stream contract.
+  */
+class KVMicroBatchStream(scan: KVScan, filesPerTrigger: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+
+  // snapshot once: a stable offset space for the run
+  private lazy val files = scan.listFiles()
+  private var lastEnd = 0
+
+  override def initialOffset(): SOffset = KVOffset(0)
+  override def latestOffset(): SOffset = {
+    lastEnd = math.min(files.size, lastEnd + math.max(1, filesPerTrigger))
+    KVOffset(lastEnd)
+  }
+  override def deserializeOffset(json: String): SOffset = KVOffset(json.trim.toInt)
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] =
+    scan.ranges(files.slice(start.asInstanceOf[KVOffset].n,
+      end.asInstanceOf[KVOffset].n))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+}
+
+case class KVOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
 }
 
 case class KVReaderFactory(needKey: Boolean, needValue: Boolean,

@@ -98,6 +98,28 @@ class KVSourceSpec extends SparkTestBase {
     assert(bytes(d3) === bytes(d4))
   }
 
+  test("micro-batch streaming read equals the batch read, one file per trigger") {
+    val d5 = java.nio.file.Files.createTempDirectory("graft_kvstream").toString
+    for (f <- 0 until 4)
+      java.nio.file.Files.write(java.nio.file.Paths.get(d5, s"f$f.txt"),
+        (0 until 50).map(i => s"k${f}_$i\tv$i").mkString("", "\n", "\n")
+          .getBytes("UTF-8"))
+    val q = spark.readStream.format("graftkv")
+      .option("filesPerTrigger", "1").load(d5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graftkv_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("graftkv_stream")
+      .as[(String, String)].collect().sorted.toSeq
+    val want = spark.read.format("graftkv").load(d5)
+      .as[(String, String)].collect().sorted.toSeq
+    assert(got === want)
+    assert(got.size === 200)
+    // one file per trigger -> at least 4 micro-batches actually ran
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
   test("multi-file directories and the _-prefixed skip rule") {
     val d2 = java.nio.file.Files.createTempDirectory("graft_kv2").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(d2, "a.txt"),
