@@ -2370,15 +2370,7 @@ object SparkEntry {
     // reads the parquet truth — hash-match certifies the connector's
     // byte contract, split planning and filter semantics together.
     "scan_kv_dsv2" -> ((s, d) => {
-      val cache = new java.io.File(s"/tmp/graft_kvds_${new java.io.File(d).getName}")
-      if (!new java.io.File(cache, "_graft_done").exists) {
-        graft.sources.TextKV.writeKV(
-          supplier(s, d).select(col("s_name"),
-            expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("cents")),
-          cache.toString)
-        new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
-      }
-      s.read.format("graftkv").load(cache.toString)
+      s.read.format("graftkv").load(kvCache(s, d))
         .filter(col("key").startsWith("Supplier#00000001"))
         .select(col("key"), col("value").cast("long").as("cents"))
         .orderBy("key")
@@ -2565,6 +2557,23 @@ object SparkEntry {
         .select(col("c_nationkey"), col("in_debt"), col("segment"), col("n"),
           (col("n") < 10).as("violates_k10"))
         .orderBy("c_nationkey", "in_debt", "segment")),
+
+    // the graftkv DSv2 connector as a STREAMING source, oracle-checked:
+    // per-trigger file admission replays the KV dump as micro-batches,
+    // the aggregation state merges across them, and the final table
+    // must equal the parquet-truth SQL
+    "stream_kv_counts" -> ((s, d) => {
+      val cache = kvCache(s, d)
+      val stream = s.readStream.format("graftkv")
+        .option("filesPerTrigger", "1").load(cache)
+        .select(expr("CAST(value AS BIGINT)").as("cents"))
+        .groupBy(expr("cents % 7").as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+      val q = stream.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_kv").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_stream_kv").orderBy("g")
+    }),
 
     // ORACLE-CHECKED STREAMING: the key runs a real Structured
     // Streaming query over a bounded file stream to completion
@@ -2828,6 +2837,23 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
   )
+
+  /** One-time supplier KV dump (s_name \t acctbal-cents) for the DSv2
+    * connector keys — written through the reference byte contract. */
+  private def kvCache(s: SparkSession, d: String): String = {
+    val cache = new java.io.File(s"/tmp/graft_kvds_${new java.io.File(d).getName}")
+    if (!new java.io.File(cache, "_graft_done").exists) {
+      // 4 part files so the streaming key's per-file admission gets
+      // real multi-batch state merging
+      graft.sources.TextKV.writeKV(
+        supplier(s, d).select(col("s_name"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("cents"))
+          .repartition(4),
+        cache.toString)
+      new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+    }
+    cache.toString
+  }
 
   /** File-stream source directory for the oracle-checked streaming keys:
     * the events parquet copied once into a dedicated dir (streaming file
@@ -5637,6 +5663,12 @@ object SparkEntry {
          FROM events
          GROUP BY hour_us, event_type
          ORDER BY hour_us, event_type""",
+    "stream_kv_counts" ->
+      """SELECT CAST(round(s_acctbal * 100) AS BIGINT) % 7 AS g,
+             count(*) AS n,
+             CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+         FROM supplier GROUP BY g ORDER BY g""",
     // every event lands in exactly 3 sliding windows: starts
     // (t DIV 5min − k)·5min for k ∈ {0,1,2} (t − s = t mod 5min +
     // k·5min < 15min always) — arithmetic unroll, no window function
