@@ -2462,6 +2462,36 @@ object SparkEntry {
         .withColumn("syl_per_word_ppm", expr("n_syl * 1000000 DIV n_words"))
         .orderBy("doc_id")),
 
+    // TPC-H Q6 (forecast revenue change): pure pushdown filter + one
+    // global agg — revenue on the exact 1e-4 grid. The entire predicate
+    // reaches the parquet scan.
+    "tpch_q6" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(to_date(col("l_shipdate")) >= to_date(lit("1996-01-01")) &&
+          to_date(col("l_shipdate")) < to_date(lit("1997-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * expr("CAST(round(l_discount * 100) AS BIGINT)")).as("revenue_e4"),
+          count(lit(1)).as("n"))),
+
+    // TPC-H Q12 (shipmode priority classes): join + conditional counts;
+    // shipmode derives deterministically from the orderkey (the table
+    // has no l_shipmode column)
+    "tpch_q12" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(to_date(col("l_shipdate")) >= to_date(lit("1996-01-01")) &&
+          to_date(col("l_shipdate")) < to_date(lit("1997-01-01")))
+        .select(col("l_orderkey"), (col("l_orderkey") % 3).as("ship_mode"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("ship_mode")
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_mode")),
+
     // TPC-H Q1 (pricing summary), EXACT-INTEGER form: discount/tax are
     // 2dp so price·(1−disc) lands on the 1e-4 dollar grid and
     // price·(1−disc)·(1+tax) on 1e-6 — every sum is a long (decimal at
@@ -5596,6 +5626,26 @@ object SparkEntry {
                   // CAST(len(string_split(text, ' ')) AS BIGINT)
                   AS BIGINT) AS syl_per_word_ppm
          FROM documents ORDER BY doc_id""",
+    "tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_e4,
+             count(*) AS n
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+    "tpch_q12" ->
+      """SELECT l_orderkey % 3 AS ship_mode,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+         GROUP BY ship_mode ORDER BY ship_mode""",
     "tpch_q1" ->
       """WITH b AS (SELECT l_returnflag, l_linestatus,
              CAST(l_quantity AS BIGINT) AS qty,
