@@ -2376,6 +2376,28 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // higher-order array function block (the lambda surface beyond
+    // array_map_ops' set operators): aggregate fold, exists/forall,
+    // filter, zip_with over token-length arrays — all integer-exact
+    "array_hof_ops" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          explode(array(graft.ops.TextOps.tokenize(col("text")))).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          expr("transform(w, x -> CAST(length(x) AS BIGINT))").as("lens"))
+        .select(col("doc_id"),
+          expr("aggregate(lens, 0L, (a, x) -> a + x)").as("len_sum"),
+          expr("exists(lens, x -> x > 8)").as("has_long"),
+          expr("forall(lens, x -> x < 30)").as("all_short"),
+          expr("CAST(size(filter(lens, x -> x >= 5)) AS BIGINT)").as("n_ge5"),
+          expr("""aggregate(
+              zip_with(slice(lens, 1, CAST(least(5, size(lens) - 1) AS INT)),
+                       slice(lens, 2, CAST(least(5, size(lens) - 1) AS INT)),
+                       (a, b) -> a * b),
+              0L, (a, x) -> a + x)""").as("zip_dot"))
+        .orderBy("doc_id")),
+
     // class-balanced downsampling: every label keeps exactly
     // min-class-count rows (deterministic: lowest vec_id first) — the
     // imbalance fix before classifier training; one window + one
@@ -5557,6 +5579,25 @@ object SparkEntry {
          FROM supplier
          WHERE s_name LIKE 'Supplier#00000001%'
          ORDER BY key""",
+    // list_* mirrors; the zip product unrolls over indexes (DuckDB has
+    // no padded zip_with — the Spark side slices to EQUAL lengths so
+    // the semantics align exactly)
+    "array_hof_ops" ->
+      """WITH t AS (SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            x -> CAST(length(x) AS BIGINT)) AS lens
+           FROM documents
+           WHERE len(string_split(text, ' ')) >= 2)
+         SELECT doc_id,
+             CAST(list_reduce(lens, (a, x) -> a + x) AS BIGINT) AS len_sum,
+             len(list_filter(lens, x -> x > 8)) > 0 AS has_long,
+             len(list_filter(lens, x -> x >= 30)) = 0 AS all_short,
+             CAST(len(list_filter(lens, x -> x >= 5)) AS BIGINT) AS n_ge5,
+             CAST(coalesce(list_reduce(
+                 list_transform(generate_series(1, least(5, len(lens) - 1)),
+                                i -> lens[i] * lens[i+1]),
+                 (a, x) -> a + x), 0) AS BIGINT) AS zip_dot
+         FROM t ORDER BY doc_id""",
     "sample_balanced" ->
       """WITH c AS (SELECT min(n) AS mn FROM
              (SELECT label, count(*) AS n FROM embeddings GROUP BY label)),
