@@ -47,8 +47,13 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
-  test("plan guards: bitmap path is two hash aggs (no Expand); bloom probe sits in the scan-side Filter") {
+  test("plan guards: bitmap path aggregates without Expand; bloom probe sits in the scan-side Filter") {
     val df = (0L until 1000L).map(k => ("g" + (k % 3), k)).toDF("g", "k")
+    // level 1 plans as SortAggregate (bitmap_construct_agg's binary
+    // buffer is not hash-aggregable) but still partial-aggregates
+    // map-side; level 2 (the popcount sum) is a HashAggregate. The
+    // load-bearing assertion is NO Expand — the count-distinct rewrite
+    // this operator replaces would introduce one.
     val bitmapPlan = Sketches.bitmapDistinct(df, "g", "k")
       .queryExecution.executedPlan.toString
     assert(bitmapPlan.contains("HashAggregate") &&
