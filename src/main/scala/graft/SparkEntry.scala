@@ -1418,18 +1418,9 @@ object SparkEntry {
     // expansion (orders hold ≤7 parts, so per-group expansion is O(1))
     // instead of a lineitem self-join — measured 3.9 s → <1 s at sf0.1;
     // counting itself is the sorted-merge intersection form (Triangles)
-    "graph_triangles" -> ((s, d) => {
-      val li = lineitem(s, d)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      val pairs = li.groupBy("k")
-        .agg(sort_array(collect_set(col("p"))).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
-          .as("pr"))
-        .select(col("pr.pa"), col("pr.pb"))
-      graft.graph.Triangles.perVertex(pairs, "pa", "pb").orderBy("node")
-    }),
+    "graph_triangles" -> ((s, d) =>
+      graft.graph.Triangles.perVertex(coPurchasePairs(s, d), "a", "b")
+        .orderBy("node")),
 
     // bounded-hop BFS from customer c1 over the order graph — frontier
     // expansion with anti-join settlement; oracle = DuckDB recursive CTE
@@ -1457,20 +1448,12 @@ object SparkEntry {
     // Pair-gen is the same groupBy + bounded per-order expansion (≤7
     // parts/order ⇒ ≤21 pairs) — the naive self-join would shuffle the
     // fact table against itself; support ≥ 3 prunes noise edges
-    "graph_project" -> ((s, d) => {
-      val li = lineitem(s, d)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      li.groupBy("k")
-        .agg(sort_array(collect_set(col("p"))).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
-          .as("pr"))
-        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+    "graph_project" -> ((s, d) =>
+      coPurchasePairs(s, d)
+        .groupBy("a", "b")
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 3)
-        .orderBy("a", "b")
-    }),
+        .orderBy("a", "b")),
 
     // equi-depth histogram: 10 buckets of near-equal row count over the
     // price distribution — the data-profiling / optimizer-stats shape
@@ -1625,49 +1608,23 @@ object SparkEntry {
     // peeling. The k-core is unique, so the oracle's parallel-round
     // unrolling meets the engine's (fast tier: sequential queue) peel
     // at the same fixpoint
-    "graph_kcore" -> ((s, d) => {
-      val li = lineitem(s, d)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      val pairs = li.groupBy("k")
-        .agg(sort_array(collect_set(col("p"))).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
-          .as("pr"))
-        .select(col("pr.a"), col("pr.b")).distinct()
-      graft.graph.KCore.run(pairs, k = 80).orderBy("node")
-    }),
+    "graph_kcore" -> ((s, d) =>
+      graft.graph.KCore.run(coPurchasePairs(s, d).distinct(), k = 80)
+        .orderBy("node")),
 
     // 4 rounds of synchronous min-tie label propagation on the same
     // co-purchase graph — fixed-round contract (not fixpoint), so the
     // unrolled oracle is exact even where synchronous LPA oscillates
-    "graph_lpa" -> ((s, d) => {
-      val li = lineitem(s, d)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      val pairs = li.groupBy("k")
-        .agg(sort_array(collect_set(col("p"))).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
-          .as("pr"))
-        .select(col("pr.a"), col("pr.b")).distinct()
-      graft.graph.LabelPropagation.run(pairs, rounds = 4).orderBy("node")
-    }),
+    "graph_lpa" -> ((s, d) =>
+      graft.graph.LabelPropagation.run(coPurchasePairs(s, d).distinct(),
+        rounds = 4).orderBy("node")),
 
     // community quality of the LPA partition: per-community modularity
     // numerator 4m·e_in − deg_c² — EXACT LONGS only (the global Q is
     // Σ q_num / 4m², consumer math); one labels join + two tiny aggs
     // beyond the LPA run itself
     "graph_modularity" -> ((s, d) => {
-      val li = lineitem(s, d)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      val pairs = li.groupBy("k")
-        .agg(sort_array(collect_set(col("p"))).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
-          .as("pr"))
-        .select(col("pr.a"), col("pr.b")).distinct()
+      val pairs = coPurchasePairs(s, d).distinct()
         .localCheckpoint() // consumed by LPA and by the edge-label join
       val labels = graft.graph.LabelPropagation.run(pairs, rounds = 4)
       val m = pairs.count()
@@ -2823,19 +2780,9 @@ object SparkEntry {
     // prediction on the triangle machinery (sorted adjacency +
     // SortedIntersectCount); |∪| = da + db − common, score in ppm via
     // integer floor division: the whole key is float-free
-    "graph_jaccard" -> ((s, d) => {
-      val li = lineitem(s, d)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      val pairs = li.groupBy("k")
-        .agg(sort_array(collect_set(col("p"))).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
-          .as("pr"))
-        .select(col("pr.pa"), col("pr.pb"))
-      graft.graph.Triangles.edgeJaccard(pairs, "pa", "pb")
-        .orderBy("a", "b")
-    }),
+    "graph_jaccard" -> ((s, d) =>
+      graft.graph.Triangles.edgeJaccard(coPurchasePairs(s, d), "a", "b")
+        .orderBy("a", "b")),
 
     // per-doc Shannon token entropy on the bigramLmScore fixed-point
     // grid (integer q-sum; two identical IEEE finishing divisions)
@@ -2923,6 +2870,24 @@ object SparkEntry {
     }
     cache.toString
   }
+
+  /** Undirected co-purchase pair relation (parts sharing an order):
+    * per-order sorted DISTINCT part set expanded to ordered (a < b)
+    * pairs MAP-SIDE (orders hold <= 7 parts, so the per-group quadratic
+    * is O(1)) — the shared input graph of the graph_* keys, replacing a
+    * lineitem self-join (measured 3.9 s -> <1 s at sf0.1). One row per
+    * (order, pair) OCCURRENCE: graph_project counts them as support,
+    * the others dedupe/canonicalize per their own contracts. */
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      .groupBy("k")
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+        .as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
 
   /** Deterministic PageRank input graph from the TPC-H-ish tables:
     * vertex `o<orderkey>` links its customer + one `p<partkey>` per
@@ -4518,7 +4483,7 @@ object SparkEntry {
              round(0.85 * coalesce((
                SELECT sum(r2.rank / dg.d)
                FROM ranks r2 JOIN edges e ON e.src = r2.title AND e.dst = r.title
-               JOIN deg dg ON dg.src = r2.title), 0) + 0.15, 9)
+               JOIN deg dg ON dg.src = r2.title), 0) + (1.0 - 0.85), 9)
            FROM ranks r WHERE r.iter < 10)
          SELECT title, round(rank, 6) AS rank FROM ranks WHERE iter = 10
          ORDER BY title""",
@@ -4548,7 +4513,7 @@ object SparkEntry {
                SELECT sum(r2.rank / dg.d)
                FROM ranks r2 JOIN edges e ON e.src = r2.title AND e.dst = r.title
                JOIN deg dg ON dg.src = r2.title), 0)
-               + 0.15 * CASE WHEN r.title IN ('c1', 'c2', 'c3')
+               + (1.0 - 0.85) * CASE WHEN r.title IN ('c1', 'c2', 'c3')
                              THEN 1.0 / 3 ELSE 0.0 END, 9)
            FROM ranks r WHERE r.iter < 10)
          SELECT title, round(rank, 6) AS rank FROM ranks WHERE iter = 10
@@ -4587,7 +4552,7 @@ object SparkEntry {
            SELECT 0, title, round(1.0 / (SELECT n FROM n), 9) FROM verts
            UNION ALL
            SELECT r.iter + 1, r.title,
-             round(0.15 / (SELECT n FROM n)
+             round((1.0 - 0.85) / (SELECT n FROM n)
                + 0.85 * (coalesce((
                    SELECT sum(r2.rank / dg.d)
                    FROM ranks r2 JOIN edges e ON e.src = r2.title AND e.dst = r.title
@@ -5881,7 +5846,7 @@ object SparkEntry {
            SELECT r.iter + 1, r.title,
              round(0.85 * coalesce((SELECT sum(e2.frac * r2.rank)
                FROM ranks r2 JOIN e e2
-                 ON e2.src = r2.title AND e2.dst = r.title), 0) + 0.15, 9)
+                 ON e2.src = r2.title AND e2.dst = r.title), 0) + (1.0 - 0.85), 9)
            FROM ranks r WHERE r.iter < 5)
          SELECT title, round(rank, 6) AS rank FROM ranks WHERE iter = 5
          ORDER BY title""",

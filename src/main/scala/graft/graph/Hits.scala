@@ -45,17 +45,9 @@ object Hits {
     * distributed loop so specs cover both tiers. */
   @volatile private[graft] var fastPathEnabled: Boolean = true
 
-  // BigDecimal.valueOf (SHORTEST-REPR expansion), NOT `new BigDecimal`
-  // (exact binary): Spark's round() and DuckDB's round() both treat the
-  // double 0.0833333334999…95 as "0.0833333335" and round UP at 9 dp;
-  // the exact-binary expansion rounds DOWN. The two semantics differ
-  // only when the shortest repr lands exactly on a grid halfway — rare
-  // enough that the oracle never caught it, but a scalacheck HITS graph
-  // did (round 4). valueOf aligns all four evaluators (fast tier,
-  // distributed tier, Spark round, DuckDB round).
+  // shared valueOf-semantics grid rounding — see GridRound's scaladoc
   private def rnd9(roundTo: Int)(v: Double): Double =
-    java.math.BigDecimal.valueOf(v)
-      .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+    graft.functions.GridRound.fn(roundTo)(v)
 
   /** @param edges  (src: string, dst: string) directed edge relation
     * @param iters  full iterations (each = auth half-step + hub half-step)

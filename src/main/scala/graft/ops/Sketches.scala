@@ -73,9 +73,12 @@ object Sketches {
         ColumnShim.expression(col(factKey).cast("long"))))
     // No broadcast hint: when the dim fits, AQE broadcasts anyway; when
     // it doesn't (the case this operator exists for), the shuffle pair
-    // is survivor-sized on the fact side.
+    // is survivor-sized on the fact side. The dim key is re-aliased to
+    // an internal name so factKey == dimKey (the common fact/dim case)
+    // cannot trip AMBIGUOUS_REFERENCE in the join condition.
     fact.filter(probe)
-      .join(keys.distinct(), col(factKey) === col(dimKey), "left_semi")
+      .join(keys.distinct().withColumnRenamed(dimKey, "__graft_dimkey"),
+        col(factKey) === col("__graft_dimkey"), "left_semi")
   }
 
   /** Exact heavy hitters via per-partition Misra–Gries candidate
@@ -101,7 +104,12 @@ object Sketches {
     require(k > 0, "need at least one counter")
     val spark = df.sparkSession
     import spark.implicits._
-    val keys = df.select(col(keyCol).cast("string")).as[String]
+    // NULL keys are EXCLUDED (like count(col)): the partition-count
+    // sentinel rides the null slot of the summary tuples, so a null
+    // key would be indistinguishable from it — and the oracle
+    // equivalence below is against the groupBy over non-null keys.
+    val keys = df.select(col(keyCol).cast("string"))
+      .filter(col(keyCol).isNotNull).as[String]
     // (key, 0) = candidate marker; (null, n) = partition row count
     val summary: Array[(String, Long)] = keys.mapPartitions { it =>
       val m = new java.util.HashMap[String, Long]()

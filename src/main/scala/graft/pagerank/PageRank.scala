@@ -122,14 +122,8 @@ object PageRank {
     // state to the 10^-roundTo grid so an independent engine running the
     // same rounded recurrence (the DuckDB recursive-CTE oracle) carries
     // IDENTICAL values — cross-engine float drift cannot accumulate.
-    // valueOf (shortest-repr), not `new BigDecimal` (exact binary):
-    // Spark round() and DuckDB round() both use the shortest decimal
-    // expansion, and the two semantics differ on shortest-repr grid
-    // halfways (see Hits.rnd9, caught by scalacheck in round 4).
-    val rnd: Double => Double =
-      if (roundTo < 0) identity
-      else r => java.math.BigDecimal.valueOf(r)
-        .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+    // shared valueOf-semantics grid rounding (GridRound scaladoc)
+    val rnd: Double => Double = graft.functions.GridRound.fn(roundTo)
 
     var fastLinks: Option[org.apache.spark.rdd.RDD[(String, Seq[String])]] = None
     val ranks =
@@ -412,11 +406,8 @@ object PageRank {
     links.count()
     raw.unpersist(false)
 
-    // valueOf, not exact-binary — see the note in `run` (Hits.rnd9)
-    val rnd: Double => Double =
-      if (roundTo < 0) identity
-      else r => java.math.BigDecimal.valueOf(r)
-        .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+    // shared valueOf-semantics grid rounding (GridRound scaladoc)
+    val rnd: Double => Double = graft.functions.GridRound.fn(roundTo)
     val base = (1.0 - d) / n
 
     var ranks =

@@ -159,7 +159,8 @@ class KVScan(paths: Seq[String], maxSplitBytes: Long,
           else Array(s)
         }
       }
-      files.filter(f => f.getLen > 0 && !f.getPath.getName.startsWith("_"))
+      files.filter(f => f.getLen > 0 && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.endsWith(".inprogress"))
         .map(f => (f.getPath.toString, f.getLen))
     }.sortBy(_._1)
   }
@@ -203,11 +204,23 @@ class KVMicroBatchStream(scan: KVScan, filesPerTrigger: Int)
 
   override def initialOffset(): SOffset = KVOffset(0)
   override def latestOffset(): SOffset = {
-    lastEnd = math.min(files.size, lastEnd + math.max(1, filesPerTrigger))
+    // LONG arithmetic: the default filesPerTrigger is Int.MaxValue and
+    // `lastEnd + Int.MaxValue` would wrap negative, emitting bogus
+    // offsets and a stream that never quiesces (review r4)
+    lastEnd = math.min(files.size.toLong,
+      lastEnd.toLong + math.max(1, filesPerTrigger).toLong).toInt
     KVOffset(lastEnd)
   }
-  override def deserializeOffset(json: String): SOffset = KVOffset(json.trim.toInt)
-  override def commit(end: SOffset): Unit = ()
+  override def deserializeOffset(json: String): SOffset = {
+    // restart path: Spark replays the checkpointed offset through here —
+    // advance the admission cursor so already-committed files are never
+    // re-admitted (lastEnd would otherwise restart at 0 and re-emit)
+    val n = json.trim.toInt
+    lastEnd = math.max(lastEnd, n)
+    KVOffset(n)
+  }
+  override def commit(end: SOffset): Unit =
+    lastEnd = math.max(lastEnd, end.asInstanceOf[KVOffset].n)
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] =

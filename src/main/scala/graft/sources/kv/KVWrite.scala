@@ -16,11 +16,17 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *  - each task streams its partition to ONE part file named with the
   *    (partition, task) identity — no driver funnel, the many-reducer
   *    shape the reference already had, minus its fixed reducer count;
-  *  - commit is rename-free (files are written in place with unique
-  *    names); abort deletes the task's file — Spark's task-retry
-  *    semantics make the job all-or-nothing at the file level;
+  *  - tasks write to a `.inprogress` name and RENAME on task commit
+  *    (atomic on local/HDFS): a task-retry abort deletes its file, and
+  *    a hard-killed executor's leftover `.inprogress` is invisible to
+  *    readers (the scan skips them alongside `_`-prefixed files) — so
+  *    reads only ever see fully-written part files;
   *  - `mode("overwrite")` arrives as `SupportsTruncate`: existing
   *    part files are cleared once on the driver before tasks launch.
+  *    NOTE this truncate is NOT atomic — a job that fails after launch
+  *    has already dropped the old data (a transactional overwrite
+  *    needs a manifest/commit protocol, i.e. a table format; out of
+  *    scope for a text sink).
   */
 class KVWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -74,11 +80,12 @@ case class KVWriterFactory(path: String, nCols: Int) extends DataWriterFactory {
 class KVDataWriter(dir: String, nCols: Int, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
-  private val file = new Path(dir, f"part-$partitionId%05d-$taskId.txt")
+  private val finalFile = new Path(dir, f"part-$partitionId%05d-$taskId.txt")
+  private val tempFile = new Path(dir, finalFile.getName + ".inprogress")
+  private val fs = finalFile.getFileSystem(new Configuration())
   private val out = {
-    val fs = file.getFileSystem(new Configuration())
     fs.mkdirs(new Path(dir))
-    new java.io.BufferedOutputStream(fs.create(file, true), 1 << 16)
+    new java.io.BufferedOutputStream(fs.create(tempFile, true), 1 << 16)
   }
 
   override def write(record: InternalRow): Unit = {
@@ -91,10 +98,15 @@ class KVDataWriter(dir: String, nCols: Int, partitionId: Int, taskId: Long)
     out.write('\n')
   }
 
-  override def commit(): WriterCommitMessage = { out.close(); KVCommit(file.toString) }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (!fs.rename(tempFile, finalFile))
+      throw new java.io.IOException(s"rename $tempFile -> $finalFile failed")
+    KVCommit(finalFile.toString)
+  }
   override def abort(): Unit = {
     out.close()
-    file.getFileSystem(new Configuration()).delete(file, false)
+    fs.delete(tempFile, false)
   }
   override def close(): Unit = ()
 }
