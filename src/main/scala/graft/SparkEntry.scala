@@ -2241,6 +2241,21 @@ object SparkEntry {
            lit(1.0) / col("n1").cast("double"))), 6).as("z"))
     }),
 
+    // §2.8 widening: the conditional/null-handling scalar block —
+    // nullif / coalesce chains / greatest / least over crafted nulls
+    // (every 7th acctbal nulled so the branches all fire)
+    "null_funcs" -> ((s, d) =>
+      customer(s, d).select(col("c_custkey"),
+          when(col("c_custkey") % 7 =!= 0,
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal"))
+        .select(col("c_custkey"),
+          expr("nullif(bal, 0)").as("nz_bal"),
+          coalesce(col("bal"), lit(-1L)).as("bal_or_neg1"),
+          greatest(col("bal"), lit(0L)).as("floor0"),
+          least(col("bal"), lit(100000L)).as("cap1k"),
+          expr("CAST(isnull(bal) AS STRING)").as("is_missing"))
+        .orderBy("c_custkey")),
+
     // §2.8 widening: the second string-scalar block (translate / pads /
     // repeat / reverse / ascii / left / right) — every function paired
     // with a DuckDB twin
@@ -5491,6 +5506,20 @@ object SparkEntry {
                           * (1.0 / CAST(n0 AS DOUBLE)
                              + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z
          FROM t""",
+    // greatest/least with a NULL argument: both engines return the
+    // non-null extreme (unlike SQL-standard max-scalar NULL poisoning)
+    "null_funcs" ->
+      """WITH b AS (SELECT c_custkey,
+             CASE WHEN c_custkey % 7 <> 0
+                  THEN CAST(round(c_acctbal * 100) AS BIGINT) END AS bal
+           FROM customer)
+         SELECT c_custkey,
+             nullif(bal, 0) AS nz_bal,
+             coalesce(bal, -1) AS bal_or_neg1,
+             greatest(bal, 0) AS floor0,
+             least(bal, 100000) AS cap1k,
+             CAST(bal IS NULL AS VARCHAR) AS is_missing
+         FROM b ORDER BY c_custkey""",
     "string_funcs2" ->
       """SELECT p_partkey,
              translate(p_name, 'ae', '4&') AS t,
