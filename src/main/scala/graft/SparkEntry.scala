@@ -2674,6 +2674,49 @@ object SparkEntry {
       s.table("graft_stream_cdc").orderBy("user_id")
     }),
 
+    // streaming EXACT DEDUP under at-least-once delivery: the same file
+    // feed unioned with itself (every event delivered twice — the
+    // replayed-source worst case) must collapse back to one row per
+    // event_id via dropDuplicatesWithinWatermark (bounded state: keys
+    // evict once the watermark passes). Without the dedup every count
+    // below would double — the oracle is the single-delivery truth.
+    "stream_dedup" -> ((s, d) => {
+      val src = streamCache(s, d)
+      def feed() = s.readStream.schema(events(s, d).schema)
+        .parquet(src + "/*.parquet")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      val deduped = graft.streaming.EventStream.dedupEvents(
+        feed().unionByName(feed()))
+      val q = deduped
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_dedup").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_stream_dedup")
+        .groupBy("event_type").agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"))
+        .orderBy("event_type")
+    }),
+
+    // STREAM-STREAM interval join (purchases ⋈ same-user clicks within
+    // the preceding hour): both sides buffer state, evicted by the
+    // event-time range + watermark — the bounded-state join form. The
+    // emitted pair SET is deterministic (append mode), checked against
+    // the batch interval-join oracle row for row.
+    "stream_join" -> ((s, d) => {
+      val src = streamCache(s, d)
+      val feed = s.readStream.schema(events(s, d).schema)
+        .parquet(src + "/*.parquet")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      val q = graft.streaming.EventStream.purchaseClickJoin(feed)
+        .select(col("purchase_id"), col("user_id"),
+          unix_micros(col("purchase_t")).as("purchase_us"),
+          col("click_id"), unix_micros(col("click_t")).as("click_us"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_join").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_stream_join").orderBy("purchase_id", "click_id")
+    }),
+
     // TOLERANCE as-of (pandas merge_asof's `tolerance`): the backward
     // match only counts within 2 hours — stale lookups become
     // no-match instead of silently joining hours-old state
@@ -2754,6 +2797,130 @@ object SparkEntry {
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
           col("sum_qty"))
         .orderBy(desc("price_cents"), asc("o_orderkey")).limit(100)
+    }),
+
+    // TPC-H Q4 shape (order-priority checking): EXISTS rewritten as a
+    // LEFT SEMI join carrying the correlated non-equi predicate ("a
+    // lineitem shipped >60 days after the order date") INSIDE the join
+    // condition — one shuffle on orderkey, no second pass. The table
+    // has no commit/receipt dates, so lateness is shipdate-vs-orderdate.
+    "tpch_q4" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(to_date(col("o_orderdate")) >= to_date(lit("1996-07-01")) &&
+          to_date(col("o_orderdate")) < to_date(lit("1996-10-01")))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("odate"))
+      val l = lineitem(s, d).select(col("l_orderkey"),
+        to_date(col("l_shipdate")).as("sdate"))
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("sdate") > date_add(col("odate"), 60), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q5 shape (local-supplier volume): the full 6-table snowflake.
+    // region→nation prune broadcasts into customer; supplier broadcasts
+    // with the SAME-NATION constraint (c_nationkey = s_nationkey) applied
+    // as a join predicate after the fact rows carry both sides' nation
+    // keys. Only the two fact joins shuffle; every dim is broadcast.
+    "tpch_q5" -> ((s, d) => {
+      val n = nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val c = customer(s, d)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val o = orders(s, d)
+        .filter(to_date(col("o_orderdate")) >= to_date(lit("1996-01-01")) &&
+          to_date(col("o_orderdate")) < to_date(lit("1997-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("rev_e4"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum("rev_e4").as("revenue_e4"), count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue_e4"), asc("n_name"))
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): quarter of orders ⋈
+    // returned lineitems, revenue per customer, top 20. Customer+nation
+    // broadcast; the orderkey join is the only shuffle; top-20 is
+    // TakeOrderedAndProject (no global sort materialization).
+    "tpch_q10" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(to_date(col("o_orderdate")) >= to_date(lit("1996-10-01")) &&
+          to_date(col("o_orderdate")) < to_date(lit("1997-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cn = customer(s, d)
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("acctbal_cents"),
+          col("n_name"))
+      lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("rev_e4"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "acctbal_cents", "n_name")
+        .agg(sum("rev_e4").as("revenue_e4"))
+        .orderBy(desc("revenue_e4"), asc("c_custkey")).limit(20)
+    }),
+
+    // TPC-H Q14 shape (promo-revenue share): broadcast part into the
+    // month's lineitems, conditional sums in ONE partial-aggregated
+    // pass, share emitted as exact ppm by integer division (no float
+    // percent on either engine).
+    "tpch_q14" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(to_date(col("l_shipdate")) >= to_date(lit("1996-09-01")) &&
+          to_date(col("l_shipdate")) < to_date(lit("1996-10-01")))
+        .select(col("l_partkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("rev_e4"))
+        .join(broadcast(part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", col("rev_e4"))
+            .otherwise(0L)).as("promo_rev_e4"),
+          sum(col("rev_e4")).as("total_rev_e4"))
+        .select(col("promo_rev_e4"), col("total_rev_e4"),
+          expr("promo_rev_e4 * 1000000 DIV total_rev_e4").as("promo_ppm"))),
+
+    // TPC-H Q19 shape (disjunctive brand/size/quantity predicates): the
+    // OR-of-ANDs lives in the JOIN CONDITION so each branch's p_size
+    // bound prunes the broadcast build side and the shared
+    // l_quantity <= 30 envelope pushes to the parquet scan. (No
+    // container/shipmode columns in this schema — brand × size ×
+    // quantity carry the three branches.)
+    "tpch_q19" -> ((s, d) => {
+      val p = part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val branch =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      lineitem(s, d)
+        .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .select(col("l_partkey"), col("l_quantity"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("rev_e4"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey") && branch)
+        .agg(sum("rev_e4").as("revenue_e4"), count(lit(1)).as("n"))
     }),
 
     // Unicode NFC canonicalization (native NfcNormalize expression vs
@@ -5778,6 +5945,25 @@ object SparkEntry {
            FROM f)
          SELECT user_id, min(t_us) AS start_us, count(*) AS n_events
          FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
+    // single-delivery truth: the doubled feed must dedup back to this
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+             count(DISTINCT event_id) AS n_ids
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // batch interval join == the emitted stream-stream pair set
+    "stream_join" ->
+      """WITH ev AS (SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_type
+           FROM events)
+         SELECT p.event_id AS purchase_id, p.user_id,
+             p.t_us AS purchase_us,
+             c.event_id AS click_id, c.t_us AS click_us
+         FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.t_us <= p.t_us
+          AND c.t_us >= p.t_us - 3600000000
+         ORDER BY purchase_id, click_id""",
     "join_asof_tolerance" ->
       """WITH ev AS (SELECT event_id, user_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_type
@@ -5832,6 +6018,77 @@ object SparkEntry {
          FROM orders JOIN heavy ON o_orderkey = heavy.l_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY price_cents DESC, o_orderkey LIMIT 100""",
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+               AND CAST(l.l_shipdate AS DATE) >
+                   CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "tpch_q5" ->
+      """SELECT n_name,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_e4,
+             count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+                      AND c_nationkey = s_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+         GROUP BY n_name
+         ORDER BY revenue_e4 DESC, n_name""",
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             n_name,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_e4
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND CAST(o_orderdate AS DATE) >= DATE '1996-10-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+         GROUP BY c_custkey, c_name, acctbal_cents, n_name
+         ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""",
+    "tpch_q14" ->
+      """WITH b AS (SELECT
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+             p_type
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE CAST(l_shipdate AS DATE) >= DATE '1996-09-01'
+             AND CAST(l_shipdate AS DATE) < DATE '1996-10-01')
+         SELECT
+             CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+                  AS BIGINT) AS promo_rev_e4,
+             CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+             CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+                  * 1000000 // sum(rev_e4) AS BIGINT) AS promo_ppm
+         FROM b""",
+    "tpch_q19" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_e4,
+             count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
     // chr(769)=U+0301 combining acute, chr(776)=U+0308 combining
     // diaeresis — the injected decomposed runs the Spark side appends
     // as literals; both engines' NFC must compose them identically
