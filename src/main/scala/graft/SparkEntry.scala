@@ -550,6 +550,60 @@ object SparkEntry {
           expr("from_json(props, 'k BIGINT')").getField("k").as("k_val"))
         .orderBy("event_id")),
 
+    // MapType function surface (map_from_arrays / transform_values /
+    // map_filter / map_concat / map_entries): all codegen'd map
+    // expressions, zero shuffle. The output is a canonical sorted
+    // "k=v" string (map iteration order is an implementation detail —
+    // never hash a raw map), so the oracle can recompute every cell
+    // from the source columns without a map type of its own.
+    "map_funcs" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          map_from_arrays(
+            array(lit("chars"), lit("id")),
+            array(col("n_chars"), col("doc_id"))).as("m"),
+          map_from_arrays(array(lit("lang")),
+            array(when(col("lang") === "en", 1L).otherwise(0L))).as("m2"))
+        .select(col("doc_id"),
+          array_join(array_sort(transform(map_entries(
+              transform_values(col("m"), (_, v) => v * 2L)),
+            e => concat(e.getField("key"), lit("="),
+              e.getField("value").cast("string")))),
+            ",").as("doubled"),
+          array_join(array_sort(transform(map_entries(
+              map_filter(col("m"), (_, v) => v % 2L === 0L)),
+            e => concat(e.getField("key"), lit("="),
+              e.getField("value").cast("string")))),
+            ",").as("evens"),
+          array_join(array_sort(transform(map_entries(
+              map_concat(col("m"), col("m2"))),
+            e => concat(e.getField("key"), lit("="),
+              e.getField("value").cast("string")))),
+            ",").as("merged"),
+          aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v)
+            .as("val_sum"))
+        .orderBy("doc_id")),
+
+    // XML ingestion surface (from_xml, Spark 4's native XML parser):
+    // round-trips a synthesized per-row XML doc through a typed struct
+    // schema — the oracle recomputes the extracted fields from the
+    // source columns, so a parser mis-map of any field breaks the hash.
+    "from_xml_struct" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          concat(lit("<ev><id>"), col("event_id"),
+            lit("</id><ty>"), col("event_type"),
+            lit("</ty><v>"), expr("CAST(round(value * 100) AS BIGINT)"),
+            lit("</v></ev>")).as("xml"))
+        .select(col("event_id"),
+          expr("from_xml(xml, 'id BIGINT, ty STRING, v BIGINT')").as("p"))
+        .select(col("p.ty").as("event_type"),
+          col("p.v").as("cents"), col("p.id").as("id"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+          sum("id").as("id_sum"))
+        .orderBy("event_type")),
+
     // §2.7 — set intersection: customers who placed a big order
     "set_intersect" -> ((s, d) =>
       customer(s, d).select(col("c_custkey").as("id"))
@@ -1569,6 +1623,49 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // URL-canonicalization dedup (the CommonCrawl-style first pass):
+    // messy variants — scheme/host case, default :80 port, trailing
+    // slash, utm_* tracking params, fragments — collapse to one
+    // canonical key per underlying page. Canonicalization is pure
+    // per-row string/array expressions (param list: split → filter
+    // utm_* out → sort → rejoin, all codegen'd, zero shuffle); the only
+    // shuffle is the final groupBy(canonical). The oracle rebuilds the
+    // canonical form from FIRST PRINCIPLES (the generator's bid), so
+    // any canonicalization slip breaks the group count, keeper or hash.
+    "dedup_url" -> ((s, d) => {
+      val bid = (col("doc_id") % 100).cast("string")
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://Example.COM"))
+          .otherwise(lit("http://example.com")),
+        when(col("doc_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+        lit("/p/"), bid,
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, concat(lit("?utm_source=feed&id="), bid))
+          .otherwise(concat(lit("?id="), bid)),
+        when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+      val u = documents(s, d).select(col("doc_id"), raw.as("url"))
+        .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
+      val scheme = lower(regexp_extract(col("nofrag"), "^([A-Za-z]+)://", 1))
+      val host   = lower(regexp_extract(col("nofrag"), "^[A-Za-z]+://([^/?#:]+)", 1))
+      val port   = regexp_extract(col("nofrag"), "^[A-Za-z]+://[^/?#:]+:([0-9]+)", 1)
+      val path   = regexp_replace(
+        regexp_extract(col("nofrag"), "^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1),
+        "/$", "")
+      val query  = regexp_extract(col("nofrag"), "\\?([^#]*)$", 1)
+      val params = array_join(array_sort(filter(
+        split(query, "&"), p => !p.startsWith("utm_"))), "&")
+      u.select(col("doc_id"),
+          concat(scheme, lit("://"), host,
+            when(port === "" || port === "80", lit(""))
+              .otherwise(concat(lit(":"), port)),
+            path,
+            when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+            .as("canonical"))
+        .groupBy("canonical")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_variants"))
+        .orderBy("canonical")
+    }),
+
     // hashing-trick bag of words: fixed 64-dim sparse text features with
     // NO vocabulary pass — token→md5 bucket, collisions by design
     // (Weinberger et al. 2009). The two-level agg keeps the shuffle at
@@ -2383,6 +2480,40 @@ object SparkEntry {
         .filter(col("rn") <= minCnt)
         .select("label", "vec_id", "rn")
         .orderBy("label", "vec_id")
+    }),
+
+    // TEMPERATURE-scaled source sampling (mT5 α-sampling, α=0.5): source
+    // weight ∝ √(char mass) flattens the size distribution; a K=200-doc
+    // budget is allocated by LARGEST REMAINDER over exact integers
+    // (base = K·w div W, leftovers to the biggest K·w mod W, ties to
+    // source asc) so the quotas sum to exactly K on both engines. Doc
+    // selection inside a source is the smallest-md5 prefix — the
+    // engine-wide deterministic stand-in for a uniform draw. Quota calc
+    // runs as windows over the 20-row source table (broadcast back);
+    // the corpus itself shuffles once for the per-source ranking.
+    "sample_temperature" -> ((s, d) => {
+      val k = 200L
+      val quotas = documents(s, d)
+        .groupBy("source").agg(sum("n_chars").as("chars"))
+        .withColumn("w", floor(sqrt(col("chars"))).cast("long"))
+        .withColumn("wtot", sum("w").over(Window.partitionBy()))
+        .withColumn("base", expr(s"$k * w DIV wtot"))
+        .withColumn("rem", expr(s"($k * w) % wtot"))
+        .withColumn("deficit", lit(k) - sum("base").over(Window.partitionBy()))
+        .withColumn("rr", row_number().over(
+          Window.partitionBy().orderBy(desc("rem"), asc("source"))).cast("long"))
+        .select(col("source").as("q_source"),
+          (col("base") + when(col("rr") <= col("deficit"), 1L).otherwise(0L))
+            .as("quota"))
+      documents(s, d)
+        .join(broadcast(quotas), col("source") === col("q_source"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .cast("long"))
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("quota"))
+        .orderBy("doc_id")
     }),
 
     // leave-one-out target encoding (the mean-encode that does not leak
@@ -3744,6 +3875,28 @@ object SparkEntry {
     "from_json_struct" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val
          FROM events ORDER BY event_id""",
+    // map semantics recomputed entry-wise from the source columns; the
+    // fixed literal keys sort chars < id < lang, so the sorted joins
+    // are plain concatenations
+    "map_funcs" ->
+      """SELECT doc_id,
+             'chars=' || CAST(n_chars * 2 AS BIGINT)
+               || ',id=' || CAST(doc_id * 2 AS BIGINT) AS doubled,
+             CASE WHEN n_chars % 2 = 0 AND doc_id % 2 = 0
+                    THEN 'chars=' || n_chars || ',id=' || doc_id
+                  WHEN n_chars % 2 = 0 THEN 'chars=' || n_chars
+                  WHEN doc_id % 2 = 0 THEN 'id=' || doc_id
+                  ELSE '' END AS evens,
+             'chars=' || n_chars || ',id=' || doc_id || ',lang='
+               || CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS merged,
+             CAST(n_chars + doc_id AS BIGINT) AS val_sum
+         FROM documents ORDER BY doc_id""",
+    "from_xml_struct" ->
+      """SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+             CAST(sum(event_id) AS BIGINT) AS id_sum
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "scan_csv" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",
@@ -5768,6 +5921,35 @@ object SparkEntry {
            FROM embeddings)
          SELECT label, vec_id, rn FROM r, c WHERE rn <= c.mn
          ORDER BY label, vec_id""",
+    // identical largest-remainder arithmetic in SQL; floor(sqrt()) of a
+    // small exact integer is bit-stable across engines (IEEE sqrt is
+    // correctly rounded, the inputs are far below 2^52)
+    "sample_temperature" ->
+      """WITH q AS (SELECT source, CAST(floor(sqrt(sum(n_chars))) AS BIGINT) AS w
+           FROM documents GROUP BY source),
+         t AS (SELECT source, w, sum(w) OVER () AS wtot FROM q),
+         a AS (SELECT source, 200 * w // wtot AS base, (200 * w) % wtot AS rem,
+             200 - sum(200 * w // wtot) OVER () AS deficit,
+             row_number() OVER (ORDER BY (200 * w) % wtot DESC, source) AS rr
+           FROM t),
+         quota AS (SELECT source,
+             CAST(base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END AS BIGINT)
+               AS quota
+           FROM a),
+         r AS (SELECT doc_id, d.source, quota,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents d JOIN quota ON d.source = quota.source)
+         SELECT doc_id, source, quota FROM r WHERE rn <= quota
+         ORDER BY doc_id""",
+    // canonical form rebuilt from the generator's bid — independent of
+    // the string surgery under test
+    "dedup_url" ->
+      """WITH b AS (SELECT doc_id, doc_id % 100 AS bid FROM documents)
+         SELECT 'http://example.com/p/' || bid || '?id=' || bid AS canonical,
+             CAST(min(doc_id) AS BIGINT) AS keeper,
+             count(*) AS n_variants
+         FROM b GROUP BY canonical ORDER BY canonical""",
     "feature_target_encode" ->
       """WITH b AS (SELECT o_orderkey, o_orderpriority,
              CAST(round(o_totalprice * 100) AS BIGINT) AS y,
