@@ -2848,6 +2848,27 @@ object SparkEntry {
       s.table("graft_stream_join").orderBy("purchase_id", "click_id")
     }),
 
+    // STREAM-STATIC enrichment: each micro-batch left-joins the
+    // broadcast customer dim — stateless, no watermark, the stream side
+    // never shuffles (the standard "decorate the feed" deployment
+    // shape). Aggregated per enriched segment so the memory sink holds
+    // a bounded result.
+    "stream_enrich" -> ((s, d) => {
+      val dim = customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val feed = s.readStream.schema(events(s, d).schema)
+        .parquet(streamCache(s, d) + "/*.parquet")
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val q = graft.streaming.EventStream.enrich(feed, dim, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_enrich").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_stream_enrich").orderBy("c_mktsegment", "event_type")
+    }),
+
     // TOLERANCE as-of (pandas merge_asof's `tolerance`): the backward
     // match only counts within 2 hours — stale lookups become
     // no-match instead of silently joining hours-old state
@@ -6146,6 +6167,13 @@ object SparkEntry {
           AND c.t_us <= p.t_us
           AND c.t_us >= p.t_us - 3600000000
          ORDER BY purchase_id, click_id""",
+    "stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+         FROM events LEFT JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment, event_type
+         ORDER BY c_mktsegment, event_type""",
     "join_asof_tolerance" ->
       """WITH ev AS (SELECT event_id, user_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_type

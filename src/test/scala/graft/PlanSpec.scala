@@ -183,4 +183,34 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p.take(1200))
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
+
+  test("tpch_q4 plans the EXISTS as a semi join with the date filter pushed") {
+    val p = plan("tpch_q4")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"), p.take(1200))
+  }
+
+  test("tpch_q5 broadcasts every dimension; the fact scans once") {
+    val p = plan("tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("tpch_q19 derives both per-side OR-envelopes into the scans") {
+    val p = plan("tpch_q19")
+    // quantity envelope derived onto the fact side (an OR of the three
+    // branch ranges in the pre-join Filter), brand predicates present in
+    // the broadcast join condition — Catalyst's constraint propagation
+    assert("l_quantity#\\d+ >= 1\\.0\\) AND \\(l_quantity#\\d+ <= 11\\.0"
+      .r.findFirstIn(p).isDefined, p.take(2000))
+    assert("p_brand#\\d+ = Brand#12".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("tpch_q10 tops out with TakeOrderedAndProject, dims broadcast") {
+    val p = plan("tpch_q10")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
 }
