@@ -204,6 +204,53 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // HIVE-PARTITIONED layout + partition PRUNING: orders written
+    // partitionBy(order year) once into a /tmp cache, read back with a
+    // partition-column predicate — the scan must touch ONLY the 1996
+    // directory (PartitionFilters, zero data-file reads elsewhere; the
+    // plan guard asserts it). At 100 TB partition layout is the first
+    // and cheapest pruning lever, before any row-group statistics.
+    "scan_partitioned" -> ((s, d) => {
+      val cache = new java.io.File(s"/tmp/graft_part_${new java.io.File(d).getName}")
+      if (!new java.io.File(cache, "_graft_done").exists) {
+        orders(s, d)
+          .withColumn("yr", year(to_date(col("o_orderdate"))).cast("int"))
+          .write.mode("overwrite").partitionBy("yr").parquet(cache.toString)
+        new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+      }
+      s.read.parquet(cache.toString)
+        .filter(col("yr") === 1996)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // binaryFile source — the multimodal ingest entry point: opaque
+    // blobs arrive as (path, length, content) rows; identity/size/
+    // digest derive WITHOUT decoding. Blob bytes are a deterministic
+    // function of the file index so the oracle recomputes every digest
+    // from first principles with no filesystem access.
+    "scan_binaryfile" -> ((s, d) => {
+      val cache = new java.io.File("/tmp/graft_bin_blobs")
+      if (!new java.io.File(cache, "_graft_done").exists) {
+        java.nio.file.Files.createDirectories(cache.toPath)
+        for (i <- 0 until 40) {
+          val content = ("graft-blob-" + i + ";") * (i % 5 + 1)
+          java.nio.file.Files.write(
+            cache.toPath.resolve(f"blob_$i%02d.bin"),
+            content.getBytes("UTF-8"))
+        }
+        new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+      }
+      s.read.format("binaryFile").load(cache.toString + "/*.bin")
+        .select(
+          regexp_extract(col("path"), "blob_([0-9]+)\\.bin", 1)
+            .cast("long").as("blob_id"),
+          col("length"), md5(col("content")).as("digest"))
+        .orderBy("blob_id")
+    }),
+
     // JSONL source: line-delimited JSON scan with declared schema (the
     // big-data JSON shape); same round-trip-vs-parquet-oracle contract
     "scan_json" -> ((s, d) => {
@@ -3924,6 +3971,20 @@ object SparkEntry {
     "scan_json" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_orderkey""",
+    "scan_partitioned" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+         FROM orders
+         WHERE year(CAST(o_orderdate AS DATE)) = 1996
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // blob bytes rebuilt from the index formula — no filesystem access
+    "scan_binaryfile" ->
+      """SELECT CAST(i AS BIGINT) AS blob_id,
+             CAST(strlen(repeat('graft-blob-' || i || ';', i % 5 + 1))
+                  AS BIGINT) AS length,
+             md5(repeat('graft-blob-' || i || ';', i % 5 + 1)) AS digest
+         FROM range(40) t(i) ORDER BY blob_id""",
     "scan_orc" ->
       """SELECT s_suppkey, s_name, s_nationkey
          FROM supplier WHERE s_acctbal > 0 ORDER BY s_suppkey""",

@@ -184,6 +184,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  test("scan_partitioned prunes to the single year partition") {
+    val p = plan("scan_partitioned")
+    assert("PartitionFilters: \\[[^\\]]*= 1996".r.findFirstIn(p).isDefined,
+      p.take(1500))
+  }
+
   test("tpch_q4 plans the EXISTS as a semi join with the date filter pushed") {
     val p = plan("tpch_q4")
     assert(p.contains("LeftSemi"), p.take(1200))
