@@ -3097,6 +3097,91 @@ object SparkEntry {
         .select(col("promo_rev_e4"), col("total_rev_e4"),
           expr("promo_rev_e4 * 1000000 DIV total_rev_e4").as("promo_ppm"))),
 
+    // TPC-H Q7 shape (volume shipping between two nations): the
+    // customer-nation and supplier-nation legs resolve through TWO
+    // broadcast copies of the nation dim; the pair filter
+    // (n1, n2) ∈ {(A,B), (B,A)} prunes before the fact join output
+    // aggregates by (supp nation, cust nation, ship year).
+    "tpch_q7" -> ((s, d) => {
+      val pair = Seq("NATION_0", "NATION_1")
+      val cn = customer(s, d)
+        .join(broadcast(nation(s, d).filter(col("n_name").isin(pair: _*))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val sn = supplier(s, d)
+        .join(broadcast(nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(to_date(col("l_shipdate"))).cast("long").as("l_year"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("rev_e4"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum("rev_e4").as("revenue_e4"), count(lit(1)).as("n"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    // order-less customers land in the 0 bucket, two cascaded aggs
+    // (per-customer count, then histogram) — the second agg's input is
+    // one row per customer, so the heavy shuffle happens exactly once.
+    "tpch_q13" -> ((s, d) =>
+      customer(s, d).select(col("c_custkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))),
+
+    // TPC-H Q17 shape (small-quantity revenue): the per-part average
+    // arrives by a WINDOW over the partkey partition — one shuffle, no
+    // second scan of the fact and no agg-then-rejoin. The < 0.2·avg
+    // test cross-multiplies to exact integers (5·qty·n < Σqty).
+    "tpch_q17" -> ((s, d) => {
+      val w = Window.partitionBy("l_partkey")
+      lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+        .withColumn("sum_qty", sum("qty").over(w))
+        .withColumn("n_part", count(lit(1)).over(w))
+        .filter(col("qty") * 5L * col("n_part") < col("sum_qty"))
+        .agg(sum("price_c").as("small_rev_cents"), count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q22 shape (dormant high-balance customers): the global
+    // positive-balance average arrives as a broadcast 1-row relation
+    // and the comparison cross-multiplies (cents·n > Σcents — no float
+    // threshold); "no recent order" is a broadcast-able ANTI join on
+    // the date-pruned orders slice. Grouped by nation as the
+    // country-code stand-in (no phone column in this schema).
+    "tpch_q22" -> ((s, d) => {
+      val bal = customer(s, d).filter(col("c_acctbal") > 0)
+        .agg(sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("sum_c"),
+          count(lit(1)).as("n_pos"))
+      val recent = orders(s, d)
+        .filter(to_date(col("o_orderdate")) >= to_date(lit("2000-07-01")))
+        .select(col("o_custkey"))
+      customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        .crossJoin(broadcast(bal))
+        .filter(col("cents") * col("n_pos") > col("sum_c"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"), sum("cents").as("cents_sum"))
+        .orderBy("c_nationkey")
+    }),
+
     // TPC-H Q19 shape (disjunctive brand/size/quantity predicates): the
     // OR-of-ANDs lives in the JOIN CONDITION so each branch's p_size
     // bound prunes the broadcast build side and the shared
@@ -6348,6 +6433,57 @@ object SparkEntry {
              CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
                   * 1000000 // sum(rev_e4) AS BIGINT) AS promo_ppm
          FROM b""",
+    "tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_e4,
+             count(*) AS n
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE cn.n_name IN ('NATION_0', 'NATION_1')
+           AND sn.n_name IN ('NATION_0', 'NATION_1')
+           AND sn.n_name <> cn.n_name
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "tpch_q13" ->
+      """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+         FROM pc GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "tpch_q17" ->
+      """WITH b AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey)
+               AS sum_qty,
+             count(*) OVER (PARTITION BY l_partkey) AS n_part
+           FROM lineitem)
+         SELECT CAST(sum(price_c) AS BIGINT) AS small_rev_cents,
+             count(*) AS n
+         FROM b WHERE qty * 5 * n_part < sum_qty""",
+    "tpch_q22" ->
+      """WITH bal AS (SELECT
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_c,
+             count(*) AS n_pos
+           FROM customer WHERE c_acctbal > 0),
+         recent AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE CAST(o_orderdate AS DATE) >= DATE '2000-07-01')
+         SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+             count(*) AS n_cust,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+         FROM customer, bal
+         WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_c
+           AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "tpch_q19" ->
       """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
