@@ -3337,6 +3337,35 @@ object SparkEntry {
     cache.toString
   }
 
+  /** Derived partsupp: the testdata ships no partsupp table, so the
+    * TPC-H partsupp-family keys (q2/q11/q16/q20) derive one from the
+    * DISTINCT (l_partkey, l_suppkey) pairs actually traded, with supply
+    * cost and available quantity as deterministic integer functions of
+    * the keys — the same derive-what's-missing precedent as tpch_q12's
+    * ship_mode. Both engines compute identical longs (positive ints, so
+    * `%` agrees). Scale shape: the distinct is a two-column map-side-
+    * partial shuffle over lineitem (pre-aggregated, never wide rows);
+    * the attribute columns are free projections after it.
+    */
+  private def partsuppDerived(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"),
+        ((col("l_partkey") * 31 + col("l_suppkey") * 17) % 90000 + 10000)
+          .cast("long").as("ps_supplycost_cents"),
+        ((col("l_partkey") * 7 + col("l_suppkey") * 13) % 60 + 1)
+          .cast("long").as("ps_availqty"))
+
+  /** DuckDB CTE mirroring [[partsuppDerived]] — shared by the
+    * partsupp-family oracles so the derivation lives in ONE place. */
+  private val psCteSql: String =
+    """ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST((l_partkey * 31 + l_suppkey * 17) % 90000 + 10000 AS BIGINT)
+           AS ps_supplycost_cents,
+         CAST((l_partkey * 7 + l_suppkey * 13) % 60 + 1 AS BIGINT)
+           AS ps_availqty
+       FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))"""
+
   /** Undirected co-purchase pair relation (parts sharing an order):
     * per-order sorted DISTINCT part set expanded to ordered (a < b)
     * pairs MAP-SIDE (orders hold <= 7 parts, so the per-group quadratic
