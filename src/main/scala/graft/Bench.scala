@@ -99,9 +99,14 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Truncate the RAW message first, then escape: truncating after
+    // escaping could cut between `\` and `"` and emit invalid JSON
+    // (exactly what made round 4's BENCH_LAST.json unparseable). All
+    // control chars are spaced out, not just \n\r\t, so no raw <0x20
+    // byte can survive into the JSON string.
     def esc(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ").take(200)
+      s.take(200).replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("\\p{Cntrl}", " ")
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -189,8 +194,14 @@ object Bench {
     val slowest = timings.toSeq.sortBy { case (_, rs) => -rs.head }.take(12)
       .map { case (k, rs) => s"\"$k\":${fmt(rs.head)}" }
       .mkString("{", ",", "}")
+    // The compact line must FIT the driver's ~2000-char stdout tail; the
+    // full errors map (28 × 200-char messages in round 4) overflowed it
+    // and produced `parsed: null` — carry only the error COUNT and the
+    // first failing key; full detail is already in `outPath` on disk.
+    val firstErr = errors.keys.headOption
+      .map(k => s""","first_error":"${esc(k)}"""").getOrElse("")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"queries":$slowest,"errors":$errs,"reps":$reps,"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"queries":$slowest,"n_errors":${errors.size}$firstErr,"reps":$reps,"detail":"$outPath","sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))

@@ -3321,17 +3321,18 @@ object SparkEntry {
   }
 
   /** File-stream source directory for the oracle-checked streaming keys:
-    * the events parquet copied once into a dedicated dir (streaming file
+    * the events table written once, NORMALIZED through [[Tables.events]]
+    * (ts as epoch-nanos BIGINT), into a dedicated dir (streaming file
     * sources list DIRECTORIES; reusing the testdata dir would stream
-    * every table). */
+    * every table). Written — not copied — because the raw testdata file's
+    * ts physical type has drifted across driver regenerations (INT64
+    * nanos → TIMESTAMP micros) and the stream schema must match what the
+    * batch-side `events(s, d).schema` declares. Dir name versioned so a
+    * stale pre-normalization cache in /tmp is never picked up. */
   private def streamCache(s: SparkSession, d: String): String = {
-    val cache = new java.io.File(s"/tmp/graft_stream_${new java.io.File(d).getName}")
+    val cache = new java.io.File(s"/tmp/graft_stream_ns_${new java.io.File(d).getName}")
     if (!new java.io.File(cache, "_graft_done").exists) {
-      java.nio.file.Files.createDirectories(cache.toPath)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        cache.toPath.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      events(s, d).coalesce(1).write.mode("overwrite").parquet(cache.toString)
       new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
     }
     cache.toString

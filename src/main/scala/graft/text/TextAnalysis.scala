@@ -353,14 +353,19 @@ object TextAnalysis {
     * Scale shape — the curate_corpus discipline, applied twice:
     *  1. The frequency pass shuffles (md5(line), doc_id) pairs only —
     *     raw line text NEVER crosses the wire.
-    *  2. The frequent-hash set is BOUNDED by total_lines / minDocs
-    *     (≥minDocs occurrences each), so it collects to the driver
-    *     (the Similarity centroid precedent) and the rebuild is a pure
-    *     map-side array filter over a second scan — the corpus itself
-    *     is never shuffled, and a doc's lines never leave their task.
+    *  2. The frequent-hash set is bounded by total_lines / minDocs
+    *     (≥minDocs occurrences each) and is shipped to executors as a
+    *     TORRENT BROADCAST, not a plan literal: the set GROWS with the
+    *     corpus, and a typedlit would serialize a multi-million-element
+    *     array into every task's plan at 100 TB. The broadcast moves it
+    *     once per executor and the rebuild stays a pure map-side filter
+    *     over a second scan — the corpus itself is never shuffled, and
+    *     a doc's lines never leave their task.
     * At 100 TB this is one metrics-width shuffle + two scan-speed
-    * passes; the alternative (join lines against the frequent set and
-    * re-aggregate per doc) would shuffle every line of the corpus.
+    * passes; the alternative (semi-join lines against the frequent set
+    * and re-aggregate per doc) would shuffle every surviving line of
+    * the corpus to rebuild documents. Set-probe lookup is also O(1)
+    * per line vs array_contains' linear scan over the frequent set.
     */
   def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
                        minDocs: Long): DataFrame = {
@@ -371,13 +376,29 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("h")
-    val hashes = frequent.collect().map(_.getString(0)).sorted
-    val hs = typedlit(hashes)
-    val parts = split(col(textCol), "\n")
-    val kept = filter(parts, l => !array_contains(hs, md5(l)))
-    docs.select(col(idCol),
-      array_join(kept, "\n").as("clean_text"),
-      (size(parts) - size(kept)).cast("long").as("n_removed"))
+    val bc = docs.sparkSession.sparkContext.broadcast(
+      frequent.collect().map(_.getString(0)).toSet)
+    // Hex-md5 per line matches the frequency pass's `md5(col)` exactly
+    // (UTF-8 bytes, lowercase hex); split with limit -1 mirrors Spark
+    // SQL split's keep-trailing-empties semantics.
+    val strip = udf { text: String =>
+      if (text == null) null
+      else {
+        val hs = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val parts = text.split("\n", -1)
+        val kept = parts.filterNot { l =>
+          val d = md.digest(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val sb = new java.lang.StringBuilder(32)
+          d.foreach(b => sb.append("%02x".format(b)))
+          hs.contains(sb.toString)
+        }
+        (kept.mkString("\n"), (parts.length - kept.length).toLong)
+      }
+    }
+    docs.select(col(idCol), strip(col(textCol)).as("s"))
+      .select(col(idCol), col("s._1").as("clean_text"),
+        col("s._2").as("n_removed"))
   }
 
   /** Per-document Shannon token entropy — the vocabulary-diversity

@@ -40,6 +40,18 @@ class PlanSpec extends SparkTestBase {
       p.take(800))
   }
 
+  test("boilerplate_strip ships the frequent set as a broadcast, not a plan literal") {
+    // The frequent-line hash set grows with the corpus (totalLines /
+    // minDocs); inlining it with typedlit serialized the whole array
+    // into every task's plan. It must travel as a broadcast variable:
+    // no 32-hex md5 literal may appear in the plan text, and the plan
+    // must stay corpus-size-independent in size.
+    val p = plan("boilerplate_strip")
+    assert("\\b[0-9a-f]{32}\\b".r.findFirstIn(p).isEmpty,
+      "frequent-line md5 inlined into the plan")
+    assert(p.length < 20000, s"plan is ${p.length} chars — literal leak?")
+  }
+
   test("topk_limit plans TakeOrderedAndProject, not a global sort") {
     val p = plan("topk_limit")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))

@@ -27,6 +27,29 @@ class SchemasSpec extends SparkTestBase {
     assert(e.getMessage.contains("l_quantity"))
   }
 
+  test("testdata events.ts drift guard: raw type is known, normalized type is nanos long") {
+    // The driver regenerated events.parquet between rounds 3 and 4,
+    // silently switching ts from INT64 nanos to TIMESTAMP micros and
+    // breaking 28 event-time keys. This guard names the failure: if the
+    // raw testdata ts type drifts to something Tables.events can't
+    // normalize, THIS test fails with the new type in its message
+    // instead of 28 keys dying deep in Catalyst.
+    import org.apache.spark.sql.types._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val raw = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      assert(
+        raw == LongType || raw == TimestampType || raw == TimestampNTZType,
+        s"events.ts in $dir drifted to unsupported type $raw — update Tables.events")
+      val normalized = Tables.events(spark, dir)
+      assert(normalized.schema("ts").dataType == LongType,
+        "Tables.events must emit epoch-nanos LongType")
+      // sanity: values land in the epoch-nanos magnitude (year > 2000)
+      val minTs = normalized.agg(min(col("ts"))).head().getLong(0)
+      assert(minTs > 946684800L * 1000000000L,
+        s"normalized ts magnitude wrong ($minTs) — unit conversion bug")
+    }
+  }
+
   test("type drift fails fast (quantity as string)") {
     val drifted = Tables.lineitem(spark, sf)
       .withColumn("l_quantity", col("l_quantity").cast("string"))

@@ -19,12 +19,22 @@ class StreamingSpec extends SparkTestBase {
   private def withEventTime(df: org.apache.spark.sql.DataFrame) =
     df.withColumn("t", timestamp_micros(expr("ts div 1000")))
 
+  // One normalized seed file (ts as epoch-nanos BIGINT via Tables.events —
+  // the raw testdata file now carries TIMESTAMP micros, which would clash
+  // with the LongType stream schema above). Tests copy THIS file wherever
+  // they previously copied the raw one.
+  private lazy val seedFile: java.nio.file.Path = {
+    val seed = java.nio.file.Files.createTempDirectory("graft-seed")
+    Tables.events(spark, sf).coalesce(1).write.mode("overwrite").parquet(seed.toString)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(seed).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+  }
+
   // file streams need a DIRECTORY source
   private lazy val streamDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      dir.resolve("events.parquet"))
+    java.nio.file.Files.copy(seedFile, dir.resolve("events.parquet"))
     dir.toString
   }
 
@@ -111,8 +121,7 @@ class StreamingSpec extends SparkTestBase {
     // at-least-once delivery simulated by the same file arriving twice
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
     for (name <- Seq("events_a.parquet", "events_b.parquet"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve(name))
+      java.nio.file.Files.copy(seedFile, dir.resolve(name))
     val stream = spark.readStream.schema(schema).parquet(dir.toString)
     val q = EventStream.dedupEvents(withEventTime(stream))
       .writeStream.outputMode("append")
@@ -156,9 +165,7 @@ class StreamingSpec extends SparkTestBase {
     val in = java.nio.file.Files.createTempDirectory("graft-restart-in")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ck")
     val out = java.nio.file.Files.createTempDirectory("graft-restart-out")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      in.resolve("events_run1.parquet"))
+    java.nio.file.Files.copy(seedFile, in.resolve("events_run1.parquet"))
     def start() = EventStream.dedupEvents(withEventTime(
         spark.readStream.schema(schema).parquet(in.toString)))
       .select("event_id", "user_id")
@@ -167,9 +174,7 @@ class StreamingSpec extends SparkTestBase {
       .format("parquet").option("path", out.toString).start()
     val q1 = start()
     try q1.processAllAvailable() finally q1.stop()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      in.resolve("events_run2.parquet"))
+    java.nio.file.Files.copy(seedFile, in.resolve("events_run2.parquet"))
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
     val got = spark.read.parquet(out.toString)
