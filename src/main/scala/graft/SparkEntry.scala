@@ -3301,6 +3301,115 @@ object SparkEntry {
           sum("cents").cast("long").as("cents"))
         .orderBy("c_nationkey")
     }),
+
+    // TPC-H Q2 shape (min-cost supplier per part in a region) over the
+    // DERIVED partsupp (see partsuppDerived — testdata ships none).
+    // Dims broadcast (region-filtered suppliers, size/type-filtered
+    // parts); the min-cost relation groups the already-filtered ps and
+    // rejoins on the SAME partkey partitioning — the fact-side pair
+    // relation shuffles once. All money on the integer cents grid.
+    "tpch_q2" -> ((s, d) => {
+      val sup = supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("s_acctbal_cents"),
+          col("n_name"))
+      val parts = part(s, d)
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      val eligible = partsuppDerived(s, d)
+        .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      val minCost = eligible.groupBy(col("ps_partkey").as("mk"))
+        .agg(min("ps_supplycost_cents").as("min_cost"))
+      eligible.join(minCost, col("ps_partkey") === col("mk") &&
+          col("ps_supplycost_cents") === col("min_cost"))
+        .select(col("s_acctbal_cents"), col("s_name"), col("n_name"),
+          col("ps_partkey"), col("ps_supplycost_cents"))
+        .orderBy(col("s_acctbal_cents").desc, col("n_name"), col("s_name"),
+          col("ps_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11 shape (important stock): per-part inventory value inside
+    // one nation vs a fixed fraction (1/1000, cross-multiplied — no
+    // float threshold) of that nation's total. The global total arrives
+    // as a broadcast 1-row relation; the pair relation shuffles once for
+    // the per-part sum. Value = cost_cents × availqty, exact longs.
+    "tpch_q11" -> ((s, d) => {
+      val sup = supplier(s, d)
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val natPs = partsuppDerived(s, d)
+        .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+        .select(col("ps_partkey"),
+          (col("ps_supplycost_cents") * col("ps_availqty")).as("v"))
+      val total = natPs.agg(sum("v").as("total_v"))
+      natPs.groupBy("ps_partkey").agg(sum("v").as("value_cents"))
+        .crossJoin(broadcast(total))
+        .filter(col("value_cents") * 1000L > col("total_v"))
+        .select(col("ps_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("ps_partkey"))
+    }),
+
+    // TPC-H Q16 shape (supplier diversity per part attribute): distinct
+    // suppliers per (brand, type, size) bucket, excluding one brand, the
+    // PROMO type, and "problem" suppliers (negative balance stands in
+    // for the reference schema's complaint-comment scan — this schema
+    // carries no s_comment). The exclusion list is a broadcast ANTI
+    // join; the distinct-count shuffles pre-projected (key, suppkey)
+    // pairs only.
+    "tpch_q16" -> ((s, d) => {
+      val bad = supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val p = part(s, d)
+        .filter(col("p_brand") =!= "Brand#15" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 9, 15, 22, 30, 44, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"))
+      partsuppDerived(s, d)
+        .join(broadcast(bad), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20 shape (promotion-ready suppliers): suppliers in one
+    // nation whose derived stock of a name-prefixed part exceeds half
+    // the quantity they shipped of it in calendar-2000
+    // (2·availqty > Σqty — integer cross-multiply). The year slice of
+    // lineitem pre-aggregates to (part, supp, Σqty) before meeting ps;
+    // candidate suppkeys collapse via distinct, then a semi join keeps
+    // matching suppliers — the supplier table itself never shuffles
+    // (broadcast-able candidate set).
+    "tpch_q20" -> ((s, d) => {
+      val pBlue = part(s, d).filter(col("p_name").startsWith("blue"))
+        .select(col("p_partkey"))
+      val shipped = lineitem(s, d)
+        .filter(to_date(col("l_shipdate")) >= to_date(lit("2000-01-01")) &&
+          to_date(col("l_shipdate")) < to_date(lit("2001-01-01")))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      val candidates = partsuppDerived(s, d)
+        .join(broadcast(pBlue), col("ps_partkey") === col("p_partkey"))
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") * 2L > col("sum_qty"))
+        .select(col("ps_suppkey")).distinct()
+      supplier(s, d)
+        .join(broadcast(candidates), col("s_suppkey") === col("ps_suppkey"),
+          "left_semi")
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("s_acctbal_cents"))
+        .orderBy("s_name")
+    }),
   )
 
   /** One-time supplier KV dump (s_name \t acctbal-cents) for the DSv2
@@ -6514,6 +6623,67 @@ object SparkEntry {
          WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_c
            AND c_custkey NOT IN (SELECT o_custkey FROM recent)
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // partsupp family over the shared derived-ps CTE (psCteSql)
+    "tpch_q2" ->
+      s"""WITH $psCteSql,
+         sup AS (SELECT s_suppkey, s_name,
+               CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+               n_name
+             FROM supplier, nation, region
+             WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+               AND r_name = 'EUROPE'),
+         el AS (SELECT ps_partkey, ps_supplycost_cents,
+               s_acctbal_cents, s_name, n_name
+             FROM ps
+             JOIN part ON ps_partkey = p_partkey
+               AND p_size = 15 AND p_type = 'STANDARD'
+             JOIN sup ON ps_suppkey = s_suppkey),
+         mc AS (SELECT ps_partkey AS mk, min(ps_supplycost_cents) AS min_cost
+             FROM el GROUP BY 1)
+         SELECT s_acctbal_cents, s_name, n_name, ps_partkey,
+             ps_supplycost_cents
+         FROM el JOIN mc ON ps_partkey = mk AND ps_supplycost_cents = min_cost
+         ORDER BY s_acctbal_cents DESC, n_name, s_name, ps_partkey
+         LIMIT 100""",
+    "tpch_q11" ->
+      s"""WITH $psCteSql,
+         nsup AS (SELECT s_suppkey FROM supplier, nation
+             WHERE s_nationkey = n_nationkey AND n_name = 'NATION_7'),
+         np AS (SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
+             FROM ps JOIN nsup ON ps_suppkey = s_suppkey),
+         tot AS (SELECT CAST(sum(v) AS BIGINT) AS total_v FROM np)
+         SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
+         FROM np, tot GROUP BY ps_partkey, total_v
+         HAVING CAST(sum(v) AS BIGINT) * 1000 > total_v
+         ORDER BY value_cents DESC, ps_partkey""",
+    "tpch_q16" ->
+      s"""WITH $psCteSql
+         SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+             count(DISTINCT ps_suppkey) AS supplier_cnt
+         FROM ps JOIN part ON ps_partkey = p_partkey
+         WHERE p_brand <> 'Brand#15' AND p_type <> 'PROMO'
+           AND p_size IN (1, 9, 15, 22, 30, 44, 49)
+           AND ps_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "tpch_q20" ->
+      s"""WITH $psCteSql,
+         shipped AS (SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             FROM lineitem
+             WHERE CAST(l_shipdate AS DATE) >= DATE '2000-01-01'
+               AND CAST(l_shipdate AS DATE) < DATE '2001-01-01'
+             GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT ps_suppkey FROM ps
+             JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'blue%'
+             JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+             WHERE ps_availqty * 2 > sum_qty)
+         SELECT s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+         WHERE s_suppkey IN (SELECT ps_suppkey FROM cand)
+         ORDER BY s_name""",
     "tpch_q19" ->
       """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
