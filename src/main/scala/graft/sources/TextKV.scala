@@ -46,6 +46,11 @@ object TextKV {
     * `WikiParser.pages` unchanged. Header/trailer records contain no
     * `<page>` and parse to zero pages.
     *
+    * Accepts COMMA-SEPARATED paths like the reference's `addInputPaths`
+    * (ref: PageRankAlgorithm.java:66) — each path becomes its own
+    * splittable Hadoop RDD and the union is a zero-shuffle concatenation
+    * of their partitions.
+    *
     * @param maxSplitSize optional `mapreduce.input.fileinputformat
     *                     .split.maxsize` override (tests use a small value
     *                     to force many splits on a small file). */
@@ -58,10 +63,14 @@ object TextKV {
     conf.set("textinputformat.record.delimiter", "</page>")
     if (maxSplitSize > 0)
       conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplitSize)
-    val records = spark.sparkContext
-      .newAPIHadoopFile(path, classOf[TextInputFormat],
-        classOf[LongWritable], classOf[Text], conf)
-      .map { case (_, t) => t.toString } // Text buffers are reused — copy out
+    val paths = path.split(",").map(_.trim).filter(_.nonEmpty)
+    require(paths.nonEmpty, s"readPages: no input path in '$path'")
+    val records = paths.map { p =>
+      spark.sparkContext
+        .newAPIHadoopFile(p, classOf[TextInputFormat],
+          classOf[LongWritable], classOf[Text], conf)
+        .map { case (_, t) => t.toString } // Text buffers are reused — copy out
+    }.reduce(_ union _)
     import spark.implicits._
     records.toDF("value")
       .select(concat(col("value"), lit("</page>")).as("value"))

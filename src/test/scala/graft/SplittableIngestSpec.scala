@@ -51,6 +51,26 @@ class SplittableIngestSpec extends SparkTestBase {
     }
   }
 
+  test("comma-separated input paths read every dir exactly once (reference addInputPaths)") {
+    // the reference accepts comma-joined input dirs
+    // (PageRankAlgorithm.java:66 addInputPaths); readPages must too
+    def dump(n: Int, offset: Int): String = {
+      val sb = new StringBuilder
+      for (i <- 0 until n)
+        sb.append(s"<page><title>D${offset + i}</title><id>${offset + i}</id>" +
+          s"<text xml:space=\"preserve\">[[D${offset + ((i + 1) % n)}]]</text></page>\n")
+      sb.toString
+    }
+    val p1 = writeTemp("a.xml", dump(40, 0))
+    val p2 = writeTemp("b.xml", dump(60, 1000))
+    val both = TextKV.readPages(spark, s"$p1 , $p2")
+    val g = graphMap(WikiParser.pages(both))
+    assert(g.size == 100, s"40 + 60 pages across two dirs, got ${g.size}")
+    assert(g.contains("D0") && g.contains("D1059"))
+    // single-path behavior unchanged
+    assert(graphMap(WikiParser.pages(TextKV.readPages(spark, p1))).size == 40)
+  }
+
   test("multi-MB dump under a tiny split.maxsize attributes every page once") {
     val nPages = 2000
     // ~2 KB of filler per page => ~4 MB file; 64 KB max splits => ~70
