@@ -3410,6 +3410,134 @@ object SparkEntry {
           expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("s_acctbal_cents"))
         .orderBy("s_name")
     }),
+
+    // TPC-H Q8 shape (national market share): of the ECONOMY-part
+    // revenue sold into the ASIA-region market, the per-order-year
+    // fraction supplied by one nation. Share emitted as ppm via
+    // integer floor-division (both engines agree on positive longs) —
+    // no float division crosses the hash gate; numerator/denominator
+    // ship alongside. Market membership is a semi join; parts and the
+    // supplier→nation map broadcast; the fact shuffles once onto
+    // orderkey for the orders join.
+    "tpch_q8" -> ((s, d) => {
+      val asiaCust = customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val ord = orders(s, d)
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"),
+          year(to_date(col("o_orderdate"))).cast("long").as("o_year"))
+      val supN = supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), (col("n_name") === "NATION_5").as("is_target"))
+      val ecoParts = part(s, d).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("rev_e4"))
+        .join(broadcast(ecoParts), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(sum(when(col("is_target"), col("rev_e4")).otherwise(lit(0L)))
+            .as("nation_rev_e4"),
+          sum(col("rev_e4")).as("total_rev_e4"))
+        .select(col("o_year"),
+          expr("CAST(nation_rev_e4 * 1000000 DIV total_rev_e4 AS BIGINT)")
+            .as("share_ppm"),
+          col("nation_rev_e4"), col("total_rev_e4"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 shape (product-type profit): revenue minus derived
+    // supply cost for 'red *' parts, by supplier nation and order
+    // year. amount_e4 = price_c·(100−disc_pct) − cost_cents·100·qty,
+    // all exact longs. The ps join runs on the (partkey, suppkey)
+    // pair — the partsupp-family fact shape (the cost being a
+    // deterministic function of the keys would allow computing it
+    // inline, but the operator under test is the pair-keyed join).
+    "tpch_q9" -> ((s, d) => {
+      val redParts = part(s, d).filter(col("p_name").like("red%"))
+        .select(col("p_partkey"))
+      val supN = supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val ord = orders(s, d).select(col("o_orderkey"),
+        year(to_date(col("o_orderdate"))).cast("long").as("o_year"))
+      lineitem(s, d)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(partsuppDerived(s, d),
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .select(col("n_name"), col("o_year"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")) -
+            col("ps_supplycost_cents") * lit(100L) *
+              col("l_quantity").cast("long")).as("amount_e4"))
+        .groupBy("n_name", "o_year")
+        .agg(sum("amount_e4").as("profit_e4"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+
+    // TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    // quarter; the max arrives as a broadcast 1-row relation (the
+    // quality_cut pattern — no global sort, no second scan of the
+    // fact) and ties all surface.
+    "tpch_q15" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(to_date(col("l_shipdate")) >= to_date(lit("2000-01-01")) &&
+          to_date(col("l_shipdate")) < to_date(lit("2000-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+          .as("total_rev_e4"))
+      val best = rev.agg(max("total_rev_e4").as("max_rev"))
+      rev.crossJoin(broadcast(best))
+        .filter(col("total_rev_e4") === col("max_rev"))
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    // this schema: no commit/receipt dates, so "late" = shipped more
+    // than 60 days after the order date. For finished ('F') orders
+    // with multiple suppliers where EXACTLY ONE supplier was late,
+    // count those orders per late supplier in one nation. The
+    // exists/not-exists pair of the reference formulation collapses
+    // into per-order window counts over the pre-aggregated
+    // (order, supplier, late) relation — one shuffle onto orderkey
+    // instead of two self-joins of the fact.
+    "tpch_q21" -> ((s, d) => {
+      val ord = orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      val perSupp = lineitem(s, d)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(to_date(col("l_shipdate")) > date_add(col("od"), 60), 1L)
+          .otherwise(0L)).as("late"))
+      val w = Window.partitionBy("l_orderkey")
+      perSupp
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late", sum(col("late")).over(w))
+        .filter(col("late") === 1L && col("n_supp") > 1 && col("n_late") === 1L)
+        .join(broadcast(supplier(s, d)
+          .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_2")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
   )
 
   /** One-time supplier KV dump (s_name \t acctbal-cents) for the DSv2
@@ -6684,6 +6812,76 @@ object SparkEntry {
          JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
          WHERE s_suppkey IN (SELECT ps_suppkey FROM cand)
          ORDER BY s_name""",
+    "tpch_q8" ->
+      """WITH ac AS (SELECT c_custkey FROM customer, nation, region
+             WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+               AND r_name = 'ASIA'),
+         base AS (SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+               (n_name = 'NATION_5') AS is_target
+             FROM lineitem
+             JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             WHERE o_custkey IN (SELECT c_custkey FROM ac))
+         SELECT CAST(o_year AS BIGINT) AS o_year,
+             CAST(CAST(sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END) AS BIGINT)
+               * 1000000 // CAST(sum(rev_e4) AS BIGINT) AS BIGINT) AS share_ppm,
+             CAST(sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END) AS BIGINT)
+               AS nation_rev_e4,
+             CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4
+         FROM base GROUP BY o_year ORDER BY o_year""",
+    "tpch_q9" ->
+      s"""WITH $psCteSql,
+         base AS (SELECT n_name,
+               year(CAST(o_orderdate AS DATE)) AS o_year,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 - ps_supplycost_cents * 100 * CAST(l_quantity AS BIGINT)
+                 AS amount_e4
+             FROM lineitem
+             JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+             JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey)
+         SELECT n_name, CAST(o_year AS BIGINT) AS o_year,
+             CAST(sum(amount_e4) AS BIGINT) AS profit_e4
+         FROM base GROUP BY n_name, o_year
+         ORDER BY n_name, o_year DESC""",
+    "tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS total_rev_e4
+           FROM lineitem
+           WHERE CAST(l_shipdate AS DATE) >= DATE '2000-01-01'
+             AND CAST(l_shipdate AS DATE) < DATE '2000-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_rev_e4
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+         ORDER BY s_suppkey""",
+    "tpch_q21" ->
+      """WITH ord AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+             FROM orders WHERE o_orderstatus = 'F'),
+         psup AS (SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN CAST(l_shipdate AS DATE) > od + INTERVAL 60 DAY
+                   THEN 1 ELSE 0 END) AS late
+             FROM lineitem JOIN ord ON l_orderkey = o_orderkey
+             GROUP BY 1, 2),
+         fl AS (SELECT l_suppkey, late,
+               count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+               sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+             FROM psup)
+         SELECT s_name, count(*) AS numwait
+         FROM fl
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_2'
+         WHERE late = 1 AND n_supp > 1 AND n_late = 1
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
     "tpch_q19" ->
       """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
