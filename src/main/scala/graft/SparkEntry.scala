@@ -3486,9 +3486,14 @@ object SparkEntry {
     }),
 
     // TPC-H Q15 shape (top supplier): per-supplier revenue over one
-    // quarter; the max arrives as a broadcast 1-row relation (the
-    // quality_cut pattern — no global sort, no second scan of the
-    // fact) and ties all surface.
+    // quarter; the max arrives as a broadcast 1-row relation and ties
+    // all surface. The rev view feeds BOTH the probe side and the max —
+    // referencing the DataFrame twice would scan the fact twice
+    // (downstream join filters push into the two copies differently,
+    // so their exchanges never canonicalize equal and AQE can't reuse
+    // them); a lazy localCheckpoint pins ONE evaluation of the
+    // quarter-slice scan, and what's materialized is bounded at one
+    // row per supplier (the PageRank iteration-cadence precedent).
     "tpch_q15" -> ((s, d) => {
       val rev = lineitem(s, d)
         .filter(to_date(col("l_shipdate")) >= to_date(lit("2000-01-01")) &&
@@ -3497,6 +3502,7 @@ object SparkEntry {
         .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
           (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
           .as("total_rev_e4"))
+        .localCheckpoint(false)
       val best = rev.agg(max("total_rev_e4").as("max_rev"))
       rev.crossJoin(broadcast(best))
         .filter(col("total_rev_e4") === col("max_rev"))

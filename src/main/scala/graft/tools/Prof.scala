@@ -321,6 +321,18 @@ object Prof {
       case "explain" =>
         val q = graft.SparkEntry.queries(args(2))
         q(spark, sfDir).explain("formatted")
+      // `Prof <sfDir> explainfinal <key>`: run the query, then print the
+      // FINAL adaptive plan (stage reuse, AQE join conversions) — what
+      // actually executed, not the pre-execution estimate
+      case "explainfinal" =>
+        val df = graft.SparkEntry.queries(args(2))(spark, sfDir)
+        df.collect()
+        val exec = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        println(exec.toString)
       case key =>
         val q = graft.SparkEntry.queries(key)
         t(s"$key run1")(q(spark, sfDir).count())

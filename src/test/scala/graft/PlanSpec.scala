@@ -40,6 +40,28 @@ class PlanSpec extends SparkTestBase {
       p.take(800))
   }
 
+  test("tpch_q8 scans the fact once with broadcast dims") {
+    val p = plan("tpch_q8")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("tpch_q15 gets the max as a broadcast scalar and reuses the rev exchange") {
+    val p = plan("tpch_q15")
+    // the 1-row max relation arrives as a broadcast cross join (the
+    // quality_cut pattern); a Window formulation would re-sort the
+    // whole per-supplier relation in one partition
+    assert("Cross,? BuildRight".r.findFirstIn(p).isDefined ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+    // rev feeds both the probe side and the max subquery; the
+    // localCheckpoint pins one evaluation, so the final plan must hold
+    // NO file scan of the fact (both branches read the checkpointed
+    // per-supplier relation)
+    assert(!p.contains("lineitem.parquet"),
+      "fact scanned inside the query — rev not materialized once")
+  }
+
   test("boilerplate_strip ships the frequent set as a broadcast, not a plan literal") {
     // The frequent-line hash set grows with the corpus (totalLines /
     // minDocs); inlining it with typedlit serialized the whole array
