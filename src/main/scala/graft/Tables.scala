@@ -20,8 +20,13 @@ object Tables {
   private val required: Map[String, Seq[String]] = Map(
     "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
-    "orders" -> Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+      "o_orderstatus", "o_orderpriority"),
     "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "region" -> Seq("r_regionkey", "r_name"),
     "documents" -> Seq("doc_id", "text"),
     "embeddings" -> Seq("vec_id", "embedding"),
     "events" -> Seq("event_id", "ts", "user_id", "event_type", "value"))
