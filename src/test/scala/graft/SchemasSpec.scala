@@ -50,6 +50,52 @@ class SchemasSpec extends SparkTestBase {
     }
   }
 
+  test("testdata dtype pin: a driver-side regeneration fails HERE by name") {
+    // Snapshot of every column the engine reads, as of round 5. The
+    // round-4 events.ts regeneration (INT64 nanos → TIMESTAMP) broke 28
+    // keys silently; this pin turns the NEXT such regeneration into one
+    // named failure. If it fires: the driver regenerated testdata —
+    // update the pin AND audit every consumer of the drifted column.
+    // events.ts is excluded (it has its own multi-shape guard above).
+    val expected: Map[String, Map[String, String]] = Map(
+      "region" -> Map("r_regionkey" -> "int", "r_name" -> "string"),
+      "nation" -> Map("n_nationkey" -> "int", "n_name" -> "string",
+        "n_regionkey" -> "int"),
+      "customer" -> Map("c_custkey" -> "bigint", "c_name" -> "string",
+        "c_nationkey" -> "int", "c_acctbal" -> "double",
+        "c_mktsegment" -> "string"),
+      "supplier" -> Map("s_suppkey" -> "bigint", "s_name" -> "string",
+        "s_nationkey" -> "int", "s_acctbal" -> "double"),
+      "part" -> Map("p_partkey" -> "bigint", "p_name" -> "string",
+        "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+        "p_retailprice" -> "double"),
+      "orders" -> Map("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+        "o_orderstatus" -> "string", "o_totalprice" -> "double",
+        "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string"),
+      "lineitem" -> Map("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+        "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+        "l_quantity" -> "double", "l_extendedprice" -> "double",
+        "l_discount" -> "double", "l_tax" -> "double",
+        "l_returnflag" -> "string", "l_linestatus" -> "string",
+        "l_shipdate" -> "timestamp_ntz"),
+      "events" -> Map("event_id" -> "bigint", "user_id" -> "bigint",
+        "event_type" -> "string", "value" -> "double", "props" -> "string"),
+      "documents" -> Map("doc_id" -> "bigint", "text" -> "string",
+        "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+      "embeddings" -> Map("vec_id" -> "bigint",
+        "embedding" -> "array<float>", "label" -> "int"))
+    for ((t, cols) <- expected) {
+      val actual = spark.read.parquet(s"$sf/$t.parquet").schema.fields
+        .map(f => f.name -> f.dataType.simpleString).toMap
+      for ((c, want) <- cols) {
+        val got = actual.getOrElse(c, "MISSING")
+        assert(got == want,
+          s"testdata drift: $t.$c is $got, pinned $want — the driver " +
+            "regenerated testdata; update this pin and audit consumers")
+      }
+    }
+  }
+
   test("type drift fails fast (quantity as string)") {
     val drifted = Tables.lineitem(spark, sf)
       .withColumn("l_quantity", col("l_quantity").cast("string"))
