@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line of `sbt runMain graft.Bench`.
+// sbt normally (a) decorates forked-run output with an `[info] ` prefix via
+// its logger and (b) appends a `[success] Total time: …` line — both defeat
+// the parser. StdoutOutput makes the forked JVM inherit our stdout directly
+// (no logger decoration); showSuccess drops the trailing [success] line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — silence lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
