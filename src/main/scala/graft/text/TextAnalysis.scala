@@ -345,6 +345,37 @@ object TextAnalysis {
           slice(col("w"), col("start") + 1, col("n_tokens")))).as("digest"))
   }
 
+  /** Frequent-set broadcast gate for [[boilerplateStrip]]: above this
+    * many distinct frequent-line hashes (~100 MB of hex strings on the
+    * driver at 1M), the driver-side collect is no longer safe and the
+    * join fallback takes over. Unlike the IVF centroid collect
+    * (numCells-bounded) this set's size is DATA-DEPENDENT — bounded
+    * only by total_lines/minDocs, which a 100 TB web corpus can blow
+    * past — so the gate is mandatory, not advisory. */
+  val BoilerplateBroadcastGate: Int = 1 << 20
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+  // MessageDigest is stateful and not thread-safe; one per task thread,
+  // reused across rows (allocating per row was a measurable hot-path
+  // cost at 100 TB line counts).
+  private val Md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Lowercase-hex MD5 of the UTF-8 bytes — byte-identical to Spark
+    * SQL's `md5()` so UDF-side probes match plan-side hashes. */
+  private def md5Hex(s: String): String = {
+    val md = Md5Local.get(); md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** C4-style line-level boilerplate removal: a line occurring in at
     * least `minDocs` DISTINCT documents (nav bars, cookie banners,
     * footers) is stripped from every document; cleaned text preserves
@@ -353,22 +384,28 @@ object TextAnalysis {
     * Scale shape — the curate_corpus discipline, applied twice:
     *  1. The frequency pass shuffles (md5(line), doc_id) pairs only —
     *     raw line text NEVER crosses the wire.
-    *  2. The frequent-hash set is bounded by total_lines / minDocs
-    *     (≥minDocs occurrences each) and is shipped to executors as a
-    *     TORRENT BROADCAST, not a plan literal: the set GROWS with the
-    *     corpus, and a typedlit would serialize a multi-million-element
-    *     array into every task's plan at 100 TB. The broadcast moves it
-    *     once per executor and the rebuild stays a pure map-side filter
-    *     over a second scan — the corpus itself is never shuffled, and
-    *     a doc's lines never leave their task.
-    * At 100 TB this is one metrics-width shuffle + two scan-speed
-    * passes; the alternative (semi-join lines against the frequent set
-    * and re-aggregate per doc) would shuffle every surviving line of
-    * the corpus to rebuild documents. Set-probe lookup is also O(1)
-    * per line vs array_contains' linear scan over the frequent set.
+    *  2. The frequent-hash set is shipped to executors as a TORRENT
+    *     BROADCAST, not a plan literal (a typedlit would serialize a
+    *     multi-million-element array into every task's plan), and the
+    *     rebuild stays a pure map-side filter over a second scan — the
+    *     corpus itself is never shuffled.
+    *
+    * The broadcast is SIZE-GATED (`maxBroadcastHashes`): the frequent
+    * set grows with the corpus (total_lines/minDocs is not a
+    * driver-safe bound at 100 TB), so when the bounded probe overflows
+    * the gate, the strip falls back to a join formulation in which the
+    * driver holds nothing: hash every (doc, pos, line) to metrics
+    * width, inner-join the frequent relation to find REMOVED positions
+    * (typically a tiny fraction of the corpus — boilerplate lines per
+    * doc, not all lines), collect_list the removed positions per doc,
+    * and rebuild each doc map-side with an indexed array filter over a
+    * re-split of the original text. Only (doc_id, pos) pairs of
+    * boilerplate occurrences ever shuffle; surviving text never leaves
+    * its scan task in either path.
     */
   def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
-                       minDocs: Long): DataFrame = {
+                       minDocs: Long,
+                       maxBroadcastHashes: Int = BoilerplateBroadcastGate): DataFrame = {
     val frequent = docs
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), "\n")).as("line"))
@@ -376,29 +413,48 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("h")
-    val bc = docs.sparkSession.sparkContext.broadcast(
-      frequent.collect().map(_.getString(0)).toSet)
-    // Hex-md5 per line matches the frequency pass's `md5(col)` exactly
-    // (UTF-8 bytes, lowercase hex); split with limit -1 mirrors Spark
-    // SQL split's keep-trailing-empties semantics.
-    val strip = udf { text: String =>
-      if (text == null) null
-      else {
-        val hs = bc.value
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val parts = text.split("\n", -1)
-        val kept = parts.filterNot { l =>
-          val d = md.digest(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val sb = new java.lang.StringBuilder(32)
-          d.foreach(b => sb.append("%02x".format(b)))
-          hs.contains(sb.toString)
+    // Bounded probe: fetch at most gate+1 rows in one job. If the set
+    // fits, the probe IS the broadcast payload (no second agg run); if
+    // it overflows, the join path re-evaluates the frequency agg — one
+    // extra metrics-width pass, the price of a bounded driver.
+    val probe = frequent.limit(maxBroadcastHashes + 1).collect()
+    if (probe.length <= maxBroadcastHashes) {
+      val bc = docs.sparkSession.sparkContext.broadcast(
+        probe.map(_.getString(0)).toSet)
+      // split with limit -1 mirrors Spark SQL split's
+      // keep-trailing-empties semantics.
+      val strip = udf { text: String =>
+        if (text == null) null
+        else {
+          val hs = bc.value
+          val parts = text.split("\n", -1)
+          val kept = parts.filterNot(l => hs.contains(md5Hex(l)))
+          (kept.mkString("\n"), (parts.length - kept.length).toLong)
         }
-        (kept.mkString("\n"), (parts.length - kept.length).toLong)
       }
+      docs.select(col(idCol), strip(col(textCol)).as("s"))
+        .select(col(idCol), col("s._1").as("clean_text"),
+          col("s._2").as("n_removed"))
+    } else {
+      val hashed = docs
+        .select(col(idCol).as("doc_id"),
+          posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        .select(col("doc_id"), col("pos"), md5(col("line")).as("h"))
+      // `frequent` is distinct by construction (groupBy h), so the
+      // inner join cannot duplicate a (doc_id, pos).
+      val removed = hashed.join(frequent, "h")
+        .groupBy("doc_id")
+        .agg(collect_list(col("pos")).as("rp"), count(lit(1)).as("nr"))
+      docs.join(removed, docs(idCol) === removed("doc_id"), "left")
+        .select(docs(idCol),
+          when(col(textCol).isNull, lit(null).cast("string"))
+            .otherwise(array_join(
+              filter(split(col(textCol), "\n"),
+                (_, i) => !coalesce(array_contains(col("rp"), i), lit(false))),
+              "\n")).as("clean_text"),
+          when(col(textCol).isNull, lit(null).cast("long"))
+            .otherwise(coalesce(col("nr"), lit(0L))).as("n_removed"))
     }
-    docs.select(col(idCol), strip(col(textCol)).as("s"))
-      .select(col(idCol), col("s._1").as("clean_text"),
-        col("s._2").as("n_removed"))
   }
 
   /** Per-document Shannon token entropy — the vocabulary-diversity

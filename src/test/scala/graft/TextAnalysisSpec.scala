@@ -174,6 +174,32 @@ class TextAnalysisSpec extends SparkTestBase {
       4L -> (("", 1L))))
   }
 
+  test("boilerplateStrip: join fallback (gate=0) agrees with the broadcast path") {
+    // Same corpus through both paths — maxBroadcastHashes = 0 forces
+    // the bounded probe to overflow so the join formulation runs.
+    // Includes a null-text doc, an all-boilerplate doc, trailing-empty
+    // lines, and a doc with no boilerplate at all.
+    val docs = Seq(
+      (1L, "alpha\nfooter\npromo\nomega"),
+      (2L, "footer\npromo"),
+      (3L, "footer\nfooter\nbeta"),
+      (4L, "footer"),
+      (5L, "clean only\nlines here"),
+      (6L, "footer\n"),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    def run(gate: Int) =
+      TextAnalysis.boilerplateStrip(docs, "doc_id", "text", minDocs = 3,
+          maxBroadcastHashes = gate)
+        .as[(Long, Option[String], Option[Long])].collect()
+        .map { case (k, v, n) => k -> ((v, n)) }.toMap
+    val broadcastPath = run(1 << 20)
+    val joinPath = run(0)
+    assert(broadcastPath === joinPath)
+    assert(broadcastPath(7L) === ((None, None)))
+    assert(broadcastPath(4L) === ((Some(""), Some(1L))))
+  }
+
   test("tokenEntropy matches a naive fixed-point entropy computed in-test") {
     val docs = Seq(
       (1L, "a a a a"),       // zero entropy: one distinct token
