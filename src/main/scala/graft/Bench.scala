@@ -20,17 +20,25 @@ object Bench {
 
   /** Deterministic `</page>`-delimited dump, generated once and cached
     * (marker file records the page count; regeneration only on mismatch).
-    * ~4.7 KB/page → 300k pages ≈ 1.4 GB in one file. Content shape matches
+    * ~4.7 KB/page → 300k pages ≈ 1.4 GB. Content shape matches
     * what the pipelines stress: [[Pn]] links with ~9% red links (targets
     * beyond the page range, whose mass the recurrence drops), and a 50k-
     * word vocabulary so inverted-index posting lists stay thousands of
-    * entries, not one degenerate multi-million-id list per stopword. */
-  private def ensureDump(path: String, pages: Int): Unit = {
+    * entries, not one degenerate multi-million-id list per stopword.
+    *
+    * Written as TWO files (`path` + `path.part2`, returned as the path
+    * list) so the dump legs drive [[graft.sources.TextKV.readPages]]
+    * through its comma-joined multi-path form — the reference's
+    * `addInputPaths` behavior (ref: PageRankAlgorithm.java:66) exercised
+    * at GB scale, not just in the unit spec. */
+  private def ensureDump(path: String, pages: Int): Seq[String] = {
     import java.nio.file.{Files, Paths}
-    val p = Paths.get(path)
+    val paths = Seq(path, path + ".part2")
     val marker = Paths.get(path + ".meta")
-    if (Files.exists(p) && Files.exists(marker) &&
-        new String(Files.readAllBytes(marker), "UTF-8") == pages.toString) return
+    // marker carries a layout tag so pre-two-file caches regenerate
+    val want = s"$pages:2files"
+    if (paths.forall(f => Files.exists(Paths.get(f))) && Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == want) return paths
     // Vocabulary words must be ALPHA-ONLY: the index pipeline keeps the
     // reference's lowercase-alpha-run tokenizer, so digits scrub to
     // separators — a digit-bearing vocabulary would collapse to a couple
@@ -44,34 +52,40 @@ object Bench {
       do { sb.append(('a' + (x % 26)).toChar); x /= 26 } while (x > 0)
       sb.toString
     }
-    val w = Files.newBufferedWriter(p, java.nio.charset.StandardCharsets.UTF_8)
-    try {
-      var i = 0
-      while (i < pages) {
-        w.write("<page><title>P"); w.write(i.toString)
-        w.write("</title><id>"); w.write(i.toString)
-        w.write("</id><text xml:space=\"preserve\">")
-        var l = 0
-        while (l < 12) {
-          val t = (i * 31L + l * 9973L) % (pages + pages / 10)
-          w.write("[[P"); w.write(t.toString); w.write("]] ")
-          // 25 fat tokens per link block: index cost scales with TOKEN
-          // COUNT (measured ~2 µs/occurrence through explode + shuffle +
-          // posting build), scan cost with BYTES — long tokens buy scan
-          // scale without blowing up the posting-list stage
-          var k = 0
-          while (k < 25) {
-            w.write("w"); w.write(alpha((i + l * 7L + k * 13L) % 50000L))
-            w.write("paddingpadding ")
-            k += 1
+    def writeRange(file: String, from: Int, until: Int): Unit = {
+      val w = Files.newBufferedWriter(Paths.get(file),
+        java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        var i = from
+        while (i < until) {
+          w.write("<page><title>P"); w.write(i.toString)
+          w.write("</title><id>"); w.write(i.toString)
+          w.write("</id><text xml:space=\"preserve\">")
+          var l = 0
+          while (l < 12) {
+            val t = (i * 31L + l * 9973L) % (pages + pages / 10)
+            w.write("[[P"); w.write(t.toString); w.write("]] ")
+            // 25 fat tokens per link block: index cost scales with TOKEN
+            // COUNT (measured ~2 µs/occurrence through explode + shuffle +
+            // posting build), scan cost with BYTES — long tokens buy scan
+            // scale without blowing up the posting-list stage
+            var k = 0
+            while (k < 25) {
+              w.write("w"); w.write(alpha((i + l * 7L + k * 13L) % 50000L))
+              w.write("paddingpadding ")
+              k += 1
+            }
+            l += 1
           }
-          l += 1
+          w.write("</text></page>\n")
+          i += 1
         }
-        w.write("</text></page>\n")
-        i += 1
-      }
-    } finally w.close()
-    Files.write(marker, pages.toString.getBytes("UTF-8"))
+      } finally w.close()
+    }
+    writeRange(paths(0), 0, pages / 2)
+    writeRange(paths(1), pages / 2, pages)
+    Files.write(marker, want.getBytes("UTF-8"))
+    paths
   }
 
   def main(args: Array[String]): Unit = {
@@ -142,34 +156,74 @@ object Bench {
     // above, and the shared host makes single reps noisy anyway (see
     // BASELINE.md's spike note). SPARK_GRAFT_DUMP_PAGES=0 disables.
     val dumpPages = sys.env.getOrElse("SPARK_GRAFT_DUMP_PAGES", "300000").toInt
+    // Per-leg stage accounting for the dump drive: wall `sec` alone
+    // can't distinguish a contended host (scheduler wait, other tenants)
+    // from a code regression. `stage_sec` sums in-stage wall
+    // (completion - submission, excludes inter-stage scheduler wait);
+    // `task_sec` sums executorRunTime across all tasks (pure compute,
+    // stable under contention). A leg whose wall spikes while task_sec
+    // holds is host noise, not code.
+    val stageSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val taskSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val stageWallMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskTimeMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          for (s <- si.submissionTime; c <- si.completionTime)
+            stageWallMs.addAndGet(c - s)
+          taskTimeMs.addAndGet(si.taskMetrics.executorRunTime)
+        }
+      })
     if (dumpPages > 0) {
       val dumpPath = sys.env.getOrElse("SPARK_GRAFT_DUMP_PATH", "/tmp/graft_dump.xml")
       def timeOnce(name: String)(body: => Unit): Unit = {
+        // listener events are posted async; give the bus a moment to
+        // drain so the before/after snapshots bracket this leg's stages
+        Thread.sleep(200)
+        val sw0 = stageWallMs.get(); val tt0 = taskTimeMs.get()
         val t0 = System.nanoTime()
-        try { body; timings(name) = Seq((System.nanoTime() - t0) / 1e9) }
+        try {
+          body
+          timings(name) = Seq((System.nanoTime() - t0) / 1e9)
+          Thread.sleep(200)
+          stageSec(name) = (stageWallMs.get() - sw0) / 1e3
+          taskSec(name) = (taskTimeMs.get() - tt0) / 1e3
+        }
         catch { case e: Throwable =>
           errors(name) = esc(Option(e.getMessage).getOrElse(e.getClass.getName)) }
       }
-      try ensureDump(dumpPath, dumpPages) catch { case e: Throwable =>
-        errors("dump_generate") = esc(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      val dumpFiles =
+        try ensureDump(dumpPath, dumpPages)
+        catch { case e: Throwable =>
+          errors("dump_generate") = esc(Option(e.getMessage).getOrElse(e.getClass.getName))
+          Seq.empty[String] }
       if (!errors.contains("dump_generate")) {
+        // comma-joined multi-path spec: the reference's addInputPaths
+        // form, driven at GB scale through every dump leg
+        val dumpSpec = dumpFiles.mkString(",")
         timeOnce("dump_ingest") {
-          val pages = graft.sources.TextKV.readPages(spark, dumpPath)
-          // the whole point is splittability: one file, many tasks
+          require(dumpFiles.size >= 2,
+            s"dump drive expects >= 2 input files, got ${dumpFiles.size}")
+          val pages = graft.sources.TextKV.readPages(spark, dumpSpec)
+          // the whole point is splittability: many tasks per file, and
+          // at least one split from EACH comma path
           val parts = pages.rdd.getNumPartitions
-          require(parts > 1, s"dump ingest produced a single split ($parts)")
+          require(parts >= 2, s"dump ingest produced a single split ($parts)")
           pages.count()
         }
         timeOnce("dump_pagerank") {
-          graft.pipelines.WikiPipelines.pageRank(spark, dumpPath).count()
+          graft.pipelines.WikiPipelines.pageRank(spark, dumpSpec).count()
         }
         timeOnce("dump_index") {
-          graft.pipelines.WikiPipelines.invertedIndex(spark, dumpPath).count()
+          graft.pipelines.WikiPipelines.invertedIndex(spark, dumpSpec).count()
         }
         // the training-pipeline path at the same GB scale: single-scan
         // curation (quality + langid + dedup keeper) over 300k pages
         timeOnce("dump_curate") {
-          graft.pipelines.WikiPipelines.curate(spark, dumpPath).count()
+          graft.pipelines.WikiPipelines.curate(spark, dumpSpec).count()
         }
       }
     }
@@ -183,8 +237,13 @@ object Bench {
     val errs = errors.map { case (k, m) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
     val total = timings.values.map(_.head).sum
+    def secMap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    val stageJson =
+      if (stageSec.isEmpty) ""
+      else s""","stage_sec":${secMap(stageSec)},"task_sec":${secMap(taskSec)}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs$stageJson,"reps":$reps,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of stdout; with 140+
     // keys the full line overflows that window and its parse records
     // `parsed: null` (observed in BENCH_r01..r03.json). Emit the full
@@ -201,7 +260,7 @@ object Bench {
     val firstErr = errors.keys.headOption
       .map(k => s""","first_error":"${esc(k)}"""").getOrElse("")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"queries":$slowest,"n_errors":${errors.size}$firstErr,"reps":$reps,"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"queries":$slowest,"n_errors":${errors.size}$firstErr$stageJson,"reps":$reps,"detail":"$outPath","sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))

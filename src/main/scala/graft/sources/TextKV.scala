@@ -54,6 +54,24 @@ object TextKV {
     * @param maxSplitSize optional `mapreduce.input.fileinputformat
     *                     .split.maxsize` override (tests use a small value
     *                     to force many splits on a small file). */
+  /** Split a comma-joined path list on commas OUTSIDE `{}` braces only,
+    * so Hadoop brace-glob paths (`/data/{a,b}.xml`) — which
+    * `newAPIHadoopFile` accepts as a single path — survive intact while
+    * the reference's comma-joined `addInputPaths` lists still split. */
+  private[graft] def splitPaths(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var depth = 0
+    s.foreach {
+      case '{' => depth += 1; sb.append('{')
+      case '}' => depth = math.max(0, depth - 1); sb.append('}')
+      case ',' if depth == 0 => out += sb.toString; sb.setLength(0)
+      case c => sb.append(c)
+    }
+    out += sb.toString
+    out.iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   def readPages(spark: SparkSession, path: String,
                 maxSplitSize: Long = -1L): DataFrame = {
     import org.apache.hadoop.conf.Configuration
@@ -63,7 +81,7 @@ object TextKV {
     conf.set("textinputformat.record.delimiter", "</page>")
     if (maxSplitSize > 0)
       conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplitSize)
-    val paths = path.split(",").map(_.trim).filter(_.nonEmpty)
+    val paths = splitPaths(path)
     require(paths.nonEmpty, s"readPages: no input path in '$path'")
     val records = paths.map { p =>
       spark.sparkContext

@@ -71,6 +71,28 @@ class SplittableIngestSpec extends SparkTestBase {
     assert(graphMap(WikiParser.pages(TextKV.readPages(spark, p1))).size == 40)
   }
 
+  test("path split keeps Hadoop brace-globs intact, splits on commas outside braces") {
+    assert(TextKV.splitPaths("/d/a.xml,/d/b.xml") == Seq("/d/a.xml", "/d/b.xml"))
+    assert(TextKV.splitPaths("/d/{a,b}.xml") == Seq("/d/{a,b}.xml"))
+    assert(TextKV.splitPaths("/d/{a,b}.xml, /e/c.xml") ==
+      Seq("/d/{a,b}.xml", "/e/c.xml"))
+    assert(TextKV.splitPaths("/d/{x,{y,z}}.xml,/e/f.xml") ==
+      Seq("/d/{x,{y,z}}.xml", "/e/f.xml"))
+    assert(TextKV.splitPaths(" /one.xml ") == Seq("/one.xml"))
+    // a brace-glob really is ONE newAPIHadoopFile path end-to-end
+    def dump(n: Int, offset: Int): String =
+      (0 until n).map(i =>
+        s"<page><title>G${offset + i}</title><id>${offset + i}</id>" +
+          s"<text xml:space=\"preserve\">[[G$offset]]</text></page>").mkString("\n")
+    val dir = Files.createTempDirectory("graft-glob").toFile
+    dir.deleteOnExit()
+    Files.write(new java.io.File(dir, "ga.xml").toPath, dump(5, 0).getBytes("UTF-8"))
+    Files.write(new java.io.File(dir, "gb.xml").toPath, dump(7, 100).getBytes("UTF-8"))
+    val g = graphMap(WikiParser.pages(
+      TextKV.readPages(spark, s"${dir.getAbsolutePath}/{ga,gb}.xml")))
+    assert(g.size == 12, s"brace glob must match both files, got ${g.size}")
+  }
+
   test("multi-MB dump under a tiny split.maxsize attributes every page once") {
     val nPages = 2000
     // ~2 KB of filler per page => ~4 MB file; 64 KB max splits => ~70
