@@ -3447,7 +3447,15 @@ object SparkEntry {
             .as("nation_rev_e4"),
           sum(col("rev_e4")).as("total_rev_e4"))
         .select(col("o_year"),
-          expr("CAST(nation_rev_e4 * 1000000 DIV total_rev_e4 AS BIGINT)")
+          // ppm from UNIT-scale sums (e4 grid DIV 10000): multiplying
+          // the e4-grid sum by 1e6 directly would overflow Long ~2-3
+          // orders of magnitude above bench SF — Spark's non-ANSI sum
+          // wraps silently where DuckDB promotes to HUGEINT, a silent
+          // cross-engine divergence. Dividing BEFORE the multiply keeps
+          // ~500× more headroom; greatest(...,1) guards the pathological
+          // sub-unit total. Both engines compute this exact form.
+          expr("CAST((nation_rev_e4 DIV 10000) * 1000000" +
+            " DIV greatest(total_rev_e4 DIV 10000, 1L) AS BIGINT)")
             .as("share_ppm"),
           col("nation_rev_e4"), col("total_rev_e4"))
         .orderBy("o_year")
@@ -6833,8 +6841,10 @@ object SparkEntry {
              JOIN nation ON s_nationkey = n_nationkey
              WHERE o_custkey IN (SELECT c_custkey FROM ac))
          SELECT CAST(o_year AS BIGINT) AS o_year,
-             CAST(CAST(sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END) AS BIGINT)
-               * 1000000 // CAST(sum(rev_e4) AS BIGINT) AS BIGINT) AS share_ppm,
+             CAST((CAST(sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END) AS BIGINT)
+                 // 10000) * 1000000
+               // greatest(CAST(sum(rev_e4) AS BIGINT) // 10000, 1)
+               AS BIGINT) AS share_ppm,
              CAST(sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END) AS BIGINT)
                AS nation_rev_e4,
              CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4

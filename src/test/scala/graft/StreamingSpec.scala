@@ -7,10 +7,32 @@ import graft.streaming.EventStream
 /** Streaming ≡ batch: run the streaming transforms over a bounded file
   * stream (memory sink, synchronous processAllAvailable) and compare with
   * the same transform applied in batch. */
-class StreamingSpec extends SparkTestBase {
+class StreamingSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
+
+  // every temp dir is registered here and removed in afterAll — the
+  // suite used to leak its seed/stream/checkpoint dirs for the JVM's
+  // lifetime (ADVICE r5)
+  private val tmpDirs =
+    scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+  private def tmpDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    tmpDirs.synchronized { tmpDirs += d }
+    d
+  }
+  override def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    tmpDirs.foreach { d =>
+      try scala.util.Using.resource(java.nio.file.Files.walk(d)) { st =>
+        st.iterator().asScala.toSeq.reverseIterator
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () }
+    }
+    super.afterAll()
+  }
   private val schema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -24,16 +46,20 @@ class StreamingSpec extends SparkTestBase {
   // with the LongType stream schema above). Tests copy THIS file wherever
   // they previously copied the raw one.
   private lazy val seedFile: java.nio.file.Path = {
-    val seed = java.nio.file.Files.createTempDirectory("graft-seed")
+    val seed = tmpDir("graft-seed")
     Tables.events(spark, sf).coalesce(1).write.mode("overwrite").parquet(seed.toString)
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(seed).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
+    // Files.list holds a directory handle until closed — find() inside
+    // the resource scope, result is just a Path (safe after close)
+    scala.util.Using.resource(java.nio.file.Files.list(seed)) { st =>
+      st.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+    }
   }
 
   // file streams need a DIRECTORY source
   private lazy val streamDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    val dir = tmpDir("graft-stream")
     java.nio.file.Files.copy(seedFile, dir.resolve("events.parquet"))
     dir.toString
   }
@@ -119,7 +145,7 @@ class StreamingSpec extends SparkTestBase {
 
   test("streaming dedup emits each event once despite a replayed input file") {
     // at-least-once delivery simulated by the same file arriving twice
-    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    val dir = tmpDir("graft-dedup-stream")
     for (name <- Seq("events_a.parquet", "events_b.parquet"))
       java.nio.file.Files.copy(seedFile, dir.resolve(name))
     val stream = spark.readStream.schema(schema).parquet(dir.toString)
@@ -162,9 +188,9 @@ class StreamingSpec extends SparkTestBase {
     // recovered state store must suppress every replayed key, proving
     // the exactly-once contract holds across restarts, not just within
     // one run
-    val in = java.nio.file.Files.createTempDirectory("graft-restart-in")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ck")
-    val out = java.nio.file.Files.createTempDirectory("graft-restart-out")
+    val in = tmpDir("graft-restart-in")
+    val ckpt = tmpDir("graft-restart-ck")
+    val out = tmpDir("graft-restart-out")
     java.nio.file.Files.copy(seedFile, in.resolve("events_run1.parquet"))
     def start() = EventStream.dedupEvents(withEventTime(
         spark.readStream.schema(schema).parquet(in.toString)))
@@ -212,7 +238,7 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("foreachBatch sink: per-batch transform lands in queryable parquet") {
-    val outDir = java.nio.file.Files.createTempDirectory("graft-febatch").toString
+    val outDir = tmpDir("graft-febatch").toString
     val stream = spark.readStream.schema(schema).parquet(streamDir)
     val q = EventStream.hourlyTypeCounts(withEventTime(stream))
       .writeStream.outputMode("complete")
@@ -236,7 +262,7 @@ class StreamingSpec extends SparkTestBase {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType),
       StructField("n_chars", LongType), StructField("text", StringType)))
-    val dir = java.nio.file.Files.createTempDirectory("graft-docstream")
+    val dir = tmpDir("graft-docstream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/documents.parquet"),
       dir.resolve("documents.parquet"))
@@ -258,7 +284,7 @@ class StreamingSpec extends SparkTestBase {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType),
       StructField("n_chars", LongType), StructField("text", StringType)))
-    val dir = java.nio.file.Files.createTempDirectory("graft-docstream2")
+    val dir = tmpDir("graft-docstream2")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/documents.parquet"),
       dir.resolve("documents.parquet"))
@@ -296,7 +322,7 @@ class StreamingSpec extends SparkTestBase {
       StructField("doc_id", LongType), StructField("lang", StringType),
       StructField("n_chars", LongType), StructField("text", StringType),
       StructField("source", StringType)))
-    val dir = java.nio.file.Files.createTempDirectory("graft-docstream3")
+    val dir = tmpDir("graft-docstream3")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/documents.parquet"),
       dir.resolve("documents.parquet"))
@@ -341,7 +367,7 @@ class StreamingSpec extends SparkTestBase {
     try {
       // two source files -> at least two micro-batches exercising state
       // carry-over (maxFilesPerTrigger pins one file per batch)
-      val dir = java.nio.file.Files.createTempDirectory("graft-tws")
+      val dir = tmpDir("graft-tws")
       val ev = Tables.events(spark, sf)
       ev.filter(col("event_id") % 2 === 0).coalesce(1).write
         .parquet(dir.resolve("b0").toString)
