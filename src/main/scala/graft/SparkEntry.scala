@@ -3319,13 +3319,22 @@ object SparkEntry {
       val parts = part(s, d)
         .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
         .select(col("p_partkey"))
+      // min-cost-per-part as a WINDOW over ps_partkey, not agg+rejoin:
+      // the rejoin formulation consumes `eligible` twice (the
+      // lineitem-distinct derive runs twice — the copies' exchanges
+      // never canonicalize equal), and a checkpoint-staged rejoin
+      // planned a SortMergeJoin with a min-cost side whose size grows
+      // with |part| (not broadcast-safe at scale). The window needs ONE
+      // shuffle on the natural key and the filter runs in the same
+      // stage — the single-pass plan a 1000-executor run wants.
       val eligible = partsuppDerived(s, d)
         .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
         .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
-      val minCost = eligible.groupBy(col("ps_partkey").as("mk"))
-        .agg(min("ps_supplycost_cents").as("min_cost"))
-      eligible.join(minCost, col("ps_partkey") === col("mk") &&
-          col("ps_supplycost_cents") === col("min_cost"))
+      eligible
+        .withColumn("min_cost",
+          min("ps_supplycost_cents").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("ps_partkey")))
+        .filter(col("ps_supplycost_cents") === col("min_cost"))
         .select(col("s_acctbal_cents"), col("s_name"), col("n_name"),
           col("ps_partkey"), col("ps_supplycost_cents"))
         .orderBy(col("s_acctbal_cents").desc, col("n_name"), col("s_name"),
@@ -3343,10 +3352,15 @@ object SparkEntry {
         .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_7")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
+      // natPs feeds BOTH the grand total and the per-part sum — a lazy
+      // localCheckpoint pins one evaluation of the lineitem-distinct
+      // derive (q15 precedent); materialized: two longs per in-nation
+      // pair, executor-storage-backed.
       val natPs = partsuppDerived(s, d)
         .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
         .select(col("ps_partkey"),
           (col("ps_supplycost_cents") * col("ps_availqty")).as("v"))
+        .localCheckpoint(false)
       val total = natPs.agg(sum("v").as("total_v"))
       natPs.groupBy("ps_partkey").agg(sum("v").as("value_cents"))
         .crossJoin(broadcast(total))

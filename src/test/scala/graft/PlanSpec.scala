@@ -62,6 +62,45 @@ class PlanSpec extends SparkTestBase {
       "fact scanned inside the query — rev not materialized once")
   }
 
+  test("tpch_q2 derives ps once and takes min-cost as a keyed window, dims broadcast") {
+    val p = plan("tpch_q2")
+    // window-min over ps_partkey consumes eligible ONCE: exactly one
+    // fact scan feeds the lineitem-distinct derive, no agg+rejoin
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p.take(800))
+    assert(p.contains("Window"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("tpch_q11 stages the in-nation pair relation once; total arrives broadcast") {
+    val p = plan("tpch_q11")
+    assert(!p.contains("lineitem.parquet"),
+      "fact scanned inside tpch_q11 — derived ps not staged once")
+    // the grand total is a broadcast 1-row relation, not a window
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      "Cross,? BuildRight".r.findFirstIn(p).isDefined, p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("tpch_q16 broadcasts the exclusion anti join and the part dims") {
+    val p = plan("tpch_q16")
+    // ps consumed once — exactly one fact scan feeds the derive
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p.take(800))
+    assert("BroadcastHashJoin .*, LeftAnti, BuildRight".r.findFirstIn(p).isDefined,
+      p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("tpch_q20 keeps supplier unshuffled: candidates arrive as a broadcast semi join") {
+    val p = plan("tpch_q20")
+    // two legitimate fact scans (ps derive + calendar-2000 shipped agg,
+    // different slices) — pinned so a refactor can't silently add more
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 2, p.take(800))
+    assert("BroadcastHashJoin .*, LeftSemi, BuildRight".r.findFirstIn(p).isDefined,
+      p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("boilerplate_strip ships the frequent set as a broadcast, not a plan literal") {
     // The frequent-line hash set grows with the corpus (totalLines /
     // minDocs); inlining it with typedlit serialized the whole array
