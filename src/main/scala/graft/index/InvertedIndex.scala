@@ -58,6 +58,44 @@ object InvertedIndex {
         sort_array(collect_list(struct(col("doc_id"), col("n")))),
         p => array_repeat(p("doc_id"), p("n").cast("int")))).as("postings"))
 
+  /** Range-salted variant of [[postings]] for stop-word skew: level 2's
+    * collect_list puts a hot word's ENTIRE posting list (one entry per
+    * doc containing it) into one task — the documented skew case on the
+    * bench dump, where the `[[Pn]]` markup scrubs to a "p" word hitting
+    * every page.
+    *
+    * The salt is doc_id DIV `rangeWidth` — a RANGE, not a hash: phase A
+    * builds per-(word, range) sub-lists (each task sorts ≤ rangeWidth
+    * distinct ids, regardless of corpus size), and because ranges
+    * partition the id space in order, phase B just CONCATENATES the
+    * sub-lists sorted by salt — no re-sort of elements, so the output
+    * is bit-identical to [[postings]]. Salt-bucket count grows with the
+    * corpus while per-task group size stays bounded — the property that
+    * survives a 100× scale-up. Cost: one extra shuffle of posting-array
+    * rows (#words × #ranges-touched), which is why it must MEASURE
+    * faster on a skewed corpus to earn the default slot.
+    *
+    * Measured (Prof `indexsalt`, 1.8 GB / 300k-page dump, hot "p" word
+    * in every page, steady-state second rep): 4 cores — plain 21.6 s,
+    * salted 22.0 s; 32 cores — plain 4.9 s, salted 4.6 s. Within ~5%
+    * both ways at this corpus: the two-level combiner already bounds
+    * the hot group at #docs entries, so [[postings]] keeps the default
+    * slot (one less shuffle) and this stays the escape hatch for
+    * corpora whose stop-word lists outgrow a single task. */
+  def postingsSalted(docs: DataFrame, idCol: String, textCol: String,
+                     rangeWidth: Long = 16384L): DataFrame =
+    occurrences(docs, idCol, textCol)
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("n"))
+      .withColumn("salt", expr(s"doc_id div $rangeWidth"))
+      .groupBy("word", "salt")
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("doc_id"), col("n")))),
+        p => array_repeat(p("doc_id"), p("n").cast("int")))).as("part"))
+      .groupBy("word")
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("salt"), col("part")))),
+        p => p("part"))).as("postings"))
+
   /** word → "id1,id2,…" string rows, byte-compatible with the reference's
     * text sink shape (ref: InvertedIndex.java:123-131) modulo sort order. */
   def postingStrings(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -116,6 +116,22 @@ object Prof {
         val iters = s.drop(2).toInt
         val g = graft.SparkEntry.pagerankGraph(spark, sfDir)
         t(s"pagerank iters=$iters")(graft.pagerank.PageRank.run(g, iters = iters).count())
+      case "indexsalt" =>
+        // skew drill (VERDICT r5 #6): plain two-level posting build vs
+        // the range-salted three-level variant, on the bench dump with
+        // its documented hot-"p" stop word. Keep the faster as the
+        // dump_index path; the loser stays available as the explicit
+        // skew escape hatch.
+        val path = sys.env.getOrElse("SPARK_GRAFT_DUMP_PATH", "/tmp/graft_dump.xml")
+        val pages = graft.sources.TextKV.readPages(spark, path)
+        val docsDf = graft.parse.WikiParser.docs(
+          graft.parse.WikiParser.pagesFused(pages))
+        for (r <- 1 to 2) {
+          t(s"postings plain r$r")(
+            graft.index.InvertedIndex.postings(docsDf, "doc_id", "text").count())
+          t(s"postings salted r$r")(
+            graft.index.InvertedIndex.postingsSalted(docsDf, "doc_id", "text").count())
+        }
       case "dump" =>
         // stage-wise cost of the end-to-end dump drive (BENCH dump_* keys)
         val path = sys.env.getOrElse("SPARK_GRAFT_DUMP_PATH", "/tmp/graft_dump.xml")

@@ -48,6 +48,26 @@ class TextOpsSpec extends SparkTestBase {
     assert(got == Seq(("cat", "1,2"), ("dog", "1,1")))
   }
 
+  test("range-salted posting build is bit-identical to the plain build") {
+    // 40 docs over a tiny rangeWidth=8 → 5 salt buckets per hot word;
+    // duplicates, gaps, and a word present in every doc (the stop-word
+    // shape the salt exists for)
+    val docs = (0L until 40L).map { i =>
+      val rep = if (i % 3 == 0) "dog dog" else "dog"
+      (i, s"stop $rep ${if (i % 7 == 0) "rare" else ""}")
+    }.toDF("doc_id", "text")
+    val plain = InvertedIndex.postings(docs, "doc_id", "text")
+      .orderBy("word").as[(String, Seq[Long])].collect().toSeq
+    val salted = InvertedIndex.postingsSalted(docs, "doc_id", "text",
+        rangeWidth = 8L)
+      .orderBy("word").as[(String, Seq[Long])].collect().toSeq
+    assert(plain == salted)
+    assert(plain.map(_._1) == Seq("dog", "rare", "stop"))
+    // sortedness + duplicate preservation survive the concat
+    val dog = plain.find(_._1 == "dog").get._2
+    assert(dog == dog.sorted && dog.size == 40 + 14)
+  }
+
   test("explodeTokensWithPos preserves in-document order") {
     val docs = Seq((7L, "a b c")).toDF("doc_id", "text")
     val got = TextOps.explodeTokensWithPos(docs, col("text"), "pos", "word")
