@@ -116,6 +116,14 @@ object Prof {
         val iters = s.drop(2).toInt
         val g = graft.SparkEntry.pagerankGraph(spark, sfDir)
         t(s"pagerank iters=$iters")(graft.pagerank.PageRank.run(g, iters = iters).count())
+      case "fingerprint" =>
+        // print ready-to-pin PlanFingerprint entries for the listed keys
+        val keys = args.drop(2).flatMap(_.split(",")).filter(_.nonEmpty)
+        keys.foreach { k =>
+          val p = graft.SparkEntry.queries(k)(spark, sfDir)
+            .queryExecution.executedPlan.toString
+          println(s"""    "$k" -> ${PlanFingerprint.of(p)},""")
+        }
       case "indexsalt" =>
         // skew drill (VERDICT r5 #6): plain two-level posting build vs
         // the range-salted three-level variant, on the bench dump with
