@@ -2595,33 +2595,41 @@ object SparkEntry {
     // regr_agg discipline (exact long moments, decimal combination,
     // one identical IEEE finish)
     "graph_assortativity" -> ((s, d) => {
-      val li = lineitem(s, d)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      val e = li.select(col("k"), col("p")).distinct()
-        .join(li.select(col("k"), col("p").as("p2")).distinct(), "k")
-        .filter(col("p") < col("p2"))
-        .select(col("p").as("a"), col("p2").as("b")).distinct()
+      // Staging discipline: the old form rebuilt its own lineitem
+      // self-join edge relation and consumed every intermediate twice —
+      // 20 fact scans / 39 shuffles in the plan (fingerprint audit).
+      // Now: the shared map-side coPurchasePairs builder, edges and
+      // degrees checkpoint-staged ONCE, and both orientations folded
+      // into a single moment pass by symmetry — over the xy union,
+      // n = 2·n₁, sx = sy = Σda+Σdb, sxy = 2·Σda·db, sxx = syy =
+      // Σda²+Σdb² — all exact longs, so the unchanged oracle (which
+      // still materializes the union) agrees bit-for-bit.
+      val e = coPurchasePairs(s, d)
+        .select(col("a"), col("b")).distinct().localCheckpoint(false)
       val deg = e.select(col("a").as("n"))
         .unionByName(e.select(col("b").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("deg"))
+        .groupBy("n").agg(count(lit(1)).as("deg")).localCheckpoint(false)
       val pairs = e
         .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
         .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
-      val xy = pairs.select(col("da").as("x"), col("db").as("y"))
-        .unionByName(pairs.select(col("db").as("x"), col("da").as("y")))
+      val m1 = pairs.agg(count(lit(1)).as("n1"), sum("da").as("sa"),
+        sum("db").as("sb"), sum(expr("da * db")).as("sab"),
+        sum(expr("da * da")).as("saa"), sum(expr("db * db")).as("sbb"))
+      val mm = m1.select((col("n1") * 2).as("n"),
+        (col("sa") + col("sb")).as("sx"),
+        (col("sab") * 2).as("sxy"),
+        (col("saa") + col("sbb")).as("sxx"))
       val dec = "decimal(38,0)"
-      val m = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
-        sum(expr("y * y")).as("syy"))
-      val num = m("n").cast(dec) * col("sxy").cast(dec) -
-        col("sx").cast(dec) * col("sy").cast(dec)
-      val denx = m("n").cast(dec) * col("sxx").cast(dec) -
+      val num = mm("n").cast(dec) * col("sxy").cast(dec) -
         col("sx").cast(dec) * col("sx").cast(dec)
-      val deny = m("n").cast(dec) * col("syy").cast(dec) -
-        col("sy").cast(dec) * col("sy").cast(dec)
-      m.select(col("n"),
+      // denx = deny exactly (sx = sy, sxx = syy): one decimal value,
+      // squared in double — the same IEEE product the oracle reaches
+      // via its two equal-valued casts
+      val den = mm("n").cast(dec) * col("sxx").cast(dec) -
+        col("sx").cast(dec) * col("sx").cast(dec)
+      mm.select(col("n"),
         round(num.cast("double") /
-          sqrt(denx.cast("double") * deny.cast("double")), 6).as("r"))
+          sqrt(den.cast("double") * den.cast("double")), 6).as("r"))
     }),
 
     // vowel-run syllable proxy (readability signal for a corpus with no
