@@ -67,12 +67,20 @@ object WikiPipelines {
 
 /** CLI parity with `PageRankAlgorithm <in> <out>`. */
 object WikiPageRank {
+  /** The reference's sort job writes the final ranked output to
+    * `<out>_sortedOutput` (ref: PageRankAlgorithm.java:121-122), with
+    * `<out>_<i>` used only for the deleted inter-iteration dirs — a
+    * switching user's downstream tooling globs that exact dir name. */
+  private[pipelines] def sortedOutputDir(out: String): String =
+    out + "_sortedOutput"
+
   def main(args: Array[String]): Unit = {
     WikiPipelines.requireArgs(args, "WikiPageRank")
     val spark = WikiPipelines.session("WikiPageRank")
     TextKV.writeKV(
       WikiPipelines.pageRank(spark, args(0))
-        .select(col("title"), col("rank").cast("string")), args(1))
+        .select(col("title"), col("rank").cast("string")),
+      sortedOutputDir(args(1)))
   }
 }
 
