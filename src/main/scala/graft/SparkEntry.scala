@@ -289,6 +289,17 @@ object SparkEntry {
       InvertedIndex.postingStrings(documents(s, d), "doc_id", "text")
         .orderBy("word")),
 
+    // the range-salted skew variant (InvertedIndex.postingsSalted):
+    // bit-identical contract proven against the SAME oracle SQL as
+    // inverted_index; rangeWidth=64 forces real multi-bucket concat at
+    // this SF rather than degenerating to one salt bucket
+    "inverted_index_salted" -> ((s, d) =>
+      InvertedIndex.postingsSalted(documents(s, d), "doc_id", "text",
+          rangeWidth = 64L)
+        .select(col("word"), concat_ws(",",
+          transform(col("postings"), _.cast("string"))).as("doc_ids"))
+        .orderBy("word")),
+
     // incremental materialized-view maintenance: the standing aggregate
     // absorbs a delta batch by MERGING PARTIAL AGGREGATES (count/sum
     // are commutative monoids) instead of rescanning the fact table —
@@ -4227,6 +4238,12 @@ object SparkEntry {
              string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS orderkeys
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "inverted_index" ->
+      """SELECT word, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word ORDER BY word""",
+    // identical oracle on purpose: the salted build's whole contract is
+    // bit-identical output to the plain build
+    "inverted_index_salted" ->
       """SELECT word, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
          GROUP BY word ORDER BY word""",
