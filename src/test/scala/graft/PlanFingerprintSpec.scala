@@ -38,7 +38,18 @@ class PlanFingerprintSpec extends SparkTestBase {
     "graph_sssp" -> Fp(1, 0, 0, 0, 0, 0),
     "dedup_embedding_clusters" -> Fp(1, 0, 0, 0, 0, 0),
     "mmr_rerank" -> Fp(1, 0, 0, 1, 0, 0),
-    "dedup_edit" -> Fp(3, 4, 2, 5, 0, 0))
+    "dedup_edit" -> Fp(3, 4, 2, 5, 0, 0),
+    // mid-cost tier (audited clean in round 6) — pinned for coverage
+    "split_leakage_free" -> Fp(1, 1, 1, 0, 0, 0),
+    "graph_project" -> Fp(3, 0, 1, 0, 0, 0),
+    "graph_bfs" -> Fp(1, 0, 0, 0, 0, 0),
+    "graph_kcore" -> Fp(1, 0, 0, 0, 0, 0),
+    "dedup_containment" -> Fp(3, 4, 2, 5, 0, 0),
+    "robust_outliers" -> Fp(4, 3, 4, 0, 0, 0),
+    "collocation_pmi" -> Fp(6, 4, 5, 0, 0, 0),
+    "golden_record" -> Fp(2, 1, 1, 0, 0, 0),
+    "rank_fusion" -> Fp(7, 5, 1, 4, 3, 0),
+    "session_paths" -> Fp(2, 0, 1, 0, 2, 0))
 
   for ((key, want) <- pinned)
     test(s"$key plan fingerprint unchanged") {
