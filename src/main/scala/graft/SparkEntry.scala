@@ -144,15 +144,14 @@ object SparkEntry {
     // once through Spark's CSV writer (cached per sf-dir), so the oracle
     // — reading the PARQUET truth — certifies the whole parse path
     "scan_csv" -> ((s, d) => {
-      val cache = new java.io.File(s"/tmp/graft_csv_${new java.io.File(d).getName}")
-      if (!new java.io.File(cache, "_graft_done").exists) {
+      val cache = cachedDir(
+        s"/tmp/graft_csv_${new java.io.File(d).getName}", d, Seq("nation")) { out =>
         nation(s, d).coalesce(1).write.mode("overwrite")
-          .option("header", "true").csv(cache.toString)
-        new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+          .option("header", "true").csv(out)
       }
       s.read.option("header", "true")
         .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, n_comment STRING")
-        .csv(cache.toString)
+        .csv(cache)
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
     }),
@@ -163,15 +162,14 @@ object SparkEntry {
     // line — SURVEY.md §3.4). The oracle derives the expected split
     // from the parquet truth and the injection rule.
     "scan_json_corrupt" -> ((s, d) => {
-      val cache = new java.io.File(s"/tmp/graft_jsonbad_${new java.io.File(d).getName}")
-      if (!new java.io.File(cache, "_graft_done").exists) {
+      val cache = cachedDir(
+        s"/tmp/graft_jsonbad_${new java.io.File(d).getName}", d, Seq("documents")) { out =>
         documents(s, d).select(
           when(col("doc_id") % 13 === 0,
             concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"n_chars\": oops}")))
           .otherwise(concat(lit("{\"doc_id\": "), col("doc_id"),
             lit(", \"n_chars\": "), col("n_chars"), lit("}"))).as("value"))
-          .coalesce(1).write.mode("overwrite").text(cache.toString)
-        new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+          .coalesce(1).write.mode("overwrite").text(out)
       }
       // Parsed/corrupt split derives from _corrupt_record ONLY: with
       // spark.sql.json.enablePartialResults (default true since 3.4) a
@@ -181,7 +179,7 @@ object SparkEntry {
       // nothing to _corrupt_record — stable under either setting.
       s.read
         .schema("doc_id BIGINT, n_chars BIGINT, _corrupt_record STRING")
-        .json(cache.toString)
+        .json(cache)
         .agg(count(lit(1)).as("n_rows"),
           count(when(col("_corrupt_record").isNull, lit(1))).as("n_parsed"),
           count(col("_corrupt_record")).as("n_corrupt"),
@@ -193,12 +191,11 @@ object SparkEntry {
     // scanned back with pushdown; the oracle reads the parquet truth.
     // Completes the source matrix: text/KV, parquet, CSV, JSONL, ORC.
     "scan_orc" -> ((s, d) => {
-      val cache = new java.io.File(s"/tmp/graft_orc_${new java.io.File(d).getName}")
-      if (!new java.io.File(cache, "_graft_done").exists) {
-        supplier(s, d).coalesce(1).write.mode("overwrite").orc(cache.toString)
-        new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+      val cache = cachedDir(
+        s"/tmp/graft_orc_${new java.io.File(d).getName}", d, Seq("supplier")) { out =>
+        supplier(s, d).coalesce(1).write.mode("overwrite").orc(out)
       }
-      s.read.orc(cache.toString)
+      s.read.orc(cache)
         .filter(col("s_acctbal") > 0)
         .select("s_suppkey", "s_name", "s_nationkey")
         .orderBy("s_suppkey")
@@ -211,14 +208,13 @@ object SparkEntry {
     // plan guard asserts it). At 100 TB partition layout is the first
     // and cheapest pruning lever, before any row-group statistics.
     "scan_partitioned" -> ((s, d) => {
-      val cache = new java.io.File(s"/tmp/graft_part_${new java.io.File(d).getName}")
-      if (!new java.io.File(cache, "_graft_done").exists) {
+      val cache = cachedDir(
+        s"/tmp/graft_part_${new java.io.File(d).getName}", d, Seq("orders")) { out =>
         orders(s, d)
           .withColumn("yr", year(to_date(col("o_orderdate"))).cast("int"))
-          .write.mode("overwrite").partitionBy("yr").parquet(cache.toString)
-        new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+          .write.mode("overwrite").partitionBy("yr").parquet(out)
       }
-      s.read.parquet(cache.toString)
+      s.read.parquet(cache)
         .filter(col("yr") === 1996)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
@@ -254,15 +250,14 @@ object SparkEntry {
     // JSONL source: line-delimited JSON scan with declared schema (the
     // big-data JSON shape); same round-trip-vs-parquet-oracle contract
     "scan_json" -> ((s, d) => {
-      val cache = new java.io.File(s"/tmp/graft_json_${new java.io.File(d).getName}")
-      if (!new java.io.File(cache, "_graft_done").exists) {
+      val cache = cachedDir(
+        s"/tmp/graft_json_${new java.io.File(d).getName}", d, Seq("orders")) { out =>
         orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
-          .coalesce(1).write.mode("overwrite").json(cache.toString)
-        new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+          .coalesce(1).write.mode("overwrite").json(out)
       }
       s.read
         .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
-        .json(cache.toString)
+        .json(cache)
         .orderBy("o_orderkey")
     }),
 
@@ -3587,22 +3582,47 @@ object SparkEntry {
     }),
   )
 
+  /** Content-aware once-per-source cache guard for /tmp derived inputs
+    * (CSV/JSONL/ORC/partitioned/KV/stream caches). The done-marker
+    * carries a token of each source parquet's (size, mtime): a
+    * driver-side TESTDATA REGENERATION invalidates every derived cache
+    * instead of silently serving stale bytes to keys whose oracle reads
+    * the FRESH parquet (the failure class behind round 4's event-time
+    * breakage — schema drift was caught, content drift would not have
+    * been). `build` runs before the marker is written, so a crashed
+    * build retries next run. */
+  private[graft] def cachedDir(dirName: String, d: String, sources: Seq[String])
+                              (build: String => Unit): String = {
+    val cache = new java.io.File(dirName)
+    val marker = new java.io.File(cache, "_graft_done")
+    val token = sources.map { t =>
+      val f = new java.io.File(d, s"$t.parquet")
+      s"$t=${f.length}:${f.lastModified}"
+    }.mkString(";")
+    val current =
+      if (marker.exists)
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      else ""
+    if (current != token) {
+      build(cache.toString)
+      java.nio.file.Files.write(marker.toPath, token.getBytes("UTF-8"))
+    }
+    cache.toString
+  }
+
   /** One-time supplier KV dump (s_name \t acctbal-cents) for the DSv2
     * connector keys — written through the reference byte contract. */
-  private def kvCache(s: SparkSession, d: String): String = {
-    val cache = new java.io.File(s"/tmp/graft_kvds_${new java.io.File(d).getName}")
-    if (!new java.io.File(cache, "_graft_done").exists) {
+  private def kvCache(s: SparkSession, d: String): String =
+    cachedDir(s"/tmp/graft_kvds_${new java.io.File(d).getName}", d,
+        Seq("supplier")) { out =>
       // 4 part files so the streaming key's per-file admission gets
       // real multi-batch state merging
       graft.sources.TextKV.writeKV(
         supplier(s, d).select(col("s_name"),
           expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("cents"))
           .repartition(4),
-        cache.toString)
-      new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+        out)
     }
-    cache.toString
-  }
 
   /** File-stream source directory for the oracle-checked streaming keys:
     * the events table written once, NORMALIZED through [[Tables.events]]
@@ -3613,14 +3633,11 @@ object SparkEntry {
     * nanos → TIMESTAMP micros) and the stream schema must match what the
     * batch-side `events(s, d).schema` declares. Dir name versioned so a
     * stale pre-normalization cache in /tmp is never picked up. */
-  private def streamCache(s: SparkSession, d: String): String = {
-    val cache = new java.io.File(s"/tmp/graft_stream_ns_${new java.io.File(d).getName}")
-    if (!new java.io.File(cache, "_graft_done").exists) {
-      events(s, d).coalesce(1).write.mode("overwrite").parquet(cache.toString)
-      new java.io.FileOutputStream(new java.io.File(cache, "_graft_done")).close()
+  private def streamCache(s: SparkSession, d: String): String =
+    cachedDir(s"/tmp/graft_stream_ns_${new java.io.File(d).getName}", d,
+        Seq("events")) { out =>
+      events(s, d).coalesce(1).write.mode("overwrite").parquet(out)
     }
-    cache.toString
-  }
 
   /** Derived partsupp: the testdata ships no partsupp table, so the
     * TPC-H partsupp-family keys (q2/q11/q16/q20) derive one from the
