@@ -3276,6 +3276,31 @@ object SparkEntry {
       graft.text.TextAnalysis.collocations(documents(s, d), "text",
         minCount = 5, topK = 50)),
 
+    // BPE tokenizer-training inner loop: adjacent-symbol pair counts
+    // over the corpus vocabulary, weighted by word frequency — the
+    // merge-candidate ranking a BPE trainer computes every iteration.
+    // Scale shape: the pair explosion runs over the DISTINCT-WORD
+    // relation (vocab-bounded, not corpus-bounded) with the word-count
+    // weight attached, so a 100 TB corpus costs one word-count shuffle
+    // plus vocab-sized work. Exact longs; total order (n desc, a, b)
+    // makes the top-20 cut deterministic.
+    "bpe_pair_counts" -> ((s, d) => {
+      val wc = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      wc.select(col("c"), split(col("word"), "").as("cs"))
+        .filter(size(col("cs")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(cs) - 1), " +
+            "i -> struct(element_at(cs, i) AS a, " +
+            "element_at(cs, CAST(i + 1 AS INT)) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // FORWARD as-of: each purchase matched to the NEXT click at-or-after
     // it — the reflection of join_asof through the negated axis; same
     // union-window single-shuffle machinery, DuckDB ASOF JOIN with the
@@ -7070,6 +7095,18 @@ object SparkEntry {
          FROM b JOIN u u1 ON u1.word = b.w1
                 JOIN u u2 ON u2.word = b.w2, t, tb
          ORDER BY pmi_q DESC, w1, w2 LIMIT 50""",
+    // char-level adjacent pairs over the distinct-word relation,
+    // weighted by word count — exact longs, total order at the cut
+    "bpe_pair_counts" ->
+      """WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM
+             (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE len(word) > 0 GROUP BY word),
+         ch AS (SELECT c, string_split(word, '') AS cs FROM wc
+           WHERE len(word) >= 2),
+         pr AS (SELECT cs[i] AS a, cs[i + 1] AS b, c
+           FROM ch, LATERAL (SELECT unnest(generate_series(1, len(cs) - 1)) AS i) ix)
+         SELECT a, b, CAST(sum(c) AS BIGINT) AS n
+         FROM pr GROUP BY a, b ORDER BY n DESC, a, b LIMIT 20""",
     // the <= inequality flips ASOF to forward (earliest right >= left)
     "join_asof_forward" ->
       """WITH ev AS (

@@ -48,6 +48,19 @@ class TextOpsSpec extends SparkTestBase {
     assert(got == Seq(("cat", "1,2"), ("dog", "1,1")))
   }
 
+  test("bpe_pair_counts: weighted adjacent char pairs, hand-checked") {
+    // corpus: "ab ab abc" → vocab {ab:2, abc:1}
+    //   (a,b): 2 (from ab) + 1 (from abc) = 3
+    //   (b,c): 1 (from abc)
+    // single-char words carry no pairs
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Seq((1L, "ab ab abc x")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("bpe_pair_counts")(spark, dir)
+      .as[(String, String, Long)].collect().toList
+    assert(got == List(("a", "b", 3L), ("b", "c", 1L)))
+  }
+
   test("range-salted posting build is bit-identical to the plain build") {
     // 40 docs over a tiny rangeWidth=8 → 5 salt buckets per hot word;
     // duplicates, gaps, and a word present in every doc (the stop-word
