@@ -511,17 +511,27 @@ object TextAnalysis {
     // Generate barrier — same O(tokens²) inlining hazard as bigramLmScore
     val toks = docs.select(explode(array(TextOps.tokenize(col(textCol)))).as("w"))
       .filter(size(col("w")) >= 1)
+    // Staging discipline: uni feeds THREE consumers (T total, both join
+    // sides) and the bigram counts feed two (TB total, candidate set) —
+    // unstaged, each consumer re-derived the tokenize scan (5 corpus
+    // scans in the plan). Both staged relations are bounded: uni is
+    // vocab-sized, bigAll is distinct-bigram-sized (already the shuffle
+    // width of its own agg).
     val uni = toks.select(explode(col("w")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("u"))
-    val big = toks.filter(size(col("w")) >= 2)
+      .localCheckpoint(false)
+    val bigAll = toks.filter(size(col("w")) >= 2)
       .select(explode(transform(sequence(lit(0), size(col("w")) - 2),
         i => struct(col("w")(i).as("w1"), col("w")(i + 1).as("w2")))).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minCount)
-    // exact totals: T = Σ unigram counts; TB = Σ per-doc (len-1)
+      .localCheckpoint(false)
+    val big = bigAll.filter(col("n") >= minCount)
+    // exact totals: T = Σ unigram counts; TB = Σ per-doc (len-1), which
+    // is EXACTLY the pre-filter bigram occurrence total — summing the
+    // staged counts spares a third pass over the corpus
     val totals = uni.agg(sum(col("u")).as("t"))
-    val tbDf = toks.agg(sum(greatest(size(col("w")) - 1, lit(0))).as("tb"))
+    val tbDf = bigAll.agg(sum(col("n")).as("tb"))
     val u1 = uni.select(col("word").as("w1"), col("u").as("u1"))
     val u2 = uni.select(col("word").as("w2"), col("u").as("u2"))
     big.join(u1, "w1").join(u2, "w2")

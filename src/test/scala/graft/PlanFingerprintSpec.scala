@@ -46,7 +46,7 @@ class PlanFingerprintSpec extends SparkTestBase {
     "graph_kcore" -> Fp(1, 0, 0, 0, 0, 0),
     "dedup_containment" -> Fp(3, 4, 2, 5, 0, 0),
     "robust_outliers" -> Fp(4, 3, 4, 0, 0, 0),
-    "collocation_pmi" -> Fp(6, 4, 5, 0, 0, 0),
+    "collocation_pmi" -> Fp(2, 4, 0, 5, 0, 0),
     "golden_record" -> Fp(2, 1, 1, 0, 0, 0),
     "rank_fusion" -> Fp(7, 5, 1, 4, 3, 0),
     "session_paths" -> Fp(2, 0, 1, 0, 2, 0))
