@@ -3622,6 +3622,9 @@ object SparkEntry {
     val marker = new java.io.File(cache, "_graft_done")
     val token = sources.map { t =>
       val f = new java.io.File(d, s"$t.parquet")
+      // a missing source would token as a stable "t=0:0" and validate a
+      // stale cache forever — fail loud instead
+      require(f.exists, s"cachedDir: source parquet missing: $f")
       s"$t=${f.length}:${f.lastModified}"
     }.mkString(";")
     val current =

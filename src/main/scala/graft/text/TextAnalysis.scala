@@ -406,6 +406,9 @@ object TextAnalysis {
   def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
                        minDocs: Long,
                        maxBroadcastHashes: Int = BoilerplateBroadcastGate): DataFrame = {
+    // gate+1 below must not overflow to a negative limit()
+    require(maxBroadcastHashes >= 0 && maxBroadcastHashes < Int.MaxValue,
+      s"maxBroadcastHashes out of range: $maxBroadcastHashes")
     val frequent = docs
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), "\n")).as("line"))
