@@ -2601,30 +2601,29 @@ object SparkEntry {
     // regr_agg discipline (exact long moments, decimal combination,
     // one identical IEEE finish)
     "graph_assortativity" -> ((s, d) => {
-      // Staging discipline: the old form rebuilt its own lineitem
-      // self-join edge relation and consumed every intermediate twice —
-      // 20 fact scans / 39 shuffles in the plan (fingerprint audit).
-      // Now: the shared map-side coPurchasePairs builder, edges and
-      // degrees checkpoint-staged ONCE, and both orientations folded
-      // into a single moment pass by symmetry — over the xy union,
-      // n = 2·n₁, sx = sy = Σda+Σdb, sxy = 2·Σda·db, sxx = syy =
-      // Σda²+Σdb² — all exact longs, so the unchanged oracle (which
-      // still materializes the union) agrees bit-for-bit.
+      // Per-NODE moment decomposition over the directed both-ways view:
+      // with d(v) = degree and snd(v) = Σ_{u∈N(v)} d(u), the edge-union
+      // moments collapse to n = Σd(v), sx = Σd(v)², sxx = Σd(v)³,
+      // sxy = Σ d(v)·snd(v) — exact long sums, value-identical to the
+      // per-edge union the oracle materializes (integer addition is
+      // order-free), so the oracle is untouched. Plan shape: ONE staged
+      // relation (the distinct edge set, consumed by both passes), one
+      // broadcast of the node-level degree table, two same-key shuffles
+      // — replacing the round-6 form's two checkpoints + two edge-level
+      // degree joins (wall 5.0 s / 25 CPU-s at sf0.1 quiet).
       val e = coPurchasePairs(s, d)
         .select(col("a"), col("b")).distinct().localCheckpoint(false)
-      val deg = e.select(col("a").as("n"))
-        .unionByName(e.select(col("b").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("deg")).localCheckpoint(false)
-      val pairs = e
-        .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
-      val m1 = pairs.agg(count(lit(1)).as("n1"), sum("da").as("sa"),
-        sum("db").as("sb"), sum(expr("da * db")).as("sab"),
-        sum(expr("da * da")).as("saa"), sum(expr("db * db")).as("sbb"))
-      val mm = m1.select((col("n1") * 2).as("n"),
-        (col("sa") + col("sb")).as("sx"),
-        (col("sab") * 2).as("sxy"),
-        (col("saa") + col("sbb")).as("sxx"))
+      def dir = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      val deg = dir.groupBy(col("src").as("v")).agg(count(lit(1)).as("dd"))
+      val nd = dir
+        .join(broadcast(deg.select(col("v").as("dst"), col("dd"))), "dst")
+        .groupBy("src")
+        .agg(count(lit(1)).as("dv"), sum("dd").as("snd"))
+      val mm = nd.agg(sum("dv").as("n"),
+        sum(expr("dv * dv")).as("sx"),
+        sum(expr("dv * snd")).as("sxy"),
+        sum(expr("dv * dv * dv")).as("sxx"))
       val dec = "decimal(38,0)"
       val num = mm("n").cast(dec) * col("sxy").cast(dec) -
         col("sx").cast(dec) * col("sx").cast(dec)

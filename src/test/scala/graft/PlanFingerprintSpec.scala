@@ -35,7 +35,7 @@ class PlanFingerprintSpec extends SparkTestBase {
     "pagerank_personal" -> Fp(1, 0, 0, 0, 0, 0),
     "pagerank" -> Fp(1, 0, 0, 0, 0, 0),
     "similarity_ivf" -> Fp(6, 2, 3, 0, 2, 0),
-    "graph_assortativity" -> Fp(1, 2, 0, 3, 0, 0),
+    "graph_assortativity" -> Fp(3, 1, 0, 4, 0, 0),
     "graph_jaccard" -> Fp(3, 2, 0, 5, 0, 0),
     "curate_corpus_neardup" -> Fp(1, 1, 1, 0, 0, 0),
     "graph_sssp" -> Fp(1, 0, 0, 0, 0, 0),
