@@ -3300,6 +3300,28 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Iterated BPE merge training — the actual tokenizer-training loop
+    // bpe_pair_counts samples one step of: k greedy merges (count pairs,
+    // pick top, apply, recount), emitting the merge table. See bpeTrain
+    // for the vocab-bounded scale shape.
+    "bpe_apply" -> ((s, d) => {
+      val (_, tops) = bpeTrain(s, d, k = 5)
+      tops.reduce(_ unionByName _).orderBy("step")
+    }),
+
+    // The learned tokenizer applied back: the 10 most frequent words'
+    // final symbol segmentation after the same 5 merges — the encode
+    // half of a trained BPE (shares bpeTrain's state chain).
+    "bpe_encode" -> ((s, d) => {
+      val (st, _) = bpeTrain(s, d, k = 5)
+      st.withColumn("core",
+          col("st").substr(lit(2), length(col("st")) - 2))
+        .withColumn("sep", lit(BpeM2 + BpeM1))
+        .select(col("word"), col("c"),
+          expr("replace(core, sep, ' ')").as("toks"))
+        .orderBy(col("c").desc, col("word")).limit(10)
+    }),
+
     // FORWARD as-of: each purchase matched to the NEXT click at-or-after
     // it — the reflection of join_asof through the negated axis; same
     // union-window single-shuffle machinery, DuckDB ASOF JOIN with the
@@ -4015,6 +4037,97 @@ object SparkEntry {
     s"""WITH ${lpaOracleCtes(rounds)}
          SELECT node, CAST(label AS BIGINT) AS label
          FROM l$rounds ORDER BY node"""
+
+  /** Symbol-frame markers for the BPE state string: every symbol is
+    * framed M1symM2, so the pair (a, b) occurs at a symbol
+    * boundary iff the string contains M1aM2M1bM2 —
+    * and a plain left-to-right non-overlapping `replace` of that
+    * pattern IS BPE's greedy merge-application order. The corpus is
+    * checked space-and-printable-ASCII, so the markers can't collide. */
+  private val BpeM1 = "\u0001"
+  private val BpeM2 = "\u0002"
+
+  /** Iterated BPE merge training (the loop bpe_pair_counts samples one
+    * step of): k greedy merge steps over the corpus VOCABULARY. Each
+    * step counts adjacent symbol pairs weighted by word frequency,
+    * picks the top pair (n desc, a, b), and applies it to every word
+    * via one codegen'd string `replace` over the marker-framed state.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-count shuffle);
+    * every step after that is vocab-bounded — pair explode, one agg,
+    * a 1-row TakeOrdered, and a map-side replace. The top pair reaches
+    * the merge as a broadcast of a 1-row relation, not a driver
+    * collect: the whole k-step train is one lazy plan. Each state and
+    * top are checkpoint-staged so step i+1 consumes step i once — no
+    * exponential re-execution of the chain.
+    *
+    * Returns (final state(word, c, st), per-step top pairs
+    * (step, a, b, n)). */
+  private def bpeTrain(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Seq[DataFrame]) = {
+    val wc = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    var st = wc.select(col("word"), col("c"),
+        regexp_replace(col("word"), "(.)", BpeM1 + "$1" + BpeM2).as("st"))
+      .localCheckpoint(false)
+    val tops = Seq.newBuilder[DataFrame]
+    for (i <- 1 to k) {
+      val syms = st.select(col("c"),
+        split(col("st").substr(lit(2), length(col("st")) - 2),
+          BpeM2 + BpeM1).as("cs"))
+      val top = syms.filter(size(col("cs")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(cs) - 1), " +
+            "i -> struct(element_at(cs, i) AS a, " +
+            "element_at(cs, CAST(i + 1 AS INT)) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint(false)
+      tops += top.select(lit(i).cast("long").as("step"),
+        col("a"), col("b"), col("n"))
+      st = st
+        .crossJoin(broadcast(top.select(
+          concat(lit(BpeM1), col("a"), lit(BpeM2),
+            lit(BpeM1), col("b"), lit(BpeM2)).as("_pat"),
+          concat(lit(BpeM1), col("a"), col("b"), lit(BpeM2)).as("_rep"))))
+        .withColumn("st", expr("replace(st, _pat, _rep)"))
+        .drop("_pat", "_rep")
+        .localCheckpoint(false)
+    }
+    (st, tops.result())
+  }
+
+  /** DuckDB mirror of [[bpeTrain]], unrolled as k CTE step triples
+    * (symbols → top pair → merged state) — the graph_kcore fixed-unroll
+    * trick. chr(1)/chr(2) keep the marker bytes out of the SQL text. */
+  private def bpeOracleSql(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""sy$i AS MATERIALIZED (SELECT c,
+             string_split(substr(st, 2, len(st) - 2), chr(2) || chr(1)) AS cs
+           FROM st${i - 1}),
+         t$i AS MATERIALIZED (SELECT a, b, CAST(sum(c) AS BIGINT) AS n
+           FROM (SELECT cs[i] AS a, cs[i + 1] AS b, c
+                 FROM sy$i,
+                   LATERAL (SELECT unnest(generate_series(1, len(cs) - 1)) AS i) ix
+                 WHERE len(cs) >= 2)
+           GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
+         st$i AS MATERIALIZED (SELECT word, c,
+             replace(st, chr(1) || t.a || chr(2) || chr(1) || t.b || chr(2),
+                     chr(1) || t.a || t.b || chr(2)) AS st
+           FROM st${i - 1}, t$i t)"""
+    }.mkString(",\n         ")
+    s"""WITH wc AS MATERIALIZED (
+           SELECT word, CAST(count(*) AS BIGINT) AS c FROM
+             (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE len(word) > 0 GROUP BY word),
+         st0 AS MATERIALIZED (SELECT word, c,
+             regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS st
+           FROM wc),
+         $steps"""
+  }
 
   private def kcoreOracleSql(k: Int, rounds: Int): String = {
     val peels = (1 to rounds).map { i =>
@@ -7109,6 +7222,22 @@ object SparkEntry {
            FROM ch, LATERAL (SELECT unnest(generate_series(1, len(cs) - 1)) AS i) ix)
          SELECT a, b, CAST(sum(c) AS BIGINT) AS n
          FROM pr GROUP BY a, b ORDER BY n DESC, a, b LIMIT 20""",
+    // k=5 unrolled merge steps (see bpeOracleSql); merge table output
+    "bpe_apply" ->
+      (bpeOracleSql(5) + """
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS step, a, b, n FROM t1
+           UNION ALL SELECT 2, a, b, n FROM t2
+           UNION ALL SELECT 3, a, b, n FROM t3
+           UNION ALL SELECT 4, a, b, n FROM t4
+           UNION ALL SELECT 5, a, b, n FROM t5)
+         ORDER BY step"""),
+    // the encode half: final segmentation of the 10 most frequent words
+    "bpe_encode" ->
+      (bpeOracleSql(5) + """
+         SELECT word, c,
+             replace(substr(st, 2, len(st) - 2), chr(2) || chr(1), ' ') AS toks
+         FROM st5 ORDER BY c DESC, word LIMIT 10"""),
     // the <= inequality flips ASOF to forward (earliest right >= left)
     "join_asof_forward" ->
       """WITH ev AS (

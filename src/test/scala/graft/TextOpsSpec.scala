@@ -61,6 +61,48 @@ class TextOpsSpec extends SparkTestBase {
     assert(got == List(("a", "b", 3L), ("b", "c", 1L)))
   }
 
+  test("bpe_apply/bpe_encode lockstep a naive in-memory BPE trainer") {
+    // Reference BPE: greedy left-to-right non-overlapping merge, top
+    // pair by (count desc, a, b). Corpus exercises the tricky cases:
+    // overlapping pair runs (aaaa), re-merge chains, exact ties.
+    def applyMerge(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    val text = "aaaa aaaa abab banana bandana abc abc ab aaaa b"
+    val wc = text.split(" ").toSeq.groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    var states = wc.keys.map(w => w -> w.map(_.toString).toList).toMap
+    val merges = scala.collection.mutable.ListBuffer[(Long, String, String, Long)]()
+    for (i <- 1 to 5) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      for ((w, syms) <- states; p <- syms.sliding(2) if p.size == 2)
+        counts((p(0), p(1))) += wc(w)
+      val ((a, b), n) = counts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.head
+      merges += ((i.toLong, a, b, n))
+      states = states.map { case (w, syms) => w -> applyMerge(syms, a, b) }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe2").toString
+    Seq((1L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val gotMerges = SparkEntry.queries("bpe_apply")(spark, dir)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(gotMerges == merges.toList)
+    val gotEnc = SparkEntry.queries("bpe_encode")(spark, dir)
+      .as[(String, Long, String)].collect().toList
+    val wantEnc = wc.toSeq.sortBy { case (w, c) => (-c, w) }.take(10)
+      .map { case (w, c) => (w, c, states(w).mkString(" ")) }.toList
+    assert(gotEnc == wantEnc)
+  }
+
   test("range-salted posting build is bit-identical to the plain build") {
     // 40 docs over a tiny rangeWidth=8 → 5 salt buckets per hot word;
     // duplicates, gaps, and a word present in every doc (the stop-word
