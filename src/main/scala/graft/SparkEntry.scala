@@ -973,6 +973,16 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // exact-substring dedup (the suffix-array long-match contract):
+    // pairs sharing a common substring of ≥40 chars — winnowed md5
+    // anchors + codegen'd extend-verify (Dedup.substringPairs). The
+    // oracle is the EXACT all-40-grams join, so the hash-match proves
+    // the banded pipeline implements the exact contract end to end.
+    "dedup_substring" -> ((s, d) =>
+      Dedup.substringPairs(documents(s, d), "doc_id", "text",
+          minLen = 40, gramLen = 32, fanout = 64)
+        .orderBy("da", "db")),
+
     // PPJoin prefix filtering: EXACT all-pairs Jaccard ≥ 0.5 (provably
     // no false negatives — the oracle is brute-force all-pairs, NOT a
     // candidate re-derivation). maxBucket unbounded here so the cap
@@ -4871,6 +4881,15 @@ object SparkEntry {
          SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / u, 6) AS jaccard
          FROM j WHERE CAST(i AS DOUBLE) / u >= 0.5
          ORDER BY doc_a, doc_b""",
+    // EXACT ground truth: all 40-char grams joined on gram text — the
+    // winnowing + extend-verify pipeline must reproduce it bit-for-bit
+    "dedup_substring" ->
+      """WITH g AS (SELECT doc_id, substr(text, i, 40) AS gram
+           FROM documents,
+             LATERAL (SELECT unnest(generate_series(1, len(text) - 39)) AS i) ix)
+         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         ORDER BY da, db""",
     // brute-force ALL-pairs Jaccard — deliberately NOT the prefix-filter
     // re-derivation: hash-match proves the pruning loses nothing
     "dedup_prefix" ->

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
 import graft.ops.TextOps
 
 /** Document deduplication for training-data pipelines: exact, MinHash+LSH,
@@ -499,5 +500,68 @@ object Dedup {
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
       .filter(col("inter").cast("double") / col("uni") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** EXACT-substring dedup: pairs of documents sharing a common
+    * substring of ≥ `minLen` chars — the "long exact match" contract of
+    * suffix-array training-data dedup, banded so the corpus is never
+    * suffix-arrayed in one task:
+    *
+    *  1. WINNOWING anchor selection (Schleimer et al., SIGMOD'03),
+    *     map-side per document: md5-hash every `gramLen`-char gram
+    *     (hex min order is engine-portable), slide a window of
+    *     w = minLen - gramLen + 1 grams, select each window's leftmost
+    *     minimal gram. The winnowing guarantee: any shared substring of
+    *     length ≥ gramLen + w - 1 = minLen contains a full gram window
+    *     with identical hashes in both documents, whose selection picks
+    *     the SAME gram content at the same relative offset in both.
+    *  2. Candidates: self-join anchors on the gram TEXT (not the hash —
+    *     no collision false positives). Anchor density is ~1/w of
+    *     grams, content-defined so alignment-free; a corpus with
+    *     degenerate boilerplate grams routes through the documented
+    *     [[bucketPairs]] cap if needed.
+    *  3. EXTEND-VERIFY: re-attach both texts, extend each anchor match
+    *     left/right ([[graft.functions.ExtendMatchLen]], codegen'd),
+    *     keep pairs with any extension ≥ minLen. Sound (measures real
+    *     chars) + complete (step 1) ⇒ exact ≥minLen semantics — which
+    *     is precisely what the all-grams oracle checks.
+    *
+    * Scale: anchors are O(bytes/w) rows; the only shuffles are the
+    * anchor self-join and the pair distincts; verification is
+    * candidate-bounded; no driver state. */
+  def substringPairs(docs: DataFrame, idCol: String, textCol: String,
+                     minLen: Int = 40, gramLen: Int = 32,
+                     fanout: Int = 0): DataFrame = {
+    require(gramLen >= 1 && minLen >= gramLen,
+      s"need 1 <= gramLen <= minLen, got gramLen=$gramLen minLen=$minLen")
+    val w = minLen - gramLen + 1
+    // fanout > 0 spreads the map-side anchor computation across that
+    // many partitions — needed when the input collapses to few splits
+    // (one small parquet file); at scan scale the file splits already
+    // fan out and callers leave it 0.
+    val spread = if (fanout > 0) docs.repartition(fanout) else docs
+    val base = spread.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .filter(length(col(textCol)) >= minLen)
+    val anchors = base
+      .select(col("doc_id"), col("text"), explode(ColumnShim.column(
+        graft.functions.WinnowAnchorPositions(
+          ColumnShim.expression(col("text")), gramLen, w))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, CAST(pos AS INT), $gramLen)").as("gram"))
+    val cand = anchors
+      .select(col("doc_id").as("da"), col("pos").as("pa"), col("gram"))
+      .join(anchors.select(col("doc_id").as("db"), col("pos").as("pb"),
+        col("gram")), "gram")
+      .filter(col("da") < col("db"))
+      .select("da", "db", "pa", "pb").distinct()
+    val ext = ColumnShim.column(graft.functions.ExtendMatchLen(
+      ColumnShim.expression(col("ta")), ColumnShim.expression(col("tb")),
+      ColumnShim.expression(col("pa")), ColumnShim.expression(col("pb")),
+      gramLen))
+    cand
+      .join(base.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+      .join(base.select(col("doc_id").as("db"), col("text").as("tb")), "db")
+      .filter(ext >= minLen)
+      .select(col("da"), col("db")).distinct()
   }
 }

@@ -261,4 +261,43 @@ class DedupSpec extends SparkTestBase {
     assert(prefixRows.toDouble / totalShingles < 0.35,
       s"prefix index $prefixRows rows vs $totalShingles shingles")
   }
+
+  test("substringPairs lockstep a naive longest-common-substring check") {
+    // naive LCS length via DP — the exact contract substringPairs bands
+    def lcsLen(a: String, b: String): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a.charAt(i - 1) == b.charAt(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          best = math.max(best, dp(i)(j))
+        }
+      best
+    }
+    val rnd = new scala.util.Random(7)
+    def blob(n: Int) = Iterator.continually(('a' + rnd.nextInt(4)).toChar)
+      .take(n).mkString  // 4-char alphabet → plenty of short accidental
+                         // matches that must NOT reach the >=40 cut
+    val shared60 = blob(60); val shared40 = blob(40); val shared39 = blob(39)
+    val docs = Seq(
+      1L -> (blob(100) + shared60 + blob(80)),   // pair (1,2): >=60 shared
+      2L -> (shared60 + blob(150)),
+      3L -> (blob(50) + shared40 + blob(50)),    // pair (3,4): exactly 40
+      4L -> (blob(120) + shared40),
+      5L -> (shared39 + blob(90)),               // pair (5,6): 39 — excluded
+      6L -> (blob(70) + shared39),
+      7L -> blob(39),                            // shorter than minLen
+      8L -> (shared60 + blob(10) + shared60)     // internal repeat + pairs w/ 1,2
+    ).toDF("doc_id", "text")
+    val want = (for {
+      a <- 1L to 8L; b <- (a + 1) to 8L
+      ta = docs.where(col("doc_id") === a).select("text").as[String].head()
+      tb = docs.where(col("doc_id") === b).select("text").as[String].head()
+      if lcsLen(ta, tb) >= 40
+    } yield (a, b)).toList
+    val got = Dedup.substringPairs(docs, "doc_id", "text",
+        minLen = 40, gramLen = 32)
+      .orderBy("da", "db").as[(Long, Long)].collect().toList
+    assert(got == want.sorted)
+  }
 }
