@@ -124,6 +124,18 @@ object Prof {
             .queryExecution.executedPlan.toString
           println(s"""    "$k" -> ${PlanFingerprint.of(p)},""")
         }
+      case "fingerprintall" =>
+        // ready-to-pin entries for EVERY declared key (stream_* keys
+        // run their bounded stream to produce the result plan — slow
+        // but exactly what the spec will fingerprint)
+        graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, fn) =>
+          try {
+            val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+            println(s"""    "$k" -> ${PlanFingerprint.of(p)},""")
+          } catch { case e: Throwable =>
+            println(s"""    // "$k" FAILED: ${e.getMessage}""")
+          }
+        }
       case "indexsalt" =>
         // skew drill (VERDICT r5 #6): plain two-level posting build vs
         // the range-salted three-level variant, on the bench dump with
