@@ -76,12 +76,15 @@ object InvertedIndex {
     * faster on a skewed corpus to earn the default slot.
     *
     * Measured (Prof `indexsalt`, 1.8 GB / 300k-page dump, hot "p" word
-    * in every page, steady-state second rep): 4 cores — plain 21.6 s,
-    * salted 22.0 s; 32 cores — plain 4.9 s, salted 4.6 s. Within ~5%
-    * both ways at this corpus: the two-level combiner already bounds
-    * the hot group at #docs entries, so [[postings]] keeps the default
-    * slot (one less shuffle) and this stays the escape hatch for
-    * corpora whose stop-word lists outgrow a single task. */
+    * in every page). Round 6: 4 cores — plain 21.6 s, salted 22.0 s;
+    * 32 cores — plain 4.9 s, salted 4.6 s (within ~5% both ways, plain
+    * kept the default). Round 7 re-measure at 4 cores: plain
+    * 26.5–31.7 s across reps, salted 25.1–25.5 s — salted is both
+    * faster and visibly more STABLE (the hot-word task no longer
+    * straggles a 4-slot schedule), so the GB-dump pipeline
+    * ([[graft.pipelines.WikiPipelines.invertedIndex]]) now defaults to
+    * salted; the parquet-scale `inverted_index` key keeps the plain
+    * two-level form (one less shuffle, no skew at that scale). */
   def postingsSalted(docs: DataFrame, idCol: String, textCol: String,
                      rangeWidth: Long = 16384L): DataFrame =
     occurrences(docs, idCol, textCol)
@@ -97,9 +100,13 @@ object InvertedIndex {
         p => p("part"))).as("postings"))
 
   /** word → "id1,id2,…" string rows, byte-compatible with the reference's
-    * text sink shape (ref: InvertedIndex.java:123-131) modulo sort order. */
-  def postingStrings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    postings(docs, idCol, textCol)
+    * text sink shape (ref: InvertedIndex.java:123-131) modulo sort order.
+    * `salted = true` routes through [[postingsSalted]] (bit-identical
+    * output — see its scaladoc for when it wins). */
+  def postingStrings(docs: DataFrame, idCol: String, textCol: String,
+                     salted: Boolean = false): DataFrame =
+    (if (salted) postingsSalted(docs, idCol, textCol)
+     else postings(docs, idCol, textCol))
       .select(col("word"),
         concat_ws(",", transform(col("postings"), _.cast("string"))).as("doc_ids"))
 }

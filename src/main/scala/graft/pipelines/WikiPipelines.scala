@@ -37,7 +37,10 @@ object WikiPipelines {
   /** XML text → (word, doc_ids) posting relation (splittable fused read). */
   def invertedIndex(spark: SparkSession, inPath: String): DataFrame = {
     val pages = WikiParser.pagesFused(TextKV.readPages(spark, inPath))
-    InvertedIndex.postingStrings(WikiParser.docs(pages), "doc_id", "text")
+    // salted: measured faster + more stable than plain on the GB dump
+    // at both 4 and 32 cores (InvertedIndex.postingsSalted scaladoc)
+    InvertedIndex.postingStrings(WikiParser.docs(pages), "doc_id", "text",
+        salted = true)
       .orderBy("word")
   }
 
