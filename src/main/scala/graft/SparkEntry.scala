@@ -222,6 +222,23 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // transaction-log table (TxLog — the Delta/Iceberg log mechanics
+    // over parquet segments): a 4-commit scenario (append, append,
+    // copy-on-write delete, compact), read back AS OF every version —
+    // time travel through log replay. The oracle recomputes each
+    // version's logical contents from the same deterministic filters,
+    // so the hash-match proves commit atomicity bookkeeping, COW
+    // delete, and compaction's no-logical-change contract at once.
+    "table_log_timetravel" -> ((s, d) => {
+      val dir = txLogCache(s, d)
+      (0 to 3).map { v =>
+        graft.sources.TxLog.read(s, dir, v)
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+          .select(lit(v.toLong).as("version"), col("n"), col("cents"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
+
     // binaryFile source — the multimodal ingest entry point: opaque
     // blobs arrive as (path, length, content) rows; identity/size/
     // digest derive WITHOUT decoding. Blob bytes are a deterministic
@@ -3669,6 +3686,22 @@ object SparkEntry {
     cache.toString
   }
 
+  /** One-time transaction-log table scenario for the table_log_* keys
+    * (see [[graft.sources.TxLog]]): v0 append a quarter of orders,
+    * v1 append another quarter, v2 copy-on-write delete of one custkey
+    * band, v3 compact (no logical change). Deterministic — the oracle
+    * recomputes each version's contents from the same filters. */
+  private def txLogCache(s: SparkSession, d: String): String =
+    cachedDir(s"/tmp/graft_txlog_${new java.io.File(d).getName}", d,
+        Seq("orders")) { out =>
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 4 === 0), out)
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 4 === 1), out)
+      graft.sources.TxLog.delete(s, out, "o_custkey % 10 = 3")
+      graft.sources.TxLog.compact(s, out)
+    }
+
   /** One-time supplier KV dump (s_name \t acctbal-cents) for the DSv2
     * connector keys — written through the reference byte contract. */
   private def kvCache(s: SparkSession, d: String): String =
@@ -4550,6 +4583,21 @@ object SparkEntry {
          FROM orders
          WHERE year(CAST(o_orderdate AS DATE)) = 1996
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // each version's logical contents recomputed from the scenario's
+    // deterministic filters (v3 = compact = v2 by contract)
+    "table_log_timetravel" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         v0 AS (SELECT * FROM base WHERE o_orderkey % 4 = 0),
+         v1 AS (SELECT * FROM base WHERE o_orderkey % 4 IN (0, 1)),
+         v2 AS (SELECT * FROM v1 WHERE o_custkey % 10 <> 3)
+         SELECT version, n, cents FROM (
+           SELECT CAST(0 AS BIGINT) AS version, count(*) AS n,
+                  CAST(sum(c) AS BIGINT) AS cents FROM v0
+           UNION ALL SELECT 1, count(*), CAST(sum(c) AS BIGINT) FROM v1
+           UNION ALL SELECT 2, count(*), CAST(sum(c) AS BIGINT) FROM v2
+           UNION ALL SELECT 3, count(*), CAST(sum(c) AS BIGINT) FROM v2)
+         ORDER BY version""",
     // blob bytes rebuilt from the index formula — no filesystem access
     "scan_binaryfile" ->
       """SELECT CAST(i AS BIGINT) AS blob_id,

@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal transaction-log table format over parquet — the log/ACID
+  * layer the Warehouse sinks stop short of (Delta/Iceberg's core
+  * mechanics, reduced to what a filesystem offers):
+  *
+  *  - A table is a directory: data SEGMENTS (each a parquet directory
+  *    written once, never mutated) plus an append-only commit log
+  *    `_txlog/%08d.txt` of add/remove segment sets.
+  *  - COMMIT = write the entry to a temp name, then ATOMIC_MOVE it to
+  *    the next version slot. The move fails if the slot exists, so two
+  *    racing writers serialize: the loser re-reads the log and retries
+  *    against the new head (optimistic concurrency, the Delta
+  *    protocol's put-if-absent reduced to POSIX rename semantics).
+  *  - READ = replay the log up to a version (default: head) into the
+  *    live segment set, then scan exactly those parquet dirs. Readers
+  *    never see a half-committed state (the entry appears atomically)
+  *    and a snapshot pinned at version v is immutable forever —
+  *    segments are never rewritten in place, only superseded.
+  *  - TIME TRAVEL = replay to an older version: free, because remove
+  *    entries only drop segments from the LIVE set; the bytes stay
+  *    until a retention vacuum (not modeled) reclaims them.
+  *  - DELETE = copy-on-write at segment granularity: only segments
+  *    that actually contain matching rows are rewritten (the file-stats
+  *    pruning of a real format, with a per-segment probe standing in
+  *    for min/max stats); untouched segments carry over by reference.
+  *  - COMPACT = read live set, write one consolidated segment, commit
+  *    remove(live)+add(new): a metadata-only swap for readers, no
+  *    logical change — the small-files answer under a log.
+  *
+  * Scale shape: the log is O(commits) tiny text files read by the
+  * DRIVER (like Delta's JSON actions); data moves only through normal
+  * distributed parquet jobs over the affected segments. Nothing here
+  * holds rows on the driver.
+  */
+object TxLog {
+
+  private def logDir(dir: String): Path = Paths.get(dir, "_txlog")
+
+  private case class Entry(version: Int, op: String,
+                           add: Seq[String], remove: Seq[String])
+
+  private def entryPath(dir: String, v: Int): Path =
+    logDir(dir).resolve(f"$v%08d.txt")
+
+  private def parse(v: Int, lines: Seq[String]): Entry = {
+    def vals(k: String) = lines.filter(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
+    Entry(v, vals("op").headOption.getOrElse("?"), vals("add"), vals("remove"))
+  }
+
+  /** All committed entries in version order (driver-side, O(commits)). */
+  private def entries(dir: String): Seq[Entry] = {
+    val ld = logDir(dir)
+    if (!Files.isDirectory(ld)) return Seq.empty
+    Iterator.from(0)
+      .map(v => (v, entryPath(dir, v)))
+      .takeWhile { case (_, p) => Files.exists(p) }
+      .map { case (v, p) =>
+        parse(v, new String(Files.readAllBytes(p), "UTF-8").linesIterator.toSeq)
+      }
+      .toSeq
+  }
+
+  /** Latest committed version, -1 for an empty/new table. */
+  def headVersion(dir: String): Int = entries(dir).lastOption.map(_.version).getOrElse(-1)
+
+  /** Live segment set as of `asOf` (-1 = head). */
+  def liveSegments(dir: String, asOf: Int = -1): Seq[String] = {
+    val upTo = entries(dir).filter(e => asOf < 0 || e.version <= asOf)
+    require(asOf < 0 || upTo.exists(_.version == asOf),
+      s"version $asOf does not exist in $dir (head=${headVersion(dir)})")
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    upTo.foreach { e => live --= e.remove; live ++= e.add }
+    live.toSeq
+  }
+
+  /** Optimistic-concurrency commit: claims the next free version slot
+    * via ATOMIC_MOVE put-if-absent; returns the committed version. */
+  private def commit(dir: String, op: String,
+                     add: Seq[String], remove: Seq[String]): Int = {
+    val ld = logDir(dir); Files.createDirectories(ld)
+    val body = (Seq(s"op=$op") ++ add.map("add=" + _) ++ remove.map("remove=" + _))
+      .mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(ld, ".commit", ".tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    try {
+      var v = headVersion(dir) + 1
+      while (true) {
+        try {
+          // put-if-absent: atomic move refuses to clobber an existing
+          // slot, so a racing writer forces a re-read-and-retry
+          Files.move(tmp, entryPath(dir, v), StandardCopyOption.ATOMIC_MOVE)
+          return v
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => v += 1
+        }
+      }
+      v
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private def newSegment(dir: String, df: DataFrame): String = {
+    val name = s"seg-${java.util.UUID.randomUUID}"
+    df.write.mode("overwrite").parquet(s"$dir/$name")
+    name
+  }
+
+  /** Append `df` as a new segment. */
+  def append(df: DataFrame, dir: String): Int =
+    commit(dir, "append", Seq(newSegment(dir, df)), Seq.empty)
+
+  /** Replace the table contents with `df`. */
+  def overwrite(df: DataFrame, dir: String): Int = {
+    val live = liveSegments(dir)
+    commit(dir, "overwrite", Seq(newSegment(dir, df)), live)
+  }
+
+  /** Copy-on-write delete of rows matching `predicate`: rewrites ONLY
+    * the segments that contain matches (per-segment probe ≈ file-stats
+    * pruning); clean segments carry over untouched. */
+  def delete(spark: SparkSession, dir: String, predicate: String): Int = {
+    val live = liveSegments(dir)
+    val (dirty, clean) = live.partition { seg =>
+      !spark.read.parquet(s"$dir/$seg").filter(predicate).isEmpty
+    }
+    if (dirty.isEmpty) return commit(dir, "delete", Seq.empty, Seq.empty)
+    val kept = dirty.map(seg =>
+      spark.read.parquet(s"$dir/$seg").filter(s"NOT ($predicate)"))
+      .reduce(_ unionByName _)
+    val _ = clean // clean segments survive by reference
+    commit(dir, "delete", Seq(newSegment(dir, kept)), dirty)
+  }
+
+  /** Consolidate the live set into one segment — no logical change. */
+  def compact(spark: SparkSession, dir: String): Int = {
+    val live = liveSegments(dir)
+    require(live.nonEmpty, s"compact of empty table $dir")
+    val all = spark.read.parquet(live.map(s => s"$dir/$s"): _*).coalesce(1)
+    commit(dir, "compact", Seq(newSegment(dir, all)), live)
+  }
+
+  /** Snapshot-isolated read as of `asOf` (-1 = head). The segment list
+    * is resolved once, here; later commits cannot change what this
+    * DataFrame reads. */
+  def read(spark: SparkSession, dir: String, asOf: Int = -1): DataFrame = {
+    val segs = liveSegments(dir, asOf)
+    require(segs.nonEmpty, s"table $dir is empty as of version $asOf")
+    spark.read.parquet(segs.map(s => s"$dir/$s"): _*)
+  }
+}

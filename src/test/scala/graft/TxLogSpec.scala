@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TxLog
+
+class TxLogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-txlog").toString
+
+  private def segsOf(dir: String, asOf: Int = -1): Set[String] =
+    TxLog.liveSegments(dir, asOf).toSet
+
+  test("append/overwrite/delete/compact replay to the expected contents") {
+    val dir = freshDir()
+    val v0 = TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val v1 = TxLog.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), dir)
+    val v2 = TxLog.delete(spark, dir, "id = 2")
+    val v3 = TxLog.compact(spark, dir)
+    assert(Seq(v0, v1, v2, v3) == Seq(0, 1, 2, 3))
+    def rows(asOf: Int) = TxLog.read(spark, dir, asOf)
+      .orderBy("id").as[(Long, String)].collect().toList
+    assert(rows(0) == List((1L, "a"), (2L, "b")))
+    assert(rows(1) == List((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(rows(2) == List((1L, "a"), (3L, "c"), (4L, "d")))
+    assert(rows(3) == rows(2), "compact must not change logical contents")
+    assert(TxLog.liveSegments(dir).size == 1, "compact leaves one segment")
+  }
+
+  test("copy-on-write delete rewrites ONLY segments containing matches") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    TxLog.append(Seq((10L, "x"), (11L, "y")).toDF("id", "v"), dir)
+    val before = segsOf(dir)
+    TxLog.delete(spark, dir, "id = 10")
+    val after = segsOf(dir)
+    // the first segment (no matches) must survive BY REFERENCE
+    assert((before intersect after).size == 1,
+      s"clean segment not carried over: before=$before after=$after")
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, String)].collect()
+      .toList == List((1L, "a"), (2L, "b"), (11L, "y")))
+  }
+
+  test("a pinned snapshot is immune to later commits (snapshot isolation)") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)
+    val pinned = TxLog.read(spark, dir, asOf = 0) // segment list resolved NOW
+    TxLog.overwrite(Seq((9L, "z")).toDF("id", "v"), dir)
+    TxLog.append(Seq((10L, "w")).toDF("id", "v"), dir)
+    assert(pinned.as[(Long, String)].collect().toList == List((1L, "a")),
+      "pinned snapshot must keep reading its version's segments")
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, String)].collect()
+      .toList == List((9L, "z"), (10L, "w")))
+    // time travel back across the overwrite still works: bytes remain
+    assert(TxLog.read(spark, dir, asOf = 0).as[(Long, String)].collect()
+      .toList == List((1L, "a")))
+  }
+
+  test("racing committers serialize onto distinct versions (CAS retry)") {
+    val dir = freshDir()
+    TxLog.append(Seq((0L, "seed")).toDF("id", "v"), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = TxLog.append(Seq((i.toLong, s"t$i")).toDF("id", "v"), dir)
+        })
+      }
+      val versions = futures.map(_.get()).toList
+      assert(versions.toSet.size == 8, s"duplicate versions claimed: $versions")
+      assert(versions.toSet == (1 to 8).toSet)
+    } finally pool.shutdown()
+    assert(TxLog.read(spark, dir).count() == 9)
+  }
+
+  test("a crashed commit's temp file never becomes visible") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)
+    // simulate a writer that died after staging its entry
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_txlog", ".commit-dead.tmp"),
+      "op=append\nadd=seg-ghost\n".getBytes("UTF-8"))
+    assert(TxLog.headVersion(dir) == 0)
+    assert(TxLog.read(spark, dir).count() == 1)
+    // and the next real commit is unaffected
+    assert(TxLog.append(Seq((2L, "b")).toDF("id", "v"), dir) == 1)
+  }
+
+  test("reading a nonexistent version fails loud") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)
+    intercept[IllegalArgumentException] { TxLog.read(spark, dir, asOf = 5) }
+  }
+}
