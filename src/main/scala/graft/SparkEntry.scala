@@ -239,6 +239,17 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("version")
     }),
 
+    // incremental (commit-granular) consumption of the same log table:
+    // read ONLY what commit 1 added — the CDC pattern for append-only
+    // tables; row-level oracle (the second append's exact quarter)
+    "table_log_incremental" -> ((s, d) => {
+      val dir = txLogCache(s, d)
+      graft.sources.TxLog.readCommit(s, dir, version = 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .orderBy("o_orderkey")
+    }),
+
     // binaryFile source — the multimodal ingest entry point: opaque
     // blobs arrive as (path, length, content) rows; identity/size/
     // digest derive WITHOUT decoding. Blob bytes are a deterministic
@@ -4598,6 +4609,12 @@ object SparkEntry {
            UNION ALL SELECT 2, count(*), CAST(sum(c) AS BIGINT) FROM v2
            UNION ALL SELECT 3, count(*), CAST(sum(c) AS BIGINT) FROM v2)
          ORDER BY version""",
+    // the second append's exact quarter, row-level
+    "table_log_incremental" ->
+      """SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey % 4 = 1
+         ORDER BY o_orderkey""",
     // blob bytes rebuilt from the index formula — no filesystem access
     "scan_binaryfile" ->
       """SELECT CAST(i AS BIGINT) AS blob_id,

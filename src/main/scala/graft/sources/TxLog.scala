@@ -143,6 +143,25 @@ object TxLog {
     commit(dir, "compact", Seq(newSegment(dir, all)), live)
   }
 
+  /** Incremental read: ONLY the segments commit `version` ADDED — the
+    * commit-by-commit consumption pattern of a downstream pipeline
+    * (for an append-only table this is change-data-capture; a delete/
+    * compact commit's add set is its rewrite output, so consumers that
+    * must distinguish logical changes check the entry's `op`). */
+  def readCommit(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    val e = entries(dir).find(_.version == version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"version $version does not exist in $dir (head=${headVersion(dir)})"))
+    require(e.add.nonEmpty, s"commit $version of $dir added no segments")
+    spark.read.parquet(e.add.map(s => s"$dir/$s"): _*)
+  }
+
+  /** The op recorded by commit `version` (append/overwrite/delete/compact). */
+  def commitOp(dir: String, version: Int): String =
+    entries(dir).find(_.version == version)
+      .getOrElse(throw new IllegalArgumentException(s"no version $version"))
+      .op
+
   /** Snapshot-isolated read as of `asOf` (-1 = head). The segment list
     * is resolved once, here; later commits cannot change what this
     * DataFrame reads. */

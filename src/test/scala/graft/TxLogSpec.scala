@@ -87,6 +87,20 @@ class TxLogSpec extends SparkTestBase {
     assert(TxLog.append(Seq((2L, "b")).toDF("id", "v"), dir) == 1)
   }
 
+  test("readCommit returns exactly one commit's added segments") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    TxLog.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    TxLog.delete(spark, dir, "id = 1")
+    assert(TxLog.readCommit(spark, dir, 1).as[(Long, String)].collect()
+      .toList == List((3L, "c")))
+    // a delete commit's add set is its rewrite output, flagged by op
+    assert(TxLog.commitOp(dir, 2) == "delete")
+    assert(TxLog.readCommit(spark, dir, 2).orderBy("id")
+      .as[(Long, String)].collect().toList == List((2L, "b")))
+    intercept[IllegalArgumentException] { TxLog.readCommit(spark, dir, 9) }
+  }
+
   test("reading a nonexistent version fails loud") {
     val dir = freshDir()
     TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)
