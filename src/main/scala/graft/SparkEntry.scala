@@ -239,6 +239,18 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("version")
     }),
 
+    // schema evolution on the log table: v4 appended a NEW o_channel
+    // column; a mergeSchema head read unions segment schemas, old rows
+    // surface null — add-column semantics without any segment rewrite
+    "table_log_evolve" -> ((s, d) => {
+      val dir = txLogCache(s, d)
+      graft.sources.TxLog.read(s, dir, mergeSchema = true)
+        .groupBy(coalesce(col("o_channel"), lit("pre_evolution")).as("channel"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .orderBy("channel")
+    }),
+
     // incremental (commit-granular) consumption of the same log table:
     // read ONLY what commit 1 added — the CDC pattern for append-only
     // tables; row-level oracle (the second append's exact quarter)
@@ -3724,10 +3736,14 @@ object SparkEntry {
   /** One-time transaction-log table scenario for the table_log_* keys
     * (see [[graft.sources.TxLog]]): v0 append a quarter of orders,
     * v1 append another quarter, v2 copy-on-write delete of one custkey
-    * band, v3 compact (no logical change). Deterministic — the oracle
-    * recomputes each version's contents from the same filters. */
+    * band, v3 compact (no logical change), v4 append a third quarter
+    * carrying a NEW column (schema evolution — old segments stay
+    * untouched; readers merge). Deterministic — the oracle recomputes
+    * each version's contents from the same filters. Dir name carries a
+    * scenario version tag: cachedDir tokens only SOURCE stats, so a
+    * scenario change must rename to invalidate. */
   private def txLogCache(s: SparkSession, d: String): String =
-    cachedDir(s"/tmp/graft_txlog_${new java.io.File(d).getName}", d,
+    cachedDir(s"/tmp/graft_txlog_v2_${new java.io.File(d).getName}", d,
         Seq("orders")) { out =>
       val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"))
@@ -3735,6 +3751,11 @@ object SparkEntry {
       graft.sources.TxLog.append(o.filter(col("o_orderkey") % 4 === 1), out)
       graft.sources.TxLog.delete(s, out, "o_custkey % 10 = 3")
       graft.sources.TxLog.compact(s, out)
+      graft.sources.TxLog.append(
+        o.filter(col("o_orderkey") % 4 === 2)
+          .withColumn("o_channel",
+            concat(lit("ch"), (col("o_orderkey") % 3).cast("string"))),
+        out)
     }
 
   /** One-time supplier KV dump (s_name \t acctbal-cents) for the DSv2
@@ -4633,6 +4654,19 @@ object SparkEntry {
            UNION ALL SELECT 2, count(*), CAST(sum(c) AS BIGINT) FROM v2
            UNION ALL SELECT 3, count(*), CAST(sum(c) AS BIGINT) FROM v2)
          ORDER BY version""",
+    // head contents = v2 survivors (channel null) + the v4 quarter with
+    // its derived channel — the merged-schema union recomputed
+    "table_log_evolve" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         v2 AS (SELECT o_orderkey, c FROM base
+                WHERE o_orderkey % 4 IN (0, 1) AND o_custkey % 10 <> 3),
+         hd AS (SELECT 'pre_evolution' AS channel, c FROM v2
+                UNION ALL
+                SELECT 'ch' || CAST(o_orderkey % 3 AS VARCHAR) AS channel, c
+                FROM base WHERE o_orderkey % 4 = 2)
+         SELECT channel, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+         FROM hd GROUP BY channel ORDER BY channel""",
     // the second append's exact quarter, row-level
     "table_log_incremental" ->
       """SELECT o_orderkey, o_custkey,

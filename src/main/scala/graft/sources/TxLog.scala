@@ -164,10 +164,15 @@ object TxLog {
 
   /** Snapshot-isolated read as of `asOf` (-1 = head). The segment list
     * is resolved once, here; later commits cannot change what this
-    * DataFrame reads. */
-  def read(spark: SparkSession, dir: String, asOf: Int = -1): DataFrame = {
+    * DataFrame reads. `mergeSchema = true` unions segment schemas
+    * (schema EVOLUTION: an append may carry new columns; old segments
+    * stay untouched and read as null for the added columns — the
+    * add-column semantics of the log formats, without a rewrite). */
+  def read(spark: SparkSession, dir: String, asOf: Int = -1,
+           mergeSchema: Boolean = false): DataFrame = {
     val segs = liveSegments(dir, asOf)
     require(segs.nonEmpty, s"table $dir is empty as of version $asOf")
-    spark.read.parquet(segs.map(s => s"$dir/$s"): _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(segs.map(s => s"$dir/$s"): _*)
   }
 }

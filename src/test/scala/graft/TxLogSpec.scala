@@ -101,6 +101,18 @@ class TxLogSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { TxLog.readCommit(spark, dir, 9) }
   }
 
+  test("schema evolution: mergeSchema read surfaces new columns, old rows null") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)
+    TxLog.append(Seq((2L, "b", "x")).toDF("id", "v", "extra"), dir)
+    val got = TxLog.read(spark, dir, mergeSchema = true)
+      .orderBy("id").select("id", "v", "extra")
+      .as[(Long, String, Option[String])].collect().toList
+    assert(got == List((1L, "a", None), (2L, "b", Some("x"))))
+    // old segments were NOT rewritten by the evolution
+    assert(TxLog.liveSegments(dir).size == 2)
+  }
+
   test("reading a nonexistent version fails loud") {
     val dir = freshDir()
     TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)
