@@ -156,6 +156,32 @@ object TxLog {
     spark.read.parquet(e.add.map(s => s"$dir/$s"): _*)
   }
 
+  /** Retention vacuum: physically deletes segments that are not live
+    * in ANY version newer than `head - keepVersions` (the retention
+    * horizon). Time travel to vacuumed versions stops working — the
+    * Delta VACUUM trade — but every retained version still replays
+    * exactly, because a segment referenced by any retained snapshot is
+    * kept. Returns the deleted segment names. Driver-side O(commits +
+    * segments) metadata work; data deletion is per-directory. */
+  def vacuum(dir: String, keepVersions: Int = 2): Seq[String] = {
+    require(keepVersions >= 1, "must keep at least the head version")
+    val head = headVersion(dir)
+    if (head < 0) return Seq.empty
+    val horizon = math.max(0, head - keepVersions + 1)
+    val retained = (horizon to head).flatMap(v => liveSegments(dir, v)).toSet
+    val all = entries(dir).flatMap(_.add).toSet
+    val doomed = (all -- retained).toSeq.sorted
+    doomed.foreach { seg =>
+      val p = Paths.get(dir, seg)
+      if (Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator.asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+    doomed
+  }
+
   /** The op recorded by commit `version` (append/overwrite/delete/compact). */
   def commitOp(dir: String, version: Int): String =
     entries(dir).find(_.version == version)

@@ -113,6 +113,22 @@ class TxLogSpec extends SparkTestBase {
     assert(TxLog.liveSegments(dir).size == 2)
   }
 
+  test("vacuum reclaims only segments outside the retention horizon") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)      // v0
+    TxLog.overwrite(Seq((2L, "b")).toDF("id", "v"), dir)   // v1: v0 seg dead
+    TxLog.append(Seq((3L, "c")).toDF("id", "v"), dir)      // v2
+    val deleted = TxLog.vacuum(dir, keepVersions = 2)      // retain v1..v2
+    assert(deleted.size == 1, s"expected the v0 segment gone, got $deleted")
+    // retained versions still replay exactly
+    assert(TxLog.read(spark, dir, asOf = 1).as[(Long, String)].collect()
+      .toList == List((2L, "b")))
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, String)].collect()
+      .toList == List((2L, "b"), (3L, "c")))
+    // time travel past the horizon now fails at scan time (bytes gone)
+    intercept[Exception] { TxLog.read(spark, dir, asOf = 0).count() }
+  }
+
   test("reading a nonexistent version fails loud") {
     val dir = freshDir()
     TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)
