@@ -1343,6 +1343,14 @@ object SparkEntry {
       TextAnalysis.sourceCap(documents(s, d), "doc_id", "source", k = 10)
         .orderBy("doc_id")),
 
+    // TOKEN-budget source mixing (the token-aware sibling of
+    // curate_source_cap): each source admits docs in md5 shuffle order
+    // until its 800-token budget is spent; the crossing doc is kept
+    "curate_token_budget" -> ((s, d) =>
+      TextAnalysis.tokenBudgetCap(documents(s, d), "doc_id", "source",
+          "text", budget = 800L)
+        .orderBy("doc_id")),
+
     // benchmark-decontamination sweep: train docs (eval = hash buckets
     // 0-7) sharing any 5-gram with the eval split, with distinct-shingle
     // hit counts; eval shingles broadcast, corpus never self-joined
@@ -5545,6 +5553,19 @@ object SparkEntry {
              CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
          FROM documents ORDER BY doc_id""",
+    // same window cumsum; admission while the budget was not yet spent
+    // BEFORE the doc (cum - own < budget) keeps the crossing doc
+    "curate_token_budget" ->
+      """SELECT doc_id, source, n_tokens, cum_tokens FROM (
+           SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                 AS cum_tokens
+           FROM (SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents))
+         WHERE cum_tokens - n_tokens < 800
+         ORDER BY doc_id""",
     "curate_source_cap" ->
       """SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
            SELECT doc_id, source,

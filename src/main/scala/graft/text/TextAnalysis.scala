@@ -102,6 +102,28 @@ object TextAnalysis {
       .filter(col("rn") <= k)
   }
 
+  /** TOKEN-budget source mixing: admit each source's docs, in the
+    * deterministic md5(doc_id) shuffle order, while the source's token
+    * budget is not yet exhausted — the doc that crosses the line is
+    * kept (soft cap: a source is never starved because one long doc
+    * straddles the boundary). The token-aware form of [[sourceCap]]:
+    * LLM mixture recipes are written in tokens per source, not docs.
+    *
+    * Scale shape: token counts are map-side; one window pass
+    * partitioned by source (same caveat as [[sourceCap]]: a hot
+    * source's rows land in one partition — at 100 TB, pre-cap hot
+    * sources with a coarse doc cap first, then budget exactly). */
+  def tokenBudgetCap(docs: DataFrame, idCol: String, srcCol: String,
+                     textCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        size(TextOps.tokenize(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+  }
+
   /** Train/eval DECONTAMINATION: train documents sharing any `n`-gram
     * with the eval split (rows where `evalPred` holds), with the count of
     * distinct shared shingles — the standard benchmark-leakage sweep run
