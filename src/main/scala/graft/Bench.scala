@@ -153,7 +153,13 @@ object Bench {
           taskTimeMs.addAndGet(si.taskMetrics.executorRunTime)
         }
       })
-    def drain(): Unit = org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+    // BEST-EFFORT: waitUntilEmpty throws TimeoutException after ~10 s
+    // on a bus that can't drain (contended host) — attribution may then
+    // bleed a stage into the next leg, but the bench must never abort
+    // over it (all completed timings would be lost)
+    def drain(): Unit =
+      try org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      catch { case _: Exception => () }
 
     // dev knob: comma-separated key filter ("" / unset = all keys)
     val onlyKeys = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
@@ -272,7 +278,8 @@ object Bench {
     // line first (humans, logs), then a compact line that fits the tail
     // window: total + the slowest keys + a pointer to the full detail,
     // which always lands in `outPath` (BENCH_LAST.json) on disk.
-    val slowest = timings.toSeq.sortBy { case (_, rs) => -rs.head }.take(12)
+    val slowTop = timings.toSeq.sortBy { case (_, rs) => -rs.head }.take(12)
+    val slowest = slowTop
       .map { case (k, rs) => s"\"$k\":${fmt(rs.head)}" }
       .mkString("{", ",", "}")
     // The compact line must FIT the driver's ~2000-char stdout tail; the
@@ -284,8 +291,7 @@ object Bench {
     // stage/task detail now spans EVERY key — far over the driver's
     // ~2000-char stdout tail window, so the compact line carries it only
     // for the same slowest-key set; the full maps are in `outPath`.
-    val slowKeys = timings.toSeq.sortBy { case (_, rs) => -rs.head }.take(12)
-      .map(_._1).toSet
+    val slowKeys = slowTop.map(_._1).toSet
     val stageCompact =
       if (stageSec.isEmpty) ""
       else s""","stage_sec":${secMap(stageSec.filter(kv => slowKeys(kv._1)))},"task_sec":${secMap(taskSec.filter(kv => slowKeys(kv._1)))}"""

@@ -3753,6 +3753,17 @@ object SparkEntry {
   private def txLogCache(s: SparkSession, d: String): String =
     cachedDir(s"/tmp/graft_txlog_v2_${new java.io.File(d).getName}", d,
         Seq("orders")) { out =>
+      // the build must be IDEMPOTENT: a testdata-regeneration rebuild
+      // (or crashed-build retry) re-runs it against a surviving _txlog,
+      // which would append the scenario at v5+ while readers still
+      // replay the stale v0-v4 — wipe the table first
+      val root = new java.io.File(out)
+      if (root.isDirectory) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root.toPath)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
       val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"))
       graft.sources.TxLog.append(o.filter(col("o_orderkey") % 4 === 0), out)

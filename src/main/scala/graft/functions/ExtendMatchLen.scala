@@ -51,16 +51,19 @@ case class ExtendMatchLen(ta: Expression, tb: Expression,
 }
 
 object ExtendMatchLen {
-  /** pa/pb are 1-based gram start positions (SQL substring convention). */
+  /** pa/pb are 1-based gram start positions in CODE POINTS (the SQL
+    * substring convention, which [[WinnowAnchorPositions]] also uses —
+    * UTF-16 charAt offsets would misalign on supplementary chars). */
   def extend(ta: UTF8String, tb: UTF8String, pa1: Long, pb1: Long, k: Int): Long = {
-    val a = ta.toString; val b = tb.toString
+    val a = ta.toString.codePoints().toArray
+    val b = tb.toString.codePoints().toArray
     val pa = pa1.toInt - 1; val pb = pb1.toInt - 1
     var l = 0
     while (pa - l - 1 >= 0 && pb - l - 1 >= 0 &&
-        a.charAt(pa - l - 1) == b.charAt(pb - l - 1)) l += 1
+        a(pa - l - 1) == b(pb - l - 1)) l += 1
     var r = 0
     while (pa + k + r < a.length && pb + k + r < b.length &&
-        a.charAt(pa + k + r) == b.charAt(pb + k + r)) r += 1
+        a(pa + k + r) == b(pb + k + r)) r += 1
     (k + l + r).toLong
   }
 }

@@ -64,7 +64,10 @@ object WinnowAnchorPositions {
   }
 
   def anchors(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = text.toString
+    // CODE POINTS, not UTF-16 units: positions feed SQL substring(),
+    // which indexes by code point — charAt offsets would shift the
+    // extracted gram on any text containing supplementary characters
+    val s = text.toString.codePoints().toArray
     val n = s.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Long])
     val B = 1000003L
@@ -74,11 +77,11 @@ object WinnowAnchorPositions {
     val hs = new Array[Long](n)
     var h = 0L
     i = 0
-    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    while (i < k) { h = h * B + s(i); i += 1 }
     hs(0) = fmix64(h)
     i = 1
     while (i < n) {
-      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      h = (h - s(i - 1) * pow) * B + s(i + k - 1)
       hs(i) = fmix64(h)
       i += 1
     }

@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   *  - A table is a directory: data SEGMENTS (each a parquet directory
   *    written once, never mutated) plus an append-only commit log
   *    `_txlog/%08d.txt` of add/remove segment sets.
-  *  - COMMIT = write the entry to a temp name, then ATOMIC_MOVE it to
-  *    the next version slot. The move fails if the slot exists, so two
-  *    racing writers serialize: the loser re-reads the log and retries
-  *    against the new head (optimistic concurrency, the Delta
-  *    protocol's put-if-absent reduced to POSIX rename semantics).
+  *  - COMMIT = write the entry to a temp name, then HARD-LINK it into
+  *    the next version slot: `createLink` is the filesystem's true
+  *    put-if-absent (POSIX rename silently replaces, so a move-based
+  *    CAS would lose races). Appends retry onto the next free slot;
+  *    snapshot-dependent ops (delete/overwrite/compact) are
+  *    CONDITIONAL on the head they read and fail with
+  *    ConcurrentModificationException if any commit intervened — the
+  *    Delta protocol's commit-conflict rule, since their remove sets
+  *    would otherwise double-apply.
   *  - READ = replay the log up to a version (default: head) into the
   *    live segment set, then scan exactly those parquet dirs. Readers
   *    never see a half-committed state (the entry appears atomically)
@@ -79,27 +83,52 @@ object TxLog {
   }
 
   /** Optimistic-concurrency commit: claims the next free version slot
-    * via ATOMIC_MOVE put-if-absent; returns the committed version. */
-  private def commit(dir: String, op: String,
-                     add: Seq[String], remove: Seq[String]): Int = {
+    * via a HARD-LINK put-if-absent (`Files.createLink` fails with
+    * FileAlreadyExists if the slot is taken — POSIX `rename(2)`, and
+    * therefore ATOMIC_MOVE, silently REPLACES an existing target, so a
+    * move-based CAS would let two racing writers claim the same slot
+    * and lose a commit). Returns the committed version.
+    *
+    * `expectedHead` (>= -1) makes the commit CONDITIONAL: if any other
+    * commit landed after the caller's snapshot, the claim lands on a
+    * later slot and the commit is aborted (entry removed) with
+    * ConcurrentModificationException — required for ops whose
+    * remove set was computed from that snapshot (delete/overwrite/
+    * compact); a blind append passes `None` and retries onto the next
+    * free slot. */
+  private[graft] def commit(dir: String, op: String,
+                            add: Seq[String], remove: Seq[String],
+                            expectedHead: Option[Int] = None): Int = {
     val ld = logDir(dir); Files.createDirectories(ld)
     val body = (Seq(s"op=$op") ++ add.map("add=" + _) ++ remove.map("remove=" + _))
       .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(ld, ".commit", ".tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
     try {
-      var v = headVersion(dir) + 1
-      while (true) {
-        try {
-          // put-if-absent: atomic move refuses to clobber an existing
-          // slot, so a racing writer forces a re-read-and-retry
-          Files.move(tmp, entryPath(dir, v), StandardCopyOption.ATOMIC_MOVE)
-          return v
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => v += 1
-        }
+      expectedHead match {
+        case Some(eh) =>
+          // conditional: only the snapshot's successor slot is
+          // acceptable — claiming a later slot would validate a stale
+          // remove set, and claim-then-withdraw would leave a GAP that
+          // hides every later entry from the dense-scan replay
+          val v = eh + 1
+          try { Files.createLink(entryPath(dir, v), tmp); v }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              throw new java.util.ConcurrentModificationException(
+                s"$op against stale snapshot of $dir: expected head $eh, " +
+                  s"found ${headVersion(dir)} — recompute and retry")
+          }
+        case None =>
+          var v = headVersion(dir) + 1
+          while (true) {
+            try { Files.createLink(entryPath(dir, v), tmp); return v }
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException => v += 1
+            }
+          }
+          v
       }
-      v
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -113,34 +142,41 @@ object TxLog {
   def append(df: DataFrame, dir: String): Int =
     commit(dir, "append", Seq(newSegment(dir, df)), Seq.empty)
 
-  /** Replace the table contents with `df`. */
+  /** Replace the table contents with `df`. Conflicts (fails) if any
+    * commit lands between the snapshot and this commit — the replaced
+    * set would be stale. */
   def overwrite(df: DataFrame, dir: String): Int = {
-    val live = liveSegments(dir)
-    commit(dir, "overwrite", Seq(newSegment(dir, df)), live)
+    val snap = headVersion(dir)
+    val live = liveSegments(dir, snap)
+    commit(dir, "overwrite", Seq(newSegment(dir, df)), live, Some(snap))
   }
 
   /** Copy-on-write delete of rows matching `predicate`: rewrites ONLY
     * the segments that contain matches (per-segment probe ≈ file-stats
     * pruning); clean segments carry over untouched. */
   def delete(spark: SparkSession, dir: String, predicate: String): Int = {
-    val live = liveSegments(dir)
+    val snap = headVersion(dir)
+    val live = liveSegments(dir, snap)
     val (dirty, clean) = live.partition { seg =>
       !spark.read.parquet(s"$dir/$seg").filter(predicate).isEmpty
     }
-    if (dirty.isEmpty) return commit(dir, "delete", Seq.empty, Seq.empty)
+    if (dirty.isEmpty)
+      return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap))
     val kept = dirty.map(seg =>
       spark.read.parquet(s"$dir/$seg").filter(s"NOT ($predicate)"))
       .reduce(_ unionByName _)
     val _ = clean // clean segments survive by reference
-    commit(dir, "delete", Seq(newSegment(dir, kept)), dirty)
+    commit(dir, "delete", Seq(newSegment(dir, kept)), dirty, Some(snap))
   }
 
-  /** Consolidate the live set into one segment — no logical change. */
+  /** Consolidate the live set into one segment — no logical change.
+    * Conflicts (fails) on any concurrent commit, like [[delete]]. */
   def compact(spark: SparkSession, dir: String): Int = {
-    val live = liveSegments(dir)
+    val snap = headVersion(dir)
+    val live = liveSegments(dir, snap)
     require(live.nonEmpty, s"compact of empty table $dir")
     val all = spark.read.parquet(live.map(s => s"$dir/$s"): _*).coalesce(1)
-    commit(dir, "compact", Seq(newSegment(dir, all)), live)
+    commit(dir, "compact", Seq(newSegment(dir, all)), live, Some(snap))
   }
 
   /** Incremental read: ONLY the segments commit `version` ADDED — the

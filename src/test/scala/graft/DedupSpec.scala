@@ -300,4 +300,20 @@ class DedupSpec extends SparkTestBase {
       .orderBy("da", "db").as[(Long, Long)].collect().toList
     assert(got == want.sorted)
   }
+
+  test("substringPairs is code-point safe around supplementary chars") {
+    // an emoji (surrogate pair in UTF-16) BEFORE the shared region:
+    // UTF-16 offsets would shift the extracted gram and lose the pair
+    val rnd = new scala.util.Random(11)
+    val shared = Iterator.continually(('a' + rnd.nextInt(4)).toChar)
+      .take(50).mkString
+    val docs = Seq(
+      1L -> ("😀😀😀" + shared),
+      2L -> ("plainprefix" + shared + "tail")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringPairs(docs, "doc_id", "text",
+        minLen = 40, gramLen = 32)
+      .as[(Long, Long)].collect().toList
+    assert(got == List((1L, 2L)))
+  }
 }

@@ -74,6 +74,21 @@ class TxLogSpec extends SparkTestBase {
     assert(TxLog.read(spark, dir).count() == 9)
   }
 
+  test("a snapshot-dependent commit against a stale head conflicts, not double-applies") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)   // v0
+    val snap = TxLog.headVersion(dir)                   // compact/delete snapshot
+    TxLog.append(Seq((2L, "b")).toDF("id", "v"), dir)   // concurrent append -> v1
+    // the stale conditional commit must fail WITHOUT claiming a slot
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.commit(dir, "compact", Seq("seg-x"), Seq("seg-y"), Some(snap))
+    }
+    assert(TxLog.headVersion(dir) == 1, "failed commit must leave no entry")
+    assert(TxLog.read(spark, dir).count() == 2)
+    // a fresh snapshot succeeds
+    assert(TxLog.compact(spark, dir) == 2)
+  }
+
   test("a crashed commit's temp file never becomes visible") {
     val dir = freshDir()
     TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)
