@@ -262,6 +262,62 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // DATA SKIPPING on the log table: four appends with disjoint
+    // o_orderdate ranges record per-segment min/max in the commit log;
+    // a 1996 range read must prune the other three segments from LOG
+    // METADATA ALONE (no file opened — the require asserts it) before
+    // scanning. At 100 TB this is the file-skipping lever of the log
+    // formats: a time-range query touches the segments the range lives
+    // in, not the table. Reads AS OF v3 (pre-merge) so the ranged
+    // layout is what the pruner sees.
+    "table_log_skipping" -> ((s, d) => {
+      val dir = txStatsCache(s, d)
+      val (kept, pruned) = graft.sources.TxLog.pruneRange(
+        dir, "o_orderdate", Some("1996-01-01"), Some("1996-12-31"), asOf = 3)
+      require(kept.size == 1 && pruned.size == 3,
+        s"stats pruning regressed: kept=$kept pruned=$pruned")
+      graft.sources.TxLog.readRange(s, dir, "o_orderdate",
+          Some("1996-01-01"), Some("1996-12-31"), asOf = 3)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // OPTIMIZE (range re-cluster) on the log table: v5 rewrote the
+    // table as 8 segments range-clustered on o_orderkey, so a key-range
+    // query at head prunes most segments from log metadata — the
+    // layout was DATE-clustered before the optimize (key ranges spanned
+    // every segment) and KEY-clustered after. Skipping on the new
+    // cluster dimension is asserted, and the result must equal the
+    // merge-replayed truth for the key band.
+    "table_log_optimize" -> ((s, d) => {
+      val dir = txStatsCache(s, d)
+      val (kept, pruned) = graft.sources.TxLog.pruneRange(
+        dir, "o_orderkey", Some("300"), Some("499"))
+      require(pruned.nonEmpty,
+        s"optimize clustering not skippable: kept=$kept pruned=$pruned")
+      graft.sources.TxLog.readRange(s, dir, "o_orderkey",
+          Some("300"), Some("499"))
+        .groupBy(substring(col("o_orderdate"), 1, 4).as("yr"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("yr")
+    }),
+
+    // copy-on-write MERGE (upsert) on the log table: updates bump
+    // cents for o_orderkey%500=7 and insert brand-new negative keys;
+    // only segments containing a matched key were rewritten (clean
+    // ones carried by reference — TxLogStatsSpec pins that). The head
+    // read groups by order year so every range segment contributes to
+    // the hash; the oracle replays the merge relationally.
+    "table_log_merge" -> ((s, d) => {
+      val dir = txStatsCache(s, d)
+      graft.sources.TxLog.read(s, dir)
+        .groupBy(substring(col("o_orderdate"), 1, 4).as("yr"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(when(col("o_orderkey") < 0, 1L).otherwise(0L)).as("inserted"))
+        .orderBy("yr")
+    }),
+
     // binaryFile source — the multimodal ingest entry point: opaque
     // blobs arrive as (path, length, content) rows; identity/size/
     // digest derive WITHOUT decoding. Blob bytes are a deterministic
@@ -3777,6 +3833,49 @@ object SparkEntry {
         out)
     }
 
+  /** One-time stats-bearing TxLog table for the data-skipping + MERGE
+    * keys: orders in 4 disjoint o_orderdate range segments (per-segment
+    * min/max recorded at append), then one CoW merge (update
+    * o_orderkey%500=7, insert negated %500=8 keys). Skipping reads AS
+    * OF v3; merge reads head. Wiped before rebuild like [[txLogCache]]
+    * so a retry can't replay the scenario on top of a stale log. */
+  private def txStatsCache(s: SparkSession, d: String): String =
+    cachedDir(s"/tmp/graft_txstats_${new java.io.File(d).getName}", d,
+        Seq("orders")) { out =>
+      val root = new java.io.File(out)
+      if (root.isDirectory) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root.toPath)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      // o_orderdate normalized to a yyyy-MM-dd STRING: segment min/max
+      // on ISO strings order correctly and match the oracle's substr
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      // testdata order dates span 1995-01-01 .. 2001-08-01
+      Seq(("1995-01-01", "1995-12-31"), ("1996-01-01", "1996-12-31"),
+          ("1997-01-01", "1998-12-31"), ("1999-01-01", "2001-12-31"))
+        .foreach { case (lo, hi) =>
+          graft.sources.TxLog.appendWithStats(s,
+            o.filter(col("o_orderdate").between(lo, hi)), out,
+            Seq("o_orderdate", "o_orderkey"))
+        }
+      val upd = o.filter(col("o_orderkey") % 500 === 7)
+        .withColumn("cents", col("cents") + 100000L)
+        .unionByName(o.filter(col("o_orderkey") % 500 === 8)
+          .withColumn("o_orderkey", -col("o_orderkey")))
+      graft.sources.TxLog.merge(s, out, upd, "o_orderkey",
+        statsCols = Seq("o_orderdate", "o_orderkey"))
+      // v5: OPTIMIZE — re-cluster the whole table on o_orderkey into 8
+      // range segments (logical no-op; head contents unchanged, so the
+      // merge oracle is untouched) to make the KEY dimension skippable
+      graft.sources.TxLog.optimize(s, out, Seq("o_orderkey"), 8,
+        statsCols = Seq("o_orderdate", "o_orderkey"))
+    }
+
   /** One-time supplier KV dump (s_name \t acctbal-cents) for the DSv2
     * connector keys — written through the reference byte contract. */
   private def kvCache(s: SparkSession, d: String): String =
@@ -4692,6 +4791,57 @@ object SparkEntry {
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
          FROM orders WHERE o_orderkey % 4 = 1
          ORDER BY o_orderkey""",
+    // the pre-merge (v3) table is exactly orders; the range read is a
+    // plain date filter — pruning must not change results
+    "table_log_skipping" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the optimize is a logical no-op over the merged head: replay the
+    // merge, filter the key band, same per-year rollup
+    "table_log_optimize" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderdate,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_orderdate, cents + 100000 AS cents
+           FROM base WHERE o_orderkey % 500 = 7
+           UNION ALL
+           SELECT -o_orderkey, o_orderdate, cents
+           FROM base WHERE o_orderkey % 500 = 8),
+         merged AS (
+           SELECT * FROM base
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+           UNION ALL SELECT * FROM upd)
+         SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr,
+                count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+         FROM merged WHERE o_orderkey BETWEEN 300 AND 499
+         GROUP BY yr ORDER BY yr""",
+    // relational replay of the CoW merge: update %500=7, insert
+    // negated %500=8, then the same per-year rollup
+    "table_log_merge" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderdate,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_orderdate, cents + 100000 AS cents
+           FROM base WHERE o_orderkey % 500 = 7
+           UNION ALL
+           SELECT -o_orderkey, o_orderdate, cents
+           FROM base WHERE o_orderkey % 500 = 8),
+         merged AS (
+           SELECT * FROM base
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+           UNION ALL SELECT * FROM upd)
+         SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS cents,
+                CAST(sum(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS inserted
+         FROM merged GROUP BY yr ORDER BY yr""",
     // blob bytes rebuilt from the index formula — no filesystem access
     "scan_binaryfile" ->
       """SELECT CAST(i AS BIGINT) AS blob_id,

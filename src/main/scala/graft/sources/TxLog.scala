@@ -45,15 +45,33 @@ object TxLog {
 
   private def logDir(dir: String): Path = Paths.get(dir, "_txlog")
 
+  /** Per-segment, per-column min/max recorded at write time — the
+    * data-skipping stats of the log formats. `typeName` decides the
+    * comparison domain at prune time (numeric vs lexicographic). */
+  private[graft] case class ColStats(typeName: String, min: String, max: String)
+
   private case class Entry(version: Int, op: String,
-                           add: Seq[String], remove: Seq[String])
+                           add: Seq[String], remove: Seq[String],
+                           stats: Map[(String, String), ColStats])
 
   private def entryPath(dir: String, v: Int): Path =
     logDir(dir).resolve(f"$v%08d.txt")
 
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
   private def parse(v: Int, lines: Seq[String]): Entry = {
     def vals(k: String) = lines.filter(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
-    Entry(v, vals("op").headOption.getOrElse("?"), vals("add"), vals("remove"))
+    val stats = vals("stats").flatMap { line =>
+      line.split('|') match {
+        case Array(seg, c, tn, mn, mx) =>
+          Some((dec(seg), dec(c)) -> ColStats(dec(tn), dec(mn), dec(mx)))
+        case _ => None // malformed / future-format stats line: ignorable metadata
+      }
+    }.toMap
+    Entry(v, vals("op").headOption.getOrElse("?"), vals("add"), vals("remove"), stats)
   }
 
   /** All committed entries in version order (driver-side, O(commits)). */
@@ -98,9 +116,15 @@ object TxLog {
     * free slot. */
   private[graft] def commit(dir: String, op: String,
                             add: Seq[String], remove: Seq[String],
-                            expectedHead: Option[Int] = None): Int = {
+                            expectedHead: Option[Int] = None,
+                            stats: Map[(String, String), ColStats] = Map.empty): Int = {
     val ld = logDir(dir); Files.createDirectories(ld)
-    val body = (Seq(s"op=$op") ++ add.map("add=" + _) ++ remove.map("remove=" + _))
+    val statLines = stats.toSeq.sortBy { case ((seg, c), _) => (seg, c) }
+      .map { case ((seg, c), st) =>
+        s"stats=${enc(seg)}|${enc(c)}|${enc(st.typeName)}|${enc(st.min)}|${enc(st.max)}"
+      }
+    val body = (Seq(s"op=$op") ++ add.map("add=" + _) ++
+        remove.map("remove=" + _) ++ statLines)
       .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(ld, ".commit", ".tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
@@ -141,6 +165,203 @@ object TxLog {
   /** Append `df` as a new segment. */
   def append(df: DataFrame, dir: String): Int =
     commit(dir, "append", Seq(newSegment(dir, df)), Seq.empty)
+
+  /** Min/max of `statsCols` over the just-written segment, computed by
+    * one distributed agg over the segment's parquet (columnar — reads
+    * only the stat columns, like a write-path stats pass). All-null
+    * columns yield no entry (conservatively unprunable). */
+  private def segStats(spark: SparkSession, dir: String, seg: String,
+                       statsCols: Seq[String]): Map[(String, String), ColStats] = {
+    if (statsCols.isEmpty) return Map.empty
+    val sdf = spark.read.parquet(s"$dir/$seg")
+    val types = sdf.schema.map(f => f.name -> f.dataType.typeName).toMap
+    statsCols.foreach(c => require(types.contains(c), s"no column $c in segment $seg"))
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c")))
+    val row = sdf.agg(aggs.head, aggs.tail: _*).head()
+    statsCols.flatMap { c =>
+      val mn = row.getAs[String](s"mn_$c"); val mx = row.getAs[String](s"mx_$c")
+      if (mn == null || mx == null) None
+      else Some((seg, c) -> ColStats(types(c), mn, mx))
+    }.toMap
+  }
+
+  /** Append with per-segment min/max stats on `statsCols` recorded in
+    * the commit entry — enables [[readRange]]/[[deleteRange]] to skip
+    * segments without opening them (Delta/Iceberg file skipping). */
+  def appendWithStats(spark: SparkSession, df: DataFrame, dir: String,
+                      statsCols: Seq[String]): Int = {
+    val seg = newSegment(dir, df)
+    commit(dir, "append", Seq(seg), Seq.empty,
+      stats = segStats(spark, dir, seg, statsCols))
+  }
+
+  /** All recorded stats, keyed by (segment, column). A segment is added
+    * by exactly one commit, so a flat union over entries is well-defined. */
+  private def allStats(dir: String): Map[(String, String), ColStats] =
+    entries(dir).iterator.flatMap(_.stats).toMap
+
+  /** True iff the recorded [min,max] of `c` in `seg` PROVES no row can
+    * fall in [lo, hi]. Missing stats → not prunable (conservative).
+    * Numeric types compare as BigDecimal; everything else (string,
+    * date — ISO strings order correctly) lexicographically. */
+  private def canPrune(st: Option[ColStats], lo: Option[String],
+                       hi: Option[String]): Boolean = st match {
+    case None => false
+    case Some(ColStats(tn, mn, mx)) =>
+      val numeric = Set("byte", "short", "integer", "long", "float", "double")
+        .contains(tn) || tn.startsWith("decimal")
+      def lt(a: String, b: String): Boolean =
+        if (numeric) BigDecimal(a) < BigDecimal(b) else a < b
+      lo.exists(l => lt(mx, l)) || hi.exists(h => lt(h, mn))
+  }
+
+  /** Split the live set (as of `asOf`) into (kept, pruned) for the
+    * range predicate `col BETWEEN lo AND hi` (None = unbounded side),
+    * using only log metadata — no file is opened. */
+  def pruneRange(dir: String, c: String, lo: Option[String], hi: Option[String],
+                 asOf: Int = -1): (Seq[String], Seq[String]) = {
+    val stats = allStats(dir)
+    liveSegments(dir, asOf).partition(seg => !canPrune(stats.get((seg, c)), lo, hi))
+  }
+
+  /** Stats-pruned range read: scans ONLY segments whose recorded
+    * [min,max] may intersect [lo, hi], then applies the exact residual
+    * filter. At 100 TB this is the difference between a full-table scan
+    * and touching the handful of segments a time/key range lives in. */
+  def readRange(spark: SparkSession, dir: String, c: String,
+                lo: Option[String], hi: Option[String],
+                asOf: Int = -1): DataFrame = {
+    val (kept, _) = pruneRange(dir, c, lo, hi, asOf)
+    val base =
+      if (kept.isEmpty) read(spark, dir, asOf).limit(0) // schema-preserving empty
+      else spark.read.parquet(kept.map(s => s"$dir/$s"): _*)
+    val dt = base.schema(c).dataType
+    val cond = (lo.map(l => col(c) >= lit(l).cast(dt)) ++
+      hi.map(h => col(c) <= lit(h).cast(dt)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    base.filter(cond)
+  }
+
+  /** Copy-on-write range delete: stats-prune first (segments whose
+    * [min,max] excludes the range are never OPENED — no probe scan),
+    * probe only the candidates, rewrite only the dirty ones. Null rows
+    * in the delete column are kept (a range never matches null). */
+  def deleteRange(spark: SparkSession, dir: String, c: String,
+                  lo: String, hi: String,
+                  statsCols: Seq[String] = Nil): Int = {
+    val snap = headVersion(dir)
+    val stats = allStats(dir)
+    val (candidates, _) = liveSegments(dir, snap)
+      .partition(seg => !canPrune(stats.get((seg, c)), Some(lo), Some(hi)))
+    def rangeCond(df: DataFrame) = {
+      val dt = df.schema(c).dataType
+      col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
+    }
+    val dirty = candidates.filter { seg =>
+      val sdf = spark.read.parquet(s"$dir/$seg")
+      !sdf.filter(rangeCond(sdf)).isEmpty
+    }
+    if (dirty.isEmpty)
+      return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap))
+    val kept = dirty.map { seg =>
+      val sdf = spark.read.parquet(s"$dir/$seg")
+      sdf.filter(!rangeCond(sdf) || col(c).isNull)
+    }.reduce(_ unionByName _)
+    val seg = newSegment(dir, kept)
+    commit(dir, "delete", Seq(seg), dirty, Some(snap),
+      stats = segStats(spark, dir, seg, statsCols))
+  }
+
+  /** OPTIMIZE with clustering (Delta's `OPTIMIZE ... ZORDER/CLUSTER BY`
+    * mechanics at segment granularity): rewrite the live set as
+    * `numSegments` RANGE-CLUSTERED segments on `sortCols` — one
+    * distributed `repartitionByRange` job writes all the files, then
+    * each part file is MOVED (a filesystem rename, no second job) into
+    * its own segment so per-segment min/max stats make the cluster key
+    * skippable. Logically a no-op, like [[compact]]; conflicts on any
+    * concurrent commit. After it, a range query on the leading sort
+    * column prunes all but the covering segments from log metadata —
+    * the layout lever that turns a 100 TB table's time/key queries
+    * into touch-only-what-matches scans. */
+  def optimize(spark: SparkSession, dir: String, sortCols: Seq[String],
+               numSegments: Int, statsCols: Seq[String] = Nil): Int = {
+    require(sortCols.nonEmpty && numSegments >= 1, "need sort columns and >=1 segments")
+    val snap = headVersion(dir)
+    val live = liveSegments(dir, snap)
+    require(live.nonEmpty, s"optimize of empty table $dir")
+    val clustered = spark.read.parquet(live.map(s => s"$dir/$s"): _*)
+      .repartitionByRange(numSegments, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    val staging = newSegment(dir, clustered)
+    import scala.jdk.CollectionConverters._
+    val parts = Files.list(Paths.get(dir, staging)).iterator.asScala
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val segs = parts.map { p =>
+      val name = s"seg-${java.util.UUID.randomUUID}"
+      val segDir = Paths.get(dir, name)
+      Files.createDirectories(segDir)
+      Files.move(p, segDir.resolve(p.getFileName), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    // drop the emptied staging dir (only _SUCCESS etc. remain)
+    Files.walk(Paths.get(dir, staging)).sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator.asScala.foreach(Files.deleteIfExists(_))
+    val stats = segs.foldLeft(Map.empty[(String, String), ColStats]) {
+      (m, seg) => m ++ segStats(spark, dir, seg, statsCols)
+    }
+    commit(dir, "optimize", segs, live, Some(snap), stats = stats)
+  }
+
+  /** Copy-on-write MERGE (upsert) on `key`: rows of `updates` REPLACE
+    * target rows with a matching key; unmatched updates are INSERTED.
+    * Only segments actually containing a matched key are rewritten
+    * (stats on `key`, when recorded, prune the probe set without
+    * opening files); clean segments carry over by reference. Assumes
+    * `key` is unique within `updates` (the usual MERGE contract).
+    * Schemas must match (unioned by name). */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame, key: String,
+            statsCols: Seq[String] = Nil): Int = {
+    val snap = headVersion(dir)
+    val live = liveSegments(dir, snap)
+    // pin the updates once as a STAGING segment (never committed —
+    // deleted below) so the probe and rewrite jobs don't recompute them
+    val uSeg = newSegment(dir, updates)
+    try {
+      val u = spark.read.parquet(s"$dir/$uSeg")
+      val bounds = u.agg(min(col(key)).cast("string"), max(col(key)).cast("string")).head()
+      val (lo, hi) = (Option(bounds.getString(0)), Option(bounds.getString(1)))
+      val stats = allStats(dir)
+      val candidates = live.filter(seg => !canPrune(stats.get((seg, key)), lo, hi))
+      val uKeys = broadcast(u.select(col(key)).distinct())
+      val dirty = candidates.filter { seg =>
+        !spark.read.parquet(s"$dir/$seg")
+          .join(uKeys, Seq(key), "left_semi").isEmpty
+      }
+      // every update row lands exactly once (replacing or inserting), and
+      // clean segments contain no matching keys by construction — so the
+      // rewrite is: (dirty rows not matched) ∪ updates
+      val newData =
+        if (dirty.isEmpty) u
+        else spark.read.parquet(dirty.map(s => s"$dir/$s"): _*)
+          .join(uKeys, Seq(key), "left_anti")
+          .unionByName(u)
+      val seg = newSegment(dir, newData)
+      commit(dir, "merge", Seq(seg), dirty, Some(snap),
+        stats = segStats(spark, dir, seg, statsCols))
+    } finally {
+      // staging bytes are referenced by no version — reclaim eagerly
+      val p = Paths.get(dir, uSeg)
+      if (Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator.asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
 
   /** Replace the table contents with `df`. Conflicts (fails) if any
     * commit lands between the snapshot and this commit — the replaced

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TxLog
+
+/** Data skipping + MERGE on the TxLog table format: per-segment min/max
+  * stats recorded at append time prune range reads/deletes without
+  * opening files; copy-on-write MERGE replaces matched keys and inserts
+  * the rest, rewriting only segments that contain a match. */
+class TxLogStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-txstats").toString
+
+  /** Three appends with disjoint id ranges, stats on (id, v). */
+  private def rangedTable(): String = {
+    val dir = freshDir()
+    TxLog.appendWithStats(spark, Seq((1L, "a"), (5L, "b")).toDF("id", "v"), dir, Seq("id"))
+    TxLog.appendWithStats(spark, Seq((10L, "c"), (15L, "d")).toDF("id", "v"), dir, Seq("id"))
+    TxLog.appendWithStats(spark, Seq((20L, "e"), (25L, "f")).toDF("id", "v"), dir, Seq("id"))
+    dir
+  }
+
+  test("pruneRange skips exactly the segments whose [min,max] excludes the range") {
+    val dir = rangedTable()
+    val (kept, pruned) = TxLog.pruneRange(dir, "id", Some("10"), Some("15"))
+    assert(kept.size == 1 && pruned.size == 2,
+      s"expected 1 kept / 2 pruned, got kept=$kept pruned=$pruned")
+    // unbounded-low range
+    val (k2, p2) = TxLog.pruneRange(dir, "id", None, Some("5"))
+    assert(k2.size == 1 && p2.size == 2)
+    // range touching two segments
+    val (k3, _) = TxLog.pruneRange(dir, "id", Some("15"), Some("20"))
+    assert(k3.size == 2)
+  }
+
+  test("readRange equals the unpruned filtered read, including empty-range") {
+    val dir = rangedTable()
+    val got = TxLog.readRange(spark, dir, "id", Some("10"), Some("20"))
+      .orderBy("id").as[(Long, String)].collect().toList
+    assert(got == List((10L, "c"), (15L, "d"), (20L, "e")))
+    // a range no segment intersects: schema-preserving empty result
+    val none = TxLog.readRange(spark, dir, "id", Some("100"), Some("200"))
+    assert(none.columns.toList == List("id", "v") && none.isEmpty)
+  }
+
+  test("a segment without stats is conservatively kept, never pruned") {
+    val dir = rangedTable()
+    TxLog.append(Seq((1000L, "nostats")).toDF("id", "v"), dir) // plain append: no stats
+    val (kept, _) = TxLog.pruneRange(dir, "id", Some("10"), Some("15"))
+    assert(kept.size == 2, s"statless segment must stay in the scan set: $kept")
+    assert(TxLog.readRange(spark, dir, "id", Some("10"), Some("15"))
+      .count() == 2)
+  }
+
+  test("string/date stats order lexicographically, numeric stats numerically") {
+    val dir = freshDir()
+    TxLog.appendWithStats(spark,
+      Seq(("1992-03-01", 9L), ("1993-06-01", 100L)).toDF("d", "n"), dir, Seq("d", "n"))
+    TxLog.appendWithStats(spark,
+      Seq(("1996-01-15", 20L), ("1997-11-30", 3L)).toDF("d", "n"), dir, Seq("d", "n"))
+    val (kd, pd) = TxLog.pruneRange(dir, "d", Some("1996-01-01"), Some("1996-12-31"))
+    assert(kd.size == 1 && pd.size == 1)
+    // numeric: "9" > "100" lexicographically — stats must compare as numbers
+    val (kn, pn) = TxLog.pruneRange(dir, "n", Some("99"), Some("200"))
+    assert(kn.size == 1 && pn.size == 1,
+      s"numeric stats compared lexicographically? kept=$kn pruned=$pn")
+  }
+
+  test("deleteRange rewrites only intersecting segments and keeps null rows") {
+    val dir = rangedTable()
+    TxLog.append(Seq((null.asInstanceOf[java.lang.Long], "null-row"))
+      .toDF("id", "v"), dir)
+    val before = TxLog.liveSegments(dir).toSet
+    TxLog.deleteRange(spark, dir, "id", "10", "15", statsCols = Seq("id"))
+    val after = TxLog.liveSegments(dir).toSet
+    assert((before intersect after).size == 3,
+      s"only the one intersecting segment should be rewritten: before=$before after=$after")
+    val got = TxLog.read(spark, dir).select("v").as[String].collect().toSet
+    assert(got == Set("a", "b", "e", "f", "null-row"),
+      s"null rows must survive a range delete: $got")
+  }
+
+  test("merge replaces matched keys, inserts the rest, clean segments survive by reference") {
+    val dir = rangedTable()
+    val before = TxLog.liveSegments(dir).toSet
+    val updates = Seq((10L, "C2"), (42L, "new")).toDF("id", "v")
+    TxLog.merge(spark, dir, updates, "id", statsCols = Seq("id"))
+    val after = TxLog.liveSegments(dir).toSet
+    // segments 1 and 3 contain no matched key: carried over untouched
+    assert((before intersect after).size == 2,
+      s"clean segments must survive by reference: before=$before after=$after")
+    val got = TxLog.read(spark, dir).orderBy("id").as[(Long, String)].collect().toList
+    assert(got == List((1L, "a"), (5L, "b"), (10L, "C2"), (15L, "d"),
+      (20L, "e"), (25L, "f"), (42L, "new")))
+    assert(TxLog.commitOp(dir, TxLog.headVersion(dir)) == "merge")
+    // no staging leftovers: every on-disk segment is add-recorded or live
+    val onDisk = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("seg-")).toSet
+    val recorded = (0 to TxLog.headVersion(dir))
+      .flatMap(v => TxLog.liveSegments(dir, v)).toSet
+    assert(onDisk subsetOf recorded, s"staging segment leaked: ${onDisk -- recorded}")
+  }
+
+  test("merge into a table with no matches is a pure insert") {
+    val dir = rangedTable()
+    TxLog.merge(spark, dir, Seq((100L, "x")).toDF("id", "v"), "id")
+    assert(TxLog.read(spark, dir).count() == 7)
+    assert(TxLog.liveSegments(dir).size == 4, "no segment should have been rewritten")
+  }
+
+  test("merge against a stale snapshot conflicts instead of double-applying") {
+    val dir = rangedTable()
+    // merge snapshots internally, so exercise the conditional-commit
+    // contract it relies on: a commit whose expectedHead is stale (a
+    // concurrent commit landed after the snapshot) must conflict.
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.commit(dir, "merge", Seq.empty, Seq.empty,
+        expectedHead = Some(TxLog.headVersion(dir) - 1))
+    }
+  }
+
+  test("optimize re-clusters into N stats-bearing segments without logical change") {
+    val dir = freshDir()
+    // two appends with INTERLEAVED ids: no range pruning possible on id
+    TxLog.appendWithStats(spark,
+      Seq((1L, "a"), (100L, "z"), (50L, "m")).toDF("id", "v"), dir, Seq("id"))
+    TxLog.appendWithStats(spark,
+      Seq((2L, "b"), (99L, "y"), (51L, "n")).toDF("id", "v"), dir, Seq("id"))
+    assert(TxLog.pruneRange(dir, "id", Some("90"), Some("100"))._2.isEmpty,
+      "interleaved layout must not be prunable yet")
+    val before = TxLog.read(spark, dir).orderBy("id").as[(Long, String)].collect().toList
+    TxLog.optimize(spark, dir, Seq("id"), numSegments = 3, statsCols = Seq("id"))
+    val after = TxLog.read(spark, dir).orderBy("id").as[(Long, String)].collect().toList
+    assert(after == before, "optimize must not change logical contents")
+    assert(TxLog.liveSegments(dir).size == 3,
+      s"expected 3 clustered segments, got ${TxLog.liveSegments(dir)}")
+    // the re-clustered layout IS prunable on the sort key
+    val (k1, p1) = TxLog.pruneRange(dir, "id", Some("90"), Some("100"))
+    assert(k1.size == 1 && p1.size == 2,
+      s"clustered layout should prune 2 of 3: kept=$k1 pruned=$p1")
+    assert(TxLog.commitOp(dir, TxLog.headVersion(dir)) == "optimize")
+    // no staging leftovers on disk
+    val onDisk = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("seg-")).toSet
+    val recorded = (0 to TxLog.headVersion(dir))
+      .flatMap(v => TxLog.liveSegments(dir, v)).toSet
+    assert(onDisk subsetOf recorded, s"staging leaked: ${onDisk -- recorded}")
+  }
+
+  test("stats survive delete/merge rewrites when statsCols is passed") {
+    val dir = rangedTable()
+    TxLog.merge(spark, dir, Seq((10L, "C2")).toDF("id", "v"), "id",
+      statsCols = Seq("id"))
+    // the rewritten segment re-records stats: the range read still prunes
+    val (kept, pruned) = TxLog.pruneRange(dir, "id", Some("20"), Some("25"))
+    assert(pruned.size == 2, s"rewrite lost stats: kept=$kept pruned=$pruned")
+  }
+}
