@@ -3043,6 +3043,47 @@ object SparkEntry {
       s.table("graft_stream_enrich").orderBy("c_mktsegment", "event_type")
     }),
 
+    // EXACTLY-ONCE STREAMING SINK into the TxLog table: each
+    // micro-batch (4 files, one per trigger) commits through
+    // TxLog.appendStream, whose op records the batch id — then batch 0
+    // is REPLAYED (the at-least-once delivery failure mode) and must be
+    // SKIPPED as already-committed (the require asserts both the skip
+    // and that exactly 4 batch commits exist). The final table equals
+    // the single-delivery truth; without the idempotent commit the
+    // replay would double batch 0's rows and the oracle would catch it.
+    "stream_txlog_sink" -> ((s, d) => withStreamPartitions(s) {
+      val src = streamCache4(s, d)
+      val sink = s"/tmp/graft_txsink_${new java.io.File(d).getName}"
+      val root = new java.io.File(sink)
+      if (root.isDirectory) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root.toPath)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val schema = s.read.parquet(src).schema
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*.parquet")
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val q = feed.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.TxLog.appendStream(batch, sink, batchId); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      // replay batch 0: idempotent commit must skip, head must not move
+      val head = graft.sources.TxLog.headVersion(sink)
+      val replay = graft.sources.TxLog.appendStream(
+        graft.sources.TxLog.readCommit(s, sink, 0), sink, batchId = 0L)
+      require(replay.isEmpty && head == 3 &&
+          graft.sources.TxLog.headVersion(sink) == head,
+        s"exactly-once violated: replay=$replay head=$head")
+      graft.sources.TxLog.read(s, sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .orderBy("event_type")
+    }),
+
     // TOLERANCE as-of (pandas merge_asof's `tolerance`): the backward
     // match only counts within 2 hours — stale lookups become
     // no-match instead of silently joining hours-old state
@@ -3831,6 +3872,14 @@ object SparkEntry {
           .withColumn("o_channel",
             concat(lit("ch"), (col("o_orderkey") % 3).cast("string"))),
         out)
+    }
+
+  /** 4-part events stream source for the multi-batch sink keys: one
+    * parquet file per micro-batch under maxFilesPerTrigger=1. */
+  private def streamCache4(s: SparkSession, d: String): String =
+    cachedDir(s"/tmp/graft_stream4_${new java.io.File(d).getName}", d,
+        Seq("events")) { out =>
+      events(s, d).repartition(4).write.mode("overwrite").parquet(out)
     }
 
   /** One-time stats-bearing TxLog table for the data-skipping + MERGE
@@ -4791,6 +4840,11 @@ object SparkEntry {
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
          FROM orders WHERE o_orderkey % 4 = 1
          ORDER BY o_orderkey""",
+    // the exactly-once sink's final table is the single-delivery truth
+    "stream_txlog_sink" ->
+      """SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // the pre-merge (v3) table is exactly orders; the range read is a
     // plain date filter — pruning must not change results
     "table_log_skipping" ->

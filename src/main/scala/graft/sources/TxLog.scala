@@ -363,6 +363,20 @@ object TxLog {
     }
   }
 
+  /** Idempotent streaming append — the exactly-once `foreachBatch`
+    * sink contract (Delta's txnAppId/txnVersion mechanics): the commit
+    * entry records the micro-batch id in its op, and a batch id that is
+    * ALREADY committed is skipped (returns None), so an at-least-once
+    * replay after a sink failure cannot double-append. Safe under the
+    * sequential-retry model of a single streaming query (Structured
+    * Streaming re-runs a failed batch before starting the next);
+    * concurrent writers racing the SAME batch id are not defended. */
+  def appendStream(df: DataFrame, dir: String, batchId: Long): Option[Int] = {
+    val op = s"stream-$batchId"
+    if (entries(dir).exists(_.op == op)) None
+    else Some(commit(dir, op, Seq(newSegment(dir, df)), Seq.empty))
+  }
+
   /** Replace the table contents with `df`. Conflicts (fails) if any
     * commit lands between the snapshot and this commit — the replaced
     * set would be stale. */

@@ -110,6 +110,21 @@ class TxLogStatsSpec extends SparkTestBase {
     assert(TxLog.liveSegments(dir).size == 4, "no segment should have been rewritten")
   }
 
+  test("appendStream is idempotent per batch id (exactly-once sink contract)") {
+    val dir = freshDir()
+    assert(TxLog.appendStream(Seq((1L, "a")).toDF("id", "v"), dir, batchId = 0L)
+      .contains(0))
+    assert(TxLog.appendStream(Seq((2L, "b")).toDF("id", "v"), dir, batchId = 1L)
+      .contains(1))
+    // replayed batch 0 (at-least-once delivery): skipped, no new version
+    assert(TxLog.appendStream(Seq((9L, "dup")).toDF("id", "v"), dir, batchId = 0L)
+      .isEmpty)
+    assert(TxLog.headVersion(dir) == 1)
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, String)].collect()
+      .toList == List((1L, "a"), (2L, "b")))
+    assert(TxLog.commitOp(dir, 0) == "stream-0" && TxLog.commitOp(dir, 1) == "stream-1")
+  }
+
   test("merge against a stale snapshot conflicts instead of double-applying") {
     val dir = rangedTable()
     // merge snapshots internally, so exercise the conditional-commit
