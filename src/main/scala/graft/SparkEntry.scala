@@ -2141,6 +2141,32 @@ object SparkEntry {
           Map("src0" -> 4, "src1" -> 3, "src2" -> 3, "src3" -> 2, "src4" -> 2))
         .orderBy("doc_id", "epoch")),
 
+    // RETRIEVAL EVALUATION (MRR / DCG@10): the metrics step every
+    // retriever change gates on. Candidates are a deterministic md5
+    // ranking (52-bit hex prefix → exact-in-double long, identical on
+    // both engines) standing in for a retriever's output; top-10 per
+    // query via the O(k)-memory TopKAgg — map-side partial top-k, the
+    // shuffle ships ≤10 rows per query per partition where a Window
+    // top-k would shuffle EVERY candidate row of every query at 100 TB.
+    // Relevance is a deterministic label; metrics integerize on the
+    // fixed-point grid (Retrieval.rankingMetrics).
+    "retrieval_eval" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      val qs = s.range(0, 10).select(col("id").as("query"))
+      val scored = qs.crossJoin(docs).withColumn("score",
+        conv(substring(md5(concat(col("query").cast("string"), lit(":"),
+          col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long"))
+      val ranked = scored.groupBy("query")
+        .agg(graft.functions.TopKAgg.topK(10,
+          -col("score").cast("double"), col("doc_id").cast("string")).as("tops"))
+        .select(col("query"), posexplode(split(col("tops"), ",")))
+        .select(col("query"), (col("pos") + 1).cast("long").as("rank"),
+          col("col").cast("long").as("doc_id"))
+        .withColumn("rel",
+          ((col("doc_id") + col("query")) % 5 === 0).cast("long"))
+      graft.text.Retrieval.rankingMetrics(ranked).orderBy("query")
+    }),
+
     // BM25 lexical retrieval: top-10 docs per query — the search
     // complement to the embedding ANN stack (hard-negative mining /
     // eval retrieval). Corpus pruned to query terms map-side before any
@@ -6516,6 +6542,34 @@ object SparkEntry {
       s"""WITH $bm25OracleCtes
          SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    // same md5 ranking (hex prefix as BIGINT), QUALIFY top-10, same
+    // fixed-point metric grid
+    "retrieval_eval" ->
+      """WITH qs AS (SELECT CAST(i AS BIGINT) AS query FROM range(10) t(i)),
+         scored AS (
+           SELECT qs.query, d.doc_id,
+                  CAST(concat('0x', substr(md5(concat(CAST(qs.query AS VARCHAR),
+                    ':', CAST(d.doc_id AS VARCHAR))), 1, 13)) AS BIGINT) AS score
+           FROM qs CROSS JOIN documents d),
+         ranked AS (
+           SELECT query, doc_id,
+                  CAST(row_number() OVER (PARTITION BY query
+                    ORDER BY score, doc_id) AS BIGINT) AS rank
+           FROM scored QUALIFY rank <= 10),
+         rel AS (
+           SELECT query, rank,
+                  CASE WHEN (doc_id + query) % 5 = 0 THEN 1 ELSE 0 END AS rel
+           FROM ranked)
+         SELECT query, CAST(sum(rel) AS BIGINT) AS n_rel10,
+                CAST(coalesce(min(CASE WHEN rel = 1 THEN rank END), -1)
+                     AS BIGINT) AS first_rel_rank,
+                CAST(coalesce(floor(1000000.0 /
+                       min(CASE WHEN rel = 1 THEN rank END) + 0.5), 0)
+                     AS BIGINT) AS mrr_q6,
+                CAST(sum(CASE WHEN rel = 1 THEN
+                       CAST(floor(1000000.0 / log2(rank + 1) + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS dcg_q6
+         FROM rel GROUP BY query ORDER BY query""",
     "sql_correlated" ->
       """SELECT c_custkey FROM customer c
          WHERE CAST(round(c_acctbal * 100) AS BIGINT)

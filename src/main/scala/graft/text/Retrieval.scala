@@ -128,4 +128,29 @@ object Retrieval {
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("rn"), col("word"), col("tfidf"))
   }
+
+  /** Ranking-quality metrics per query from (query, rank, rel) rows —
+    * the evaluation step every retriever/reranker change gates on.
+    * Emits INTEGER metrics on the tokenEntropy fixed-point grid (each
+    * 1/log2(rank+1) DCG gain quantizes to floor(x·1e6 + 0.5) BEFORE the
+    * order-independent integer sum) so two engines hash-match:
+    *
+    *   n_rel10        relevant hits in the top-k window
+    *   first_rel_rank rank of the first relevant hit (-1 = none)
+    *   mrr_q6         floor(1e6 / first_rel_rank + .5), 0 when none
+    *   dcg_q6         Σ_rel floor(1e6 / log2(rank+1) + .5)
+    *
+    * Scale shape: input is already top-k-per-query (bounded rows), the
+    * single groupBy(query) shuffle moves ≤k rows per query. */
+  def rankingMetrics(ranked: DataFrame): DataFrame = {
+    val firstRel = min(when(col("rel") === 1, col("rank")))
+    ranked.groupBy("query").agg(
+      sum(col("rel")).as("n_rel10"),
+      coalesce(firstRel, lit(-1L)).as("first_rel_rank"),
+      coalesce(floor(lit(1000000.0) / firstRel + lit(0.5)).cast("long"), lit(0L))
+        .as("mrr_q6"),
+      sum(when(col("rel") === 1,
+          floor(lit(1000000.0) / log2(col("rank") + 1) + lit(0.5)).cast("long"))
+        .otherwise(0L)).as("dcg_q6"))
+  }
 }

@@ -100,4 +100,18 @@ class RetrievalSpec extends SparkTestBase {
       (1L, 1L, "rare", r6(math.log(4.0))),
       (1L, 2L, "common", 0.0)))
   }
+
+  test("rankingMetrics computes MRR/DCG on the fixed-point grid") {
+    // query 0: rel at ranks 2 and 4; query 1: no relevant hits
+    val ranked = Seq(
+      (0L, 1L, 0L), (0L, 2L, 1L), (0L, 3L, 0L), (0L, 4L, 1L),
+      (1L, 1L, 0L), (1L, 2L, 0L)).toDF("query", "rank", "rel")
+    val got = Retrieval.rankingMetrics(ranked).orderBy("query")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    def w(rank: Int): Long =
+      math.floor(1000000.0 / (math.log(rank + 1.0) / math.log(2.0)) + 0.5).toLong
+    assert(got == List(
+      (0L, 2L, 2L, 500000L, w(2) + w(4)),
+      (1L, 0L, -1L, 0L, 0L)))
+  }
 }
