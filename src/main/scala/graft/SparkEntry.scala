@@ -1385,6 +1385,19 @@ object SparkEntry {
           col("vec_id") < 10, k = 5)
         .orderBy("query_id", "rn")),
 
+    // PRODUCT QUANTIZATION — the compression half of IVF-PQ: 4
+    // subspaces × 16 dims, 4-entry md5-seeded codebooks with one
+    // integer-grid Lloyd refinement; every vector → 4 codes. The
+    // full-corpus per-(subspace, code) population + quantized-distortion
+    // rollup pins every assignment (a single flipped code moves both a
+    // cnt and a distortion sum); codebooks are bounded driver literals,
+    // so encoding is a pure codegen projection.
+    "similarity_pq" -> ((s, d) =>
+      Similarity.pqEncode(embeddings(s, d), "vec_id", "embedding")
+        .groupBy("m", "cell")
+        .agg(count(lit(1)).as("cnt"), sum(col("d2q")).as("distortion_q6"))
+        .orderBy("m", "cell")),
+
     // quality features per document
     "text_quality" -> ((s, d) =>
       TextAnalysis.quality(documents(s, d), "doc_id", "text").orderBy("doc_id")),
@@ -5695,6 +5708,52 @@ object SparkEntry {
     // float avg() depends on partial-sum order), then probe + exact
     // cosine. Assignment tie-break mirrors Spark's struct-max: cs DESC,
     // cell DESC; query probing mirrors row_number: cs DESC, cell ASC.
+    // PQ replay: same subspace slicing, md5-prefix seeds, one
+    // integer-grid Lloyd step, argmin-L2 assignment (tie: larger code),
+    // per-dim floor-quantized distortion summed as integers
+    "similarity_pq" -> {
+      val sub = 16
+      def d2Sql(a: String, b: String) =
+        s"""list_reduce(list_transform(generate_series(1, $sub),
+              i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"""
+      def d2qSql(a: String, b: String) =
+        s"""list_reduce(list_transform(generate_series(1, $sub),
+              i -> CAST(floor(($a[i] - $b[i]) * ($a[i] - $b[i]) * 1000000.0 + 0.5)
+                   AS BIGINT)), (x, y) -> x + y)"""
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         subs AS (SELECT e.vec_id, CAST(g.m AS BIGINT) AS m,
+             list_slice(e.v, g.m * $sub + 1, g.m * $sub + $sub) AS sv
+           FROM e CROSS JOIN generate_series(0, 3) g(m)),
+         seeds AS (SELECT m, vec_id FROM (
+             SELECT m, vec_id, row_number() OVER (PARTITION BY m
+                 ORDER BY CAST(concat('0x', substr(md5(concat(
+                   CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))), 1, 13))
+                   AS BIGINT), vec_id) AS rn
+             FROM subs) WHERE rn <= 4),
+         cb0 AS (SELECT s.m, s.vec_id AS cell, s.sv AS cv
+           FROM subs s JOIN seeds d ON d.m = s.m AND d.vec_id = s.vec_id),
+         a1 AS (SELECT vec_id, m, sv, cell FROM (
+             SELECT s.vec_id, s.m, s.sv, c.cell,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY ${d2Sql("s.sv", "c.cv")} ASC, c.cell DESC) AS arn
+             FROM subs s JOIN cb0 c ON c.m = s.m) WHERE arn = 1),
+         u AS (SELECT m, cell, g.i AS dim,
+             CAST(sum(CAST(floor(sv[g.i] * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             count(*) AS cnt
+           FROM a1 CROSS JOIN generate_series(1, $sub) g(i)
+           GROUP BY m, cell, g.i),
+         cb1 AS (SELECT m, cell,
+             list((CAST(s AS DOUBLE) / cnt) / 1000000.0 ORDER BY dim) AS cv
+           FROM u GROUP BY m, cell),
+         af AS (SELECT vec_id, m, cell, d2q FROM (
+             SELECT s.vec_id, s.m, c.cell, ${d2qSql("s.sv", "c.cv")} AS d2q,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY ${d2Sql("s.sv", "c.cv")} ASC, c.cell DESC) AS arn
+             FROM subs s JOIN cb1 c ON c.m = s.m) WHERE arn = 1)
+         SELECT m, cell, count(*) AS cnt,
+             CAST(sum(d2q) AS BIGINT) AS distortion_q6
+         FROM af GROUP BY m, cell ORDER BY m, cell"""
+    },
     "similarity_ivf" -> {
       val dim = 64
       def dotSql(a: String, b: String) =

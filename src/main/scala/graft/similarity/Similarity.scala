@@ -327,6 +327,108 @@ object Similarity {
     e.select(col("vec_id"), col("v"), col("nv"), best.getField("cell").as("cell"))
   }
 
+  /** Squared L2 distance — same bit-reproducible left fold as [[dot]]. */
+  private def d2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** PRODUCT QUANTIZATION — the compression half of the IVF-PQ
+    * architecture real 100 TB ANN runs: the vector splits into `numSub`
+    * subspaces of `subDim` dims, each subspace gets its own `ksub`-entry
+    * codebook (md5-seeded, one integer-grid Lloyd refinement — the
+    * [[ivfCentroids]] recipe per subspace), and every vector encodes to
+    * `numSub` small codes (here: the seed vec_id of the chosen entry).
+    * Storage/shuffle drops from `dim` floats to `numSub` codes; distance
+    * evaluation against a query becomes `numSub` table lookups.
+    *
+    * Output: (vec_id, m, cell, d2q) — one row per vector per subspace
+    * with the assigned code and the QUANTIZED squared-L2 distortion
+    * (each per-dim (x−c)² floors to the 1e6 fixed-point grid BEFORE an
+    * order-independent integer sum, so two engines hash-match).
+    *
+    * Scale shape: codebooks are bounded-by-construction driver state
+    * (numSub·ksub rows — same cost class as a broadcast, the
+    * [[assignCells]] argument) embedded as array literals, so encoding
+    * is a PURE PROJECTION inside whole-stage codegen: no shuffle
+    * touches the corpus except the two Lloyd aggregations over
+    * (m, cell, dim) partial sums. */
+  def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+               numSub: Int = 4, subDim: Int = 16, ksub: Int = 4): DataFrame = {
+    val e = embeddings.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val subs = e
+      .select(col("vec_id"), explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("v"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        expr(s"slice(v, m * $subDim + 1, $subDim)").as("sv"))
+
+    // seeds: per subspace, the ksub smallest md5(vec_id:m) prefixes —
+    // TopKAgg keeps the selection O(ksub) memory per partition (a
+    // per-m Window would shuffle every subvector row into numSub
+    // partitions). 52-bit prefix = exact in double, same order as the
+    // hex string.
+    val h = conv(substring(md5(concat(col("vec_id").cast("string"), lit(":"),
+      col("m").cast("string"))), 1, 13), 16, 10).cast("long")
+    val seedIds = subs.select(col("m"), col("vec_id"), h.as("h"))
+      .groupBy("m")
+      .agg(graft.functions.TopKAgg.topK(ksub, -col("h").cast("double"),
+        col("vec_id").cast("string")).as("seeds"))
+      .select(col("m"), explode(split(col("seeds"), ",")).as("sid"))
+      .select(col("m").as("sm"), col("sid").cast("long").as("cell"))
+    val cb0 = subs.join(broadcast(seedIds),
+        subs("m") === seedIds("sm") && subs("vec_id") === seedIds("cell"))
+      .select(col("m"), col("cell"), col("sv").as("cv"))
+
+    // bounded driver state (numSub·ksub rows): embed the codebook as
+    // literals so assignment runs inside codegen with no corpus shuffle
+    def assign(cb: DataFrame, withDistortion: Boolean): DataFrame = {
+      val rows = cb.select(col("m"), col("cell"), col("cv")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+      val byM = (0 until numSub).map { m =>
+        val mine = rows.filter(_._1 == m).sortBy(_._2)
+        require(mine.nonEmpty, s"empty PQ codebook for subspace $m")
+        (mine.map(_._2), mine.map(_._3))
+      }
+      // a starved cell (possible only with exact-duplicate subvectors)
+      // would make the literal matrix ragged — fail loud, not null-max
+      require(byM.map(_._1.length).distinct.size == 1,
+        s"ragged PQ codebook: ${byM.map(_._1.length)}")
+      val km = byM.head._1.length
+      val cells = typedlit(byM.map(_._1))
+      val mat = typedlit(byM.map(_._2))
+      val best = array_max(transform(sequence(lit(0), lit(km - 1)), p => {
+        val cv = element_at(element_at(mat, (col("m") + 1).cast("int")), p + 1)
+        val base = Seq(
+          (-d2(cv, col("sv"))).as("nd"),
+          element_at(element_at(cells, (col("m") + 1).cast("int")), p + 1).as("cell"))
+        val fields =
+          if (!withDistortion) base
+          else base :+ aggregate(
+            zip_with(cv, col("sv"),
+              (x, y) => floor((x - y) * (x - y) * lit(1000000.0) + lit(0.5)).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("d2q")
+        struct(fields: _*)
+      }))
+      if (withDistortion)
+        subs.select(col("vec_id"), col("m"), col("sv"),
+          best.getField("cell").as("cell"), best.getField("d2q").as("d2q"))
+      else
+        subs.select(col("vec_id"), col("m"), col("sv"), best.getField("cell").as("cell"))
+    }
+
+    // one integer-grid Lloyd refinement (the ivfCentroids update step,
+    // partitioned by (m, cell))
+    val cb1 = assign(cb0, withDistortion = false)
+      .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy("m", "cell", "dim")
+      .agg(sum(floor(col("x") * 1000000.0 + 0.5)).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("mv", col("s").cast("double") / col("cnt") / 1000000.0)
+      .groupBy("m", "cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("dm"))
+      .select(col("m"), col("cell"), transform(col("dm"), s => s.getField("mv")).as("cv"))
+
+    assign(cb1, withDistortion = true)
+      .select(col("vec_id"), col("m"), col("cell"), col("d2q"))
+  }
+
   /** IVF ANN top-k: probe the query's `nprobe` closest cells, exact
     * cosine within candidates. The scan side shuffles once on `cell`;
     * queries broadcast. The 100 TB path: cells partition the corpus so

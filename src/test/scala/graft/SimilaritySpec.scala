@@ -174,4 +174,49 @@ class SimilaritySpec extends SparkTestBase {
     }.toSet
     assert(got === expect)
   }
+
+  test("pqEncode matches a naive PQ lockstep on the sf0.001 embeddings") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val got = Similarity.pqEncode(emb, "vec_id", "embedding")
+      .select("vec_id", "m", "cell")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    val (numSub, subDim, ksub) = (4, 16, 4)
+    def sv(id: Long, m: Int): Array[Double] =
+      vecs(id).slice(m * subDim, m * subDim + subDim)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expect = (0 until numSub).flatMap { m =>
+      val seeds = vecs.keys.toSeq
+        .sortBy(id => (java.lang.Long.parseLong(md5hex(s"$id:$m").take(13), 16), id))
+        .take(ksub)
+      var cb: Map[Long, Array[Double]] = seeds.map(s0 => s0 -> sv(s0, m)).toMap
+      def assign(code: Map[Long, Array[Double]]): Map[Long, Long] =
+        vecs.keys.map { id =>
+          // min d2, tie → LARGER cell (the engine's struct-max order)
+          id -> code.toSeq.minBy { case (c, cv) => (d2(sv(id, m), cv), -c) }._1
+        }.toMap
+      val a1 = assign(cb)
+      // integer-grid Lloyd update, like ivfCentroids
+      cb = a1.groupBy(_._2).map { case (cell, members) =>
+        val ids = members.keys.toSeq
+        val mv = Array.tabulate(subDim) { dim =>
+          val s = ids.map(id => math.floor(sv(id, m)(dim) * 1000000.0 + 0.5).toLong).sum
+          (s.toDouble / ids.size) / 1000000.0
+        }
+        cell -> mv
+      }
+      assign(cb).map { case (id, cell) => (id, m.toLong, cell) }
+    }.toSet
+    assert(got === expect)
+  }
 }
