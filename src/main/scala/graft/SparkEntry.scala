@@ -1385,9 +1385,9 @@ object SparkEntry {
           col("vec_id") < 10, k = 5)
         .orderBy("query_id", "rn")),
 
-    // PRODUCT QUANTIZATION — the compression half of IVF-PQ: 4
-    // subspaces × 16 dims, 4-entry md5-seeded codebooks with one
-    // integer-grid Lloyd refinement; every vector → 4 codes. The
+    // PRODUCT QUANTIZATION — the compression half of IVF-PQ: 8
+    // subspaces × 8 dims, 16-entry md5-seeded codebooks with one
+    // integer-grid Lloyd refinement; every vector → 8 codes. The
     // full-corpus per-(subspace, code) population + quantized-distortion
     // rollup pins every assignment (a single flipped code moves both a
     // cnt and a distortion sum); codebooks are bounded driver literals,
@@ -1397,6 +1397,18 @@ object SparkEntry {
         .groupBy("m", "cell")
         .agg(count(lit(1)).as("cnt"), sum(col("d2q")).as("distortion_q6"))
         .orderBy("m", "cell")),
+
+    // PQ ANN search — the full IVF-PQ pipeline: asymmetric distance
+    // computation (per-query integer distance table; candidate distance
+    // = integer sum of code lookups — float vectors never move)
+    // shortlists 100, then an exact re-rank touches full vectors for
+    // just the shortlist. Recall@5 ≈ 0.8 on these PQ-hostile iid
+    // embeddings vs 0.18 for raw ADC ranking (real clustered
+    // embeddings fare far better). TopKAgg both stages.
+    "similarity_pq_topk" -> ((s, d) =>
+      Similarity.pqTopK(embeddings(s, d), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5)
+        .orderBy("query_id", "rn")),
 
     // quality features per document
     "text_quality" -> ((s, d) =>
@@ -4164,6 +4176,57 @@ object SparkEntry {
   /** Shared CTE prefix for the portable-simhash oracles: tokenize →
     * per-word md5-bit sums → 60-bit signature → 4×15-bit bands. Mirrors
     * `Dedup.simhashPortable` + `Dedup.simhashBands` digit for digit. */
+  /** Shared PQ replay (see `similarity_pq[_topk]`): subspace slicing,
+    * md5-prefix seeds, one integer-grid Lloyd step, argmin-L2
+    * assignment (tie: larger code) with per-dim floor-quantized
+    * distortion. Ends at `af` = (vec_id, m, sv, cell, d2q) and
+    * `cb1` = the refined codebook. */
+  /** Shared PQ replay (see `similarity_pq[_topk]`): subspace slicing,
+    * md5-prefix seeds, one integer-grid Lloyd step, argmin-L2
+    * assignment (tie: larger code) with per-dim floor-quantized
+    * distortion. 8 subspaces x 8 dims x 16 codes. Ends at `af` =
+    * (vec_id, m, sv, cell, d2q) and `cb1` = the refined codebook. */
+  private lazy val pqOracleCtes: String = {
+    val sub = 8
+    def d2Sql(a: String, b: String) =
+      s"""list_reduce(list_transform(generate_series(1, $sub),
+            i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"""
+    def d2qSql(a: String, b: String) =
+      s"""list_reduce(list_transform(generate_series(1, $sub),
+            i -> CAST(floor(($a[i] - $b[i]) * ($a[i] - $b[i]) * 1000000.0 + 0.5)
+                 AS BIGINT)), (x, y) -> x + y)"""
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       subs AS (SELECT e.vec_id, CAST(g.m AS BIGINT) AS m,
+           list_slice(e.v, g.m * $sub + 1, g.m * $sub + $sub) AS sv
+         FROM e CROSS JOIN generate_series(0, 7) g(m)),
+       seeds AS (SELECT m, vec_id FROM (
+           SELECT m, vec_id, row_number() OVER (PARTITION BY m
+               ORDER BY CAST(concat('0x', substr(md5(concat(
+                 CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))), 1, 13))
+                 AS BIGINT), vec_id) AS rn
+           FROM subs) WHERE rn <= 16),
+       cb0 AS (SELECT s.m, s.vec_id AS cell, s.sv AS cv
+         FROM subs s JOIN seeds d ON d.m = s.m AND d.vec_id = s.vec_id),
+       a1 AS (SELECT vec_id, m, sv, cell FROM (
+           SELECT s.vec_id, s.m, s.sv, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY ${d2Sql("s.sv", "c.cv")} ASC, c.cell DESC) AS arn
+           FROM subs s JOIN cb0 c ON c.m = s.m) WHERE arn = 1),
+       u AS (SELECT m, cell, g.i AS dim,
+           CAST(sum(CAST(floor(sv[g.i] * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+           count(*) AS cnt
+         FROM a1 CROSS JOIN generate_series(1, $sub) g(i)
+         GROUP BY m, cell, g.i),
+       cb1 AS (SELECT m, cell,
+           list((CAST(s AS DOUBLE) / cnt) / 1000000.0 ORDER BY dim) AS cv
+         FROM u GROUP BY m, cell),
+       af AS (SELECT vec_id, m, sv, cell, d2q FROM (
+           SELECT s.vec_id, s.m, s.sv, c.cell, ${d2qSql("s.sv", "c.cv")} AS d2q,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY ${d2Sql("s.sv", "c.cv")} ASC, c.cell DESC) AS arn
+           FROM subs s JOIN cb1 c ON c.m = s.m) WHERE arn = 1)"""
+  }
+
   private lazy val simhashOracleCtes: String = {
     val bitSums = (0 until 60).map { i =>
       s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1) >> ${i % 4}) & 1) = 1 THEN cnt ELSE -cnt END) AS b$i"
@@ -5708,52 +5771,45 @@ object SparkEntry {
     // float avg() depends on partial-sum order), then probe + exact
     // cosine. Assignment tie-break mirrors Spark's struct-max: cs DESC,
     // cell DESC; query probing mirrors row_number: cs DESC, cell ASC.
-    // PQ replay: same subspace slicing, md5-prefix seeds, one
-    // integer-grid Lloyd step, argmin-L2 assignment (tie: larger code),
-    // per-dim floor-quantized distortion summed as integers
-    "similarity_pq" -> {
-      val sub = 16
-      def d2Sql(a: String, b: String) =
-        s"""list_reduce(list_transform(generate_series(1, $sub),
-              i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"""
-      def d2qSql(a: String, b: String) =
-        s"""list_reduce(list_transform(generate_series(1, $sub),
-              i -> CAST(floor(($a[i] - $b[i]) * ($a[i] - $b[i]) * 1000000.0 + 0.5)
-                   AS BIGINT)), (x, y) -> x + y)"""
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         subs AS (SELECT e.vec_id, CAST(g.m AS BIGINT) AS m,
-             list_slice(e.v, g.m * $sub + 1, g.m * $sub + $sub) AS sv
-           FROM e CROSS JOIN generate_series(0, 3) g(m)),
-         seeds AS (SELECT m, vec_id FROM (
-             SELECT m, vec_id, row_number() OVER (PARTITION BY m
-                 ORDER BY CAST(concat('0x', substr(md5(concat(
-                   CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))), 1, 13))
-                   AS BIGINT), vec_id) AS rn
-             FROM subs) WHERE rn <= 4),
-         cb0 AS (SELECT s.m, s.vec_id AS cell, s.sv AS cv
-           FROM subs s JOIN seeds d ON d.m = s.m AND d.vec_id = s.vec_id),
-         a1 AS (SELECT vec_id, m, sv, cell FROM (
-             SELECT s.vec_id, s.m, s.sv, c.cell,
-                 row_number() OVER (PARTITION BY s.vec_id, s.m
-                   ORDER BY ${d2Sql("s.sv", "c.cv")} ASC, c.cell DESC) AS arn
-             FROM subs s JOIN cb0 c ON c.m = s.m) WHERE arn = 1),
-         u AS (SELECT m, cell, g.i AS dim,
-             CAST(sum(CAST(floor(sv[g.i] * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
-             count(*) AS cnt
-           FROM a1 CROSS JOIN generate_series(1, $sub) g(i)
-           GROUP BY m, cell, g.i),
-         cb1 AS (SELECT m, cell,
-             list((CAST(s AS DOUBLE) / cnt) / 1000000.0 ORDER BY dim) AS cv
-           FROM u GROUP BY m, cell),
-         af AS (SELECT vec_id, m, cell, d2q FROM (
-             SELECT s.vec_id, s.m, c.cell, ${d2qSql("s.sv", "c.cv")} AS d2q,
-                 row_number() OVER (PARTITION BY s.vec_id, s.m
-                   ORDER BY ${d2Sql("s.sv", "c.cv")} ASC, c.cell DESC) AS arn
-             FROM subs s JOIN cb1 c ON c.m = s.m) WHERE arn = 1)
+    // PQ replay (shared CTEs): per-(subspace, code) rollup
+    "similarity_pq" ->
+      s"""WITH $pqOracleCtes
          SELECT m, cell, count(*) AS cnt,
              CAST(sum(d2q) AS BIGINT) AS distortion_q6
-         FROM af GROUP BY m, cell ORDER BY m, cell"""
-    },
+         FROM af GROUP BY m, cell ORDER BY m, cell""",
+    // full IVF-PQ search replay: per-query integer distance table
+    // against cb1, ADC shortlist of 100 by (adist, vec_id), exact
+    // quantized-L2 re-rank of the shortlist, top-5 by (ed, vec_id)
+    "similarity_pq_topk" ->
+      s"""WITH $pqOracleCtes,
+         qtab AS (SELECT s.vec_id AS query_id, s.m, c.cell,
+             list_reduce(list_transform(generate_series(1, 8),
+               i -> CAST(floor((c.cv[i] - s.sv[i]) * (c.cv[i] - s.sv[i])
+                    * 1000000.0 + 0.5) AS BIGINT)), (x, y) -> x + y) AS dq
+           FROM subs s JOIN cb1 c ON c.m = s.m
+           WHERE s.vec_id < 10),
+         ad AS (SELECT q.query_id, f.vec_id, CAST(sum(q.dq) AS BIGINT) AS adist
+           FROM af f JOIN qtab q ON q.m = f.m AND q.cell = f.cell
+           WHERE q.query_id <> f.vec_id
+           GROUP BY q.query_id, f.vec_id),
+         short AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY adist ASC, vec_id ASC) AS srn
+             FROM ad) WHERE srn <= 100),
+         ex AS (SELECT sh.query_id, sh.vec_id,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> CAST(floor((c.v[i] - q.v[i]) * (c.v[i] - q.v[i])
+                    * 1000000.0 + 0.5) AS BIGINT)), (x, y) -> x + y) AS ed
+           FROM short sh
+           JOIN e c ON c.vec_id = sh.vec_id
+           JOIN e q ON q.vec_id = sh.query_id),
+         r AS (SELECT query_id, vec_id, ed,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY ed ASC, vec_id ASC) AS BIGINT) AS rn
+           FROM ex)
+         SELECT query_id, rn, vec_id AS neighbor_id, ed AS ed_q6
+         FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
     "similarity_ivf" -> {
       val dim = 64
       def dotSql(a: String, b: String) =

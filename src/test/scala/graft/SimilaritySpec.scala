@@ -184,7 +184,7 @@ class SimilaritySpec extends SparkTestBase {
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect()
       .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
-    val (numSub, subDim, ksub) = (4, 16, 4)
+    val (numSub, subDim, ksub) = (8, 8, 16)
     def sv(id: Long, m: Int): Array[Double] =
       vecs(id).slice(m * subDim, m * subDim + subDim)
     def d2(a: Array[Double], b: Array[Double]): Double = {
@@ -218,5 +218,22 @@ class SimilaritySpec extends SparkTestBase {
       assign(cb).map { case (id, cell) => (id, m.toLong, cell) }
     }.toSet
     assert(got === expect)
+  }
+
+  test("pqTopK (ADC shortlist + exact re-rank) recall@5 beats raw-code search") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val got = Similarity.pqTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // bruteForceTopK ranks by cosine, pqTopK by L2 — on these unit-ish
+    // synthetic vectors the two orders agree closely but not exactly,
+    // so gate on overlap, not equality. The shortlist (of 100, vs a
+    // 50-vector sf0.001 corpus = full coverage) makes the re-rank
+    // exact-L2 here; the recall floor guards the ADC plumbing.
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"pq recall@5 too low: $recall")
   }
 }
