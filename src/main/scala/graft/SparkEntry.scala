@@ -1410,6 +1410,16 @@ object SparkEntry {
           col("vec_id") < 10, k = 5)
         .orderBy("query_id", "rn")),
 
+    // IVF-PQ — the architecture 100 TB vector search deploys: IVF
+    // cells PRUNE (probe 4 of 16 → touch ~25% of the corpus), PQ codes
+    // COMPRESS (ADC inside probed cells reads 8 small ints per
+    // candidate), exact re-rank touches full vectors only for the
+    // 50-row shortlist
+    "similarity_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqTopK(embeddings(s, d), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5)
+        .orderBy("query_id", "rn")),
+
     // quality features per document
     "text_quality" -> ((s, d) =>
       TextAnalysis.quality(documents(s, d), "doc_id", "text").orderBy("doc_id")),
@@ -4227,6 +4237,46 @@ object SparkEntry {
            FROM subs s JOIN cb1 c ON c.m = s.m) WHERE arn = 1)"""
   }
 
+  private def ivfDotSql(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i]*$b[i]), (x, y) -> x + y)"
+  private def ivfNormSql(a: String) = s"sqrt(${ivfDotSql(a, a)})"
+
+  /** IVF coarse-quantizer replay (see `similarity_ivf[pq]`): md5-seeded
+    * 16 cells, two integer-grid Lloyd refinements, final max-cosine
+    * assignment. Assumes a CTE `e` = (vec_id, v DOUBLE[]) exists.
+    * Emits `{p}n` (normed vectors), `{p}c2` (refined centroids) and
+    * `{p}af` (vec_id, v, nv, cell); `p` prefixes every CTE so the
+    * block can coexist with the PQ CTEs in one WITH. */
+  private def ivfOracleCtes(p: String): String = {
+    def assign(name: String, cents: String) =
+      s"""${name}s AS (SELECT n.vec_id, n.v, n.nv, c.cell,
+           ${ivfDotSql("n.v", "c.cv")} / (${ivfNormSql("c.cv")} * n.nv) AS cs
+         FROM ${p}n n CROSS JOIN $cents c),
+       $name AS (SELECT vec_id, v, nv, cell FROM (
+           SELECT vec_id, v, nv, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cell DESC) AS arn
+           FROM ${name}s)
+         WHERE arn = 1)"""
+    def update(prev: String, out: String) =
+      s"""${out}u AS (SELECT cell, g.i AS dim,
+           CAST(sum(CAST(floor(v[g.i] * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+           count(*) AS cnt
+         FROM $prev CROSS JOIN generate_series(1, 64) g(i)
+         GROUP BY cell, g.i),
+       $out AS (SELECT cell,
+           list((CAST(s AS DOUBLE) / cnt) / 1000000.0 ORDER BY dim) AS cv
+         FROM ${out}u GROUP BY cell)"""
+    s"""${p}n AS (SELECT vec_id, v, ${ivfNormSql("v")} AS nv FROM e),
+       ${p}c0 AS (SELECT vec_id AS cell, v AS cv FROM ${p}n
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       ${assign(s"${p}a1", s"${p}c0")},
+       ${update(s"${p}a1", s"${p}c1")},
+       ${assign(s"${p}a2", s"${p}c1")},
+       ${update(s"${p}a2", s"${p}c2")},
+       ${assign(s"${p}af", s"${p}c2")}"""
+  }
+
   private lazy val simhashOracleCtes: String = {
     val bitSums = (0 until 60).map { i =>
       s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1) >> ${i % 4}) & 1) = 1 THEN cnt ELSE -cnt END) AS b$i"
@@ -5810,41 +5860,11 @@ object SparkEntry {
            FROM ex)
          SELECT query_id, rn, vec_id AS neighbor_id, ed AS ed_q6
          FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
-    "similarity_ivf" -> {
-      val dim = 64
-      def dotSql(a: String, b: String) =
-        s"list_reduce(list_transform(generate_series(1, $dim), i -> $a[i]*$b[i]), (x, y) -> x + y)"
-      def normSql(a: String) = s"sqrt(${dotSql(a, a)})"
-      def assign(name: String, cents: String) =
-        s"""${name}s AS (SELECT n.vec_id, n.v, n.nv, c.cell,
-             ${dotSql("n.v", "c.cv")} / (${normSql("c.cv")} * n.nv) AS cs
-           FROM n CROSS JOIN $cents c),
-         $name AS (SELECT vec_id, v, nv, cell FROM (
-             SELECT vec_id, v, nv, cell,
-                 row_number() OVER (PARTITION BY vec_id
-                                    ORDER BY cs DESC, cell DESC) AS arn
-             FROM ${name}s)
-           WHERE arn = 1)"""
-      def update(prev: String, out: String) =
-        s"""${out}u AS (SELECT cell, g.i AS dim,
-             CAST(sum(CAST(floor(v[g.i] * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
-             count(*) AS cnt
-           FROM $prev CROSS JOIN generate_series(1, $dim) g(i)
-           GROUP BY cell, g.i),
-         $out AS (SELECT cell,
-             list((CAST(s AS DOUBLE) / cnt) / 1000000.0 ORDER BY dim) AS cv
-           FROM ${out}u GROUP BY cell)"""
+    "similarity_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         n AS (SELECT vec_id, v, ${normSql("v")} AS nv FROM e),
-         c0 AS (SELECT vec_id AS cell, v AS cv FROM n
-                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-         ${assign("a1", "c0")},
-         ${update("a1", "c1")},
-         ${assign("a2", "c1")},
-         ${update("a2", "c2")},
-         ${assign("af", "c2")},
+         ${ivfOracleCtes("")},
          q AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nv AS nq, c.cell,
-             ${dotSql("n.v", "c.cv")} / (${normSql("c.cv")} * n.nv) AS cs
+             ${ivfDotSql("n.v", "c.cv")} / (${ivfNormSql("c.cv")} * n.nv) AS cs
            FROM n CROSS JOIN c2 c WHERE n.vec_id < 10),
          qc AS (SELECT query_id, qv, nq, cell FROM (
              SELECT query_id, qv, nq, cell,
@@ -5852,15 +5872,61 @@ object SparkEntry {
                                     ORDER BY cs DESC, cell ASC) AS cr
              FROM q) WHERE cr <= 4),
          pairs AS (SELECT DISTINCT qc.query_id, af.vec_id AS neighbor_id,
-             ${dotSql("qc.qv", "af.v")} / (qc.nq * af.nv) AS cos
+             ${ivfDotSql("qc.qv", "af.v")} / (qc.nq * af.nv) AS cos
            FROM af JOIN qc ON af.cell = qc.cell AND qc.query_id <> af.vec_id),
          r AS (SELECT query_id, neighbor_id, cos,
              CAST(row_number() OVER (PARTITION BY query_id
                                      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rn
            FROM pairs)
          SELECT query_id, neighbor_id, round(cos, 6) AS sim, rn
-         FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
-    },
+         FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
+    // FAISS-IVFPQ replay: IVF cells prune (nprobe=4 of 16), PQ-ADC
+    // ranks within probed cells, exact quantized-L2 re-rank of the
+    // 50-row shortlist
+    "similarity_ivfpq" ->
+      s"""WITH $pqOracleCtes,
+         ${ivfOracleCtes("iv")},
+         qiv AS (SELECT ivn.vec_id AS query_id, c.cell,
+             ${ivfDotSql("ivn.v", "c.cv")} / (${ivfNormSql("c.cv")} * ivn.nv) AS cs
+           FROM ivn CROSS JOIN ivc2 c WHERE ivn.vec_id < 10),
+         qcells AS (SELECT query_id, cell FROM (
+             SELECT query_id, cell,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cs DESC, cell ASC) AS cr
+             FROM qiv) WHERE cr <= 4),
+         probed AS (SELECT qc.query_id, a.vec_id
+           FROM ivaf a JOIN qcells qc
+             ON a.cell = qc.cell AND qc.query_id <> a.vec_id),
+         qtab AS (SELECT s.vec_id AS query_id, s.m, c.cell,
+             list_reduce(list_transform(generate_series(1, 8),
+               i -> CAST(floor((c.cv[i] - s.sv[i]) * (c.cv[i] - s.sv[i])
+                    * 1000000.0 + 0.5) AS BIGINT)), (x, y) -> x + y) AS dq
+           FROM subs s JOIN cb1 c ON c.m = s.m
+           WHERE s.vec_id < 10),
+         ad AS (SELECT p.query_id, p.vec_id, CAST(sum(q.dq) AS BIGINT) AS adist
+           FROM probed p
+           JOIN af f ON f.vec_id = p.vec_id
+           JOIN qtab q ON q.query_id = p.query_id
+                      AND q.m = f.m AND q.cell = f.cell
+           GROUP BY p.query_id, p.vec_id),
+         short AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY adist ASC, vec_id ASC) AS srn
+             FROM ad) WHERE srn <= 50),
+         ex AS (SELECT sh.query_id, sh.vec_id,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> CAST(floor((c.v[i] - q.v[i]) * (c.v[i] - q.v[i])
+                    * 1000000.0 + 0.5) AS BIGINT)), (x, y) -> x + y) AS ed
+           FROM short sh
+           JOIN e c ON c.vec_id = sh.vec_id
+           JOIN e q ON q.vec_id = sh.query_id),
+         r AS (SELECT query_id, vec_id, ed,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY ed ASC, vec_id ASC) AS BIGINT) AS rn
+           FROM ex)
+         SELECT query_id, rn, vec_id AS neighbor_id, ed AS ed_q6
+         FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
     // Generated from TextAnalysis.LangStopWords — one branch per language,
     // argmax with Spark's struct-max tie-break (score DESC, lang DESC).
     // The zh CJK branch is omitted: on the spec-asserted ASCII corpus its

@@ -476,15 +476,25 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("dq")).as("adist"))
-    def packed(dist: Column) = concat(lpad(dist.cast("string"), 12, "0"),
-      lit(":"), lpad(col("vec_id").cast("string"), 10, "0"))
+    adcShortlistRerank(adist, e, queryPred, k, shortlist)
+  }
+
+  private def packedTag(dist: Column) = concat(lpad(dist.cast("string"), 12, "0"),
+    lit(":"), lpad(col("vec_id").cast("string"), 10, "0"))
+
+  /** Shared search tail: ADC shortlist (TopKAgg, (dist, id) packed into
+    * the tag), then the exact quantized-L2 re-rank that alone touches
+    * full vectors — broadcast-joined, so the corpus scan never
+    * reshuffles. */
+  private def adcShortlistRerank(adist: DataFrame, e: DataFrame,
+                                 queryPred: Column, k: Int,
+                                 shortlist: Int): DataFrame = {
     val short = adist.groupBy("query_id")
       .agg(graft.functions.TopKAgg.topK(shortlist,
-        -col("adist").cast("double"), packed(col("adist"))).as("tops"))
+        -col("adist").cast("double"), packedTag(col("adist"))).as("tops"))
       .select(col("query_id"), explode(split(col("tops"), ",")).as("t"))
       .select(col("query_id"),
         split(col("t"), ":").getItem(1).cast("long").as("vec_id"))
-    // exact re-rank: only the shortlist rows touch full vectors
     val qv = e.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qfull"))
     val exact = e.join(broadcast(short), Seq("vec_id"))
@@ -492,11 +502,55 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), d2q(col("v"), col("qfull")).as("ed"))
     exact.groupBy("query_id")
       .agg(graft.functions.TopKAgg.topK(k,
-        -col("ed").cast("double"), packed(col("ed"))).as("tops"))
+        -col("ed").cast("double"), packedTag(col("ed"))).as("tops"))
       .select(col("query_id"), posexplode(split(col("tops"), ",")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rn"),
         split(col("col"), ":").getItem(1).cast("long").as("neighbor_id"),
         split(col("col"), ":").getItem(0).cast("long").as("ed_q6"))
+  }
+
+  /** IVF-PQ — the architecture 100 TB vector search actually deploys
+    * (FAISS IVFPQ): the IVF coarse quantizer PRUNES (each query probes
+    * `nprobe` of `numCells` cells, touching ~nprobe/numCells of the
+    * corpus), PQ codes COMPRESS (the ADC pass inside probed cells reads
+    * numSub small ints per candidate, never the vectors), and the exact
+    * re-rank touches full vectors only for the shortlist. Composes
+    * [[ivfCentroids]]/[[assignCells]] with [[pqCore]] + the shared
+    * shortlist/re-rank tail; everything integerizes on [[d2q]]'s grid
+    * so two engines hash-match. */
+  def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int,
+                numCells: Int = 16, nprobe: Int = 4, ivfIters: Int = 2,
+                numSub: Int = 8, subDim: Int = 8, ksub: Int = 16,
+                shortlist: Int = 50): DataFrame = {
+    val e = embeddings.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", l2norm(col("v")))
+    val cents = ivfCentroids(e, numCells, ivfIters)
+    val assigned = assignCells(e, cents).select(col("vec_id"), col("cell"))
+    val (cb, codes) = pqCore(embeddings, idCol, vecCol, numSub, subDim, ksub)
+    val qcells = e.filter(queryPred).crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("cell"),
+        (dot(col("v"), col("cv")) / (l2norm(col("cv")) * col("nv"))).as("cs"))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cs"), asc("cell"))))
+      .filter(col("cr") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val probed = assigned.join(broadcast(qcells), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val qsubs = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("v"))
+      .select(col("query_id"), col("m").cast("long").as("m"),
+        expr(s"slice(v, m * $subDim + 1, $subDim)").as("qsv"))
+    val qtab = qsubs.join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("cell"),
+        d2q(col("cv"), col("qsv")).as("dq"))
+    val adist = probed.join(codes, Seq("vec_id"))
+      .join(broadcast(qtab), Seq("query_id", "m", "cell"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("dq")).as("adist"))
+    adcShortlistRerank(adist, e, queryPred, k, shortlist)
   }
 
   /** IVF ANN top-k: probe the query's `nprobe` closest cells, exact
