@@ -318,6 +318,48 @@ object SparkEntry {
         .orderBy("yr")
     }),
 
+    // CHECK-constraint enforcement on the log table (Delta's table
+    // constraints): a clean batch commits, a violating batch is
+    // REJECTED before any commit (the require asserts rejection AND
+    // that the head did not move AND that its staged bytes were
+    // reclaimed), a second clean batch commits — readers can rely on
+    // the invariant holding for every visible row. Writer-side
+    // enforcement is the 100 TB shape: one distributed violation count
+    // per batch, never a post-hoc full-table audit.
+    "table_log_constraints" -> ((s, d) => {
+      val dir = s"/tmp/graft_txcheck_${new java.io.File(d).getName}"
+      val root = new java.io.File(dir)
+      if (root.isDirectory) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root.toPath)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val checks = Seq("cents >= 0", "o_orderkey IS NOT NULL")
+      graft.sources.TxLog.appendChecked(s,
+        o.filter(col("o_orderkey") % 3 === 0), dir, checks)
+      val rejected =
+        try {
+          graft.sources.TxLog.appendChecked(s,
+            o.filter(col("o_orderkey") % 3 === 1)
+              .withColumn("cents", -col("cents") - 1), dir, checks)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(rejected && graft.sources.TxLog.headVersion(dir) == 0,
+        "violating batch must be rejected without committing")
+      require(!root.listFiles.exists(f => f.getName.startsWith("seg-") &&
+          !graft.sources.TxLog.liveSegments(dir).contains(f.getName)),
+        "rejected batch leaked staged bytes")
+      graft.sources.TxLog.appendChecked(s,
+        o.filter(col("o_orderkey") % 3 === 2), dir, checks)
+      graft.sources.TxLog.read(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // binaryFile source — the multimodal ingest entry point: opaque
     // blobs arrive as (path, length, content) rows; identity/size/
     // digest derive WITHOUT decoding. Blob bytes are a deterministic
@@ -4992,6 +5034,12 @@ object SparkEntry {
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
          FROM orders WHERE o_orderkey % 4 = 1
          ORDER BY o_orderkey""",
+    // the admitted batches are exactly the %3 != 1 orders
+    "table_log_constraints" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey % 3 <> 1
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // the exactly-once sink's final table is the single-delivery truth
     "stream_txlog_sink" ->
       """SELECT event_type, count(*) AS n,

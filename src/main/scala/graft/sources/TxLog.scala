@@ -296,10 +296,13 @@ object TxLog {
       .sortWithinPartitions(sortCols.map(col): _*)
     val staging = newSegment(dir, clustered)
     import scala.jdk.CollectionConverters._
-    val parts = Files.list(Paths.get(dir, staging)).iterator.asScala
-      .filter(p => p.getFileName.toString.startsWith("part-") &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val listing = Files.list(Paths.get(dir, staging))
+    val parts =
+      try listing.iterator.asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally listing.close()
     val segs = parts.map { p =>
       val name = s"seg-${java.util.UUID.randomUUID}"
       val segDir = Paths.get(dir, name)
@@ -361,6 +364,41 @@ object TxLog {
           .iterator.asScala.foreach(Files.deleteIfExists(_))
       }
     }
+  }
+
+  /** CHECK-constraint-enforced append (Delta's table constraints): the
+    * batch is admitted only if EVERY row satisfies every predicate —
+    * one distributed scan counts violations per constraint BEFORE any
+    * commit; on violation nothing is committed and the staged bytes
+    * are reclaimed (writer-side enforcement: readers never see a row
+    * that breaks an invariant). Throws IllegalArgumentException naming
+    * the violated constraints and their row counts. */
+  def appendChecked(spark: SparkSession, df: DataFrame, dir: String,
+                    constraints: Seq[String],
+                    statsCols: Seq[String] = Nil): Int = {
+    require(constraints.nonEmpty, "appendChecked without constraints: use append")
+    // stage once so the checks and the commit read the same bytes even
+    // if `df` is nondeterministic upstream
+    val seg = newSegment(dir, df)
+    val staged = spark.read.parquet(s"$dir/$seg")
+    // SQL CHECK semantics: a row violates only when the predicate is
+    // explicitly FALSE (NULL passes, like Delta's constraints)
+    // coalesce: an EMPTY batch sums to null, which must read as 0 violations
+    val counts = staged.select(constraints.map(c =>
+      coalesce(sum(when(not(coalesce(expr(c), lit(true))), 1L).otherwise(0L)),
+        lit(0L)).as(c)): _*).head()
+    val violated = constraints.zipWithIndex
+      .map { case (c, i) => c -> counts.getLong(i) }.filter(_._2 > 0)
+    if (violated.nonEmpty) {
+      val p = Paths.get(dir, seg)
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator.asScala.foreach(Files.deleteIfExists(_))
+      throw new IllegalArgumentException("constraint violation(s): " +
+        violated.map { case (c, n) => s"[$c] $n row(s)" }.mkString("; "))
+    }
+    commit(dir, "append", Seq(seg), Seq.empty,
+      stats = segStats(spark, dir, seg, statsCols))
   }
 
   /** Idempotent streaming append — the exactly-once `foreachBatch`

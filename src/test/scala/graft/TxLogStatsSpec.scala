@@ -110,6 +110,29 @@ class TxLogStatsSpec extends SparkTestBase {
     assert(TxLog.liveSegments(dir).size == 4, "no segment should have been rewritten")
   }
 
+  test("appendChecked admits clean batches, rejects violations pre-commit") {
+    val dir = freshDir()
+    TxLog.appendChecked(spark, Seq((1L, 10L), (2L, 0L)).toDF("id", "v"), dir,
+      Seq("v >= 0", "id IS NOT NULL"))
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.appendChecked(spark, Seq((3L, -5L), (4L, 7L), (5L, -1L)).toDF("id", "v"),
+        dir, Seq("v >= 0"))
+    }
+    assert(ex.getMessage.contains("v >= 0") && ex.getMessage.contains("2 row(s)"),
+      s"message must name the constraint and count: ${ex.getMessage}")
+    assert(TxLog.headVersion(dir) == 0, "rejected batch must not commit")
+    // staged bytes reclaimed: only the committed segment remains on disk
+    val onDisk = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("seg-")).toSet
+    assert(onDisk == TxLog.liveSegments(dir).toSet,
+      s"rejected batch leaked staging: $onDisk")
+    // SQL CHECK semantics: NULL predicate result passes (Delta-style)
+    TxLog.appendChecked(spark,
+      Seq((6L, null.asInstanceOf[java.lang.Long])).toDF("id", "v"), dir,
+      Seq("v >= 0"))
+    assert(TxLog.read(spark, dir).count() == 3)
+  }
+
   test("appendStream is idempotent per batch id (exactly-once sink contract)") {
     val dir = freshDir()
     assert(TxLog.appendStream(Seq((1L, "a")).toDF("id", "v"), dir, batchId = 0L)
