@@ -329,12 +329,7 @@ object SparkEntry {
     "table_log_constraints" -> ((s, d) => {
       val dir = s"/tmp/graft_txcheck_${new java.io.File(d).getName}"
       val root = new java.io.File(dir)
-      if (root.isDirectory) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root.toPath)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      graft.sources.TxLog.deleteRecursively(root.toPath)
       val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
       val checks = Seq("cents >= 0", "o_orderkey IS NOT NULL")
@@ -3165,12 +3160,7 @@ object SparkEntry {
       val src = streamCache4(s, d)
       val sink = s"/tmp/graft_txsink_${new java.io.File(d).getName}"
       val root = new java.io.File(sink)
-      if (root.isDirectory) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root.toPath)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      graft.sources.TxLog.deleteRecursively(root.toPath)
       val schema = s.read.parquet(src).schema
       val feed = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src + "/*.parquet")
@@ -3965,12 +3955,7 @@ object SparkEntry {
       // which would append the scenario at v5+ while readers still
       // replay the stale v0-v4 — wipe the table first
       val root = new java.io.File(out)
-      if (root.isDirectory) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root.toPath)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      graft.sources.TxLog.deleteRecursively(root.toPath)
       val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"))
       graft.sources.TxLog.append(o.filter(col("o_orderkey") % 4 === 0), out)
@@ -4025,12 +4010,7 @@ object SparkEntry {
     cachedDir(s"/tmp/graft_txstats_${new java.io.File(d).getName}", d,
         Seq("orders")) { out =>
       val root = new java.io.File(out)
-      if (root.isDirectory) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root.toPath)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      graft.sources.TxLog.deleteRecursively(root.toPath)
       // o_orderdate normalized to a yyyy-MM-dd STRING: segment min/max
       // on ISO strings order correctly and match the oracle's substr
       val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
@@ -4255,14 +4235,6 @@ object SparkEntry {
   // DuckDB oracle SQL — same column names, same ordering, same rounding.
   // ---------------------------------------------------------------------
 
-  /** Shared CTE prefix for the portable-simhash oracles: tokenize →
-    * per-word md5-bit sums → 60-bit signature → 4×15-bit bands. Mirrors
-    * `Dedup.simhashPortable` + `Dedup.simhashBands` digit for digit. */
-  /** Shared PQ replay (see `similarity_pq[_topk]`): subspace slicing,
-    * md5-prefix seeds, one integer-grid Lloyd step, argmin-L2
-    * assignment (tie: larger code) with per-dim floor-quantized
-    * distortion. Ends at `af` = (vec_id, m, sv, cell, d2q) and
-    * `cb1` = the refined codebook. */
   /** Shared PQ replay (see `similarity_pq[_topk]`): subspace slicing,
     * md5-prefix seeds, one integer-grid Lloyd step, argmin-L2
     * assignment (tie: larger code) with per-dim floor-quantized
@@ -4349,6 +4321,9 @@ object SparkEntry {
        ${assign(s"${p}af", s"${p}c2")}"""
   }
 
+  /** Shared CTE prefix for the portable-simhash oracles: tokenize →
+    * per-word md5-bit sums → 60-bit signature → 4×15-bit bands. Mirrors
+    * `Dedup.simhashPortable` + `Dedup.simhashBands` digit for digit. */
   private lazy val simhashOracleCtes: String = {
     val bitSums = (0 until 60).map { i =>
       s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1) >> ${i % 4}) & 1) = 1 THEN cnt ELSE -cnt END) AS b$i"

@@ -57,6 +57,32 @@ object TxLog {
   private def entryPath(dir: String, v: Int): Path =
     logDir(dir).resolve(f"$v%08d.txt")
 
+  /** Recursive delete (children-first); no-op on a missing path. */
+  private[graft] def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator.asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+
+  /** Conditional commit that RECLAIMS the just-written `add` segments
+    * on a concurrency conflict — without this, every conflicted
+    * optimize/merge/delete of a large table would leak a table-sized
+    * set of unreferenced segment dirs that [[vacuum]] (which only sees
+    * entry-recorded segments) could never reclaim. */
+  private[graft] def commitOrReclaim(dir: String, op: String,
+                              add: Seq[String], remove: Seq[String],
+                              expectedHead: Int,
+                              stats: Map[(String, String), ColStats]): Int =
+    try commit(dir, op, add, remove, Some(expectedHead), stats)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        add.foreach(seg => deleteRecursively(Paths.get(dir, seg)))
+        throw e
+    }
+
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String =
@@ -65,7 +91,8 @@ object TxLog {
   private def parse(v: Int, lines: Seq[String]): Entry = {
     def vals(k: String) = lines.filter(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
     val stats = vals("stats").flatMap { line =>
-      line.split('|') match {
+      // limit -1: a trailing empty field (empty-string max) must survive
+      line.split("\\|", -1) match {
         case Array(seg, c, tn, mn, mx) =>
           Some((dec(seg), dec(c)) -> ColStats(dec(tn), dec(mn), dec(mx)))
         case _ => None // malformed / future-format stats line: ignorable metadata
@@ -204,16 +231,28 @@ object TxLog {
 
   /** True iff the recorded [min,max] of `c` in `seg` PROVES no row can
     * fall in [lo, hi]. Missing stats → not prunable (conservative).
-    * Numeric types compare as BigDecimal; everything else (string,
-    * date — ISO strings order correctly) lexicographically. */
+    * Integral/decimal types compare as BigDecimal (exact); float/double
+    * compare as parsed doubles — Spark's cast-to-string is the shortest
+    * ROUND-TRIP representation, so the parse recovers the exact stored
+    * value and the comparison agrees bit-for-bit with the residual
+    * filter's own cast (a BigDecimal compare of the decimal strings
+    * would NOT: 0.1's repr "0.1" reads as a decimal below the true
+    * binary value and can falsely prune a matching segment). NaN stats
+    * (Spark max propagates NaN) make every comparison false → the
+    * segment is conservatively kept, never an exception. Everything
+    * else (string, date — ISO strings order correctly) compares
+    * lexicographically. */
   private def canPrune(st: Option[ColStats], lo: Option[String],
                        hi: Option[String]): Boolean = st match {
     case None => false
     case Some(ColStats(tn, mn, mx)) =>
-      val numeric = Set("byte", "short", "integer", "long", "float", "double")
-        .contains(tn) || tn.startsWith("decimal")
+      val integral = Set("byte", "short", "integer", "long").contains(tn) ||
+        tn.startsWith("decimal")
+      val fp = tn == "float" || tn == "double"
       def lt(a: String, b: String): Boolean =
-        if (numeric) BigDecimal(a) < BigDecimal(b) else a < b
+        if (fp) java.lang.Double.parseDouble(a) < java.lang.Double.parseDouble(b)
+        else if (integral) BigDecimal(a) < BigDecimal(b)
+        else a < b
       lo.exists(l => lt(mx, l)) || hi.exists(h => lt(h, mn))
   }
 
@@ -232,11 +271,16 @@ object TxLog {
     * and touching the handful of segments a time/key range lives in. */
   def readRange(spark: SparkSession, dir: String, c: String,
                 lo: Option[String], hi: Option[String],
-                asOf: Int = -1): DataFrame = {
+                asOf: Int = -1, mergeSchema: Boolean = false): DataFrame = {
     val (kept, _) = pruneRange(dir, c, lo, hi, asOf)
+    // mergeSchema mirrors [[read]]: on a schema-EVOLVED table the range
+    // column may exist only in newer segments, and a single-footer
+    // schema inference could miss it
     val base =
-      if (kept.isEmpty) read(spark, dir, asOf).limit(0) // schema-preserving empty
-      else spark.read.parquet(kept.map(s => s"$dir/$s"): _*)
+      if (kept.isEmpty) // schema-preserving empty
+        read(spark, dir, asOf, mergeSchema).limit(0)
+      else spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(kept.map(s => s"$dir/$s"): _*)
     val dt = base.schema(c).dataType
     val cond = (lo.map(l => col(c) >= lit(l).cast(dt)) ++
       hi.map(h => col(c) <= lit(h).cast(dt)))
@@ -270,8 +314,8 @@ object TxLog {
       sdf.filter(!rangeCond(sdf) || col(c).isNull)
     }.reduce(_ unionByName _)
     val seg = newSegment(dir, kept)
-    commit(dir, "delete", Seq(seg), dirty, Some(snap),
-      stats = segStats(spark, dir, seg, statsCols))
+    commitOrReclaim(dir, "delete", Seq(seg), dirty, snap,
+      segStats(spark, dir, seg, statsCols))
   }
 
   /** OPTIMIZE with clustering (Delta's `OPTIMIZE ... ZORDER/CLUSTER BY`
@@ -311,12 +355,11 @@ object TxLog {
       name
     }
     // drop the emptied staging dir (only _SUCCESS etc. remain)
-    Files.walk(Paths.get(dir, staging)).sorted(java.util.Comparator.reverseOrder[Path]())
-      .iterator.asScala.foreach(Files.deleteIfExists(_))
+    deleteRecursively(Paths.get(dir, staging))
     val stats = segs.foldLeft(Map.empty[(String, String), ColStats]) {
       (m, seg) => m ++ segStats(spark, dir, seg, statsCols)
     }
-    commit(dir, "optimize", segs, live, Some(snap), stats = stats)
+    commitOrReclaim(dir, "optimize", segs, live, snap, stats)
   }
 
   /** Copy-on-write MERGE (upsert) on `key`: rows of `updates` REPLACE
@@ -353,16 +396,11 @@ object TxLog {
           .join(uKeys, Seq(key), "left_anti")
           .unionByName(u)
       val seg = newSegment(dir, newData)
-      commit(dir, "merge", Seq(seg), dirty, Some(snap),
-        stats = segStats(spark, dir, seg, statsCols))
+      commitOrReclaim(dir, "merge", Seq(seg), dirty, snap,
+        segStats(spark, dir, seg, statsCols))
     } finally {
       // staging bytes are referenced by no version — reclaim eagerly
-      val p = Paths.get(dir, uSeg)
-      if (Files.isDirectory(p)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-          .iterator.asScala.foreach(Files.deleteIfExists(_))
-      }
+      deleteRecursively(Paths.get(dir, uSeg))
     }
   }
 
@@ -390,10 +428,7 @@ object TxLog {
     val violated = constraints.zipWithIndex
       .map { case (c, i) => c -> counts.getLong(i) }.filter(_._2 > 0)
     if (violated.nonEmpty) {
-      val p = Paths.get(dir, seg)
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator.asScala.foreach(Files.deleteIfExists(_))
+      deleteRecursively(Paths.get(dir, seg))
       throw new IllegalArgumentException("constraint violation(s): " +
         violated.map { case (c, n) => s"[$c] $n row(s)" }.mkString("; "))
     }
@@ -421,7 +456,8 @@ object TxLog {
   def overwrite(df: DataFrame, dir: String): Int = {
     val snap = headVersion(dir)
     val live = liveSegments(dir, snap)
-    commit(dir, "overwrite", Seq(newSegment(dir, df)), live, Some(snap))
+    commitOrReclaim(dir, "overwrite", Seq(newSegment(dir, df)), live, snap,
+      Map.empty)
   }
 
   /** Copy-on-write delete of rows matching `predicate`: rewrites ONLY
@@ -439,7 +475,8 @@ object TxLog {
       spark.read.parquet(s"$dir/$seg").filter(s"NOT ($predicate)"))
       .reduce(_ unionByName _)
     val _ = clean // clean segments survive by reference
-    commit(dir, "delete", Seq(newSegment(dir, kept)), dirty, Some(snap))
+    commitOrReclaim(dir, "delete", Seq(newSegment(dir, kept)), dirty, snap,
+      Map.empty)
   }
 
   /** Consolidate the live set into one segment — no logical change.
@@ -449,7 +486,8 @@ object TxLog {
     val live = liveSegments(dir, snap)
     require(live.nonEmpty, s"compact of empty table $dir")
     val all = spark.read.parquet(live.map(s => s"$dir/$s"): _*).coalesce(1)
-    commit(dir, "compact", Seq(newSegment(dir, all)), live, Some(snap))
+    commitOrReclaim(dir, "compact", Seq(newSegment(dir, all)), live, snap,
+      Map.empty)
   }
 
   /** Incremental read: ONLY the segments commit `version` ADDED — the
@@ -480,14 +518,7 @@ object TxLog {
     val retained = (horizon to head).flatMap(v => liveSegments(dir, v)).toSet
     val all = entries(dir).flatMap(_.add).toSet
     val doomed = (all -- retained).toSeq.sorted
-    doomed.foreach { seg =>
-      val p = Paths.get(dir, seg)
-      if (Files.isDirectory(p)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-          .iterator.asScala.foreach(Files.deleteIfExists(_))
-      }
-    }
+    doomed.foreach(seg => deleteRecursively(Paths.get(dir, seg)))
     doomed
   }
 

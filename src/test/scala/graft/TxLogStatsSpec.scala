@@ -54,6 +54,64 @@ class TxLogStatsSpec extends SparkTestBase {
       .count() == 2)
   }
 
+  test("float/double stats compare as doubles, not decimal strings") {
+    val dir = freshDir()
+    TxLog.appendWithStats(spark, Seq((1L, 0.1)).toDF("id", "x"), dir, Seq("x"))
+    // 0.1's recorded repr "0.1" reads as a DECIMAL below the true binary
+    // value 0.1000...0555; a BigDecimal compare against this lo (between
+    // the two) would falsely prune the segment while the residual filter
+    // (which casts lo to the SAME double 0.1) matches the row
+    val lo = "0.10000000000000000555"
+    val (kept, _) = TxLog.pruneRange(dir, "x", Some(lo), None)
+    assert(kept.size == 1, "false prune on a float/double stats boundary")
+    assert(TxLog.readRange(spark, dir, "x", Some(lo), None).count() == 1)
+  }
+
+  test("NaN stats keep the segment conservatively instead of crashing") {
+    val dir = freshDir()
+    TxLog.appendWithStats(spark,
+      Seq((1L, Double.NaN), (2L, 5.0)).toDF("id", "x"), dir, Seq("x"))
+    // Spark max propagates NaN into the recorded stats: every range
+    // comparison must come back false (keep), never NumberFormatException
+    val (kept, pruned) = TxLog.pruneRange(dir, "x", Some("100"), Some("200"))
+    assert(kept.size == 1 && pruned.isEmpty)
+    assert(TxLog.readRange(spark, dir, "x", Some("4"), Some("6")).count() == 1)
+  }
+
+  test("empty-string stats survive the log round trip and still prune") {
+    val dir = freshDir()
+    TxLog.appendWithStats(spark, Seq((1L, "")).toDF("id", "v"), dir, Seq("v"))
+    // a trailing empty max field must not be dropped by the line parse
+    val (_, pruned) = TxLog.pruneRange(dir, "v", Some("a"), Some("b"))
+    assert(pruned.size == 1,
+      "empty-string stats were lost in the commit-entry round trip")
+  }
+
+  test("readRange(mergeSchema) works on a schema-evolved table") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir) // no column w yet
+    TxLog.appendWithStats(spark,
+      Seq((2L, "b", 10L), (3L, "c", 99L)).toDF("id", "v", "w"), dir, Seq("w"))
+    val got = TxLog.readRange(spark, dir, "w", Some("5"), Some("50"),
+        mergeSchema = true)
+      .select("id").as[Long].collect().toList
+    assert(got == List(2L),
+      "range read over the evolved column must see newer segments' schema")
+  }
+
+  test("a conflicted conditional commit reclaims its staged segments") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir) // v0
+    val staged = "seg-conflict-test"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, staged))
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.commitOrReclaim(dir, "optimize", Seq(staged), Seq.empty,
+        expectedHead = -1, stats = Map.empty) // stale: head is 0
+    }
+    assert(!new java.io.File(dir, staged).exists,
+      "conflicted commit must delete its staged segment dirs")
+  }
+
   test("string/date stats order lexicographically, numeric stats numerically") {
     val dir = freshDir()
     TxLog.appendWithStats(spark,
