@@ -303,6 +303,29 @@ object SparkEntry {
         .orderBy("yr")
     }),
 
+    // BLOOM-FILTER point-lookup skipping on the log table: o_orderkey
+    // is spread across every date-range segment, so min/max stats CANNOT
+    // prune a key lookup — the per-segment Bloom recorded at append
+    // proves absence and the lookup touches only the one segment
+    // holding the key (the require asserts ≥2 of 4 pruned per probe).
+    // The 100 TB needle-in-haystack path; false positives only cost an
+    // extra scan, never correctness.
+    "table_log_bloom" -> ((s, d) => {
+      val dir = txStatsCache(s, d)
+      Seq("777", "778", "779").foreach { key =>
+        val (kept, pruned) = graft.sources.TxLog.prunePoint(
+          dir, "o_orderkey", key, asOf = 3)
+        require(pruned.size >= 2,
+          s"bloom pruning regressed for key $key: kept=$kept pruned=$pruned")
+      }
+      Seq("777", "778", "779").map { key =>
+        graft.sources.TxLog.readPoint(s, dir, "o_orderkey", key, asOf = 3)
+      }.reduce(_ unionByName _)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("cents"))
+        .orderBy("o_orderkey")
+    }),
+
     // copy-on-write MERGE (upsert) on the log table: updates bump
     // cents for o_orderkey%500=7 and insert brand-new negative keys;
     // only segments containing a matched key were rewritten (clean
@@ -4007,7 +4030,7 @@ object SparkEntry {
     * OF v3; merge reads head. Wiped before rebuild like [[txLogCache]]
     * so a retry can't replay the scenario on top of a stale log. */
   private def txStatsCache(s: SparkSession, d: String): String =
-    cachedDir(s"/tmp/graft_txstats_${new java.io.File(d).getName}", d,
+    cachedDir(s"/tmp/graft_txstats2_${new java.io.File(d).getName}", d,
         Seq("orders")) { out =>
       val root = new java.io.File(out)
       graft.sources.TxLog.deleteRecursively(root.toPath)
@@ -4023,7 +4046,8 @@ object SparkEntry {
         .foreach { case (lo, hi) =>
           graft.sources.TxLog.appendWithStats(s,
             o.filter(col("o_orderdate").between(lo, hi)), out,
-            Seq("o_orderdate", "o_orderkey"))
+            Seq("o_orderdate", "o_orderkey"),
+            bloomCols = Seq("o_orderkey"))
         }
       val upd = o.filter(col("o_orderkey") % 500 === 7)
         .withColumn("cents", col("cents") + 100000L)
@@ -5058,6 +5082,14 @@ object SparkEntry {
          FROM orders
          WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // pre-merge (v3) contents are exactly orders; the point lookups are
+    // a plain IN filter — bloom pruning must not change results
+    "table_log_bloom" ->
+      """SELECT o_orderkey, o_custkey,
+             substr(CAST(o_orderdate AS VARCHAR), 1, 10) AS o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey IN (777, 778, 779)
+         ORDER BY o_orderkey""",
     // the optimize is a logical no-op over the merged head: replay the
     // merge, filter the key band, same per-year rollup
     "table_log_optimize" ->

@@ -50,9 +50,21 @@ object TxLog {
     * comparison domain at prune time (numeric vs lexicographic). */
   private[graft] case class ColStats(typeName: String, min: String, max: String)
 
+  /** Per-segment, per-column Bloom filter recorded at write time — the
+    * point-lookup complement to [[ColStats]]: range min/max cannot
+    * prune a high-cardinality key spread across segments, a Bloom can
+    * (Delta's bloom filter index / parquet's bloom, held in the LOG so
+    * pruning needs no file open). `bits` is an m-bit little-endian
+    * bitset; k hash positions derive from md5 (see [[bloomPositions]]). */
+  private[graft] case class BloomStats(m: Int, k: Int, bits: Array[Byte]) {
+    def mightContain(value: String): Boolean =
+      bloomPositions(value, m, k).forall(p => (bits(p / 8) & (1 << (p % 8))) != 0)
+  }
+
   private case class Entry(version: Int, op: String,
                            add: Seq[String], remove: Seq[String],
-                           stats: Map[(String, String), ColStats])
+                           stats: Map[(String, String), ColStats],
+                           blooms: Map[(String, String), BloomStats])
 
   private def entryPath(dir: String, v: Int): Path =
     logDir(dir).resolve(f"$v%08d.txt")
@@ -75,8 +87,9 @@ object TxLog {
   private[graft] def commitOrReclaim(dir: String, op: String,
                               add: Seq[String], remove: Seq[String],
                               expectedHead: Int,
-                              stats: Map[(String, String), ColStats]): Int =
-    try commit(dir, op, add, remove, Some(expectedHead), stats)
+                              stats: Map[(String, String), ColStats],
+                              blooms: Map[(String, String), BloomStats] = Map.empty): Int =
+    try commit(dir, op, add, remove, Some(expectedHead), stats, blooms)
     catch {
       case e: java.util.ConcurrentModificationException =>
         add.foreach(seg => deleteRecursively(Paths.get(dir, seg)))
@@ -98,7 +111,16 @@ object TxLog {
         case _ => None // malformed / future-format stats line: ignorable metadata
       }
     }.toMap
-    Entry(v, vals("op").headOption.getOrElse("?"), vals("add"), vals("remove"), stats)
+    val blooms = vals("bloom").flatMap { line =>
+      line.split("\\|", -1) match {
+        case Array(seg, c, m, k, b64) =>
+          Some((dec(seg), dec(c)) -> BloomStats(m.toInt, k.toInt,
+            java.util.Base64.getUrlDecoder.decode(b64)))
+        case _ => None
+      }
+    }.toMap
+    Entry(v, vals("op").headOption.getOrElse("?"), vals("add"), vals("remove"),
+      stats, blooms)
   }
 
   /** All committed entries in version order (driver-side, O(commits)). */
@@ -144,14 +166,20 @@ object TxLog {
   private[graft] def commit(dir: String, op: String,
                             add: Seq[String], remove: Seq[String],
                             expectedHead: Option[Int] = None,
-                            stats: Map[(String, String), ColStats] = Map.empty): Int = {
+                            stats: Map[(String, String), ColStats] = Map.empty,
+                            blooms: Map[(String, String), BloomStats] = Map.empty): Int = {
     val ld = logDir(dir); Files.createDirectories(ld)
     val statLines = stats.toSeq.sortBy { case ((seg, c), _) => (seg, c) }
       .map { case ((seg, c), st) =>
         s"stats=${enc(seg)}|${enc(c)}|${enc(st.typeName)}|${enc(st.min)}|${enc(st.max)}"
       }
+    val bloomLines = blooms.toSeq.sortBy { case ((seg, c), _) => (seg, c) }
+      .map { case ((seg, c), b) =>
+        s"bloom=${enc(seg)}|${enc(c)}|${b.m}|${b.k}|" +
+          java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b.bits)
+      }
     val body = (Seq(s"op=$op") ++ add.map("add=" + _) ++
-        remove.map("remove=" + _) ++ statLines)
+        remove.map("remove=" + _) ++ statLines ++ bloomLines)
       .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(ld, ".commit", ".tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
@@ -214,14 +242,89 @@ object TxLog {
     }.toMap
   }
 
-  /** Append with per-segment min/max stats on `statsCols` recorded in
-    * the commit entry — enables [[readRange]]/[[deleteRange]] to skip
-    * segments without opening them (Delta/Iceberg file skipping). */
+  /** The k bit positions of `value` in an m-bit Bloom filter: the
+    * 52-bit md5 prefix of `value:i` mod m — deterministic, engine- and
+    * JVM-independent (same recipe as the PQ/seed hashing). */
+  private[graft] def bloomPositions(value: String, m: Int, k: Int): Seq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until k).map { i =>
+      val hex = md.digest(s"$value:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      (java.lang.Long.parseLong(hex, 16) % m).toInt
+    }
+  }
+
+  /** Per-segment Bloom filters for `bloomCols` over the just-written
+    * segment: one distributed pass per column emits the DISTINCT bit
+    * positions (bounded by m, not by rows — the shuffle carries at most
+    * m ints per segment), collected into an m-bit bitset. m auto-sizes
+    * to ~16 bits/row (power of two, 8K..4M bits → fp well under 1%);
+    * each lookup reads its segment's recorded m, so mixed sizes across
+    * a table's history are fine. */
+  private def segBlooms(spark: SparkSession, dir: String, seg: String,
+                        bloomCols: Seq[String],
+                        k: Int = 4): Map[(String, String), BloomStats] = {
+    if (bloomCols.isEmpty) return Map.empty
+    val sdf = spark.read.parquet(s"$dir/$seg")
+    val n = sdf.count()
+    var m = 8192
+    while (m < 16L * n && m < (1 << 22)) m <<= 1
+    bloomCols.map { c =>
+      val posCols = (0 until k).map(i =>
+        (conv(substring(md5(concat(col("v"), lit(s":$i"))), 1, 13), 16, 10)
+          .cast("long") % m).cast("int"))
+      val positions = sdf.select(col(c).cast("string").as("v")).na.drop()
+        .select(explode(array(posCols: _*)).as("p"))
+        .distinct().collect().map(_.getInt(0))
+      val bits = new Array[Byte]((m + 7) / 8)
+      positions.foreach(p => bits(p / 8) = (bits(p / 8) | (1 << (p % 8))).toByte)
+      (seg, c) -> BloomStats(m, k, bits)
+    }.toMap
+  }
+
+  /** Append with per-segment min/max stats on `statsCols` (range
+    * skipping) and Bloom filters on `bloomCols` (point-lookup skipping
+    * for high-cardinality keys range stats can't prune) recorded in
+    * the commit entry — [[readRange]]/[[readPoint]] skip segments
+    * without opening them (Delta/Iceberg file skipping + bloom index). */
   def appendWithStats(spark: SparkSession, df: DataFrame, dir: String,
-                      statsCols: Seq[String]): Int = {
+                      statsCols: Seq[String],
+                      bloomCols: Seq[String] = Nil): Int = {
     val seg = newSegment(dir, df)
     commit(dir, "append", Seq(seg), Seq.empty,
-      stats = segStats(spark, dir, seg, statsCols))
+      stats = segStats(spark, dir, seg, statsCols),
+      blooms = segBlooms(spark, dir, seg, bloomCols))
+  }
+
+  private def allBlooms(dir: String): Map[(String, String), BloomStats] =
+    entries(dir).iterator.flatMap(_.blooms).toMap
+
+  /** Split the live set (as of `asOf`) into (kept, pruned) for the
+    * point predicate `col = value`, from log metadata alone: a segment
+    * is pruned when its Bloom PROVES absence OR its [min,max] range
+    * excludes the value; either index missing → conservative keep.
+    * False positives only cost an extra scan, never correctness. */
+  def prunePoint(dir: String, c: String, value: String,
+                 asOf: Int = -1): (Seq[String], Seq[String]) = {
+    val blooms = allBlooms(dir)
+    val stats = allStats(dir)
+    liveSegments(dir, asOf).partition { seg =>
+      val bloomKeeps = blooms.get((seg, c)).forall(_.mightContain(value))
+      val rangeKeeps = !canPrune(stats.get((seg, c)), Some(value), Some(value))
+      bloomKeeps && rangeKeeps
+    }
+  }
+
+  /** Bloom/stats-pruned point lookup: scans ONLY segments that may
+    * contain `col = value`. The 100 TB needle-in-haystack path: a key
+    * lookup touches the one segment holding it, not the table. */
+  def readPoint(spark: SparkSession, dir: String, c: String, value: String,
+                asOf: Int = -1): DataFrame = {
+    val (kept, _) = prunePoint(dir, c, value, asOf)
+    val base =
+      if (kept.isEmpty) read(spark, dir, asOf).limit(0) // schema-preserving empty
+      else spark.read.parquet(kept.map(s => s"$dir/$s"): _*)
+    base.filter(col(c) === lit(value).cast(base.schema(c).dataType))
   }
 
   /** All recorded stats, keyed by (segment, column). A segment is added

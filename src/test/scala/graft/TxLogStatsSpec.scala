@@ -87,6 +87,29 @@ class TxLogStatsSpec extends SparkTestBase {
       "empty-string stats were lost in the commit-entry round trip")
   }
 
+  test("bloom filters prune point lookups range stats cannot") {
+    val dir = freshDir()
+    // interleaved values: every segment's [min,max] covers every key,
+    // so range stats prune NOTHING — only the bloom can
+    TxLog.appendWithStats(spark, Seq((1L, "x"), (100L, "y")).toDF("id", "v"),
+      dir, Seq("id"), bloomCols = Seq("id"))
+    TxLog.appendWithStats(spark, Seq((2L, "x"), (99L, "y")).toDF("id", "v"),
+      dir, Seq("id"), bloomCols = Seq("id"))
+    TxLog.appendWithStats(spark, Seq((3L, "x"), (98L, "y")).toDF("id", "v"),
+      dir, Seq("id"), bloomCols = Seq("id"))
+    val (kept, pruned) = TxLog.prunePoint(dir, "id", "99")
+    assert(kept.size == 1 && pruned.size == 2,
+      s"bloom should isolate the one segment holding 99: kept=$kept pruned=$pruned")
+    assert(TxLog.readPoint(spark, dir, "id", "99")
+      .as[(Long, String)].collect().toList == List((99L, "y")))
+    // absent key: all segments pruned, schema-preserving empty result
+    val none = TxLog.readPoint(spark, dir, "id", "55")
+    assert(none.columns.toList == List("id", "v") && none.isEmpty)
+    // a segment without a bloom is conservatively kept
+    TxLog.append(Seq((1000L, "nobloom")).toDF("id", "v"), dir)
+    assert(TxLog.prunePoint(dir, "id", "99")._1.size == 2)
+  }
+
   test("readRange(mergeSchema) works on a schema-evolved table") {
     val dir = freshDir()
     TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir) // no column w yet
