@@ -303,6 +303,19 @@ object SparkEntry {
         .orderBy("yr")
     }),
 
+    // DESCRIBE HISTORY on the log table: the audit surface — one row
+    // per commit from log metadata alone (no data file opened). The
+    // op sequence of the shared scenario is pinned; segment COUNTS are
+    // covered by TxLogStatsSpec on synthetic tables (optimize's range
+    // partitioner may produce boundary-dependent file counts at
+    // different scales, so they stay out of the cross-engine hash).
+    "table_log_history" -> ((s, d) => {
+      val dir = txStatsCache(s, d)
+      graft.sources.TxLog.history(s, dir)
+        .select(col("version"), col("op"))
+        .orderBy("version")
+    }),
+
     // BLOOM-FILTER point-lookup skipping on the log table: o_orderkey
     // is spread across every date-range segment, so min/max stats CANNOT
     // prune a key lookup — the per-segment Bloom recorded at append
@@ -5082,6 +5095,12 @@ object SparkEntry {
          FROM orders
          WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the scenario's commit sequence, from first principles
+    "table_log_history" ->
+      """SELECT CAST(v AS BIGINT) AS version, op FROM (VALUES
+           (0, 'append'), (1, 'append'), (2, 'append'), (3, 'append'),
+           (4, 'merge'), (5, 'optimize')) t(v, op)
+         ORDER BY version""",
     // pre-merge (v3) contents are exactly orders; the point lookups are
     // a plain IN filter — bloom pruning must not change results
     "table_log_bloom" ->

@@ -625,6 +625,16 @@ object TxLog {
     doomed
   }
 
+  /** DESCRIBE HISTORY: one row per commit — (version, op, n_added,
+    * n_removed) — from log metadata alone. The audit surface a table
+    * owner reads before trusting time travel or debugging a bad write. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    entries(dir)
+      .map(e => (e.version.toLong, e.op, e.add.size.toLong, e.remove.size.toLong))
+      .toDF("version", "op", "n_added", "n_removed")
+  }
+
   /** The op recorded by commit `version` (append/overwrite/delete/compact). */
   def commitOp(dir: String, version: Int): String =
     entries(dir).find(_.version == version)

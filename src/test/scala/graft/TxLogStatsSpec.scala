@@ -87,6 +87,19 @@ class TxLogStatsSpec extends SparkTestBase {
       "empty-string stats were lost in the commit-entry round trip")
   }
 
+  test("history reports one row per commit with op and segment counts") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    TxLog.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    TxLog.delete(spark, dir, "id = 2")
+    TxLog.compact(spark, dir)
+    val got = TxLog.history(spark, dir).orderBy("version")
+      .as[(Long, String, Long, Long)].collect().toList
+    assert(got == List(
+      (0L, "append", 1L, 0L), (1L, "append", 1L, 0L),
+      (2L, "delete", 1L, 1L), (3L, "compact", 1L, 2L)))
+  }
+
   test("bloom filters prune point lookups range stats cannot") {
     val dir = freshDir()
     // interleaved values: every segment's [min,max] covers every key,
