@@ -303,6 +303,21 @@ object SparkEntry {
         .orderBy("yr")
     }),
 
+    // CHANGE DATA FEED on the log table: everything committed AFTER
+    // version 1, tagged with commit version/op — the poll-for-changes
+    // surface a downstream sync reads instead of re-scanning the table.
+    // Appends 2 and 3 are the exact date-range slices; rewrite commits
+    // (merge/optimize) are tagged and filtered out here, as an
+    // append-only consumer would.
+    "table_log_cdf" -> ((s, d) => {
+      val dir = txStatsCache(s, d)
+      graft.sources.TxLog.readChangesSince(s, dir, fromVersion = 1)
+        .filter(col("_commit_op") === "append")
+        .groupBy(col("_commit_version").as("version"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("version")
+    }),
+
     // DESCRIBE HISTORY on the log table: the audit surface — one row
     // per commit from log metadata alone (no data file opened). The
     // op sequence of the shared scenario is pinned; segment COUNTS are
@@ -5095,6 +5110,17 @@ object SparkEntry {
          FROM orders
          WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // appends after v1 are the 1997-98 and 1999-2001 date slices
+    "table_log_cdf" ->
+      """SELECT CAST(v AS BIGINT) AS version, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM (
+           SELECT 2 AS v, o_totalprice FROM orders
+           WHERE o_orderdate BETWEEN '1997-01-01' AND '1998-12-31'
+           UNION ALL
+           SELECT 3 AS v, o_totalprice FROM orders
+           WHERE o_orderdate BETWEEN '1999-01-01' AND '2001-12-31')
+         GROUP BY v ORDER BY version""",
     // the scenario's commit sequence, from first principles
     "table_log_history" ->
       """SELECT CAST(v AS BIGINT) AS version, op FROM (VALUES

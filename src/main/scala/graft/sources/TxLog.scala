@@ -625,6 +625,28 @@ object TxLog {
     doomed
   }
 
+  /** Change data feed for append-only consumption: every row ADDED by
+    * commits in (`fromVersion`, head], tagged with `_commit_version`
+    * and `_commit_op` — the incremental-sync surface a downstream
+    * pipeline polls ("give me everything since the version I last
+    * processed"). Rewrite commits (delete/merge/optimize/compact)
+    * surface their rewrite OUTPUT rows tagged with the op, so consumers
+    * that must not re-ingest logically-old rows filter on it (the
+    * append-only-table contract makes this exact for append/stream
+    * commits). One scan per new commit's add set; nothing re-reads
+    * older segments. */
+  def readChangesSince(spark: SparkSession, dir: String,
+                       fromVersion: Int): DataFrame = {
+    val newer = entries(dir).filter(e => e.version > fromVersion && e.add.nonEmpty)
+    require(newer.nonEmpty,
+      s"no commits after version $fromVersion in $dir (head=${headVersion(dir)})")
+    newer.map { e =>
+      spark.read.parquet(e.add.map(s => s"$dir/$s"): _*)
+        .withColumn("_commit_version", lit(e.version.toLong))
+        .withColumn("_commit_op", lit(e.op))
+    }.reduce(_ unionByName _)
+  }
+
   /** DESCRIBE HISTORY: one row per commit — (version, op, n_added,
     * n_removed) — from log metadata alone. The audit surface a table
     * owner reads before trusting time travel or debugging a bad write. */

@@ -100,6 +100,23 @@ class TxLogStatsSpec extends SparkTestBase {
       (2L, "delete", 1L, 1L), (3L, "compact", 1L, 2L)))
   }
 
+  test("readChangesSince emits only post-version rows, tagged with commit metadata") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)            // v0
+    TxLog.append(Seq((2L, "b")).toDF("id", "v"), dir)            // v1
+    TxLog.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), dir) // v2
+    TxLog.delete(spark, dir, "id = 3")                           // v3 rewrite
+    val got = TxLog.readChangesSince(spark, dir, fromVersion = 0)
+      .select("id", "_commit_version", "_commit_op")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (2L, 1L, "append"), (3L, 2L, "append"), (4L, 2L, "append"),
+      (4L, 3L, "delete"))) // the rewrite output row, op-tagged
+    intercept[IllegalArgumentException] {
+      TxLog.readChangesSince(spark, dir, fromVersion = 3)
+    }
+  }
+
   test("bloom filters prune point lookups range stats cannot") {
     val dir = freshDir()
     // interleaved values: every segment's [min,max] covers every key,
