@@ -87,6 +87,49 @@ class TxLogStatsSpec extends SparkTestBase {
       "empty-string stats were lost in the commit-entry round trip")
   }
 
+  test("appends racing a retrying OPTIMIZE lose no rows and leak no segments") {
+    val dir = freshDir()
+    TxLog.append(Seq((0L, "seed")).toDF("id", "v"), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    try {
+      // 4 writers x 4 appends each, racing one optimizer that retries
+      // on every conflict — the realistic maintenance-vs-ingest race
+      val writers = (1 to 4).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until 4).foreach { i =>
+            TxLog.append(Seq((w * 100L + i, s"w$w-$i")).toDF("id", "v"), dir)
+          }
+        })
+      }
+      val optimizer = pool.submit(new Runnable {
+        def run(): Unit = (0 until 3).foreach { _ =>
+          var done = false
+          var attempts = 0
+          while (!done && attempts < 50) {
+            attempts += 1
+            try { TxLog.optimize(spark, dir, Seq("id"), 2, Seq("id")); done = true }
+            catch { case _: java.util.ConcurrentModificationException => () }
+          }
+          assert(done, "optimize starved: 50 consecutive conflicts")
+        }
+      })
+      (writers :+ optimizer).foreach(_.get())
+    } finally pool.shutdown()
+    // no data loss: every appended row present exactly once
+    val rows = TxLog.read(spark, dir).as[(Long, String)].collect().toList
+    assert(rows.size == 17 && rows.toSet.size == 17,
+      s"row loss/duplication under race: ${rows.size} rows")
+    // no leaked bytes: every on-disk segment is recorded by some commit
+    val recorded = (0 to TxLog.headVersion(dir))
+      .flatMap(v => TxLog.liveSegments(dir, v)).toSet
+    val onDisk = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("seg-")).toSet
+    assert(onDisk subsetOf recorded,
+      s"conflicted commits leaked segments: ${onDisk -- recorded}")
+    // the log is dense: versions 0..head all parse
+    assert(TxLog.history(spark, dir).count() == TxLog.headVersion(dir) + 1)
+  }
+
   test("history reports one row per commit with op and segment counts") {
     val dir = freshDir()
     TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
