@@ -53,13 +53,40 @@ object TxLog {
   /** Per-segment, per-column Bloom filter recorded at write time — the
     * point-lookup complement to [[ColStats]]: range min/max cannot
     * prune a high-cardinality key spread across segments, a Bloom can
-    * (Delta's bloom filter index / parquet's bloom, held in the LOG so
-    * pruning needs no file open). `bits` is an m-bit little-endian
-    * bitset; k hash positions derive from md5 (see [[bloomPositions]]). */
-  private[graft] case class BloomStats(m: Int, k: Int, bits: Array[Byte]) {
-    def mightContain(value: String): Boolean =
-      bloomPositions(value, m, k).forall(p => (bits(p / 8) & (1 << (p % 8))) != 0)
+    * (Delta's bloom filter index / parquet's bloom). The commit entry
+    * holds only (typeName, m, k, sidecar file): bitsets live in
+    * `_txlog/<file>.bloom` SIDECAR files, loaded lazily per probe —
+    * the log entry stays tiny and metadata ops that never touch blooms
+    * never pay for them. `typeName` normalizes probe values to the
+    * column's cast-to-string domain (the form the bits were built
+    * from); k hash positions derive from md5 ([[bloomPositions]]). */
+  private[graft] case class BloomStats(typeName: String, m: Int, k: Int,
+                                       file: Path) {
+    private lazy val bits: Array[Byte] = Files.readAllBytes(file)
+    /** Some(false) = PROVEN absent; Some(true) = maybe present;
+      * None = cannot answer (unnormalizable type or missing sidecar) —
+      * callers treat None as "keep". */
+    def mightContain(value: String): Option[Boolean] =
+      normalizeProbe(typeName, value).filter(_ => Files.exists(file)).map { v =>
+        bloomPositions(v, m, k).forall(p => (bits(p / 8) & (1 << (p % 8))) != 0)
+      }
   }
+
+  /** Probe value → the column's cast-to-string representation (what
+    * [[segBlooms]] hashed). Integral and binary-fp types round-trip
+    * through their JVM parse (Spark's cast-to-string is the same
+    * shortest round-trip form); strings are already canonical; any
+    * other type (decimal scale, timestamp formats) returns None and
+    * the bloom conservatively cannot prune. */
+  private def normalizeProbe(tn: String, value: String): Option[String] =
+    try tn match {
+      case "byte" | "short" | "integer" | "long" =>
+        Some(java.lang.Long.parseLong(value).toString)
+      case "float"  => Some(java.lang.Float.parseFloat(value).toString)
+      case "double" => Some(java.lang.Double.parseDouble(value).toString)
+      case "string" => Some(value)
+      case _        => None
+    } catch { case _: NumberFormatException => None }
 
   private case class Entry(version: Int, op: String,
                            add: Seq[String], remove: Seq[String],
@@ -101,7 +128,7 @@ object TxLog {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def parse(v: Int, lines: Seq[String]): Entry = {
+  private def parse(dir: String, v: Int, lines: Seq[String]): Entry = {
     def vals(k: String) = lines.filter(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
     val stats = vals("stats").flatMap { line =>
       // limit -1: a trailing empty field (empty-string max) must survive
@@ -113,9 +140,9 @@ object TxLog {
     }.toMap
     val blooms = vals("bloom").flatMap { line =>
       line.split("\\|", -1) match {
-        case Array(seg, c, m, k, b64) =>
-          Some((dec(seg), dec(c)) -> BloomStats(m.toInt, k.toInt,
-            java.util.Base64.getUrlDecoder.decode(b64)))
+        case Array(seg, c, tn, m, k, file) =>
+          Some((dec(seg), dec(c)) -> BloomStats(dec(tn), m.toInt, k.toInt,
+            logDir(dir).resolve(dec(file))))
         case _ => None
       }
     }.toMap
@@ -131,7 +158,7 @@ object TxLog {
       .map(v => (v, entryPath(dir, v)))
       .takeWhile { case (_, p) => Files.exists(p) }
       .map { case (v, p) =>
-        parse(v, new String(Files.readAllBytes(p), "UTF-8").linesIterator.toSeq)
+        parse(dir, v, new String(Files.readAllBytes(p), "UTF-8").linesIterator.toSeq)
       }
       .toSeq
   }
@@ -175,8 +202,8 @@ object TxLog {
       }
     val bloomLines = blooms.toSeq.sortBy { case ((seg, c), _) => (seg, c) }
       .map { case ((seg, c), b) =>
-        s"bloom=${enc(seg)}|${enc(c)}|${b.m}|${b.k}|" +
-          java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b.bits)
+        s"bloom=${enc(seg)}|${enc(c)}|${enc(b.typeName)}|${b.m}|${b.k}|" +
+          enc(b.file.getFileName.toString)
       }
     val body = (Seq(s"op=$op") ++ add.map("add=" + _) ++
         remove.map("remove=" + _) ++ statLines ++ bloomLines)
@@ -257,8 +284,12 @@ object TxLog {
   /** Per-segment Bloom filters for `bloomCols` over the just-written
     * segment: one distributed pass per column emits the DISTINCT bit
     * positions (bounded by m, not by rows — the shuffle carries at most
-    * m ints per segment), collected into an m-bit bitset. m auto-sizes
-    * to ~16 bits/row (power of two, 8K..4M bits → fp well under 1%);
+    * m ints per segment), collected into an m-bit bitset persisted as a
+    * `.bloom` SIDECAR under the log dir (the entry carries only the
+    * reference, so entry parsing never pays for bitset bytes). m
+    * auto-sizes to ~16 bits/row (power of two, 8K..128M bits → fp well
+    * under 1% to ~8M rows/segment; beyond that the filter degrades
+    * toward keep-everything, which costs scans, never correctness);
     * each lookup reads its segment's recorded m, so mixed sizes across
     * a table's history are fine. */
   private def segBlooms(spark: SparkSession, dir: String, seg: String,
@@ -266,9 +297,11 @@ object TxLog {
                         k: Int = 4): Map[(String, String), BloomStats] = {
     if (bloomCols.isEmpty) return Map.empty
     val sdf = spark.read.parquet(s"$dir/$seg")
+    val types = sdf.schema.map(f => f.name -> f.dataType.typeName).toMap
     val n = sdf.count()
     var m = 8192
-    while (m < 16L * n && m < (1 << 22)) m <<= 1
+    while (m < 16L * n && m < (1 << 27)) m <<= 1
+    Files.createDirectories(logDir(dir))
     bloomCols.map { c =>
       val posCols = (0 until k).map(i =>
         (conv(substring(md5(concat(col("v"), lit(s":$i"))), 1, 13), 16, 10)
@@ -278,7 +311,9 @@ object TxLog {
         .distinct().collect().map(_.getInt(0))
       val bits = new Array[Byte]((m + 7) / 8)
       positions.foreach(p => bits(p / 8) = (bits(p / 8) | (1 << (p % 8))).toByte)
-      (seg, c) -> BloomStats(m, k, bits)
+      val f = logDir(dir).resolve(s"$seg-$c.bloom")
+      Files.write(f, bits)
+      (seg, c) -> BloomStats(types.getOrElse(c, "string"), m, k, f)
     }.toMap
   }
 
@@ -309,7 +344,9 @@ object TxLog {
     val blooms = allBlooms(dir)
     val stats = allStats(dir)
     liveSegments(dir, asOf).partition { seg =>
-      val bloomKeeps = blooms.get((seg, c)).forall(_.mightContain(value))
+      // None (no bloom / unnormalizable probe / missing sidecar) keeps
+      val bloomKeeps = blooms.get((seg, c))
+        .flatMap(_.mightContain(value)).getOrElse(true)
       val rangeKeeps = !canPrune(stats.get((seg, c)), Some(value), Some(value))
       bloomKeeps && rangeKeeps
     }
@@ -319,11 +356,13 @@ object TxLog {
     * contain `col = value`. The 100 TB needle-in-haystack path: a key
     * lookup touches the one segment holding it, not the table. */
   def readPoint(spark: SparkSession, dir: String, c: String, value: String,
-                asOf: Int = -1): DataFrame = {
+                asOf: Int = -1, mergeSchema: Boolean = false): DataFrame = {
     val (kept, _) = prunePoint(dir, c, value, asOf)
     val base =
-      if (kept.isEmpty) read(spark, dir, asOf).limit(0) // schema-preserving empty
-      else spark.read.parquet(kept.map(s => s"$dir/$s"): _*)
+      if (kept.isEmpty) // schema-preserving empty
+        read(spark, dir, asOf, mergeSchema).limit(0)
+      else spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(kept.map(s => s"$dir/$s"): _*)
     base.filter(col(c) === lit(value).cast(base.schema(c).dataType))
   }
 
@@ -621,7 +660,13 @@ object TxLog {
     val retained = (horizon to head).flatMap(v => liveSegments(dir, v)).toSet
     val all = entries(dir).flatMap(_.add).toSet
     val doomed = (all -- retained).toSeq.sorted
-    doomed.foreach(seg => deleteRecursively(Paths.get(dir, seg)))
+    doomed.foreach { seg =>
+      deleteRecursively(Paths.get(dir, seg))
+      // a vacuumed segment's bloom sidecars are equally dead
+      entries(dir).flatMap(_.blooms).collect {
+        case ((s0, _), b) if s0 == seg => b.file
+      }.foreach(Files.deleteIfExists(_))
+    }
     doomed
   }
 
@@ -638,13 +683,19 @@ object TxLog {
   def readChangesSince(spark: SparkSession, dir: String,
                        fromVersion: Int): DataFrame = {
     val newer = entries(dir).filter(e => e.version > fromVersion && e.add.nonEmpty)
-    require(newer.nonEmpty,
-      s"no commits after version $fromVersion in $dir (head=${headVersion(dir)})")
+    if (newer.isEmpty) // a poll with nothing new: empty, schema-preserving
+      return read(spark, dir, mergeSchema = true).limit(0)
+        .withColumn("_commit_version", lit(0L))
+        .withColumn("_commit_op", lit(""))
+        .limit(0)
     newer.map { e =>
-      spark.read.parquet(e.add.map(s => s"$dir/$s"): _*)
+      // mergeSchema + allowMissingColumns: an add-column commit must not
+      // break the feed; pre-evolution rows surface null for new columns
+      spark.read.option("mergeSchema", "true")
+        .parquet(e.add.map(s => s"$dir/$s"): _*)
         .withColumn("_commit_version", lit(e.version.toLong))
         .withColumn("_commit_op", lit(e.op))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName(_, allowMissingColumns = true))
   }
 
   /** DESCRIBE HISTORY: one row per commit — (version, op, n_added,

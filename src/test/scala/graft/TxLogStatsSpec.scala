@@ -155,9 +155,21 @@ class TxLogStatsSpec extends SparkTestBase {
     assert(got == Set(
       (2L, 1L, "append"), (3L, 2L, "append"), (4L, 2L, "append"),
       (4L, 3L, "delete"))) // the rewrite output row, op-tagged
-    intercept[IllegalArgumentException] {
-      TxLog.readChangesSince(spark, dir, fromVersion = 3)
-    }
+    // a poll with nothing new: schema-preserving EMPTY, never an error
+    val idle = TxLog.readChangesSince(spark, dir, fromVersion = 3)
+    assert(idle.isEmpty &&
+      idle.columns.toSet == Set("id", "v", "_commit_version", "_commit_op"))
+  }
+
+  test("readChangesSince unions across an add-column schema evolution") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)                 // v0
+    TxLog.append(Seq((2L, "b", 9L)).toDF("id", "v", "w"), dir)        // v1 evolves
+    val got = TxLog.readChangesSince(spark, dir, fromVersion = -1)
+      .select("id", "w", "_commit_version")
+      .as[(Long, Option[Long], Long)].collect().toSet
+    assert(got == Set((1L, None, 0L), (2L, Some(9L), 1L)),
+      "pre-evolution rows must surface null for the added column")
   }
 
   test("bloom filters prune point lookups range stats cannot") {
