@@ -303,6 +303,38 @@ object SparkEntry {
         .orderBy("yr")
     }),
 
+    // copy-on-write UPDATE on the log table — the DML triad's third
+    // leg (DELETE / MERGE / UPDATE): cents bumped where o_custkey%10=3,
+    // only match-bearing segments rewritten. Reads AS OF the update
+    // commit so the later z-order rewrite stays out of frame.
+    "table_log_update" -> ((s, d) => {
+      val dir = txDmlCache(s, d)
+      graft.sources.TxLog.read(s, dir, asOf = 2)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Z-ORDER OPTIMIZE on the log table: v3 re-clustered 16 segments by
+    // zorder2(o_custkey, o_orderkey DIV 4) — interleaved bits give BOTH
+    // dimensions partial locality, so single-column range queries on
+    // EITHER dimension prune from log metadata (a plain sort clusters
+    // one and leaves the other unprunable; the requires assert both).
+    "table_log_zorder" -> ((s, d) => {
+      val dir = txDmlCache(s, d)
+      val (_, pc) = graft.sources.TxLog.pruneRange(dir, "o_custkey",
+        Some("30"), Some("59"))
+      val (_, po) = graft.sources.TxLog.pruneRange(dir, "o_orderkey",
+        Some("300"), Some("599"))
+      require(pc.nonEmpty && po.nonEmpty,
+        s"z-order lost multi-dim skipping: custkey pruned=${pc.size}, " +
+          s"orderkey pruned=${po.size}")
+      graft.sources.TxLog.readRange(s, dir, "o_custkey", Some("30"), Some("59"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // CHANGE DATA FEED on the log table: everything committed AFTER
     // version 1, tagged with commit version/op — the poll-for-changes
     // surface a downstream sync reads instead of re-scanning the table.
@@ -4043,6 +4075,31 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$out/assigned")
     }
 
+  /** One-time DML + Z-ORDER TxLog scenario for the update/zorder keys:
+    * v0/v1 append orders split by orderkey parity, v2 copy-on-write
+    * UPDATE (cents += 5000 where o_custkey%10=3), v3 OPTIMIZE clustered
+    * by zorder2(o_custkey, o_orderkey DIV 4) into 16 stats-bearing
+    * segments (DIV 4 bounds the dimension under the 2^16 grid at sf0.1
+    * while preserving per-dimension monotone locality). */
+  private def txDmlCache(s: SparkSession, d: String): String =
+    cachedDir(s"/tmp/graft_txdml_${new java.io.File(d).getName}", d,
+        Seq("orders")) { out =>
+      val root = new java.io.File(out)
+      if (root.isDirectory)
+        graft.sources.TxLog.deleteRecursively(root.toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 0), out)
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 1), out)
+      graft.sources.TxLog.update(s, out, "o_custkey % 10 = 3",
+        Map("cents" -> "cents + 5000"))
+      graft.sources.TxLog.optimizeBy(s, out,
+        graft.sources.Warehouse.zorder2(col("o_custkey"),
+          expr("o_orderkey DIV 4")),
+        numSegments = 16, statsCols = Seq("o_custkey", "o_orderkey"))
+    }
+
   /** 4-part events stream source for the multi-batch sink keys: one
     * parquet file per micro-batch under maxFilesPerTrigger=1. */
   private def streamCache4(s: SparkSession, d: String): String =
@@ -5109,6 +5166,24 @@ object SparkEntry {
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders
          WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // update replayed relationally
+    "table_log_update" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CASE WHEN o_custkey % 10 = 3
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) + 5000
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+               AS BIGINT) AS cents
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // update replay + the custkey band; z-order pruning must not
+    // change results
+    "table_log_zorder" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CASE WHEN o_custkey % 10 = 3
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) + 5000
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+               AS BIGINT) AS cents
+         FROM orders WHERE o_custkey BETWEEN 30 AND 59
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // appends after v1 are the 1997-98 and 1999-2001 date slices
     "table_log_cdf" ->

@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Minimal transaction-log table format over parquet — the log/ACID
@@ -480,6 +480,15 @@ object TxLog {
     val clustered = spark.read.parquet(live.map(s => s"$dir/$s"): _*)
       .repartitionByRange(numSegments, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
+    stageAndCommitClustered(spark, dir, clustered, live, snap, statsCols)
+  }
+
+  /** Shared optimize tail: write the clustered frame once, MOVE each
+    * part file into its own segment (filesystem renames, no second
+    * job), record per-segment stats, commit remove(live)+add(segs). */
+  private def stageAndCommitClustered(spark: SparkSession, dir: String,
+                                      clustered: DataFrame, live: Seq[String],
+                                      snap: Int, statsCols: Seq[String]): Int = {
     val staging = newSegment(dir, clustered)
     import scala.jdk.CollectionConverters._
     val listing = Files.list(Paths.get(dir, staging))
@@ -502,6 +511,52 @@ object TxLog {
       (m, seg) => m ++ segStats(spark, dir, seg, statsCols)
     }
     commitOrReclaim(dir, "optimize", segs, live, snap, stats)
+  }
+
+  /** Copy-on-write UPDATE — the third leg of the DML triad (DELETE /
+    * MERGE / UPDATE): rows matching `predicate` get `setExprs` applied
+    * (column → SQL expression over the old row); only segments that
+    * contain a match are rewritten, clean ones carry by reference.
+    * Conflicts like every snapshot-dependent op. */
+  def update(spark: SparkSession, dir: String, predicate: String,
+             setExprs: Map[String, String],
+             statsCols: Seq[String] = Nil): Int = {
+    require(setExprs.nonEmpty, "update without SET expressions")
+    val snap = headVersion(dir)
+    val live = liveSegments(dir, snap)
+    val dirty = live.filter { seg =>
+      !spark.read.parquet(s"$dir/$seg").filter(predicate).isEmpty
+    }
+    if (dirty.isEmpty)
+      return commit(dir, "update", Seq.empty, Seq.empty, Some(snap))
+    val rewritten = dirty.map { seg =>
+      val sdf = spark.read.parquet(s"$dir/$seg")
+      setExprs.foldLeft(sdf) { case (df, (c, e)) =>
+        df.withColumn(c, when(expr(predicate), expr(e)).otherwise(col(c)))
+      }
+    }.reduce(_ unionByName _)
+    val seg = newSegment(dir, rewritten)
+    commitOrReclaim(dir, "update", Seq(seg), dirty, snap,
+      segStats(spark, dir, seg, statsCols))
+  }
+
+  /** OPTIMIZE variant clustering on an arbitrary EXPRESSION — the
+    * Z-ORDER path: pass e.g. `zorder2(col("a"), col("b"))` and record
+    * stats on BOTH source columns; interleaved bits give each dimension
+    * partial locality, so single-column range queries on either
+    * dimension prune segments (the multi-dim skipping layout, vs
+    * [[optimize]]'s total order on one leading column). */
+  def optimizeBy(spark: SparkSession, dir: String, clusterExpr: Column,
+                 numSegments: Int, statsCols: Seq[String] = Nil): Int = {
+    val snap = headVersion(dir)
+    val live = liveSegments(dir, snap)
+    require(live.nonEmpty, s"optimize of empty table $dir")
+    val clustered = spark.read.parquet(live.map(s => s"$dir/$s"): _*)
+      .withColumn("__cluster", clusterExpr)
+      .repartitionByRange(numSegments, col("__cluster"))
+      .sortWithinPartitions(col("__cluster"))
+      .drop("__cluster")
+    stageAndCommitClustered(spark, dir, clustered, live, snap, statsCols)
   }
 
   /** Copy-on-write MERGE (upsert) on `key`: rows of `updates` REPLACE

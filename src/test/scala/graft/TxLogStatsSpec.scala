@@ -325,6 +325,42 @@ class TxLogStatsSpec extends SparkTestBase {
     }
   }
 
+  test("update applies SET only to matching rows, rewrites only dirty segments") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), dir)
+    TxLog.append(Seq((10L, 100L), (11L, 110L)).toDF("id", "x"), dir)
+    val before = TxLog.liveSegments(dir).toSet
+    TxLog.update(spark, dir, "id = 10", Map("x" -> "x + 1"))
+    val after = TxLog.liveSegments(dir).toSet
+    assert((before intersect after).size == 1,
+      s"clean segment must survive by reference: $before -> $after")
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, Long)].collect()
+      .toList == List((1L, 10L), (2L, 20L), (10L, 101L), (11L, 110L)))
+    assert(TxLog.commitOp(dir, TxLog.headVersion(dir)) == "update")
+    // no-match update: metadata-only commit, contents untouched
+    TxLog.update(spark, dir, "id = 999", Map("x" -> "0"))
+    assert(TxLog.read(spark, dir).count() == 4)
+  }
+
+  test("optimizeBy(zorder) makes BOTH dimensions prunable") {
+    val dir = freshDir()
+    // a 2D grid where every original segment spans both full ranges
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    TxLog.append(grid.filter(g => (g._1 + g._2) % 2 == 0).toDF("x", "y"), dir)
+    TxLog.append(grid.filter(g => (g._1 + g._2) % 2 == 1).toDF("x", "y"), dir)
+    assert(TxLog.pruneRange(dir, "x", Some("0"), Some("3"))._2.isEmpty,
+      "nothing should prune before clustering (and no stats exist yet)")
+    TxLog.optimizeBy(spark, dir,
+      graft.sources.Warehouse.zorder2(col("x"), col("y"), bits = 4),
+      numSegments = 4, statsCols = Seq("x", "y"))
+    val px = TxLog.pruneRange(dir, "x", Some("0"), Some("3"))._2
+    val py = TxLog.pruneRange(dir, "y", Some("0"), Some("3"))._2
+    assert(px.nonEmpty && py.nonEmpty,
+      s"z-order should prune on both dims: x pruned=${px.size}, y pruned=${py.size}")
+    assert(TxLog.readRange(spark, dir, "x", Some("0"), Some("3")).count() == 64)
+    assert(TxLog.readRange(spark, dir, "y", Some("0"), Some("3")).count() == 64)
+  }
+
   test("optimize re-clusters into N stats-bearing segments without logical change") {
     val dir = freshDir()
     // two appends with INTERLEAVED ids: no range pruning possible on id
