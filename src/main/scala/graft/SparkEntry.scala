@@ -1542,7 +1542,7 @@ object SparkEntry {
       val model = pqModelCache(s, d)
       Similarity.ivfPqSearch(embeddings(s, d), "vec_id", "embedding",
           s.read.parquet(s"$model/cents"), s.read.parquet(s"$model/assigned"),
-          s.read.parquet(s"$model/cb"), s.read.parquet(s"$model/codes"),
+          s.read.parquet(s"$model/rcb"), s.read.parquet(s"$model/rcodes"),
           col("vec_id") < 10, k = 5)
         .orderBy("query_id", "rn")
     }),
@@ -4071,8 +4071,15 @@ object SparkEntry {
         .withColumn("nv", Similarity.l2norm(col("v")))
       val cents = Similarity.ivfCentroids(e, 16, 2)
       cents.write.mode("overwrite").parquet(s"$out/cents")
-      Similarity.assignCells(e, cents).select("vec_id", "cell")
-        .write.mode("overwrite").parquet(s"$out/assigned")
+      val assigned = Similarity.assignCells(e, cents).select("vec_id", "cell")
+      assigned.write.mode("overwrite").parquet(s"$out/assigned")
+      // residual PQ model for IVFPQ (codebooks trained on v − centroid)
+      val resid = Similarity.residuals(e,
+        s.read.parquet(s"$out/cents"), s.read.parquet(s"$out/assigned"))
+      val (rcb, rcodes) = Similarity.pqTrain(resid, "vec_id", "r")
+      rcb.write.mode("overwrite").parquet(s"$out/rcb")
+      rcodes.select("vec_id", "m", "cell", "d2q")
+        .write.mode("overwrite").parquet(s"$out/rcodes")
     }
 
   /** One-time DML + Z-ORDER TxLog scenario for the update/zorder keys:
@@ -4344,12 +4351,15 @@ object SparkEntry {
   // DuckDB oracle SQL — same column names, same ordering, same rounding.
   // ---------------------------------------------------------------------
 
-  /** Shared PQ replay (see `similarity_pq[_topk]`): subspace slicing,
-    * md5-prefix seeds, one integer-grid Lloyd step, argmin-L2
-    * assignment (tie: larger code) with per-dim floor-quantized
-    * distortion. 8 subspaces x 8 dims x 16 codes. Ends at `af` =
-    * (vec_id, m, sv, cell, d2q) and `cb1` = the refined codebook. */
-  private lazy val pqOracleCtes: String = {
+  /** Shared PQ replay (see `similarity_pq[_topk]`/`similarity_ivfpq`):
+    * subspace slicing, md5-prefix seeds, one integer-grid Lloyd step,
+    * argmin-L2 assignment (tie: larger code) with per-dim
+    * floor-quantized distortion. 8 subspaces x 8 dims x 16 codes.
+    * `src` is the (vec_id, v) relation the codebooks train on — `e`
+    * for raw vectors, a residual relation for IVFPQ. Every CTE is
+    * prefixed with `p` so raw and residual replays can coexist. Ends
+    * at `{p}af` = (vec_id, m, sv, cell, d2q) and `{p}cb1`. */
+  private def pqOracleCtesOn(p: String, src: String): String = {
     val sub = 8
     def d2Sql(a: String, b: String) =
       s"""list_reduce(list_transform(generate_series(1, $sub),
@@ -4358,37 +4368,41 @@ object SparkEntry {
       s"""list_reduce(list_transform(generate_series(1, $sub),
             i -> CAST(floor(($a[i] - $b[i]) * ($a[i] - $b[i]) * 1000000.0 + 0.5)
                  AS BIGINT)), (x, y) -> x + y)"""
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       subs AS (SELECT e.vec_id, CAST(g.m AS BIGINT) AS m,
-           list_slice(e.v, g.m * $sub + 1, g.m * $sub + $sub) AS sv
-         FROM e CROSS JOIN generate_series(0, 7) g(m)),
-       seeds AS (SELECT m, vec_id FROM (
+    s"""${p}subs AS (SELECT t.vec_id, CAST(g.m AS BIGINT) AS m,
+           list_slice(t.v, g.m * $sub + 1, g.m * $sub + $sub) AS sv
+         FROM $src t CROSS JOIN generate_series(0, 7) g(m)),
+       ${p}seeds AS (SELECT m, vec_id FROM (
            SELECT m, vec_id, row_number() OVER (PARTITION BY m
                ORDER BY CAST(concat('0x', substr(md5(concat(
                  CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))), 1, 13))
                  AS BIGINT), vec_id) AS rn
-           FROM subs) WHERE rn <= 16),
-       cb0 AS (SELECT s.m, s.vec_id AS cell, s.sv AS cv
-         FROM subs s JOIN seeds d ON d.m = s.m AND d.vec_id = s.vec_id),
-       a1 AS (SELECT vec_id, m, sv, cell FROM (
+           FROM ${p}subs) WHERE rn <= 16),
+       ${p}cb0 AS (SELECT s.m, s.vec_id AS cell, s.sv AS cv
+         FROM ${p}subs s JOIN ${p}seeds d ON d.m = s.m AND d.vec_id = s.vec_id),
+       ${p}a1 AS (SELECT vec_id, m, sv, cell FROM (
            SELECT s.vec_id, s.m, s.sv, c.cell,
                row_number() OVER (PARTITION BY s.vec_id, s.m
                  ORDER BY ${d2Sql("s.sv", "c.cv")} ASC, c.cell DESC) AS arn
-           FROM subs s JOIN cb0 c ON c.m = s.m) WHERE arn = 1),
-       u AS (SELECT m, cell, g.i AS dim,
+           FROM ${p}subs s JOIN ${p}cb0 c ON c.m = s.m) WHERE arn = 1),
+       ${p}u AS (SELECT m, cell, g.i AS dim,
            CAST(sum(CAST(floor(sv[g.i] * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
            count(*) AS cnt
-         FROM a1 CROSS JOIN generate_series(1, $sub) g(i)
+         FROM ${p}a1 CROSS JOIN generate_series(1, $sub) g(i)
          GROUP BY m, cell, g.i),
-       cb1 AS (SELECT m, cell,
+       ${p}cb1 AS (SELECT m, cell,
            list((CAST(s AS DOUBLE) / cnt) / 1000000.0 ORDER BY dim) AS cv
-         FROM u GROUP BY m, cell),
-       af AS (SELECT vec_id, m, sv, cell, d2q FROM (
+         FROM ${p}u GROUP BY m, cell),
+       ${p}af AS (SELECT vec_id, m, sv, cell, d2q FROM (
            SELECT s.vec_id, s.m, s.sv, c.cell, ${d2qSql("s.sv", "c.cv")} AS d2q,
                row_number() OVER (PARTITION BY s.vec_id, s.m
                  ORDER BY ${d2Sql("s.sv", "c.cv")} ASC, c.cell DESC) AS arn
-           FROM subs s JOIN cb1 c ON c.m = s.m) WHERE arn = 1)"""
+           FROM ${p}subs s JOIN ${p}cb1 c ON c.m = s.m) WHERE arn = 1)"""
   }
+
+  /** Unprefixed raw-vector PQ replay (includes the `e` base CTE). */
+  private lazy val pqOracleCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       ${pqOracleCtesOn("", "e")}"""
 
   private def ivfDotSql(a: String, b: String) =
     s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i]*$b[i]), (x, y) -> x + y)"
@@ -6085,33 +6099,44 @@ object SparkEntry {
            FROM pairs)
          SELECT query_id, neighbor_id, round(cos, 6) AS sim, rn
          FROM r WHERE rn <= 5 ORDER BY query_id, rn""",
-    // FAISS-IVFPQ replay: IVF cells prune (nprobe=4 of 16), PQ-ADC
-    // ranks within probed cells, exact quantized-L2 re-rank of the
-    // 50-row shortlist
+    // FAISS-IVFPQ replay with RESIDUAL encoding: IVF cells prune
+    // (nprobe=4 of 16), PQ codebooks train on v − centroid, per-(query,
+    // probed cell) distance tables rank via ADC, exact quantized-L2
+    // re-rank of the 50-row shortlist
     "similarity_ivfpq" ->
-      s"""WITH $pqOracleCtes,
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          ${ivfOracleCtes("iv")},
-         qiv AS (SELECT ivn.vec_id AS query_id, c.cell,
+         resid AS (SELECT a.vec_id,
+             list_transform(generate_series(1, 64), i -> a.v[i] - c.cv[i]) AS v,
+             a.cell AS ivfcell
+           FROM ivaf a JOIN ivc2 c ON c.cell = a.cell),
+         ${pqOracleCtesOn("r", "resid")},
+         qiv AS (SELECT ivn.vec_id AS query_id, c.cell, ivn.v AS qv, c.cv,
              ${ivfDotSql("ivn.v", "c.cv")} / (${ivfNormSql("c.cv")} * ivn.nv) AS cs
            FROM ivn CROSS JOIN ivc2 c WHERE ivn.vec_id < 10),
-         qcells AS (SELECT query_id, cell FROM (
-             SELECT query_id, cell,
+         qcells AS (SELECT query_id, cell,
+             list_transform(generate_series(1, 64), i -> qv[i] - cv[i]) AS qr
+           FROM (
+             SELECT query_id, cell, qv, cv,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY cs DESC, cell ASC) AS cr
              FROM qiv) WHERE cr <= 4),
-         probed AS (SELECT qc.query_id, a.vec_id
+         probed AS (SELECT qc.query_id, a.vec_id, a.cell AS ivfcell
            FROM ivaf a JOIN qcells qc
              ON a.cell = qc.cell AND qc.query_id <> a.vec_id),
-         qtab AS (SELECT s.vec_id AS query_id, s.m, c.cell,
+         qtab AS (SELECT qc.query_id, qc.cell AS ivfcell,
+             CAST(g.m AS BIGINT) AS m, c.cell,
              list_reduce(list_transform(generate_series(1, 8),
-               i -> CAST(floor((c.cv[i] - s.sv[i]) * (c.cv[i] - s.sv[i])
+               i -> CAST(floor((c.cv[i] - qc.qr[g.m * 8 + i])
+                    * (c.cv[i] - qc.qr[g.m * 8 + i])
                     * 1000000.0 + 0.5) AS BIGINT)), (x, y) -> x + y) AS dq
-           FROM subs s JOIN cb1 c ON c.m = s.m
-           WHERE s.vec_id < 10),
+           FROM qcells qc
+           CROSS JOIN generate_series(0, 7) g(m)
+           JOIN rcb1 c ON c.m = g.m),
          ad AS (SELECT p.query_id, p.vec_id, CAST(sum(q.dq) AS BIGINT) AS adist
            FROM probed p
-           JOIN af f ON f.vec_id = p.vec_id
-           JOIN qtab q ON q.query_id = p.query_id
+           JOIN raf f ON f.vec_id = p.vec_id
+           JOIN qtab q ON q.query_id = p.query_id AND q.ivfcell = p.ivfcell
                       AND q.m = f.m AND q.cell = f.cell
            GROUP BY p.query_id, p.vec_id),
          short AS (SELECT query_id, vec_id FROM (

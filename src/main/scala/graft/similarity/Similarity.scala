@@ -527,15 +527,26 @@ object Similarity {
         split(col("col"), ":").getItem(0).cast("long").as("ed_q6"))
   }
 
+  /** RESIDUALS w.r.t. the assigned IVF centroid — what real IVFPQ
+    * quantizes: within a cell the residual distribution is tighter than
+    * the raw vectors', so the same PQ bit budget buys less distortion.
+    * Output (vec_id, r, cell); deterministic IEEE subtraction. */
+  def residuals(e: DataFrame, cents: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.join(broadcast(cents), Seq("cell"))
+      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (x, y) => x - y).as("r"), col("cell"))
+
   /** IVF-PQ — the architecture 100 TB vector search actually deploys
     * (FAISS IVFPQ): the IVF coarse quantizer PRUNES (each query probes
     * `nprobe` of `numCells` cells, touching ~nprobe/numCells of the
-    * corpus), PQ codes COMPRESS (the ADC pass inside probed cells reads
-    * numSub small ints per candidate, never the vectors), and the exact
-    * re-rank touches full vectors only for the shortlist. Composes
-    * [[ivfCentroids]]/[[assignCells]] with [[pqTrain]] + the shared
-    * shortlist/re-rank tail; everything integerizes on [[d2q]]'s grid
-    * so two engines hash-match. */
+    * corpus), PQ codes COMPRESS — trained on RESIDUALS v − centroid
+    * (the real IVFPQ encoding; the pooled-residual codebook spends its
+    * bits on the within-cell distribution) — and the exact re-rank
+    * touches full vectors only for the shortlist. Composes
+    * [[ivfCentroids]]/[[assignCells]]/[[residuals]] with [[pqTrain]] +
+    * the shared shortlist/re-rank tail; everything integerizes on
+    * [[d2q]]'s grid so two engines hash-match. */
   def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                 queryPred: Column, k: Int,
                 numCells: Int = 16, nprobe: Int = 4, ivfIters: Int = 2,
@@ -545,14 +556,18 @@ object Similarity {
       .withColumn("nv", l2norm(col("v")))
     val cents = ivfCentroids(e, numCells, ivfIters)
     val assigned = assignCells(e, cents).select(col("vec_id"), col("cell"))
-    val (cb, codes) = pqTrain(embeddings, idCol, vecCol, numSub, subDim, ksub)
+    val resid = residuals(e, cents, assigned).localCheckpoint()
+    val (cb, codes) = pqTrain(resid, "vec_id", "r", numSub, subDim, ksub)
     ivfPqSearch(embeddings, idCol, vecCol, cents, assigned, cb, codes,
       queryPred, k, nprobe, numSub, subDim, shortlist)
   }
 
   /** The QUERY-TIME half of [[ivfPqTopK]] against a persisted model:
     * `cents`/`assigned` from the IVF build, `cb`/`codes` from
-    * [[pqTrain]] — all four re-read from storage in production. */
+    * [[pqTrain]] over the RESIDUAL relation — all four re-read from
+    * storage in production. Each query builds one distance table PER
+    * PROBED CELL (its residual there differs), still bounded:
+    * nprobe × numSub × ksub integers per query. */
   def ivfPqSearch(embeddings: DataFrame, idCol: String, vecCol: String,
                   cents: DataFrame, assigned: DataFrame,
                   cb: DataFrame, codes: DataFrame,
@@ -562,20 +577,29 @@ object Similarity {
     val e = embeddings.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nv", l2norm(col("v")))
     val qcells = e.filter(queryPred).crossJoin(broadcast(cents))
-      .select(col("vec_id").as("query_id"), col("cell"),
-        (dot(col("v"), col("cv")) / (l2norm(col("cv")) * col("nv"))).as("cs"))
+      .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"),
+        (dot(col("v"), col("cv")) / (l2norm(col("cv")) * col("nv"))).as("cs"),
+        col("cv"))
       .withColumn("cr", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cs"), asc("cell"))))
       .filter(col("cr") <= nprobe)
-      .select(col("query_id"), col("cell"))
-    val probed = assigned.join(broadcast(qcells), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qv"), col("cv"), (x, y) => x - y).as("qr"))
+    val probed = assigned.join(broadcast(qcells.select("query_id", "cell")), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"))
-    val qtab = querySubs(e, queryPred, numSub, subDim).join(broadcast(cb), Seq("m"))
-      .select(col("query_id"), col("m"), col("cell"),
+      .select(col("query_id"), col("vec_id"), col("cell").as("ivfcell"))
+    // one distance table per (query, probed cell): the query's residual
+    // in that cell vs every codebook entry
+    val qsubs = qcells
+      .select(col("query_id"), col("cell").as("ivfcell"),
+        explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("qr"))
+      .select(col("query_id"), col("ivfcell"), col("m").cast("long").as("m"),
+        expr(s"slice(qr, m * $subDim + 1, $subDim)").as("qsv"))
+    val qtab = qsubs.join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("ivfcell"), col("m"), col("cell"),
         d2q(col("cv"), col("qsv")).as("dq"))
     val adist = probed.join(codes, Seq("vec_id"))
-      .join(broadcast(qtab), Seq("query_id", "m", "cell"))
+      .join(broadcast(qtab), Seq("query_id", "ivfcell", "m", "cell"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("dq")).as("adist"))
     adcShortlistRerank(adist, e, queryPred, k, shortlist)
