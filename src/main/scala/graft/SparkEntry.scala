@@ -303,6 +303,25 @@ object SparkEntry {
         .orderBy("yr")
     }),
 
+    // RESTORE on the log table: v3 reset the head to v1's segment set
+    // (undoing v2's delete by RE-REFERENCE, no data copied); the head
+    // read must equal the full pre-delete table, while the deleted
+    // state stays time-travelable at v2 (the require pins both, and
+    // that restore moved the head instead of rewriting history).
+    "table_log_restore" -> ((s, d) => {
+      val dir = txRestoreCache(s, d)
+      require(graft.sources.TxLog.headVersion(dir) == 3 &&
+          graft.sources.TxLog.commitOp(dir, 3) == "restore",
+        "restore must be a new commit, not history rewrite")
+      require(graft.sources.TxLog.liveSegments(dir, 3).toSet ==
+          graft.sources.TxLog.liveSegments(dir, 1).toSet,
+        "restored head must re-reference v1's exact segment set")
+      graft.sources.TxLog.read(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // copy-on-write UPDATE on the log table — the DML triad's third
     // leg (DELETE / MERGE / UPDATE): cents bumped where o_custkey%10=3,
     // only match-bearing segments rewritten. Reads AS OF the update
@@ -4107,6 +4126,24 @@ object SparkEntry {
         numSegments = 16, statsCols = Seq("o_custkey", "o_orderkey"))
     }
 
+  /** One-time RESTORE scenario: v0/v1 append order halves, v2 CoW
+    * delete of a custkey band, v3 RESTORE to v1 — head re-references
+    * v1's segments, undoing the delete without copying data. */
+  private def txRestoreCache(s: SparkSession, d: String): String =
+    cachedDir(s"/tmp/graft_txrestore_${new java.io.File(d).getName}", d,
+        Seq("orders")) { out =>
+      val root = new java.io.File(out)
+      if (root.isDirectory)
+        graft.sources.TxLog.deleteRecursively(root.toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 0), out)
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 1), out)
+      graft.sources.TxLog.delete(s, out, "o_custkey % 5 = 2")
+      graft.sources.TxLog.restore(out, toVersion = 1)
+    }
+
   /** 4-part events stream source for the multi-batch sink keys: one
     * parquet file per micro-batch under maxFilesPerTrigger=1. */
   private def streamCache4(s: SparkSession, d: String): String =
@@ -5181,6 +5218,11 @@ object SparkEntry {
          FROM orders
          WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the restored head is exactly the pre-delete table
+    "table_log_restore" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // update replayed relationally
     "table_log_update" ->
       """SELECT o_orderstatus, count(*) AS n,

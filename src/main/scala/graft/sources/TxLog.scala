@@ -753,6 +753,27 @@ object TxLog {
     }.reduce(_ unionByName(_, allowMissingColumns = true))
   }
 
+  /** RESTORE to an older version (Delta RESTORE): commits a NEW version
+    * whose live set is exactly `toVersion`'s — no data copied, segments
+    * re-referenced; history is preserved (the restore is itself a
+    * commit, so time travel still sees every intermediate state).
+    * Fails loud if any target segment was vacuumed away, and conflicts
+    * like every snapshot-dependent op. */
+  def restore(dir: String, toVersion: Int): Int = {
+    val snap = headVersion(dir)
+    require(toVersion >= 0 && toVersion <= snap,
+      s"restore target $toVersion out of range (head=$snap)")
+    val target = liveSegments(dir, toVersion)
+    val missing = target.filterNot(seg => Files.isDirectory(Paths.get(dir, seg)))
+    require(missing.isEmpty,
+      s"cannot restore $dir to $toVersion: segment(s) vacuumed: $missing")
+    val current = liveSegments(dir, snap)
+    commit(dir, "restore",
+      add = target.filterNot(current.contains),
+      remove = current.filterNot(target.contains),
+      expectedHead = Some(snap))
+  }
+
   /** DESCRIBE HISTORY: one row per commit — (version, op, n_added,
     * n_removed) — from log metadata alone. The audit surface a table
     * owner reads before trusting time travel or debugging a bad write. */

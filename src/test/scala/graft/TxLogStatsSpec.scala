@@ -325,6 +325,26 @@ class TxLogStatsSpec extends SparkTestBase {
     }
   }
 
+  test("restore re-references an old version without rewriting history") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir) // v0
+    TxLog.append(Seq((3L, "c")).toDF("id", "v"), dir)            // v1
+    TxLog.delete(spark, dir, "id = 2")                           // v2
+    val v = TxLog.restore(dir, toVersion = 1)                    // v3
+    assert(v == 3 && TxLog.commitOp(dir, 3) == "restore")
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, String)].collect()
+      .toList == List((1L, "a"), (2L, "b"), (3L, "c")),
+      "restored head must undo the delete")
+    // the deleted state remains time-travelable
+    assert(TxLog.read(spark, dir, asOf = 2).orderBy("id")
+      .as[(Long, String)].collect().toList == List((1L, "a"), (3L, "c")))
+    // restore re-references: no new segment directory was written
+    assert(TxLog.liveSegments(dir, 3).toSet == TxLog.liveSegments(dir, 1).toSet)
+    // restoring to a vacuumed version fails loud, not silently empty
+    TxLog.vacuum(dir, keepVersions = 1)
+    intercept[IllegalArgumentException] { TxLog.restore(dir, toVersion = 2) }
+  }
+
   test("update applies SET only to matching rows, rewrites only dirty segments") {
     val dir = freshDir()
     TxLog.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), dir)
