@@ -4079,7 +4079,7 @@ object SparkEntry {
     * assigned (vec_id, cell). Deterministic — the oracles retrain the
     * identical model in SQL. */
   private def pqModelCache(s: SparkSession, d: String): String =
-    cachedDir(s"/tmp/graft_pqmodel_${new java.io.File(d).getName}", d,
+    cachedDir(s"/tmp/graft_pqmodel2_${new java.io.File(d).getName}", d,
         Seq("embeddings")) { out =>
       val (cb, codes) = Similarity.pqTrain(embeddings(s, d), "vec_id", "embedding")
       cb.write.mode("overwrite").parquet(s"$out/cb")
@@ -4120,6 +4120,14 @@ object SparkEntry {
       graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 1), out)
       graft.sources.TxLog.update(s, out, "o_custkey % 10 = 3",
         Map("cents" -> "cents + 5000"))
+      // zorder2 masks to 16 bits per dimension: values beyond the grid
+      // would alias onto low z-bits and silently destroy locality —
+      // fail loud at build time instead (testdata regen guard)
+      val mx = o.agg(max(col("o_custkey")),
+        max(expr("o_orderkey DIV 4"))).head()
+      require(mx.getLong(0) < 65536 && mx.getLong(1) < 65536,
+        s"zorder grid overflow: custkey max ${mx.getLong(0)}, " +
+          s"orderkey/4 max ${mx.getLong(1)} must both be < 2^16")
       graft.sources.TxLog.optimizeBy(s, out,
         graft.sources.Warehouse.zorder2(col("o_custkey"),
           expr("o_orderkey DIV 4")),
@@ -4159,7 +4167,7 @@ object SparkEntry {
     * OF v3; merge reads head. Wiped before rebuild like [[txLogCache]]
     * so a retry can't replay the scenario on top of a stale log. */
   private def txStatsCache(s: SparkSession, d: String): String =
-    cachedDir(s"/tmp/graft_txstats2_${new java.io.File(d).getName}", d,
+    cachedDir(s"/tmp/graft_txstats3_${new java.io.File(d).getName}", d,
         Seq("orders")) { out =>
       val root = new java.io.File(out)
       graft.sources.TxLog.deleteRecursively(root.toPath)

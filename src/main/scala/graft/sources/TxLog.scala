@@ -62,14 +62,18 @@ object TxLog {
     * from); k hash positions derive from md5 ([[bloomPositions]]). */
   private[graft] case class BloomStats(typeName: String, m: Int, k: Int,
                                        file: Path) {
-    private lazy val bits: Array[Byte] = Files.readAllBytes(file)
+    private lazy val bits: Option[Array[Byte]] =
+      try {
+        val b = Files.readAllBytes(file)
+        if (b.length == (m + 7) / 8) Some(b) else None // truncated sidecar
+      } catch { case _: java.io.IOException => None }   // vacuumed mid-probe
     /** Some(false) = PROVEN absent; Some(true) = maybe present;
-      * None = cannot answer (unnormalizable type or missing sidecar) —
-      * callers treat None as "keep". */
+      * None = cannot answer (unnormalizable probe type, or the sidecar
+      * is missing/truncated — e.g. a concurrent vacuum) — callers
+      * treat None as "keep". */
     def mightContain(value: String): Option[Boolean] =
-      normalizeProbe(typeName, value).filter(_ => Files.exists(file)).map { v =>
-        bloomPositions(v, m, k).forall(p => (bits(p / 8) & (1 << (p % 8))) != 0)
-      }
+      for (v <- normalizeProbe(typeName, value); b <- bits)
+        yield bloomPositions(v, m, k).forall(p => (b(p / 8) & (1 << (p % 8))) != 0)
   }
 
   /** Probe value → the column's cast-to-string representation (what
@@ -300,17 +304,29 @@ object TxLog {
     val types = sdf.schema.map(f => f.name -> f.dataType.typeName).toMap
     val n = sdf.count()
     var m = 8192
-    while (m < 16L * n && m < (1 << 27)) m <<= 1
+    while (m < 16L * n && m < (1 << 24)) m <<= 1
     Files.createDirectories(logDir(dir))
     bloomCols.map { c =>
       val posCols = (0 until k).map(i =>
         (conv(substring(md5(concat(col("v"), lit(s":$i"))), 1, 13), 16, 10)
           .cast("long") % m).cast("int"))
-      val positions = sdf.select(col(c).cast("string").as("v")).na.drop()
+      // 64-bit word fragments OR-combined distributed-side: the driver
+      // collects at most m/64 rows (word index, word bits), never the
+      // raw position multiset
+      val words = sdf.select(col(c).cast("string").as("v")).na.drop()
         .select(explode(array(posCols: _*)).as("p"))
-        .distinct().collect().map(_.getInt(0))
+        .groupBy((col("p") / 64).cast("int").as("w"))
+        .agg(bit_or(expr("shiftleft(1L, CAST(p % 64 AS INT))")).as("bits"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
       val bits = new Array[Byte]((m + 7) / 8)
-      positions.foreach(p => bits(p / 8) = (bits(p / 8) | (1 << (p % 8))).toByte)
+      words.foreach { case (w, word) =>
+        var i = 0
+        while (i < 8) {
+          val b = ((word >>> (8 * i)) & 0xffL).toByte
+          if (w * 8 + i < bits.length) bits(w * 8 + i) = b
+          i += 1
+        }
+      }
       val f = logDir(dir).resolve(s"$seg-$c.bloom")
       Files.write(f, bits)
       (seg, c) -> BloomStats(types.getOrElse(c, "string"), m, k, f)
@@ -477,7 +493,10 @@ object TxLog {
     val snap = headVersion(dir)
     val live = liveSegments(dir, snap)
     require(live.nonEmpty, s"optimize of empty table $dir")
-    val clustered = spark.read.parquet(live.map(s => s"$dir/$s"): _*)
+    // mergeSchema: a schema-evolved table's rewrite must not silently
+    // drop the added column (single-footer inference could)
+    val clustered = spark.read.option("mergeSchema", "true")
+      .parquet(live.map(s => s"$dir/$s"): _*)
       .repartitionByRange(numSegments, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     stageAndCommitClustered(spark, dir, clustered, live, snap, statsCols)
@@ -513,31 +532,52 @@ object TxLog {
     commitOrReclaim(dir, "optimize", segs, live, snap, stats)
   }
 
+  /** The table's unioned schema (mergeSchema over the live set) — the
+    * read schema every DML rewrite must use so a schema-evolved table
+    * (old segments missing an added column) probes and rewrites
+    * uniformly: missing columns surface null, exactly like [[read]]
+    * with mergeSchema. */
+  private def tableSchema(spark: SparkSession, dir: String,
+                          live: Seq[String]): org.apache.spark.sql.types.StructType =
+    spark.read.option("mergeSchema", "true")
+      .parquet(live.map(s => s"$dir/$s"): _*).schema
+
   /** Copy-on-write UPDATE — the third leg of the DML triad (DELETE /
     * MERGE / UPDATE): rows matching `predicate` get `setExprs` applied
     * (column → SQL expression over the old row); only segments that
     * contain a match are rewritten, clean ones carry by reference.
-    * Conflicts like every snapshot-dependent op. */
+    * SQL UPDATE semantics: the predicate and EVERY set expression
+    * evaluate against the PRE-update row (one projection, not a
+    * sequential fold — `SET x = y, y = x` swaps). Schema-evolved
+    * tables rewrite under the unioned table schema. Conflicts like
+    * every snapshot-dependent op. */
   def update(spark: SparkSession, dir: String, predicate: String,
              setExprs: Map[String, String],
              statsCols: Seq[String] = Nil): Int = {
     require(setExprs.nonEmpty, "update without SET expressions")
     val snap = headVersion(dir)
     val live = liveSegments(dir, snap)
-    val dirty = live.filter { seg =>
-      !spark.read.parquet(s"$dir/$seg").filter(predicate).isEmpty
-    }
+    val schema = tableSchema(spark, dir, live)
+    val unknown = setExprs.keySet -- schema.map(_.name).toSet
+    require(unknown.isEmpty, s"SET references unknown column(s): $unknown")
+    def seg(s0: String) = spark.read.schema(schema).parquet(s"$dir/$s0")
+    val dirty = live.filter(s0 => !seg(s0).filter(predicate).isEmpty)
     if (dirty.isEmpty)
       return commit(dir, "update", Seq.empty, Seq.empty, Some(snap))
-    val rewritten = dirty.map { seg =>
-      val sdf = spark.read.parquet(s"$dir/$seg")
-      setExprs.foldLeft(sdf) { case (df, (c, e)) =>
-        df.withColumn(c, when(expr(predicate), expr(e)).otherwise(col(c)))
-      }
+    val rewritten = dirty.map { s0 =>
+      val sdf = seg(s0)
+      // ONE projection over the original frame: all when()/RHS columns
+      // read the pre-update row
+      sdf.select(sdf.columns.map { c =>
+        setExprs.get(c) match {
+          case Some(e) => when(expr(predicate), expr(e)).otherwise(col(c)).as(c)
+          case None    => col(c)
+        }
+      }: _*)
     }.reduce(_ unionByName _)
-    val seg = newSegment(dir, rewritten)
-    commitOrReclaim(dir, "update", Seq(seg), dirty, snap,
-      segStats(spark, dir, seg, statsCols))
+    val newSeg = newSegment(dir, rewritten)
+    commitOrReclaim(dir, "update", Seq(newSeg), dirty, snap,
+      segStats(spark, dir, newSeg, statsCols))
   }
 
   /** OPTIMIZE variant clustering on an arbitrary EXPRESSION — the
@@ -551,7 +591,8 @@ object TxLog {
     val snap = headVersion(dir)
     val live = liveSegments(dir, snap)
     require(live.nonEmpty, s"optimize of empty table $dir")
-    val clustered = spark.read.parquet(live.map(s => s"$dir/$s"): _*)
+    val clustered = spark.read.option("mergeSchema", "true")
+      .parquet(live.map(s => s"$dir/$s"): _*)
       .withColumn("__cluster", clusterExpr)
       .repartitionByRange(numSegments, col("__cluster"))
       .sortWithinPartitions(col("__cluster"))
@@ -682,7 +723,8 @@ object TxLog {
     val snap = headVersion(dir)
     val live = liveSegments(dir, snap)
     require(live.nonEmpty, s"compact of empty table $dir")
-    val all = spark.read.parquet(live.map(s => s"$dir/$s"): _*).coalesce(1)
+    val all = spark.read.option("mergeSchema", "true")
+      .parquet(live.map(s => s"$dir/$s"): _*).coalesce(1)
     commitOrReclaim(dir, "compact", Seq(newSegment(dir, all)), live, snap,
       Map.empty)
   }
@@ -715,12 +757,12 @@ object TxLog {
     val retained = (horizon to head).flatMap(v => liveSegments(dir, v)).toSet
     val all = entries(dir).flatMap(_.add).toSet
     val doomed = (all -- retained).toSeq.sorted
+    // loop-invariant: one log parse, not one per doomed segment
+    val bloomFiles = entries(dir).flatMap(_.blooms).groupBy(_._1._1)
     doomed.foreach { seg =>
       deleteRecursively(Paths.get(dir, seg))
       // a vacuumed segment's bloom sidecars are equally dead
-      entries(dir).flatMap(_.blooms).collect {
-        case ((s0, _), b) if s0 == seg => b.file
-      }.foreach(Files.deleteIfExists(_))
+      bloomFiles.getOrElse(seg, Nil).foreach(b => Files.deleteIfExists(b._2.file))
     }
     doomed
   }

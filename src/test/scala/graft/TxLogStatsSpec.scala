@@ -362,6 +362,41 @@ class TxLogStatsSpec extends SparkTestBase {
     assert(TxLog.read(spark, dir).count() == 4)
   }
 
+  test("update evaluates predicate and SET against the PRE-update row") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("id", "x", "y"), dir)
+    // SQL swap semantics: both RHS read the old row, and the predicate
+    // must not observe the mutated x
+    TxLog.update(spark, dir, "x = 10", Map("x" -> "y", "y" -> "x"))
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, Long, Long)]
+      .collect().toList == List((1L, 100L, 10L), (2L, 20L, 200L)))
+    // SET to a value that would un-match the predicate: still applied
+    // to every originally-matching row exactly once
+    TxLog.update(spark, dir, "y = 10", Map("y" -> "0", "x" -> "x + 1"))
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, Long, Long)]
+      .collect().toList == List((1L, 101L, 0L), (2L, 20L, 200L)))
+    intercept[IllegalArgumentException] {
+      TxLog.update(spark, dir, "id = 1", Map("nope" -> "0"))
+    }
+  }
+
+  test("update and optimize preserve an evolved column") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)
+    TxLog.append(Seq((2L, "b", 9L)).toDF("id", "v", "w"), dir) // evolved
+    // update across the evolution boundary: old rows read w as null
+    TxLog.update(spark, dir, "id >= 1", Map("v" -> "concat(v, 'x')"))
+    val got = TxLog.read(spark, dir, mergeSchema = true).orderBy("id")
+      .as[(Long, String, Option[Long])].collect().toList
+    assert(got == List((1L, "ax", None), (2L, "bx", Some(9L))))
+    // optimize must carry the evolved column, not drop it on a
+    // single-footer schema inference
+    TxLog.optimize(spark, dir, Seq("id"), numSegments = 1, statsCols = Seq("id"))
+    val after = TxLog.read(spark, dir).orderBy("id")
+      .as[(Long, String, Option[Long])].collect().toList
+    assert(after == got, "optimize dropped or mangled the evolved column")
+  }
+
   test("optimizeBy(zorder) makes BOTH dimensions prunable") {
     val dir = freshDir()
     // a 2D grid where every original segment spans both full ranges
