@@ -87,6 +87,58 @@ class TxLogStatsSpec extends SparkTestBase {
       "empty-string stats were lost in the commit-entry round trip")
   }
 
+  test("model-based: a 24-op DML sequence tracks an in-memory reference exactly") {
+    val dir = freshDir()
+    // reference model: id -> x, updated in lockstep with every TxLog op
+    var model = Map.empty[Long, Long]
+    var nextId = 0L
+    val rnd = new scala.util.Random(42) // seeded: deterministic sequence
+    def table(): Map[Long, Long] =
+      TxLog.read(spark, dir).as[(Long, Long)].collect().toMap
+    def appendBatch(n: Int): Unit = {
+      val rows = (0 until n).map { _ => nextId += 1; (nextId, rnd.nextInt(100).toLong) }
+      TxLog.append(rows.toDF("id", "x"), dir)
+      model ++= rows
+    }
+    appendBatch(5)
+    for (step <- 1 to 24) {
+      rnd.nextInt(6) match {
+        case 0 => appendBatch(1 + rnd.nextInt(3))
+        case 1 => // CoW delete of a random residue class
+          val r = rnd.nextInt(4)
+          TxLog.delete(spark, dir, s"id % 4 = $r")
+          model = model.filter { case (id, _) => id % 4 != r }
+        case 2 => // update a band
+          val t = rnd.nextInt(50)
+          TxLog.update(spark, dir, s"x < $t", Map("x" -> "x + 1000"))
+          model = model.map { case (id, x) => id -> (if (x < t) x + 1000 else x) }
+        case 3 => // merge: bump one existing id (if any) + insert one new
+          val upd = model.keys.toSeq.sorted.headOption.map(id => (id, 777L)).toSeq
+          nextId += 1
+          val rows = upd :+ (nextId, 55L)
+          TxLog.merge(spark, dir, rows.toDF("id", "x"), "id")
+          model ++= rows
+        case 4 => // maintenance: compact or optimize — logical no-ops
+          if (rnd.nextBoolean()) TxLog.compact(spark, dir)
+          else TxLog.optimize(spark, dir, Seq("id"), 2, Seq("id"))
+        case 5 => // restore to a random earlier version = replay the log;
+          // easiest exact model: re-read via time travel and adopt it
+          val v = rnd.nextInt(TxLog.headVersion(dir) + 1)
+          if (TxLog.liveSegments(dir, v)
+              .forall(s0 => new java.io.File(dir, s0).isDirectory)) {
+            TxLog.restore(dir, v)
+            model =
+              if (TxLog.liveSegments(dir, v).isEmpty) Map.empty
+              else TxLog.read(spark, dir, asOf = v).as[(Long, Long)].collect().toMap
+          }
+      }
+      if (TxLog.liveSegments(dir).nonEmpty || model.nonEmpty)
+        assert(table() == model, s"divergence after step $step")
+      // log always dense + parseable
+      assert(TxLog.history(spark, dir).count() == TxLog.headVersion(dir) + 1)
+    }
+  }
+
   test("appends racing a retrying OPTIMIZE lose no rows and leak no segments") {
     val dir = freshDir()
     TxLog.append(Seq((0L, "seed")).toDF("id", "v"), dir)
