@@ -303,6 +303,41 @@ object SparkEntry {
         .orderBy("yr")
     }),
 
+    // ANALYZE on the log table: the restore-scenario table was written
+    // with PLAIN appends (no stats), so nothing prunes; a metadata-only
+    // analyze commit backfills min/max for the live set — after it the
+    // same range read skips from log metadata without a byte of data
+    // rewritten (the require pins before-nothing/after-something).
+    // Separate /tmp table: built fresh per run, ~3 tiny commits.
+    "table_log_analyze" -> ((s, d) => {
+      val dir = s"/tmp/graft_txanalyze_${new java.io.File(d).getName}"
+      val root = new java.io.File(dir)
+      if (root.isDirectory)
+        graft.sources.TxLog.deleteRecursively(root.toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.sources.TxLog.append(
+        o.filter(col("o_orderdate") < "1998-01-01"), dir)
+      graft.sources.TxLog.append(
+        o.filter(col("o_orderdate") >= "1998-01-01"), dir)
+      require(graft.sources.TxLog.pruneRange(dir, "o_orderdate",
+          Some("1996-01-01"), Some("1996-12-31"))._2.isEmpty,
+        "statless table must not prune")
+      require(graft.sources.TxLog.analyze(s, dir,
+          Seq("o_orderdate")).contains(2),
+        "analyze must commit metadata version 2")
+      val (kept, pruned) = graft.sources.TxLog.pruneRange(dir, "o_orderdate",
+        Some("1996-01-01"), Some("1996-12-31"))
+      require(kept.size == 1 && pruned.size == 1,
+        s"backfilled stats must prune: kept=$kept pruned=$pruned")
+      graft.sources.TxLog.readRange(s, dir, "o_orderdate",
+          Some("1996-01-01"), Some("1996-12-31"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // RESTORE on the log table: v3 reset the head to v1's segment set
     // (undoing v2's delete by RE-REFERENCE, no data copied); the head
     // read must equal the full pre-delete table, while the deleted
@@ -5221,6 +5256,13 @@ object SparkEntry {
     // the pre-merge (v3) table is exactly orders; the range read is a
     // plain date filter — pruning must not change results
     "table_log_skipping" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // analyze changes metadata only: the range read is a plain filter
+    "table_log_analyze" ->
       """SELECT o_orderstatus, count(*) AS n,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders

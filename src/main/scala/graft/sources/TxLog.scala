@@ -795,6 +795,35 @@ object TxLog {
     }.reduce(_ unionByName(_, allowMissingColumns = true))
   }
 
+  /** ANALYZE (compute statistics): backfills min/max stats and Bloom
+    * filters for LIVE segments that lack them, as a METADATA-ONLY
+    * commit (empty add/remove — replay is a no-op; [[allStats]] unions
+    * entries in order, so the analyze entry's stats attach to the old
+    * segments). The maintenance op that upgrades a table written
+    * before indexing was configured — without rewriting a byte of
+    * data. Returns the committed version, or None if every live
+    * segment already has the requested metadata. */
+  def analyze(spark: SparkSession, dir: String,
+              statsCols: Seq[String], bloomCols: Seq[String] = Nil): Option[Int] = {
+    val snap = headVersion(dir)
+    val live = liveSegments(dir, snap)
+    val stats = allStats(dir)
+    val blooms = allBlooms(dir)
+    val needStats = live.filter(seg =>
+      statsCols.exists(c => !stats.contains((seg, c))))
+    val needBlooms = live.filter(seg =>
+      bloomCols.exists(c => !blooms.contains((seg, c))))
+    if (needStats.isEmpty && needBlooms.isEmpty) return None
+    val newStats = needStats.foldLeft(Map.empty[(String, String), ColStats]) {
+      (m, seg) => m ++ segStats(spark, dir, seg, statsCols)
+    }
+    val newBlooms = needBlooms.foldLeft(Map.empty[(String, String), BloomStats]) {
+      (m, seg) => m ++ segBlooms(spark, dir, seg, bloomCols)
+    }
+    Some(commit(dir, "analyze", Seq.empty, Seq.empty, Some(snap),
+      newStats, newBlooms))
+  }
+
   /** RESTORE to an older version (Delta RESTORE): commits a NEW version
     * whose live set is exactly `toVersion`'s — no data copied, segments
     * re-referenced; history is preserved (the restore is itself a

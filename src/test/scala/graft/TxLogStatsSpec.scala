@@ -377,6 +377,25 @@ class TxLogStatsSpec extends SparkTestBase {
     }
   }
 
+  test("analyze backfills stats and blooms metadata-only, idempotently") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a"), (5L, "b")).toDF("id", "v"), dir)   // no stats
+    TxLog.append(Seq((10L, "c"), (15L, "d")).toDF("id", "v"), dir) // no stats
+    assert(TxLog.pruneRange(dir, "id", Some("10"), Some("15"))._2.isEmpty)
+    assert(TxLog.prunePoint(dir, "id", "15")._2.isEmpty)
+    val segsBefore = TxLog.liveSegments(dir).toSet
+    assert(TxLog.analyze(spark, dir, Seq("id"), Seq("id")).contains(2))
+    assert(TxLog.liveSegments(dir).toSet == segsBefore,
+      "analyze must not touch the segment set")
+    assert(TxLog.pruneRange(dir, "id", Some("10"), Some("15"))._2.size == 1)
+    assert(TxLog.prunePoint(dir, "id", "15")._2.size == 1)
+    // idempotent: everything covered -> no new commit
+    assert(TxLog.analyze(spark, dir, Seq("id"), Seq("id")).isEmpty)
+    // a later statless append re-arms it
+    TxLog.append(Seq((99L, "e")).toDF("id", "v"), dir)
+    assert(TxLog.analyze(spark, dir, Seq("id")).contains(4))
+  }
+
   test("restore re-references an old version without rewriting history") {
     val dir = freshDir()
     TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir) // v0
