@@ -7063,7 +7063,7 @@ object SparkEntry {
            SELECT query, rank,
                   CASE WHEN (doc_id + query) % 5 = 0 THEN 1 ELSE 0 END AS rel
            FROM ranked)
-         SELECT query, CAST(sum(rel) AS BIGINT) AS n_rel10,
+         SELECT query, CAST(sum(rel) AS BIGINT) AS n_rel,
                 CAST(coalesce(min(CASE WHEN rel = 1 THEN rank END), -1)
                      AS BIGINT) AS first_rel_rank,
                 CAST(coalesce(floor(1000000.0 /

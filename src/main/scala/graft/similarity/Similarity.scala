@@ -497,8 +497,20 @@ object Similarity {
       .select(col("query_id"), col("m").cast("long").as("m"),
         expr(s"slice(v, m * $subDim + 1, $subDim)").as("qsv"))
 
-  private def packedTag(dist: Column) = concat(lpad(dist.cast("string"), 12, "0"),
-    lit(":"), lpad(col("vec_id").cast("string"), 10, "0"))
+  /** (dist, id) packed into one lexicographically-ordered tag for
+    * TopKAgg. lpad TRUNCATES over-width input (a negative id's sign
+    * char, a quantized distance past the 12-digit pad) which would
+    * silently corrupt the packed order and the parsed ed_q6 /
+    * neighbor_id — raise loud instead; in-range rows pay one compare. */
+  private def packedTag(dist: Column) = {
+    val id = col("vec_id")
+    when(dist.cast("long") < 0L || dist.cast("long") > 999999999999L ||
+        id.cast("long") < 0L || id.cast("long") > 9999999999L,
+      raise_error(concat(lit("packedTag out of range: dist="),
+        dist.cast("string"), lit(" vec_id="), id.cast("string"))))
+      .otherwise(concat(lpad(dist.cast("string"), 12, "0"),
+        lit(":"), lpad(id.cast("string"), 10, "0")))
+  }
 
   /** Shared search tail: ADC shortlist (TopKAgg, (dist, id) packed into
     * the tag), then the exact quantized-L2 re-rank that alone touches

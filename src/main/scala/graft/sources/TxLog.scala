@@ -304,7 +304,7 @@ object TxLog {
     val types = sdf.schema.map(f => f.name -> f.dataType.typeName).toMap
     val n = sdf.count()
     var m = 8192
-    while (m < 16L * n && m < (1 << 24)) m <<= 1
+    while (m < 16L * n && m < (1 << 27)) m <<= 1
     Files.createDirectories(logDir(dir))
     bloomCols.map { c =>
       val posCols = (0 until k).map(i =>
@@ -342,10 +342,28 @@ object TxLog {
                       statsCols: Seq[String],
                       bloomCols: Seq[String] = Nil): Int = {
     val seg = newSegment(dir, df)
-    commit(dir, "append", Seq(seg), Seq.empty,
-      stats = segStats(spark, dir, seg, statsCols),
-      blooms = segBlooms(spark, dir, seg, bloomCols))
+    // stats/bloom failures (e.g. a statsCol missing from the batch)
+    // happen AFTER the segment bytes are staged but BEFORE any entry
+    // records them — reclaim on the way out or vacuum (which only sees
+    // entry-recorded segments) could never delete the orphan
+    reclaimOnFailure(dir, Seq(seg)) {
+      commit(dir, "append", Seq(seg), Seq.empty,
+        stats = segStats(spark, dir, seg, statsCols),
+        blooms = segBlooms(spark, dir, seg, bloomCols))
+    }
   }
+
+  /** Runs `body` (a stats pass + commit tail over just-staged, not yet
+    * entry-recorded segments); on ANY failure deletes the staged
+    * segment dirs — the non-conflict analogue of [[commitOrReclaim]]'s
+    * reclaim — then rethrows. */
+  private def reclaimOnFailure[T](dir: String, staged: Seq[String])(body: => T): T =
+    try body
+    catch {
+      case e: Throwable =>
+        staged.foreach(seg => deleteRecursively(Paths.get(dir, seg)))
+        throw e
+    }
 
   private def allBlooms(dir: String): Map[(String, String), BloomStats] =
     entries(dir).iterator.flatMap(_.blooms).toMap
@@ -408,7 +426,14 @@ object TxLog {
         tn.startsWith("decimal")
       val fp = tn == "float" || tn == "double"
       def lt(a: String, b: String): Boolean =
-        if (fp) java.lang.Double.parseDouble(a) < java.lang.Double.parseDouble(b)
+        if (tn == "float")
+          // compare in the FLOAT domain: the residual filter casts the
+          // probe to float, so a probe string carrying more precision
+          // than float holds (double-rounding above the stored max while
+          // float-rounding TO it) must not prune the segment whose max
+          // row the residual >= filter would match
+          java.lang.Float.parseFloat(a) < java.lang.Float.parseFloat(b)
+        else if (fp) java.lang.Double.parseDouble(a) < java.lang.Double.parseDouble(b)
         else if (integral) BigDecimal(a) < BigDecimal(b)
         else a < b
       lo.exists(l => lt(mx, l)) || hi.exists(h => lt(h, mn))
@@ -654,8 +679,11 @@ object TxLog {
                     statsCols: Seq[String] = Nil): Int = {
     require(constraints.nonEmpty, "appendChecked without constraints: use append")
     // stage once so the checks and the commit read the same bytes even
-    // if `df` is nondeterministic upstream
+    // if `df` is nondeterministic upstream; reclaim the staged bytes if
+    // the check pass itself throws (e.g. a malformed constraint
+    // expression), not just on a counted violation
     val seg = newSegment(dir, df)
+    reclaimOnFailure(dir, Seq(seg)) {
     val staged = spark.read.parquet(s"$dir/$seg")
     // SQL CHECK semantics: a row violates only when the predicate is
     // explicitly FALSE (NULL passes, like Delta's constraints)
@@ -665,13 +693,12 @@ object TxLog {
         lit(0L)).as(c)): _*).head()
     val violated = constraints.zipWithIndex
       .map { case (c, i) => c -> counts.getLong(i) }.filter(_._2 > 0)
-    if (violated.nonEmpty) {
-      deleteRecursively(Paths.get(dir, seg))
+    if (violated.nonEmpty)
       throw new IllegalArgumentException("constraint violation(s): " +
         violated.map { case (c, n) => s"[$c] $n row(s)" }.mkString("; "))
-    }
     commit(dir, "append", Seq(seg), Seq.empty,
       stats = segStats(spark, dir, seg, statsCols))
+    }
   }
 
   /** Idempotent streaming append — the exactly-once `foreachBatch`
@@ -814,14 +841,27 @@ object TxLog {
     val needBlooms = live.filter(seg =>
       bloomCols.exists(c => !blooms.contains((seg, c))))
     if (needStats.isEmpty && needBlooms.isEmpty) return None
-    val newStats = needStats.foldLeft(Map.empty[(String, String), ColStats]) {
-      (m, seg) => m ++ segStats(spark, dir, seg, statsCols)
+    // on any failure after sidecars start landing (e.g. a statsCol
+    // missing from an old segment), reclaim the written .bloom files —
+    // no entry records them, so vacuum could never collect them
+    val written = scala.collection.mutable.ArrayBuffer[Path]()
+    try {
+      val newStats = needStats.foldLeft(Map.empty[(String, String), ColStats]) {
+        (m, seg) => m ++ segStats(spark, dir, seg, statsCols)
+      }
+      val newBlooms = needBlooms.foldLeft(Map.empty[(String, String), BloomStats]) {
+        (m, seg) =>
+          val bs = segBlooms(spark, dir, seg, bloomCols)
+          written ++= bs.values.map(_.file)
+          m ++ bs
+      }
+      Some(commit(dir, "analyze", Seq.empty, Seq.empty, Some(snap),
+        newStats, newBlooms))
+    } catch {
+      case e: Throwable =>
+        written.foreach(Files.deleteIfExists(_))
+        throw e
     }
-    val newBlooms = needBlooms.foldLeft(Map.empty[(String, String), BloomStats]) {
-      (m, seg) => m ++ segBlooms(spark, dir, seg, bloomCols)
-    }
-    Some(commit(dir, "analyze", Seq.empty, Seq.empty, Some(snap),
-      newStats, newBlooms))
   }
 
   /** RESTORE to an older version (Delta RESTORE): commits a NEW version

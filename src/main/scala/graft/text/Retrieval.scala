@@ -135,7 +135,9 @@ object Retrieval {
     * 1/log2(rank+1) DCG gain quantizes to floor(x·1e6 + 0.5) BEFORE the
     * order-independent integer sum) so two engines hash-match:
     *
-    *   n_rel10        relevant hits in the top-k window
+    *   n_rel          relevant hits in the top-k window (k is whatever
+    *                  window the caller ranked — the metric doesn't
+    *                  bake a k into its name)
     *   first_rel_rank rank of the first relevant hit (-1 = none)
     *   mrr_q6         floor(1e6 / first_rel_rank + .5), 0 when none
     *   dcg_q6         Σ_rel floor(1e6 / log2(rank+1) + .5)
@@ -145,7 +147,7 @@ object Retrieval {
   def rankingMetrics(ranked: DataFrame): DataFrame = {
     val firstRel = min(when(col("rel") === 1, col("rank")))
     ranked.groupBy("query").agg(
-      sum(col("rel")).as("n_rel10"),
+      sum(col("rel")).as("n_rel"),
       coalesce(firstRel, lit(-1L)).as("first_rel_rank"),
       coalesce(floor(lit(1000000.0) / firstRel + lit(0.5)).cast("long"), lit(0L))
         .as("mrr_q6"),
