@@ -338,6 +338,35 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // LOG CHECKPOINTING: 12 commits cross the checkpoint cadence (the
+    // v9 commit folds live set + stats into _txlog/00000009.checkpoint
+    // and advances _last_checkpoint), so the head read resolves from
+    // ONE checkpoint plus a 2-entry tail — the require counts metadata
+    // file reads through LogStore and pins the O(checkpoint + tail)
+    // contract that keeps a busy table's driver-side log replay flat as
+    // commit count grows (the Delta _last_checkpoint mechanics). Built
+    // fresh per run: the checkpoint write path IS the thing measured.
+    "table_log_checkpoint" -> ((s, d) => {
+      val dir = s"/tmp/graft_txcp_${new java.io.File(d).getName}"
+      val root = new java.io.File(dir)
+      if (root.isDirectory)
+        graft.sources.TxLog.deleteRecursively(root.toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      (0 until 12).foreach(i =>
+        graft.sources.TxLog.append(o.filter(col("o_orderkey") % 12 === i), dir))
+      val before = graft.sources.LogStore.metaReads.get()
+      val segs = graft.sources.TxLog.liveSegments(dir)
+      val reads = graft.sources.LogStore.metaReads.get() - before
+      require(segs.size == 12 &&
+          reads <= 2 + graft.sources.TxLog.CheckpointInterval,
+        s"checkpointed head read regressed: segs=${segs.size} metaReads=$reads")
+      graft.sources.TxLog.read(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // RESTORE on the log table: v3 reset the head to v1's segment set
     // (undoing v2's delete by RE-REFERENCE, no data copied); the head
     // read must equal the full pre-delete table, while the deleted
@@ -5268,6 +5297,11 @@ object SparkEntry {
          FROM orders
          WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // all 12 commit slices land; the checkpoint fold loses nothing
+    "table_log_checkpoint" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // the restored head is exactly the pre-delete table
     "table_log_restore" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** The metadata/log I/O seam of [[TxLog]] — every byte of commit-log,
+  * checkpoint, and sidecar traffic goes through exactly one of these,
+  * so the table format's correctness argument reduces to one method's
+  * contract per backing store:
+  *
+  *   `putIfAbsent` MUST be put-if-absent: at most one of N racing
+  *   writers of the same path wins, and a reader never observes a
+  *   partially-written winner.
+  *
+  * Strategy matrix (who provides the CAS):
+  *
+  *  - plain local paths → [[NioLogStore]]: write a temp file, then
+  *    HARD-LINK it into place. `Files.createLink` is POSIX's true
+  *    put-if-absent (atomic, fails on existing target), where POSIX
+  *    `rename(2)` — and therefore ATOMIC_MOVE — silently REPLACES.
+  *  - `hdfs://` → [[HadoopLogStore]]: write a temp file, then
+  *    `FileSystem.rename` — HDFS rename is atomic in the NameNode and
+  *    returns false when the destination exists (rename-if-absent),
+  *    and the linked file is complete by close() before the rename.
+  *  - `file:/` through Hadoop → [[HadoopLogStore]]:
+  *    `create(path, overwrite = false)` — a check-then-create (the
+  *    local Hadoop FS cannot do better); single-JVM correct, used by
+  *    the FS-backed test path. Production local tables use plain
+  *    paths and get the Nio hard-link CAS.
+  *  - object stores (`s3a://`, `abfs://`, `gs://`): the Hadoop
+  *    FileSystem API has NO atomic put-if-absent (S3 rename is
+  *    copy+delete; create(!overwrite) is check-then-put). A real
+  *    deployment needs the store's conditional put (S3 If-None-Match,
+  *    GCS preconditions, ABFS ETags) or an external coordinator
+  *    (the DynamoDB-LogStore pattern) — out of scope here (zero
+  *    egress), so `forPath` fails loud rather than corrupt silently.
+  *
+  * Everything else (read, list, recursive delete, rename of staged
+  * data files) has ordinary per-FS semantics and needs no ceremony.
+  */
+private[graft] trait LogStore {
+  def exists(path: String): Boolean
+  def isDirectory(path: String): Boolean
+  /** Read a whole (small — log entry / checkpoint / bloom sidecar)
+    * metadata file. Throws java.io.IOException when missing. */
+  def readBytes(path: String): Array[Byte]
+  /** Atomic-enough put-if-absent (see class doc): true = this call
+    * created the file; false = the path already existed. */
+  def putIfAbsent(path: String, bytes: Array[Byte]): Boolean
+  /** Last-writer-wins replace — for pointers whose every historical
+    * value is valid (`_last_checkpoint`), never for commit slots. */
+  def putReplace(path: String, bytes: Array[Byte]): Unit
+  def deleteIfExists(path: String): Unit
+  def deleteRecursively(path: String): Unit
+  def mkdirs(path: String): Unit
+  /** Child NAMES (not paths) of a directory; empty when missing. */
+  def list(path: String): Seq[String]
+  /** Move a file within the store (staging part-file → segment dir). */
+  def rename(src: String, dst: String): Unit
+}
+
+private[graft] object LogStore {
+  /** Metadata-file reads served since JVM start — the observability
+    * hook the checkpoint spec uses to assert a 500-commit table is
+    * read in O(checkpoint + tail) file opens, not O(versions). */
+  val metaReads = new AtomicLong(0)
+
+  /** Store for `path`: URIs with a scheme go through the Hadoop
+    * FileSystem API; plain local paths keep the Nio hard-link CAS.
+    * Object-store schemes fail loud (no atomic put-if-absent — see
+    * the strategy matrix above). */
+  def forPath(path: String): LogStore = {
+    val scheme = schemeOf(path)
+    scheme match {
+      case None => NioLogStore
+      case Some(s) if s == "file" || s == "hdfs" =>
+        val conf = org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sparkContext.hadoopConfiguration)
+          .getOrElse(new Configuration())
+        new HadoopLogStore(new HPath(path).getFileSystem(conf), s)
+      case Some(s) =>
+        throw new IllegalArgumentException(
+          s"no atomic put-if-absent strategy for scheme '$s' ($path): " +
+            "object stores need a conditional-put or external-coordinator " +
+            "LogStore — see LogStore's strategy matrix")
+    }
+  }
+
+  private def schemeOf(path: String): Option[String] = {
+    val i = path.indexOf(':')
+    // a ':' before any '/' marks a URI scheme ("file:/x", "hdfs://nn/x");
+    // plain absolute/relative paths have none
+    if (i > 1 && path.take(i).forall(c => c.isLetterOrDigit || c == '+' ||
+        c == '-' || c == '.') && !path.take(i).contains('/'))
+      Some(path.take(i).toLowerCase)
+    else None
+  }
+}
+
+/** java.nio implementation for plain local paths — the hard-link CAS
+  * (see [[LogStore]] strategy matrix). */
+private[graft] object NioLogStore extends LogStore {
+  private def p(s: String) = Paths.get(s)
+  def exists(path: String): Boolean = Files.exists(p(path))
+  def isDirectory(path: String): Boolean = Files.isDirectory(p(path))
+  def readBytes(path: String): Array[Byte] = {
+    LogStore.metaReads.incrementAndGet()
+    Files.readAllBytes(p(path))
+  }
+  def putIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
+    val target = p(path)
+    val tmp = Files.createTempFile(target.getParent, ".commit", ".tmp")
+    try {
+      Files.write(tmp, bytes)
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+  def putReplace(path: String, bytes: Array[Byte]): Unit = {
+    val target = p(path)
+    val tmp = Files.createTempFile(target.getParent, ".ptr", ".tmp")
+    Files.write(tmp, bytes)
+    // REPLACE is the point here: any historical pointer value is valid
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+  def deleteIfExists(path: String): Unit = Files.deleteIfExists(p(path))
+  def deleteRecursively(path: String): Unit =
+    if (Files.exists(p(path))) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p(path))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator.asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  def mkdirs(path: String): Unit = Files.createDirectories(p(path))
+  def list(path: String): Seq[String] =
+    if (!Files.isDirectory(p(path))) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(p(path))
+      try s.iterator.asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    }
+  def rename(src: String, dst: String): Unit =
+    Files.move(p(src), p(dst), StandardCopyOption.ATOMIC_MOVE)
+}
+
+/** Hadoop FileSystem implementation — the portability layer a 100 TB
+  * table actually lives behind (HDFS today; object stores once a
+  * conditional-put strategy exists). One instance per (fs, scheme);
+  * FileSystem handles are cached by Hadoop itself. */
+private[graft] class HadoopLogStore(fs: FileSystem, scheme: String) extends LogStore {
+  private def p(s: String) = new HPath(s)
+  def exists(path: String): Boolean = fs.exists(p(path))
+  def isDirectory(path: String): Boolean =
+    try fs.getFileStatus(p(path)).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  def readBytes(path: String): Array[Byte] = {
+    LogStore.metaReads.incrementAndGet()
+    val in = fs.open(p(path))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+  def putIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
+    val target = p(path)
+    if (scheme == "hdfs") {
+      // write-complete-then-rename: HDFS rename is NameNode-atomic and
+      // returns false when the destination exists (rename-if-absent) —
+      // a reader can never open a half-written winner
+      val tmp = new HPath(target.getParent,
+        s".${target.getName}.${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      val won = try fs.rename(tmp, target)
+        catch { case _: java.io.IOException => false }
+      if (!won) fs.delete(tmp, false)
+      won
+    } else {
+      // local-FS check-then-create (single-JVM correct; see matrix)
+      try {
+        val out = fs.create(target, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException if fs.exists(target) => false
+      }
+    }
+  }
+  def putReplace(path: String, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p(path), true)
+    try out.write(bytes) finally out.close()
+  }
+  def deleteIfExists(path: String): Unit = fs.delete(p(path), false)
+  def deleteRecursively(path: String): Unit = fs.delete(p(path), true)
+  def mkdirs(path: String): Unit = fs.mkdirs(p(path))
+  def list(path: String): Seq[String] =
+    if (!exists(path)) Seq.empty
+    else fs.listStatus(p(path)).toSeq.map(_.getPath.getName)
+  def rename(src: String, dst: String): Unit = {
+    if (!fs.rename(p(src), p(dst)))
+      throw new java.io.IOException(s"rename $src -> $dst failed")
+  }
+}

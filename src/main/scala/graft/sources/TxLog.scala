@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,23 +10,33 @@ import org.apache.spark.sql.functions._
   *  - A table is a directory: data SEGMENTS (each a parquet directory
   *    written once, never mutated) plus an append-only commit log
   *    `_txlog/%08d.txt` of add/remove segment sets.
-  *  - COMMIT = write the entry to a temp name, then HARD-LINK it into
-  *    the next version slot: `createLink` is the filesystem's true
-  *    put-if-absent (POSIX rename silently replaces, so a move-based
-  *    CAS would lose races). Appends retry onto the next free slot;
-  *    snapshot-dependent ops (delete/overwrite/compact) are
+  *  - COMMIT = put-if-absent of the entry into the next version slot,
+  *    through [[LogStore]] (hard-link CAS on a local FS, atomic
+  *    rename-if-absent on HDFS — see LogStore's strategy matrix).
+  *    Appends retry onto the next free slot; snapshot-dependent ops
+  *    (delete/overwrite/compact/merge/update/optimize/restore) are
   *    CONDITIONAL on the head they read and fail with
   *    ConcurrentModificationException if any commit intervened — the
   *    Delta protocol's commit-conflict rule, since their remove sets
   *    would otherwise double-apply.
-  *  - READ = replay the log up to a version (default: head) into the
-  *    live segment set, then scan exactly those parquet dirs. Readers
-  *    never see a half-committed state (the entry appears atomically)
-  *    and a snapshot pinned at version v is immutable forever —
-  *    segments are never rewritten in place, only superseded.
-  *  - TIME TRAVEL = replay to an older version: free, because remove
-  *    entries only drop segments from the LIVE set; the bytes stay
-  *    until a retention vacuum (not modeled) reclaims them.
+  *  - READ = load the newest CHECKPOINT at-or-before the target
+  *    version and replay only the log TAIL after it (O(interval), not
+  *    O(versions)) into the live segment set, then scan exactly those
+  *    parquet dirs. Readers never see a half-committed state (the
+  *    entry appears atomically) and a snapshot pinned at version v is
+  *    immutable forever — segments are never rewritten in place, only
+  *    superseded.
+  *  - CHECKPOINT = every [[CheckpointInterval]] commits the writer
+  *    folds the log into `_txlog/%08d.checkpoint` (live set + live
+  *    segments' stats/bloom refs + committed stream batch ids) and
+  *    advances the `_txlog/_last_checkpoint` pointer — Delta's
+  *    `_last_checkpoint` mechanics. Entries are never deleted, so
+  *    history/CDF/time-travel replay stays exact; checkpoints are a
+  *    pure read-path accelerator and any one of them is valid.
+  *  - TIME TRAVEL = replay to an older version (from the newest
+  *    checkpoint at-or-before it): remove entries only drop segments
+  *    from the LIVE set; the bytes stay until a retention [[vacuum]]
+  *    reclaims them.
   *  - DELETE = copy-on-write at segment granularity: only segments
   *    that actually contain matching rows are rewritten (the file-stats
   *    pruning of a real format, with a per-segment probe standing in
@@ -36,14 +45,23 @@ import org.apache.spark.sql.functions._
   *    remove(live)+add(new): a metadata-only swap for readers, no
   *    logical change — the small-files answer under a log.
   *
-  * Scale shape: the log is O(commits) tiny text files read by the
-  * DRIVER (like Delta's JSON actions); data moves only through normal
+  * Scale shape: the log is O(commits) tiny text files, but the READ
+  * path touches only O(1 checkpoint + tail) of them (like Delta's
+  * checkpointed JSON actions); data moves only through normal
   * distributed parquet jobs over the affected segments. Nothing here
-  * holds rows on the driver.
+  * holds rows on the driver. All metadata I/O goes through
+  * [[LogStore]], so a table addressed as `file:/...` (or `hdfs://...`)
+  * runs the same code through the Hadoop FileSystem API.
   */
 object TxLog {
 
-  private def logDir(dir: String): Path = Paths.get(dir, "_txlog")
+  /** Commits between checkpoints (Delta's default cadence). Writers
+    * fold a checkpoint after every interval-th commit; readers replay
+    * at most this many tail entries past the newest checkpoint. */
+  private[graft] val CheckpointInterval = 10
+
+  private def logDir(dir: String): String = s"$dir/_txlog"
+  private def store(dir: String): LogStore = LogStore.forPath(dir)
 
   /** Per-segment, per-column min/max recorded at write time — the
     * data-skipping stats of the log formats. `typeName` decides the
@@ -61,10 +79,10 @@ object TxLog {
     * column's cast-to-string domain (the form the bits were built
     * from); k hash positions derive from md5 ([[bloomPositions]]). */
   private[graft] case class BloomStats(typeName: String, m: Int, k: Int,
-                                       file: Path) {
+                                       st: LogStore, file: String) {
     private lazy val bits: Option[Array[Byte]] =
       try {
-        val b = Files.readAllBytes(file)
+        val b = st.readBytes(file)
         if (b.length == (m + 7) / 8) Some(b) else None // truncated sidecar
       } catch { case _: java.io.IOException => None }   // vacuumed mid-probe
     /** Some(false) = PROVEN absent; Some(true) = maybe present;
@@ -97,18 +115,24 @@ object TxLog {
                            stats: Map[(String, String), ColStats],
                            blooms: Map[(String, String), BloomStats])
 
-  private def entryPath(dir: String, v: Int): Path =
-    logDir(dir).resolve(f"$v%08d.txt")
+  /** Replayed log state as of some version: what every reader/pruner
+    * actually consumes — built from checkpoint + tail, never a full
+    * log scan on the hot path. */
+  private case class State(version: Int, live: Seq[String],
+                           stats: Map[(String, String), ColStats],
+                           blooms: Map[(String, String), BloomStats],
+                           streamOps: Set[String])
+
+  private def entryPath(dir: String, v: Int): String =
+    f"${logDir(dir)}/$v%08d.txt"
+  private def checkpointPath(dir: String, v: Int): String =
+    f"${logDir(dir)}/$v%08d.checkpoint"
+  private def lastCheckpointPath(dir: String): String =
+    s"${logDir(dir)}/_last_checkpoint"
 
   /** Recursive delete (children-first); no-op on a missing path. */
-  private[graft] def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator.asScala.foreach(Files.deleteIfExists(_))
-      finally walk.close()
-    }
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
+    NioLogStore.deleteRecursively(p.toString)
 
   /** Conditional commit that RECLAIMS the just-written `add` segments
     * on a concurrency conflict — without this, every conflicted
@@ -123,7 +147,19 @@ object TxLog {
     try commit(dir, op, add, remove, Some(expectedHead), stats, blooms)
     catch {
       case e: java.util.ConcurrentModificationException =>
-        add.foreach(seg => deleteRecursively(Paths.get(dir, seg)))
+        add.foreach(seg => store(dir).deleteRecursively(s"$dir/$seg"))
+        throw e
+    }
+
+  /** Runs `body` (a stats pass + commit tail over just-staged, not yet
+    * entry-recorded segments); on ANY failure deletes the staged
+    * segment dirs — the non-conflict analogue of [[commitOrReclaim]]'s
+    * reclaim — then rethrows. */
+  private def reclaimOnFailure[T](dir: String, staged: Seq[String])(body: => T): T =
+    try body
+    catch {
+      case e: Throwable =>
+        staged.foreach(seg => store(dir).deleteRecursively(s"$dir/$seg"))
         throw e
     }
 
@@ -132,9 +168,8 @@ object TxLog {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def parse(dir: String, v: Int, lines: Seq[String]): Entry = {
-    def vals(k: String) = lines.filter(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
-    val stats = vals("stats").flatMap { line =>
+  private def parseStats(lines: Seq[String]): Map[(String, String), ColStats] =
+    lines.flatMap { line =>
       // limit -1: a trailing empty field (empty-string max) must survive
       line.split("\\|", -1) match {
         case Array(seg, c, tn, mn, mx) =>
@@ -142,54 +177,176 @@ object TxLog {
         case _ => None // malformed / future-format stats line: ignorable metadata
       }
     }.toMap
-    val blooms = vals("bloom").flatMap { line =>
+
+  private def parseBlooms(dir: String, lines: Seq[String]): Map[(String, String), BloomStats] =
+    lines.flatMap { line =>
       line.split("\\|", -1) match {
         case Array(seg, c, tn, m, k, file) =>
           Some((dec(seg), dec(c)) -> BloomStats(dec(tn), m.toInt, k.toInt,
-            logDir(dir).resolve(dec(file))))
+            store(dir), s"${logDir(dir)}/${dec(file)}"))
         case _ => None
       }
     }.toMap
-    Entry(v, vals("op").headOption.getOrElse("?"), vals("add"), vals("remove"),
-      stats, blooms)
-  }
 
-  /** All committed entries in version order (driver-side, O(commits)). */
+  private def vals(lines: Seq[String], k: String): Seq[String] =
+    lines.filter(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
+
+  private def parse(dir: String, v: Int, lines: Seq[String]): Entry =
+    Entry(v, vals(lines, "op").headOption.getOrElse("?"),
+      vals(lines, "add"), vals(lines, "remove"),
+      parseStats(vals(lines, "stats")), parseBlooms(dir, vals(lines, "bloom")))
+
+  private def readEntry(dir: String, v: Int): Entry =
+    parse(dir, v,
+      new String(store(dir).readBytes(entryPath(dir, v)), "UTF-8").linesIterator.toSeq)
+
+  /** All committed entries in version order — a FULL log replay,
+    * O(versions) by definition; reserved for the per-commit surfaces
+    * ([[history]], [[vacuum]]'s all-adds-ever set). Hot-path readers
+    * go through [[state]] (checkpoint + tail) instead. */
   private def entries(dir: String): Seq[Entry] = {
-    val ld = logDir(dir)
-    if (!Files.isDirectory(ld)) return Seq.empty
+    val st = store(dir)
+    if (!st.isDirectory(logDir(dir))) return Seq.empty
     Iterator.from(0)
-      .map(v => (v, entryPath(dir, v)))
-      .takeWhile { case (_, p) => Files.exists(p) }
-      .map { case (v, p) =>
-        parse(dir, v, new String(Files.readAllBytes(p), "UTF-8").linesIterator.toSeq)
-      }
+      .takeWhile(v => st.exists(entryPath(dir, v)))
+      .map(v => readEntry(dir, v))
       .toSeq
   }
 
-  /** Latest committed version, -1 for an empty/new table. */
-  def headVersion(dir: String): Int = entries(dir).lastOption.map(_.version).getOrElse(-1)
+  /** The `_last_checkpoint` pointer's version, if present and sane. */
+  private def checkpointPointer(dir: String): Option[Int] =
+    try {
+      val st = store(dir)
+      val p = lastCheckpointPath(dir)
+      if (!st.exists(p)) None
+      else new String(st.readBytes(p), "UTF-8").trim.toIntOption
+    } catch { case _: java.io.IOException => None }
 
-  /** Live segment set as of `asOf` (-1 = head). */
-  def liveSegments(dir: String, asOf: Int = -1): Seq[String] = {
-    val upTo = entries(dir).filter(e => asOf < 0 || e.version <= asOf)
-    require(asOf < 0 || upTo.exists(_.version == asOf),
-      s"version $asOf does not exist in $dir (head=${headVersion(dir)})")
-    val live = scala.collection.mutable.LinkedHashSet[String]()
-    upTo.foreach { e => live --= e.remove; live ++= e.add }
-    live.toSeq
+  /** Load a checkpoint file into a [[State]]; None when missing or
+    * unreadable (readers fall back to a longer replay, never fail). */
+  private def loadCheckpoint(dir: String, v: Int): Option[State] =
+    try {
+      val lines = new String(store(dir).readBytes(checkpointPath(dir, v)), "UTF-8")
+        .linesIterator.toSeq
+      Some(State(v, vals(lines, "live").map(dec),
+        parseStats(vals(lines, "stats")),
+        parseBlooms(dir, vals(lines, "bloom")),
+        vals(lines, "streamop").map(dec).toSet))
+    } catch { case _: java.io.IOException => None }
+
+  /** Newest checkpoint at-or-before `asOf` (-1 = no bound): pointer
+    * fast path for head reads; a directory listing finds the best
+    * older checkpoint for time travel past the pointer. */
+  private def bestCheckpoint(dir: String, asOf: Int): Option[State] = {
+    val ptr = checkpointPointer(dir)
+    ptr match {
+      case Some(v) if asOf < 0 || v <= asOf =>
+        loadCheckpoint(dir, v).orElse(scanCheckpoints(dir, asOf))
+      case Some(_) => scanCheckpoints(dir, asOf) // pointer is past asOf
+      case None if asOf < 0 => scanCheckpoints(dir, asOf) // pointer lost/corrupt
+      case None => scanCheckpoints(dir, asOf)
+    }
   }
 
+  private def scanCheckpoints(dir: String, asOf: Int): Option[State] = {
+    val cps = store(dir).list(logDir(dir))
+      .filter(_.endsWith(".checkpoint"))
+      .flatMap(_.stripSuffix(".checkpoint").toIntOption)
+      .filter(v => asOf < 0 || v <= asOf)
+    cps.sorted.reverseIterator.flatMap(v => loadCheckpoint(dir, v)).nextOption()
+  }
+
+  /** Replayed state as of `asOf` (-1 = head): newest usable checkpoint
+    * plus the tail entries after it — the O(checkpoint + tail) read
+    * path. Requires `asOf` to exist when given. */
+  private def state(dir: String, asOf: Int = -1): State = {
+    val st = store(dir)
+    require(asOf < 0 || st.exists(entryPath(dir, asOf)),
+      s"version $asOf does not exist in $dir (head=${headVersion(dir)})")
+    val cp = bestCheckpoint(dir, asOf)
+    val live = scala.collection.mutable.LinkedHashSet[String](
+      cp.map(_.live).getOrElse(Seq.empty): _*)
+    var stats = cp.map(_.stats).getOrElse(Map.empty[(String, String), ColStats])
+    var blooms = cp.map(_.blooms).getOrElse(Map.empty[(String, String), BloomStats])
+    var ops = cp.map(_.streamOps).getOrElse(Set.empty[String])
+    var version = cp.map(_.version).getOrElse(-1)
+    var v = version + 1
+    while ((asOf < 0 || v <= asOf) && st.exists(entryPath(dir, v))) {
+      val e = readEntry(dir, v)
+      live --= e.remove; live ++= e.add
+      stats ++= e.stats; blooms ++= e.blooms
+      if (e.op.startsWith("stream-")) ops += e.op
+      version = v; v += 1
+    }
+    State(version, live.toSeq, stats, blooms, ops)
+  }
+
+  /** Fold the state at version `v` into a checkpoint file + advance
+    * the `_last_checkpoint` pointer. Keeps LIVE segments' stats/bloom
+    * refs only (Delta-style — [[restore]] re-records what it
+    * resurrects) so checkpoint size tracks the live set, not history.
+    * Best-effort: entries remain the source of truth, so a failed or
+    * lost checkpoint costs replay length, never correctness. */
+  private def maybeCheckpoint(dir: String, v: Int): Unit =
+    if (CheckpointInterval > 0 && (v + 1) % CheckpointInterval == 0)
+      try {
+        val st = store(dir)
+        val s = state(dir, v)
+        val liveSet = s.live.toSet
+        val body = (Seq(s"version=$v") ++
+          s.live.map("live=" + enc(_)) ++
+          statLines(s.stats.filter { case ((seg, _), _) => liveSet(seg) }) ++
+          bloomLines(s.blooms.filter { case ((seg, _), _) => liveSet(seg) }) ++
+          s.streamOps.toSeq.sorted.map("streamop=" + enc(_)))
+          .mkString("", "\n", "\n")
+        // idempotent across racing checkpointers: same version folds the
+        // same content, so losing the put-if-absent race is fine
+        st.putIfAbsent(checkpointPath(dir, v), body.getBytes("UTF-8"))
+        // pointer only moves FORWARD (a racing older checkpointer must
+        // not regress it; any historical pointer value stays valid)
+        if (checkpointPointer(dir).forall(_ < v))
+          st.putReplace(lastCheckpointPath(dir), v.toString.getBytes("UTF-8"))
+      } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Latest committed version, -1 for an empty/new table: probe
+    * forward from the checkpoint pointer — O(tail), not O(versions). */
+  def headVersion(dir: String): Int = {
+    val st = store(dir)
+    if (!st.isDirectory(logDir(dir))) return -1
+    var head = checkpointPointer(dir)
+      .filter(v => st.exists(entryPath(dir, v))).getOrElse(-1)
+    var v = head + 1
+    while (st.exists(entryPath(dir, v))) { head = v; v += 1 }
+    head
+  }
+
+  /** Live segment set as of `asOf` (-1 = head). */
+  def liveSegments(dir: String, asOf: Int = -1): Seq[String] =
+    state(dir, asOf).live
+
+  private def statLines(stats: Map[(String, String), ColStats]): Seq[String] =
+    stats.toSeq.sortBy { case ((seg, c), _) => (seg, c) }
+      .map { case ((seg, c), st) =>
+        s"stats=${enc(seg)}|${enc(c)}|${enc(st.typeName)}|${enc(st.min)}|${enc(st.max)}"
+      }
+
+  private def bloomLines(blooms: Map[(String, String), BloomStats]): Seq[String] =
+    blooms.toSeq.sortBy { case ((seg, c), _) => (seg, c) }
+      .map { case ((seg, c), b) =>
+        s"bloom=${enc(seg)}|${enc(c)}|${enc(b.typeName)}|${b.m}|${b.k}|" +
+          enc(b.file.substring(b.file.lastIndexOf('/') + 1))
+      }
+
   /** Optimistic-concurrency commit: claims the next free version slot
-    * via a HARD-LINK put-if-absent (`Files.createLink` fails with
-    * FileAlreadyExists if the slot is taken — POSIX `rename(2)`, and
-    * therefore ATOMIC_MOVE, silently REPLACES an existing target, so a
-    * move-based CAS would let two racing writers claim the same slot
-    * and lose a commit). Returns the committed version.
+    * via [[LogStore.putIfAbsent]] (hard-link CAS locally, atomic
+    * rename-if-absent on HDFS — POSIX `rename(2)`, and therefore a
+    * naive move, silently REPLACES an existing target, so a move-based
+    * local CAS would let two racing writers claim the same slot and
+    * lose a commit). Returns the committed version.
     *
     * `expectedHead` (>= -1) makes the commit CONDITIONAL: if any other
     * commit landed after the caller's snapshot, the claim lands on a
-    * later slot and the commit is aborted (entry removed) with
+    * later slot and the commit is aborted with
     * ConcurrentModificationException — required for ops whose
     * remove set was computed from that snapshot (delete/overwrite/
     * compact); a blind append passes `None` and retries onto the next
@@ -199,47 +356,31 @@ object TxLog {
                             expectedHead: Option[Int] = None,
                             stats: Map[(String, String), ColStats] = Map.empty,
                             blooms: Map[(String, String), BloomStats] = Map.empty): Int = {
-    val ld = logDir(dir); Files.createDirectories(ld)
-    val statLines = stats.toSeq.sortBy { case ((seg, c), _) => (seg, c) }
-      .map { case ((seg, c), st) =>
-        s"stats=${enc(seg)}|${enc(c)}|${enc(st.typeName)}|${enc(st.min)}|${enc(st.max)}"
-      }
-    val bloomLines = blooms.toSeq.sortBy { case ((seg, c), _) => (seg, c) }
-      .map { case ((seg, c), b) =>
-        s"bloom=${enc(seg)}|${enc(c)}|${enc(b.typeName)}|${b.m}|${b.k}|" +
-          enc(b.file.getFileName.toString)
-      }
+    val st = store(dir)
+    st.mkdirs(logDir(dir))
     val body = (Seq(s"op=$op") ++ add.map("add=" + _) ++
-        remove.map("remove=" + _) ++ statLines ++ bloomLines)
+        remove.map("remove=" + _) ++ statLines(stats) ++ bloomLines(blooms))
       .mkString("", "\n", "\n")
-    val tmp = Files.createTempFile(ld, ".commit", ".tmp")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    try {
-      expectedHead match {
-        case Some(eh) =>
-          // conditional: only the snapshot's successor slot is
-          // acceptable — claiming a later slot would validate a stale
-          // remove set, and claim-then-withdraw would leave a GAP that
-          // hides every later entry from the dense-scan replay
-          val v = eh + 1
-          try { Files.createLink(entryPath(dir, v), tmp); v }
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              throw new java.util.ConcurrentModificationException(
-                s"$op against stale snapshot of $dir: expected head $eh, " +
-                  s"found ${headVersion(dir)} — recompute and retry")
-          }
-        case None =>
-          var v = headVersion(dir) + 1
-          while (true) {
-            try { Files.createLink(entryPath(dir, v), tmp); return v }
-            catch {
-              case _: java.nio.file.FileAlreadyExistsException => v += 1
-            }
-          }
-          v
-      }
-    } finally Files.deleteIfExists(tmp)
+    val bytes = body.getBytes("UTF-8")
+    val committed = expectedHead match {
+      case Some(eh) =>
+        // conditional: only the snapshot's successor slot is
+        // acceptable — claiming a later slot would validate a stale
+        // remove set, and claim-then-withdraw would leave a GAP that
+        // hides every later entry from the dense-scan replay
+        val v = eh + 1
+        if (!st.putIfAbsent(entryPath(dir, v), bytes))
+          throw new java.util.ConcurrentModificationException(
+            s"$op against stale snapshot of $dir: expected head $eh, " +
+              s"found ${headVersion(dir)} — recompute and retry")
+        v
+      case None =>
+        var v = headVersion(dir) + 1
+        while (!st.putIfAbsent(entryPath(dir, v), bytes)) v += 1
+        v
+    }
+    maybeCheckpoint(dir, committed)
+    committed
   }
 
   private def newSegment(dir: String, df: DataFrame): String = {
@@ -305,7 +446,8 @@ object TxLog {
     val n = sdf.count()
     var m = 8192
     while (m < 16L * n && m < (1 << 27)) m <<= 1
-    Files.createDirectories(logDir(dir))
+    val st = store(dir)
+    st.mkdirs(logDir(dir))
     bloomCols.map { c =>
       val posCols = (0 until k).map(i =>
         (conv(substring(md5(concat(col("v"), lit(s":$i"))), 1, 13), 16, 10)
@@ -327,9 +469,9 @@ object TxLog {
           i += 1
         }
       }
-      val f = logDir(dir).resolve(s"$seg-$c.bloom")
-      Files.write(f, bits)
-      (seg, c) -> BloomStats(types.getOrElse(c, "string"), m, k, f)
+      val f = s"${logDir(dir)}/$seg-$c.bloom"
+      st.putReplace(f, bits)
+      (seg, c) -> BloomStats(types.getOrElse(c, "string"), m, k, st, f)
     }.toMap
   }
 
@@ -353,21 +495,6 @@ object TxLog {
     }
   }
 
-  /** Runs `body` (a stats pass + commit tail over just-staged, not yet
-    * entry-recorded segments); on ANY failure deletes the staged
-    * segment dirs — the non-conflict analogue of [[commitOrReclaim]]'s
-    * reclaim — then rethrows. */
-  private def reclaimOnFailure[T](dir: String, staged: Seq[String])(body: => T): T =
-    try body
-    catch {
-      case e: Throwable =>
-        staged.foreach(seg => deleteRecursively(Paths.get(dir, seg)))
-        throw e
-    }
-
-  private def allBlooms(dir: String): Map[(String, String), BloomStats] =
-    entries(dir).iterator.flatMap(_.blooms).toMap
-
   /** Split the live set (as of `asOf`) into (kept, pruned) for the
     * point predicate `col = value`, from log metadata alone: a segment
     * is pruned when its Bloom PROVES absence OR its [min,max] range
@@ -375,13 +502,12 @@ object TxLog {
     * False positives only cost an extra scan, never correctness. */
   def prunePoint(dir: String, c: String, value: String,
                  asOf: Int = -1): (Seq[String], Seq[String]) = {
-    val blooms = allBlooms(dir)
-    val stats = allStats(dir)
-    liveSegments(dir, asOf).partition { seg =>
+    val s = state(dir, asOf)
+    s.live.partition { seg =>
       // None (no bloom / unnormalizable probe / missing sidecar) keeps
-      val bloomKeeps = blooms.get((seg, c))
+      val bloomKeeps = s.blooms.get((seg, c))
         .flatMap(_.mightContain(value)).getOrElse(true)
-      val rangeKeeps = !canPrune(stats.get((seg, c)), Some(value), Some(value))
+      val rangeKeeps = !canPrune(s.stats.get((seg, c)), Some(value), Some(value))
       bloomKeeps && rangeKeeps
     }
   }
@@ -399,11 +525,6 @@ object TxLog {
         .parquet(kept.map(s => s"$dir/$s"): _*)
     base.filter(col(c) === lit(value).cast(base.schema(c).dataType))
   }
-
-  /** All recorded stats, keyed by (segment, column). A segment is added
-    * by exactly one commit, so a flat union over entries is well-defined. */
-  private def allStats(dir: String): Map[(String, String), ColStats] =
-    entries(dir).iterator.flatMap(_.stats).toMap
 
   /** True iff the recorded [min,max] of `c` in `seg` PROVES no row can
     * fall in [lo, hi]. Missing stats → not prunable (conservative).
@@ -444,8 +565,8 @@ object TxLog {
     * using only log metadata — no file is opened. */
   def pruneRange(dir: String, c: String, lo: Option[String], hi: Option[String],
                  asOf: Int = -1): (Seq[String], Seq[String]) = {
-    val stats = allStats(dir)
-    liveSegments(dir, asOf).partition(seg => !canPrune(stats.get((seg, c)), lo, hi))
+    val s = state(dir, asOf)
+    s.live.partition(seg => !canPrune(s.stats.get((seg, c)), lo, hi))
   }
 
   /** Stats-pruned range read: scans ONLY segments whose recorded
@@ -478,10 +599,9 @@ object TxLog {
   def deleteRange(spark: SparkSession, dir: String, c: String,
                   lo: String, hi: String,
                   statsCols: Seq[String] = Nil): Int = {
-    val snap = headVersion(dir)
-    val stats = allStats(dir)
-    val (candidates, _) = liveSegments(dir, snap)
-      .partition(seg => !canPrune(stats.get((seg, c)), Some(lo), Some(hi)))
+    val snap = state(dir)
+    val (candidates, _) = snap.live
+      .partition(seg => !canPrune(snap.stats.get((seg, c)), Some(lo), Some(hi)))
     def rangeCond(df: DataFrame) = {
       val dt = df.schema(c).dataType
       col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
@@ -491,13 +611,13 @@ object TxLog {
       !sdf.filter(rangeCond(sdf)).isEmpty
     }
     if (dirty.isEmpty)
-      return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap))
+      return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap.version))
     val kept = dirty.map { seg =>
       val sdf = spark.read.parquet(s"$dir/$seg")
       sdf.filter(!rangeCond(sdf) || col(c).isNull)
     }.reduce(_ unionByName _)
     val seg = newSegment(dir, kept)
-    commitOrReclaim(dir, "delete", Seq(seg), dirty, snap,
+    commitOrReclaim(dir, "delete", Seq(seg), dirty, snap.version,
       segStats(spark, dir, seg, statsCols))
   }
 
@@ -533,24 +653,19 @@ object TxLog {
   private def stageAndCommitClustered(spark: SparkSession, dir: String,
                                       clustered: DataFrame, live: Seq[String],
                                       snap: Int, statsCols: Seq[String]): Int = {
+    val st = store(dir)
     val staging = newSegment(dir, clustered)
-    import scala.jdk.CollectionConverters._
-    val listing = Files.list(Paths.get(dir, staging))
-    val parts =
-      try listing.iterator.asScala
-        .filter(p => p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.getFileName.toString)
-      finally listing.close()
+    val parts = st.list(s"$dir/$staging")
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted
     val segs = parts.map { p =>
       val name = s"seg-${java.util.UUID.randomUUID}"
-      val segDir = Paths.get(dir, name)
-      Files.createDirectories(segDir)
-      Files.move(p, segDir.resolve(p.getFileName), StandardCopyOption.ATOMIC_MOVE)
+      st.mkdirs(s"$dir/$name")
+      st.rename(s"$dir/$staging/$p", s"$dir/$name/$p")
       name
     }
     // drop the emptied staging dir (only _SUCCESS etc. remain)
-    deleteRecursively(Paths.get(dir, staging))
+    st.deleteRecursively(s"$dir/$staging")
     val stats = segs.foldLeft(Map.empty[(String, String), ColStats]) {
       (m, seg) => m ++ segStats(spark, dir, seg, statsCols)
     }
@@ -634,8 +749,7 @@ object TxLog {
     * Schemas must match (unioned by name). */
   def merge(spark: SparkSession, dir: String, updates: DataFrame, key: String,
             statsCols: Seq[String] = Nil): Int = {
-    val snap = headVersion(dir)
-    val live = liveSegments(dir, snap)
+    val snap = state(dir)
     // pin the updates once as a STAGING segment (never committed —
     // deleted below) so the probe and rewrite jobs don't recompute them
     val uSeg = newSegment(dir, updates)
@@ -643,8 +757,8 @@ object TxLog {
       val u = spark.read.parquet(s"$dir/$uSeg")
       val bounds = u.agg(min(col(key)).cast("string"), max(col(key)).cast("string")).head()
       val (lo, hi) = (Option(bounds.getString(0)), Option(bounds.getString(1)))
-      val stats = allStats(dir)
-      val candidates = live.filter(seg => !canPrune(stats.get((seg, key)), lo, hi))
+      val candidates = snap.live.filter(seg =>
+        !canPrune(snap.stats.get((seg, key)), lo, hi))
       val uKeys = broadcast(u.select(col(key)).distinct())
       val dirty = candidates.filter { seg =>
         !spark.read.parquet(s"$dir/$seg")
@@ -659,11 +773,11 @@ object TxLog {
           .join(uKeys, Seq(key), "left_anti")
           .unionByName(u)
       val seg = newSegment(dir, newData)
-      commitOrReclaim(dir, "merge", Seq(seg), dirty, snap,
+      commitOrReclaim(dir, "merge", Seq(seg), dirty, snap.version,
         segStats(spark, dir, seg, statsCols))
     } finally {
       // staging bytes are referenced by no version — reclaim eagerly
-      deleteRecursively(Paths.get(dir, uSeg))
+      store(dir).deleteRecursively(s"$dir/$uSeg")
     }
   }
 
@@ -684,20 +798,20 @@ object TxLog {
     // expression), not just on a counted violation
     val seg = newSegment(dir, df)
     reclaimOnFailure(dir, Seq(seg)) {
-    val staged = spark.read.parquet(s"$dir/$seg")
-    // SQL CHECK semantics: a row violates only when the predicate is
-    // explicitly FALSE (NULL passes, like Delta's constraints)
-    // coalesce: an EMPTY batch sums to null, which must read as 0 violations
-    val counts = staged.select(constraints.map(c =>
-      coalesce(sum(when(not(coalesce(expr(c), lit(true))), 1L).otherwise(0L)),
-        lit(0L)).as(c)): _*).head()
-    val violated = constraints.zipWithIndex
-      .map { case (c, i) => c -> counts.getLong(i) }.filter(_._2 > 0)
-    if (violated.nonEmpty)
-      throw new IllegalArgumentException("constraint violation(s): " +
-        violated.map { case (c, n) => s"[$c] $n row(s)" }.mkString("; "))
-    commit(dir, "append", Seq(seg), Seq.empty,
-      stats = segStats(spark, dir, seg, statsCols))
+      val staged = spark.read.parquet(s"$dir/$seg")
+      // SQL CHECK semantics: a row violates only when the predicate is
+      // explicitly FALSE (NULL passes, like Delta's constraints)
+      // coalesce: an EMPTY batch sums to null, which must read as 0 violations
+      val counts = staged.select(constraints.map(c =>
+        coalesce(sum(when(not(coalesce(expr(c), lit(true))), 1L).otherwise(0L)),
+          lit(0L)).as(c)): _*).head()
+      val violated = constraints.zipWithIndex
+        .map { case (c, i) => c -> counts.getLong(i) }.filter(_._2 > 0)
+      if (violated.nonEmpty)
+        throw new IllegalArgumentException("constraint violation(s): " +
+          violated.map { case (c, n) => s"[$c] $n row(s)" }.mkString("; "))
+      commit(dir, "append", Seq(seg), Seq.empty,
+        stats = segStats(spark, dir, seg, statsCols))
     }
   }
 
@@ -705,13 +819,15 @@ object TxLog {
     * sink contract (Delta's txnAppId/txnVersion mechanics): the commit
     * entry records the micro-batch id in its op, and a batch id that is
     * ALREADY committed is skipped (returns None), so an at-least-once
-    * replay after a sink failure cannot double-append. Safe under the
+    * replay after a sink failure cannot double-append. Committed batch
+    * ids fold into checkpoints (the `streamop` lines), so the dedup
+    * probe is O(checkpoint + tail), not a log replay. Safe under the
     * sequential-retry model of a single streaming query (Structured
     * Streaming re-runs a failed batch before starting the next);
     * concurrent writers racing the SAME batch id are not defended. */
   def appendStream(df: DataFrame, dir: String, batchId: Long): Option[Int] = {
     val op = s"stream-$batchId"
-    if (entries(dir).exists(_.op == op)) None
+    if (state(dir).streamOps.contains(op)) None
     else Some(commit(dir, op, Seq(newSegment(dir, df)), Seq.empty))
   }
 
@@ -760,11 +876,13 @@ object TxLog {
     * commit-by-commit consumption pattern of a downstream pipeline
     * (for an append-only table this is change-data-capture; a delete/
     * compact commit's add set is its rewrite output, so consumers that
-    * must distinguish logical changes check the entry's `op`). */
+    * must distinguish logical changes check the entry's `op`). O(1)
+    * metadata: exactly one entry file is read. */
   def readCommit(spark: SparkSession, dir: String, version: Int): DataFrame = {
-    val e = entries(dir).find(_.version == version)
-      .getOrElse(throw new IllegalArgumentException(
-        s"version $version does not exist in $dir (head=${headVersion(dir)})"))
+    if (!store(dir).exists(entryPath(dir, version)))
+      throw new IllegalArgumentException(
+        s"version $version does not exist in $dir (head=${headVersion(dir)})")
+    val e = readEntry(dir, version)
     require(e.add.nonEmpty, s"commit $version of $dir added no segments")
     spark.read.parquet(e.add.map(s => s"$dir/$s"): _*)
   }
@@ -775,21 +893,27 @@ object TxLog {
     * Delta VACUUM trade — but every retained version still replays
     * exactly, because a segment referenced by any retained snapshot is
     * kept. Returns the deleted segment names. Driver-side O(commits +
-    * segments) metadata work; data deletion is per-directory. */
+    * segments) metadata work — vacuum is rare maintenance, and the
+    * all-adds-ever set it needs is intrinsically a full-log fold (it
+    * deliberately does NOT delete unrecorded dirs, so a concurrent
+    * writer's staging segments are never vacuumed from under it);
+    * data deletion is per-directory. */
   def vacuum(dir: String, keepVersions: Int = 2): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the head version")
+    val st = store(dir)
     val head = headVersion(dir)
     if (head < 0) return Seq.empty
     val horizon = math.max(0, head - keepVersions + 1)
     val retained = (horizon to head).flatMap(v => liveSegments(dir, v)).toSet
-    val all = entries(dir).flatMap(_.add).toSet
+    val log = entries(dir)
+    val all = log.flatMap(_.add).toSet
     val doomed = (all -- retained).toSeq.sorted
     // loop-invariant: one log parse, not one per doomed segment
-    val bloomFiles = entries(dir).flatMap(_.blooms).groupBy(_._1._1)
+    val bloomFiles = log.flatMap(_.blooms).groupBy(_._1._1)
     doomed.foreach { seg =>
-      deleteRecursively(Paths.get(dir, seg))
+      st.deleteRecursively(s"$dir/$seg")
       // a vacuumed segment's bloom sidecars are equally dead
-      bloomFiles.getOrElse(seg, Nil).foreach(b => Files.deleteIfExists(b._2.file))
+      bloomFiles.getOrElse(seg, Nil).foreach(b => st.deleteIfExists(b._2.file))
     }
     doomed
   }
@@ -802,11 +926,16 @@ object TxLog {
     * surface their rewrite OUTPUT rows tagged with the op, so consumers
     * that must not re-ingest logically-old rows filter on it (the
     * append-only-table contract makes this exact for append/stream
-    * commits). One scan per new commit's add set; nothing re-reads
-    * older segments. */
+    * commits). One scan per new commit's add set and one entry read
+    * per new commit — nothing re-reads older segments or log prefix. */
   def readChangesSince(spark: SparkSession, dir: String,
                        fromVersion: Int): DataFrame = {
-    val newer = entries(dir).filter(e => e.version > fromVersion && e.add.nonEmpty)
+    val st = store(dir)
+    val newer = Iterator.from(math.max(0, fromVersion + 1))
+      .takeWhile(v => st.exists(entryPath(dir, v)))
+      .map(v => readEntry(dir, v))
+      .filter(_.add.nonEmpty)
+      .toSeq
     if (newer.isEmpty) // a poll with nothing new: empty, schema-preserving
       return read(spark, dir, mergeSchema = true).limit(0)
         .withColumn("_commit_version", lit(0L))
@@ -824,27 +953,24 @@ object TxLog {
 
   /** ANALYZE (compute statistics): backfills min/max stats and Bloom
     * filters for LIVE segments that lack them, as a METADATA-ONLY
-    * commit (empty add/remove — replay is a no-op; [[allStats]] unions
-    * entries in order, so the analyze entry's stats attach to the old
-    * segments). The maintenance op that upgrades a table written
-    * before indexing was configured — without rewriting a byte of
-    * data. Returns the committed version, or None if every live
+    * commit (empty add/remove — replay is a no-op; the state fold
+    * unions entries in order, so the analyze entry's stats attach to
+    * the old segments). The maintenance op that upgrades a table
+    * written before indexing was configured — without rewriting a byte
+    * of data. Returns the committed version, or None if every live
     * segment already has the requested metadata. */
   def analyze(spark: SparkSession, dir: String,
               statsCols: Seq[String], bloomCols: Seq[String] = Nil): Option[Int] = {
-    val snap = headVersion(dir)
-    val live = liveSegments(dir, snap)
-    val stats = allStats(dir)
-    val blooms = allBlooms(dir)
-    val needStats = live.filter(seg =>
-      statsCols.exists(c => !stats.contains((seg, c))))
-    val needBlooms = live.filter(seg =>
-      bloomCols.exists(c => !blooms.contains((seg, c))))
+    val snap = state(dir)
+    val needStats = snap.live.filter(seg =>
+      statsCols.exists(c => !snap.stats.contains((seg, c))))
+    val needBlooms = snap.live.filter(seg =>
+      bloomCols.exists(c => !snap.blooms.contains((seg, c))))
     if (needStats.isEmpty && needBlooms.isEmpty) return None
     // on any failure after sidecars start landing (e.g. a statsCol
     // missing from an old segment), reclaim the written .bloom files —
     // no entry records them, so vacuum could never collect them
-    val written = scala.collection.mutable.ArrayBuffer[Path]()
+    val written = scala.collection.mutable.ArrayBuffer[String]()
     try {
       val newStats = needStats.foldLeft(Map.empty[(String, String), ColStats]) {
         (m, seg) => m ++ segStats(spark, dir, seg, statsCols)
@@ -855,11 +981,11 @@ object TxLog {
           written ++= bs.values.map(_.file)
           m ++ bs
       }
-      Some(commit(dir, "analyze", Seq.empty, Seq.empty, Some(snap),
+      Some(commit(dir, "analyze", Seq.empty, Seq.empty, Some(snap.version),
         newStats, newBlooms))
     } catch {
       case e: Throwable =>
-        written.foreach(Files.deleteIfExists(_))
+        written.foreach(store(dir).deleteIfExists(_))
         throw e
     }
   }
@@ -868,26 +994,34 @@ object TxLog {
     * whose live set is exactly `toVersion`'s — no data copied, segments
     * re-referenced; history is preserved (the restore is itself a
     * commit, so time travel still sees every intermediate state).
-    * Fails loud if any target segment was vacuumed away, and conflicts
-    * like every snapshot-dependent op. */
+    * Carries the resurrected segments' stats/bloom refs INTO the
+    * restore entry: checkpoints keep live-only metadata, so without
+    * re-recording them a restore past a checkpoint would silently turn
+    * the restored layout unprunable. Fails loud if any target segment
+    * was vacuumed away, and conflicts like every snapshot-dependent op. */
   def restore(dir: String, toVersion: Int): Int = {
+    val st = store(dir)
     val snap = headVersion(dir)
     require(toVersion >= 0 && toVersion <= snap,
       s"restore target $toVersion out of range (head=$snap)")
-    val target = liveSegments(dir, toVersion)
-    val missing = target.filterNot(seg => Files.isDirectory(Paths.get(dir, seg)))
+    val target = state(dir, toVersion)
+    val missing = target.live.filterNot(seg => st.isDirectory(s"$dir/$seg"))
     require(missing.isEmpty,
       s"cannot restore $dir to $toVersion: segment(s) vacuumed: $missing")
     val current = liveSegments(dir, snap)
+    val added = target.live.filterNot(current.contains)
+    val addedSet = added.toSet
     commit(dir, "restore",
-      add = target.filterNot(current.contains),
-      remove = current.filterNot(target.contains),
-      expectedHead = Some(snap))
+      add = added,
+      remove = current.filterNot(target.live.contains),
+      expectedHead = Some(snap),
+      stats = target.stats.filter { case ((seg, _), _) => addedSet(seg) },
+      blooms = target.blooms.filter { case ((seg, _), _) => addedSet(seg) })
   }
 
   /** DESCRIBE HISTORY: one row per commit — (version, op, n_added,
-    * n_removed) — from log metadata alone. The audit surface a table
-    * owner reads before trusting time travel or debugging a bad write. */
+    * n_removed) — from log metadata alone (intrinsically a full-log
+    * read: the audit surface is per-commit by definition). */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     entries(dir)
@@ -896,10 +1030,11 @@ object TxLog {
   }
 
   /** The op recorded by commit `version` (append/overwrite/delete/compact). */
-  def commitOp(dir: String, version: Int): String =
-    entries(dir).find(_.version == version)
-      .getOrElse(throw new IllegalArgumentException(s"no version $version"))
-      .op
+  def commitOp(dir: String, version: Int): String = {
+    if (!store(dir).exists(entryPath(dir, version)))
+      throw new IllegalArgumentException(s"no version $version")
+    readEntry(dir, version).op
+  }
 
   /** Snapshot-isolated read as of `asOf` (-1 = head). The segment list
     * is resolved once, here; later commits cannot change what this

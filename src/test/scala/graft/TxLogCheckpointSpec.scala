@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{LogStore, TxLog}
+
+/** Checkpointed log replay (O(checkpoint + tail) reads, never
+  * O(versions)) and the Hadoop-FileSystem-backed log I/O path. */
+class TxLogCheckpointSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-txcp").toString
+
+  /** Metadata-file reads issued while running `body`. */
+  private def metaReads[T](body: => T): (T, Long) = {
+    val before = LogStore.metaReads.get()
+    val r = body
+    (r, LogStore.metaReads.get() - before)
+  }
+
+  test("a 500-commit table is read in O(checkpoint + tail) file opens") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)
+    TxLog.append(Seq((2L, "b")).toDF("id", "v"), dir)
+    // 500 metadata-only commits (no segments — the log length is what's
+    // under test, not the data volume)
+    (0 until 500).foreach(_ => TxLog.commit(dir, "noop", Seq.empty, Seq.empty))
+    assert(TxLog.headVersion(dir) == 501)
+    val (live, reads) = metaReads(TxLog.liveSegments(dir))
+    assert(live.size == 2)
+    // pointer (1) + checkpoint (1) + tail entries (< interval)
+    val bound = 2 + TxLog.CheckpointInterval
+    assert(reads <= bound,
+      s"head read cost $reads metadata file reads (O(versions) replay?); " +
+        s"expected <= $bound with checkpointing")
+    val (_, headReads) = metaReads(TxLog.headVersion(dir))
+    assert(headReads <= 2, s"headVersion read $headReads files; expected <= 2")
+  }
+
+  test("reads and time travel stay exact across checkpoint boundaries") {
+    val dir = freshDir()
+    // 23 segment commits → checkpoints at v9 and v19, 3-entry tail
+    (0 until 23).foreach(i => TxLog.append(Seq((i.toLong, s"r$i")).toDF("id", "v"), dir))
+    assert(TxLog.read(spark, dir).count() == 23)
+    // time travel BEFORE the first checkpoint (full replay fallback)
+    assert(TxLog.read(spark, dir, asOf = 3).count() == 4)
+    // time travel BETWEEN checkpoints (scan finds the v9 checkpoint)
+    assert(TxLog.read(spark, dir, asOf = 14).count() == 15)
+    // history is per-commit by definition and must still see everything
+    assert(TxLog.history(spark, dir).count() == 23)
+    // CDF across the checkpointed region
+    val cdf = TxLog.readChangesSince(spark, dir, fromVersion = 18)
+    assert(cdf.select("_commit_version").distinct().count() == 4)
+    // vacuum across the checkpointed region: nothing dead (append-only)
+    assert(TxLog.vacuum(dir).isEmpty)
+  }
+
+  test("a deleted checkpoint or pointer degrades to full replay, never wrong answers") {
+    val dir = freshDir()
+    (0 until 12).foreach(i => TxLog.append(Seq((i.toLong, "x")).toDF("id", "v"), dir))
+    val ld = java.nio.file.Paths.get(dir, "_txlog")
+    import scala.jdk.CollectionConverters._
+    val l = java.nio.file.Files.list(ld)
+    val cps = try l.iterator.asScala
+      .filter(p => p.getFileName.toString.endsWith(".checkpoint") ||
+        p.getFileName.toString == "_last_checkpoint").toList
+    finally l.close()
+    assert(cps.nonEmpty, "12 commits must have produced a checkpoint + pointer")
+    cps.foreach(java.nio.file.Files.delete(_))
+    assert(TxLog.read(spark, dir).count() == 12)
+    assert(TxLog.headVersion(dir) == 11)
+  }
+
+  test("restore past a checkpoint re-records the resurrected segments' stats") {
+    val dir = freshDir()
+    // v0..v3: 4 stats-bearing segments with disjoint id ranges
+    (0 until 4).foreach(i =>
+      TxLog.appendWithStats(spark,
+        Seq((i * 10L, "a"), (i * 10L + 9L, "b")).toDF("id", "v"), dir, Seq("id")))
+    // v4: overwrite drops them all (live = 1 statless segment)
+    TxLog.overwrite(Seq((999L, "z")).toDF("id", "v"), dir)
+    // v5..v9: metadata commits so the v9 checkpoint sees ONLY the
+    // overwrite segment (live-only metadata: old stats not in it)
+    (0 until 5).foreach(_ => TxLog.commit(dir, "noop", Seq.empty, Seq.empty))
+    // restore to v3: the 4 old segments come back; their stats must
+    // ride in the restore entry or the layout turns unprunable
+    TxLog.restore(dir, toVersion = 3)
+    val (kept, pruned) = TxLog.pruneRange(dir, "id", Some("30"), Some("39"))
+    assert(kept.size == 1 && pruned.size == 3,
+      s"restored segments lost their stats: kept=$kept pruned=$pruned")
+    assert(TxLog.read(spark, dir).count() == 8)
+  }
+
+  test("appendStream stays exactly-once across a checkpoint boundary") {
+    val dir = freshDir()
+    (0 until 12).foreach(i =>
+      TxLog.appendStream(Seq((i.toLong, "e")).toDF("id", "v"), dir, batchId = i.toLong))
+    // batch 0's op is now ONLY in the checkpoint fold, not the tail
+    assert(TxLog.appendStream(Seq((0L, "dup")).toDF("id", "v"), dir, batchId = 0L).isEmpty,
+      "replayed batch id must be skipped via the checkpointed streamop set")
+    assert(TxLog.appendStream(Seq((12L, "e")).toDF("id", "v"), dir, batchId = 12L).nonEmpty)
+    assert(TxLog.read(spark, dir).count() == 13)
+  }
+
+  test("FS-backed path: the full DML surface works against a file:/ table") {
+    val dir = "file:" + java.nio.file.Files.createTempDirectory("graft-txfs").toString
+    assert(graft.sources.LogStore.forPath(dir).getClass.getSimpleName
+      == "HadoopLogStore", "a file: URI must route through the Hadoop FileSystem API")
+    val v0 = TxLog.appendWithStats(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, Seq("id"),
+      bloomCols = Seq("id"))
+    val v1 = TxLog.appendWithStats(spark,
+      Seq((10L, "x"), (19L, "y")).toDF("id", "v"), dir, Seq("id"),
+      bloomCols = Seq("id"))
+    assert(Seq(v0, v1) == Seq(0, 1))
+    // stats pruning from log metadata through the Hadoop store
+    val (kept, pruned) = TxLog.pruneRange(dir, "id", Some("10"), Some("19"))
+    assert(kept.size == 1 && pruned.size == 1,
+      s"unexpected prune split: kept=$kept pruned=$pruned")
+    // bloom sidecar probe through the Hadoop store
+    val (bk, bp) = TxLog.prunePoint(dir, "id", "10")
+    assert(bk.size == 1, s"bloom+stats must isolate one segment: kept=$bk pruned=$bp")
+    // CoW delete, snapshot isolation, time travel
+    TxLog.delete(spark, dir, "id = 2")
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, String)].collect()
+      .toList == List((1L, "a"), (10L, "x"), (19L, "y")))
+    assert(TxLog.read(spark, dir, asOf = 0).count() == 2)
+    // conflict detection through the Hadoop CAS
+    val stale = TxLog.headVersion(dir)
+    TxLog.append(Seq((30L, "c")).toDF("id", "v"), dir)
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.commit(dir, "delete", Seq.empty, Seq.empty, Some(stale))
+    }
+    // update + merge + optimize exercise staging renames via the store
+    TxLog.update(spark, dir, "id = 30", Map("v" -> "'c2'"))
+    TxLog.merge(spark, dir, Seq((1L, "a2"), (40L, "d")).toDF("id", "v"), "id")
+    TxLog.optimize(spark, dir, Seq("id"), 2, statsCols = Seq("id"))
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, String)].collect()
+      .toList == List((1L, "a2"), (10L, "x"), (19L, "y"), (30L, "c2"), (40L, "d")))
+    // vacuum reclaims superseded segments through the store
+    val dead = TxLog.vacuum(dir, keepVersions = 1)
+    assert(dead.nonEmpty)
+    assert(TxLog.read(spark, dir).count() == 5)
+    assert(TxLog.history(spark, dir).count() == TxLog.headVersion(dir) + 1)
+  }
+}
