@@ -113,15 +113,20 @@ object TxLog {
   private case class Entry(version: Int, op: String,
                            add: Seq[String], remove: Seq[String],
                            stats: Map[(String, String), ColStats],
-                           blooms: Map[(String, String), BloomStats])
+                           blooms: Map[(String, String), BloomStats],
+                           dvs: Seq[(String, String)])
 
   /** Replayed log state as of some version: what every reader/pruner
     * actually consumes — built from checkpoint + tail, never a full
-    * log scan on the hot path. */
+    * log scan on the hot path. `dvs` maps a live segment to its
+    * DELETION VECTOR sidecars in commit order (merge-on-read: the
+    * segment's bytes are untouched; reads subtract the tombstoned
+    * (file, pos) rows). A rewrite drops the mapping with the segment. */
   private case class State(version: Int, live: Seq[String],
                            stats: Map[(String, String), ColStats],
                            blooms: Map[(String, String), BloomStats],
-                           streamOps: Set[String])
+                           streamOps: Set[String],
+                           dvs: Map[String, Seq[String]])
 
   private def entryPath(dir: String, v: Int): String =
     f"${logDir(dir)}/$v%08d.txt"
@@ -191,10 +196,19 @@ object TxLog {
   private def vals(lines: Seq[String], k: String): Seq[String] =
     lines.filter(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
 
+  private def parseDvs(lines: Seq[String]): Seq[(String, String)] =
+    lines.flatMap { line =>
+      line.split("\\|", -1) match {
+        case Array(seg, dv) => Some(dec(seg) -> dec(dv))
+        case _              => None
+      }
+    }
+
   private def parse(dir: String, v: Int, lines: Seq[String]): Entry =
     Entry(v, vals(lines, "op").headOption.getOrElse("?"),
       vals(lines, "add"), vals(lines, "remove"),
-      parseStats(vals(lines, "stats")), parseBlooms(dir, vals(lines, "bloom")))
+      parseStats(vals(lines, "stats")), parseBlooms(dir, vals(lines, "bloom")),
+      parseDvs(vals(lines, "dv")))
 
   private def readEntry(dir: String, v: Int): Entry =
     parse(dir, v,
@@ -231,7 +245,9 @@ object TxLog {
       Some(State(v, vals(lines, "live").map(dec),
         parseStats(vals(lines, "stats")),
         parseBlooms(dir, vals(lines, "bloom")),
-        vals(lines, "streamop").map(dec).toSet))
+        vals(lines, "streamop").map(dec).toSet,
+        parseDvs(vals(lines, "dv")).groupBy(_._1)
+          .map { case (seg, ps) => seg -> ps.map(_._2) }))
     } catch { case _: java.io.IOException => None }
 
   /** Newest checkpoint at-or-before `asOf` (-1 = no bound): pointer
@@ -269,16 +285,24 @@ object TxLog {
     var stats = cp.map(_.stats).getOrElse(Map.empty[(String, String), ColStats])
     var blooms = cp.map(_.blooms).getOrElse(Map.empty[(String, String), BloomStats])
     var ops = cp.map(_.streamOps).getOrElse(Set.empty[String])
+    var dvs = cp.map(_.dvs).getOrElse(Map.empty[String, Seq[String]])
     var version = cp.map(_.version).getOrElse(-1)
     var v = version + 1
     while ((asOf < 0 || v <= asOf) && st.exists(entryPath(dir, v))) {
       val e = readEntry(dir, v)
       live --= e.remove; live ++= e.add
+      // a removed segment's tombstones die with it (a rewrite's output
+      // already has the deletions applied); re-added segments (restore)
+      // get theirs re-recorded by the restoring commit
+      dvs --= e.remove
+      e.dvs.foreach { case (seg, dv) =>
+        dvs = dvs.updated(seg, dvs.getOrElse(seg, Seq.empty) :+ dv)
+      }
       stats ++= e.stats; blooms ++= e.blooms
       if (e.op.startsWith("stream-")) ops += e.op
       version = v; v += 1
     }
-    State(version, live.toSeq, stats, blooms, ops)
+    State(version, live.toSeq, stats, blooms, ops, dvs)
   }
 
   /** Fold the state at version `v` into a checkpoint file + advance
@@ -297,6 +321,8 @@ object TxLog {
           s.live.map("live=" + enc(_)) ++
           statLines(s.stats.filter { case ((seg, _), _) => liveSet(seg) }) ++
           bloomLines(s.blooms.filter { case ((seg, _), _) => liveSet(seg) }) ++
+          dvLines(s.dvs.filter { case (seg, _) => liveSet(seg) }
+            .toSeq.flatMap { case (seg, ds) => ds.map(seg -> _) }) ++
           s.streamOps.toSeq.sorted.map("streamop=" + enc(_)))
           .mkString("", "\n", "\n")
         // idempotent across racing checkpointers: same version folds the
@@ -337,6 +363,9 @@ object TxLog {
           enc(b.file.substring(b.file.lastIndexOf('/') + 1))
       }
 
+  private def dvLines(dvs: Seq[(String, String)]): Seq[String] =
+    dvs.sorted.map { case (seg, dv) => s"dv=${enc(seg)}|${enc(dv)}" }
+
   /** Optimistic-concurrency commit: claims the next free version slot
     * via [[LogStore.putIfAbsent]] (hard-link CAS locally, atomic
     * rename-if-absent on HDFS — POSIX `rename(2)`, and therefore a
@@ -355,11 +384,13 @@ object TxLog {
                             add: Seq[String], remove: Seq[String],
                             expectedHead: Option[Int] = None,
                             stats: Map[(String, String), ColStats] = Map.empty,
-                            blooms: Map[(String, String), BloomStats] = Map.empty): Int = {
+                            blooms: Map[(String, String), BloomStats] = Map.empty,
+                            dvs: Seq[(String, String)] = Seq.empty): Int = {
     val st = store(dir)
     st.mkdirs(logDir(dir))
     val body = (Seq(s"op=$op") ++ add.map("add=" + _) ++
-        remove.map("remove=" + _) ++ statLines(stats) ++ bloomLines(blooms))
+        remove.map("remove=" + _) ++ statLines(stats) ++ bloomLines(blooms) ++
+        dvLines(dvs))
       .mkString("", "\n", "\n")
     val bytes = body.getBytes("UTF-8")
     val committed = expectedHead match {
@@ -387,6 +418,143 @@ object TxLog {
     val name = s"seg-${java.util.UUID.randomUUID}"
     df.write.mode("overwrite").parquet(s"$dir/$name")
     name
+  }
+
+  /** Tombstones small enough to broadcast into the anti join that
+    * subtracts them (a shuffle join would move the whole TABLE to meet
+    * the deletion vector). Probed with a limit — the boilerplateStrip
+    * gate pattern — and past the gate the join falls back to shuffle:
+    * correct either way, and a DV that large means OPTIMIZE is overdue
+    * (it materializes tombstones away). A production impl pushes DV
+    * bitmaps into the scan itself (Delta's per-file row-index filters);
+    * the join formulation keeps the mechanics plan-visible here. */
+  private val BroadcastDvLimit = 4000000
+
+  /** Scan `segs` with their DELETION VECTORS applied — the one reader
+    * every query AND every copy-on-write rewrite must go through (a
+    * raw parquet read of a DV-carrying segment would resurrect its
+    * tombstoned rows). No DVs → exactly the plain parquet scan, zero
+    * overhead. `withMeta` keeps the per-row (`__file`, `__pos`)
+    * provenance columns ([[deleteMoR]]/[[updateMoR]] derive their
+    * tombstones from them). */
+  private def segScan(spark: SparkSession, dir: String, s: State,
+                      segs: Seq[String], mergeSchema: Boolean = false,
+                      schema: Option[org.apache.spark.sql.types.StructType] = None,
+                      withMeta: Boolean = false): DataFrame = {
+    val reader = schema match {
+      case Some(sc) => spark.read.schema(sc)
+      case None     => spark.read.option("mergeSchema", mergeSchema.toString)
+    }
+    val base = reader.parquet(segs.map(s0 => s"$dir/$s0"): _*)
+    val dvNames = segs.flatMap(seg => s.dvs.getOrElse(seg, Seq.empty)).distinct
+    if (dvNames.isEmpty && !withMeta) return base
+    val withM = base
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val applied =
+      if (dvNames.isEmpty) withM
+      else {
+        val segSet = segs.toSet
+        val tombAll = spark.read.parquet(dvNames.map(n => s"$dir/$n"): _*)
+          .filter(col("seg").isInCollection(segSet))
+          .select(col("file"), col("pos")).distinct()
+        val small = spark.read.parquet(dvNames.map(n => s"$dir/$n"): _*)
+          .limit(BroadcastDvLimit + 1).count() <= BroadcastDvLimit
+        val tomb = if (small) broadcast(tombAll) else tombAll
+        withM.join(tomb,
+          withM("__file") === tomb("file") && withM("__pos") === tomb("pos"),
+          "left_anti")
+      }
+    if (withMeta) applied else applied.drop("__file", "__pos")
+  }
+
+  /** MERGE-ON-READ delete (Delta's deletion vectors): rows matching
+    * `predicate` are TOMBSTONED — one `dv-*` parquet sidecar of
+    * (seg, file, pos) row coordinates, attached to the dirty segments
+    * by the commit entry — and no data segment is rewritten. A 1-row
+    * delete writes a 1-row sidecar instead of a segment-sized rewrite:
+    * the write-amplification answer for wide tables with narrow DML.
+    * Reads subtract tombstones ([[segScan]]); [[optimize]]/[[compact]]
+    * materialize them away; [[restore]] rolls them back; [[vacuum]]
+    * reclaims unreferenced sidecars. Conflicts like every
+    * snapshot-dependent op. Row coordinates are parquet metadata
+    * (`_metadata.file_path`, `_metadata.row_index`) — stable because
+    * segments are immutable; moving the TABLE directory invalidates
+    * DVs (absolute paths), the usual external-location caveat. */
+  def deleteMoR(spark: SparkSession, dir: String, predicate: String): Int = {
+    val snap = state(dir)
+    val matches = segScan(spark, dir, snap, snap.live,
+        mergeSchema = true, withMeta = true)
+      .filter(predicate)
+      .select(col("__file").as("file"), col("__pos").as("pos"),
+        regexp_extract(col("__file"), "(seg-[0-9a-fA-F-]+)", 1).as("seg"))
+    val dvName = s"dv-${java.util.UUID.randomUUID}"
+    matches.write.parquet(s"$dir/$dvName")
+    val dirty = spark.read.parquet(s"$dir/$dvName")
+      .select("seg").distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (dirty.isEmpty) {
+      store(dir).deleteRecursively(s"$dir/$dvName")
+      return commit(dir, "delete_mor", Seq.empty, Seq.empty, Some(snap.version))
+    }
+    try commit(dir, "delete_mor", Seq.empty, Seq.empty, Some(snap.version),
+      dvs = dirty.map(_ -> dvName))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        store(dir).deleteRecursively(s"$dir/$dvName")
+        throw e
+    }
+  }
+
+  /** MERGE-ON-READ update: the matched rows' NEW images land in one
+    * appended segment and their OLD images are tombstoned by a
+    * deletion vector — same one-commit atomicity as [[update]], with
+    * write cost proportional to the MATCHED rows, not to the dirty
+    * segments. SQL UPDATE semantics (predicate and every SET expression
+    * read the pre-update row) hold by construction: the new images are
+    * one projection over the matched pre-images. */
+  def updateMoR(spark: SparkSession, dir: String, predicate: String,
+                setExprs: Map[String, String],
+                statsCols: Seq[String] = Nil): Int = {
+    require(setExprs.nonEmpty, "update without SET expressions")
+    val snap = state(dir)
+    val schema = tableSchema(spark, dir, snap.live)
+    val unknown = setExprs.keySet -- schema.map(_.name).toSet
+    require(unknown.isEmpty, s"SET references unknown column(s): $unknown")
+    // stage the matched pre-images ONCE (the merge-staging pattern):
+    // the tombstone sidecar and the new-image segment must be derived
+    // from the same bytes even if the scan is nondeterministic
+    val stage = s"seg-${java.util.UUID.randomUUID}"
+    segScan(spark, dir, snap, snap.live, schema = Some(schema), withMeta = true)
+      .filter(predicate)
+      .withColumn("__seg", regexp_extract(col("__file"), "(seg-[0-9a-fA-F-]+)", 1))
+      .write.parquet(s"$dir/$stage")
+    try {
+      val m = spark.read.parquet(s"$dir/$stage")
+      val dirty = m.select(col("__seg")).distinct().collect()
+        .map(_.getString(0)).toSeq.sorted
+      if (dirty.isEmpty)
+        return commit(dir, "update_mor", Seq.empty, Seq.empty, Some(snap.version))
+      val dvName = s"dv-${java.util.UUID.randomUUID}"
+      m.select(col("__file").as("file"), col("__pos").as("pos"),
+          col("__seg").as("seg"))
+        .write.parquet(s"$dir/$dvName")
+      val newImages = m.select(schema.map(_.name).map { c =>
+        setExprs.get(c) match {
+          case Some(e) => expr(e).as(c)
+          case None    => col(c)
+        }
+      }: _*)
+      val newSeg = newSegment(dir, newImages)
+      try commit(dir, "update_mor", Seq(newSeg), Seq.empty, Some(snap.version),
+        stats = segStats(spark, dir, newSeg, statsCols),
+        dvs = dirty.map(_ -> dvName))
+      catch {
+        case e: Throwable =>
+          store(dir).deleteRecursively(s"$dir/$dvName")
+          store(dir).deleteRecursively(s"$dir/$newSeg")
+          throw e
+      }
+    } finally store(dir).deleteRecursively(s"$dir/$stage")
   }
 
   /** Append `df` as a new segment. */
@@ -501,8 +669,11 @@ object TxLog {
     * excludes the value; either index missing → conservative keep.
     * False positives only cost an extra scan, never correctness. */
   def prunePoint(dir: String, c: String, value: String,
-                 asOf: Int = -1): (Seq[String], Seq[String]) = {
-    val s = state(dir, asOf)
+                 asOf: Int = -1): (Seq[String], Seq[String]) =
+    prunePointIn(state(dir, asOf), c, value)
+
+  private def prunePointIn(s: State, c: String,
+                           value: String): (Seq[String], Seq[String]) =
     s.live.partition { seg =>
       // None (no bloom / unnormalizable probe / missing sidecar) keeps
       val bloomKeeps = s.blooms.get((seg, c))
@@ -510,19 +681,18 @@ object TxLog {
       val rangeKeeps = !canPrune(s.stats.get((seg, c)), Some(value), Some(value))
       bloomKeeps && rangeKeeps
     }
-  }
 
   /** Bloom/stats-pruned point lookup: scans ONLY segments that may
     * contain `col = value`. The 100 TB needle-in-haystack path: a key
     * lookup touches the one segment holding it, not the table. */
   def readPoint(spark: SparkSession, dir: String, c: String, value: String,
                 asOf: Int = -1, mergeSchema: Boolean = false): DataFrame = {
-    val (kept, _) = prunePoint(dir, c, value, asOf)
+    val s = state(dir, asOf)
+    val (kept, _) = prunePointIn(s, c, value)
     val base =
       if (kept.isEmpty) // schema-preserving empty
         read(spark, dir, asOf, mergeSchema).limit(0)
-      else spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(kept.map(s => s"$dir/$s"): _*)
+      else segScan(spark, dir, s, kept, mergeSchema)
     base.filter(col(c) === lit(value).cast(base.schema(c).dataType))
   }
 
@@ -576,15 +746,15 @@ object TxLog {
   def readRange(spark: SparkSession, dir: String, c: String,
                 lo: Option[String], hi: Option[String],
                 asOf: Int = -1, mergeSchema: Boolean = false): DataFrame = {
-    val (kept, _) = pruneRange(dir, c, lo, hi, asOf)
+    val s = state(dir, asOf)
+    val (kept, _) = s.live.partition(seg => !canPrune(s.stats.get((seg, c)), lo, hi))
     // mergeSchema mirrors [[read]]: on a schema-EVOLVED table the range
     // column may exist only in newer segments, and a single-footer
     // schema inference could miss it
     val base =
       if (kept.isEmpty) // schema-preserving empty
         read(spark, dir, asOf, mergeSchema).limit(0)
-      else spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(kept.map(s => s"$dir/$s"): _*)
+      else segScan(spark, dir, s, kept, mergeSchema)
     val dt = base.schema(c).dataType
     val cond = (lo.map(l => col(c) >= lit(l).cast(dt)) ++
       hi.map(h => col(c) <= lit(h).cast(dt)))
@@ -607,13 +777,13 @@ object TxLog {
       col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
     }
     val dirty = candidates.filter { seg =>
-      val sdf = spark.read.parquet(s"$dir/$seg")
+      val sdf = segScan(spark, dir, snap, Seq(seg))
       !sdf.filter(rangeCond(sdf)).isEmpty
     }
     if (dirty.isEmpty)
       return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap.version))
     val kept = dirty.map { seg =>
-      val sdf = spark.read.parquet(s"$dir/$seg")
+      val sdf = segScan(spark, dir, snap, Seq(seg))
       sdf.filter(!rangeCond(sdf) || col(c).isNull)
     }.reduce(_ unionByName _)
     val seg = newSegment(dir, kept)
@@ -635,16 +805,16 @@ object TxLog {
   def optimize(spark: SparkSession, dir: String, sortCols: Seq[String],
                numSegments: Int, statsCols: Seq[String] = Nil): Int = {
     require(sortCols.nonEmpty && numSegments >= 1, "need sort columns and >=1 segments")
-    val snap = headVersion(dir)
-    val live = liveSegments(dir, snap)
-    require(live.nonEmpty, s"optimize of empty table $dir")
+    val snap = state(dir)
+    require(snap.live.nonEmpty, s"optimize of empty table $dir")
     // mergeSchema: a schema-evolved table's rewrite must not silently
-    // drop the added column (single-footer inference could)
-    val clustered = spark.read.option("mergeSchema", "true")
-      .parquet(live.map(s => s"$dir/$s"): _*)
+    // drop the added column (single-footer inference could). The scan
+    // applies deletion vectors, so OPTIMIZE also MATERIALIZES them
+    // away: the rewritten segments carry no tombstones.
+    val clustered = segScan(spark, dir, snap, snap.live, mergeSchema = true)
       .repartitionByRange(numSegments, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-    stageAndCommitClustered(spark, dir, clustered, live, snap, statsCols)
+    stageAndCommitClustered(spark, dir, clustered, snap.live, snap.version, statsCols)
   }
 
   /** Shared optimize tail: write the clustered frame once, MOVE each
@@ -695,15 +865,14 @@ object TxLog {
              setExprs: Map[String, String],
              statsCols: Seq[String] = Nil): Int = {
     require(setExprs.nonEmpty, "update without SET expressions")
-    val snap = headVersion(dir)
-    val live = liveSegments(dir, snap)
-    val schema = tableSchema(spark, dir, live)
+    val snap = state(dir)
+    val schema = tableSchema(spark, dir, snap.live)
     val unknown = setExprs.keySet -- schema.map(_.name).toSet
     require(unknown.isEmpty, s"SET references unknown column(s): $unknown")
-    def seg(s0: String) = spark.read.schema(schema).parquet(s"$dir/$s0")
-    val dirty = live.filter(s0 => !seg(s0).filter(predicate).isEmpty)
+    def seg(s0: String) = segScan(spark, dir, snap, Seq(s0), schema = Some(schema))
+    val dirty = snap.live.filter(s0 => !seg(s0).filter(predicate).isEmpty)
     if (dirty.isEmpty)
-      return commit(dir, "update", Seq.empty, Seq.empty, Some(snap))
+      return commit(dir, "update", Seq.empty, Seq.empty, Some(snap.version))
     val rewritten = dirty.map { s0 =>
       val sdf = seg(s0)
       // ONE projection over the original frame: all when()/RHS columns
@@ -716,7 +885,7 @@ object TxLog {
       }: _*)
     }.reduce(_ unionByName _)
     val newSeg = newSegment(dir, rewritten)
-    commitOrReclaim(dir, "update", Seq(newSeg), dirty, snap,
+    commitOrReclaim(dir, "update", Seq(newSeg), dirty, snap.version,
       segStats(spark, dir, newSeg, statsCols))
   }
 
@@ -728,16 +897,14 @@ object TxLog {
     * [[optimize]]'s total order on one leading column). */
   def optimizeBy(spark: SparkSession, dir: String, clusterExpr: Column,
                  numSegments: Int, statsCols: Seq[String] = Nil): Int = {
-    val snap = headVersion(dir)
-    val live = liveSegments(dir, snap)
-    require(live.nonEmpty, s"optimize of empty table $dir")
-    val clustered = spark.read.option("mergeSchema", "true")
-      .parquet(live.map(s => s"$dir/$s"): _*)
+    val snap = state(dir)
+    require(snap.live.nonEmpty, s"optimize of empty table $dir")
+    val clustered = segScan(spark, dir, snap, snap.live, mergeSchema = true)
       .withColumn("__cluster", clusterExpr)
       .repartitionByRange(numSegments, col("__cluster"))
       .sortWithinPartitions(col("__cluster"))
       .drop("__cluster")
-    stageAndCommitClustered(spark, dir, clustered, live, snap, statsCols)
+    stageAndCommitClustered(spark, dir, clustered, snap.live, snap.version, statsCols)
   }
 
   /** Copy-on-write MERGE (upsert) on `key`: rows of `updates` REPLACE
@@ -761,7 +928,7 @@ object TxLog {
         !canPrune(snap.stats.get((seg, key)), lo, hi))
       val uKeys = broadcast(u.select(col(key)).distinct())
       val dirty = candidates.filter { seg =>
-        !spark.read.parquet(s"$dir/$seg")
+        !segScan(spark, dir, snap, Seq(seg))
           .join(uKeys, Seq(key), "left_semi").isEmpty
       }
       // every update row lands exactly once (replacing or inserting), and
@@ -769,7 +936,7 @@ object TxLog {
       // rewrite is: (dirty rows not matched) ∪ updates
       val newData =
         if (dirty.isEmpty) u
-        else spark.read.parquet(dirty.map(s => s"$dir/$s"): _*)
+        else segScan(spark, dir, snap, dirty)
           .join(uKeys, Seq(key), "left_anti")
           .unionByName(u)
       val seg = newSegment(dir, newData)
@@ -845,31 +1012,29 @@ object TxLog {
     * the segments that contain matches (per-segment probe ≈ file-stats
     * pruning); clean segments carry over untouched. */
   def delete(spark: SparkSession, dir: String, predicate: String): Int = {
-    val snap = headVersion(dir)
-    val live = liveSegments(dir, snap)
-    val (dirty, clean) = live.partition { seg =>
-      !spark.read.parquet(s"$dir/$seg").filter(predicate).isEmpty
+    val snap = state(dir)
+    val (dirty, clean) = snap.live.partition { seg =>
+      !segScan(spark, dir, snap, Seq(seg)).filter(predicate).isEmpty
     }
     if (dirty.isEmpty)
-      return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap))
+      return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap.version))
     val kept = dirty.map(seg =>
-      spark.read.parquet(s"$dir/$seg").filter(s"NOT ($predicate)"))
+      segScan(spark, dir, snap, Seq(seg)).filter(s"NOT ($predicate)"))
       .reduce(_ unionByName _)
     val _ = clean // clean segments survive by reference
-    commitOrReclaim(dir, "delete", Seq(newSegment(dir, kept)), dirty, snap,
+    commitOrReclaim(dir, "delete", Seq(newSegment(dir, kept)), dirty, snap.version,
       Map.empty)
   }
 
   /** Consolidate the live set into one segment — no logical change.
     * Conflicts (fails) on any concurrent commit, like [[delete]]. */
   def compact(spark: SparkSession, dir: String): Int = {
-    val snap = headVersion(dir)
-    val live = liveSegments(dir, snap)
-    require(live.nonEmpty, s"compact of empty table $dir")
-    val all = spark.read.option("mergeSchema", "true")
-      .parquet(live.map(s => s"$dir/$s"): _*).coalesce(1)
-    commitOrReclaim(dir, "compact", Seq(newSegment(dir, all)), live, snap,
-      Map.empty)
+    val snap = state(dir)
+    require(snap.live.nonEmpty, s"compact of empty table $dir")
+    // DV-applied scan: compaction materializes tombstones away
+    val all = segScan(spark, dir, snap, snap.live, mergeSchema = true).coalesce(1)
+    commitOrReclaim(dir, "compact", Seq(newSegment(dir, all)), snap.live,
+      snap.version, Map.empty)
   }
 
   /** Incremental read: ONLY the segments commit `version` ADDED — the
@@ -904,7 +1069,12 @@ object TxLog {
     val head = headVersion(dir)
     if (head < 0) return Seq.empty
     val horizon = math.max(0, head - keepVersions + 1)
-    val retained = (horizon to head).flatMap(v => liveSegments(dir, v)).toSet
+    val horizonStates = (horizon to head).map(v => state(dir, v))
+    val retained = horizonStates.flatMap(_.live).toSet
+    // a DV sidecar is retained while ANY retained snapshot applies it
+    // to a live segment
+    val retainedDvs = horizonStates.flatMap(s =>
+      s.live.flatMap(seg => s.dvs.getOrElse(seg, Seq.empty))).toSet
     val log = entries(dir)
     val all = log.flatMap(_.add).toSet
     val doomed = (all -- retained).toSeq.sorted
@@ -915,6 +1085,8 @@ object TxLog {
       // a vacuumed segment's bloom sidecars are equally dead
       bloomFiles.getOrElse(seg, Nil).foreach(b => st.deleteIfExists(b._2.file))
     }
+    val deadDvs = (log.flatMap(_.dvs.map(_._2)).toSet -- retainedDvs).toSeq.sorted
+    deadDvs.foreach(dv => st.deleteRecursively(s"$dir/$dv"))
     doomed
   }
 
@@ -1005,18 +1177,28 @@ object TxLog {
     require(toVersion >= 0 && toVersion <= snap,
       s"restore target $toVersion out of range (head=$snap)")
     val target = state(dir, toVersion)
+    val head = state(dir, snap)
     val missing = target.live.filterNot(seg => st.isDirectory(s"$dir/$seg"))
     require(missing.isEmpty,
       s"cannot restore $dir to $toVersion: segment(s) vacuumed: $missing")
-    val current = liveSegments(dir, snap)
+    val current = head.live
     val added = target.live.filterNot(current.contains)
-    val addedSet = added.toSet
+    // a segment live in BOTH versions whose deletion-vector set drifted
+    // (post-target MoR deletes) is REMOVED-AND-RE-ADDED in this one
+    // entry: the state fold clears its dv mapping on remove and the
+    // entry's dv lines re-record the target's — tombstone rollback
+    // without touching a data byte
+    val dvReset = target.live.filter(seg => current.contains(seg) &&
+      head.dvs.getOrElse(seg, Seq.empty) != target.dvs.getOrElse(seg, Seq.empty))
+    val readd = added ++ dvReset
+    val readdSet = readd.toSet
     commit(dir, "restore",
-      add = added,
-      remove = current.filterNot(target.live.contains),
+      add = readd,
+      remove = current.filterNot(target.live.contains) ++ dvReset,
       expectedHead = Some(snap),
-      stats = target.stats.filter { case ((seg, _), _) => addedSet(seg) },
-      blooms = target.blooms.filter { case ((seg, _), _) => addedSet(seg) })
+      stats = target.stats.filter { case ((seg, _), _) => readdSet(seg) },
+      blooms = target.blooms.filter { case ((seg, _), _) => readdSet(seg) },
+      dvs = readd.flatMap(seg => target.dvs.getOrElse(seg, Seq.empty).map(seg -> _)))
   }
 
   /** DESCRIBE HISTORY: one row per commit — (version, op, n_added,
@@ -1044,9 +1226,8 @@ object TxLog {
     * add-column semantics of the log formats, without a rewrite). */
   def read(spark: SparkSession, dir: String, asOf: Int = -1,
            mergeSchema: Boolean = false): DataFrame = {
-    val segs = liveSegments(dir, asOf)
-    require(segs.nonEmpty, s"table $dir is empty as of version $asOf")
-    spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(segs.map(s => s"$dir/$s"): _*)
+    val s = state(dir, asOf)
+    require(s.live.nonEmpty, s"table $dir is empty as of version $asOf")
+    segScan(spark, dir, s, s.live, mergeSchema)
   }
 }
