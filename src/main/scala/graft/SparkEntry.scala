@@ -386,6 +386,47 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // MERGE-ON-READ DELETE (deletion vectors) on the log table: v2
+    // tombstoned o_custkey%7=3 in a dv-* sidecar WITHOUT rewriting a
+    // segment — the requires pin exactly that (live set unchanged from
+    // v1, op = delete_mor, and the commit entry records per-segment
+    // tombstone counts so the read-side broadcast decision is pure
+    // metadata). The read subtracts tombstones via a broadcast anti
+    // join; the narrow-DML answer for wide tables at 100 TB, where a
+    // 1-row delete must not cost a segment-sized rewrite.
+    "table_log_dv" -> ((s, d) => {
+      val dir = txMorCache(s, d)
+      require(graft.sources.TxLog.commitOp(dir, 2) == "delete_mor",
+        "v2 must be the merge-on-read delete")
+      require(graft.sources.TxLog.liveSegments(dir, 2).toSet ==
+          graft.sources.TxLog.liveSegments(dir, 1).toSet,
+        "deleteMoR must not add or rewrite any segment")
+      graft.sources.TxLog.read(s, dir, asOf = 2)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // MERGE-ON-READ UPDATE on the log table: v3 appended ONE segment
+    // of new images (cents += 111 where o_custkey%7=4) and tombstoned
+    // the old images — write cost ∝ matched rows, not dirty segments
+    // (the require pins exactly one added segment over v1's unchanged
+    // set). The head read proves tombstone subtraction composes across
+    // two stacked MoR commits (v2's delete + v3's update).
+    "table_log_update_mor" -> ((s, d) => {
+      val dir = txMorCache(s, d)
+      require(graft.sources.TxLog.commitOp(dir, 3) == "update_mor",
+        "v3 must be the merge-on-read update")
+      val v1 = graft.sources.TxLog.liveSegments(dir, 1).toSet
+      val v3 = graft.sources.TxLog.liveSegments(dir, 3).toSet
+      require(v1.subsetOf(v3) && (v3 -- v1).size == 1,
+        "updateMoR must append exactly one new-image segment")
+      graft.sources.TxLog.read(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // copy-on-write UPDATE on the log table — the DML triad's third
     // leg (DELETE / MERGE / UPDATE): cents bumped where o_custkey%10=3,
     // only match-bearing segments rewritten. Reads AS OF the update
@@ -4216,6 +4257,28 @@ object SparkEntry {
       graft.sources.TxLog.restore(out, toVersion = 1)
     }
 
+  /** One-time MERGE-ON-READ DML scenario: v0/v1 append order halves,
+    * v2 deleteMoR (o_custkey%7=3 tombstoned by a dv-* sidecar, zero
+    * segments rewritten), v3 updateMoR (cents += 111 where
+    * o_custkey%7=4: new images in one appended segment, old images
+    * tombstoned). The narrow-DML-over-wide-table shape whose write
+    * cost is ∝ matched rows, not dirty segments. */
+  private def txMorCache(s: SparkSession, d: String): String =
+    cachedDir(s"/tmp/graft_txmor_${new java.io.File(d).getName}", d,
+        Seq("orders")) { out =>
+      val root = new java.io.File(out)
+      if (root.isDirectory)
+        graft.sources.TxLog.deleteRecursively(root.toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 0), out)
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 1), out)
+      graft.sources.TxLog.deleteMoR(s, out, "o_custkey % 7 = 3")
+      graft.sources.TxLog.updateMoR(s, out, "o_custkey % 7 = 4",
+        Map("cents" -> "cents + 111"))
+    }
+
   /** 4-part events stream source for the multi-batch sink keys: one
     * parquet file per micro-batch under maxFilesPerTrigger=1. */
   private def streamCache4(s: SparkSession, d: String): String =
@@ -5307,6 +5370,23 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // merge-on-read delete replayed relationally: v2 = orders minus
+    // the tombstoned custkey band
+    "table_log_dv" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+         FROM orders WHERE o_custkey % 7 <> 3
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // stacked MoR commits replayed: delete band %7=3, then bump %7=4
+    "table_log_update_mor" ->
+      """WITH v2 AS (SELECT o_orderstatus, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_custkey % 7 <> 3)
+         SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CASE WHEN o_custkey % 7 = 4 THEN c + 111 ELSE c END)
+               AS BIGINT) AS cents
+         FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // update replayed relationally
     "table_log_update" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -179,19 +179,36 @@ private[graft] class HadoopLogStore(fs: FileSystem, scheme: String) extends LogS
         s".${target.getName}.${java.util.UUID.randomUUID}.tmp")
       val out = fs.create(tmp, false)
       try out.write(bytes) finally out.close()
+      // Only a provably-occupied destination means "lost the race".
+      // Mapping any rename fault to false would let commit() retry onto
+      // slot v+1 while slot v stays empty — the dense replay stops at
+      // the gap and the "successful" commit is silently invisible (and
+      // reappears out of order if a later writer fills the hole).
       val won = try fs.rename(tmp, target)
-        catch { case _: java.io.IOException => false }
+        catch {
+          case e: java.io.IOException =>
+            if (fs.exists(target)) false
+            else { fs.delete(tmp, false); throw e }
+        }
       if (!won) fs.delete(tmp, false)
       won
     } else {
       // local-FS check-then-create (single-JVM correct; see matrix)
-      try {
-        val out = fs.create(target, false)
-        try out.write(bytes) finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException if fs.exists(target) => false
+      val created =
+        try Some(fs.create(target, false))
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+          case _: java.io.IOException if fs.exists(target) => None
+        }
+      created match {
+        case None => false
+        case Some(out) =>
+          // create() won the slot, so an exception while writing is OUR
+          // fault, not a lost race: a truncated winner would occupy the
+          // slot forever (parse drops malformed lines) while the caller
+          // retries onto the next one. Delete the partial and fail loud.
+          try { try out.write(bytes) finally out.close(); true }
+          catch { case e: Throwable => fs.delete(target, false); throw e }
       }
     }
   }

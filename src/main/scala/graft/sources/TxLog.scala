@@ -114,19 +114,21 @@ object TxLog {
                            add: Seq[String], remove: Seq[String],
                            stats: Map[(String, String), ColStats],
                            blooms: Map[(String, String), BloomStats],
-                           dvs: Seq[(String, String)])
+                           dvs: Seq[(String, String, Long)])
 
   /** Replayed log state as of some version: what every reader/pruner
     * actually consumes — built from checkpoint + tail, never a full
     * log scan on the hot path. `dvs` maps a live segment to its
-    * DELETION VECTOR sidecars in commit order (merge-on-read: the
-    * segment's bytes are untouched; reads subtract the tombstoned
-    * (file, pos) rows). A rewrite drops the mapping with the segment. */
+    * DELETION VECTOR sidecars — (sidecar name, tombstone rows in this
+    * segment) — merge-on-read: the segment's bytes are untouched and
+    * reads subtract the tombstoned (file, pos) rows. The recorded row
+    * count makes the read-side broadcast decision a metadata lookup
+    * (no probe job); a rewrite drops the mapping with the segment. */
   private case class State(version: Int, live: Seq[String],
                            stats: Map[(String, String), ColStats],
                            blooms: Map[(String, String), BloomStats],
                            streamOps: Set[String],
-                           dvs: Map[String, Seq[String]])
+                           dvs: Map[String, Seq[(String, Long)]])
 
   private def entryPath(dir: String, v: Int): String =
     f"${logDir(dir)}/$v%08d.txt"
@@ -196,10 +198,15 @@ object TxLog {
   private def vals(lines: Seq[String], k: String): Seq[String] =
     lines.filter(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
 
-  private def parseDvs(lines: Seq[String]): Seq[(String, String)] =
+  private def parseDvs(lines: Seq[String]): Seq[(String, String, Long)] =
     lines.flatMap { line =>
       line.split("\\|", -1) match {
-        case Array(seg, dv) => Some(dec(seg) -> dec(dv))
+        case Array(seg, dv, rows) =>
+          Some((dec(seg), dec(dv), rows.toLongOption.getOrElse(-1L)))
+        // count-less legacy line: rows = -1 means UNKNOWN — the read
+        // side then refuses to broadcast (shuffle join is always
+        // correct). Dropping the line instead would resurrect rows.
+        case Array(seg, dv) => Some((dec(seg), dec(dv), -1L))
         case _              => None
       }
     }
@@ -247,7 +254,7 @@ object TxLog {
         parseBlooms(dir, vals(lines, "bloom")),
         vals(lines, "streamop").map(dec).toSet,
         parseDvs(vals(lines, "dv")).groupBy(_._1)
-          .map { case (seg, ps) => seg -> ps.map(_._2) }))
+          .map { case (seg, ps) => seg -> ps.map(p => (p._2, p._3)) }))
     } catch { case _: java.io.IOException => None }
 
   /** Newest checkpoint at-or-before `asOf` (-1 = no bound): pointer
@@ -285,7 +292,7 @@ object TxLog {
     var stats = cp.map(_.stats).getOrElse(Map.empty[(String, String), ColStats])
     var blooms = cp.map(_.blooms).getOrElse(Map.empty[(String, String), BloomStats])
     var ops = cp.map(_.streamOps).getOrElse(Set.empty[String])
-    var dvs = cp.map(_.dvs).getOrElse(Map.empty[String, Seq[String]])
+    var dvs = cp.map(_.dvs).getOrElse(Map.empty[String, Seq[(String, Long)]])
     var version = cp.map(_.version).getOrElse(-1)
     var v = version + 1
     while ((asOf < 0 || v <= asOf) && st.exists(entryPath(dir, v))) {
@@ -295,8 +302,8 @@ object TxLog {
       // already has the deletions applied); re-added segments (restore)
       // get theirs re-recorded by the restoring commit
       dvs --= e.remove
-      e.dvs.foreach { case (seg, dv) =>
-        dvs = dvs.updated(seg, dvs.getOrElse(seg, Seq.empty) :+ dv)
+      e.dvs.foreach { case (seg, dv, rows) =>
+        dvs = dvs.updated(seg, dvs.getOrElse(seg, Seq.empty) :+ (dv -> rows))
       }
       stats ++= e.stats; blooms ++= e.blooms
       if (e.op.startsWith("stream-")) ops += e.op
@@ -322,7 +329,8 @@ object TxLog {
           statLines(s.stats.filter { case ((seg, _), _) => liveSet(seg) }) ++
           bloomLines(s.blooms.filter { case ((seg, _), _) => liveSet(seg) }) ++
           dvLines(s.dvs.filter { case (seg, _) => liveSet(seg) }
-            .toSeq.flatMap { case (seg, ds) => ds.map(seg -> _) }) ++
+            .toSeq.flatMap { case (seg, ds) =>
+              ds.map { case (dv, rows) => (seg, dv, rows) } }) ++
           s.streamOps.toSeq.sorted.map("streamop=" + enc(_)))
           .mkString("", "\n", "\n")
         // idempotent across racing checkpointers: same version folds the
@@ -363,8 +371,9 @@ object TxLog {
           enc(b.file.substring(b.file.lastIndexOf('/') + 1))
       }
 
-  private def dvLines(dvs: Seq[(String, String)]): Seq[String] =
-    dvs.sorted.map { case (seg, dv) => s"dv=${enc(seg)}|${enc(dv)}" }
+  private def dvLines(dvs: Seq[(String, String, Long)]): Seq[String] =
+    dvs.sorted.map { case (seg, dv, rows) =>
+      s"dv=${enc(seg)}|${enc(dv)}|$rows" }
 
   /** Optimistic-concurrency commit: claims the next free version slot
     * via [[LogStore.putIfAbsent]] (hard-link CAS locally, atomic
@@ -385,7 +394,7 @@ object TxLog {
                             expectedHead: Option[Int] = None,
                             stats: Map[(String, String), ColStats] = Map.empty,
                             blooms: Map[(String, String), BloomStats] = Map.empty,
-                            dvs: Seq[(String, String)] = Seq.empty): Int = {
+                            dvs: Seq[(String, String, Long)] = Seq.empty): Int = {
     val st = store(dir)
     st.mkdirs(logDir(dir))
     val body = (Seq(s"op=$op") ++ add.map("add=" + _) ++
@@ -422,13 +431,25 @@ object TxLog {
 
   /** Tombstones small enough to broadcast into the anti join that
     * subtracts them (a shuffle join would move the whole TABLE to meet
-    * the deletion vector). Probed with a limit — the boilerplateStrip
-    * gate pattern — and past the gate the join falls back to shuffle:
-    * correct either way, and a DV that large means OPTIMIZE is overdue
-    * (it materializes tombstones away). A production impl pushes DV
-    * bitmaps into the scan itself (Delta's per-file row-index filters);
-    * the join formulation keeps the mechanics plan-visible here. */
-  private val BroadcastDvLimit = 4000000
+    * the deletion vector). Sized from the COMMIT-RECORDED per-(segment,
+    * sidecar) row counts — a pure metadata lookup, no Spark job during
+    * plan construction, and only the PROBED segments' tombstones count
+    * (another segment's huge DV cannot pessimize this scan). Past the
+    * gate the join falls back to shuffle: correct either way, and a DV
+    * that large means OPTIMIZE is overdue (it materializes tombstones
+    * away). A production impl pushes DV bitmaps into the scan itself
+    * (Delta's per-file row-index filters); the join formulation keeps
+    * the mechanics plan-visible here. */
+  private val BroadcastDvLimit = 4000000L
+
+  /** The dv-* sidecar layout: one row per tombstoned row coordinate. */
+  private val DvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("seg",
+      org.apache.spark.sql.types.StringType)))
 
   /** Scan `segs` with their DELETION VECTORS applied — the one reader
     * every query AND every copy-on-write rewrite must go through (a
@@ -446,7 +467,9 @@ object TxLog {
       case None     => spark.read.option("mergeSchema", mergeSchema.toString)
     }
     val base = reader.parquet(segs.map(s0 => s"$dir/$s0"): _*)
-    val dvNames = segs.flatMap(seg => s.dvs.getOrElse(seg, Seq.empty)).distinct
+    val probed = segs.flatMap(seg =>
+      s.dvs.getOrElse(seg, Seq.empty).map { case (dv, rows) => (dv, rows) })
+    val dvNames = probed.map(_._1).distinct
     if (dvNames.isEmpty && !withMeta) return base
     val withM = base
       .withColumn("__file", col("_metadata.file_path"))
@@ -455,12 +478,21 @@ object TxLog {
       if (dvNames.isEmpty) withM
       else {
         val segSet = segs.toSet
-        val tombAll = spark.read.parquet(dvNames.map(n => s"$dir/$n"): _*)
+        // explicit schema: the sidecar layout is ours by construction,
+        // so no schema-inference job fires during plan construction —
+        // a DV-bearing read costs zero extra jobs over a plain scan
+        val tomb0 = spark.read.schema(DvSchema)
+          .parquet(dvNames.map(n => s"$dir/$n"): _*)
           .filter(col("seg").isInCollection(segSet))
           .select(col("file"), col("pos")).distinct()
-        val small = spark.read.parquet(dvNames.map(n => s"$dir/$n"): _*)
-          .limit(BroadcastDvLimit + 1).count() <= BroadcastDvLimit
-        val tomb = if (small) broadcast(tombAll) else tombAll
+        // metadata-only sizing: sum of the commit-recorded tombstone
+        // counts for the probed segments; any legacy unknown (-1)
+        // disables the broadcast (shuffle is always correct)
+        val known = probed.forall(_._2 >= 0)
+        val tombRows = probed.map(_._2).sum
+        val tomb =
+          if (known && tombRows <= BroadcastDvLimit) broadcast(tomb0)
+          else tomb0
         withM.join(tomb,
           withM("__file") === tomb("file") && withM("__pos") === tomb("pos"),
           "left_anti")
@@ -487,23 +519,35 @@ object TxLog {
         mergeSchema = true, withMeta = true)
       .filter(predicate)
       .select(col("__file").as("file"), col("__pos").as("pos"),
-        regexp_extract(col("__file"), "(seg-[0-9a-fA-F-]+)", 1).as("seg"))
+        segOfFile(col("__file")).as("seg"))
     val dvName = s"dv-${java.util.UUID.randomUUID}"
     matches.write.parquet(s"$dir/$dvName")
+    // per-segment tombstone counts, recorded in the commit entry so the
+    // read side sizes its broadcast from metadata alone
     val dirty = spark.read.parquet(s"$dir/$dvName")
-      .select("seg").distinct().collect().map(_.getString(0)).toSeq.sorted
+      .groupBy("seg").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
     if (dirty.isEmpty) {
       store(dir).deleteRecursively(s"$dir/$dvName")
       return commit(dir, "delete_mor", Seq.empty, Seq.empty, Some(snap.version))
     }
     try commit(dir, "delete_mor", Seq.empty, Seq.empty, Some(snap.version),
-      dvs = dirty.map(_ -> dvName))
+      dvs = dirty.map { case (seg, n) => (seg, dvName, n) })
     catch {
       case e: java.util.ConcurrentModificationException =>
         store(dir).deleteRecursively(s"$dir/$dvName")
         throw e
     }
   }
+
+  /** The segment a scanned row came from: the path component DIRECTLY
+    * containing the parquet file (segments are flat directories under
+    * the table dir). Anchoring to the file's parent — not the first
+    * `seg-` match anywhere in the path — keeps a table that happens to
+    * live under a `.../seg-abc.../` parent directory from attributing
+    * every tombstone to that nonexistent segment. */
+  private def segOfFile(file: org.apache.spark.sql.Column) =
+    regexp_extract(file, "/(seg-[0-9a-fA-F-]+)/[^/]*$", 1)
 
   /** MERGE-ON-READ update: the matched rows' NEW images land in one
     * appended segment and their OLD images are tombstoned by a
@@ -526,12 +570,12 @@ object TxLog {
     val stage = s"seg-${java.util.UUID.randomUUID}"
     segScan(spark, dir, snap, snap.live, schema = Some(schema), withMeta = true)
       .filter(predicate)
-      .withColumn("__seg", regexp_extract(col("__file"), "(seg-[0-9a-fA-F-]+)", 1))
+      .withColumn("__seg", segOfFile(col("__file")))
       .write.parquet(s"$dir/$stage")
     try {
       val m = spark.read.parquet(s"$dir/$stage")
-      val dirty = m.select(col("__seg")).distinct().collect()
-        .map(_.getString(0)).toSeq.sorted
+      val dirty = m.groupBy("__seg").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
       if (dirty.isEmpty)
         return commit(dir, "update_mor", Seq.empty, Seq.empty, Some(snap.version))
       val dvName = s"dv-${java.util.UUID.randomUUID}"
@@ -547,7 +591,7 @@ object TxLog {
       val newSeg = newSegment(dir, newImages)
       try commit(dir, "update_mor", Seq(newSeg), Seq.empty, Some(snap.version),
         stats = segStats(spark, dir, newSeg, statsCols),
-        dvs = dirty.map(_ -> dvName))
+        dvs = dirty.map { case (seg, n) => (seg, dvName, n) })
       catch {
         case e: Throwable =>
           store(dir).deleteRecursively(s"$dir/$dvName")
@@ -1074,7 +1118,7 @@ object TxLog {
     // a DV sidecar is retained while ANY retained snapshot applies it
     // to a live segment
     val retainedDvs = horizonStates.flatMap(s =>
-      s.live.flatMap(seg => s.dvs.getOrElse(seg, Seq.empty))).toSet
+      s.live.flatMap(seg => s.dvs.getOrElse(seg, Seq.empty).map(_._1))).toSet
     val log = entries(dir)
     val all = log.flatMap(_.add).toSet
     val doomed = (all -- retained).toSeq.sorted
@@ -1188,8 +1232,12 @@ object TxLog {
     // entry: the state fold clears its dv mapping on remove and the
     // entry's dv lines re-record the target's — tombstone rollback
     // without touching a data byte
+    // SET comparison: the checkpoint fold sorts dv lines, so a
+    // checkpoint round-trip loses commit order — order-sensitive
+    // comparison would spuriously reset (benign re-adds, wrong signal)
     val dvReset = target.live.filter(seg => current.contains(seg) &&
-      head.dvs.getOrElse(seg, Seq.empty) != target.dvs.getOrElse(seg, Seq.empty))
+      head.dvs.getOrElse(seg, Seq.empty).toSet !=
+        target.dvs.getOrElse(seg, Seq.empty).toSet)
     val readd = added ++ dvReset
     val readdSet = readd.toSet
     commit(dir, "restore",
@@ -1198,7 +1246,8 @@ object TxLog {
       expectedHead = Some(snap),
       stats = target.stats.filter { case ((seg, _), _) => readdSet(seg) },
       blooms = target.blooms.filter { case ((seg, _), _) => readdSet(seg) },
-      dvs = readd.flatMap(seg => target.dvs.getOrElse(seg, Seq.empty).map(seg -> _)))
+      dvs = readd.flatMap(seg => target.dvs.getOrElse(seg, Seq.empty)
+        .map { case (dv, rows) => (seg, dv, rows) }))
   }
 
   /** DESCRIBE HISTORY: one row per commit — (version, op, n_added,
@@ -1209,6 +1258,13 @@ object TxLog {
     entries(dir)
       .map(e => (e.version.toLong, e.op, e.add.size.toLong, e.remove.size.toLong))
       .toDF("version", "op", "n_added", "n_removed")
+  }
+
+  /** (op, added segments) of commit `version` — the streaming CDC
+    * source's per-batch metadata read: O(1) entry files per commit. */
+  private[sources] def commitAdds(dir: String, version: Int): (String, Seq[String]) = {
+    val e = readEntry(dir, version)
+    (e.op, e.add)
   }
 
   /** The op recorded by commit `version` (append/overwrite/delete/compact). */
