@@ -3391,6 +3391,28 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // STREAMING CDC SOURCE over the TxLog table — the read half of the
+    // exactly-once pair (stream_txlog_sink is the write half):
+    // format("txlog") tails the commit log from version 0, offsets ARE
+    // commit versions (checkpointed by the engine for restart-resume —
+    // TxLogStreamSourceSpec pins no-redeliver/no-skip across a
+    // restart), and each micro-batch reads ONLY the new commits' add
+    // segments — tailing a 100 TB table costs O(new data), never a
+    // table rescan. Append commits are the 4 date slices; rewrite
+    // commits (merge/optimize) are tagged and filtered out, as an
+    // append-only consumer would.
+    "stream_txlog_source" -> ((s, d) => withStreamPartitions(s) {
+      val dir = txStatsCache(s, d)
+      val q = s.readStream.format("txlog").option("path", dir).load()
+        .filter(col("_commit_op") === "append")
+        .groupBy(col("_commit_version").as("version"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_txlog_source").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_stream_txlog_source").orderBy("version")
+    }),
+
     // TOLERANCE as-of (pandas merge_asof's `tolerance`): the backward
     // match only counts within 2 hours — stale lookups become
     // no-match instead of silently joining hours-old state
@@ -5370,6 +5392,24 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the 4 append commits are the 4 date slices of orders (the later
+    // merge/optimize commits are rewrites, filtered out by op)
+    "stream_txlog_source" ->
+      """SELECT CAST(v AS BIGINT) AS version, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM (
+           SELECT 0 AS v, o_totalprice FROM orders
+           WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'
+           UNION ALL
+           SELECT 1 AS v, o_totalprice FROM orders
+           WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
+           UNION ALL
+           SELECT 2 AS v, o_totalprice FROM orders
+           WHERE o_orderdate BETWEEN '1997-01-01' AND '1998-12-31'
+           UNION ALL
+           SELECT 3 AS v, o_totalprice FROM orders
+           WHERE o_orderdate BETWEEN '1999-01-01' AND '2001-12-31')
+         GROUP BY v ORDER BY version""",
     // merge-on-read delete replayed relationally: v2 = orders minus
     // the tombstoned custkey band
     "table_log_dv" ->

@@ -35,4 +35,27 @@ object ColumnShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-tag a batch DataFrame's leaf relations as STREAMING — the v1
+    * streaming `Source.getBatch` contract requires the returned
+    * DataFrame's plan to report `isStreaming = true` (exactly how
+    * `FileStreamSource` and Delta's source build their micro-batches);
+    * `LogicalRelation.isStreaming` is only settable from inside the
+    * sql package, hence the shim. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.copy(isStreaming = true)
+    }
+    ofRows(df.sparkSession, plan)
+  }
+
+  /** An empty STREAMING DataFrame of `schema` — the zero-rows
+    * micro-batch of a v1 streaming Source (a commit range whose add
+    * sets are all empty still advances the offset). */
+  def emptyStreaming(spark: SparkSession,
+                     schema: org.apache.spark.sql.types.StructType): DataFrame =
+    ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+      Nil, isStreaming = true))
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TxLog
+
+/** The streaming CDC source over a TxLog table (`format("txlog")`):
+  * offsets are commit versions, so the engine's checkpointed offset
+  * log gives exactly-once restart-resume; each micro-batch is the new
+  * commits' add-set rows tagged _commit_version/_commit_op. */
+class TxLogStreamSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def sample(lo: Int, hi: Int) =
+    spark.range(lo.toLong, hi.toLong).select(col("id"),
+      (col("id") % 5).as("k"))
+
+  test("delivers full history from version 0, tagged by commit") {
+    val dir = freshDir("graft-txsrc")
+    TxLog.append(sample(0, 10), dir)
+    TxLog.append(sample(10, 30), dir)
+    val q = spark.readStream.format("txlog").option("path", dir).load()
+      .groupBy("_commit_version", "_commit_op")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("txsrc_full").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("txsrc_full")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((0L, "append", 10L), (1L, "append", 20L)))
+  }
+
+  test("restart from checkpoint resumes at the first unprocessed commit") {
+    val dir = freshDir("graft-txsrc")
+    val sink = freshDir("graft-txsink")
+    val ckpt = freshDir("graft-txckpt")
+    TxLog.append(sample(0, 10), dir)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("txlog").option("path", dir).load()
+        .select("id", "k", "_commit_version")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 10)
+    // two more commits land while the stream is DOWN
+    TxLog.append(sample(10, 15), dir)
+    TxLog.append(sample(15, 25), dir)
+    runOnce()
+    val out = spark.read.parquet(sink)
+    // exactly-once: 25 rows total, no re-delivery of commit 0
+    assert(out.count() == 25)
+    assert(out.select("id").distinct().count() == 25)
+    assert(out.groupBy("_commit_version").count().as[(Long, Long)]
+      .collect().toMap == Map(0L -> 10L, 1L -> 5L, 2L -> 10L))
+  }
+
+  test("startingVersion=latest skips history; a MoR delete advances the offset rowlessly") {
+    val dir = freshDir("graft-txsrc")
+    TxLog.append(sample(0, 20), dir)                      // v0: history
+    val floorHead = TxLog.headVersion(dir)
+    val feed = spark.readStream.format("txlog").option("path", dir)
+      .option("startingVersion", "latest").load()
+    val q = feed.groupBy("_commit_version", "_commit_op")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("txsrc_latest").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txsrc_latest").count() == 0, "history must be skipped")
+      TxLog.deleteMoR(spark, dir, "k = 1")                // v1: add-empty commit
+      TxLog.append(sample(20, 24), dir)                   // v2: new data
+      q.processAllAvailable()
+      val rows = spark.table("txsrc_latest")
+        .as[(Long, String, Long)].collect().toSeq
+      // the pure-tombstone commit contributes NO rows but the offset
+      // moved past it (v2 was delivered, so v1 was consumed)
+      assert(rows == Seq((2L, "append", 4L)), s"got $rows")
+      assert(floorHead == 0)
+    } finally q.stop()
+  }
+
+  test("per-batch metadata cost is O(new commits): old segments are not re-listed") {
+    val dir = freshDir("graft-txsrc")
+    (0 until 6).foreach(i => TxLog.append(sample(i * 10, i * 10 + 10), dir))
+    val sink = freshDir("graft-txsink")
+    val ckpt = freshDir("graft-txckpt")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("txlog").option("path", dir).load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    TxLog.append(sample(60, 61), dir) // one 1-row commit
+    val before = graft.sources.LogStore.metaReads.get()
+    runOnce()
+    val reads = graft.sources.LogStore.metaReads.get() - before
+    // restart replay: source construction reads head state once
+    // (pointer + checkpoint/entries tail) + the new commit's entry;
+    // nothing proportional to total data volume. Generous bound to
+    // stay robust to cadence, but far below O(all segments re-read).
+    assert(reads <= 3 * (TxLog.CheckpointInterval + 2),
+      s"tailing one new commit cost $reads metadata reads")
+    assert(spark.read.parquet(sink).count() == 61)
+  }
+}
