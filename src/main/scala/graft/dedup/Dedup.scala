@@ -23,6 +23,27 @@ import graft.ops.TextOps
   */
 object Dedup {
 
+  /** Broadcast gates for the DATA-DEPENDENT relations the verify
+    * stages ship to executors. Unlike a dimension table, these grow
+    * with the corpus — candidate-doc ids with |candidates| and the
+    * shingle-array map with |candidates| × doc length — so at 100 TB
+    * an ungated broadcast can overflow the driver. Above the gate the
+    * same join runs as a shuffle join: identical pairs, bounded
+    * memory (DedupSpec forces both paths). ~16M ids ≈ 128 MB
+    * driver-side; ~4M shingle strings ≈ low hundreds of MB. */
+  val BroadcastIdGate: Long = 1L << 24
+  val BroadcastCellGate: Long = 4L << 20
+
+  /** `df` hinted for broadcast only when a BOUNDED probe (limit
+    * gate+1, one job — the boilerplateStrip pattern) shows at most
+    * `maxRows` rows; past the gate the un-hinted frame shuffles.
+    * Probe cost is one pass over an (already-materialized) candidate
+    * relation, never the corpus. */
+  private def broadcastIfUnder(df: DataFrame, maxRows: Long): DataFrame = {
+    val n = df.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
+    if (n <= maxRows) broadcast(df) else df
+  }
+
   /** Exact dedup: group by content hash; keeper = min doc id.
     * One hash-partitioned shuffle on a 32-hex key; at 100 TB prefer
     * xxhash64(text) as the group key (8 bytes vs 32) — md5 kept here for
@@ -197,10 +218,14 @@ object Dedup {
     val sigs = minhashSignatures(docs, idCol, textCol, numPerms, shingleSize)
     val cands0 = lshCandidatePairs(sigs, numPerms)
     val cands = if (materializeCandidates) cands0.localCheckpoint() else cands0
+    // materialized: the broadcast-gate probe and the semi join both
+    // read the cached id set instead of re-running the distinct
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+      .localCheckpoint()
     val sgl = docs
-      .join(broadcast(candDocs), docs(idCol) === candDocs("doc_id"), "left_semi")
+      .join(broadcastIfUnder(candDocs, BroadcastIdGate),
+        docs(idCol) === candDocs("doc_id"), "left_semi")
       // Generate barrier before shingling: without it the split() inlines
       // into every element_at of the shingle lambda (HOF lambdas get no
       // codegen subexpression elimination) — O(tokens²) per doc; see
@@ -262,8 +287,10 @@ object Dedup {
     val cands = lshCandidatePairs(sigs, numPerms).localCheckpoint()
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+      .localCheckpoint() // gate probe + semi join share one evaluation
     val txt = docs
-      .join(broadcast(candDocs), docs(idCol) === candDocs("doc_id"), "left_semi")
+      .join(broadcastIfUnder(candDocs, BroadcastIdGate),
+        docs(idCol) === candDocs("doc_id"), "left_semi")
       .select(col(idCol).as("doc_id"), col(textCol).as("t"))
     val a = txt.select(col("doc_id").as("doc_a"), col("t").as("t_a"))
     val b = txt.select(col("doc_id").as("doc_b"), col("t").as("t_b"))
@@ -409,7 +436,11 @@ object Dedup {
       .filter(col("n") > 1)
       .select(col("h"), col("keep.doc_id").as("__kdoc"),
         col("keep.chunk_idx").as("__kidx"))
-    chunks.join(broadcast(keepers), xxhash64(col("passage")) === keepers("h"))
+      // materialized once: the gate probe + the join both consume it
+      // without re-running the passage-frequency aggregation
+      .localCheckpoint()
+    chunks.join(broadcastIfUnder(keepers, BroadcastIdGate),
+        xxhash64(col("passage")) === keepers("h"))
       .filter(!(col("doc_id") === col("__kdoc") && col("chunk_idx") === col("__kidx")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("passage"))
@@ -440,7 +471,9 @@ object Dedup {
     */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleSize: Int = 3,
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 1000,
+                        idBroadcastGate: Long = BroadcastIdGate,
+                        cellBroadcastGate: Long = BroadcastCellGate): DataFrame = {
     // Shingling the WHOLE corpus is the CPU-heavy step (tokenize +
     // n·concat_ws + array_distinct per doc) and inherits the SCAN's
     // partitioning — a sub-128MB compressed input is one partition, so
@@ -476,21 +509,38 @@ object Dedup {
     val cands = bucketPairs(prefixes, Seq("s"), maxBucket).localCheckpoint()
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val pruned = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint() // gate probe + semi join share one evaluation
+    // materialized: the cell probe and BOTH verify-join sides read the
+    // cached (doc_id, sgl) blocks instead of re-running the semi join
+    val pruned = sh.join(broadcastIfUnder(candDocs, idBroadcastGate),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     // BROADCAST the array side of both verify joins: the candidate-pair
     // relation can be orders of magnitude larger than the doc set (409k
     // pairs vs 5k docs at sf0.1), and a shuffle join would move every
     // pair WITH two multi-KB shingle arrays attached (measured ~29 s of
     // the key's 33 s). Broadcasting the bounded doc-array map keeps the
     // pairs map-side; the arrays exist once per executor, not per pair.
+    // GATED on the probed total shingle-cell count (the array payload
+    // grows with |candidates| × doc length — a low threshold on a big
+    // corpus can overflow the driver); past the gate the same joins
+    // shuffle: identical pairs, bounded memory. The probe is one
+    // column-pruned agg over checkpointed `sh` semi-joined to the
+    // materialized candidate set, not a corpus pass.
     // explode(array(…)) Generate barrier around the intersection (the
     // minhashSignatures trick): CollapseProject would otherwise inline
     // the array_intersect into uni + jaccard + the filter — ~6
     // evaluations of the O(|A|+|B|) intersection per pair (measured
     // 24 s -> 4 s on the 409k-pair sf0.1 verify)
+    val cells = pruned.agg(coalesce(sum(size(col("sgl"))), lit(0L)))
+      .head().getLong(0)
+    def side(asId: String, asArr: String) = {
+      val p = pruned.select(col("doc_id").as(asId), col("sgl").as(asArr))
+      if (cells <= cellBroadcastGate) broadcast(p) else p
+    }
     cands
-      .join(broadcast(pruned.select(col("doc_id").as("doc_a"), col("sgl").as("sgl_a"))), "doc_a")
-      .join(broadcast(pruned.select(col("doc_id").as("doc_b"), col("sgl").as("sgl_b"))), "doc_b")
+      .join(side("doc_a", "sgl_a"), "doc_a")
+      .join(side("doc_b", "sgl_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(col("sgl_a")).cast("long").as("sa"),
         size(col("sgl_b")).cast("long").as("sb"),

@@ -244,6 +244,23 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("verify-broadcast gate: shuffle fallback produces the identical pair set") {
+    // force the fallback with zero-sized gates (a 100 TB corpus whose
+    // candidate set overflows the driver) and pin that the shuffle
+    // path is logically indistinguishable from the broadcast path
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("red", "green", "blue", "cyan", "teal")
+    val docs = (1L to 30L).map { id =>
+      (id, Seq.fill(9)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val viaBroadcast = Dedup.prefixFilterPairs(docs, "doc_id", "text", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaShuffle = Dedup.prefixFilterPairs(docs, "doc_id", "text", 0.4,
+        idBroadcastGate = 0L, cellBroadcastGate = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaBroadcast == viaShuffle && viaBroadcast.nonEmpty)
+  }
+
   test("prefix filter prunes: candidate prefixes are a strict subset of shingles") {
     // high threshold → prefix length |d| − ⌈t|d|⌉ + 1 ≪ |d|: the operator
     // must consider far fewer (doc, shingle) index rows than a full
