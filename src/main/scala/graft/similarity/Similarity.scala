@@ -617,6 +617,24 @@ object Similarity {
     adcShortlistRerank(adist, e, queryPred, k, shortlist)
   }
 
+  /** Recall@k of an approximate top-k against exact ground truth:
+    * mean over queries of |approx ∩ exact| / |exact|, both truncated
+    * to rank ≤ k. The standard ANN quality metric; pairs with the
+    * wall-clock of the approximate run it gives the recall-vs-cost
+    * frontier (`graft.tools.AnnRecall` prints the table; the spec pins
+    * the orderings that must hold at equal probe budgets). Inputs are
+    * any two frames with (query_id, neighbor_id, rn). */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): Double = {
+    val a = approx.filter(col("rn") <= k).select("query_id", "neighbor_id")
+    val g = exact.filter(col("rn") <= k).select("query_id", "neighbor_id")
+    val hits = g.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hit"))
+    g.groupBy("query_id").agg(count(lit(1)).as("tot"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(avg(coalesce(col("hit"), lit(0L)).cast("double") / col("tot")))
+      .head().getDouble(0)
+  }
+
   /** IVF ANN top-k: probe the query's `nprobe` closest cells, exact
     * cosine within candidates. The scan side shuffles once on `cell`;
     * queries broadcast. The 100 TB path: cells partition the corpus so

@@ -252,4 +252,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.3, s"ivfpq recall@5 too low: $recall")
     assert(got.size == exact.size, "must emit k rows per query")
   }
+
+  test("recall-vs-budget orderings: ivf monotone in nprobe; ivfpq ≥ ivf at equal probes") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01").localCheckpoint()
+    val q = col("vec_id") < 20
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .localCheckpoint()
+    def r(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(df, exact, 5)
+    // more probed cells can only add candidates → recall non-decreasing
+    val byProbe = Seq(1, 2, 4, 8).map(np =>
+      r(Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5,
+        numCells = 8, nprobe = np)))
+    assert(byProbe.zip(byProbe.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"ivf recall not monotone in nprobe: $byProbe")
+    // probing ALL cells = exact search
+    assert(byProbe.last == 1.0, s"nprobe=numCells must be exact: $byProbe")
+    // at EQUAL probe budget with a shortlist covering every probed
+    // candidate, ivfpq's exact re-rank sees the same candidate set as
+    // ivf — compression can no longer lose anything, so recall matches
+    val n = emb.count().toInt
+    for (np <- Seq(2, 4)) {
+      val ivf = r(Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5,
+        numCells = 8, nprobe = np))
+      val ivfpq = r(Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, 5,
+        numCells = 8, nprobe = np, shortlist = n))
+      assert(ivfpq >= ivf - 1e-9,
+        s"ivfpq recall $ivfpq < ivf recall $ivf at nprobe=$np (full shortlist)")
+    }
+  }
 }
