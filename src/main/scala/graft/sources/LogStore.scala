@@ -33,9 +33,11 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *    FileSystem API has NO atomic put-if-absent (S3 rename is
   *    copy+delete; create(!overwrite) is check-then-put). A real
   *    deployment needs the store's conditional put (S3 If-None-Match,
-  *    GCS preconditions, ABFS ETags) or an external coordinator
-  *    (the DynamoDB-LogStore pattern) — out of scope here (zero
-  *    egress), so `forPath` fails loud rather than corrupt silently.
+  *    GCS preconditions, ABFS ETags) or an EXTERNAL COORDINATOR —
+  *    [[CoordinatedLogStore]] implements the coordinator strategy
+  *    (claim the slot in a coordination table, then write), enabled
+  *    per scheme via [[LogStore.registerCoordinated]]; an unconfigured
+  *    object-store path still fails loud rather than corrupt silently.
   *
   * Everything else (read, list, recursive delete, rename of staged
   * data files) has ordinary per-FS semantics and needs no ceremony.
@@ -67,24 +69,46 @@ private[graft] object LogStore {
     * read in O(checkpoint + tail) file opens, not O(versions). */
   val metaReads = new AtomicLong(0)
 
+  /** Schemes the operator has opted into EXTERNAL-COORDINATOR commits
+    * for (see [[CoordinatedLogStore]]) — the deployment switch for
+    * object stores whose FileSystem API has no native put-if-absent.
+    * Empty by default: an unconfigured object-store path fails loud
+    * rather than corrupting silently. */
+  private val coordinatedSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Opt `scheme` into coordinator-backed commits. Production pairs
+    * this with a durable coordination service; the in-JVM table makes
+    * single-process deployments and tests exact. */
+  def registerCoordinated(scheme: String): Unit =
+    coordinatedSchemes.add(scheme.toLowerCase)
+  def unregisterCoordinated(scheme: String): Unit =
+    coordinatedSchemes.remove(scheme.toLowerCase)
+
   /** Store for `path`: URIs with a scheme go through the Hadoop
     * FileSystem API; plain local paths keep the Nio hard-link CAS.
-    * Object-store schemes fail loud (no atomic put-if-absent — see
-    * the strategy matrix above). */
+    * Object-store schemes fail loud unless opted into the
+    * external-coordinator strategy (no atomic put-if-absent in the
+    * FileSystem API — see the strategy matrix above). */
   def forPath(path: String): LogStore = {
     val scheme = schemeOf(path)
+    def hadoop(s: String): HadoopLogStore = {
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new Configuration())
+      new HadoopLogStore(new HPath(path).getFileSystem(conf), s)
+    }
     scheme match {
       case None => NioLogStore
-      case Some(s) if s == "file" || s == "hdfs" =>
-        val conf = org.apache.spark.sql.SparkSession.getActiveSession
-          .map(_.sparkContext.hadoopConfiguration)
-          .getOrElse(new Configuration())
-        new HadoopLogStore(new HPath(path).getFileSystem(conf), s)
+      case Some(s) if coordinatedSchemes.contains(s) =>
+        new CoordinatedLogStore(hadoop(s))
+      case Some(s) if s == "file" || s == "hdfs" => hadoop(s)
       case Some(s) =>
         throw new IllegalArgumentException(
           s"no atomic put-if-absent strategy for scheme '$s' ($path): " +
-            "object stores need a conditional-put or external-coordinator " +
-            "LogStore — see LogStore's strategy matrix")
+            "object stores need a conditional-put or an external " +
+            "coordinator (LogStore.registerCoordinated) — see LogStore's " +
+            "strategy matrix")
     }
   }
 
@@ -226,4 +250,65 @@ private[graft] class HadoopLogStore(fs: FileSystem, scheme: String) extends LogS
     if (!fs.rename(p(src), p(dst)))
       throw new java.io.IOException(s"rename $src -> $dst failed")
   }
+}
+
+/** EXTERNAL-COORDINATOR put-if-absent over a store with no native CAS
+  * — the object-store strategy of the matrix (the DynamoDB-LogStore
+  * pattern S3 deployments use): slot OWNERSHIP is decided by a
+  * conditional write to a coordination table, and only the claim
+  * winner writes the file, so the backing store needs nothing beyond
+  * read-after-write of complete objects.
+  *
+  * The coordination table here is an in-JVM concurrent map — exact
+  * for every writer sharing the process (Spark driver commits,
+  * multi-threaded tests) and the seam a durable service (DynamoDB
+  * conditional puts, a database row, ZooKeeper) plugs into for
+  * multi-driver deployments. Two caveats a production coordinator
+  * must add, both documented by the pattern: claims need an expiry
+  * lease (a writer that crashes between claim and write otherwise
+  * leaves a permanently claimed-but-empty slot; commit() already
+  * retries onto the next slot, so the cost is a log gap candidate,
+  * not corruption — the claim is only released on successful write
+  * completion), and the table must survive process restarts (a
+  * restart here re-seeds ownership from `exists`, below).
+  *
+  * A path that exists WITHOUT a claim (written by an earlier process)
+  * counts as taken: claim-then-check, never blind trust in the map. */
+private[graft] class CoordinatedLogStore(inner: LogStore) extends LogStore {
+  import CoordinatedLogStore.claims
+  def exists(path: String): Boolean = inner.exists(path)
+  def isDirectory(path: String): Boolean = inner.isDirectory(path)
+  def readBytes(path: String): Array[Byte] = inner.readBytes(path)
+  def putIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
+    if (claims.putIfAbsent(path, java.lang.Boolean.TRUE) != null) return false
+    if (inner.exists(path)) return false // pre-coordinator history: keep the claim as taken
+    try { inner.putReplace(path, bytes); true }
+    catch {
+      // OUR write failed: release the claim (no partial visible — the
+      // inner putReplace stages via temp + replace) and fail loud
+      case e: Throwable =>
+        inner.deleteIfExists(path)
+        claims.remove(path)
+        throw e
+    }
+  }
+  def putReplace(path: String, bytes: Array[Byte]): Unit =
+    inner.putReplace(path, bytes)
+  def deleteIfExists(path: String): Unit = {
+    inner.deleteIfExists(path); claims.remove(path); ()
+  }
+  def deleteRecursively(path: String): Unit = {
+    inner.deleteRecursively(path)
+    val it = claims.keySet.iterator
+    while (it.hasNext) if (it.next.startsWith(path)) it.remove()
+  }
+  def mkdirs(path: String): Unit = inner.mkdirs(path)
+  def list(path: String): Seq[String] = inner.list(path)
+  def rename(src: String, dst: String): Unit = inner.rename(src, dst)
+}
+
+private[graft] object CoordinatedLogStore {
+  /** Process-wide coordination table: path → claimed. */
+  private val claims =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 }

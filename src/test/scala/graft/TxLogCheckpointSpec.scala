@@ -143,4 +143,46 @@ class TxLogCheckpointSpec extends SparkTestBase {
     assert(TxLog.read(spark, dir).count() == 5)
     assert(TxLog.history(spark, dir).count() == TxLog.headVersion(dir) + 1)
   }
+
+  test("coordinator strategy: a registered scheme commits through CoordinatedLogStore") {
+    // opt the file: scheme into external-coordinator commits — the
+    // object-store deployment shape (the FS below the coordinator only
+    // needs read-after-write of complete objects, which file:/ has);
+    // the full TxLog surface must behave identically through it
+    LogStore.registerCoordinated("file")
+    try {
+      val dir = "file:" + java.nio.file.Files.createTempDirectory("graft-txcoord").toString
+      assert(LogStore.forPath(dir).getClass.getSimpleName == "CoordinatedLogStore")
+      TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+      TxLog.append(Seq((3L, "c")).toDF("id", "v"), dir)
+      // optimistic concurrency is now arbitrated by the coordinator
+      val stale = TxLog.headVersion(dir)
+      TxLog.append(Seq((4L, "d")).toDF("id", "v"), dir)
+      intercept[java.util.ConcurrentModificationException] {
+        TxLog.commit(dir, "delete", Seq.empty, Seq.empty, Some(stale))
+      }
+      TxLog.delete(spark, dir, "id = 2")
+      assert(TxLog.read(spark, dir).orderBy("id").as[(Long, String)].collect()
+        .toList == List((1L, "a"), (3L, "c"), (4L, "d")))
+      assert(TxLog.read(spark, dir, asOf = 1).count() == 3) // time travel intact
+      // racing writers on one slot: exactly one wins the claim
+      val store = LogStore.forPath(dir)
+      val slot = s"$dir/_txlog/race.txt"
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ts = (0 until 8).map(i => new Thread(() =>
+        if (store.putIfAbsent(slot, s"w$i".getBytes)) wins.incrementAndGet()))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(wins.get() == 1, s"${wins.get()} writers won one slot")
+      // a file written OUTSIDE the coordinator's knowledge counts as
+      // taken (claim-then-check, never blind trust in the claim table)
+      val pre = s"$dir/_txlog/preexisting.txt"
+      // write below the coordinator: straight through the FileSystem
+      val fs = new org.apache.hadoop.fs.Path(pre)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(pre), true)
+      try out.write("old".getBytes) finally out.close()
+      assert(!store.putIfAbsent(pre, "new".getBytes))
+      assert(new String(store.readBytes(pre), "UTF-8") == "old")
+    } finally LogStore.unregisterCoordinated("file")
+  }
 }
