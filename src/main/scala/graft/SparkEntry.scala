@@ -421,9 +421,31 @@ object SparkEntry {
       val v3 = graft.sources.TxLog.liveSegments(dir, 3).toSet
       require(v1.subsetOf(v3) && (v3 -- v1).size == 1,
         "updateMoR must append exactly one new-image segment")
-      graft.sources.TxLog.read(s, dir)
+      graft.sources.TxLog.read(s, dir, asOf = 3)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // MERGE-ON-READ MERGE (upsert) on the log table — the MoR triad's
+    // third leg: v4 tombstoned the matched o_orderkey%500=7 old rows
+    // and added ONE segment that IS the updates frame (replacements +
+    // the inserted negative keys) — no target segment rewritten, no
+    // byte written twice (the require pins exactly one added segment
+    // over v3's unchanged set). The head read stacks three MoR commits'
+    // tombstones; the oracle replays delete+update+merge relationally.
+    "table_log_merge_mor" -> ((s, d) => {
+      val dir = txMorCache(s, d)
+      require(graft.sources.TxLog.commitOp(dir, 4) == "merge_mor",
+        "v4 must be the merge-on-read upsert")
+      val v3 = graft.sources.TxLog.liveSegments(dir, 3).toSet
+      val v4 = graft.sources.TxLog.liveSegments(dir, 4).toSet
+      require(v3.subsetOf(v4) && (v4 -- v3).size == 1,
+        "mergeMoR must append exactly the updates segment")
+      graft.sources.TxLog.read(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(when(col("o_orderkey") < 0, 1L).otherwise(0L)).as("inserted"))
         .orderBy("o_orderstatus")
     }),
 
@@ -4279,14 +4301,17 @@ object SparkEntry {
       graft.sources.TxLog.restore(out, toVersion = 1)
     }
 
-  /** One-time MERGE-ON-READ DML scenario: v0/v1 append order halves,
-    * v2 deleteMoR (o_custkey%7=3 tombstoned by a dv-* sidecar, zero
-    * segments rewritten), v3 updateMoR (cents += 111 where
-    * o_custkey%7=4: new images in one appended segment, old images
-    * tombstoned). The narrow-DML-over-wide-table shape whose write
-    * cost is ∝ matched rows, not dirty segments. */
+  /** One-time MERGE-ON-READ DML scenario — the full MoR triad: v0/v1
+    * append order halves, v2 deleteMoR (o_custkey%7=3 tombstoned by a
+    * dv-* sidecar, zero segments rewritten), v3 updateMoR (cents += 111
+    * where o_custkey%7=4: new images in one appended segment, old
+    * images tombstoned), v4 mergeMoR (upsert: cents += 5000 for
+    * o_orderkey%500=7, insert negated %500=8 keys — matched old rows
+    * tombstoned, the updates frame itself is the added segment). The
+    * narrow-DML-over-wide-table shape whose write cost is ∝ matched
+    * rows, not dirty segments. */
   private def txMorCache(s: SparkSession, d: String): String =
-    cachedDir(s"/tmp/graft_txmor_${new java.io.File(d).getName}", d,
+    cachedDir(s"/tmp/graft_txmor2_${new java.io.File(d).getName}", d,
         Seq("orders")) { out =>
       val root = new java.io.File(out)
       if (root.isDirectory)
@@ -4299,6 +4324,11 @@ object SparkEntry {
       graft.sources.TxLog.deleteMoR(s, out, "o_custkey % 7 = 3")
       graft.sources.TxLog.updateMoR(s, out, "o_custkey % 7 = 4",
         Map("cents" -> "cents + 111"))
+      val upd = o.filter(col("o_orderkey") % 500 === 7)
+        .withColumn("cents", col("cents") + 5000L)
+        .unionByName(o.filter(col("o_orderkey") % 500 === 8)
+          .withColumn("o_orderkey", -col("o_orderkey")))
+      graft.sources.TxLog.mergeMoR(s, out, upd, "o_orderkey")
     }
 
   /** 4-part events stream source for the multi-batch sink keys: one
@@ -5427,6 +5457,29 @@ object SparkEntry {
              CAST(sum(CASE WHEN o_custkey % 7 = 4 THEN c + 111 ELSE c END)
                AS BIGINT) AS cents
          FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the full MoR stack replayed: delete band %7=3, bump %7=4, then
+    // upsert — matched keys replaced by the updates frame, unmatched
+    // updates (incl. keys deleted at v2) inserted
+    "table_log_merge_mor" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+               o_custkey FROM orders),
+         v2 AS (SELECT * FROM base WHERE o_custkey % 7 <> 3),
+         v3 AS (SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_custkey % 7 = 4 THEN c + 111 ELSE c END AS c
+           FROM v2),
+         u AS (SELECT o_orderkey, o_orderstatus, c + 5000 AS c FROM base
+               WHERE o_orderkey % 500 = 7
+               UNION ALL
+               SELECT -o_orderkey, o_orderstatus, c FROM base
+               WHERE o_orderkey % 500 = 8),
+         v4 AS (SELECT o_orderkey, o_orderstatus, c FROM v3
+               WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+               UNION ALL SELECT o_orderkey, o_orderstatus, c FROM u)
+         SELECT o_orderstatus, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents,
+             CAST(sum(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS inserted
+         FROM v4 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // update replayed relationally
     "table_log_update" ->
       """SELECT o_orderstatus, count(*) AS n,

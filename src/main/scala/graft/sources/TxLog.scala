@@ -601,6 +601,60 @@ object TxLog {
     } finally store(dir).deleteRecursively(s"$dir/$stage")
   }
 
+  /** MERGE-ON-READ upsert on `key` — the third MoR DML leg (DELETE /
+    * UPDATE / MERGE): matched target rows are TOMBSTONED by a deletion
+    * vector and the ENTIRE `updates` frame (replacements + inserts)
+    * lands as ONE appended segment, which is the staged updates
+    * segment itself — zero data rewritten, zero bytes written twice;
+    * total write cost ∝ |updates|. Logically indistinguishable from
+    * copy-on-write [[merge]] on the same inputs (TxLogDvSpec pins hash
+    * parity); same one-commit atomicity, stats-pruned probe, and
+    * stale-snapshot conflict semantics. Assumes `key` unique within
+    * `updates` (the usual MERGE contract). */
+  def mergeMoR(spark: SparkSession, dir: String, updates: DataFrame, key: String,
+               statsCols: Seq[String] = Nil): Int = {
+    val snap = state(dir)
+    val uSeg = newSegment(dir, updates) // staged; becomes THE added segment
+    var dvName: Option[String] = None
+    try {
+      val u = spark.read.parquet(s"$dir/$uSeg")
+      val bounds = u.agg(min(col(key)).cast("string"),
+        max(col(key)).cast("string")).head()
+      val (lo, hi) = (Option(bounds.getString(0)), Option(bounds.getString(1)))
+      val candidates = snap.live.filter(seg =>
+        !canPrune(snap.stats.get((seg, key)), lo, hi))
+      val uKeys = broadcast(u.select(col(key)).distinct())
+      val dirty: Seq[(String, Long)] =
+        if (candidates.isEmpty) Seq.empty
+        else {
+          val name = s"dv-${java.util.UUID.randomUUID}"
+          segScan(spark, dir, snap, candidates,
+              mergeSchema = true, withMeta = true)
+            .join(uKeys, Seq(key), "left_semi")
+            .select(col("__file").as("file"), col("__pos").as("pos"),
+              segOfFile(col("__file")).as("seg"))
+            .write.parquet(s"$dir/$name")
+          val d = spark.read.parquet(s"$dir/$name")
+            .groupBy("seg").agg(count(lit(1)).as("n"))
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+          if (d.isEmpty) store(dir).deleteRecursively(s"$dir/$name")
+          else dvName = Some(name)
+          d
+        }
+      commit(dir, "merge_mor", Seq(uSeg), Seq.empty, Some(snap.version),
+        stats = segStats(spark, dir, uSeg, statsCols),
+        dvs = dirty.map { case (seg, n) => (seg, dvName.get, n) })
+    } catch {
+      // probe failure or stale-snapshot conflict: neither the staged
+      // updates segment nor the sidecar is recorded by any entry, so
+      // vacuum could never reclaim them — delete eagerly, fail loud
+      case e: Throwable =>
+        dvName.foreach(n => store(dir).deleteRecursively(s"$dir/$n"))
+        store(dir).deleteRecursively(s"$dir/$uSeg")
+        throw e
+    }
+  }
+
   /** Append `df` as a new segment. */
   def append(df: DataFrame, dir: String): Int =
     commit(dir, "append", Seq(newSegment(dir, df)), Seq.empty)

@@ -85,6 +85,38 @@ class TxLogDvSpec extends SparkTestBase {
     assert(v1.subsetOf(v2) && (v2 -- v1).size == 1)
   }
 
+  test("mergeMoR: parity with CoW merge, updates segment is the only write") {
+    val cow = freshDir(); val mor = freshDir()
+    for (dir <- Seq(cow, mor)) {
+      TxLog.append(sampleDF(100).filter(col("id") < 50), dir)
+      TxLog.append(sampleDF(100).filter(col("id") >= 50), dir)
+    }
+    // replace ids 40..59 with bumped images, insert brand-new ids 200..204
+    val upd = sampleDF(205)
+      .filter(col("id").between(40, 59) || col("id") >= 200)
+      .withColumn("v", concat(col("v"), lit("!")))
+    TxLog.merge(spark, cow, upd, "id")
+    val before = segFootprint(mor)
+    TxLog.mergeMoR(spark, mor, upd, "id")
+    val a = TxLog.read(spark, cow).orderBy("id").collect().toSeq
+    val b = TxLog.read(spark, mor).orderBy("id").collect().toSeq
+    assert(a == b, "merge-on-read upsert must match copy-on-write merge")
+    assert(b.length == 105)
+    // write shape: both prior segments untouched byte-for-byte; exactly
+    // one added segment (the updates frame) + one dv sidecar
+    assert(segFootprint(mor).intersect(before) == before,
+      "mergeMoR rewrote a target segment")
+    val v1 = TxLog.liveSegments(mor, 1).toSet
+    val v2 = TxLog.liveSegments(mor, 2).toSet
+    assert(v1.subsetOf(v2) && (v2 -- v1).size == 1)
+    assert(new java.io.File(mor).listFiles.count(_.getName.startsWith("dv-")) == 1)
+    // a pure-insert merge (no matches) commits with no sidecar
+    val ins = sampleDF(310).filter(col("id") >= 300)
+    TxLog.mergeMoR(spark, mor, ins, "id")
+    assert(new java.io.File(mor).listFiles.count(_.getName.startsWith("dv-")) == 1)
+    assert(TxLog.read(spark, mor).count() == 115)
+  }
+
   test("restore across a DV commit rolls tombstones back without touching data") {
     val dir = freshDir()
     TxLog.append(sampleDF(80), dir)
