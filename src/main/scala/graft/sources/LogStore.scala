@@ -57,6 +57,10 @@ private[graft] trait LogStore {
   def deleteIfExists(path: String): Unit
   def deleteRecursively(path: String): Unit
   def mkdirs(path: String): Unit
+  /** Last-modified epoch millis of a file — commit timestamps for
+    * timestamp-based time travel (the Delta convention: a commit's
+    * time IS its log file's mtime). Throws when missing. */
+  def mtime(path: String): Long
   /** Child NAMES (not paths) of a directory; empty when missing. */
   def list(path: String): Seq[String]
   /** Move a file within the store (staging part-file → segment dir). */
@@ -159,6 +163,7 @@ private[graft] object NioLogStore extends LogStore {
         .iterator.asScala.foreach(Files.deleteIfExists(_))
       finally walk.close()
     }
+  def mtime(path: String): Long = Files.getLastModifiedTime(p(path)).toMillis
   def mkdirs(path: String): Unit = Files.createDirectories(p(path))
   def list(path: String): Seq[String] =
     if (!Files.isDirectory(p(path))) Seq.empty
@@ -242,6 +247,7 @@ private[graft] class HadoopLogStore(fs: FileSystem, scheme: String) extends LogS
   }
   def deleteIfExists(path: String): Unit = fs.delete(p(path), false)
   def deleteRecursively(path: String): Unit = fs.delete(p(path), true)
+  def mtime(path: String): Long = fs.getFileStatus(p(path)).getModificationTime
   def mkdirs(path: String): Unit = fs.mkdirs(p(path))
   def list(path: String): Seq[String] =
     if (!exists(path)) Seq.empty
@@ -302,6 +308,7 @@ private[graft] class CoordinatedLogStore(inner: LogStore) extends LogStore {
     val it = claims.keySet.iterator
     while (it.hasNext) if (it.next.startsWith(path)) it.remove()
   }
+  def mtime(path: String): Long = inner.mtime(path)
   def mkdirs(path: String): Unit = inner.mkdirs(path)
   def list(path: String): Seq[String] = inner.list(path)
   def rename(src: String, dst: String): Unit = inner.rename(src, dst)

@@ -1304,6 +1304,37 @@ object TxLog {
         .map { case (dv, rows) => (seg, dv, rows) }))
   }
 
+  /** TIMESTAMP time travel resolution (Delta's `timestampAsOf`): the
+    * LAST commit at-or-before `tsMillis`, where a commit's time is its
+    * log entry file's mtime — the log-format convention (no clock is
+    * written into the entry; the filesystem already records one).
+    * Entry mtimes are non-decreasing in version (commits claim slots
+    * sequentially), so this is a BINARY SEARCH over entry files —
+    * O(log versions) metadata stats, never a log replay. Fails loud
+    * when the timestamp predates the first commit (Delta's contract:
+    * "before the earliest version" is an error, "after the latest" is
+    * the head). */
+  def versionAsOfTimestamp(dir: String, tsMillis: Long): Int = {
+    val st = store(dir)
+    val head = headVersion(dir)
+    require(head >= 0, s"table $dir has no commits")
+    require(st.mtime(entryPath(dir, 0)) <= tsMillis,
+      s"timestamp $tsMillis predates the first commit of $dir " +
+        s"(earliest: ${st.mtime(entryPath(dir, 0))})")
+    var lo = 0; var hi = head
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (st.mtime(entryPath(dir, mid)) <= tsMillis) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
+  /** Snapshot read as of a wall-clock instant — resolves through
+    * [[versionAsOfTimestamp]] then reads that version. */
+  def readAsOfTimestamp(spark: SparkSession, dir: String, tsMillis: Long,
+                        mergeSchema: Boolean = false): DataFrame =
+    read(spark, dir, versionAsOfTimestamp(dir, tsMillis), mergeSchema)
+
   /** DESCRIBE HISTORY: one row per commit — (version, op, n_added,
     * n_removed) — from log metadata alone (intrinsically a full-log
     * read: the audit surface is per-commit by definition). */

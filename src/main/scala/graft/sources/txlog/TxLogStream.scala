@@ -34,7 +34,13 @@ import graft.sources.TxLog
   *
   * Options: `path` (required) — the table directory;
   * `startingVersion` — first commit to deliver (default 0 = full
-  * history; `"latest"` = only commits after stream start).
+  * history; `"latest"` = only commits after stream start);
+  * `maxCommitsPerTrigger` — admission control: at most this many
+  * commits per micro-batch (unset = everything up to head in one
+  * batch, the `Trigger.AvailableNow` shape). A backfill over a long
+  * history then proceeds in bounded batches, each one checkpointed —
+  * bounded executor memory and restartable progress instead of one
+  * giant catch-up batch.
   *
   * Schema: the table's merged head schema + the two tag columns; each
   * batch is read with that EXPLICIT schema, so pre-evolution segments
@@ -61,7 +67,8 @@ class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
       case Some(v)        => v.toInt
       case None           => 0
     }
-    new TxLogSource(ctx, dir, floor)
+    new TxLogSource(ctx, dir, floor,
+      parameters.get("maxCommitsPerTrigger").map(_.toInt))
   }
 }
 
@@ -77,18 +84,37 @@ private[txlog] object TxLogSource {
     StructType(dataSchema(ctx, dir) ++ MetaFields)
 }
 
-private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int)
+private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
+                                 maxCommitsPerTrigger: Option[Int] = None)
     extends Source {
   private val spark = ctx.sparkSession
   private val data = TxLogSource.dataSchema(ctx, dir)
   override val schema: StructType = StructType(data ++ TxLogSource.MetaFields)
 
-  /** Head commit version, or None before the first deliverable commit
-    * (the engine then plans no batch). O(tail) metadata reads. */
+  /** Highest commit version the engine has planned or committed —
+    * the anchor the per-trigger cap advances from. Learned from
+    * getBatch (replay + new batches) and commit() (restored offsets on
+    * restart), so a restarted rate-limited stream resumes from its
+    * checkpoint instead of re-capping from the floor. */
+  @volatile private var progressed: Long = floor - 1L
+  private def noteProgress(v: Long): Unit =
+    if (v > progressed) progressed = v
+
+  /** Head commit version — capped to `progressed + maxCommitsPerTrigger`
+    * under admission control — or None before the first deliverable
+    * commit (the engine then plans no batch). O(tail) metadata reads. */
   override def getOffset: Option[Offset] = {
-    val head = TxLog.headVersion(dir)
-    if (head < floor) None else Some(LongOffset(head.toLong))
+    val head = TxLog.headVersion(dir).toLong
+    if (head < floor) None
+    else {
+      val capped = maxCommitsPerTrigger
+        .map(m => math.min(head, math.max(progressed, floor - 1L) + m))
+        .getOrElse(head)
+      if (capped < floor) None else Some(LongOffset(capped))
+    }
   }
+
+  override def commit(end: Offset): Unit = noteProgress(ver(end))
 
   // after a checkpoint restart the engine replays offsets as
   // SerializedOffset — LongOffset's json IS the number
@@ -98,6 +124,7 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    noteProgress(ver(end))
     val from = math.max(floor.toLong, start.map(ver(_) + 1).getOrElse(floor.toLong)).toInt
     val to = ver(end).toInt
     val parts = (from to to).iterator

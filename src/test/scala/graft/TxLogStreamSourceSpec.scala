@@ -84,6 +84,54 @@ class TxLogStreamSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("maxCommitsPerTrigger bounds each micro-batch and survives a restart") {
+    val dir = freshDir("graft-txsrc")
+    (0 until 5).foreach(i => TxLog.append(sample(i * 10, i * 10 + 10), dir))
+    val sink = freshDir("graft-txsink")
+    val ckpt = freshDir("graft-txckpt")
+    def runOnce(): Int = {
+      val q = spark.readStream.format("txlog").option("path", dir)
+        .option("maxCommitsPerTrigger", "2").load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt).start()
+      try { q.processAllAvailable(); q.recentProgress.count(_.numInputRows > 0) }
+      finally q.stop()
+    }
+    val batches = runOnce()
+    // 5 commits at 2/trigger → 3 data batches (2+2+1), never one big one
+    assert(batches == 3, s"expected 3 admission-controlled batches, got $batches")
+    assert(spark.read.parquet(sink).count() == 50)
+    // new commits while down; the restarted stream must RESUME from the
+    // checkpoint (not re-cap from the floor and stall or re-deliver)
+    TxLog.append(sample(50, 53), dir)
+    TxLog.append(sample(53, 55), dir)
+    TxLog.append(sample(55, 60), dir)
+    val batches2 = runOnce()
+    assert(batches2 == 2, s"expected 2 post-restart batches, got $batches2")
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 60 && out.select("id").distinct().count() == 60)
+  }
+
+  test("timestamp time travel resolves the last commit at-or-before the instant") {
+    val dir = freshDir("graft-txts")
+    TxLog.append(sample(0, 10), dir)          // v0
+    Thread.sleep(30)
+    val betweenV0V1 = System.currentTimeMillis()
+    Thread.sleep(30)
+    TxLog.append(sample(10, 30), dir)         // v1
+    Thread.sleep(30)
+    TxLog.deleteMoR(spark, dir, "k = 1")      // v2
+    val afterAll = System.currentTimeMillis()
+    assert(TxLog.versionAsOfTimestamp(dir, betweenV0V1) == 0)
+    assert(TxLog.versionAsOfTimestamp(dir, afterAll) == 2)
+    assert(TxLog.readAsOfTimestamp(spark, dir, betweenV0V1).count() == 10)
+    assert(TxLog.readAsOfTimestamp(spark, dir, afterAll).count() == 24)
+    // before the first commit: fail loud, per the Delta contract
+    intercept[IllegalArgumentException] {
+      TxLog.versionAsOfTimestamp(dir, betweenV0V1 - 3600 * 1000)
+    }
+  }
+
   test("per-batch metadata cost is O(new commits): old segments are not re-listed") {
     val dir = freshDir("graft-txsrc")
     (0 until 6).foreach(i => TxLog.append(sample(i * 10, i * 10 + 10), dir))
