@@ -481,6 +481,26 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // TIMESTAMP time travel on the log table (timestampAsOf): the
+    // instant of commit v1 (its log entry's mtime — no clock is
+    // written; the filesystem records one) resolves back to v1 by
+    // binary search over entry mtimes, O(log versions) metadata stats.
+    // The snapshot read equals the first two date-slice appends; later
+    // commits (v2..v5 appends/merge/optimize) are out of frame.
+    "table_log_timetravel_ts" -> ((s, d) => {
+      val dir = txStatsCache(s, d)
+      val ts = graft.sources.TxLog.commitTimestamp(dir, 1)
+      require(graft.sources.TxLog.versionAsOfTimestamp(dir, ts) == 1,
+        "v1's own instant must resolve to v1")
+      require(graft.sources.TxLog.versionAsOfTimestamp(
+          dir, System.currentTimeMillis()) == graft.sources.TxLog.headVersion(dir),
+        "now must resolve to the head")
+      graft.sources.TxLog.readAsOfTimestamp(s, dir, ts)
+        .groupBy(substring(col("o_orderdate"), 1, 4).as("yr"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("yr")
+    }),
+
     // CHANGE DATA FEED on the log table: everything committed AFTER
     // version 1, tagged with commit version/op — the poll-for-changes
     // surface a downstream sync reads instead of re-scanning the table.
@@ -5457,6 +5477,14 @@ object SparkEntry {
              CAST(sum(CASE WHEN o_custkey % 7 = 4 THEN c + 111 ELSE c END)
                AS BIGINT) AS cents
          FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // v1 = the 1995 + 1996 date-slice appends, grouped by order year
+    "table_log_timetravel_ts" ->
+      """SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr,
+             count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+         FROM orders WHERE o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
+         GROUP BY yr ORDER BY yr""",
     // the full MoR stack replayed: delete band %7=3, bump %7=4, then
     // upsert — matched keys replaced by the updates frame, unmatched
     // updates (incl. keys deleted at v2) inserted

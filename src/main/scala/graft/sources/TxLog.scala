@@ -1329,6 +1329,16 @@ object TxLog {
     lo
   }
 
+  /** The wall-clock instant of commit `version` — its log entry
+    * file's mtime, the same clock [[versionAsOfTimestamp]] resolves
+    * against (so `versionAsOfTimestamp(dir, commitTimestamp(dir, v))
+    * == v` whenever v+1, if any, committed strictly later). */
+  def commitTimestamp(dir: String, version: Int): Long = {
+    require(store(dir).exists(entryPath(dir, version)),
+      s"no version $version in $dir")
+    store(dir).mtime(entryPath(dir, version))
+  }
+
   /** Snapshot read as of a wall-clock instant — resolves through
     * [[versionAsOfTimestamp]] then reads that version. */
   def readAsOfTimestamp(spark: SparkSession, dir: String, tsMillis: Long,
