@@ -449,6 +449,23 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ROW-LEVEL CHANGE DATA FEED across the MoR stack: every change of
+    // commits v2..v4 with its _change_type — v2's tombstoned rows
+    // surface as `delete` PRE-IMAGES (resolved from the deletion
+    // vector's row coordinates against the immutable segment bytes),
+    // v3 as update_preimage/update_postimage pairs, v4's merge as
+    // delete+insert pairs — the downstream-sync surface that replays a
+    // table's DML without rescanning it. Aggregated per (version,
+    // change_type); the oracle recomputes every class relationally.
+    "table_log_cdf_rich" -> ((s, d) => {
+      val dir = txMorCache(s, d)
+      graft.sources.TxLog.readChangeFeed(s, dir, fromVersion = 1)
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("version", "change_type")
+    }),
+
     // copy-on-write UPDATE on the log table — the DML triad's third
     // leg (DELETE / MERGE / UPDATE): cents bumped where o_custkey%10=3,
     // only match-bearing segments rewritten. Reads AS OF the update
@@ -5485,6 +5502,31 @@ object SparkEntry {
                AS cents
          FROM orders WHERE o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
          GROUP BY yr ORDER BY yr""",
+    // every row-level change class of the MoR stack recomputed:
+    // v2 deletes the %7=3 band (original cents); v3 pre/post images of
+    // the %7=4 band (c vs c+111); v4 deletes the matched %500=7 rows at
+    // their v3 values and inserts the whole updates frame
+    "table_log_cdf_rich" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         v2d AS (SELECT c FROM base WHERE o_custkey % 7 = 3),
+         u3 AS (SELECT c FROM base WHERE o_custkey % 7 <> 3
+                AND o_custkey % 7 = 4),
+         v3 AS (SELECT o_orderkey,
+               CASE WHEN o_custkey % 7 = 4 THEN c + 111 ELSE c END AS c
+           FROM base WHERE o_custkey % 7 <> 3),
+         m4 AS (SELECT c FROM v3 WHERE o_orderkey % 500 = 7),
+         u4 AS (SELECT c + 5000 AS c FROM base WHERE o_orderkey % 500 = 7
+                UNION ALL SELECT c FROM base WHERE o_orderkey % 500 = 8),
+         feed AS (
+           SELECT 2 AS v, 'delete' AS t, c FROM v2d
+           UNION ALL SELECT 3, 'update_preimage', c FROM u3
+           UNION ALL SELECT 3, 'update_postimage', c + 111 FROM u3
+           UNION ALL SELECT 4, 'delete', c FROM m4
+           UNION ALL SELECT 4, 'insert', c FROM u4)
+         SELECT CAST(v AS BIGINT) AS version, t AS change_type,
+             count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+         FROM feed GROUP BY v, t ORDER BY version, change_type""",
     // the full MoR stack replayed: delete band %7=3, bump %7=4, then
     // upsert — matched keys replaced by the updates frame, unmatched
     // updates (incl. keys deleted at v2) inserted

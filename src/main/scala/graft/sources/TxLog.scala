@@ -1221,6 +1221,82 @@ object TxLog {
     }.reduce(_ unionByName(_, allowMissingColumns = true))
   }
 
+  /** Row-level CHANGE DATA FEED (Delta's CDF surface, completing the
+    * add-only [[readChangesSince]]): every row-level change of the
+    * commits in `(fromVersion, head]`, tagged `_commit_version`,
+    * `_commit_op`, and `_change_type`:
+    *
+    *  - `insert` — rows added by append/stream/merge/rewrite commits
+    *    (rewrites surface their output op-tagged, as in
+    *    readChangesSince — the append-only-consumer contract);
+    *  - `delete` — the PRE-IMAGES of rows tombstoned by a
+    *    `delete_mor`/`merge_mor` deletion vector, resolved by joining
+    *    the sidecar's (file, pos) coordinates back to the — still
+    *    immutable — segment bytes;
+    *  - `update_preimage` / `update_postimage` — an `update_mor`
+    *    commit's tombstoned old images and appended new images.
+    *
+    * A merge surfaces as delete+insert pairs (the standard CDC
+    * decomposition when the matched keys aren't re-derived). Cost is
+    * O(new commits' adds + their tombstone coordinates + the dirty
+    * segments' scan) — nothing re-reads the log prefix. */
+  def readChangeFeed(spark: SparkSession, dir: String,
+                     fromVersion: Int): DataFrame = {
+    val st = store(dir)
+    val newer = Iterator.from(math.max(0, fromVersion + 1))
+      .takeWhile(v => st.exists(entryPath(dir, v)))
+      .map(v => readEntry(dir, v))
+      .filter(e => e.add.nonEmpty || e.dvs.nonEmpty)
+      .toSeq
+    def tagged(df: DataFrame, v: Int, op: String, ct: String): DataFrame =
+      df.withColumn("_commit_version", lit(v.toLong))
+        .withColumn("_commit_op", lit(op))
+        .withColumn("_change_type", lit(ct))
+    val parts = newer.flatMap { e =>
+      val added =
+        if (e.add.isEmpty) None
+        else {
+          val ct = if (e.op == "update_mor") "update_postimage" else "insert"
+          Some(tagged(spark.read.option("mergeSchema", "true")
+            .parquet(e.add.map(s => s"$dir/$s"): _*), e.version, e.op, ct))
+        }
+      val removed =
+        if (e.dvs.isEmpty) None
+        else {
+          val ct = if (e.op == "update_mor") "update_preimage" else "delete"
+          val segs = e.dvs.map(_._1).distinct
+          val dvNames = e.dvs.map(_._2).distinct
+          val coords = spark.read.schema(DvSchema)
+            .parquet(dvNames.map(n => s"$dir/$n"): _*)
+            .filter(col("seg").isInCollection(segs.toSet))
+            .select(col("file"), col("pos"))
+          // pre-images from the raw segment bytes (the current state
+          // has them tombstoned; the segments themselves are immutable)
+          val scan = spark.read.option("mergeSchema", "true")
+            .parquet(segs.map(s => s"$dir/$s"): _*)
+            .withColumn("__file", col("_metadata.file_path"))
+            .withColumn("__pos", col("_metadata.row_index"))
+          // commit-recorded counts size the broadcast, like segScan
+          val small = e.dvs.forall(_._3 >= 0) &&
+            e.dvs.map(_._3).sum <= BroadcastDvLimit
+          val side = if (small) broadcast(coords) else coords
+          val pre = scan.join(side,
+              scan("__file") === side("file") && scan("__pos") === side("pos"),
+              "left_semi")
+            .drop("__file", "__pos")
+          Some(tagged(pre, e.version, e.op, ct))
+        }
+      added.toSeq ++ removed.toSeq
+    }
+    if (parts.isEmpty)
+      return read(spark, dir, mergeSchema = true).limit(0)
+        .withColumn("_commit_version", lit(0L))
+        .withColumn("_commit_op", lit(""))
+        .withColumn("_change_type", lit(""))
+        .limit(0)
+    parts.reduce(_ unionByName(_, allowMissingColumns = true))
+  }
+
   /** ANALYZE (compute statistics): backfills min/max stats and Bloom
     * filters for LIVE segments that lack them, as a METADATA-ONLY
     * commit (empty add/remove — replay is a no-op; the state fold

@@ -167,6 +167,35 @@ class TxLogDvSpec extends SparkTestBase {
       .as[String].collect().forall(_ == "new"))
   }
 
+  test("readChangeFeed emits row-level change types across the MoR stack") {
+    val dir = freshDir()
+    TxLog.append(sampleDF(50), dir)                         // v0
+    TxLog.deleteMoR(spark, dir, "k = 2")                    // v1: 5 deletes
+    TxLog.updateMoR(spark, dir, "k = 3", Map("v" -> "'up'")) // v2: 5 pre + 5 post
+    // upsert ids 40..44 + insert 105,106; id 42 (k=2) was deleted at
+    // v1, so only 4 target rows match — 42 re-enters as an insert
+    TxLog.mergeMoR(spark, dir,                               // v3: 4 del + 7 ins
+      sampleDF(107).filter(col("id").between(40, 44) || col("id") >= 105)
+        .withColumn("v", lit("m")), "id")
+    val feed = TxLog.readChangeFeed(spark, dir, fromVersion = 0)
+    val byClass = feed.groupBy("_commit_version", "_change_type").count()
+      .as[(Long, String, Long)].collect().toSet
+    assert(byClass == Set(
+      (1L, "delete", 5L),
+      (2L, "update_preimage", 5L), (2L, "update_postimage", 5L),
+      (3L, "delete", 4L), (3L, "insert", 7L)), s"got $byClass")
+    // pre-images carry the OLD values, post-images the new
+    assert(feed.filter("_change_type = 'update_preimage'")
+      .select("v").as[String].collect().forall(_ != "up"))
+    assert(feed.filter("_change_type = 'update_postimage'")
+      .select("v").as[String].collect().forall(_ == "up"))
+    // the v1-deleted rows' pre-images are the original k=2 rows
+    assert(feed.filter("_commit_version = 1").select("k")
+      .as[Long].collect().forall(_ == 2L))
+    // nothing new → empty, schema-preserving
+    assert(TxLog.readChangeFeed(spark, dir, fromVersion = 3).count() == 0)
+  }
+
   test("DV state survives a checkpoint round-trip (counts, subtraction, restore drift-set)") {
     val dir = freshDir()
     TxLog.append(sampleDF(100).filter(col("id") < 50), dir)
