@@ -367,6 +367,40 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // SMALL-FILE COMPACTION on the log table (OPTIMIZE bin-packing
+    // mode): one big append + three micro-batch-sized appends, then
+    // compactSmall coalesces ONLY the small tail — the big segment
+    // survives by reference (require-pinned), sizes decided from
+    // filesystem metadata without reading data. The maintenance op
+    // that keeps a streaming-ingest table's file count bounded without
+    // ever rewriting the bulk. Built fresh per run: the op IS the
+    // thing measured.
+    "table_log_compact_small" -> ((s, d) => {
+      val dir = s"/tmp/graft_txsmall_${new java.io.File(d).getName}"
+      val root = new java.io.File(dir)
+      if (root.isDirectory)
+        graft.sources.TxLog.deleteRecursively(root.toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 4 =!= 3), dir)
+      Seq(3, 7, 11).foreach(r =>
+        graft.sources.TxLog.append(o.filter(col("o_orderkey") % 12 === r), dir))
+      val big = graft.sources.TxLog.liveSegments(dir, 0).head
+      def bytes(seg: String): Long =
+        new java.io.File(dir, seg).listFiles.map(_.length).sum
+      val v = graft.sources.TxLog.compactSmall(s, dir, smallBytes = bytes(big))
+      require(v.contains(4) &&
+          graft.sources.TxLog.commitOp(dir, 4) == "compact_small",
+        s"expected compact_small at v4, got $v")
+      val live = graft.sources.TxLog.liveSegments(dir).toSet
+      require(live.contains(big) && live.size == 2,
+        s"big segment must carry by reference; live=$live")
+      graft.sources.TxLog.read(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // RESTORE on the log table: v3 reset the head to v1's segment set
     // (undoing v2's delete by RE-REFERENCE, no data copied); the head
     // read must equal the full pre-delete table, while the deleted
@@ -5453,6 +5487,12 @@ object SparkEntry {
     "table_log_checkpoint" ->
       """SELECT o_orderstatus, count(*) AS n,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // compaction is a layout change only: the head equals all of orders
+    "table_log_compact_small" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // the restored head is exactly the pre-delete table
     "table_log_restore" ->

@@ -61,6 +61,9 @@ private[graft] trait LogStore {
     * timestamp-based time travel (the Delta convention: a commit's
     * time IS its log file's mtime). Throws when missing. */
   def mtime(path: String): Long
+  /** Total bytes under `path` (recursive for directories) — segment
+    * footprints for size-tiered compaction. 0 when missing. */
+  def sizeOf(path: String): Long
   /** Child NAMES (not paths) of a directory; empty when missing. */
   def list(path: String): Seq[String]
   /** Move a file within the store (staging part-file → segment dir). */
@@ -164,6 +167,15 @@ private[graft] object NioLogStore extends LogStore {
       finally walk.close()
     }
   def mtime(path: String): Long = Files.getLastModifiedTime(p(path)).toMillis
+  def sizeOf(path: String): Long =
+    if (!Files.exists(p(path))) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p(path))
+      try walk.iterator.asScala
+        .filter(Files.isRegularFile(_)).map(Files.size(_)).sum
+      finally walk.close()
+    }
   def mkdirs(path: String): Unit = Files.createDirectories(p(path))
   def list(path: String): Seq[String] =
     if (!Files.isDirectory(p(path))) Seq.empty
@@ -248,6 +260,8 @@ private[graft] class HadoopLogStore(fs: FileSystem, scheme: String) extends LogS
   def deleteIfExists(path: String): Unit = fs.delete(p(path), false)
   def deleteRecursively(path: String): Unit = fs.delete(p(path), true)
   def mtime(path: String): Long = fs.getFileStatus(p(path)).getModificationTime
+  def sizeOf(path: String): Long =
+    if (!exists(path)) 0L else fs.getContentSummary(p(path)).getLength
   def mkdirs(path: String): Unit = fs.mkdirs(p(path))
   def list(path: String): Seq[String] =
     if (!exists(path)) Seq.empty
@@ -309,6 +323,7 @@ private[graft] class CoordinatedLogStore(inner: LogStore) extends LogStore {
     while (it.hasNext) if (it.next.startsWith(path)) it.remove()
   }
   def mtime(path: String): Long = inner.mtime(path)
+  def sizeOf(path: String): Long = inner.sizeOf(path)
   def mkdirs(path: String): Unit = inner.mkdirs(path)
   def list(path: String): Seq[String] = inner.list(path)
   def rename(src: String, dst: String): Unit = inner.rename(src, dst)

@@ -1124,6 +1124,29 @@ object TxLog {
       Map.empty)
   }
 
+  /** Size-tiered SMALL-FILE COMPACTION (OPTIMIZE's bin-packing mode —
+    * the incremental companion to [[compact]]/[[optimize]]): live
+    * segments whose on-disk footprint is under `smallBytes` are
+    * coalesced into one segment; larger ones carry by reference, so
+    * the rewrite is bounded by the small TAIL, not the table. The
+    * maintenance op for streaming-ingest tables, where every
+    * micro-batch commit lands a tiny segment and the small-file count
+    * otherwise grows without bound. Segment sizes come from filesystem
+    * metadata (no data read to decide); the scan is DV-applied, so a
+    * small dirty segment's tombstones are materialized away with it.
+    * None when fewer than 2 small segments (nothing to gain). */
+  def compactSmall(spark: SparkSession, dir: String, smallBytes: Long,
+                   statsCols: Seq[String] = Nil): Option[Int] = {
+    val snap = state(dir)
+    val st = store(dir)
+    val small = snap.live.filter(seg => st.sizeOf(s"$dir/$seg") < smallBytes)
+    if (small.size < 2) return None
+    val merged = segScan(spark, dir, snap, small, mergeSchema = true).coalesce(1)
+    val seg = newSegment(dir, merged)
+    Some(commitOrReclaim(dir, "compact_small", Seq(seg), small, snap.version,
+      segStats(spark, dir, seg, statsCols)))
+  }
+
   /** Consolidate the live set into one segment — no logical change.
     * Conflicts (fails) on any concurrent commit, like [[delete]]. */
   def compact(spark: SparkSession, dir: String): Int = {
