@@ -3506,6 +3506,47 @@ object SparkEntry {
       s.table("graft_stream_txlog_source").orderBy("version")
     }),
 
+    // EXACTLY-ONCE STREAMING UPSERT into the TxLog table — streaming
+    // CDC APPLY: each micro-batch merges on event_id through
+    // mergeStreamMoR (tombstones + one batch-sized segment, never a
+    // target rewrite), a replayed batch id is SKIPPED (asserted for
+    // both a stream batch and the later matched-upsert batch), and a
+    // final keyed batch UPDATES every event_id%10=0 row via deletion
+    // vectors. The lakehouse sink shape for a CDC stream at 100 TB:
+    // per-batch write cost ∝ batch, exactly-once by commit-recorded
+    // batch ids that fold into checkpoints.
+    "stream_txlog_upsert" -> ((s, d) => withStreamPartitions(s) {
+      val src = streamCache4(s, d)
+      val sink = s"/tmp/graft_txupsert_${new java.io.File(d).getName}"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(sink).toPath)
+      val schema = s.read.parquet(src).schema
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*.parquet")
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val q = feed.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.TxLog.mergeStreamMoR(s, sink, batch, "event_id", batchId); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val head = graft.sources.TxLog.headVersion(sink)
+      require(head == 3 && graft.sources.TxLog.mergeStreamMoR(s, sink,
+          graft.sources.TxLog.readCommit(s, sink, 0), "event_id", 0L).isEmpty &&
+          graft.sources.TxLog.headVersion(sink) == head,
+        "replayed stream batch must be skipped")
+      val upd = events(s, d).filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("event_type"),
+          (expr("CAST(round(value * 100) AS BIGINT)") + 1000L).as("cents"))
+      require(graft.sources.TxLog.mergeStreamMoR(s, sink, upd, "event_id", 99L).nonEmpty,
+        "first delivery of batch 99 must commit")
+      require(graft.sources.TxLog.mergeStreamMoR(s, sink, upd, "event_id", 99L).isEmpty,
+        "replay of batch 99 must be skipped (no double bump)")
+      graft.sources.TxLog.read(s, sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .orderBy("event_type")
+    }),
+
     // TOLERANCE as-of (pandas merge_asof's `tolerance`): the backward
     // match only counts within 2 hours — stale lookups become
     // no-match instead of silently joining hours-old state
@@ -5463,6 +5504,13 @@ object SparkEntry {
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders WHERE o_orderkey % 3 <> 1
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // single-delivery truth + the one matched-upsert bump per %10 key
+    "stream_txlog_upsert" ->
+      """SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+               + CASE WHEN event_id % 10 = 0 THEN 1000 ELSE 0 END)
+               AS BIGINT) AS cents_sum
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // the exactly-once sink's final table is the single-delivery truth
     "stream_txlog_sink" ->
       """SELECT event_type, count(*) AS n,

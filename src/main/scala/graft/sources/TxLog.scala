@@ -612,7 +612,12 @@ object TxLog {
     * stale-snapshot conflict semantics. Assumes `key` unique within
     * `updates` (the usual MERGE contract). */
   def mergeMoR(spark: SparkSession, dir: String, updates: DataFrame, key: String,
-               statsCols: Seq[String] = Nil): Int = {
+               statsCols: Seq[String] = Nil): Int =
+    mergeMoRAs(spark, dir, updates, key, "merge_mor", statsCols)
+
+  private def mergeMoRAs(spark: SparkSession, dir: String, updates: DataFrame,
+                         key: String, op: String,
+                         statsCols: Seq[String]): Int = {
     val snap = state(dir)
     val uSeg = newSegment(dir, updates) // staged; becomes THE added segment
     var dvName: Option[String] = None
@@ -641,7 +646,7 @@ object TxLog {
           else dvName = Some(name)
           d
         }
-      commit(dir, "merge_mor", Seq(uSeg), Seq.empty, Some(snap.version),
+      commit(dir, op, Seq(uSeg), Seq.empty, Some(snap.version),
         stats = segStats(spark, dir, uSeg, statsCols),
         dvs = dirty.map { case (seg, n) => (seg, dvName.get, n) })
     } catch {
@@ -1094,6 +1099,23 @@ object TxLog {
     val op = s"stream-$batchId"
     if (state(dir).streamOps.contains(op)) None
     else Some(commit(dir, op, Seq(newSegment(dir, df)), Seq.empty))
+  }
+
+  /** Idempotent streaming MERGE-ON-READ upsert — [[appendStream]]'s
+    * contract composed with [[mergeMoR]]: the foreachBatch sink shape
+    * for streaming CDC APPLY into the table (each micro-batch upserts
+    * its keys; an at-least-once replay of an already-committed batch
+    * id is skipped, so the upsert is exactly-once per batch). The
+    * batch id rides in the op (`stream-<id>`), folds into checkpoints
+    * like every stream op, and the dedup probe stays
+    * O(checkpoint + tail). Write cost per batch ∝ |batch| (tombstones
+    * + the batch segment) — never a target rewrite. */
+  def mergeStreamMoR(spark: SparkSession, dir: String, updates: DataFrame,
+                     key: String, batchId: Long,
+                     statsCols: Seq[String] = Nil): Option[Int] = {
+    val op = s"stream-$batchId"
+    if (state(dir).streamOps.contains(op)) None
+    else Some(mergeMoRAs(spark, dir, updates, key, op, statsCols))
   }
 
   /** Replace the table contents with `df`. Conflicts (fails) if any
