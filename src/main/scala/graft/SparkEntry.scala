@@ -541,6 +541,13 @@ object SparkEntry {
     "table_log_timetravel_ts" -> ((s, d) => {
       val dir = txStatsCache(s, d)
       val ts = graft.sources.TxLog.commitTimestamp(dir, 1)
+      // at-or-before ties resolve to the LATEST tied commit, so a v2
+      // sharing v1's millisecond would make the resolution ambiguous —
+      // impossible in this scenario (every commit runs parquet write
+      // jobs), but fail with the real reason rather than a confusing
+      // resolution mismatch if the testdata build ever changes that
+      require(graft.sources.TxLog.commitTimestamp(dir, 2) > ts,
+        "scenario drift: commits v1/v2 share a millisecond mtime")
       require(graft.sources.TxLog.versionAsOfTimestamp(dir, ts) == 1,
         "v1's own instant must resolve to v1")
       require(graft.sources.TxLog.versionAsOfTimestamp(

@@ -629,10 +629,13 @@ object Similarity {
     val g = exact.filter(col("rn") <= k).select("query_id", "neighbor_id")
     val hits = g.join(a, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("hit"))
-    g.groupBy("query_id").agg(count(lit(1)).as("tot"))
+    val row = g.groupBy("query_id").agg(count(lit(1)).as("tot"))
       .join(hits, Seq("query_id"), "left")
       .agg(avg(coalesce(col("hit"), lit(0L)).cast("double") / col("tot")))
-      .head().getDouble(0)
+      .head()
+    require(!row.isNullAt(0),
+      s"recallAtK: ground truth has no rows at k=$k — recall is undefined")
+    row.getDouble(0)
   }
 
   /** IVF ANN top-k: probe the query's `nprobe` closest cells, exact

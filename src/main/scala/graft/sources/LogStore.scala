@@ -285,12 +285,13 @@ private[graft] class HadoopLogStore(fs: FileSystem, scheme: String) extends LogS
   * conditional puts, a database row, ZooKeeper) plugs into for
   * multi-driver deployments. Two caveats a production coordinator
   * must add, both documented by the pattern: claims need an expiry
-  * lease (a writer that crashes between claim and write otherwise
-  * leaves a permanently claimed-but-empty slot; commit() already
+  * lease (a writer that crashes between claim and rename otherwise
+  * leaves a permanently claimed-but-empty slot; the window is ONE
+  * rename — bytes are fully staged before claiming — and commit()
   * retries onto the next slot, so the cost is a log gap candidate,
-  * not corruption — the claim is only released on successful write
-  * completion), and the table must survive process restarts (a
-  * restart here re-seeds ownership from `exists`, below).
+  * not corruption; the claim is only released on a failed rename),
+  * and the table must survive process restarts (a restart here
+  * re-seeds ownership from `exists`, below).
   *
   * A path that exists WITHOUT a claim (written by an earlier process)
   * counts as taken: claim-then-check, never blind trust in the map. */
@@ -300,14 +301,26 @@ private[graft] class CoordinatedLogStore(inner: LogStore) extends LogStore {
   def isDirectory(path: String): Boolean = inner.isDirectory(path)
   def readBytes(path: String): Array[Byte] = inner.readBytes(path)
   def putIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
-    if (claims.putIfAbsent(path, java.lang.Boolean.TRUE) != null) return false
-    if (inner.exists(path)) return false // pre-coordinator history: keep the claim as taken
-    try { inner.putReplace(path, bytes); true }
+    // STAGE BEFORE CLAIMING: the bytes are fully written (and closed)
+    // under a temp name before the slot is claimed, so the
+    // claim-to-visible window is one rename — a reader can never open
+    // a half-written winner (inner.putReplace alone streams straight
+    // into the target on the Hadoop store), and a slow write cannot
+    // hold a claimed-but-empty slot open while later slots fill.
+    val i = path.lastIndexOf('/')
+    val tmp = s"${path.take(i)}/.${path.drop(i + 1)}.${java.util.UUID.randomUUID}.tmp"
+    inner.putReplace(tmp, bytes)
+    if (claims.putIfAbsent(path, java.lang.Boolean.TRUE) != null) {
+      inner.deleteIfExists(tmp); return false
+    }
+    if (inner.exists(path)) { // pre-coordinator history: claim stays taken
+      inner.deleteIfExists(tmp); return false
+    }
+    try { inner.rename(tmp, path); true }
     catch {
-      // OUR write failed: release the claim (no partial visible — the
-      // inner putReplace stages via temp + replace) and fail loud
+      // OUR rename failed: release the claim and fail loud
       case e: Throwable =>
-        inner.deleteIfExists(path)
+        inner.deleteIfExists(tmp)
         claims.remove(path)
         throw e
     }
@@ -319,8 +332,14 @@ private[graft] class CoordinatedLogStore(inner: LogStore) extends LogStore {
   }
   def deleteRecursively(path: String): Unit = {
     inner.deleteRecursively(path)
+    // separator-anchored: deleting /t/foo must not clear claims under
+    // the sibling /t/foobar
+    val prefix = if (path.endsWith("/")) path else path + "/"
     val it = claims.keySet.iterator
-    while (it.hasNext) if (it.next.startsWith(path)) it.remove()
+    while (it.hasNext) {
+      val k = it.next
+      if (k == path || k.startsWith(prefix)) it.remove()
+    }
   }
   def mtime(path: String): Long = inner.mtime(path)
   def sizeOf(path: String): Long = inner.sizeOf(path)

@@ -1255,7 +1255,6 @@ object TxLog {
       return read(spark, dir, mergeSchema = true).limit(0)
         .withColumn("_commit_version", lit(0L))
         .withColumn("_commit_op", lit(""))
-        .limit(0)
     newer.map { e =>
       // mergeSchema + allowMissingColumns: an add-column commit must not
       // break the feed; pre-evolution rows surface null for new columns
@@ -1338,7 +1337,6 @@ object TxLog {
         .withColumn("_commit_version", lit(0L))
         .withColumn("_commit_op", lit(""))
         .withColumn("_change_type", lit(""))
-        .limit(0)
     parts.reduce(_ unionByName(_, allowMissingColumns = true))
   }
 

@@ -34,7 +34,9 @@ import graft.sources.TxLog
   *
   * Options: `path` (required) — the table directory;
   * `startingVersion` — first commit to deliver (default 0 = full
-  * history; `"latest"` = only commits after stream start);
+  * history; `"latest"` = only commits after the FIRST stream start —
+  * the resolved floor persists in the query checkpoint, so restarts
+  * never skip commits that landed while the query was down);
   * `maxCommitsPerTrigger` — admission control: at most this many
   * commits per micro-batch (unset = everything up to head in one
   * batch, the `Trigger.AvailableNow` shape). A backfill over a long
@@ -53,22 +55,67 @@ class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "txlog stream source requires .option(\"path\", <table dir>)"))
 
+  // one merged-schema inference per stream start, not one per
+  // sourceSchema/createSource call (the engine calls both)
+  @volatile private var schemaMemo: Option[(String, StructType)] = None
+  private def dataSchemaOf(ctx: SQLContext, dir: String): StructType =
+    schemaMemo match {
+      case Some((d, s)) if d == dir => s
+      case _ =>
+        val s = TxLogSource.dataSchema(ctx, dir)
+        schemaMemo = Some((dir, s)); s
+    }
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    ("txlog", TxLogSource.fullSchema(ctx, dirOf(parameters)))
+    ("txlog", StructType(dataSchemaOf(ctx, dirOf(parameters)) ++
+      TxLogSource.MetaFields))
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val dir = dirOf(parameters)
+    def intOpt(name: String, v: String): Int =
+      v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"option $name must be an integer, got '$v'"))
     val floor = parameters.get("startingVersion") match {
-      case Some("latest") => TxLog.headVersion(dir) + 1
-      case Some(v)        => v.toInt
+      case Some("latest") => latestFloor(ctx, metadataPath, dir)
+      case Some(v)        => intOpt("startingVersion", v)
       case None           => 0
     }
-    new TxLogSource(ctx, dir, floor,
-      parameters.get("maxCommitsPerTrigger").map(_.toInt))
+    val cap = parameters.get("maxCommitsPerTrigger").map { v =>
+      val n = intOpt("maxCommitsPerTrigger", v)
+      require(n >= 1, s"maxCommitsPerTrigger must be >= 1, got $n " +
+        "(0 would stall the stream silently)")
+      n
+    }
+    new TxLogSource(ctx, dir, floor, cap, dataSchemaOf(ctx, dir))
+  }
+
+  /** `latest` binds at the FIRST start only: the resolved floor is
+    * persisted in the query's metadata path (the engine-managed
+    * per-source checkpoint dir), so a restart resumes from the
+    * checkpointed offsets instead of re-resolving to the NEW head and
+    * silently skipping every commit that landed while the query was
+    * down — the same first-start-only contract Delta and Kafka sources
+    * keep for their starting-offset options. */
+  private def latestFloor(ctx: SQLContext, metadataPath: String,
+                          dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-txlog-floor")
+    val fs = p.getFileSystem(ctx.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
+      finally in.close()
+    } else {
+      val floor = TxLog.headVersion(dir) + 1
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false)
+      try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
+      floor
+    }
   }
 }
 
@@ -85,10 +132,10 @@ private[txlog] object TxLogSource {
 }
 
 private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
-                                 maxCommitsPerTrigger: Option[Int] = None)
+                                 maxCommitsPerTrigger: Option[Int],
+                                 data: StructType)
     extends Source {
   private val spark = ctx.sparkSession
-  private val data = TxLogSource.dataSchema(ctx, dir)
   override val schema: StructType = StructType(data ++ TxLogSource.MetaFields)
 
   /** Highest commit version the engine has planned or committed —

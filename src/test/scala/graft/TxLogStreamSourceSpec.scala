@@ -84,6 +84,31 @@ class TxLogStreamSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("startingVersion=latest binds at FIRST start: a restart never skips downtime commits") {
+    val dir = freshDir("graft-txsrc")
+    val sink = freshDir("graft-txsink")
+    val ckpt = freshDir("graft-txckpt")
+    TxLog.append(sample(0, 10), dir)            // pre-start history: excluded
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("txlog").option("path", dir)
+        .option("startingVersion", "latest").load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // resolves and PERSISTS the floor (= 1); nothing to deliver yet
+    // two commits land while the query is DOWN — a floor re-resolved at
+    // restart would jump past them and silently drop both
+    TxLog.append(sample(10, 15), dir)
+    TxLog.append(sample(15, 25), dir)
+    runOnce()
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 15, "downtime commits were skipped on restart")
+    assert(out.filter("id < 10").count() == 0, "pre-start history must stay excluded")
+    assert(out.groupBy("_commit_version").count().as[(Long, Long)]
+      .collect().toMap == Map(1L -> 5L, 2L -> 10L))
+  }
+
   test("maxCommitsPerTrigger bounds each micro-batch and survives a restart") {
     val dir = freshDir("graft-txsrc")
     (0 until 5).foreach(i => TxLog.append(sample(i * 10, i * 10 + 10), dir))
