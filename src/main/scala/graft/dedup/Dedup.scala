@@ -510,11 +510,13 @@ object Dedup {
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
       .localCheckpoint() // gate probe + semi join share one evaluation
-    // materialized: the cell probe and BOTH verify-join sides read the
-    // cached (doc_id, sgl) blocks instead of re-running the semi join
+    // LAZY: each verify-join side rebuilds the semi join from the
+    // cached `sh` blocks (a map-side broadcast semi join) — cheaper
+    // than materializing the multi-KB array payload through the block
+    // store a third time; the cell probe below reads only size(sgl),
+    // column-pruned off the same cache
     val pruned = sh.join(broadcastIfUnder(candDocs, idBroadcastGate),
-        Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+      Seq("doc_id"), "left_semi")
     // BROADCAST the array side of both verify joins: the candidate-pair
     // relation can be orders of magnitude larger than the doc set (409k
     // pairs vs 5k docs at sf0.1), and a shuffle join would move every
