@@ -154,6 +154,29 @@ class TxLogDvSpec extends SparkTestBase {
     assert(TxLog.read(spark, dir).count() == 45)
   }
 
+  test("optimize and z-order rewrite through the DV-applied scan (no resurrection)") {
+    val dir = freshDir()
+    TxLog.append(sampleDF(100).filter(col("id") < 50), dir)
+    TxLog.append(sampleDF(100).filter(col("id") >= 50), dir)
+    TxLog.deleteMoR(spark, dir, "k = 6")
+    assert(TxLog.read(spark, dir).count() == 90)
+    // a rewrite that read raw segment bytes would resurrect the 10
+    // tombstoned rows; it must also drop the dv mapping with the
+    // rewritten segments (state fold: dvs die with their segment)
+    TxLog.optimize(spark, dir, Seq("id"), numSegments = 4,
+      statsCols = Seq("id"))
+    assert(TxLog.read(spark, dir).count() == 90)
+    assert(TxLog.read(spark, dir).filter("k = 6").count() == 0)
+    // tombstones are materialized away: the optimized layout reads
+    // clean even after the sidecar is vacuumed
+    TxLog.vacuum(dir, keepVersions = 1)
+    assert(new java.io.File(dir).listFiles.count(_.getName.startsWith("dv-")) == 0)
+    assert(TxLog.read(spark, dir).count() == 90)
+    // and skipping still works on the rewritten, stats-bearing layout
+    val (kept, pruned) = TxLog.pruneRange(dir, "id", Some("10"), Some("19"))
+    assert(pruned.nonEmpty, s"range skipping lost after optimize: kept=$kept")
+  }
+
   test("CDF across MoR commits: delete_mor adds no rows, update_mor surfaces new images") {
     val dir = freshDir()
     TxLog.append(sampleDF(40), dir)
