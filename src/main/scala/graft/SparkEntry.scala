@@ -367,6 +367,32 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // SHALLOW CLONE of the log table (zero-copy): v0 of the clone
+    // REFERENCES the source's segments in place — the require pins
+    // that not one data directory was copied — then a CoW delete on
+    // the CLONE diverges it (rewrites land in the clone's dir; the
+    // source head and contents stay untouched, also require-pinned).
+    // The dev/test-sandbox primitive at 100 TB: a full logical copy
+    // for the cost of one metadata commit.
+    "table_log_clone" -> ((s, d) => {
+      val src = txStatsCache(s, d)
+      val dir = s"/tmp/graft_txclone_${new java.io.File(d).getName}"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)
+      val srcHead = graft.sources.TxLog.headVersion(src)
+      graft.sources.TxLog.cloneShallow(src, dir)
+      require(!new java.io.File(dir).listFiles.exists(f =>
+          f.isDirectory && f.getName != "_txlog"),
+        "shallow clone must copy zero data bytes")
+      graft.sources.TxLog.delete(s, dir, "o_orderkey % 1000 = 1")
+      require(graft.sources.TxLog.headVersion(src) == srcHead,
+        "clone DML must not move the source head")
+      graft.sources.TxLog.read(s, dir)
+        .groupBy(substring(col("o_orderdate"), 1, 4).as("yr"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(when(col("o_orderkey") < 0, 1L).otherwise(0L)).as("inserted"))
+        .orderBy("yr")
+    }),
+
     // SMALL-FILE COMPACTION on the log table (OPTIMIZE bin-packing
     // mode): one big append + three micro-batch-sized appends, then
     // compactSmall coalesces ONLY the small tail — the big segment
@@ -5543,6 +5569,30 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the clone starts as the merged source table (the table_log_merge
+    // truth), then the clone-side delete removes the %1000=1 keys —
+    // inserted negatives never match (sign-preserving % both engines)
+    "table_log_clone" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderdate,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_orderdate, cents + 100000 AS cents
+           FROM base WHERE o_orderkey % 500 = 7
+           UNION ALL
+           SELECT -o_orderkey, o_orderdate, cents
+           FROM base WHERE o_orderkey % 500 = 8),
+         merged AS (
+           SELECT * FROM base
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+           UNION ALL SELECT * FROM upd)
+         SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS cents,
+                CAST(sum(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS inserted
+         FROM merged WHERE NOT (o_orderkey % 1000 = 1)
+         GROUP BY yr ORDER BY yr""",
     // compaction is a layout change only: the head equals all of orders
     "table_log_compact_small" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -358,6 +358,25 @@ object TxLog {
   def liveSegments(dir: String, asOf: Int = -1): Seq[String] =
     state(dir, asOf).live
 
+  /** True when a segment/sidecar REFERENCE points outside this table's
+    * directory — a SHALLOW CLONE's borrowed reference (recorded as an
+    * absolute path or URI). External refs are read in place and are
+    * never physically deleted by this table's maintenance: vacuum
+    * reclaims only storage the table owns. */
+  private def isExternal(name: String): Boolean =
+    name.startsWith("/") || name.contains(":/")
+
+  /** Resolve a segment/sidecar reference to its filesystem path. */
+  private def segPath(dir: String, name: String): String =
+    if (isExternal(name)) name else s"$dir/$name"
+
+  /** The bare directory name of a reference (`seg-<uuid>` / `dv-<uuid>`)
+    * — what `_metadata.file_path` attribution and sidecar `seg` columns
+    * carry; globally unique by construction (UUID), so entry names
+    * (possibly external) translate through it unambiguously. */
+  private def bareName(name: String): String =
+    name.substring(name.lastIndexOf('/') + 1)
+
   private def statLines(stats: Map[(String, String), ColStats]): Seq[String] =
     stats.toSeq.sortBy { case ((seg, c), _) => (seg, c) }
       .map { case ((seg, c), st) =>
@@ -466,7 +485,7 @@ object TxLog {
       case Some(sc) => spark.read.schema(sc)
       case None     => spark.read.option("mergeSchema", mergeSchema.toString)
     }
-    val base = reader.parquet(segs.map(s0 => s"$dir/$s0"): _*)
+    val base = reader.parquet(segs.map(s0 => segPath(dir, s0)): _*)
     val probed = segs.flatMap(seg =>
       s.dvs.getOrElse(seg, Seq.empty).map { case (dv, rows) => (dv, rows) })
     val dvNames = probed.map(_._1).distinct
@@ -477,12 +496,14 @@ object TxLog {
     val applied =
       if (dvNames.isEmpty) withM
       else {
-        val segSet = segs.toSet
+        // sidecar `seg` columns carry BARE names; entry names may be
+        // external (shallow-clone refs) — compare on the bare form
+        val segSet = segs.map(bareName).toSet
         // explicit schema: the sidecar layout is ours by construction,
         // so no schema-inference job fires during plan construction —
         // a DV-bearing read costs zero extra jobs over a plain scan
         val tomb0 = spark.read.schema(DvSchema)
-          .parquet(dvNames.map(n => s"$dir/$n"): _*)
+          .parquet(dvNames.map(n => segPath(dir, n)): _*)
           .filter(col("seg").isInCollection(segSet))
           .select(col("file"), col("pos")).distinct()
         // metadata-only sizing: sum of the commit-recorded tombstone
@@ -523,7 +544,9 @@ object TxLog {
     val dvName = s"dv-${java.util.UUID.randomUUID}"
     matches.write.parquet(s"$dir/$dvName")
     // per-segment tombstone counts, recorded in the commit entry so the
-    // read side sizes its broadcast from metadata alone
+    // read side sizes its broadcast from metadata alone; bare sidecar
+    // names translate back to (possibly external) entry names
+    val entryOf = snap.live.map(n => bareName(n) -> n).toMap
     val dirty = spark.read.parquet(s"$dir/$dvName")
       .groupBy("seg").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
@@ -532,7 +555,7 @@ object TxLog {
       return commit(dir, "delete_mor", Seq.empty, Seq.empty, Some(snap.version))
     }
     try commit(dir, "delete_mor", Seq.empty, Seq.empty, Some(snap.version),
-      dvs = dirty.map { case (seg, n) => (seg, dvName, n) })
+      dvs = dirty.map { case (seg, n) => (entryOf.getOrElse(seg, seg), dvName, n) })
     catch {
       case e: java.util.ConcurrentModificationException =>
         store(dir).deleteRecursively(s"$dir/$dvName")
@@ -589,9 +612,11 @@ object TxLog {
         }
       }: _*)
       val newSeg = newSegment(dir, newImages)
+      val entryOf = snap.live.map(n => bareName(n) -> n).toMap
       try commit(dir, "update_mor", Seq(newSeg), Seq.empty, Some(snap.version),
         stats = segStats(spark, dir, newSeg, statsCols),
-        dvs = dirty.map { case (seg, n) => (seg, dvName, n) })
+        dvs = dirty.map { case (seg, n) =>
+          (entryOf.getOrElse(seg, seg), dvName, n) })
       catch {
         case e: Throwable =>
           store(dir).deleteRecursively(s"$dir/$dvName")
@@ -646,9 +671,11 @@ object TxLog {
           else dvName = Some(name)
           d
         }
+      val entryOf = snap.live.map(n => bareName(n) -> n).toMap
       commit(dir, op, Seq(uSeg), Seq.empty, Some(snap.version),
         stats = segStats(spark, dir, uSeg, statsCols),
-        dvs = dirty.map { case (seg, n) => (seg, dvName.get, n) })
+        dvs = dirty.map { case (seg, n) =>
+          (entryOf.getOrElse(seg, seg), dvName.get, n) })
     } catch {
       // probe failure or stale-snapshot conflict: neither the staged
       // updates segment nor the sidecar is recorded by any entry, so
@@ -658,6 +685,40 @@ object TxLog {
         store(dir).deleteRecursively(s"$dir/$uSeg")
         throw e
     }
+  }
+
+  /** SHALLOW CLONE (zero-copy, Delta's CLONE): commits version 0 of a
+    * NEW table at `target` whose live set REFERENCES the source's
+    * segments in place — absolute refs, not copies; no data byte moves.
+    * The clone is a snapshot of the source AT CLONE TIME (later source
+    * commits don't leak in) and is immediately readable and writable:
+    * its own DML — CoW or MoR — writes only into the clone's directory,
+    * and OPTIMIZE/compact LOCALIZE it (rewrite output is owned
+    * storage, external refs drop out of the live set). Deletion-vector
+    * refs carry absolute, so a cloned MoR table reads identically;
+    * column stats carry (value-based, portable); Bloom refs do NOT
+    * (their bitset sidecars live in the source's log dir) — the clone
+    * point-probes without Bloom pruning until ANALYZE re-indexes or a
+    * rewrite localizes it, a conservative cost, never a wrong answer.
+    * Vacuum on EITHER side never deletes storage it doesn't own, but
+    * the standard shallow-clone caveat applies: a SOURCE-side vacuum
+    * can reclaim segments a clone still references (the same contract
+    * Delta documents) — localize the clone to sever the dependency. */
+  def cloneShallow(dir: String, target: String): Int = {
+    val snap = state(dir)
+    require(snap.version >= 0, s"cannot clone $dir: no commits")
+    require(headVersion(target) < 0, s"clone target $target already has commits")
+    val abs =
+      if (isExternal(dir)) dir
+      else new java.io.File(dir).getAbsolutePath
+    def ref(name: String): String =
+      if (isExternal(name)) name else s"$abs/$name"
+    commit(target, "clone",
+      add = snap.live.map(ref),
+      remove = Seq.empty,
+      stats = snap.stats.map { case ((seg, c), v) => ((ref(seg), c), v) },
+      dvs = snap.dvs.toSeq.flatMap { case (seg, ds) =>
+        ds.map { case (dv, rows) => (ref(seg), ref(dv), rows) } })
   }
 
   /** Append `df` as a new segment. */
@@ -671,7 +732,7 @@ object TxLog {
   private def segStats(spark: SparkSession, dir: String, seg: String,
                        statsCols: Seq[String]): Map[(String, String), ColStats] = {
     if (statsCols.isEmpty) return Map.empty
-    val sdf = spark.read.parquet(s"$dir/$seg")
+    val sdf = spark.read.parquet(segPath(dir, seg))
     val types = sdf.schema.map(f => f.name -> f.dataType.typeName).toMap
     statsCols.foreach(c => require(types.contains(c), s"no column $c in segment $seg"))
     val aggs = statsCols.flatMap(c =>
@@ -712,7 +773,7 @@ object TxLog {
                         bloomCols: Seq[String],
                         k: Int = 4): Map[(String, String), BloomStats] = {
     if (bloomCols.isEmpty) return Map.empty
-    val sdf = spark.read.parquet(s"$dir/$seg")
+    val sdf = spark.read.parquet(segPath(dir, seg))
     val types = sdf.schema.map(f => f.name -> f.dataType.typeName).toMap
     val n = sdf.count()
     var m = 8192
@@ -740,7 +801,7 @@ object TxLog {
           i += 1
         }
       }
-      val f = s"${logDir(dir)}/$seg-$c.bloom"
+      val f = s"${logDir(dir)}/${bareName(seg)}-$c.bloom"
       st.putReplace(f, bits)
       (seg, c) -> BloomStats(types.getOrElse(c, "string"), m, k, st, f)
     }.toMap
@@ -953,7 +1014,7 @@ object TxLog {
   private def tableSchema(spark: SparkSession, dir: String,
                           live: Seq[String]): org.apache.spark.sql.types.StructType =
     spark.read.option("mergeSchema", "true")
-      .parquet(live.map(s => s"$dir/$s"): _*).schema
+      .parquet(live.map(s => segPath(dir, s)): _*).schema
 
   /** Copy-on-write UPDATE — the third leg of the DML triad (DELETE /
     * MERGE / UPDATE): rows matching `predicate` get `setExprs` applied
@@ -1161,7 +1222,7 @@ object TxLog {
                    statsCols: Seq[String] = Nil): Option[Int] = {
     val snap = state(dir)
     val st = store(dir)
-    val small = snap.live.filter(seg => st.sizeOf(s"$dir/$seg") < smallBytes)
+    val small = snap.live.filter(seg => st.sizeOf(segPath(dir, seg)) < smallBytes)
     if (small.size < 2) return None
     val merged = segScan(spark, dir, snap, small, mergeSchema = true).coalesce(1)
     val seg = newSegment(dir, merged)
@@ -1192,7 +1253,7 @@ object TxLog {
         s"version $version does not exist in $dir (head=${headVersion(dir)})")
     val e = readEntry(dir, version)
     require(e.add.nonEmpty, s"commit $version of $dir added no segments")
-    spark.read.parquet(e.add.map(s => s"$dir/$s"): _*)
+    spark.read.parquet(e.add.map(s => segPath(dir, s)): _*)
   }
 
   /** Retention vacuum: physically deletes segments that are not live
@@ -1220,7 +1281,10 @@ object TxLog {
       s.live.flatMap(seg => s.dvs.getOrElse(seg, Seq.empty).map(_._1))).toSet
     val log = entries(dir)
     val all = log.flatMap(_.add).toSet
-    val doomed = (all -- retained).toSeq.sorted
+    // EXTERNAL references (shallow-clone borrows) are dropped from the
+    // log like any dead segment but their BYTES belong to the source
+    // table — this table's vacuum must never reach outside its own dir
+    val doomed = (all -- retained).toSeq.sorted.filterNot(isExternal)
     // loop-invariant: one log parse, not one per doomed segment
     val bloomFiles = log.flatMap(_.blooms).groupBy(_._1._1)
     doomed.foreach { seg =>
@@ -1228,7 +1292,8 @@ object TxLog {
       // a vacuumed segment's bloom sidecars are equally dead
       bloomFiles.getOrElse(seg, Nil).foreach(b => st.deleteIfExists(b._2.file))
     }
-    val deadDvs = (log.flatMap(_.dvs.map(_._2)).toSet -- retainedDvs).toSeq.sorted
+    val deadDvs = (log.flatMap(_.dvs.map(_._2)).toSet -- retainedDvs)
+      .toSeq.sorted.filterNot(isExternal)
     deadDvs.foreach(dv => st.deleteRecursively(s"$dir/$dv"))
     doomed
   }
@@ -1259,7 +1324,7 @@ object TxLog {
       // mergeSchema + allowMissingColumns: an add-column commit must not
       // break the feed; pre-evolution rows surface null for new columns
       spark.read.option("mergeSchema", "true")
-        .parquet(e.add.map(s => s"$dir/$s"): _*)
+        .parquet(e.add.map(s => segPath(dir, s)): _*)
         .withColumn("_commit_version", lit(e.version.toLong))
         .withColumn("_commit_op", lit(e.op))
     }.reduce(_ unionByName(_, allowMissingColumns = true))
@@ -1302,7 +1367,7 @@ object TxLog {
         else {
           val ct = if (e.op == "update_mor") "update_postimage" else "insert"
           Some(tagged(spark.read.option("mergeSchema", "true")
-            .parquet(e.add.map(s => s"$dir/$s"): _*), e.version, e.op, ct))
+            .parquet(e.add.map(s => segPath(dir, s)): _*), e.version, e.op, ct))
         }
       val removed =
         if (e.dvs.isEmpty) None
@@ -1311,13 +1376,13 @@ object TxLog {
           val segs = e.dvs.map(_._1).distinct
           val dvNames = e.dvs.map(_._2).distinct
           val coords = spark.read.schema(DvSchema)
-            .parquet(dvNames.map(n => s"$dir/$n"): _*)
-            .filter(col("seg").isInCollection(segs.toSet))
+            .parquet(dvNames.map(n => segPath(dir, n)): _*)
+            .filter(col("seg").isInCollection(segs.map(bareName).toSet))
             .select(col("file"), col("pos"))
           // pre-images from the raw segment bytes (the current state
           // has them tombstoned; the segments themselves are immutable)
           val scan = spark.read.option("mergeSchema", "true")
-            .parquet(segs.map(s => s"$dir/$s"): _*)
+            .parquet(segs.map(s => segPath(dir, s)): _*)
             .withColumn("__file", col("_metadata.file_path"))
             .withColumn("__pos", col("_metadata.row_index"))
           // commit-recorded counts size the broadcast, like segScan
@@ -1395,7 +1460,7 @@ object TxLog {
       s"restore target $toVersion out of range (head=$snap)")
     val target = state(dir, toVersion)
     val head = state(dir, snap)
-    val missing = target.live.filterNot(seg => st.isDirectory(s"$dir/$seg"))
+    val missing = target.live.filterNot(seg => st.isDirectory(segPath(dir, seg)))
     require(missing.isEmpty,
       s"cannot restore $dir to $toVersion: segment(s) vacuumed: $missing")
     val current = head.live
@@ -1474,11 +1539,13 @@ object TxLog {
       .toDF("version", "op", "n_added", "n_removed")
   }
 
-  /** (op, added segments) of commit `version` — the streaming CDC
-    * source's per-batch metadata read: O(1) entry files per commit. */
+  /** (op, added segments as RESOLVED paths) of commit `version` — the
+    * streaming CDC source's per-batch metadata read: O(1) entry files
+    * per commit. Paths, not names, so shallow-clone external refs
+    * stream correctly. */
   private[sources] def commitAdds(dir: String, version: Int): (String, Seq[String]) = {
     val e = readEntry(dir, version)
-    (e.op, e.add)
+    (e.op, e.add.map(segPath(dir, _)))
   }
 
   /** The op recorded by commit `version` (append/overwrite/delete/compact). */

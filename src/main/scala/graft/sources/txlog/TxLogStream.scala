@@ -180,7 +180,7 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
       .toSeq
     if (parts.isEmpty) ColumnShim.emptyStreaming(spark, schema)
     else ColumnShim.asStreaming(parts.map { case (v, op, add) =>
-      spark.read.schema(data).parquet(add.map(seg => s"$dir/$seg"): _*)
+      spark.read.schema(data).parquet(add: _*) // already-resolved paths
         .withColumn("_commit_version", lit(v.toLong))
         .withColumn("_commit_op", lit(op))
     }.reduce(_ unionByName _))
