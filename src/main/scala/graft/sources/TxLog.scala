@@ -370,6 +370,13 @@ object TxLog {
   private def segPath(dir: String, name: String): String =
     if (isExternal(name)) name else s"$dir/$name"
 
+  /** The store that can address a reference: an EXTERNAL ref may live
+    * in a differently-addressed family than the table (a `file:/`
+    * source cloned into a plain-path target), so metadata probes on it
+    * must resolve through ITS OWN scheme, not the table's. */
+  private def refStore(dir: String, name: String): LogStore =
+    if (isExternal(name)) LogStore.forPath(name) else store(dir)
+
   /** The bare directory name of a reference (`seg-<uuid>` / `dv-<uuid>`)
     * — what `_metadata.file_path` attribution and sidecar `seg` columns
     * carry; globally unique by construction (UUID), so entry names
@@ -713,10 +720,18 @@ object TxLog {
       else new java.io.File(dir).getAbsolutePath
     def ref(name: String): String =
       if (isExternal(name)) name else s"$abs/$name"
+    // LIVE-only stats (the checkpoint-fold discipline): the state fold
+    // keeps stats of removed segments, and absolutizing those would
+    // embed dangling external refs for segments the source may vacuum
+    val liveSet = snap.live.toSet
+    // expectedHead = -1: racing clones of the SAME target must not
+    // union — exactly one claims slot 0, the loser conflicts loud
     commit(target, "clone",
       add = snap.live.map(ref),
       remove = Seq.empty,
-      stats = snap.stats.map { case ((seg, c), v) => ((ref(seg), c), v) },
+      expectedHead = Some(-1),
+      stats = snap.stats.filter { case ((seg, _), _) => liveSet(seg) }
+        .map { case ((seg, c), v) => ((ref(seg), c), v) },
       dvs = snap.dvs.toSeq.flatMap { case (seg, ds) =>
         ds.map { case (dv, rows) => (ref(seg), ref(dv), rows) } })
   }
@@ -1222,7 +1237,8 @@ object TxLog {
                    statsCols: Seq[String] = Nil): Option[Int] = {
     val snap = state(dir)
     val st = store(dir)
-    val small = snap.live.filter(seg => st.sizeOf(segPath(dir, seg)) < smallBytes)
+    val small = snap.live.filter(seg =>
+      refStore(dir, seg).sizeOf(segPath(dir, seg)) < smallBytes)
     if (small.size < 2) return None
     val merged = segScan(spark, dir, snap, small, mergeSchema = true).coalesce(1)
     val seg = newSegment(dir, merged)
@@ -1284,12 +1300,16 @@ object TxLog {
     // EXTERNAL references (shallow-clone borrows) are dropped from the
     // log like any dead segment but their BYTES belong to the source
     // table — this table's vacuum must never reach outside its own dir
-    val doomed = (all -- retained).toSeq.sorted.filterNot(isExternal)
+    val doomedAll = (all -- retained).toSeq.sorted
+    val doomed = doomedAll.filterNot(isExternal)
     // loop-invariant: one log parse, not one per doomed segment
     val bloomFiles = log.flatMap(_.blooms).groupBy(_._1._1)
-    doomed.foreach { seg =>
-      st.deleteRecursively(s"$dir/$seg")
-      // a vacuumed segment's bloom sidecars are equally dead
+    doomedAll.foreach { seg =>
+      if (!isExternal(seg)) st.deleteRecursively(s"$dir/$seg")
+      // a dead segment's bloom sidecars are equally dead — and they
+      // are OWNED storage even when the segment is an external ref
+      // (ANALYZE on a clone writes its own .bloom files into the
+      // clone's log dir keyed to the borrowed name)
       bloomFiles.getOrElse(seg, Nil).foreach(b => st.deleteIfExists(b._2.file))
     }
     val deadDvs = (log.flatMap(_.dvs.map(_._2)).toSet -- retainedDvs)
@@ -1460,7 +1480,8 @@ object TxLog {
       s"restore target $toVersion out of range (head=$snap)")
     val target = state(dir, toVersion)
     val head = state(dir, snap)
-    val missing = target.live.filterNot(seg => st.isDirectory(segPath(dir, seg)))
+    val missing = target.live.filterNot(seg =>
+      refStore(dir, seg).isDirectory(segPath(dir, seg)))
     require(missing.isEmpty,
       s"cannot restore $dir to $toVersion: segment(s) vacuumed: $missing")
     val current = head.live

@@ -86,6 +86,67 @@ class TxLogCloneSpec extends SparkTestBase {
       s.startsWith(new java.io.File(clone).getAbsolutePath)))
   }
 
+  test("racing clones of one target: exactly one wins, the loser conflicts loud") {
+    val a = freshDir(); val b = freshDir(); val clone = freshDir() + "/c"
+    TxLog.append(sampleDF(10), a)
+    TxLog.append(sampleDF(30).filter(col("id") >= 20), b)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ts = Seq(a, b).map(src => new Thread(() =>
+      try { TxLog.cloneShallow(src, clone); wins.incrementAndGet(); () }
+      catch {
+        case _: java.util.ConcurrentModificationException =>
+          conflicts.incrementAndGet(); ()
+        case _: IllegalArgumentException => // lost the pre-check race
+          conflicts.incrementAndGet(); ()
+      }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(wins.get() == 1 && conflicts.get() == 1,
+      s"wins=${wins.get()} conflicts=${conflicts.get()}")
+    // the winner's table is ONE source's content, never a union
+    assert(Set(10L, 10L).contains(TxLog.read(spark, clone).count()))
+  }
+
+  test("cross-addressed refs: a file:/ source clones into a plain-path target") {
+    val src = "file:" + freshDir()
+    val clone = freshDir() + "/c"
+    TxLog.append(sampleDF(2000), src) // big enough to never be "small"
+    TxLog.append(sampleDF(2100).filter(col("id") >= 2000), src)
+    TxLog.cloneShallow(src, clone)
+    assert(TxLog.read(spark, clone).count() == 2100)
+    // external sizes must resolve through the REF's own scheme: if they
+    // probed as 0 bytes, both borrowed segments would count as "small"
+    // and get rewritten here
+    assert(TxLog.compactSmall(spark, clone, smallBytes = 1024).isEmpty,
+      "external segments mis-probed as zero-size and were compacted")
+    // restore across external refs must see them as present
+    TxLog.append(sampleDF(2200).filter(col("id") >= 2100), clone)
+    TxLog.restore(clone, toVersion = 0)
+    assert(TxLog.read(spark, clone).count() == 2100)
+  }
+
+  test("clone v0 carries LIVE-only stats; analyze-bloom orphans are vacuumable") {
+    val src = freshDir(); val clone = freshDir() + "/c"
+    TxLog.appendWithStats(spark, sampleDF(20), src, Seq("id"))
+    val dead = TxLog.liveSegments(src).head
+    TxLog.overwrite(sampleDF(50).filter(col("id") >= 20), src)
+    TxLog.cloneShallow(src, clone)
+    // the dead source segment's stats must NOT be absolutized into v0
+    val entry = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$clone/_txlog/00000000.txt"))
+    assert(!entry.contains(dead), "clone entry references a dead source segment")
+    // clone-owned bloom sidecars for borrowed segments are reclaimable
+    // once a rewrite localizes the clone
+    TxLog.analyze(spark, clone, Seq("id"), bloomCols = Seq("id"))
+    def blooms() = new java.io.File(s"$clone/_txlog").listFiles
+      .count(_.getName.endsWith(".bloom"))
+    assert(blooms() == 1)
+    TxLog.compact(spark, clone)
+    TxLog.vacuum(clone, keepVersions = 1)
+    assert(blooms() == 0, "orphaned clone-side bloom sidecar for an external segment")
+    assert(TxLog.read(spark, clone).count() == 30)
+  }
+
   test("clone guards: empty source and non-empty target fail loud") {
     val src = freshDir(); val clone = freshDir() + "/c"
     intercept[IllegalArgumentException] { TxLog.cloneShallow(src, clone) }
