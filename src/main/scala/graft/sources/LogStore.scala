@@ -82,13 +82,20 @@ private[graft] object LogStore {
     * Empty by default: an unconfigured object-store path fails loud
     * rather than corrupting silently. */
   private val coordinatedSchemes =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, LogCoordinator]()
 
-  /** Opt `scheme` into coordinator-backed commits. Production pairs
-    * this with a durable coordination service; the in-JVM table makes
-    * single-process deployments and tests exact. */
-  def registerCoordinated(scheme: String): Unit =
-    coordinatedSchemes.add(scheme.toLowerCase)
+  /** Opt `scheme` into coordinator-backed commits, naming the
+    * coordinator that arbitrates slot ownership. The SCOPE of the
+    * commit guarantee IS the scope of the coordinator — the API makes
+    * that explicit rather than leaving it to prose: a multi-driver
+    * deployment must pass a durable, cross-process implementation (a
+    * DynamoDB conditional-put table, a database row, ZooKeeper — the
+    * [[LogCoordinator]] contract); the default
+    * [[InProcessCoordinator]] is exact ONLY for writers sharing this
+    * JVM (a single Spark driver's commits, multi-threaded tests). */
+  def registerCoordinated(scheme: String,
+      coordinator: LogCoordinator = InProcessCoordinator): Unit =
+    coordinatedSchemes.put(scheme.toLowerCase, coordinator)
   def unregisterCoordinated(scheme: String): Unit =
     coordinatedSchemes.remove(scheme.toLowerCase)
 
@@ -107,8 +114,8 @@ private[graft] object LogStore {
     }
     scheme match {
       case None => NioLogStore
-      case Some(s) if coordinatedSchemes.contains(s) =>
-        new CoordinatedLogStore(hadoop(s))
+      case Some(s) if coordinatedSchemes.containsKey(s) =>
+        new CoordinatedLogStore(hadoop(s), coordinatedSchemes.get(s))
       case Some(s) if s == "file" || s == "hdfs" => hadoop(s)
       case Some(s) =>
         throw new IllegalArgumentException(
@@ -272,31 +279,67 @@ private[graft] class HadoopLogStore(fs: FileSystem, scheme: String) extends LogS
   }
 }
 
+/** The coordination-table contract [[CoordinatedLogStore]] builds its
+  * put-if-absent on — the seam a durable service (DynamoDB conditional
+  * puts, a database row with a unique constraint, ZooKeeper) plugs
+  * into for multi-driver deployments. The commit guarantee's scope is
+  * exactly this object's scope: `claim` must be atomic ACROSS every
+  * writer that might race a slot. Two caveats a production
+  * implementation must add, both documented by the DynamoDB-LogStore
+  * pattern: claims need an expiry lease (a writer that crashes between
+  * claim and rename otherwise leaves a permanently claimed-but-empty
+  * slot; the window is ONE rename — bytes are fully staged before
+  * claiming — and commit() retries onto the next slot, so the cost is
+  * a log gap candidate, not corruption), and the table must survive
+  * process restarts (a restart of the in-process default re-seeds
+  * ownership from `exists` — the claim-then-check rule below). */
+private[graft] trait LogCoordinator {
+  /** Atomically claim `path`: true = this caller now owns the slot;
+    * false = some (possibly crashed) claimant already does. */
+  def claim(path: String): Boolean
+  /** Release a claim this caller took (failed-rename cleanup / the
+    * path was deleted). */
+  def release(path: String): Unit
+  /** Release every claim at `path` or strictly under `path/` —
+    * directory-deletion cleanup. */
+  def releaseUnder(path: String): Unit
+}
+
+/** The default [[LogCoordinator]]: an in-JVM concurrent map — exact
+  * for every writer sharing the process (a single Spark driver's
+  * commits, multi-threaded tests), USELESS across processes; pass a
+  * durable implementation to [[LogStore.registerCoordinated]] for
+  * multi-driver deployments. */
+private[graft] object InProcessCoordinator extends LogCoordinator {
+  private val claims =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  def claim(path: String): Boolean =
+    claims.putIfAbsent(path, java.lang.Boolean.TRUE) == null
+  def release(path: String): Unit = { claims.remove(path); () }
+  def releaseUnder(path: String): Unit = {
+    // separator-anchored: deleting /t/foo must not clear claims under
+    // the sibling /t/foobar
+    val prefix = if (path.endsWith("/")) path else path + "/"
+    val it = claims.keySet.iterator
+    while (it.hasNext) {
+      val k = it.next
+      if (k == path || k.startsWith(prefix)) it.remove()
+    }
+  }
+}
+
 /** EXTERNAL-COORDINATOR put-if-absent over a store with no native CAS
   * — the object-store strategy of the matrix (the DynamoDB-LogStore
   * pattern S3 deployments use): slot OWNERSHIP is decided by a
-  * conditional write to a coordination table, and only the claim
-  * winner writes the file, so the backing store needs nothing beyond
-  * read-after-write of complete objects.
-  *
-  * The coordination table here is an in-JVM concurrent map — exact
-  * for every writer sharing the process (Spark driver commits,
-  * multi-threaded tests) and the seam a durable service (DynamoDB
-  * conditional puts, a database row, ZooKeeper) plugs into for
-  * multi-driver deployments. Two caveats a production coordinator
-  * must add, both documented by the pattern: claims need an expiry
-  * lease (a writer that crashes between claim and rename otherwise
-  * leaves a permanently claimed-but-empty slot; the window is ONE
-  * rename — bytes are fully staged before claiming — and commit()
-  * retries onto the next slot, so the cost is a log gap candidate,
-  * not corruption; the claim is only released on a failed rename),
-  * and the table must survive process restarts (a restart here
-  * re-seeds ownership from `exists`, below).
+  * conditional write to a coordination table ([[LogCoordinator]]),
+  * and only the claim winner writes the file, so the backing store
+  * needs nothing beyond read-after-write of complete objects.
   *
   * A path that exists WITHOUT a claim (written by an earlier process)
-  * counts as taken: claim-then-check, never blind trust in the map. */
-private[graft] class CoordinatedLogStore(inner: LogStore) extends LogStore {
-  import CoordinatedLogStore.claims
+  * counts as taken: claim-then-check, never blind trust in the
+  * coordinator. */
+private[graft] class CoordinatedLogStore(inner: LogStore,
+    coordinator: LogCoordinator = InProcessCoordinator) extends LogStore {
   def exists(path: String): Boolean = inner.exists(path)
   def isDirectory(path: String): Boolean = inner.isDirectory(path)
   def readBytes(path: String): Array[Byte] = inner.readBytes(path)
@@ -310,7 +353,7 @@ private[graft] class CoordinatedLogStore(inner: LogStore) extends LogStore {
     val i = path.lastIndexOf('/')
     val tmp = s"${path.take(i)}/.${path.drop(i + 1)}.${java.util.UUID.randomUUID}.tmp"
     inner.putReplace(tmp, bytes)
-    if (claims.putIfAbsent(path, java.lang.Boolean.TRUE) != null) {
+    if (!coordinator.claim(path)) {
       inner.deleteIfExists(tmp); return false
     }
     if (inner.exists(path)) { // pre-coordinator history: claim stays taken
@@ -321,35 +364,22 @@ private[graft] class CoordinatedLogStore(inner: LogStore) extends LogStore {
       // OUR rename failed: release the claim and fail loud
       case e: Throwable =>
         inner.deleteIfExists(tmp)
-        claims.remove(path)
+        coordinator.release(path)
         throw e
     }
   }
   def putReplace(path: String, bytes: Array[Byte]): Unit =
     inner.putReplace(path, bytes)
   def deleteIfExists(path: String): Unit = {
-    inner.deleteIfExists(path); claims.remove(path); ()
+    inner.deleteIfExists(path); coordinator.release(path)
   }
   def deleteRecursively(path: String): Unit = {
     inner.deleteRecursively(path)
-    // separator-anchored: deleting /t/foo must not clear claims under
-    // the sibling /t/foobar
-    val prefix = if (path.endsWith("/")) path else path + "/"
-    val it = claims.keySet.iterator
-    while (it.hasNext) {
-      val k = it.next
-      if (k == path || k.startsWith(prefix)) it.remove()
-    }
+    coordinator.releaseUnder(path)
   }
   def mtime(path: String): Long = inner.mtime(path)
   def sizeOf(path: String): Long = inner.sizeOf(path)
   def mkdirs(path: String): Unit = inner.mkdirs(path)
   def list(path: String): Seq[String] = inner.list(path)
   def rename(src: String, dst: String): Unit = inner.rename(src, dst)
-}
-
-private[graft] object CoordinatedLogStore {
-  /** Process-wide coordination table: path → claimed. */
-  private val claims =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 }

@@ -645,12 +645,21 @@ object TxLog {
     * `updates` (the usual MERGE contract). */
   def mergeMoR(spark: SparkSession, dir: String, updates: DataFrame, key: String,
                statsCols: Seq[String] = Nil): Int =
-    mergeMoRAs(spark, dir, updates, key, "merge_mor", statsCols)
+    mergeMoRAs(spark, dir, updates, key, "merge_mor", statsCols,
+      dedupStreamOp = false).get
 
+  /** When `dedupStreamOp`, the already-committed check runs against THE
+    * SAME snapshot the conditional commit is conditioned on (not a
+    * separate earlier state read): a concurrent writer replaying the
+    * same batch id between check and commit necessarily moves the head
+    * past `snap.version`, so the commit conflicts loud instead of
+    * double-applying the batch. */
   private def mergeMoRAs(spark: SparkSession, dir: String, updates: DataFrame,
                          key: String, op: String,
-                         statsCols: Seq[String]): Int = {
+                         statsCols: Seq[String],
+                         dedupStreamOp: Boolean): Option[Int] = {
     val snap = state(dir)
+    if (dedupStreamOp && snap.streamOps.contains(op)) return None
     val uSeg = newSegment(dir, updates) // staged; becomes THE added segment
     var dvName: Option[String] = None
     try {
@@ -679,10 +688,10 @@ object TxLog {
           d
         }
       val entryOf = snap.live.map(n => bareName(n) -> n).toMap
-      commit(dir, op, Seq(uSeg), Seq.empty, Some(snap.version),
+      Some(commit(dir, op, Seq(uSeg), Seq.empty, Some(snap.version),
         stats = segStats(spark, dir, uSeg, statsCols),
         dvs = dirty.map { case (seg, n) =>
-          (entryOf.getOrElse(seg, seg), dvName.get, n) })
+          (entryOf.getOrElse(seg, seg), dvName.get, n) }))
     } catch {
       // probe failure or stale-snapshot conflict: neither the staged
       // updates segment nor the sidecar is recorded by any entry, so
@@ -734,6 +743,89 @@ object TxLog {
         .map { case ((seg, c), v) => ((ref(seg), c), v) },
       dvs = snap.dvs.toSeq.flatMap { case (seg, ds) =>
         ds.map { case (dv, rows) => (ref(seg), ref(dv), rows) } })
+  }
+
+  /** Targeted CLONE LOCALIZATION — sever a shallow clone's dependency
+    * on its source without rewriting the whole table: ONLY live
+    * segments that are borrowed (an external segment ref, or an owned
+    * segment whose deletion-vector sidecars are external) are
+    * rewritten into owned storage; owned clean segments carry by
+    * reference untouched. After it, a SOURCE-side vacuum can reclaim
+    * everything — the clone reads identically from its own bytes (the
+    * gap Delta's shallow CLONE leaves between "clone" and "rewrite it
+    * all"). One distributed job over the borrowed set, staged through
+    * the shared optimize tail (part-file renames, no second job):
+    * `bins` part files sized to `targetBytes` (default: one bin per
+    * borrowed segment, preserving the source's segment granularity).
+    * The DV-applied scan materializes borrowed tombstones away, so
+    * external sidecar refs drop with their segments. Borrowed BLOOM
+    * refs were already dropped by [[cloneShallow]]; run [[analyze]]
+    * after to re-index owned bytes. None when nothing is borrowed. */
+  def localize(spark: SparkSession, dir: String,
+               statsCols: Seq[String] = Nil,
+               targetBytes: Long = 0L): Option[Int] = {
+    val snap = state(dir)
+    val borrowed = snap.live.filter(seg => isExternal(seg) ||
+      snap.dvs.getOrElse(seg, Seq.empty).exists { case (dv, _) => isExternal(dv) })
+    if (borrowed.isEmpty) return None
+    val bins =
+      if (targetBytes <= 0) borrowed.size
+      else {
+        val total = borrowed.map(seg =>
+          refStore(dir, seg).sizeOf(segPath(dir, seg))).sum
+        math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+      }
+    val owned = segScan(spark, dir, snap, borrowed, mergeSchema = true)
+      .repartition(bins)
+    Some(stageAndCommitClustered(spark, dir, owned, borrowed, snap.version,
+      statsCols, op = "localize"))
+  }
+
+  /** DELETION-VECTOR sidecar compaction — the MoR maintenance op:
+    * repeated narrow deletes on one segment accumulate one `dv-*`
+    * sidecar per commit, and every scan of that segment reads ALL of
+    * them; this rewrites each crowded segment's sidecars (more than
+    * `maxSidecars`) into ONE distinct-coordinate sidecar and re-records
+    * the mapping as a METADATA-ONLY commit — no data segment is read
+    * or rewritten, cost ∝ tombstone coordinates. The entry removes and
+    * re-adds the crowded segments (the [[restore]] trick: the state
+    * fold clears a removed segment's dv mapping, then the entry's dv
+    * lines re-record the merged one); superseded sidecars stay for
+    * time travel until [[vacuum]] reclaims them past the horizon. A
+    * sidecar shared with an uncrowded segment survives through that
+    * segment's own mapping. Conflicts like every snapshot-dependent
+    * op. None when no segment is crowded. */
+  def coalesceDvs(spark: SparkSession, dir: String,
+                  maxSidecars: Int = 1): Option[Int] = {
+    require(maxSidecars >= 1, "maxSidecars must be >= 1")
+    val snap = state(dir)
+    val crowded = snap.live.filter(seg =>
+      snap.dvs.getOrElse(seg, Seq.empty).size > maxSidecars)
+    if (crowded.isEmpty) return None
+    val dvNames = crowded.flatMap(seg => snap.dvs(seg).map(_._1)).distinct
+    val segSet = crowded.map(bareName).toSet
+    val merged = s"dv-${java.util.UUID.randomUUID}"
+    spark.read.schema(DvSchema)
+      .parquet(dvNames.map(n => segPath(dir, n)): _*)
+      .filter(col("seg").isInCollection(segSet))
+      .distinct()
+      .write.parquet(s"$dir/$merged")
+    try {
+      val counts = spark.read.schema(DvSchema).parquet(s"$dir/$merged")
+        .groupBy("seg").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // stats/blooms need no re-record: the segments stay continuously
+      // live, so every checkpoint's live-filter keeps their metadata
+      // (unlike restore, which resurrects checkpoint-dropped segments)
+      Some(commit(dir, "dv_coalesce", add = crowded, remove = crowded,
+        expectedHead = Some(snap.version),
+        dvs = crowded.flatMap(seg =>
+          counts.get(bareName(seg)).map(n => (seg, merged, n)))))
+    } catch {
+      case e: Throwable =>
+        store(dir).deleteRecursively(s"$dir/$merged")
+        throw e
+    }
   }
 
   /** Append `df` as a new segment. */
@@ -1001,7 +1093,8 @@ object TxLog {
     * job), record per-segment stats, commit remove(live)+add(segs). */
   private def stageAndCommitClustered(spark: SparkSession, dir: String,
                                       clustered: DataFrame, live: Seq[String],
-                                      snap: Int, statsCols: Seq[String]): Int = {
+                                      snap: Int, statsCols: Seq[String],
+                                      op: String = "optimize"): Int = {
     val st = store(dir)
     val staging = newSegment(dir, clustered)
     val parts = st.list(s"$dir/$staging")
@@ -1018,7 +1111,7 @@ object TxLog {
     val stats = segs.foldLeft(Map.empty[(String, String), ColStats]) {
       (m, seg) => m ++ segStats(spark, dir, seg, statsCols)
     }
-    commitOrReclaim(dir, "optimize", segs, live, snap, stats)
+    commitOrReclaim(dir, op, segs, live, snap, stats)
   }
 
   /** The table's unioned schema (mergeSchema over the live set) — the
@@ -1167,14 +1260,33 @@ object TxLog {
     * ALREADY committed is skipped (returns None), so an at-least-once
     * replay after a sink failure cannot double-append. Committed batch
     * ids fold into checkpoints (the `streamop` lines), so the dedup
-    * probe is O(checkpoint + tail), not a log replay. Safe under the
-    * sequential-retry model of a single streaming query (Structured
-    * Streaming re-runs a failed batch before starting the next);
-    * concurrent writers racing the SAME batch id are not defended. */
+    * probe is O(checkpoint + tail), not a log replay. Defended against
+    * CONCURRENT duplicates too (not just sequential retries): the
+    * commit is conditional on the snapshot the dedup check read, so a
+    * racing writer of the same batch id forces a conflict; the loser
+    * re-reads, finds the op committed, and skips — never a double
+    * append. Unrelated concurrent commits just retry the loop (each
+    * iteration re-proves the batch id absent at a newer head), so the
+    * blind-append liveness of a busy table is kept. */
   def appendStream(df: DataFrame, dir: String, batchId: Long): Option[Int] = {
     val op = s"stream-$batchId"
-    if (state(dir).streamOps.contains(op)) None
-    else Some(commit(dir, op, Seq(newSegment(dir, df)), Seq.empty))
+    var snap = state(dir)
+    if (snap.streamOps.contains(op)) return None
+    val seg = newSegment(dir, df)
+    while (true) {
+      try return Some(commit(dir, op, Seq(seg), Seq.empty, Some(snap.version)))
+      catch {
+        case _: java.util.ConcurrentModificationException =>
+          snap = state(dir)
+          if (snap.streamOps.contains(op)) {
+            // the duplicate won the slot: our staged segment is
+            // referenced by no entry — reclaim, report already-committed
+            store(dir).deleteRecursively(s"$dir/$seg")
+            return None
+          }
+      }
+    }
+    None // unreachable
   }
 
   /** Idempotent streaming MERGE-ON-READ upsert — [[appendStream]]'s
@@ -1185,14 +1297,16 @@ object TxLog {
     * batch id rides in the op (`stream-<id>`), folds into checkpoints
     * like every stream op, and the dedup probe stays
     * O(checkpoint + tail). Write cost per batch ∝ |batch| (tombstones
-    * + the batch segment) — never a target rewrite. */
+    * + the batch segment) — never a target rewrite. The dedup check
+    * runs inside [[mergeMoRAs]] against the SAME snapshot the
+    * conditional commit is conditioned on, so a cross-process duplicate
+    * of the same batch id conflicts loud instead of double-applying
+    * (the failed batch retries, sees the committed op, and skips). */
   def mergeStreamMoR(spark: SparkSession, dir: String, updates: DataFrame,
                      key: String, batchId: Long,
-                     statsCols: Seq[String] = Nil): Option[Int] = {
-    val op = s"stream-$batchId"
-    if (state(dir).streamOps.contains(op)) None
-    else Some(mergeMoRAs(spark, dir, updates, key, op, statsCols))
-  }
+                     statsCols: Seq[String] = Nil): Option[Int] =
+    mergeMoRAs(spark, dir, updates, key, s"stream-$batchId", statsCols,
+      dedupStreamOp = true)
 
   /** Replace the table contents with `df`. Conflicts (fails) if any
     * commit lands between the snapshot and this commit — the replaced
@@ -1225,25 +1339,38 @@ object TxLog {
   /** Size-tiered SMALL-FILE COMPACTION (OPTIMIZE's bin-packing mode —
     * the incremental companion to [[compact]]/[[optimize]]): live
     * segments whose on-disk footprint is under `smallBytes` are
-    * coalesced into one segment; larger ones carry by reference, so
-    * the rewrite is bounded by the small TAIL, not the table. The
-    * maintenance op for streaming-ingest tables, where every
-    * micro-batch commit lands a tiny segment and the small-file count
-    * otherwise grows without bound. Segment sizes come from filesystem
+    * bin-packed into `ceil(Σ smallSizes / targetBytes)` segments of
+    * roughly `targetBytes` each (`targetBytes` defaults to
+    * `smallBytes`); larger segments carry by reference, so the rewrite
+    * is bounded by the small TAIL, not the table. The maintenance op
+    * for streaming-ingest tables, where every micro-batch commit lands
+    * a tiny segment and the small-file count otherwise grows without
+    * bound — and exactly the case where the tail itself grows to
+    * thousands of segments, so the rewrite is ONE distributed job
+    * (`repartition(bins)` + per-part-file renames via the shared
+    * optimize staging tail), never a single-task funnel: a nightly
+    * compaction of a 10k-segment tail spreads across the cluster
+    * instead of pushing tens of GB through one task. ([[compact]]'s
+    * `coalesce(1)` is different on purpose: "consolidate into ONE
+    * segment" is its declared semantic; bounded consolidation belongs
+    * here or in [[optimize]].) Segment sizes come from filesystem
     * metadata (no data read to decide); the scan is DV-applied, so a
     * small dirty segment's tombstones are materialized away with it.
     * None when fewer than 2 small segments (nothing to gain). */
   def compactSmall(spark: SparkSession, dir: String, smallBytes: Long,
-                   statsCols: Seq[String] = Nil): Option[Int] = {
+                   statsCols: Seq[String] = Nil,
+                   targetBytes: Long = 0L): Option[Int] = {
     val snap = state(dir)
-    val st = store(dir)
-    val small = snap.live.filter(seg =>
-      refStore(dir, seg).sizeOf(segPath(dir, seg)) < smallBytes)
+    val sized = snap.live.map(seg =>
+      seg -> refStore(dir, seg).sizeOf(segPath(dir, seg)))
+    val small = sized.filter(_._2 < smallBytes)
     if (small.size < 2) return None
-    val merged = segScan(spark, dir, snap, small, mergeSchema = true).coalesce(1)
-    val seg = newSegment(dir, merged)
-    Some(commitOrReclaim(dir, "compact_small", Seq(seg), small, snap.version,
-      segStats(spark, dir, seg, statsCols)))
+    val target = if (targetBytes > 0) targetBytes else smallBytes
+    val bins = math.max(1L, (small.map(_._2).sum + target - 1) / target).toInt
+    val merged = segScan(spark, dir, snap, small.map(_._1), mergeSchema = true)
+      .repartition(bins)
+    Some(stageAndCommitClustered(spark, dir, merged, small.map(_._1),
+      snap.version, statsCols, op = "compact_small"))
   }
 
   /** Consolidate the live set into one segment — no logical change.
@@ -1509,39 +1636,69 @@ object TxLog {
         .map { case (dv, rows) => (seg, dv, rows) }))
   }
 
+  /** The ADJUSTED commit clock: entry-file mtimes monotonized to a
+    * strictly increasing sequence, `adjusted(v) = max(adjusted(v-1)+1,
+    * mtime(v))` — Delta's published timestamp-adjustment rule. On a
+    * healthy log (commits claim slots sequentially, so mtimes are
+    * non-decreasing and usually strictly increasing) this IS the mtime
+    * sequence; on a log whose mtimes inverted out-of-band (a
+    * copied/rsync'd/backup-restored log dir, a coarse-mtime
+    * filesystem) it restores the one property time travel needs —
+    * commit order and time order agree — instead of silently resolving
+    * a wrong version, which is what a binary search over raw mtimes
+    * does when its sortedness assumption breaks. */
+  private def adjustedTimes(dir: String, upTo: Int): Array[Long] = {
+    val st = store(dir)
+    val adj = new Array[Long](upTo + 1)
+    var v = 0
+    while (v <= upTo) {
+      val m = st.mtime(entryPath(dir, v))
+      adj(v) = if (v == 0) m else math.max(adj(v - 1) + 1, m)
+      v += 1
+    }
+    adj
+  }
+
   /** TIMESTAMP time travel resolution (Delta's `timestampAsOf`): the
-    * LAST commit at-or-before `tsMillis`, where a commit's time is its
-    * log entry file's mtime — the log-format convention (no clock is
-    * written into the entry; the filesystem already records one).
-    * Entry mtimes are non-decreasing in version (commits claim slots
-    * sequentially), so this is a BINARY SEARCH over entry files —
-    * O(log versions) metadata stats, never a log replay. Fails loud
+    * LAST commit whose ADJUSTED time ([[adjustedTimes]]) is at-or-
+    * before `tsMillis`. A commit's time is its log entry file's mtime
+    * — the log-format convention (no clock is written into the entry;
+    * the filesystem already records one) — monotonized so an
+    * mtime-inverted log (rsync'd dir, coarse-mtime FS) resolves
+    * deterministically rather than wrongly. One mtime stat per version
+    * (O(versions) metadata, like [[history]]/[[vacuum]] — resolution
+    * is a rare per-query driver step, and correctness under inversion
+    * beats the O(log) binary search this replaced, which silently
+    * mis-resolved when its sortedness assumption broke). Fails loud
     * when the timestamp predates the first commit (Delta's contract:
     * "before the earliest version" is an error, "after the latest" is
     * the head). */
   def versionAsOfTimestamp(dir: String, tsMillis: Long): Int = {
-    val st = store(dir)
     val head = headVersion(dir)
     require(head >= 0, s"table $dir has no commits")
-    require(st.mtime(entryPath(dir, 0)) <= tsMillis,
+    val adj = adjustedTimes(dir, head)
+    require(adj(0) <= tsMillis,
       s"timestamp $tsMillis predates the first commit of $dir " +
-        s"(earliest: ${st.mtime(entryPath(dir, 0))})")
-    var lo = 0; var hi = head
-    while (lo < hi) {
-      val mid = (lo + hi + 1) >>> 1
-      if (st.mtime(entryPath(dir, mid)) <= tsMillis) lo = mid else hi = mid - 1
-    }
-    lo
+        s"(earliest: ${adj(0)})")
+    // adjusted times are strictly increasing BY CONSTRUCTION, so the
+    // last at-or-before is well-defined and unique
+    var ans = 0; var v = 1
+    while (v <= head && adj(v) <= tsMillis) { ans = v; v += 1 }
+    ans
   }
 
-  /** The wall-clock instant of commit `version` — its log entry
-    * file's mtime, the same clock [[versionAsOfTimestamp]] resolves
-    * against (so `versionAsOfTimestamp(dir, commitTimestamp(dir, v))
-    * == v` whenever v+1, if any, committed strictly later). */
+  /** The wall-clock instant of commit `version` on the same ADJUSTED
+    * clock [[versionAsOfTimestamp]] resolves against — strict
+    * monotonization makes the round trip exact unconditionally:
+    * `versionAsOfTimestamp(dir, commitTimestamp(dir, v)) == v` for
+    * every committed v (no "if the successor committed strictly later"
+    * caveat: the successor's adjusted time is strictly later by
+    * construction). Equals the raw entry mtime except on a
+    * tied/inverted log. */
   def commitTimestamp(dir: String, version: Int): Long = {
     require(store(dir).exists(entryPath(dir, version)),
       s"no version $version in $dir")
-    store(dir).mtime(entryPath(dir, version))
+    adjustedTimes(dir, version)(version)
   }
 
   /** Snapshot read as of a wall-clock instant — resolves through

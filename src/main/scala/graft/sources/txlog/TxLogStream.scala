@@ -38,16 +38,25 @@ import graft.sources.TxLog
   * the resolved floor persists in the query checkpoint, so restarts
   * never skip commits that landed while the query was down);
   * `maxCommitsPerTrigger` — admission control: at most this many
-  * commits per micro-batch (unset = everything up to head in one
-  * batch, the `Trigger.AvailableNow` shape). A backfill over a long
-  * history then proceeds in bounded batches, each one checkpointed —
-  * bounded executor memory and restartable progress instead of one
-  * giant catch-up batch.
+  * commits per micro-batch. DEFAULT 100 ([[TxLogSource
+  * .DefaultMaxCommitsPerTrigger]]): a first start over a 10k-commit
+  * history must not plan a 10k-way union in one giant catch-up batch
+  * — the safe behavior cannot depend on the user knowing the option,
+  * so backfill proceeds in bounded, individually-checkpointed batches
+  * out of the box (bounded plan width and executor memory, restartable
+  * progress). `"none"` opts out (everything up to head in one batch,
+  * the `Trigger.AvailableNow` shape, for histories known to be short).
   *
   * Schema: the table's merged head schema + the two tag columns; each
   * batch is read with that EXPLICIT schema, so pre-evolution segments
-  * surface null for later-added columns and no schema-inference job
-  * runs per batch. */
+  * surface null for later-added columns. Mid-stream schema DRIFT —
+  * a commit adding a column after the stream started — FAILS the
+  * stream loud (Delta's streaming contract) instead of silently
+  * dropping the new column from every subsequent batch: each batch
+  * runs one footer-read inference over ITS OWN add set (O(batch),
+  * bounded by the trigger cap — never the table) and compares field
+  * names against the construction-time schema; the fix is restarting
+  * the query, which re-resolves the merged schema. */
 class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "txlog"
 
@@ -84,11 +93,14 @@ class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
       case Some(v)        => intOpt("startingVersion", v)
       case None           => 0
     }
-    val cap = parameters.get("maxCommitsPerTrigger").map { v =>
-      val n = intOpt("maxCommitsPerTrigger", v)
-      require(n >= 1, s"maxCommitsPerTrigger must be >= 1, got $n " +
-        "(0 would stall the stream silently)")
-      n
+    val cap = parameters.get("maxCommitsPerTrigger") match {
+      case Some("none") => None // explicit opt-out: one catch-up batch
+      case Some(v) =>
+        val n = intOpt("maxCommitsPerTrigger", v)
+        require(n >= 1, s"maxCommitsPerTrigger must be >= 1, got $n " +
+          "(0 would stall the stream silently); use \"none\" for unbounded")
+        Some(n)
+      case None => Some(TxLogSource.DefaultMaxCommitsPerTrigger)
     }
     new TxLogSource(ctx, dir, floor, cap, dataSchemaOf(ctx, dir))
   }
@@ -119,7 +131,12 @@ class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
   }
 }
 
-private[txlog] object TxLogSource {
+private[graft] object TxLogSource {
+  /** Default admission cap: bounds the catch-up union width (and the
+    * per-batch memory footprint) when the user sets nothing — the
+    * Delta-source posture (maxFilesPerTrigger defaults bounded). */
+  val DefaultMaxCommitsPerTrigger = 100
+
   val MetaFields: Seq[StructField] = Seq(
     StructField("_commit_version", LongType, nullable = false),
     StructField("_commit_op", StringType, nullable = false))
@@ -179,11 +196,30 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
       .filter(_._3.nonEmpty)
       .toSeq
     if (parts.isEmpty) ColumnShim.emptyStreaming(spark, schema)
-    else ColumnShim.asStreaming(parts.map { case (v, op, add) =>
-      spark.read.schema(data).parquet(add: _*) // already-resolved paths
-        .withColumn("_commit_version", lit(v.toLong))
-        .withColumn("_commit_op", lit(op))
-    }.reduce(_ unionByName _))
+    else {
+      // schema-drift guard: a commit that ADDED a column after this
+      // stream resolved its schema would otherwise be read with the
+      // stale explicit schema and the new column silently dropped from
+      // every row delivered — fail the stream loud instead (Delta's
+      // contract); a restart re-resolves the merged schema. One
+      // footer-read inference over THIS BATCH's adds only — O(batch),
+      // bounded by the trigger cap, never a table-wide listing.
+      val known = data.fieldNames.toSet
+      val drifted = spark.read.option("mergeSchema", "true")
+        .parquet(parts.flatMap(_._3): _*).schema.fieldNames
+        .filterNot(known)
+      if (drifted.nonEmpty)
+        throw new IllegalStateException(
+          s"txlog stream over $dir: table schema changed mid-stream " +
+            s"(new column(s): ${drifted.mkString(", ")}). Restart the " +
+            "query to pick up the evolved schema — continuing would " +
+            "silently drop the new column(s) from delivered rows.")
+      ColumnShim.asStreaming(parts.map { case (v, op, add) =>
+        spark.read.schema(data).parquet(add: _*) // already-resolved paths
+          .withColumn("_commit_version", lit(v.toLong))
+          .withColumn("_commit_op", lit(op))
+      }.reduce(_ unionByName _))
+    }
   }
 
   override def stop(): Unit = ()

@@ -185,4 +185,64 @@ class TxLogCheckpointSpec extends SparkTestBase {
       assert(new String(store.readBytes(pre), "UTF-8") == "old")
     } finally LogStore.unregisterCoordinated("file")
   }
+
+  test("multi-driver coordinator stress: interleaved claimants across store instances, one winner per slot") {
+    // Simulates the multi-process deployment the in-JVM default cannot
+    // cover from a single store instance: each "driver" constructs its
+    // OWN CoordinatedLogStore (separate store state, as separate JVMs
+    // would) over a SHARED coordinator — the pluggable seam
+    // registerCoordinated accepts. The inner store is NioLogStore,
+    // whose rename is POSIX ATOMIC_MOVE and therefore silently
+    // REPLACES: if the coordinator's claim arbitration has a hole, a
+    // lost race overwrites the winner's bytes and the content check
+    // below catches it — the protocol, not the filesystem, must win.
+    import graft.sources.{CoordinatedLogStore, LogCoordinator, NioLogStore}
+    class MapCoordinator extends LogCoordinator {
+      private val m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+      def claim(path: String): Boolean =
+        m.putIfAbsent(path, java.lang.Boolean.TRUE) == null
+      def release(path: String): Unit = { m.remove(path); () }
+      def releaseUnder(path: String): Unit = {
+        val prefix = if (path.endsWith("/")) path else path + "/"
+        val it = m.keySet.iterator
+        while (it.hasNext) {
+          val k = it.next
+          if (k == path || k.startsWith(prefix)) it.remove()
+        }
+      }
+    }
+    val coord = new MapCoordinator
+    val base = java.nio.file.Files.createTempDirectory("graft-coordstress").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/_txlog"))
+    val nDrivers = 4; val nSlots = 40
+    val drivers = (0 until nDrivers).map(_ =>
+      new CoordinatedLogStore(NioLogStore, coord))
+    val slots = (0 until nSlots).map(v => f"$base/_txlog/$v%08d.txt")
+    val winners = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val doubleWins = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(nDrivers * 2)
+    val threads = for (d <- 0 until nDrivers; t <- 0 until 2) yield new Thread(() =>
+      try {
+        barrier.await()
+        val order = new scala.util.Random(d * 31 + t).shuffle(slots.toList)
+        order.foreach { slot =>
+          val id = s"d$d-t$t"
+          if (drivers(d).putIfAbsent(slot, id.getBytes("UTF-8")))
+            if (winners.putIfAbsent(slot, id) != null) doubleWins.add(slot)
+        }
+      } catch { case e: Throwable => errs.add(e); () })
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"claimant failures: ${errs.toArray.toSeq}")
+    assert(doubleWins.isEmpty, s"slots with two winners: ${doubleWins.toArray.toSeq}")
+    assert(winners.size == nSlots, s"unclaimed slots: ${winners.size}/$nSlots")
+    // the bytes on disk are the CLAIM WINNER's — a replace-through-rename
+    // by any loser would fail this
+    slots.foreach { slot =>
+      val content = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(slot)), "UTF-8")
+      assert(content == winners.get(slot),
+        s"slot $slot holds '$content' but the claim winner was '${winners.get(slot)}'")
+    }
+  }
 }

@@ -86,6 +86,37 @@ class TxLogCloneSpec extends SparkTestBase {
       s.startsWith(new java.io.File(clone).getAbsolutePath)))
   }
 
+  test("localize is TARGETED: borrowed segments rewrite, owned carry by reference, source vacuum then reclaims everything") {
+    val src = freshDir(); val clone = freshDir() + "/c"
+    TxLog.appendWithStats(spark, sampleDF(40).filter(col("id") < 20), src, Seq("id"))
+    TxLog.appendWithStats(spark, sampleDF(40).filter(col("id") >= 20), src, Seq("id"))
+    TxLog.deleteMoR(spark, src, "k = 2") // borrowed DV sidecar refs too
+    TxLog.cloneShallow(src, clone)
+    TxLog.append(sampleDF(100).filter(col("id") >= 90), clone) // owned segment
+    val before = TxLog.read(spark, clone).orderBy("id").collect().toSeq
+    val ownedBefore = TxLog.liveSegments(clone).filterNot(_.startsWith("/"))
+    assert(ownedBefore.size == 1, s"scenario: one owned segment, got $ownedBefore")
+    val v = TxLog.localize(spark, clone, statsCols = Seq("id"))
+    assert(v.nonEmpty && TxLog.commitOp(clone, v.get) == "localize")
+    val after = TxLog.liveSegments(clone)
+    assert(after.forall(!_.startsWith("/")),
+      s"external refs survived localize: $after")
+    assert(after.contains(ownedBefore.head),
+      "the owned segment must carry by reference, not rewrite")
+    // borrowed segment granularity preserved: 2 borrowed → 2 owned bins
+    assert(after.size == 3, s"expected {owned, 2 localized bins}, got $after")
+    // nothing borrowed left → localize is a no-op now
+    assert(TxLog.localize(spark, clone).isEmpty)
+    // bloom re-index over the now-owned bytes (the post-localize step)
+    assert(TxLog.analyze(spark, clone, Seq("id"), Seq("id")).nonEmpty)
+    val (_, pruned) = TxLog.prunePoint(clone, "id", "95")
+    assert(pruned.nonEmpty, "post-localize analyze must restore skipping")
+    // the dependency is SEVERED: destroy the source, clone reads identically
+    TxLog.overwrite(sampleDF(1), src)
+    TxLog.vacuum(src, keepVersions = 1)
+    assert(TxLog.read(spark, clone).orderBy("id").collect().toSeq == before)
+  }
+
   test("racing clones of one target: exactly one wins, the loser conflicts loud") {
     val a = freshDir(); val b = freshDir(); val clone = freshDir() + "/c"
     TxLog.append(sampleDF(10), a)

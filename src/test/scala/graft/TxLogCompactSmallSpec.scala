@@ -37,6 +37,52 @@ class TxLogCompactSmallSpec extends SparkTestBase {
     assert(TxLog.liveSegments(dir, 3).size == 4)
   }
 
+  test("bin-packing: a long small tail rewrites as ONE multi-task job into multiple size-targeted segments") {
+    val dir = freshDir()
+    TxLog.append(rows(0, 4000), dir) // the bulk
+    (0 until 12).foreach(i => // a streaming-ingest-shaped small tail
+      TxLog.append(rows(4000 + i * 50, 4000 + (i + 1) * 50), dir))
+    val big = TxLog.liveSegments(dir, 0).head
+    def bytes(seg: String): Long =
+      new java.io.File(dir, seg).listFiles.map(_.length).sum
+    val total = TxLog.liveSegments(dir).filterNot(_ == big).map(bytes).sum
+    val target = total / 3
+    val expBins = ((total + target - 1) / target).toInt
+    assert(expBins > 1, s"scenario must force multiple bins, got $expBins")
+    // listener: the write stage of the compaction job must run with
+    // one task PER BIN — the single-task coalesce(1) funnel this op
+    // replaced would show numTasks == 1 everywhere
+    val sawBinWidth = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (sc.stageInfo.numTasks == expBins) sawBinWidth.set(true)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val v = TxLog.compactSmall(spark, dir, smallBytes = bytes(big),
+        targetBytes = target)
+      assert(v.nonEmpty && TxLog.commitOp(dir, v.get) == "compact_small")
+      val live = TxLog.liveSegments(dir)
+      assert(live.contains(big), "the bulk must carry by reference")
+      val packed = live.filterNot(_ == big)
+      assert(packed.size == expBins,
+        s"expected $expBins size-targeted bins, got ${packed.size}")
+      // every bin holds data (round-robin repartition fills all bins)
+      packed.foreach(seg => assert(bytes(seg) > 0))
+      assert(TxLog.read(spark, dir).count() == 4600)
+      // pre-compaction layout stays time-travelable
+      assert(TxLog.liveSegments(dir, 12).size == 13)
+      // listener events are async — bounded wait
+      val deadline = System.currentTimeMillis() + 10000
+      while (!sawBinWidth.get && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(sawBinWidth.get,
+        s"no stage ran with numTasks == $expBins: the rewrite did not " +
+          "parallelize across bins")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("fewer than 2 small segments is a no-op; DV tombstones materialize away") {
     val dir = freshDir()
     TxLog.append(rows(0, 1000), dir)

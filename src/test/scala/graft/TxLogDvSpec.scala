@@ -154,6 +154,43 @@ class TxLogDvSpec extends SparkTestBase {
     assert(TxLog.read(spark, dir).count() == 45)
   }
 
+  test("coalesceDvs bounds a segment's sidecar count: metadata-only, read parity, superseded sidecars vacuumable") {
+    val dir = freshDir()
+    TxLog.append(sampleDF(100).filter(col("id") < 50), dir)  // seg A
+    TxLog.append(sampleDF(100).filter(col("id") >= 50), dir) // seg B
+    // repeated narrow deletes: 4 sidecars pile up on A; the last one is
+    // SHARED with B (one delete_mor touching both segments)
+    TxLog.deleteMoR(spark, dir, "id = 1")
+    TxLog.deleteMoR(spark, dir, "id = 2")
+    TxLog.deleteMoR(spark, dir, "id = 3")
+    TxLog.deleteMoR(spark, dir, "id IN (4, 60)")
+    def dvDirs() = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("dv-")).map(_.getName).toSet
+    assert(dvDirs().size == 4)
+    val before = TxLog.read(spark, dir).orderBy("id").collect().toSeq
+    assert(before.size == 95)
+    val foot = segFootprint(dir)
+    val v = TxLog.coalesceDvs(spark, dir, maxSidecars = 1)
+    assert(v.nonEmpty && TxLog.commitOp(dir, v.get) == "dv_coalesce")
+    assert(TxLog.read(spark, dir).orderBy("id").collect().toSeq == before,
+      "coalesce must not change what reads see")
+    assert(segFootprint(dir) == foot,
+      "metadata-only: no data segment byte may be rewritten")
+    // bounded: nothing is crowded any more
+    assert(TxLog.coalesceDvs(spark, dir, maxSidecars = 1).isEmpty)
+    // superseded sidecars die with the horizon; the SHARED one survives
+    // through B's own mapping, plus the merged one — reads stay exact
+    TxLog.vacuum(dir, keepVersions = 1)
+    assert(dvDirs().size == 2,
+      s"expected {shared, merged} to survive vacuum, got ${dvDirs()}")
+    assert(TxLog.read(spark, dir).orderBy("id").collect().toSeq == before)
+    // and the coalesced mapping survives a checkpoint round-trip
+    (0 until TxLog.CheckpointInterval).foreach(_ =>
+      TxLog.append(sampleDF(101).filter(col("id") === 100), dir))
+    assert(TxLog.read(spark, dir).filter("id < 100").orderBy("id")
+      .collect().toSeq == before)
+  }
+
   test("optimize and z-order rewrite through the DV-applied scan (no resurrection)") {
     val dir = freshDir()
     TxLog.append(sampleDF(100).filter(col("id") < 50), dir)

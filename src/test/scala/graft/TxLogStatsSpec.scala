@@ -366,6 +366,51 @@ class TxLogStatsSpec extends SparkTestBase {
     assert(TxLog.commitOp(dir, 0) == "stream-0" && TxLog.commitOp(dir, 1) == "stream-1")
   }
 
+  test("CONCURRENT duplicates of one batch id apply exactly once (append + MoR merge)") {
+    // the cross-process at-least-once race: two writers replay the SAME
+    // batch id concurrently — the dedup check and the commit run against
+    // one snapshot, so the loser either conflicts-and-skips or observes
+    // the winner's op; never a double apply
+    val dir = freshDir()
+    TxLog.append(Seq((0L, "seed")).toDF("id", "v"), dir)
+    def race(body: => Option[Int]): Seq[Option[Int]] = {
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Option[Int]]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val ts = (0 until 2).map(_ => new Thread(() =>
+        try { barrier.await(); results.add(body); () }
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            // loud conflict: the foreachBatch retry model re-runs the
+            // batch, which then dedups — simulate that retry here
+            results.add(body); ()
+          case t: Throwable => errs.add(t); ()
+        }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(errs.isEmpty, s"unexpected failures: ${errs.toArray.toSeq}")
+      results.toArray(Array.empty[Option[Int]]).toSeq
+    }
+    val appendResults = race(
+      TxLog.appendStream(Seq((1L, "a")).toDF("id", "v"), dir, batchId = 7L))
+    assert(appendResults.count(_.nonEmpty) == 1,
+      s"batch 7 must commit exactly once, got $appendResults")
+    assert(TxLog.read(spark, dir).filter("id = 1").count() == 1)
+    // no orphaned staging segment from the losing duplicate
+    val recorded = (0 to TxLog.headVersion(dir))
+      .flatMap(v => TxLog.liveSegments(dir, v)).toSet
+    val onDisk = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("seg-"))
+      .map(_.getName).toSet
+    assert(onDisk == recorded, s"leaked segments: ${onDisk -- recorded}")
+    val mergeResults = race(
+      TxLog.mergeStreamMoR(spark, dir,
+        Seq((1L, "a2"), (2L, "c")).toDF("id", "v"), "id", batchId = 8L))
+    assert(mergeResults.count(_.nonEmpty) == 1,
+      s"batch 8 must merge exactly once, got $mergeResults")
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, String)].collect()
+      .toList == List((0L, "seed"), (1L, "a2"), (2L, "c")))
+  }
+
   test("merge against a stale snapshot conflicts instead of double-applying") {
     val dir = rangedTable()
     // merge snapshots internally, so exercise the conditional-commit

@@ -137,6 +137,60 @@ class TxLogStreamSourceSpec extends SparkTestBase {
     assert(out.count() == 60 && out.select("id").distinct().count() == 60)
   }
 
+  test("backfill over a long history is bounded BY DEFAULT: multiple batches, no giant union") {
+    val dir = freshDir("graft-txsrc")
+    // one commit past the default cap: an unset maxCommitsPerTrigger
+    // must still split the catch-up into bounded batches — the safe
+    // behavior cannot depend on the user knowing the option
+    val n = graft.sources.txlog.TxLogSource.DefaultMaxCommitsPerTrigger + 1
+    (0 until n).foreach(i => TxLog.append(
+      spark.range(i.toLong, i.toLong + 1).select(col("id"),
+        (col("id") % 5).as("k")), dir))
+    val sink = freshDir("graft-txsink")
+    val ckpt = freshDir("graft-txckpt")
+    val q = spark.readStream.format("txlog").option("path", dir).load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt).start()
+    val batches =
+      try { q.processAllAvailable(); q.recentProgress.count(_.numInputRows > 0) }
+      finally q.stop()
+    assert(batches == 2, s"expected 2 default-capped batches (100+1), got $batches")
+    val out = spark.read.parquet(sink)
+    assert(out.count() == n.toLong && out.select("id").distinct().count() == n.toLong)
+  }
+
+  test("mid-stream schema drift fails the stream loud instead of dropping the new column") {
+    val dir = freshDir("graft-txsrc")
+    TxLog.append(sample(0, 10), dir)
+    val sink = freshDir("graft-txsink")
+    val ckpt = freshDir("graft-txckpt")
+    def start() = spark.readStream.format("txlog").option("path", dir).load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt).start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // schema evolution lands while the stream is RUNNING with the old
+      // resolved schema: delivering would silently drop `extra`
+      TxLog.append(sample(10, 15).withColumn("extra", lit("x")), dir)
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def rootMessages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => e.getMessage +: rootMessages(e.getCause))
+      assert(rootMessages(failed).exists(m =>
+          m != null && m.contains("schema changed mid-stream")),
+        s"wrong failure: ${failed.getMessage}")
+    } finally q.stop()
+    // a RESTART re-resolves the evolved schema and delivers the commit
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.option("mergeSchema", "true").parquet(sink)
+    assert(out.count() == 15)
+    assert(out.schema.fieldNames.contains("extra"))
+    assert(out.filter("extra = 'x'").count() == 5)
+  }
+
   test("timestamp time travel resolves the last commit at-or-before the instant") {
     val dir = freshDir("graft-txts")
     TxLog.append(sample(0, 10), dir)          // v0
@@ -154,6 +208,39 @@ class TxLogStreamSourceSpec extends SparkTestBase {
     // before the first commit: fail loud, per the Delta contract
     intercept[IllegalArgumentException] {
       TxLog.versionAsOfTimestamp(dir, betweenV0V1 - 3600 * 1000)
+    }
+  }
+
+  test("mtime-inverted logs resolve deterministically through the adjusted clock") {
+    val dir = freshDir("graft-txts")
+    TxLog.append(sample(0, 10), dir)          // v0
+    Thread.sleep(20)
+    TxLog.append(sample(10, 20), dir)         // v1
+    Thread.sleep(20)
+    TxLog.append(sample(20, 25), dir)         // v2
+    // simulate a copied/rsync'd/backup-restored log dir: v1's entry
+    // mtime regresses 5 s BELOW v0's — raw-mtime binary search would
+    // silently resolve wrong versions here
+    val m0 = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, "_txlog", "00000000.txt")).toMillis
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(dir, "_txlog", "00000001.txt"),
+      java.nio.file.attribute.FileTime.fromMillis(m0 - 5000))
+    // the adjusted clock is strictly increasing regardless
+    val ts = (0 to 2).map(v => TxLog.commitTimestamp(dir, v))
+    assert(ts == ts.sorted && ts.distinct.size == 3,
+      s"adjusted clock must be strictly increasing, got $ts")
+    // round trip holds for EVERY version, unconditionally
+    (0 to 2).foreach(v =>
+      assert(TxLog.versionAsOfTimestamp(dir, TxLog.commitTimestamp(dir, v)) == v))
+    // v1's adjusted instant sits right after v0's (m0+1): reading there
+    // sees exactly v0+v1 — commit order and time order agree again
+    assert(ts(1) == m0 + 1)
+    assert(TxLog.readAsOfTimestamp(spark, dir, ts(1)).count() == 20)
+    assert(TxLog.readAsOfTimestamp(spark, dir, m0).count() == 10)
+    // before the (adjusted) first commit still fails loud
+    intercept[IllegalArgumentException] {
+      TxLog.versionAsOfTimestamp(dir, m0 - 1)
     }
   }
 
