@@ -393,6 +393,45 @@ object SparkEntry {
         .orderBy("yr")
     }),
 
+    // TARGETED CLONE LOCALIZATION: a shallow clone of the MoR table
+    // (every data segment AND dv sidecar is an external absolute-path
+    // ref into the source) plus one owned appended tail; localize()
+    // rewrites ONLY the borrowed set into owned storage — the owned
+    // tail carries by reference (require-pinned), and afterwards no
+    // external ref survives, so a source-side vacuum can no longer
+    // break the clone. The sever-the-dependency op whose cost is the
+    // borrowed bytes, never the whole table.
+    "table_log_localize" -> ((s, d) => {
+      val src = txMorCache(s, d)
+      val dir = s"/tmp/graft_txloc_${new java.io.File(d).getName}"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)
+      graft.sources.TxLog.cloneShallow(src, dir)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 500 === 9)
+        .withColumn("o_orderkey", -col("o_orderkey")), dir)
+      val owned = graft.sources.TxLog.liveSegments(dir)
+        .filterNot(_.startsWith("/"))
+      require(owned.size == 1, s"scenario: one owned segment, got $owned")
+      val v = graft.sources.TxLog.localize(s, dir)
+      require(v.nonEmpty &&
+          graft.sources.TxLog.commitOp(dir, v.get) == "localize",
+        s"expected a localize commit, got $v")
+      val live = graft.sources.TxLog.liveSegments(dir)
+      require(live.forall(!_.startsWith("/")),
+        s"external refs survived localize: $live")
+      require(live.contains(owned.head),
+        "owned segments must carry by reference, not rewrite")
+      require(graft.sources.TxLog.localize(s, dir).isEmpty,
+        "nothing borrowed left: localize must be a no-op now")
+      graft.sources.TxLog.read(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(when(col("o_orderkey") < 0, 1L).otherwise(0L)).as("inserted"))
+        .orderBy("o_orderstatus")
+    }),
+
     // SMALL-FILE COMPACTION on the log table (OPTIMIZE bin-packing
     // mode): one big append + three micro-batch-sized appends, then
     // compactSmall coalesces ONLY the small tail — the big segment
@@ -506,6 +545,43 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
           sum(when(col("o_orderkey") < 0, 1L).otherwise(0L)).as("inserted"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // DELETION-VECTOR SIDECAR COALESCING — the MoR maintenance op:
+    // three narrow deletes pile one dv-* sidecar each onto BOTH order
+    // halves (every scan of a segment reads ALL of its sidecars);
+    // coalesceDvs rewrites the crowded mappings into ONE
+    // distinct-coordinate sidecar per table as a METADATA-ONLY commit —
+    // the live segment set is untouched (require-pinned) and a second
+    // call finds nothing crowded. Bounds read amplification under
+    // sustained narrow DML; cost ∝ tombstone coordinates, never data.
+    "table_log_dv_coalesce" -> ((s, d) => {
+      val dir = s"/tmp/graft_txdvc_${new java.io.File(d).getName}"
+      val root = new java.io.File(dir)
+      if (root.isDirectory)
+        graft.sources.TxLog.deleteRecursively(root.toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 0), dir)
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 1), dir)
+      Seq(1, 2, 3).foreach(r =>
+        graft.sources.TxLog.deleteMoR(s, dir, s"o_custkey % 100 = $r"))
+      require(root.listFiles.count(_.getName.startsWith("dv-")) == 3,
+        "scenario: three narrow deletes must leave three sidecars")
+      val liveBefore = graft.sources.TxLog.liveSegments(dir).toSet
+      val v = graft.sources.TxLog.coalesceDvs(s, dir, maxSidecars = 1)
+      require(v.nonEmpty &&
+          graft.sources.TxLog.commitOp(dir, v.get) == "dv_coalesce",
+        s"expected a dv_coalesce commit, got $v")
+      require(graft.sources.TxLog.liveSegments(dir).toSet == liveBefore,
+        "metadata-only: the live segment set must be untouched")
+      require(graft.sources.TxLog.coalesceDvs(s, dir, maxSidecars = 1).isEmpty,
+        "sidecar counts must now be bounded")
+      graft.sources.TxLog.read(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .orderBy("o_orderstatus")
     }),
 
@@ -5593,6 +5669,41 @@ object SparkEntry {
                   AS inserted
          FROM merged WHERE NOT (o_orderkey % 1000 = 1)
          GROUP BY yr ORDER BY yr""",
+    // localization is a layout/ownership change only: the head equals
+    // the full MoR stack (delete %7=3, bump %7=4, upsert) plus the
+    // owned appended tail of negated %500=9 keys
+    "table_log_localize" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+               o_custkey FROM orders),
+         v2 AS (SELECT * FROM base WHERE o_custkey % 7 <> 3),
+         v3 AS (SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_custkey % 7 = 4 THEN c + 111 ELSE c END AS c
+           FROM v2),
+         u AS (SELECT o_orderkey, o_orderstatus, c + 5000 AS c FROM base
+               WHERE o_orderkey % 500 = 7
+               UNION ALL
+               SELECT -o_orderkey, o_orderstatus, c FROM base
+               WHERE o_orderkey % 500 = 8),
+         v4 AS (SELECT o_orderkey, o_orderstatus, c FROM v3
+               WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+               UNION ALL SELECT o_orderkey, o_orderstatus, c FROM u),
+         fin AS (SELECT * FROM v4
+               UNION ALL
+               SELECT -o_orderkey, o_orderstatus, c FROM base
+               WHERE o_orderkey % 500 = 9)
+         SELECT o_orderstatus, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents,
+             CAST(sum(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS inserted
+         FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // sidecar coalescing changes no row: the head is orders minus the
+    // three tombstoned custkey bands
+    "table_log_dv_coalesce" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+         FROM orders WHERE o_custkey % 100 NOT IN (1, 2, 3)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // compaction is a layout change only: the head equals all of orders
     "table_log_compact_small" ->
       """SELECT o_orderstatus, count(*) AS n,
