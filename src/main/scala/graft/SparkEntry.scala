@@ -3656,6 +3656,41 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // NATIVE txlog → txlog STREAMING PIPELINE — the CDC relay, source
+    // and sink both format("txlog"): the stream tails one table's
+    // commit log (capped at 2 commits/trigger so the 6-commit history
+    // arrives as 3 bounded batches), keeps append-op rows, and the
+    // SINK half — writeStream.format("txlog"), no foreachBatch —
+    // commits each micro-batch idempotently (batch id in the op). The
+    // requires pin 3 stream commits in the target and that a replayed
+    // batch is skipped. The lakehouse table-to-table sync deployment
+    // shape: cost per trigger ∝ new commits on the source, exactly-once
+    // end to end.
+    "stream_txlog_pipeline" -> ((s, d) => withStreamPartitions(s) {
+      val src = txStatsCache(s, d)
+      val dst = s"/tmp/graft_txpipe_${new java.io.File(d).getName}"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dst).toPath)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_txpipe_ck")
+      val q = s.readStream.format("txlog")
+        .option("path", src).option("maxCommitsPerTrigger", "2").load()
+        .filter(col("_commit_op") === "append")
+        .drop("_commit_version", "_commit_op")
+        .writeStream.format("txlog")
+        .option("path", dst).option("statsCols", "o_orderdate")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      require(graft.sources.TxLog.headVersion(dst) == 2,
+        "6 source commits / cap 2 must land as 3 sink commits")
+      require(graft.sources.TxLog.appendStream(
+          graft.sources.TxLog.readCommit(s, dst, 0), dst, batchId = 0L).isEmpty,
+        "a replayed sink batch must be skipped")
+      graft.sources.TxLog.read(s, dst)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // TOLERANCE as-of (pandas merge_asof's `tolerance`): the backward
     // match only counts within 2 hours — stale lookups become
     // no-match instead of silently joining hours-old state
@@ -5733,6 +5768,12 @@ object SparkEntry {
            SELECT 3 AS v, o_totalprice FROM orders
            WHERE o_orderdate BETWEEN '1999-01-01' AND '2001-12-31')
          GROUP BY v ORDER BY version""",
+    // the relay keeps exactly the 4 append-op commits = all of orders
+    "stream_txlog_pipeline" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // merge-on-read delete replayed relationally: v2 = orders minus
     // the tombstoned custkey band
     "table_log_dv" ->

@@ -328,6 +328,68 @@ private[graft] object InProcessCoordinator extends LogCoordinator {
   }
 }
 
+/** A DURABLE, CROSS-PROCESS [[LogCoordinator]] backed by a claims
+  * DIRECTORY on a filesystem with atomic exclusive creation: a claim
+  * is a hard-link publish (write temp, `Files.createLink` into place —
+  * POSIX's put-if-absent, atomic WITH content) of a file named by the
+  * claimed path's SHA-256 under `claimsDir`. Exact across every
+  * process that can see `claimsDir` — the multi-driver story for
+  * deployments whose commit log lives on an object store but which
+  * share ANY strongly-consistent POSIX surface (a driver-host volume,
+  * HDFS, NFSv4): the claims dir carries only tiny arbitration files,
+  * never data. Object-store-only deployments still need a
+  * conditional-put service (DynamoDB and friends) behind the same
+  * trait. Claim files record the claimed path as content so
+  * [[releaseUnder]] (directory-deletion cleanup) can prefix-match;
+  * the name is the hash so arbitrary path lengths fit in one filename.
+  * Carries the [[LogCoordinator]] caveat unchanged: no expiry lease —
+  * a claimant that dies between claim and rename leaves a
+  * claimed-but-empty slot (a log-gap candidate, not corruption);
+  * `release` / an operator deleting the claim file recovers it. */
+private[graft] class FileClaimCoordinator(claimsDir: java.nio.file.Path)
+    extends LogCoordinator {
+  Files.createDirectories(claimsDir)
+
+  private def claimFile(path: String): java.nio.file.Path = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(path.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    claimsDir.resolve(s"$hex.claim")
+  }
+
+  def claim(path: String): Boolean = {
+    val target = claimFile(path)
+    val tmp = Files.createTempFile(claimsDir, ".claim", ".tmp")
+    try {
+      Files.write(tmp, path.getBytes("UTF-8"))
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  def release(path: String): Unit = {
+    Files.deleteIfExists(claimFile(path)); ()
+  }
+
+  def releaseUnder(path: String): Unit = {
+    val prefix = if (path.endsWith("/")) path else path + "/"
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(claimsDir)
+    try s.iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".claim"))
+      .foreach { f =>
+        // content = the claimed path; an unreadable file (concurrently
+        // released) just skips — deleteIfExists tolerates the race
+        val claimed =
+          try new String(Files.readAllBytes(f), "UTF-8")
+          catch { case _: java.io.IOException => "" }
+        if (claimed == path || claimed.startsWith(prefix))
+          Files.deleteIfExists(f)
+      }
+    finally s.close()
+  }
+}
+
 /** EXTERNAL-COORDINATOR put-if-absent over a store with no native CAS
   * — the object-store strategy of the matrix (the DynamoDB-LogStore
   * pattern S3 deployments use): slot OWNERSHIP is decided by a

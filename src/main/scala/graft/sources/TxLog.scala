@@ -1268,13 +1268,16 @@ object TxLog {
     * append. Unrelated concurrent commits just retry the loop (each
     * iteration re-proves the batch id absent at a newer head), so the
     * blind-append liveness of a busy table is kept. */
-  def appendStream(df: DataFrame, dir: String, batchId: Long): Option[Int] = {
+  def appendStream(df: DataFrame, dir: String, batchId: Long,
+                   statsCols: Seq[String] = Nil): Option[Int] = {
     val op = s"stream-$batchId"
     var snap = state(dir)
     if (snap.streamOps.contains(op)) return None
     val seg = newSegment(dir, df)
+    val stats = segStats(df.sparkSession, dir, seg, statsCols)
     while (true) {
-      try return Some(commit(dir, op, Seq(seg), Seq.empty, Some(snap.version)))
+      try return Some(commit(dir, op, Seq(seg), Seq.empty, Some(snap.version),
+        stats = stats))
       catch {
         case _: java.util.ConcurrentModificationException =>
           snap = state(dir)
@@ -1307,6 +1310,33 @@ object TxLog {
                      statsCols: Seq[String] = Nil): Option[Int] =
     mergeMoRAs(spark, dir, updates, key, s"stream-$batchId", statsCols,
       dedupStreamOp = true)
+
+  /** Idempotent streaming OVERWRITE — [[appendStream]]'s contract for
+    * Complete-mode sinks (a streaming aggregation that REPLACES the
+    * table every trigger): the batch id rides in the op, an
+    * already-committed id is skipped, and the conditional commit makes
+    * a concurrent duplicate conflict loud and skip on its retry. The
+    * remove set is the conditioned snapshot's live set, re-resolved on
+    * each unrelated-conflict retry, so a racing append is replaced
+    * rather than resurrected. */
+  def overwriteStream(df: DataFrame, dir: String, batchId: Long): Option[Int] = {
+    val op = s"stream-$batchId"
+    var snap = state(dir)
+    if (snap.streamOps.contains(op)) return None
+    val seg = newSegment(dir, df)
+    while (true) {
+      try return Some(commit(dir, op, Seq(seg), snap.live, Some(snap.version)))
+      catch {
+        case _: java.util.ConcurrentModificationException =>
+          snap = state(dir)
+          if (snap.streamOps.contains(op)) {
+            store(dir).deleteRecursively(s"$dir/$seg")
+            return None
+          }
+      }
+    }
+    None // unreachable
+  }
 
   /** Replace the table contents with `df`. Conflicts (fails) if any
     * commit lands between the snapshot and this commit — the replaced

@@ -1,11 +1,12 @@
 package graft.sources.txlog
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.sources.TxLog
@@ -57,7 +58,8 @@ import graft.sources.TxLog
   * bounded by the trigger cap — never the table) and compares field
   * names against the construction-time schema; the fix is restarting
   * the query, which re-resolves the merged schema. */
-class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "txlog"
 
   private def dirOf(parameters: Map[String, String]): String =
@@ -105,6 +107,54 @@ class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
     new TxLogSource(ctx, dir, floor, cap, dataSchemaOf(ctx, dir))
   }
 
+  /** The SINK half — `df.writeStream.format("txlog").option("path",
+    * dir)` — completing the native CDC pair (read a table's commit log
+    * with the source, apply it to another table with the sink, both
+    * exactly-once). Per [[OutputMode]]:
+    *
+    *  - **Append** → [[TxLog.appendStream]]: one segment per
+    *    micro-batch, batch id in the commit op, replays skipped.
+    *  - **Update** (requires `mergeKey`) → [[TxLog.mergeStreamMoR]]:
+    *    per-batch MERGE-ON-READ upsert on the key — tombstones + one
+    *    batch-sized segment, never a target rewrite; the streaming CDC
+    *    APPLY shape.
+    *  - **Complete** → [[TxLog.overwriteStream]]: the table is REPLACED
+    *    each trigger (a streaming aggregation's refresh), same
+    *    batch-id idempotence.
+    *
+    * Options: `path` (required); `mergeKey` — the Update-mode merge
+    * column; `statsCols` — comma-separated columns whose per-segment
+    * min/max are recorded at each commit, so downstream range reads
+    * prune the freshly-ingested segments. `partitionBy` is rejected
+    * loud: TxLog's skipping story is commit-recorded stats/z-order,
+    * not hive directory layout. All three modes are exactly-once under
+    * the engine's at-least-once replay (batch ids fold into log
+    * checkpoints; the dedup probe is O(checkpoint + tail)). */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val dir = dirOf(parameters)
+    require(partitionColumns.isEmpty,
+      "txlog sink does not take partitionBy: data skipping comes from " +
+        "commit-recorded stats (statsCols option) and z-order, not " +
+        "directory layout")
+    val mergeKey = parameters.get("mergeKey")
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    outputMode match {
+      case m if m == OutputMode.Update() =>
+        require(mergeKey.nonEmpty,
+          "txlog sink in Update mode requires .option(\"mergeKey\", <col>) " +
+            "— updates are applied as a merge-on-read upsert on that key")
+      case m if m == OutputMode.Append() || m == OutputMode.Complete() =>
+        require(mergeKey.isEmpty,
+          s"mergeKey is only meaningful in Update mode (got $outputMode); " +
+            "Append appends each batch, Complete replaces the table")
+      case m => throw new IllegalArgumentException(s"unsupported output mode $m")
+    }
+    new TxLogSink(dir, outputMode, mergeKey, statsCols)
+  }
+
   /** `latest` binds at the FIRST start only: the resolved floor is
     * persisted in the query's metadata path (the engine-managed
     * per-source checkpoint dir), so a restart resumes from the
@@ -129,6 +179,31 @@ class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
       floor
     }
   }
+}
+
+/** The v1 sink: routes each micro-batch through the idempotent
+  * batch-id-deduped TxLog write for the query's output mode. The
+  * engine hands `addBatch` a streaming-tagged plan; [[ColumnShim
+  * .asBatch]] re-tags it so the batch write path (parquet segment +
+  * conditional commit) applies unchanged. Exactly-once composes from
+  * both sides: the engine replays un-committed batches at-least-once,
+  * and the table skips already-committed batch ids. */
+private[txlog] class TxLogSink(dir: String, mode: OutputMode,
+    mergeKey: Option[String], statsCols: Seq[String]) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = ColumnShim.asBatch(data)
+    val spark = data.sparkSession
+    mergeKey match {
+      case Some(k) =>
+        TxLog.mergeStreamMoR(spark, dir, batch, k, batchId, statsCols)
+      case None if mode == OutputMode.Complete() =>
+        TxLog.overwriteStream(batch, dir, batchId)
+      case None =>
+        TxLog.appendStream(batch, dir, batchId, statsCols)
+    }
+    ()
+  }
+  override def toString: String = s"TxLogSink[$dir, $mode]"
 }
 
 private[graft] object TxLogSource {

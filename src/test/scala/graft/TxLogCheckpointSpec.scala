@@ -245,4 +245,70 @@ class TxLogCheckpointSpec extends SparkTestBase {
         s"slot $slot holds '$content' but the claim winner was '${winners.get(slot)}'")
     }
   }
+
+  test("two-JVM coordinator race: FileClaimCoordinator arbitrates across processes") {
+    // The race the in-process stress CANNOT run: separate JVMs share
+    // nothing but the claims directory, so the only thing arbitrating
+    // slot ownership is FileClaimCoordinator's hard-link claim publish.
+    // This process and two child `java` processes (ClaimRaceChild, the
+    // forked test JVM's own classpath) each race putIfAbsent over the
+    // same 60 slots through their own CoordinatedLogStore; exactly one
+    // claimant per slot may win, and the bytes on disk must be that
+    // winner's — NioLogStore's rename would silently REPLACE, so any
+    // arbitration hole shows up as content from a loser.
+    import graft.sources.{CoordinatedLogStore, FileClaimCoordinator, NioLogStore}
+    val root = java.nio.file.Files.createTempDirectory("graft-claimrace")
+    val claims = root.resolve("_claims"); val base = root.resolve("slots")
+    java.nio.file.Files.createDirectories(base)
+    val nSlots = 60
+    val slots = (0 until nSlots).map(v => f"$base/$v%08d.txt")
+    def spawn(id: String): (Process, java.nio.file.Path) = {
+      val wonFile = root.resolve(s"won-$id.txt")
+      val pb = new ProcessBuilder(
+        s"${System.getProperty("java.home")}/bin/java",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.ClaimRaceChild",
+        claims.toString, base.toString, nSlots.toString, id,
+        wonFile.toString)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(root.resolve(s"child-$id.log").toFile)
+      (pb.start(), wonFile)
+    }
+    val children = Seq(spawn("jvm-a"), spawn("jvm-b"))
+    // the parent races too, through its own store instance
+    val mine = new scala.util.Random(7).shuffle(slots.toList).filter { slot =>
+      new CoordinatedLogStore(NioLogStore, new FileClaimCoordinator(claims))
+        .putIfAbsent(slot, "parent".getBytes("UTF-8"))
+    }
+    children.foreach { case (proc, _) =>
+      assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM did not finish")
+      assert(proc.exitValue() == 0,
+        s"child JVM failed (exit ${proc.exitValue()}) — see $root/child-*.log")
+    }
+    val childWins = children.map { case (_, wonFile) =>
+      new String(java.nio.file.Files.readAllBytes(wonFile), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq
+    }
+    val byClaimant = Map("parent" -> mine.toSeq,
+      "jvm-a" -> childWins(0), "jvm-b" -> childWins(1))
+    val all = byClaimant.values.flatten.toSeq
+    assert(all.size == all.distinct.size,
+      s"a slot was won twice across JVMs: ${all.diff(all.distinct)}")
+    assert(all.toSet == slots.toSet,
+      s"unwon slots: ${slots.toSet -- all.toSet}")
+    // disk bytes are the claim winner's, for every slot
+    byClaimant.foreach { case (id, won) =>
+      won.foreach { slot =>
+        val content = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(slot)), "UTF-8")
+        assert(content == id,
+          s"slot $slot holds '$content' but the cross-process winner was '$id'")
+      }
+    }
+    // directory-deletion cleanup releases every claim under the table
+    new FileClaimCoordinator(claims).releaseUnder(base.toString)
+    assert(new FileClaimCoordinator(claims).claim(slots.head),
+      "releaseUnder must free claims for re-arbitration")
+  }
 }
