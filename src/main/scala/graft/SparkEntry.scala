@@ -602,6 +602,31 @@ object SparkEntry {
         .orderBy("version", "change_type")
     }),
 
+    // INCREMENTAL MATERIALIZED-VIEW maintenance from the CHANGE FEED —
+    // what the row-level CDF is FOR: the standing per-status aggregate
+    // (materialized at v1, before any DML) absorbs v2's MoR delete,
+    // v3's MoR update, and v4's MoR merge as SIGNED DELTAS
+    // (insert/update_postimage +1, delete/update_preimage −1) without
+    // ever rescanning the base table — refresh cost is |changes| +
+    // |MV|, so a 100 TB fact table refreshes in O(day's DML). The
+    // oracle recomputes the head state from scratch: the hash match IS
+    // the proof that signed-delta maintenance ≡ full recompute across
+    // all three MoR DML shapes. The require pins that only logical
+    // changes feed the algebra (a rewrite commit would double-count).
+    "table_log_mv_refresh" -> ((s, d) => {
+      val dir = txMorCache(s, d)
+      val mv = graft.sources.TxLog.read(s, dir, asOf = 1)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val changes = graft.sources.TxLog.readChangeFeed(s, dir, fromVersion = 1)
+      val dmlOps = Set("delete_mor", "update_mor", "merge_mor")
+      require(Range(2, graft.sources.TxLog.headVersion(dir) + 1)
+          .forall(v => dmlOps(graft.sources.TxLog.commitOp(dir, v))),
+        "mv refresh scenario must contain only logical-change commits")
+      Relational.mvRefresh(mv, changes, Seq("o_orderstatus"), Seq("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // copy-on-write UPDATE on the log table — the DML triad's third
     // leg (DELETE / MERGE / UPDATE): cents bumped where o_custkey%10=3,
     // only match-bearing segments rewritten. Reads AS OF the update
@@ -3691,6 +3716,49 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // STREAMING WINDOWED ROLLUP TABLE — a STATEFUL hourly aggregate
+    // maintained in a TxLog table through the Update-mode merge sink:
+    // each micro-batch re-emits only the windows it touched (with their
+    // cumulative totals), and the sink upserts them on the window key
+    // as a merge-on-read batch — so the rollup table's write cost per
+    // trigger is ∝ touched windows, never the table, and a dashboard
+    // reads committed totals with snapshot isolation. This drives the
+    // state-store path through the sink (the incremental physical plan
+    // carries the aggregation state; TxLogSink stages its rows once).
+    // The oracle is the batch recompute over all events: the final
+    // upsert per window must equal the full aggregate.
+    "stream_txlog_window" -> ((s, d) => withStreamPartitions(s) {
+      val src = streamCache4(s, d)
+      val dst = s"/tmp/graft_txwin_${new java.io.File(d).getName}"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dst).toPath)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_txwin_ck")
+      val feed = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*.parquet")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      // no watermark: Update mode re-emits a window whenever ANY batch
+      // touches it, so the out-of-order 4-file replay stays exact (a
+      // production deployment adds one to bound state, trading exactly
+      // this late-data completeness)
+      val agg = feed
+        .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .select(
+          concat_ws("|", unix_micros(col("w.start")), col("event_type")).as("k"),
+          unix_micros(col("w.start")).as("hour_us"), col("event_type"),
+          col("n"), col("cents"))
+      val q = agg.writeStream.format("txlog")
+        .option("path", dst).option("mergeKey", "k")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      require(graft.sources.TxLog.headVersion(dst) == 3,
+        "4 micro-batches must land as 4 upsert commits")
+      graft.sources.TxLog.read(s, dst)
+        .select("hour_us", "event_type", "n", "cents")
+        .orderBy("hour_us", "event_type")
+    }),
+
     // TOLERANCE as-of (pandas merge_asof's `tolerance`): the backward
     // match only counts within 2 hours — stale lookups become
     // no-match instead of silently joining hours-old state
@@ -5774,6 +5842,14 @@ object SparkEntry {
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the rollup table's final upsert per window = the batch aggregate
+    "stream_txlog_window" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events
+         GROUP BY hour_us, event_type
+         ORDER BY hour_us, event_type""",
     // merge-on-read delete replayed relationally: v2 = orders minus
     // the tombstoned custkey band
     "table_log_dv" ->
@@ -5846,6 +5922,26 @@ object SparkEntry {
          SELECT o_orderstatus, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents,
              CAST(sum(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS inserted
+         FROM v4 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the incremental MV must equal the full head-state recompute —
+    // same v4 replay as table_log_merge_mor, without the insert marker
+    "table_log_mv_refresh" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+               o_custkey FROM orders),
+         v2 AS (SELECT * FROM base WHERE o_custkey % 7 <> 3),
+         v3 AS (SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_custkey % 7 = 4 THEN c + 111 ELSE c END AS c
+           FROM v2),
+         u AS (SELECT o_orderkey, o_orderstatus, c + 5000 AS c FROM base
+               WHERE o_orderkey % 500 = 7
+               UNION ALL
+               SELECT -o_orderkey, o_orderstatus, c FROM base
+               WHERE o_orderkey % 500 = 8),
+         v4 AS (SELECT o_orderkey, o_orderstatus, c FROM v3
+               WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+               UNION ALL SELECT o_orderkey, o_orderstatus, c FROM u)
+         SELECT o_orderstatus, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
          FROM v4 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // update replayed relationally
     "table_log_update" ->

@@ -80,6 +80,45 @@ object Relational {
            max("t_us").as("end_us"))
   }
 
+  /** INCREMENTAL MATERIALIZED-VIEW maintenance: absorb a row-level
+    * change feed into a standing count/sum aggregate WITHOUT touching
+    * the base table. `mv` holds `groupCols ++ (n, sumCols*)`; `changes`
+    * is a CDF frame (rows + `_change_type`) carrying ONLY logical
+    * changes — the caller filters out rewrite commits
+    * (optimize/compact/z-order surface their output as op-tagged
+    * inserts with no matching deletes, which would double-count).
+    *
+    * The algebra is the classic signed-delta IVM for commutative
+    * monoids: insert/update_postimage weigh +1, delete/update_preimage
+    * weigh −1; partial-aggregate the delta, merge with the MV by
+    * summing, and DROP groups whose support reaches zero (the subtlety
+    * naive implementations miss — a fully-deleted group must vanish
+    * from the view, not linger as a zero row).
+    *
+    * Scale: cost is |delta| + |MV| — one shuffle over the delta (with
+    * map-side combine) and one over the MV-sized merge; the 100 TB base
+    * table is never read. AVG/derived measures recompute from (sum, n)
+    * at read time; MIN/MAX are NOT maintainable this way (deletes can't
+    * be unwound from a max) — those need a recompute or a sketch. */
+  def mvRefresh(mv: DataFrame, changes: DataFrame, groupCols: Seq[String],
+                sumCols: Seq[String]): DataFrame = {
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+      .otherwise(raise_error(concat(lit("mvRefresh: unknown _change_type "),
+        col("_change_type"))).cast("long")) // fail loud, never mis-weigh
+    val deltaAggs = sum(sign).as("n") +:
+      sumCols.map(c => sum(sign * col(c)).as(c))
+    val delta = changes.groupBy(groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val mergeAggs = sum(col("n")).as("n") +:
+      sumCols.map(c => sum(col(c)).as(c))
+    mv.select((groupCols :+ "n") ++ sumCols map col: _*)
+      .unionByName(delta)
+      .groupBy(groupCols.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .filter(col("n") > 0)
+  }
+
   /** MERGE / upsert: apply a `changes` batch to a `current` snapshot by
     * key — matched keys take the changed row, unmatched changes insert,
     * untouched current rows persist; each output row is tagged with its

@@ -104,4 +104,59 @@ class RelationalSpec extends SparkTestBase {
       (1L, "B", 1L, Some(2L), false),
       (1L, "C", 2L, None, true)))
   }
+
+  test("mvRefresh: signed deltas, vanished groups dropped, update pairs net out") {
+    val mv = Seq(("a", 2L, 30L), ("b", 1L, 5L), ("c", 3L, 60L))
+      .toDF("g", "n", "cents")
+    val changes = Seq(
+      // group b fully deleted → must VANISH from the view, not linger
+      ("b", 5L, "delete"),
+      // group a: one update pair (value 10 → 17): n unchanged, sum +7
+      ("a", 10L, "update_preimage"), ("a", 17L, "update_postimage"),
+      // group d newborn via inserts
+      ("d", 4L, "insert"), ("d", 6L, "insert"))
+      .toDF("g", "cents", "_change_type")
+    val got = Relational.mvRefresh(mv, changes, Seq("g"), Seq("cents"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 2L, 37L), ("c", 3L, 60L), ("d", 2L, 10L)))
+  }
+
+  test("mvRefresh refuses unknown change tags loud (never silently mis-weighs)") {
+    val mv = Seq(("a", 1L, 10L)).toDF("g", "n", "cents")
+    val changes = Seq(("a", 5L, "upsert")).toDF("g", "cents", "_change_type")
+    val e = intercept[Exception] {
+      Relational.mvRefresh(mv, changes, Seq("g"), Seq("cents")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("unknown _change_type")),
+      s"wrong error: $e")
+  }
+
+  test("mvRefresh over a random DML tape equals full recompute") {
+    // property-style: 300 rows, a random mix of deletes and update
+    // pairs expressed as CDF rows; merge(base MV, signed delta) must
+    // equal aggregating the final state directly
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map(i =>
+      (i.toLong, s"g${i % 7}", rnd.nextInt(1000).toLong))
+    val base = rows.toDF("id", "g", "cents")
+    val mv = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+    val deleted = rows.filter(_._1 % 5 == 0)
+    val updated = rows.filter(r => r._1 % 5 != 0 && r._1 % 3 == 0)
+    val changes =
+      deleted.map(r => (r._2, r._3, "delete")) ++
+      updated.map(r => (r._2, r._3, "update_preimage")) ++
+      updated.map(r => (r._2, r._3 + 100L, "update_postimage"))
+    val got = Relational.mvRefresh(mv,
+        changes.toDF("g", "cents", "_change_type"), Seq("g"), Seq("cents"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val finalRows = rows.filter(_._1 % 5 != 0)
+      .map(r => if (r._1 % 3 == 0) (r._1, r._2, r._3 + 100L) else r)
+    val want = finalRows.groupBy(_._2).map { case (g, rs) =>
+      (g, rs.size.toLong, rs.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got == want)
+  }
 }
