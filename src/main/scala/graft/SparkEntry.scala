@@ -3759,6 +3759,46 @@ object SparkEntry {
         .orderBy("hour_us", "event_type")
     }),
 
+    // STREAMING INCREMENTAL VIEW MAINTENANCE — the whole round trip:
+    // the source tails the MoR table's ROW-LEVEL change feed
+    // (changeFeed=true: deletion-vector pre-images arrive as
+    // delete/update_preimage rows, one commit per trigger), and each
+    // micro-batch folds its signed deltas into the standing aggregate
+    // (Relational.mvRefresh) and commits the refreshed MV exactly-once
+    // (overwriteStream, batch id in the op). Five source commits →
+    // five MV versions, each a consistent view of its source version —
+    // and every refresh costs |commit's changes| + |MV|, never a base
+    // rescan. The oracle recomputes the head state from scratch; the
+    // hash match proves the STREAMED maintenance ≡ full recompute
+    // through appends, an MoR delete, an MoR update, and an MoR merge.
+    "stream_mv_refresh" -> ((s, d) => withStreamPartitions(s) {
+      val src = txMorCache(s, d)
+      val mvDir = s"/tmp/graft_txmvs_${new java.io.File(d).getName}"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(mvDir).toPath)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_txmv_ck")
+      val q = s.readStream.format("txlog")
+        .option("path", src).option("changeFeed", "true")
+        .option("maxCommitsPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (changes: DataFrame, id: Long) =>
+          val cur =
+            if (graft.sources.TxLog.headVersion(mvDir) >= 0)
+              graft.sources.TxLog.read(s, mvDir)
+            else s.range(0).select(
+              lit(null).cast("string").as("o_orderstatus"),
+              lit(null).cast("long").as("n"),
+              lit(null).cast("long").as("cents"))
+          val next = Relational.mvRefresh(cur, changes,
+            Seq("o_orderstatus"), Seq("cents"))
+          graft.sources.TxLog.overwriteStream(next, mvDir, id)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      require(graft.sources.TxLog.headVersion(mvDir) == 4,
+        "5 source commits at 1/trigger must produce 5 MV versions")
+      graft.sources.TxLog.read(s, mvDir).orderBy("o_orderstatus")
+    }),
+
     // TOLERANCE as-of (pandas merge_asof's `tolerance`): the backward
     // match only counts within 2 hours — stale lookups become
     // no-match instead of silently joining hours-old state
@@ -5926,6 +5966,25 @@ object SparkEntry {
     // the incremental MV must equal the full head-state recompute —
     // same v4 replay as table_log_merge_mor, without the insert marker
     "table_log_mv_refresh" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+               o_custkey FROM orders),
+         v2 AS (SELECT * FROM base WHERE o_custkey % 7 <> 3),
+         v3 AS (SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_custkey % 7 = 4 THEN c + 111 ELSE c END AS c
+           FROM v2),
+         u AS (SELECT o_orderkey, o_orderstatus, c + 5000 AS c FROM base
+               WHERE o_orderkey % 500 = 7
+               UNION ALL
+               SELECT -o_orderkey, o_orderstatus, c FROM base
+               WHERE o_orderkey % 500 = 8),
+         v4 AS (SELECT o_orderkey, o_orderstatus, c FROM v3
+               WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+               UNION ALL SELECT o_orderkey, o_orderstatus, c FROM u)
+         SELECT o_orderstatus, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+         FROM v4 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the streamed MV must ALSO equal the full head-state recompute
+    "stream_mv_refresh" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus,
                CAST(round(o_totalprice * 100) AS BIGINT) AS c,
                o_custkey FROM orders),

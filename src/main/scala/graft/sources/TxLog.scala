@@ -1528,9 +1528,29 @@ object TxLog {
     * segments' scan) — nothing re-reads the log prefix. */
   def readChangeFeed(spark: SparkSession, dir: String,
                      fromVersion: Int): DataFrame = {
+    val data = read(spark, dir, mergeSchema = true).schema
+    changeFeedSlice(spark, dir, fromVersion + 1, headVersion(dir), data)
+      .getOrElse(read(spark, dir, mergeSchema = true).limit(0)
+        .withColumn("_commit_version", lit(0L))
+        .withColumn("_commit_op", lit(""))
+        .withColumn("_change_type", lit("")))
+  }
+
+  /** The BOUNDED change-feed body shared by [[readChangeFeed]] and the
+    * streaming CDF source: change rows for the commits in `[from, to]`,
+    * read with the EXPLICIT `data` schema — no per-call inference job;
+    * pre-evolution segments surface null for later-added columns.
+    * `None` when no commit in range carries changes (the caller picks
+    * its own empty-frame shape). Cost is O(range's adds + tombstone
+    * coordinates + dirty-segment scan); nothing re-reads the log
+    * prefix, which is what keeps tailing a 100 TB table's changes
+    * proportional to the changes. */
+  def changeFeedSlice(spark: SparkSession, dir: String, from: Int, to: Int,
+                      data: org.apache.spark.sql.types.StructType
+                     ): Option[DataFrame] = {
     val st = store(dir)
-    val newer = Iterator.from(math.max(0, fromVersion + 1))
-      .takeWhile(v => st.exists(entryPath(dir, v)))
+    val newer = (math.max(0, from) to to).iterator
+      .filter(v => st.exists(entryPath(dir, v)))
       .map(v => readEntry(dir, v))
       .filter(e => e.add.nonEmpty || e.dvs.nonEmpty)
       .toSeq
@@ -1543,7 +1563,7 @@ object TxLog {
         if (e.add.isEmpty) None
         else {
           val ct = if (e.op == "update_mor") "update_postimage" else "insert"
-          Some(tagged(spark.read.option("mergeSchema", "true")
+          Some(tagged(spark.read.schema(data)
             .parquet(e.add.map(s => segPath(dir, s)): _*), e.version, e.op, ct))
         }
       val removed =
@@ -1558,7 +1578,7 @@ object TxLog {
             .select(col("file"), col("pos"))
           // pre-images from the raw segment bytes (the current state
           // has them tombstoned; the segments themselves are immutable)
-          val scan = spark.read.option("mergeSchema", "true")
+          val scan = spark.read.schema(data)
             .parquet(segs.map(s => segPath(dir, s)): _*)
             .withColumn("__file", col("_metadata.file_path"))
             .withColumn("__pos", col("_metadata.row_index"))
@@ -1574,12 +1594,10 @@ object TxLog {
         }
       added.toSeq ++ removed.toSeq
     }
-    if (parts.isEmpty)
-      return read(spark, dir, mergeSchema = true).limit(0)
-        .withColumn("_commit_version", lit(0L))
-        .withColumn("_commit_op", lit(""))
-        .withColumn("_change_type", lit(""))
-    parts.reduce(_ unionByName(_, allowMissingColumns = true))
+    if (parts.isEmpty) None
+    else Some(parts.reduce(_ unionByName _)
+      .select((data.fieldNames.toSeq ++
+        Seq("_commit_version", "_commit_op", "_change_type")).map(col): _*))
   }
 
   /** ANALYZE (compute statistics): backfills min/max stats and Bloom

@@ -46,7 +46,14 @@ import graft.sources.TxLog
   * so backfill proceeds in bounded, individually-checkpointed batches
   * out of the box (bounded plan width and executor memory, restartable
   * progress). `"none"` opts out (everything up to head in one batch,
-  * the `Trigger.AvailableNow` shape, for histories known to be short).
+  * the `Trigger.AvailableNow` shape, for histories known to be short);
+  * `changeFeed` — `true` delivers the ROW-LEVEL change feed instead of
+  * add-set CDC: every batch row carries `_change_type`
+  * (insert / delete / update_preimage / update_postimage, resolved
+  * from deletion-vector sidecars exactly like the batch
+  * [[TxLog.readChangeFeed]]), which is what lets a streaming consumer
+  * maintain downstream state through DML — the input to streaming
+  * incremental view maintenance.
   *
   * Schema: the table's merged head schema + the two tag columns; each
   * batch is read with that EXPLICIT schema, so pre-evolution segments
@@ -66,6 +73,21 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "txlog stream source requires .option(\"path\", <table dir>)"))
 
+  /** `changeFeed=true` switches the source from add-set CDC (inserts
+    * only, op-tagged) to the ROW-LEVEL change feed: each micro-batch
+    * carries `_change_type`-tagged rows — deletion-vector pre-images
+    * surface as `delete` / `update_preimage` alongside the adds — so a
+    * downstream consumer can maintain state through DML, not just
+    * appends (Delta's `readChangeFeed` streaming option). */
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("changeFeed") match {
+      case None => false
+      case Some(v) if v.equalsIgnoreCase("true")  => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"option changeFeed must be true or false, got '$v'")
+    }
+
   // one merged-schema inference per stream start, not one per
   // sourceSchema/createSource call (the engine calls both)
   @volatile private var schemaMemo: Option[(String, StructType)] = None
@@ -81,7 +103,8 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     ("txlog", StructType(dataSchemaOf(ctx, dirOf(parameters)) ++
-      TxLogSource.MetaFields))
+      (if (cdfOf(parameters)) TxLogSource.CdfMetaFields
+       else TxLogSource.MetaFields)))
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -104,7 +127,8 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
         Some(n)
       case None => Some(TxLogSource.DefaultMaxCommitsPerTrigger)
     }
-    new TxLogSource(ctx, dir, floor, cap, dataSchemaOf(ctx, dir))
+    new TxLogSource(ctx, dir, floor, cap, dataSchemaOf(ctx, dir),
+      changeFeed = cdfOf(parameters))
   }
 
   /** The SINK half — `df.writeStream.format("txlog").option("path",
@@ -216,6 +240,10 @@ private[graft] object TxLogSource {
     StructField("_commit_version", LongType, nullable = false),
     StructField("_commit_op", StringType, nullable = false))
 
+  /** changeFeed mode adds the row-level change tag. */
+  val CdfMetaFields: Seq[StructField] = MetaFields :+
+    StructField("_change_type", StringType, nullable = false)
+
   def dataSchema(ctx: SQLContext, dir: String): StructType =
     TxLog.read(ctx.sparkSession, dir, mergeSchema = true).schema
 
@@ -225,10 +253,12 @@ private[graft] object TxLogSource {
 
 private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
                                  maxCommitsPerTrigger: Option[Int],
-                                 data: StructType)
+                                 data: StructType,
+                                 changeFeed: Boolean = false)
     extends Source {
   private val spark = ctx.sparkSession
-  override val schema: StructType = StructType(data ++ TxLogSource.MetaFields)
+  override val schema: StructType = StructType(data ++
+    (if (changeFeed) TxLogSource.CdfMetaFields else TxLogSource.MetaFields))
 
   /** Highest commit version the engine has planned or committed —
     * the anchor the per-trigger cap advances from. Learned from
@@ -270,15 +300,14 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
       .map { v => val (op, add) = TxLog.commitAdds(dir, v); (v, op, add) }
       .filter(_._3.nonEmpty)
       .toSeq
-    if (parts.isEmpty) ColumnShim.emptyStreaming(spark, schema)
-    else {
-      // schema-drift guard: a commit that ADDED a column after this
-      // stream resolved its schema would otherwise be read with the
-      // stale explicit schema and the new column silently dropped from
-      // every row delivered — fail the stream loud instead (Delta's
-      // contract); a restart re-resolves the merged schema. One
-      // footer-read inference over THIS BATCH's adds only — O(batch),
-      // bounded by the trigger cap, never a table-wide listing.
+    // schema-drift guard: a commit that ADDED a column after this
+    // stream resolved its schema would otherwise be read with the
+    // stale explicit schema and the new column silently dropped from
+    // every row delivered — fail the stream loud instead (Delta's
+    // contract); a restart re-resolves the merged schema. One
+    // footer-read inference over THIS BATCH's adds only — O(batch),
+    // bounded by the trigger cap, never a table-wide listing.
+    if (parts.nonEmpty) {
       val known = data.fieldNames.toSet
       val drifted = spark.read.option("mergeSchema", "true")
         .parquet(parts.flatMap(_._3): _*).schema.fieldNames
@@ -289,6 +318,18 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
             s"(new column(s): ${drifted.mkString(", ")}). Restart the " +
             "query to pick up the evolved schema — continuing would " +
             "silently drop the new column(s) from delivered rows.")
+    }
+    if (changeFeed) {
+      // row-level mode: the slice may contain a semi JOIN (deletion-
+      // vector pre-image resolution), so it is wrapped as ONE
+      // streaming-tagged leaf — per-leaf tagging would make the engine
+      // plan a stream-stream join out of an already-resolved batch
+      TxLog.changeFeedSlice(spark, dir, from, to, data) match {
+        case Some(body) => ColumnShim.asStreamingRdd(body)
+        case None       => ColumnShim.emptyStreaming(spark, schema)
+      }
+    } else if (parts.isEmpty) ColumnShim.emptyStreaming(spark, schema)
+    else {
       ColumnShim.asStreaming(parts.map { case (v, op, add) =>
         spark.read.schema(data).parquet(add: _*) // already-resolved paths
           .withColumn("_commit_version", lit(v.toLong))

@@ -73,6 +73,22 @@ object ColumnShim {
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
         isStreaming = false)
 
+  /** Wrap an arbitrary BATCH DataFrame as ONE streaming-tagged leaf
+    * (`LogicalRDD(isStreaming = true)` over its physical rows) — the
+    * Kafka-source shape (`internalCreateDataFrame(rdd, schema,
+    * isStreaming = true)`). Needed when a v1 `Source.getBatch` body
+    * contains a JOIN: [[asStreaming]]'s per-leaf re-tag would mark BOTH
+    * join legs streaming and the engine would plan a stream-stream
+    * join (watermark-demanding, stateful) for what is semantically one
+    * already-resolved micro-batch. Wrapping the whole computation as a
+    * single leaf keeps the join a plain batch hash join inside the RDD
+    * and presents only its OUTPUT to the incremental planner. Lazy —
+    * nothing executes until the engine runs the batch. */
+  def asStreamingRdd(df: DataFrame): DataFrame =
+    df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+        isStreaming = true)
+
   /** An empty STREAMING DataFrame of `schema` — the zero-rows
     * micro-batch of a v1 streaming Source (a commit range whose add
     * sets are all empty still advances the offset). */

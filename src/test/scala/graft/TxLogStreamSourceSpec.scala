@@ -268,4 +268,54 @@ class TxLogStreamSourceSpec extends SparkTestBase {
       s"tailing one new commit cost $reads metadata reads")
     assert(spark.read.parquet(sink).count() == 61)
   }
+
+  test("changeFeed=true streams the row-level feed: stream ≡ batch readChangeFeed") {
+    val dir = freshDir("graft-txcdf")
+    TxLog.append(sample(0, 20), dir)                                 // v0
+    TxLog.deleteMoR(spark, dir, "id % 5 = 0")                        // v1
+    TxLog.updateMoR(spark, dir, "id % 5 = 1", Map("k" -> "k + 100")) // v2
+    val sink = freshDir("graft-txcdfsink")
+    val ckpt = freshDir("graft-txcdfck")
+    val q = spark.readStream.format("txlog")
+      .option("path", dir).option("changeFeed", "true").load()
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "k", "_commit_version", "_commit_op", "_change_type")
+      .as[(Long, Long, Long, String, String)].collect().sorted.toSeq
+    val streamed = canon(spark.read.parquet(sink))
+    assert(streamed == canon(TxLog.readChangeFeed(spark, dir, fromVersion = -1)),
+      "streamed change feed must equal the batch change feed")
+    // pre-images really arrive: ids 0,5,10,15 deleted; 1,6,11,16 updated
+    assert(streamed.count(_._5 == "delete") == 4)
+    assert(streamed.filter(_._5 == "delete").map(_._1).toSet ==
+      Set(0L, 5L, 10L, 15L))
+    assert(streamed.count(_._5 == "update_preimage") == 4)
+    assert(streamed.filter(_._5 == "update_postimage").forall(_._2 >= 100),
+      "post-images must carry the updated value")
+  }
+
+  test("changeFeed restart delivers only the downtime DML, exactly once") {
+    val dir = freshDir("graft-txcdf")
+    TxLog.append(sample(0, 10), dir)
+    val sink = freshDir("graft-txcdfsink")
+    val ckpt = freshDir("graft-txcdfck")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("txlog")
+        .option("path", dir).option("changeFeed", "true").load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 10)
+    // an MoR delete lands while the stream is DOWN
+    TxLog.deleteMoR(spark, dir, "id >= 7")
+    runOnce()
+    val out = spark.read.parquet(sink)
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    // the restart delivers exactly the 3 pre-images, nothing re-sent
+    assert(out == Map("insert" -> 10L, "delete" -> 3L), s"got $out")
+  }
 }
