@@ -3759,6 +3759,28 @@ object SparkEntry {
         .orderBy("hour_us", "event_type")
     }),
 
+    // STREAMING ROW-LEVEL CHANGE FEED, oracle-checked end to end: the
+    // source in changeFeed mode tails the MoR table and delivers
+    // deletion-vector pre-images as delete/update_preimage ROWS (not
+    // just op tags) — the aggregate per (version, change_type) must
+    // equal the relational replay of the DML tape, proving the
+    // streamed pre-image resolution exact. Admission-capped at 2
+    // commits/trigger so the history arrives as multiple bounded
+    // batches, each O(that batch's changes).
+    "stream_txlog_cdf" -> ((s, d) => withStreamPartitions(s) {
+      val dir = txMorCache(s, d)
+      val q = s.readStream.format("txlog")
+        .option("path", dir).option("changeFeed", "true")
+        .option("maxCommitsPerTrigger", "2").load()
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_txlog_cdf").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_stream_txlog_cdf").orderBy("version", "change_type")
+    }),
+
     // STREAMING INCREMENTAL VIEW MAINTENANCE — the whole round trip:
     // the source tails the MoR table's ROW-LEVEL change feed
     // (changeFeed=true: deletion-vector pre-images arrive as
@@ -5933,6 +5955,31 @@ object SparkEntry {
                 UNION ALL SELECT c FROM base WHERE o_orderkey % 500 = 8),
          feed AS (
            SELECT 2 AS v, 'delete' AS t, c FROM v2d
+           UNION ALL SELECT 3, 'update_preimage', c FROM u3
+           UNION ALL SELECT 3, 'update_postimage', c + 111 FROM u3
+           UNION ALL SELECT 4, 'delete', c FROM m4
+           UNION ALL SELECT 4, 'insert', c FROM u4)
+         SELECT CAST(v AS BIGINT) AS version, t AS change_type,
+             count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+         FROM feed GROUP BY v, t ORDER BY version, change_type""",
+    // the STREAMED feed also carries v0/v1's append inserts (the
+    // stream starts at version 0; the batch key reads from version 2)
+    "stream_txlog_cdf" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         v2d AS (SELECT c FROM base WHERE o_custkey % 7 = 3),
+         u3 AS (SELECT c FROM base WHERE o_custkey % 7 <> 3
+                AND o_custkey % 7 = 4),
+         v3 AS (SELECT o_orderkey,
+               CASE WHEN o_custkey % 7 = 4 THEN c + 111 ELSE c END AS c
+           FROM base WHERE o_custkey % 7 <> 3),
+         m4 AS (SELECT c FROM v3 WHERE o_orderkey % 500 = 7),
+         u4 AS (SELECT c + 5000 AS c FROM base WHERE o_orderkey % 500 = 7
+                UNION ALL SELECT c FROM base WHERE o_orderkey % 500 = 8),
+         feed AS (
+           SELECT 0 AS v, 'insert' AS t, c FROM base WHERE o_orderkey % 2 = 0
+           UNION ALL SELECT 1, 'insert', c FROM base WHERE o_orderkey % 2 = 1
+           UNION ALL SELECT 2, 'delete', c FROM v2d
            UNION ALL SELECT 3, 'update_preimage', c FROM u3
            UNION ALL SELECT 3, 'update_postimage', c + 111 FROM u3
            UNION ALL SELECT 4, 'delete', c FROM m4

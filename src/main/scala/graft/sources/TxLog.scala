@@ -423,7 +423,13 @@ object TxLog {
                             dvs: Seq[(String, String, Long)] = Seq.empty): Int = {
     val st = store(dir)
     st.mkdirs(logDir(dir))
-    val body = (Seq(s"op=$op") ++ add.map("add=" + _) ++
+    // IN-COMMIT timestamp (Delta's inCommitTimestamps): the commit
+    // instant travels IN the entry, so timestamp time travel survives
+    // log-dir copies/rsyncs/backup-restores that reset every mtime —
+    // [[adjustedTimes]] prefers it and falls back to mtime for legacy
+    // entries written before this line existed
+    val body = (Seq(s"op=$op", s"ts=${System.currentTimeMillis}") ++
+        add.map("add=" + _) ++
         remove.map("remove=" + _) ++ statLines(stats) ++ bloomLines(blooms) ++
         dvLines(dvs))
       .mkString("", "\n", "\n")
@@ -1684,28 +1690,35 @@ object TxLog {
         .map { case (dv, rows) => (seg, dv, rows) }))
   }
 
-  /** The ADJUSTED commit clock: entry-file mtimes monotonized to a
+  /** The ADJUSTED commit clock: per-version instants monotonized to a
     * strictly increasing sequence, `adjusted(v) = max(adjusted(v-1)+1,
-    * mtime(v))` — Delta's published timestamp-adjustment rule. On a
-    * healthy log (commits claim slots sequentially, so mtimes are
-    * non-decreasing and usually strictly increasing) this IS the mtime
-    * sequence; on a log whose mtimes inverted out-of-band (a
-    * copied/rsync'd/backup-restored log dir, a coarse-mtime
-    * filesystem) it restores the one property time travel needs —
-    * commit order and time order agree — instead of silently resolving
-    * a wrong version, which is what a binary search over raw mtimes
-    * does when its sortedness assumption breaks. */
+    * t(v))` — Delta's published timestamp-adjustment rule. `t(v)` is
+    * the IN-COMMIT timestamp the entry records (`ts=` line — immune to
+    * log-dir copies/rsyncs/backup-restores, which reset mtimes but
+    * cannot touch entry bytes), falling back to the entry file's mtime
+    * for legacy entries written before the line existed. Monotonization
+    * still applies on top: multi-writer clock skew (or a coarse clock)
+    * can tie or invert even recorded instants, and time travel needs
+    * exactly one property — commit order and time order agree. */
   private def adjustedTimes(dir: String, upTo: Int): Array[Long] = {
     val st = store(dir)
     val adj = new Array[Long](upTo + 1)
     var v = 0
     while (v <= upTo) {
-      val m = st.mtime(entryPath(dir, v))
+      val m = entryRecordedTs(dir, v).getOrElse(st.mtime(entryPath(dir, v)))
       adj(v) = if (v == 0) m else math.max(adj(v - 1) + 1, m)
       v += 1
     }
     adj
   }
+
+  /** The `ts=` line of commit `version`'s entry, if present — one
+    * entry read; same O(versions) total as the mtime stats it
+    * replaces on the (rare, per-query, driver-side) resolution path. */
+  private def entryRecordedTs(dir: String, v: Int): Option[Long] =
+    new String(store(dir).readBytes(entryPath(dir, v)), "UTF-8")
+      .linesIterator.find(_.startsWith("ts="))
+      .flatMap(l => l.stripPrefix("ts=").toLongOption)
 
   /** TIMESTAMP time travel resolution (Delta's `timestampAsOf`): the
     * LAST commit whose ADJUSTED time ([[adjustedTimes]]) is at-or-

@@ -218,30 +218,57 @@ class TxLogStreamSourceSpec extends SparkTestBase {
     TxLog.append(sample(10, 20), dir)         // v1
     Thread.sleep(20)
     TxLog.append(sample(20, 25), dir)         // v2
+    val before = (0 to 2).map(v => TxLog.commitTimestamp(dir, v))
     // simulate a copied/rsync'd/backup-restored log dir: v1's entry
-    // mtime regresses 5 s BELOW v0's — raw-mtime binary search would
-    // silently resolve wrong versions here
-    val m0 = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(dir, "_txlog", "00000000.txt")).toMillis
-    java.nio.file.Files.setLastModifiedTime(
-      java.nio.file.Paths.get(dir, "_txlog", "00000001.txt"),
+    // MTIME regresses 5 s below v0's. The clock must not notice: the
+    // commit instants are IN the entries (ts= line), not in the
+    // filesystem — mtime damage cannot move a single timestamp.
+    def entry(v: Int) = java.nio.file.Paths.get(dir, "_txlog", f"$v%08d.txt")
+    val m0 = java.nio.file.Files.getLastModifiedTime(entry(0)).toMillis
+    java.nio.file.Files.setLastModifiedTime(entry(1),
       java.nio.file.attribute.FileTime.fromMillis(m0 - 5000))
-    // the adjusted clock is strictly increasing regardless
     val ts = (0 to 2).map(v => TxLog.commitTimestamp(dir, v))
+    assert(ts == before, "in-commit timestamps must survive mtime damage")
     assert(ts == ts.sorted && ts.distinct.size == 3,
       s"adjusted clock must be strictly increasing, got $ts")
     // round trip holds for EVERY version, unconditionally
     (0 to 2).foreach(v =>
       assert(TxLog.versionAsOfTimestamp(dir, TxLog.commitTimestamp(dir, v)) == v))
-    // v1's adjusted instant sits right after v0's (m0+1): reading there
-    // sees exactly v0+v1 — commit order and time order agree again
-    assert(ts(1) == m0 + 1)
     assert(TxLog.readAsOfTimestamp(spark, dir, ts(1)).count() == 20)
-    assert(TxLog.readAsOfTimestamp(spark, dir, m0).count() == 10)
-    // before the (adjusted) first commit still fails loud
+    assert(TxLog.readAsOfTimestamp(spark, dir, ts(0)).count() == 10)
+    // before the first commit still fails loud
     intercept[IllegalArgumentException] {
-      TxLog.versionAsOfTimestamp(dir, m0 - 1)
+      TxLog.versionAsOfTimestamp(dir, ts(0) - 1)
     }
+  }
+
+  test("legacy entries without ts= fall back to monotonized mtimes") {
+    val dir = freshDir("graft-txts")
+    TxLog.append(sample(0, 10), dir)          // v0
+    TxLog.append(sample(10, 20), dir)         // v1
+    TxLog.append(sample(20, 25), dir)         // v2
+    // strip the ts= lines — the pre-in-commit-timestamp entry format —
+    // and invert v1's mtime: resolution must degrade to the adjusted
+    // MTIME clock (order preserved), never throw or resolve wrong
+    def entry(v: Int) = java.nio.file.Paths.get(dir, "_txlog", f"$v%08d.txt")
+    (0 to 2).foreach { v =>
+      val stripped = new String(java.nio.file.Files.readAllBytes(entry(v)),
+        "UTF-8").linesIterator.filterNot(_.startsWith("ts=")).toSeq
+      java.nio.file.Files.write(entry(v),
+        stripped.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    val m0 = java.nio.file.Files.getLastModifiedTime(entry(0)).toMillis
+    java.nio.file.Files.setLastModifiedTime(entry(1),
+      java.nio.file.attribute.FileTime.fromMillis(m0 - 5000))
+    val ts = (0 to 2).map(v => TxLog.commitTimestamp(dir, v))
+    assert(ts == ts.sorted && ts.distinct.size == 3,
+      s"legacy adjusted clock must be strictly increasing, got $ts")
+    (0 to 2).foreach(v =>
+      assert(TxLog.versionAsOfTimestamp(dir, TxLog.commitTimestamp(dir, v)) == v))
+    // v1's adjusted instant sits right after v0's: order re-derived
+    // from slot order when the recorded instants are absent
+    assert(ts(1) == ts(0) + 1)
+    assert(TxLog.readAsOfTimestamp(spark, dir, ts(1)).count() == 20)
   }
 
   test("per-batch metadata cost is O(new commits): old segments are not re-listed") {
