@@ -627,6 +627,40 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // COLUMN MAPPING (metadata-only RENAME + DROP): cents is renamed to
+    // `revenue` in a one-line commit — segment bytes keep the PHYSICAL
+    // name forever; reads re-label, writes un-label — then the odd half
+    // is appended UNDER the new name (its footer stores the physical
+    // name: one uniform storage schema), an MoR update runs in logical
+    // terms, o_custkey is dropped metadata-only, and the final
+    // aggregate proves the logical view exact. The requires pin the
+    // zero-rewrite property (rename/drop commits add no segments), that
+    // the stats index unifies across pre-/post-rename segments (an
+    // impossible range prunes EVERY segment via stats recorded under
+    // both labels), and that the dropped column is gone. At 100 TB:
+    // renaming or dropping a column is one tiny log entry, never a
+    // table rewrite.
+    "table_log_rename" -> ((s, d) => {
+      val dir = txRenameCache(s, d)
+      require(graft.sources.TxLog.commitOp(dir, 1) == "rename_column" &&
+          graft.sources.TxLog.commitOp(dir, 4) == "drop_column",
+        "rename/drop must be their own commits")
+      require(graft.sources.TxLog.liveSegments(dir, 1).toSet ==
+          graft.sources.TxLog.liveSegments(dir, 0).toSet,
+        "rename must not touch the live set")
+      val (kept, _) = graft.sources.TxLog.pruneRange(
+        dir, "revenue", Some("99999999999"), None)
+      require(kept.isEmpty,
+        "stats under the logical name must prune every segment")
+      val out = graft.sources.TxLog.read(s, dir)
+      require(!out.columns.contains("o_custkey") &&
+          !out.columns.contains("cents"),
+        "dropped and renamed-away labels must not surface")
+      out.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("revenue")).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
     // copy-on-write UPDATE on the log table — the DML triad's third
     // leg (DELETE / MERGE / UPDATE): cents bumped where o_custkey%10=3,
     // only match-bearing segments rewritten. Reads AS OF the update
@@ -4717,6 +4751,30 @@ object SparkEntry {
       graft.sources.TxLog.mergeMoR(s, out, upd, "o_orderkey")
     }
 
+  /** Column-mapping scenario: v0 even orders appended with stats under
+    * `cents`, v1 RENAME cents→revenue (metadata-only), v2 odd orders
+    * appended under the NEW label (stats recorded — same physical key),
+    * v3 MoR update in logical terms, v4 DROP o_custkey. */
+  private def txRenameCache(s: SparkSession, d: String): String =
+    cachedDir(s"/tmp/graft_txren_${new java.io.File(d).getName}", d,
+        Seq("orders")) { out =>
+      val root = new java.io.File(out)
+      if (root.isDirectory)
+        graft.sources.TxLog.deleteRecursively(root.toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.sources.TxLog.appendWithStats(s,
+        o.filter(col("o_orderkey") % 2 === 0), out, Seq("cents"))
+      graft.sources.TxLog.renameColumn(s, out, "cents", "revenue")
+      graft.sources.TxLog.appendWithStats(s,
+        o.filter(col("o_orderkey") % 2 === 1)
+          .withColumnRenamed("cents", "revenue"), out, Seq("revenue"))
+      graft.sources.TxLog.updateMoR(s, out, "o_custkey % 10 = 3",
+        Map("revenue" -> "revenue + 7"), statsCols = Seq("revenue"))
+      graft.sources.TxLog.dropColumn(s, out, "o_custkey")
+    }
+
   /** 4-part events stream source for the multi-batch sink keys: one
     * parquet file per micro-batch under maxFilesPerTrigger=1. */
   private def streamCache4(s: SparkSession, d: String): String =
@@ -6049,6 +6107,15 @@ object SparkEntry {
                UNION ALL SELECT o_orderkey, o_orderstatus, c FROM u)
          SELECT o_orderstatus, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
          FROM v4 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the logical view after rename+update+drop = the same update
+    // replay, under the renamed label
+    "table_log_rename" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CASE WHEN o_custkey % 10 = 3
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) + 7
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+               AS BIGINT) AS revenue
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // update replayed relationally
     "table_log_update" ->
       """SELECT o_orderstatus, count(*) AS n,

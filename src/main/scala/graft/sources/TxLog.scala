@@ -114,7 +114,10 @@ object TxLog {
                            add: Seq[String], remove: Seq[String],
                            stats: Map[(String, String), ColStats],
                            blooms: Map[(String, String), BloomStats],
-                           dvs: Seq[(String, String, Long)])
+                           dvs: Seq[(String, String, Long)],
+                           renames: Seq[(String, String)] = Seq.empty,
+                           drops: Seq[String] = Seq.empty,
+                           undrops: Seq[String] = Seq.empty)
 
   /** Replayed log state as of some version: what every reader/pruner
     * actually consumes — built from checkpoint + tail, never a full
@@ -128,7 +131,14 @@ object TxLog {
                            stats: Map[(String, String), ColStats],
                            blooms: Map[(String, String), BloomStats],
                            streamOps: Set[String],
-                           dvs: Map[String, Seq[(String, Long)]])
+                           dvs: Map[String, Seq[(String, Long)]],
+                           renames: Map[String, String] = Map.empty,
+                           dropped: Set[String] = Set.empty) {
+    /** logical name → PHYSICAL (stored) name, for mapped columns. */
+    def physByLogical: Map[String, String] = renames.map(_.swap)
+    /** The physical (stored) name behind a user-facing column name. */
+    def physCol(c: String): String = physByLogical.getOrElse(c, c)
+  }
 
   private def entryPath(dir: String, v: Int): String =
     f"${logDir(dir)}/$v%08d.txt"
@@ -215,7 +225,13 @@ object TxLog {
     Entry(v, vals(lines, "op").headOption.getOrElse("?"),
       vals(lines, "add"), vals(lines, "remove"),
       parseStats(vals(lines, "stats")), parseBlooms(dir, vals(lines, "bloom")),
-      parseDvs(vals(lines, "dv")))
+      parseDvs(vals(lines, "dv")),
+      renames = vals(lines, "rename").flatMap(_.split("\\|", -1) match {
+        case Array(p, l) => Some((dec(p), dec(l)))
+        case _           => None
+      }),
+      drops = vals(lines, "dropcol").map(dec),
+      undrops = vals(lines, "undropcol").map(dec))
 
   private def readEntry(dir: String, v: Int): Entry =
     parse(dir, v,
@@ -254,7 +270,12 @@ object TxLog {
         parseBlooms(dir, vals(lines, "bloom")),
         vals(lines, "streamop").map(dec).toSet,
         parseDvs(vals(lines, "dv")).groupBy(_._1)
-          .map { case (seg, ps) => seg -> ps.map(p => (p._2, p._3)) }))
+          .map { case (seg, ps) => seg -> ps.map(p => (p._2, p._3)) },
+        renames = vals(lines, "rename").flatMap(_.split("\\|", -1) match {
+          case Array(p, l) => Some((dec(p), dec(l)))
+          case _           => None
+        }).toMap,
+        dropped = vals(lines, "dropcol").map(dec).toSet))
     } catch { case _: java.io.IOException => None }
 
   /** Newest checkpoint at-or-before `asOf` (-1 = no bound): pointer
@@ -293,6 +314,8 @@ object TxLog {
     var blooms = cp.map(_.blooms).getOrElse(Map.empty[(String, String), BloomStats])
     var ops = cp.map(_.streamOps).getOrElse(Set.empty[String])
     var dvs = cp.map(_.dvs).getOrElse(Map.empty[String, Seq[(String, Long)]])
+    var renames = cp.map(_.renames).getOrElse(Map.empty[String, String])
+    var dropped = cp.map(_.dropped).getOrElse(Set.empty[String])
     var version = cp.map(_.version).getOrElse(-1)
     var v = version + 1
     while ((asOf < 0 || v <= asOf) && st.exists(entryPath(dir, v))) {
@@ -307,9 +330,16 @@ object TxLog {
       }
       stats ++= e.stats; blooms ++= e.blooms
       if (e.op.startsWith("stream-")) ops += e.op
+      // column mapping: rename lines rebind a PHYSICAL name's logical
+      // label (identity rebind clears the mapping — how restore rolls a
+      // rename back); drop/undrop toggle logical visibility
+      e.renames.foreach { case (p, l) =>
+        renames = if (l == p) renames - p else renames.updated(p, l)
+      }
+      dropped = dropped ++ e.drops -- e.undrops
       version = v; v += 1
     }
-    State(version, live.toSeq, stats, blooms, ops, dvs)
+    State(version, live.toSeq, stats, blooms, ops, dvs, renames, dropped)
   }
 
   /** Fold the state at version `v` into a checkpoint file + advance
@@ -331,7 +361,10 @@ object TxLog {
           dvLines(s.dvs.filter { case (seg, _) => liveSet(seg) }
             .toSeq.flatMap { case (seg, ds) =>
               ds.map { case (dv, rows) => (seg, dv, rows) } }) ++
-          s.streamOps.toSeq.sorted.map("streamop=" + enc(_)))
+          s.streamOps.toSeq.sorted.map("streamop=" + enc(_)) ++
+          s.renames.toSeq.sorted.map { case (p, l) =>
+            s"rename=${enc(p)}|${enc(l)}" } ++
+          s.dropped.toSeq.sorted.map("dropcol=" + enc(_)))
           .mkString("", "\n", "\n")
         // idempotent across racing checkpointers: same version folds the
         // same content, so losing the put-if-absent race is fine
@@ -420,7 +453,8 @@ object TxLog {
                             expectedHead: Option[Int] = None,
                             stats: Map[(String, String), ColStats] = Map.empty,
                             blooms: Map[(String, String), BloomStats] = Map.empty,
-                            dvs: Seq[(String, String, Long)] = Seq.empty): Int = {
+                            dvs: Seq[(String, String, Long)] = Seq.empty,
+                            extraLines: Seq[String] = Seq.empty): Int = {
     val st = store(dir)
     st.mkdirs(logDir(dir))
     // IN-COMMIT timestamp (Delta's inCommitTimestamps): the commit
@@ -431,7 +465,7 @@ object TxLog {
     val body = (Seq(s"op=$op", s"ts=${System.currentTimeMillis}") ++
         add.map("add=" + _) ++
         remove.map("remove=" + _) ++ statLines(stats) ++ bloomLines(blooms) ++
-        dvLines(dvs))
+        dvLines(dvs) ++ extraLines)
       .mkString("", "\n", "\n")
     val bytes = body.getBytes("UTF-8")
     val committed = expectedHead match {
@@ -457,7 +491,9 @@ object TxLog {
 
   private def newSegment(dir: String, df: DataFrame): String = {
     val name = s"seg-${java.util.UUID.randomUUID}"
-    df.write.mode("overwrite").parquet(s"$dir/$name")
+    // segment bytes always carry PHYSICAL column names (column
+    // mapping's storage invariant — reads re-label, writes un-label)
+    toPhysical(df, state(dir)).write.mode("overwrite").parquet(s"$dir/$name")
     name
   }
 
@@ -502,7 +538,7 @@ object TxLog {
     val probed = segs.flatMap(seg =>
       s.dvs.getOrElse(seg, Seq.empty).map { case (dv, rows) => (dv, rows) })
     val dvNames = probed.map(_._1).distinct
-    if (dvNames.isEmpty && !withMeta) return base
+    if (dvNames.isEmpty && !withMeta) return applyMapping(base, s)
     val withM = base
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
@@ -531,7 +567,40 @@ object TxLog {
           withM("__file") === tomb("file") && withM("__pos") === tomb("pos"),
           "left_anti")
       }
-    if (withMeta) applied else applied.drop("__file", "__pos")
+    if (withMeta) applyMapping(applied, s)
+    else applyMapping(applied, s).drop("__file", "__pos")
+  }
+
+  /** COLUMN MAPPING applied to a physical scan: hide dropped physical
+    * columns, then surface mapped physical names under their logical
+    * labels. Pure projection — zero data movement; the inverse
+    * ([[toPhysical]]) runs on every write, so segment bytes always
+    * carry PHYSICAL names and a rename/drop never touches a segment. */
+  private def applyMapping(df: DataFrame, s: State): DataFrame = {
+    if (s.renames.isEmpty && s.dropped.isEmpty) return df
+    val present = df.columns.toSet
+    val afterDrop = s.dropped.filter(present).foldLeft(df)(_ drop _)
+    s.renames.foldLeft(afterDrop) { case (d, (p, l)) =>
+      if (present(p)) d.withColumnRenamed(p, l) else d
+    }
+  }
+
+  /** The write-side inverse of [[applyMapping]]: a user frame carries
+    * LOGICAL names; rebind mapped ones to their physical storage names
+    * before the bytes land. Writing a column whose name collides with
+    * a mapped or dropped PHYSICAL name fails loud — silently accepting
+    * it would alias two logical columns onto one physical name. */
+  private def toPhysical(df: DataFrame, s: State): DataFrame = {
+    if (s.renames.isEmpty && s.dropped.isEmpty) return df
+    val present = df.columns.toSet
+    val shadowed = present.filter(c => s.renames.contains(c) || s.dropped(c))
+    require(shadowed.isEmpty,
+      s"column name(s) ${shadowed.mkString(", ")} are physical names " +
+        "hidden by a rename or drop — write under the logical name, or " +
+        "choose a fresh name")
+    s.physByLogical.foldLeft(df) { case (d, (l, p)) =>
+      if (present(l)) d.withColumnRenamed(l, p) else d
+    }
   }
 
   /** MERGE-ON-READ delete (Delta's deletion vectors): rows matching
@@ -598,7 +667,11 @@ object TxLog {
     require(setExprs.nonEmpty, "update without SET expressions")
     val snap = state(dir)
     val schema = tableSchema(spark, dir, snap.live)
-    val unknown = setExprs.keySet -- schema.map(_.name).toSet
+    // user-facing (LOGICAL) column list: mapped physical names surface
+    // under their labels, dropped ones don't exist
+    val visible = schema.map(_.name).filterNot(snap.dropped)
+      .map(p => snap.renames.getOrElse(p, p))
+    val unknown = setExprs.keySet -- visible.toSet
     require(unknown.isEmpty, s"SET references unknown column(s): $unknown")
     // stage the matched pre-images ONCE (the merge-staging pattern):
     // the tombstone sidecar and the new-image segment must be derived
@@ -618,7 +691,7 @@ object TxLog {
       m.select(col("__file").as("file"), col("__pos").as("pos"),
           col("__seg").as("seg"))
         .write.parquet(s"$dir/$dvName")
-      val newImages = m.select(schema.map(_.name).map { c =>
+      val newImages = m.select(visible.map { c =>
         setExprs.get(c) match {
           case Some(e) => expr(e).as(c)
           case None    => col(c)
@@ -669,12 +742,13 @@ object TxLog {
     val uSeg = newSegment(dir, updates) // staged; becomes THE added segment
     var dvName: Option[String] = None
     try {
-      val u = spark.read.parquet(s"$dir/$uSeg")
+      // staged bytes carry physical names; probe in logical terms
+      val u = applyMapping(spark.read.parquet(s"$dir/$uSeg"), snap)
       val bounds = u.agg(min(col(key)).cast("string"),
         max(col(key)).cast("string")).head()
       val (lo, hi) = (Option(bounds.getString(0)), Option(bounds.getString(1)))
       val candidates = snap.live.filter(seg =>
-        !canPrune(snap.stats.get((seg, key)), lo, hi))
+        !canPrune(snap.stats.get((seg, snap.physCol(key))), lo, hi))
       val uKeys = broadcast(u.select(col(key)).distinct())
       val dirty: Seq[(String, Long)] =
         if (candidates.isEmpty) Seq.empty
@@ -748,7 +822,11 @@ object TxLog {
       stats = snap.stats.filter { case ((seg, _), _) => liveSet(seg) }
         .map { case ((seg, c), v) => ((ref(seg), c), v) },
       dvs = snap.dvs.toSeq.flatMap { case (seg, ds) =>
-        ds.map { case (dv, rows) => (ref(seg), ref(dv), rows) } })
+        ds.map { case (dv, rows) => (ref(seg), ref(dv), rows) } },
+      // the clone sees the source's logical view: carry column mapping
+      extraLines = snap.renames.toSeq.sorted.map { case (p, l) =>
+        s"rename=${enc(p)}|${enc(l)}" } ++
+        snap.dropped.toSeq.sorted.map("dropcol=" + enc(_)))
   }
 
   /** Targeted CLONE LOCALIZATION — sever a shallow clone's dependency
@@ -843,8 +921,11 @@ object TxLog {
     * only the stat columns, like a write-path stats pass). All-null
     * columns yield no entry (conservatively unprunable). */
   private def segStats(spark: SparkSession, dir: String, seg: String,
-                       statsCols: Seq[String]): Map[(String, String), ColStats] = {
-    if (statsCols.isEmpty) return Map.empty
+                       statsCols0: Seq[String]): Map[(String, String), ColStats] = {
+    if (statsCols0.isEmpty) return Map.empty
+    // stats are keyed by PHYSICAL name (stable across renames): map the
+    // caller's logical names down, like every other metadata surface
+    val statsCols = { val s = state(dir); statsCols0.map(s.physCol) }
     val sdf = spark.read.parquet(segPath(dir, seg))
     val types = sdf.schema.map(f => f.name -> f.dataType.typeName).toMap
     statsCols.foreach(c => require(types.contains(c), s"no column $c in segment $seg"))
@@ -883,9 +964,10 @@ object TxLog {
     * each lookup reads its segment's recorded m, so mixed sizes across
     * a table's history are fine. */
   private def segBlooms(spark: SparkSession, dir: String, seg: String,
-                        bloomCols: Seq[String],
+                        bloomCols0: Seq[String],
                         k: Int = 4): Map[(String, String), BloomStats] = {
-    if (bloomCols.isEmpty) return Map.empty
+    if (bloomCols0.isEmpty) return Map.empty
+    val bloomCols = { val s = state(dir); bloomCols0.map(s.physCol) }
     val sdf = spark.read.parquet(segPath(dir, seg))
     val types = sdf.schema.map(f => f.name -> f.dataType.typeName).toMap
     val n = sdf.count()
@@ -952,10 +1034,11 @@ object TxLog {
   private def prunePointIn(s: State, c: String,
                            value: String): (Seq[String], Seq[String]) =
     s.live.partition { seg =>
+      val p = s.physCol(c)
       // None (no bloom / unnormalizable probe / missing sidecar) keeps
-      val bloomKeeps = s.blooms.get((seg, c))
+      val bloomKeeps = s.blooms.get((seg, p))
         .flatMap(_.mightContain(value)).getOrElse(true)
-      val rangeKeeps = !canPrune(s.stats.get((seg, c)), Some(value), Some(value))
+      val rangeKeeps = !canPrune(s.stats.get((seg, p)), Some(value), Some(value))
       bloomKeeps && rangeKeeps
     }
 
@@ -1013,7 +1096,7 @@ object TxLog {
   def pruneRange(dir: String, c: String, lo: Option[String], hi: Option[String],
                  asOf: Int = -1): (Seq[String], Seq[String]) = {
     val s = state(dir, asOf)
-    s.live.partition(seg => !canPrune(s.stats.get((seg, c)), lo, hi))
+    s.live.partition(seg => !canPrune(s.stats.get((seg, s.physCol(c))), lo, hi))
   }
 
   /** Stats-pruned range read: scans ONLY segments whose recorded
@@ -1024,7 +1107,8 @@ object TxLog {
                 lo: Option[String], hi: Option[String],
                 asOf: Int = -1, mergeSchema: Boolean = false): DataFrame = {
     val s = state(dir, asOf)
-    val (kept, _) = s.live.partition(seg => !canPrune(s.stats.get((seg, c)), lo, hi))
+    val (kept, _) = s.live.partition(seg =>
+      !canPrune(s.stats.get((seg, s.physCol(c))), lo, hi))
     // mergeSchema mirrors [[read]]: on a schema-EVOLVED table the range
     // column may exist only in newer segments, and a single-footer
     // schema inference could miss it
@@ -1048,7 +1132,8 @@ object TxLog {
                   statsCols: Seq[String] = Nil): Int = {
     val snap = state(dir)
     val (candidates, _) = snap.live
-      .partition(seg => !canPrune(snap.stats.get((seg, c)), Some(lo), Some(hi)))
+      .partition(seg =>
+        !canPrune(snap.stats.get((seg, snap.physCol(c))), Some(lo), Some(hi)))
     def rangeCond(df: DataFrame) = {
       val dt = df.schema(c).dataType
       col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
@@ -1145,7 +1230,8 @@ object TxLog {
     require(setExprs.nonEmpty, "update without SET expressions")
     val snap = state(dir)
     val schema = tableSchema(spark, dir, snap.live)
-    val unknown = setExprs.keySet -- schema.map(_.name).toSet
+    val unknown = setExprs.keySet -- schema.map(_.name).filterNot(snap.dropped)
+      .map(p => snap.renames.getOrElse(p, p)).toSet
     require(unknown.isEmpty, s"SET references unknown column(s): $unknown")
     def seg(s0: String) = segScan(spark, dir, snap, Seq(s0), schema = Some(schema))
     val dirty = snap.live.filter(s0 => !seg(s0).filter(predicate).isEmpty)
@@ -1199,11 +1285,12 @@ object TxLog {
     // deleted below) so the probe and rewrite jobs don't recompute them
     val uSeg = newSegment(dir, updates)
     try {
-      val u = spark.read.parquet(s"$dir/$uSeg")
+      // staged bytes carry physical names; probe in logical terms
+      val u = applyMapping(spark.read.parquet(s"$dir/$uSeg"), snap)
       val bounds = u.agg(min(col(key)).cast("string"), max(col(key)).cast("string")).head()
       val (lo, hi) = (Option(bounds.getString(0)), Option(bounds.getString(1)))
       val candidates = snap.live.filter(seg =>
-        !canPrune(snap.stats.get((seg, key)), lo, hi))
+        !canPrune(snap.stats.get((seg, snap.physCol(key))), lo, hi))
       val uKeys = broadcast(u.select(col(key)).distinct())
       val dirty = candidates.filter { seg =>
         !segScan(spark, dir, snap, Seq(seg))
@@ -1243,7 +1330,8 @@ object TxLog {
     // expression), not just on a counted violation
     val seg = newSegment(dir, df)
     reclaimOnFailure(dir, Seq(seg)) {
-      val staged = spark.read.parquet(s"$dir/$seg")
+      // constraints are written in logical terms; staged bytes are physical
+      val staged = applyMapping(spark.read.parquet(s"$dir/$seg"), state(dir))
       // SQL CHECK semantics: a row violates only when the predicate is
       // explicitly FALSE (NULL passes, like Delta's constraints)
       // coalesce: an EMPTY batch sums to null, which must read as 0 violations
@@ -1555,13 +1643,22 @@ object TxLog {
                       data: org.apache.spark.sql.types.StructType
                      ): Option[DataFrame] = {
     val st = store(dir)
+    // `data` carries LOGICAL labels; segment bytes carry PHYSICAL names
+    // (column mapping) — scan physical, re-label per part at the end
+    val hs = state(dir)
+    val physData = org.apache.spark.sql.types.StructType(
+      data.map(f => f.copy(name = hs.physCol(f.name))))
+    def relabel(df: DataFrame): DataFrame =
+      hs.renames.foldLeft(df) { case (d, (p, l)) =>
+        if (d.columns.contains(p)) d.withColumnRenamed(p, l) else d
+      }
     val newer = (math.max(0, from) to to).iterator
       .filter(v => st.exists(entryPath(dir, v)))
       .map(v => readEntry(dir, v))
       .filter(e => e.add.nonEmpty || e.dvs.nonEmpty)
       .toSeq
     def tagged(df: DataFrame, v: Int, op: String, ct: String): DataFrame =
-      df.withColumn("_commit_version", lit(v.toLong))
+      relabel(df).withColumn("_commit_version", lit(v.toLong))
         .withColumn("_commit_op", lit(op))
         .withColumn("_change_type", lit(ct))
     val parts = newer.flatMap { e =>
@@ -1569,7 +1666,7 @@ object TxLog {
         if (e.add.isEmpty) None
         else {
           val ct = if (e.op == "update_mor") "update_postimage" else "insert"
-          Some(tagged(spark.read.schema(data)
+          Some(tagged(spark.read.schema(physData)
             .parquet(e.add.map(s => segPath(dir, s)): _*), e.version, e.op, ct))
         }
       val removed =
@@ -1584,7 +1681,7 @@ object TxLog {
             .select(col("file"), col("pos"))
           // pre-images from the raw segment bytes (the current state
           // has them tombstoned; the segments themselves are immutable)
-          val scan = spark.read.schema(data)
+          val scan = spark.read.schema(physData)
             .parquet(segs.map(s => segPath(dir, s)): _*)
             .withColumn("__file", col("_metadata.file_path"))
             .withColumn("__pos", col("_metadata.row_index"))
@@ -1618,9 +1715,9 @@ object TxLog {
               statsCols: Seq[String], bloomCols: Seq[String] = Nil): Option[Int] = {
     val snap = state(dir)
     val needStats = snap.live.filter(seg =>
-      statsCols.exists(c => !snap.stats.contains((seg, c))))
+      statsCols.exists(c => !snap.stats.contains((seg, snap.physCol(c)))))
     val needBlooms = snap.live.filter(seg =>
-      bloomCols.exists(c => !snap.blooms.contains((seg, c))))
+      bloomCols.exists(c => !snap.blooms.contains((seg, snap.physCol(c)))))
     if (needStats.isEmpty && needBlooms.isEmpty) return None
     // on any failure after sidecars start landing (e.g. a statsCol
     // missing from an old segment), reclaim the written .bloom files —
@@ -1644,6 +1741,67 @@ object TxLog {
         throw e
     }
   }
+
+  /** METADATA-ONLY COLUMN RENAME (Delta's column-mapping rename): the
+    * stored (PHYSICAL) column name never changes — segment bytes, the
+    * stats/bloom index, and deletion vectors are all untouched; the
+    * commit rebinds the physical name's LOGICAL label, and every read
+    * surfaces it ([[applyMapping]]) while every write un-labels it
+    * ([[toPhysical]]). Renaming a 100 TB table's column is one tiny
+    * log entry. Time travel shows each version under the labels it had
+    * THEN (the mapping folds with the state); renaming back to the
+    * original name clears the mapping. Conflicts like every
+    * snapshot-dependent op. */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+                   to: String): Int = {
+    require(from != to, s"rename of $from to itself")
+    val snap = state(dir)
+    val visible = visibleColumns(spark, dir, snap)
+    require(visible.contains(from), s"no column $from " +
+      s"(visible: ${visible.mkString(", ")})")
+    require(!visible.contains(to),
+      s"column $to already exists — rename would alias two columns")
+    val p = snap.physCol(from)
+    commit(dir, "rename_column", Seq.empty, Seq.empty, Some(snap.version),
+      extraLines = Seq(s"rename=${enc(p)}|${enc(to)}"))
+  }
+
+  /** METADATA-ONLY COLUMN DROP (column mapping's second op): hides the
+    * physical column from every read without touching a byte — old
+    * segments keep the data (time travel to a pre-drop version still
+    * shows it; [[restore]] resurrects it). The drop also clears any
+    * rename of the physical name. Re-introducing a column under the
+    * dropped PHYSICAL name fails loud ([[toPhysical]]) — the storage
+    * name is occupied by hidden bytes; fully freeing it needs id-based
+    * physical names (Delta's mapping mode), a documented non-goal. */
+  def dropColumn(spark: SparkSession, dir: String, colName: String): Int = {
+    val snap = state(dir)
+    val visible = visibleColumns(spark, dir, snap)
+    require(visible.contains(colName), s"no column $colName " +
+      s"(visible: ${visible.mkString(", ")})")
+    require(visible.size > 1, s"cannot drop the last column $colName")
+    val p = snap.physCol(colName)
+    val clearRename =
+      if (snap.renames.contains(p)) Seq(s"rename=${enc(p)}|${enc(p)}")
+      else Seq.empty
+    commit(dir, "drop_column", Seq.empty, Seq.empty, Some(snap.version),
+      extraLines = s"dropcol=${enc(p)}" +: clearRename)
+  }
+
+  /** Head-state column mapping, PHYSICAL → logical — what the
+    * streaming source needs to scan stored bytes under a
+    * logical-labeled schema. Physical names are stable for a table's
+    * lifetime, so resolving once per stream start is exact. */
+  private[sources] def columnMapping(dir: String): Map[String, String] =
+    state(dir).renames
+
+  /** The user-facing column list of a snapshot: physical footer names
+    * minus drops, mapped through renames. */
+  private def visibleColumns(spark: SparkSession, dir: String,
+                             snap: State): Seq[String] =
+    tableSchema(spark, dir, snap.live).map(_.name)
+      .filterNot(snap.dropped)
+      .map(p => snap.renames.getOrElse(p, p))
 
   /** RESTORE to an older version (Delta RESTORE): commits a NEW version
     * whose live set is exactly `toVersion`'s — no data copied, segments
@@ -1680,6 +1838,18 @@ object TxLog {
         target.dvs.getOrElse(seg, Seq.empty).toSet)
     val readd = added ++ dvReset
     val readdSet = readd.toSet
+    // column-mapping rollback: re-label/re-surface columns to the
+    // TARGET version's view (a post-target rename is unbound via the
+    // identity rebind; a post-target drop is undone with undropcol —
+    // restore is the one op that resurrects a dropped column)
+    val mapLines =
+      (head.renames.keySet ++ target.renames.keySet).toSeq.sorted.flatMap { p =>
+        val cur = head.renames.getOrElse(p, p)
+        val tgt = target.renames.getOrElse(p, p)
+        if (cur == tgt) None else Some(s"rename=${enc(p)}|${enc(tgt)}")
+      } ++
+      (head.dropped -- target.dropped).toSeq.sorted.map("undropcol=" + enc(_)) ++
+      (target.dropped -- head.dropped).toSeq.sorted.map("dropcol=" + enc(_))
     commit(dir, "restore",
       add = readd,
       remove = current.filterNot(target.live.contains) ++ dvReset,
@@ -1687,7 +1857,8 @@ object TxLog {
       stats = target.stats.filter { case ((seg, _), _) => readdSet(seg) },
       blooms = target.blooms.filter { case ((seg, _), _) => readdSet(seg) },
       dvs = readd.flatMap(seg => target.dvs.getOrElse(seg, Seq.empty)
-        .map { case (dv, rows) => (seg, dv, rows) }))
+        .map { case (dv, rows) => (seg, dv, rows) }),
+      extraLines = mapLines)
   }
 
   /** The ADJUSTED commit clock: per-version instants monotonized to a

@@ -260,6 +260,21 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
   override val schema: StructType = StructType(data ++
     (if (changeFeed) TxLogSource.CdfMetaFields else TxLogSource.MetaFields))
 
+  // COLUMN MAPPING, resolved once per stream start: `data` carries
+  // LOGICAL labels, segment bytes carry PHYSICAL names — scan physical,
+  // re-label each batch. Physical names are stable for the table's
+  // lifetime, so a mid-stream rename cannot invalidate this (it only
+  // changes labels, which this stream pinned at start).
+  private val physByLogical: Map[String, String] =
+    TxLog.columnMapping(dir).map(_.swap)
+  private val physData: StructType =
+    StructType(data.map(f =>
+      f.copy(name = physByLogical.getOrElse(f.name, f.name))))
+  private def relabel(df: DataFrame): DataFrame =
+    physByLogical.foldLeft(df) { case (d, (l, p)) =>
+      if (l != p) d.withColumnRenamed(p, l) else d
+    }
+
   /** Highest commit version the engine has planned or committed —
     * the anchor the per-trigger cap advances from. Learned from
     * getBatch (replay + new batches) and commit() (restored offsets on
@@ -308,7 +323,7 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
     // footer-read inference over THIS BATCH's adds only — O(batch),
     // bounded by the trigger cap, never a table-wide listing.
     if (parts.nonEmpty) {
-      val known = data.fieldNames.toSet
+      val known = physData.fieldNames.toSet
       val drifted = spark.read.option("mergeSchema", "true")
         .parquet(parts.flatMap(_._3): _*).schema.fieldNames
         .filterNot(known)
@@ -331,7 +346,7 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
     } else if (parts.isEmpty) ColumnShim.emptyStreaming(spark, schema)
     else {
       ColumnShim.asStreaming(parts.map { case (v, op, add) =>
-        spark.read.schema(data).parquet(add: _*) // already-resolved paths
+        relabel(spark.read.schema(physData).parquet(add: _*)) // resolved paths
           .withColumn("_commit_version", lit(v.toLong))
           .withColumn("_commit_op", lit(op))
       }.reduce(_ unionByName _))
