@@ -1569,6 +1569,30 @@ object TxLog {
     doomed
   }
 
+  /** TIME-BASED retention vacuum (Delta's `VACUUM … RETAIN n HOURS`,
+    * composing with in-commit timestamps): keep every snapshot whose
+    * ADJUSTED commit instant falls inside the retention window — plus
+    * the snapshot that was CURRENT at the window's edge, so "read the
+    * table as it was `retainMillis` ago" keeps working right up to the
+    * boundary — and reclaim storage referenced by nothing newer.
+    * `asOfMillis` is injectable for determinism (tests pin it to
+    * recorded commit instants); production callers omit it. A window
+    * predating the first commit retains everything. Delegates to the
+    * version-count [[vacuum]] so the two retention dialects share one
+    * reclamation engine (live-set union, DV sidecar liveness,
+    * external-ref ownership). */
+  def vacuumRetain(dir: String, retainMillis: Long,
+                   asOfMillis: Long = System.currentTimeMillis): Seq[String] = {
+    require(retainMillis >= 0, s"negative retention $retainMillis")
+    val head = headVersion(dir)
+    if (head < 0) return Seq.empty
+    val cutoff = asOfMillis - retainMillis
+    val horizon =
+      if (cutoff < commitTimestamp(dir, 0)) 0
+      else versionAsOfTimestamp(dir, cutoff)
+    vacuum(dir, keepVersions = head - horizon + 1)
+  }
+
   /** Change data feed for append-only consumption: every row ADDED by
     * commits in (`fromVersion`, head], tagged with `_commit_version`
     * and `_commit_op` — the incremental-sync surface a downstream
