@@ -3815,6 +3815,39 @@ object SparkEntry {
       s.table("graft_stream_txlog_cdf").orderBy("version", "change_type")
     }),
 
+    // COMPLETE-MODE STREAMING SINK — the refresh-table shape: a
+    // streaming aggregation REPLACES the TxLog table every trigger
+    // (overwriteStream: one segment + a remove-all conditional commit,
+    // batch id deduped), so a dashboard always reads one consistent
+    // full aggregate and earlier triggers' partials stay
+    // time-travelable. The requires pin one overwrite commit per
+    // trigger and that v0 holds a strict subset of the final counts.
+    "stream_txlog_complete" -> ((s, d) => withStreamPartitions(s) {
+      val src = streamCache4(s, d)
+      val dst = s"/tmp/graft_txcomplete_${new java.io.File(d).getName}"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dst).toPath)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_txcomp_ck")
+      val q = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*.parquet")
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .writeStream.format("txlog")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      require(graft.sources.TxLog.headVersion(dst) == 3,
+        "4 triggers must land as 4 overwrite commits")
+      val v0 = graft.sources.TxLog.read(s, dst, asOf = 0)
+        .agg(sum(col("n"))).head().getLong(0)
+      val head = graft.sources.TxLog.read(s, dst)
+        .agg(sum(col("n"))).head().getLong(0)
+      require(v0 < head, "v0 must be the first trigger's partial refresh")
+      graft.sources.TxLog.read(s, dst).orderBy("event_type")
+    }),
+
     // STREAMING INCREMENTAL VIEW MAINTENANCE — the whole round trip:
     // the source tails the MoR table's ROW-LEVEL change feed
     // (changeFeed=true: deletion-vector pre-images arrive as
@@ -5956,6 +5989,11 @@ object SparkEntry {
            SELECT 3 AS v, o_totalprice FROM orders
            WHERE o_orderdate BETWEEN '1999-01-01' AND '2001-12-31')
          GROUP BY v ORDER BY version""",
+    // the final Complete-mode refresh = the full batch aggregate
+    "stream_txlog_complete" ->
+      """SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // the relay keeps exactly the 4 append-op commits = all of orders
     "stream_txlog_pipeline" ->
       """SELECT o_orderstatus, count(*) AS n,
