@@ -673,6 +673,81 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // PERSISTENT CHECK CONSTRAINTS (Delta's ALTER TABLE ADD
+    // CONSTRAINT — metadata-recorded, vs table_log_constraints'
+    // per-call form): v1 validated every existing row then recorded
+    // the predicate; from then on EVERY row-adding write (append /
+    // overwrite / update / merge / streaming) is enforced at the one
+    // segment-staging choke point, and the WRITER floor rises to 3 so
+    // a pre-constraint client refuses to append rows it never knew to
+    // check. Readers are untouched (floor stays 1).
+    "table_log_add_constraint" -> ((s, d) => {
+      val dir = txConsCache(s, d)
+      require(graft.sources.TxLog.commitOp(dir, 1) == "add_constraint",
+        "v1 must be the ADD CONSTRAINT commit")
+      require(graft.sources.TxLog.constraintsOf(dir) ==
+          Map("cents_nonneg" -> "cents >= 0"),
+        "constraint must be table metadata")
+      require(graft.sources.TxLog.protocolOf(dir) == ((1, 3)),
+        "constraints raise the writer floor only")
+      graft.sources.TxLog.read(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // PROTOCOL versioning (Delta's reader/writer protocol): v1 raised
+    // the table's format floor to 2|2 in one metadata-only commit;
+    // feature commits (DVs, column mapping) record the same bump
+    // automatically. A client below the floor fails loud instead of
+    // misreading — the safety latch that lets a 1000-reader fleet roll
+    // format upgrades without a flag day. The floor is versioned
+    // state: time travel before v1 still reads as 1|1.
+    "table_log_protocol" -> ((s, d) => {
+      val dir = txProtoCache(s, d)
+      require(graft.sources.TxLog.commitOp(dir, 1) == "upgrade_protocol",
+        "v1 must be the upgrade commit")
+      require(graft.sources.TxLog.protocolOf(dir) == ((2, 2)),
+        "head floor must be 2|2")
+      require(graft.sources.TxLog.protocolOf(dir, asOf = 0) == ((1, 1)),
+        "pre-upgrade snapshots must still read as 1|1")
+      graft.sources.TxLog.read(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // REPLACE WHERE (predicate-scoped atomic overwrite — Delta's
+    // replaceWhere, the general form of dynamic partition overwrite):
+    // v3 restated the 1996-01..1997-06 frame with cents+1000 in ONE
+    // commit. The all-match 1996 segment dropped WHOLESALE (metadata
+    // removal, bytes never read for rewrite), the no-match 1995
+    // segment carried by reference, only the straddling 1997-2001
+    // segment was rewritten. At 100 TB: a one-day backfill removes
+    // that day's segments by name and never touches the other 99.9%.
+    "table_log_replace_where" -> ((s, d) => {
+      val dir = txReplaceCache(s, d)
+      require(graft.sources.TxLog.commitOp(dir, 3) == "replace_where",
+        "v3 must be the replaceWhere commit")
+      val v0segs = graft.sources.TxLog.liveSegments(dir, 0).toSet
+      val v1new = graft.sources.TxLog.liveSegments(dir, 1).toSet -- v0segs
+      val live = graft.sources.TxLog.liveSegments(dir, 3).toSet
+      require((v1new -- live).isEmpty,
+        "the no-match segment must carry over by reference")
+      require((v0segs & live).isEmpty,
+        "the all-match segment must drop wholesale")
+      // both replace-written segments carry stats: a 1995 range query
+      // prunes them from metadata and keeps only the 1995 append
+      val (kept, pruned) = graft.sources.TxLog.pruneRange(
+        dir, "o_orderdate", Some("1995-01-01"), Some("1995-12-31"))
+      require(kept.size == 1 && pruned.size == 2,
+        s"replace-written segments must be stats-prunable: kept=$kept")
+      graft.sources.TxLog.read(s, dir)
+        .groupBy(substring(col("o_orderdate"), 1, 4).as("yr"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("yr")
+    }),
+
     // Z-ORDER OPTIMIZE on the log table: v3 re-clustered 16 segments by
     // zorder2(o_custkey, o_orderkey DIV 4) — interleaved bits give BOTH
     // dimensions partial locality, so single-column range queries on
@@ -4736,6 +4811,70 @@ object SparkEntry {
         numSegments = 16, statsCols = Seq("o_custkey", "o_orderkey"))
     }
 
+  /** One-time REPLACE WHERE scenario: v0 appends the 1996 slice
+    * (entirely inside the frame), v1 the 1995 slice (outside), v2 the
+    * 1997-2001 slice (straddles), v3 replaceWhere restates the
+    * 1996-01..1997-06 frame with cents+1000 in one commit. */
+  private def txReplaceCache(s: SparkSession, d: String): String =
+    cachedDir(s"/tmp/graft_txreplace_${new java.io.File(d).getName}", d,
+        Seq("orders")) { out =>
+      val root = new java.io.File(out)
+      graft.sources.TxLog.deleteRecursively(root.toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      def slice(lo: String, hi: String) =
+        o.filter(col("o_orderdate").between(lo, hi))
+      graft.sources.TxLog.appendWithStats(s,
+        slice("1996-01-01", "1996-12-31"), out, Seq("o_orderdate"))
+      graft.sources.TxLog.appendWithStats(s,
+        slice("1995-01-01", "1995-12-31"), out, Seq("o_orderdate"))
+      graft.sources.TxLog.appendWithStats(s,
+        slice("1997-01-01", "2001-12-31"), out, Seq("o_orderdate"))
+      graft.sources.TxLog.replaceWhere(s, out,
+        "o_orderdate BETWEEN '1996-01-01' AND '1997-06-30'",
+        slice("1996-01-01", "1997-06-30").withColumn("cents", col("cents") + 1000L),
+        statsCols = Seq("o_orderdate"))
+    }
+
+  /** One-time PROTOCOL scenario: v0 appends the even-key half (floor
+    * 1|1), v1 records an explicit reader/writer floor of 2|2, v2
+    * appends the odd half under the raised floor. */
+  private def txProtoCache(s: SparkSession, d: String): String =
+    cachedDir(s"/tmp/graft_txproto_${new java.io.File(d).getName}", d,
+        Seq("orders")) { out =>
+      val root = new java.io.File(out)
+      graft.sources.TxLog.deleteRecursively(root.toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 0), out)
+      graft.sources.TxLog.upgradeProtocol(out, 2, 2)
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 1), out)
+    }
+
+  /** One-time PERSISTENT-CONSTRAINT scenario: v0 appends the even
+    * half, v1 ALTER TABLE ADD CONSTRAINT (validates existing rows,
+    * writer floor -> 3), v2 appends the odd half under enforcement;
+    * the builder also proves a violating append is refused and
+    * reclaimed. */
+  private def txConsCache(s: SparkSession, d: String): String =
+    cachedDir(s"/tmp/graft_txcons_${new java.io.File(d).getName}", d,
+        Seq("orders")) { out =>
+      val root = new java.io.File(out)
+      graft.sources.TxLog.deleteRecursively(root.toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 0), out)
+      graft.sources.TxLog.addConstraint(s, out, "cents_nonneg", "cents >= 0")
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 1), out)
+      val refused =
+        try { graft.sources.TxLog.append(
+          o.limit(1).withColumn("cents", lit(-1L)), out); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("cents_nonneg") }
+      require(refused, "violating append must be refused naming the constraint")
+    }
+
   /** One-time RESTORE scenario: v0/v1 append order halves, v2 CoW
     * delete of a custkey band, v3 RESTORE to v1 — head re-references
     * v1's segments, undoing the delete without copying data. */
@@ -6162,6 +6301,26 @@ object SparkEntry {
                   ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
                AS BIGINT) AS cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // enforcement commits are metadata-only: contents = both halves
+    // (the violating batch was refused before any commit)
+    "table_log_add_constraint" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the protocol commit is metadata-only: contents = both halves
+    "table_log_protocol" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // replaceWhere replayed relationally: rows in the frame restated
+    // with cents+1000, everything else untouched
+    "table_log_replace_where" ->
+      """SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr, count(*) AS n,
+             CAST(sum(CASE WHEN o_orderdate BETWEEN '1996-01-01' AND '1997-06-30'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) + 1000
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+               AS BIGINT) AS cents
+         FROM orders GROUP BY yr ORDER BY yr""",
     // update replay + the custkey band; z-order pruning must not
     // change results
     "table_log_zorder" ->

@@ -60,6 +60,18 @@ object TxLog {
     * at most this many tail entries past the newest checkpoint. */
   private[graft] val CheckpointInterval = 10
 
+  /** PROTOCOL versions this implementation can consume/produce
+    * (Delta's reader/writer protocol): reader/writer 2 = column
+    * mapping + deletion vectors; writer 3 = CHECK constraints (reader
+    * stays 2 — constraints shape writes, never reads, exactly Delta's
+    * split). Tables start at 1|1; the first feature-using commit
+    * auto-records the bump, and a client seeing a floor ABOVE what it
+    * supports fails loud instead of misreading mapped columns,
+    * resurrecting tombstoned rows, or appending constraint-breaking
+    * rows it never knew to check. */
+  val SupportedReaderVersion = 2
+  val SupportedWriterVersion = 3
+
   private def logDir(dir: String): String = s"$dir/_txlog"
   private def store(dir: String): LogStore = LogStore.forPath(dir)
 
@@ -117,7 +129,10 @@ object TxLog {
                            dvs: Seq[(String, String, Long)],
                            renames: Seq[(String, String)] = Seq.empty,
                            drops: Seq[String] = Seq.empty,
-                           undrops: Seq[String] = Seq.empty)
+                           undrops: Seq[String] = Seq.empty,
+                           protocol: Option[(Int, Int)] = None,
+                           consAdds: Seq[(String, String)] = Seq.empty,
+                           consDrops: Seq[String] = Seq.empty)
 
   /** Replayed log state as of some version: what every reader/pruner
     * actually consumes — built from checkpoint + tail, never a full
@@ -133,7 +148,9 @@ object TxLog {
                            streamOps: Set[String],
                            dvs: Map[String, Seq[(String, Long)]],
                            renames: Map[String, String] = Map.empty,
-                           dropped: Set[String] = Set.empty) {
+                           dropped: Set[String] = Set.empty,
+                           protocol: (Int, Int) = (1, 1),
+                           constraints: Map[String, String] = Map.empty) {
     /** logical name → PHYSICAL (stored) name, for mapped columns. */
     def physByLogical: Map[String, String] = renames.map(_.swap)
     /** The physical (stored) name behind a user-facing column name. */
@@ -231,7 +248,20 @@ object TxLog {
         case _           => None
       }),
       drops = vals(lines, "dropcol").map(dec),
-      undrops = vals(lines, "undropcol").map(dec))
+      undrops = vals(lines, "undropcol").map(dec),
+      protocol = vals(lines, "protocol").headOption.flatMap(parseProtocol),
+      consAdds = vals(lines, "addconstraint").flatMap(_.split("\\|", -1) match {
+        case Array(n, c) => Some((dec(n), dec(c)))
+        case _           => None
+      }),
+      consDrops = vals(lines, "dropconstraint").map(dec))
+
+  private def parseProtocol(s: String): Option[(Int, Int)] =
+    s.split("\\|", -1) match {
+      case Array(r, w) =>
+        for (ri <- r.toIntOption; wi <- w.toIntOption) yield (ri, wi)
+      case _ => None
+    }
 
   private def readEntry(dir: String, v: Int): Entry =
     parse(dir, v,
@@ -275,7 +305,13 @@ object TxLog {
           case Array(p, l) => Some((dec(p), dec(l)))
           case _           => None
         }).toMap,
-        dropped = vals(lines, "dropcol").map(dec).toSet))
+        dropped = vals(lines, "dropcol").map(dec).toSet,
+        protocol = vals(lines, "protocol").headOption
+          .flatMap(parseProtocol).getOrElse((1, 1)),
+        constraints = vals(lines, "constraint").flatMap(_.split("\\|", -1) match {
+          case Array(n, c) => Some((dec(n), dec(c)))
+          case _           => None
+        }).toMap))
     } catch { case _: java.io.IOException => None }
 
   /** Newest checkpoint at-or-before `asOf` (-1 = no bound): pointer
@@ -316,6 +352,8 @@ object TxLog {
     var dvs = cp.map(_.dvs).getOrElse(Map.empty[String, Seq[(String, Long)]])
     var renames = cp.map(_.renames).getOrElse(Map.empty[String, String])
     var dropped = cp.map(_.dropped).getOrElse(Set.empty[String])
+    var proto = cp.map(_.protocol).getOrElse((1, 1))
+    var cons = cp.map(_.constraints).getOrElse(Map.empty[String, String])
     var version = cp.map(_.version).getOrElse(-1)
     var v = version + 1
     while ((asOf < 0 || v <= asOf) && st.exists(entryPath(dir, v))) {
@@ -337,9 +375,19 @@ object TxLog {
         renames = if (l == p) renames - p else renames.updated(p, l)
       }
       dropped = dropped ++ e.drops -- e.undrops
+      e.protocol.foreach(p => proto = p)
+      cons = cons ++ e.consAdds -- e.consDrops
       version = v; v += 1
     }
-    State(version, live.toSeq, stats, blooms, ops, dvs, renames, dropped)
+    // reader gate: refusing is the only safe response to a floor above
+    // this implementation — "reading anyway" would surface physical
+    // column names or resurrect DV-tombstoned rows of a future format
+    if (proto._1 > SupportedReaderVersion)
+      throw new UnsupportedOperationException(
+        s"table $dir requires reader protocol ${proto._1}; this client " +
+          s"supports $SupportedReaderVersion — upgrade the client to read")
+    State(version, live.toSeq, stats, blooms, ops, dvs, renames, dropped,
+      protocol = proto, constraints = cons)
   }
 
   /** Fold the state at version `v` into a checkpoint file + advance
@@ -364,7 +412,11 @@ object TxLog {
           s.streamOps.toSeq.sorted.map("streamop=" + enc(_)) ++
           s.renames.toSeq.sorted.map { case (p, l) =>
             s"rename=${enc(p)}|${enc(l)}" } ++
-          s.dropped.toSeq.sorted.map("dropcol=" + enc(_)))
+          s.dropped.toSeq.sorted.map("dropcol=" + enc(_)) ++
+          (if (s.protocol == (1, 1)) Seq.empty
+           else Seq(s"protocol=${s.protocol._1}|${s.protocol._2}")) ++
+          s.constraints.toSeq.sorted.map { case (n, c) =>
+            s"constraint=${enc(n)}|${enc(c)}" })
           .mkString("", "\n", "\n")
         // idempotent across racing checkpointers: same version folds the
         // same content, so losing the put-if-absent race is fine
@@ -456,6 +508,20 @@ object TxLog {
                             dvs: Seq[(String, String, Long)] = Seq.empty,
                             extraLines: Seq[String] = Seq.empty): Int = {
     val st = store(dir)
+    // writer gate at the single commit choke point: a client that
+    // cannot understand the table's writer floor must not commit (its
+    // rewrite could drop future-format metadata it never parsed). The
+    // state replay underneath also enforces the READER gate — you
+    // cannot safely write what you cannot read. Cost: one extra
+    // O(checkpoint + tail) metadata replay per commit, which every
+    // snapshot-dependent op pays already.
+    if (st.isDirectory(logDir(dir))) {
+      val p = state(dir).protocol
+      if (p._2 > SupportedWriterVersion)
+        throw new UnsupportedOperationException(
+          s"table $dir requires writer protocol ${p._2}; this client " +
+            s"supports $SupportedWriterVersion — upgrade the client to write")
+    }
     st.mkdirs(logDir(dir))
     // IN-COMMIT timestamp (Delta's inCommitTimestamps): the commit
     // instant travels IN the entry, so timestamp time travel survives
@@ -489,11 +555,104 @@ object TxLog {
     committed
   }
 
+  /** The `protocol=` bump line a feature-using commit must carry when
+    * the table's recorded floor is below `to` — empty when already
+    * there (Delta: enabling a feature upgrades the protocol in the
+    * same commit that first uses it). */
+  private def protoBump(snap: State, to: (Int, Int) = (2, 2)): Seq[String] =
+    if (snap.protocol._1 >= to._1 && snap.protocol._2 >= to._2) Seq.empty
+    else Seq("protocol=" + math.max(snap.protocol._1, to._1) + "|" +
+      math.max(snap.protocol._2, to._2))
+
+  /** Table CHECK constraints (name -> boolean SQL expression in
+    * logical column terms); enforced on every row-adding write. */
+  def constraintsOf(dir: String): Map[String, String] =
+    state(dir).constraints
+
+  /** ALTER TABLE ADD CONSTRAINT (Delta's table constraints, persisted
+    * in table metadata rather than per call): validates that EVERY
+    * existing row already satisfies the predicate (one distributed
+    * scan — Delta does the same on ADD), then records the constraint
+    * in a metadata-only commit that also raises the WRITER floor to 3:
+    * an older writer that never parses constraint lines must not
+    * append unchecked rows, while readers are untouched. From that
+    * commit on, [[newSegment]] enforces the predicate on every
+    * row-adding write. */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+                    expression: String): Int = {
+    val snap = state(dir)
+    require(!snap.constraints.contains(name),
+      s"constraint $name already exists: [${snap.constraints(name)}]")
+    if (snap.live.nonEmpty) {
+      val bad = segScan(spark, dir, snap, snap.live, mergeSchema = true)
+        .filter(not(coalesce(expr(expression), lit(true))))
+      require(bad.isEmpty,
+        s"cannot add constraint $name: existing rows violate [$expression]")
+    }
+    commit(dir, "add_constraint", Seq.empty, Seq.empty, Some(snap.version),
+      extraLines = s"addconstraint=${enc(name)}|${enc(expression)}" +:
+        protoBump(snap, (1, 3)))
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT: metadata-only commit. */
+  def dropConstraint(dir: String, name: String): Int = {
+    val snap = state(dir)
+    require(snap.constraints.contains(name), s"no constraint $name " +
+      s"(defined: ${snap.constraints.keys.toSeq.sorted.mkString(", ")})")
+    commit(dir, "drop_constraint", Seq.empty, Seq.empty, Some(snap.version),
+      extraLines = Seq(s"dropconstraint=${enc(name)}"))
+  }
+
+  /** Table protocol floor (minReader, minWriter); (1,1) when never
+    * recorded. */
+  def protocolOf(dir: String, asOf: Int = -1): (Int, Int) =
+    state(dir, asOf).protocol
+
+  /** Record a protocol floor explicitly (Delta's `UPGRADE PROTOCOL`):
+    * one metadata-only commit; monotonic — a floor protects readers
+    * that already trusted it, so it never lowers. */
+  def upgradeProtocol(dir: String, minReader: Int, minWriter: Int): Int = {
+    val snap = state(dir)
+    require(minReader >= snap.protocol._1 && minWriter >= snap.protocol._2,
+      s"protocol downgrade ${snap.protocol} -> ($minReader,$minWriter) refused")
+    commit(dir, "upgrade_protocol", Seq.empty, Seq.empty, Some(snap.version),
+      extraLines = Seq(s"protocol=$minReader|$minWriter"))
+  }
+
   private def newSegment(dir: String, df: DataFrame): String = {
     val name = s"seg-${java.util.UUID.randomUUID}"
+    val snap =
+      if (store(dir).isDirectory(logDir(dir))) state(dir)
+      else State(-1, Seq.empty, Map.empty, Map.empty, Set.empty, Map.empty)
     // segment bytes always carry PHYSICAL column names (column
     // mapping's storage invariant — reads re-label, writes un-label)
-    toPhysical(df, state(dir)).write.mode("overwrite").parquet(s"$dir/$name")
+    toPhysical(df, snap).write.mode("overwrite").parquet(s"$dir/$name")
+    // TABLE CHECK constraints, enforced at the one choke point every
+    // row-adding write funnels through (append/overwrite/replaceWhere/
+    // merge/update rewrites/streaming appends alike — Delta enforces
+    // its invariants on every write path the same way). One columnar
+    // scan of the just-staged bytes, paid ONLY when constraints exist;
+    // the staged read makes the check deterministic even when `df` is
+    // nondeterministic upstream. On violation the staged bytes are
+    // reclaimed and nothing was committed.
+    if (snap.constraints.nonEmpty) {
+      val spark = df.sparkSession
+      val staged = applyMapping(spark.read.parquet(s"$dir/$name"), snap)
+      val cs = snap.constraints.toSeq.sorted
+      // SQL CHECK semantics: only an explicit FALSE violates (NULL passes)
+      val counts = staged.select(cs.map { case (n, c) =>
+        coalesce(sum(when(not(coalesce(expr(c), lit(true))), 1L)
+          .otherwise(0L)), lit(0L)).as(n) }: _*).head()
+      val violated = cs.zipWithIndex
+        .map { case ((n, c), i) => (n, c, counts.getLong(i)) }
+        .filter(_._3 > 0)
+      if (violated.nonEmpty) {
+        store(dir).deleteRecursively(s"$dir/$name")
+        throw new IllegalArgumentException("table constraint violation(s): " +
+          violated.map { case (n, c, k) => s"$n [$c] $k row(s)" }
+            .mkString("; "))
+      }
+    }
     name
   }
 
@@ -637,7 +796,8 @@ object TxLog {
       return commit(dir, "delete_mor", Seq.empty, Seq.empty, Some(snap.version))
     }
     try commit(dir, "delete_mor", Seq.empty, Seq.empty, Some(snap.version),
-      dvs = dirty.map { case (seg, n) => (entryOf.getOrElse(seg, seg), dvName, n) })
+      dvs = dirty.map { case (seg, n) => (entryOf.getOrElse(seg, seg), dvName, n) },
+      extraLines = protoBump(snap))
     catch {
       case e: java.util.ConcurrentModificationException =>
         store(dir).deleteRecursively(s"$dir/$dvName")
@@ -702,7 +862,8 @@ object TxLog {
       try commit(dir, "update_mor", Seq(newSeg), Seq.empty, Some(snap.version),
         stats = segStats(spark, dir, newSeg, statsCols),
         dvs = dirty.map { case (seg, n) =>
-          (entryOf.getOrElse(seg, seg), dvName, n) })
+          (entryOf.getOrElse(seg, seg), dvName, n) },
+        extraLines = protoBump(snap))
       catch {
         case e: Throwable =>
           store(dir).deleteRecursively(s"$dir/$dvName")
@@ -771,7 +932,8 @@ object TxLog {
       Some(commit(dir, op, Seq(uSeg), Seq.empty, Some(snap.version),
         stats = segStats(spark, dir, uSeg, statsCols),
         dvs = dirty.map { case (seg, n) =>
-          (entryOf.getOrElse(seg, seg), dvName.get, n) }))
+          (entryOf.getOrElse(seg, seg), dvName.get, n) },
+        extraLines = if (dirty.nonEmpty) protoBump(snap) else Seq.empty))
     } catch {
       // probe failure or stale-snapshot conflict: neither the staged
       // updates segment nor the sidecar is recorded by any entry, so
@@ -824,9 +986,13 @@ object TxLog {
       dvs = snap.dvs.toSeq.flatMap { case (seg, ds) =>
         ds.map { case (dv, rows) => (ref(seg), ref(dv), rows) } },
       // the clone sees the source's logical view: carry column mapping
+      // AND the protocol floor — a clone of a feature-bearing table
+      // needs the same reader everywhere its source did
       extraLines = snap.renames.toSeq.sorted.map { case (p, l) =>
         s"rename=${enc(p)}|${enc(l)}" } ++
-        snap.dropped.toSeq.sorted.map("dropcol=" + enc(_)))
+        snap.dropped.toSeq.sorted.map("dropcol=" + enc(_)) ++
+        (if (snap.protocol == (1, 1)) Seq.empty
+         else Seq(s"protocol=${snap.protocol._1}|${snap.protocol._2}")))
   }
 
   /** Targeted CLONE LOCALIZATION — sever a shallow clone's dependency
@@ -1460,6 +1626,52 @@ object TxLog {
       Map.empty)
   }
 
+  /** Predicate-scoped atomic OVERWRITE (Delta's `replaceWhere`, the
+    * general form of dynamic partition overwrite): ONE commit replaces
+    * every row matching `predicate` with `df`. Enforces, like Delta,
+    * that every incoming row satisfies the predicate — otherwise the
+    * op would smuggle rows outside its declared replacement frame.
+    * Copy-on-write and segment-bounded: all-match segments drop
+    * WHOLESALE (metadata removal, their bytes never rewritten),
+    * no-match segments carry by reference, and only straddling
+    * segments are rewritten (one distributed DV-applied scan keeping
+    * the non-matching rows). Backfilling one day of a date-sliced
+    * 100 TB table therefore removes that day's segments by name,
+    * rewrites only boundary segments that mix days, and writes the
+    * new slice — never touches the other 99.9%. */
+  def replaceWhere(spark: SparkSession, dir: String, predicate: String,
+                   df: DataFrame, statsCols: Seq[String] = Nil): Int = {
+    require(df.filter(s"NOT ($predicate)").isEmpty,
+      s"replaceWhere: every incoming row must satisfy ($predicate)")
+    val snap = state(dir)
+    // per-segment triage probes are limit-1 scans with the predicate
+    // pushed to parquet row groups — a no-match segment's probe reads
+    // footers and whatever row groups the pushed filter cannot rule out
+    val withMatch = snap.live.filter { seg =>
+      !segScan(spark, dir, snap, Seq(seg)).filter(predicate).isEmpty }
+    val (dropped, straddling) = withMatch.partition { seg =>
+      segScan(spark, dir, snap, Seq(seg)).filter(s"NOT ($predicate)").isEmpty }
+    // staging, stats and commit all inside one reclaim scope: a failure
+    // anywhere (incl. a table-constraint violation staging the SECOND
+    // segment) deletes every already-staged segment, never leaking
+    val adds = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      if (straddling.nonEmpty)
+        adds += newSegment(dir, segScan(spark, dir, snap, straddling,
+          mergeSchema = true).filter(s"NOT ($predicate)"))
+      if (!df.isEmpty) adds += newSegment(dir, df)
+      val stats =
+        if (statsCols.isEmpty) Map.empty[(String, String), ColStats]
+        else adds.toSeq.flatMap(seg => segStats(spark, dir, seg, statsCols)).toMap
+      commit(dir, "replace_where", adds.toSeq, dropped ++ straddling,
+        Some(snap.version), stats)
+    } catch {
+      case e: Throwable =>
+        adds.foreach(seg => store(dir).deleteRecursively(s"$dir/$seg"))
+        throw e
+    }
+  }
+
   /** Size-tiered SMALL-FILE COMPACTION (OPTIMIZE's bin-packing mode —
     * the incremental companion to [[compact]]/[[optimize]]): live
     * segments whose on-disk footprint is under `smallBytes` are
@@ -1787,7 +1999,7 @@ object TxLog {
       s"column $to already exists — rename would alias two columns")
     val p = snap.physCol(from)
     commit(dir, "rename_column", Seq.empty, Seq.empty, Some(snap.version),
-      extraLines = Seq(s"rename=${enc(p)}|${enc(to)}"))
+      extraLines = s"rename=${enc(p)}|${enc(to)}" +: protoBump(snap))
   }
 
   /** METADATA-ONLY COLUMN DROP (column mapping's second op): hides the
@@ -1809,7 +2021,7 @@ object TxLog {
       if (snap.renames.contains(p)) Seq(s"rename=${enc(p)}|${enc(p)}")
       else Seq.empty
     commit(dir, "drop_column", Seq.empty, Seq.empty, Some(snap.version),
-      extraLines = s"dropcol=${enc(p)}" +: clearRename)
+      extraLines = (s"dropcol=${enc(p)}" +: clearRename) ++ protoBump(snap))
   }
 
   /** Head-state column mapping, PHYSICAL → logical — what the
@@ -1873,7 +2085,21 @@ object TxLog {
         if (cur == tgt) None else Some(s"rename=${enc(p)}|${enc(tgt)}")
       } ++
       (head.dropped -- target.dropped).toSeq.sorted.map("undropcol=" + enc(_)) ++
-      (target.dropped -- head.dropped).toSeq.sorted.map("dropcol=" + enc(_))
+      (target.dropped -- head.dropped).toSeq.sorted.map("dropcol=" + enc(_)) ++
+      // constraint rollback: the target's data satisfied the target's
+      // constraints by construction, so re-recording them is safe; a
+      // post-target ADD is dropped with them (protocol floors, by
+      // contrast, never roll back — they protect readers already
+      // trusting them)
+      (head.constraints.keySet ++ target.constraints.keySet).toSeq.sorted
+        .flatMap { n =>
+          (head.constraints.get(n), target.constraints.get(n)) match {
+            case (c, t) if c == t => None
+            case (_, Some(t)) => Some(s"addconstraint=${enc(n)}|${enc(t)}")
+            case (Some(_), None) => Some(s"dropconstraint=${enc(n)}")
+            case _ => None
+          }
+        }
     commit(dir, "restore",
       add = readd,
       remove = current.filterNot(target.live.contains) ++ dvReset,

@@ -42,6 +42,46 @@ class TxLogSpec extends SparkTestBase {
       .toList == List((1L, "a"), (2L, "b"), (11L, "y")))
   }
 
+  test("replaceWhere: all-match drops wholesale, no-match carries by reference, straddler rewrites") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "d1"), (2L, "d1")).toDF("id", "day"), dir) // all-match
+    TxLog.append(Seq((3L, "d2"), (4L, "d2")).toDF("id", "day"), dir) // no-match
+    TxLog.append(Seq((5L, "d1"), (6L, "d2")).toDF("id", "day"), dir) // straddler
+    val before = segsOf(dir)
+    val v = TxLog.replaceWhere(spark, dir, "day = 'd1'",
+      Seq((7L, "d1"), (8L, "d1")).toDF("id", "day"))
+    val after = segsOf(dir)
+    assert((before intersect after).size == 1,
+      s"exactly the no-match segment must survive by reference: before=$before after=$after")
+    assert(TxLog.commitOp(dir, v) == "replace_where")
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, String)].collect().toList ==
+      List((3L, "d2"), (4L, "d2"), (6L, "d2"), (7L, "d1"), (8L, "d1")))
+    // empty replacement = pure frame delete, still one commit
+    TxLog.replaceWhere(spark, dir, "day = 'd1'",
+      Seq.empty[(Long, String)].toDF("id", "day"))
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, String)].collect().toList ==
+      List((3L, "d2"), (4L, "d2"), (6L, "d2")))
+  }
+
+  test("replaceWhere rejects incoming rows outside the predicate frame, leaking nothing") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "d1")).toDF("id", "day"), dir)
+    intercept[IllegalArgumentException] {
+      TxLog.replaceWhere(spark, dir, "day = 'd1'", Seq((2L, "d2")).toDF("id", "day"))
+    }
+    assert(TxLog.headVersion(dir) == 0, "failed replaceWhere must not commit")
+    assert(TxLog.read(spark, dir).count() == 1)
+  }
+
+  test("replaceWhere does not resurrect MoR-tombstoned rows in a straddler") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "d1"), (2L, "d2"), (3L, "d2")).toDF("id", "day"), dir)
+    TxLog.deleteMoR(spark, dir, "id = 3") // DV lands on the straddling segment
+    TxLog.replaceWhere(spark, dir, "day = 'd1'", Seq((9L, "d1")).toDF("id", "day"))
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, String)].collect().toList ==
+      List((2L, "d2"), (9L, "d1")))
+  }
+
   test("a pinned snapshot is immune to later commits (snapshot isolation)") {
     val dir = freshDir()
     TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)
