@@ -1608,20 +1608,41 @@ object TxLog {
       Map.empty)
   }
 
-  /** Copy-on-write delete of rows matching `predicate`: rewrites ONLY
-    * the segments that contain matches (per-segment probe ≈ file-stats
-    * pruning); clean segments carry over untouched. */
+  /** Per-segment LIVE-row match counts for `predicate`, computed by
+    * ONE distributed job over the whole live set — not a probe job per
+    * segment: at 100k-segment scale, O(segments) job submissions is a
+    * driver/scheduler bottleneck regardless of how little data each
+    * probe reads. The single pass reads only the predicate's columns
+    * (parquet pruning), applies DVs, and ships O(segments) count rows
+    * to the driver — the same metadata-bounded collect every DML op
+    * here uses. Segments with no live rows emit nothing (group absent
+    * = clean). Keys are ENTRY names (possibly external clone refs). */
+  private def matchCounts(spark: SparkSession, dir: String, snap: State,
+                          predicate: String): Map[String, (Long, Long)] = {
+    if (snap.live.isEmpty) return Map.empty
+    val entryOf = snap.live.map(n => bareName(n) -> n).toMap
+    segScan(spark, dir, snap, snap.live, mergeSchema = true, withMeta = true)
+      .groupBy(segOfFile(col("__file")).as("seg"))
+      .agg(sum(when(expr(predicate), 1L).otherwise(0L)).as("hits"),
+        count(lit(1)).as("total"))
+      .collect()
+      .map(r => entryOf.getOrElse(r.getString(0), r.getString(0)) ->
+        (r.getLong(1), r.getLong(2)))
+      .toMap
+  }
+
+  /** Copy-on-write delete of rows matching `predicate`: one triage job
+    * ([[matchCounts]]) finds the match-bearing segments, then ONE
+    * multi-path scan rewrites exactly those; clean segments carry over
+    * untouched by reference. */
   def delete(spark: SparkSession, dir: String, predicate: String): Int = {
     val snap = state(dir)
-    val (dirty, clean) = snap.live.partition { seg =>
-      !segScan(spark, dir, snap, Seq(seg)).filter(predicate).isEmpty
-    }
+    val counts = matchCounts(spark, dir, snap, predicate)
+    val dirty = snap.live.filter(seg => counts.get(seg).exists(_._1 > 0))
     if (dirty.isEmpty)
       return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap.version))
-    val kept = dirty.map(seg =>
-      segScan(spark, dir, snap, Seq(seg)).filter(s"NOT ($predicate)"))
-      .reduce(_ unionByName _)
-    val _ = clean // clean segments survive by reference
+    val kept = segScan(spark, dir, snap, dirty, mergeSchema = true)
+      .filter(s"NOT ($predicate)")
     commitOrReclaim(dir, "delete", Seq(newSegment(dir, kept)), dirty, snap.version,
       Map.empty)
   }
@@ -1644,13 +1665,14 @@ object TxLog {
     require(df.filter(s"NOT ($predicate)").isEmpty,
       s"replaceWhere: every incoming row must satisfy ($predicate)")
     val snap = state(dir)
-    // per-segment triage probes are limit-1 scans with the predicate
-    // pushed to parquet row groups — a no-match segment's probe reads
-    // footers and whatever row groups the pushed filter cannot rule out
-    val withMatch = snap.live.filter { seg =>
-      !segScan(spark, dir, snap, Seq(seg)).filter(predicate).isEmpty }
+    // one triage job classifies every live segment: all live rows
+    // match -> drop wholesale; none -> carry by reference; mixed ->
+    // rewrite. (A fully-tombstoned segment emits no counts and carries
+    // by reference — no logical change either way.)
+    val counts = matchCounts(spark, dir, snap, predicate)
+    val withMatch = snap.live.filter(seg => counts.get(seg).exists(_._1 > 0))
     val (dropped, straddling) = withMatch.partition { seg =>
-      segScan(spark, dir, snap, Seq(seg)).filter(s"NOT ($predicate)").isEmpty }
+      val (hits, total) = counts(seg); hits == total }
     // staging, stats and commit all inside one reclaim scope: a failure
     // anywhere (incl. a table-constraint violation staging the SECOND
     // segment) deletes every already-staged segment, never leaking
