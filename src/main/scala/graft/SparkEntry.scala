@@ -673,6 +673,27 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // COLUMN DEFAULTS (Delta's defaultColumns writer feature): v1
+    // recorded SET DEFAULT in one metadata commit; the odd-half batch
+    // appended WITHOUT the column got it materialized at staging,
+    // while the even half keeps its explicit values. Writer floor
+    // rises to 3 (an older writer would silently append nulls where
+    // the table promises a default); readers untouched. Rewrites
+    // never back-fill — pre-default rows keep reading null.
+    "table_log_default" -> ((s, d) => {
+      val dir = txDefCache(s, d)
+      require(graft.sources.TxLog.commitOp(dir, 1) == "set_default",
+        "v1 must be the SET DEFAULT commit")
+      require(graft.sources.TxLog.defaultsOf(dir) ==
+          Map("src" -> "'defaulted'"), "default must be table metadata")
+      require(graft.sources.TxLog.protocolOf(dir) == ((1, 3)),
+        "defaults raise the writer floor only")
+      graft.sources.TxLog.read(s, dir)
+        .groupBy("src")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("src")
+    }),
+
     // PERSISTENT CHECK CONSTRAINTS (Delta's ALTER TABLE ADD
     // CONSTRAINT — metadata-recorded, vs table_log_constraints'
     // per-call form): v1 validated every existing row then recorded
@@ -4875,6 +4896,24 @@ object SparkEntry {
       require(refused, "violating append must be refused naming the constraint")
     }
 
+  /** One-time COLUMN-DEFAULT scenario: v0 appends the even half with
+    * an explicit src column, v1 SET DEFAULT src = 'defaulted', v2
+    * appends the odd half WITHOUT src — the default materializes at
+    * staging. */
+  private def txDefCache(s: SparkSession, d: String): String =
+    cachedDir(s"/tmp/graft_txdef_${new java.io.File(d).getName}", d,
+        Seq("orders")) { out =>
+      val root = new java.io.File(out)
+      graft.sources.TxLog.deleteRecursively(root.toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.sources.TxLog.append(
+        o.filter(col("o_orderkey") % 2 === 0).withColumn("src", lit("seeded")),
+        out)
+      graft.sources.TxLog.setColumnDefault(out, "src", "'defaulted'")
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 1), out)
+    }
+
   /** One-time RESTORE scenario: v0/v1 append order halves, v2 CoW
     * delete of a custkey band, v3 RESTORE to v1 — head re-references
     * v1's segments, undoing the delete without copying data. */
@@ -6301,6 +6340,14 @@ object SparkEntry {
                   ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
                AS BIGINT) AS cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the default replayed relationally: even keys carried 'seeded',
+    // odd keys got the metadata default at write time
+    "table_log_default" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'seeded'
+                ELSE 'defaulted' END AS src,
+             count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY 1 ORDER BY src""",
     // enforcement commits are metadata-only: contents = both halves
     // (the violating batch was refused before any commit)
     "table_log_add_constraint" ->

@@ -62,9 +62,10 @@ object TxLog {
 
   /** PROTOCOL versions this implementation can consume/produce
     * (Delta's reader/writer protocol): reader/writer 2 = column
-    * mapping + deletion vectors; writer 3 = CHECK constraints (reader
-    * stays 2 — constraints shape writes, never reads, exactly Delta's
-    * split). Tables start at 1|1; the first feature-using commit
+    * mapping + deletion vectors; writer 3 = write-shaping table
+    * metadata — CHECK constraints and column defaults (reader stays 2:
+    * they shape writes, never reads, exactly Delta's split). Tables
+    * start at 1|1; the first feature-using commit
     * auto-records the bump, and a client seeing a floor ABOVE what it
     * supports fails loud instead of misreading mapped columns,
     * resurrecting tombstoned rows, or appending constraint-breaking
@@ -132,7 +133,9 @@ object TxLog {
                            undrops: Seq[String] = Seq.empty,
                            protocol: Option[(Int, Int)] = None,
                            consAdds: Seq[(String, String)] = Seq.empty,
-                           consDrops: Seq[String] = Seq.empty)
+                           consDrops: Seq[String] = Seq.empty,
+                           defSets: Seq[(String, String)] = Seq.empty,
+                           defUnsets: Seq[String] = Seq.empty)
 
   /** Replayed log state as of some version: what every reader/pruner
     * actually consumes — built from checkpoint + tail, never a full
@@ -150,7 +153,8 @@ object TxLog {
                            renames: Map[String, String] = Map.empty,
                            dropped: Set[String] = Set.empty,
                            protocol: (Int, Int) = (1, 1),
-                           constraints: Map[String, String] = Map.empty) {
+                           constraints: Map[String, String] = Map.empty,
+                           defaults: Map[String, String] = Map.empty) {
     /** logical name → PHYSICAL (stored) name, for mapped columns. */
     def physByLogical: Map[String, String] = renames.map(_.swap)
     /** The physical (stored) name behind a user-facing column name. */
@@ -254,7 +258,12 @@ object TxLog {
         case Array(n, c) => Some((dec(n), dec(c)))
         case _           => None
       }),
-      consDrops = vals(lines, "dropconstraint").map(dec))
+      consDrops = vals(lines, "dropconstraint").map(dec),
+      defSets = vals(lines, "setdefault").flatMap(_.split("\\|", -1) match {
+        case Array(n, c) => Some((dec(n), dec(c)))
+        case _           => None
+      }),
+      defUnsets = vals(lines, "unsetdefault").map(dec))
 
   private def parseProtocol(s: String): Option[(Int, Int)] =
     s.split("\\|", -1) match {
@@ -311,6 +320,10 @@ object TxLog {
         constraints = vals(lines, "constraint").flatMap(_.split("\\|", -1) match {
           case Array(n, c) => Some((dec(n), dec(c)))
           case _           => None
+        }).toMap,
+        defaults = vals(lines, "default").flatMap(_.split("\\|", -1) match {
+          case Array(n, c) => Some((dec(n), dec(c)))
+          case _           => None
         }).toMap))
     } catch { case _: java.io.IOException => None }
 
@@ -354,6 +367,7 @@ object TxLog {
     var dropped = cp.map(_.dropped).getOrElse(Set.empty[String])
     var proto = cp.map(_.protocol).getOrElse((1, 1))
     var cons = cp.map(_.constraints).getOrElse(Map.empty[String, String])
+    var defs = cp.map(_.defaults).getOrElse(Map.empty[String, String])
     var version = cp.map(_.version).getOrElse(-1)
     var v = version + 1
     while ((asOf < 0 || v <= asOf) && st.exists(entryPath(dir, v))) {
@@ -377,6 +391,7 @@ object TxLog {
       dropped = dropped ++ e.drops -- e.undrops
       e.protocol.foreach(p => proto = p)
       cons = cons ++ e.consAdds -- e.consDrops
+      defs = defs ++ e.defSets -- e.defUnsets
       version = v; v += 1
     }
     // reader gate: refusing is the only safe response to a floor above
@@ -387,7 +402,7 @@ object TxLog {
         s"table $dir requires reader protocol ${proto._1}; this client " +
           s"supports $SupportedReaderVersion — upgrade the client to read")
     State(version, live.toSeq, stats, blooms, ops, dvs, renames, dropped,
-      protocol = proto, constraints = cons)
+      protocol = proto, constraints = cons, defaults = defs)
   }
 
   /** Fold the state at version `v` into a checkpoint file + advance
@@ -416,7 +431,9 @@ object TxLog {
           (if (s.protocol == (1, 1)) Seq.empty
            else Seq(s"protocol=${s.protocol._1}|${s.protocol._2}")) ++
           s.constraints.toSeq.sorted.map { case (n, c) =>
-            s"constraint=${enc(n)}|${enc(c)}" })
+            s"constraint=${enc(n)}|${enc(c)}" } ++
+          s.defaults.toSeq.sorted.map { case (n, c) =>
+            s"default=${enc(n)}|${enc(c)}" })
           .mkString("", "\n", "\n")
         // idempotent across racing checkpointers: same version folds the
         // same content, so losing the put-if-absent race is fine
@@ -594,6 +611,35 @@ object TxLog {
         protoBump(snap, (1, 3)))
   }
 
+  /** Table column defaults (column -> SQL expression); a row-adding
+    * write whose batch lacks the column gets it filled at staging. */
+  def defaultsOf(dir: String): Map[String, String] =
+    state(dir).defaults
+
+  /** ALTER TABLE ALTER COLUMN SET DEFAULT (Delta's defaultColumns
+    * writer feature): metadata-only commit; from here on a batch that
+    * omits the column gets `expression` materialized at write time.
+    * Existing rows are untouched (they read as null if the column
+    * never existed — defaults shape writes, not reads). Raises the
+    * WRITER floor to 3: an older writer would silently append nulls
+    * where the table promises a default. */
+  def setColumnDefault(dir: String, colName: String,
+                       expression: String): Int = {
+    val snap = state(dir)
+    commit(dir, "set_default", Seq.empty, Seq.empty, Some(snap.version),
+      extraLines = s"setdefault=${enc(colName)}|${enc(expression)}" +:
+        protoBump(snap, (1, 3)))
+  }
+
+  /** ALTER TABLE ALTER COLUMN DROP DEFAULT: metadata-only commit. */
+  def unsetColumnDefault(dir: String, colName: String): Int = {
+    val snap = state(dir)
+    require(snap.defaults.contains(colName), s"no default on $colName " +
+      s"(defined: ${snap.defaults.keys.toSeq.sorted.mkString(", ")})")
+    commit(dir, "unset_default", Seq.empty, Seq.empty, Some(snap.version),
+      extraLines = Seq(s"unsetdefault=${enc(colName)}"))
+  }
+
   /** ALTER TABLE DROP CONSTRAINT: metadata-only commit. */
   def dropConstraint(dir: String, name: String): Int = {
     val snap = state(dir)
@@ -619,14 +665,31 @@ object TxLog {
       extraLines = Seq(s"protocol=$minReader|$minWriter"))
   }
 
-  private def newSegment(dir: String, df: DataFrame): String = {
+  /** Stage `df` as a new segment directory. `applyDefaults` is true on
+    * USER-DATA paths (append/overwrite/merge updates/streaming) and
+    * false on REWRITES of already-admitted rows (delete/update/
+    * replaceWhere kept sets, compact): a rewrite of rows written
+    * before a default existed must keep their nulls, not retroactively
+    * invent values. */
+  private def newSegment(dir: String, df: DataFrame,
+                         applyDefaults: Boolean = true): String = {
     val name = s"seg-${java.util.UUID.randomUUID}"
     val snap =
       if (store(dir).isDirectory(logDir(dir))) state(dir)
       else State(-1, Seq.empty, Map.empty, Map.empty, Set.empty, Map.empty)
+    // COLUMN DEFAULTS: a batch that LACKS a defaulted column gets it
+    // materialized at write time (Delta's defaultColumns — defaults
+    // shape new writes only; rows written before the default existed
+    // read as null, not retroactively rewritten). Applied before the
+    // physical re-label and before the constraint check, so a
+    // constraint over a defaulted column sees the filled value.
+    val filled =
+      if (!applyDefaults) df
+      else snap.defaults.foldLeft(df) { case (d, (c, e)) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, expr(e)) }
     // segment bytes always carry PHYSICAL column names (column
     // mapping's storage invariant — reads re-label, writes un-label)
-    toPhysical(df, snap).write.mode("overwrite").parquet(s"$dir/$name")
+    toPhysical(filled, snap).write.mode("overwrite").parquet(s"$dir/$name")
     // TABLE CHECK constraints, enforced at the one choke point every
     // row-adding write funnels through (append/overwrite/replaceWhere/
     // merge/update rewrites/streaming appends alike — Delta enforces
@@ -857,7 +920,7 @@ object TxLog {
           case None    => col(c)
         }
       }: _*)
-      val newSeg = newSegment(dir, newImages)
+      val newSeg = newSegment(dir, newImages, applyDefaults = false)
       val entryOf = snap.live.map(n => bareName(n) -> n).toMap
       try commit(dir, "update_mor", Seq(newSeg), Seq.empty, Some(snap.version),
         stats = segStats(spark, dir, newSeg, statsCols),
@@ -1314,7 +1377,7 @@ object TxLog {
       val sdf = segScan(spark, dir, snap, Seq(seg))
       sdf.filter(!rangeCond(sdf) || col(c).isNull)
     }.reduce(_ unionByName _)
-    val seg = newSegment(dir, kept)
+    val seg = newSegment(dir, kept, applyDefaults = false)
     commitOrReclaim(dir, "delete", Seq(seg), dirty, snap.version,
       segStats(spark, dir, seg, statsCols))
   }
@@ -1353,7 +1416,7 @@ object TxLog {
                                       snap: Int, statsCols: Seq[String],
                                       op: String = "optimize"): Int = {
     val st = store(dir)
-    val staging = newSegment(dir, clustered)
+    val staging = newSegment(dir, clustered, applyDefaults = false)
     val parts = st.list(s"$dir/$staging")
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .sorted
@@ -1414,7 +1477,7 @@ object TxLog {
         }
       }: _*)
     }.reduce(_ unionByName _)
-    val newSeg = newSegment(dir, rewritten)
+    val newSeg = newSegment(dir, rewritten, applyDefaults = false)
     commitOrReclaim(dir, "update", Seq(newSeg), dirty, snap.version,
       segStats(spark, dir, newSeg, statsCols))
   }
@@ -1470,7 +1533,9 @@ object TxLog {
         else segScan(spark, dir, snap, dirty)
           .join(uKeys, Seq(key), "left_anti")
           .unionByName(u)
-      val seg = newSegment(dir, newData)
+      // defaults were already applied staging `uSeg` (user data); the
+      // dirty-kept rows are a rewrite and must not be back-filled
+      val seg = newSegment(dir, newData, applyDefaults = false)
       commitOrReclaim(dir, "merge", Seq(seg), dirty, snap.version,
         segStats(spark, dir, seg, statsCols))
     } finally {
@@ -1643,7 +1708,8 @@ object TxLog {
       return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap.version))
     val kept = segScan(spark, dir, snap, dirty, mergeSchema = true)
       .filter(s"NOT ($predicate)")
-    commitOrReclaim(dir, "delete", Seq(newSegment(dir, kept)), dirty, snap.version,
+    commitOrReclaim(dir, "delete",
+      Seq(newSegment(dir, kept, applyDefaults = false)), dirty, snap.version,
       Map.empty)
   }
 
@@ -1680,7 +1746,8 @@ object TxLog {
     try {
       if (straddling.nonEmpty)
         adds += newSegment(dir, segScan(spark, dir, snap, straddling,
-          mergeSchema = true).filter(s"NOT ($predicate)"))
+          mergeSchema = true).filter(s"NOT ($predicate)"),
+          applyDefaults = false)
       if (!df.isEmpty) adds += newSegment(dir, df)
       val stats =
         if (statsCols.isEmpty) Map.empty[(String, String), ColStats]
@@ -1738,7 +1805,8 @@ object TxLog {
     require(snap.live.nonEmpty, s"compact of empty table $dir")
     // DV-applied scan: compaction materializes tombstones away
     val all = segScan(spark, dir, snap, snap.live, mergeSchema = true).coalesce(1)
-    commitOrReclaim(dir, "compact", Seq(newSegment(dir, all)), snap.live,
+    commitOrReclaim(dir, "compact",
+      Seq(newSegment(dir, all, applyDefaults = false)), snap.live,
       snap.version, Map.empty)
   }
 
@@ -2119,6 +2187,15 @@ object TxLog {
             case (c, t) if c == t => None
             case (_, Some(t)) => Some(s"addconstraint=${enc(n)}|${enc(t)}")
             case (Some(_), None) => Some(s"dropconstraint=${enc(n)}")
+            case _ => None
+          }
+        } ++
+      (head.defaults.keySet ++ target.defaults.keySet).toSeq.sorted
+        .flatMap { n =>
+          (head.defaults.get(n), target.defaults.get(n)) match {
+            case (c, t) if c == t => None
+            case (_, Some(t)) => Some(s"setdefault=${enc(n)}|${enc(t)}")
+            case (Some(_), None) => Some(s"unsetdefault=${enc(n)}")
             case _ => None
           }
         }
