@@ -673,6 +673,28 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // GENERATED COLUMNS (Delta's GENERATED ALWAYS AS): v1 recorded the
+    // bucket = cents DIV 1000 contract after validating every existing
+    // row satisfies it; the odd half, appended WITHOUT bucket, got it
+    // computed at staging, and a wrong-valued batch is refused by the
+    // same single staged scan that enforces CHECK constraints. Writer
+    // floor 3; readers untouched.
+    "table_log_generated" -> ((s, d) => {
+      val dir = txGenCache(s, d)
+      require(graft.sources.TxLog.commitOp(dir, 1) == "add_generated",
+        "v1 must be the ADD GENERATED commit")
+      require(graft.sources.TxLog.generatedOf(dir) ==
+          Map("bucket" -> "CAST(cents DIV 1000 AS BIGINT)"),
+        "generated contract must be table metadata")
+      require(graft.sources.TxLog.protocolOf(dir) == ((1, 3)),
+        "generated columns raise the writer floor only")
+      graft.sources.TxLog.read(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(col("bucket")).as("buckets"))
+        .orderBy("o_orderstatus")
+    }),
+
     // COLUMN DEFAULTS (Delta's defaultColumns writer feature): v1
     // recorded SET DEFAULT in one metadata commit; the odd-half batch
     // appended WITHOUT the column got it materialized at staging,
@@ -4914,6 +4936,33 @@ object SparkEntry {
       graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 1), out)
     }
 
+  /** One-time GENERATED-COLUMN scenario: v0 appends the even half
+    * with bucket precomputed (the retrofit validation target), v1 ADD
+    * GENERATED bucket AS cents DIV 1000, v2 appends the odd half
+    * WITHOUT bucket (computed at staging); the builder also proves a
+    * wrong-bucket batch is refused. */
+  private def txGenCache(s: SparkSession, d: String): String =
+    cachedDir(s"/tmp/graft_txgen_${new java.io.File(d).getName}", d,
+        Seq("orders")) { out =>
+      val root = new java.io.File(out)
+      graft.sources.TxLog.deleteRecursively(root.toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.sources.TxLog.append(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("bucket", expr("CAST(cents DIV 1000 AS BIGINT)")),
+        out)
+      graft.sources.TxLog.addGeneratedColumn(s, out, "bucket",
+        "CAST(cents DIV 1000 AS BIGINT)")
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 1), out)
+      val refused =
+        try { graft.sources.TxLog.append(
+          o.limit(1).withColumn("bucket", lit(-1L)), out); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("generated:bucket") }
+      require(refused, "wrong generated value must be refused by name")
+    }
+
   /** One-time RESTORE scenario: v0/v1 append order halves, v2 CoW
     * delete of a custkey band, v3 RESTORE to v1 — head re-references
     * v1's segments, undoing the delete without copying data. */
@@ -6340,6 +6389,16 @@ object SparkEntry {
                   ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
                AS BIGINT) AS cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the generated contract replayed relationally: bucket is
+    // cents DIV 1000 for every row regardless of which side wrote it
+    "table_log_generated" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents,
+             CAST(sum(CAST(floor(cents / 1000) AS BIGINT)) AS BIGINT) AS buckets
+         FROM (SELECT o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // the default replayed relationally: even keys carried 'seeded',
     // odd keys got the metadata default at write time
     "table_log_default" ->

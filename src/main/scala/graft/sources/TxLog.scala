@@ -63,9 +63,10 @@ object TxLog {
   /** PROTOCOL versions this implementation can consume/produce
     * (Delta's reader/writer protocol): reader/writer 2 = column
     * mapping + deletion vectors; writer 3 = write-shaping table
-    * metadata — CHECK constraints and column defaults (reader stays 2:
-    * they shape writes, never reads, exactly Delta's split). Tables
-    * start at 1|1; the first feature-using commit
+    * metadata — CHECK constraints, column defaults, and generated
+    * columns (reader stays 2: they shape writes, never reads, exactly
+    * Delta's split). Tables start at 1|1; the first feature-using
+    * commit
     * auto-records the bump, and a client seeing a floor ABOVE what it
     * supports fails loud instead of misreading mapped columns,
     * resurrecting tombstoned rows, or appending constraint-breaking
@@ -135,7 +136,9 @@ object TxLog {
                            consAdds: Seq[(String, String)] = Seq.empty,
                            consDrops: Seq[String] = Seq.empty,
                            defSets: Seq[(String, String)] = Seq.empty,
-                           defUnsets: Seq[String] = Seq.empty)
+                           defUnsets: Seq[String] = Seq.empty,
+                           genSets: Seq[(String, String)] = Seq.empty,
+                           genUnsets: Seq[String] = Seq.empty)
 
   /** Replayed log state as of some version: what every reader/pruner
     * actually consumes — built from checkpoint + tail, never a full
@@ -154,7 +157,8 @@ object TxLog {
                            dropped: Set[String] = Set.empty,
                            protocol: (Int, Int) = (1, 1),
                            constraints: Map[String, String] = Map.empty,
-                           defaults: Map[String, String] = Map.empty) {
+                           defaults: Map[String, String] = Map.empty,
+                           generated: Map[String, String] = Map.empty) {
     /** logical name → PHYSICAL (stored) name, for mapped columns. */
     def physByLogical: Map[String, String] = renames.map(_.swap)
     /** The physical (stored) name behind a user-facing column name. */
@@ -263,7 +267,12 @@ object TxLog {
         case Array(n, c) => Some((dec(n), dec(c)))
         case _           => None
       }),
-      defUnsets = vals(lines, "unsetdefault").map(dec))
+      defUnsets = vals(lines, "unsetdefault").map(dec),
+      genSets = vals(lines, "setgenerated").flatMap(_.split("\\|", -1) match {
+        case Array(n, c) => Some((dec(n), dec(c)))
+        case _           => None
+      }),
+      genUnsets = vals(lines, "unsetgenerated").map(dec))
 
   private def parseProtocol(s: String): Option[(Int, Int)] =
     s.split("\\|", -1) match {
@@ -324,6 +333,10 @@ object TxLog {
         defaults = vals(lines, "default").flatMap(_.split("\\|", -1) match {
           case Array(n, c) => Some((dec(n), dec(c)))
           case _           => None
+        }).toMap,
+        generated = vals(lines, "generated").flatMap(_.split("\\|", -1) match {
+          case Array(n, c) => Some((dec(n), dec(c)))
+          case _           => None
         }).toMap))
     } catch { case _: java.io.IOException => None }
 
@@ -368,6 +381,7 @@ object TxLog {
     var proto = cp.map(_.protocol).getOrElse((1, 1))
     var cons = cp.map(_.constraints).getOrElse(Map.empty[String, String])
     var defs = cp.map(_.defaults).getOrElse(Map.empty[String, String])
+    var gens = cp.map(_.generated).getOrElse(Map.empty[String, String])
     var version = cp.map(_.version).getOrElse(-1)
     var v = version + 1
     while ((asOf < 0 || v <= asOf) && st.exists(entryPath(dir, v))) {
@@ -392,6 +406,7 @@ object TxLog {
       e.protocol.foreach(p => proto = p)
       cons = cons ++ e.consAdds -- e.consDrops
       defs = defs ++ e.defSets -- e.defUnsets
+      gens = gens ++ e.genSets -- e.genUnsets
       version = v; v += 1
     }
     // reader gate: refusing is the only safe response to a floor above
@@ -402,7 +417,8 @@ object TxLog {
         s"table $dir requires reader protocol ${proto._1}; this client " +
           s"supports $SupportedReaderVersion — upgrade the client to read")
     State(version, live.toSeq, stats, blooms, ops, dvs, renames, dropped,
-      protocol = proto, constraints = cons, defaults = defs)
+      protocol = proto, constraints = cons, defaults = defs,
+      generated = gens)
   }
 
   /** Fold the state at version `v` into a checkpoint file + advance
@@ -433,7 +449,9 @@ object TxLog {
           s.constraints.toSeq.sorted.map { case (n, c) =>
             s"constraint=${enc(n)}|${enc(c)}" } ++
           s.defaults.toSeq.sorted.map { case (n, c) =>
-            s"default=${enc(n)}|${enc(c)}" })
+            s"default=${enc(n)}|${enc(c)}" } ++
+          s.generated.toSeq.sorted.map { case (n, c) =>
+            s"generated=${enc(n)}|${enc(c)}" })
           .mkString("", "\n", "\n")
         // idempotent across racing checkpointers: same version folds the
         // same content, so losing the put-if-absent race is fine
@@ -626,9 +644,60 @@ object TxLog {
   def setColumnDefault(dir: String, colName: String,
                        expression: String): Int = {
     val snap = state(dir)
+    require(!snap.generated.contains(colName),
+      s"$colName is GENERATED — a column cannot be both")
     commit(dir, "set_default", Seq.empty, Seq.empty, Some(snap.version),
       extraLines = s"setdefault=${enc(colName)}|${enc(expression)}" +:
         protoBump(snap, (1, 3)))
+  }
+
+  /** Table generated columns (column -> SQL expression): computed at
+    * staging when a batch omits the column, validated (null-safe
+    * equality) when a batch provides it. */
+  def generatedOf(dir: String): Map[String, String] =
+    state(dir).generated
+
+  /** ALTER TABLE ADD a GENERATED ALWAYS AS column contract (Delta's
+    * generated columns): metadata-only commit after validating that
+    * EVERY existing live row already satisfies `col <=> (expression)`
+    * — Delta only allows generated columns at table creation; the
+    * equality pre-check is what makes retrofit sound here, and it is
+    * why a table whose old segments LACK the column is refused (their
+    * rows read null while the contract promises the expression).
+    * From the commit on, a batch omitting the column gets it computed
+    * at staging and a batch providing it is equality-validated in the
+    * same single staged scan as CHECK constraints. Raises the WRITER
+    * floor to 3. */
+  def addGeneratedColumn(spark: SparkSession, dir: String, colName: String,
+                         expression: String): Int = {
+    val snap = state(dir)
+    require(!snap.generated.contains(colName),
+      s"$colName is already generated as [${snap.generated(colName)}]")
+    require(!snap.defaults.contains(colName),
+      s"$colName has a DEFAULT — a column cannot be both")
+    if (snap.live.nonEmpty) {
+      val cur = segScan(spark, dir, snap, snap.live, mergeSchema = true)
+      require(cur.columns.contains(colName),
+        s"cannot add generated column $colName: existing segments lack " +
+          "it (their rows would read null while the contract promises " +
+          "the expression)")
+      val bad = cur.filter(not(expr(s"`$colName` <=> ($expression)")))
+      require(bad.isEmpty, s"cannot add generated column $colName: " +
+        s"existing rows violate `$colName` <=> ($expression)")
+    }
+    commit(dir, "add_generated", Seq.empty, Seq.empty, Some(snap.version),
+      extraLines = s"setgenerated=${enc(colName)}|${enc(expression)}" +:
+        protoBump(snap, (1, 3)))
+  }
+
+  /** ALTER TABLE drop a generated-column contract: metadata-only; the
+    * column itself and its data stay. */
+  def dropGeneratedColumn(dir: String, colName: String): Int = {
+    val snap = state(dir)
+    require(snap.generated.contains(colName), s"no generated column " +
+      s"$colName (defined: ${snap.generated.keys.toSeq.sorted.mkString(", ")})")
+    commit(dir, "drop_generated", Seq.empty, Seq.empty, Some(snap.version),
+      extraLines = Seq(s"unsetgenerated=${enc(colName)}"))
   }
 
   /** ALTER TABLE ALTER COLUMN DROP DEFAULT: metadata-only commit. */
@@ -683,10 +752,15 @@ object TxLog {
     // read as null, not retroactively rewritten). Applied before the
     // physical re-label and before the constraint check, so a
     // constraint over a defaulted column sees the filled value.
+    // GENERATED columns provided by the writer are validated below;
+    // absent ones are computed exactly like defaults (Delta's split:
+    // compute on INSERT-without, validate on INSERT-with)
+    val providedGen = snap.generated.keySet.filter(df.columns.contains)
     val filled =
       if (!applyDefaults) df
-      else snap.defaults.foldLeft(df) { case (d, (c, e)) =>
-        if (d.columns.contains(c)) d else d.withColumn(c, expr(e)) }
+      else (snap.defaults ++ (snap.generated -- providedGen))
+        .foldLeft(df) { case (d, (c, e)) =>
+          if (d.columns.contains(c)) d else d.withColumn(c, expr(e)) }
     // segment bytes always carry PHYSICAL column names (column
     // mapping's storage invariant — reads re-label, writes un-label)
     toPhysical(filled, snap).write.mode("overwrite").parquet(s"$dir/$name")
@@ -698,10 +772,16 @@ object TxLog {
     // the staged read makes the check deterministic even when `df` is
     // nondeterministic upstream. On violation the staged bytes are
     // reclaimed and nothing was committed.
-    if (snap.constraints.nonEmpty) {
+    // write-side invariants in ONE columnar scan of the staged bytes:
+    // CHECK constraints plus equality validation of writer-PROVIDED
+    // generated columns (null-safe <=>, so an all-null pre-generated
+    // column only passes if the expression is null too)
+    val cs = snap.constraints.toSeq.sorted ++
+      providedGen.toSeq.sorted.map(c =>
+        s"generated:$c" -> s"`$c` <=> (${snap.generated(c)})")
+    if (cs.nonEmpty) {
       val spark = df.sparkSession
       val staged = applyMapping(spark.read.parquet(s"$dir/$name"), snap)
-      val cs = snap.constraints.toSeq.sorted
       // SQL CHECK semantics: only an explicit FALSE violates (NULL passes)
       val counts = staged.select(cs.map { case (n, c) =>
         coalesce(sum(when(not(coalesce(expr(c), lit(true))), 1L)
@@ -2196,6 +2276,15 @@ object TxLog {
             case (c, t) if c == t => None
             case (_, Some(t)) => Some(s"setdefault=${enc(n)}|${enc(t)}")
             case (Some(_), None) => Some(s"unsetdefault=${enc(n)}")
+            case _ => None
+          }
+        } ++
+      (head.generated.keySet ++ target.generated.keySet).toSeq.sorted
+        .flatMap { n =>
+          (head.generated.get(n), target.generated.get(n)) match {
+            case (c, t) if c == t => None
+            case (_, Some(t)) => Some(s"setgenerated=${enc(n)}|${enc(t)}")
+            case (Some(_), None) => Some(s"unsetgenerated=${enc(n)}")
             case _ => None
           }
         }
