@@ -1,6 +1,7 @@
 package graft.sources.txlog
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.lit
@@ -255,7 +256,7 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
                                  maxCommitsPerTrigger: Option[Int],
                                  data: StructType,
                                  changeFeed: Boolean = false)
-    extends Source {
+    extends Source with SupportsTriggerAvailableNow {
   private val spark = ctx.sparkSession
   override val schema: StructType = StructType(data ++
     (if (changeFeed) TxLogSource.CdfMetaFields else TxLogSource.MetaFields))
@@ -299,6 +300,45 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
   }
 
   override def commit(end: Offset): Unit = noteProgress(ver(end))
+
+  // ---- admission control the ENGINE understands (Delta's shape:
+  // a v1 Source that also implements SupportsTriggerAvailableNow).
+  // Without this, Trigger.AvailableNow wraps the source and captures
+  // ONE end offset up front — the per-trigger cap in getOffset is
+  // bypassed and a 10k-commit backlog becomes one giant union batch.
+  // With it, the engine drives latestOffset(start, limit) per trigger:
+  // the cap holds, and the run self-terminates at the bound captured
+  // by prepareForTriggerAvailableNow.
+
+  /** Bound captured at AvailableNow start: this run drains commits up
+    * to HERE and terminates; later commits wait for the next run. */
+  @volatile private var availableNowBound: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(TxLog.headVersion(dir).toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxCommitsPerTrigger.map(m => ReadLimit.maxFiles(m))
+      .getOrElse(ReadLimit.allAvailable())
+
+  private def verV2(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
+  }
+
+  /** Next end offset from `start` under the per-trigger commit cap
+    * (and the AvailableNow bound when armed); null = no new data,
+    * which under AvailableNow is the termination signal. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val head0 = TxLog.headVersion(dir).toLong
+    val head = availableNowBound.fold(head0)(math.min(head0, _))
+    if (head < floor) return null
+    val base = Option(start).map(verV2).getOrElse(floor - 1L)
+    val capped = maxCommitsPerTrigger
+      .map(m => math.min(head, math.max(base, floor - 1L) + m))
+      .getOrElse(head)
+    if (capped < floor || capped <= base) null else LongOffset(capped)
+  }
 
   // after a checkpoint restart the engine replays offsets as
   // SerializedOffset — LongOffset's json IS the number

@@ -137,6 +137,35 @@ class TxLogStreamSourceSpec extends SparkTestBase {
     assert(out.count() == 60 && out.select("id").distinct().count() == 60)
   }
 
+  test("Trigger.AvailableNow drains the backlog in bounded batches, then terminates") {
+    val dir = freshDir("graft-txsrc")
+    (0 until 5).foreach(i => TxLog.append(sample(i * 10, i * 10 + 10), dir))
+    val sink = freshDir("graft-txsink")
+    val ckpt = freshDir("graft-txckpt")
+    def runAvailableNow(): Int = {
+      val q = spark.readStream.format("txlog").option("path", dir)
+        .option("maxCommitsPerTrigger", "2").load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // AvailableNow SELF-TERMINATES once caught up — the batch-job-
+      // shaped way to drain a backlog without a long-lived query
+      assert(q.awaitTermination(120000), "AvailableNow query must stop itself")
+      q.recentProgress.count(_.numInputRows > 0)
+    }
+    val batches = runAvailableNow()
+    assert(batches == 3,
+      s"admission control must hold under AvailableNow (2+2+1), got $batches")
+    assert(spark.read.parquet(sink).count() == 50)
+    // commits landed after termination: a NEW AvailableNow run resumes
+    // from the checkpoint and delivers exactly the tail
+    TxLog.append(sample(50, 60), dir)
+    runAvailableNow()
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 60 && out.select("id").distinct().count() == 60)
+  }
+
   test("backfill over a long history is bounded BY DEFAULT: multiple batches, no giant union") {
     val dir = freshDir("graft-txsrc")
     // one commit past the default cap: an unset maxCommitsPerTrigger
