@@ -1128,14 +1128,23 @@ object TxLog {
         .map { case ((seg, c), v) => ((ref(seg), c), v) },
       dvs = snap.dvs.toSeq.flatMap { case (seg, ds) =>
         ds.map { case (dv, rows) => (ref(seg), ref(dv), rows) } },
-      // the clone sees the source's logical view: carry column mapping
-      // AND the protocol floor — a clone of a feature-bearing table
-      // needs the same reader everywhere its source did
+      // the clone sees the source's logical view AND its write
+      // contracts: column mapping, the protocol floor (a clone of a
+      // feature-bearing table needs the same reader everywhere its
+      // source did), and constraints/defaults/generated (writes into
+      // the clone keep the source's governance — losing them silently
+      // would admit rows the source never would)
       extraLines = snap.renames.toSeq.sorted.map { case (p, l) =>
         s"rename=${enc(p)}|${enc(l)}" } ++
         snap.dropped.toSeq.sorted.map("dropcol=" + enc(_)) ++
         (if (snap.protocol == (1, 1)) Seq.empty
-         else Seq(s"protocol=${snap.protocol._1}|${snap.protocol._2}")))
+         else Seq(s"protocol=${snap.protocol._1}|${snap.protocol._2}")) ++
+        snap.constraints.toSeq.sorted.map { case (n, c) =>
+          s"addconstraint=${enc(n)}|${enc(c)}" } ++
+        snap.defaults.toSeq.sorted.map { case (n, c) =>
+          s"setdefault=${enc(n)}|${enc(c)}" } ++
+        snap.generated.toSeq.sorted.map { case (n, c) =>
+          s"setgenerated=${enc(n)}|${enc(c)}" })
   }
 
   /** Targeted CLONE LOCALIZATION — sever a shallow clone's dependency

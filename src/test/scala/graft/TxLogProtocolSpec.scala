@@ -93,4 +93,24 @@ class TxLogProtocolSpec extends SparkTestBase {
     assert(TxLog.read(spark, tgt).as[(Long, String)].collect().toList ==
       List((1L, "a")))
   }
+
+  test("a shallow clone carries constraints, defaults, and generated contracts") {
+    val dir = freshDir(); val tgt = freshDir() + "/clone"
+    TxLog.append(Seq((1L, 10L, 1L)).toDF("id", "cents", "bucket"), dir)
+    TxLog.addConstraint(spark, dir, "nonneg", "cents >= 0")
+    TxLog.setColumnDefault(dir, "src", "'cloned'")
+    TxLog.addGeneratedColumn(spark, dir, "bucket", "CAST(cents / 10 AS BIGINT)")
+    TxLog.cloneShallow(dir, tgt)
+    assert(TxLog.constraintsOf(tgt) == Map("nonneg" -> "cents >= 0"))
+    assert(TxLog.defaultsOf(tgt) == Map("src" -> "'cloned'"))
+    assert(TxLog.generatedOf(tgt) ==
+      Map("bucket" -> "CAST(cents / 10 AS BIGINT)"))
+    // governance is LIVE in the clone, not just copied metadata
+    intercept[IllegalArgumentException] {
+      TxLog.append(Seq((2L, -5L)).toDF("id", "cents"), tgt)
+    }
+    TxLog.append(Seq((3L, 30L)).toDF("id", "cents"), tgt)
+    assert(TxLog.read(spark, tgt, mergeSchema = true).filter("id = 3")
+      .select("src", "bucket").as[(String, Long)].head() == (("cloned", 3L)))
+  }
 }
