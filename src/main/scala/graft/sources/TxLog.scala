@@ -1919,13 +1919,16 @@ object TxLog {
     * horizon). Time travel to vacuumed versions stops working — the
     * Delta VACUUM trade — but every retained version still replays
     * exactly, because a segment referenced by any retained snapshot is
-    * kept. Returns the deleted segment names. Driver-side O(commits +
+    * kept. Returns the reclaimed (or, with `dryRun`, reclaimABLE —
+    * nothing deleted) owned segment and DV-sidecar names. Driver-side
+    * O(commits +
     * segments) metadata work — vacuum is rare maintenance, and the
     * all-adds-ever set it needs is intrinsically a full-log fold (it
     * deliberately does NOT delete unrecorded dirs, so a concurrent
     * writer's staging segments are never vacuumed from under it);
     * data deletion is per-directory. */
-  def vacuum(dir: String, keepVersions: Int = 2): Seq[String] = {
+  def vacuum(dir: String, keepVersions: Int = 2,
+             dryRun: Boolean = false): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the head version")
     val st = store(dir)
     val head = headVersion(dir)
@@ -1944,6 +1947,12 @@ object TxLog {
     // table — this table's vacuum must never reach outside its own dir
     val doomedAll = (all -- retained).toSeq.sorted
     val doomed = doomedAll.filterNot(isExternal)
+    val deadDvs = (log.flatMap(_.dvs.map(_._2)).toSet -- retainedDvs)
+      .toSeq.sorted.filterNot(isExternal)
+    // DRY RUN (Delta's `VACUUM ... DRY RUN`): report what a real run
+    // would reclaim — same computation, zero deletions — so retention
+    // changes can be audited before bytes disappear
+    if (dryRun) return doomed ++ deadDvs
     // loop-invariant: one log parse, not one per doomed segment
     val bloomFiles = log.flatMap(_.blooms).groupBy(_._1._1)
     doomedAll.foreach { seg =>
@@ -1954,10 +1963,8 @@ object TxLog {
       // clone's log dir keyed to the borrowed name)
       bloomFiles.getOrElse(seg, Nil).foreach(b => st.deleteIfExists(b._2.file))
     }
-    val deadDvs = (log.flatMap(_.dvs.map(_._2)).toSet -- retainedDvs)
-      .toSeq.sorted.filterNot(isExternal)
     deadDvs.foreach(dv => st.deleteRecursively(s"$dir/$dv"))
-    doomed
+    doomed ++ deadDvs
   }
 
   /** TIME-BASED retention vacuum (Delta's `VACUUM … RETAIN n HOURS`,

@@ -173,7 +173,13 @@ class TxLogSpec extends SparkTestBase {
     TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)      // v0
     TxLog.overwrite(Seq((2L, "b")).toDF("id", "v"), dir)   // v1: v0 seg dead
     TxLog.append(Seq((3L, "c")).toDF("id", "v"), dir)      // v2
+    // DRY RUN first: reports the same reclaim set, deletes nothing
+    val preview = TxLog.vacuum(dir, keepVersions = 2, dryRun = true)
+    assert(preview.size == 1, s"dry run must report the v0 segment: $preview")
+    assert(TxLog.read(spark, dir, asOf = 0).count() == 1,
+      "dry run must not delete anything")
     val deleted = TxLog.vacuum(dir, keepVersions = 2)      // retain v1..v2
+    assert(deleted == preview, "the real run reclaims exactly the preview")
     assert(deleted.size == 1, s"expected the v0 segment gone, got $deleted")
     // retained versions still replay exactly
     assert(TxLog.read(spark, dir, asOf = 1).as[(Long, String)].collect()
