@@ -673,6 +673,33 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // OPTIMIZE WHERE (Delta's predicate-scoped OPTIMIZE): v4
+    // re-clustered ONLY the segments whose [min,max] date stats
+    // intersect the 1996-1998 frame — selected from log metadata, no
+    // data read to decide — into 4 date-ordered segments; the 1995
+    // and 1999-2001 slices carried by reference. The nightly shape
+    // for date-sliced ingest at 100 TB: re-cluster yesterday without
+    // touching the other 99.9%.
+    "table_log_optimize_where" -> ((s, d) => {
+      val dir = txOptWhereCache(s, d)
+      require(graft.sources.TxLog.commitOp(dir, 4) == "optimize_where",
+        "v4 must be the OPTIMIZE WHERE commit")
+      val before = graft.sources.TxLog.liveSegments(dir, 3).toSet
+      val after = graft.sources.TxLog.liveSegments(dir, 4).toSet
+      require((before intersect after).size == 2,
+        "exactly the out-of-frame 1995 and 1999+ slices carry by reference")
+      require(after.size == 6, s"2 carried + 4 re-clustered, got ${after.size}")
+      // fresh stats on the rewritten segments keep the frame skippable
+      val (kept, _) = graft.sources.TxLog.pruneRange(
+        dir, "o_orderdate", Some("1996-06-01"), Some("1996-06-30"))
+      require(kept.size < after.size,
+        "re-clustered segments must remain range-skippable")
+      graft.sources.TxLog.read(s, dir)
+        .groupBy(substring(col("o_orderdate"), 1, 4).as("yr"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("yr")
+    }),
+
     // GENERATED COLUMNS (Delta's GENERATED ALWAYS AS): v1 recorded the
     // bucket = cents DIV 1000 contract after validating every existing
     // row satisfies it; the odd half, appended WITHOUT bucket, got it
@@ -4963,6 +4990,31 @@ object SparkEntry {
       require(refused, "wrong generated value must be refused by name")
     }
 
+  /** One-time OPTIMIZE WHERE scenario: v0-v3 append four date slices
+    * with stats, v4 re-clusters ONLY the 1996-1998 frame (stats-
+    * intersecting segments) into 4 date-ordered segments; the 1995 and
+    * 1999-2001 slices carry by reference. */
+  private def txOptWhereCache(s: SparkSession, d: String): String =
+    cachedDir(s"/tmp/graft_txoptwhere_${new java.io.File(d).getName}", d,
+        Seq("orders")) { out =>
+      val root = new java.io.File(out)
+      graft.sources.TxLog.deleteRecursively(root.toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      Seq(("1995-01-01", "1995-12-31"), ("1996-01-01", "1996-12-31"),
+          ("1997-01-01", "1998-12-31"), ("1999-01-01", "2001-12-31"))
+        .foreach { case (lo, hi) =>
+          graft.sources.TxLog.appendWithStats(s,
+            o.filter(col("o_orderdate").between(lo, hi)), out,
+            Seq("o_orderdate"))
+        }
+      val v = graft.sources.TxLog.optimizeWhere(s, out, "o_orderdate",
+        "1996-01-01", "1998-12-31", sortCols = Seq("o_orderdate"),
+        numSegments = 4, statsCols = Seq("o_orderdate"))
+      require(v.contains(4), s"expected the optimize_where commit at v4, got $v")
+    }
+
   /** One-time RESTORE scenario: v0/v1 append order halves, v2 CoW
     * delete of a custkey band, v3 RESTORE to v1 — head re-references
     * v1's segments, undoing the delete without copying data. */
@@ -6389,6 +6441,11 @@ object SparkEntry {
                   ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
                AS BIGINT) AS cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // optimize_where is a logical no-op: contents = all four slices
+    "table_log_optimize_where" ->
+      """SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY yr ORDER BY yr""",
     // the generated contract replayed relationally: bucket is
     // cents DIV 1000 for every row regardless of which side wrote it
     "table_log_generated" ->

@@ -1497,6 +1497,33 @@ object TxLog {
     stageAndCommitClustered(spark, dir, clustered, snap.live, snap.version, statsCols)
   }
 
+  /** Predicate-scoped OPTIMIZE (Delta's `OPTIMIZE ... WHERE`): rewrite
+    * ONLY segments whose [min,max] stats on `c` INTERSECT [lo, hi] —
+    * selected from log metadata alone, no data read to decide — into
+    * `numSegments` range-clustered segments; everything outside the
+    * frame carries by reference. The nightly-maintenance shape for
+    * date-sliced ingest: re-cluster yesterday's partition without
+    * touching the other 99.9% of a 100 TB table. Segments without
+    * recorded stats on `c` are conservatively included (they might
+    * hold frame rows). None when fewer than 2 segments qualify
+    * (nothing to co-cluster). */
+  def optimizeWhere(spark: SparkSession, dir: String, c: String,
+                    lo: String, hi: String, sortCols: Seq[String],
+                    numSegments: Int,
+                    statsCols: Seq[String] = Nil): Option[Int] = {
+    require(sortCols.nonEmpty && numSegments >= 1,
+      "need sort columns and >=1 segments")
+    val snap = state(dir)
+    val candidates = snap.live.filterNot(seg =>
+      canPrune(snap.stats.get((seg, snap.physCol(c))), Some(lo), Some(hi)))
+    if (candidates.size < 2) return None
+    val clustered = segScan(spark, dir, snap, candidates, mergeSchema = true)
+      .repartitionByRange(numSegments, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    Some(stageAndCommitClustered(spark, dir, clustered, candidates,
+      snap.version, statsCols, op = "optimize_where"))
+  }
+
   /** Shared optimize tail: write the clustered frame once, MOVE each
     * part file into its own segment (filesystem renames, no second
     * job), record per-segment stats, commit remove(live)+add(segs). */

@@ -22,6 +22,28 @@ class TxLogStatsSpec extends SparkTestBase {
     dir
   }
 
+  test("optimizeWhere re-clusters only stats-intersecting segments; the rest carry by reference") {
+    val dir = rangedTable() // id ranges [1,5], [10,15], [20,25]
+    val before = TxLog.liveSegments(dir).toSet
+    // frame [12, 22] intersects the 2nd and 3rd segments only
+    val v = TxLog.optimizeWhere(spark, dir, "id", "12", "22",
+      sortCols = Seq("id"), numSegments = 1, statsCols = Seq("id"))
+    assert(v.isDefined && TxLog.commitOp(dir, v.get) == "optimize_where")
+    val after = TxLog.liveSegments(dir).toSet
+    assert((before intersect after).size == 1,
+      s"exactly the [1,5] segment must survive by reference: $before -> $after")
+    assert(after.size == 2, "two candidates re-clustered into one segment")
+    assert(TxLog.read(spark, dir).orderBy("id").as[(Long, String)]
+      .collect().map(_._1).toList == List(1L, 5L, 10L, 15L, 20L, 25L),
+      "optimizeWhere is a logical no-op")
+    // the rewritten segment recorded fresh stats: pruning still works
+    val (kept, pruned) = TxLog.pruneRange(dir, "id", Some("1"), Some("5"))
+    assert(kept.size == 1 && pruned.size == 1)
+    // a frame no segment intersects is a no-op
+    assert(TxLog.optimizeWhere(spark, dir, "id", "90", "99",
+      sortCols = Seq("id"), numSegments = 1).isEmpty)
+  }
+
   test("pruneRange skips exactly the segments whose [min,max] excludes the range") {
     val dir = rangedTable()
     val (kept, pruned) = TxLog.pruneRange(dir, "id", Some("10"), Some("15"))
