@@ -165,6 +165,30 @@ object TxLog {
     def physCol(c: String): String = physByLogical.getOrElse(c, c)
   }
 
+  /** Canonical serialization of a snapshot's WRITE GOVERNANCE — the
+    * metadata that shapes what row bytes a staged segment must carry
+    * (CHECK constraints, column defaults, generated columns, dropped
+    * physical names). Row-adding commits that claim a slot BEYOND the
+    * snapshot they staged under (blind appends, streaming retry loops)
+    * compare fingerprints to detect a governance commit landing in the
+    * gap: without the check, an in-flight append staged before ADD
+    * CONSTRAINT would commit unchecked rows the constraint's own
+    * every-existing-row validation never saw (Delta closes the same
+    * race by conflict-checking metadata changes against every txn).
+    * Renames are deliberately EXCLUDED: they re-label reads, never
+    * change staged bytes. */
+  private def govFingerprint(s: State): String =
+    (s.constraints.toSeq.sorted.map { case (n, e) => s"c:$n=$e" } ++
+      s.defaults.toSeq.sorted.map { case (n, e) => s"d:$n=$e" } ++
+      s.generated.toSeq.sorted.map { case (n, e) => s"g:$n=$e" } ++
+      s.dropped.toSeq.sorted.map(n => s"x:$n"))
+      .mkString(";")
+
+  /** Test hook: the table's CURRENT governance fingerprint (what a
+    * blind append passes as `requireGov`). */
+  private[graft] def govFingerprintOf(dir: String): String =
+    govFingerprint(snapshotOrEmpty(dir))
+
   private def entryPath(dir: String, v: Int): String =
     f"${logDir(dir)}/$v%08d.txt"
   private def checkpointPath(dir: String, v: Int): String =
@@ -541,8 +565,24 @@ object TxLog {
                             stats: Map[(String, String), ColStats] = Map.empty,
                             blooms: Map[(String, String), BloomStats] = Map.empty,
                             dvs: Seq[(String, String, Long)] = Seq.empty,
-                            extraLines: Seq[String] = Seq.empty): Int = {
+                            extraLines: Seq[String] = Seq.empty,
+                            requireGov: Option[String] = None): Int = {
     val st = store(dir)
+    // governance gate for BLIND row-adding commits (expectedHead=None):
+    // the staged bytes were validated against some snapshot's
+    // constraints/defaults/generated; if governance moved since, fail
+    // loud so the caller restages. Conditional commits don't need it —
+    // their expectedHead pins the exact snapshot they staged under, so
+    // an interleaved governance commit conflicts at the slot claim.
+    def govOk(cur: State): Unit = requireGov.foreach { g =>
+      if (govFingerprint(cur) != g)
+        throw new java.util.ConcurrentModificationException(
+          s"$op against $dir: table governance (constraints/defaults/" +
+            "generated/drops) changed after the batch was staged and " +
+            "validated — restage against the current snapshot")
+    }
+    def checkGov(): Unit =
+      if (requireGov.nonEmpty && st.isDirectory(logDir(dir))) govOk(state(dir))
     // writer gate at the single commit choke point: a client that
     // cannot understand the table's writer floor must not commit (its
     // rewrite could drop future-format metadata it never parsed). The
@@ -551,11 +591,13 @@ object TxLog {
     // O(checkpoint + tail) metadata replay per commit, which every
     // snapshot-dependent op pays already.
     if (st.isDirectory(logDir(dir))) {
-      val p = state(dir).protocol
+      val cur = state(dir)
+      val p = cur.protocol
       if (p._2 > SupportedWriterVersion)
         throw new UnsupportedOperationException(
           s"table $dir requires writer protocol ${p._2}; this client " +
             s"supports $SupportedWriterVersion — upgrade the client to write")
+      govOk(cur) // shares the writer-gate replay; re-checked on retry
     }
     st.mkdirs(logDir(dir))
     // IN-COMMIT timestamp (Delta's inCommitTimestamps): the commit
@@ -582,8 +624,19 @@ object TxLog {
               s"found ${headVersion(dir)} — recompute and retry")
         v
       case None =>
+        // claim loop: a losing putIfAbsent means SOMETHING committed at
+        // our slot — re-check governance before retrying at the next
+        // one. A governance commit can only interleave by claiming the
+        // exact slot we are about to (slots are dense), so every
+        // interleaving forces a retry and re-runs the check; a
+        // governance commit claiming a LATER slot is conditional on a
+        // snapshot that already contains this entry, so its own
+        // every-existing-row validation covers these rows.
         var v = headVersion(dir) + 1
-        while (!st.putIfAbsent(entryPath(dir, v), bytes)) v += 1
+        while (!st.putIfAbsent(entryPath(dir, v), bytes)) {
+          checkGov()
+          v = math.max(v + 1, headVersion(dir) + 1)
+        }
         v
     }
     maybeCheckpoint(dir, committed)
@@ -740,12 +793,17 @@ object TxLog {
     * replaceWhere kept sets, compact): a rewrite of rows written
     * before a default existed must keep their nulls, not retroactively
     * invent values. */
+  /** The table's State, or the empty pre-first-commit State — what a
+    * write path stages against before the log dir necessarily exists. */
+  private def snapshotOrEmpty(dir: String): State =
+    if (store(dir).isDirectory(logDir(dir))) state(dir)
+    else State(-1, Seq.empty, Map.empty, Map.empty, Set.empty, Map.empty)
+
   private def newSegment(dir: String, df: DataFrame,
-                         applyDefaults: Boolean = true): String = {
+                         applyDefaults: Boolean = true,
+                         snapOpt: Option[State] = None): String = {
     val name = s"seg-${java.util.UUID.randomUUID}"
-    val snap =
-      if (store(dir).isDirectory(logDir(dir))) state(dir)
-      else State(-1, Seq.empty, Map.empty, Map.empty, Set.empty, Map.empty)
+    val snap = snapOpt.getOrElse(snapshotOrEmpty(dir))
     // COLUMN DEFAULTS: a batch that LACKS a defaulted column gets it
     // materialized at write time (Delta's defaultColumns — defaults
     // shape new writes only; rows written before the default existed
@@ -882,10 +940,20 @@ object TxLog {
     if (s.renames.isEmpty && s.dropped.isEmpty) return df
     val present = df.columns.toSet
     val afterDrop = s.dropped.filter(present).foldLeft(df)(_ drop _)
-    s.renames.foldLeft(afterDrop) { case (d, (p, l)) =>
-      if (present(p)) d.withColumnRenamed(p, l) else d
-    }
+    relabel(afterDrop, s.renames)
   }
+
+  /** Re-label a frame's columns through `mapping` in ONE simultaneous
+    * positional rename (`toDF`) — the shared physical→logical (and
+    * inverse) projection every mapped read/write funnels through. A
+    * sequential `withColumnRenamed` fold is ORDER-SENSITIVE: with
+    * chained renames it can transiently alias two columns onto one
+    * name and emit duplicates; the simultaneous form cannot. Names not
+    * in the mapping pass through; zero data movement either way. */
+  private[sources] def relabel(df: DataFrame,
+                               mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else df.toDF(df.columns.map(c => mapping.getOrElse(c, c)): _*)
 
   /** The write-side inverse of [[applyMapping]]: a user frame carries
     * LOGICAL names; rebind mapped ones to their physical storage names
@@ -895,14 +963,18 @@ object TxLog {
   private def toPhysical(df: DataFrame, s: State): DataFrame = {
     if (s.renames.isEmpty && s.dropped.isEmpty) return df
     val present = df.columns.toSet
-    val shadowed = present.filter(c => s.renames.contains(c) || s.dropped(c))
+    // a name is shadowed when it denotes occupied storage the writer
+    // cannot mean: a dropped column's physical name, or a renamed-away
+    // physical name that is NOT also some column's current label
+    // (chained renames re-issue freed labels — those are legitimate)
+    val labels = s.renames.values.toSet
+    val shadowed = present.filter(c =>
+      (s.renames.contains(c) && !labels(c)) || s.dropped(c))
     require(shadowed.isEmpty,
       s"column name(s) ${shadowed.mkString(", ")} are physical names " +
         "hidden by a rename or drop — write under the logical name, or " +
         "choose a fresh name")
-    s.physByLogical.foldLeft(df) { case (d, (l, p)) =>
-      if (present(l)) d.withColumnRenamed(l, p) else d
-    }
+    relabel(df, s.physByLogical)
   }
 
   /** MERGE-ON-READ delete (Delta's deletion vectors): rows matching
@@ -1000,10 +1072,11 @@ object TxLog {
           case None    => col(c)
         }
       }: _*)
-      val newSeg = newSegment(dir, newImages, applyDefaults = false)
+      val newSeg = newSegment(dir, newImages, applyDefaults = false,
+        snapOpt = Some(snap))
       val entryOf = snap.live.map(n => bareName(n) -> n).toMap
       try commit(dir, "update_mor", Seq(newSeg), Seq.empty, Some(snap.version),
-        stats = segStats(spark, dir, newSeg, statsCols),
+        stats = segStats(spark, dir, newSeg, statsCols, snap),
         dvs = dirty.map { case (seg, n) =>
           (entryOf.getOrElse(seg, seg), dvName, n) },
         extraLines = protoBump(snap))
@@ -1041,48 +1114,77 @@ object TxLog {
                          key: String, op: String,
                          statsCols: Seq[String],
                          dedupStreamOp: Boolean): Option[Int] = {
-    val snap = state(dir)
+    var snap = state(dir)
     if (dedupStreamOp && snap.streamOps.contains(op)) return None
-    val uSeg = newSegment(dir, updates) // staged; becomes THE added segment
-    var dvName: Option[String] = None
+    val gov = govFingerprint(snap)
+    val uSeg = newSegment(dir, updates, snapOpt = Some(snap))
+    // outer reclaim: any exit that didn't commit deletes the staged
+    // updates segment (no entry records it, so vacuum never could)
     try {
-      // staged bytes carry physical names; probe in logical terms
-      val u = applyMapping(spark.read.parquet(s"$dir/$uSeg"), snap)
-      val bounds = u.agg(min(col(key)).cast("string"),
-        max(col(key)).cast("string")).head()
-      val (lo, hi) = (Option(bounds.getString(0)), Option(bounds.getString(1)))
-      val candidates = snap.live.filter(seg =>
-        !canPrune(snap.stats.get((seg, snap.physCol(key))), lo, hi))
-      val uKeys = broadcast(u.select(col(key)).distinct())
-      val dirty: Seq[(String, Long)] =
-        if (candidates.isEmpty) Seq.empty
-        else {
-          val name = s"dv-${java.util.UUID.randomUUID}"
-          segScan(spark, dir, snap, candidates,
-              mergeSchema = true, withMeta = true)
-            .join(uKeys, Seq(key), "left_semi")
-            .select(col("__file").as("file"), col("__pos").as("pos"),
-              segOfFile(col("__file")).as("seg"))
-            .write.parquet(s"$dir/$name")
-          val d = spark.read.parquet(s"$dir/$name")
-            .groupBy("seg").agg(count(lit(1)).as("n"))
-            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
-          if (d.isEmpty) store(dir).deleteRecursively(s"$dir/$name")
-          else dvName = Some(name)
-          d
+      val stats = segStats(spark, dir, uSeg, statsCols, snap)
+      while (true) {
+        // per-attempt probe: tombstone COORDINATES are derived from the
+        // exact snapshot the conditional commit is conditioned on — a
+        // retry against a newer head must recompute them (a concurrent
+        // compaction may have rewritten the very segments the stale
+        // coordinates pointed into)
+        var dvName: Option[String] = None
+        try {
+          // staged bytes carry physical names; probe in logical terms
+          val u = applyMapping(spark.read.parquet(s"$dir/$uSeg"), snap)
+          val bounds = u.agg(min(col(key)).cast("string"),
+            max(col(key)).cast("string")).head()
+          val (lo, hi) = (Option(bounds.getString(0)), Option(bounds.getString(1)))
+          val candidates = snap.live.filter(seg =>
+            !canPrune(snap.stats.get((seg, snap.physCol(key))), lo, hi))
+          val uKeys = broadcast(u.select(col(key)).distinct())
+          val dirty: Seq[(String, Long)] =
+            if (candidates.isEmpty) Seq.empty
+            else {
+              val name = s"dv-${java.util.UUID.randomUUID}"
+              segScan(spark, dir, snap, candidates,
+                  mergeSchema = true, withMeta = true)
+                .join(uKeys, Seq(key), "left_semi")
+                .select(col("__file").as("file"), col("__pos").as("pos"),
+                  segOfFile(col("__file")).as("seg"))
+                .write.parquet(s"$dir/$name")
+              val d = spark.read.parquet(s"$dir/$name")
+                .groupBy("seg").agg(count(lit(1)).as("n"))
+                .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+              if (d.isEmpty) store(dir).deleteRecursively(s"$dir/$name")
+              else dvName = Some(name)
+              d
+            }
+          val entryOf = snap.live.map(n => bareName(n) -> n).toMap
+          return Some(commit(dir, op, Seq(uSeg), Seq.empty, Some(snap.version),
+            stats = stats,
+            dvs = dirty.map { case (seg, n) =>
+              (entryOf.getOrElse(seg, seg), dvName.get, n) },
+            extraLines = if (dirty.nonEmpty) protoBump(snap) else Seq.empty))
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            dvName.foreach(n => store(dir).deleteRecursively(s"$dir/$n"))
+            // batch MERGE keeps its documented conflict-loud semantics;
+            // only the STREAMING sink retries (sink liveness under
+            // routine concurrent maintenance — appendStream's contract)
+            if (!dedupStreamOp) throw e
+            snap = state(dir)
+            if (snap.streamOps.contains(op)) {
+              store(dir).deleteRecursively(s"$dir/$uSeg")
+              return None // a concurrent duplicate of this batch id won
+            }
+            if (govFingerprint(snap) != gov)
+              throw new java.util.ConcurrentModificationException(
+                s"$op against $dir: table governance changed after the " +
+                  "batch was staged — the retried batch restages")
+          case e: Throwable =>
+            dvName.foreach(n => store(dir).deleteRecursively(s"$dir/$n"))
+            throw e
         }
-      val entryOf = snap.live.map(n => bareName(n) -> n).toMap
-      Some(commit(dir, op, Seq(uSeg), Seq.empty, Some(snap.version),
-        stats = segStats(spark, dir, uSeg, statsCols),
-        dvs = dirty.map { case (seg, n) =>
-          (entryOf.getOrElse(seg, seg), dvName.get, n) },
-        extraLines = if (dirty.nonEmpty) protoBump(snap) else Seq.empty))
+      }
+      None // unreachable
     } catch {
-      // probe failure or stale-snapshot conflict: neither the staged
-      // updates segment nor the sidecar is recorded by any entry, so
-      // vacuum could never reclaim them — delete eagerly, fail loud
       case e: Throwable =>
-        dvName.foreach(n => store(dir).deleteRecursively(s"$dir/$n"))
         store(dir).deleteRecursively(s"$dir/$uSeg")
         throw e
     }
@@ -1179,7 +1281,7 @@ object TxLog {
       }
     val owned = segScan(spark, dir, snap, borrowed, mergeSchema = true)
       .repartition(bins)
-    Some(stageAndCommitClustered(spark, dir, owned, borrowed, snap.version,
+    Some(stageAndCommitClustered(spark, dir, owned, borrowed, snap,
       statsCols, op = "localize"))
   }
 
@@ -1230,20 +1332,34 @@ object TxLog {
     }
   }
 
-  /** Append `df` as a new segment. */
-  def append(df: DataFrame, dir: String): Int =
-    commit(dir, "append", Seq(newSegment(dir, df)), Seq.empty)
+  /** Append `df` as a new segment. Blind (no expectedHead — concurrent
+    * appends both land), but governance-gated: the commit re-checks
+    * that no ADD CONSTRAINT / SET DEFAULT / ADD GENERATED / DROP landed
+    * after this batch was staged and validated ([[govFingerprint]]). */
+  def append(df: DataFrame, dir: String): Int = {
+    val snap = snapshotOrEmpty(dir)
+    val seg = newSegment(dir, df, snapOpt = Some(snap))
+    reclaimOnFailure(dir, Seq(seg)) {
+      commit(dir, "append", Seq(seg), Seq.empty,
+        requireGov = Some(govFingerprint(snap)))
+    }
+  }
 
   /** Min/max of `statsCols` over the just-written segment, computed by
     * one distributed agg over the segment's parquet (columnar — reads
     * only the stat columns, like a write-path stats pass). All-null
-    * columns yield no entry (conservatively unprunable). */
+    * columns yield no entry (conservatively unprunable). `snap` is the
+    * caller's already-resolved State — physical names are stable for a
+    * table's lifetime, so any snapshot maps logical names identically,
+    * and threading it through keeps a 1000-segment OPTIMIZE at one
+    * metadata replay instead of one PER produced segment. */
   private def segStats(spark: SparkSession, dir: String, seg: String,
-                       statsCols0: Seq[String]): Map[(String, String), ColStats] = {
+                       statsCols0: Seq[String],
+                       snap: State): Map[(String, String), ColStats] = {
     if (statsCols0.isEmpty) return Map.empty
     // stats are keyed by PHYSICAL name (stable across renames): map the
     // caller's logical names down, like every other metadata surface
-    val statsCols = { val s = state(dir); statsCols0.map(s.physCol) }
+    val statsCols = statsCols0.map(snap.physCol)
     val sdf = spark.read.parquet(segPath(dir, seg))
     val types = sdf.schema.map(f => f.name -> f.dataType.typeName).toMap
     statsCols.foreach(c => require(types.contains(c), s"no column $c in segment $seg"))
@@ -1282,10 +1398,10 @@ object TxLog {
     * each lookup reads its segment's recorded m, so mixed sizes across
     * a table's history are fine. */
   private def segBlooms(spark: SparkSession, dir: String, seg: String,
-                        bloomCols0: Seq[String],
+                        bloomCols0: Seq[String], snap: State,
                         k: Int = 4): Map[(String, String), BloomStats] = {
     if (bloomCols0.isEmpty) return Map.empty
-    val bloomCols = { val s = state(dir); bloomCols0.map(s.physCol) }
+    val bloomCols = bloomCols0.map(snap.physCol)
     val sdf = spark.read.parquet(segPath(dir, seg))
     val types = sdf.schema.map(f => f.name -> f.dataType.typeName).toMap
     val n = sdf.count()
@@ -1328,15 +1444,17 @@ object TxLog {
   def appendWithStats(spark: SparkSession, df: DataFrame, dir: String,
                       statsCols: Seq[String],
                       bloomCols: Seq[String] = Nil): Int = {
-    val seg = newSegment(dir, df)
+    val snap = snapshotOrEmpty(dir)
+    val seg = newSegment(dir, df, snapOpt = Some(snap))
     // stats/bloom failures (e.g. a statsCol missing from the batch)
     // happen AFTER the segment bytes are staged but BEFORE any entry
     // records them — reclaim on the way out or vacuum (which only sees
     // entry-recorded segments) could never delete the orphan
     reclaimOnFailure(dir, Seq(seg)) {
       commit(dir, "append", Seq(seg), Seq.empty,
-        stats = segStats(spark, dir, seg, statsCols),
-        blooms = segBlooms(spark, dir, seg, bloomCols))
+        stats = segStats(spark, dir, seg, statsCols, snap),
+        blooms = segBlooms(spark, dir, seg, bloomCols, snap),
+        requireGov = Some(govFingerprint(snap)))
     }
   }
 
@@ -1456,19 +1574,19 @@ object TxLog {
       val dt = df.schema(c).dataType
       col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
     }
-    val dirty = candidates.filter { seg =>
-      val sdf = segScan(spark, dir, snap, Seq(seg))
-      !sdf.filter(rangeCond(sdf)).isEmpty
-    }
+    // ONE triage job over the stats-surviving candidates (not a probe
+    // job per segment), then ONE multi-path scan rewrites the
+    // match-bearing ones; NULL keys are kept (outside any range)
+    val counts = matchCountsOn(spark, dir, snap, candidates, rangeCond)
+    val dirty = candidates.filter(seg => counts.get(seg).exists(_._1 > 0))
     if (dirty.isEmpty)
       return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap.version))
-    val kept = dirty.map { seg =>
-      val sdf = segScan(spark, dir, snap, Seq(seg))
-      sdf.filter(!rangeCond(sdf) || col(c).isNull)
-    }.reduce(_ unionByName _)
-    val seg = newSegment(dir, kept, applyDefaults = false)
+    val sdf = segScan(spark, dir, snap, dirty, mergeSchema = true)
+    val kept = sdf.filter(!rangeCond(sdf) || col(c).isNull)
+    val seg = newSegment(dir, kept, applyDefaults = false,
+      snapOpt = Some(snap))
     commitOrReclaim(dir, "delete", Seq(seg), dirty, snap.version,
-      segStats(spark, dir, seg, statsCols))
+      segStats(spark, dir, seg, statsCols, snap))
   }
 
   /** OPTIMIZE with clustering (Delta's `OPTIMIZE ... ZORDER/CLUSTER BY`
@@ -1494,7 +1612,7 @@ object TxLog {
     val clustered = segScan(spark, dir, snap, snap.live, mergeSchema = true)
       .repartitionByRange(numSegments, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-    stageAndCommitClustered(spark, dir, clustered, snap.live, snap.version, statsCols)
+    stageAndCommitClustered(spark, dir, clustered, snap.live, snap, statsCols)
   }
 
   /** Predicate-scoped OPTIMIZE (Delta's `OPTIMIZE ... WHERE`): rewrite
@@ -1521,7 +1639,7 @@ object TxLog {
       .repartitionByRange(numSegments, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     Some(stageAndCommitClustered(spark, dir, clustered, candidates,
-      snap.version, statsCols, op = "optimize_where"))
+      snap, statsCols, op = "optimize_where"))
   }
 
   /** Shared optimize tail: write the clustered frame once, MOVE each
@@ -1529,10 +1647,11 @@ object TxLog {
     * job), record per-segment stats, commit remove(live)+add(segs). */
   private def stageAndCommitClustered(spark: SparkSession, dir: String,
                                       clustered: DataFrame, live: Seq[String],
-                                      snap: Int, statsCols: Seq[String],
+                                      snap: State, statsCols: Seq[String],
                                       op: String = "optimize"): Int = {
     val st = store(dir)
-    val staging = newSegment(dir, clustered, applyDefaults = false)
+    val staging = newSegment(dir, clustered, applyDefaults = false,
+      snapOpt = Some(snap))
     val parts = st.list(s"$dir/$staging")
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .sorted
@@ -1545,9 +1664,9 @@ object TxLog {
     // drop the emptied staging dir (only _SUCCESS etc. remain)
     st.deleteRecursively(s"$dir/$staging")
     val stats = segs.foldLeft(Map.empty[(String, String), ColStats]) {
-      (m, seg) => m ++ segStats(spark, dir, seg, statsCols)
+      (m, seg) => m ++ segStats(spark, dir, seg, statsCols, snap)
     }
-    commitOrReclaim(dir, op, segs, live, snap, stats)
+    commitOrReclaim(dir, op, segs, live, snap.version, stats)
   }
 
   /** The table's unioned schema (mergeSchema over the live set) — the
@@ -1578,24 +1697,28 @@ object TxLog {
     val unknown = setExprs.keySet -- schema.map(_.name).filterNot(snap.dropped)
       .map(p => snap.renames.getOrElse(p, p)).toSet
     require(unknown.isEmpty, s"SET references unknown column(s): $unknown")
-    def seg(s0: String) = segScan(spark, dir, snap, Seq(s0), schema = Some(schema))
-    val dirty = snap.live.filter(s0 => !seg(s0).filter(predicate).isEmpty)
+    // ONE triage job over the live set (not a probe job per segment —
+    // O(segments) scheduler round-trips is the 100k-segment
+    // bottleneck), then ONE multi-path scan rewrites exactly the
+    // match-bearing segments; clean ones carry by reference
+    val counts = matchCounts(spark, dir, snap, predicate)
+    val dirty = snap.live.filter(seg => counts.get(seg).exists(_._1 > 0))
     if (dirty.isEmpty)
       return commit(dir, "update", Seq.empty, Seq.empty, Some(snap.version))
-    val rewritten = dirty.map { s0 =>
-      val sdf = seg(s0)
-      // ONE projection over the original frame: all when()/RHS columns
-      // read the pre-update row
-      sdf.select(sdf.columns.map { c =>
-        setExprs.get(c) match {
-          case Some(e) => when(expr(predicate), expr(e)).otherwise(col(c)).as(c)
-          case None    => col(c)
-        }
-      }: _*)
-    }.reduce(_ unionByName _)
-    val newSeg = newSegment(dir, rewritten, applyDefaults = false)
+    val sdf = segScan(spark, dir, snap, dirty, schema = Some(schema))
+    // ONE projection over the original frame: all when()/RHS columns
+    // read the pre-update row; a NULL-evaluating predicate keeps the
+    // old value (SQL UPDATE updates only TRUE rows)
+    val rewritten = sdf.select(sdf.columns.map { c =>
+      setExprs.get(c) match {
+        case Some(e) => when(expr(predicate), expr(e)).otherwise(col(c)).as(c)
+        case None    => col(c)
+      }
+    }: _*)
+    val newSeg = newSegment(dir, rewritten, applyDefaults = false,
+      snapOpt = Some(snap))
     commitOrReclaim(dir, "update", Seq(newSeg), dirty, snap.version,
-      segStats(spark, dir, newSeg, statsCols))
+      segStats(spark, dir, newSeg, statsCols, snap))
   }
 
   /** OPTIMIZE variant clustering on an arbitrary EXPRESSION — the
@@ -1613,7 +1736,7 @@ object TxLog {
       .repartitionByRange(numSegments, col("__cluster"))
       .sortWithinPartitions(col("__cluster"))
       .drop("__cluster")
-    stageAndCommitClustered(spark, dir, clustered, snap.live, snap.version, statsCols)
+    stageAndCommitClustered(spark, dir, clustered, snap.live, snap, statsCols)
   }
 
   /** Copy-on-write MERGE (upsert) on `key`: rows of `updates` REPLACE
@@ -1628,7 +1751,7 @@ object TxLog {
     val snap = state(dir)
     // pin the updates once as a STAGING segment (never committed —
     // deleted below) so the probe and rewrite jobs don't recompute them
-    val uSeg = newSegment(dir, updates)
+    val uSeg = newSegment(dir, updates, snapOpt = Some(snap))
     try {
       // staged bytes carry physical names; probe in logical terms
       val u = applyMapping(spark.read.parquet(s"$dir/$uSeg"), snap)
@@ -1637,10 +1760,23 @@ object TxLog {
       val candidates = snap.live.filter(seg =>
         !canPrune(snap.stats.get((seg, snap.physCol(key))), lo, hi))
       val uKeys = broadcast(u.select(col(key)).distinct())
-      val dirty = candidates.filter { seg =>
-        !segScan(spark, dir, snap, Seq(seg))
-          .join(uKeys, Seq(key), "left_semi").isEmpty
-      }
+      // ONE distributed probe over all candidates (not a job per
+      // segment): semi-join the candidate scan against the update keys
+      // and collect the distinct match-bearing segment names —
+      // O(candidates) rows to the driver, O(1) jobs
+      val dirtySet: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else {
+          val entryOf = candidates.map(n => bareName(n) -> n).toMap
+          segScan(spark, dir, snap, candidates, mergeSchema = true,
+              withMeta = true)
+            .join(uKeys, Seq(key), "left_semi")
+            .select(segOfFile(col("__file")).as("seg")).distinct()
+            .collect()
+            .map(r => entryOf.getOrElse(r.getString(0), r.getString(0)))
+            .toSet
+        }
+      val dirty = candidates.filter(dirtySet)
       // every update row lands exactly once (replacing or inserting), and
       // clean segments contain no matching keys by construction — so the
       // rewrite is: (dirty rows not matched) ∪ updates
@@ -1651,9 +1787,10 @@ object TxLog {
           .unionByName(u)
       // defaults were already applied staging `uSeg` (user data); the
       // dirty-kept rows are a rewrite and must not be back-filled
-      val seg = newSegment(dir, newData, applyDefaults = false)
+      val seg = newSegment(dir, newData, applyDefaults = false,
+        snapOpt = Some(snap))
       commitOrReclaim(dir, "merge", Seq(seg), dirty, snap.version,
-        segStats(spark, dir, seg, statsCols))
+        segStats(spark, dir, seg, statsCols, snap))
     } finally {
       // staging bytes are referenced by no version — reclaim eagerly
       store(dir).deleteRecursively(s"$dir/$uSeg")
@@ -1675,10 +1812,11 @@ object TxLog {
     // if `df` is nondeterministic upstream; reclaim the staged bytes if
     // the check pass itself throws (e.g. a malformed constraint
     // expression), not just on a counted violation
-    val seg = newSegment(dir, df)
+    val snap = snapshotOrEmpty(dir)
+    val seg = newSegment(dir, df, snapOpt = Some(snap))
     reclaimOnFailure(dir, Seq(seg)) {
       // constraints are written in logical terms; staged bytes are physical
-      val staged = applyMapping(spark.read.parquet(s"$dir/$seg"), state(dir))
+      val staged = applyMapping(spark.read.parquet(s"$dir/$seg"), snap)
       // SQL CHECK semantics: a row violates only when the predicate is
       // explicitly FALSE (NULL passes, like Delta's constraints)
       // coalesce: an EMPTY batch sums to null, which must read as 0 violations
@@ -1691,7 +1829,8 @@ object TxLog {
         throw new IllegalArgumentException("constraint violation(s): " +
           violated.map { case (c, n) => s"[$c] $n row(s)" }.mkString("; "))
       commit(dir, "append", Seq(seg), Seq.empty,
-        stats = segStats(spark, dir, seg, statsCols))
+        stats = segStats(spark, dir, seg, statsCols, snap),
+        requireGov = Some(govFingerprint(snap)))
     }
   }
 
@@ -1714,23 +1853,43 @@ object TxLog {
     val op = s"stream-$batchId"
     var snap = state(dir)
     if (snap.streamOps.contains(op)) return None
-    val seg = newSegment(dir, df)
-    val stats = segStats(df.sparkSession, dir, seg, statsCols)
-    while (true) {
-      try return Some(commit(dir, op, Seq(seg), Seq.empty, Some(snap.version),
-        stats = stats))
-      catch {
-        case _: java.util.ConcurrentModificationException =>
-          snap = state(dir)
-          if (snap.streamOps.contains(op)) {
-            // the duplicate won the slot: our staged segment is
-            // referenced by no entry — reclaim, report already-committed
-            store(dir).deleteRecursively(s"$dir/$seg")
-            return None
-          }
+    val gov = govFingerprint(snap)
+    val seg = newSegment(dir, df, snapOpt = Some(snap))
+    // any exit that didn't commit reclaims the staged segment — a
+    // stats failure, a raised writer floor, a governance change — not
+    // just the duplicate-batch path (no entry records it, so vacuum
+    // could never collect the orphan)
+    try {
+      val stats = segStats(df.sparkSession, dir, seg, statsCols, snap)
+      while (true) {
+        try return Some(commit(dir, op, Seq(seg), Seq.empty,
+          Some(snap.version), stats = stats))
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            snap = state(dir)
+            if (snap.streamOps.contains(op)) {
+              // the duplicate won the slot: our staged segment is
+              // referenced by no entry — reclaim, report already-committed
+              store(dir).deleteRecursively(s"$dir/$seg")
+              return None
+            }
+            // unrelated commit: retry at the new head — unless it
+            // changed governance, in which case the staged bytes were
+            // validated against a stale contract; fail loud so the
+            // engine's batch retry restages (same gate as [[commit]]'s
+            // blind path)
+            if (govFingerprint(snap) != gov)
+              throw new java.util.ConcurrentModificationException(
+                s"$op against $dir: table governance changed after the " +
+                  "batch was staged — the retried batch restages")
+        }
       }
+      None // unreachable
+    } catch {
+      case e: Throwable =>
+        store(dir).deleteRecursively(s"$dir/$seg")
+        throw e
     }
-    None // unreachable
   }
 
   /** Idempotent streaming MERGE-ON-READ upsert — [[appendStream]]'s
@@ -1764,19 +1923,34 @@ object TxLog {
     val op = s"stream-$batchId"
     var snap = state(dir)
     if (snap.streamOps.contains(op)) return None
-    val seg = newSegment(dir, df)
-    while (true) {
-      try return Some(commit(dir, op, Seq(seg), snap.live, Some(snap.version)))
-      catch {
-        case _: java.util.ConcurrentModificationException =>
-          snap = state(dir)
-          if (snap.streamOps.contains(op)) {
-            store(dir).deleteRecursively(s"$dir/$seg")
-            return None
-          }
+    val gov = govFingerprint(snap)
+    val seg = newSegment(dir, df, snapOpt = Some(snap))
+    // reclaim the staged segment on ANY non-commit exit (see
+    // [[appendStream]]); retries re-resolve the remove set so a racing
+    // append is replaced rather than resurrected, and a governance
+    // change fails loud so the engine's batch retry restages
+    try {
+      while (true) {
+        try return Some(commit(dir, op, Seq(seg), snap.live, Some(snap.version)))
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            snap = state(dir)
+            if (snap.streamOps.contains(op)) {
+              store(dir).deleteRecursively(s"$dir/$seg")
+              return None
+            }
+            if (govFingerprint(snap) != gov)
+              throw new java.util.ConcurrentModificationException(
+                s"$op against $dir: table governance changed after the " +
+                  "batch was staged — the retried batch restages")
+        }
       }
+      None // unreachable
+    } catch {
+      case e: Throwable =>
+        store(dir).deleteRecursively(s"$dir/$seg")
+        throw e
     }
-    None // unreachable
   }
 
   /** Replace the table contents with `df`. Conflicts (fails) if any
@@ -1799,12 +1973,24 @@ object TxLog {
     * here uses. Segments with no live rows emit nothing (group absent
     * = clean). Keys are ENTRY names (possibly external clone refs). */
   private def matchCounts(spark: SparkSession, dir: String, snap: State,
-                          predicate: String): Map[String, (Long, Long)] = {
-    if (snap.live.isEmpty) return Map.empty
-    val entryOf = snap.live.map(n => bareName(n) -> n).toMap
-    segScan(spark, dir, snap, snap.live, mergeSchema = true, withMeta = true)
-      .groupBy(segOfFile(col("__file")).as("seg"))
-      .agg(sum(when(expr(predicate), 1L).otherwise(0L)).as("hits"),
+                          predicate: String): Map[String, (Long, Long)] =
+    matchCountsOn(spark, dir, snap, snap.live, _ => expr(predicate))
+
+  /** The general form: counts over an explicit segment subset (e.g.
+    * stats-pruned candidates), with the predicate built FROM the scan
+    * (a range condition needs the scanned column's type to cast its
+    * bounds). Hits count rows where the predicate is TRUE — NULL is a
+    * non-hit, mirroring SQL DELETE/UPDATE/replaceWhere semantics. */
+  private def matchCountsOn(spark: SparkSession, dir: String, snap: State,
+                            segs: Seq[String],
+                            predicate: DataFrame => Column
+                           ): Map[String, (Long, Long)] = {
+    if (segs.isEmpty) return Map.empty
+    val entryOf = segs.map(n => bareName(n) -> n).toMap
+    val scan = segScan(spark, dir, snap, segs, mergeSchema = true,
+      withMeta = true)
+    scan.groupBy(segOfFile(col("__file")).as("seg"))
+      .agg(sum(when(predicate(scan), 1L).otherwise(0L)).as("hits"),
         count(lit(1)).as("total"))
       .collect()
       .map(r => entryOf.getOrElse(r.getString(0), r.getString(0)) ->
@@ -1815,7 +2001,11 @@ object TxLog {
   /** Copy-on-write delete of rows matching `predicate`: one triage job
     * ([[matchCounts]]) finds the match-bearing segments, then ONE
     * multi-path scan rewrites exactly those; clean segments carry over
-    * untouched by reference. */
+    * untouched by reference. SQL DELETE semantics: only rows where the
+    * predicate is TRUE are deleted — a NULL-evaluating row is KEPT
+    * (`NOT(pred)` alone would silently drop it, because `NOT(NULL)` is
+    * NULL; [[deleteMoR]] keeps such rows by construction, and CoW and
+    * MoR must agree). */
   def delete(spark: SparkSession, dir: String, predicate: String): Int = {
     val snap = state(dir)
     val counts = matchCounts(spark, dir, snap, predicate)
@@ -1823,9 +2013,10 @@ object TxLog {
     if (dirty.isEmpty)
       return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap.version))
     val kept = segScan(spark, dir, snap, dirty, mergeSchema = true)
-      .filter(s"NOT ($predicate)")
+      .filter(not(coalesce(expr(predicate), lit(false))))
     commitOrReclaim(dir, "delete",
-      Seq(newSegment(dir, kept, applyDefaults = false)), dirty, snap.version,
+      Seq(newSegment(dir, kept, applyDefaults = false, snapOpt = Some(snap))),
+      dirty, snap.version,
       Map.empty)
   }
 
@@ -1844,8 +2035,6 @@ object TxLog {
     * new slice — never touches the other 99.9%. */
   def replaceWhere(spark: SparkSession, dir: String, predicate: String,
                    df: DataFrame, statsCols: Seq[String] = Nil): Int = {
-    require(df.filter(s"NOT ($predicate)").isEmpty,
-      s"replaceWhere: every incoming row must satisfy ($predicate)")
     val snap = state(dir)
     // one triage job classifies every live segment: all live rows
     // match -> drop wholesale; none -> carry by reference; mixed ->
@@ -1856,18 +2045,43 @@ object TxLog {
     val (dropped, straddling) = withMatch.partition { seg =>
       val (hits, total) = counts(seg); hits == total }
     // staging, stats and commit all inside one reclaim scope: a failure
-    // anywhere (incl. a table-constraint violation staging the SECOND
-    // segment) deletes every already-staged segment, never leaking
+    // anywhere (incl. the frame validation below, or a table-constraint
+    // violation staging the SECOND segment) deletes every
+    // already-staged segment, never leaking
     val adds = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       if (straddling.nonEmpty)
+        // the kept rows are those where the predicate is NOT TRUE —
+        // `NOT(pred)` alone would silently DROP a NULL-evaluating row
+        // (NOT(NULL) is NULL), losing rows that matched neither the
+        // replacement frame nor the incoming data
         adds += newSegment(dir, segScan(spark, dir, snap, straddling,
-          mergeSchema = true).filter(s"NOT ($predicate)"),
-          applyDefaults = false)
-      if (!df.isEmpty) adds += newSegment(dir, df)
+          mergeSchema = true)
+            .filter(not(coalesce(expr(predicate), lit(false)))),
+          applyDefaults = false, snapOpt = Some(snap))
+      // stage the incoming frame ONCE, then validate the STAGED bytes:
+      // `df` executes exactly one time, so a nondeterministic upstream
+      // cannot pass validation with one set of rows and commit another
+      // (the appendChecked pattern). The check counts rows whose
+      // predicate is not TRUE — a NULL-evaluating row is OUTSIDE the
+      // declared replacement frame and must be rejected too.
+      val dfSeg = newSegment(dir, df, snapOpt = Some(snap))
+      adds += dfSeg
+      val staged = applyMapping(spark.read.parquet(s"$dir/$dfSeg"), snap)
+      val vc = staged.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(not(coalesce(expr(predicate), lit(false))), 1L)
+          .otherwise(0L)), lit(0L)).as("bad")).head()
+      if (vc.getLong(1) > 0)
+        throw new IllegalArgumentException(
+          s"replaceWhere: ${vc.getLong(1)} incoming row(s) do not " +
+            s"satisfy ($predicate)")
+      if (vc.getLong(0) == 0) { // empty incoming frame: nothing to add
+        adds -= dfSeg
+        store(dir).deleteRecursively(s"$dir/$dfSeg")
+      }
       val stats =
         if (statsCols.isEmpty) Map.empty[(String, String), ColStats]
-        else adds.toSeq.flatMap(seg => segStats(spark, dir, seg, statsCols)).toMap
+        else adds.toSeq.flatMap(seg => segStats(spark, dir, seg, statsCols, snap)).toMap
       commit(dir, "replace_where", adds.toSeq, dropped ++ straddling,
         Some(snap.version), stats)
     } catch {
@@ -1911,7 +2125,7 @@ object TxLog {
     val merged = segScan(spark, dir, snap, small.map(_._1), mergeSchema = true)
       .repartition(bins)
     Some(stageAndCommitClustered(spark, dir, merged, small.map(_._1),
-      snap.version, statsCols, op = "compact_small"))
+      snap, statsCols, op = "compact_small"))
   }
 
   /** Consolidate the live set into one segment — no logical change.
@@ -1922,7 +2136,8 @@ object TxLog {
     // DV-applied scan: compaction materializes tombstones away
     val all = segScan(spark, dir, snap, snap.live, mergeSchema = true).coalesce(1)
     commitOrReclaim(dir, "compact",
-      Seq(newSegment(dir, all, applyDefaults = false)), snap.live,
+      Seq(newSegment(dir, all, applyDefaults = false, snapOpt = Some(snap))),
+      snap.live,
       snap.version, Map.empty)
   }
 
@@ -2097,10 +2312,7 @@ object TxLog {
     val hs = state(dir)
     val physData = org.apache.spark.sql.types.StructType(
       data.map(f => f.copy(name = hs.physCol(f.name))))
-    def relabel(df: DataFrame): DataFrame =
-      hs.renames.foldLeft(df) { case (d, (p, l)) =>
-        if (d.columns.contains(p)) d.withColumnRenamed(p, l) else d
-      }
+    def relabel(df: DataFrame): DataFrame = TxLog.relabel(df, hs.renames)
     val newer = (math.max(0, from) to to).iterator
       .filter(v => st.exists(entryPath(dir, v)))
       .map(v => readEntry(dir, v))
@@ -2174,11 +2386,11 @@ object TxLog {
     val written = scala.collection.mutable.ArrayBuffer[String]()
     try {
       val newStats = needStats.foldLeft(Map.empty[(String, String), ColStats]) {
-        (m, seg) => m ++ segStats(spark, dir, seg, statsCols)
+        (m, seg) => m ++ segStats(spark, dir, seg, statsCols, snap)
       }
       val newBlooms = needBlooms.foldLeft(Map.empty[(String, String), BloomStats]) {
         (m, seg) =>
-          val bs = segBlooms(spark, dir, seg, bloomCols)
+          val bs = segBlooms(spark, dir, seg, bloomCols, snap)
           written ++= bs.values.map(_.file)
           m ++ bs
       }
@@ -2211,6 +2423,18 @@ object TxLog {
     require(!visible.contains(to),
       s"column $to already exists — rename would alias two columns")
     val p = snap.physCol(from)
+    // re-labeling onto a RENAMED-AWAY physical name is fine — the
+    // simultaneous relabel ([[relabel]]/[[toPhysical]]) resolves the
+    // chain without transient duplicates (rename v->value then k->v
+    // reads [v,value] and writes [k,v] unambiguously). A DROPPED name
+    // is different: its physical bytes are hidden, so giving a live
+    // column that label would make every write of it trip the
+    // dropped-name shadow guard — reject up front. (A physical name
+    // still carrying its OWN label is already caught by the visible
+    // check above.)
+    require(!snap.dropped(to),
+      s"column name $to is a dropped column's physical storage name " +
+        "(its bytes persist in old segments) — choose a fresh name")
     commit(dir, "rename_column", Seq.empty, Seq.empty, Some(snap.version),
       extraLines = s"rename=${enc(p)}|${enc(to)}" +: protoBump(snap))
   }
@@ -2243,6 +2467,13 @@ object TxLog {
     * lifetime, so resolving once per stream start is exact. */
   private[sources] def columnMapping(dir: String): Map[String, String] =
     state(dir).renames
+
+  /** Head-state DROPPED physical names — the streaming source's
+    * schema-drift guard must treat these as KNOWN (their bytes persist
+    * in pre-drop segments; footer inference over such a segment is not
+    * evidence of a new column). */
+  private[sources] def droppedColumns(dir: String): Set[String] =
+    state(dir).dropped
 
   /** The user-facing column list of a snapshot: physical footer names
     * minus drops, mapped through renames. */

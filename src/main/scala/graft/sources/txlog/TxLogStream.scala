@@ -266,15 +266,17 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
   // re-label each batch. Physical names are stable for the table's
   // lifetime, so a mid-stream rename cannot invalidate this (it only
   // changes labels, which this stream pinned at start).
-  private val physByLogical: Map[String, String] =
-    TxLog.columnMapping(dir).map(_.swap)
+  private val mapping: Map[String, String] = TxLog.columnMapping(dir)
+  private val physByLogical: Map[String, String] = mapping.map(_.swap)
   private val physData: StructType =
     StructType(data.map(f =>
       f.copy(name = physByLogical.getOrElse(f.name, f.name))))
-  private def relabel(df: DataFrame): DataFrame =
-    physByLogical.foldLeft(df) { case (d, (l, p)) =>
-      if (l != p) d.withColumnRenamed(p, l) else d
-    }
+  // physical names DROPPED as of stream start: their bytes persist in
+  // pre-drop segments, so footer inference seeing them is history, not
+  // schema drift (without this, any batch touching a pre-drop segment
+  // would fail the stream — and a restart could never fix it)
+  private val droppedPhys: Set[String] = TxLog.droppedColumns(dir)
+  private def relabel(df: DataFrame): DataFrame = TxLog.relabel(df, mapping)
 
   /** Highest commit version the engine has planned or committed —
     * the anchor the per-trigger cap advances from. Learned from
@@ -363,7 +365,7 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
     // footer-read inference over THIS BATCH's adds only — O(batch),
     // bounded by the trigger cap, never a table-wide listing.
     if (parts.nonEmpty) {
-      val known = physData.fieldNames.toSet
+      val known = physData.fieldNames.toSet ++ droppedPhys
       val drifted = spark.read.option("mergeSchema", "true")
         .parquet(parts.flatMap(_._3): _*).schema.fieldNames
         .filterNot(known)
