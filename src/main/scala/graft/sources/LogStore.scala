@@ -303,6 +303,15 @@ private[graft] trait LogCoordinator {
   /** Release every claim at `path` or strictly under `path/` —
     * directory-deletion cleanup. */
   def releaseUnder(path: String): Unit
+
+  /** The one shared anchoring rule for [[releaseUnder]]: `claimed` is
+    * covered by `root` when equal or strictly under `root/` —
+    * SEPARATOR-anchored, so deleting /t/foo never clears claims under
+    * the sibling /t/foobar. Every implementation filters with this. */
+  protected final def covers(root: String, claimed: String): Boolean = {
+    val prefix = if (root.endsWith("/")) root else root + "/"
+    claimed == root || claimed.startsWith(prefix)
+  }
 }
 
 /** The default [[LogCoordinator]]: an in-JVM concurrent map — exact
@@ -317,14 +326,8 @@ private[graft] object InProcessCoordinator extends LogCoordinator {
     claims.putIfAbsent(path, java.lang.Boolean.TRUE) == null
   def release(path: String): Unit = { claims.remove(path); () }
   def releaseUnder(path: String): Unit = {
-    // separator-anchored: deleting /t/foo must not clear claims under
-    // the sibling /t/foobar
-    val prefix = if (path.endsWith("/")) path else path + "/"
     val it = claims.keySet.iterator
-    while (it.hasNext) {
-      val k = it.next
-      if (k == path || k.startsWith(prefix)) it.remove()
-    }
+    while (it.hasNext) if (covers(path, it.next)) it.remove()
   }
 }
 
@@ -372,7 +375,6 @@ private[graft] class FileClaimCoordinator(claimsDir: java.nio.file.Path)
   }
 
   def releaseUnder(path: String): Unit = {
-    val prefix = if (path.endsWith("/")) path else path + "/"
     import scala.jdk.CollectionConverters._
     val s = Files.list(claimsDir)
     try s.iterator.asScala
@@ -383,7 +385,7 @@ private[graft] class FileClaimCoordinator(claimsDir: java.nio.file.Path)
         val claimed =
           try new String(Files.readAllBytes(f), "UTF-8")
           catch { case _: java.io.IOException => "" }
-        if (claimed == path || claimed.startsWith(prefix))
+        if (claimed.nonEmpty && covers(path, claimed))
           Files.deleteIfExists(f)
       }
     finally s.close()
