@@ -178,10 +178,14 @@ object TxLog {
     * Renames are deliberately EXCLUDED: they re-label reads, never
     * change staged bytes. */
   private def govFingerprint(s: State): String =
-    (s.constraints.toSeq.sorted.map { case (n, e) => s"c:$n=$e" } ++
-      s.defaults.toSeq.sorted.map { case (n, e) => s"d:$n=$e" } ++
-      s.generated.toSeq.sorted.map { case (n, e) => s"g:$n=$e" } ++
-      s.dropped.toSeq.sorted.map(n => s"x:$n"))
+    // fields are URL-encoded like every other metadata serialization
+    // here: expressions can legitimately contain ';'/'=', and raw
+    // concatenation would let two different governance states
+    // fingerprint-equal (an undetected governance change at the gate)
+    (s.constraints.toSeq.sorted.map { case (n, e) => s"c:${enc(n)}=${enc(e)}" } ++
+      s.defaults.toSeq.sorted.map { case (n, e) => s"d:${enc(n)}=${enc(e)}" } ++
+      s.generated.toSeq.sorted.map { case (n, e) => s"g:${enc(n)}=${enc(e)}" } ++
+      s.dropped.toSeq.sorted.map(n => s"x:${enc(n)}"))
       .mkString(";")
 
   /** Test hook: the table's CURRENT governance fingerprint (what a
@@ -218,13 +222,19 @@ object TxLog {
     }
 
   /** Runs `body` (a stats pass + commit tail over just-staged, not yet
-    * entry-recorded segments); on ANY failure deletes the staged
-    * segment dirs — the non-conflict analogue of [[commitOrReclaim]]'s
-    * reclaim — then rethrows. */
+    * entry-recorded segments); on failure deletes the staged segment
+    * dirs — the non-conflict analogue of [[commitOrReclaim]]'s reclaim
+    * — then rethrows. NonFatal ONLY: [[commit]] swallows NonFatal
+    * checkpoint failures, so any NonFatal escaping it is provably
+    * PRE-claim — but a fatal error (OOM, LinkageError) can escape
+    * AFTER the entry file landed, and reclaiming then would delete
+    * bytes a durable commit references. On fatal errors the staging
+    * may leak (the process is dying); leaked staging is recoverable,
+    * a committed entry over deleted bytes is not. */
   private def reclaimOnFailure[T](dir: String, staged: Seq[String])(body: => T): T =
     try body
     catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         staged.foreach(seg => store(dir).deleteRecursively(s"$dir/$seg"))
         throw e
     }
@@ -581,23 +591,23 @@ object TxLog {
             "generated/drops) changed after the batch was staged and " +
             "validated — restage against the current snapshot")
     }
-    def checkGov(): Unit =
-      if (requireGov.nonEmpty && st.isDirectory(logDir(dir))) govOk(state(dir))
     // writer gate at the single commit choke point: a client that
     // cannot understand the table's writer floor must not commit (its
     // rewrite could drop future-format metadata it never parsed). The
     // state replay underneath also enforces the READER gate — you
     // cannot safely write what you cannot read. Cost: one extra
     // O(checkpoint + tail) metadata replay per commit, which every
-    // snapshot-dependent op pays already.
+    // snapshot-dependent op pays already — and the governance-gated
+    // blind claim below reuses THIS replay for its first attempt.
+    var preRead: Option[State] = None
     if (st.isDirectory(logDir(dir))) {
       val cur = state(dir)
+      preRead = Some(cur)
       val p = cur.protocol
       if (p._2 > SupportedWriterVersion)
         throw new UnsupportedOperationException(
           s"table $dir requires writer protocol ${p._2}; this client " +
             s"supports $SupportedWriterVersion — upgrade the client to write")
-      govOk(cur) // shares the writer-gate replay; re-checked on retry
     }
     st.mkdirs(logDir(dir))
     // IN-COMMIT timestamp (Delta's inCommitTimestamps): the commit
@@ -623,21 +633,33 @@ object TxLog {
             s"$op against stale snapshot of $dir: expected head $eh, " +
               s"found ${headVersion(dir)} — recompute and retry")
         v
-      case None =>
-        // claim loop: a losing putIfAbsent means SOMETHING committed at
-        // our slot — re-check governance before retrying at the next
-        // one. A governance commit can only interleave by claiming the
-        // exact slot we are about to (slots are dense), so every
-        // interleaving forces a retry and re-runs the check; a
-        // governance commit claiming a LATER slot is conditional on a
-        // snapshot that already contains this entry, so its own
-        // every-existing-row validation covers these rows.
+      case None if requireGov.isEmpty =>
+        // ungated blind claim (metadata-only / non-row-adding ops):
+        // cheap headVersion probes, no replay per attempt
         var v = headVersion(dir) + 1
-        while (!st.putIfAbsent(entryPath(dir, v), bytes)) {
-          checkGov()
-          v = math.max(v + 1, headVersion(dir) + 1)
-        }
+        while (!st.putIfAbsent(entryPath(dir, v), bytes)) v += 1
         v
+      case None =>
+        // governance-gated blind claim: EVERY attempt derives its slot
+        // from the SAME replay the governance check reads — the claim
+        // targets exactly `checked.version + 1`, so ANY interleaving
+        // commit (governance or not) occupies that slot, forces a
+        // retry, and re-runs the check on a fresh replay. (Deriving
+        // the slot from a separate headVersion() read would let a
+        // governance commit land between the check and the claim and
+        // be skipped past without a collision.) A governance commit
+        // claiming a LATER slot is conditional on a snapshot that
+        // already contains this entry, so its own every-existing-row
+        // validation covers these rows.
+        var committed = -1
+        while (committed < 0) {
+          val cur = preRead.getOrElse(snapshotOrEmpty(dir))
+          preRead = None // attempt 1 reuses the writer-gate replay
+          govOk(cur)
+          val v = cur.version + 1
+          if (st.putIfAbsent(entryPath(dir, v), bytes)) committed = v
+        }
+        committed
     }
     maybeCheckpoint(dir, committed)
     committed
@@ -965,11 +987,14 @@ object TxLog {
     val present = df.columns.toSet
     // a name is shadowed when it denotes occupied storage the writer
     // cannot mean: a dropped column's physical name, or a renamed-away
-    // physical name that is NOT also some column's current label
-    // (chained renames re-issue freed labels — those are legitimate)
+    // physical name — UNLESS the name is also some column's CURRENT
+    // label (chained renames reissue freed labels, and dropColumn can
+    // legally drop a physical name whose label was already reissued
+    // over another column; in both cases the write unambiguously means
+    // the labeled column, via physByLogical)
     val labels = s.renames.values.toSet
     val shadowed = present.filter(c =>
-      (s.renames.contains(c) && !labels(c)) || s.dropped(c))
+      (s.renames.contains(c) || s.dropped(c)) && !labels(c))
     require(shadowed.isEmpty,
       s"column name(s) ${shadowed.mkString(", ")} are physical names " +
         "hidden by a rename or drop — write under the logical name, or " +
@@ -1081,7 +1106,7 @@ object TxLog {
           (entryOf.getOrElse(seg, seg), dvName, n) },
         extraLines = protoBump(snap))
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           store(dir).deleteRecursively(s"$dir/$dvName")
           store(dir).deleteRecursively(s"$dir/$newSeg")
           throw e
@@ -1177,14 +1202,14 @@ object TxLog {
               throw new java.util.ConcurrentModificationException(
                 s"$op against $dir: table governance changed after the " +
                   "batch was staged — the retried batch restages")
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             dvName.foreach(n => store(dir).deleteRecursively(s"$dir/$n"))
             throw e
         }
       }
       None // unreachable
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         store(dir).deleteRecursively(s"$dir/$uSeg")
         throw e
     }
@@ -1326,7 +1351,7 @@ object TxLog {
         dvs = crowded.flatMap(seg =>
           counts.get(bareName(seg)).map(n => (seg, merged, n)))))
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         store(dir).deleteRecursively(s"$dir/$merged")
         throw e
     }
@@ -1886,7 +1911,7 @@ object TxLog {
       }
       None // unreachable
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         store(dir).deleteRecursively(s"$dir/$seg")
         throw e
     }
@@ -1947,7 +1972,7 @@ object TxLog {
       }
       None // unreachable
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         store(dir).deleteRecursively(s"$dir/$seg")
         throw e
     }
@@ -1957,10 +1982,10 @@ object TxLog {
     * commit lands between the snapshot and this commit — the replaced
     * set would be stale. */
   def overwrite(df: DataFrame, dir: String): Int = {
-    val snap = headVersion(dir)
-    val live = liveSegments(dir, snap)
-    commitOrReclaim(dir, "overwrite", Seq(newSegment(dir, df)), live, snap,
-      Map.empty)
+    val snap = snapshotOrEmpty(dir)
+    commitOrReclaim(dir, "overwrite",
+      Seq(newSegment(dir, df, snapOpt = Some(snap))), snap.live,
+      snap.version, Map.empty)
   }
 
   /** Per-segment LIVE-row match counts for `predicate`, computed by
@@ -2085,7 +2110,7 @@ object TxLog {
       commit(dir, "replace_where", adds.toSeq, dropped ++ straddling,
         Some(snap.version), stats)
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         adds.foreach(seg => store(dir).deleteRecursively(s"$dir/$seg"))
         throw e
     }
@@ -2397,7 +2422,7 @@ object TxLog {
       Some(commit(dir, "analyze", Seq.empty, Seq.empty, Some(snap.version),
         newStats, newBlooms))
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         written.foreach(store(dir).deleteIfExists(_))
         throw e
     }

@@ -97,6 +97,33 @@ class TxLogReviewFixSpec extends SparkTestBase {
     assert(TxLog.read(spark, dir).columns.toSeq.sorted == Seq("v", "value"))
   }
 
+  test("dropColumn over a reissued label keeps the visible schema writable") {
+    val dir = freshDir()
+    TxLog.append(Seq((1, 2)).toDF("k", "v"), dir)
+    TxLog.renameColumn(spark, dir, "v", "value") // physical v labeled value
+    TxLog.renameColumn(spark, dir, "k", "v")     // label v reissued over k
+    TxLog.dropColumn(spark, dir, "value")        // drops PHYSICAL v
+    // visible schema is exactly [v] (physical k); it must stay writable
+    // even though "v" is also a dropped physical name
+    assert(TxLog.read(spark, dir).columns.toSeq == Seq("v"))
+    TxLog.append(Seq(Tuple1(9)).toDF("v"), dir)
+    assert(TxLog.read(spark, dir).as[Int].collect().toSet == Set(1, 9))
+  }
+
+  test("governance fingerprint is injection-proof (encoded fields)") {
+    // two DIFFERENT governance states whose raw concatenation would
+    // collide: {constraint a -> "e;d:q=w"} vs {constraint a -> "e",
+    // default q -> "w"} — the encoded fingerprints must differ
+    val d1 = freshDir(); val d2 = freshDir()
+    TxLog.commit(d1, "create", Seq.empty, Seq.empty) // empty tables:
+    TxLog.commit(d2, "create", Seq.empty, Seq.empty) // ADD skips row validation
+    TxLog.addConstraint(spark, d1, "a", "e;d:q=w")
+    TxLog.addConstraint(spark, d2, "a", "e")
+    TxLog.setColumnDefault(d2, "q", "w")
+    assert(TxLog.govFingerprintOf(d1) != TxLog.govFingerprintOf(d2),
+      "raw-concatenation fingerprint collision")
+  }
+
   test("rename onto a DROPPED column's physical name fails loud") {
     val dir = freshDir()
     TxLog.append(Seq((1, 2, 3)).toDF("k", "v", "w"), dir)
@@ -121,8 +148,10 @@ class TxLogReviewFixSpec extends SparkTestBase {
     TxLog.renameColumn(spark, dir, "a", "x")
     TxLog.renameColumn(spark, dir, "b", "a")
     val df = TxLog.read(spark, dir)
-    assert(df.columns.toSeq.sorted == Seq("a", "c", "x"))
-    assert(df.as[(Int, Int, Int)].collect().toList.map(_.toString).size == 1)
+    // exactly three distinctly-named columns — a regression to the
+    // order-sensitive fold would alias two onto one name here
+    assert(df.columns.toSeq.sorted == Seq("a", "c", "x"),
+      s"duplicate/missing columns: ${df.columns.toSeq}")
     assert(df.select("x", "a", "c").as[(Int, Int, Int)].head() == ((1, 2, 3)))
     // writes under the new labels round-trip
     TxLog.append(Seq((10, 20, 30)).toDF("x", "a", "c"), dir)
