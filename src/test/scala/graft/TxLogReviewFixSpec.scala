@@ -253,25 +253,72 @@ class TxLogReviewFixSpec extends SparkTestBase {
 
   // ---- single-job triage for update (the delete/replaceWhere shape) ----
 
+  private def countJobs[T](body: => T): (T, Int) = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (sys.env.contains("GRAFT_TRACE_JOBS"))
+          println(s"TRACEJOB ${j.jobId}: " +
+            j.stageInfos.map(_.name).mkString(" | "))
+        jobs.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = body
+      Thread.sleep(200) // let the listener bus drain
+      (r, jobs.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("update triages all segments in O(1) jobs, not a probe job per segment") {
     val dir = freshDir()
     (0 until 6).foreach(i =>
       TxLog.append(Seq((i.toLong, i * 10)).toDF("id", "n"), dir))
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val l = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
-    }
-    spark.sparkContext.addSparkListener(l)
-    try {
-      TxLog.update(spark, dir, "id = 3", Map("n" -> "n + 1"))
-      Thread.sleep(200) // let the listener bus drain
-      // triage(1) + staged write(1) + a bounded constant of metadata
-      // reads — NOT 6+ probe jobs; assert well under one-per-segment
-      assert(jobs.get() <= 5,
-        s"update ran ${jobs.get()} jobs over 6 segments — per-segment probes are back")
-    } finally spark.sparkContext.removeSparkListener(l)
+    // triage(1) + staged write(1) + a bounded constant of metadata
+    // reads — NOT 6+ probe jobs; assert well under one-per-segment
+    val (_, jobs) = countJobs(
+      TxLog.update(spark, dir, "id = 3", Map("n" -> "n + 1")))
+    assert(jobs <= 5,
+      s"update ran $jobs jobs over 6 segments — per-segment probes are back")
     assert(TxLog.read(spark, dir).where("id = 3").as[(Long, Int)].head()._2 == 31)
+  }
+
+  test("replaceWhere job count is INDEPENDENT of segment count (no per-segment probes)") {
+    // the robust form of the O(1)-triage claim: broadcast exchanges and
+    // footer reads contribute a CONSTANT number of jobs, so doubling
+    // the segment count must not add any
+    def run(n: Int): Int = {
+      val dir = freshDir()
+      (0 until n).foreach(i =>
+        TxLog.append(Seq((i.toLong, s"d$i")).toDF("id", "day"), dir))
+      val (_, jobs) = countJobs(
+        TxLog.replaceWhere(spark, dir, "day = 'd2'",
+          Seq((20L, "d2")).toDF("id", "day")))
+      assert(TxLog.read(spark, dir).where("day = 'd2'")
+        .as[(Long, String)].head()._1 == 20L)
+      jobs
+    }
+    val (j4, j8) = (run(4), run(8))
+    assert(j8 <= j4,
+      s"replaceWhere jobs grew with segments: $j4 @4 segs -> $j8 @8 segs")
+  }
+
+  test("merge job count is INDEPENDENT of candidate segment count") {
+    def run(n: Int): Int = {
+      val dir = freshDir()
+      (0 until n).foreach(i =>
+        TxLog.append(Seq((i.toLong, s"v$i")).toDF("id", "v"), dir))
+      val (_, jobs) = countJobs(
+        TxLog.merge(spark, dir,
+          Seq((3L, "upd"), (1000L, "ins")).toDF("id", "v"), "id"))
+      val rows = TxLog.read(spark, dir).as[(Long, String)].collect().toMap
+      assert(rows(3L) == "upd" && rows(1000L) == "ins" && rows.size == n + 1)
+      jobs
+    }
+    val (j4, j8) = (run(4), run(8))
+    assert(j8 <= j4,
+      s"merge jobs grew with segments: $j4 @4 segs -> $j8 @8 segs")
   }
 }
