@@ -112,10 +112,14 @@ private[graft] object LogStore {
         .getOrElse(new Configuration())
       new HadoopLogStore(new HPath(path).getFileSystem(conf), s)
     }
+    // ONE get into a local, not containsKey-then-get: a concurrent
+    // unregisterCoordinated between the two reads would construct a
+    // CoordinatedLogStore around null and NPE at first putIfAbsent
+    val coordinator = scheme.map(coordinatedSchemes.get).orNull
     scheme match {
       case None => NioLogStore
-      case Some(s) if coordinatedSchemes.containsKey(s) =>
-        new CoordinatedLogStore(hadoop(s), coordinatedSchemes.get(s))
+      case Some(s) if coordinator != null =>
+        new CoordinatedLogStore(hadoop(s), coordinator)
       case Some(s) if s == "file" || s == "hdfs" => hadoop(s)
       case Some(s) =>
         throw new IllegalArgumentException(

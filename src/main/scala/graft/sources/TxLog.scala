@@ -175,8 +175,14 @@ object TxLog {
     * CONSTRAINT would commit unchecked rows the constraint's own
     * every-existing-row validation never saw (Delta closes the same
     * race by conflict-checking metadata changes against every txn).
-    * Renames are deliberately EXCLUDED: they re-label reads, never
-    * change staged bytes. */
+    * RENAMES are included too: a rename never changes already-staged
+    * bytes, but it changes how a stage TRANSLATES logical labels to
+    * physical names — a batch staged before `RENAME a TO b` whose
+    * frame carried label `b` wrote `b` as a fresh physical column;
+    * committed after the rename lands, applyMapping would re-label
+    * the old physical column onto `b` as well, yielding duplicate/
+    * ambiguous columns on every later read. Forcing the restage makes
+    * the batch re-translate under the new mapping, mirroring drops. */
   private def govFingerprint(s: State): String =
     // fields are URL-encoded like every other metadata serialization
     // here: expressions can legitimately contain ';'/'=', and raw
@@ -185,7 +191,8 @@ object TxLog {
     (s.constraints.toSeq.sorted.map { case (n, e) => s"c:${enc(n)}=${enc(e)}" } ++
       s.defaults.toSeq.sorted.map { case (n, e) => s"d:${enc(n)}=${enc(e)}" } ++
       s.generated.toSeq.sorted.map { case (n, e) => s"g:${enc(n)}=${enc(e)}" } ++
-      s.dropped.toSeq.sorted.map(n => s"x:${enc(n)}"))
+      s.dropped.toSeq.sorted.map(n => s"x:${enc(n)}") ++
+      s.renames.toSeq.sorted.map { case (p, l) => s"r:${enc(p)}=${enc(l)}" })
       .mkString(";")
 
   /** Test hook: the table's CURRENT governance fingerprint (what a
@@ -836,11 +843,22 @@ object TxLog {
     // absent ones are computed exactly like defaults (Delta's split:
     // compute on INSERT-without, validate on INSERT-with)
     val providedGen = snap.generated.keySet.filter(df.columns.contains)
+    // TWO ORDERED passes, defaults strictly before generated: a
+    // generated expression legitimately references data/defaulted
+    // columns (the table_log_generated shape), so filling both in one
+    // unordered Map fold would make `GENERATED ... AS (f(defaulted))`
+    // on a batch missing BOTH columns succeed or throw depending on
+    // hash iteration order — a nondeterministic spurious write failure
     val filled =
       if (!applyDefaults) df
-      else (snap.defaults ++ (snap.generated -- providedGen))
-        .foldLeft(df) { case (d, (c, e)) =>
-          if (d.columns.contains(c)) d else d.withColumn(c, expr(e)) }
+      else {
+        val defaulted = snap.defaults.toSeq.sortBy(_._1)
+          .foldLeft(df) { case (d, (c, e)) =>
+            if (d.columns.contains(c)) d else d.withColumn(c, expr(e)) }
+        (snap.generated -- providedGen).toSeq.sortBy(_._1)
+          .foldLeft(defaulted) { case (d, (c, e)) =>
+            if (d.columns.contains(c)) d else d.withColumn(c, expr(e)) }
+      }
     // segment bytes always carry PHYSICAL column names (column
     // mapping's storage invariant — reads re-label, writes un-label)
     toPhysical(filled, snap).write.mode("overwrite").parquet(s"$dir/$name")
@@ -1944,7 +1962,8 @@ object TxLog {
     * remove set is the conditioned snapshot's live set, re-resolved on
     * each unrelated-conflict retry, so a racing append is replaced
     * rather than resurrected. */
-  def overwriteStream(df: DataFrame, dir: String, batchId: Long): Option[Int] = {
+  def overwriteStream(df: DataFrame, dir: String, batchId: Long,
+                      statsCols: Seq[String] = Nil): Option[Int] = {
     val op = s"stream-$batchId"
     var snap = state(dir)
     if (snap.streamOps.contains(op)) return None
@@ -1955,8 +1974,12 @@ object TxLog {
     // append is replaced rather than resurrected, and a governance
     // change fails loud so the engine's batch retry restages
     try {
+      // stats once, like appendStream: physical names are stable for
+      // the table's lifetime, so the snapshot retries need no re-agg
+      val stats = segStats(df.sparkSession, dir, seg, statsCols, snap)
       while (true) {
-        try return Some(commit(dir, op, Seq(seg), snap.live, Some(snap.version)))
+        try return Some(commit(dir, op, Seq(seg), snap.live, Some(snap.version),
+          stats = stats))
         catch {
           case _: java.util.ConcurrentModificationException =>
             snap = state(dir)

@@ -222,7 +222,7 @@ private[txlog] class TxLogSink(dir: String, mode: OutputMode,
       case Some(k) =>
         TxLog.mergeStreamMoR(spark, dir, batch, k, batchId, statsCols)
       case None if mode == OutputMode.Complete() =>
-        TxLog.overwriteStream(batch, dir, batchId)
+        TxLog.overwriteStream(batch, dir, batchId, statsCols)
       case None =>
         TxLog.appendStream(batch, dir, batchId, statsCols)
     }

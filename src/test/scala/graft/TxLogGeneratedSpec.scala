@@ -74,4 +74,25 @@ class TxLogGeneratedSpec extends SparkTestBase {
     assert(TxLog.generatedOf(dir) ==
       Map("bucket" -> "CAST(cents / 10 AS BIGINT)"))
   }
+
+  test("generated referencing a defaulted column fills deterministically (defaults first)") {
+    val dir = freshDir()
+    // first row provides everything (retrofit validation needs it)
+    TxLog.append(Seq((1L, 1L, 2L, 3L, 103L, 3L))
+      .toDF("id", "z1", "z2", "z3", "a_gen", "b_gen"), dir)
+    Seq("z1" -> "1", "z2" -> "2", "z3" -> "3").foreach { case (c, n) =>
+      TxLog.setColumnDefault(dir, c, s"CAST($n AS BIGINT)") }
+    TxLog.addGeneratedColumn(spark, dir, "a_gen", "z3 + CAST(100 AS BIGINT)")
+    TxLog.addGeneratedColumn(spark, dir, "b_gen", "z1 + z2")
+    // 5 absent fill targets (3 defaults + 2 generated, above Map's
+    // ordered-small-map threshold): a batch missing ALL of them must
+    // fill defaults strictly BEFORE generated — a single unordered fold
+    // would evaluate `z3 + 100` before z3 exists whenever hash order
+    // put a_gen first, a nondeterministic spurious AnalysisException
+    TxLog.append(Seq(Tuple1(2L)).toDF("id"), dir)
+    val row = TxLog.read(spark, dir).filter(col("id") === 2L)
+      .select("z1", "z2", "z3", "a_gen", "b_gen")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(row == ((1L, 2L, 3L, 103L, 3L)), s"filled row: $row")
+  }
 }

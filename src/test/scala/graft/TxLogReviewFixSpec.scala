@@ -207,6 +207,26 @@ class TxLogReviewFixSpec extends SparkTestBase {
       requireGov = Some(TxLog.govFingerprintOf(dir)))
   }
 
+  test("a blind commit staged before a RENAME conflicts loud (renames are governance)") {
+    val dir = freshDir()
+    TxLog.append(Seq((1L, 5L)).toDF("id", "v"), dir)
+    val g0 = TxLog.govFingerprintOf(dir) // mapping the writer staged under
+    TxLog.renameColumn(spark, dir, "v", "w")
+    // a batch staged BEFORE the rename translated labels under the old
+    // mapping; committing it after would let a frame labeled `w` write
+    // a fresh physical column that applyMapping then collides with the
+    // renamed one — duplicate/ambiguous columns on every later read
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TxLog.commit(dir, "append", Seq.empty, Seq.empty, requireGov = Some(g0))
+    }
+    assert(e.getMessage.contains("governance"))
+    // restaged under the CURRENT mapping, the append lands and reads clean
+    TxLog.append(Seq((2L, 6L)).toDF("id", "w"), dir)
+    val cols = TxLog.read(spark, dir).columns.toSeq
+    assert(cols.count(_ == "w") == 1 && !cols.contains("v"), s"cols=$cols")
+    assert(TxLog.read(spark, dir).agg(sum("w")).head().getLong(0) == 11L)
+  }
+
   test("append enforces a constraint added AFTER its staging snapshot (end to end)") {
     val dir = freshDir()
     TxLog.append(Seq((1L, 5)).toDF("id", "n"), dir)

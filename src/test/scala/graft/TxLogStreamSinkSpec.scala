@@ -170,4 +170,24 @@ class TxLogStreamSinkSpec extends SparkTestBase {
     assert(out.count() == 70 && out.select("id").distinct().count() == 70,
       "restart must deliver exactly the downtime commit, no duplicates")
   }
+
+  test("complete mode records statsCols: the refreshed table is range-prunable") {
+    val src = feedDir()
+    val out = freshDir("graft-sinkout")
+    val q = feed(src)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("v_sum"))
+      .writeStream.format("txlog")
+      .option("path", out).option("statsCols", "k")
+      .option("checkpointLocation", freshDir("graft-sinkckpt"))
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    // k spans 0..3: stats recorded at each overwrite must prune an
+    // out-of-range probe down to ZERO segments (pre-fix, Complete mode
+    // silently dropped the option and nothing pruned)
+    val (kept, pruned) = TxLog.pruneRange(out, "k", Some("10"), Some("99"))
+    assert(kept.isEmpty && pruned.nonEmpty,
+      s"statsCols must be recorded in Complete mode: kept=$kept")
+    val (keptIn, _) = TxLog.pruneRange(out, "k", Some("0"), Some("3"))
+    assert(keptIn.nonEmpty, "in-range probe must keep the live segment")
+  }
 }
