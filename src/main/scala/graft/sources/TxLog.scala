@@ -1621,7 +1621,7 @@ object TxLog {
     // job per segment), then ONE multi-path scan rewrites the
     // match-bearing ones; NULL keys are kept (outside any range)
     val counts = matchCountsOn(spark, dir, snap, candidates, rangeCond)
-    val dirty = candidates.filter(seg => counts.get(seg).exists(_._1 > 0))
+    val dirty = candidates.filter(seg => counts.get(seg).exists(_._1))
     if (dirty.isEmpty)
       return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap.version))
     val sdf = segScan(spark, dir, snap, dirty, mergeSchema = true)
@@ -1740,12 +1740,13 @@ object TxLog {
     val unknown = setExprs.keySet -- schema.map(_.name).filterNot(snap.dropped)
       .map(p => snap.renames.getOrElse(p, p)).toSet
     require(unknown.isEmpty, s"SET references unknown column(s): $unknown")
-    // ONE triage job over the live set (not a probe job per segment —
+    // ONE stats-pre-pruned triage job (not a probe job per segment —
     // O(segments) scheduler round-trips is the 100k-segment
-    // bottleneck), then ONE multi-path scan rewrites exactly the
+    // bottleneck; prunable conjuncts skip non-intersecting segments
+    // entirely), then ONE multi-path scan rewrites exactly the
     // match-bearing segments; clean ones carry by reference
     val counts = matchCounts(spark, dir, snap, predicate)
-    val dirty = snap.live.filter(seg => counts.get(seg).exists(_._1 > 0))
+    val dirty = snap.live.filter(seg => counts.get(seg).exists(_._1))
     if (dirty.isEmpty)
       return commit(dir, "update", Seq.empty, Seq.empty, Some(snap.version))
     val sdf = segScan(spark, dir, snap, dirty, schema = Some(schema))
@@ -2011,53 +2012,207 @@ object TxLog {
       snap.version, Map.empty)
   }
 
-  /** Per-segment LIVE-row match counts for `predicate`, computed by
-    * ONE distributed job over the whole live set — not a probe job per
-    * segment: at 100k-segment scale, O(segments) job submissions is a
-    * driver/scheduler bottleneck regardless of how little data each
-    * probe reads. The single pass reads only the predicate's columns
-    * (parquet pruning), applies DVs, and ships O(segments) count rows
-    * to the driver — the same metadata-bounded collect every DML op
-    * here uses. Segments with no live rows emit nothing (group absent
-    * = clean). Keys are ENTRY names (possibly external clone refs). */
-  private def matchCounts(spark: SparkSession, dir: String, snap: State,
-                          predicate: String): Map[String, (Long, Long)] =
-    matchCountsOn(spark, dir, snap, snap.live, _ => expr(predicate))
+  /** PRUNABLE CONJUNCTS of an arbitrary SQL predicate: (logical
+    * column, literal kind, alternative [lo,hi] ranges) parsed out of
+    * top-level AND terms of the form `col {=,<,<=,>,>=} literal`
+    * (either operand order), `col BETWEEN lo AND hi` (desugared to the
+    * >=/<= pair) and `col IN (...)` (an OR of point ranges, ≤64
+    * elements). Because the predicate is a CONJUNCTION, a segment
+    * whose recorded [min,max] proves any single conjunct unsatisfiable
+    * — i.e. excludes EVERY one of its alternative ranges — can hold no
+    * matching row: arbitrary-predicate DML triage skips it from log
+    * metadata alone, never opening a file. Anything unanalyzable (OR,
+    * NOT, function calls, casts, non-literal operands) contributes
+    * nothing: strictly conservative.
+    *
+    * Literal/stat TYPE-FAMILY guard (correctness, not pedantry): a
+    * bound is only usable when the literal compares in the same domain
+    * [[canPrune]] compares stats in. Numeric literals pair with
+    * numeric stat types (BigDecimal/double compare, exact); string
+    * literals pair ONLY with string stat columns — `long_col = '05'`
+    * under a lexicographic compare would falsely prune the segment
+    * whose row int-compares equal, and a non-canonical date string
+    * (`'2024-1-5'`) ordered against canonical ISO stats can prune a
+    * segment that holds matches. A falsely-pruned DML segment is
+    * silent row loss, so every unprovable pairing is rejected. */
+  private[graft] def prunableConjuncts(spark: SparkSession, predicate: String
+                                      ): Seq[(String, String, Seq[(Option[String], Option[String])])] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types._
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(predicate)
+      catch { case scala.util.control.NonFatal(_) => return Seq.empty }
+    def split(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(a, b) => split(a) ++ split(b)
+      // the parser leaves BETWEEN unresolved ('between(col, lo, hi) —
+      // its replacement is only built at analysis); desugar to the
+      // >=/<= pair ourselves, plus the RuntimeReplaceable node for
+      // programmatically-built trees
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+          f.arguments.size == 3 && !f.isDistinct && f.filter.isEmpty =>
+        split(ce.And(ce.GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
+          ce.LessThanOrEqual(f.arguments(0), f.arguments(2))))
+      case ce.Between(input, lower, upper, _) =>
+        split(ce.And(ce.GreaterThanOrEqual(input, lower),
+          ce.LessThanOrEqual(input, upper)))
+      case other        => Seq(other)
+    }
+    def attr(e: ce.Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+        Some(a.nameParts.head)
+      case _ => None
+    }
+    // literal kind: N = numeric (compares exactly against numeric stat
+    // types), S = string (compares lexicographically against string
+    // stat columns only); anything else is unusable
+    def lit(e: ce.Expression): Option[(String, Char)] = e match {
+      case l: ce.Literal if l.value != null => l.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | _: DecimalType => Some((l.value.toString, 'N'))
+        case StringType                   => Some((l.value.toString, 'S'))
+        case _                            => None
+      }
+      case _ => None
+    }
+    // one conjunct = (col, kind, ALTERNATIVE ranges): the conjunct is
+    // an OR of its ranges (one for comparisons, k for IN), so a
+    // segment is skippable only when EVERY alternative is excluded
+    type Conj = (String, Char, Seq[(Option[String], Option[String])])
+    def cmp(a: ce.Expression, b: ce.Expression,
+            mk: String => (Option[String], Option[String]),
+            flip: String => (Option[String], Option[String])): Option[Conj] =
+      attr(a).flatMap(c => lit(b).map { case (v, k) => (c, k, Seq(mk(v))) })
+        .orElse(attr(b).flatMap(c => lit(a).map { case (v, k) => (c, k, Seq(flip(v))) }))
+    val conjuncts: Seq[Conj] = split(parsed).flatMap {
+      case ce.EqualTo(a, b) =>
+        cmp(a, b, v => (Some(v), Some(v)), v => (Some(v), Some(v)))
+      case ce.GreaterThan(a, b) => // col > v | v > col ≡ col < v
+        cmp(a, b, v => (Some(v), None), v => (None, Some(v)))
+      case ce.GreaterThanOrEqual(a, b) =>
+        cmp(a, b, v => (Some(v), None), v => (None, Some(v)))
+      case ce.LessThan(a, b) => // col < v | v < col ≡ col > v
+        cmp(a, b, v => (None, Some(v)), v => (Some(v), None))
+      case ce.LessThanOrEqual(a, b) =>
+        cmp(a, b, v => (None, Some(v)), v => (Some(v), None))
+      case ce.In(a, list) if list.nonEmpty && list.size <= 64 =>
+        // IN = OR of point probes; usable only when every element is a
+        // literal of ONE kind (bounded at 64 to cap metadata work)
+        attr(a).flatMap { c =>
+          val ls = list.map(lit)
+          if (ls.exists(_.isEmpty)) None
+          else ls.flatten.map(_._2).distinct match {
+            case Seq(k) => Some((c, k, ls.flatten.map {
+              case (v, _) => (Some(v), Some(v)) }))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+    conjuncts.map { case (c, k, alts) => (c, k.toString, alts) }
+  }
 
-  /** The general form: counts over an explicit segment subset (e.g.
+  /** True iff `tn` (a stat column's recorded type name) and a literal
+    * kind from [[prunableConjuncts]] compare in the same domain. */
+  private def statComparable(tn: String, kind: String): Boolean = {
+    val numericTn = Set("byte", "short", "integer", "long",
+      "float", "double").contains(tn) || tn.startsWith("decimal")
+    if (kind == "N") numericTn else tn == "string"
+  }
+
+  /** Live segments that can possibly hold a `predicate` match, from
+    * log metadata alone: each prunable conjunct is intersected with
+    * the per-segment stats via [[canPrune]]; segments without stats on
+    * a conjunct's column stay in (conservative, the same rule
+    * [[optimizeWhere]] applies). This is what makes a date-sliced
+    * `delete`/`replaceWhere`/`update` on a 100 TB table touch only the
+    * handful of segments whose [min,max] intersect the slice instead
+    * of reading the predicate columns of EVERY live row. */
+  private def triageCandidates(snap: State, predicate: String,
+                               spark: SparkSession): Seq[String] = {
+    val bounds = prunableConjuncts(spark, predicate)
+    if (bounds.isEmpty) snap.live
+    else snap.live.filterNot { seg =>
+      bounds.exists { case (c, kind, alts) =>
+        snap.stats.get((seg, snap.physCol(c))).exists { st =>
+          statComparable(st.typeName, kind) &&
+            // the conjunct is an OR of its ranges: skippable only when
+            // EVERY alternative is excluded; an unparseable probe
+            // (e.g. `long_col = 'abc'`) proves nothing — keep, never throw
+            alts.forall { case (lo, hi) =>
+              try canPrune(Some(st), lo, hi)
+              catch { case _: NumberFormatException => false }
+            }
+        }
+      }
+    }
+  }
+
+  /** Test hook: the segment subset an arbitrary-predicate DML triage
+    * would scan (entry names, possibly external clone refs). */
+  private[graft] def triageCandidatesOf(spark: SparkSession, dir: String,
+                                        predicate: String): Seq[String] =
+    triageCandidates(state(dir), predicate, spark)
+
+  /** Per-segment LIVE-row (any-match, all-match) flags for `predicate`,
+    * computed by ONE distributed job — not a probe job per segment: at
+    * 100k-segment scale, O(segments) job submissions is a driver/
+    * scheduler bottleneck regardless of how little data each probe
+    * reads. The scan is STATS-PRE-PRUNED ([[triageCandidates]]): only
+    * segments whose recorded [min,max] may intersect the predicate's
+    * prunable conjuncts are read at all, so a date-sliced DML touches
+    * the slice, never the table. The single pass reads only the
+    * predicate's columns (parquet pruning), applies DVs, and ships
+    * O(segments) flag rows to the driver. Segments with no live rows
+    * emit nothing (group absent = clean); pruned segments are provably
+    * matchless and equally absent. Keys are ENTRY names (possibly
+    * external clone refs). */
+  private def matchCounts(spark: SparkSession, dir: String, snap: State,
+                          predicate: String): Map[String, (Boolean, Boolean)] =
+    matchCountsOn(spark, dir, snap,
+      triageCandidates(snap, predicate, spark), _ => expr(predicate))
+
+  /** The general form: flags over an explicit segment subset (e.g.
     * stats-pruned candidates), with the predicate built FROM the scan
     * (a range condition needs the scanned column's type to cast its
-    * bounds). Hits count rows where the predicate is TRUE — NULL is a
-    * non-hit, mirroring SQL DELETE/UPDATE/replaceWhere semantics. */
+    * bounds). A row hits when the predicate is TRUE — NULL is a
+    * non-hit, mirroring SQL DELETE/UPDATE/replaceWhere semantics.
+    * (any, all) min/max flags instead of hit COUNTS: the DML ops only
+    * ever ask "any match?" (rewrite) and "all match?" (drop
+    * wholesale), so the aggregate ships two booleans per segment. */
   private def matchCountsOn(spark: SparkSession, dir: String, snap: State,
                             segs: Seq[String],
                             predicate: DataFrame => Column
-                           ): Map[String, (Long, Long)] = {
+                           ): Map[String, (Boolean, Boolean)] = {
     if (segs.isEmpty) return Map.empty
     val entryOf = segs.map(n => bareName(n) -> n).toMap
     val scan = segScan(spark, dir, snap, segs, mergeSchema = true,
       withMeta = true)
+    val hit = when(predicate(scan), 1).otherwise(0)
     scan.groupBy(segOfFile(col("__file")).as("seg"))
-      .agg(sum(when(predicate(scan), 1L).otherwise(0L)).as("hits"),
-        count(lit(1)).as("total"))
+      .agg(max(hit).as("any"), min(hit).as("all"))
       .collect()
       .map(r => entryOf.getOrElse(r.getString(0), r.getString(0)) ->
-        (r.getLong(1), r.getLong(2)))
+        (r.getInt(1) == 1, r.getInt(2) == 1))
       .toMap
   }
 
-  /** Copy-on-write delete of rows matching `predicate`: one triage job
-    * ([[matchCounts]]) finds the match-bearing segments, then ONE
-    * multi-path scan rewrites exactly those; clean segments carry over
-    * untouched by reference. SQL DELETE semantics: only rows where the
-    * predicate is TRUE are deleted — a NULL-evaluating row is KEPT
+  /** Copy-on-write delete of rows matching `predicate`: the triage is
+    * STATS-PRE-PRUNED ([[triageCandidates]] — a `day = X` slice opens
+    * only segments whose recorded [min,max] intersect X) and runs as
+    * ONE job ([[matchCounts]]) to find the match-bearing segments,
+    * then ONE multi-path scan rewrites exactly those; clean segments
+    * carry over untouched by reference. SQL DELETE semantics: only
+    * rows where the predicate is TRUE are deleted — a NULL-evaluating
+    * row is KEPT
     * (`NOT(pred)` alone would silently drop it, because `NOT(NULL)` is
     * NULL; [[deleteMoR]] keeps such rows by construction, and CoW and
     * MoR must agree). */
   def delete(spark: SparkSession, dir: String, predicate: String): Int = {
     val snap = state(dir)
     val counts = matchCounts(spark, dir, snap, predicate)
-    val dirty = snap.live.filter(seg => counts.get(seg).exists(_._1 > 0))
+    val dirty = snap.live.filter(seg => counts.get(seg).exists(_._1))
     if (dirty.isEmpty)
       return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap.version))
     val kept = segScan(spark, dir, snap, dirty, mergeSchema = true)
@@ -2084,14 +2239,16 @@ object TxLog {
   def replaceWhere(spark: SparkSession, dir: String, predicate: String,
                    df: DataFrame, statsCols: Seq[String] = Nil): Int = {
     val snap = state(dir)
-    // one triage job classifies every live segment: all live rows
-    // match -> drop wholesale; none -> carry by reference; mixed ->
-    // rewrite. (A fully-tombstoned segment emits no counts and carries
-    // by reference — no logical change either way.)
+    // one STATS-PRE-PRUNED triage job classifies the candidate
+    // segments: all live rows match -> drop wholesale; none -> carry
+    // by reference; mixed -> rewrite. Segments whose recorded stats
+    // exclude the predicate's prunable conjuncts never reach the scan
+    // (a `day = X` backfill reads only the segments that may hold X).
+    // (A fully-tombstoned segment emits no flags and carries by
+    // reference — no logical change either way.)
     val counts = matchCounts(spark, dir, snap, predicate)
-    val withMatch = snap.live.filter(seg => counts.get(seg).exists(_._1 > 0))
-    val (dropped, straddling) = withMatch.partition { seg =>
-      val (hits, total) = counts(seg); hits == total }
+    val withMatch = snap.live.filter(seg => counts.get(seg).exists(_._1))
+    val (dropped, straddling) = withMatch.partition(seg => counts(seg)._2)
     // staging, stats and commit all inside one reclaim scope: a failure
     // anywhere (incl. the frame validation below, or a table-constraint
     // violation staging the SECOND segment) deletes every

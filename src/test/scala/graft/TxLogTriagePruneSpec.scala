@@ -1,0 +1,183 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import graft.sources.TxLog
+
+/** STATS-PRE-PRUNED arbitrary-predicate DML triage: `delete` /
+  * `update` / `replaceWhere` extract prunable conjuncts
+  * (`col {=,<,<=,>,>=} literal`, BETWEEN via its >=/<= pair) from the
+  * predicate and intersect them with recorded per-segment [min,max]
+  * BEFORE the triage scan — a date-sliced DML opens only the segments
+  * whose stats intersect the slice, exactly like the dedicated
+  * deleteRange/optimizeWhere paths. Unanalyzable predicates and
+  * type-family mismatches (string literal vs numeric stats and vice
+  * versa — a falsely-pruned segment would be silent row loss) fall
+  * back to the full live set, strictly conservative. */
+class TxLogTriagePruneSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-txprune").toString
+
+  /** 4 date-sliced segments with stats on `day` (and `id`), 8 rows
+    * each: day = 199X-06-15 for X in 5..8, ids are disjoint ranges. */
+  private def slicedTable(): (String, Map[String, String]) = {
+    val dir = freshDir()
+    val segOfYear = (5 to 8).map { x =>
+      val rows = (0 until 8).map(i => ((x * 100 + i).toLong, s"199$x-06-15"))
+      TxLog.appendWithStats(spark, rows.toDF("id", "day"), dir,
+        Seq("day", "id"))
+      s"199$x" -> TxLog.liveSegments(dir).last
+    }.toMap
+    (dir, segOfYear)
+  }
+
+  /** Records read across all tasks while `body` runs. */
+  private def countRecordsRead[T](body: => T): (T, Long) = {
+    val recs = new AtomicLong(0)
+    val l = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = body
+      Thread.sleep(300) // let the listener bus drain
+      (r, recs.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("date-slice conjuncts shrink the triage to intersecting segments only") {
+    val (dir, segOfYear) = slicedTable()
+    // equality slice + an unprunable extra conjunct (no stats on a
+    // synthetic expression) → exactly the 1996 segment
+    val cands = TxLog.triageCandidatesOf(spark, dir,
+      "day = '1996-06-15' AND id % 2 = 0")
+    assert(cands == Seq(segOfYear("1996")), s"cands=$cands")
+    // BETWEEN (parses to >=/<=) spanning two slices
+    val two = TxLog.triageCandidatesOf(spark, dir,
+      "day BETWEEN '1996-01-01' AND '1997-12-31'")
+    assert(two.toSet == Set(segOfYear("1996"), segOfYear("1997")), s"two=$two")
+    // reversed operand order and strict bounds
+    val hi = TxLog.triageCandidatesOf(spark, dir, "'1998-01-01' < day")
+    assert(hi == Seq(segOfYear("1998")), s"hi=$hi")
+    // numeric conjunct on the second stats column. Strict bounds are
+    // treated as inclusive (canPrune's domain), so the probe stays off
+    // the 800-slice's exact min — a boundary-equal segment is
+    // conservatively kept, never falsely pruned.
+    val ids = TxLog.triageCandidatesOf(spark, dir, "id >= 700 AND id < 799")
+    assert(ids == Seq(segOfYear("1997")), s"ids=$ids")
+    // IN-list = OR of point probes: skips a segment only when EVERY
+    // element misses it
+    val in = TxLog.triageCandidatesOf(spark, dir,
+      "day IN ('1995-06-15', '1998-06-15')")
+    assert(in.toSet == Set(segOfYear("1995"), segOfYear("1998")), s"in=$in")
+    val inIds = TxLog.triageCandidatesOf(spark, dir, "id IN (501, 502, 599)")
+    assert(inIds == Seq(segOfYear("1995")), s"inIds=$inIds")
+  }
+
+  test("unanalyzable / type-mismatched predicates fall back to the full live set") {
+    val (dir, _) = slicedTable()
+    val live = TxLog.liveSegments(dir).toSet
+    // OR at the top level: no prunable conjunct
+    assert(TxLog.triageCandidatesOf(spark, dir,
+      "day = '1996-06-15' OR id = 1").toSet == live)
+    // string literal vs NUMERIC stats: lexicographic-vs-numeric order
+    // disagreement ('05' = 5) — must not prune
+    assert(TxLog.triageCandidatesOf(spark, dir, "id = '9999'").toSet == live)
+    // numeric literal vs STRING stats: same guard, other direction
+    assert(TxLog.triageCandidatesOf(spark, dir, "day > 3000").toSet == live)
+    // unparseable probe against numeric stats proves nothing
+    assert(TxLog.triageCandidatesOf(spark, dir, "id = 'abc'").toSet == live)
+    // a column with NO recorded stats keeps everything
+    val d2 = freshDir()
+    TxLog.append(Seq((1L, "a")).toDF("id", "day"), d2)
+    TxLog.append(Seq((2L, "b")).toDF("id", "day"), d2)
+    assert(TxLog.triageCandidatesOf(spark, d2, "day = 'zzz'").toSet ==
+      TxLog.liveSegments(d2).toSet)
+  }
+
+  test("delete on a date slice reads only that slice (listener-counted)") {
+    val (dir, segOfYear) = slicedTable()
+    val before = TxLog.liveSegments(dir).toSet
+    // 32 rows total, 8 per slice: a pruned triage reads 8 (triage) +
+    // 8 (rewrite of the one dirty segment); the pre-fix full triage
+    // read all 32 + 8. Assert comfortably under the full-scan floor.
+    val (_, recs) = countRecordsRead {
+      TxLog.delete(spark, dir, "day = '1996-06-15' AND id % 2 = 0")
+    }
+    assert(recs <= 24, s"triage read $recs records — full-table scan is back")
+    // correctness: 4 rows gone from 1996, other slices byte-identical
+    val left = TxLog.read(spark, dir)
+    assert(left.count() == 28)
+    assert(left.where("day = '1996-06-15'").count() == 4)
+    val after = TxLog.liveSegments(dir).toSet
+    assert((before - segOfYear("1996")).subsetOf(after),
+      "clean slices must carry by reference")
+    assert(!after.contains(segOfYear("1996")), "dirty slice must be rewritten")
+  }
+
+  test("replaceWhere backfill drops the slice wholesale without scanning others") {
+    val (dir, segOfYear) = slicedTable()
+    val before = TxLog.liveSegments(dir).toSet
+    val incoming = (0 until 3).map(i => ((900 + i).toLong, "1997-06-15"))
+      .toDF("id", "day")
+    // all-match slice: 8 (triage) + 0 (no straddlers) + 3 (staged
+    // validation) records; the pre-fix full triage read 32 + 3
+    val (_, recs) = countRecordsRead {
+      TxLog.replaceWhere(spark, dir,
+        "day BETWEEN '1997-01-01' AND '1997-12-31'", incoming,
+        statsCols = Seq("day"))
+    }
+    assert(recs <= 20, s"replaceWhere read $recs records — full scan is back")
+    val after = TxLog.liveSegments(dir).toSet
+    assert(!after.contains(segOfYear("1997")), "1997 slice must drop wholesale")
+    assert((before - segOfYear("1997")).subsetOf(after),
+      "other slices must carry by reference")
+    assert(TxLog.read(spark, dir).where("day like '1997%'").count() == 3)
+    assert(TxLog.read(spark, dir).count() == 27)
+  }
+
+  test("update on a keyed range rewrites only the covering segment") {
+    val (dir, segOfYear) = slicedTable()
+    val before = TxLog.liveSegments(dir).toSet
+    val (_, recs) = countRecordsRead {
+      TxLog.update(spark, dir, "id >= 800 AND id <= 805",
+        Map("day" -> "'2000-01-01'"))
+    }
+    // footer-union tableSchema() adds no records; triage 8 + rewrite 8
+    assert(recs <= 24, s"update read $recs records — full-table scan is back")
+    assert(TxLog.read(spark, dir).where("day = '2000-01-01'").count() == 6)
+    assert((before - segOfYear("1998")).subsetOf(TxLog.liveSegments(dir).toSet),
+      "non-covering slices must carry by reference")
+  }
+
+  test("pruned DML agrees with the unpruned result (no row lost to a false prune)") {
+    // same predicate driven through a table WITH stats and one WITHOUT:
+    // identical survivors proves pruning only skips provably-clean data
+    def build(withStats: Boolean): String = {
+      val dir = freshDir()
+      (5 to 8).foreach { x =>
+        val rows = (0 until 8).map(i => ((x * 100 + i).toLong,
+          if (i == 7) null else s"199$x-06-15")) // NULL days ride along
+        val df = rows.toDF("id", "day")
+        if (withStats) TxLog.appendWithStats(spark, df, dir, Seq("day"))
+        else TxLog.append(df, dir)
+      }
+      dir
+    }
+    val (a, b) = (build(true), build(false))
+    val pred = "day >= '1996-01-01' AND day < '1998-01-01'"
+    Seq(a, b).foreach(d => TxLog.delete(spark, d, pred))
+    val sa = TxLog.read(spark, a).select("id", "day")
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    val sb = TxLog.read(spark, b).select("id", "day")
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(sa == sb, "pruned and unpruned deletes diverged")
+    assert(sa.count(_._2.isEmpty) == 4, "NULL-day rows must all survive")
+  }
+}
