@@ -3805,11 +3805,14 @@ object SparkEntry {
     // restart), and each micro-batch reads ONLY the new commits' add
     // segments — tailing a 100 TB table costs O(new data), never a
     // table rescan. Append commits are the 4 date slices; rewrite
-    // commits (merge/optimize) are tagged and filtered out, as an
-    // append-only consumer would.
+    // commits (merge/optimize) re-materialize already-streamed rows,
+    // so the source FAILS LOUD on them by default — skipRewrites=true
+    // is the aware-consumer opt-in that advances past them rowlessly
+    // (the op filter below keeps the aggregate exact either way).
     "stream_txlog_source" -> ((s, d) => withStreamPartitions(s) {
       val dir = txStatsCache(s, d)
-      val q = s.readStream.format("txlog").option("path", dir).load()
+      val q = s.readStream.format("txlog").option("path", dir)
+        .option("skipRewrites", "true").load()
         .filter(col("_commit_op") === "append")
         .groupBy(col("_commit_version").as("version"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
@@ -3876,7 +3879,10 @@ object SparkEntry {
       graft.sources.TxLog.deleteRecursively(new java.io.File(dst).toPath)
       val ckpt = java.nio.file.Files.createTempDirectory("graft_txpipe_ck")
       val q = s.readStream.format("txlog")
-        .option("path", src).option("maxCommitsPerTrigger", "2").load()
+        .option("path", src).option("maxCommitsPerTrigger", "2")
+        // the source table's history ends in merge+optimize rewrites:
+        // skipRewrites advances past them rowlessly (default fails loud)
+        .option("skipRewrites", "true").load()
         .filter(col("_commit_op") === "append")
         .drop("_commit_version", "_commit_op")
         .writeStream.format("txlog")

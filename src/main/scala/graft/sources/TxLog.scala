@@ -2442,19 +2442,23 @@ object TxLog {
     * commits in (`fromVersion`, head], tagged with `_commit_version`
     * and `_commit_op` — the incremental-sync surface a downstream
     * pipeline polls ("give me everything since the version I last
-    * processed"). Rewrite commits (delete/merge/optimize/compact)
-    * surface their rewrite OUTPUT rows tagged with the op, so consumers
-    * that must not re-ingest logically-old rows filter on it (the
-    * append-only-table contract makes this exact for append/stream
-    * commits). One scan per new commit's add set and one entry read
-    * per new commit — nothing re-reads older segments or log prefix. */
+    * processed"). PURE REARRANGEMENTS ([[RearrangeOps]]: optimize/
+    * compact/localize/dv_coalesce) change no logical row and emit
+    * NOTHING — a nightly OPTIMIZE must not re-feed the whole table to
+    * every poller. Content-changing rewrites (CoW delete/update/merge,
+    * replace_where) surface their rewrite OUTPUT rows tagged with the
+    * op, so consumers that must not re-ingest logically-old rows
+    * filter on it (the append-only-table contract makes this exact for
+    * append/stream commits). One scan per new commit's add set and one
+    * entry read per new commit — nothing re-reads older segments or
+    * log prefix. */
   def readChangesSince(spark: SparkSession, dir: String,
                        fromVersion: Int): DataFrame = {
     val st = store(dir)
     val newer = Iterator.from(math.max(0, fromVersion + 1))
       .takeWhile(v => st.exists(entryPath(dir, v)))
       .map(v => readEntry(dir, v))
-      .filter(_.add.nonEmpty)
+      .filter(e => e.add.nonEmpty && !RearrangeOps(e.op))
       .toSeq
     if (newer.isEmpty) // a poll with nothing new: empty, schema-preserving
       return read(spark, dir, mergeSchema = true).limit(0)
@@ -2476,8 +2480,10 @@ object TxLog {
     * `_commit_op`, and `_change_type`:
     *
     *  - `insert` — rows added by append/stream/merge/rewrite commits
-    *    (rewrites surface their output op-tagged, as in
-    *    readChangesSince — the append-only-consumer contract);
+    *    (content-changing rewrites surface their output op-tagged, as
+    *    in readChangesSince — the append-only-consumer contract; PURE
+    *    REARRANGEMENTS ([[RearrangeOps]]: optimize/compact/localize/
+    *    dv_coalesce) change no row and emit NOTHING);
     *  - `delete` — the PRE-IMAGES of rows tombstoned by a
     *    `delete_mor`/`merge_mor` deletion vector, resolved by joining
     *    the sidecar's (file, pos) coordinates back to the — still
@@ -2498,6 +2504,15 @@ object TxLog {
         .withColumn("_commit_op", lit(""))
         .withColumn("_change_type", lit("")))
   }
+
+  /** Commit ops that provably change NO logical row — the table is
+    * byte-rearranged (re-clustered, bin-packed, localized, sidecars
+    * merged) but reads before and after are identical. The change-feed
+    * surfaces emit nothing for them; the add-set streaming source
+    * treats them as rewrites (fail loud or skip). */
+  private[sources] val RearrangeOps: Set[String] =
+    Set("optimize", "optimize_where", "compact", "compact_small",
+      "localize", "dv_coalesce")
 
   /** The BOUNDED change-feed body shared by [[readChangeFeed]] and the
     * streaming CDF source: change rows for the commits in `[from, to]`,
@@ -2522,6 +2537,13 @@ object TxLog {
       .filter(v => st.exists(entryPath(dir, v)))
       .map(v => readEntry(dir, v))
       .filter(e => e.add.nonEmpty || e.dvs.nonEmpty)
+      // PURE REARRANGEMENTS change zero rows and contribute zero
+      // change rows: optimize/compact re-adds would surface as phantom
+      // `insert`s (a nightly OPTIMIZE re-inserting the whole table
+      // into every CDF consumer) and dv_coalesce's re-recorded
+      // sidecars as phantom `delete` pre-images of rows tombstoned
+      // versions ago (Delta's CDF likewise emits nothing for OPTIMIZE)
+      .filterNot(e => RearrangeOps(e.op))
       .toSeq
     def tagged(df: DataFrame, v: Int, op: String, ct: String): DataFrame =
       relabel(df).withColumn("_commit_version", lit(v.toLong))
@@ -2874,6 +2896,34 @@ object TxLog {
     val e = readEntry(dir, version)
     (e.op, e.add.map(segPath(dir, _)))
   }
+
+  /** (op, added segment paths, isRewrite, dropped physical names) of
+    * commit `version` for the streaming source's per-batch triage —
+    * ONE entry read answers all four questions. A commit is a REWRITE
+    * when it both adds and removes segments: its add set
+    * re-materializes rows that already streamed (compact/optimize/
+    * replace_where/CoW DML/restore/dv_coalesce's re-add) — delivering
+    * it would push the whole rewritten table through every tailing
+    * stream. Remove-only and DV-only commits are NOT rewrites: they
+    * add no bytes to deliver (the add-set contract skips them
+    * rowlessly, the documented deletion posture). The drops feed the
+    * mid-stream drift guard: every post-start drop commit passes
+    * through exactly one batch range (offsets are dense versions), so
+    * scanning the range's own entries catches it with ZERO extra
+    * metadata reads — no per-batch state replay. */
+  private[sources] def commitChange(dir: String, version: Int
+                                   ): (String, Seq[String], Boolean, Seq[String]) = {
+    val e = readEntry(dir, version)
+    (e.op, e.add.map(segPath(dir, _)), e.add.nonEmpty && e.remove.nonEmpty,
+      e.drops)
+  }
+
+  /** Added paths of a pending stream batch that no longer exist — a
+    * vacuum ran past the reader's offset. Checked BEFORE planning the
+    * scan so the stream dies with a typed retention error instead of a
+    * mid-job FileNotFoundException that reads like corruption. */
+  private[sources] def missingAdds(dir: String, paths: Seq[String]): Seq[String] =
+    paths.filterNot(p => store(dir).isDirectory(p))
 
   /** The op recorded by commit `version` (append/overwrite/delete/compact). */
   def commitOp(dir: String, version: Int): String = {

@@ -48,6 +48,14 @@ import graft.sources.TxLog
   * out of the box (bounded plan width and executor memory, restartable
   * progress). `"none"` opts out (everything up to head in one batch,
   * the `Trigger.AvailableNow` shape, for histories known to be short);
+  * `skipRewrites` — REWRITE commits (add+remove: compact/optimize/
+  * replaceWhere/CoW DML/restore) re-materialize rows that already
+  * streamed, so by DEFAULT the source FAILS LOUD on one (Delta's
+  * `skipChangeCommits` posture: an unaware aggregating consumer would
+  * double-count the whole rewritten table after a nightly OPTIMIZE);
+  * `true` advances past them rowlessly. Remove-only and deletion-
+  * vector commits stay rowless-but-advancing either way (deletions
+  * have no add bytes to mis-deliver);
   * `changeFeed` — `true` delivers the ROW-LEVEL change feed instead of
   * add-set CDC: every batch row carries `_change_type`
   * (insert / delete / update_preimage / update_postimage, resolved
@@ -128,8 +136,19 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
         Some(n)
       case None => Some(TxLogSource.DefaultMaxCommitsPerTrigger)
     }
+    val skipRewrites = parameters.get("skipRewrites") match {
+      case None => false
+      case Some(v) if v.equalsIgnoreCase("true")  => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"option skipRewrites must be true or false, got '$v'")
+    }
+    require(!(skipRewrites && cdfOf(parameters)),
+      "skipRewrites applies to add-set mode only: changeFeed mode " +
+        "resolves row-level changes and already emits nothing for pure " +
+        "rearrangement commits")
     new TxLogSource(ctx, dir, floor, cap, dataSchemaOf(ctx, dir),
-      changeFeed = cdfOf(parameters))
+      changeFeed = cdfOf(parameters), skipRewrites = skipRewrites)
   }
 
   /** The SINK half — `df.writeStream.format("txlog").option("path",
@@ -255,7 +274,8 @@ private[graft] object TxLogSource {
 private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
                                  maxCommitsPerTrigger: Option[Int],
                                  data: StructType,
-                                 changeFeed: Boolean = false)
+                                 changeFeed: Boolean = false,
+                                 skipRewrites: Boolean = false)
     extends Source with SupportsTriggerAvailableNow {
   private val spark = ctx.sparkSession
   override val schema: StructType = StructType(data ++
@@ -353,18 +373,71 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
     noteProgress(ver(end))
     val from = math.max(floor.toLong, start.map(ver(_) + 1).getOrElse(floor.toLong)).toInt
     val to = ver(end).toInt
-    val parts = (from to to).iterator
-      .map { v => val (op, add) = TxLog.commitAdds(dir, v); (v, op, add) }
-      .filter(_._3.nonEmpty)
-      .toSeq
-    // schema-drift guard: a commit that ADDED a column after this
-    // stream resolved its schema would otherwise be read with the
-    // stale explicit schema and the new column silently dropped from
-    // every row delivered — fail the stream loud instead (Delta's
-    // contract); a restart re-resolves the merged schema. One
-    // footer-read inference over THIS BATCH's adds only — O(batch),
-    // bounded by the trigger cap, never a table-wide listing.
+    val entries = (from to to).map { v =>
+      val (op, add, rw, drops) = TxLog.commitChange(dir, v)
+      (v, op, add, rw, drops)
+    }
+    // DROPPED-column drift guard (the add-column twin lives below):
+    // footer inference cannot see a drop — new segments simply lack
+    // the physical column and the explicit schema backfills null — so
+    // catch the drop COMMIT itself as it streams through its batch
+    // range. Every post-start drop passes through exactly one range
+    // (offsets are dense versions); pre-start drops are in droppedPhys
+    // and deliver fine. Zero extra reads: the entries are read anyway.
+    val lost = entries.flatMap(_._5).filterNot(droppedPhys)
+      .filter(physData.fieldNames.contains)
+    if (lost.nonEmpty)
+      throw new IllegalStateException(
+        s"txlog stream over $dir: column(s) ${lost.mkString(", ")} " +
+          "dropped mid-stream. Restart the query to pick up the evolved " +
+          "schema — continuing would silently deliver null where the " +
+          "stream's consumers still expect the dropped column's data.")
+    val changes = entries.filter(_._3.nonEmpty)
+      .map { case (v, op, add, rw, _) => (v, op, add, rw) }
+    // VACUUM↔READER interlock, before any footer or scan touches the
+    // batch's files: a vacuum that ran past this stream's unprocessed
+    // offset must surface as a typed retention error, not a mid-job
+    // FileNotFoundException that reads like table corruption.
+    changes.foreach { case (v, _, add, _) =>
+      val gone = TxLog.missingAdds(dir, add)
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"txlog stream over $dir: commit $v's data was vacuumed " +
+            s"(${gone.size} segment(s) missing, e.g. ${gone.head}) — " +
+            "retention passed this stream's offset. Increase the vacuum " +
+            "retention, or restart the stream from a newer startingVersion.")
+    }
+    // REWRITE commits (add+remove: compact/optimize/replace_where/CoW
+    // DML/restore) re-materialize rows that already streamed — in
+    // add-set mode, delivering one would push the whole rewritten
+    // table through this stream as if it were new rows (an aggregating
+    // consumer double-counts everything). Fail loud by default
+    // (Delta's posture for change commits); skipRewrites=true advances
+    // past them rowlessly. changeFeed mode resolves changes row-level
+    // instead and emits nothing for pure rearrangements.
+    val parts =
+      if (changeFeed) changes.map { case (v, op, add, _) => (v, op, add) }
+      else {
+        val (rewrites, deliverable) = changes.partition(_._4)
+        if (rewrites.nonEmpty && !skipRewrites) {
+          val (v, op, _, _) = rewrites.head
+          throw new IllegalStateException(
+            s"txlog stream over $dir: commit $v is a rewrite (op=$op) — " +
+              "its add set re-materializes rows this stream already " +
+              "delivered; continuing would re-emit the rewritten data as " +
+              "new rows. Set .option(\"skipRewrites\", \"true\") to advance " +
+              "past rewrite commits rowlessly, or read " +
+              ".option(\"changeFeed\", \"true\") for row-level changes.")
+        }
+        deliverable.map { case (v, op, add, _) => (v, op, add) }
+      }
     if (parts.nonEmpty) {
+      // schema-drift guards (Delta's fail-loud streaming contract; a
+      // restart re-resolves the merged schema). ADDED columns: one
+      // footer-read inference over THIS BATCH's delivered adds only —
+      // O(batch), bounded by the trigger cap, never a table-wide
+      // listing — any field outside the start-time schema fails the
+      // stream (continuing would silently drop it from every row).
       val known = physData.fieldNames.toSet ++ droppedPhys
       val drifted = spark.read.option("mergeSchema", "true")
         .parquet(parts.flatMap(_._3): _*).schema.fieldNames

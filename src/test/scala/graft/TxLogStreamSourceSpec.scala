@@ -374,4 +374,129 @@ class TxLogStreamSourceSpec extends SparkTestBase {
     // the restart delivers exactly the 3 pre-images, nothing re-sent
     assert(out == Map("insert" -> 10L, "delete" -> 3L), s"got $out")
   }
+
+  private def rootMessages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(e => e.getMessage +: rootMessages(e.getCause))
+
+  test("a rewrite commit fails the stream loud by default (no re-delivery)") {
+    val dir = freshDir("graft-txrw")
+    TxLog.append(sample(0, 10), dir)
+    TxLog.append(sample(10, 20), dir)
+    val sink = freshDir("graft-txrwsink")
+    val ckpt = freshDir("graft-txrwck")
+    def start() = spark.readStream.format("txlog").option("path", dir).load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt).start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // a nightly OPTIMIZE lands mid-stream: its add set is the whole
+      // re-clustered table — delivering it would double-count everything
+      TxLog.optimize(spark, dir, Seq("id"), 2)
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(rootMessages(failed).exists(m => m != null &&
+          m.contains("rewrite") && m.contains("skipRewrites")),
+        s"wrong failure: ${failed.getMessage}")
+    } finally q.stop()
+    // nothing extra was delivered before the failure
+    assert(spark.read.parquet(sink).count() == 20)
+  }
+
+  test("skipRewrites=true advances past rewrites rowlessly and keeps counting appends") {
+    val dir = freshDir("graft-txrw")
+    TxLog.append(sample(0, 10), dir)
+    val sink = freshDir("graft-txrwsink")
+    val ckpt = freshDir("graft-txrwck")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("txlog").option("path", dir)
+        .option("skipRewrites", "true").load()
+        .select("id", "k", "_commit_version")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    TxLog.optimize(spark, dir, Seq("id"), 2)     // v1: rewrite, skipped
+    TxLog.delete(spark, dir, "id < 3")           // v2: CoW rewrite, skipped
+    TxLog.append(sample(10, 15), dir)            // v3: genuinely new rows
+    runOnce()
+    val out = spark.read.parquet(sink)
+    // 10 initial + 5 new — ZERO re-delivery from the two rewrites
+    assert(out.count() == 15, s"got ${out.count()} rows")
+    assert(out.select("id").distinct().count() == 15)
+    assert(out.groupBy("_commit_version").count().as[(Long, Long)]
+      .collect().toMap == Map(0L -> 10L, 3L -> 5L))
+    // the checkpointed offset moved PAST the skipped rewrites
+    TxLog.append(sample(15, 18), dir)            // v4
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 18)
+  }
+
+  test("changeFeed emits zero change rows for a pure rearrangement commit") {
+    val dir = freshDir("graft-txcdf")
+    TxLog.append(sample(0, 10), dir)             // v0
+    TxLog.deleteMoR(spark, dir, "id >= 8")       // v1: real deletes
+    TxLog.optimize(spark, dir, Seq("id"), 2)     // v2: rearrangement
+    TxLog.append(sample(10, 12), dir)            // v3
+    // batch CDF: nothing tagged with the optimize commit
+    val batch = TxLog.readChangeFeed(spark, dir, fromVersion = -1)
+    assert(batch.filter(col("_commit_op") === "optimize").count() == 0,
+      "a pure rearrangement must contribute no change rows")
+    val perVersion = batch.groupBy("_commit_version").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perVersion == Map(0L -> 10L, 1L -> 2L, 3L -> 2L), s"got $perVersion")
+    // streaming CDF: same zero-row contract, offset still advances
+    val q = spark.readStream.format("txlog")
+      .option("path", dir).option("changeFeed", "true").load()
+      .groupBy("_commit_version").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("txcdf_rearr").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("txcdf_rearr").as[(Long, Long)].collect().toMap
+    assert(streamed == Map(0L -> 10L, 1L -> 2L, 3L -> 2L), s"got $streamed")
+  }
+
+  test("vacuum past an unprocessed offset fails with a typed retention error") {
+    val dir = freshDir("graft-txvac")
+    TxLog.append(sample(0, 10), dir)             // v0
+    TxLog.append(sample(10, 20), dir)            // v1
+    TxLog.overwrite(sample(0, 5), dir)           // v2: drops v0/v1 segments
+    TxLog.vacuum(dir, keepVersions = 1)          // reclaims their bytes
+    // a stream starting at version 0 needs v0's vacuumed segments
+    val q = spark.readStream.format("txlog").option("path", dir).load()
+      .writeStream.format("memory").queryName("txvac_dead").start()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(rootMessages(failed).exists(m => m != null &&
+        m.contains("vacuumed") && m.contains("retention")),
+      s"wrong failure: ${failed.getMessage}")
+  }
+
+  test("a column dropped mid-stream fails the stream loud (drift guard, drop side)") {
+    val dir = freshDir("graft-txdrop")
+    TxLog.append(sample(0, 10), dir)
+    val sink = freshDir("graft-txdropsink")
+    val ckpt = freshDir("graft-txdropck")
+    def start() = spark.readStream.format("txlog").option("path", dir).load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt).start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // `k` is dropped while the stream still delivers it: every later
+      // batch would silently backfill null where consumers expect data
+      TxLog.dropColumn(spark, dir, "k")
+      TxLog.append(spark.range(10, 15).toDF("id"), dir)
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(rootMessages(failed).exists(m => m != null &&
+          m.contains("dropped mid-stream")),
+        s"wrong failure: ${failed.getMessage}")
+    } finally q.stop()
+    assert(spark.read.parquet(sink).count() == 10, "no post-drop delivery")
+  }
 }
