@@ -2710,6 +2710,15 @@ object TxLog {
       .filterNot(snap.dropped)
       .map(p => snap.renames.getOrElse(p, p))
 
+  /** Head-state visible (logical) column names — what the streaming
+    * SINK resolves once per query start for its schema-drift guard.
+    * Empty-table → Nil (the first batch defines the schema). */
+  private[sources] def visibleColumnsOf(spark: SparkSession,
+                                        dir: String): Seq[String] = {
+    val snap = snapshotOrEmpty(dir)
+    if (snap.live.isEmpty) Nil else visibleColumns(spark, dir, snap)
+  }
+
   /** RESTORE to an older version (Delta RESTORE): commits a NEW version
     * whose live set is exactly `toVersion`'s — no data copied, segments
     * re-referenced; history is preserved (the restore is itself a

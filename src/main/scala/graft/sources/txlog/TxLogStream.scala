@@ -169,7 +169,10 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
     * Options: `path` (required); `mergeKey` — the Update-mode merge
     * column; `statsCols` — comma-separated columns whose per-segment
     * min/max are recorded at each commit, so downstream range reads
-    * prune the freshly-ingested segments. `partitionBy` is rejected
+    * prune the freshly-ingested segments; `mergeSchema` — `true` lets
+    * a restarted query with NEW columns evolve the table additively
+    * (default: fail loud on the first drifted batch — see
+    * [[TxLogSink]]). `partitionBy` is rejected
     * loud: TxLog's skipping story is commit-recorded stats/z-order,
     * not hive directory layout. All three modes are exactly-once under
     * the engine's at-least-once replay (batch ids fold into log
@@ -185,6 +188,16 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
     val statsCols = parameters.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    val mergeSchema = parameters.get("mergeSchema") match {
+      case None => false
+      case Some(v) if v.equalsIgnoreCase("true")  => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"option mergeSchema must be true or false, got '$v'")
+    }
+    require(!(mergeSchema && outputMode == OutputMode.Complete()),
+      "mergeSchema is meaningless in Complete mode: each trigger " +
+        "REPLACES the table, so the batch schema always wins")
     outputMode match {
       case m if m == OutputMode.Update() =>
         require(mergeKey.nonEmpty,
@@ -196,7 +209,7 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
             "Append appends each batch, Complete replaces the table")
       case m => throw new IllegalArgumentException(s"unsupported output mode $m")
     }
-    new TxLogSink(dir, outputMode, mergeKey, statsCols)
+    new TxLogSink(dir, outputMode, mergeKey, statsCols, mergeSchema)
   }
 
   /** `latest` binds at the FIRST start only: the resolved floor is
@@ -231,12 +244,46 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
   * .asBatch]] re-tags it so the batch write path (parquet segment +
   * conditional commit) applies unchanged. Exactly-once composes from
   * both sides: the engine replays un-committed batches at-least-once,
-  * and the table skips already-committed batch ids. */
+  * and the table skips already-committed batch ids.
+  *
+  * SCHEMA-DRIFT guard (Append/Update): a batch carrying columns the
+  * table does not have — a query restarted with an evolved projection
+  * — FAILS LOUD by default instead of silently widening the table
+  * under its readers' feet. `mergeSchema=true` opts into ADDITIVE
+  * evolution: the new column lands with the batch's segment,
+  * pre-evolution rows read null under merged-schema reads, and any
+  * TAILING stream fails its own drift guard and restarts onto the
+  * evolved schema (the fail-loud contract stays with the readers).
+  * The table-column set is resolved ONCE per query start (sink
+  * construction), so the per-batch check is a set compare, not a
+  * metadata replay; batches MISSING table columns are fine either way
+  * (merged-schema reads backfill null, like every append since). */
 private[txlog] class TxLogSink(dir: String, mode: OutputMode,
-    mergeKey: Option[String], statsCols: Seq[String]) extends Sink {
+    mergeKey: Option[String], statsCols: Seq[String],
+    mergeSchema: Boolean = false) extends Sink {
+  // None until the first batch: the table may not exist at query start
+  @volatile private var tableCols: Option[Set[String]] = None
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = ColumnShim.asBatch(data)
     val spark = data.sparkSession
+    if (mode != OutputMode.Complete()) {
+      val cols = tableCols.getOrElse {
+        val c = TxLog.visibleColumnsOf(spark, dir).toSet
+        val resolved = if (c.isEmpty) data.columns.toSet else c
+        tableCols = Some(resolved); resolved
+      }
+      val extra = data.columns.filterNot(cols)
+      if (extra.nonEmpty) {
+        if (!mergeSchema)
+          throw new IllegalStateException(
+            s"txlog sink over $dir: batch $batchId carries column(s) " +
+              s"${extra.mkString(", ")} the table does not have — the " +
+              "query's schema evolved across a restart. Set " +
+              ".option(\"mergeSchema\", \"true\") to evolve the table " +
+              "additively, or project the batch to the table's columns.")
+        tableCols = Some(cols ++ extra) // evolved: later batches conform
+      }
+    }
     mergeKey match {
       case Some(k) =>
         TxLog.mergeStreamMoR(spark, dir, batch, k, batchId, statsCols)

@@ -190,4 +190,43 @@ class TxLogStreamSinkSpec extends SparkTestBase {
     val (keptIn, _) = TxLog.pruneRange(out, "k", Some("0"), Some("3"))
     assert(keptIn.nonEmpty, "in-range probe must keep the live segment")
   }
+
+  test("sink schema drift fails loud by default; mergeSchema=true evolves additively") {
+    val src = feedDir()
+    val out = freshDir("graft-sinkout")
+    val ckpt = freshDir("graft-sinkckpt")
+    def run(extraCol: Boolean, merge: Boolean): Unit = {
+      val base = feed(src).select(col("id"), col("k"), col("v"))
+      val proj = if (extraCol) base.withColumn("tag", concat(lit("t"), col("k")))
+                 else base
+      var w = proj.writeStream.format("txlog")
+        .option("path", out).option("checkpointLocation", ckpt)
+      if (merge) w = w.option("mergeSchema", "true")
+      val q = w.outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    run(extraCol = false, merge = false) // 4 batches land, 3 columns
+    assert(TxLog.read(spark, out).count() == 40)
+    // more feed data, then a RESTART with an evolved projection: the
+    // default must fail loud, not silently widen the table
+    spark.range(40L, 50L)
+      .select(col("id"), (col("id") % 4).as("k"), (col("id") * 10L).as("v"))
+      .coalesce(1).write.mode("append").parquet(src)
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(extraCol = true, merge = false)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(failed).exists(m => m != null && m.contains("mergeSchema") &&
+        m.contains("tag")), s"wrong failure: ${failed.getMessage}")
+    assert(TxLog.read(spark, out).count() == 40, "failed batch must not commit")
+    // the opt-in path evolves the table additively
+    run(extraCol = true, merge = true)
+    val evolved = TxLog.read(spark, out, mergeSchema = true)
+    assert(evolved.count() == 50)
+    assert(evolved.schema.fieldNames.contains("tag"))
+    assert(evolved.filter(col("tag").isNull).count() == 40,
+      "pre-evolution rows read null for the new column")
+    assert(evolved.filter(col("tag") === "t1").count() > 0)
+  }
 }
