@@ -4039,6 +4039,134 @@ object SparkEntry {
       graft.sources.TxLog.read(s, mvDir).orderBy("o_orderstatus")
     }),
 
+    // STATS-PRUNED ARBITRARY-PREDICATE DML — the maintenance tape of a
+    // date-sliced 100 TB table, each op touching ONLY its slice: 4
+    // stats-recorded date slices, then a CoW DELETE of 1995, a
+    // replaceWhere BACKFILL of 1996 (cents corrected +7), and a keyed
+    // UPDATE of 1999+ (cents +11). Every predicate is analyzed into
+    // prunable conjuncts and intersected with per-segment [min,max]
+    // BEFORE the triage scan — the require pins that the backfill's
+    // triage would open exactly ONE of the four slices (the 100x-scale
+    // property: DML cost ∝ slice, not table). The oracle replays the
+    // whole tape relationally.
+    "table_log_prune_dml" -> ((s, d) => {
+      val dir = s"/tmp/graft_txprune_${new java.io.File(d).getName}"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      Seq(("1995-01-01", "1995-12-31"), ("1996-01-01", "1996-12-31"),
+          ("1997-01-01", "1998-12-31"), ("1999-01-01", "2001-12-31"))
+        .foreach { case (lo, hi) =>
+          graft.sources.TxLog.appendWithStats(s,
+            o.filter(col("day").between(lo, hi)), dir, Seq("day")) }
+      val backfillPred = "day BETWEEN '1996-01-01' AND '1996-12-31'"
+      require(graft.sources.TxLog.triageCandidatesOf(s, dir, backfillPred)
+          .size == 1,
+        "a one-slice predicate must triage exactly one of the 4 segments")
+      graft.sources.TxLog.delete(s, dir,
+        "day BETWEEN '1995-01-01' AND '1995-12-31'")
+      graft.sources.TxLog.replaceWhere(s, dir, backfillPred,
+        o.filter(col("day").between("1996-01-01", "1996-12-31"))
+          .withColumn("cents", col("cents") + 7L), statsCols = Seq("day"))
+      graft.sources.TxLog.update(s, dir, "day >= '1999-01-01'",
+        Map("cents" -> "cents + 11"), statsCols = Seq("day"))
+      graft.sources.TxLog.read(s, dir, mergeSchema = true)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // STREAMING THROUGH TABLE MAINTENANCE — the safe-by-default
+    // contract: the tailed table runs OPTIMIZE and a CoW DELETE
+    // mid-history (both rewrites: their add sets re-materialize
+    // already-streamed rows), a default stream FAILS LOUD on the first
+    // one (pinned by the require), and skipRewrites=true advances past
+    // both rowlessly while appends keep flowing — so a nightly
+    // maintenance window cannot double-count a 100 TB table through
+    // every downstream consumer. Delivered rows = the three append
+    // commits, exactly once; the oracle recomputes them relationally.
+    "stream_txlog_maintain" -> ((s, d) => withStreamPartitions(s) {
+      val dir = s"/tmp/graft_txmaint_${new java.io.File(d).getName}"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 0), dir)
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 1), dir)
+      graft.sources.TxLog.optimize(s, dir, Seq("o_orderkey"), 4)   // rewrite
+      graft.sources.TxLog.delete(s, dir, "o_orderkey % 100 = 7")   // rewrite
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 500 === 8)
+        .withColumn("o_orderkey", -col("o_orderkey")), dir)
+      // default posture: the first rewrite commit kills the stream loud
+      val unaware = s.readStream.format("txlog").option("path", dir).load()
+        .writeStream.format("memory").queryName("graft_txmaint_dead").start()
+      val died = try {
+        unaware.processAllAvailable(); false
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .exists(t => Option(t.getMessage).exists(_.contains("rewrite")))
+      } finally unaware.stop()
+      require(died, "an unaware stream must fail loud on a rewrite commit")
+      val q = s.readStream.format("txlog").option("path", dir)
+        .option("skipRewrites", "true").load()
+        .groupBy(col("_commit_version").as("version"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_txmaint").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_txmaint").orderBy("version")
+    }),
+
+    // SINK SCHEMA EVOLUTION across a restart — the mergeSchema opt-in:
+    // run 1 lands half the events under (event_id, event_type, cents);
+    // the query restarts with an EVOLVED projection (+src tag), which
+    // the sink rejects by default (pinned) and admits with
+    // mergeSchema=true, evolving the table additively. Pre-evolution
+    // rows read null for the new column under merged-schema reads —
+    // the add-column contract of the log format, no rewrite. The
+    // oracle recomputes both generations relationally.
+    "stream_txlog_evolve" -> ((s, d) => withStreamPartitions(s) {
+      val dir = s"/tmp/graft_txevolve_${new java.io.File(d).getName}"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)
+      val feed = s"/tmp/graft_txevfeed_${new java.io.File(d).getName}"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(feed).toPath)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_txev_ck")
+      val ev = events(s, d).select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      def runOnce(src: org.apache.spark.sql.DataFrame, merge: Boolean): Unit = {
+        var w = src.writeStream.format("txlog").option("path", dir)
+          .option("checkpointLocation", ckpt.toString).outputMode("append")
+        if (merge) w = w.option("mergeSchema", "true")
+        val q = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(feed)
+      val schema = s.read.parquet(feed).schema
+      def stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed + "/*.parquet")
+      runOnce(stream, merge = false)
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(feed)
+      val evolved = stream.withColumn("src", lit("evt"))
+      // default posture: the evolved projection is rejected loud
+      val rejected = try { runOnce(evolved, merge = false); false }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+              .exists(t => Option(t.getMessage).exists(_.contains("mergeSchema")))
+        }
+      require(rejected, "sink must fail loud on schema drift by default")
+      runOnce(evolved, merge = true)
+      graft.sources.TxLog.read(s, dir, mergeSchema = true)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          count(col("src")).as("tagged"))
+        .orderBy("event_type")
+    }),
+
     // TOLERANCE as-of (pandas merge_asof's `tolerance`): the backward
     // match only counts within 2 hours — stale lookups become
     // no-match instead of silently joining hours-old state
@@ -6293,6 +6421,41 @@ object SparkEntry {
          FROM events
          GROUP BY hour_us, event_type
          ORDER BY hour_us, event_type""",
+    // the pruned-DML tape replayed relationally: 1995 deleted, 1996
+    // backfilled at +7, 1999+ updated at +11
+    "table_log_prune_dml" ->
+      """SELECT o_orderstatus, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+         FROM (
+           SELECT o_orderstatus,
+             CASE WHEN o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) + 7
+                  WHEN o_orderdate >= '1999-01-01'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) + 11
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS c
+           FROM orders
+           WHERE NOT (o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'))
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // skipRewrites delivers exactly the three append commits (0, 1, 4);
+    // the optimize/delete rewrites at v2/v3 contribute nothing
+    "stream_txlog_maintain" ->
+      """SELECT CAST(v AS BIGINT) AS version, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+         FROM (
+           SELECT 0 AS v, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT 1 AS v, o_totalprice FROM orders WHERE o_orderkey % 2 = 1
+           UNION ALL
+           SELECT 4 AS v, o_totalprice FROM orders WHERE o_orderkey % 500 = 8)
+         GROUP BY v ORDER BY version""",
+    // generation 1 = even event_ids (no tag), generation 2 = odd ids
+    // (tagged src='evt'): tagged counts only the evolved generation
+    "stream_txlog_evolve" ->
+      """SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tagged
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // merge-on-read delete replayed relationally: v2 = orders minus
     // the tombstoned custkey band
     "table_log_dv" ->
