@@ -868,9 +868,10 @@ object SparkEntry {
     // CHANGE DATA FEED on the log table: everything committed AFTER
     // version 1, tagged with commit version/op — the poll-for-changes
     // surface a downstream sync reads instead of re-scanning the table.
-    // Appends 2 and 3 are the exact date-range slices; rewrite commits
-    // (merge/optimize) are tagged and filtered out here, as an
-    // append-only consumer would.
+    // Appends 2 and 3 are the exact date-range slices; the PURE
+    // REARRANGEMENT at v5 (optimize) emits nothing at all, and the
+    // content-changing merge rewrite arrives op-tagged and is filtered
+    // here, as an append-only consumer would.
     "table_log_cdf" -> ((s, d) => {
       val dir = txStatsCache(s, d)
       graft.sources.TxLog.readChangesSince(s, dir, fromVersion = 1)

@@ -1546,8 +1546,14 @@ object TxLog {
     * binary value and can falsely prune a matching segment). NaN stats
     * (Spark max propagates NaN) make every comparison false → the
     * segment is conservatively kept, never an exception. Everything
-    * else (string, date — ISO strings order correctly) compares
-    * lexicographically. */
+    * else (string, date — ISO strings order correctly) compares in
+    * UTF-8 BYTE order — the order Spark's own min/max used. Java's
+    * String `<` is UTF-16 code-UNIT order, which ranks a supplementary
+    * character (surrogate pair, 0xD800-lead) BELOW [U+E000, U+FFFF]
+    * while UTF-8 ranks it above: a segment whose recorded max is an
+    * emoji would be falsely pruned for a probe like '�' — for a
+    * DML triage that is silent row loss, so the compare must match the
+    * stats' own collation exactly. */
   private def canPrune(st: Option[ColStats], lo: Option[String],
                        hi: Option[String]): Boolean = st match {
     case None => false
@@ -1565,7 +1571,9 @@ object TxLog {
           java.lang.Float.parseFloat(a) < java.lang.Float.parseFloat(b)
         else if (fp) java.lang.Double.parseDouble(a) < java.lang.Double.parseDouble(b)
         else if (integral) BigDecimal(a) < BigDecimal(b)
-        else a < b
+        else java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
       lo.exists(l => lt(mx, l)) || hi.exists(h => lt(h, mn))
   }
 
@@ -2710,13 +2718,19 @@ object TxLog {
       .filterNot(snap.dropped)
       .map(p => snap.renames.getOrElse(p, p))
 
-  /** Head-state visible (logical) column names — what the streaming
-    * SINK resolves once per query start for its schema-drift guard.
-    * Empty-table → Nil (the first batch defines the schema). */
-  private[sources] def visibleColumnsOf(spark: SparkSession,
-                                        dir: String): Seq[String] = {
+  /** Head-state visible (logical) columns with their types — what the
+    * streaming SINK resolves once per query start for its schema-drift
+    * guard (names alone would wave through a same-name TYPE change,
+    * which corrupts later merged-schema reads). Empty-table → Nil (the
+    * first batch defines the schema). */
+  private[sources] def visibleSchemaOf(spark: SparkSession,
+                                       dir: String): Seq[(String, String)] = {
     val snap = snapshotOrEmpty(dir)
-    if (snap.live.isEmpty) Nil else visibleColumns(spark, dir, snap)
+    if (snap.live.isEmpty) Nil
+    else tableSchema(spark, dir, snap.live)
+      .filterNot(f => snap.dropped(f.name))
+      .map(f => (snap.renames.getOrElse(f.name, f.name),
+        f.dataType.catalogString))
   }
 
   /** RESTORE to an older version (Delta RESTORE): commits a NEW version
@@ -2895,15 +2909,6 @@ object TxLog {
     entries(dir)
       .map(e => (e.version.toLong, e.op, e.add.size.toLong, e.remove.size.toLong))
       .toDF("version", "op", "n_added", "n_removed")
-  }
-
-  /** (op, added segments as RESOLVED paths) of commit `version` — the
-    * streaming CDC source's per-batch metadata read: O(1) entry files
-    * per commit. Paths, not names, so shallow-clone external refs
-    * stream correctly. */
-  private[sources] def commitAdds(dir: String, version: Int): (String, Seq[String]) = {
-    val e = readEntry(dir, version)
-    (e.op, e.add.map(segPath(dir, _)))
   }
 
   /** (op, added segment paths, isRewrite, dropped physical names) of

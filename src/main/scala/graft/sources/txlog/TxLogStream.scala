@@ -24,7 +24,9 @@ import graft.sources.TxLog
   * `_commit_op` (the same contract as the batch
   * [[TxLog.readChangesSince]]); commits with empty add sets (a pure
   * deletion-vector commit, a metadata-only analyze) contribute no rows
-  * but still advance the offset.
+  * but still advance the offset, and REWRITE commits fail the stream
+  * loud by default (`skipRewrites` below — re-delivering a rewrite's
+  * add set would double-count the whole table).
   *
   * Built on the v1 `Source` API (how Delta's streaming source works):
   * `getBatch` returns a driver-planned DataFrame over exactly the new
@@ -82,6 +84,18 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "txlog stream source requires .option(\"path\", <table dir>)"))
 
+  /** Shared strict boolean-option parser (absent → false; anything
+    * but true/false fails loud — a typo must not silently pick the
+    * default for a safety-relevant option). */
+  private def boolOpt(parameters: Map[String, String], name: String): Boolean =
+    parameters.get(name) match {
+      case None => false
+      case Some(v) if v.equalsIgnoreCase("true")  => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"option $name must be true or false, got '$v'")
+    }
+
   /** `changeFeed=true` switches the source from add-set CDC (inserts
     * only, op-tagged) to the ROW-LEVEL change feed: each micro-batch
     * carries `_change_type`-tagged rows — deletion-vector pre-images
@@ -89,13 +103,7 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
     * downstream consumer can maintain state through DML, not just
     * appends (Delta's `readChangeFeed` streaming option). */
   private def cdfOf(parameters: Map[String, String]): Boolean =
-    parameters.get("changeFeed") match {
-      case None => false
-      case Some(v) if v.equalsIgnoreCase("true")  => true
-      case Some(v) if v.equalsIgnoreCase("false") => false
-      case Some(v) => throw new IllegalArgumentException(
-        s"option changeFeed must be true or false, got '$v'")
-    }
+    boolOpt(parameters, "changeFeed")
 
   // one merged-schema inference per stream start, not one per
   // sourceSchema/createSource call (the engine calls both)
@@ -136,13 +144,7 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
         Some(n)
       case None => Some(TxLogSource.DefaultMaxCommitsPerTrigger)
     }
-    val skipRewrites = parameters.get("skipRewrites") match {
-      case None => false
-      case Some(v) if v.equalsIgnoreCase("true")  => true
-      case Some(v) if v.equalsIgnoreCase("false") => false
-      case Some(v) => throw new IllegalArgumentException(
-        s"option skipRewrites must be true or false, got '$v'")
-    }
+    val skipRewrites = boolOpt(parameters, "skipRewrites")
     require(!(skipRewrites && cdfOf(parameters)),
       "skipRewrites applies to add-set mode only: changeFeed mode " +
         "resolves row-level changes and already emits nothing for pure " +
@@ -188,13 +190,7 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
     val statsCols = parameters.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    val mergeSchema = parameters.get("mergeSchema") match {
-      case None => false
-      case Some(v) if v.equalsIgnoreCase("true")  => true
-      case Some(v) if v.equalsIgnoreCase("false") => false
-      case Some(v) => throw new IllegalArgumentException(
-        s"option mergeSchema must be true or false, got '$v'")
-    }
+    val mergeSchema = boolOpt(parameters, "mergeSchema")
     require(!(mergeSchema && outputMode == OutputMode.Complete()),
       "mergeSchema is meaningless in Complete mode: each trigger " +
         "REPLACES the table, so the batch schema always wins")
@@ -262,17 +258,41 @@ private[txlog] class TxLogSink(dir: String, mode: OutputMode,
     mergeKey: Option[String], statsCols: Seq[String],
     mergeSchema: Boolean = false) extends Sink {
   // None until the first batch: the table may not exist at query start
-  @volatile private var tableCols: Option[Set[String]] = None
+  @volatile private var tableTypes: Option[Map[String, String]] = None
+  private def batchTypes(data: DataFrame): Map[String, String] =
+    data.schema.map(f => f.name -> f.dataType.catalogString).toMap
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = ColumnShim.asBatch(data)
     val spark = data.sparkSession
     if (mode != OutputMode.Complete()) {
-      val cols = tableCols.getOrElse {
-        val c = TxLog.visibleColumnsOf(spark, dir).toSet
-        val resolved = if (c.isEmpty) data.columns.toSet else c
-        tableCols = Some(resolved); resolved
+      val cols = tableTypes.getOrElse {
+        val c = TxLog.visibleSchemaOf(spark, dir).toMap
+        val resolved = if (c.isEmpty) batchTypes(data) else c
+        tableTypes = Some(resolved); resolved
       }
-      val extra = data.columns.filterNot(cols)
+      // a same-NAME type change is never additive: the conflicting
+      // parquet types would fail every later merged-schema read with
+      // an error that looks like corruption — refuse it outright
+      val retyped = data.schema
+        .flatMap(f => cols.get(f.name).filter(_ != f.dataType.catalogString)
+          .map(t => s"${f.name} (${f.dataType.catalogString}, table has $t)"))
+      if (retyped.nonEmpty)
+        throw new IllegalStateException(
+          s"txlog sink over $dir: batch $batchId changes column type(s): " +
+            s"${retyped.mkString("; ")} — a type change cannot evolve " +
+            "additively; cast the batch to the table's types.")
+      val extra = data.columns.filterNot(cols.contains)
+      // a case-only variant of an existing column is a collision, not
+      // a new column (Spark resolves case-insensitively by default;
+      // two physical columns differing only in case make merged reads
+      // ambiguous) — refuse it in both modes
+      val lower = cols.keySet.map(_.toLowerCase)
+      val caseClash = extra.filter(c => lower(c.toLowerCase))
+      if (caseClash.nonEmpty)
+        throw new IllegalStateException(
+          s"txlog sink over $dir: batch $batchId column(s) " +
+            s"${caseClash.mkString(", ")} differ only in CASE from the " +
+            "table's columns — rename the projection to match exactly.")
       if (extra.nonEmpty) {
         if (!mergeSchema)
           throw new IllegalStateException(
@@ -281,7 +301,8 @@ private[txlog] class TxLogSink(dir: String, mode: OutputMode,
               "query's schema evolved across a restart. Set " +
               ".option(\"mergeSchema\", \"true\") to evolve the table " +
               "additively, or project the batch to the table's columns.")
-        tableCols = Some(cols ++ extra) // evolved: later batches conform
+        // evolved: later batches conform
+        tableTypes = Some(cols ++ batchTypes(data).view.filterKeys(extra.contains))
       }
     }
     mergeKey match {
@@ -441,19 +462,6 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
           "stream's consumers still expect the dropped column's data.")
     val changes = entries.filter(_._3.nonEmpty)
       .map { case (v, op, add, rw, _) => (v, op, add, rw) }
-    // VACUUM↔READER interlock, before any footer or scan touches the
-    // batch's files: a vacuum that ran past this stream's unprocessed
-    // offset must surface as a typed retention error, not a mid-job
-    // FileNotFoundException that reads like table corruption.
-    changes.foreach { case (v, _, add, _) =>
-      val gone = TxLog.missingAdds(dir, add)
-      if (gone.nonEmpty)
-        throw new IllegalStateException(
-          s"txlog stream over $dir: commit $v's data was vacuumed " +
-            s"(${gone.size} segment(s) missing, e.g. ${gone.head}) — " +
-            "retention passed this stream's offset. Increase the vacuum " +
-            "retention, or restart the stream from a newer startingVersion.")
-    }
     // REWRITE commits (add+remove: compact/optimize/replace_where/CoW
     // DML/restore) re-materialize rows that already streamed — in
     // add-set mode, delivering one would push the whole rewritten
@@ -478,6 +486,32 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
         }
         deliverable.map { case (v, op, add, _) => (v, op, add) }
       }
+    // VACUUM↔READER interlock: a vacuum that ran past this stream's
+    // unprocessed offset must surface as a typed retention error, not
+    // a mid-job FileNotFoundException that reads like table
+    // corruption. Scoped to the commits this mode will actually READ —
+    // a vacuumed rewrite that skipRewrites (or the change feed's
+    // rearrangement filter) advances past rowlessly must NOT wedge the
+    // stream on files it never needed. The failure is LAZY (a
+    // schema-correct frame that throws at execution): on restart the
+    // engine re-invokes getBatch over the last committed range purely
+    // to re-initialize the source — that frame is discarded (or
+    // deduped by the sink's batch id), so a plan-time throw would
+    // wedge a legitimate restart whose already-delivered bytes were
+    // since vacuumed, while a batch that genuinely needs the data
+    // still dies with the typed error the moment it runs.
+    val toRead =
+      if (changeFeed) parts.filterNot(p => TxLog.RearrangeOps(p._2))
+      else parts
+    for ((v, _, add) <- toRead) {
+      val gone = TxLog.missingAdds(dir, add)
+      if (gone.nonEmpty)
+        return dataLossBatch(
+          s"txlog stream over $dir: commit $v's data was vacuumed " +
+            s"(${gone.size} segment(s) missing, e.g. ${gone.head}) — " +
+            "retention passed this stream's offset. Increase the vacuum " +
+            "retention, or restart the stream from a newer startingVersion.")
+    }
     if (parts.nonEmpty) {
       // schema-drift guards (Delta's fail-loud streaming contract; a
       // restart re-resolves the merged schema). ADDED columns: one
@@ -513,6 +547,16 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
           .withColumn("_commit_op", lit(op))
       }.reduce(_ unionByName _))
     }
+  }
+
+  /** A schema-correct streaming frame that throws `msg` if EXECUTED —
+    * the lazy half of the vacuum↔reader interlock (see getBatch). */
+  private def dataLossBatch(msg: String): DataFrame = {
+    val failing = spark.sparkContext
+      .parallelize(Seq.empty[org.apache.spark.sql.Row], 1)
+      .mapPartitions[org.apache.spark.sql.Row](_ =>
+        throw new IllegalStateException(msg))
+    ColumnShim.asStreamingRdd(spark.createDataFrame(failing, schema))
   }
 
   override def stop(): Unit = ()

@@ -191,6 +191,33 @@ class TxLogStreamSinkSpec extends SparkTestBase {
     assert(keptIn.nonEmpty, "in-range probe must keep the live segment")
   }
 
+  test("sink refuses type changes and case-variant columns in BOTH modes") {
+    val src = feedDir()
+    val out = freshDir("graft-sinkout")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    def run(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+            merge: Boolean): Throwable = {
+      var w = f(feed(src)).writeStream.format("txlog")
+        .option("path", out).option("checkpointLocation", freshDir("graft-sinkckpt"))
+      if (merge) w = w.option("mergeSchema", "true")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val q = w.outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination(60000) finally q.stop()
+      }
+    }
+    // seed the table
+    TxLog.append(spark.read.parquet(src).limit(1), out)
+    // a same-name TYPE change is never additive — even with mergeSchema
+    val t = run(_.withColumn("v", col("v").cast("string")), merge = true)
+    assert(msgs(t).exists(m => m != null && m.contains("type")), s"got $t")
+    // a case-only variant is a collision, not a new column
+    val c = run(_.withColumnRenamed("k", "K"), merge = true)
+    assert(msgs(c).exists(m => m != null && m.contains("CASE")), s"got $c")
+    // nothing committed past the seed
+    assert(TxLog.read(spark, out).count() == 1)
+  }
+
   test("sink schema drift fails loud by default; mergeSchema=true evolves additively") {
     val src = feedDir()
     val out = freshDir("graft-sinkout")

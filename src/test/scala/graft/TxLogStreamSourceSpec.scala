@@ -458,6 +458,35 @@ class TxLogStreamSourceSpec extends SparkTestBase {
     assert(streamed == Map(0L -> 10L, 1L -> 2L, 3L -> 2L), s"got $streamed")
   }
 
+  test("a vacuumed SKIPPED rewrite does not wedge a skipRewrites stream") {
+    val dir = freshDir("graft-txvac")
+    val sink = freshDir("graft-txvacsink")
+    val ckpt = freshDir("graft-txvacck")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("txlog").option("path", dir)
+        .option("skipRewrites", "true").load()
+        .select("id", "k", "_commit_version")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    TxLog.append(sample(0, 10), dir)          // v0
+    runOnce()                                 // v0 checkpointed
+    TxLog.optimize(spark, dir, Seq("id"), 2)  // v1: rewrite (skipped)
+    TxLog.optimize(spark, dir, Seq("id"), 1)  // v2: rewrite, removes v1's output
+    TxLog.vacuum(dir, keepVersions = 1)       // reclaims v1's output bytes
+    TxLog.append(sample(10, 13), dir)         // v3: new rows
+    // the resumed stream's range covers the vacuumed v1 — but v1 is a
+    // rewrite this stream skips, so its missing files must NOT raise
+    // the retention error (that would wedge the stream permanently on
+    // bytes it never needed); v3 still arrives
+    runOnce()
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 13, s"got ${out.count()}")
+    assert(out.groupBy("_commit_version").count().as[(Long, Long)]
+      .collect().toMap == Map(0L -> 10L, 3L -> 3L))
+  }
+
   test("vacuum past an unprocessed offset fails with a typed retention error") {
     val dir = freshDir("graft-txvac")
     TxLog.append(sample(0, 10), dir)             // v0
@@ -465,7 +494,10 @@ class TxLogStreamSourceSpec extends SparkTestBase {
     TxLog.overwrite(sample(0, 5), dir)           // v2: drops v0/v1 segments
     TxLog.vacuum(dir, keepVersions = 1)          // reclaims their bytes
     // a stream starting at version 0 needs v0's vacuumed segments
-    val q = spark.readStream.format("txlog").option("path", dir).load()
+    // (skipRewrites keeps the overwrite from failing first — the
+    // retention error is the one this consumer needs to see)
+    val q = spark.readStream.format("txlog").option("path", dir)
+      .option("skipRewrites", "true").load()
       .writeStream.format("memory").queryName("txvac_dead").start()
     val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       try q.processAllAvailable() finally q.stop()

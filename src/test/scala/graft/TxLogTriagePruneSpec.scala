@@ -156,6 +156,28 @@ class TxLogTriagePruneSpec extends SparkTestBase {
       "non-covering slices must carry by reference")
   }
 
+  test("string stats compare in UTF-8 order: supplementary chars never falsely prune") {
+    // Spark's min/max over strings is UTF-8 (code-point) order; Java's
+    // String `<` is UTF-16 code-UNIT order, which ranks an emoji
+    // (surrogate lead 0xD83D) BELOW U+FFFD. A segment whose recorded
+    // max is the emoji must still triage for a U+FFFD probe — a
+    // UTF-16 compare would prune it and the DML would silently miss
+    // the matching row.
+    val dir = freshDir()
+    TxLog.appendWithStats(spark,
+      Seq((1L, "�"), (2L, "😀")).toDF("id", "s"), dir, Seq("s"))
+    TxLog.appendWithStats(spark,
+      Seq((3L, "aaa"), (4L, "bbb")).toDF("id", "s"), dir, Seq("s"))
+    val segs = TxLog.liveSegments(dir)
+    val cands = TxLog.triageCandidatesOf(spark, dir, "s = '�'")
+    assert(cands.contains(segs.head),
+      s"UTF-16 ordering falsely pruned the emoji segment: $cands")
+    assert(!cands.contains(segs.last), "the ascii segment must prune")
+    TxLog.delete(spark, dir, "s = '�'")
+    val left = TxLog.read(spark, dir).select("id").as[Long].collect().toSet
+    assert(left == Set(2L, 3L, 4L), s"row 1 must be deleted, got $left")
+  }
+
   test("pruned DML agrees with the unpruned result (no row lost to a false prune)") {
     // same predicate driven through a table WITH stats and one WITHOUT:
     // identical survivors proves pruning only skips provably-clean data
