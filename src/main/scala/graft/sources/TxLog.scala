@@ -2712,11 +2712,20 @@ object TxLog {
 
   /** The user-facing column list of a snapshot: physical footer names
     * minus drops, mapped through renames. */
+  /** The visible (logical) columns of a snapshot with their types —
+    * the ONE place the drop-filter + rename-relabel pipeline lives, so
+    * the batch-side column checks and the sink's drift guard cannot
+    * diverge. */
+  private def visibleSchema(spark: SparkSession, dir: String,
+                            snap: State): Seq[(String, String)] =
+    tableSchema(spark, dir, snap.live)
+      .filterNot(f => snap.dropped(f.name))
+      .map(f => (snap.renames.getOrElse(f.name, f.name),
+        f.dataType.catalogString))
+
   private def visibleColumns(spark: SparkSession, dir: String,
                              snap: State): Seq[String] =
-    tableSchema(spark, dir, snap.live).map(_.name)
-      .filterNot(snap.dropped)
-      .map(p => snap.renames.getOrElse(p, p))
+    visibleSchema(spark, dir, snap).map(_._1)
 
   /** Head-state visible (logical) columns with their types — what the
     * streaming SINK resolves once per query start for its schema-drift
@@ -2726,11 +2735,7 @@ object TxLog {
   private[sources] def visibleSchemaOf(spark: SparkSession,
                                        dir: String): Seq[(String, String)] = {
     val snap = snapshotOrEmpty(dir)
-    if (snap.live.isEmpty) Nil
-    else tableSchema(spark, dir, snap.live)
-      .filterNot(f => snap.dropped(f.name))
-      .map(f => (snap.renames.getOrElse(f.name, f.name),
-        f.dataType.catalogString))
+    if (snap.live.isEmpty) Nil else visibleSchema(spark, dir, snap)
   }
 
   /** RESTORE to an older version (Delta RESTORE): commits a NEW version
@@ -2911,25 +2916,30 @@ object TxLog {
       .toDF("version", "op", "n_added", "n_removed")
   }
 
-  /** (op, added segment paths, isRewrite, dropped physical names) of
-    * commit `version` for the streaming source's per-batch triage —
-    * ONE entry read answers all four questions. A commit is a REWRITE
-    * when it both adds and removes segments: its add set
-    * re-materializes rows that already streamed (compact/optimize/
-    * replace_where/CoW DML/restore/dv_coalesce's re-add) — delivering
-    * it would push the whole rewritten table through every tailing
-    * stream. Remove-only and DV-only commits are NOT rewrites: they
-    * add no bytes to deliver (the add-set contract skips them
-    * rowlessly, the documented deletion posture). The drops feed the
-    * mid-stream drift guard: every post-start drop commit passes
-    * through exactly one batch range (offsets are dense versions), so
-    * scanning the range's own entries catches it with ZERO extra
-    * metadata reads — no per-batch state replay. */
+  /** (op, added segment paths, isRewrite, dropped physical names,
+    * DV-referenced paths) of commit `version` for the streaming
+    * source's per-batch triage — ONE entry read answers all five
+    * questions. A commit is a REWRITE when it both adds and removes
+    * segments: its add set re-materializes rows that already streamed
+    * (compact/optimize/replace_where/CoW DML/restore/dv_coalesce's
+    * re-add) — delivering it would push the whole rewritten table
+    * through every tailing stream. Remove-only and DV-only commits are
+    * NOT rewrites: they add no bytes to deliver (the add-set contract
+    * skips them rowlessly, the documented deletion posture). The drops
+    * feed the mid-stream drift guard: every post-start drop commit
+    * passes through exactly one batch range (offsets are dense
+    * versions), so scanning the range's own entries catches it with
+    * ZERO extra metadata reads — no per-batch state replay. The DV
+    * paths (sidecars + the base segments their pre-images resolve
+    * against) feed the change-feed mode's vacuum interlock: CDF reads
+    * them even when the commit adds nothing. */
   private[sources] def commitChange(dir: String, version: Int
-                                   ): (String, Seq[String], Boolean, Seq[String]) = {
+      ): (String, Seq[String], Boolean, Seq[String], Seq[String]) = {
     val e = readEntry(dir, version)
+    val dvPaths = (e.dvs.map(_._1) ++ e.dvs.map(_._2)).distinct
+      .map(segPath(dir, _))
     (e.op, e.add.map(segPath(dir, _)), e.add.nonEmpty && e.remove.nonEmpty,
-      e.drops)
+      e.drops, dvPaths)
   }
 
   /** Added paths of a pending stream batch that no longer exist — a

@@ -282,12 +282,18 @@ private[txlog] class TxLogSink(dir: String, mode: OutputMode,
             s"${retyped.mkString("; ")} — a type change cannot evolve " +
             "additively; cast the batch to the table's types.")
       val extra = data.columns.filterNot(cols.contains)
-      // a case-only variant of an existing column is a collision, not
-      // a new column (Spark resolves case-insensitively by default;
-      // two physical columns differing only in case make merged reads
-      // ambiguous) — refuse it in both modes
-      val lower = cols.keySet.map(_.toLowerCase)
-      val caseClash = extra.filter(c => lower(c.toLowerCase))
+      // a case-only variant of an existing column — or two NEW columns
+      // differing only in case within one batch — is a collision, not
+      // evolution (Spark resolves case-insensitively by default; two
+      // physical columns differing only in case make merged reads
+      // ambiguous) — refuse it in both modes. Locale.ROOT: the guard
+      // must fold case the way Spark's locale-independent resolution
+      // does, not the JVM default locale's (Turkish 'I').
+      def fold(c: String) = c.toLowerCase(java.util.Locale.ROOT)
+      val lower = cols.keySet.map(fold)
+      val caseClash = extra.filter(c => lower(fold(c))) ++
+        extra.groupBy(fold).collect { case (_, vs) if vs.size > 1 => vs }
+          .flatten
       if (caseClash.nonEmpty)
         throw new IllegalStateException(
           s"txlog sink over $dir: batch $batchId column(s) " +
@@ -442,8 +448,8 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
     val from = math.max(floor.toLong, start.map(ver(_) + 1).getOrElse(floor.toLong)).toInt
     val to = ver(end).toInt
     val entries = (from to to).map { v =>
-      val (op, add, rw, drops) = TxLog.commitChange(dir, v)
-      (v, op, add, rw, drops)
+      val (op, add, rw, drops, dvPaths) = TxLog.commitChange(dir, v)
+      (v, op, add, rw, drops, dvPaths)
     }
     // DROPPED-column drift guard (the add-column twin lives below):
     // footer inference cannot see a drop — new segments simply lack
@@ -461,7 +467,7 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
           "schema — continuing would silently deliver null where the " +
           "stream's consumers still expect the dropped column's data.")
     val changes = entries.filter(_._3.nonEmpty)
-      .map { case (v, op, add, rw, _) => (v, op, add, rw) }
+      .map { case (v, op, add, rw, _, _) => (v, op, add, rw) }
     // REWRITE commits (add+remove: compact/optimize/replace_where/CoW
     // DML/restore) re-materialize rows that already streamed — in
     // add-set mode, delivering one would push the whole rewritten
@@ -500,28 +506,39 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
     // wedge a legitimate restart whose already-delivered bytes were
     // since vacuumed, while a batch that genuinely needs the data
     // still dies with the typed error the moment it runs.
-    val toRead =
-      if (changeFeed) parts.filterNot(p => TxLog.RearrangeOps(p._2))
-      else parts
-    for ((v, _, add) <- toRead) {
-      val gone = TxLog.missingAdds(dir, add)
+    // (version, add paths to read, all paths this mode will read):
+    // change-feed mode reads DV sidecars and their base segments even
+    // for add-empty commits, and skips pure rearrangements entirely
+    val toRead: Seq[(Int, Seq[String], Seq[String])] =
+      if (changeFeed)
+        entries.filterNot(e => TxLog.RearrangeOps(e._2))
+          .filter(e => e._3.nonEmpty || e._6.nonEmpty)
+          .map(e => (e._1, e._3, e._3 ++ e._6))
+      else parts.map { case (v, _, add) => (v, add, add) }
+    for ((v, _, all) <- toRead) {
+      val gone = TxLog.missingAdds(dir, all)
       if (gone.nonEmpty)
         return dataLossBatch(
           s"txlog stream over $dir: commit $v's data was vacuumed " +
-            s"(${gone.size} segment(s) missing, e.g. ${gone.head}) — " +
+            s"(${gone.size} file(s) missing, e.g. ${gone.head}) — " +
             "retention passed this stream's offset. Increase the vacuum " +
             "retention, or restart the stream from a newer startingVersion.")
     }
-    if (parts.nonEmpty) {
-      // schema-drift guards (Delta's fail-loud streaming contract; a
-      // restart re-resolves the merged schema). ADDED columns: one
-      // footer-read inference over THIS BATCH's delivered adds only —
-      // O(batch), bounded by the trigger cap, never a table-wide
-      // listing — any field outside the start-time schema fails the
-      // stream (continuing would silently drop it from every row).
+    // schema-drift guard, ADDED-column side (the drop guard lives
+    // above; Delta's fail-loud streaming contract — a restart
+    // re-resolves the merged schema): one footer-read inference over
+    // THIS BATCH's read set only — O(batch), bounded by the trigger
+    // cap, never a table-wide listing — any field outside the
+    // start-time schema fails the stream (continuing would silently
+    // drop it from every row). Scoped to `toRead`, never a skipped
+    // rewrite or rearrangement: their (possibly vacuumed) files are
+    // not delivered, and an added column always trips the guard on the
+    // add-column commit's own batch anyway.
+    val driftPaths = toRead.flatMap(_._2)
+    if (driftPaths.nonEmpty) {
       val known = physData.fieldNames.toSet ++ droppedPhys
       val drifted = spark.read.option("mergeSchema", "true")
-        .parquet(parts.flatMap(_._3): _*).schema.fieldNames
+        .parquet(driftPaths: _*).schema.fieldNames
         .filterNot(known)
       if (drifted.nonEmpty)
         throw new IllegalStateException(
@@ -550,7 +567,15 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
   }
 
   /** A schema-correct streaming frame that throws `msg` if EXECUTED —
-    * the lazy half of the vacuum↔reader interlock (see getBatch). */
+    * the lazy half of the vacuum↔reader interlock (see getBatch).
+    * Deliberately best-effort: a sink that never runs the frame (a
+    * foreachBatch that inspects nothing) commits the offset and skips
+    * the vacuumed range silently — the price of not wedging every
+    * restart whose already-delivered bytes were since vacuumed (the
+    * engine re-plans the last committed range on restart and discards
+    * the result; a plan-time throw there is a permanent wedge). Every
+    * shipped sink (parquet/memory/txlog/foreachBatch that reads its
+    * frame) executes the batch and gets the typed error. */
   private def dataLossBatch(msg: String): DataFrame = {
     val failing = spark.sparkContext
       .parallelize(Seq.empty[org.apache.spark.sql.Row], 1)

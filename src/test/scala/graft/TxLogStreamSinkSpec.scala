@@ -214,6 +214,12 @@ class TxLogStreamSinkSpec extends SparkTestBase {
     // a case-only variant is a collision, not a new column
     val c = run(_.withColumnRenamed("k", "K"), merge = true)
     assert(msgs(c).exists(m => m != null && m.contains("CASE")), s"got $c")
+    // two NEW columns differing only in case in ONE batch: same refusal
+    // (select, not withColumn — withColumn itself resolves
+    // case-insensitively and would collapse them)
+    val c2 = run(_.select(col("*"), lit(1).as("newCol"), lit(2).as("NewCol")),
+      merge = true)
+    assert(msgs(c2).exists(m => m != null && m.contains("CASE")), s"got $c2")
     // nothing committed past the seed
     assert(TxLog.read(spark, out).count() == 1)
   }

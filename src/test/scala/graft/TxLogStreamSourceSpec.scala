@@ -487,6 +487,32 @@ class TxLogStreamSourceSpec extends SparkTestBase {
       .collect().toMap == Map(0L -> 10L, 3L -> 3L))
   }
 
+  test("changeFeed mode also survives a vacuumed rearrangement (no wedge)") {
+    val dir = freshDir("graft-txvac")
+    val sink = freshDir("graft-txvacsink")
+    val ckpt = freshDir("graft-txvacck")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("txlog").option("path", dir)
+        .option("changeFeed", "true").load()
+        .select("id", "k", "_commit_version", "_change_type")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    TxLog.append(sample(0, 10), dir)          // v0
+    runOnce()
+    TxLog.optimize(spark, dir, Seq("id"), 2)  // v1: rearrangement
+    TxLog.optimize(spark, dir, Seq("id"), 1)  // v2: removes v1's output
+    TxLog.vacuum(dir, keepVersions = 1)       // reclaims v1's bytes
+    TxLog.deleteMoR(spark, dir, "id >= 8")    // v3: real row-level change
+    // the resumed CDF range covers the vacuumed v1 — a rearrangement
+    // the change feed filters out; its missing files must not wedge
+    runOnce()
+    val out = spark.read.parquet(sink)
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    assert(out == Map("insert" -> 10L, "delete" -> 2L), s"got $out")
+  }
+
   test("vacuum past an unprocessed offset fails with a typed retention error") {
     val dir = freshDir("graft-txvac")
     TxLog.append(sample(0, 10), dir)             // v0
