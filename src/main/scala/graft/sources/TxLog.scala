@@ -2366,7 +2366,25 @@ object TxLog {
         s"version $version does not exist in $dir (head=${headVersion(dir)})")
     val e = readEntry(dir, version)
     require(e.add.nonEmpty, s"commit $version of $dir added no segments")
+    requireRetained(dir, version, e.add.map(segPath(dir, _)))
     spark.read.parquet(e.add.map(s => segPath(dir, s)): _*)
+  }
+
+  /** Typed retention error for HISTORICAL reads whose bytes a vacuum
+    * reclaimed — "version N was vacuumed", not a mid-plan
+    * PATH_NOT_FOUND that reads like corruption. Only called on
+    * explicitly historical paths (time travel, readCommit): the head
+    * read stays zero-overhead, a vacuum never reclaims head bytes, and
+    * the historical existence probe is O(that version's segments) of
+    * driver metadata. */
+  private def requireRetained(dir: String, version: Int,
+                              paths: Seq[String]): Unit = {
+    val gone = missingAdds(dir, paths)
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"version $version of $dir was vacuumed (${gone.size} segment(s) " +
+          s"reclaimed, e.g. ${gone.head}) — retention no longer covers it. " +
+          "Increase vacuum retention to keep deeper time travel.")
   }
 
   /** Retention vacuum: physically deletes segments that are not live
@@ -2966,6 +2984,10 @@ object TxLog {
            mergeSchema: Boolean = false): DataFrame = {
     val s = state(dir, asOf)
     require(s.live.nonEmpty, s"table $dir is empty as of version $asOf")
+    // time travel gets the typed retention error (head reads skip the
+    // probe: a vacuum never reclaims the head's live set)
+    if (asOf >= 0)
+      requireRetained(dir, asOf, s.live.map(segPath(dir, _)))
     segScan(spark, dir, s, s.live, mergeSchema)
   }
 }

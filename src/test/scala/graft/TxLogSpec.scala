@@ -225,4 +225,23 @@ class TxLogSpec extends SparkTestBase {
       .toList == List((3L, "c")))
     intercept[Exception] { TxLog.read(spark, dir, asOf = 1).count() }
   }
+
+  test("time travel to a vacuumed version fails with a typed retention error") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir()
+    TxLog.append(Seq((1L, "a")).toDF("id", "v"), dir)          // v0
+    TxLog.overwrite(Seq((2L, "b")).toDF("id", "v"), dir)       // v1
+    TxLog.vacuum(dir, keepVersions = 1)                        // v0 bytes gone
+    val e = intercept[IllegalStateException] {
+      TxLog.read(spark, dir, asOf = 0)
+    }
+    assert(e.getMessage.contains("vacuumed") &&
+      e.getMessage.contains("retention"), s"wrong error: ${e.getMessage}")
+    val e2 = intercept[IllegalStateException] {
+      TxLog.readCommit(spark, dir, 0)
+    }
+    assert(e2.getMessage.contains("vacuumed"), s"wrong error: ${e2.getMessage}")
+    // the head read never pays the probe and stays exact
+    assert(TxLog.read(spark, dir).select(col("id")).as[Long].head() == 2L)
+  }
 }
