@@ -4040,6 +4040,37 @@ object SparkEntry {
       graft.sources.TxLog.read(s, mvDir).orderBy("o_orderstatus")
     }),
 
+    // ROW-LEVEL CHANGE DATA FEED for COPY-ON-WRITE DML — the CDC-file
+    // mechanics: with enableChangeDataFeed, delete/update/replaceWhere
+    // record their exact changes as cdc sidecars in the same commit
+    // (cost ∝ changed rows, never the rewrite), and readChangeFeed
+    // emits those instead of op-tagged rewrite output — so a CDF
+    // consumer sees identical row-level semantics from the CoW and MoR
+    // DML families. The oracle replays every change class relationally.
+    "table_log_cdf_cow" -> ((s, d) => {
+      val dir = s"/tmp/graft_txcdc_${new java.io.File(d).getName}"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 0), dir)
+      graft.sources.TxLog.append(o.filter(col("o_orderkey") % 2 === 1), dir)
+      val v = graft.sources.TxLog.enableChangeDataFeed(dir) // v2
+      require(graft.sources.TxLog.commitOp(dir, v) == "set_cdf" &&
+          graft.sources.TxLog.cdfEnabledOf(dir),
+        "CDF must be a metadata commit that folds into state")
+      graft.sources.TxLog.delete(s, dir, "o_orderkey % 100 = 7")      // v3
+      graft.sources.TxLog.update(s, dir, "o_orderkey % 100 = 8",
+        Map("cents" -> "cents + 111"))                                // v4
+      graft.sources.TxLog.replaceWhere(s, dir, "o_orderkey % 100 = 9",
+        o.filter(col("o_orderkey") % 100 === 9)
+          .withColumn("cents", col("cents") + 5L))                    // v5
+      graft.sources.TxLog.readChangeFeed(s, dir, fromVersion = 2)
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("version", "change_type")
+    }),
+
     // STATS-PRUNED ARBITRARY-PREDICATE DML — the maintenance tape of a
     // date-sliced 100 TB table, each op touching ONLY its slice: 4
     // stats-recorded date slices, then a CoW DELETE of 1995, a
@@ -6422,6 +6453,32 @@ object SparkEntry {
          FROM events
          GROUP BY hour_us, event_type
          ORDER BY hour_us, event_type""",
+    // every CoW change class replayed relationally: v3 deletes %100=7,
+    // v4 updates %100=8 (pre+post), v5 replaces %100=9 (delete+insert)
+    "table_log_cdf_cow" ->
+      """SELECT CAST(v AS BIGINT) AS version, ct AS change_type,
+             count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+         FROM (
+           SELECT 3 AS v, 'delete' AS ct,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 100 = 7
+           UNION ALL
+           SELECT 4, 'update_preimage',
+                  CAST(round(o_totalprice * 100) AS BIGINT)
+           FROM orders WHERE o_orderkey % 100 = 8
+           UNION ALL
+           SELECT 4, 'update_postimage',
+                  CAST(round(o_totalprice * 100) AS BIGINT) + 111
+           FROM orders WHERE o_orderkey % 100 = 8
+           UNION ALL
+           SELECT 5, 'delete',
+                  CAST(round(o_totalprice * 100) AS BIGINT)
+           FROM orders WHERE o_orderkey % 100 = 9
+           UNION ALL
+           SELECT 5, 'insert',
+                  CAST(round(o_totalprice * 100) AS BIGINT) + 5
+           FROM orders WHERE o_orderkey % 100 = 9)
+         GROUP BY v, ct ORDER BY version, change_type""",
     // the pruned-DML tape replayed relationally: 1995 deleted, 1996
     // backfilled at +7, 1999+ updated at +11
     "table_log_prune_dml" ->

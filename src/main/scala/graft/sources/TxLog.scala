@@ -138,7 +138,9 @@ object TxLog {
                            defSets: Seq[(String, String)] = Seq.empty,
                            defUnsets: Seq[String] = Seq.empty,
                            genSets: Seq[(String, String)] = Seq.empty,
-                           genUnsets: Seq[String] = Seq.empty)
+                           genUnsets: Seq[String] = Seq.empty,
+                           cdfSet: Option[Boolean] = None,
+                           cdc: Seq[(String, String)] = Seq.empty)
 
   /** Replayed log state as of some version: what every reader/pruner
     * actually consumes — built from checkpoint + tail, never a full
@@ -158,7 +160,8 @@ object TxLog {
                            protocol: (Int, Int) = (1, 1),
                            constraints: Map[String, String] = Map.empty,
                            defaults: Map[String, String] = Map.empty,
-                           generated: Map[String, String] = Map.empty) {
+                           generated: Map[String, String] = Map.empty,
+                           cdfEnabled: Boolean = false) {
     /** logical name → PHYSICAL (stored) name, for mapped columns. */
     def physByLogical: Map[String, String] = renames.map(_.swap)
     /** The physical (stored) name behind a user-facing column name. */
@@ -220,11 +223,18 @@ object TxLog {
                               add: Seq[String], remove: Seq[String],
                               expectedHead: Int,
                               stats: Map[(String, String), ColStats],
-                              blooms: Map[(String, String), BloomStats] = Map.empty): Int =
-    try commit(dir, op, add, remove, Some(expectedHead), stats, blooms)
+                              blooms: Map[(String, String), BloomStats] = Map.empty,
+                              extraLines: Seq[String] = Seq.empty,
+                              alsoReclaim: Seq[String] = Seq.empty): Int =
+    try commit(dir, op, add, remove, Some(expectedHead), stats, blooms,
+      extraLines = extraLines)
     catch {
       case e: java.util.ConcurrentModificationException =>
-        add.foreach(seg => store(dir).deleteRecursively(s"$dir/$seg"))
+        // alsoReclaim: staged files the entry references OUTSIDE its
+        // add set (change-feed cdc sidecars) — equally orphaned by a
+        // conflict, equally invisible to vacuum if leaked
+        (add ++ alsoReclaim).foreach(seg =>
+          store(dir).deleteRecursively(s"$dir/$seg"))
         throw e
     }
 
@@ -313,7 +323,12 @@ object TxLog {
         case Array(n, c) => Some((dec(n), dec(c)))
         case _           => None
       }),
-      genUnsets = vals(lines, "unsetgenerated").map(dec))
+      genUnsets = vals(lines, "unsetgenerated").map(dec),
+      cdfSet = vals(lines, "setcdf").headOption.map(_ == "true"),
+      cdc = vals(lines, "cdc").flatMap(_.split("\\|", -1) match {
+        case Array(f, t) => Some((dec(f), dec(t)))
+        case _           => None
+      }))
 
   private def parseProtocol(s: String): Option[(Int, Int)] =
     s.split("\\|", -1) match {
@@ -378,7 +393,8 @@ object TxLog {
         generated = vals(lines, "generated").flatMap(_.split("\\|", -1) match {
           case Array(n, c) => Some((dec(n), dec(c)))
           case _           => None
-        }).toMap))
+        }).toMap,
+        cdfEnabled = vals(lines, "setcdf").headOption.contains("true")))
     } catch { case _: java.io.IOException => None }
 
   /** Newest checkpoint at-or-before `asOf` (-1 = no bound): pointer
@@ -423,6 +439,7 @@ object TxLog {
     var cons = cp.map(_.constraints).getOrElse(Map.empty[String, String])
     var defs = cp.map(_.defaults).getOrElse(Map.empty[String, String])
     var gens = cp.map(_.generated).getOrElse(Map.empty[String, String])
+    var cdf = cp.exists(_.cdfEnabled)
     var version = cp.map(_.version).getOrElse(-1)
     var v = version + 1
     while ((asOf < 0 || v <= asOf) && st.exists(entryPath(dir, v))) {
@@ -448,6 +465,7 @@ object TxLog {
       cons = cons ++ e.consAdds -- e.consDrops
       defs = defs ++ e.defSets -- e.defUnsets
       gens = gens ++ e.genSets -- e.genUnsets
+      e.cdfSet.foreach(cdf = _)
       version = v; v += 1
     }
     // reader gate: refusing is the only safe response to a floor above
@@ -459,7 +477,7 @@ object TxLog {
           s"supports $SupportedReaderVersion — upgrade the client to read")
     State(version, live.toSeq, stats, blooms, ops, dvs, renames, dropped,
       protocol = proto, constraints = cons, defaults = defs,
-      generated = gens)
+      generated = gens, cdfEnabled = cdf)
   }
 
   /** Fold the state at version `v` into a checkpoint file + advance
@@ -492,7 +510,8 @@ object TxLog {
           s.defaults.toSeq.sorted.map { case (n, c) =>
             s"default=${enc(n)}|${enc(c)}" } ++
           s.generated.toSeq.sorted.map { case (n, c) =>
-            s"generated=${enc(n)}|${enc(c)}" })
+            s"generated=${enc(n)}|${enc(c)}" } ++
+          (if (s.cdfEnabled) Seq("setcdf=true") else Seq.empty))
           .mkString("", "\n", "\n")
         // idempotent across racing checkpointers: same version folds the
         // same content, so losing the put-if-absent race is fine
@@ -680,6 +699,37 @@ object TxLog {
     if (snap.protocol._1 >= to._1 && snap.protocol._2 >= to._2) Seq.empty
     else Seq("protocol=" + math.max(snap.protocol._1, to._1) + "|" +
       math.max(snap.protocol._2, to._2))
+
+  /** Whether row-level CHANGE DATA FEED recording is on (Delta's
+    * `delta.enableChangeDataFeed` table property). */
+  def cdfEnabledOf(dir: String): Boolean = state(dir).cdfEnabled
+
+  /** ALTER TABLE ... SET enableChangeDataFeed=true: from this commit
+    * on, every copy-on-write DML (delete/update/replaceWhere) ALSO
+    * records its exact row-level changes as `cdc-*` sidecar files
+    * (write cost ∝ changed rows, like Delta's CDC files — never the
+    * table), and [[readChangeFeed]] / the streaming CDF source emit
+    * those instead of op-tagged rewrite output. MoR DML needs no
+    * sidecars (its deletion vectors already resolve row-level) and
+    * appends ARE their own change set, so both are CDF-exact with or
+    * without the flag. History written BEFORE the flag keeps the
+    * op-tagged rewrite contract (Delta: CDF reads before the property
+    * was set are refused; here they degrade to the documented
+    * coarse form). Raises the WRITER floor to 3: an older writer's
+    * CoW DML would silently break the feed's completeness. */
+  def enableChangeDataFeed(dir: String): Int = {
+    val snap = state(dir)
+    commit(dir, "set_cdf", Seq.empty, Seq.empty, Some(snap.version),
+      extraLines = "setcdf=true" +: protoBump(snap, (1, 3)))
+  }
+
+  /** Stop recording CoW change sidecars (history keeps its cdc files
+    * until vacuum ages them out). */
+  def disableChangeDataFeed(dir: String): Int = {
+    val snap = state(dir)
+    commit(dir, "set_cdf", Seq.empty, Seq.empty, Some(snap.version),
+      extraLines = Seq("setcdf=false"))
+  }
 
   /** Table CHECK constraints (name -> boolean SQL expression in
     * logical column terms); enforced on every row-adding write. */
@@ -1767,10 +1817,30 @@ object TxLog {
         case None    => col(c)
       }
     }: _*)
-    val newSeg = newSegment(dir, rewritten, applyDefaults = false,
-      snapOpt = Some(snap))
-    commitOrReclaim(dir, "update", Seq(newSeg), dirty, snap.version,
-      segStats(spark, dir, newSeg, statsCols, snap))
+    // CHANGE DATA FEED (when enabled): pre- and post-images of exactly
+    // the TRUE-predicate rows, both projected from the original frame
+    // (the post projection applies the SET expressions to pre-update
+    // values, same one-projection rule as the rewrite itself)
+    val cdc =
+      if (!snap.cdfEnabled) Seq.empty
+      else {
+        val pre = sdf.filter(coalesce(expr(predicate), lit(false)))
+        val post = pre.select(sdf.columns.map { c =>
+          setExprs.get(c) match {
+            case Some(e) => expr(e).as(c)
+            case None    => col(c)
+          }
+        }: _*)
+        Seq(writeCdc(dir, pre, "update_preimage", snap),
+          writeCdc(dir, post, "update_postimage", snap))
+      }
+    reclaimOnFailure(dir, cdc.map(_._1)) {
+      val newSeg = newSegment(dir, rewritten, applyDefaults = false,
+        snapOpt = Some(snap))
+      commitOrReclaim(dir, "update", Seq(newSeg), dirty, snap.version,
+        segStats(spark, dir, newSeg, statsCols, snap),
+        extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1))
+    }
   }
 
   /** OPTIMIZE variant clustering on an arbitrary EXPRESSION — the
@@ -2206,6 +2276,20 @@ object TxLog {
       .toMap
   }
 
+  /** Write `rows` as a CHANGE-FEED sidecar (`cdc-*`, physical column
+    * names like segment bytes — the feed re-labels on read) and return
+    * (file, changeType) for the commit's `cdc=` line. Cost ∝ the
+    * changed rows, never the table — Delta's CDC-file mechanics. */
+  private def writeCdc(dir: String, rows: DataFrame, changeType: String,
+                       snap: State): (String, String) = {
+    val name = s"cdc-${java.util.UUID.randomUUID}"
+    toPhysical(rows, snap).write.mode("overwrite").parquet(s"$dir/$name")
+    (name, changeType)
+  }
+
+  private def cdcLines(cdc: Seq[(String, String)]): Seq[String] =
+    cdc.map { case (f, t) => s"cdc=${enc(f)}|${enc(t)}" }
+
   /** Copy-on-write delete of rows matching `predicate`: the triage is
     * STATS-PRE-PRUNED ([[triageCandidates]] — a `day = X` slice opens
     * only segments whose recorded [min,max] intersect X) and runs as
@@ -2223,12 +2307,22 @@ object TxLog {
     val dirty = snap.live.filter(seg => counts.get(seg).exists(_._1))
     if (dirty.isEmpty)
       return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap.version))
-    val kept = segScan(spark, dir, snap, dirty, mergeSchema = true)
-      .filter(not(coalesce(expr(predicate), lit(false))))
-    commitOrReclaim(dir, "delete",
-      Seq(newSegment(dir, kept, applyDefaults = false, snapOpt = Some(snap))),
-      dirty, snap.version,
-      Map.empty)
+    // CHANGE DATA FEED (when enabled): the deleted PRE-IMAGES ride in
+    // a cdc sidecar recorded by the same commit — exact row-level CDF
+    // for copy-on-write deletes, cost ∝ deleted rows
+    val cdc =
+      if (!snap.cdfEnabled) Seq.empty
+      else Seq(writeCdc(dir, segScan(spark, dir, snap, dirty,
+        mergeSchema = true).filter(coalesce(expr(predicate), lit(false))),
+        "delete", snap))
+    reclaimOnFailure(dir, cdc.map(_._1)) {
+      val kept = segScan(spark, dir, snap, dirty, mergeSchema = true)
+        .filter(not(coalesce(expr(predicate), lit(false))))
+      commitOrReclaim(dir, "delete",
+        Seq(newSegment(dir, kept, applyDefaults = false, snapOpt = Some(snap))),
+        dirty, snap.version, Map.empty,
+        extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1))
+    }
   }
 
   /** Predicate-scoped atomic OVERWRITE (Delta's `replaceWhere`, the
@@ -2262,7 +2356,16 @@ object TxLog {
     // violation staging the SECOND segment) deletes every
     // already-staged segment, never leaking
     val adds = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cdc = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     try {
+      // CHANGE DATA FEED (when enabled): the REPLACED rows' pre-images
+      // ride in a cdc sidecar (cost ∝ replaced rows); the incoming
+      // frame's inserts are recorded by REFERENCE to its own staged
+      // segment below — no second copy of the new data
+      if (snap.cdfEnabled && withMatch.nonEmpty)
+        cdc += writeCdc(dir, segScan(spark, dir, snap, withMatch,
+          mergeSchema = true).filter(coalesce(expr(predicate), lit(false))),
+          "delete", snap)
       if (straddling.nonEmpty)
         // the kept rows are those where the predicate is NOT TRUE —
         // `NOT(pred)` alone would silently DROP a NULL-evaluating row
@@ -2291,15 +2394,18 @@ object TxLog {
       if (vc.getLong(0) == 0) { // empty incoming frame: nothing to add
         adds -= dfSeg
         store(dir).deleteRecursively(s"$dir/$dfSeg")
+      } else if (snap.cdfEnabled) {
+        cdc += ((dfSeg, "insert")) // by reference: the segment IS the insert set
       }
       val stats =
         if (statsCols.isEmpty) Map.empty[(String, String), ColStats]
         else adds.toSeq.flatMap(seg => segStats(spark, dir, seg, statsCols, snap)).toMap
       commit(dir, "replace_where", adds.toSeq, dropped ++ straddling,
-        Some(snap.version), stats)
+        Some(snap.version), stats, extraLines = cdcLines(cdc.toSeq))
     } catch {
       case scala.util.control.NonFatal(e) =>
-        adds.foreach(seg => store(dir).deleteRecursively(s"$dir/$seg"))
+        (adds ++ cdc.collect { case (f, _) if f.startsWith("cdc-") => f })
+          .foreach(seg => store(dir).deleteRecursively(s"$dir/$seg"))
         throw e
     }
   }
@@ -2422,10 +2528,19 @@ object TxLog {
     val doomed = doomedAll.filterNot(isExternal)
     val deadDvs = (log.flatMap(_.dvs.map(_._2)).toSet -- retainedDvs)
       .toSeq.sorted.filterNot(isExternal)
+    // change-feed sidecars belong to their COMMIT, not to any live
+    // set: they age out with the version horizon (a CDF read inside
+    // retention still resolves; older history degrades exactly like
+    // time travel). Only `cdc-*` files are reclaimable — an insert
+    // line referencing a data segment by name is governed by ordinary
+    // segment liveness above.
+    val deadCdc = (log.filter(_.version < horizon).flatMap(_.cdc.map(_._1)).toSet --
+        log.filter(_.version >= horizon).flatMap(_.cdc.map(_._1)).toSet)
+      .toSeq.sorted.filter(_.startsWith("cdc-"))
     // DRY RUN (Delta's `VACUUM ... DRY RUN`): report what a real run
     // would reclaim — same computation, zero deletions — so retention
     // changes can be audited before bytes disappear
-    if (dryRun) return doomed ++ deadDvs
+    if (dryRun) return doomed ++ deadDvs ++ deadCdc
     // loop-invariant: one log parse, not one per doomed segment
     val bloomFiles = log.flatMap(_.blooms).groupBy(_._1._1)
     doomedAll.foreach { seg =>
@@ -2437,7 +2552,8 @@ object TxLog {
       bloomFiles.getOrElse(seg, Nil).foreach(b => st.deleteIfExists(b._2.file))
     }
     deadDvs.foreach(dv => st.deleteRecursively(s"$dir/$dv"))
-    doomed ++ deadDvs
+    deadCdc.foreach(c => st.deleteRecursively(s"$dir/$c"))
+    doomed ++ deadDvs ++ deadCdc
   }
 
   /** TIME-BASED retention vacuum (Delta's `VACUUM … RETAIN n HOURS`,
@@ -2562,7 +2678,7 @@ object TxLog {
     val newer = (math.max(0, from) to to).iterator
       .filter(v => st.exists(entryPath(dir, v)))
       .map(v => readEntry(dir, v))
-      .filter(e => e.add.nonEmpty || e.dvs.nonEmpty)
+      .filter(e => e.add.nonEmpty || e.dvs.nonEmpty || e.cdc.nonEmpty)
       // PURE REARRANGEMENTS change zero rows and contribute zero
       // change rows: optimize/compact re-adds would surface as phantom
       // `insert`s (a nightly OPTIMIZE re-inserting the whole table
@@ -2576,6 +2692,17 @@ object TxLog {
         .withColumn("_commit_op", lit(op))
         .withColumn("_change_type", lit(ct))
     val parts = newer.flatMap { e =>
+      // a commit that RECORDED its row-level changes (CoW DML under
+      // enableChangeDataFeed) is exact by construction: emit its cdc
+      // sidecars with their recorded change types and NOTHING else —
+      // the add set is rewrite output (kept rows / post-DML segments),
+      // not changes
+      if (e.cdc.nonEmpty)
+        e.cdc.groupBy(_._2).toSeq.sortBy(_._1).map { case (ct, fs) =>
+          tagged(spark.read.schema(physData)
+            .parquet(fs.map(f => segPath(dir, f._1)): _*), e.version, e.op, ct)
+        }
+      else {
       val added =
         if (e.add.isEmpty) None
         else {
@@ -2610,6 +2737,7 @@ object TxLog {
           Some(tagged(pre, e.version, e.op, ct))
         }
       added.toSeq ++ removed.toSeq
+      }
     }
     if (parts.isEmpty) None
     else Some(parts.reduce(_ unionByName _)
@@ -2834,7 +2962,9 @@ object TxLog {
             case (Some(_), None) => Some(s"unsetgenerated=${enc(n)}")
             case _ => None
           }
-        }
+        } ++
+      (if (head.cdfEnabled == target.cdfEnabled) Seq.empty
+       else Seq(s"setcdf=${target.cdfEnabled}"))
     commit(dir, "restore",
       add = readd,
       remove = current.filterNot(target.live.contains) ++ dvReset,
@@ -2949,15 +3079,17 @@ object TxLog {
     * versions), so scanning the range's own entries catches it with
     * ZERO extra metadata reads — no per-batch state replay. The DV
     * paths (sidecars + the base segments their pre-images resolve
-    * against) feed the change-feed mode's vacuum interlock: CDF reads
-    * them even when the commit adds nothing. */
+    * against) and cdc sidecar paths feed the change-feed mode's vacuum
+    * interlock: CDF reads them even when the commit adds nothing, and
+    * for a cdc-recording commit it reads the cdc files INSTEAD of the
+    * adds. */
   private[sources] def commitChange(dir: String, version: Int
-      ): (String, Seq[String], Boolean, Seq[String], Seq[String]) = {
+      ): (String, Seq[String], Boolean, Seq[String], Seq[String], Seq[String]) = {
     val e = readEntry(dir, version)
     val dvPaths = (e.dvs.map(_._1) ++ e.dvs.map(_._2)).distinct
       .map(segPath(dir, _))
     (e.op, e.add.map(segPath(dir, _)), e.add.nonEmpty && e.remove.nonEmpty,
-      e.drops, dvPaths)
+      e.drops, dvPaths, e.cdc.map(c => segPath(dir, c._1)))
   }
 
   /** Added paths of a pending stream batch that no longer exist — a

@@ -448,8 +448,8 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
     val from = math.max(floor.toLong, start.map(ver(_) + 1).getOrElse(floor.toLong)).toInt
     val to = ver(end).toInt
     val entries = (from to to).map { v =>
-      val (op, add, rw, drops, dvPaths) = TxLog.commitChange(dir, v)
-      (v, op, add, rw, drops, dvPaths)
+      val (op, add, rw, drops, dvPaths, cdcPaths) = TxLog.commitChange(dir, v)
+      (v, op, add, rw, drops, dvPaths, cdcPaths)
     }
     // DROPPED-column drift guard (the add-column twin lives below):
     // footer inference cannot see a drop — new segments simply lack
@@ -460,6 +460,7 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
     // and deliver fine. Zero extra reads: the entries are read anyway.
     val lost = entries.flatMap(_._5).filterNot(droppedPhys)
       .filter(physData.fieldNames.contains)
+      .distinct
     if (lost.nonEmpty)
       throw new IllegalStateException(
         s"txlog stream over $dir: column(s) ${lost.mkString(", ")} " +
@@ -467,7 +468,7 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
           "schema — continuing would silently deliver null where the " +
           "stream's consumers still expect the dropped column's data.")
     val changes = entries.filter(_._3.nonEmpty)
-      .map { case (v, op, add, rw, _, _) => (v, op, add, rw) }
+      .map { case (v, op, add, rw, _, _, _) => (v, op, add, rw) }
     // REWRITE commits (add+remove: compact/optimize/replace_where/CoW
     // DML/restore) re-materialize rows that already streamed — in
     // add-set mode, delivering one would push the whole rewritten
@@ -508,12 +509,16 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
     // still dies with the typed error the moment it runs.
     // (version, add paths to read, all paths this mode will read):
     // change-feed mode reads DV sidecars and their base segments even
-    // for add-empty commits, and skips pure rearrangements entirely
+    // for add-empty commits, skips pure rearrangements entirely, and
+    // for a cdc-recording commit (CoW DML under enableChangeDataFeed)
+    // reads the cdc sidecars INSTEAD of the rewrite's add set
     val toRead: Seq[(Int, Seq[String], Seq[String])] =
       if (changeFeed)
         entries.filterNot(e => TxLog.RearrangeOps(e._2))
-          .filter(e => e._3.nonEmpty || e._6.nonEmpty)
-          .map(e => (e._1, e._3, e._3 ++ e._6))
+          .filter(e => e._3.nonEmpty || e._6.nonEmpty || e._7.nonEmpty)
+          .map(e =>
+            if (e._7.nonEmpty) (e._1, e._7, e._7)
+            else (e._1, e._3, e._3 ++ e._6))
       else parts.map { case (v, _, add) => (v, add, add) }
     for ((v, _, all) <- toRead) {
       val gone = TxLog.missingAdds(dir, all)

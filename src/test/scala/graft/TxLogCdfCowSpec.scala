@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TxLog
+
+/** CHANGE DATA FEED for copy-on-write DML (Delta's CDC-file
+  * mechanics): with `enableChangeDataFeed`, delete/update/replaceWhere
+  * record their exact row-level changes as `cdc-*` sidecars in the
+  * same commit (cost ∝ changed rows), and the CDF surfaces emit those
+  * instead of op-tagged rewrite output — closing the CoW/MoR
+  * asymmetry (MoR DML was already row-exact via deletion vectors). */
+class TxLogCdfCowSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-txcdc").toString
+
+  private def seed(dir: String): Unit = {
+    TxLog.append((0L until 20L).map(i => (i, i * 10L)).toDF("id", "cents"), dir)
+    TxLog.append((20L until 40L).map(i => (i, i * 10L)).toDF("id", "cents"), dir)
+  }
+
+  private def cdcFiles(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("cdc-"))
+      .map(_.getName)
+
+  test("enable/disable is a metadata commit; the flag folds through checkpoints") {
+    val dir = freshDir()
+    seed(dir)
+    assert(!TxLog.cdfEnabledOf(dir))
+    val v = TxLog.enableChangeDataFeed(dir)
+    assert(TxLog.commitOp(dir, v) == "set_cdf")
+    assert(TxLog.cdfEnabledOf(dir))
+    assert(TxLog.protocolOf(dir)._2 >= 3, "CDF raises the writer floor")
+    // push past a checkpoint boundary: the flag must survive the fold
+    (0 until TxLog.CheckpointInterval + 2).foreach(i =>
+      TxLog.append(Seq((1000L + i, 1L)).toDF("id", "cents"), dir))
+    assert(TxLog.cdfEnabledOf(dir), "flag lost in the checkpoint fold")
+    TxLog.disableChangeDataFeed(dir)
+    assert(!TxLog.cdfEnabledOf(dir))
+  }
+
+  test("CoW delete/update under CDF produce the SAME feed as their MoR twins") {
+    val cow = freshDir(); val mor = freshDir()
+    Seq(cow, mor).foreach(seed)
+    TxLog.enableChangeDataFeed(cow) // v2 on the CoW table only
+    TxLog.delete(spark, cow, "id % 7 = 3")
+    TxLog.update(spark, cow, "id % 7 = 4", Map("cents" -> "cents + 111"))
+    TxLog.deleteMoR(spark, mor, "id % 7 = 3")
+    TxLog.updateMoR(spark, mor, "id % 7 = 4", Map("cents" -> "cents + 111"))
+    def classes(dir: String, from: Int): Map[String, (Long, Long)] =
+      TxLog.readChangeFeed(spark, dir, fromVersion = from)
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val (c, m) = (classes(cow, 2), classes(mor, 1))
+    assert(c == m, s"CoW CDF $c must equal MoR CDF $m")
+    assert(c.keySet == Set("delete", "update_preimage", "update_postimage"))
+    // head states agree too (sanity: the DML semantics were identical)
+    val hc = TxLog.read(spark, cow).filter(col("id") < 1000)
+      .agg(sum("cents")).head().getLong(0)
+    val hm = TxLog.read(spark, mor).agg(sum("cents")).head().getLong(0)
+    assert(hc == hm)
+  }
+
+  test("a failed replaceWhere reclaims its staged cdc sidecar too") {
+    val dir = freshDir()
+    seed(dir)
+    TxLog.enableChangeDataFeed(dir)
+    // incoming rows OUTSIDE the declared frame: the op must throw and
+    // reclaim everything it staged — including the cdc delete sidecar
+    intercept[IllegalArgumentException] {
+      TxLog.replaceWhere(spark, dir, "id >= 10 AND id <= 29",
+        Seq((100L, 7L), (101L, 9L)).toDF("id", "cents"))
+    }
+    assert(cdcFiles(dir).isEmpty, s"leaked: ${cdcFiles(dir)}")
+    assert(TxLog.read(spark, dir).count() == 40, "nothing committed")
+  }
+
+  test("replaceWhere under CDF (valid frame): deletes + referenced inserts") {
+    val dir = freshDir()
+    seed(dir)
+    TxLog.enableChangeDataFeed(dir) // v2
+    TxLog.replaceWhere(spark, dir, "id >= 10 AND id <= 29",
+      Seq((12L, 7L), (25L, 9L)).toDF("id", "cents")) // v3
+    val feed = TxLog.readChangeFeed(spark, dir, fromVersion = 2)
+    val byType = feed.groupBy("_change_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // replaced: ids 10..29 (20 rows, cents 10*(10+..+29)=3900); inserted: 2 rows, 16
+    assert(byType("delete") == ((20L, 3900L)), s"got $byType")
+    assert(byType("insert") == ((2L, 16L)), s"got $byType")
+    // only ONE cdc sidecar was written (the deletes); the inserts ride
+    // by reference to the staged data segment — no second copy
+    assert(cdcFiles(dir).size == 1, s"files=${cdcFiles(dir)}")
+  }
+
+  test("without the flag, CoW DML keeps the documented op-tagged rewrite feed") {
+    val dir = freshDir()
+    seed(dir)
+    TxLog.delete(spark, dir, "id % 7 = 3") // v2, no CDF
+    val feed = TxLog.readChangeFeed(spark, dir, fromVersion = 1)
+    val types = feed.select("_change_type").distinct().as[String].collect().toSet
+    assert(types == Set("insert"), s"got $types")
+    assert(cdcFiles(dir).isEmpty, "no sidecars without the flag")
+  }
+
+  test("streaming CDF delivers a CoW delete's pre-images row-level") {
+    val dir = freshDir()
+    seed(dir)
+    TxLog.enableChangeDataFeed(dir)
+    TxLog.delete(spark, dir, "id < 5")
+    val q = spark.readStream.format("txlog")
+      .option("path", dir).option("changeFeed", "true")
+      .option("startingVersion", "2").load()
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("txcdc_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("txcdc_stream")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map("delete" -> ((5L, 100L))), s"got $got")
+  }
+
+  test("vacuum ages cdc sidecars out with the version horizon") {
+    val dir = freshDir()
+    seed(dir)
+    TxLog.enableChangeDataFeed(dir)     // v2
+    TxLog.delete(spark, dir, "id < 3")  // v3 + cdc sidecar
+    assert(cdcFiles(dir).size == 1)
+    val keep = TxLog.vacuum(dir, keepVersions = 2, dryRun = true)
+    assert(!keep.exists(_.startsWith("cdc-")),
+      "a cdc file inside retention must not be reclaimed")
+    // push the horizon past v3
+    TxLog.append(Seq((500L, 1L)).toDF("id", "cents"), dir) // v4
+    TxLog.append(Seq((501L, 1L)).toDF("id", "cents"), dir) // v5
+    val dry = TxLog.vacuum(dir, keepVersions = 2, dryRun = true)
+    assert(dry.exists(_.startsWith("cdc-")), s"dry run must list it: $dry")
+    TxLog.vacuum(dir, keepVersions = 2)
+    assert(cdcFiles(dir).isEmpty, "aged-out cdc sidecar must be reclaimed")
+    // the head table is untouched
+    assert(TxLog.read(spark, dir).count() == 39)
+  }
+
+  test("restore rolls the CDF flag back with the rest of governance") {
+    val dir = freshDir()
+    seed(dir)                        // v0, v1
+    TxLog.enableChangeDataFeed(dir)  // v2
+    TxLog.restore(dir, toVersion = 1)
+    assert(!TxLog.cdfEnabledOf(dir), "restore must roll the flag back")
+    TxLog.restore(dir, toVersion = 2)
+    assert(TxLog.cdfEnabledOf(dir))
+  }
+}
