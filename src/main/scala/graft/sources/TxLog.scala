@@ -705,16 +705,21 @@ object TxLog {
   def cdfEnabledOf(dir: String): Boolean = state(dir).cdfEnabled
 
   /** ALTER TABLE ... SET enableChangeDataFeed=true: from this commit
-    * on, every copy-on-write DML (delete/update/replaceWhere) ALSO
-    * records its exact row-level changes as `cdc-*` sidecar files
-    * (write cost ∝ changed rows, like Delta's CDC files — never the
-    * table), and [[readChangeFeed]] / the streaming CDF source emit
-    * those instead of op-tagged rewrite output. MoR DML needs no
-    * sidecars (its deletion vectors already resolve row-level) and
-    * appends ARE their own change set, so both are CDF-exact with or
-    * without the flag. History written BEFORE the flag keeps the
-    * op-tagged rewrite contract (Delta: CDF reads before the property
-    * was set are refused; here they degrade to the documented
+    * on, every copy-on-write DML — delete, deleteRange, update,
+    * replaceWhere, merge — ALSO records its exact row-level changes as
+    * `cdc-*` sidecar files (write cost ∝ changed rows, like Delta's
+    * CDC files — never the table), and [[readChangeFeed]] / the
+    * streaming CDF source emit those instead of op-tagged rewrite
+    * output. MoR DML needs no sidecars (its deletion vectors already
+    * resolve row-level) and appends ARE their own change set, so both
+    * are CDF-exact with or without the flag. REPLACE-class ops stay
+    * outside the row-change algebra by design: [[overwrite]] and
+    * [[restore]] redefine the table rather than change rows (Delta's
+    * CDF streaming fails on them; the batch feed surfaces their adds
+    * op-tagged, the documented coarse contract), and pure
+    * rearrangements emit nothing. History written BEFORE the flag
+    * keeps the op-tagged rewrite contract (Delta: CDF reads before the
+    * property was set are refused; here they degrade to the documented
     * coarse form). Raises the WRITER floor to 3: an older writer's
     * CoW DML would silently break the feed's completeness. */
   def enableChangeDataFeed(dir: String): Int = {
@@ -1339,7 +1344,10 @@ object TxLog {
         snap.defaults.toSeq.sorted.map { case (n, c) =>
           s"setdefault=${enc(n)}|${enc(c)}" } ++
         snap.generated.toSeq.sorted.map { case (n, c) =>
-          s"setgenerated=${enc(n)}|${enc(c)}" })
+          s"setgenerated=${enc(n)}|${enc(c)}" } ++
+        // CDF is a write contract too: a clone of a change-recording
+        // table must keep recording (Delta CLONE copies the property)
+        (if (snap.cdfEnabled) Seq("setcdf=true") else Seq.empty))
   }
 
   /** Targeted CLONE LOCALIZATION — sever a shallow clone's dependency
@@ -1683,11 +1691,22 @@ object TxLog {
     if (dirty.isEmpty)
       return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap.version))
     val sdf = segScan(spark, dir, snap, dirty, mergeSchema = true)
-    val kept = sdf.filter(!rangeCond(sdf) || col(c).isNull)
-    val seg = newSegment(dir, kept, applyDefaults = false,
-      snapOpt = Some(snap))
-    commitOrReclaim(dir, "delete", Seq(seg), dirty, snap.version,
-      segStats(spark, dir, seg, statsCols, snap))
+    // CHANGE DATA FEED (when enabled): same exact-delete contract as
+    // the arbitrary-predicate path — without it a deleteRange commit
+    // (also op 'delete') would be indistinguishable from a cdc-exact
+    // one while silently feeding kept rows as phantom inserts
+    val cdc =
+      if (!snap.cdfEnabled) Seq.empty
+      else Seq(writeCdc(dir,
+        sdf.filter(rangeCond(sdf) && col(c).isNotNull), "delete", snap))
+    reclaimOnFailure(dir, cdc.map(_._1)) {
+      val kept = sdf.filter(!rangeCond(sdf) || col(c).isNull)
+      val seg = newSegment(dir, kept, applyDefaults = false,
+        snapOpt = Some(snap))
+      commitOrReclaim(dir, "delete", Seq(seg), dirty, snap.version,
+        segStats(spark, dir, seg, statsCols, snap),
+        extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1))
+    }
   }
 
   /** OPTIMIZE with clustering (Delta's `OPTIMIZE ... ZORDER/CLUSTER BY`
@@ -1818,21 +1837,25 @@ object TxLog {
       }
     }: _*)
     // CHANGE DATA FEED (when enabled): pre- and post-images of exactly
-    // the TRUE-predicate rows, both projected from the original frame
-    // (the post projection applies the SET expressions to pre-update
-    // values, same one-projection rule as the rewrite itself)
+    // the TRUE-predicate rows. The post-images are projected from the
+    // just-written PRE sidecar read back (changed-rows-sized), not from
+    // a third scan of the dirty segments — one extra dirty-set read for
+    // the pre-images, then O(changed rows) for the post (the SET
+    // expressions evaluate against pre-update values either way)
     val cdc =
       if (!snap.cdfEnabled) Seq.empty
-      else {
+      else stageCdc(dir) { buf =>
         val pre = sdf.filter(coalesce(expr(predicate), lit(false)))
-        val post = pre.select(sdf.columns.map { c =>
+        buf += writeCdc(dir, pre, "update_preimage", snap)
+        val preBack = applyMapping(
+          spark.read.parquet(s"$dir/${buf.head._1}"), snap)
+        val post = preBack.select(sdf.columns.map { c =>
           setExprs.get(c) match {
             case Some(e) => expr(e).as(c)
             case None    => col(c)
           }
         }: _*)
-        Seq(writeCdc(dir, pre, "update_preimage", snap),
-          writeCdc(dir, post, "update_postimage", snap))
+        buf += writeCdc(dir, post, "update_postimage", snap)
       }
     reclaimOnFailure(dir, cdc.map(_._1)) {
       val newSeg = newSegment(dir, rewritten, applyDefaults = false,
@@ -1911,8 +1934,33 @@ object TxLog {
       // dirty-kept rows are a rewrite and must not be back-filled
       val seg = newSegment(dir, newData, applyDefaults = false,
         snapOpt = Some(snap))
+      // CHANGE DATA FEED (when enabled): MERGE decomposes into
+      // update_preimage (matched target rows) + update_postimage
+      // (their replacing update rows) + insert (unmatched updates) —
+      // Delta's CDC classes for MERGE. All-insert merges record the
+      // committed segment BY REFERENCE (it IS the insert set).
+      val cdc =
+        if (!snap.cdfEnabled) Seq.empty
+        else if (dirty.isEmpty) Seq((seg, "insert"))
+        else stageCdc(dir) { buf =>
+          val pre = segScan(spark, dir, snap, dirty, mergeSchema = true)
+            .join(uKeys, Seq(key), "left_semi")
+          buf += writeCdc(dir, pre, "update_preimage", snap)
+          // matched/unmatched update rows, split on the PRE sidecar's
+          // keys (changed-rows-sized, no third dirty-segment scan)
+          val preKeys = applyMapping(
+            spark.read.parquet(s"$dir/${buf.head._1}"), snap)
+            .select(col(key)).distinct()
+          buf += writeCdc(dir, u.join(preKeys, Seq(key), "left_semi"),
+            "update_postimage", snap)
+          val inserts = u.join(preKeys, Seq(key), "left_anti")
+          if (inserts.limit(1).count() > 0)
+            buf += writeCdc(dir, inserts, "insert", snap)
+        }
       commitOrReclaim(dir, "merge", Seq(seg), dirty, snap.version,
-        segStats(spark, dir, seg, statsCols, snap))
+        segStats(spark, dir, seg, statsCols, snap),
+        extraLines = cdcLines(cdc),
+        alsoReclaim = cdc.collect { case (f, _) if f.startsWith("cdc-") => f })
     } finally {
       // staging bytes are referenced by no version — reclaim eagerly
       store(dir).deleteRecursively(s"$dir/$uSeg")
@@ -2283,8 +2331,31 @@ object TxLog {
   private def writeCdc(dir: String, rows: DataFrame, changeType: String,
                        snap: State): (String, String) = {
     val name = s"cdc-${java.util.UUID.randomUUID}"
-    toPhysical(rows, snap).write.mode("overwrite").parquet(s"$dir/$name")
+    // self-reclaiming: a mid-job failure must not leave a partial
+    // sidecar no entry records and no vacuum can ever find
+    try toPhysical(rows, snap).write.mode("overwrite").parquet(s"$dir/$name")
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        store(dir).deleteRecursively(s"$dir/$name"); throw e
+    }
     (name, changeType)
+  }
+
+  /** Run `body` accumulating cdc sidecars; reclaim every
+    * already-written one if a LATER write (or anything else in the
+    * body) fails — without this, a two-sidecar op like update leaks
+    * its pre-image file when the post-image job dies, invisibly to
+    * vacuum forever (only entry-recorded cdc files age out). */
+  private def stageCdc(dir: String)(
+      body: scala.collection.mutable.ArrayBuffer[(String, String)] => Unit
+  ): Seq[(String, String)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    try { body(buf); buf.toSeq }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        buf.foreach(f => store(dir).deleteRecursively(s"$dir/${f._1}"))
+        throw e
+    }
   }
 
   private def cdcLines(cdc: Seq[(String, String)]): Seq[String] =
@@ -2697,11 +2768,16 @@ object TxLog {
       // sidecars with their recorded change types and NOTHING else —
       // the add set is rewrite output (kept rows / post-DML segments),
       // not changes
-      if (e.cdc.nonEmpty)
+      if (e.cdc.nonEmpty) {
+        // typed retention error, not a mid-job FileNotFound: cdc
+        // sidecars age out with the version horizon, so a feed read
+        // past retention degrades exactly like time travel
+        requireRetained(dir, e.version, e.cdc.map(f => segPath(dir, f._1)))
         e.cdc.groupBy(_._2).toSeq.sortBy(_._1).map { case (ct, fs) =>
           tagged(spark.read.schema(physData)
             .parquet(fs.map(f => segPath(dir, f._1)): _*), e.version, e.op, ct)
         }
+      }
       else {
       val added =
         if (e.add.isEmpty) None

@@ -145,6 +145,76 @@ class TxLogCdfCowSpec extends SparkTestBase {
     assert(TxLog.read(spark, dir).count() == 39)
   }
 
+  test("deleteRange under CDF is delete-exact (same op name, same contract)") {
+    val dir = freshDir()
+    seed(dir)
+    TxLog.enableChangeDataFeed(dir) // v2
+    TxLog.deleteRange(spark, dir, "id", "5", "9") // v3
+    val byType = TxLog.readChangeFeed(spark, dir, fromVersion = 2)
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // ids 5..9: 5 rows, cents 50+60+70+80+90 = 350; NO phantom inserts
+    assert(byType == Map("delete" -> ((5L, 350L))), s"got $byType")
+  }
+
+  test("merge under CDF decomposes into pre/post images + inserts") {
+    val dir = freshDir()
+    seed(dir)
+    TxLog.enableChangeDataFeed(dir) // v2
+    // ids 3 and 25 exist (matched → update); 900 does not (insert)
+    TxLog.merge(spark, dir,
+      Seq((3L, 1000L), (25L, 2000L), (900L, 3000L)).toDF("id", "cents"),
+      "id") // v3
+    val rows = TxLog.readChangeFeed(spark, dir, fromVersion = 2)
+      .select("_change_type", "id", "cents")
+      .as[(String, Long, Long)].collect().toSet
+    assert(rows == Set(
+      ("update_preimage", 3L, 30L), ("update_preimage", 25L, 250L),
+      ("update_postimage", 3L, 1000L), ("update_postimage", 25L, 2000L),
+      ("insert", 900L, 3000L)), s"got $rows")
+  }
+
+  test("an all-insert merge records the committed segment by reference") {
+    val dir = freshDir()
+    seed(dir)
+    TxLog.enableChangeDataFeed(dir)
+    TxLog.merge(spark, dir,
+      Seq((900L, 1L), (901L, 2L)).toDF("id", "cents"), "id")
+    val feed = TxLog.readChangeFeed(spark, dir, fromVersion = 2)
+    assert(feed.groupBy("_change_type").count().as[(String, Long)]
+      .collect().toMap == Map("insert" -> 2L))
+    assert(cdcFiles(dir).isEmpty, "no sidecar copy for an all-insert merge")
+  }
+
+  test("a shallow clone keeps recording changes (the flag propagates)") {
+    val src = freshDir(); val tgt = freshDir()
+    seed(src)
+    TxLog.enableChangeDataFeed(src)
+    TxLog.cloneShallow(src, tgt)
+    assert(TxLog.cdfEnabledOf(tgt), "clone must carry the CDF contract")
+    TxLog.delete(spark, tgt, "id < 3")
+    val types = TxLog.readChangeFeed(spark, tgt, fromVersion = 0)
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    assert(types("delete") == 3L, s"got $types")
+  }
+
+  test("a feed read past cdc retention fails typed, not with FileNotFound") {
+    val dir = freshDir()
+    seed(dir)
+    TxLog.enableChangeDataFeed(dir)     // v2
+    TxLog.delete(spark, dir, "id < 3")  // v3 + sidecar
+    TxLog.append(Seq((500L, 1L)).toDF("id", "cents"), dir) // v4
+    TxLog.append(Seq((501L, 1L)).toDF("id", "cents"), dir) // v5
+    TxLog.vacuum(dir, keepVersions = 2) // ages the v3 sidecar out
+    val e = intercept[IllegalStateException] {
+      TxLog.readChangeFeed(spark, dir, fromVersion = 2).count()
+    }
+    assert(e.getMessage.contains("vacuumed"), s"wrong error: ${e.getMessage}")
+    // inside retention the feed still reads
+    assert(TxLog.readChangeFeed(spark, dir, fromVersion = 4).count() == 1)
+  }
+
   test("restore rolls the CDF flag back with the rest of governance") {
     val dir = freshDir()
     seed(dir)                        // v0, v1
