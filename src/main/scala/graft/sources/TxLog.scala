@@ -1703,9 +1703,13 @@ object TxLog {
       val kept = sdf.filter(!rangeCond(sdf) || col(c).isNull)
       val seg = newSegment(dir, kept, applyDefaults = false,
         snapOpt = Some(snap))
-      commitOrReclaim(dir, "delete", Seq(seg), dirty, snap.version,
-        segStats(spark, dir, seg, statsCols, snap),
-        extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1))
+      // the staged segment joins the scope: a segStats/commit failure
+      // must not leak a dir no entry records
+      reclaimOnFailure(dir, Seq(seg)) {
+        commitOrReclaim(dir, "delete", Seq(seg), dirty, snap.version,
+          segStats(spark, dir, seg, statsCols, snap),
+          extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1))
+      }
     }
   }
 
@@ -1783,10 +1787,15 @@ object TxLog {
     }
     // drop the emptied staging dir (only _SUCCESS etc. remain)
     st.deleteRecursively(s"$dir/$staging")
-    val stats = segs.foldLeft(Map.empty[(String, String), ColStats]) {
-      (m, seg) => m ++ segStats(spark, dir, seg, statsCols, snap)
+    // the renamed segments join the reclaim scope: a segStats/commit
+    // failure must not leak a live-set-sized family of dirs no entry
+    // records and no vacuum can find
+    reclaimOnFailure(dir, segs) {
+      val stats = segs.foldLeft(Map.empty[(String, String), ColStats]) {
+        (m, seg) => m ++ segStats(spark, dir, seg, statsCols, snap)
+      }
+      commitOrReclaim(dir, op, segs, live, snap.version, stats)
     }
-    commitOrReclaim(dir, op, segs, live, snap.version, stats)
   }
 
   /** The table's unioned schema (mergeSchema over the live set) — the
@@ -1860,9 +1869,13 @@ object TxLog {
     reclaimOnFailure(dir, cdc.map(_._1)) {
       val newSeg = newSegment(dir, rewritten, applyDefaults = false,
         snapOpt = Some(snap))
-      commitOrReclaim(dir, "update", Seq(newSeg), dirty, snap.version,
-        segStats(spark, dir, newSeg, statsCols, snap),
-        extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1))
+      // the staged segment joins the scope: a segStats/commit failure
+      // must not leak a dir no entry records
+      reclaimOnFailure(dir, Seq(newSeg)) {
+        commitOrReclaim(dir, "update", Seq(newSeg), dirty, snap.version,
+          segStats(spark, dir, newSeg, statsCols, snap),
+          extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1))
+      }
     }
   }
 
@@ -1934,33 +1947,46 @@ object TxLog {
       // dirty-kept rows are a rewrite and must not be back-filled
       val seg = newSegment(dir, newData, applyDefaults = false,
         snapOpt = Some(snap))
-      // CHANGE DATA FEED (when enabled): MERGE decomposes into
-      // update_preimage (matched target rows) + update_postimage
-      // (their replacing update rows) + insert (unmatched updates) —
-      // Delta's CDC classes for MERGE. All-insert merges record the
-      // committed segment BY REFERENCE (it IS the insert set).
-      val cdc =
-        if (!snap.cdfEnabled) Seq.empty
-        else if (dirty.isEmpty) Seq((seg, "insert"))
-        else stageCdc(dir) { buf =>
-          val pre = segScan(spark, dir, snap, dirty, mergeSchema = true)
-            .join(uKeys, Seq(key), "left_semi")
-          buf += writeCdc(dir, pre, "update_preimage", snap)
-          // matched/unmatched update rows, split on the PRE sidecar's
-          // keys (changed-rows-sized, no third dirty-segment scan)
-          val preKeys = applyMapping(
-            spark.read.parquet(s"$dir/${buf.head._1}"), snap)
-            .select(col(key)).distinct()
-          buf += writeCdc(dir, u.join(preKeys, Seq(key), "left_semi"),
-            "update_postimage", snap)
-          val inserts = u.join(preKeys, Seq(key), "left_anti")
-          if (inserts.limit(1).count() > 0)
-            buf += writeCdc(dir, inserts, "insert", snap)
+      // EVERYTHING after the rewrite segment is staged runs inside its
+      // reclaim scope: a cdc job, segStats, or commit failure must not
+      // leak a dirty-set-sized dir that no entry records and no vacuum
+      // can find
+      reclaimOnFailure(dir, Seq(seg)) {
+        // CHANGE DATA FEED (when enabled): MERGE decomposes into
+        // update_preimage (matched target rows) + update_postimage
+        // (their replacing update rows) + insert (unmatched updates) —
+        // Delta's CDC classes for MERGE. All-insert merges record the
+        // committed segment BY REFERENCE (it IS the insert set).
+        val cdc =
+          if (!snap.cdfEnabled) Seq.empty
+          else if (dirty.isEmpty) Seq((seg, "insert"))
+          else stageCdc(dir) { buf =>
+            val pre = segScan(spark, dir, snap, dirty, mergeSchema = true)
+              .join(uKeys, Seq(key), "left_semi")
+            buf += writeCdc(dir, pre, "update_preimage", snap)
+            // matched/unmatched update rows, split on the PRE sidecar's
+            // keys (changed-rows-sized, no third dirty-segment scan)
+            val preKeys = applyMapping(
+              spark.read.parquet(s"$dir/${buf.head._1}"), snap)
+              .select(col(key)).distinct()
+            buf += writeCdc(dir, u.join(preKeys, Seq(key), "left_semi"),
+              "update_postimage", snap)
+            // write the inserts once, then drop the sidecar if it came
+            // out empty (a read-back of the tiny file, not a second
+            // execution of the anti-join just to probe emptiness)
+            val ins = writeCdc(dir, u.join(preKeys, Seq(key), "left_anti"),
+              "insert", snap)
+            if (spark.read.parquet(s"$dir/${ins._1}").limit(1).count() > 0)
+              buf += ins
+            else store(dir).deleteRecursively(s"$dir/${ins._1}")
+          }
+        val sidecars = cdc.collect { case (f, _) if f.startsWith("cdc-") => f }
+        reclaimOnFailure(dir, sidecars) {
+          commitOrReclaim(dir, "merge", Seq(seg), dirty, snap.version,
+            segStats(spark, dir, seg, statsCols, snap),
+            extraLines = cdcLines(cdc), alsoReclaim = sidecars)
         }
-      commitOrReclaim(dir, "merge", Seq(seg), dirty, snap.version,
-        segStats(spark, dir, seg, statsCols, snap),
-        extraLines = cdcLines(cdc),
-        alsoReclaim = cdc.collect { case (f, _) if f.startsWith("cdc-") => f })
+      }
     } finally {
       // staging bytes are referenced by no version — reclaim eagerly
       store(dir).deleteRecursively(s"$dir/$uSeg")
@@ -2389,10 +2415,12 @@ object TxLog {
     reclaimOnFailure(dir, cdc.map(_._1)) {
       val kept = segScan(spark, dir, snap, dirty, mergeSchema = true)
         .filter(not(coalesce(expr(predicate), lit(false))))
-      commitOrReclaim(dir, "delete",
-        Seq(newSegment(dir, kept, applyDefaults = false, snapOpt = Some(snap))),
-        dirty, snap.version, Map.empty,
-        extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1))
+      val seg = newSegment(dir, kept, applyDefaults = false,
+        snapOpt = Some(snap))
+      reclaimOnFailure(dir, Seq(seg)) {
+        commitOrReclaim(dir, "delete", Seq(seg), dirty, snap.version,
+          Map.empty, extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1))
+      }
     }
   }
 
@@ -2704,10 +2732,14 @@ object TxLog {
     *  - `update_preimage` / `update_postimage` — an `update_mor`
     *    commit's tombstoned old images and appended new images.
     *
-    * A merge surfaces as delete+insert pairs (the standard CDC
-    * decomposition when the matched keys aren't re-derived). Cost is
-    * O(new commits' adds + their tombstone coordinates + the dirty
-    * segments' scan) — nothing re-reads the log prefix. */
+    * A MoR merge surfaces as delete+insert pairs (the standard CDC
+    * decomposition when the matched keys aren't re-derived); a CoW
+    * merge under [[enableChangeDataFeed]] records the richer
+    * update_preimage / update_postimage / insert classes in its cdc
+    * sidecars, and every cdc-recording commit's sidecars are emitted
+    * VERBATIM in place of its add set. Cost is O(new commits' adds +
+    * their tombstone coordinates + the dirty segments' scan) — nothing
+    * re-reads the log prefix. */
   def readChangeFeed(spark: SparkSession, dir: String,
                      fromVersion: Int): DataFrame = {
     val data = read(spark, dir, mergeSchema = true).schema
