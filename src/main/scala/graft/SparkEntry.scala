@@ -4040,6 +4040,29 @@ object SparkEntry {
       graft.sources.TxLog.read(s, mvDir).orderBy("o_orderstatus")
     }),
 
+    // ARBITRARY-PREDICATE PRUNED READ — readWhere, the general form of
+    // readPoint/readRange: prunable conjuncts intersect per-segment
+    // stats AND bloom sidecars before any file opens, the full
+    // predicate applies as the exact residual. The require pins the
+    // scale property on the HEAD layout (okey-clustered by OPTIMIZE):
+    // a point conjunct on the cluster key opens at most a couple of
+    // the 8 segments. The read itself runs AS OF v3 (the clean date
+    // slices), where the oracle is a plain relational filter.
+    "table_log_read_where" -> ((s, d) => {
+      val dir = txStatsCache(s, d)
+      val cands = graft.sources.TxLog.triageCandidatesOf(s, dir,
+        "o_orderkey = -1 AND cents >= 0")
+      require(cands.size <= 2 &&
+          cands.size < graft.sources.TxLog.liveSegments(dir).size,
+        s"point conjunct must prune the clustered head layout: $cands")
+      graft.sources.TxLog.readWhere(s, dir,
+          "o_orderdate BETWEEN '1996-01-01' AND '1997-06-30' " +
+            "AND o_orderkey % 2 = 0", asOf = 3)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ROW-LEVEL CHANGE DATA FEED for COPY-ON-WRITE DML — the CDC-file
     // mechanics: with enableChangeDataFeed, delete/update/replaceWhere
     // record their exact changes as cdc sidecars in the same commit
@@ -6453,6 +6476,16 @@ object SparkEntry {
          FROM events
          GROUP BY hour_us, event_type
          ORDER BY hour_us, event_type""",
+    // the pruned arbitrary-predicate read over the pre-merge slices is
+    // a plain relational filter
+    "table_log_read_where" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+         FROM orders
+         WHERE o_orderdate BETWEEN '1996-01-01' AND '1997-06-30'
+           AND o_orderkey % 2 = 0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // every CoW change class replayed relationally: v3 deletes %100=7,
     // v4 updates %100=8 (pre+post), v5 replaces %100=9 (delete+insert)
     "table_log_cdf_cow" ->

@@ -2287,15 +2287,30 @@ object TxLog {
     if (bounds.isEmpty) snap.live
     else snap.live.filterNot { seg =>
       bounds.exists { case (c, kind, alts) =>
-        snap.stats.get((seg, snap.physCol(c))).exists { st =>
-          statComparable(st.typeName, kind) &&
-            // the conjunct is an OR of its ranges: skippable only when
-            // EVERY alternative is excluded; an unparseable probe
-            // (e.g. `long_col = 'abc'`) proves nothing — keep, never throw
-            alts.forall { case (lo, hi) =>
-              try canPrune(Some(st), lo, hi)
-              catch { case _: NumberFormatException => false }
-            }
+        val p = snap.physCol(c)
+        // the conjunct is an OR of its ranges: skippable only when
+        // EVERY alternative is excluded. An alternative is excluded by
+        // RANGE stats (min/max outside it) or — for the point
+        // alternatives equality and IN produce — by a BLOOM sidecar
+        // PROVING the value absent (the readPoint machinery, now
+        // shared by every arbitrary-predicate surface). An unparseable
+        // probe (e.g. `long_col = 'abc'`) proves nothing — keep,
+        // never throw.
+        val st = snap.stats.get((seg, p))
+        val statsOk = st.exists(s0 => statComparable(s0.typeName, kind))
+        alts.nonEmpty && alts.forall { case (lo, hi) =>
+          val byRange = statsOk &&
+            (try canPrune(st, lo, hi)
+             catch { case _: NumberFormatException => false })
+          // same type-family guard as the range compare: a numeric
+          // literal probed against a STRING column's bloom would hash
+          // "5" while the row stored "05" — equal under the
+          // predicate's numeric cast, absent to the bloom: row loss
+          val byBloom = lo.isDefined && lo == hi &&
+            snap.blooms.get((seg, p))
+              .filter(b => statComparable(b.typeName, kind))
+              .flatMap(_.mightContain(lo.get)).contains(false)
+          byRange || byBloom
         }
       }
     }
@@ -2306,6 +2321,32 @@ object TxLog {
   private[graft] def triageCandidatesOf(spark: SparkSession, dir: String,
                                         predicate: String): Seq[String] =
     triageCandidates(state(dir), predicate, spark)
+
+  /** Stats- AND bloom-pruned read for an ARBITRARY SQL predicate — the
+    * general form of [[readPoint]] (one-column equality) and
+    * [[readRange]] (one-column range): prunable conjuncts of the
+    * predicate are intersected with per-segment min/max stats and — for
+    * point probes — Bloom sidecars, so only segments that can possibly
+    * hold a match are opened; the full predicate then applies as the
+    * exact residual filter. Unanalyzable predicates degrade to a full
+    * scan with the filter (never wrong, just unpruned). The same
+    * [[triageCandidates]] machinery the DML triage uses, exposed as
+    * the read path: at 100 TB, `readWhere(t, "day = X AND user = Y")`
+    * touches the segments whose stats intersect X (and whose blooms
+    * admit Y), never the table. */
+  def readWhere(spark: SparkSession, dir: String, predicate: String,
+                asOf: Int = -1, mergeSchema: Boolean = false): DataFrame = {
+    val s = state(dir, asOf)
+    require(s.live.nonEmpty, s"table $dir is empty as of version $asOf")
+    if (asOf >= 0)
+      requireRetained(dir, asOf, s.live.map(segPath(dir, _)))
+    val kept = triageCandidates(s, predicate, spark)
+    val base =
+      if (kept.isEmpty) // schema-preserving empty
+        read(spark, dir, asOf, mergeSchema).limit(0)
+      else segScan(spark, dir, s, kept, mergeSchema)
+    base.filter(expr(predicate))
+  }
 
   /** Per-segment LIVE-row (any-match, all-match) flags for `predicate`,
     * computed by ONE distributed job — not a probe job per segment: at

@@ -178,6 +178,50 @@ class TxLogTriagePruneSpec extends SparkTestBase {
     assert(left == Set(2L, 3L, 4L), s"row 1 must be deleted, got $left")
   }
 
+  test("readWhere prunes like the DML triage and matches the full-scan filter") {
+    val (dir, segOfYear) = slicedTable()
+    val preds = Seq(
+      "day = '1996-06-15' AND id % 2 = 0",
+      "day BETWEEN '1996-01-01' AND '1997-12-31'",
+      "id >= 700 AND id <= 799",
+      "day = '1996-06-15' OR id = 801", // unanalyzable: full-scan fallback
+      "id IN (501, 502, 799)")
+    preds.foreach { p =>
+      val pruned = TxLog.readWhere(spark, dir, p)
+        .select("id").as[Long].collect().sorted.toSeq
+      val full = TxLog.read(spark, dir).filter(p)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(pruned == full, s"readWhere($p) diverged: $pruned vs $full")
+    }
+    // the pruning itself: a one-slice read opens one segment
+    val (_, recs) = countRecordsRead {
+      TxLog.readWhere(spark, dir, "day = '1998-06-15' AND id >= 0").count()
+    }
+    assert(recs <= 8, s"readWhere read $recs records — full scan is back")
+    assert(segOfYear.size == 4) // slices intact
+  }
+
+  test("bloom sidecars prune point probes the range stats cannot") {
+    val dir = freshDir()
+    // interleaved ids: both segments span [1,8] so min/max never
+    // separates them — only the bloom can prove a point absent
+    TxLog.appendWithStats(spark, Seq(1L, 3L, 5L, 7L).map(i => (i, s"a$i"))
+      .toDF("id", "v"), dir, Seq("id"), bloomCols = Seq("id"))
+    TxLog.appendWithStats(spark, Seq(2L, 4L, 6L, 8L).map(i => (i, s"b$i"))
+      .toDF("id", "v"), dir, Seq("id"), bloomCols = Seq("id"))
+    val segs = TxLog.liveSegments(dir)
+    val cands = TxLog.triageCandidatesOf(spark, dir, "id = 5 AND v IS NOT NULL")
+    assert(cands == Seq(segs.head),
+      s"bloom must prune the even segment for id=5: $cands")
+    // and the read is exact
+    assert(TxLog.readWhere(spark, dir, "id = 5").select("v")
+      .as[String].head() == "a5")
+    // a numeric probe against STRING stats/blooms must not prune
+    // (cast-equality '05' = 5 would be lost)
+    val all = TxLog.triageCandidatesOf(spark, dir, "v = 5")
+    assert(all.toSet == segs.toSet, s"type-mismatched bloom pruned: $all")
+  }
+
   test("pruned DML agrees with the unpruned result (no row lost to a false prune)") {
     // same predicate driven through a table WITH stats and one WITHOUT:
     // identical survivors proves pruning only skips provably-clean data
