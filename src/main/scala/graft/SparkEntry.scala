@@ -4132,6 +4132,41 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // OCC LOGICAL CONFLICT RE-CHECK — maintenance liveness under
+    // continuous ingest: a blind append lands IN the window between a
+    // CoW DELETE's snapshot read and its commit (injected via the
+    // one-shot test hook — the deterministic form of the race), and
+    // the delete RE-CLAIMS the next slot with its already-staged
+    // rewrite instead of aborting: the Delta write-serializable rule
+    // that keeps a nightly DML committable against a table whose
+    // appends never pause. Serial order is ⟨delete, append⟩ — appended
+    // rows survive even where they match the predicate — and the
+    // requires pin that the conflict actually happened (the delete's
+    // version lands AFTER the injected append's). The oracle replays
+    // the serial order relationally.
+    "table_log_occ_retry" -> ((s, d) => {
+      val dir = s"/tmp/graft_txocc_${new java.io.File(d).getName}"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val base = o.filter(col("o_orderkey") % 3 === 0)
+      graft.sources.TxLog.appendWithStats(s,
+        base.filter(col("o_orderkey") % 2 === 0), dir, Seq("o_orderkey"))
+      graft.sources.TxLog.appendWithStats(s,
+        base.filter(col("o_orderkey") % 2 === 1), dir, Seq("o_orderkey"))
+      val late = o.filter(col("o_orderkey") % 1000 === 1)
+        .withColumn("cents", col("cents") + 5L)
+      graft.sources.TxLog.testBeforeConditionalCommit.set(() =>
+        graft.sources.TxLog.append(late, dir): Unit)
+      val v = graft.sources.TxLog.delete(s, dir, "o_orderstatus = 'F'")
+      require(v == 3 && graft.sources.TxLog.headVersion(dir) == 3,
+        s"delete must re-claim the slot after the injected append, got $v")
+      graft.sources.TxLog.read(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // STREAMING THROUGH TABLE MAINTENANCE — the safe-by-default
     // contract: the tailed table runs OPTIMIZE and a CoW DELETE
     // mid-history (both rewrites: their add sets re-materialize
@@ -6525,6 +6560,21 @@ object SparkEntry {
                   ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS c
            FROM orders
            WHERE NOT (o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'))
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // serial order ⟨delete, append⟩: the base slice loses its F rows,
+    // the concurrently-appended slice keeps ALL rows (marker +5) —
+    // including its F rows, which landed after the delete's snapshot
+    "table_log_occ_retry" ->
+      """SELECT o_orderstatus, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+         FROM (
+           SELECT o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders
+           WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'F'
+           UNION ALL
+           SELECT o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) + 5 AS c
+           FROM orders WHERE o_orderkey % 1000 = 1)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // skipRewrites delivers exactly the three append commits (0, 1, 4);
     // the optimize/delete rewrites at v2/v3 contribute nothing

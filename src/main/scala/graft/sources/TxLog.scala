@@ -15,10 +15,17 @@ import org.apache.spark.sql.functions._
   *    rename-if-absent on HDFS — see LogStore's strategy matrix).
   *    Appends retry onto the next free slot; snapshot-dependent ops
   *    (delete/overwrite/compact/merge/update/optimize/restore) are
-  *    CONDITIONAL on the head they read and fail with
-  *    ConcurrentModificationException if any commit intervened — the
-  *    Delta protocol's commit-conflict rule, since their remove sets
-  *    would otherwise double-apply.
+  *    CONDITIONAL on the head they read — the Delta protocol's
+  *    commit-conflict rule, since their remove sets would otherwise
+  *    double-apply. On a failed claim the intervening entries are
+  *    LOGICALLY re-checked (Delta's write-serializable conflict
+  *    re-validation): ops that commute with blind appends (DML whose
+  *    remove set no append can touch — delete/update/merge/optimize/
+  *    compact) re-claim the next slot with the same staged segments,
+  *    so continuous ingest cannot starve maintenance; anything else
+  *    intervening (a rewrite, a DV, governance/protocol change) or an
+  *    op that asserts over appended rows too (overwrite/replaceWhere/
+  *    restore) still fails with ConcurrentModificationException.
   *  - READ = load the newest CHECKPOINT at-or-before the target
   *    version and replay only the log TAIL after it (O(interval), not
   *    O(versions)) into the live segment set, then scan exactly those
@@ -214,29 +221,105 @@ object TxLog {
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     NioLogStore.deleteRecursively(p.toString)
 
+  /** Bound on conflict-replay retries of a conditional commit: under
+    * continuous ingest the retry loop re-reads only metadata (one
+    * entry file per intervening commit), but an adversarial append
+    * rate could otherwise spin it forever — after this many re-claims
+    * the op aborts like a true conflict and the caller decides. */
+  private[graft] val MaxCommitRetries = 10
+
+  /** Entry line keys a PURE BLIND APPEND may carry: one or more new
+    * segments plus their skipping metadata (stats/bloom refs) and the
+    * commit framing (op/ts). Anything else — `remove` (a rewrite whose
+    * output our remove set could double-drop), `dv` (tombstones our
+    * rewrite would resurrect), renames/drops/protocol/constraints/
+    * defaults/generated (governance a staged batch was not validated
+    * against), `setcdf`/`cdc`, or any key this client has never seen
+    * (future format) — conservatively CONFLICTS. */
+  private val PureAppendKeys = Set("op", "ts", "add", "stats", "bloom")
+
+  /** True when commit `v`'s entry is a pure blind append, classified
+    * from its RAW lines (content, not op name — a future op that
+    * smuggles a new action kind fails the whitelist instead of
+    * slipping past a name check). Unreadable entry → false (conflict):
+    * an entry we cannot read is one we cannot prove commutes. */
+  private def isPureAppend(dir: String, v: Int): Boolean =
+    try new String(store(dir).readBytes(entryPath(dir, v)), "UTF-8")
+      .linesIterator.filter(_.nonEmpty)
+      .forall(l => PureAppendKeys.contains(l.takeWhile(_ != '=')))
+    catch { case _: java.io.IOException => false }
+
+  /** Test-only injection point: runs ONCE immediately before the first
+    * slot-claim attempt of the next conditional commit, then clears
+    * itself — lets a spec land a concurrent commit inside the
+    * otherwise sub-millisecond window between an op's snapshot read
+    * and its commit, deterministically and in-process. */
+  private[graft] val testBeforeConditionalCommit =
+    new java.util.concurrent.atomic.AtomicReference[Runnable](null)
+
   /** Conditional commit that RECLAIMS the just-written `add` segments
     * on a concurrency conflict — without this, every conflicted
     * optimize/merge/delete of a large table would leak a table-sized
     * set of unreferenced segment dirs that [[vacuum]] (which only sees
-    * entry-recorded segments) could never reclaim. */
+    * entry-recorded segments) could never reclaim.
+    *
+    * `retryPastAppends` adds the Delta protocol's LOGICAL
+    * conflict re-check (write-serializable isolation): when the slot
+    * claim fails, the entries between the op's snapshot and the
+    * current head are replayed, and if EVERY one is a pure blind
+    * append ([[isPureAppend]]) the commit re-claims the next slot with
+    * the SAME staged segments — metadata-only, the rewrite job never
+    * re-runs. Sound because the op's remove set was drawn from its
+    * snapshot's live set, which no append touches, and the result is
+    * exactly the serial order ⟨op, then appends⟩: appended rows
+    * survive a predicate they happen to match, as if inserted after
+    * the DML committed. Ops whose CONTRACT asserts over concurrently
+    * appended rows too (overwrite replaces the whole table,
+    * replaceWhere asserts its frame is fully replaced, restore pins an
+    * exact historical live set) must NOT opt in — for them an
+    * intervening append is a true conflict. Without this, a CoW
+    * delete/update/merge/optimize whose rewrite job outlives the
+    * append cadence of a continuously-ingesting table could never
+    * commit (permanent livelock). */
   private[graft] def commitOrReclaim(dir: String, op: String,
                               add: Seq[String], remove: Seq[String],
                               expectedHead: Int,
                               stats: Map[(String, String), ColStats],
                               blooms: Map[(String, String), BloomStats] = Map.empty,
                               extraLines: Seq[String] = Seq.empty,
-                              alsoReclaim: Seq[String] = Seq.empty): Int =
-    try commit(dir, op, add, remove, Some(expectedHead), stats, blooms,
-      extraLines = extraLines)
-    catch {
-      case e: java.util.ConcurrentModificationException =>
-        // alsoReclaim: staged files the entry references OUTSIDE its
-        // add set (change-feed cdc sidecars) — equally orphaned by a
-        // conflict, equally invisible to vacuum if leaked
-        (add ++ alsoReclaim).foreach(seg =>
-          store(dir).deleteRecursively(s"$dir/$seg"))
-        throw e
+                              alsoReclaim: Seq[String] = Seq.empty,
+                              retryPastAppends: Boolean = false,
+                              dvs: Seq[(String, String, Long)] = Seq.empty,
+                              reclaimAdds: Boolean = true): Int = {
+    Option(testBeforeConditionalCommit.getAndSet(null)).foreach(_.run())
+    var eh = expectedHead
+    var attempts = 0
+    while (true) {
+      try return commit(dir, op, add, remove, Some(eh), stats, blooms,
+        dvs = dvs, extraLines = extraLines)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          val head = headVersion(dir)
+          val commutes = retryPastAppends && attempts < MaxCommitRetries &&
+            head > eh && (eh + 1 to head).forall(v => isPureAppend(dir, v))
+          if (!commutes) {
+            // alsoReclaim: staged files the entry references OUTSIDE
+            // its add set (change-feed cdc / DV sidecars) — equally
+            // orphaned by a conflict, equally invisible to vacuum if
+            // leaked. reclaimAdds=false when the add set re-adds LIVE
+            // segments (dv_coalesce's restore trick) rather than
+            // staging new bytes — deleting those would destroy data a
+            // committed version still references.
+            ((if (reclaimAdds) add else Seq.empty) ++ alsoReclaim)
+              .foreach(seg => store(dir).deleteRecursively(s"$dir/$seg"))
+            throw e
+          }
+          attempts += 1
+          eh = head
+      }
     }
+    -1 // unreachable: the loop returns or throws
+  }
 
   /** Runs `body` (a stats pass + commit tail over just-staged, not yet
     * entry-recorded segments); on failure deletes the staged segment
@@ -1106,16 +1189,17 @@ object TxLog {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
     if (dirty.isEmpty) {
       store(dir).deleteRecursively(s"$dir/$dvName")
-      return commit(dir, "delete_mor", Seq.empty, Seq.empty, Some(snap.version))
+      return commitOrReclaim(dir, "delete_mor", Seq.empty, Seq.empty,
+        snap.version, Map.empty, retryPastAppends = true)
     }
-    try commit(dir, "delete_mor", Seq.empty, Seq.empty, Some(snap.version),
+    // retryPastAppends is sound for MoR too: DV row coordinates are
+    // (file, pos) into snapshot segments, and a pure append never
+    // moves an existing segment — the staged sidecar re-commits as-is
+    commitOrReclaim(dir, "delete_mor", Seq.empty, Seq.empty, snap.version,
+      Map.empty,
       dvs = dirty.map { case (seg, n) => (entryOf.getOrElse(seg, seg), dvName, n) },
-      extraLines = protoBump(snap))
-    catch {
-      case e: java.util.ConcurrentModificationException =>
-        store(dir).deleteRecursively(s"$dir/$dvName")
-        throw e
-    }
+      extraLines = protoBump(snap), alsoReclaim = Seq(dvName),
+      retryPastAppends = true)
   }
 
   /** The segment a scanned row came from: the path component DIRECTLY
@@ -1159,7 +1243,8 @@ object TxLog {
       val dirty = m.groupBy("__seg").agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
       if (dirty.isEmpty)
-        return commit(dir, "update_mor", Seq.empty, Seq.empty, Some(snap.version))
+        return commitOrReclaim(dir, "update_mor", Seq.empty, Seq.empty,
+          snap.version, Map.empty, retryPastAppends = true)
       val dvName = s"dv-${java.util.UUID.randomUUID}"
       m.select(col("__file").as("file"), col("__pos").as("pos"),
           col("__seg").as("seg"))
@@ -1173,11 +1258,16 @@ object TxLog {
       val newSeg = newSegment(dir, newImages, applyDefaults = false,
         snapOpt = Some(snap))
       val entryOf = snap.live.map(n => bareName(n) -> n).toMap
-      try commit(dir, "update_mor", Seq(newSeg), Seq.empty, Some(snap.version),
+      // commitOrReclaim reclaims newSeg+dvName itself on a true
+      // conflict; this catch covers the remaining NonFatal exits
+      // (deleteRecursively is a no-op on an already-reclaimed path)
+      try commitOrReclaim(dir, "update_mor", Seq(newSeg), Seq.empty,
+        snap.version,
         stats = segStats(spark, dir, newSeg, statsCols, snap),
         dvs = dirty.map { case (seg, n) =>
           (entryOf.getOrElse(seg, seg), dvName, n) },
-        extraLines = protoBump(snap))
+        extraLines = protoBump(snap), alsoReclaim = Seq(dvName),
+        retryPastAppends = true)
       catch {
         case scala.util.control.NonFatal(e) =>
           store(dir).deleteRecursively(s"$dir/$dvName")
@@ -1254,17 +1344,32 @@ object TxLog {
               d
             }
           val entryOf = snap.live.map(n => bareName(n) -> n).toMap
-          return Some(commit(dir, op, Seq(uSeg), Seq.empty, Some(snap.version),
-            stats = stats,
-            dvs = dirty.map { case (seg, n) =>
-              (entryOf.getOrElse(seg, seg), dvName.get, n) },
-            extraLines = if (dirty.nonEmpty) protoBump(snap) else Seq.empty))
+          val dvLines = dirty.map { case (seg, n) =>
+            (entryOf.getOrElse(seg, seg), dvName.get, n) }
+          val bump = if (dirty.nonEmpty) protoBump(snap) else Seq.empty
+          // BATCH merge commutes with pure blind appends like every
+          // DML (serial order ⟨merge, appends⟩; the staged DV's
+          // coordinates stay valid — appends move no segment), so it
+          // re-claims through commitOrReclaim. The STREAMING path must
+          // NOT: its dedup contract re-checks streamOps against every
+          // newer head, and a content-classified retry would skip that
+          // re-check (a concurrent duplicate of the same batch id is
+          // itself a pure add — retrying past it double-applies).
+          return Some(
+            if (dedupStreamOp)
+              commit(dir, op, Seq(uSeg), Seq.empty, Some(snap.version),
+                stats = stats, dvs = dvLines, extraLines = bump)
+            else
+              commitOrReclaim(dir, op, Seq(uSeg), Seq.empty, snap.version,
+                stats = stats, dvs = dvLines, extraLines = bump,
+                alsoReclaim = dvName.toSeq, retryPastAppends = true))
         } catch {
           case e: java.util.ConcurrentModificationException =>
             dvName.foreach(n => store(dir).deleteRecursively(s"$dir/$n"))
-            // batch MERGE keeps its documented conflict-loud semantics;
-            // only the STREAMING sink retries (sink liveness under
-            // routine concurrent maintenance — appendStream's contract)
+            // a TRUE batch-merge conflict stays loud (commitOrReclaim
+            // above already reclaimed uSeg + sidecar; these deletes
+            // no-op); the STREAMING sink falls through to its dedup
+            // re-check loop (sink liveness — appendStream's contract)
             if (!dedupStreamOp) throw e
             snap = state(dir)
             if (snap.streamOps.contains(op)) {
@@ -1422,10 +1527,17 @@ object TxLog {
       // stats/blooms need no re-record: the segments stay continuously
       // live, so every checkpoint's live-filter keeps their metadata
       // (unlike restore, which resurrects checkpoint-dropped segments)
-      Some(commit(dir, "dv_coalesce", add = crowded, remove = crowded,
-        expectedHead = Some(snap.version),
+      // retryPastAppends with add==remove==crowded: pure metadata
+      // rearrangement the appends never reference — but the add set
+      // here is LIVE data segments a true conflict must NOT delete
+      // (reclaimAdds = false), so only the merged sidecar reclaims
+      Some(commitOrReclaim(dir, "dv_coalesce",
+        add = crowded, remove = crowded, expectedHead = snap.version,
+        stats = Map.empty,
         dvs = crowded.flatMap(seg =>
-          counts.get(bareName(seg)).map(n => (seg, merged, n)))))
+          counts.get(bareName(seg)).map(n => (seg, merged, n))),
+        alsoReclaim = Seq(merged), reclaimAdds = false,
+        retryPastAppends = true))
     } catch {
       case scala.util.control.NonFatal(e) =>
         store(dir).deleteRecursively(s"$dir/$merged")
@@ -1689,7 +1801,8 @@ object TxLog {
     val counts = matchCountsOn(spark, dir, snap, candidates, rangeCond)
     val dirty = candidates.filter(seg => counts.get(seg).exists(_._1))
     if (dirty.isEmpty)
-      return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap.version))
+      return commitOrReclaim(dir, "delete", Seq.empty, Seq.empty,
+        snap.version, Map.empty, retryPastAppends = true)
     val sdf = segScan(spark, dir, snap, dirty, mergeSchema = true)
     // CHANGE DATA FEED (when enabled): same exact-delete contract as
     // the arbitrary-predicate path — without it a deleteRange commit
@@ -1708,7 +1821,8 @@ object TxLog {
       reclaimOnFailure(dir, Seq(seg)) {
         commitOrReclaim(dir, "delete", Seq(seg), dirty, snap.version,
           segStats(spark, dir, seg, statsCols, snap),
-          extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1))
+          extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1),
+          retryPastAppends = true)
       }
     }
   }
@@ -1794,7 +1908,8 @@ object TxLog {
       val stats = segs.foldLeft(Map.empty[(String, String), ColStats]) {
         (m, seg) => m ++ segStats(spark, dir, seg, statsCols, snap)
       }
-      commitOrReclaim(dir, op, segs, live, snap.version, stats)
+      commitOrReclaim(dir, op, segs, live, snap.version, stats,
+        retryPastAppends = true)
     }
   }
 
@@ -1834,7 +1949,8 @@ object TxLog {
     val counts = matchCounts(spark, dir, snap, predicate)
     val dirty = snap.live.filter(seg => counts.get(seg).exists(_._1))
     if (dirty.isEmpty)
-      return commit(dir, "update", Seq.empty, Seq.empty, Some(snap.version))
+      return commitOrReclaim(dir, "update", Seq.empty, Seq.empty,
+        snap.version, Map.empty, retryPastAppends = true)
     val sdf = segScan(spark, dir, snap, dirty, schema = Some(schema))
     // ONE projection over the original frame: all when()/RHS columns
     // read the pre-update row; a NULL-evaluating predicate keeps the
@@ -1874,7 +1990,8 @@ object TxLog {
       reclaimOnFailure(dir, Seq(newSeg)) {
         commitOrReclaim(dir, "update", Seq(newSeg), dirty, snap.version,
           segStats(spark, dir, newSeg, statsCols, snap),
-          extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1))
+          extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1),
+          retryPastAppends = true)
       }
     }
   }
@@ -1984,7 +2101,8 @@ object TxLog {
         reclaimOnFailure(dir, sidecars) {
           commitOrReclaim(dir, "merge", Seq(seg), dirty, snap.version,
             segStats(spark, dir, seg, statsCols, snap),
-            extraLines = cdcLines(cdc), alsoReclaim = sidecars)
+            extraLines = cdcLines(cdc), alsoReclaim = sidecars,
+            retryPastAppends = true)
         }
       }
     } finally {
@@ -2444,7 +2562,8 @@ object TxLog {
     val counts = matchCounts(spark, dir, snap, predicate)
     val dirty = snap.live.filter(seg => counts.get(seg).exists(_._1))
     if (dirty.isEmpty)
-      return commit(dir, "delete", Seq.empty, Seq.empty, Some(snap.version))
+      return commitOrReclaim(dir, "delete", Seq.empty, Seq.empty,
+        snap.version, Map.empty, retryPastAppends = true)
     // CHANGE DATA FEED (when enabled): the deleted PRE-IMAGES ride in
     // a cdc sidecar recorded by the same commit — exact row-level CDF
     // for copy-on-write deletes, cost ∝ deleted rows
@@ -2460,7 +2579,8 @@ object TxLog {
         snapOpt = Some(snap))
       reclaimOnFailure(dir, Seq(seg)) {
         commitOrReclaim(dir, "delete", Seq(seg), dirty, snap.version,
-          Map.empty, extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1))
+          Map.empty, extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1),
+          retryPastAppends = true)
       }
     }
   }
@@ -2597,7 +2717,7 @@ object TxLog {
     commitOrReclaim(dir, "compact",
       Seq(newSegment(dir, all, applyDefaults = false, snapOpt = Some(snap))),
       snap.live,
-      snap.version, Map.empty)
+      snap.version, Map.empty, retryPastAppends = true)
   }
 
   /** Incremental read: ONLY the segments commit `version` ADDED — the
@@ -3206,6 +3326,13 @@ object TxLog {
   /** DESCRIBE HISTORY: one row per commit — (version, op, n_added,
     * n_removed) — from log metadata alone (intrinsically a full-log
     * read: the audit surface is per-commit by definition). */
+  /** Every segment reference ANY entry ever added (live or superseded)
+    * — vacuum's visibility set; also the test surface for "conflicted
+    * staging was reclaimed, no orphans" assertions. Full log replay by
+    * definition, like [[history]]. */
+  private[graft] def allAddedSegments(dir: String): Seq[String] =
+    entries(dir).flatMap(_.add).distinct
+
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     entries(dir)
