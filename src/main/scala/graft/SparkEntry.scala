@@ -4132,6 +4132,42 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // DSv2 TXLOG BATCH READ — plan-integrated pruning: a plain
+    // `spark.read.format("txlog")` with DataFrame filters (no
+    // readWhere string routing) pushes the predicate into the scan
+    // builder, which stats-prunes segments through the shared triage
+    // and delegates execution to Spark's own vectorized parquet scan
+    // over the survivors (filters re-pushed for row-group skipping,
+    // projection pruned). Four date-sliced stats-recorded segments; the
+    // require pins that the one-slice filter planned a scan over
+    // exactly ONE segment directory (the 100x property: query cost ∝
+    // slice). The oracle filters relationally.
+    "scan_txlog_dsv2" -> ((s, d) => {
+      val dir = s"/tmp/graft_txdsv2_${new java.io.File(d).getName}"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      Seq(("1992-01-01", "1994-12-31"), ("1995-01-01", "1996-12-31"),
+          ("1997-01-01", "1998-12-31"), ("1999-01-01", "2001-12-31"))
+        .foreach { case (lo, hi) =>
+          graft.sources.TxLog.appendWithStats(s,
+            o.filter(col("day").between(lo, hi)), dir, Seq("day")) }
+      val q = s.read.format("txlog").load(dir)
+        .filter(col("day").between("1995-01-01", "1996-12-31"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+      // one segment dir in the planned scan = segment pruning reached
+      // the plan (not just the readWhere API)
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .flatMap(l => "seg-[0-9a-f-]+".r.findAllIn(l.toString))
+        .distinct
+      require(scanned.size == 1,
+        s"one-slice DSv2 filter must plan exactly one segment, got $scanned")
+      q
+    }),
+
     // OCC LOGICAL CONFLICT RE-CHECK — maintenance liveness under
     // continuous ingest: a blind append lands IN the window between a
     // CoW DELETE's snapshot read and its commit (injected via the
@@ -6560,6 +6596,14 @@ object SparkEntry {
                   ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS c
            FROM orders
            WHERE NOT (o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'))
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the pushed two-year slice, aggregated relationally
+    "scan_txlog_dsv2" ->
+      """SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+         FROM orders
+         WHERE o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // serial order ⟨delete, append⟩: the base slice loses its F rows,
     // the concurrently-appended slice keeps ALL rows (marker +5) —

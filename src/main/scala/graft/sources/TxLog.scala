@@ -2307,12 +2307,26 @@ object TxLog {
     * silent row loss, so every unprovable pairing is rejected. */
   private[graft] def prunableConjuncts(spark: SparkSession, predicate: String
                                       ): Seq[(String, String, Seq[(Option[String], Option[String])])] = {
-    import org.apache.spark.sql.catalyst.{expressions => ce}
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.types._
     val parsed =
       try spark.sessionState.sqlParser.parseExpression(predicate)
       catch { case scala.util.control.NonFatal(_) => return Seq.empty }
+    conjunctBoundsOf(Seq(parsed))
+  }
+
+  /** The conjunct-bounds walker shared by the string-predicate surface
+    * ([[prunableConjuncts]], which parses to the UNRESOLVED form) and
+    * the DSv2 pushdown surface (which hands the optimizer's RESOLVED
+    * expressions straight in — AttributeReference instead of
+    * UnresolvedAttribute, internal literal values like UTF8String,
+    * whose toString is the same cast-to-string domain the stats
+    * recorded). Anything unrecognized contributes no bound —
+    * strictly conservative. */
+  private[graft] def conjunctBoundsOf(
+      predicates: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+      ): Seq[(String, String, Seq[(Option[String], Option[String])])] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types._
     def split(e: ce.Expression): Seq[ce.Expression] = e match {
       case ce.And(a, b) => split(a) ++ split(b)
       // the parser leaves BETWEEN unresolved ('between(col, lo, hi) —
@@ -2332,6 +2346,7 @@ object TxLog {
     def attr(e: ce.Expression): Option[String] = e match {
       case a: UnresolvedAttribute if a.nameParts.size == 1 =>
         Some(a.nameParts.head)
+      case a: ce.AttributeReference => Some(a.name)
       case _ => None
     }
     // literal kind: N = numeric (compares exactly against numeric stat
@@ -2355,7 +2370,7 @@ object TxLog {
             flip: String => (Option[String], Option[String])): Option[Conj] =
       attr(a).flatMap(c => lit(b).map { case (v, k) => (c, k, Seq(mk(v))) })
         .orElse(attr(b).flatMap(c => lit(a).map { case (v, k) => (c, k, Seq(flip(v))) }))
-    val conjuncts: Seq[Conj] = split(parsed).flatMap {
+    val conjuncts: Seq[Conj] = predicates.flatMap(split).flatMap {
       case ce.EqualTo(a, b) =>
         cmp(a, b, v => (Some(v), Some(v)), v => (Some(v), Some(v)))
       case ce.GreaterThan(a, b) => // col > v | v > col ≡ col < v
@@ -2400,8 +2415,15 @@ object TxLog {
     * handful of segments whose [min,max] intersect the slice instead
     * of reading the predicate columns of EVERY live row. */
   private def triageCandidates(snap: State, predicate: String,
-                               spark: SparkSession): Seq[String] = {
-    val bounds = prunableConjuncts(spark, predicate)
+                               spark: SparkSession): Seq[String] =
+    triageByBounds(snap, prunableConjuncts(spark, predicate))
+
+  /** [[triageCandidates]] over already-extracted conjunct bounds — the
+    * form the DSv2 pushdown path calls with the optimizer's resolved
+    * expressions run through [[conjunctBoundsOf]]. */
+  private def triageByBounds(snap: State,
+      bounds: Seq[(String, String, Seq[(Option[String], Option[String])])]
+      ): Seq[String] = {
     if (bounds.isEmpty) snap.live
     else snap.live.filterNot { seg =>
       bounds.exists { case (c, kind, alts) =>
@@ -2452,6 +2474,37 @@ object TxLog {
     * the read path: at 100 TB, `readWhere(t, "day = X AND user = Y")`
     * touches the segments whose stats intersect X (and whose blooms
     * admit Y), never the table. */
+  /** Snapshot surface for the DSv2 batch connector
+    * (`spark.read.format("txlog")`): the merged table schema plus the
+    * live segment PATHS surviving stats+bloom pruning for the
+    * optimizer's resolved filter `exprs` — the same triage every other
+    * arbitrary-predicate surface uses, so a pushed `day = X` filter
+    * opens only X's segments. Fails LOUD on table features a plain
+    * parquet delegate cannot express — deletion vectors (scanning the
+    * base bytes would resurrect tombstoned rows) and column mapping /
+    * drops (physical names would leak) — pointing at [[read]] /
+    * [[readWhere]], which handle them; silent wrong rows are never an
+    * option. */
+  private[graft] def dsv2ScanInfo(spark: SparkSession, dir: String, asOf: Int,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+      ): Seq[String] = {
+    val snap = state(dir, asOf)
+    require(snap.live.nonEmpty, s"table $dir is empty as of version $asOf")
+    if (asOf >= 0)
+      requireRetained(dir, asOf, snap.live.map(segPath(dir, _)))
+    if (snap.dvs.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"txlog table $dir carries deletion vectors; the parquet-delegate " +
+          "DSv2 scan would resurrect tombstoned rows — read it through " +
+          "TxLog.read/readWhere (DV-applying), or OPTIMIZE to materialize")
+    if (snap.renames.nonEmpty || snap.dropped.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"txlog table $dir uses column mapping (renames/drops); the " +
+          "DSv2 scan would surface physical names — read it through " +
+          "TxLog.read/readWhere, which apply the mapping")
+    triageByBounds(snap, conjunctBoundsOf(exprs)).map(segPath(dir, _))
+  }
+
   def readWhere(spark: SparkSession, dir: String, predicate: String,
                 asOf: Int = -1, mergeSchema: Boolean = false): DataFrame = {
     val s = state(dir, asOf)

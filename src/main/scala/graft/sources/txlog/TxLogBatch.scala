@@ -1,0 +1,99 @@
+package graft.sources.txlog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.graftshim.{CatalystPushdownScanBuilder, ParquetDelegate}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.TxLog
+
+/** DSv2 BATCH read half of the `txlog` format —
+  * `spark.read.format("txlog").load(dir)` (and SQL over a view of it)
+  * with PLAN-INTEGRATED segment pruning: the optimizer pushes the
+  * query's resolved filters into [[TxLogScanBuilder]], which routes
+  * them through the same stats+bloom triage every other
+  * arbitrary-predicate surface uses ([[TxLog.dsv2ScanInfo]] →
+  * `triageByBounds`), so a `WHERE day = X` opens only X's segments —
+  * no `readWhere` string routing needed. The scan itself DELEGATES to
+  * Spark's own vectorized v2 parquet scan over the surviving segment
+  * paths ([[ParquetDelegate.scan]]), with the filters re-pushed
+  * (row-group/page skipping) and columns pruned — execution is exactly
+  * a native parquet read of what survived, nothing reimplemented.
+  *
+  * Pruning is strictly CONSERVATIVE: every filter is also returned as
+  * residual, so Spark re-applies it above the scan (the
+  * FileScanBuilder contract) — a pruned segment is provably matchless,
+  * a kept one is re-filtered exactly. Tables whose snapshot a plain
+  * parquet delegate cannot express fail LOUD at scan build (deletion
+  * vectors would resurrect tombstoned rows; column mapping would leak
+  * physical names) with a pointer at [[TxLog.read]]/readWhere.
+  * `option("asOf", v)` time-travels with the usual retention check. */
+class TxLogTable(dir: String, asOf: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"txlog($dir)"
+  /** LAZY head/asOf logical schema (mapping-applied, evolution-merged
+    * — the same resolution the streaming half uses): the streaming
+    * fallback probe constructs this Table but consumes only
+    * capabilities, so the replay+footer cost must not run until the
+    * BATCH path actually asks. Loud on an empty/missing table. */
+  private lazy val schema0: StructType =
+    TxLog.read(SparkSession.active, dir, asOf, mergeSchema = true).schema
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    // BATCH_READ only: streaming stays on the spec-pinned v1
+    // Source/Sink halves (DataStreamReader falls back to them when the
+    // table declares no MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TxLogScanBuilder(SparkSession.active, dir, asOf, schema0)
+}
+
+class TxLogScanBuilder(spark: SparkSession, dir: String, asOf: Int,
+                       schema0: StructType)
+    extends CatalystPushdownScanBuilder {
+  private var exprs: Seq[Expression] = Nil
+  private var required: Option[StructType] = None
+
+  /** Keep the resolved filters for segment triage and the delegate's
+    * parquet pushdown; return ALL of them as residual — Spark
+    * re-applies them above the scan, so the triage can only ever skip
+    * provably matchless segments. */
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    exprs = filters
+    filters
+  }
+
+  /** Plan metadata only (the residual contract above already keeps
+    * correctness); the delegate scan node's own PushedFilters show the
+    * parquet-level pushdown in explain. */
+  override def pushedFilters: Array[Predicate] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def build(): Scan = {
+    val paths = TxLog.dsv2ScanInfo(spark, dir, asOf, exprs)
+    if (paths.isEmpty) new TxLogEmptyScan(required.getOrElse(schema0))
+    else ParquetDelegate.scan(spark, paths, schema0, exprs, required)
+  }
+}
+
+/** Every segment pruned: a zero-partition scan carrying the pruned
+  * schema (the planner still resolves the relation's output from it).
+  * The reader factory is unreachable by construction — zero
+  * partitions — and throws rather than fabricate rows. */
+class TxLogEmptyScan(schema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = Array.empty
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        throw new IllegalStateException("empty txlog scan has no partitions")
+    }
+}

@@ -77,8 +77,47 @@ import graft.sources.TxLog
   * names against the construction-time schema; the fix is restarting
   * the query, which re-resolves the merged schema. */
 class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
+    with org.apache.spark.sql.connector.catalog.TableProvider
     with DataSourceRegister {
   override def shortName(): String = "txlog"
+
+  // ---- DSv2 BATCH half ([[TxLogBatch]]): spark.read.format("txlog").
+  // The table declares BATCH_READ only, so readStream/writeStream fall
+  // back to the v1 Source/Sink halves below unchanged.
+
+  /** Deliberately EMPTY: the real schema resolves lazily in
+    * [[TxLogTable.schema]]. Both readStream and DataStreamWriter.start
+    * probe getTableFromProvider (which always calls inferSchema)
+    * before falling back to the v1 Source/Sink halves — and that probe
+    * consumes ONLY capabilities, never the schema — so resolving here
+    * would charge every stream start/restart one head-state replay +
+    * live-footer read for nothing, and would break sinks, which
+    * legitimately start on tables that do not exist yet. The batch
+    * read path reads Table.schema() lazily and gets the full loud
+    * resolution there. */
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap
+      ): StructType = new StructType()
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]
+      ): org.apache.spark.sql.connector.catalog.Table = {
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
+    new TxLogTable(batchDir(opts), asOfOf(opts))
+  }
+
+  private def batchDir(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "txlog batch read requires a single table dir — " +
+        "spark.read.format(\"txlog\").load(dir)"))
+
+  private def asOfOf(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Int =
+    Option(options.get("asOf")).map(v => v.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"option asOf must be an integer version, got '$v'"))).getOrElse(-1)
 
   private def dirOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
