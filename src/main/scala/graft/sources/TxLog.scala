@@ -1680,16 +1680,37 @@ object TxLog {
                  asOf: Int = -1): (Seq[String], Seq[String]) =
     prunePointIn(state(dir, asOf), c, value)
 
+  /** Cap on segments whose BLOOM sidecars one driver-side prune will
+    * load: range stats are in-memory log metadata (free to consult at
+    * any segment count), but each bloom probe lazily reads one sidecar
+    * FILE on the driver — uncapped, a point probe on a 100k-segment
+    * table whose ranges don't discriminate would serialize 100k
+    * metadata fetches before any job launches. So pruning runs range
+    * stats FIRST over everything, then probes blooms only when the
+    * range survivors fit the cap — strictly conservative (skipping
+    * blooms only KEEPS segments), and blooms still fire exactly where
+    * they matter: once the field is narrow enough that per-sidecar
+    * cost is bounded, or on high-cardinality keys whose ranges never
+    * discriminate but whose table is not pathologically wide.
+    * Overridable via system property (tests pin both sides). */
+  private[graft] def bloomProbeCap: Int =
+    Integer.getInteger("graft.txlog.bloomProbeCap", 256)
+
   private def prunePointIn(s: State, c: String,
-                           value: String): (Seq[String], Seq[String]) =
-    s.live.partition { seg =>
-      val p = s.physCol(c)
-      // None (no bloom / unnormalizable probe / missing sidecar) keeps
-      val bloomKeeps = s.blooms.get((seg, p))
-        .flatMap(_.mightContain(value)).getOrElse(true)
-      val rangeKeeps = !canPrune(s.stats.get((seg, p)), Some(value), Some(value))
-      bloomKeeps && rangeKeeps
+                           value: String): (Seq[String], Seq[String]) = {
+    val p = s.physCol(c)
+    val (rangeKept, rangePruned) = s.live.partition { seg =>
+      !canPrune(s.stats.get((seg, p)), Some(value), Some(value))
     }
+    if (rangeKept.size > bloomProbeCap) (rangeKept, rangePruned)
+    else {
+      val (kept, bloomPruned) = rangeKept.partition { seg =>
+        // None (no bloom / unnormalizable probe / missing sidecar) keeps
+        s.blooms.get((seg, p)).flatMap(_.mightContain(value)).getOrElse(true)
+      }
+      (kept, rangePruned ++ bloomPruned)
+    }
+  }
 
   /** Bloom/stats-pruned point lookup: scans ONLY segments that may
     * contain `col = value`. The 100 TB needle-in-haystack path: a key
@@ -2424,18 +2445,17 @@ object TxLog {
   private def triageByBounds(snap: State,
       bounds: Seq[(String, String, Seq[(Option[String], Option[String])])]
       ): Seq[String] = {
-    if (bounds.isEmpty) snap.live
-    else snap.live.filterNot { seg =>
+    if (bounds.isEmpty) return snap.live
+    // the conjunct is an OR of its ranges: skippable only when EVERY
+    // alternative is excluded. An alternative is excluded by RANGE
+    // stats (min/max outside it) or — for the point alternatives
+    // equality and IN produce — by a BLOOM sidecar PROVING the value
+    // absent (the readPoint machinery, now shared by every
+    // arbitrary-predicate surface). An unparseable probe (e.g.
+    // `long_col = 'abc'`) proves nothing — keep, never throw.
+    def excluded(seg: String, useBlooms: Boolean): Boolean =
       bounds.exists { case (c, kind, alts) =>
         val p = snap.physCol(c)
-        // the conjunct is an OR of its ranges: skippable only when
-        // EVERY alternative is excluded. An alternative is excluded by
-        // RANGE stats (min/max outside it) or — for the point
-        // alternatives equality and IN produce — by a BLOOM sidecar
-        // PROVING the value absent (the readPoint machinery, now
-        // shared by every arbitrary-predicate surface). An unparseable
-        // probe (e.g. `long_col = 'abc'`) proves nothing — keep,
-        // never throw.
         val st = snap.stats.get((seg, p))
         val statsOk = st.exists(s0 => statComparable(s0.typeName, kind))
         alts.nonEmpty && alts.forall { case (lo, hi) =>
@@ -2446,14 +2466,20 @@ object TxLog {
           // literal probed against a STRING column's bloom would hash
           // "5" while the row stored "05" — equal under the
           // predicate's numeric cast, absent to the bloom: row loss
-          val byBloom = lo.isDefined && lo == hi &&
+          def byBloom = useBlooms && lo.isDefined && lo == hi &&
             snap.blooms.get((seg, p))
               .filter(b => statComparable(b.typeName, kind))
               .flatMap(_.mightContain(lo.get)).contains(false)
           byRange || byBloom
         }
       }
-    }
+    // range phase over everything (in-memory metadata), bloom phase
+    // only when the survivors fit [[bloomProbeCap]] — each bloom probe
+    // is a driver-side sidecar FILE read, unbounded in segment count
+    // without the cap; skipping only ever KEEPS segments
+    val rangeKept = snap.live.filterNot(seg => excluded(seg, useBlooms = false))
+    if (rangeKept.size > bloomProbeCap) rangeKept
+    else rangeKept.filterNot(seg => excluded(seg, useBlooms = true))
   }
 
   /** Test hook: the segment subset an arbitrary-predicate DML triage

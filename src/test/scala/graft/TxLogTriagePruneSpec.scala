@@ -246,4 +246,43 @@ class TxLogTriagePruneSpec extends SparkTestBase {
     assert(sa == sb, "pruned and unpruned deletes diverged")
     assert(sa.count(_._2.isEmpty) == 4, "NULL-day rows must all survive")
   }
+
+  test("bloom probing is capped: past the cap the bloom phase is skipped, never wrong") {
+    // 6 segments whose id RANGES all overlap (1..100) so range stats
+    // discriminate nothing; each holds one distinct key bloom can prove
+    val dir = freshDir()
+    (0 until 6).foreach { i =>
+      TxLog.appendWithStats(spark,
+        Seq((1L, s"lo$i"), (10L + i, s"mid$i"), (100L, s"hi$i"))
+          .toDF("id", "v"), dir, Seq("id"), bloomCols = Seq("id"))
+    }
+    val probe = "id = 12" // lives in exactly segment i=2
+    def withCap[T](cap: Int)(body: => T): T = {
+      System.setProperty("graft.txlog.bloomProbeCap", cap.toString)
+      try body finally System.clearProperty("graft.txlog.bloomProbeCap")
+    }
+    // under the cap: blooms prune to the single holder, and the probe
+    // paid one sidecar read per range survivor (observable in metaReads)
+    val before = graft.sources.LogStore.metaReads.get()
+    val pruned = withCap(6)(TxLog.triageCandidatesOf(spark, dir, probe))
+    val readsUncapped = graft.sources.LogStore.metaReads.get() - before
+    assert(pruned.size == 1, s"blooms must isolate the holder: $pruned")
+    // past the cap: bloom phase skipped — every range survivor kept
+    // (conservative), and the sidecar reads are gone
+    val b2 = graft.sources.LogStore.metaReads.get()
+    val capped = withCap(5)(TxLog.triageCandidatesOf(spark, dir, probe))
+    val readsCapped = graft.sources.LogStore.metaReads.get() - b2
+    assert(capped.size == 6, s"capped triage must keep all: $capped")
+    assert(readsUncapped - readsCapped >= 6,
+      s"cap must drop the per-segment sidecar loads: " +
+        s"uncapped=$readsUncapped capped=$readsCapped")
+    // both answers drive the same exact result (kept set only widens)
+    assert(TxLog.readWhere(spark, dir, probe).select("v")
+      .as[String].collect().toSeq == Seq("mid2"))
+    // prunePoint honors the same cap
+    val (keptU, _) = withCap(6)(TxLog.prunePoint(dir, "id", "12"))
+    val (keptC, _) = withCap(5)(TxLog.prunePoint(dir, "id", "12"))
+    assert(keptU.size == 1 && keptC.size == 6,
+      s"prunePoint cap: uncapped=$keptU capped=$keptC")
+  }
 }
