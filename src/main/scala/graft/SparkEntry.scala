@@ -4206,12 +4206,15 @@ object SparkEntry {
     // STREAMING THROUGH TABLE MAINTENANCE — the safe-by-default
     // contract: the tailed table runs OPTIMIZE and a CoW DELETE
     // mid-history (both rewrites: their add sets re-materialize
-    // already-streamed rows), a default stream FAILS LOUD on the first
-    // one (pinned by the require), and skipRewrites=true advances past
-    // both rowlessly while appends keep flowing — so a nightly
-    // maintenance window cannot double-count a 100 TB table through
-    // every downstream consumer. Delivered rows = the three append
-    // commits, exactly once; the oracle recomputes them relationally.
+    // already-streamed rows). A default stream advances past the
+    // OPTIMIZE rowlessly (provably row-neutral rearrangement — a
+    // nightly OPTIMIZE must not kill every tailing consumer) but FAILS
+    // LOUD on the content-changing DELETE (pinned by the require), and
+    // skipRewrites=true advances past both rowlessly while appends
+    // keep flowing — so a maintenance window cannot double-count a
+    // 100 TB table through every downstream consumer. Delivered rows =
+    // the three append commits, exactly once; the oracle recomputes
+    // them relationally.
     "stream_txlog_maintain" -> ((s, d) => withStreamPartitions(s) {
       val dir = s"/tmp/graft_txmaint_${new java.io.File(d).getName}"
       graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)

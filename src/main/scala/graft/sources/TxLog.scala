@@ -321,6 +321,35 @@ object TxLog {
     -1 // unreachable: the loop returns or throws
   }
 
+  /** Expression classes whose value can differ across two executions
+    * of the same query — the current-time family is catalyst-
+    * "deterministic" (folded once PER ACTION) but CDF recording runs
+    * the rewrite and the sidecar as SEPARATE actions. */
+  private val PerActionExprs = Set("CurrentTimestamp", "Now", "CurrentDate",
+    "LocalTimestamp", "CurrentTime", "CurrentTimeZone")
+
+  /** Reject predicate/SET expressions whose value can differ between
+    * the committed rewrite and the cdc sidecar's own evaluation
+    * (rand()/uuid() are catalyst-nondeterministic; current_timestamp()
+    * re-folds per action): under enableChangeDataFeed the sidecar
+    * must record exactly the rows the table holds, and a second
+    * evaluation of such an expression records a DIFFERENT answer —
+    * silent feed corruption. Delta likewise rejects nondeterministic
+    * expressions in DML. Without CDF the sidecar doesn't exist and
+    * the single committed evaluation stands — unaffected. */
+  private def requireCdfDeterministic(df: DataFrame,
+                                      exprsByRole: Map[String, String]): Unit =
+    exprsByRole.foreach { case (role, e) =>
+      val analyzed = df.selectExpr(e).queryExecution.analyzed
+      val bad = analyzed.expressions.exists(_.exists(x =>
+        !x.deterministic || PerActionExprs(x.getClass.getSimpleName)))
+      if (bad) throw new UnsupportedOperationException(
+        s"$role [$e] under enableChangeDataFeed is nondeterministic or " +
+          "time-dependent: the change-feed sidecar would re-evaluate it " +
+          "and record rows that differ from the committed table — " +
+          "precompute the value into a literal, or run the op without CDF")
+    }
+
   /** Runs `body` (a stats pass + commit tail over just-staged, not yet
     * entry-recorded segments); on failure deletes the staged segment
     * dirs — the non-conflict analogue of [[commitOrReclaim]]'s reclaim
@@ -1991,6 +2020,9 @@ object TxLog {
     val cdc =
       if (!snap.cdfEnabled) Seq.empty
       else stageCdc(dir) { buf =>
+        requireCdfDeterministic(sdf,
+          setExprs.map { case (c, e) => s"SET $c" -> e } +
+            ("UPDATE predicate" -> predicate))
         val pre = sdf.filter(coalesce(expr(predicate), lit(false)))
         buf += writeCdc(dir, pre, "update_preimage", snap)
         val preBack = applyMapping(
@@ -2648,9 +2680,13 @@ object TxLog {
     // for copy-on-write deletes, cost ∝ deleted rows
     val cdc =
       if (!snap.cdfEnabled) Seq.empty
-      else Seq(writeCdc(dir, segScan(spark, dir, snap, dirty,
-        mergeSchema = true).filter(coalesce(expr(predicate), lit(false))),
-        "delete", snap))
+      else {
+        val scan = segScan(spark, dir, snap, dirty, mergeSchema = true)
+        requireCdfDeterministic(scan, Map("DELETE predicate" -> predicate))
+        Seq(writeCdc(dir,
+          scan.filter(coalesce(expr(predicate), lit(false))),
+          "delete", snap))
+      }
     reclaimOnFailure(dir, cdc.map(_._1)) {
       val kept = segScan(spark, dir, snap, dirty, mergeSchema = true)
         .filter(not(coalesce(expr(predicate), lit(false))))
@@ -2701,10 +2737,14 @@ object TxLog {
       // ride in a cdc sidecar (cost ∝ replaced rows); the incoming
       // frame's inserts are recorded by REFERENCE to its own staged
       // segment below — no second copy of the new data
-      if (snap.cdfEnabled && withMatch.nonEmpty)
-        cdc += writeCdc(dir, segScan(spark, dir, snap, withMatch,
-          mergeSchema = true).filter(coalesce(expr(predicate), lit(false))),
+      if (snap.cdfEnabled && withMatch.nonEmpty) {
+        val scan = segScan(spark, dir, snap, withMatch, mergeSchema = true)
+        requireCdfDeterministic(scan,
+          Map("replaceWhere predicate" -> predicate))
+        cdc += writeCdc(dir,
+          scan.filter(coalesce(expr(predicate), lit(false))),
           "delete", snap)
+      }
       if (straddling.nonEmpty)
         // the kept rows are those where the predicate is NOT TRUE —
         // `NOT(pred)` alone would silently DROP a NULL-evaluating row
@@ -2964,7 +3004,11 @@ object TxLog {
     *    (content-changing rewrites surface their output op-tagged, as
     *    in readChangesSince — the append-only-consumer contract; PURE
     *    REARRANGEMENTS ([[RearrangeOps]]: optimize/compact/localize/
-    *    dv_coalesce) change no row and emit NOTHING);
+    *    dv_coalesce) change no row and emit NOTHING; on a CDF-ENABLED
+    *    table a range reaching back over an UNRECORDED content rewrite
+    *    fails typed unless `coarseRewrites=true` — mixing exact cdc
+    *    rows with rewrite output in one result would feed phantom
+    *    inserts);
     *  - `delete` — the PRE-IMAGES of rows tombstoned by a
     *    `delete_mor`/`merge_mor` deletion vector, resolved by joining
     *    the sidecar's (file, pos) coordinates back to the — still
@@ -2981,9 +3025,11 @@ object TxLog {
     * their tombstone coordinates + the dirty segments' scan) — nothing
     * re-reads the log prefix. */
   def readChangeFeed(spark: SparkSession, dir: String,
-                     fromVersion: Int): DataFrame = {
+                     fromVersion: Int,
+                     coarseRewrites: Boolean = false): DataFrame = {
     val data = read(spark, dir, mergeSchema = true).schema
-    changeFeedSlice(spark, dir, fromVersion + 1, headVersion(dir), data)
+    changeFeedSlice(spark, dir, fromVersion + 1, headVersion(dir), data,
+        coarseRewrites)
       .getOrElse(read(spark, dir, mergeSchema = true).limit(0)
         .withColumn("_commit_version", lit(0L))
         .withColumn("_commit_op", lit(""))
@@ -3009,7 +3055,8 @@ object TxLog {
     * prefix, which is what keeps tailing a 100 TB table's changes
     * proportional to the changes. */
   def changeFeedSlice(spark: SparkSession, dir: String, from: Int, to: Int,
-                      data: org.apache.spark.sql.types.StructType
+                      data: org.apache.spark.sql.types.StructType,
+                      coarseRewrites: Boolean = false
                      ): Option[DataFrame] = {
     val st = store(dir)
     // `data` carries LOGICAL labels; segment bytes carry PHYSICAL names
@@ -3030,6 +3077,32 @@ object TxLog {
       // versions ago (Delta's CDF likewise emits nothing for OPTIMIZE)
       .filterNot(e => RearrangeOps(e.op))
       .toSeq
+    // MIXED-EXACTNESS guard: on a CDF-ENABLED table, a range that
+    // reaches back over a content-changing rewrite with NO recorded
+    // row-level changes (a CoW DML committed before
+    // enableChangeDataFeed, or a restore — ops whose add set is
+    // rewrite OUTPUT, kept rows included) would silently mix exact cdc
+    // rows with coarse op-tagged output in ONE result, and a consumer
+    // ingests the rewrite output as phantom inserts. Fail typed by
+    // default (the reference likewise refuses CDF reads over
+    // pre-enablement ranges); `coarseRewrites=true` opts into the
+    // op-tagged degradation. Tables that never enabled CDF keep the
+    // documented op-tagged contract unchanged — no exact rows exist to
+    // mix with.
+    if (!coarseRewrites && hs.cdfEnabled) {
+      newer.find(e => e.cdc.isEmpty && e.add.nonEmpty && e.remove.nonEmpty)
+        .foreach { e =>
+          throw new IllegalStateException(
+            s"change feed over $dir versions [$from, $to]: commit " +
+              s"${e.version} (op=${e.op}) is a content-changing rewrite " +
+              "with no recorded row-level changes (committed before " +
+              "enableChangeDataFeed, or an op that records none) — its " +
+              "add set is rewrite output, and emitting it would feed " +
+              "phantom inserts to a change consumer. Start the feed at " +
+              s"fromVersion >= ${e.version}, or pass coarseRewrites=true " +
+              "to accept op-tagged rewrite output for such commits.")
+        }
+    }
     def tagged(df: DataFrame, v: Int, op: String, ct: String): DataFrame =
       relabel(df).withColumn("_commit_version", lit(v.toLong))
         .withColumn("_commit_op", lit(op))

@@ -189,7 +189,8 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
         "resolves row-level changes and already emits nothing for pure " +
         "rearrangement commits")
     new TxLogSource(ctx, dir, floor, cap, dataSchemaOf(ctx, dir),
-      changeFeed = cdfOf(parameters), skipRewrites = skipRewrites)
+      changeFeed = cdfOf(parameters), skipRewrites = skipRewrites,
+      failOnDataLoss = boolOpt(parameters, "failOnDataLoss"))
   }
 
   /** The SINK half — `df.writeStream.format("txlog").option("path",
@@ -388,7 +389,8 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
                                  maxCommitsPerTrigger: Option[Int],
                                  data: StructType,
                                  changeFeed: Boolean = false,
-                                 skipRewrites: Boolean = false)
+                                 skipRewrites: Boolean = false,
+                                 failOnDataLoss: Boolean = false)
     extends Source with SupportsTriggerAvailableNow {
   private val spark = ctx.sparkSession
   override val schema: StructType = StructType(data ++
@@ -434,7 +436,17 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
     }
   }
 
-  override def commit(end: Offset): Unit = noteProgress(ver(end))
+  /** Highest END version the ENGINE has committed through THIS source
+    * instance — `Long.MinValue` = unknown (fresh/restarted instance).
+    * Feeds `failOnDataLoss`: a range strictly newer than a KNOWN
+    * committed ceiling cannot be a restart re-plan, so plan-time
+    * failure there is safe; with the ceiling unknown the check stays
+    * lazy (the no-wedge restart posture). */
+  @volatile private var committedCeiling: Long = Long.MinValue
+  override def commit(end: Offset): Unit = {
+    noteProgress(ver(end))
+    if (ver(end) > committedCeiling) committedCeiling = ver(end)
+  }
 
   // ---- admission control the ENGINE understands (Delta's shape:
   // a v1 Source that also implements SupportsTriggerAvailableNow).
@@ -508,27 +520,35 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
           "stream's consumers still expect the dropped column's data.")
     val changes = entries.filter(_._3.nonEmpty)
       .map { case (v, op, add, rw, _, _, _) => (v, op, add, rw) }
-    // REWRITE commits (add+remove: compact/optimize/replace_where/CoW
-    // DML/restore) re-materialize rows that already streamed — in
-    // add-set mode, delivering one would push the whole rewritten
-    // table through this stream as if it were new rows (an aggregating
-    // consumer double-counts everything). Fail loud by default
-    // (Delta's posture for change commits); skipRewrites=true advances
-    // past them rowlessly. changeFeed mode resolves changes row-level
-    // instead and emits nothing for pure rearrangements.
+    // REWRITE commits (add+remove) re-materialize rows that already
+    // streamed — in add-set mode, delivering one would push the whole
+    // rewritten table through this stream as if it were new rows (an
+    // aggregating consumer double-counts everything). PURE
+    // REARRANGEMENTS (optimize/compact/dv_coalesce — RearrangeOps,
+    // proven row-neutral) advance rowlessly by DEFAULT: they provably
+    // change no logical row, and failing on them would let a nightly
+    // OPTIMIZE kill every default tailing stream (the reference's
+    // streaming source likewise ignores dataChange=false files).
+    // CONTENT-CHANGING rewrites (CoW DML/replace_where/restore) fail
+    // loud by default (Delta's posture for change commits);
+    // skipRewrites=true advances past them rowlessly too. changeFeed
+    // mode resolves changes row-level instead and emits nothing for
+    // pure rearrangements.
     val parts =
       if (changeFeed) changes.map { case (v, op, add, _) => (v, op, add) }
       else {
         val (rewrites, deliverable) = changes.partition(_._4)
-        if (rewrites.nonEmpty && !skipRewrites) {
-          val (v, op, _, _) = rewrites.head
+        val contentChanging = rewrites.filterNot(r => TxLog.RearrangeOps(r._2))
+        if (contentChanging.nonEmpty && !skipRewrites) {
+          val (v, op, _, _) = contentChanging.head
           throw new IllegalStateException(
-            s"txlog stream over $dir: commit $v is a rewrite (op=$op) — " +
-              "its add set re-materializes rows this stream already " +
-              "delivered; continuing would re-emit the rewritten data as " +
-              "new rows. Set .option(\"skipRewrites\", \"true\") to advance " +
-              "past rewrite commits rowlessly, or read " +
-              ".option(\"changeFeed\", \"true\") for row-level changes.")
+            s"txlog stream over $dir: commit $v is a content-changing " +
+              s"rewrite (op=$op) — its add set re-materializes rows this " +
+              "stream already delivered; continuing would re-emit the " +
+              "rewritten data as new rows. Set " +
+              ".option(\"skipRewrites\", \"true\") to advance past rewrite " +
+              "commits rowlessly, or read .option(\"changeFeed\", \"true\") " +
+              "for row-level changes.")
         }
         deliverable.map { case (v, op, add, _) => (v, op, add) }
       }
@@ -562,7 +582,7 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
     for ((v, _, all) <- toRead) {
       val gone = TxLog.missingAdds(dir, all)
       if (gone.nonEmpty)
-        return dataLossBatch(
+        return dataLossBatch(from,
           s"txlog stream over $dir: commit $v's data was vacuumed " +
             s"(${gone.size} file(s) missing, e.g. ${gone.head}) — " +
             "retention passed this stream's offset. Increase the vacuum " +
@@ -620,7 +640,27 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
     * the result; a plan-time throw there is a permanent wedge). Every
     * shipped sink (parquet/memory/txlog/foreachBatch that reads its
     * frame) executes the batch and gets the typed error. */
-  private def dataLossBatch(msg: String): DataFrame = {
+  /** The vacuum↔reader interlock's failure shape. LAZY by default (a
+    * schema-correct frame that throws at execution): on restart the
+    * engine re-invokes getBatch over the last committed range purely
+    * to re-initialize and DISCARDS the frame — a plan-time throw there
+    * would wedge a legitimate restart whose already-delivered bytes
+    * were since vacuumed. The lazy form's acknowledged gap: a sink
+    * that never executes the frame (a no-op foreachBatch) commits the
+    * offset and silently skips the range. `failOnDataLoss=true` closes
+    * it where it is provably safe: when the batch range is STRICTLY
+    * newer than an offset this instance has seen the engine COMMIT, it
+    * cannot be the restart re-plan, so the throw moves to plan time
+    * and even a no-op sink cannot commit past vacuumed data. (The
+    * first batch after a restart has no known ceiling and stays lazy —
+    * the restart posture always wins a tie.) */
+  private def dataLossBatch(from: Int, msg: String): DataFrame = {
+    if (failOnDataLoss && committedCeiling > Long.MinValue &&
+        from > committedCeiling)
+      throw new IllegalStateException(msg +
+        " (failOnDataLoss=true: failing at plan time — this range is " +
+        "strictly newer than the last committed offset, so no restart " +
+        "re-plan can legitimately discard it)")
     val failing = spark.sparkContext
       .parallelize(Seq.empty[org.apache.spark.sql.Row], 1)
       .mapPartitions[org.apache.spark.sql.Row](_ =>

@@ -224,4 +224,75 @@ class TxLogCdfCowSpec extends SparkTestBase {
     TxLog.restore(dir, toVersion = 2)
     assert(TxLog.cdfEnabledOf(dir))
   }
+
+  test("a feed range spanning pre-enablement CoW DML fails typed, not mixed") {
+    val dir = freshDir()
+    seed(dir)                                            // v0, v1
+    TxLog.delete(spark, dir, "id < 3")                   // v2: PRE-flag rewrite
+    TxLog.enableChangeDataFeed(dir)                      // v3
+    TxLog.delete(spark, dir, "id >= 38")                 // v4: exact cdc
+    // range spanning the flag: v2's add set is rewrite OUTPUT (the 37
+    // kept rows) — emitting it beside v4's exact rows would feed
+    // phantom inserts; refuse typed with both remedies named
+    val e = intercept[IllegalStateException] {
+      TxLog.readChangeFeed(spark, dir, fromVersion = 1).collect()
+    }
+    assert(e.getMessage.contains("content-changing rewrite") &&
+      e.getMessage.contains("fromVersion >= 2") &&
+      e.getMessage.contains("coarseRewrites"), e.getMessage)
+    // explicit opt-in degrades to op-tagged output, documented: v2's
+    // add set = the dirty segment's 17 kept rows (v1 carried by ref)
+    val coarse = TxLog.readChangeFeed(spark, dir, fromVersion = 1,
+      coarseRewrites = true)
+    assert(coarse.filter(col("_commit_version") === 2L).count() == 17)
+    // a post-flag range is exact and needs no opt-in
+    assert(TxLog.readChangeFeed(spark, dir, fromVersion = 3)
+      .select("_change_type").distinct().as[String].collect().toSet ==
+      Set("delete"))
+    // a NEVER-enabled table keeps the documented op-tagged contract
+    val plain = freshDir()
+    seed(plain)
+    TxLog.delete(spark, plain, "id < 3")
+    assert(TxLog.readChangeFeed(spark, plain, fromVersion = 1).count() == 17)
+  }
+
+  test("nondeterministic SET/predicate under CDF is rejected, never mis-recorded") {
+    val dir = freshDir()
+    seed(dir)
+    TxLog.enableChangeDataFeed(dir)
+    // rand(): catalyst-nondeterministic — two evaluations, two answers
+    val e1 = intercept[UnsupportedOperationException] {
+      TxLog.update(spark, dir, "id = 5",
+        Map("cents" -> "CAST(rand() * 100 AS BIGINT)"))
+    }
+    assert(e1.getMessage.contains("nondeterministic"), e1.getMessage)
+    // current_timestamp(): folded per ACTION — stable within one query,
+    // different across the rewrite and the sidecar
+    val e2 = intercept[UnsupportedOperationException] {
+      TxLog.update(spark, dir, "id = 5",
+        Map("cents" -> "unix_timestamp(current_timestamp())"))
+    }
+    assert(e2.getMessage.contains("enableChangeDataFeed"), e2.getMessage)
+    // TIME-DEPENDENT predicates are the guard's real coverage for
+    // delete/replaceWhere: catalyst-NONDETERMINISTIC predicates (rand)
+    // never get this far — Spark rejects them inside the triage
+    // aggregate — but current_timestamp() is deterministic-flagged and
+    // sails through, then folds to a different instant in the cdc
+    // sidecar's own action
+    intercept[UnsupportedOperationException] {
+      TxLog.delete(spark, dir, "id < unix_timestamp(current_timestamp())")
+    }
+    intercept[UnsupportedOperationException] {
+      TxLog.replaceWhere(spark, dir,
+        "id < unix_timestamp(current_timestamp())",
+        Seq((1L, 1L)).toDF("id", "cents"))
+    }
+    // deterministic DML is unaffected, and WITHOUT the flag there is
+    // no sidecar to diverge from — time-dependent stays allowed
+    TxLog.update(spark, dir, "id = 5", Map("cents" -> "cents + 1"))
+    val plain = freshDir()
+    seed(plain)
+    TxLog.delete(spark, plain, "id > unix_timestamp(current_timestamp())")
+    assert(TxLog.read(spark, plain).count() == 40)
+  }
 }

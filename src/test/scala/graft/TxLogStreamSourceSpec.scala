@@ -378,7 +378,7 @@ class TxLogStreamSourceSpec extends SparkTestBase {
   private def rootMessages(t: Throwable): Seq[String] =
     Option(t).toSeq.flatMap(e => e.getMessage +: rootMessages(e.getCause))
 
-  test("a rewrite commit fails the stream loud by default (no re-delivery)") {
+  test("content-changing rewrites fail the default stream; rearrangements advance rowlessly") {
     val dir = freshDir("graft-txrw")
     TxLog.append(sample(0, 10), dir)
     TxLog.append(sample(10, 20), dir)
@@ -390,18 +390,26 @@ class TxLogStreamSourceSpec extends SparkTestBase {
     val q = start()
     try {
       q.processAllAvailable()
-      // a nightly OPTIMIZE lands mid-stream: its add set is the whole
-      // re-clustered table — delivering it would double-count everything
+      // a nightly OPTIMIZE lands mid-stream: provably row-neutral
+      // (RearrangeOps), so the DEFAULT stream advances past it
+      // rowlessly instead of dying — operational survivability; its
+      // whole-table add set is NOT re-delivered
       TxLog.optimize(spark, dir, Seq("id"), 2)
+      TxLog.append(sample(20, 25), dir)
+      q.processAllAvailable()
+      assert(spark.read.parquet(sink).count() == 25,
+        "optimize must advance rowlessly, appends keep flowing")
+      // a CoW DELETE is content-changing: fail loud by default
+      TxLog.delete(spark, dir, "id < 3")
       val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
         q.processAllAvailable()
       }
       assert(rootMessages(failed).exists(m => m != null &&
-          m.contains("rewrite") && m.contains("skipRewrites")),
+          m.contains("content-changing rewrite") && m.contains("skipRewrites")),
         s"wrong failure: ${failed.getMessage}")
     } finally q.stop()
     // nothing extra was delivered before the failure
-    assert(spark.read.parquet(sink).count() == 20)
+    assert(spark.read.parquet(sink).count() == 25)
   }
 
   test("skipRewrites=true advances past rewrites rowlessly and keeps counting appends") {
@@ -456,6 +464,75 @@ class TxLogStreamSourceSpec extends SparkTestBase {
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table("txcdf_rearr").as[(Long, Long)].collect().toMap
     assert(streamed == Map(0L -> 10L, 1L -> 2L, 3L -> 2L), s"got $streamed")
+  }
+
+  test("failOnDataLoss=true fails at plan time where a no-op sink would silently skip") {
+    // driven through the v1 Source API directly (the engine's exact
+    // call sequence) — an engine-hosted no-op foreachBatch is racy
+    // here: its background poll can commit the doomed range before the
+    // vacuum lands, masking the scenario nondeterministically
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    def mkSource(dir: String, fodl: Boolean) =
+      new graft.sources.txlog.TxLogSourceProvider().createSource(spark.sqlContext,
+        freshDir("graft-txfodlmd"), None, "txlog",
+        Map("path" -> dir, "skipRewrites" -> "true",
+          "failOnDataLoss" -> fodl.toString))
+    val dir = freshDir("graft-txfodl")
+    TxLog.append(sample(0, 10), dir)                       // v0
+    val src = mkSource(dir, fodl = true)
+    val end0 = src.getOffset.get
+    src.getBatch(None, end0)  // planned, handed to a no-op sink
+    src.commit(end0)          // engine commits: ceiling = v0 learned
+    TxLog.append(sample(10, 15), dir)     // v1: genuinely new rows
+    TxLog.delete(spark, dir, "id >= 10")  // v2 supersedes v1's segment
+    TxLog.vacuum(dir, keepVersions = 1)   // reclaims its bytes
+    // STRICT: the range (v0, v2] is strictly newer than the committed
+    // ceiling — cannot be a restart re-plan — so the loss surfaces at
+    // PLAN time, before any sink (even a no-op one) can commit past it
+    val e = intercept[IllegalStateException] {
+      src.getBatch(Some(end0), LongOffset(2))
+    }
+    assert(e.getMessage.contains("failing at plan time") &&
+      e.getMessage.contains("vacuumed"), e.getMessage)
+    // DEFAULT (lazy) posture on the same range: the PLAN succeeds (the
+    // restart no-wedge contract; the execution-time typed error of the
+    // lazy frame is pinned by the engine-driven interlock specs) —
+    // which is exactly the no-op-sink gap failOnDataLoss closes
+    val lazySrc = mkSource(dir, fodl = false)
+    lazySrc.getBatch(Some(end0), LongOffset(2)) // must not throw
+    // and a FRESH strict source (restart: ceiling unknown) stays lazy
+    // on the same range — the no-wedge posture wins the tie
+    val restarted = mkSource(dir, fodl = true)
+    restarted.getBatch(Some(end0), LongOffset(2)) // must not throw
+  }
+
+  test("failOnDataLoss=true still restarts over an already-committed vacuumed range") {
+    val dir = freshDir("graft-txfodlr")
+    val sink = freshDir("graft-txfodlrsink")
+    val ckpt = freshDir("graft-txfodlrck")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("txlog").option("path", dir)
+        .option("skipRewrites", "true")
+        .option("failOnDataLoss", "true").load()
+        .select("id", "k", "_commit_version")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    TxLog.append(sample(0, 10), dir)          // v0
+    TxLog.append(sample(10, 15), dir)         // v1
+    runOnce()                                 // both delivered + committed
+    // retention passes the DELIVERED v1: restart must not wedge — the
+    // re-plan's ceiling is unknown on a fresh instance, so the lazy
+    // posture wins and the discarded re-init frame never executes
+    TxLog.delete(spark, dir, "id >= 10")      // v2: supersedes v1's segment
+    TxLog.vacuum(dir, keepVersions = 1)
+    TxLog.append(sample(20, 23), dir)         // v3: new rows
+    runOnce()
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 18, s"got ${out.count()}")
+    assert(out.groupBy("_commit_version").count().as[(Long, Long)]
+      .collect().toMap == Map(0L -> 10L, 1L -> 5L, 3L -> 3L))
   }
 
   test("a vacuumed SKIPPED rewrite does not wedge a skipRewrites stream") {
