@@ -251,6 +251,66 @@ object Bench {
         timeOnce("dump_curate") {
           graft.pipelines.WikiPipelines.curate(spark, dumpSpec).count()
         }
+        // the TABLE-FORMAT maintenance tape at GB scale / 120 segments
+        // (the sf0.1 keys never exceed 2-4 segments): bulk-load the
+        // corpus into a txlog table, one optimize job range-clusters it
+        // into 120 stats-recorded bucket slices, then the nightly tape
+        // — CDF on, 8 slice deletes (crossing the checkpoint interval,
+        // so the fold + replay run at 100+-segment state), a slice
+        // backfill, a scoped re-cluster, vacuum, and a pruned read.
+        // The require pins the 100×-scale property WHERE IT MATTERS:
+        // one slice's delete reads ∝ slice (listener-counted records),
+        // never ∝ table.
+        timeOnce("dump_txlog") {
+          import java.util.concurrent.atomic.AtomicLong
+          import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+          import org.apache.spark.sql.functions.{col, lit, pmod}
+          val dir = "/tmp/graft_dump_txlog"
+          graft.sources.TxLog.deleteRecursively(java.nio.file.Paths.get(dir))
+          val docs = graft.parse.WikiParser.docs(
+            graft.parse.WikiParser.pagesFused(
+              graft.sources.TextKV.readPages(spark, dumpSpec)))
+            .select(pmod(col("doc_id"), lit(120)).cast("int").as("bucket"),
+              col("doc_id"), col("text"))
+          graft.sources.TxLog.append(docs, dir)
+          graft.sources.TxLog.optimize(spark, dir, Seq("bucket"), 120,
+            statsCols = Seq("bucket"))
+          val segs = graft.sources.TxLog.liveSegments(dir).size
+          require(segs >= 100, s"expected 100+ segments, got $segs")
+          val total = graft.sources.TxLog.read(spark, dir).count()
+          graft.sources.TxLog.enableChangeDataFeed(dir)
+          val recs = new AtomicLong(0)
+          val l = new SparkListener {
+            override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+              if (t.taskMetrics != null)
+                recs.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+          }
+          spark.sparkContext.addSparkListener(l)
+          try {
+            graft.sources.TxLog.deleteRange(spark, dir, "bucket", "7", "7",
+              statsCols = Seq("bucket"))
+          } finally {
+            Thread.sleep(300)
+            spark.sparkContext.removeSparkListener(l)
+          }
+          require(recs.get() <= total / 10,
+            s"one-slice delete read ${recs.get()} of $total records — " +
+              "triage is not slice-proportional at 120 segments")
+          (1 to 7).foreach(i =>
+            graft.sources.TxLog.deleteRange(spark, dir,
+              "bucket", (110 + i).toString, (110 + i).toString,
+              statsCols = Seq("bucket")))
+          val backfill = graft.sources.TxLog.readWhere(spark, dir, "bucket = 9")
+          graft.sources.TxLog.replaceWhere(spark, dir, "bucket = 9",
+            backfill, statsCols = Seq("bucket"))
+          graft.sources.TxLog.optimizeWhere(spark, dir, "bucket", "20", "23",
+            Seq("doc_id"), 2, statsCols = Seq("bucket"))
+          graft.sources.TxLog.vacuum(dir, keepVersions = 2)
+          // checkpoint-replayed, stats-pruned read is the measured tail
+          val got = graft.sources.TxLog.readWhere(spark, dir, "bucket = 55")
+            .count()
+          require(got > 0, "pruned read of an untouched slice lost rows")
+        }
       }
     }
 

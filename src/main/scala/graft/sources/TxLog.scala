@@ -1955,12 +1955,46 @@ object TxLog {
     // failure must not leak a live-set-sized family of dirs no entry
     // records and no vacuum can find
     reclaimOnFailure(dir, segs) {
-      val stats = segs.foldLeft(Map.empty[(String, String), ColStats]) {
-        (m, seg) => m ++ segStats(spark, dir, seg, statsCols, snap)
-      }
-      commitOrReclaim(dir, op, segs, live, snap.version, stats,
+      commitOrReclaim(dir, op, segs, live, snap.version,
+        segStatsMany(spark, dir, segs, statsCols, snap),
         retryPastAppends = true)
     }
+  }
+
+  /** [[segStats]] over MANY just-staged segments in ONE distributed
+    * job: a 120-segment OPTIMIZE must not submit 120 sequential
+    * one-segment agg jobs (at 100k segments that folding loop is a
+    * driver/scheduler bottleneck regardless of data size — the same
+    * O(segments)-job-submissions rule matchCountsOn enforces for the
+    * triage). One scan groups by the owning segment dir and ships
+    * 2·|statsCols| strings per segment. All-null columns yield no
+    * entry, like the single-segment form. */
+  private def segStatsMany(spark: SparkSession, dir: String,
+                           segs: Seq[String], statsCols0: Seq[String],
+                           snap: State): Map[(String, String), ColStats] = {
+    if (statsCols0.isEmpty || segs.isEmpty) return Map.empty
+    if (segs.size == 1)
+      return segStats(spark, dir, segs.head, statsCols0, snap)
+    val statsCols = statsCols0.map(snap.physCol)
+    val sdf = spark.read.parquet(segs.map(segPath(dir, _)): _*)
+    val types = sdf.schema.map(f => f.name -> f.dataType.typeName).toMap
+    statsCols.foreach(c =>
+      require(types.contains(c), s"no column $c in staged segments"))
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c")))
+    val entryOf = segs.map(n => bareName(n) -> n).toMap
+    sdf.withColumn("__seg", segOfFile(col("_metadata.file_path")))
+      .groupBy("__seg").agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .flatMap { r =>
+        val seg = entryOf.getOrElse(r.getString(0), r.getString(0))
+        statsCols.flatMap { c =>
+          val mn = r.getAs[String](s"mn_$c"); val mx = r.getAs[String](s"mx_$c")
+          if (mn == null || mx == null) None
+          else Some((seg, c) -> ColStats(types(c), mn, mx))
+        }
+      }.toMap
   }
 
   /** The table's unioned schema (mergeSchema over the live set) — the
