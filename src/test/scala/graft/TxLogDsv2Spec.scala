@@ -108,6 +108,23 @@ class TxLogDsv2Spec extends SparkTestBase {
     assert(rows.length == 8 && recs <= 8, s"rows=${rows.length} recs=$recs")
   }
 
+  test("CREATE TABLE ... USING txlog registers in the session catalog and prunes") {
+    val dir = slicedTable()
+    spark.sql("DROP TABLE IF EXISTS txdsv2_cat")
+    try {
+      spark.sql(s"CREATE TABLE txdsv2_cat USING txlog OPTIONS (path '$dir')")
+      val (rows, recs) = countRecordsRead {
+        spark.sql("SELECT id FROM txdsv2_cat WHERE day = '1996-06-15'").collect()
+      }
+      assert(rows.length == 8 && recs <= 8, s"rows=${rows.length} recs=$recs")
+      // the planned scan holds exactly the one surviving segment path
+      val plan = spark.sql(
+        "SELECT id FROM txdsv2_cat WHERE day = '1996-06-15'")
+        .queryExecution.executedPlan.toString
+      assert("seg-[0-9a-f-]+".r.findAllIn(plan).distinct.size == 1, plan)
+    } finally spark.sql("DROP TABLE IF EXISTS txdsv2_cat")
+  }
+
   test("asOf option time-travels") {
     val dir = slicedTable()
     TxLog.delete(spark, dir, "day = '1995-06-15'")
