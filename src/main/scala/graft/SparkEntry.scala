@@ -4194,7 +4194,11 @@ object SparkEntry {
         .withColumn("cents", col("cents") + 5L)
       graft.sources.TxLog.testBeforeConditionalCommit.set(() =>
         graft.sources.TxLog.append(late, dir): Unit)
-      val v = graft.sources.TxLog.delete(s, dir, "o_orderstatus = 'F'")
+      // finally-cleared: a mid-delete failure must not leave the
+      // one-shot hook armed to fire inside whatever key runs next
+      val v =
+        try graft.sources.TxLog.delete(s, dir, "o_orderstatus = 'F'")
+        finally graft.sources.TxLog.testBeforeConditionalCommit.set(null)
       require(v == 3 && graft.sources.TxLog.headVersion(dir) == 3,
         s"delete must re-claim the slot after the injected append, got $v")
       graft.sources.TxLog.read(s, dir)

@@ -336,11 +336,21 @@ object TxLog {
     * evaluation of such an expression records a DIFFERENT answer —
     * silent feed corruption. Delta likewise rejects nondeterministic
     * expressions in DML. Without CDF the sidecar doesn't exist and
-    * the single committed evaluation stands — unaffected. */
-  private def requireCdfDeterministic(df: DataFrame,
-                                      exprsByRole: Map[String, String]): Unit =
+    * the single committed evaluation stands — unaffected. Runs BEFORE
+    * any distributed work: the analysis needs only the table's
+    * LOGICAL column labels (an empty local frame), so rejection costs
+    * zero cluster I/O — never a triage scan that a typed error then
+    * throws away. */
+  private def requireCdfDeterministic(spark: SparkSession, snap: State,
+                                      schema: org.apache.spark.sql.types.StructType,
+                                      exprsByRole: Map[String, String]): Unit = {
+    val logical = org.apache.spark.sql.types.StructType(
+      schema.filterNot(f => snap.dropped(f.name))
+        .map(f => f.copy(name = snap.renames.getOrElse(f.name, f.name))))
+    val frame = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), logical)
     exprsByRole.foreach { case (role, e) =>
-      val analyzed = df.selectExpr(e).queryExecution.analyzed
+      val analyzed = frame.selectExpr(e).queryExecution.analyzed
       val bad = analyzed.expressions.exists(_.exists(x =>
         !x.deterministic || PerActionExprs(x.getClass.getSimpleName)))
       if (bad) throw new UnsupportedOperationException(
@@ -349,6 +359,7 @@ object TxLog {
           "and record rows that differ from the committed table — " +
           "precompute the value into a literal, or run the op without CDF")
     }
+  }
 
   /** Runs `body` (a stats pass + commit tail over just-staged, not yet
     * entry-recorded segments); on failure deletes the staged segment
@@ -1725,6 +1736,12 @@ object TxLog {
   private[graft] def bloomProbeCap: Int =
     Integer.getInteger("graft.txlog.bloomProbeCap", 256)
 
+  // Two-phase range-then-capped-bloom policy: KEEP IN SYNC with
+  // [[triageByBounds]] (the arbitrary-predicate twin). Not unified
+  // because the probe domains differ: this value is already in the
+  // column's own cast-to-string form (no literal-kind guard), while
+  // triage conjuncts carry a parsed literal kind that must
+  // type-family-match the stats/bloom before any prune.
   private def prunePointIn(s: State, c: String,
                            value: String): (Seq[String], Seq[String]) = {
     val p = s.physCol(c)
@@ -2025,6 +2042,10 @@ object TxLog {
     val unknown = setExprs.keySet -- schema.map(_.name).filterNot(snap.dropped)
       .map(p => snap.renames.getOrElse(p, p)).toSet
     require(unknown.isEmpty, s"SET references unknown column(s): $unknown")
+    if (snap.cdfEnabled)
+      requireCdfDeterministic(spark, snap, schema,
+        setExprs.map { case (c, e) => s"SET $c" -> e } +
+          ("UPDATE predicate" -> predicate))
     // ONE stats-pre-pruned triage job (not a probe job per segment —
     // O(segments) scheduler round-trips is the 100k-segment
     // bottleneck; prunable conjuncts skip non-intersecting segments
@@ -2054,9 +2075,6 @@ object TxLog {
     val cdc =
       if (!snap.cdfEnabled) Seq.empty
       else stageCdc(dir) { buf =>
-        requireCdfDeterministic(sdf,
-          setExprs.map { case (c, e) => s"SET $c" -> e } +
-            ("UPDATE predicate" -> predicate))
         val pre = sdf.filter(coalesce(expr(predicate), lit(false)))
         buf += writeCdc(dir, pre, "update_preimage", snap)
         val preBack = applyMapping(
@@ -2542,7 +2560,8 @@ object TxLog {
     // range phase over everything (in-memory metadata), bloom phase
     // only when the survivors fit [[bloomProbeCap]] — each bloom probe
     // is a driver-side sidecar FILE read, unbounded in segment count
-    // without the cap; skipping only ever KEEPS segments
+    // without the cap; skipping only ever KEEPS segments. KEEP IN SYNC
+    // with [[prunePointIn]], the point-probe twin of this policy.
     val rangeKept = snap.live.filterNot(seg => excluded(seg, useBlooms = false))
     if (rangeKept.size > bloomProbeCap) rangeKept
     else rangeKept.filterNot(seg => excluded(seg, useBlooms = true))
@@ -2577,11 +2596,37 @@ object TxLog {
     * drops (physical names would leak) — pointing at [[read]] /
     * [[readWhere]], which handle them; silent wrong rows are never an
     * option. */
+  /** Opaque resolved snapshot for the DSv2 connector: ONE metadata
+    * replay (+ footer merge) serves BOTH `Table.schema()` and the scan
+    * build of the same query — without it each query paid two full
+    * replays, and re-planned actions a third. Re-resolved only when
+    * the table head moves (one cheap head probe per use), which also
+    * removes the schema-vs-paths skew two independent replays could
+    * see across a concurrent commit. */
+  private[graft] final class Dsv2Snapshot private[TxLog] (
+      private[TxLog] val head: Int,
+      private[TxLog] val snap: State,
+      private[graft] val schema: org.apache.spark.sql.types.StructType)
+
+  private[graft] def dsv2Resolve(spark: SparkSession, dir: String, asOf: Int,
+                                 cached: Dsv2Snapshot): Dsv2Snapshot = {
+    val head = headVersion(dir)
+    if (cached != null && cached.head == head) return cached
+    val s = state(dir, asOf)
+    require(s.live.nonEmpty, s"table $dir is empty as of version $asOf")
+    // the LOGICAL schema (mapping labels applied, dropped columns
+    // hidden) — what read() resolves, derived from the same replay
+    val logical = org.apache.spark.sql.types.StructType(
+      tableSchema(spark, dir, s.live)
+        .filterNot(f => s.dropped(f.name))
+        .map(f => f.copy(name = s.renames.getOrElse(f.name, f.name))))
+    new Dsv2Snapshot(head, s, logical)
+  }
+
   private[graft] def dsv2ScanInfo(spark: SparkSession, dir: String, asOf: Int,
-      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
-      ): Seq[String] = {
-    val snap = state(dir, asOf)
-    require(snap.live.nonEmpty, s"table $dir is empty as of version $asOf")
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      resolved: Dsv2Snapshot): Seq[String] = {
+    val snap = resolved.snap
     if (asOf >= 0)
       requireRetained(dir, asOf, snap.live.map(segPath(dir, _)))
     if (snap.dvs.nonEmpty)
@@ -2704,6 +2749,9 @@ object TxLog {
     * MoR must agree). */
   def delete(spark: SparkSession, dir: String, predicate: String): Int = {
     val snap = state(dir)
+    if (snap.cdfEnabled)
+      requireCdfDeterministic(spark, snap, tableSchema(spark, dir, snap.live),
+        Map("DELETE predicate" -> predicate))
     val counts = matchCounts(spark, dir, snap, predicate)
     val dirty = snap.live.filter(seg => counts.get(seg).exists(_._1))
     if (dirty.isEmpty)
@@ -2714,13 +2762,9 @@ object TxLog {
     // for copy-on-write deletes, cost ∝ deleted rows
     val cdc =
       if (!snap.cdfEnabled) Seq.empty
-      else {
-        val scan = segScan(spark, dir, snap, dirty, mergeSchema = true)
-        requireCdfDeterministic(scan, Map("DELETE predicate" -> predicate))
-        Seq(writeCdc(dir,
-          scan.filter(coalesce(expr(predicate), lit(false))),
-          "delete", snap))
-      }
+      else Seq(writeCdc(dir, segScan(spark, dir, snap, dirty,
+        mergeSchema = true).filter(coalesce(expr(predicate), lit(false))),
+        "delete", snap))
     reclaimOnFailure(dir, cdc.map(_._1)) {
       val kept = segScan(spark, dir, snap, dirty, mergeSchema = true)
         .filter(not(coalesce(expr(predicate), lit(false))))
@@ -2750,6 +2794,9 @@ object TxLog {
   def replaceWhere(spark: SparkSession, dir: String, predicate: String,
                    df: DataFrame, statsCols: Seq[String] = Nil): Int = {
     val snap = state(dir)
+    if (snap.cdfEnabled)
+      requireCdfDeterministic(spark, snap, tableSchema(spark, dir, snap.live),
+        Map("replaceWhere predicate" -> predicate))
     // one STATS-PRE-PRUNED triage job classifies the candidate
     // segments: all live rows match -> drop wholesale; none -> carry
     // by reference; mixed -> rewrite. Segments whose recorded stats
@@ -2771,14 +2818,10 @@ object TxLog {
       // ride in a cdc sidecar (cost ∝ replaced rows); the incoming
       // frame's inserts are recorded by REFERENCE to its own staged
       // segment below — no second copy of the new data
-      if (snap.cdfEnabled && withMatch.nonEmpty) {
-        val scan = segScan(spark, dir, snap, withMatch, mergeSchema = true)
-        requireCdfDeterministic(scan,
-          Map("replaceWhere predicate" -> predicate))
-        cdc += writeCdc(dir,
-          scan.filter(coalesce(expr(predicate), lit(false))),
+      if (snap.cdfEnabled && withMatch.nonEmpty)
+        cdc += writeCdc(dir, segScan(spark, dir, snap, withMatch,
+          mergeSchema = true).filter(coalesce(expr(predicate), lit(false))),
           "delete", snap)
-      }
       if (straddling.nonEmpty)
         // the kept rows are those where the predicate is NOT TRUE —
         // `NOT(pred)` alone would silently DROP a NULL-evaluating row
@@ -3111,19 +3154,20 @@ object TxLog {
       // versions ago (Delta's CDF likewise emits nothing for OPTIMIZE)
       .filterNot(e => RearrangeOps(e.op))
       .toSeq
-    // MIXED-EXACTNESS guard: on a CDF-ENABLED table, a range that
-    // reaches back over a content-changing rewrite with NO recorded
-    // row-level changes (a CoW DML committed before
-    // enableChangeDataFeed, or a restore — ops whose add set is
-    // rewrite OUTPUT, kept rows included) would silently mix exact cdc
-    // rows with coarse op-tagged output in ONE result, and a consumer
-    // ingests the rewrite output as phantom inserts. Fail typed by
-    // default (the reference likewise refuses CDF reads over
-    // pre-enablement ranges); `coarseRewrites=true` opts into the
-    // op-tagged degradation. Tables that never enabled CDF keep the
-    // documented op-tagged contract unchanged — no exact rows exist to
-    // mix with.
-    if (!coarseRewrites && hs.cdfEnabled) {
+    // MIXED-EXACTNESS guard: a range that mixes EXACT cdc rows with a
+    // content-changing rewrite that recorded NO row-level changes (a
+    // CoW DML committed before enableChangeDataFeed, or a restore —
+    // ops whose add set is rewrite OUTPUT, kept rows included) would
+    // silently hand a consumer the rewrite output as phantom inserts.
+    // Fail typed by default (the reference likewise refuses CDF reads
+    // over pre-enablement ranges); `coarseRewrites=true` opts into the
+    // op-tagged degradation. Fires when the table's flag is ON at head
+    // OR the range itself carries a cdc-recording commit — the second
+    // arm catches enable→exact-DML→DISABLE→rewrite histories, where
+    // the head flag is off but the mix is just as corrupting. Tables
+    // that never enabled CDF keep the documented op-tagged contract
+    // unchanged — no exact cdc rows exist to mix with.
+    if (!coarseRewrites && (hs.cdfEnabled || newer.exists(_.cdc.nonEmpty))) {
       newer.find(e => e.cdc.isEmpty && e.add.nonEmpty && e.remove.nonEmpty)
         .foreach { e =>
           throw new IllegalStateException(
@@ -3509,9 +3553,6 @@ object TxLog {
                         mergeSchema: Boolean = false): DataFrame =
     read(spark, dir, versionAsOfTimestamp(dir, tsMillis), mergeSchema)
 
-  /** DESCRIBE HISTORY: one row per commit — (version, op, n_added,
-    * n_removed) — from log metadata alone (intrinsically a full-log
-    * read: the audit surface is per-commit by definition). */
   /** Every segment reference ANY entry ever added (live or superseded)
     * — vacuum's visibility set; also the test surface for "conflicted
     * staging was reclaimed, no orphans" assertions. Full log replay by
@@ -3519,6 +3560,9 @@ object TxLog {
   private[graft] def allAddedSegments(dir: String): Seq[String] =
     entries(dir).flatMap(_.add).distinct
 
+  /** DESCRIBE HISTORY: one row per commit — (version, op, n_added,
+    * n_removed) — from log metadata alone (intrinsically a full-log
+    * read: the audit surface is per-commit by definition). */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     entries(dir)

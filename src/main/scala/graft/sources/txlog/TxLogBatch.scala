@@ -36,25 +36,30 @@ import graft.sources.TxLog
 class TxLogTable(dir: String, asOf: Int)
     extends Table with SupportsRead {
   override def name(): String = s"txlog($dir)"
-  /** LAZY head/asOf logical schema (mapping-applied, evolution-merged
-    * — the same resolution the streaming half uses): the streaming
-    * fallback probe constructs this Table but consumes only
-    * capabilities, so the replay+footer cost must not run until the
-    * BATCH path actually asks. Loud on an empty/missing table. */
-  private lazy val schema0: StructType =
-    TxLog.read(SparkSession.active, dir, asOf, mergeSchema = true).schema
-  override def schema(): StructType = schema0
+  /** LAZY shared snapshot (mapping-applied, evolution-merged schema +
+    * the replayed state the scan build reuses): the streaming fallback
+    * probe constructs this Table but consumes only capabilities, so
+    * the replay+footer cost must not run until the BATCH path actually
+    * asks — and then ONE replay serves both schema() and build(),
+    * re-resolved only when the head moves. Loud on an empty table. */
+  @volatile private var snapRef: TxLog.Dsv2Snapshot = null
+  private[txlog] def resolved(): TxLog.Dsv2Snapshot = {
+    val r = TxLog.dsv2Resolve(SparkSession.active, dir, asOf, snapRef)
+    snapRef = r
+    r
+  }
+  override def schema(): StructType = resolved().schema
   override def capabilities(): java.util.Set[TableCapability] =
     // BATCH_READ only: streaming stays on the spec-pinned v1
     // Source/Sink halves (DataStreamReader falls back to them when the
     // table declares no MICRO_BATCH_READ)
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TxLogScanBuilder(SparkSession.active, dir, asOf, schema0)
+    new TxLogScanBuilder(SparkSession.active, dir, asOf, this)
 }
 
 class TxLogScanBuilder(spark: SparkSession, dir: String, asOf: Int,
-                       schema0: StructType)
+                       table: TxLogTable)
     extends CatalystPushdownScanBuilder {
   private var exprs: Seq[Expression] = Nil
   private var required: Option[StructType] = None
@@ -77,9 +82,10 @@ class TxLogScanBuilder(spark: SparkSession, dir: String, asOf: Int,
     required = Some(requiredSchema)
 
   override def build(): Scan = {
-    val paths = TxLog.dsv2ScanInfo(spark, dir, asOf, exprs)
-    if (paths.isEmpty) new TxLogEmptyScan(required.getOrElse(schema0))
-    else ParquetDelegate.scan(spark, paths, schema0, exprs, required)
+    val resolved = table.resolved() // head probe; replay only if moved
+    val paths = TxLog.dsv2ScanInfo(spark, dir, asOf, exprs, resolved)
+    if (paths.isEmpty) new TxLogEmptyScan(required.getOrElse(resolved.schema))
+    else ParquetDelegate.scan(spark, paths, resolved.schema, exprs, required)
   }
 }
 

@@ -188,9 +188,14 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
       "skipRewrites applies to add-set mode only: changeFeed mode " +
         "resolves row-level changes and already emits nothing for pure " +
         "rearrangement commits")
+    val coarse = boolOpt(parameters, "coarseRewrites")
+    require(!(coarse && !cdfOf(parameters)),
+      "coarseRewrites applies to changeFeed mode only (add-set mode's " +
+        "rewrite posture is skipRewrites)")
     new TxLogSource(ctx, dir, floor, cap, dataSchemaOf(ctx, dir),
       changeFeed = cdfOf(parameters), skipRewrites = skipRewrites,
-      failOnDataLoss = boolOpt(parameters, "failOnDataLoss"))
+      failOnDataLoss = boolOpt(parameters, "failOnDataLoss"),
+      coarseRewrites = coarse)
   }
 
   /** The SINK half — `df.writeStream.format("txlog").option("path",
@@ -390,7 +395,8 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
                                  data: StructType,
                                  changeFeed: Boolean = false,
                                  skipRewrites: Boolean = false,
-                                 failOnDataLoss: Boolean = false)
+                                 failOnDataLoss: Boolean = false,
+                                 coarseRewrites: Boolean = false)
     extends Source with SupportsTriggerAvailableNow {
   private val spark = ctx.sparkSession
   override val schema: StructType = StructType(data ++
@@ -615,10 +621,24 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
       // row-level mode: the slice may contain a semi JOIN (deletion-
       // vector pre-image resolution), so it is wrapped as ONE
       // streaming-tagged leaf — per-leaf tagging would make the engine
-      // plan a stream-stream join out of an already-resolved batch
-      TxLog.changeFeedSlice(spark, dir, from, to, data) match {
+      // plan a stream-stream join out of an already-resolved batch.
+      // The mixed-exactness guard (an unrecorded content rewrite in a
+      // range with exact cdc rows) must fail LAZILY here, like the
+      // vacuum interlock: a plan-time throw would wedge restarts —
+      // the engine re-plans the last COMMITTED range on every start,
+      // so a stream that already delivered such a range could never
+      // re-initialize. `coarseRewrites=true` (stream option) opts into
+      // op-tagged delivery instead, mirroring the batch surface.
+      try TxLog.changeFeedSlice(spark, dir, from, to, data,
+        coarseRewrites = coarseRewrites) match {
         case Some(body) => ColumnShim.asStreamingRdd(body)
         case None       => ColumnShim.emptyStreaming(spark, schema)
+      } catch {
+        case e: IllegalStateException =>
+          dataLossBatch(from, e.getMessage +
+            " [streaming: set .option(\"coarseRewrites\", \"true\") to " +
+            "accept op-tagged rewrite output, or restart from a newer " +
+            "startingVersion]")
       }
     } else if (parts.isEmpty) ColumnShim.emptyStreaming(spark, schema)
     else {

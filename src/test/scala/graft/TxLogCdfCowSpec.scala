@@ -256,6 +256,24 @@ class TxLogCdfCowSpec extends SparkTestBase {
     assert(TxLog.readChangeFeed(spark, plain, fromVersion = 1).count() == 17)
   }
 
+  test("disabling CDF after exact commits cannot re-open the mixed feed") {
+    val dir = freshDir()
+    seed(dir)                               // v0, v1
+    TxLog.enableChangeDataFeed(dir)         // v2
+    TxLog.delete(spark, dir, "id >= 38")    // v3: exact cdc
+    TxLog.disableChangeDataFeed(dir)        // v4: head flag now OFF
+    TxLog.delete(spark, dir, "id < 3")      // v5: coarse rewrite, no cdc
+    // the head flag is off, but the range still mixes v3's exact rows
+    // with v5's rewrite output — must fail typed all the same
+    val e = intercept[IllegalStateException] {
+      TxLog.readChangeFeed(spark, dir, fromVersion = 2).collect()
+    }
+    assert(e.getMessage.contains("content-changing rewrite"), e.getMessage)
+    assert(TxLog.readChangeFeed(spark, dir, fromVersion = 2,
+      coarseRewrites = true).filter(col("_commit_version") === 5L)
+      .count() == 17) // v5 rewrote only v0's segment: its 20 - 3 deleted
+  }
+
   test("nondeterministic SET/predicate under CDF is rejected, never mis-recorded") {
     val dir = freshDir()
     seed(dir)

@@ -466,6 +466,43 @@ class TxLogStreamSourceSpec extends SparkTestBase {
     assert(streamed == Map(0L -> 10L, 1L -> 2L, 3L -> 2L), s"got $streamed")
   }
 
+  test("changeFeed stream fails LAZILY on unrecorded content rewrites; coarseRewrites opts in") {
+    val dir = freshDir("graft-txcfcoarse")
+    TxLog.append(sample(0, 10), dir)       // v0
+    TxLog.delete(spark, dir, "id < 2")     // v1: PRE-flag coarse rewrite
+    TxLog.enableChangeDataFeed(dir)        // v2: head flag on
+    TxLog.append(sample(10, 12), dir)      // v3
+    def start(opts: Map[String, String], name: String) = {
+      var r = spark.readStream.format("txlog").option("path", dir)
+        .option("changeFeed", "true")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load().writeStream.format("memory").queryName(name).start()
+    }
+    // default: the guard surfaces as a LAZY execution-time failure
+    // (a plan-time throw would wedge restarts), naming the stream
+    // option — phantom inserts never reach the sink
+    val q0 = start(Map.empty, "graft_cfcoarse_dead")
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q0.processAllAvailable() finally q0.stop()
+    }
+    assert(rootMessages(failed).exists(m => m != null &&
+        m.contains("content-changing rewrite") && m.contains("coarseRewrites")),
+      s"wrong failure: ${failed.getMessage}")
+    // explicit opt-in: v1's rewrite output delivers op-tagged
+    val q = start(Map("coarseRewrites" -> "true"), "graft_cfcoarse")
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("graft_cfcoarse")
+    assert(out.filter($"_commit_version" === 1L).count() == 8)  // 10 - 2
+    assert(out.filter($"_commit_version" === 3L).count() == 2)
+    // the option is changeFeed-only
+    intercept[Exception] {
+      val bad = spark.readStream.format("txlog").option("path", dir)
+        .option("coarseRewrites", "true").load()
+        .writeStream.format("memory").queryName("graft_cfcoarse_bad").start()
+      try bad.processAllAvailable() finally bad.stop()
+    }
+  }
+
   test("failOnDataLoss=true fails at plan time where a no-op sink would silently skip") {
     // driven through the v1 Source API directly (the engine's exact
     // call sequence) — an engine-hosted no-op foreachBatch is racy
