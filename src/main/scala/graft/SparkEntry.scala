@@ -4148,24 +4148,26 @@ object SparkEntry {
       val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
         date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("day"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-      Seq(("1992-01-01", "1994-12-31"), ("1995-01-01", "1996-12-31"),
+      Seq(("1995-01-01", "1995-12-31"), ("1996-01-01", "1996-12-31"),
           ("1997-01-01", "1998-12-31"), ("1999-01-01", "2001-12-31"))
         .foreach { case (lo, hi) =>
           graft.sources.TxLog.appendWithStats(s,
             o.filter(col("day").between(lo, hi)), dir, Seq("day")) }
-      val q = s.read.format("txlog").load(dir)
-        .filter(col("day").between("1995-01-01", "1996-12-31"))
-        .groupBy("o_orderstatus")
+      require(graft.sources.TxLog.liveSegments(dir).size == 4,
+        "every slice must be non-empty and committed")
+      val filtered = s.read.format("txlog").load(dir)
+        .filter(col("day").between("1996-01-01", "1996-12-31"))
+      // one segment dir among the scan's ACTUAL planned files (the
+      // executed-plan string truncates; Dataset.inputFiles is empty
+      // for a non-FileTable DSv2 relation) = segment pruning reached
+      // the plan, not just the readWhere API
+      val scanned = graft.sources.txlog.TxLogBatch.plannedSegments(filtered)
+      require(scanned.length == 1,
+        s"one-slice DSv2 filter must plan exactly one segment, got " +
+          scanned.mkString(","))
+      filtered.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .orderBy("o_orderstatus")
-      // one segment dir in the planned scan = segment pruning reached
-      // the plan (not just the readWhere API)
-      val scanned = q.queryExecution.executedPlan.collectLeaves()
-        .flatMap(l => "seg-[0-9a-f-]+".r.findAllIn(l.toString))
-        .distinct
-      require(scanned.size == 1,
-        s"one-slice DSv2 filter must plan exactly one segment, got $scanned")
-      q
     }),
 
     // OCC LOGICAL CONFLICT RE-CHECK — maintenance liveness under
@@ -6604,13 +6606,13 @@ object SparkEntry {
            FROM orders
            WHERE NOT (o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'))
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-    // the pushed two-year slice, aggregated relationally
+    // the pushed one-year slice, aggregated relationally
     "scan_txlog_dsv2" ->
       """SELECT o_orderstatus, count(*) AS n,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS cents
          FROM orders
-         WHERE o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
+         WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // serial order ⟨delete, append⟩: the base slice loses its F rows,
     // the concurrently-appended slice keeps ALL rows (marker +5) —

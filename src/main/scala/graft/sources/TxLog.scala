@@ -1704,10 +1704,25 @@ object TxLog {
     // records them — reclaim on the way out or vacuum (which only sees
     // entry-recorded segments) could never delete the orphan
     reclaimOnFailure(dir, Seq(seg)) {
-      commit(dir, "append", Seq(seg), Seq.empty,
-        stats = segStats(spark, dir, seg, statsCols, snap),
-        blooms = segBlooms(spark, dir, seg, bloomCols, snap),
-        requireGov = Some(govFingerprint(snap)))
+      val stats = segStats(spark, dir, seg, statsCols, snap)
+      // ZERO-ROW batch: min/max fold to null, so the segment would
+      // commit with NO stats — permanently unprunable, kept forever by
+      // every pruning surface (triage/point/DSv2) on a stats-indexed
+      // table even though it is provably matchless. Commit the VERSION
+      // without the segment instead (callers still get their slot; an
+      // occasionally-empty date-sliced loader no longer accumulates
+      // prune-defeating dirs). Probed only when stats came back empty
+      // — the hot non-empty path pays nothing extra.
+      if (statsCols.nonEmpty && stats.isEmpty &&
+          spark.read.parquet(segPath(dir, seg)).isEmpty) {
+        store(dir).deleteRecursively(s"$dir/$seg")
+        commit(dir, "append", Seq.empty, Seq.empty,
+          requireGov = Some(govFingerprint(snap)))
+      } else
+        commit(dir, "append", Seq(seg), Seq.empty,
+          stats = stats,
+          blooms = segBlooms(spark, dir, seg, bloomCols, snap),
+          requireGov = Some(govFingerprint(snap)))
     }
   }
 

@@ -93,6 +93,33 @@ class TxLogScanBuilder(spark: SparkSession, dir: String, asOf: Int,
   * schema (the planner still resolves the relation's output from it).
   * The reader factory is unreachable by construction — zero
   * partitions — and throws rather than fabricate rows. */
+object TxLogBatch {
+  /** Segment dirs among a frame's ACTUAL planned scan files — the
+    * exact pin for "pruning reached the plan" assertions. Neither of
+    * the obvious surfaces works: the executed-plan STRING truncates
+    * long path lists (a regex over it can count one segment while the
+    * scan holds two), and `Dataset.inputFiles` is empty for a
+    * non-FileTable DSv2 relation. So walk to the delegate FileScan's
+    * file index, unwrapping AQE (whose node is a childless leaf that
+    * hides the scan from collect). */
+  def plannedSegments(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+    def files(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => files(a.executedPlan)
+      case other => other.collect {
+        case b: BatchScanExec => b.scan match {
+          case f: FileScan => f.fileIndex.inputFiles.toSeq
+          case _           => Seq.empty[String]
+        }
+      }.flatten
+    }
+    files(df.queryExecution.executedPlan)
+      .flatMap(f => "seg-[0-9a-f-]+".r.findFirstIn(f)).distinct
+  }
+}
+
 class TxLogEmptyScan(schema: StructType) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this

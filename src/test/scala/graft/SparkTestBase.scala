@@ -7,6 +7,25 @@ import org.scalatest.funsuite.AnyFunSuite
   * small shuffle partition count for speed. */
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
+
+  /** Records read across all tasks while `body` runs — the ONE copy of
+    * the listener harness (measurement-protocol changes, e.g. the
+    * 300 ms bus-drain sleep, happen here, not in per-suite clones). */
+  def countRecordsRead[T](body: => T): (T, Long) = {
+    val recs = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = body
+      Thread.sleep(300) // let the listener bus drain
+      (r, recs.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
 
 object SparkTestBase {

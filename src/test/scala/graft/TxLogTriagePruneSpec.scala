@@ -36,20 +36,7 @@ class TxLogTriagePruneSpec extends SparkTestBase {
   }
 
   /** Records read across all tasks while `body` runs. */
-  private def countRecordsRead[T](body: => T): (T, Long) = {
-    val recs = new AtomicLong(0)
-    val l = new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null)
-          recs.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
-    }
-    spark.sparkContext.addSparkListener(l)
-    try {
-      val r = body
-      Thread.sleep(300) // let the listener bus drain
-      (r, recs.get())
-    } finally spark.sparkContext.removeSparkListener(l)
-  }
+  // records-read harness: the shared SparkTestBase.countRecordsRead
 
   test("date-slice conjuncts shrink the triage to intersecting segments only") {
     val (dir, segOfYear) = slicedTable()
@@ -284,5 +271,22 @@ class TxLogTriagePruneSpec extends SparkTestBase {
     val (keptC, _) = withCap(5)(TxLog.prunePoint(dir, "id", "12"))
     assert(keptU.size == 1 && keptC.size == 6,
       s"prunePoint cap: uncapped=$keptU capped=$keptC")
+  }
+
+  test("a zero-row stats append advances the version without an unprunable segment") {
+    val dir = freshDir()
+    TxLog.appendWithStats(spark,
+      Seq((1L, "1995-06-15")).toDF("id", "day"), dir, Seq("day"))
+    // an occasionally-empty date-sliced loader: the empty batch's
+    // segment would carry NO stats (min/max fold to null) and defeat
+    // pruning forever — it must commit its version WITHOUT the segment
+    val v = TxLog.appendWithStats(spark,
+      Seq.empty[(Long, String)].toDF("id", "day"), dir, Seq("day"))
+    assert(v == 1, s"empty append must still claim its slot, got $v")
+    assert(TxLog.liveSegments(dir).size == 1,
+      s"live: ${TxLog.liveSegments(dir)}")
+    assert(TxLog.triageCandidatesOf(spark, dir, "day = '1996-01-01'").isEmpty,
+      "a non-intersecting probe must prune everything")
+    assert(TxLog.read(spark, dir).count() == 1)
   }
 }
