@@ -341,14 +341,24 @@ object TxLog {
     * LOGICAL column labels (an empty local frame), so rejection costs
     * zero cluster I/O — never a triage scan that a typed error then
     * throws away. */
+  /** Physical (footer-unioned) schema → the table's LOGICAL view:
+    * dropped columns hidden, mapping labels applied — the ONE copy of
+    * this derivation (the CDF guard, the DSv2 schema, and updateMoR's
+    * visible-column list all consume it; keeping three inline copies
+    * in lockstep was the review finding). */
+  private def logicalSchema(snap: State,
+      physical: org.apache.spark.sql.types.StructType
+      ): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      physical.filterNot(f => snap.dropped(f.name))
+        .map(f => f.copy(name = snap.renames.getOrElse(f.name, f.name))))
+
   private def requireCdfDeterministic(spark: SparkSession, snap: State,
                                       schema: org.apache.spark.sql.types.StructType,
                                       exprsByRole: Map[String, String]): Unit = {
-    val logical = org.apache.spark.sql.types.StructType(
-      schema.filterNot(f => snap.dropped(f.name))
-        .map(f => f.copy(name = snap.renames.getOrElse(f.name, f.name))))
     val frame = spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](), logical)
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      logicalSchema(snap, schema))
     exprsByRole.foreach { case (role, e) =>
       val analyzed = frame.selectExpr(e).queryExecution.analyzed
       val bad = analyzed.expressions.exists(_.exists(x =>
@@ -1266,8 +1276,7 @@ object TxLog {
     val schema = tableSchema(spark, dir, snap.live)
     // user-facing (LOGICAL) column list: mapped physical names surface
     // under their labels, dropped ones don't exist
-    val visible = schema.map(_.name).filterNot(snap.dropped)
-      .map(p => snap.renames.getOrElse(p, p))
+    val visible = logicalSchema(snap, schema).map(_.name)
     val unknown = setExprs.keySet -- visible.toSet
     require(unknown.isEmpty, s"SET references unknown column(s): $unknown")
     // stage the matched pre-images ONCE (the merge-staging pattern):
@@ -2612,30 +2621,22 @@ object TxLog {
     * [[readWhere]], which handle them; silent wrong rows are never an
     * option. */
   /** Opaque resolved snapshot for the DSv2 connector: ONE metadata
-    * replay (+ footer merge) serves BOTH `Table.schema()` and the scan
-    * build of the same query — without it each query paid two full
-    * replays, and re-planned actions a third. Re-resolved only when
-    * the table head moves (one cheap head probe per use), which also
-    * removes the schema-vs-paths skew two independent replays could
-    * see across a concurrent commit. */
+    * replay (+ footer merge) serves BOTH `Table.schema()` and every
+    * scan build of the same Table — without it each query paid two
+    * full replays, and a multi-scan query (self-join) could see two
+    * different table versions. The caller (TxLogTable) PINS the
+    * result for its lifetime. */
   private[graft] final class Dsv2Snapshot private[TxLog] (
-      private[TxLog] val head: Int,
       private[TxLog] val snap: State,
       private[graft] val schema: org.apache.spark.sql.types.StructType)
 
-  private[graft] def dsv2Resolve(spark: SparkSession, dir: String, asOf: Int,
-                                 cached: Dsv2Snapshot): Dsv2Snapshot = {
-    val head = headVersion(dir)
-    if (cached != null && cached.head == head) return cached
+  private[graft] def dsv2Resolve(spark: SparkSession, dir: String,
+                                 asOf: Int): Dsv2Snapshot = {
     val s = state(dir, asOf)
     require(s.live.nonEmpty, s"table $dir is empty as of version $asOf")
     // the LOGICAL schema (mapping labels applied, dropped columns
     // hidden) — what read() resolves, derived from the same replay
-    val logical = org.apache.spark.sql.types.StructType(
-      tableSchema(spark, dir, s.live)
-        .filterNot(f => s.dropped(f.name))
-        .map(f => f.copy(name = s.renames.getOrElse(f.name, f.name))))
-    new Dsv2Snapshot(head, s, logical)
+    new Dsv2Snapshot(s, logicalSchema(s, tableSchema(spark, dir, s.live)))
   }
 
   private[graft] def dsv2ScanInfo(spark: SparkSession, dir: String, asOf: Int,
@@ -2942,6 +2943,14 @@ object TxLog {
       throw new IllegalArgumentException(
         s"version $version does not exist in $dir (head=${headVersion(dir)})")
     val e = readEntry(dir, version)
+    // a ZERO-ROW append commits its version with an empty add set
+    // (appendWithStats' unprunable-segment skip): an incremental
+    // consumer driving per-version readCommit must get the empty
+    // frame it always got, not an exception; other add-less commits
+    // (metadata ops, MoR DVs) stay loud — their "changes" are not an
+    // add set
+    if (e.add.isEmpty && e.remove.isEmpty && e.op == "append")
+      return read(spark, dir, asOf = version).limit(0)
     require(e.add.nonEmpty, s"commit $version of $dir added no segments")
     requireRetained(dir, version, e.add.map(segPath(dir, _)))
     spark.read.parquet(e.add.map(s => segPath(dir, s)): _*)
@@ -3157,43 +3166,51 @@ object TxLog {
     val physData = org.apache.spark.sql.types.StructType(
       data.map(f => f.copy(name = hs.physCol(f.name))))
     def relabel(df: DataFrame): DataFrame = TxLog.relabel(df, hs.renames)
-    val newer = (math.max(0, from) to to).iterator
+    val inRange = (math.max(0, from) to to).iterator
       .filter(v => st.exists(entryPath(dir, v)))
       .map(v => readEntry(dir, v))
-      .filter(e => e.add.nonEmpty || e.dvs.nonEmpty || e.cdc.nonEmpty)
-      // PURE REARRANGEMENTS change zero rows and contribute zero
-      // change rows: optimize/compact re-adds would surface as phantom
-      // `insert`s (a nightly OPTIMIZE re-inserting the whole table
-      // into every CDF consumer) and dv_coalesce's re-recorded
-      // sidecars as phantom `delete` pre-images of rows tombstoned
-      // versions ago (Delta's CDF likewise emits nothing for OPTIMIZE)
-      .filterNot(e => RearrangeOps(e.op))
       .toSeq
+    // PURE REARRANGEMENTS change zero rows and contribute zero
+    // change rows: optimize/compact re-adds would surface as phantom
+    // `insert`s (a nightly OPTIMIZE re-inserting the whole table
+    // into every CDF consumer) and dv_coalesce's re-recorded
+    // sidecars as phantom `delete` pre-images of rows tombstoned
+    // versions ago (Delta's CDF likewise emits nothing for OPTIMIZE)
+    val newer = inRange
+      .filter(e => e.add.nonEmpty || e.dvs.nonEmpty || e.cdc.nonEmpty)
+      .filterNot(e => RearrangeOps(e.op))
     // MIXED-EXACTNESS guard: a range that mixes EXACT cdc rows with a
-    // content-changing rewrite that recorded NO row-level changes (a
-    // CoW DML committed before enableChangeDataFeed, or a restore —
-    // ops whose add set is rewrite OUTPUT, kept rows included) would
-    // silently hand a consumer the rewrite output as phantom inserts.
-    // Fail typed by default (the reference likewise refuses CDF reads
-    // over pre-enablement ranges); `coarseRewrites=true` opts into the
-    // op-tagged degradation. Fires when the table's flag is ON at head
-    // OR the range itself carries a cdc-recording commit — the second
-    // arm catches enable→exact-DML→DISABLE→rewrite histories, where
-    // the head flag is off but the mix is just as corrupting. Tables
-    // that never enabled CDF keep the documented op-tagged contract
+    // content CHANGE that recorded NO row-level record (a CoW DML
+    // committed before enableChangeDataFeed, a restore — their add
+    // sets are rewrite OUTPUT, kept rows included — or a REMOVE-ONLY
+    // drop like an empty-frame replaceWhere, whose deleted rows would
+    // otherwise vanish from the feed without a trace) would silently
+    // corrupt a change consumer: phantom inserts on one side, silently
+    // kept-deleted rows on the other. Checked over the UNFILTERED
+    // range — a remove-only commit emits nothing, so the emission
+    // filter above can never see it. Fail typed by default (the
+    // reference likewise refuses CDF reads over pre-enablement
+    // ranges); `coarseRewrites=true` opts into the op-tagged
+    // degradation. Fires when the table's flag is ON at head OR the
+    // range itself carries a cdc-recording commit — the second arm
+    // catches enable→exact-DML→DISABLE→rewrite histories, where the
+    // head flag is off but the mix is just as corrupting. Tables that
+    // never enabled CDF keep the documented op-tagged contract
     // unchanged — no exact cdc rows exist to mix with.
-    if (!coarseRewrites && (hs.cdfEnabled || newer.exists(_.cdc.nonEmpty))) {
-      newer.find(e => e.cdc.isEmpty && e.add.nonEmpty && e.remove.nonEmpty)
+    if (!coarseRewrites && (hs.cdfEnabled || inRange.exists(_.cdc.nonEmpty))) {
+      inRange.find(e => e.cdc.isEmpty && e.remove.nonEmpty &&
+          !RearrangeOps(e.op))
         .foreach { e =>
           throw new IllegalStateException(
             s"change feed over $dir versions [$from, $to]: commit " +
-              s"${e.version} (op=${e.op}) is a content-changing rewrite " +
-              "with no recorded row-level changes (committed before " +
-              "enableChangeDataFeed, or an op that records none) — its " +
-              "add set is rewrite output, and emitting it would feed " +
-              "phantom inserts to a change consumer. Start the feed at " +
-              s"fromVersion >= ${e.version}, or pass coarseRewrites=true " +
-              "to accept op-tagged rewrite output for such commits.")
+              s"${e.version} (op=${e.op}) changes content with no " +
+              "recorded row-level changes (committed before " +
+              "enableChangeDataFeed, or an op that records none) — " +
+              "emitting its add set (if any) would feed phantom inserts " +
+              "and its removed rows would vanish from the feed. Start " +
+              s"the feed at fromVersion >= ${e.version}, or pass " +
+              "coarseRewrites=true to accept op-tagged degradation for " +
+              "such commits.")
         }
     }
     def tagged(df: DataFrame, v: Int, op: String, ct: String): DataFrame =

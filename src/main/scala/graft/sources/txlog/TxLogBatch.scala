@@ -40,12 +40,21 @@ class TxLogTable(dir: String, asOf: Int)
     * the replayed state the scan build reuses): the streaming fallback
     * probe constructs this Table but consumes only capabilities, so
     * the replay+footer cost must not run until the BATCH path actually
-    * asks — and then ONE replay serves both schema() and build(),
-    * re-resolved only when the head moves. Loud on an empty table. */
+    * asks — then ONE replay serves both schema() and build(), and the
+    * snapshot is PINNED for this Table's lifetime (Delta pins at
+    * relation creation for the same reason): a self-join/union of one
+    * DataFrame plans two scans, and re-resolving per build would let a
+    * commit between them make the two sides see different table
+    * versions — results matching no single snapshot. A fresh load()
+    * (or catalog resolution) constructs a fresh Table and sees the new
+    * head. Loud on an empty table. */
   @volatile private var snapRef: TxLog.Dsv2Snapshot = null
   private[txlog] def resolved(): TxLog.Dsv2Snapshot = {
-    val r = TxLog.dsv2Resolve(SparkSession.active, dir, asOf, snapRef)
-    snapRef = r
+    var r = snapRef
+    if (r == null) {
+      r = TxLog.dsv2Resolve(SparkSession.active, dir, asOf)
+      snapRef = r
+    }
     r
   }
   override def schema(): StructType = resolved().schema
@@ -82,7 +91,7 @@ class TxLogScanBuilder(spark: SparkSession, dir: String, asOf: Int,
     required = Some(requiredSchema)
 
   override def build(): Scan = {
-    val resolved = table.resolved() // head probe; replay only if moved
+    val resolved = table.resolved() // pinned: one snapshot per Table
     val paths = TxLog.dsv2ScanInfo(spark, dir, asOf, exprs, resolved)
     if (paths.isEmpty) new TxLogEmptyScan(required.getOrElse(resolved.schema))
     else ParquetDelegate.scan(spark, paths, resolved.schema, exprs, required)
@@ -115,8 +124,13 @@ object TxLogBatch {
         }
       }.flatten
     }
+    // parent-anchored, like TxLog.segOfFile: matching `seg-` ANYWHERE
+    // in the path would attribute every file to a `seg-`-shaped
+    // ancestor directory and collapse the count to a vacuous 1
     files(df.queryExecution.executedPlan)
-      .flatMap(f => "seg-[0-9a-f-]+".r.findFirstIn(f)).distinct
+      .flatMap(f => "/(seg-[0-9a-fA-F-]+)/[^/]*$".r
+        .findFirstMatchIn(f).map(_.group(1)))
+      .distinct
   }
 }
 

@@ -237,7 +237,7 @@ class TxLogCdfCowSpec extends SparkTestBase {
     val e = intercept[IllegalStateException] {
       TxLog.readChangeFeed(spark, dir, fromVersion = 1).collect()
     }
-    assert(e.getMessage.contains("content-changing rewrite") &&
+    assert(e.getMessage.contains("changes content") &&
       e.getMessage.contains("fromVersion >= 2") &&
       e.getMessage.contains("coarseRewrites"), e.getMessage)
     // explicit opt-in degrades to op-tagged output, documented: v2's
@@ -268,7 +268,7 @@ class TxLogCdfCowSpec extends SparkTestBase {
     val e = intercept[IllegalStateException] {
       TxLog.readChangeFeed(spark, dir, fromVersion = 2).collect()
     }
-    assert(e.getMessage.contains("content-changing rewrite"), e.getMessage)
+    assert(e.getMessage.contains("changes content"), e.getMessage)
     assert(TxLog.readChangeFeed(spark, dir, fromVersion = 2,
       coarseRewrites = true).filter(col("_commit_version") === 5L)
       .count() == 17) // v5 rewrote only v0's segment: its 20 - 3 deleted

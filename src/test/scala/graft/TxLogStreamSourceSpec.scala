@@ -486,7 +486,7 @@ class TxLogStreamSourceSpec extends SparkTestBase {
       try q0.processAllAvailable() finally q0.stop()
     }
     assert(rootMessages(failed).exists(m => m != null &&
-        m.contains("content-changing rewrite") && m.contains("coarseRewrites")),
+        m.contains("changes content") && m.contains("coarseRewrites")),
       s"wrong failure: ${failed.getMessage}")
     // explicit opt-in: v1's rewrite output delivers op-tagged
     val q = start(Map("coarseRewrites" -> "true"), "graft_cfcoarse")

@@ -288,5 +288,8 @@ class TxLogTriagePruneSpec extends SparkTestBase {
     assert(TxLog.triageCandidatesOf(spark, dir, "day = '1996-01-01'").isEmpty,
       "a non-intersecting probe must prune everything")
     assert(TxLog.read(spark, dir).count() == 1)
+    // the incremental consumer contract survives: per-version read of
+    // the empty append yields the empty frame, not an exception
+    assert(TxLog.readCommit(spark, dir, v).count() == 0)
   }
 }
