@@ -4165,7 +4165,54 @@ object SparkEntry {
       require(scanned.length == 1,
         s"one-slice DSv2 filter must plan exactly one segment, got " +
           scanned.mkString(","))
-      filtered.groupBy("o_orderstatus")
+      // and the SQL surface survives table MAINTENANCE — exactly the
+      // tables that saw a MoR delete (deletion vectors) or a rename:
+      // the DV applies as a reader-level tombstone skip, the mapping
+      // as a schema relabel, pruning pins intact on the renamed label
+      graft.sources.TxLog.deleteMoR(s, dir, "o_orderkey % 97 = 3")
+      graft.sources.TxLog.renameColumn(s, dir, "day", "event_day")
+      val maintained = s.read.format("txlog").load(dir)
+        .filter(col("event_day").between("1996-01-01", "1996-12-31"))
+      val scanned2 = graft.sources.txlog.TxLogBatch.plannedSegments(maintained)
+      require(scanned2.length == 1,
+        s"post-DV+rename DSv2 filter must still plan one segment, got " +
+          scanned2.mkString(","))
+      maintained.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // DSV2 TXLOG WRITE HALF — the SQL ingest surface: CTAS creates
+    // and seeds the table, INSERT INTO appends through the same
+    // commit path (stats/governance/slot-retry) the Scala API uses,
+    // and a DataFrameWriter append with statsCols records skipping
+    // metadata — three write surfaces, one log. The read back is the
+    // plan-integrated DSv2 scan; the oracle replays the three writes
+    // as a relational union.
+    "table_log_write_sql" -> ((s, d) => {
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = s"/tmp/graft_txwsql_$tag"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)
+      val tbl = s"graft_txw_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl USING txlog OPTIONS (path '$dir') AS
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM {ord} WHERE o_orderkey % 2 = 0""".replace("{ord}",
+          s"parquet.`$d/orders.parquet`"))
+      s.sql(s"""INSERT INTO $tbl
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) + 3 AS cents
+        FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 1""")
+      orders(s, d).filter(col("o_orderkey") % 1000 === 7)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (expr("CAST(round(o_totalprice * 100) AS BIGINT)") + 9L).as("cents"))
+        .write.format("txlog").option("statsCols", "o_orderkey")
+        .mode("append").save(dir)
+      require(graft.sources.TxLog.headVersion(dir) == 2,
+        "CTAS, INSERT and append must land as exactly three commits")
+      s.read.format("txlog").load(dir)
+        .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .orderBy("o_orderstatus")
     }),
@@ -6606,13 +6653,32 @@ object SparkEntry {
            FROM orders
            WHERE NOT (o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'))
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-    // the pushed one-year slice, aggregated relationally
+    // the pushed one-year slice after the MoR delete dropped the
+    // o_orderkey % 97 = 3 rows (the rename is name-only), relationally
     "scan_txlog_dsv2" ->
       """SELECT o_orderstatus, count(*) AS n,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS cents
          FROM orders
          WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
+           AND NOT (o_orderkey % 97 = 3)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the three SQL-era writes replayed as a relational union:
+    // CTAS evens, INSERT odds (+3), DataFrameWriter slice (+9)
+    "table_log_write_sql" ->
+      """SELECT o_orderstatus, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+         FROM (
+           SELECT o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) + 3 AS c
+           FROM orders WHERE o_orderkey % 2 = 1
+           UNION ALL
+           SELECT o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) + 9 AS c
+           FROM orders WHERE o_orderkey % 1000 = 7)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // serial order ⟨delete, append⟩: the base slice loses its F rows,
     // the concurrently-appended slice keeps ALL rows (marker +5) —

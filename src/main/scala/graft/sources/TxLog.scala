@@ -235,7 +235,12 @@ object TxLog {
     * rewrite would resurrect), renames/drops/protocol/constraints/
     * defaults/generated (governance a staged batch was not validated
     * against), `setcdf`/`cdc`, or any key this client has never seen
-    * (future format) — conservatively CONFLICTS. */
+    * (future format) — conservatively CONFLICTS. Admitting `stats`/
+    * `bloom` lines means a DML retried past a concurrent ANALYZE can
+    * leave that ANALYZE's stats rows orphaned for segments the DML
+    * removed — harmless: stats/bloom lookups key off the LIVE set, so
+    * an orphan row for a dead segment is never consulted, and a
+    * checkpoint drops it. */
   private val PureAppendKeys = Set("op", "ts", "add", "stats", "bloom")
 
   /** True when commit `v`'s entry is a pure blind append, classified
@@ -292,33 +297,39 @@ object TxLog {
                               dvs: Seq[(String, String, Long)] = Seq.empty,
                               reclaimAdds: Boolean = true): Int = {
     Option(testBeforeConditionalCommit.getAndSet(null)).foreach(_.run())
-    var eh = expectedHead
-    var attempts = 0
-    while (true) {
-      try return commit(dir, op, add, remove, Some(eh), stats, blooms,
-        dvs = dvs, extraLines = extraLines)
-      catch {
-        case e: java.util.ConcurrentModificationException =>
-          val head = headVersion(dir)
-          val commutes = retryPastAppends && attempts < MaxCommitRetries &&
-            head > eh && (eh + 1 to head).forall(v => isPureAppend(dir, v))
-          if (!commutes) {
-            // alsoReclaim: staged files the entry references OUTSIDE
-            // its add set (change-feed cdc / DV sidecars) — equally
-            // orphaned by a conflict, equally invisible to vacuum if
-            // leaked. reclaimAdds=false when the add set re-adds LIVE
-            // segments (dv_coalesce's restore trick) rather than
-            // staging new bytes — deleting those would destroy data a
-            // committed version still references.
-            ((if (reclaimAdds) add else Seq.empty) ++ alsoReclaim)
-              .foreach(seg => store(dir).deleteRecursively(s"$dir/$seg"))
-            throw e
-          }
-          attempts += 1
-          eh = head
+    @annotation.tailrec
+    def attempt(eh: Int, attempts: Int): Int = {
+      // None = retry from the VERIFIED head (every entry in (eh, head]
+      // proven a pure append; a commit landing after that read just
+      // conflicts again and is checked by the next pass)
+      val committed =
+        try Right(commit(dir, op, add, remove, Some(eh), stats, blooms,
+          dvs = dvs, extraLines = extraLines))
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            val head = headVersion(dir)
+            val commutes = retryPastAppends && attempts < MaxCommitRetries &&
+              head > eh && (eh + 1 to head).forall(v => isPureAppend(dir, v))
+            if (!commutes) {
+              // alsoReclaim: staged files the entry references OUTSIDE
+              // its add set (change-feed cdc / DV sidecars) — equally
+              // orphaned by a conflict, equally invisible to vacuum if
+              // leaked. reclaimAdds=false when the add set re-adds LIVE
+              // segments (dv_coalesce's restore trick) rather than
+              // staging new bytes — deleting those would destroy data a
+              // committed version still references.
+              ((if (reclaimAdds) add else Seq.empty) ++ alsoReclaim)
+                .foreach(seg => store(dir).deleteRecursively(s"$dir/$seg"))
+              throw e
+            }
+            Left(head)
+        }
+      committed match {
+        case Right(v)    => v
+        case Left(head)  => attempt(head, attempts + 1)
       }
     }
-    -1 // unreachable: the loop returns or throws
+    attempt(expectedHead, 0)
   }
 
   /** Expression classes whose value can differ across two executions
@@ -1096,7 +1107,7 @@ object TxLog {
     * away). A production impl pushes DV bitmaps into the scan itself
     * (Delta's per-file row-index filters); the join formulation keeps
     * the mechanics plan-visible here. */
-  private val BroadcastDvLimit = 4000000L
+  private[graft] val BroadcastDvLimit = 4000000L
 
   /** The dv-* sidecar layout: one row per tombstoned row coordinate. */
   private val DvSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -2611,52 +2622,93 @@ object TxLog {
     * admit Y), never the table. */
   /** Snapshot surface for the DSv2 batch connector
     * (`spark.read.format("txlog")`): the merged table schema plus the
-    * live segment PATHS surviving stats+bloom pruning for the
-    * optimizer's resolved filter `exprs` — the same triage every other
+    * live segments surviving stats+bloom pruning for the optimizer's
+    * resolved filter `exprs` — the same triage every other
     * arbitrary-predicate surface uses, so a pushed `day = X` filter
-    * opens only X's segments. Fails LOUD on table features a plain
-    * parquet delegate cannot express — deletion vectors (scanning the
-    * base bytes would resurrect tombstoned rows) and column mapping /
-    * drops (physical names would leak) — pointing at [[read]] /
-    * [[readWhere]], which handle them; silent wrong rows are never an
-    * option. */
+    * opens only X's segments. Deletion vectors and column mapping are
+    * carried as PLAN METADATA (per-segment DV sidecar refs, the
+    * physical↔logical name maps) for the connector to apply — a
+    * DV-filtering reader wrapper and a schema relabel — so the SQL
+    * surface stays usable on exactly the tables that saw MoR deletes
+    * or renames. */
   /** Opaque resolved snapshot for the DSv2 connector: ONE metadata
     * replay (+ footer merge) serves BOTH `Table.schema()` and every
     * scan build of the same Table — without it each query paid two
     * full replays, and a multi-scan query (self-join) could see two
     * different table versions. The caller (TxLogTable) PINS the
-    * result for its lifetime. */
+    * result for its lifetime. `schema` is the LOGICAL view (mapping
+    * labels applied, dropped columns hidden); `physSchema` is the same
+    * fields under their PHYSICAL storage names (what the segment bytes
+    * carry), positionally parallel to `schema`. */
   private[graft] final class Dsv2Snapshot private[TxLog] (
       private[TxLog] val snap: State,
-      private[graft] val schema: org.apache.spark.sql.types.StructType)
+      private[graft] val schema: org.apache.spark.sql.types.StructType,
+      private[graft] val physSchema: org.apache.spark.sql.types.StructType) {
+    /** physical (stored) name → logical label, for mapped columns. */
+    private[graft] def renames: Map[String, String] = snap.renames
+    /** logical label → physical (stored) name. */
+    private[graft] def physByLogical: Map[String, String] = snap.physByLogical
+    private[graft] def mapped: Boolean =
+      snap.renames.nonEmpty || snap.dropped.nonEmpty
+  }
+
+  /** One triage-surviving segment as the DSv2 connector consumes it:
+    * the segment's path, its BARE name (what DV sidecar `seg` columns
+    * record — entry names may be external clone refs), and its
+    * deletion-vector sidecars as (sidecar path, commit-recorded
+    * tombstone rows; -1 legacy-unknown). */
+  private[graft] final case class Dsv2Seg(path: String, bare: String,
+      dvs: Seq[(String, Long)])
+
+  /** True when `dir` holds no committed live data — the case where a
+    * catalog-declared schema (CREATE TABLE ... USING txlog) stands in
+    * for resolution so the first INSERT can match and a pre-INSERT
+    * scan is empty by construction. */
+  private[graft] def dsv2Empty(dir: String): Boolean =
+    snapshotOrEmpty(dir).live.isEmpty
 
   private[graft] def dsv2Resolve(spark: SparkSession, dir: String,
                                  asOf: Int): Dsv2Snapshot = {
     val s = state(dir, asOf)
     require(s.live.nonEmpty, s"table $dir is empty as of version $asOf")
     // the LOGICAL schema (mapping labels applied, dropped columns
-    // hidden) — what read() resolves, derived from the same replay
-    new Dsv2Snapshot(s, logicalSchema(s, tableSchema(spark, dir, s.live)))
+    // hidden) — what read() resolves, derived from the same replay —
+    // plus its physical twin (dropped hidden, storage names kept):
+    // the delegate parquet scan reads bytes, which carry physical names
+    val raw = tableSchema(spark, dir, s.live)
+    val phys = org.apache.spark.sql.types.StructType(
+      raw.filterNot(f => s.dropped(f.name)))
+    new Dsv2Snapshot(s, logicalSchema(s, raw), phys)
   }
 
   private[graft] def dsv2ScanInfo(spark: SparkSession, dir: String, asOf: Int,
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-      resolved: Dsv2Snapshot): Seq[String] = {
+      resolved: Dsv2Snapshot): Seq[Dsv2Seg] = {
     val snap = resolved.snap
     if (asOf >= 0)
       requireRetained(dir, asOf, snap.live.map(segPath(dir, _)))
-    if (snap.dvs.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"txlog table $dir carries deletion vectors; the parquet-delegate " +
-          "DSv2 scan would resurrect tombstoned rows — read it through " +
-          "TxLog.read/readWhere (DV-applying), or OPTIMIZE to materialize")
-    if (snap.renames.nonEmpty || snap.dropped.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"txlog table $dir uses column mapping (renames/drops); the " +
-          "DSv2 scan would surface physical names — read it through " +
-          "TxLog.read/readWhere, which apply the mapping")
-    triageByBounds(snap, conjunctBoundsOf(exprs)).map(segPath(dir, _))
+    triageByBounds(snap, conjunctBoundsOf(exprs)).map { seg =>
+      Dsv2Seg(segPath(dir, seg), bareName(seg),
+        snap.dvs.getOrElse(seg, Seq.empty)
+          .map { case (dv, rows) => (segPath(dir, dv), rows) })
+    }
   }
+
+  /** Driver-side tombstone coordinates for the DSv2 DV-filtering scan:
+    * the (file, pos) rows of `dvPaths` restricted to `bareSegs` —
+    * exactly the sidecar relation [[segScan]] anti-joins, collected
+    * (the connector pushes per-FILE position sets into its readers;
+    * the caller has already gated the total on the commit-recorded
+    * counts, so this collect is metadata-bounded like the read-side
+    * broadcast). Deduplication is the reader's binary search —
+    * duplicate coordinates across sidecars are harmless there. */
+  private[graft] def dsv2Tombstones(spark: SparkSession,
+      dvPaths: Seq[String], bareSegs: Set[String]): Array[(String, Long)] =
+    spark.read.schema(DvSchema).parquet(dvPaths.distinct: _*)
+      .filter(col("seg").isInCollection(bareSegs))
+      .select(col("file"), col("pos"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
 
   def readWhere(spark: SparkSession, dir: String, predicate: String,
                 asOf: Int = -1, mergeSchema: Boolean = false): DataFrame = {

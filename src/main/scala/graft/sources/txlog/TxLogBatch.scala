@@ -1,19 +1,24 @@
 package graft.sources.txlog
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.FileScan
 import org.apache.spark.sql.graftshim.{CatalystPushdownScanBuilder, ParquetDelegate}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.TxLog
 
-/** DSv2 BATCH read half of the `txlog` format —
-  * `spark.read.format("txlog").load(dir)` (and SQL over a view of it)
+/** DSv2 BATCH half of the `txlog` format —
+  * `spark.read.format("txlog").load(dir)` / SQL over a catalog table,
+  * and the WRITE half (`INSERT INTO` / `df.write.format("txlog")`) —
   * with PLAN-INTEGRATED segment pruning: the optimizer pushes the
   * query's resolved filters into [[TxLogScanBuilder]], which routes
   * them through the same stats+bloom triage every other
@@ -28,13 +33,26 @@ import graft.sources.TxLog
   * Pruning is strictly CONSERVATIVE: every filter is also returned as
   * residual, so Spark re-applies it above the scan (the
   * FileScanBuilder contract) — a pruned segment is provably matchless,
-  * a kept one is re-filtered exactly. Tables whose snapshot a plain
-  * parquet delegate cannot express fail LOUD at scan build (deletion
-  * vectors would resurrect tombstoned rows; column mapping would leak
-  * physical names) with a pointer at [[TxLog.read]]/readWhere.
-  * `option("asOf", v)` time-travels with the usual retention check. */
-class TxLogTable(dir: String, asOf: Int)
-    extends Table with SupportsRead {
+  * a kept one is re-filtered exactly.
+  *
+  * COLUMN-MAPPED snapshots (renames/drops) read through a pure schema
+  * RELABEL ([[TxLogRelabeledScan]]): the delegate reads physical
+  * names, the reported read schema carries the logical labels —
+  * InternalRows are positional, so no per-row work exists; the pushed
+  * filters and required columns are translated logical→physical on
+  * the way in. DELETION-VECTOR snapshots read through a
+  * tombstone-skipping wrapper ([[TxLogDvScan]]): DV-dirty segments are
+  * scanned unfiltered in file order (one partition per file, splits
+  * re-merged, nothing pushed into parquet, so the reader's row ORDINAL
+  * is exactly the `_metadata.row_index` the sidecar recorded) and each
+  * reader drops its file's tombstoned positions; clean segments in the
+  * same table keep full parquet pushdown. Residual filters above the
+  * scan keep both paths exact. `option("asOf", v)` time-travels with
+  * the usual retention check. */
+class TxLogTable(dir: String, asOf: Int,
+                 external: Option[StructType] = None,
+                 props: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"txlog($dir)"
   /** LAZY shared snapshot (mapping-applied, evolution-merged schema +
     * the replayed state the scan build reuses): the streaming fallback
@@ -47,7 +65,9 @@ class TxLogTable(dir: String, asOf: Int)
     * commit between them make the two sides see different table
     * versions — results matching no single snapshot. A fresh load()
     * (or catalog resolution) constructs a fresh Table and sees the new
-    * head. Loud on an empty table. */
+    * head. Loud on an empty table UNLESS a catalog/CREATE TABLE schema
+    * was supplied — a just-created table must resolve for its first
+    * INSERT (and scan as empty) before any commit exists. */
   @volatile private var snapRef: TxLog.Dsv2Snapshot = null
   private[txlog] def resolved(): TxLog.Dsv2Snapshot = {
     var r = snapRef
@@ -57,14 +77,78 @@ class TxLogTable(dir: String, asOf: Int)
     }
     r
   }
-  override def schema(): StructType = resolved().schema
+  /** None ⇒ the table holds no live data yet and `external` (the
+    * catalog's CREATE TABLE schema) stands in — the scan is empty by
+    * construction. Commits landing later are seen by a fresh Table. */
+  private[txlog] def resolvedOpt(): Option[TxLog.Dsv2Snapshot] =
+    if (external.exists(_.nonEmpty) && asOf < 0 && TxLog.dsv2Empty(dir)) None
+    else Some(resolved())
+  override def schema(): StructType = resolvedOpt() match {
+    // data present ⇒ the log's merged schema wins (the catalog copy
+    // can be stale after schema evolution — Delta resolves the same
+    // way); empty ⇒ the declared schema, so INSERT INTO can match
+    case Some(r) => r.schema
+    case None    => external.get
+  }
   override def capabilities(): java.util.Set[TableCapability] =
-    // BATCH_READ only: streaming stays on the spec-pinned v1
-    // Source/Sink halves (DataStreamReader falls back to them when the
-    // table declares no MICRO_BATCH_READ)
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    // BATCH_READ + the V1-fallback WRITE half (the InsertableRelation
+    // bridge routes INSERT/append into TxLog.append and
+    // INSERT OVERWRITE/truncate into TxLog.overwrite — the full
+    // stats/bloom/governance/OCC commit machinery, not a parallel
+    // write path). Streaming stays on the spec-pinned v1 Source/Sink
+    // halves (no MICRO_BATCH_READ ⇒ DataStreamReader falls back).
+    // BATCH_WRITE is declared alongside V1_BATCH_WRITE because
+    // DataFrameWriter.save only routes to the v2 write plans when the
+    // table claims BATCH_WRITE — the Write we build is a V1Write, and
+    // the physical strategy dispatches on THAT (AppendDataExecV1), so
+    // toBatch() is never reached
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxLogScanBuilder(SparkSession.active, dir, asOf, this)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TxLogWriteBuilder(dir, asOf, info, props)
+}
+
+/** The write half: a [[V1Write]] bridge. DSv2 hands the job's rows to
+  * an [[InsertableRelation]] as a resolved DataFrame (logical column
+  * labels, analyzer-matched to [[TxLogTable.schema]]), and the bridge
+  * commits it through the SAME entry points the Scala API uses —
+  * [[TxLog.append]]/[[TxLog.appendWithStats]] (blind append: stats,
+  * blooms, governance fingerprint, slot retry) or [[TxLog.overwrite]]
+  * (conditional commit) — so a SQL INSERT is bit-identical to a
+  * programmatic append, OCC semantics included: an INSERT racing a
+  * concurrent append lands in the next slot (blind appends commute);
+  * racing a governance change it restages, exactly like the API.
+  * `statsCols`/`bloomCols` (write option or table property,
+  * comma-separated) opt the commit into skipping metadata. */
+class TxLogWriteBuilder(dir: String, asOf: Int, info: LogicalWriteInfo,
+                        props: CaseInsensitiveStringMap)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation(): InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          require(asOf < 0,
+            "cannot write through a time-travel (asOf) txlog relation")
+          def opt(name: String): Option[String] =
+            Option(info.options.get(name)).orElse(Option(props.get(name)))
+          def cols(name: String): Seq[String] = opt(name).toSeq
+            .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+          if (truncateFirst || overwrite) TxLog.overwrite(data, dir)
+          else {
+            val (stats, blooms) = (cols("statsCols"), cols("bloomCols"))
+            if (stats.nonEmpty || blooms.nonEmpty)
+              TxLog.appendWithStats(data.sparkSession, data, dir,
+                stats, blooms)
+            else TxLog.append(data, dir)
+          }
+        }
+      }
+  }
 }
 
 class TxLogScanBuilder(spark: SparkSession, dir: String, asOf: Int,
@@ -91,11 +175,184 @@ class TxLogScanBuilder(spark: SparkSession, dir: String, asOf: Int,
     required = Some(requiredSchema)
 
   override def build(): Scan = {
-    val resolved = table.resolved() // pinned: one snapshot per Table
-    val paths = TxLog.dsv2ScanInfo(spark, dir, asOf, exprs, resolved)
-    if (paths.isEmpty) new TxLogEmptyScan(required.getOrElse(resolved.schema))
-    else ParquetDelegate.scan(spark, paths, resolved.schema, exprs, required)
+    val resolved = table.resolvedOpt() match {
+      case Some(r) => r // pinned: one snapshot per Table
+      case None    => // created-but-never-written: empty, declared schema
+        return new TxLogEmptyScan(required.getOrElse(table.schema()))
+    }
+    val segs = TxLog.dsv2ScanInfo(spark, dir, asOf, exprs, resolved)
+    // logical→physical translation for everything the delegate sees:
+    // filters (AttributeReference names) and the required columns —
+    // identity when the table is unmapped
+    val p2l = resolved.renames
+    val l2p = resolved.physByLogical
+    def physName(n: String): String = l2p.getOrElse(n, n)
+    val exprsPhys =
+      if (l2p.isEmpty) exprs
+      else exprs.map(_.transform {
+        case a: AttributeReference if l2p.contains(a.name) =>
+          a.withName(l2p(a.name))
+      })
+    val requiredPhys = required.map(r =>
+      StructType(r.map(f => f.copy(name = physName(f.name)))))
+    if (segs.isEmpty)
+      return new TxLogEmptyScan(required.getOrElse(resolved.schema))
+    val (dirty, clean) = segs.partition(_.dvs.nonEmpty)
+    if (dirty.isEmpty) {
+      val s = ParquetDelegate.scan(spark, clean.map(_.path),
+        resolved.physSchema, exprsPhys, requiredPhys)
+      if (resolved.mapped) new TxLogRelabeledScan(s, p2l) else s
+    } else {
+      // commit-recorded tombstone counts gate the driver-side
+      // coordinate load, like the read-side broadcast ([[TxLog
+      // .BroadcastDvLimit]]); a DV that large means OPTIMIZE is
+      // overdue (it materializes tombstones away)
+      val counts = dirty.flatMap(_.dvs.map(_._2))
+      if (counts.exists(_ < 0) || counts.sum > TxLog.BroadcastDvLimit)
+        throw new UnsupportedOperationException(
+          s"txlog table $dir carries ${counts.sum} recorded deletion-" +
+            s"vector rows (cap ${TxLog.BroadcastDvLimit}) on the scanned " +
+            "segments — read through TxLog.read/readWhere (shuffle " +
+            "anti-join), or OPTIMIZE to materialize the tombstones")
+      val cleanScan = if (clean.isEmpty) None
+        else Some(ParquetDelegate.scan(spark, clean.map(_.path),
+          resolved.physSchema, exprsPhys, requiredPhys))
+      // dirty side: NOTHING pushed into parquet — row-group/page
+      // skipping would break the ordinal↔row_index equality the
+      // tombstone filter depends on; the residual above the scan
+      // still applies the full predicate exactly
+      val dirtyScan = ParquetDelegate.scan(spark, dirty.map(_.path),
+        resolved.physSchema, Nil,
+        Some(requiredPhys.getOrElse(resolved.physSchema)))
+      new TxLogDvScan(spark, cleanScan, dirtyScan, p2l, dirty)
+    }
   }
+}
+
+/** Pure schema relabel over the delegate scan for COLUMN-MAPPED
+  * tables: the delegate reads physical names; the reported read
+  * schema carries the logical labels the relation resolved
+  * ([[TxLogTable.schema]]). InternalRows are positional — renaming
+  * the reported fields is the whole job, partitions and readers
+  * (columnar included) pass through untouched. */
+class TxLogRelabeledScan(delegate: Scan, physToLogical: Map[String, String])
+    extends Scan {
+  override def readSchema(): StructType =
+    StructType(delegate.readSchema().map(f =>
+      f.copy(name = physToLogical.getOrElse(f.name, f.name))))
+  override def toBatch: Batch = delegate.toBatch
+  override def description(): String = s"txlog-mapped ${delegate.description()}"
+  private[txlog] def delegateFiles: Seq[String] = delegate match {
+    case f: FileScan => f.fileIndex.inputFiles.toSeq
+    case _           => Seq.empty
+  }
+}
+
+/** A DV-dirty segment file reshaped for ordinal-exact reading: ALL
+  * splits of one physical file, offset-ordered, in one partition —
+  * so the wrapping reader's row count IS the file row index — plus
+  * that file's sorted tombstoned positions. */
+case class TxLogDvPartition(file: FilePartition, tombs: Array[Long])
+    extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    file.preferredLocations()
+}
+
+/** Scan for a snapshot with DELETION VECTORS: clean segments keep the
+  * fully-pushed-down delegate scan; DV-dirty segments are read
+  * unfiltered in file order and each reader subtracts its file's
+  * tombstoned row ordinals ([[TxLogDvReader]]) — the reader-level
+  * form of the batch read path's anti-join, with the coordinates
+  * shipped per partition (no broadcast, no shuffle). The whole scan
+  * reports row-based reads: mixing columnar clean partitions with
+  * row-based dirty ones in one scan is rejected by Spark, and the
+  * clean side still decodes through the same parquet reader. */
+class TxLogDvScan(spark: SparkSession, cleanScan: Option[Scan],
+                  dirtyScan: Scan, physToLogical: Map[String, String],
+                  dirtySegs: Seq[TxLog.Dsv2Seg])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(dirtyScan.readSchema().map(f =>
+      f.copy(name = physToLogical.getOrElse(f.name, f.name))))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"txlog-dv(${dirtySegs.size} dirty) ${dirtyScan.description()}"
+
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  private lazy val partitions: Array[InputPartition] = {
+    // ONE job loads the surviving segments' tombstone coordinates
+    // (gated on the commit-recorded counts at build time), grouped to
+    // per-file sorted position arrays — each dirty partition carries
+    // only its own file's set
+    val tombs = TxLog.dsv2Tombstones(spark,
+        dirtySegs.flatMap(_.dvs.map(_._1)), dirtySegs.map(_.bare).toSet)
+      .groupBy(t => norm(t._1))
+      .map { case (f, arr) => f -> arr.map(_._2).sorted }
+    val dirtyFiles = dirtyScan.toBatch.planInputPartitions().flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"parquet delegate planned a non-file partition: $other")
+    }
+    // re-merge splits per file, offset-ordered: a split boundary would
+    // otherwise start the wrapper's ordinal at 0 mid-file
+    val dirty = dirtyFiles.groupBy(pf => norm(pf.filePath.toString))
+      .toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((f, splits), i) =>
+        TxLogDvPartition(FilePartition(i, splits.sortBy(_.start)),
+          tombs.getOrElse(f, Array.emptyLongArray))
+      }
+    (cleanScan.toSeq.flatMap(_.toBatch.planInputPartitions()) ++ dirty)
+      .toArray
+  }
+  override def planInputPartitions(): Array[InputPartition] = partitions
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TxLogDvReaderFactory(
+      cleanScan.map(_.toBatch.createReaderFactory()),
+      dirtyScan.toBatch.createReaderFactory())
+
+  private[txlog] def plannedFiles: Seq[String] =
+    (cleanScan.toSeq :+ dirtyScan).flatMap {
+      case f: FileScan => f.fileIndex.inputFiles.toSeq
+      case _           => Seq.empty
+    }
+}
+
+/** Routes DV-dirty partitions through the tombstone-skipping wrapper
+  * and everything else straight to the clean delegate factory.
+  * Row-based only: the dirty wrapper counts rows, and Spark requires
+  * one answer per scan. */
+class TxLogDvReaderFactory(clean: Option[PartitionReaderFactory],
+                           dirty: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case TxLogDvPartition(fp, tombs) =>
+        new TxLogDvReader(dirty.createReader(fp), tombs)
+      case other => clean.get.createReader(other)
+    }
+}
+
+/** Drops the tombstoned row ordinals of ONE file: the delegate reads
+  * the whole file in storage order (nothing pushed down, splits
+  * re-merged), so the running count is exactly the
+  * `_metadata.row_index` the DV sidecar recorded at delete time.
+  * Binary search per row over the file's sorted positions —
+  * allocation-free, O(log tombstones). */
+class TxLogDvReader(delegate: PartitionReader[InternalRow],
+                    tombs: Array[Long])
+    extends PartitionReader[InternalRow] {
+  private var ord = -1L
+  override def next(): Boolean = {
+    while (delegate.next()) {
+      ord += 1
+      if (java.util.Arrays.binarySearch(tombs, ord) < 0) return true
+    }
+    false
+  }
+  override def get(): InternalRow = delegate.get()
+  override def close(): Unit = delegate.close()
 }
 
 /** Every segment pruned: a zero-partition scan carrying the pruned
@@ -110,17 +367,19 @@ object TxLogBatch {
     * scan holds two), and `Dataset.inputFiles` is empty for a
     * non-FileTable DSv2 relation. So walk to the delegate FileScan's
     * file index, unwrapping AQE (whose node is a childless leaf that
-    * hides the scan from collect). */
+    * hides the scan from collect) and the mapped/DV wrappers. */
   def plannedSegments(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     def files(p: SparkPlan): Seq[String] = p match {
       case a: AdaptiveSparkPlanExec => files(a.executedPlan)
       case other => other.collect {
         case b: BatchScanExec => b.scan match {
-          case f: FileScan => f.fileIndex.inputFiles.toSeq
-          case _           => Seq.empty[String]
+          case f: FileScan              => f.fileIndex.inputFiles.toSeq
+          case r: TxLogRelabeledScan    => r.delegateFiles
+          case d: TxLogDvScan           => d.plannedFiles
+          case _                        => Seq.empty[String]
         }
       }.flatten
     }

@@ -104,8 +104,15 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
       properties: java.util.Map[String, String]
       ): org.apache.spark.sql.connector.catalog.Table = {
     val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
-    new TxLogTable(batchDir(opts), asOfOf(opts))
+    new TxLogTable(batchDir(opts), asOfOf(opts),
+      Option(schema).filter(_.nonEmpty), opts)
   }
+
+  /** A catalog-declared schema (CREATE TABLE columns / CTAS) is
+    * accepted: it resolves the table while the log is still empty —
+    * the first-INSERT case — and is superseded by the log's own merged
+    * schema the moment data exists ([[TxLogTable.schema]]). */
+  override def supportsExternalMetadata(): Boolean = true
 
   private def batchDir(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap): String =

@@ -130,20 +130,155 @@ class TxLogDsv2Spec extends SparkTestBase {
     assert(got.map(_.getString(2)) == Seq(null, "x"))
   }
 
-  test("DV and column-mapped tables fail loud with a usable pointer") {
-    val dv = freshDir()
-    TxLog.append((0 until 8).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dv)
-    TxLog.deleteMoR(spark, dv, "id = 3")
-    val e1 = intercept[Exception] { dsv2(dv).collect() }
-    assert(Iterator.iterate(e1: Throwable)(_.getCause).takeWhile(_ != null)
-      .exists(t => Option(t.getMessage).exists(_.contains("deletion vectors"))),
-      s"got: $e1")
-    val rn = freshDir()
-    TxLog.append(Seq((1L, "a")).toDF("id", "v"), rn)
-    TxLog.renameColumn(spark, rn, "v", "val")
-    val e2 = intercept[Exception] { dsv2(rn).count() }
-    assert(Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
-      .exists(t => Option(t.getMessage).exists(_.contains("column mapping"))),
-      s"got: $e2")
+  test("MoR-deleted (DV) table: DSv2 ≡ TxLog.read, pruning intact on clean segments") {
+    val dir = slicedTable()
+    TxLog.deleteMoR(spark, dir, "id = 603")
+    TxLog.deleteMoR(spark, dir, "id IN (505, 506)")
+    val got = dsv2(dir).orderBy("id").collect().toSeq
+    val want = TxLog.read(spark, dir).orderBy("id").collect().toSeq
+    assert(got == want && got.size == 29, s"got ${got.size} rows")
+    // a residual filter over the dirty segment never resurrects a
+    // tombstone (the raw bytes still hold id=603)
+    assert(dsv2(dir).filter("id = 603").collect().isEmpty)
+    // segment pruning still reaches the plan for a slice untouched by DVs
+    val q = dsv2(dir).filter(col("day") === "1997-06-15")
+    assert(plannedSegs(q).size == 1, s"planned: ${plannedSegs(q)}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (700L to 707L))
+    // and a filtered read over the DIRTY segment applies as exact residual
+    val dirtyQ = dsv2(dir).filter("day = '1996-06-15'")
+    val dirtyWant = TxLog.readWhere(spark, dir, "day = '1996-06-15'")
+    assert(dirtyQ.orderBy("id").collect().toSeq ==
+      dirtyWant.orderBy("id").collect().toSeq)
+    assert(dirtyQ.count() == 7)
+  }
+
+  test("column-mapped table (rename + drop): DSv2 surfaces logical labels, prunes, pushes down") {
+    val dir = slicedTable()
+    TxLog.renameColumn(spark, dir, "day", "event_day")
+    val df = dsv2(dir)
+    assert(df.columns.toSeq == Seq("id", "event_day"))
+    assert(df.orderBy("id").collect().toSeq ==
+      TxLog.read(spark, dir).orderBy("id").collect().toSeq)
+    // stats triage translates the logical label to the physical stats key
+    val q = df.filter(col("event_day") === "1996-06-15")
+    assert(plannedSegs(q).size == 1, s"planned: ${plannedSegs(q)}")
+    assert(q.count() == 8)
+    // parquet-level pushdown rides the PHYSICAL name (the bytes' name)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("day"),
+      s"no physical pushdown in:\n$plan")
+    // dropped columns stay hidden
+    val d2 = freshDir()
+    TxLog.append(Seq((1L, "a", "secret")).toDF("id", "v", "gone"), d2)
+    TxLog.dropColumn(spark, d2, "gone")
+    assert(dsv2(d2).columns.toSeq == Seq("id", "v"))
+    assert(dsv2(d2).collect().head.getString(1) == "a")
+  }
+
+  test("DV + column mapping combined: parity and pruning") {
+    val dir = slicedTable()
+    TxLog.renameColumn(spark, dir, "day", "d")
+    TxLog.deleteMoR(spark, dir, "id = 603")
+    val got = dsv2(dir).orderBy("id").collect().toSeq
+    val want = TxLog.read(spark, dir).orderBy("id").collect().toSeq
+    assert(got == want && got.size == 31)
+    val q = dsv2(dir).filter(col("d") === "1996-06-15")
+    assert(plannedSegs(q).size == 1, s"planned: ${plannedSegs(q)}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(600L, 601L, 602L, 604L, 605L, 606L, 607L))
+  }
+
+  test("SQL INSERT INTO / INSERT OVERWRITE write through the commit path") {
+    val dir = slicedTable()
+    spark.sql("DROP TABLE IF EXISTS txdsv2_w")
+    try {
+      spark.sql(s"CREATE TABLE txdsv2_w USING txlog OPTIONS (path '$dir')")
+      spark.sql("INSERT INTO txdsv2_w VALUES (900, '1999-06-15')")
+      // the commit is a real log version: the Scala API sees it too
+      assert(TxLog.read(spark, dir).count() == 33)
+      assert(spark.sql("SELECT * FROM txdsv2_w WHERE id = 900").count() == 1)
+      spark.sql("INSERT OVERWRITE txdsv2_w VALUES (1, '2000-01-01')")
+      assert(TxLog.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    } finally spark.sql("DROP TABLE IF EXISTS txdsv2_w")
+  }
+
+  test("CREATE TABLE with declared columns: first INSERT lands, pre-INSERT scan is empty") {
+    val dir = freshDir()
+    spark.sql("DROP TABLE IF EXISTS txdsv2_new")
+    try {
+      spark.sql("CREATE TABLE txdsv2_new (id BIGINT, day STRING) " +
+        s"USING txlog OPTIONS (path '$dir')")
+      // catalog schema stands in while the log is empty
+      assert(spark.sql("SELECT * FROM txdsv2_new").collect().isEmpty)
+      spark.sql("INSERT INTO txdsv2_new VALUES (7, '1995-01-01'), (8, '1995-01-02')")
+      assert(spark.sql("SELECT * FROM txdsv2_new").count() == 2)
+      assert(TxLog.read(spark, dir).orderBy("id")
+        .collect().map(_.getLong(0)).toSeq == Seq(7L, 8L))
+    } finally spark.sql("DROP TABLE IF EXISTS txdsv2_new")
+  }
+
+  test("CTAS: CREATE TABLE ... USING txlog AS SELECT") {
+    val dir = freshDir()
+    spark.sql("DROP TABLE IF EXISTS txdsv2_ctas")
+    try {
+      spark.sql(s"CREATE TABLE txdsv2_ctas USING txlog OPTIONS (path '$dir') " +
+        "AS SELECT id, concat('v', id) AS v FROM range(5)")
+      assert(spark.sql("SELECT * FROM txdsv2_ctas").count() == 5)
+      assert(TxLog.read(spark, dir).count() == 5)
+    } finally spark.sql("DROP TABLE IF EXISTS txdsv2_ctas")
+  }
+
+  test("df.write.format(txlog): append with statsCols records skipping stats") {
+    val dir = freshDir()
+    Seq((1L, "1995-06-15"), (2L, "1995-06-16")).toDF("id", "day")
+      .write.format("txlog").option("statsCols", "day,id")
+      .mode("append").save(dir)
+    Seq((3L, "1996-06-15"), (4L, "1996-06-16")).toDF("id", "day")
+      .write.format("txlog").option("statsCols", "day,id")
+      .mode("append").save(dir)
+    // the recorded stats prune like an API appendWithStats would
+    val q = dsv2(dir).filter(col("day") >= "1996-01-01")
+    assert(plannedSegs(q).size == 1, s"planned: ${plannedSegs(q)}")
+    assert(q.count() == 2)
+    Seq((9L, "1999-01-01")).toDF("id", "day")
+      .write.format("txlog").mode("overwrite").save(dir)
+    assert(TxLog.read(spark, dir).count() == 1)
+  }
+
+  test("INSERT into a column-mapped table translates logical labels on write") {
+    val dir = slicedTable()
+    TxLog.renameColumn(spark, dir, "day", "event_day")
+    spark.sql("DROP TABLE IF EXISTS txdsv2_m")
+    try {
+      spark.sql(s"CREATE TABLE txdsv2_m USING txlog OPTIONS (path '$dir')")
+      spark.sql("INSERT INTO txdsv2_m VALUES (900, '1999-06-15')")
+      assert(spark.sql(
+        "SELECT event_day FROM txdsv2_m WHERE id = 900").collect()
+        .head.getString(0) == "1999-06-15")
+      // the appended bytes landed under the PHYSICAL name: the Scala
+      // read (mapping-applying) agrees
+      assert(TxLog.read(spark, dir).filter("id = 900").count() == 1)
+    } finally spark.sql("DROP TABLE IF EXISTS txdsv2_m")
+  }
+
+  test("INSERT OVERWRITE racing a concurrent append conflicts loud (contract: overwrite asserts over the whole table)") {
+    val dir = slicedTable()
+    spark.sql("DROP TABLE IF EXISTS txdsv2_r")
+    try {
+      spark.sql(s"CREATE TABLE txdsv2_r USING txlog OPTIONS (path '$dir')")
+      TxLog.testBeforeConditionalCommit.set(() =>
+        TxLog.append(Seq((999L, "2001-01-01")).toDF("id", "day"), dir))
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE txdsv2_r VALUES (1, '2000-01-01')")
+      }
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+        s"got: $e")
+      // the concurrent append won; the failed overwrite left no rows
+      assert(TxLog.read(spark, dir).count() == 33)
+    } finally {
+      TxLog.testBeforeConditionalCommit.set(null)
+      spark.sql("DROP TABLE IF EXISTS txdsv2_r")
+    }
   }
 }
