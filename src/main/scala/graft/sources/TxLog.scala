@@ -1761,35 +1761,47 @@ object TxLog {
     * FILE on the driver — uncapped, a point probe on a 100k-segment
     * table whose ranges don't discriminate would serialize 100k
     * metadata fetches before any job launches. So pruning runs range
-    * stats FIRST over everything, then probes blooms only when the
-    * range survivors fit the cap — strictly conservative (skipping
-    * blooms only KEEPS segments), and blooms still fire exactly where
-    * they matter: once the field is narrow enough that per-sidecar
-    * cost is bounded, or on high-cardinality keys whose ranges never
-    * discriminate but whose table is not pathologically wide.
-    * Overridable via system property (tests pin both sides). */
+    * stats FIRST over everything, then probes blooms DRIVER-side while
+    * the range survivors fit the cap; ABOVE the cap, callers holding a
+    * session run ONE distributed sidecar-probe job ([[bloomProbeJob]])
+    * — executor-side reads, O(candidates) booleans back — so the
+    * 100k-segment needle-in-haystack case still bloom-prunes.
+    * Metadata-only callers (no session) skip instead — strictly
+    * conservative (skipping blooms only KEEPS segments).
+    * Overridable via system property (tests pin all sides). */
   private[graft] def bloomProbeCap: Int =
     Integer.getInteger("graft.txlog.bloomProbeCap", 256)
 
-  // Two-phase range-then-capped-bloom policy: KEEP IN SYNC with
-  // [[triageByBounds]] (the arbitrary-predicate twin). Not unified
-  // because the probe domains differ: this value is already in the
-  // column's own cast-to-string form (no literal-kind guard), while
-  // triage conjuncts carry a parsed literal kind that must
-  // type-family-match the stats/bloom before any prune.
-  private def prunePointIn(s: State, c: String,
-                           value: String): (Seq[String], Seq[String]) = {
+  // Two-phase range-then-bloom policy (driver probes under the cap,
+  // one distributed sidecar job above it when a session is in hand):
+  // KEEP IN SYNC with [[triageByBounds]] (the arbitrary-predicate
+  // twin). Not unified because the probe domains differ: this value
+  // is already in the column's own cast-to-string form (no
+  // literal-kind guard), while triage conjuncts carry a parsed
+  // literal kind that must type-family-match the stats/bloom before
+  // any prune.
+  private def prunePointIn(s: State, c: String, value: String,
+                           spark: Option[SparkSession] = None
+                          ): (Seq[String], Seq[String]) = {
     val p = s.physCol(c)
     val (rangeKept, rangePruned) = s.live.partition { seg =>
       !canPrune(s.stats.get((seg, p)), Some(value), Some(value))
     }
-    if (rangeKept.size > bloomProbeCap) (rangeKept, rangePruned)
-    else {
-      val (kept, bloomPruned) = rangeKept.partition { seg =>
-        // None (no bloom / unnormalizable probe / missing sidecar) keeps
-        s.blooms.get((seg, p)).flatMap(_.mightContain(value)).getOrElse(true)
-      }
+    def split(might: String => Option[Boolean]) = {
+      // None (no bloom / unnormalizable probe / missing sidecar) keeps
+      val (kept, bloomPruned) =
+        rangeKept.partition(seg => might(seg).getOrElse(true))
       (kept, rangePruned ++ bloomPruned)
+    }
+    if (rangeKept.size <= bloomProbeCap)
+      split(seg => s.blooms.get((seg, p)).flatMap(_.mightContain(value)))
+    else spark match {
+      case None => (rangeKept, rangePruned) // metadata-only caller: skip
+      case Some(sp) =>
+        val tasks = rangeKept.flatMap(seg => s.blooms.get((seg, p))
+          .map(b => ((seg, p, b.file, b.typeName, b.m, b.k), Seq(value))))
+        val answers = bloomProbeJob(sp, tasks)
+        split(seg => answers.getOrElse((seg, p, value), None))
     }
   }
 
@@ -1799,7 +1811,7 @@ object TxLog {
   def readPoint(spark: SparkSession, dir: String, c: String, value: String,
                 asOf: Int = -1, mergeSchema: Boolean = false): DataFrame = {
     val s = state(dir, asOf)
-    val (kept, _) = prunePointIn(s, c, value)
+    val (kept, _) = prunePointIn(s, c, value, Some(spark))
     val base =
       if (kept.isEmpty) // schema-preserving empty
         read(spark, dir, asOf, mergeSchema).limit(0)
@@ -2556,14 +2568,14 @@ object TxLog {
     * of reading the predicate columns of EVERY live row. */
   private def triageCandidates(snap: State, predicate: String,
                                spark: SparkSession): Seq[String] =
-    triageByBounds(snap, prunableConjuncts(spark, predicate))
+    triageByBounds(snap, prunableConjuncts(spark, predicate), Some(spark))
 
   /** [[triageCandidates]] over already-extracted conjunct bounds — the
     * form the DSv2 pushdown path calls with the optimizer's resolved
     * expressions run through [[conjunctBoundsOf]]. */
   private def triageByBounds(snap: State,
-      bounds: Seq[(String, String, Seq[(Option[String], Option[String])])]
-      ): Seq[String] = {
+      bounds: Seq[(String, String, Seq[(Option[String], Option[String])])],
+      spark: Option[SparkSession] = None): Seq[String] = {
     if (bounds.isEmpty) return snap.live
     // the conjunct is an OR of its ranges: skippable only when EVERY
     // alternative is excluded. An alternative is excluded by RANGE
@@ -2572,7 +2584,10 @@ object TxLog {
     // absent (the readPoint machinery, now shared by every
     // arbitrary-predicate surface). An unparseable probe (e.g.
     // `long_col = 'abc'`) proves nothing — keep, never throw.
-    def excluded(seg: String, useBlooms: Boolean): Boolean =
+    // `probe` answers (seg, physCol, value): Some(false) = proven
+    // absent; anything else keeps.
+    def excluded(seg: String,
+                 probe: (String, String, String) => Option[Boolean]): Boolean =
       bounds.exists { case (c, kind, alts) =>
         val p = snap.physCol(c)
         val st = snap.stats.get((seg, p))
@@ -2585,21 +2600,77 @@ object TxLog {
           // literal probed against a STRING column's bloom would hash
           // "5" while the row stored "05" — equal under the
           // predicate's numeric cast, absent to the bloom: row loss
-          def byBloom = useBlooms && lo.isDefined && lo == hi &&
+          def byBloom = lo.isDefined && lo == hi &&
             snap.blooms.get((seg, p))
-              .filter(b => statComparable(b.typeName, kind))
-              .flatMap(_.mightContain(lo.get)).contains(false)
+              .exists(b => statComparable(b.typeName, kind)) &&
+            probe(seg, p, lo.get).contains(false)
           byRange || byBloom
         }
       }
-    // range phase over everything (in-memory metadata), bloom phase
-    // only when the survivors fit [[bloomProbeCap]] — each bloom probe
-    // is a driver-side sidecar FILE read, unbounded in segment count
-    // without the cap; skipping only ever KEEPS segments. KEEP IN SYNC
-    // with [[prunePointIn]], the point-probe twin of this policy.
-    val rangeKept = snap.live.filterNot(seg => excluded(seg, useBlooms = false))
-    if (rangeKept.size > bloomProbeCap) rangeKept
-    else rangeKept.filterNot(seg => excluded(seg, useBlooms = true))
+    val noBloom = (_: String, _: String, _: String) => Option.empty[Boolean]
+    val driverProbe = (seg: String, p: String, v: String) =>
+      snap.blooms.get((seg, p)).flatMap(_.mightContain(v))
+    // range phase over everything (in-memory metadata), then blooms:
+    // DRIVER-side lazy sidecar reads while the survivors fit
+    // [[bloomProbeCap]] (each probe is one metadata-file fetch); above
+    // the cap, ONE DISTRIBUTED job maps over the candidates' sidecar
+    // paths instead (the 100k-segment needle-in-haystack case where
+    // ranges don't discriminate — O(candidates) tiny reads belong on
+    // executors, not serialized through the driver). Metadata-only
+    // callers with no session in hand keep the conservative skip
+    // (only ever KEEPS segments). KEEP IN SYNC with [[prunePointIn]],
+    // the point-probe twin of this policy.
+    val rangeKept = snap.live.filterNot(seg => excluded(seg, noBloom))
+    if (rangeKept.size <= bloomProbeCap)
+      rangeKept.filterNot(seg => excluded(seg, driverProbe))
+    else spark match {
+      case None => rangeKept
+      case Some(sp) =>
+        val tasks = (for {
+          (c, kind, alts) <- bounds
+          v <- alts.collect { case (Some(lo), Some(hi)) if lo == hi => lo }
+          seg <- rangeKept
+          p = snap.physCol(c)
+          b <- snap.blooms.get((seg, p))
+          if statComparable(b.typeName, kind)
+        } yield ((seg, p, b.file, b.typeName, b.m, b.k), v))
+          .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toSeq
+        val answers = bloomProbeJob(sp, tasks)
+        rangeKept.filterNot(seg =>
+          excluded(seg, (s0, p, v) => answers.getOrElse((s0, p, v), None)))
+    }
+  }
+
+  /** ONE Spark job probing Bloom sidecars EXECUTOR-side — the
+    * above-cap form of the lazy driver probe: each task re-opens its
+    * sidecar via [[LogStore.forPath]] (nothing driver-held is
+    * serialized), decodes with exactly [[BloomStats]]'s rules
+    * (truncated/missing sidecar → no answer → keep), and ships back
+    * one Option[Boolean] per (segment, column, value) — O(candidates)
+    * booleans, never bitsets. Tasks are keyed (seg, physCol, sidecar
+    * file, typeName, m, k) with their distinct probe values so each
+    * sidecar is read ONCE per task regardless of how many IN-list
+    * values probe it. */
+  private def bloomProbeJob(spark: SparkSession,
+      tasks: Seq[((String, String, String, String, Int, Int), Seq[String])]
+      ): Map[(String, String, String), Option[Boolean]] = {
+    if (tasks.isEmpty) return Map.empty
+    val slices = math.max(1, math.min(tasks.size,
+      spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(tasks, slices)
+      .flatMap { case ((seg, p, file, tn, m, k), values) =>
+        val bits =
+          try {
+            val b = LogStore.forPath(file).readBytes(file)
+            if (b.length == (m + 7) / 8) Some(b) else None
+          } catch { case _: java.io.IOException => None }
+        values.map { v =>
+          val ans = for (nv <- normalizeProbe(tn, v); b <- bits) yield
+            bloomPositions(nv, m, k)
+              .forall(pos => (b(pos / 8) & (1 << (pos % 8))) != 0)
+          ((seg, p, v), ans)
+        }
+      }.collect().toMap
   }
 
   /** Test hook: the segment subset an arbitrary-predicate DML triage
@@ -2687,7 +2758,7 @@ object TxLog {
     val snap = resolved.snap
     if (asOf >= 0)
       requireRetained(dir, asOf, snap.live.map(segPath(dir, _)))
-    triageByBounds(snap, conjunctBoundsOf(exprs)).map { seg =>
+    triageByBounds(snap, conjunctBoundsOf(exprs), Some(spark)).map { seg =>
       Dsv2Seg(segPath(dir, seg), bareName(seg),
         snap.dvs.getOrElse(seg, Seq.empty)
           .map { case (dv, rows) => (segPath(dir, dv), rows) })

@@ -234,7 +234,7 @@ class TxLogTriagePruneSpec extends SparkTestBase {
     assert(sa.count(_._2.isEmpty) == 4, "NULL-day rows must all survive")
   }
 
-  test("bloom probing is capped: past the cap the bloom phase is skipped, never wrong") {
+  test("bloom probing is capped: past the cap the probes move off the driver, never wrong") {
     // 6 segments whose id RANGES all overlap (1..100) so range stats
     // discriminate nothing; each holds one distinct key bloom can prove
     val dir = freshDir()
@@ -248,25 +248,25 @@ class TxLogTriagePruneSpec extends SparkTestBase {
       System.setProperty("graft.txlog.bloomProbeCap", cap.toString)
       try body finally System.clearProperty("graft.txlog.bloomProbeCap")
     }
-    // under the cap: blooms prune to the single holder, and the probe
-    // paid one sidecar read per range survivor (observable in metaReads)
+    // under the cap: blooms prune to the single holder via DRIVER-side
+    // lazy sidecar reads (observable in metaReads)
     val before = graft.sources.LogStore.metaReads.get()
     val pruned = withCap(6)(TxLog.triageCandidatesOf(spark, dir, probe))
     val readsUncapped = graft.sources.LogStore.metaReads.get() - before
     assert(pruned.size == 1, s"blooms must isolate the holder: $pruned")
-    // past the cap: bloom phase skipped — every range survivor kept
-    // (conservative), and the sidecar reads are gone
-    val b2 = graft.sources.LogStore.metaReads.get()
+    assert(readsUncapped >= 6,
+      s"driver probe must pay one sidecar read per survivor: $readsUncapped")
+    // past the cap: the probes run as ONE distributed job — the ANSWER
+    // is identical (the holder isolated), the sidecar loads just moved
+    // off the driver's lazy path
     val capped = withCap(5)(TxLog.triageCandidatesOf(spark, dir, probe))
-    val readsCapped = graft.sources.LogStore.metaReads.get() - b2
-    assert(capped.size == 6, s"capped triage must keep all: $capped")
-    assert(readsUncapped - readsCapped >= 6,
-      s"cap must drop the per-segment sidecar loads: " +
-        s"uncapped=$readsUncapped capped=$readsCapped")
-    // both answers drive the same exact result (kept set only widens)
+    assert(capped == pruned,
+      s"distributed triage must match the driver answer: $capped")
+    // both answers drive the same exact result
     assert(TxLog.readWhere(spark, dir, probe).select("v")
       .as[String].collect().toSeq == Seq("mid2"))
-    // prunePoint honors the same cap
+    // prunePoint (metadata-only API, no session to run a job with)
+    // keeps the conservative skip above the cap
     val (keptU, _) = withCap(6)(TxLog.prunePoint(dir, "id", "12"))
     val (keptC, _) = withCap(5)(TxLog.prunePoint(dir, "id", "12"))
     assert(keptU.size == 1 && keptC.size == 6,
