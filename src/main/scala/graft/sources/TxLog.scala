@@ -262,6 +262,14 @@ object TxLog {
   private[graft] val testBeforeConditionalCommit =
     new java.util.concurrent.atomic.AtomicReference[Runnable](null)
 
+  /** Observability: conditional commits in THIS JVM that re-claimed a
+    * slot past verified pure appends — the cross-process race spec's
+    * proof that the retry path actually fired (wall-clock interleaving
+    * alone can't show which side of the snapshot window a child's
+    * append landed on). */
+  private[graft] val occRetries =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Conditional commit that RECLAIMS the just-written `add` segments
     * on a concurrency conflict — without this, every conflicted
     * optimize/merge/delete of a large table would leak a table-sized
@@ -326,7 +334,9 @@ object TxLog {
         }
       committed match {
         case Right(v)    => v
-        case Left(head)  => attempt(head, attempts + 1)
+        case Left(head)  =>
+          occRetries.incrementAndGet()
+          attempt(head, attempts + 1)
       }
     }
     attempt(expectedHead, 0)

@@ -199,4 +199,94 @@ class TxLogOccRetrySpec extends SparkTestBase {
     assert(TxLog.coalesceDvs(spark, dir, maxSidecars = 1).nonEmpty)
     assert(TxLog.read(spark, dir).count() == 11)
   }
+
+  test("two-JVM append race: delete→optimize→merge all land past a continuously-appending child") {
+    // The race the in-process hook CANNOT run: a separate JVM
+    // ([[AppendRaceChild]], own SparkSession, own classloader) blind-
+    // appends one-row batches in a tight loop against the SAME table
+    // dir, arbitrated only by the log store's putIfAbsent — while this
+    // JVM runs the snapshot-dependent maintenance tape. Every op must
+    // land within MaxCommitRetries (no ConcurrentModificationException
+    // escapes), the retry path must ACTUALLY fire at least once
+    // (occRetries counter — wall-clock interleaving alone proves
+    // nothing), and the final table must hold exactly the serial-order
+    // result: base minus the deletes, merge applied, every child row
+    // present.
+    val dir = freshDir()
+    TxLog.appendWithStats(spark,
+      (0 until 10000).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir,
+      Seq("id"))
+    TxLog.appendWithStats(spark,
+      (10000 until 20000).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir,
+      Seq("id"))
+    val root = java.nio.file.Files.createTempDirectory("graft-occ2jvm")
+    val stopFile = root.resolve("stop"); val countFile = root.resolve("n")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++
+      addOpens ++ Seq("-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.AppendRaceChild", dir, stopFile.toString, countFile.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(root.resolve("child.log").toFile)
+    val child = pb.start()
+    try {
+      // wait until the child's first append lands (Spark startup is
+      // seconds) so the DMLs genuinely overlap live ingest
+      val deadline = System.currentTimeMillis() + 120000
+      while (TxLog.headVersion(dir) < 2 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(TxLog.headVersion(dir) >= 2, "child never appended; see child.log")
+      val r0 = TxLog.occRetries.get()
+      TxLog.delete(spark, dir, "id >= 0 AND id < 1000")
+      TxLog.optimize(spark, dir, sortCols = Seq("id"), numSegments = 2,
+        statsCols = Seq("id"))
+      TxLog.merge(spark, dir,
+        (2000 until 2100).map(i => (i.toLong, "merged")).toDF("id", "v"),
+        key = "id", statsCols = Seq("id"))
+      // the tape above races real ingest, so whether each individual
+      // op conflicted is timing; if none did yet, keep slicing deletes
+      // (disjoint 1000-id slices) until one provably re-claims
+      var slice = 0
+      while (TxLog.occRetries.get() == r0 && slice < 8) {
+        TxLog.delete(spark, dir,
+          s"id >= ${10000 + slice * 1000} AND id < ${11000 + slice * 1000}")
+        slice += 1
+      }
+      assert(TxLog.occRetries.get() > r0,
+        s"no DML re-claimed past a child append in ${3 + slice} ops — " +
+          "the race never materialized")
+      java.nio.file.Files.createFile(stopFile)
+      assert(child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "child did not exit")
+      assert(child.exitValue() == 0, "child failed; see child.log")
+      val n = new String(java.nio.file.Files.readAllBytes(countFile),
+        "UTF-8").trim.toInt
+      assert(n >= 1)
+      // serial-order accounting: base minus the deleted slices, merge
+      // applied, EVERY child append present exactly once
+      val t = TxLog.read(spark, dir)
+      assert(t.filter("id >= 1000000").count() == n,
+        "a child append was lost or duplicated")
+      assert(t.filter("id >= 0 AND id < 1000").count() == 0)
+      assert(t.filter(s"id >= 10000 AND id < ${10000 + slice * 1000}")
+        .count() == 0)
+      assert(t.filter("v = 'merged'").count() == 100)
+      assert(t.filter("id < 1000000").count() ==
+        20000 - 1000 - slice * 1000)
+    } finally {
+      try java.nio.file.Files.createFile(stopFile)
+      catch { case _: java.nio.file.FileAlreadyExistsException => }
+      child.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+      child.destroyForcibly()
+    }
+  }
 }
