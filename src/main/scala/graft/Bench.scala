@@ -88,12 +88,38 @@ object Bench {
     paths
   }
 
+  /** FIXED-WORK single-thread CPU calibration probe (round-12 VERDICT
+    * item 4): 4×10⁸ xorshift64 steps — pure register work, zero
+    * allocation, the same instruction count every run — so its wall
+    * time measures the HOST's effective single-core speed at that
+    * moment. The box's documented drift state degrades iterative keys
+    * 1.3–2× at ZERO load with nothing visible in load_avg; recording
+    * this probe at bench start AND end makes artifacts from different
+    * windows NORMALIZABLE (divide key seconds by calib ratio) instead
+    * of arguable. A short untimed burst first absorbs JIT compilation.
+    * The clean-host reference value is recorded in BENCH_NOTES the
+    * first time a verified-quiet window is captured with it. */
+  private[graft] def calibProbe(): Double = {
+    def burn(n: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    val warm = burn(40000000L) // JIT warmup, untimed
+    val t0 = System.nanoTime
+    val r = burn(400000000L)
+    val sec = (System.nanoTime - t0) / 1e9
+    if (warm == 42 && r == 42) print("") // defeat dead-code elimination
+    sec
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_LAST.json")
+    val calibStart = calibProbe()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -329,7 +355,7 @@ object Bench {
       if (stageSec.isEmpty) ""
       else s""","stage_sec":${secMap(stageSec)},"task_sec":${secMap(taskSec)}"""
     val env =
-      s""""cpus":$cpus,"host_procs":$hostProcs,"load_avg":[${fmt(loadStart)},${fmt(osBean.getSystemLoadAverage)}]"""
+      s""""cpus":$cpus,"host_procs":$hostProcs,"load_avg":[${fmt(loadStart)},${fmt(osBean.getSystemLoadAverage)}],"calib_sec":[${fmt(calibStart)},${fmt(calibProbe())}]"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs$stageJson,"reps":$reps,$env,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of stdout; with 140+
