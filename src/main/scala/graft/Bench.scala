@@ -113,6 +113,22 @@ object Bench {
     sec
   }
 
+  /** Cumulative STEAL CPU-seconds from /proc/stat (field 8 of the
+    * aggregate `cpu` line, USER_HZ ticks): time this guest's vCPUs
+    * were runnable but the HYPERVISOR ran something else. The box is a
+    * microVM, and the round-13 early capture showed the documented
+    * "drift" is burst CPU-steal — min-of-3 walls 17× on trivial keys
+    * while task_sec held, with load_avg clean — so artifacts now
+    * record the steal DELTA across the run: ~0 ⇒ the window was truly
+    * quiet; large ⇒ per-key walls are hypervisor noise, not code.
+    * -1 when /proc/stat is unreadable (non-Linux). */
+  private def stealCpuSec(): Double =
+    try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+")
+      if (cols.length > 8) cols(8).toDouble / 100.0 else -1.0
+    } catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -120,6 +136,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_LAST.json")
     val calibStart = calibProbe()
+    val stealStart = stealCpuSec()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -355,7 +372,7 @@ object Bench {
       if (stageSec.isEmpty) ""
       else s""","stage_sec":${secMap(stageSec)},"task_sec":${secMap(taskSec)}"""
     val env =
-      s""""cpus":$cpus,"host_procs":$hostProcs,"load_avg":[${fmt(loadStart)},${fmt(osBean.getSystemLoadAverage)}],"calib_sec":[${fmt(calibStart)},${fmt(calibProbe())}]"""
+      s""""cpus":$cpus,"host_procs":$hostProcs,"load_avg":[${fmt(loadStart)},${fmt(osBean.getSystemLoadAverage)}],"calib_sec":[${fmt(calibStart)},${fmt(calibProbe())}],"steal_sec":[${fmt(stealStart)},${fmt(stealCpuSec())}]"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs$stageJson,"reps":$reps,$env,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of stdout; with 140+

@@ -3813,7 +3813,11 @@ object SparkEntry {
     "stream_txlog_source" -> ((s, d) => withStreamPartitions(s) {
       val dir = txStatsCache(s, d)
       val q = s.readStream.format("txlog").option("path", dir)
-        .option("skipRewrites", "true").load()
+        .option("skipRewrites", "true")
+        // the DSv2 MicroBatchStream path (plan-time vacuum interlock,
+        // no restart re-plan); v1 remains the bare-load default and is
+        // spec-pinned equivalent (TxLogStreamV2Spec)
+        .option("streamApi", "v2").load()
         .filter(col("_commit_op") === "append")
         .groupBy(col("_commit_version").as("version"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
@@ -3883,7 +3887,7 @@ object SparkEntry {
         .option("path", src).option("maxCommitsPerTrigger", "2")
         // the source table's history ends in merge+optimize rewrites:
         // skipRewrites advances past them rowlessly (default fails loud)
-        .option("skipRewrites", "true").load()
+        .option("skipRewrites", "true").option("streamApi", "v2").load()
         .filter(col("_commit_op") === "append")
         .drop("_commit_version", "_commit_op")
         .writeStream.format("txlog")
@@ -4280,7 +4284,8 @@ object SparkEntry {
       graft.sources.TxLog.append(o.filter(col("o_orderkey") % 500 === 8)
         .withColumn("o_orderkey", -col("o_orderkey")), dir)
       // default posture: the first rewrite commit kills the stream loud
-      val unaware = s.readStream.format("txlog").option("path", dir).load()
+      val unaware = s.readStream.format("txlog").option("path", dir)
+        .option("streamApi", "v2").load()
         .writeStream.format("memory").queryName("graft_txmaint_dead").start()
       val died = try {
         unaware.processAllAvailable(); false
@@ -4291,7 +4296,7 @@ object SparkEntry {
       } finally unaware.stop()
       require(died, "an unaware stream must fail loud on a rewrite commit")
       val q = s.readStream.format("txlog").option("path", dir)
-        .option("skipRewrites", "true").load()
+        .option("skipRewrites", "true").option("streamApi", "v2").load()
         .groupBy(col("_commit_version").as("version"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .writeStream.outputMode("complete")

@@ -83,30 +83,55 @@ class TxLogTable(dir: String, asOf: Int,
   private[txlog] def resolvedOpt(): Option[TxLog.Dsv2Snapshot] =
     if (external.exists(_.nonEmpty) && asOf < 0 && TxLog.dsv2Empty(dir)) None
     else Some(resolved())
-  override def schema(): StructType = resolvedOpt() match {
-    // data present ⇒ the log's merged schema wins (the catalog copy
-    // can be stale after schema evolution — Delta resolves the same
-    // way); empty ⇒ the declared schema, so INSERT INTO can match
-    case Some(r) => r.schema
-    case None    => external.get
-  }
+  /** The per-read `streamApi=v2` opt-in ([[TxLogMicroBatch]] explains
+    * why the v2 streaming path cannot be the default: the provider
+    * cannot tell a batch resolution from a streaming one, and the two
+    * need different schemas). */
+  private def streamV2: Boolean =
+    TxLogMicroBatch.streamV2(n => Option(props.get(n)))
+  override def schema(): StructType =
+    if (streamV2) {
+      // the STREAMING schema: data + the per-row commit tags — v2
+      // resolves the relation's columns from Table.schema(), so the
+      // meta columns must live here. Loud on an empty table (v1
+      // parity: the stream needs a data schema to deliver).
+      require(asOf < 0, "cannot stream a time-travel (asOf) txlog table")
+      StructType(resolved().schema ++ TxLogSource.MetaFields)
+    } else resolvedOpt() match {
+      // data present ⇒ the log's merged schema wins (the catalog copy
+      // can be stale after schema evolution — Delta resolves the same
+      // way); empty ⇒ the declared schema, so INSERT INTO can match
+      case Some(r) => r.schema
+      case None    => external.get
+    }
   override def capabilities(): java.util.Set[TableCapability] =
     // BATCH_READ + the V1-fallback WRITE half (the InsertableRelation
     // bridge routes INSERT/append into TxLog.append and
     // INSERT OVERWRITE/truncate into TxLog.overwrite — the full
     // stats/bloom/governance/OCC commit machinery, not a parallel
-    // write path). Streaming stays on the spec-pinned v1 Source/Sink
-    // halves (no MICRO_BATCH_READ ⇒ DataStreamReader falls back).
+    // write path). Streaming runs the spec-pinned v1 Source/Sink
+    // halves by default (no MICRO_BATCH_READ ⇒ DataStreamReader falls
+    // back); `streamApi=v2` claims MICRO_BATCH_READ and the DSv2
+    // [[TxLogMicroBatchStream]] runs instead — changeFeed mode always
+    // falls back to v1 (its DV pre-image resolution is a
+    // driver-planned join).
     // BATCH_WRITE is declared alongside V1_BATCH_WRITE because
     // DataFrameWriter.save only routes to the v2 write plans when the
     // table claims BATCH_WRITE — the Write we build is a V1Write, and
     // the physical strategy dispatches on THAT (AppendDataExecV1), so
     // toBatch() is never reached
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+    if (streamV2)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
+    else
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TxLogScanBuilder(SparkSession.active, dir, asOf, this)
+    new TxLogScanBuilder(SparkSession.active, dir, asOf, this,
+      n => Option(options.get(n)).orElse(Option(props.get(n))))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new TxLogWriteBuilder(dir, asOf, info, props)
 }
@@ -152,7 +177,8 @@ class TxLogWriteBuilder(dir: String, asOf: Int, info: LogicalWriteInfo,
 }
 
 class TxLogScanBuilder(spark: SparkSession, dir: String, asOf: Int,
-                       table: TxLogTable)
+                       table: TxLogTable,
+                       opt: String => Option[String] = _ => None)
     extends CatalystPushdownScanBuilder {
   private var exprs: Seq[Expression] = Nil
   private var required: Option[StructType] = None
@@ -175,6 +201,14 @@ class TxLogScanBuilder(spark: SparkSession, dir: String, asOf: Int,
     required = Some(requiredSchema)
 
   override def build(): Scan = {
+    if (TxLogMicroBatch.streamV2(opt)) {
+      // streaming resolution: the engine drives this scan through
+      // toMicroBatchStream; a batch execution fails loud there
+      require(asOf < 0, "cannot stream a time-travel (asOf) txlog table")
+      val r = table.resolved()
+      return new TxLogStreamScan(spark, dir,
+        StructType(r.schema ++ TxLogSource.MetaFields), r.physSchema, opt)
+    }
     val resolved = table.resolvedOpt() match {
       case Some(r) => r // pinned: one snapshot per Table
       case None    => // created-but-never-written: empty, declared schema

@@ -1,0 +1,316 @@
+package graft.sources.txlog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graftshim.ParquetDelegate
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.TxLog
+
+/** DSv2 `MicroBatchStream` port of the txlog streaming SOURCE —
+  * `spark.readStream.format("txlog").option("path", dir)
+  * .option("streamApi", "v2").load()`.
+  *
+  * WHY AN OPT-IN OPTION, not the default: stock Spark resolves a
+  * v2 streaming relation's columns from `Table.schema()` (verified
+  * against `ResolveDataSource` in 4.1.2: the streaming branch builds
+  * `StreamingRelationV2` with `toAttributes(table.columns.asSchema)`),
+  * and `TableProvider.getTable` receives IDENTICAL options for
+  * `spark.read` and `spark.readStream` — nothing in the call tells the
+  * provider which path is resolving. The txlog streaming contract adds
+  * `_commit_version`/`_commit_op` to every delivered row, so the
+  * streaming schema ≠ the batch schema, and a provider that cannot
+  * see which one is being asked for cannot serve both from one
+  * `schema()`. (This asymmetry is why Delta's production streaming
+  * source remains on the v1 `Source` API.) `streamApi=v2` resolves
+  * the ambiguity per read: with it, the Table reports the streaming
+  * schema + `MICRO_BATCH_READ` and this stream runs; without it, the
+  * spec-pinned v1 Source runs unchanged. A batch read that passes the
+  * option fails loud at `toBatch`.
+  *
+  * WHAT THE PORT BUYS over v1 (round-12 VERDICT item 3): the v2
+  * engine never re-plans a COMMITTED batch at restart (v1 re-invokes
+  * `getBatch` over the last committed range purely to re-initialize
+  * the source), so the vacuum↔reader interlock is PLAN-TIME LOUD
+  * unconditionally — no lazy throwing-frame design, no
+  * `failOnDataLoss` ceiling-tracking, and a no-op sink can no longer
+  * commit past vacuumed data (the v1 lazy form's acknowledged gap).
+  * A restart's re-plan of an UNcommitted range that was since
+  * vacuumed is genuine data loss and dies with the same typed error.
+  *
+  * Offsets ARE commit versions ([[LongOffset]] json = the number), so
+  * v1 and v2 checkpoints are interchangeable: a query checkpointed on
+  * one API restarts on the other at the right commit, and the
+  * `startingVersion=latest` floor persists under the SAME
+  * `graft-txlog-floor` file in the source's metadata path.
+  *
+  * Execution: one delegate parquet scan per deliverable commit
+  * ([[ParquetDelegate.scan]] — Spark's own v2 parquet machinery over
+  * exactly that commit's add segments), each planned partition wrapped
+  * with the commit's constant `(version, op)` and joined onto every
+  * row by [[TxLogTaggedReader]] — per-batch planning cost is
+  * O(entries in range), bounded by the admission cap, and no segment
+  * is ever re-read, same as v1. Admission control, AvailableNow
+  * bounds, rewrite postures, the mid-stream schema-drift guards and
+  * column-mapping relabel carry over 1:1 (the option surface is
+  * parsed by the same strict parsers).
+  *
+  * `changeFeed` mode stays on the v1 Source (its deletion-vector
+  * pre-image resolution is a driver-planned join, which the v1
+  * `getBatch`-returns-a-DataFrame contract expresses directly):
+  * with `changeFeed=true` the Table simply does not claim
+  * `MICRO_BATCH_READ` and the engine's own fallback picks v1. */
+private[txlog] object TxLogMicroBatch {
+  /** The v2 opt-in, validated strictly (absent = v1). */
+  def streamV2(get: String => Option[String]): Boolean =
+    get("streamApi") match {
+      case None       => false
+      case Some("v1") => false
+      case Some("v2") =>
+        // CDF resolves row-level changes through a driver-planned join
+        // — the v1 Source delivers it; v2 claims only the add-set mode
+        !TxLogSource.strictBool(get, "changeFeed")
+      case Some(v) => throw new IllegalArgumentException(
+        s"option streamApi must be v1 or v2, got '$v'")
+    }
+}
+
+/** The Scan a `streamApi=v2` read builds: streaming-only (a batch
+  * execution of a stream-schema relation would deliver meta columns
+  * no batch contract defines — fail loud, pointing at the option). */
+private[txlog] class TxLogStreamScan(spark: SparkSession, dir: String,
+    schema: StructType, physData: StructType,
+    get: String => Option[String]) extends Scan {
+  override def readSchema(): StructType = schema
+  override def description(): String = s"txlog-stream-v2($dir)"
+  override def toBatch: Batch =
+    throw new UnsupportedOperationException(
+      "streamApi=v2 is a readStream option — a batch read of a txlog " +
+        "table is spark.read.format(\"txlog\").load(dir), without it")
+  override def toMicroBatchStream(checkpointLocation: String
+      ): MicroBatchStream =
+    new TxLogMicroBatchStream(spark, dir, schema, physData,
+      checkpointLocation, get)
+}
+
+private[txlog] class TxLogMicroBatchStream(spark: SparkSession, dir: String,
+    schema: StructType, physData: StructType, metadataPath: String,
+    get: String => Option[String])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // option surface — the same strict parsers as the v1 provider, so a
+  // typo fails identically on both APIs
+  private val floor: Int = get("startingVersion") match {
+    case Some("latest") => latestFloor()
+    case Some(v)        => TxLogSource.strictInt("startingVersion", v)
+    case None           => 0
+  }
+  private val cap: Option[Int] = TxLogSource.capOf(get)
+  private val skipRewrites = TxLogSource.strictBool(get, "skipRewrites")
+  // v2 is plan-time loud on vacuumed ranges UNCONDITIONALLY (the lazy
+  // design existed only for v1's committed-range restart re-plan, which
+  // the v2 engine never issues) — the option is accepted and validated
+  // for surface parity; it requests a subset of what v2 always does
+  TxLogSource.strictBool(get, "failOnDataLoss")
+  // changeFeed mode (and its coarseRewrites companion) delivers
+  // through the v1 Source — reaching here with it set is a wiring bug,
+  // and coarseRewrites without changeFeed is the v1-identical error
+  require(!TxLogSource.strictBool(get, "coarseRewrites"),
+    "coarseRewrites applies to changeFeed mode only (add-set mode's " +
+      "rewrite posture is skipRewrites)")
+
+  // physical names dropped as of stream start: footer inference seeing
+  // them in pre-drop segments is history, not drift (v1 posture)
+  private val droppedPhys: Set[String] = TxLog.droppedColumns(dir)
+
+  /** `latest` binds at the FIRST start only — the resolved floor
+    * persists under the source metadata path (v1's exact file name and
+    * format, so a checkpoint moved between APIs keeps its floor). */
+  private def latestFloor(): Int = {
+    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-txlog-floor")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
+      finally in.close()
+    } else {
+      val f = TxLog.headVersion(dir) + 1
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false)
+      try out.write(f.toString.getBytes("UTF-8")) finally out.close()
+      f
+    }
+  }
+
+  override def initialOffset(): OffsetV2 = LongOffset(floor - 1L)
+  override def deserializeOffset(json: String): OffsetV2 =
+    LongOffset(json.trim.toLong)
+  override def commit(end: OffsetV2): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"TxLogMicroBatchStream[$dir]"
+
+  private def ver(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
+  }
+
+  // ---- admission control (v1's SupportsTriggerAvailableNow shims,
+  // spoken natively): the engine drives latestOffset(start, limit)
+  // per trigger; AvailableNow additionally pins the drain bound.
+  @volatile private var availableNowBound: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(TxLog.headVersion(dir).toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    cap.map(m => ReadLimit.maxFiles(m)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): OffsetV2 =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this stream")
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val head0 = TxLog.headVersion(dir).toLong
+    val head = availableNowBound.fold(head0)(math.min(head0, _))
+    if (head < floor) return null
+    val base = Option(start).map(ver).getOrElse(floor - 1L)
+    val capped = cap
+      .map(m => math.min(head, math.max(base, floor - 1L) + m))
+      .getOrElse(head)
+    if (capped < floor || capped <= base) null else LongOffset(capped)
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val head = TxLog.headVersion(dir).toLong
+    if (head < floor) null else LongOffset(head)
+  }
+
+  /** The v1 `getBatch` triage, ending in per-commit delegate parquet
+    * scans instead of a driver-built DataFrame. Runs on the driver
+    * once per micro-batch; cost is O(entries in range) metadata reads
+    * plus one footer-inference job over the batch's own add set (the
+    * drift guard — bounded by the admission cap, never the table). */
+  override def planInputPartitions(start: OffsetV2, end: OffsetV2
+      ): Array[InputPartition] = {
+    val from = math.max(floor.toLong,
+      Option(start).map(ver(_) + 1).getOrElse(floor.toLong)).toInt
+    val to = ver(end).toInt
+    val entries = (from to to).map { v =>
+      val (op, add, rw, drops, _, _) = TxLog.commitChange(dir, v)
+      (v, op, add, rw, drops)
+    }
+    // DROPPED-column drift guard: the drop COMMIT passes through
+    // exactly one batch range — catch it there (v1 posture, zero
+    // extra reads)
+    val lost = entries.flatMap(_._5).filterNot(droppedPhys)
+      .filter(physData.fieldNames.contains)
+      .distinct
+    if (lost.nonEmpty)
+      throw new IllegalStateException(
+        s"txlog stream over $dir: column(s) ${lost.mkString(", ")} " +
+          "dropped mid-stream. Restart the query to pick up the evolved " +
+          "schema — continuing would silently deliver null where the " +
+          "stream's consumers still expect the dropped column's data.")
+    val changes = entries.filter(_._3.nonEmpty)
+      .map { case (v, op, add, rw, _) => (v, op, add, rw) }
+    // rewrite posture, identical to v1: pure rearrangements advance
+    // rowlessly; content-changing rewrites fail loud unless
+    // skipRewrites opts into rowless advance
+    val (rewrites, deliverable) = changes.partition(_._4)
+    val contentChanging = rewrites.filterNot(r => TxLog.RearrangeOps(r._2))
+    if (contentChanging.nonEmpty && !skipRewrites) {
+      val (v, op, _, _) = contentChanging.head
+      throw new IllegalStateException(
+        s"txlog stream over $dir: commit $v is a content-changing " +
+          s"rewrite (op=$op) — its add set re-materializes rows this " +
+          "stream already delivered; continuing would re-emit the " +
+          "rewritten data as new rows. Set " +
+          ".option(\"skipRewrites\", \"true\") to advance past rewrite " +
+          "commits rowlessly, or read .option(\"changeFeed\", \"true\") " +
+          "for row-level changes.")
+    }
+    val parts = deliverable.map { case (v, op, add, _) => (v, op, add) }
+    // vacuum↔reader interlock, PLAN-TIME LOUD (the v2 win): the engine
+    // never re-plans a committed range, so every range planned here is
+    // a genuine delivery — a missing add file means retention passed
+    // this stream's offset, typed error now, no lazy frame
+    for ((v, _, add) <- parts) {
+      val gone = TxLog.missingAdds(dir, add)
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"txlog stream over $dir: commit $v's data was vacuumed " +
+            s"(${gone.size} file(s) missing, e.g. ${gone.head}) — " +
+            "retention passed this stream's offset. Increase the vacuum " +
+            "retention, or restart the stream from a newer " +
+            "startingVersion.")
+    }
+    // ADDED-column drift guard: one footer inference over this batch's
+    // read set (v1 posture — fail loud, a restart re-resolves)
+    val driftPaths = parts.flatMap(_._3)
+    if (driftPaths.nonEmpty) {
+      val known = physData.fieldNames.toSet ++ droppedPhys
+      val drifted = spark.read.option("mergeSchema", "true")
+        .parquet(driftPaths: _*).schema.fieldNames
+        .filterNot(known)
+      if (drifted.nonEmpty)
+        throw new IllegalStateException(
+          s"txlog stream over $dir: table schema changed mid-stream " +
+            s"(new column(s): ${drifted.mkString(", ")}). Restart the " +
+            "query to pick up the evolved schema — continuing would " +
+            "silently drop the new column(s) from delivered rows.")
+    }
+    parts.flatMap { case (v, op, add) =>
+      // one delegate scan per commit: its files share one (version,
+      // op) tag, so every planned partition wraps with ONE constant
+      // pair — and the delegate bin-packs within the commit exactly
+      // like a batch read of those segments
+      val b = ParquetDelegate.scan(spark, add, physData, Nil, None).toBatch
+      val factory = b.createReaderFactory()
+      b.planInputPartitions().map(p =>
+        TxLogStreamPartition(p, factory, v.toLong, op))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TxLogTaggedReaderFactory
+}
+
+/** One delegate parquet partition plus its commit's constant tag and
+  * the factory that reads it (per-commit delegate scans make the
+  * factory per-partition state; parquet reader factories are
+  * task-serializable by contract). */
+private[txlog] case class TxLogStreamPartition(inner: InputPartition,
+    factory: PartitionReaderFactory, version: Long, op: String)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+/** Joins `(…data…, _commit_version, _commit_op)` onto every row of the
+  * wrapped delegate reader — allocation-free per row (one reused
+  * [[JoinedRow]] over the delegate's reused row and one constant
+  * meta row per partition). Row-based: the meta join has no columnar
+  * form, and micro-batches are admission-bounded. */
+private[txlog] class TxLogTaggedReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition
+      ): PartitionReader[InternalRow] = p match {
+    case TxLogStreamPartition(inner, factory, version, op) =>
+      val delegate = factory.createReader(inner)
+      val meta = new GenericInternalRow(
+        Array[Any](version, UTF8String.fromString(op)))
+      val joined = new JoinedRow
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = delegate.next()
+        override def get(): InternalRow = joined(delegate.get(), meta)
+        override def close(): Unit = delegate.close()
+      }
+    case other => throw new IllegalStateException(
+      s"unexpected partition for txlog stream: $other")
+  }
+}

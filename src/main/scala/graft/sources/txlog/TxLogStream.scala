@@ -82,8 +82,13 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
   override def shortName(): String = "txlog"
 
   // ---- DSv2 BATCH half ([[TxLogBatch]]): spark.read.format("txlog").
-  // The table declares BATCH_READ only, so readStream/writeStream fall
-  // back to the v1 Source/Sink halves below unchanged.
+  // By default the table declares no MICRO_BATCH_READ, so readStream/
+  // writeStream fall back to the v1 Source/Sink halves below
+  // unchanged; `.option("streamApi", "v2")` opts a read into the DSv2
+  // [[TxLogMicroBatchStream]] ([[TxLogMicroBatch]] documents why the
+  // v2 path cannot be the default: the provider cannot tell a batch
+  // resolution from a streaming one, and the two need different
+  // schemas).
 
   /** Deliberately EMPTY: the real schema resolves lazily in
     * [[TxLogTable.schema]]. Both readStream and DataStreamWriter.start
@@ -130,17 +135,9 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "txlog stream source requires .option(\"path\", <table dir>)"))
 
-  /** Shared strict boolean-option parser (absent → false; anything
-    * but true/false fails loud — a typo must not silently pick the
-    * default for a safety-relevant option). */
+  /** Strict boolean option — see [[TxLogSource.strictBool]]. */
   private def boolOpt(parameters: Map[String, String], name: String): Boolean =
-    parameters.get(name) match {
-      case None => false
-      case Some(v) if v.equalsIgnoreCase("true")  => true
-      case Some(v) if v.equalsIgnoreCase("false") => false
-      case Some(v) => throw new IllegalArgumentException(
-        s"option $name must be true or false, got '$v'")
-    }
+    TxLogSource.strictBool(parameters.get, name)
 
   /** `changeFeed=true` switches the source from add-set CDC (inserts
     * only, op-tagged) to the ROW-LEVEL change feed: each micro-batch
@@ -173,23 +170,12 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val dir = dirOf(parameters)
-    def intOpt(name: String, v: String): Int =
-      v.toIntOption.getOrElse(throw new IllegalArgumentException(
-        s"option $name must be an integer, got '$v'"))
     val floor = parameters.get("startingVersion") match {
       case Some("latest") => latestFloor(ctx, metadataPath, dir)
-      case Some(v)        => intOpt("startingVersion", v)
+      case Some(v)        => TxLogSource.strictInt("startingVersion", v)
       case None           => 0
     }
-    val cap = parameters.get("maxCommitsPerTrigger") match {
-      case Some("none") => None // explicit opt-out: one catch-up batch
-      case Some(v) =>
-        val n = intOpt("maxCommitsPerTrigger", v)
-        require(n >= 1, s"maxCommitsPerTrigger must be >= 1, got $n " +
-          "(0 would stall the stream silently); use \"none\" for unbounded")
-        Some(n)
-      case None => Some(TxLogSource.DefaultMaxCommitsPerTrigger)
-    }
+    val cap = TxLogSource.capOf(parameters.get)
     val skipRewrites = boolOpt(parameters, "skipRewrites")
     require(!(skipRewrites && cdfOf(parameters)),
       "skipRewrites applies to add-set mode only: changeFeed mode " +
@@ -381,6 +367,37 @@ private[graft] object TxLogSource {
     * per-batch memory footprint) when the user sets nothing — the
     * Delta-source posture (maxFilesPerTrigger defaults bounded). */
   val DefaultMaxCommitsPerTrigger = 100
+
+  // ---- strict option parsers, shared by the v1 provider and the v2
+  // [[TxLogMicroBatchStream]] so a typo fails identically on both APIs
+
+  /** Absent → false; anything but true/false fails loud — a typo must
+    * not silently pick the default for a safety-relevant option. */
+  def strictBool(get: String => Option[String], name: String): Boolean =
+    get(name) match {
+      case None => false
+      case Some(v) if v.equalsIgnoreCase("true")  => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"option $name must be true or false, got '$v'")
+    }
+
+  def strictInt(name: String, v: String): Int =
+    v.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"option $name must be an integer, got '$v'"))
+
+  /** The admission cap: default bounded, `"none"` = explicit opt-out
+    * (one catch-up batch), `0` rejected (a silent stall). */
+  def capOf(get: String => Option[String]): Option[Int] =
+    get("maxCommitsPerTrigger") match {
+      case Some("none") => None
+      case Some(v) =>
+        val n = strictInt("maxCommitsPerTrigger", v)
+        require(n >= 1, s"maxCommitsPerTrigger must be >= 1, got $n " +
+          "(0 would stall the stream silently); use \"none\" for unbounded")
+        Some(n)
+      case None => Some(DefaultMaxCommitsPerTrigger)
+    }
 
   val MetaFields: Seq[StructField] = Seq(
     StructField("_commit_version", LongType, nullable = false),
