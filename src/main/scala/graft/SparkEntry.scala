@@ -3961,7 +3961,8 @@ object SparkEntry {
       val dir = txMorCache(s, d)
       val q = s.readStream.format("txlog")
         .option("path", dir).option("changeFeed", "true")
-        .option("maxCommitsPerTrigger", "2").load()
+        .option("maxCommitsPerTrigger", "2")
+        .option("streamApi", "v2").load()
         .groupBy(col("_commit_version").as("version"),
           col("_change_type").as("change_type"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
@@ -4023,7 +4024,8 @@ object SparkEntry {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_txmv_ck")
       val q = s.readStream.format("txlog")
         .option("path", src).option("changeFeed", "true")
-        .option("maxCommitsPerTrigger", "1").load()
+        .option("maxCommitsPerTrigger", "1")
+        .option("streamApi", "v2").load()
         .writeStream.option("checkpointLocation", ckpt.toString)
         .foreachBatch { (changes: DataFrame, id: Long) =>
           val cur =

@@ -3409,6 +3409,130 @@ object TxLog {
         Seq("_commit_version", "_commit_op", "_change_type")).map(col): _*))
   }
 
+  /** One deliverable piece of a change-feed slice, as the DSv2
+    * streaming source consumes it: whole files to read with a constant
+    * tag, or pre-images to resolve reader-side. */
+  private[graft] sealed trait CdfPart {
+    def version: Int; def op: String; def changeType: String
+  }
+  /** Files delivered whole (append/cdc-recorded adds): read each and
+    * tag every row `(version, op, changeType)`. */
+  private[graft] final case class CdfFilesPart(version: Int, op: String,
+      changeType: String, paths: Seq[String]) extends CdfPart
+  /** DV pre-images: the rows of `segPaths` at the tombstoned `coords`
+    * (file path, row ordinal) — the reader-side form of
+    * [[changeFeedSlice]]'s semi join, coordinates shipped per file. */
+  private[graft] final case class CdfPreImagePart(version: Int, op: String,
+      changeType: String, segPaths: Seq[String],
+      coords: Array[(String, Long)]) extends CdfPart
+
+  /** [[changeFeedSlice]]'s triage re-expressed as PARTITION DESCRIPTORS
+    * for the DSv2 streaming source ([[graft.sources.txlog
+    * .TxLogMicroBatchStream]]): same range filter, same rearrangement
+    * skip, same mixed-exactness guard, same update_mor/insert/delete
+    * change-type assignment — but the emission is (files, tag) pairs
+    * the stream turns into per-file readers instead of a driver-built
+    * DataFrame plan (a v2 stream delivers rows through
+    * PartitionReaders; it has no getBatch-returns-a-DataFrame
+    * channel). Differences from the batch/v1 path, both deliberate:
+    * (a) every guard — vacuum interlock included — throws at PLAN
+    * time (the v2 engine never re-plans a committed range, so the v1
+    * lazy-frame design is unnecessary); (b) a commit whose recorded
+    * deletion-vector rows exceed [[BroadcastDvLimit]] fails loud with
+    * a pointer at the v1 path (the pre-image coordinates ship inside
+    * the partitions; above the gate the v1 source's shuffle semi join
+    * is the right tool — a DV that large also means OPTIMIZE is
+    * overdue). */
+  private[graft] def cdfStreamPlan(spark: SparkSession, dir: String,
+      from: Int, to: Int, coarseRewrites: Boolean): Seq[CdfPart] = {
+    val st = store(dir)
+    val hs = state(dir)
+    def streamVacuumCheck(version: Int, paths: Seq[String]): Unit = {
+      val gone = missingAdds(dir, paths)
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"txlog stream over $dir: commit $version's data was vacuumed " +
+            s"(${gone.size} file(s) missing, e.g. ${gone.head}) — " +
+            "retention passed this stream's offset. Increase the vacuum " +
+            "retention, or restart the stream from a newer " +
+            "startingVersion.")
+    }
+    val inRange = (math.max(0, from) to to).iterator
+      .filter(v => st.exists(entryPath(dir, v)))
+      .map(v => readEntry(dir, v))
+      .toSeq
+    val newer = inRange
+      .filter(e => e.add.nonEmpty || e.dvs.nonEmpty || e.cdc.nonEmpty)
+      .filterNot(e => RearrangeOps(e.op))
+    // MIXED-EXACTNESS guard — one formulation, two surfaces: see
+    // [[changeFeedSlice]] for the full rationale
+    if (!coarseRewrites && (hs.cdfEnabled || inRange.exists(_.cdc.nonEmpty))) {
+      inRange.find(e => e.cdc.isEmpty && e.remove.nonEmpty &&
+          !RearrangeOps(e.op))
+        .foreach { e =>
+          throw new IllegalStateException(
+            s"change feed over $dir versions [$from, $to]: commit " +
+              s"${e.version} (op=${e.op}) changes content with no " +
+              "recorded row-level changes (committed before " +
+              "enableChangeDataFeed, or an op that records none) — " +
+              "emitting its add set (if any) would feed phantom inserts " +
+              "and its removed rows would vanish from the feed. Start " +
+              s"the feed at fromVersion >= ${e.version}, or pass " +
+              "coarseRewrites=true to accept op-tagged degradation for " +
+              "such commits. [streaming: set .option(\"coarseRewrites\", " +
+              "\"true\") to accept op-tagged rewrite output, or restart " +
+              "from a newer startingVersion]")
+        }
+    }
+    newer.flatMap { e =>
+      if (e.cdc.nonEmpty) {
+        // exact by construction: the cdc sidecars ARE the changes —
+        // the add set is rewrite output, not changes
+        val cdcPaths = e.cdc.map(f => segPath(dir, f._1))
+        streamVacuumCheck(e.version, cdcPaths)
+        e.cdc.groupBy(_._2).toSeq.sortBy(_._1).map { case (ct, fs) =>
+          CdfFilesPart(e.version, e.op, ct,
+            fs.map(f => segPath(dir, f._1)))
+        }
+      } else {
+        val added =
+          if (e.add.isEmpty) Nil
+          else {
+            val paths = e.add.map(s => segPath(dir, s))
+            streamVacuumCheck(e.version, paths)
+            Seq(CdfFilesPart(e.version, e.op,
+              if (e.op == "update_mor") "update_postimage" else "insert",
+              paths))
+          }
+        val removed =
+          if (e.dvs.isEmpty) Nil
+          else {
+            val segs = e.dvs.map(_._1).distinct
+            val dvNames = e.dvs.map(_._2).distinct
+            streamVacuumCheck(e.version,
+              (segs ++ dvNames).map(s => segPath(dir, s)))
+            val counts = e.dvs.map(_._3)
+            if (counts.exists(_ < 0) || counts.sum > BroadcastDvLimit)
+              throw new UnsupportedOperationException(
+                s"txlog stream over $dir: commit ${e.version} carries " +
+                  s"${counts.sum} recorded deletion-vector rows (cap " +
+                  s"$BroadcastDvLimit) — the v2 stream ships pre-image " +
+                  "coordinates inside its partitions; read this feed " +
+                  "without streamApi=v2 (the v1 source resolves " +
+                  "pre-images with a shuffle join), or OPTIMIZE to " +
+                  "materialize the tombstones")
+            val coords = dsv2Tombstones(spark,
+              dvNames.map(n => segPath(dir, n)),
+              segs.map(bareName).toSet)
+            Seq(CdfPreImagePart(e.version, e.op,
+              if (e.op == "update_mor") "update_preimage" else "delete",
+              segs.map(s => segPath(dir, s)), coords))
+          }
+        added ++ removed
+      }
+    }
+  }
+
   /** ANALYZE (compute statistics): backfills min/max stats and Bloom
     * filters for LIVE segments that lack them, as a METADATA-ONLY
     * commit (empty add/remove — replay is a no-op; the state fold

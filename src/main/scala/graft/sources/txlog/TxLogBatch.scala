@@ -91,12 +91,13 @@ class TxLogTable(dir: String, asOf: Int,
     TxLogMicroBatch.streamV2(n => Option(props.get(n)))
   override def schema(): StructType =
     if (streamV2) {
-      // the STREAMING schema: data + the per-row commit tags — v2
-      // resolves the relation's columns from Table.schema(), so the
-      // meta columns must live here. Loud on an empty table (v1
-      // parity: the stream needs a data schema to deliver).
+      // the STREAMING schema: data + the per-row commit tags (three in
+      // changeFeed mode) — v2 resolves the relation's columns from
+      // Table.schema(), so the meta columns must live here. Loud on an
+      // empty table (v1 parity: the stream needs a data schema).
       require(asOf < 0, "cannot stream a time-travel (asOf) txlog table")
-      StructType(resolved().schema ++ TxLogSource.MetaFields)
+      TxLogMicroBatch.streamSchema(resolved().schema,
+        n => Option(props.get(n)))
     } else resolvedOpt() match {
       // data present ⇒ the log's merged schema wins (the catalog copy
       // can be stale after schema evolution — Delta resolves the same
@@ -112,9 +113,8 @@ class TxLogTable(dir: String, asOf: Int,
     // write path). Streaming runs the spec-pinned v1 Source/Sink
     // halves by default (no MICRO_BATCH_READ ⇒ DataStreamReader falls
     // back); `streamApi=v2` claims MICRO_BATCH_READ and the DSv2
-    // [[TxLogMicroBatchStream]] runs instead — changeFeed mode always
-    // falls back to v1 (its DV pre-image resolution is a
-    // driver-planned join).
+    // [[TxLogMicroBatchStream]] runs instead, changeFeed mode
+    // included (pre-images resolve reader-side there).
     // BATCH_WRITE is declared alongside V1_BATCH_WRITE because
     // DataFrameWriter.save only routes to the v2 write plans when the
     // table claims BATCH_WRITE — the Write we build is a V1Write, and
@@ -207,7 +207,7 @@ class TxLogScanBuilder(spark: SparkSession, dir: String, asOf: Int,
       require(asOf < 0, "cannot stream a time-travel (asOf) txlog table")
       val r = table.resolved()
       return new TxLogStreamScan(spark, dir,
-        StructType(r.schema ++ TxLogSource.MetaFields), r.physSchema, opt)
+        TxLogMicroBatch.streamSchema(r.schema, opt), r.physSchema, opt)
     }
     val resolved = table.resolvedOpt() match {
       case Some(r) => r // pinned: one snapshot per Table

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftshim.ParquetDelegate
 import org.apache.spark.sql.types.StructType
@@ -60,24 +61,32 @@ import graft.sources.TxLog
   * column-mapping relabel carry over 1:1 (the option surface is
   * parsed by the same strict parsers).
   *
-  * `changeFeed` mode stays on the v1 Source (its deletion-vector
-  * pre-image resolution is a driver-planned join, which the v1
-  * `getBatch`-returns-a-DataFrame contract expresses directly):
-  * with `changeFeed=true` the Table simply does not claim
-  * `MICRO_BATCH_READ` and the engine's own fallback picks v1. */
+  * `changeFeed` mode runs on v2 too: the cdc-recorded commits are
+  * whole-file deliveries with a constant tag, and the deletion-vector
+  * pre-images — a driver-planned semi join on the v1 path — become
+  * per-file ordinal-keep readers (the exact INVERSE of the batch
+  * connector's [[TxLogDvReader]] tombstone skip), with each file's
+  * sorted coordinates shipped inside its partition. The plan triage
+  * lives in [[TxLog.cdfStreamPlan]], sharing the batch feed's guards
+  * verbatim. */
 private[txlog] object TxLogMicroBatch {
   /** The v2 opt-in, validated strictly (absent = v1). */
   def streamV2(get: String => Option[String]): Boolean =
     get("streamApi") match {
       case None       => false
       case Some("v1") => false
-      case Some("v2") =>
-        // CDF resolves row-level changes through a driver-planned join
-        // — the v1 Source delivers it; v2 claims only the add-set mode
-        !TxLogSource.strictBool(get, "changeFeed")
+      case Some("v2") => true
       case Some(v) => throw new IllegalArgumentException(
         s"option streamApi must be v1 or v2, got '$v'")
     }
+
+  /** The streaming schema for the mode the options select. */
+  def streamSchema(dataSchema: StructType,
+                   get: String => Option[String]): StructType =
+    StructType(dataSchema ++
+      (if (TxLogSource.strictBool(get, "changeFeed"))
+         TxLogSource.CdfMetaFields
+       else TxLogSource.MetaFields))
 }
 
 /** The Scan a `streamApi=v2` read builds: streaming-only (a batch
@@ -118,10 +127,14 @@ private[txlog] class TxLogMicroBatchStream(spark: SparkSession, dir: String,
   // the v2 engine never issues) — the option is accepted and validated
   // for surface parity; it requests a subset of what v2 always does
   TxLogSource.strictBool(get, "failOnDataLoss")
-  // changeFeed mode (and its coarseRewrites companion) delivers
-  // through the v1 Source — reaching here with it set is a wiring bug,
-  // and coarseRewrites without changeFeed is the v1-identical error
-  require(!TxLogSource.strictBool(get, "coarseRewrites"),
+  private val changeFeed = TxLogSource.strictBool(get, "changeFeed")
+  private val coarseRewrites = TxLogSource.strictBool(get, "coarseRewrites")
+  // the v1-identical mode/option compatibility contract
+  require(!(skipRewrites && changeFeed),
+    "skipRewrites applies to add-set mode only: changeFeed mode " +
+      "resolves row-level changes and already emits nothing for pure " +
+      "rearrangement commits")
+  require(!(coarseRewrites && !changeFeed),
     "coarseRewrites applies to changeFeed mode only (add-set mode's " +
       "rewrite posture is skipRewrites)")
 
@@ -217,6 +230,7 @@ private[txlog] class TxLogMicroBatchStream(spark: SparkSession, dir: String,
           "dropped mid-stream. Restart the query to pick up the evolved " +
           "schema — continuing would silently deliver null where the " +
           "stream's consumers still expect the dropped column's data.")
+    if (changeFeed) return planChangeFeed(from, to)
     val changes = entries.filter(_._3.nonEmpty)
       .map { case (v, op, add, rw, _) => (v, op, add, rw) }
     // rewrite posture, identical to v1: pure rearrangements advance
@@ -277,6 +291,77 @@ private[txlog] class TxLogMicroBatchStream(spark: SparkSession, dir: String,
     }.toArray
   }
 
+  /** changeFeed mode: [[TxLog.cdfStreamPlan]] runs the feed's triage
+    * (rearrangement skip, mixed-exactness guard, vacuum interlock, DV
+    * gate — all plan-time loud on v2) and this turns its descriptors
+    * into partitions. Whole-file parts read like add-set partitions
+    * with a third tag; pre-image parts are reshaped to ONE partition
+    * per physical file — splits re-merged in offset order, nothing
+    * pushed into parquet — so the reader's running row count IS the
+    * `_metadata.row_index` the DV sidecar recorded, and the reader
+    * KEEPS exactly the tombstoned ordinals (the inverse of the batch
+    * connector's [[TxLogDvReader]]). */
+  private def planChangeFeed(from: Int, to: Int): Array[InputPartition] = {
+    val cdfParts = TxLog.cdfStreamPlan(spark, dir, from, to, coarseRewrites)
+    // ADDED-column drift guard over the delivered whole files (the
+    // pre-image base segments are historical bytes the start-time
+    // schema already covers — the v1 source scopes identically)
+    val driftPaths = cdfParts.collect {
+      case f: TxLog.CdfFilesPart => f.paths }.flatten
+    if (driftPaths.nonEmpty) {
+      val known = physData.fieldNames.toSet ++ droppedPhys
+      val drifted = spark.read.option("mergeSchema", "true")
+        .parquet(driftPaths: _*).schema.fieldNames
+        .filterNot(known)
+      if (drifted.nonEmpty)
+        throw new IllegalStateException(
+          s"txlog stream over $dir: table schema changed mid-stream " +
+            s"(new column(s): ${drifted.mkString(", ")}). Restart the " +
+            "query to pick up the evolved schema — continuing would " +
+            "silently drop the new column(s) from delivered rows.")
+    }
+    def norm(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    cdfParts.flatMap {
+      case TxLog.CdfFilesPart(v, op, ct, paths) =>
+        val b = ParquetDelegate.scan(spark, paths, physData, Nil, None).toBatch
+        val factory = b.createReaderFactory()
+        b.planInputPartitions().map(p =>
+          TxLogStreamPartition(p, factory, v.toLong, op, ct))
+      case TxLog.CdfPreImagePart(v, op, ct, segPaths, coords) =>
+        // ordinal-exact: nothing pushed down, one partition per file
+        val b = ParquetDelegate.scan(spark, segPaths, physData, Nil,
+          None).toBatch
+        val factory = b.createReaderFactory()
+        val byFile = coords.groupBy(c => norm(c._1))
+          .map { case (f, a) => f -> a.map(_._2).sorted }
+        val files = b.planInputPartitions().flatMap {
+          case fp: FilePartition => fp.files
+          case other => throw new IllegalStateException(
+            s"parquet delegate planned a non-file partition: $other")
+        }
+        val grouped = files.groupBy(pf => norm(pf.filePath.toString)).toSeq
+        // every recorded coordinate must land on a planned file — a
+        // path-normalization mismatch would otherwise SILENTLY drop
+        // pre-images from the feed (fail loud instead)
+        val claimed = grouped.map(g => byFile.get(g._1).map(_.length)
+          .getOrElse(0)).sum
+        if (claimed != coords.length)
+          throw new IllegalStateException(
+            s"txlog stream over $dir: commit $v resolved only $claimed " +
+              s"of ${coords.length} deletion-vector coordinates against " +
+              "its base segments — sidecar/segment path mismatch")
+        grouped.sortBy(_._1).zipWithIndex.flatMap {
+          case ((f, splits), i) =>
+            // a file with no tombstones contributes no pre-images —
+            // skip it (the v1 semi join emits nothing for it)
+            byFile.get(f).filter(_.nonEmpty).map(keep =>
+              TxLogStreamPartition(FilePartition(i, splits.sortBy(_.start)),
+                factory, v.toLong, op, ct, keep))
+        }
+    }.toArray
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new TxLogTaggedReaderFactory
 }
@@ -284,32 +369,55 @@ private[txlog] class TxLogMicroBatchStream(spark: SparkSession, dir: String,
 /** One delegate parquet partition plus its commit's constant tag and
   * the factory that reads it (per-commit delegate scans make the
   * factory per-partition state; parquet reader factories are
-  * task-serializable by contract). */
+  * task-serializable by contract). `changeType` null = add-set mode
+  * (two meta columns); non-null = change-feed mode (three). `keep`
+  * non-null = deliver ONLY the rows at these sorted file ordinals
+  * (DV pre-images; requires the partition to be one whole file in
+  * offset order). */
 private[txlog] case class TxLogStreamPartition(inner: InputPartition,
-    factory: PartitionReaderFactory, version: Long, op: String)
+    factory: PartitionReaderFactory, version: Long, op: String,
+    changeType: String = null, keep: Array[Long] = null)
     extends InputPartition {
   override def preferredLocations(): Array[String] =
     inner.preferredLocations()
 }
 
-/** Joins `(…data…, _commit_version, _commit_op)` onto every row of the
-  * wrapped delegate reader — allocation-free per row (one reused
-  * [[JoinedRow]] over the delegate's reused row and one constant
-  * meta row per partition). Row-based: the meta join has no columnar
-  * form, and micro-batches are admission-bounded. */
+/** Joins the commit tag columns onto every row of the wrapped delegate
+  * reader — allocation-free per row (one reused [[JoinedRow]] over the
+  * delegate's reused row and one constant meta row per partition). In
+  * pre-image mode it additionally KEEPS only the tombstoned ordinals —
+  * binary search per row over the file's sorted positions, the exact
+  * inverse of the batch connector's TxLogDvReader. Row-based: the meta
+  * join has no columnar form, and micro-batches are admission-bounded. */
 private[txlog] class TxLogTaggedReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition
       ): PartitionReader[InternalRow] = p match {
-    case TxLogStreamPartition(inner, factory, version, op) =>
+    case TxLogStreamPartition(inner, factory, version, op, ct, keep) =>
       val delegate = factory.createReader(inner)
       val meta = new GenericInternalRow(
-        Array[Any](version, UTF8String.fromString(op)))
+        if (ct == null) Array[Any](version, UTF8String.fromString(op))
+        else Array[Any](version, UTF8String.fromString(op),
+          UTF8String.fromString(ct)))
       val joined = new JoinedRow
-      new PartitionReader[InternalRow] {
-        override def next(): Boolean = delegate.next()
-        override def get(): InternalRow = joined(delegate.get(), meta)
-        override def close(): Unit = delegate.close()
-      }
+      if (keep == null)
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = delegate.next()
+          override def get(): InternalRow = joined(delegate.get(), meta)
+          override def close(): Unit = delegate.close()
+        }
+      else
+        new PartitionReader[InternalRow] {
+          private var ord = -1L
+          override def next(): Boolean = {
+            while (delegate.next()) {
+              ord += 1
+              if (java.util.Arrays.binarySearch(keep, ord) >= 0) return true
+            }
+            false
+          }
+          override def get(): InternalRow = joined(delegate.get(), meta)
+          override def close(): Unit = delegate.close()
+        }
     case other => throw new IllegalStateException(
       s"unexpected partition for txlog stream: $other")
   }

@@ -352,22 +352,95 @@ class TxLogStreamV2Spec extends SparkTestBase {
       (0 until 10).map(_ % 5).sum)
   }
 
-  test("changeFeed mode falls back to the v1 Source even with streamApi=v2 — and still delivers") {
+  test("v2 changeFeed streams the row-level feed: stream ≡ batch readChangeFeed ≡ v1 stream") {
     val dir = freshDir("graft-txv2cdf")
-    TxLog.append(sample(0, 10), dir)
-    TxLog.deleteMoR(spark, dir, "k = 1")
-    val q = v2Reader(dir).option("changeFeed", "true").load()
-      .groupBy("_change_type").agg(count(lit(1)).as("n"))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName("txv2_cdf").start()
-    try {
-      q.processAllAvailable()
-      val d = Option(q.lastProgress).map(_.sources.head.description).getOrElse("")
-      assert(!d.startsWith("TxLogMicroBatchStream"),
-        s"changeFeed must run the v1 Source, got '$d'")
-    } finally q.stop()
-    val byType = spark.table("txv2_cdf").as[(String, Long)].collect().toMap
-    assert(byType == Map("insert" -> 10L, "delete" -> 2L), s"got $byType")
+    TxLog.append(sample(0, 20), dir)                                 // v0
+    TxLog.deleteMoR(spark, dir, "id % 5 = 0")                        // v1
+    TxLog.updateMoR(spark, dir, "id % 5 = 1", Map("k" -> "k + 100")) // v2
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "k", "_commit_version", "_commit_op", "_change_type")
+      .as[(Long, Long, Long, String, String)].collect().sorted.toSeq
+    def runOnce(v2: Boolean): Seq[(Long, Long, Long, String, String)] = {
+      val sink = freshDir("graft-txv2cdfsink")
+      val ckpt = freshDir("graft-txv2cdfck")
+      var r = spark.readStream.format("txlog")
+        .option("path", dir).option("changeFeed", "true")
+      if (v2) r = r.option("streamApi", "v2")
+      val q = r.load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        val d = Option(q.lastProgress).map(_.sources.head.description)
+          .getOrElse("")
+        assert(d.startsWith("TxLogMicroBatchStream") == v2,
+          s"wrong engine for v2=$v2: '$d'")
+      } finally q.stop()
+      canon(spark.read.parquet(sink))
+    }
+    val streamed = runOnce(v2 = true)
+    assert(streamed == canon(TxLog.readChangeFeed(spark, dir, fromVersion = -1)),
+      "v2 streamed change feed must equal the batch change feed")
+    assert(streamed == runOnce(v2 = false),
+      "v2 streamed change feed must equal the v1 streamed feed")
+    assert(streamed.count(_._5 == "delete") == 4)
+    assert(streamed.filter(_._5 == "delete").map(_._1).toSet ==
+      Set(0L, 5L, 10L, 15L))
+    assert(streamed.count(_._5 == "update_preimage") == 4)
+    assert(streamed.filter(_._5 == "update_postimage").forall(_._2 >= 100),
+      "post-images must carry the updated value")
+  }
+
+  test("v2 changeFeed restart delivers only the downtime DML; rearrangements emit zero rows") {
+    val dir = freshDir("graft-txv2cdfr")
+    TxLog.append(sample(0, 10), dir)                 // v0
+    val sink = freshDir("graft-txv2cdfrsink")
+    val ckpt = freshDir("graft-txv2cdfrck")
+    def runOnce(): Unit = {
+      val q = v2Reader(dir).option("changeFeed", "true").load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 10)
+    TxLog.deleteMoR(spark, dir, "id >= 7")           // v1: while down
+    TxLog.optimize(spark, dir, Seq("id"), 2)         // v2: rearrangement
+    TxLog.append(sample(10, 12), dir)                // v3
+    runOnce()
+    val out = spark.read.parquet(sink)
+    val byType = out.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 12L, "delete" -> 3L), s"got $byType")
+    assert(out.filter(col("_commit_op") === "optimize").count() == 0,
+      "a pure rearrangement must contribute no change rows")
+  }
+
+  test("v2 changeFeed fails PLAN-TIME loud on unrecorded content rewrites; coarseRewrites opts in") {
+    val dir = freshDir("graft-txv2coarse")
+    TxLog.append(sample(0, 10), dir)       // v0
+    TxLog.delete(spark, dir, "id < 2")     // v1: PRE-flag coarse rewrite
+    TxLog.enableChangeDataFeed(dir)        // v2: head flag on
+    TxLog.append(sample(10, 12), dir)      // v3
+    def start(opts: Map[String, String], name: String) = {
+      var r = v2Reader(dir).option("changeFeed", "true")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load().writeStream.format("memory").queryName(name).start()
+    }
+    // on v2 the guard throws at PLAN time (no lazy frame needed —
+    // the engine never re-plans committed ranges), same typed message
+    val q0 = start(Map.empty, "txv2_coarse_dead")
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q0.processAllAvailable() finally q0.stop()
+    }
+    assert(rootMessages(failed).exists(m => m != null &&
+        m.contains("changes content") && m.contains("coarseRewrites")),
+      s"wrong failure: ${failed.getMessage}")
+    val q = start(Map("coarseRewrites" -> "true"), "txv2_coarse_ok")
+    try { q.processAllAvailable(); assertV2(q) } finally q.stop()
+    val out = spark.table("txv2_coarse_ok")
+    assert(out.filter(col("_commit_version") === 1L).count() == 8)
+    assert(out.filter(col("_commit_version") === 3L).count() == 2)
   }
 
   test("streamApi is validated strictly; v2 is a readStream-only option") {
