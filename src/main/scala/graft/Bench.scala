@@ -208,21 +208,29 @@ object Bench {
     val onlyKeys = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // Per-key HYPERVISOR-STEAL attribution: the steal delta across the
+    // min-wall rep, so a reader can dismiss a spiked key whose window
+    // was stolen from without cross-referencing anything (the steal
+    // bursts are the measured cause of the cross-round "drift" — see
+    // stealCpuSec). One /proc/stat read per rep boundary, ~µs.
+    val stealSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries
       .filter { case (name, _) => onlyKeys.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      // (wall, stage, task) per rep; the MIN-WALL rep's stage/task are
-      // reported so the attribution matches the same run as `queries`
+      // (wall, stage, task, steal) per rep; the MIN-WALL rep's
+      // attribution is reported so it matches the same run as `queries`
       val runs = (1 to reps).flatMap { _ =>
         drain()
         val sw0 = stageWallMs.get(); val tt0 = taskTimeMs.get()
+        val st0 = stealCpuSec()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
           val wall = (System.nanoTime() - t0) / 1e9
           drain()
           Some((wall, (stageWallMs.get() - sw0) / 1e3,
-            (taskTimeMs.get() - tt0) / 1e3))
+            (taskTimeMs.get() - tt0) / 1e3,
+            math.max(0.0, stealCpuSec() - st0)))
         } catch {
           case e: Throwable =>
             errors(name) = esc(Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -234,6 +242,7 @@ object Bench {
         val best = runs.minBy(_._1)
         stageSec(name) = best._2
         taskSec(name) = best._3
+        stealSec(name) = best._4
       }
     }
 
@@ -253,6 +262,7 @@ object Bench {
       def timeOnce(name: String)(body: => Unit): Unit = {
         drain()
         val sw0 = stageWallMs.get(); val tt0 = taskTimeMs.get()
+        val st0 = stealCpuSec()
         val t0 = System.nanoTime()
         try {
           body
@@ -260,6 +270,7 @@ object Bench {
           drain()
           stageSec(name) = (stageWallMs.get() - sw0) / 1e3
           taskSec(name) = (taskTimeMs.get() - tt0) / 1e3
+          stealSec(name) = math.max(0.0, stealCpuSec() - st0)
         }
         catch { case e: Throwable =>
           errors(name) = esc(Option(e.getMessage).getOrElse(e.getClass.getName)) }
@@ -368,13 +379,19 @@ object Bench {
     val total = timings.values.map(_.head).sum
     def secMap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    // per-key steal: only keys whose min-wall rep actually lost CPU to
+    // the hypervisor (≥10ms) — on a quiet window this map is empty
+    val stealJson = {
+      val hit = stealSec.filter(_._2 >= 0.01)
+      if (hit.isEmpty) "" else s""","key_steal_sec":${secMap(hit)}"""
+    }
     val stageJson =
       if (stageSec.isEmpty) ""
       else s""","stage_sec":${secMap(stageSec)},"task_sec":${secMap(taskSec)}"""
     val env =
       s""""cpus":$cpus,"host_procs":$hostProcs,"load_avg":[${fmt(loadStart)},${fmt(osBean.getSystemLoadAverage)}],"calib_sec":[${fmt(calibStart)},${fmt(calibProbe())}],"steal_sec":[${fmt(stealStart)},${fmt(stealCpuSec())}]"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs$stageJson,"reps":$reps,$env,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs$stageJson$stealJson,"reps":$reps,$env,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of stdout; with 140+
     // keys the full line overflows that window and its parse records
     // `parsed: null` (observed in BENCH_r01..r03.json). Emit the full
