@@ -124,9 +124,11 @@ object Bench {
     * -1 when /proc/stat is unreadable (non-Linux). */
   private def stealCpuSec(): Double =
     try {
-      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-        .next().trim.split("\\s+")
-      if (cols.length > 8) cols(8).toDouble / 100.0 else -1.0
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val cols = src.getLines().next().trim.split("\\s+")
+        if (cols.length > 8) cols(8).toDouble / 100.0 else -1.0
+      } finally src.close()
     } catch { case _: Exception => -1.0 }
 
   def main(args: Array[String]): Unit = {

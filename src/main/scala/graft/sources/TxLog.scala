@@ -3511,19 +3511,28 @@ object TxLog {
             val dvNames = e.dvs.map(_._2).distinct
             streamVacuumCheck(e.version,
               (segs ++ dvNames).map(s => segPath(dir, s)))
-            val counts = e.dvs.map(_._3)
-            if (counts.exists(_ < 0) || counts.sum > BroadcastDvLimit)
+            // gate the driver-side coordinate load on the
+            // commit-recorded counts; a LEGACY entry with unknown
+            // (-1) counts gets ONE bounded count job instead of a
+            // refusal (v1 handles the same case by falling back to a
+            // shuffle join — here the sidecars are a single commit's,
+            // so counting them is a metadata-sized job)
+            val recorded = e.dvs.map(_._3)
+            val dvPaths = dvNames.map(n => segPath(dir, n))
+            val bare = segs.map(bareName).toSet
+            val total =
+              if (recorded.forall(_ >= 0)) recorded.sum
+              else spark.read.schema(DvSchema).parquet(dvPaths: _*)
+                .filter(col("seg").isInCollection(bare)).count()
+            if (total > BroadcastDvLimit)
               throw new UnsupportedOperationException(
                 s"txlog stream over $dir: commit ${e.version} carries " +
-                  s"${counts.sum} recorded deletion-vector rows (cap " +
-                  s"$BroadcastDvLimit) — the v2 stream ships pre-image " +
-                  "coordinates inside its partitions; read this feed " +
-                  "without streamApi=v2 (the v1 source resolves " +
-                  "pre-images with a shuffle join), or OPTIMIZE to " +
-                  "materialize the tombstones")
-            val coords = dsv2Tombstones(spark,
-              dvNames.map(n => segPath(dir, n)),
-              segs.map(bareName).toSet)
+                  s"$total deletion-vector rows (cap $BroadcastDvLimit) " +
+                  "— the v2 stream ships pre-image coordinates inside " +
+                  "its partitions; read this feed without streamApi=v2 " +
+                  "(the v1 source resolves pre-images with a shuffle " +
+                  "join), or OPTIMIZE to materialize the tombstones")
+            val coords = dsv2Tombstones(spark, dvPaths, bare)
             Seq(CdfPreImagePart(e.version, e.op,
               if (e.op == "update_mor") "update_preimage" else "delete",
               segs.map(s => segPath(dir, s)), coords))

@@ -89,6 +89,10 @@ class TxLogTable(dir: String, asOf: Int,
     * need different schemas). */
   private def streamV2: Boolean =
     TxLogMicroBatch.streamV2(n => Option(props.get(n)))
+  /** The AUTHORITY for the opt-in: schema(), capabilities() and the
+    * scan must agree, and only the construction-time props reach all
+    * three (per-read scan options never reach capabilities). */
+  private[txlog] def isStreamV2: Boolean = streamV2
   override def schema(): StructType =
     if (streamV2) {
       // the STREAMING schema: data + the per-row commit tags (three in
@@ -201,7 +205,20 @@ class TxLogScanBuilder(spark: SparkSession, dir: String, asOf: Int,
     required = Some(requiredSchema)
 
   override def build(): Scan = {
-    if (TxLogMicroBatch.streamV2(opt)) {
+    // the TABLE (construction-time props) is the authority — for a
+    // path read the scan options ARE the props, so this only diverges
+    // on a catalog table given streamApi as a per-read option, where
+    // schema()/capabilities() could not see it (the relation already
+    // resolved batch-shaped): fail loud instead of building a scan
+    // whose schema disagrees with the relation's
+    if (TxLogMicroBatch.streamV2(opt) && !table.isStreamV2)
+      throw new IllegalArgumentException(
+        "streamApi=v2 must be passed where the table resolves — " +
+          "spark.readStream.format(\"txlog\").option(\"streamApi\", " +
+          "\"v2\").load(dir) for a path read, or a table property for " +
+          "a catalog-registered table; a per-read option on a catalog " +
+          "table cannot change the already-resolved relation schema")
+    if (table.isStreamV2) {
       // streaming resolution: the engine drives this scan through
       // toMicroBatchStream; a batch execution fails loud there
       require(asOf < 0, "cannot stream a time-travel (asOf) txlog table")
@@ -292,6 +309,34 @@ case class TxLogDvPartition(file: FilePartition, tombs: Array[Long])
     file.preferredLocations()
 }
 
+/** The ordinal-exactness reshape, ONE copy: both DV-coordinate readers
+  * — the batch scan's tombstone SKIP ([[TxLogDvReader]]) and the v2
+  * stream's pre-image KEEP ([[TxLogTaggedReaderFactory]]) — depend on
+  * a reader's running row count equalling the `_metadata.row_index`
+  * the sidecar recorded, which holds only when each partition is ONE
+  * whole physical file with its splits re-merged in offset order
+  * (a split boundary would restart the ordinal at 0 mid-file). */
+private[txlog] object TxLogFileParts {
+  /** URI path, the join key between planned file paths and the
+    * sidecars' recorded `file` strings. */
+  def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** (normalized file path, one offset-ordered whole-file partition)
+    * per physical file of `b`'s plan, path-sorted. */
+  def perFile(b: Batch): Seq[(String, FilePartition)] = {
+    val files = b.planInputPartitions().flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"parquet delegate planned a non-file partition: $other")
+    }
+    files.groupBy(pf => norm(pf.filePath.toString)).toSeq.sortBy(_._1)
+      .zipWithIndex
+      .map { case ((f, splits), i) =>
+        f -> FilePartition(i, splits.sortBy(_.start)) }
+  }
+}
+
 /** Scan for a snapshot with DELETION VECTORS: clean segments keep the
   * fully-pushed-down delegate scan; DV-dirty segments are read
   * unfiltered in file order and each reader subtracts its file's
@@ -312,9 +357,6 @@ class TxLogDvScan(spark: SparkSession, cleanScan: Option[Scan],
   override def description(): String =
     s"txlog-dv(${dirtySegs.size} dirty) ${dirtyScan.description()}"
 
-  private def norm(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
-
   private lazy val partitions: Array[InputPartition] = {
     // ONE job loads the surviving segments' tombstone coordinates
     // (gated on the commit-recorded counts at build time), grouped to
@@ -322,21 +364,11 @@ class TxLogDvScan(spark: SparkSession, cleanScan: Option[Scan],
     // only its own file's set
     val tombs = TxLog.dsv2Tombstones(spark,
         dirtySegs.flatMap(_.dvs.map(_._1)), dirtySegs.map(_.bare).toSet)
-      .groupBy(t => norm(t._1))
+      .groupBy(t => TxLogFileParts.norm(t._1))
       .map { case (f, arr) => f -> arr.map(_._2).sorted }
-    val dirtyFiles = dirtyScan.toBatch.planInputPartitions().flatMap {
-      case fp: FilePartition => fp.files
-      case other => throw new IllegalStateException(
-        s"parquet delegate planned a non-file partition: $other")
-    }
-    // re-merge splits per file, offset-ordered: a split boundary would
-    // otherwise start the wrapper's ordinal at 0 mid-file
-    val dirty = dirtyFiles.groupBy(pf => norm(pf.filePath.toString))
-      .toSeq.sortBy(_._1).zipWithIndex
-      .map { case ((f, splits), i) =>
-        TxLogDvPartition(FilePartition(i, splits.sortBy(_.start)),
-          tombs.getOrElse(f, Array.emptyLongArray))
-      }
+    val dirty = TxLogFileParts.perFile(dirtyScan.toBatch)
+      .map { case (f, fp) =>
+        TxLogDvPartition(fp, tombs.getOrElse(f, Array.emptyLongArray)) }
     (cleanScan.toSeq.flatMap(_.toBatch.planInputPartitions()) ++ dirty)
       .toArray
   }

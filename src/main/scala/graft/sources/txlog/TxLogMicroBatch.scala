@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
-import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftshim.ParquetDelegate
 import org.apache.spark.sql.types.StructType
@@ -143,24 +142,11 @@ private[txlog] class TxLogMicroBatchStream(spark: SparkSession, dir: String,
   private val droppedPhys: Set[String] = TxLog.droppedColumns(dir)
 
   /** `latest` binds at the FIRST start only — the resolved floor
-    * persists under the source metadata path (v1's exact file name and
-    * format, so a checkpoint moved between APIs keeps its floor). */
-  private def latestFloor(): Int = {
-    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-txlog-floor")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
-      finally in.close()
-    } else {
-      val f = TxLog.headVersion(dir) + 1
-      fs.mkdirs(p.getParent)
-      val out = fs.create(p, false)
-      try out.write(f.toString.getBytes("UTF-8")) finally out.close()
-      f
-    }
-  }
+    * persists under the source metadata path through the SHARED
+    * helper, so a checkpoint moved between APIs keeps its floor. */
+  private def latestFloor(): Int =
+    TxLogSource.resolveLatestFloor(
+      spark.sparkContext.hadoopConfiguration, metadataPath, dir)
 
   override def initialOffset(): OffsetV2 = LongOffset(floor - 1L)
   override def deserializeOffset(json: String): OffsetV2 =
@@ -266,19 +252,8 @@ private[txlog] class TxLogMicroBatchStream(spark: SparkSession, dir: String,
     }
     // ADDED-column drift guard: one footer inference over this batch's
     // read set (v1 posture — fail loud, a restart re-resolves)
-    val driftPaths = parts.flatMap(_._3)
-    if (driftPaths.nonEmpty) {
-      val known = physData.fieldNames.toSet ++ droppedPhys
-      val drifted = spark.read.option("mergeSchema", "true")
-        .parquet(driftPaths: _*).schema.fieldNames
-        .filterNot(known)
-      if (drifted.nonEmpty)
-        throw new IllegalStateException(
-          s"txlog stream over $dir: table schema changed mid-stream " +
-            s"(new column(s): ${drifted.mkString(", ")}). Restart the " +
-            "query to pick up the evolved schema — continuing would " +
-            "silently drop the new column(s) from delivered rows.")
-    }
+    TxLogSource.addedColumnDriftGuard(spark, dir, parts.flatMap(_._3),
+      physData, droppedPhys)
     parts.flatMap { case (v, op, add) =>
       // one delegate scan per commit: its files share one (version,
       // op) tag, so every planned partition wraps with ONE constant
@@ -306,22 +281,9 @@ private[txlog] class TxLogMicroBatchStream(spark: SparkSession, dir: String,
     // ADDED-column drift guard over the delivered whole files (the
     // pre-image base segments are historical bytes the start-time
     // schema already covers — the v1 source scopes identically)
-    val driftPaths = cdfParts.collect {
-      case f: TxLog.CdfFilesPart => f.paths }.flatten
-    if (driftPaths.nonEmpty) {
-      val known = physData.fieldNames.toSet ++ droppedPhys
-      val drifted = spark.read.option("mergeSchema", "true")
-        .parquet(driftPaths: _*).schema.fieldNames
-        .filterNot(known)
-      if (drifted.nonEmpty)
-        throw new IllegalStateException(
-          s"txlog stream over $dir: table schema changed mid-stream " +
-            s"(new column(s): ${drifted.mkString(", ")}). Restart the " +
-            "query to pick up the evolved schema — continuing would " +
-            "silently drop the new column(s) from delivered rows.")
-    }
-    def norm(p: String): String =
-      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    TxLogSource.addedColumnDriftGuard(spark, dir,
+      cdfParts.collect { case f: TxLog.CdfFilesPart => f.paths }.flatten,
+      physData, droppedPhys)
     cdfParts.flatMap {
       case TxLog.CdfFilesPart(v, op, ct, paths) =>
         val b = ParquetDelegate.scan(spark, paths, physData, Nil, None).toBatch
@@ -329,35 +291,30 @@ private[txlog] class TxLogMicroBatchStream(spark: SparkSession, dir: String,
         b.planInputPartitions().map(p =>
           TxLogStreamPartition(p, factory, v.toLong, op, ct))
       case TxLog.CdfPreImagePart(v, op, ct, segPaths, coords) =>
-        // ordinal-exact: nothing pushed down, one partition per file
+        // ordinal-exact: nothing pushed down, one whole-file partition
+        // per file ([[TxLogFileParts]] — the shared reshape the batch
+        // DV reader also stands on)
         val b = ParquetDelegate.scan(spark, segPaths, physData, Nil,
           None).toBatch
         val factory = b.createReaderFactory()
-        val byFile = coords.groupBy(c => norm(c._1))
+        val byFile = coords.groupBy(c => TxLogFileParts.norm(c._1))
           .map { case (f, a) => f -> a.map(_._2).sorted }
-        val files = b.planInputPartitions().flatMap {
-          case fp: FilePartition => fp.files
-          case other => throw new IllegalStateException(
-            s"parquet delegate planned a non-file partition: $other")
-        }
-        val grouped = files.groupBy(pf => norm(pf.filePath.toString)).toSeq
+        val perFile = TxLogFileParts.perFile(b)
         // every recorded coordinate must land on a planned file — a
         // path-normalization mismatch would otherwise SILENTLY drop
         // pre-images from the feed (fail loud instead)
-        val claimed = grouped.map(g => byFile.get(g._1).map(_.length)
+        val claimed = perFile.map(g => byFile.get(g._1).map(_.length)
           .getOrElse(0)).sum
         if (claimed != coords.length)
           throw new IllegalStateException(
             s"txlog stream over $dir: commit $v resolved only $claimed " +
               s"of ${coords.length} deletion-vector coordinates against " +
               "its base segments — sidecar/segment path mismatch")
-        grouped.sortBy(_._1).zipWithIndex.flatMap {
-          case ((f, splits), i) =>
-            // a file with no tombstones contributes no pre-images —
-            // skip it (the v1 semi join emits nothing for it)
-            byFile.get(f).filter(_.nonEmpty).map(keep =>
-              TxLogStreamPartition(FilePartition(i, splits.sortBy(_.start)),
-                factory, v.toLong, op, ct, keep))
+        perFile.flatMap { case (f, fp) =>
+          // a file with no tombstones contributes no pre-images —
+          // skip it (the v1 semi join emits nothing for it)
+          byFile.get(f).filter(_.nonEmpty).map(keep =>
+            TxLogStreamPartition(fp, factory, v.toLong, op, ct, keep))
         }
     }.toArray
   }

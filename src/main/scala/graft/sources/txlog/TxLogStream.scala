@@ -254,22 +254,9 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
     * down — the same first-start-only contract Delta and Kafka sources
     * keep for their starting-offset options. */
   private def latestFloor(ctx: SQLContext, metadataPath: String,
-                          dir: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-txlog-floor")
-    val fs = p.getFileSystem(ctx.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
-      finally in.close()
-    } else {
-      val floor = TxLog.headVersion(dir) + 1
-      fs.mkdirs(p.getParent)
-      val out = fs.create(p, false)
-      try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
-      floor
-    }
-  }
+                          dir: String): Int =
+    TxLogSource.resolveLatestFloor(
+      ctx.sparkSession.sparkContext.hadoopConfiguration, metadataPath, dir)
 }
 
 /** The v1 sink: routes each micro-batch through the idempotent
@@ -397,6 +384,51 @@ private[graft] object TxLogSource {
           "(0 would stall the stream silently); use \"none\" for unbounded")
         Some(n)
       case None => Some(DefaultMaxCommitsPerTrigger)
+    }
+
+  /** `startingVersion=latest` floor resolution + persistence — ONE
+    * copy for both APIs: the v1↔v2 checkpoint-interchange contract
+    * depends on the file name and format staying byte-identical, so
+    * a second implementation is a silent-downtime-skip waiting to
+    * happen. First call persists `head + 1` under the source's
+    * metadata path; every later call (any API) reads it back. */
+  def resolveLatestFloor(hadoopConf: org.apache.hadoop.conf.Configuration,
+                         metadataPath: String, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-txlog-floor")
+    val fs = p.getFileSystem(hadoopConf)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
+      finally in.close()
+    } else {
+      val floor = TxLog.headVersion(dir) + 1
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false)
+      try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
+      floor
+    }
+  }
+
+  /** ADDED-column mid-stream drift guard — one copy for the v1 source
+    * and both v2 planners (the specs pin their contracts identical):
+    * one footer-read inference over the BATCH's own read set (bounded
+    * by the admission cap, never the table), failing loud on any
+    * field outside the stream's start-time schema. */
+  def addedColumnDriftGuard(spark: org.apache.spark.sql.SparkSession,
+      dir: String, paths: Seq[String], physData: StructType,
+      droppedPhys: Set[String]): Unit =
+    if (paths.nonEmpty) {
+      val known = physData.fieldNames.toSet ++ droppedPhys
+      val drifted = spark.read.option("mergeSchema", "true")
+        .parquet(paths: _*).schema.fieldNames
+        .filterNot(known)
+      if (drifted.nonEmpty)
+        throw new IllegalStateException(
+          s"txlog stream over $dir: table schema changed mid-stream " +
+            s"(new column(s): ${drifted.mkString(", ")}). Restart the " +
+            "query to pick up the evolved schema — continuing would " +
+            "silently drop the new column(s) from delivered rows.")
     }
 
   val MetaFields: Seq[StructField] = Seq(
@@ -628,19 +660,8 @@ private[txlog] class TxLogSource(ctx: SQLContext, dir: String, floor: Int,
     // rewrite or rearrangement: their (possibly vacuumed) files are
     // not delivered, and an added column always trips the guard on the
     // add-column commit's own batch anyway.
-    val driftPaths = toRead.flatMap(_._2)
-    if (driftPaths.nonEmpty) {
-      val known = physData.fieldNames.toSet ++ droppedPhys
-      val drifted = spark.read.option("mergeSchema", "true")
-        .parquet(driftPaths: _*).schema.fieldNames
-        .filterNot(known)
-      if (drifted.nonEmpty)
-        throw new IllegalStateException(
-          s"txlog stream over $dir: table schema changed mid-stream " +
-            s"(new column(s): ${drifted.mkString(", ")}). Restart the " +
-            "query to pick up the evolved schema — continuing would " +
-            "silently drop the new column(s) from delivered rows.")
-    }
+    TxLogSource.addedColumnDriftGuard(spark, dir, toRead.flatMap(_._2),
+      physData, droppedPhys)
     if (changeFeed) {
       // row-level mode: the slice may contain a semi JOIN (deletion-
       // vector pre-image resolution), so it is wrapped as ONE

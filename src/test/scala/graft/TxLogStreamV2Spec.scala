@@ -467,5 +467,18 @@ class TxLogStreamV2Spec extends SparkTestBase {
     }
     assert(rootMessages(e3).exists(_.contains("coarseRewrites applies to")),
       e3.getMessage)
+    // a catalog-registered table resolved its relation BEFORE any
+    // per-read option could reach schema()/capabilities — a per-read
+    // streamApi there must fail loud, not build a scan whose schema
+    // disagrees with the relation's
+    spark.sql("DROP TABLE IF EXISTS txv2_cat")
+    spark.sql(s"CREATE TABLE txv2_cat USING txlog LOCATION '$dir'")
+    try {
+      val e4 = intercept[Exception] {
+        spark.read.option("streamApi", "v2").table("txv2_cat").collect()
+      }
+      assert(rootMessages(e4).exists(_.contains(
+        "must be passed where the table resolves")), e4.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS txv2_cat")
   }
 }
