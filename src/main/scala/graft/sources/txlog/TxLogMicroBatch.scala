@@ -195,7 +195,28 @@ private[txlog] class TxLogMicroBatchStream(spark: SparkSession, dir: String,
     * once per micro-batch; cost is O(entries in range) metadata reads
     * plus one footer-inference job over the batch's own add set (the
     * drift guard — bounded by the admission cap, never the table). */
+  /** MEMOIZED per offset range: the engine re-instantiates the scan
+    * exec several times per micro-batch (physical planning, columnar
+    * probing, progress reporting — measured SIX planInputPartitions
+    * calls per batch on a stateful query), and each un-cached call
+    * would re-run the whole triage including its metadata jobs (the
+    * coordinate load, the drift-guard footer inference). One entry
+    * suffices: ranges only move forward, and a failed plan is NOT
+    * cached (every retry re-triages and throws again). */
+  @volatile private var plannedRange: (Long, Long) = (Long.MinValue, Long.MinValue)
+  @volatile private var planned: Array[InputPartition] = _
+
   override def planInputPartitions(start: OffsetV2, end: OffsetV2
+      ): Array[InputPartition] = {
+    val range = (Option(start).map(ver).getOrElse(floor - 1L), ver(end))
+    if (range == plannedRange) return planned
+    val p = planRange(start, end)
+    planned = p
+    plannedRange = range
+    p
+  }
+
+  private def planRange(start: OffsetV2, end: OffsetV2
       ): Array[InputPartition] = {
     val from = math.max(floor.toLong,
       Option(start).map(ver(_) + 1).getOrElse(floor.toLong)).toInt
