@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // custom plans are opaque to Catalyst's own pushdown — restore it
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
+    // SQL row-level DML on txlog tables (UPDATE / MERGE INTO / the
+    // DELETE shapes filter translation can't express) — resolved into
+    // the engine's own commit machinery; see TxLogSqlDml for why this
+    // bridge beats the generic SupportsRowLevelOperations rewrite here
+    ext.injectPostHocResolutionRule(_ => graft.sources.txlog.TxLogSqlDml)
     ext.injectFunction((FunctionIdentifier("minhash_md5"),
       new ExpressionInfo(classOf[MinHashMd5].getName, "minhash_md5"),
       Functions.minhashMd5Builder))

@@ -3494,6 +3494,7 @@ object TxLog {
     final case class DvReq(version: Int, op: String, ct: String,
         segPaths: Seq[String], dvDirs: Seq[String], bare: Set[String])
     val reqs = scala.collection.mutable.ArrayBuffer.empty[DvReq]
+    var rangeDvTotal = 0L
     val fileParts = newer.flatMap { e =>
       if (e.cdc.nonEmpty) {
         // exact by construction: the cdc sidecars ARE the changes —
@@ -3540,6 +3541,22 @@ object TxLog {
                 "its partitions; read this feed without streamApi=v2 " +
                 "(the v1 source resolves pre-images with a shuffle " +
                 "join), or OPTIMIZE to materialize the tombstones")
+          // the RANGE-level gate: phase 2 materializes EVERY request's
+          // coordinates in one driver-side collect, so the per-commit
+          // cap alone would let maxCommitsPerTrigger under-cap commits
+          // sum to an unbounded driver load — gate the running total
+          // with the same cap (the v1 source's distributed semi join
+          // has no such ceiling; point there)
+          rangeDvTotal += total
+          if (rangeDvTotal > BroadcastDvLimit)
+            throw new UnsupportedOperationException(
+              s"txlog stream over $dir: versions [$from, $to] carry " +
+                s"$rangeDvTotal deletion-vector rows across their DV " +
+                s"commits (cap $BroadcastDvLimit for one micro-batch's " +
+                "driver-side coordinate load) — read this feed without " +
+                "streamApi=v2 (the v1 source resolves pre-images with " +
+                "a distributed semi join), lower maxCommitsPerTrigger, " +
+                "or OPTIMIZE to materialize the tombstones")
           reqs += DvReq(e.version, e.op,
             if (e.op == "update_mor") "update_preimage" else "delete",
             segs.map(s => segPath(dir, s)), dvPaths, bare)

@@ -3,7 +3,7 @@ package graft.sources.txlog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -49,11 +49,36 @@ import graft.sources.TxLog
   * same table keep full parquet pushdown. Residual filters above the
   * scan keep both paths exact. `option("asOf", v)` time-travels with
   * the usual retention check. */
-class TxLogTable(dir: String, asOf: Int,
+class TxLogTable(private[txlog] val dir: String,
+                 private[txlog] val asOf: Int,
                  external: Option[StructType] = None,
                  props: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"txlog($dir)"
+
+  /** Filter-translatable `DELETE FROM` runs through Spark's NATIVE
+    * SupportsDelete planning (no rewrite plan, no extensions needed):
+    * the planner translates the condition to v1 filters, and this
+    * renders them back to predicate SQL for [[TxLog.delete]] — the
+    * SAME stats-pruned CoW rewrite + OCC slot retry the Scala API
+    * runs, so a SQL DELETE is bit-identical to a programmatic one.
+    * Untranslatable conditions (`key % 97 = 3`, function calls) are
+    * claimed EARLIER by [[TxLogSqlDml]] when [[graft.GraftExtensions]]
+    * is registered; without the extensions they fail in Spark's
+    * translation with its standard error. `canDeleteWhere` is exact:
+    * it accepts only what [[TxLogSqlDml.filterToSql]] can render. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    asOf < 0 && filters.forall(f => TxLogSqlDml.filterToSql(f).isDefined)
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(asOf < 0,
+      "cannot DELETE through a time-travel (asOf) txlog relation")
+    val pred =
+      if (filters.isEmpty) "true"
+      else filters.map(f => TxLogSqlDml.filterToSql(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"txlog DELETE: unrenderable pushed filter $f"))).mkString(" AND ")
+    TxLog.delete(SparkSession.active, dir, pred)
+  }
   /** LAZY shared snapshot (mapping-applied, evolution-merged schema +
     * the replayed state the scan build reuses): the streaming fallback
     * probe constructs this Table but consumes only capabilities, so
@@ -215,9 +240,14 @@ class TxLogScanBuilder(spark: SparkSession, dir: String, asOf: Int,
       throw new IllegalArgumentException(
         "streamApi=v2 must be passed where the table resolves — " +
           "spark.readStream.format(\"txlog\").option(\"streamApi\", " +
-          "\"v2\").load(dir) for a path read, or a table property for " +
-          "a catalog-registered table; a per-read option on a catalog " +
-          "table cannot change the already-resolved relation schema")
+          "\"v2\").load(dir) for a path read; a per-read option on a " +
+          "catalog table cannot change the already-resolved relation " +
+          "schema. A catalog table CAN carry streamApi=v2 in its " +
+          "CREATE TABLE OPTIONS, but that makes the table STREAM-ONLY " +
+          "(every resolution — batch SELECT included — then sees the " +
+          "streaming schema and batch reads fail): register it only " +
+          "for tables consumed exclusively by readStream, and batch-" +
+          "read the same log via its path or a second registration")
     if (table.isStreamV2) {
       // streaming resolution: the engine drives this scan through
       // toMicroBatchStream; a batch execution fails loud there

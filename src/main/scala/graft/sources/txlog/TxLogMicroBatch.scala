@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftshim.ParquetDelegate
 import org.apache.spark.sql.types.StructType
@@ -99,7 +99,11 @@ private[txlog] class TxLogStreamScan(spark: SparkSession, dir: String,
   override def toBatch: Batch =
     throw new UnsupportedOperationException(
       "streamApi=v2 is a readStream option — a batch read of a txlog " +
-        "table is spark.read.format(\"txlog\").load(dir), without it")
+        "table is spark.read.format(\"txlog\").load(dir), without it. " +
+        "If this table was CREATEd with streamApi=v2 in its OPTIONS, " +
+        "the registration is STREAM-ONLY by design (the option is the " +
+        "schema authority for every resolution): batch-read the log " +
+        "via its path, or register a second table without the option")
   override def toMicroBatchStream(checkpointLocation: String
       ): MicroBatchStream =
     new TxLogMicroBatchStream(spark, dir, schema, physData,
@@ -174,12 +178,30 @@ private[txlog] class TxLogMicroBatchStream(spark: SparkSession, dir: String,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) drives this stream")
 
+  /** The admission bound from the ENGINE-SUPPLIED limit — today Spark
+    * hands back exactly what [[getDefaultReadLimit]] returned, but the
+    * contract says honor the parameter (an AvailableNow wrapper or a
+    * future composite must not be silently ignored): unwrap
+    * [[ReadMaxFiles]] (the carrier [[getDefaultReadLimit]] uses for
+    * the max-COMMITS cap — no maxCommits limit class exists) directly
+    * or inside a composite; anything else (allAvailable, row-based)
+    * falls back to the option cap. */
+  private def admissionCap(limit: ReadLimit): Option[Int] = limit match {
+    case f: ReadMaxFiles => Some(f.maxFiles())
+    case c: CompositeReadLimit =>
+      val caps = c.getReadLimits.toSeq.collect {
+        case f: ReadMaxFiles => f.maxFiles()
+      }
+      if (caps.nonEmpty) Some(caps.min) else cap
+    case _ => cap
+  }
+
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val head0 = TxLog.headVersion(dir).toLong
     val head = availableNowBound.fold(head0)(math.min(head0, _))
     if (head < floor) return null
     val base = Option(start).map(ver).getOrElse(floor - 1L)
-    val capped = cap
+    val capped = admissionCap(limit)
       .map(m => math.min(head, math.max(base, floor - 1L) + m))
       .getOrElse(head)
     if (capped < floor || capped <= base) null else LongOffset(capped)
@@ -202,17 +224,19 @@ private[txlog] class TxLogMicroBatchStream(spark: SparkSession, dir: String,
     * would re-run the whole triage including its metadata jobs (the
     * coordinate load, the drift-guard footer inference). One entry
     * suffices: ranges only move forward, and a failed plan is NOT
-    * cached (every retry re-triages and throws again). */
-  @volatile private var plannedRange: (Long, Long) = (Long.MinValue, Long.MinValue)
-  @volatile private var planned: Array[InputPartition] = _
+    * cached (every retry re-triages and throws again). ONE volatile
+    * field holding the (range, partitions) pair — two independent
+    * fields could tear under concurrent planning calls and pair one
+    * range's key with the other's partitions. */
+  @volatile private var planned: ((Long, Long), Array[InputPartition]) = _
 
   override def planInputPartitions(start: OffsetV2, end: OffsetV2
       ): Array[InputPartition] = {
     val range = (Option(start).map(ver).getOrElse(floor - 1L), ver(end))
-    if (range == plannedRange) return planned
+    val memo = planned
+    if (memo != null && memo._1 == range) return memo._2
     val p = planRange(start, end)
-    planned = p
-    plannedRange = range
+    planned = (range, p)
     p
   }
 

@@ -97,4 +97,13 @@ object ColumnShim {
     ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
       org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
       Nil, isStreaming = true))
+
+  /** Catalyst predicate → v1 source filter, exactly the translation
+    * the planner runs for `SupportsDelete` (`DataSourceStrategy
+    * .translateFilter` is `protected[sql]`) — used by the txlog DML
+    * rule to decide which DELETE conditions stay on Spark's native
+    * path. */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)
 }
