@@ -141,6 +141,9 @@ object Bench {
     val stealStart = stealCpuSec()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the library's session integration (SQL functions + the txlog
+      // DML rule) — table_log_sql_dml needs the DML rule registered
+      .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

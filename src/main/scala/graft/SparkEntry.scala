@@ -4223,6 +4223,44 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // SQL ROW-LEVEL DML — the statements a SQL user types after
+    // INSERT INTO lands: a filter-translatable DELETE (Spark's native
+    // SupportsDelete planning), an arbitrary-predicate DELETE + an
+    // UPDATE + a full-row-upsert MERGE (the GraftExtensions analyzer
+    // rule bridging into TxLog.delete/update/merge — the same
+    // stats-pruned CoW + OCC commit path as the Scala API; requires
+    // the session built .withExtensions(new GraftExtensions()), as
+    // Verify/Bench sessions are). Four statements, four commits; the
+    // oracle replays them relationally.
+    "table_log_sql_dml" -> ((s, d) => {
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = s"/tmp/graft_txdml_$tag"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)
+      val tbl = s"graft_txdml_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl USING txlog OPTIONS (path '$dir') AS
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM parquet.`$d/orders.parquet`""")
+      s.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'P'")
+      s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 97 = 3")
+      s.sql(s"UPDATE $tbl SET cents = cents + 7 WHERE o_orderkey % 10 = 0")
+      s.sql(s"""MERGE INTO $tbl t USING (
+          SELECT o_orderkey, 'X' AS o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS BIGINT) + 11 AS cents
+          FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 1000 = 7) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      require(graft.sources.TxLog.headVersion(dir) == 4,
+        "CTAS + 2 DELETEs + UPDATE + MERGE must land as five commits, " +
+          s"head=${graft.sources.TxLog.headVersion(dir)}")
+      s.read.format("txlog").load(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // OCC LOGICAL CONFLICT RE-CHECK — maintenance liveness under
     // continuous ingest: a blind append lands IN the window between a
     // CoW DELETE's snapshot read and its commit (injected via the
@@ -6687,6 +6725,34 @@ object SparkEntry {
                   CAST(round(o_totalprice * 100) AS BIGINT) + 9 AS c
            FROM orders WHERE o_orderkey % 1000 = 7)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the four DML statements replayed relationally: status delete,
+    // modulo delete, conditional increment, full-row upsert from the
+    // X-status source (matched keys replaced, unmatched inserted)
+    "table_log_sql_dml" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         d AS (
+           SELECT * FROM base
+           WHERE NOT o_orderstatus = 'P' AND NOT (o_orderkey % 97 = 3)),
+         u AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 10 = 0 THEN cents + 7
+                       ELSE cents END AS cents
+           FROM d),
+         src AS (
+           SELECT o_orderkey, 'X' AS o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) + 11 AS cents
+           FROM orders WHERE o_orderkey % 1000 = 7),
+         m AS (
+           SELECT * FROM src
+           UNION ALL
+           SELECT * FROM u
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+         SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS cents
+         FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // serial order ⟨delete, append⟩: the base slice loses its F rows,
     // the concurrently-appended slice keeps ALL rows (marker +5) —
     // including its F rows, which landed after the delete's snapshot

@@ -9,6 +9,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the library's session integration (SQL functions + the txlog
+      // DML rule) — a user session configures spark.sql.extensions=
+      // graft.GraftExtensions identically
+      .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
