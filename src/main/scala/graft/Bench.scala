@@ -251,6 +251,52 @@ object Bench {
       }
     }
 
+    // ---- same-window v1↔v2 stream A/B ------------------------------
+    // The r13 residual: the v2-flipped stream_txlog_* keys read
+    // 1.13-1.31× their r12 v1 walls ACROSS rounds, where cross-round
+    // wall ratios are exactly what host steal makes meaningless. This
+    // runs the API-sensitive keys alternating v1,v2,v1,v2 INSIDE one
+    // window (the `graft.streamApi` system property overrides the
+    // keys' API choice per rep) and records min wall + that rep's
+    // steal per API — the one-field answer to "is v2 slower, or was
+    // the window stolen". SPARK_GRAFT_STREAM_AB=0 disables.
+    val abKeys = Seq("stream_txlog_source", "stream_txlog_pipeline",
+      "stream_txlog_cdf", "stream_txlog_maintain", "stream_txlog_window",
+      "stream_txlog_complete", "stream_txlog_evolve", "stream_mv_refresh")
+    val abJson =
+      if (sys.env.get("SPARK_GRAFT_STREAM_AB").contains("0") ||
+          onlyKeys.isDefined) ""
+      else {
+        val entries = abKeys.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            val walls = scala.collection.mutable.Map[String,
+              (Double, Double)]() // api -> (minWall, itsStealDelta)
+            for (_ <- 1 to 2; api <- Seq("v1", "v2")) {
+              System.setProperty("graft.streamApi", api)
+              try {
+                drain()
+                val st0 = stealCpuSec()
+                val t0 = System.nanoTime()
+                fn(spark, sfDir).count()
+                val wall = (System.nanoTime() - t0) / 1e9
+                val st = math.max(0.0, stealCpuSec() - st0)
+                if (!walls.contains(api) || wall < walls(api)._1)
+                  walls(api) = (wall, st)
+              } catch { case _: Throwable => () }
+              finally System.clearProperty("graft.streamApi")
+            }
+            name -> walls
+          }
+        }.filter(_._2.keySet == Set("v1", "v2"))
+        if (entries.isEmpty) ""
+        else {
+          val body = entries.map { case (k, w) =>
+            s""""$k":{"v1":${fmt(w("v1")._1)},"v2":${fmt(w("v2")._1)},"v1_steal":${fmt(w("v1")._2)},"v2_steal":${fmt(w("v2")._2)}}"""
+          }.mkString("{", ",", "}")
+          s""","stream_ab":$body"""
+        }
+      }
+
     // ---- end-to-end dump drive -------------------------------------
     // The reference's own entry points over ONE multi-GB `</page>`-
     // delimited dump file: exercises the SPLITTABLE ingest (a single
@@ -395,8 +441,19 @@ object Bench {
       else s""","stage_sec":${secMap(stageSec)},"task_sec":${secMap(taskSec)}"""
     val env =
       s""""cpus":$cpus,"host_procs":$hostProcs,"load_avg":[${fmt(loadStart)},${fmt(osBean.getSystemLoadAverage)}],"calib_sec":[${fmt(calibStart)},${fmt(calibProbe())}],"steal_sec":[${fmt(stealStart)},${fmt(stealCpuSec())}]"""
+    // the BASELINE gate, one field (r13 VERDICT item 5): non-dump
+    // seconds/key over all keys AND over the steal-free complement
+    // (keys whose min-wall rep lost <10ms to the hypervisor) — a
+    // reader compares the steal-free figure to BASELINE.md directly
+    // instead of re-deriving the complement from key_steal_sec
+    val nonDump = timings.filterNot(_._1.startsWith("dump_"))
+    val stealFree = nonDump.filter(kv => stealSec.getOrElse(kv._1, 0.0) < 0.01)
+    def perKey(m: scala.collection.Map[String, Seq[Double]]): Double =
+      if (m.isEmpty) 0.0 else m.values.map(_.head).sum / m.size
+    val gateJson =
+      s""","nondump_s_per_key":${fmt(perKey(nonDump))},"nondump_s_per_key_steal_free":${fmt(perKey(stealFree))},"nondump_steal_free_n":${stealFree.size},"nondump_n":${nonDump.size}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs$stageJson$stealJson,"reps":$reps,$env,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs$stageJson$stealJson$gateJson$abJson,"reps":$reps,$env,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of stdout; with 140+
     // keys the full line overflows that window and its parse records
     // `parsed: null` (observed in BENCH_r01..r03.json). Emit the full
@@ -421,7 +478,7 @@ object Bench {
       if (stageSec.isEmpty) ""
       else s""","stage_sec":${secMap(stageSec.filter(kv => slowKeys(kv._1)))},"task_sec":${secMap(taskSec.filter(kv => slowKeys(kv._1)))}"""
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"queries":$slowest,"n_errors":${errors.size}$firstErr$stageCompact,"reps":$reps,$env,"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"queries":$slowest,"n_errors":${errors.size}$firstErr$stageCompact$gateJson,"reps":$reps,$env,"detail":"$outPath","sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))

@@ -3817,7 +3817,7 @@ object SparkEntry {
         // the DSv2 MicroBatchStream path (plan-time vacuum interlock,
         // no restart re-plan); v1 remains the bare-load default and is
         // spec-pinned equivalent (TxLogStreamV2Spec)
-        .option("streamApi", "v2").load()
+        .option("streamApi", streamApi).load()
         .filter(col("_commit_op") === "append")
         .groupBy(col("_commit_version").as("version"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
@@ -3887,18 +3887,23 @@ object SparkEntry {
         .option("path", src).option("maxCommitsPerTrigger", "2")
         // the source table's history ends in merge+optimize rewrites:
         // skipRewrites advances past them rowlessly (default fails loud)
-        .option("skipRewrites", "true").option("streamApi", "v2").load()
+        .option("skipRewrites", "true").option("streamApi", streamApi).load()
         .filter(col("_commit_op") === "append")
         .drop("_commit_version", "_commit_op")
         .writeStream.format("txlog")
         .option("path", dst).option("statsCols", "o_orderdate")
+        .option("streamApi", streamApi)
         .option("checkpointLocation", ckpt.toString)
         .outputMode("append").start()
+      val qid = q.id.toString
       try q.processAllAvailable() finally q.stop()
       require(graft.sources.TxLog.headVersion(dst) == 2,
         "6 source commits / cap 2 must land as 3 sink commits")
+      // same query id = same dedup namespace (txnAppId): the replay
+      // skips; a DIFFERENT app id would be a second writer and commit
       require(graft.sources.TxLog.appendStream(
-          graft.sources.TxLog.readCommit(s, dst, 0), dst, batchId = 0L).isEmpty,
+          graft.sources.TxLog.readCommit(s, dst, 0), dst, batchId = 0L,
+          txnAppId = Some(qid)).isEmpty,
         "a replayed sink batch must be skipped")
       graft.sources.TxLog.read(s, dst)
         .groupBy("o_orderstatus")
@@ -3939,6 +3944,7 @@ object SparkEntry {
           col("n"), col("cents"))
       val q = agg.writeStream.format("txlog")
         .option("path", dst).option("mergeKey", "k")
+        .option("streamApi", streamApi)
         .option("checkpointLocation", ckpt.toString)
         .outputMode("update").start()
       try q.processAllAvailable() finally q.stop()
@@ -3962,7 +3968,7 @@ object SparkEntry {
       val q = s.readStream.format("txlog")
         .option("path", dir).option("changeFeed", "true")
         .option("maxCommitsPerTrigger", "2")
-        .option("streamApi", "v2").load()
+        .option("streamApi", streamApi).load()
         .groupBy(col("_commit_version").as("version"),
           col("_change_type").as("change_type"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
@@ -3992,6 +3998,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .writeStream.format("txlog")
         .option("path", dst)
+        .option("streamApi", streamApi)
         .option("checkpointLocation", ckpt.toString)
         .outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
@@ -4025,7 +4032,7 @@ object SparkEntry {
       val q = s.readStream.format("txlog")
         .option("path", src).option("changeFeed", "true")
         .option("maxCommitsPerTrigger", "1")
-        .option("streamApi", "v2").load()
+        .option("streamApi", streamApi).load()
         .writeStream.option("checkpointLocation", ckpt.toString)
         .foreachBatch { (changes: DataFrame, id: Long) =>
           val cur =
@@ -4325,7 +4332,7 @@ object SparkEntry {
         .withColumn("o_orderkey", -col("o_orderkey")), dir)
       // default posture: the first rewrite commit kills the stream loud
       val unaware = s.readStream.format("txlog").option("path", dir)
-        .option("streamApi", "v2").load()
+        .option("streamApi", streamApi).load()
         .writeStream.format("memory").queryName("graft_txmaint_dead").start()
       val died = try {
         unaware.processAllAvailable(); false
@@ -4336,7 +4343,7 @@ object SparkEntry {
       } finally unaware.stop()
       require(died, "an unaware stream must fail loud on a rewrite commit")
       val q = s.readStream.format("txlog").option("path", dir)
-        .option("skipRewrites", "true").option("streamApi", "v2").load()
+        .option("skipRewrites", "true").option("streamApi", streamApi).load()
         .groupBy(col("_commit_version").as("version"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .writeStream.outputMode("complete")
@@ -4363,6 +4370,7 @@ object SparkEntry {
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       def runOnce(src: org.apache.spark.sql.DataFrame, merge: Boolean): Unit = {
         var w = src.writeStream.format("txlog").option("path", dir)
+          .option("streamApi", streamApi)
           .option("checkpointLocation", ckpt.toString).outputMode("append")
         if (merge) w = w.option("mergeSchema", "true")
         val q = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -5141,6 +5149,18 @@ object SparkEntry {
     * so a small session keeps its own), restored afterwards. The
     * streaming query pins the conf at `.start()`; the post-run batch
     * read of the memory sink executes under the restored value. */
+  /** The txlog streaming API for the `stream_txlog_*` keys: v2 (the
+    * DSv2 MicroBatchStream source and, since this round, the DSv2
+    * StreamingWrite sink) by default; `SPARK_GRAFT_STREAM_API=v1`
+    * flips every key back to the v1 Source/Sink in one knob, and the
+    * `graft.streamApi` SYSTEM PROPERTY overrides per call — that is
+    * how `graft.Bench` runs the same-window per-key v1↔v2 A/B inside
+    * one JVM. Both APIs share the commit machinery and checkpoints
+    * interchange, so the keys' oracles hold on either. */
+  private def streamApi: String =
+    sys.props.get("graft.streamApi")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_API")).getOrElse("v2")
+
   private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)

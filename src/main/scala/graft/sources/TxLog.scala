@@ -1071,23 +1071,29 @@ object TxLog {
     // segment bytes always carry PHYSICAL column names (column
     // mapping's storage invariant — reads re-label, writes un-label)
     toPhysical(filled, snap).write.mode("overwrite").parquet(s"$dir/$name")
-    // TABLE CHECK constraints, enforced at the one choke point every
-    // row-adding write funnels through (append/overwrite/replaceWhere/
-    // merge/update rewrites/streaming appends alike — Delta enforces
-    // its invariants on every write path the same way). One columnar
-    // scan of the just-staged bytes, paid ONLY when constraints exist;
-    // the staged read makes the check deterministic even when `df` is
-    // nondeterministic upstream. On violation the staged bytes are
-    // reclaimed and nothing was committed.
-    // write-side invariants in ONE columnar scan of the staged bytes:
-    // CHECK constraints plus equality validation of writer-PROVIDED
-    // generated columns (null-safe <=>, so an all-null pre-generated
-    // column only passes if the expression is null too)
+    enforceWriteInvariants(df.sparkSession, dir, name, snap, providedGen)
+    name
+  }
+
+  /** TABLE CHECK constraints, enforced at the one choke point every
+    * row-adding write funnels through (append/overwrite/replaceWhere/
+    * merge/update rewrites/streaming appends — v1 DataFrame staging
+    * and the v2 StreamingWrite's task-staged segments alike; Delta
+    * enforces its invariants on every write path the same way). One
+    * columnar scan of the just-staged bytes, paid ONLY when
+    * constraints exist; the staged read makes the check deterministic
+    * even when the source frame is nondeterministic upstream. On
+    * violation the staged bytes are reclaimed and nothing was
+    * committed. The scan carries both write-side invariants: CHECK
+    * constraints plus equality validation of writer-PROVIDED
+    * generated columns (null-safe <=>, so an all-null pre-generated
+    * column only passes if the expression is null too). */
+  private def enforceWriteInvariants(spark: SparkSession, dir: String,
+      name: String, snap: State, providedGen: Set[String]): Unit = {
     val cs = snap.constraints.toSeq.sorted ++
       providedGen.toSeq.sorted.map(c =>
         s"generated:$c" -> s"`$c` <=> (${snap.generated(c)})")
     if (cs.nonEmpty) {
-      val spark = df.sparkSession
       val staged = applyMapping(spark.read.parquet(s"$dir/$name"), snap)
       // SQL CHECK semantics: only an explicit FALSE violates (NULL passes)
       val counts = staged.select(cs.map { case (n, c) =>
@@ -1103,8 +1109,51 @@ object TxLog {
             .mkString("; "))
       }
     }
-    name
   }
+
+  /** Promote a TASK-STAGED segment (the v2 streaming sink's
+    * DataWriters wrote its parquet files directly) to a commit-ready
+    * one: bytes already carry physical names (the writer factory
+    * renames), so the common case is just the write-invariant scan —
+    * zero extra copies. Only when table governance defines DEFAULT or
+    * GENERATED columns the batch lacks does the segment rewrite once
+    * through [[newSegment]] (which fills them exactly like every
+    * DataFrame write path); the raw staging is reclaimed either way
+    * on failure. */
+  private def finalizeStagedSegment(spark: SparkSession, dir: String,
+      rawSeg: String, snap: State): String =
+    // ANY failure below reclaims the raw staging (the violation path
+    // inside enforceWriteInvariants already deleted it — the repeat
+    // delete is a no-op); no entry records it, so vacuum never could
+    try {
+      val fields = spark.read.parquet(s"$dir/$rawSeg").schema.fieldNames.toSet
+      val needFill = (snap.defaults.keySet ++ snap.generated.keySet)
+        .exists(c => !fields.contains(snap.physCol(c)))
+      if (needFill) {
+        val df = applyMapping(spark.read.parquet(s"$dir/$rawSeg"), snap)
+        val seg = newSegment(dir, df, snapOpt = Some(snap))
+        store(dir).deleteRecursively(s"$dir/$rawSeg")
+        seg
+      } else {
+        val providedGen = snap.generated.keySet
+          .filter(c => fields.contains(snap.physCol(c)))
+        enforceWriteInvariants(spark, dir, rawSeg, snap, providedGen)
+        rawSeg
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      store(dir).deleteRecursively(s"$dir/$rawSeg"); throw e }
+
+  /** A dedup-skip must reclaim the replay's staged bytes ONLY when
+    * they are not the committed data itself: a re-invoked commit of
+    * an epoch THIS instance already committed stages nothing new (the
+    * per-epoch segment name is deterministic per writer instance), so
+    * deleting the "staging" would delete the live segment. A
+    * restarted query's replay has a fresh writer uuid — its staging
+    * never collides with the committed name and reclaims normally. */
+  private def reclaimUnlessLive(dir: String, snap: State,
+                                staged: String): Unit =
+    if (!snap.live.exists(l => bareName(l) == staged))
+      store(dir).deleteRecursively(s"$dir/$staged")
 
   /** Tombstones small enough to broadcast into the anti join that
     * subtracts them (a shuffle join would move the whole TABLE to meet
@@ -1371,11 +1420,34 @@ object TxLog {
   private def mergeMoRAs(spark: SparkSession, dir: String, updates: DataFrame,
                          key: String, op: String,
                          statsCols: Seq[String],
-                         dedupStreamOp: Boolean): Option[Int] = {
+                         dedupStreamOp: Boolean): Option[Int] =
+    mergeMoRVia(spark, dir, key, op, statsCols, dedupStreamOp, None)(
+      snap => newSegment(dir, updates, snapOpt = Some(snap)))
+
+  /** [[mergeStreamMoR]] over a TASK-STAGED updates segment (the v2
+    * streaming sink's upsert mode): identical dedup/tombstone/commit
+    * contract — the staged bytes stand in for the updates frame. */
+  private[graft] def mergeStreamMoRStaged(spark: SparkSession, dir: String,
+      rawSeg: String, key: String, batchId: Long,
+      statsCols: Seq[String] = Nil,
+      txnAppId: Option[String] = None): Option[Int] =
+    mergeMoRVia(spark, dir, key, streamOp(txnAppId, batchId), statsCols,
+      dedupStreamOp = true, preStaged = Some(rawSeg))(
+      snap => finalizeStagedSegment(spark, dir, rawSeg, snap))
+
+  private def mergeMoRVia(spark: SparkSession, dir: String,
+                          key: String, op: String,
+                          statsCols: Seq[String],
+                          dedupStreamOp: Boolean,
+                          preStaged: Option[String])(
+                          stage: State => String): Option[Int] = {
     var snap = state(dir)
-    if (dedupStreamOp && snap.streamOps.contains(op)) return None
+    if (dedupStreamOp && snap.streamOps.contains(op)) {
+      preStaged.foreach(reclaimUnlessLive(dir, snap, _))
+      return None
+    }
     val gov = govFingerprint(snap)
-    val uSeg = newSegment(dir, updates, snapOpt = Some(snap))
+    val uSeg = stage(snap)
     // outer reclaim: any exit that didn't commit deletes the staged
     // updates segment (no entry records it, so vacuum never could)
     try {
@@ -2325,18 +2397,55 @@ object TxLog {
     * iteration re-proves the batch id absent at a newer head), so the
     * blind-append liveness of a busy table is kept. */
   def appendStream(df: DataFrame, dir: String, batchId: Long,
-                   statsCols: Seq[String] = Nil): Option[Int] = {
-    val op = s"stream-$batchId"
+                   statsCols: Seq[String] = Nil,
+                   txnAppId: Option[String] = None): Option[Int] =
+    appendStreamVia(df.sparkSession, dir, batchId, statsCols, None,
+      txnAppId)(snap => newSegment(dir, df, snapOpt = Some(snap)))
+
+  /** The committed-batch dedup KEY. `txnAppId` is Delta's
+    * txnAppId/txnVersion split: batch ids are PER WRITER, so two
+    * different streaming queries (each numbering its batches from 0)
+    * writing to ONE table must not share a dedup namespace — without
+    * the app id, the second query's first batches silently dedup
+    * against the first query's and are DROPPED. The txlog sinks (v1
+    * and v2) pass the engine's stable query id (it survives restarts
+    * with the checkpoint and is identical on both APIs, so cross-API
+    * checkpoint interchange keeps deduping); foreachBatch callers of
+    * the raw API pass their own pipeline id, or None for a
+    * single-writer table (the legacy `stream-<batch>` key). */
+  private def streamOp(txnAppId: Option[String], batchId: Long): String =
+    txnAppId.fold(s"stream-$batchId")(a => s"stream-$a-$batchId")
+
+  /** [[appendStream]] over a TASK-STAGED segment (the v2 streaming
+    * sink): identical dedup/commit contract; the already-written
+    * staging is reclaimed when the batch id turns out committed. */
+  private[graft] def appendStreamStaged(spark: SparkSession, dir: String,
+      rawSeg: String, batchId: Long,
+      statsCols: Seq[String] = Nil,
+      txnAppId: Option[String] = None): Option[Int] =
+    appendStreamVia(spark, dir, batchId, statsCols, Some(rawSeg),
+      txnAppId)(snap => finalizeStagedSegment(spark, dir, rawSeg, snap))
+
+  private def appendStreamVia(spark: SparkSession, dir: String,
+      batchId: Long, statsCols: Seq[String], preStaged: Option[String],
+      txnAppId: Option[String])(
+      stage: State => String): Option[Int] = {
+    val op = streamOp(txnAppId, batchId)
     var snap = state(dir)
-    if (snap.streamOps.contains(op)) return None
+    if (snap.streamOps.contains(op)) {
+      // an at-least-once replay of a committed batch: the v1 path has
+      // staged nothing yet; the v2 path's writers already did — reclaim
+      preStaged.foreach(reclaimUnlessLive(dir, snap, _))
+      return None
+    }
     val gov = govFingerprint(snap)
-    val seg = newSegment(dir, df, snapOpt = Some(snap))
+    val seg = stage(snap)
     // any exit that didn't commit reclaims the staged segment — a
     // stats failure, a raised writer floor, a governance change — not
     // just the duplicate-batch path (no entry records it, so vacuum
     // could never collect the orphan)
     try {
-      val stats = segStats(df.sparkSession, dir, seg, statsCols, snap)
+      val stats = segStats(spark, dir, seg, statsCols, snap)
       while (true) {
         try return Some(commit(dir, op, Seq(seg), Seq.empty,
           Some(snap.version), stats = stats))
@@ -2383,9 +2492,10 @@ object TxLog {
     * (the failed batch retries, sees the committed op, and skips). */
   def mergeStreamMoR(spark: SparkSession, dir: String, updates: DataFrame,
                      key: String, batchId: Long,
-                     statsCols: Seq[String] = Nil): Option[Int] =
-    mergeMoRAs(spark, dir, updates, key, s"stream-$batchId", statsCols,
-      dedupStreamOp = true)
+                     statsCols: Seq[String] = Nil,
+                     txnAppId: Option[String] = None): Option[Int] =
+    mergeMoRAs(spark, dir, updates, key, streamOp(txnAppId, batchId),
+      statsCols, dedupStreamOp = true)
 
   /** Idempotent streaming OVERWRITE — [[appendStream]]'s contract for
     * Complete-mode sinks (a streaming aggregation that REPLACES the
@@ -2396,12 +2506,32 @@ object TxLog {
     * each unrelated-conflict retry, so a racing append is replaced
     * rather than resurrected. */
   def overwriteStream(df: DataFrame, dir: String, batchId: Long,
-                      statsCols: Seq[String] = Nil): Option[Int] = {
-    val op = s"stream-$batchId"
+                      statsCols: Seq[String] = Nil,
+                      txnAppId: Option[String] = None): Option[Int] =
+    overwriteStreamVia(df.sparkSession, dir, batchId, statsCols, None,
+      txnAppId)(snap => newSegment(dir, df, snapOpt = Some(snap)))
+
+  /** [[overwriteStream]] over a TASK-STAGED segment (the v2 streaming
+    * sink's Complete mode): identical dedup/replace contract. */
+  private[graft] def overwriteStreamStaged(spark: SparkSession, dir: String,
+      rawSeg: String, batchId: Long,
+      statsCols: Seq[String] = Nil,
+      txnAppId: Option[String] = None): Option[Int] =
+    overwriteStreamVia(spark, dir, batchId, statsCols, Some(rawSeg),
+      txnAppId)(snap => finalizeStagedSegment(spark, dir, rawSeg, snap))
+
+  private def overwriteStreamVia(spark: SparkSession, dir: String,
+      batchId: Long, statsCols: Seq[String], preStaged: Option[String],
+      txnAppId: Option[String])(
+      stage: State => String): Option[Int] = {
+    val op = streamOp(txnAppId, batchId)
     var snap = state(dir)
-    if (snap.streamOps.contains(op)) return None
+    if (snap.streamOps.contains(op)) {
+      preStaged.foreach(reclaimUnlessLive(dir, snap, _))
+      return None
+    }
     val gov = govFingerprint(snap)
-    val seg = newSegment(dir, df, snapOpt = Some(snap))
+    val seg = stage(snap)
     // reclaim the staged segment on ANY non-commit exit (see
     // [[appendStream]]); retries re-resolve the remove set so a racing
     // append is replaced rather than resurrected, and a governance
@@ -2409,7 +2539,7 @@ object TxLog {
     try {
       // stats once, like appendStream: physical names are stable for
       // the table's lifetime, so the snapshot retries need no re-agg
-      val stats = segStats(df.sparkSession, dir, seg, statsCols, snap)
+      val stats = segStats(spark, dir, seg, statsCols, snap)
       while (true) {
         try return Some(commit(dir, op, Seq(seg), snap.live, Some(snap.version),
           stats = stats))

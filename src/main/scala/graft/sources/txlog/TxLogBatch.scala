@@ -122,11 +122,18 @@ class TxLogTable(private[txlog] val dir: String,
     if (streamV2) {
       // the STREAMING schema: data + the per-row commit tags (three in
       // changeFeed mode) — v2 resolves the relation's columns from
-      // Table.schema(), so the meta columns must live here. Loud on an
-      // empty table (v1 parity: the stream needs a data schema).
+      // Table.schema(), so the meta columns must live here. An EMPTY
+      // table with a supplied schema resolves to that schema instead:
+      // that is the v2 SINK starting on a not-yet-existing table
+      // (writeStream passes the query's schema as external metadata;
+      // readStream never does) — a stream READ of an empty table stays
+      // loud, at scan build.
       require(asOf < 0, "cannot stream a time-travel (asOf) txlog table")
-      TxLogMicroBatch.streamSchema(resolved().schema,
-        n => Option(props.get(n)))
+      resolvedOpt() match {
+        case Some(r) => TxLogMicroBatch.streamSchema(r.schema,
+          n => Option(props.get(n)))
+        case None => external.get
+      }
     } else resolvedOpt() match {
       // data present ⇒ the log's merged schema wins (the catalog copy
       // can be stale after schema evolution — Delta resolves the same
@@ -150,9 +157,12 @@ class TxLogTable(private[txlog] val dir: String,
     // the physical strategy dispatches on THAT (AppendDataExecV1), so
     // toBatch() is never reached
     if (streamV2)
+      // STREAMING_WRITE rides the same opt-in: writeStream routes to
+      // the DSv2 TxLogStreamingWrite instead of the v1 Sink fallback
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+        TableCapability.STREAMING_WRITE,
         TableCapability.TRUNCATE)
     else
       java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -179,19 +189,19 @@ class TxLogTable(private[txlog] val dir: String,
   * comma-separated) opt the commit into skipping metadata. */
 class TxLogWriteBuilder(dir: String, asOf: Int, info: LogicalWriteInfo,
                         props: CaseInsensitiveStringMap)
-    extends WriteBuilder with SupportsTruncate {
+    extends org.apache.spark.sql.graftshim.StreamingCapableWriteBuilder {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  private def opt(name: String): Option[String] =
+    Option(info.options.get(name)).orElse(Option(props.get(name)))
+  private def cols(name: String): Seq[String] = opt(name).toSeq
+    .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
   override def build(): Write = new V1Write {
     override def toInsertableRelation(): InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
           require(asOf < 0,
             "cannot write through a time-travel (asOf) txlog relation")
-          def opt(name: String): Option[String] =
-            Option(info.options.get(name)).orElse(Option(props.get(name)))
-          def cols(name: String): Seq[String] = opt(name).toSeq
-            .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
           if (truncateFirst || overwrite) TxLog.overwrite(data, dir)
           else {
             val (stats, blooms) = (cols("statsCols"), cols("bloomCols"))
@@ -202,6 +212,31 @@ class TxLogWriteBuilder(dir: String, asOf: Int, info: LogicalWriteInfo,
           }
         }
       }
+    /** The `streamApi=v2` streaming SINK ([[TxLogStreamingWrite]]) —
+      * reachable only when the table claimed STREAMING_WRITE (the
+      * same opt-in). The engine's mode dispatch: Append/Update →
+      * build() (the `SupportsStreamingUpdateAsAppend` base makes
+      * Update legal; the two are indistinguishable here, so the
+      * mergeKey OPTION selects the upsert), Complete →
+      * truncate().build(). */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(asOf < 0,
+        "cannot stream-write through a time-travel (asOf) txlog relation")
+      require(TxLogMicroBatch.streamV2(opt),
+        "txlog streaming write reached the DSv2 path without " +
+          "streamApi=v2 — the default streaming sink is the v1 Sink")
+      val mergeKey = opt("mergeKey")
+      val mergeSchema = TxLogSource.strictBool(opt, "mergeSchema")
+      require(!(mergeKey.nonEmpty && truncateFirst),
+        "mergeKey is only meaningful in Update mode; Complete " +
+          "replaces the table each trigger")
+      require(!(mergeSchema && truncateFirst),
+        "mergeSchema is meaningless in Complete mode: each trigger " +
+          "REPLACES the table, so the batch schema always wins")
+      new TxLogStreamingWrite(SparkSession.active, dir, info.schema(),
+        info.queryId(), complete = truncateFirst, mergeKey = mergeKey,
+        statsCols = cols("statsCols"), mergeSchema = mergeSchema)
+    }
   }
 }
 

@@ -282,71 +282,106 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
 private[txlog] class TxLogSink(dir: String, mode: OutputMode,
     mergeKey: Option[String], statsCols: Seq[String],
     mergeSchema: Boolean = false) extends Sink {
-  // None until the first batch: the table may not exist at query start
-  @volatile private var tableTypes: Option[Map[String, String]] = None
-  private def batchTypes(data: DataFrame): Map[String, String] =
-    data.schema.map(f => f.name -> f.dataType.catalogString).toMap
+  private val guard = new TxLogSchemaDriftGuard(dir, mergeSchema,
+    enabled = mode != OutputMode.Complete())
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = ColumnShim.asBatch(data)
     val spark = data.sparkSession
-    if (mode != OutputMode.Complete()) {
-      val cols = tableTypes.getOrElse {
-        val c = TxLog.visibleSchemaOf(spark, dir).toMap
-        val resolved = if (c.isEmpty) batchTypes(data) else c
-        tableTypes = Some(resolved); resolved
-      }
-      // a same-NAME type change is never additive: the conflicting
-      // parquet types would fail every later merged-schema read with
-      // an error that looks like corruption — refuse it outright
-      val retyped = data.schema
-        .flatMap(f => cols.get(f.name).filter(_ != f.dataType.catalogString)
-          .map(t => s"${f.name} (${f.dataType.catalogString}, table has $t)"))
-      if (retyped.nonEmpty)
-        throw new IllegalStateException(
-          s"txlog sink over $dir: batch $batchId changes column type(s): " +
-            s"${retyped.mkString("; ")} — a type change cannot evolve " +
-            "additively; cast the batch to the table's types.")
-      val extra = data.columns.filterNot(cols.contains)
-      // a case-only variant of an existing column — or two NEW columns
-      // differing only in case within one batch — is a collision, not
-      // evolution (Spark resolves case-insensitively by default; two
-      // physical columns differing only in case make merged reads
-      // ambiguous) — refuse it in both modes. Locale.ROOT: the guard
-      // must fold case the way Spark's locale-independent resolution
-      // does, not the JVM default locale's (Turkish 'I').
-      def fold(c: String) = c.toLowerCase(java.util.Locale.ROOT)
-      val lower = cols.keySet.map(fold)
-      val caseClash = extra.filter(c => lower(fold(c))) ++
-        extra.groupBy(fold).collect { case (_, vs) if vs.size > 1 => vs }
-          .flatten
-      if (caseClash.nonEmpty)
-        throw new IllegalStateException(
-          s"txlog sink over $dir: batch $batchId column(s) " +
-            s"${caseClash.mkString(", ")} differ only in CASE from the " +
-            "table's columns — rename the projection to match exactly.")
-      if (extra.nonEmpty) {
-        if (!mergeSchema)
-          throw new IllegalStateException(
-            s"txlog sink over $dir: batch $batchId carries column(s) " +
-              s"${extra.mkString(", ")} the table does not have — the " +
-              "query's schema evolved across a restart. Set " +
-              ".option(\"mergeSchema\", \"true\") to evolve the table " +
-              "additively, or project the batch to the table's columns.")
-        // evolved: later batches conform
-        tableTypes = Some(cols ++ batchTypes(data).view.filterKeys(extra.contains))
-      }
-    }
+    guard.check(spark, batchId, data.schema)
+    // the dedup namespace is (query id, batch id) — batch ids are PER
+    // QUERY, so without the app id a second query writing to this
+    // table would silently dedup its first batches against the first
+    // query's (see TxLog.streamOp). The engine sets the stable query
+    // id as a local property on the micro-batch thread; it survives
+    // restarts with the checkpoint, and equals the v2 path's
+    // LogicalWriteInfo.queryId, so checkpoints interchange.
+    val appId = Option(spark.sparkContext
+      .getLocalProperty("sql.streaming.queryId"))
     mergeKey match {
       case Some(k) =>
-        TxLog.mergeStreamMoR(spark, dir, batch, k, batchId, statsCols)
+        TxLog.mergeStreamMoR(spark, dir, batch, k, batchId, statsCols,
+          appId)
       case None if mode == OutputMode.Complete() =>
-        TxLog.overwriteStream(batch, dir, batchId, statsCols)
+        TxLog.overwriteStream(batch, dir, batchId, statsCols, appId)
       case None =>
-        TxLog.appendStream(batch, dir, batchId, statsCols)
+        TxLog.appendStream(batch, dir, batchId, statsCols, appId)
     }
     ()
   }
   override def toString: String = s"TxLogSink[$dir, $mode]"
+}
+
+/** The sink-side SCHEMA-DRIFT guard, ONE copy for both write APIs
+  * (the v1 [[TxLogSink]] and the v2
+  * [[graft.sources.txlog.TxLogStreamingWrite]] hold one instance per
+  * query): a batch carrying columns the table does not have — a query
+  * restarted with an evolved projection — FAILS LOUD by default
+  * instead of silently widening the table under its readers' feet.
+  * `mergeSchema=true` opts into ADDITIVE evolution: the new column
+  * lands with the batch's segment, pre-evolution rows read null under
+  * merged-schema reads, and any TAILING stream fails its own drift
+  * guard and restarts onto the evolved schema (the fail-loud contract
+  * stays with the readers). The table-column set is resolved ONCE per
+  * query (first checked batch), so the per-batch check is a set
+  * compare, not a metadata replay; batches MISSING table columns are
+  * fine either way (merged-schema reads backfill null). Disabled in
+  * Complete mode: each trigger REPLACES the table, so the batch
+  * schema always wins. */
+private[txlog] class TxLogSchemaDriftGuard(dir: String,
+    mergeSchema: Boolean, enabled: Boolean) {
+  // None until the first batch: the table may not exist at query start
+  @volatile private var tableTypes: Option[Map[String, String]] = None
+  private def typesOf(schema: StructType): Map[String, String] =
+    schema.map(f => f.name -> f.dataType.catalogString).toMap
+  def check(spark: org.apache.spark.sql.SparkSession, batchId: Long,
+            schema: StructType): Unit = {
+    if (!enabled) return
+    val cols = tableTypes.getOrElse {
+      val c = TxLog.visibleSchemaOf(spark, dir).toMap
+      val resolved = if (c.isEmpty) typesOf(schema) else c
+      tableTypes = Some(resolved); resolved
+    }
+    // a same-NAME type change is never additive: the conflicting
+    // parquet types would fail every later merged-schema read with
+    // an error that looks like corruption — refuse it outright
+    val retyped = schema
+      .flatMap(f => cols.get(f.name).filter(_ != f.dataType.catalogString)
+        .map(t => s"${f.name} (${f.dataType.catalogString}, table has $t)"))
+    if (retyped.nonEmpty)
+      throw new IllegalStateException(
+        s"txlog sink over $dir: batch $batchId changes column type(s): " +
+          s"${retyped.mkString("; ")} — a type change cannot evolve " +
+          "additively; cast the batch to the table's types.")
+    val extra = schema.fieldNames.filterNot(cols.contains)
+    // a case-only variant of an existing column — or two NEW columns
+    // differing only in case within one batch — is a collision, not
+    // evolution (Spark resolves case-insensitively by default; two
+    // physical columns differing only in case make merged reads
+    // ambiguous) — refuse it in both modes. Locale.ROOT: the guard
+    // must fold case the way Spark's locale-independent resolution
+    // does, not the JVM default locale's (Turkish 'I').
+    def fold(c: String) = c.toLowerCase(java.util.Locale.ROOT)
+    val lower = cols.keySet.map(fold)
+    val caseClash = extra.filter(c => lower(fold(c))) ++
+      extra.groupBy(fold).collect { case (_, vs) if vs.size > 1 => vs }
+        .flatten
+    if (caseClash.nonEmpty)
+      throw new IllegalStateException(
+        s"txlog sink over $dir: batch $batchId column(s) " +
+          s"${caseClash.mkString(", ")} differ only in CASE from the " +
+          "table's columns — rename the projection to match exactly.")
+    if (extra.nonEmpty) {
+      if (!mergeSchema)
+        throw new IllegalStateException(
+          s"txlog sink over $dir: batch $batchId carries column(s) " +
+            s"${extra.mkString(", ")} the table does not have — the " +
+            "query's schema evolved across a restart. Set " +
+            ".option(\"mergeSchema\", \"true\") to evolve the table " +
+            "additively, or project the batch to the table's columns.")
+      // evolved: later batches conform
+      tableTypes = Some(cols ++ typesOf(schema).view.filterKeys(extra.contains))
+    }
+  }
 }
 
 private[graft] object TxLogSource {

@@ -15,6 +15,9 @@ object Prof {
     val what = if (args.length > 1) args(1) else "pagerank"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      // same session integration as Verify/Bench (SQL functions + the
+      // txlog DML rule) — keys like table_log_sql_dml need it
+      .withExtensions(new graft.GraftExtensions())
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -20,6 +20,59 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 abstract class CatalystPushdownScanBuilder extends ScanBuilder
     with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns
 
+/** The `WriteBuilder` base a connector outside the sql package needs
+  * to accept streaming UPDATE mode: the engine requires the marker
+  * `SupportsStreamingUpdateAsAppend` (`private[sql]`) and then treats
+  * Update exactly like Append at the builder — the sink's own options
+  * decide the per-batch semantics. Same visibility-re-export
+  * discipline as [[CatalystPushdownScanBuilder]]. */
+abstract class StreamingCapableWriteBuilder
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+
+/** Spark's own parquet OUTPUT machinery re-exported for a DSv2
+  * streaming write: `ParquetFileFormat.prepareWrite` builds the exact
+  * `OutputWriterFactory` every Spark file sink uses (schema converter,
+  * compression, legacy-format flags from the session conf), and the
+  * per-task side reconstructs the Hadoop `TaskAttemptContext` the
+  * factory expects — so a connector's `DataWriter`s write bytes
+  * bit-identical to `df.write.parquet`, nothing re-implemented. */
+object ParquetWriteDelegate {
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.mapreduce.{Job, JobID, TaskID, TaskAttemptID, TaskType}
+  import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+  import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+  import org.apache.spark.util.SerializableConfiguration
+
+  /** Serializable per-plan writer environment: ships the factory and
+    * the PREPARED job configuration (prepareWrite mutates it — write
+    * support class, schema, codec) to the tasks. */
+  case class WriterEnv(factory: OutputWriterFactory,
+                       conf: SerializableConfiguration,
+                       schema: StructType) {
+    private def ctx(partitionId: Int, epochId: Long): TaskAttemptContextImpl =
+      new TaskAttemptContextImpl(new Configuration(conf.value),
+        new TaskAttemptID(
+          new TaskID(new JobID("graft-txlog-stream",
+            (epochId & 0x7fffffffL).toInt), TaskType.MAP, partitionId), 0))
+    /** Executor-side: an OutputWriter streaming rows to `path`. */
+    def open(path: String, partitionId: Int, epochId: Long): OutputWriter =
+      factory.newInstance(path, schema, ctx(partitionId, epochId))
+    /** `.snappy.parquet`-style suffix the factory wants on its files. */
+    def extension: String = factory.getFileExtension(ctx(0, 0L))
+  }
+
+  def prepare(spark: SparkSession, schema: StructType): WriterEnv = {
+    val job = Job.getInstance(spark.asInstanceOf[
+      org.apache.spark.sql.classic.SparkSession].sessionState.newHadoopConf())
+    val factory = new ParquetFileFormat().prepareWrite(spark, job,
+      Map.empty, schema)
+    WriterEnv(factory, new SerializableConfiguration(job.getConfiguration),
+      schema)
+  }
+}
+
 object ParquetDelegate {
   /** Spark's own vectorized v2 parquet Scan over explicit `paths` with
     * a known `schema`: `exprs` are re-pushed through the standard

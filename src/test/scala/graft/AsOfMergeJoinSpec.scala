@@ -71,14 +71,23 @@ class AsOfMergeJoinSpec extends SparkTestBase {
     val (l, r) = crafted
     val joined = AsOfMergeJoin.asOf(l, r, "k", "t", Seq("payload"))
 
-    // left-only predicate: must land BELOW AsOfJoinPlan
+    // left-only predicate: must land BELOW AsOfJoinPlan — either as a
+    // Filter node, or (when the rule runs inside the main optimizer
+    // batch, as it does with GraftExtensions registered) already
+    // constant-folded into a SHRUNK LocalRelation by
+    // ConvertToLocalRelation — pushdown then composed with eager
+    // local evaluation, which is strictly better
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     val pushed = joined.filter(col("id") > 1 && col("k") === 1)
     val oplan = pushed.queryExecution.optimizedPlan
     val above = oplan.collectFirst {
       case LFilter(_, _: AsOfJoinPlan) => true }
     assert(above.isEmpty, s"filter stayed above the join:\n$oplan")
+    val leftRows = l.count()
     val below = oplan.collectFirst {
-      case aj: AsOfJoinPlan => aj.left.collectFirst { case f: LFilter => f } }
+      case aj: AsOfJoinPlan => aj.left.collectFirst {
+        case _: LFilter => true
+        case lr: LocalRelation if lr.data.size < leftRows => true } }
     assert(below.flatten.nonEmpty, s"no filter below the join:\n$oplan")
     // and semantics are unchanged vs the unpushed union+window form
     val want = graft.ops.AsOfJoin.asOf(l, r, "k", "t", Seq("payload"))

@@ -33,6 +33,10 @@ object SparkTestBase {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      // the library-user session integration, same as Verify/Bench/
+      // Prof (SQL functions + the txlog SQL DML rule) — specs run
+      // against the configuration a user actually deploys
+      .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

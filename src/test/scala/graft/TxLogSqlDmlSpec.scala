@@ -15,9 +15,10 @@ import graft.sources.TxLog
   * predicates, time-travel relations, DML without the extensions). */
 class TxLogSqlDmlSpec extends SparkTestBase {
 
-  /** The extensions session (same SparkContext): UPDATE / MERGE /
-    * arbitrary-predicate DELETE need `graft.GraftExtensions`. */
-  private lazy val dml: SparkSession = TxLogSqlDmlSpec.session
+  /** The shared test session carries `GraftExtensions` (the
+    * library-user configuration) — UPDATE / MERGE / arbitrary-
+    * predicate DELETE resolve through its injected DML rule. */
+  private def dml: SparkSession = spark
 
   private def freshDir(): String =
     java.nio.file.Files.createTempDirectory("graft-txdml").toString
@@ -189,44 +190,38 @@ class TxLogSqlDmlSpec extends SparkTestBase {
   }
 
   test("without the extensions: native DELETE works, UPDATE fails loud") {
-    val dir = freshDir()
-    val tbl = "graft_dml_noext"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    seedSql(spark, tbl, dir)
-    // filter-translatable DELETE needs only SupportsDelete — no rule
-    spark.sql(s"DELETE FROM $tbl WHERE grp = 5")
-    assert(spark.table(tbl).filter("grp = 5").count() == 0)
-    assert(spark.table(tbl).count() > 0)
-    // beyond filter translation, stock Spark rejects (its own error);
-    // the extensions session is the supported surface for these
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM $tbl WHERE id % 11 = 3")
-    }
-    intercept[Exception] {
-      spark.sql(s"UPDATE $tbl SET cents = 0 WHERE grp = 1")
-    }
-  }
-}
-
-object TxLogSqlDmlSpec {
-  /** One extensions session for the suite, sharing the base session's
-    * SparkContext; default/active restored so other suites keep the
-    * base session. */
-  lazy val session: SparkSession = {
+    // a BARE session (no GraftExtensions) on the shared SparkContext —
+    // what a user gets without the spark.sql.extensions line
     val base = SparkTestBase.session
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    try SparkSession.builder()
-      .master("local[4]")
-      .withExtensions(new GraftExtensions())
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    finally {
-      SparkSession.setDefaultSession(base)
-      SparkSession.setActiveSession(base)
+    val bare =
+      try SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      finally {
+        SparkSession.setDefaultSession(base)
+        SparkSession.setActiveSession(base)
+      }
+    assert(bare ne base, "builder must create a fresh bare session")
+    val dir = freshDir()
+    val tbl = "graft_dml_noext"
+    bare.sql(s"DROP TABLE IF EXISTS $tbl")
+    seedSql(bare, tbl, dir)
+    // filter-translatable DELETE needs only SupportsDelete — no rule
+    bare.sql(s"DELETE FROM $tbl WHERE grp = 5")
+    assert(bare.table(tbl).filter("grp = 5").count() == 0)
+    assert(bare.table(tbl).count() > 0)
+    // beyond filter translation, stock Spark rejects (its own error);
+    // the extensions session is the supported surface for these
+    intercept[Exception] {
+      bare.sql(s"DELETE FROM $tbl WHERE id % 11 = 3")
+    }
+    intercept[Exception] {
+      bare.sql(s"UPDATE $tbl SET cents = 0 WHERE grp = 1")
     }
   }
 }

@@ -39,13 +39,16 @@ class TxLogStreamSinkSpec extends SparkTestBase {
       .option("path", out).option("statsCols", "id")
       .option("checkpointLocation", freshDir("graft-sinkckpt"))
       .outputMode("append").start()
+    val qid = q.id.toString
     try q.processAllAvailable() finally q.stop()
     assert(TxLog.headVersion(out) == 3, "4 micro-batches → 4 commits")
     assert((0 to 3).forall(v => TxLog.commitOp(out, v).startsWith("stream-")))
     assert(TxLog.read(spark, out).count() == 40)
-    // the at-least-once failure mode: a replayed batch must be skipped
+    // the at-least-once failure mode: a replayed batch of the SAME
+    // query (same app id) must be skipped
     assert(TxLog.appendStream(
-      TxLog.readCommit(spark, out, 0), out, batchId = 0L).isEmpty)
+      TxLog.readCommit(spark, out, 0), out, batchId = 0L,
+      txnAppId = Some(qid)).isEmpty)
     assert(TxLog.headVersion(out) == 3)
     // statsCols recorded at ingest: range reads prune streamed segments
     val (_, pruned) = TxLog.pruneRange(out, "id", Some("0"), Some("3"))
@@ -82,6 +85,7 @@ class TxLogStreamSinkSpec extends SparkTestBase {
       .option("path", out).option("mergeKey", "id")
       .option("checkpointLocation", freshDir("graft-sinkckpt"))
       .outputMode("update").start()
+    val qid = q.id.toString
     try q.processAllAvailable() finally q.stop()
     val rows = TxLog.read(spark, out).select("id", "v")
       .as[(Long, Long)].collect().toMap
@@ -92,11 +96,37 @@ class TxLogStreamSinkSpec extends SparkTestBase {
     assert(TxLog.liveSegments(out, 0).forall(
       TxLog.liveSegments(out).contains(_)),
       "update mode must merge-on-read, not rewrite the seed segment")
-    // replayed upsert batch skipped
+    // replayed upsert batch (same query id) skipped
     val head = TxLog.headVersion(out)
     assert(TxLog.mergeStreamMoR(spark, out,
-      TxLog.readCommit(spark, out, 1), "id", batchId = 0L).isEmpty)
+      TxLog.readCommit(spark, out, 1), "id", batchId = 0L,
+      txnAppId = Some(qid)).isEmpty)
     assert(TxLog.headVersion(out) == head)
+  }
+
+  test("two queries into one table: batch ids dedup PER QUERY, nothing dropped") {
+    // the txnAppId contract (Delta's txnAppId/txnVersion): a second
+    // query numbering its batches from 0 must NOT dedup against the
+    // first query's batch 0 — pre-fix, its first batches were
+    // silently swallowed as "replays"
+    val srcA = feedDir()
+    val srcB = freshDir("graft-sinkfeedB")
+    spark.range(100L, 110L)
+      .select(col("id"), (col("id") % 4).as("k"), (col("id") * 10L).as("v"))
+      .coalesce(1).write.mode("append").parquet(srcB)
+    val out = freshDir("graft-sinkout")
+    def run(src: String): Unit = {
+      val q = feed(src).writeStream.format("txlog")
+        .option("path", out)
+        .option("checkpointLocation", freshDir("graft-sinkckpt"))
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(srcA) // query A: batches 0..3 → 40 rows
+    run(srcB) // query B: its OWN batch 0 → 10 more rows, not a "replay"
+    val rows = TxLog.read(spark, out)
+    assert(rows.count() == 50 && rows.select("id").distinct().count() == 50,
+      "the second query's batch 0 must commit, not dedup against query A's")
   }
 
   test("complete mode: the table is replaced per trigger; final state is the full aggregate") {
