@@ -189,6 +189,27 @@ class TxLogSqlDmlSpec extends SparkTestBase {
     assert(tt.getMessage.contains("time-travel"))
   }
 
+  test("TRUNCATE TABLE and unconditional DELETE empty the table through the commit log") {
+    val dir = freshDir()
+    val tbl = "graft_dml_trunc"
+    dml.sql(s"DROP TABLE IF EXISTS $tbl")
+    seedSql(dml, tbl, dir)
+    val headBefore = TxLog.headVersion(dir)
+    // TRUNCATE routes through TruncatableTable → deleteWhere(true) →
+    // TxLog.delete — a logged, time-travelable commit, not an rm -rf
+    dml.sql(s"TRUNCATE TABLE $tbl")
+    assert(dml.table(tbl).count() == 0)
+    assert(TxLog.headVersion(dir) == headBefore + 1,
+      "TRUNCATE must land as one commit")
+    assert(TxLog.read(dml, dir, asOf = headBefore).count() == 60,
+      "pre-truncate versions stay time-travelable")
+    // refill, then DELETE with no WHERE — same path, same contract
+    dml.sql(s"INSERT INTO $tbl SELECT id, CAST(id % 7 AS INT), " +
+      "CAST(id AS BIGINT), 'A' FROM range(5)")
+    dml.sql(s"DELETE FROM $tbl")
+    assert(dml.table(tbl).count() == 0)
+  }
+
   test("without the extensions: native DELETE works, UPDATE fails loud") {
     // a BARE session (no GraftExtensions) on the shared SparkContext —
     // what a user gets without the spark.sql.extensions line

@@ -481,4 +481,33 @@ class TxLogStreamV2Spec extends SparkTestBase {
         "must be passed where the table resolves")), e4.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS txv2_cat")
   }
+
+  test("a streamApi=v2 TABLE PROPERTY registers a STREAM-ONLY table: readStream works, batch SELECT fails loud") {
+    val dir = freshDir("graft-txv2prop")
+    TxLog.append(sample(0, 10), dir)
+    spark.sql("DROP TABLE IF EXISTS txv2_prop")
+    // the option in CREATE TABLE OPTIONS is the schema authority for
+    // EVERY resolution of this registration — the documented
+    // stream-only trade (batch consumers read the log via its path or
+    // a second registration)
+    spark.sql("CREATE TABLE txv2_prop USING txlog " +
+      s"OPTIONS (path '$dir', streamApi 'v2')")
+    try {
+      val q = spark.readStream.table("txv2_prop")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("txv2_prop_out").start()
+      try { q.processAllAvailable(); assertV2(q) } finally q.stop()
+      val got = spark.table("txv2_prop_out")
+      assert(got.schema.fieldNames.toSeq ==
+        Seq("id", "k", "_commit_version", "_commit_op"),
+        s"catalog stream must carry the meta columns: ${got.schema}")
+      assert(got.count() == 10)
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM txv2_prop").collect()
+      }
+      assert(rootMessages(e).exists(_.contains("STREAM-ONLY")),
+        s"batch SELECT of the stream-only registration must say so: " +
+          rootMessages(e).mkString(" | "))
+    } finally spark.sql("DROP TABLE IF EXISTS txv2_prop")
+  }
 }
