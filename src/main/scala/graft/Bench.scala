@@ -144,6 +144,10 @@ object Bench {
       // the library's session integration (SQL functions + the txlog
       // DML rule) — table_log_sql_dml needs the DML rule registered
       .withExtensions(new GraftExtensions())
+      // the session-catalog half of the deployment (SQL time travel +
+      // CALL procedures on txlog tables), exactly Delta's two-conf shape
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.sources.txlog.GraftCatalog")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

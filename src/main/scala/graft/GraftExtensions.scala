@@ -18,6 +18,13 @@ import graft.functions.{Functions, MinHashMd5, WikiPageParse}
   * After which `minhash_md5`, `wiki_pages` (a LATERAL VIEW generator) and
   * `topk3` resolve in plain SQL. Shares its builders with the runtime
   * [[graft.functions.Functions.register]] path so the two never drift.
+  *
+  * The deployment's second half is the session-catalog extension
+  * (`spark.sql.catalog.spark_catalog=graft.sources.txlog.GraftCatalog`,
+  * Delta's exact two-conf shape) — SQL time travel (`VERSION AS OF` /
+  * `TIMESTAMP AS OF`) and `CALL system.<proc>` maintenance procedures
+  * on txlog tables resolve at the catalog, not here ([[graft.sources
+  * .txlog.GraftCatalog]] explains why stock Spark cannot route them).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

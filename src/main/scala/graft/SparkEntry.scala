@@ -4268,6 +4268,100 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // SQL TIME TRAVEL — `VERSION AS OF` / `TIMESTAMP AS OF` on a
+    // catalog txlog table, resolved by the session-catalog extension
+    // (GraftCatalog.loadTable(ident, version|timestamp) — stock Spark
+    // throws UNSUPPORTED_FEATURE.TIME_TRAVEL for every provider
+    // table). Three snapshots are built with SQL (CTAS of the even
+    // keys, INSERT of the odd keys, a status DELETE), then ONE query
+    // aggregates all three via time travel — v0 and v1 by version,
+    // the head by a far-future timestamp — so the result is the
+    // table's history replayed relationally by the oracle. Each
+    // pinned read runs the same stats-triaged DSv2 scan a plain read
+    // runs (asOf is a first-class TxLogScanBuilder argument).
+    "table_log_time_travel_sql" -> ((s, d) => {
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = s"/tmp/graft_txtt_$tag"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)
+      val tbl = s"graft_txtt_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl USING txlog OPTIONS (path '$dir') AS
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0""")
+      s.sql(s"""INSERT INTO $tbl
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 1""")
+      s.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'F'")
+      require(graft.sources.TxLog.headVersion(dir) == 2,
+        "CTAS + INSERT + DELETE must land as three commits, " +
+          s"head=${graft.sources.TxLog.headVersion(dir)}")
+      s.sql(s"""
+        SELECT 'v0' AS snap, o_orderstatus, count(1) AS n,
+               sum(cents) AS cents
+        FROM $tbl VERSION AS OF 0 GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'v1' AS snap, o_orderstatus, count(1) AS n,
+               sum(cents) AS cents
+        FROM $tbl VERSION AS OF 1 GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'head' AS snap, o_orderstatus, count(1) AS n,
+               sum(cents) AS cents
+        FROM $tbl TIMESTAMP AS OF '2100-01-01' GROUP BY o_orderstatus
+        ORDER BY snap, o_orderstatus""")
+    }),
+
+    // SQL MAINTENANCE PROCEDURES — the CALL surface (Spark 4
+    // ProcedureCatalog on the same session-catalog extension): the
+    // table runs restore (back to the pre-DELETE snapshot), a
+    // range-clustered optimize, a full compact and a vacuum — all
+    // from SQL — and must come out CONTENT-IDENTICAL to the restored
+    // snapshot (maintenance is physical, restore is logical rollback;
+    // the oracle replays only the logical tape). The requires pin the
+    // procedure RESULTS (versions, rewrite counts, reclaimed files),
+    // so a silently no-op procedure fails the key, not just the spec.
+    "table_log_procedures_sql" -> ((s, d) => {
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = s"/tmp/graft_txproc_$tag"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)
+      val tbl = s"graft_txproc_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl USING txlog OPTIONS (path '$dir') AS
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0""")
+      s.sql(s"""INSERT INTO $tbl
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 1""")
+      s.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'O'")       // v2
+      val hist = s.sql(s"CALL system.history('$tbl')").collect()
+      require(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((0L, "append"), (1L, "append"), (2L, "delete")),
+        s"history must carry the three-commit tape, got ${hist.mkString}")
+      val r = s.sql(s"CALL system.restore('$tbl', 1)").collect() // v3
+      require(r.head.getLong(1) == 3L, "restore must land as commit 3")
+      val o = s.sql(s"CALL system.optimize(table => '$tbl', " +
+        "sort_cols => 'o_orderkey', num_segments => 4, " +
+        "stats_cols => 'o_orderkey')").collect()                 // v4
+      require(o.head.getBoolean(1) && o.head.getLong(0) == 4L,
+        "optimize must rewrite as commit 4")
+      val c = s.sql(s"CALL system.compact('$tbl')").collect()    // v5
+      require(c.head.getBoolean(1) && c.head.getLong(0) == 5L,
+        "compact must consolidate as commit 5")
+      require(graft.sources.TxLog.liveSegments(dir).size == 1,
+        "compact must leave one live segment")
+      val v = s.sql(s"CALL system.vacuum(table => '$tbl', " +
+        "keep_versions => 1)").collect()
+      require(v.head.getLong(0) > 0,
+        "vacuum must reclaim the pre-maintenance segments")
+      s.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // OCC LOGICAL CONFLICT RE-CHECK — maintenance liveness under
     // continuous ingest: a blind append lands IN the window between a
     // CoW DELETE's snapshot read and its commit (injected via the
@@ -6773,6 +6867,37 @@ object SparkEntry {
          SELECT o_orderstatus, count(*) AS n,
                 CAST(sum(cents) AS BIGINT) AS cents
          FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the three snapshots replayed relationally: v0 = the CTAS slice
+    // (even keys), v1 = all keys, head = v1 minus the deleted status
+    "table_log_time_travel_sql" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         v0 AS (SELECT * FROM base WHERE o_orderkey % 2 = 0),
+         v1 AS (SELECT * FROM base),
+         head AS (SELECT * FROM v1 WHERE o_orderstatus <> 'F')
+         SELECT * FROM (
+           SELECT 'v0' AS snap, o_orderstatus, count(*) AS n,
+                  CAST(sum(cents) AS BIGINT) AS cents
+           FROM v0 GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'v1' AS snap, o_orderstatus, count(*) AS n,
+                  CAST(sum(cents) AS BIGINT) AS cents
+           FROM v1 GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'head' AS snap, o_orderstatus, count(*) AS n,
+                  CAST(sum(cents) AS BIGINT) AS cents
+           FROM head GROUP BY o_orderstatus)
+         ORDER BY snap, o_orderstatus""",
+    // restore(1) logically rolls the DELETE back, and optimize /
+    // compact / vacuum are content-neutral physical maintenance — so
+    // the surviving logical tape is just CTAS + INSERT = all orders
+    "table_log_procedures_sql" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // serial order ⟨delete, append⟩: the base slice loses its F rows,
     // the concurrently-appended slice keeps ALL rows (marker +5) —
     // including its F rows, which landed after the delete's snapshot

@@ -13,6 +13,10 @@ object Verify {
       // DML rule) — a user session configures spark.sql.extensions=
       // graft.GraftExtensions identically
       .withExtensions(new GraftExtensions())
+      // the session-catalog half of the deployment (SQL time travel +
+      // CALL procedures on txlog tables), exactly Delta's two-conf shape
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.sources.txlog.GraftCatalog")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

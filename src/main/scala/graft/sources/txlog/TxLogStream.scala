@@ -125,11 +125,35 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
       "txlog batch read requires a single table dir — " +
         "spark.read.format(\"txlog\").load(dir)"))
 
+  /** Time-travel options on a path load: `asOf`/`versionAsOf` (an
+    * integer commit version — two spellings because `versionAsOf` is
+    * the name catalog-table readers know from Delta) or
+    * `timestampAsOf` (a timestamp literal parsed in the session
+    * timezone, resolved to the latest commit at-or-before it — the
+    * same rule SQL `TIMESTAMP AS OF` resolves through
+    * [[graft.sources.txlog.GraftCatalog]]). */
   private def asOfOf(
-      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Int =
-    Option(options.get("asOf")).map(v => v.toIntOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"option asOf must be an integer version, got '$v'"))).getOrElse(-1)
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Int = {
+    def intOpt(name: String): Option[Int] =
+      Option(options.get(name)).map(v => v.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"option $name must be an integer version, got '$v'")))
+    val v = intOpt("asOf").orElse(intOpt("versionAsOf"))
+    val ts = Option(options.get("timestampAsOf"))
+    require(v.isEmpty || ts.isEmpty,
+      "options asOf/versionAsOf and timestampAsOf are mutually exclusive")
+    v.orElse(ts.map { t =>
+      val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .stringToTimestamp(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          java.time.ZoneId.of(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+        .getOrElse(throw new IllegalArgumentException(
+          s"option timestampAsOf: cannot parse timestamp '$t'"))
+      graft.sources.TxLog.versionAsOfTimestamp(batchDir(options),
+        Math.floorDiv(micros, 1000L))
+    }).getOrElse(-1)
+  }
 
   private def dirOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(

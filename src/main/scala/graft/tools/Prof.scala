@@ -18,6 +18,8 @@ object Prof {
       // same session integration as Verify/Bench (SQL functions + the
       // txlog DML rule) — keys like table_log_sql_dml need it
       .withExtensions(new graft.GraftExtensions())
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.sources.txlog.GraftCatalog")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

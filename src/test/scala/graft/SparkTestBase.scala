@@ -37,6 +37,10 @@ object SparkTestBase {
       // Prof (SQL functions + the txlog SQL DML rule) — specs run
       // against the configuration a user actually deploys
       .withExtensions(new GraftExtensions())
+      // the session-catalog half of the deployment (SQL time travel +
+      // CALL procedures on txlog tables), exactly Delta's two-conf shape
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.sources.txlog.GraftCatalog")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
