@@ -187,6 +187,22 @@ class TxLogTable(private[txlog] val dir: String,
   * racing a governance change it restages, exactly like the API.
   * `statsCols`/`bloomCols` (write option or table property,
   * comma-separated) opt the commit into skipping metadata. */
+/** The create-time descriptor for a MANAGED table (`CREATE TABLE …
+  * USING txlog` with no LOCATION): the session catalog probes the
+  * provider's `getTable` BEFORE assigning the default table path, so
+  * this Table exists only to carry the declared columns through
+  * create-statement validation — it is never scanned or written
+  * (post-create resolutions re-load through the catalog, which by then
+  * has a location). Declares no capabilities, so any attempt to read
+  * or stream it fails in the engine's own capability checks rather
+  * than deep in a scan with a meaningless empty-dir error. */
+private[txlog] class TxLogPendingTable(declared: StructType) extends Table {
+  override def name(): String = "txlog(location pending)"
+  override def schema(): StructType = declared
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Collections.emptySet()
+}
+
 class TxLogWriteBuilder(dir: String, asOf: Int, info: LogicalWriteInfo,
                         props: CaseInsensitiveStringMap)
     extends org.apache.spark.sql.graftshim.StreamingCapableWriteBuilder {

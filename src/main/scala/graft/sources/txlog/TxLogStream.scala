@@ -108,9 +108,26 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
       partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: java.util.Map[String, String]
       ): org.apache.spark.sql.connector.catalog.Table = {
+    // Hive-style PARTITIONED BY is a write-path directory contract the
+    // log deliberately does not carry (data skipping comes from
+    // per-segment stats/blooms; layout from OPTIMIZE clustering) —
+    // loud, or CREATE TABLE would silently record-and-ignore it
+    require(partitioning == null || partitioning.isEmpty,
+      "txlog tables do not support PARTITIONED BY — per-segment " +
+        "stats/bloom pruning replaces partition pruning; cluster with " +
+        "TxLog.optimize/optimizeBy (CALL system.optimize) instead")
     val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
-    new TxLogTable(batchDir(opts), asOfOf(opts),
-      Option(schema).filter(_.nonEmpty), opts)
+    if (opts.containsKey("path"))
+      new TxLogTable(batchDir(opts), asOfOf(opts),
+        Option(schema).filter(_.nonEmpty), opts)
+    else
+      // CREATE TABLE without LOCATION (a MANAGED table):
+      // V2SessionCatalog.createTable probes getTable BEFORE the
+      // metastore assigns the default table path, so there is no dir
+      // to resolve yet — return a create-time descriptor; every
+      // post-create resolution re-loads through the catalog and
+      // carries the assigned location
+      new TxLogPendingTable(Option(schema).getOrElse(new StructType()))
   }
 
   /** A catalog-declared schema (CREATE TABLE columns / CTAS) is

@@ -292,6 +292,44 @@ class TxLogCatalogSpec extends SparkTestBase {
     assert(ks(spark.table("cat_ck")) == Seq("a", "b", "x"))
   }
 
+  test("MANAGED tables (no LOCATION) create under the warehouse; DROP reclaims") {
+    // V2SessionCatalog probes getTable BEFORE assigning the managed
+    // path — the create-time descriptor (TxLogPendingTable) carries the
+    // declared columns through; post-create resolutions see the
+    // catalog-assigned location
+    // the in-memory catalog dies with the JVM but the warehouse DIRS
+    // survive — a rerun must clear the assigned locations or managed
+    // CREATE fails with LOCATION_ALREADY_EXISTS
+    def clearLoc(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      TxLog.deleteRecursively(new java.io.File(java.net.URI.create(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier(t)).toString))
+        .toPath)
+    }
+    clearLoc("cat_mg")
+    spark.sql("CREATE TABLE cat_mg (k STRING, v INT) USING txlog")
+    spark.sql("INSERT INTO cat_mg VALUES ('a', 1), ('b', 2)")
+    assert(ks(spark.table("cat_mg")) == Seq("a", "b"))
+    val loc = new java.io.File(java.net.URI.create(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("cat_mg"))
+        .location.toString))
+    assert(loc.exists, s"managed table data must live at $loc")
+    spark.sql("DROP TABLE cat_mg")
+    assert(!loc.exists, "dropping a MANAGED table must reclaim its dir")
+    // CTAS without LOCATION takes the same route
+    clearLoc("cat_mg2")
+    spark.sql("CREATE TABLE cat_mg2 USING txlog AS SELECT 'c' AS k, 3 AS v")
+    assert(ks(spark.table("cat_mg2")) == Seq("c"))
+    // Hive-style partitioning is a contract the log does not carry — loud
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE cat_pt (k STRING, v INT) USING txlog PARTITIONED BY (k)"))
+    assert(e.getMessage.contains("PARTITIONED BY"))
+  }
+
   test("empty declared-schema table resolves, scans empty, accepts first INSERT") {
     val dir = freshDir()
     spark.sql("DROP TABLE IF EXISTS cat_empty")
