@@ -4362,6 +4362,86 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // MoR SQL DML — the same four-statement tape as table_log_sql_dml
+    // but on a table declaring TBLPROPERTIES('dmlMode'='mor'): every
+    // statement lands as a deletion-vector / tombstone commit
+    // (delete_mor / update_mor / merge_mor — pinned by the requires)
+    // instead of a CoW rewrite, and the DV-applying read returns the
+    // SAME relational answer. Cost ∝ changed rows; the rewrite debt is
+    // OPTIMIZE's (see table_log_procedures_sql's dv_coalesce sibling).
+    "table_log_mor_dml_sql" -> ((s, d) => {
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = s"/tmp/graft_txmor_$tag"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)
+      val tbl = s"graft_txmor_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl USING txlog OPTIONS (path '$dir')
+        TBLPROPERTIES ('dmlMode'='mor') AS
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM parquet.`$d/orders.parquet`""")
+      s.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'P'")
+      s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 97 = 3")
+      s.sql(s"UPDATE $tbl SET cents = cents + 7 WHERE o_orderkey % 10 = 0")
+      s.sql(s"""MERGE INTO $tbl t USING (
+          SELECT o_orderkey, 'X' AS o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS BIGINT) + 11 AS cents
+          FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 1000 = 7) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      require((1 to 4).map(graft.sources.TxLog.commitOp(dir, _)) ==
+        Seq("delete_mor", "delete_mor", "update_mor", "merge_mor"),
+        "dmlMode=mor must route every statement to the MoR commit path")
+      s.read.format("txlog").load(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // GENERAL MERGE SHAPES — the statements the full-row upsert
+    // refuses, in ONE MERGE: a conditional matched UPDATE (partial
+    // SET, values from both sides), a matched DELETE, a conditional
+    // NOT MATCHED INSERT (literal + source mix), and two NOT MATCHED
+    // BY SOURCE clauses (DELETE + UPDATE of target rows the source
+    // lacks). Routes through TxLog.mergeGeneral's action-tagged
+    // rewrite (the fast upsert path keeps its own key,
+    // table_log_sql_dml). The oracle replays every clause
+    // relationally: joins for matched, anti-joins for the two
+    // not-matched directions, first-match-wins by construction.
+    "table_log_merge_shapes_sql" -> ((s, d) => {
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = s"/tmp/graft_txmg_$tag"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)
+      val tbl = s"graft_txmg_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl USING txlog OPTIONS (path '$dir') AS
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0""")
+      s.sql(s"""MERGE INTO $tbl t USING (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS BIGINT) + 5 AS cents
+          FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = 0) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_orderkey % 12 = 0 THEN
+          UPDATE SET cents = s.cents + 100
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED AND s.o_orderstatus = 'O' THEN
+          INSERT (o_orderkey, o_orderstatus, cents)
+          VALUES (s.o_orderkey, 'N', s.cents)
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 10 = 2 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 10 = 4 THEN
+          UPDATE SET cents = t.cents - 1""")
+      require(graft.sources.TxLog.headVersion(dir) == 1 &&
+        graft.sources.TxLog.commitOp(dir, 1) == "merge",
+        "CTAS + general MERGE must land as two commits")
+      s.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // OCC LOGICAL CONFLICT RE-CHECK — maintenance liveness under
     // continuous ingest: a blind append lands IN the window between a
     // CoW DELETE's snapshot read and its commit (injected via the
@@ -6867,6 +6947,33 @@ object SparkEntry {
          SELECT o_orderstatus, count(*) AS n,
                 CAST(sum(cents) AS BIGINT) AS cents
          FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // same logical tape as table_log_sql_dml — MoR vs CoW is a PHYSICAL
+    // choice, the relational answer must be identical
+    "table_log_mor_dml_sql" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         d AS (
+           SELECT * FROM base
+           WHERE NOT o_orderstatus = 'P' AND NOT (o_orderkey % 97 = 3)),
+         u AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 10 = 0 THEN cents + 7
+                       ELSE cents END AS cents
+           FROM d),
+         src AS (
+           SELECT o_orderkey, 'X' AS o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) + 11 AS cents
+           FROM orders WHERE o_orderkey % 1000 = 7),
+         m AS (
+           SELECT * FROM src
+           UNION ALL
+           SELECT * FROM u
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+         SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS cents
+         FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // the three snapshots replayed relationally: v0 = the CTAS slice
     // (even keys), v1 = all keys, head = v1 minus the deleted status
     "table_log_time_travel_sql" ->
@@ -6898,6 +7005,35 @@ object SparkEntry {
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                   AS cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // every clause replayed relationally: matched rows split by the
+    // %12 condition into updated-vs-deleted, not-matched target rows
+    // run the two NMBS clauses (first-match-wins: the %10=2 delete
+    // wins over the %10=4 update only by disjointness here), unmatched
+    // source rows insert under the status condition with a literal
+    // status
+    "table_log_merge_shapes_sql" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k, o_orderstatus AS st,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         t0 AS (SELECT * FROM base WHERE k % 2 = 0),
+         src AS (SELECT k, st, cents + 5 AS cents FROM base WHERE k % 3 = 0),
+         m AS (
+           SELECT t0.k, t0.st, src.cents + 100 AS cents
+           FROM t0 JOIN src ON t0.k = src.k WHERE t0.k % 12 = 0),
+         nmbs AS (
+           SELECT k, st,
+                  CASE WHEN k % 10 = 4 THEN cents - 1 ELSE cents END AS cents
+           FROM t0
+           WHERE k NOT IN (SELECT k FROM src) AND k % 10 <> 2),
+         ins AS (
+           SELECT src.k, 'N' AS st, src.cents FROM src
+           WHERE src.k NOT IN (SELECT k FROM t0) AND src.st = 'O'),
+         f AS (SELECT * FROM m UNION ALL SELECT * FROM nmbs
+               UNION ALL SELECT * FROM ins)
+         SELECT st AS o_orderstatus, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS cents
+         FROM f GROUP BY st ORDER BY st""",
     // serial order ⟨delete, append⟩: the base slice loses its F rows,
     // the concurrently-appended slice keeps ALL rows (marker +5) —
     // including its F rows, which landed after the delete's snapshot

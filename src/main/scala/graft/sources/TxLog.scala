@@ -2345,6 +2345,235 @@ object TxLog {
     }
   }
 
+  /** One WHEN clause of a general MERGE ([[mergeGeneral]]). Condition
+    * and value expressions are SQL over the two row sides qualified as
+    * `t` (target) and `s` (source) — `WHEN MATCHED AND t.cents <
+    * s.cents THEN UPDATE SET cents = s.cents` becomes
+    * `MergeUpdateClause(Some("t.cents < s.cents"),
+    * Map("cents" -> "s.cents"))`. Clauses apply FIRST-MATCH-WINS
+    * within their group (SQL MERGE semantics); a row no clause claims
+    * is kept (matched / not-matched-by-source) or dropped
+    * (not-matched source rows). */
+  sealed trait MergeClause { def cond: Option[String] }
+  /** UPDATE SET — columns absent from `sets` keep their target value
+    * (partial SET). In a NOT MATCHED BY SOURCE clause the expressions
+    * may reference `t` only (there is no source row — Catalyst
+    * enforces the same on the SQL route). */
+  case class MergeUpdateClause(cond: Option[String],
+                               sets: Map[String, String]) extends MergeClause
+  case class MergeDeleteClause(cond: Option[String]) extends MergeClause
+  /** INSERT — columns absent from `values` fill from the table's
+    * column DEFAULTs, else NULL (Delta's rule). */
+  case class MergeInsertClause(cond: Option[String],
+                               values: Map[String, String]) extends MergeClause
+
+  /** General MERGE (Delta/SQL-standard shapes): conditional and
+    * multiple WHEN MATCHED clauses (UPDATE with partial SET, DELETE),
+    * conditional NOT MATCHED inserts, and NOT MATCHED BY SOURCE
+    * (UPDATE/DELETE of target rows the source lacks) — the shapes the
+    * full-row upsert [[merge]] deliberately refuses. Same key
+    * contract: `ON t.key = s.key`, key-unique source (duplicate keys
+    * here are REJECTED loud — with action semantics a duplicate would
+    * multiply matched target rows, corruption rather than upsert
+    * overwrite).
+    *
+    * Scale shape: the source is staged once; without NOT MATCHED BY
+    * SOURCE clauses, candidate segments prune by the source's key
+    * bounds and ONE distributed semi-join probe finds the
+    * match-bearing ones — exactly [[merge]]'s cost. NMBS clauses act
+    * on rows ABSENT from the source, which no stats can prune, so
+    * their presence rewrites every live segment (Delta schedules the
+    * same full scan); the Scaladoc price of the clause, not a bug.
+    * The action-tagged full-outer join is staged ONCE and every
+    * consumer (rewrite projection, each CDF class, the empty-result
+    * probe) re-reads those bytes — no job re-runs the join. */
+  def mergeGeneral(spark: SparkSession, dir: String, source: DataFrame,
+                   key: String,
+                   matched: Seq[MergeClause] = Nil,
+                   notMatched: Seq[MergeInsertClause] = Nil,
+                   notMatchedBySource: Seq[MergeClause] = Nil,
+                   statsCols: Seq[String] = Nil): Int = {
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "MERGE needs at least one WHEN clause")
+    matched.foreach {
+      case _: MergeInsertClause => throw new IllegalArgumentException(
+        "WHEN MATCHED takes UPDATE/DELETE clauses, not INSERT")
+      case _ => ()
+    }
+    notMatchedBySource.foreach {
+      case _: MergeInsertClause => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED BY SOURCE takes UPDATE/DELETE, not INSERT")
+      case _ => ()
+    }
+    val snap = state(dir)
+    require(snap.live.nonEmpty,
+      s"MERGE into empty table $dir — append the source instead")
+    // no CDF-determinism guard here (unlike delete/update): those ops
+    // re-evaluate the predicate in separate jobs (cdc scan, rewrite
+    // scan) and a nondeterministic expression could diverge between
+    // them — this op evaluates every clause exactly ONCE into the
+    // staged action-tagged bytes, and the rewrite AND every cdc class
+    // re-read those same bytes, so the decomposition is self-consistent
+    // by construction
+    // stage the source ONCE (raw bytes, arbitrary schema — never
+    // committed, so no physical re-label / invariant pass)
+    val uSeg = s"seg-${java.util.UUID.randomUUID}"
+    source.write.parquet(s"$dir/$uSeg")
+    try {
+      val s0 = spark.read.parquet(s"$dir/$uSeg")
+      require(s0.columns.contains(key), s"MERGE source lacks key '$key'")
+      val dup = s0.agg(count(col(key)).as("n"),
+        countDistinct(col(key)).as("d")).head()
+      require(dup.getLong(0) == dup.getLong(1),
+        s"MERGE source keys must be unique on '$key': ${dup.getLong(0)} " +
+          s"rows, ${dup.getLong(1)} distinct — a duplicate key would " +
+          "multiply its matched target row")
+      val rewriteAll = notMatchedBySource.nonEmpty
+      val candidates =
+        if (rewriteAll) snap.live
+        else {
+          val bounds = s0.agg(min(col(key)).cast("string"),
+            max(col(key)).cast("string")).head()
+          val (lo, hi) = (Option(bounds.getString(0)),
+            Option(bounds.getString(1)))
+          snap.live.filter(seg =>
+            !canPrune(snap.stats.get((seg, snap.physCol(key))), lo, hi))
+        }
+      val uKeys = broadcast(s0.select(col(key)).distinct())
+      val dirty =
+        if (rewriteAll || candidates.isEmpty) candidates
+        else {
+          val entryOf = candidates.map(n => bareName(n) -> n).toMap
+          segScan(spark, dir, snap, candidates, mergeSchema = true,
+              withMeta = true)
+            .join(uKeys, Seq(key), "left_semi")
+            .select(segOfFile(col("__file")).as("seg")).distinct()
+            .collect()
+            .map(r => entryOf.getOrElse(r.getString(0), r.getString(0)))
+            .toSet match { case s => candidates.filter(s) }
+        }
+      // target side: the dirty rows (logical columns); when nothing
+      // matched the join degenerates to source-only rows, but the
+      // TARGET SCHEMA is still needed for projections — a zero-row
+      // plan over the live set carries it without reading data
+      val t0 =
+        if (dirty.nonEmpty) segScan(spark, dir, snap, dirty, mergeSchema = true)
+        else segScan(spark, dir, snap, snap.live, mergeSchema = true).limit(0)
+      val cols = t0.columns.toSeq
+      val colType = t0.schema.map(f => f.name -> f.dataType).toMap
+      val tj = t0.withColumn("__graft_tp", lit(true)).as("t")
+      val sj = s0.withColumn("__graft_sp", lit(true)).as("s")
+      val joined = tj.join(sj,
+        col(s"t.`$key`") === col(s"s.`$key`"), "full_outer")
+      val tp = col("t.__graft_tp").isNotNull
+      val sp = col("s.__graft_sp").isNotNull
+      def condOf(c: MergeClause): Column =
+        c.cond.map(s => coalesce(expr(s), lit(false))).getOrElse(lit(true))
+      // ONE action discriminator per row: m<i> / b<i> (update|delete),
+      // i<i> (insert), keep, drop — first-match-wins inside each group
+      val mTags = matched.zipWithIndex.map { case (c, i) => (c, s"m$i") }
+      val bTags = notMatchedBySource.zipWithIndex.map { case (c, i) => (c, s"b$i") }
+      val iTags = notMatched.zipWithIndex.map { case (c, i) => (c, s"i$i") }
+      val action = {
+        val chain =
+          mTags.map { case (c, tag) => (tp && sp && condOf(c), tag) } ++
+          Seq((tp && sp, "keep")) ++
+          bTags.map { case (c, tag) => (tp && !sp && condOf(c), tag) } ++
+          Seq((tp && !sp, "keep")) ++
+          iTags.map { case (c, tag) => (!tp && condOf(c), tag) }
+        chain.tail.foldLeft(when(chain.head._1, chain.head._2)) {
+          case (acc, (cond, tag)) => acc.when(cond, tag)
+        }.otherwise("drop")
+      }
+      def updateValue(c: String, sets: Map[String, String]): Column =
+        sets.get(c).map(s => expr(s).cast(colType(c)))
+          .getOrElse(col(s"t.`$c`"))
+      def insertValue(c: String, values: Map[String, String]): Column =
+        values.get(c).orElse(snap.defaults.get(c))
+          .map(s => expr(s).cast(colType(c)))
+          .getOrElse(lit(null).cast(colType(c)))
+      // the post-action value of every output column, one when-chain
+      // mirroring the discriminator (delete/drop rows are filtered by
+      // tag, their value lanes are never read)
+      def outValue(c: String): Column = {
+        val branches =
+          (mTags ++ bTags).collect {
+            case (u: MergeUpdateClause, tag) =>
+              (col("__graft_action") === tag, updateValue(c, u.sets))
+          } ++
+          iTags.map { case (cl, tag) =>
+            (col("__graft_action") === tag, insertValue(c, cl.values))
+          }
+        if (branches.isEmpty) col(s"t.`$c`")
+        else branches.tail.foldLeft(
+          when(branches.head._1, branches.head._2)) {
+            case (acc, (p, v)) => acc.when(p, v)
+          }.otherwise(col(s"t.`$c`"))
+      }
+      // stage the ACTION-TAGGED frame once: __graft_action + the
+      // post-image (out_) and pre-image (pre_) lanes, disambiguated by
+      // POSITION (t and s legitimately share column names)
+      val tagSeg = s"seg-${java.util.UUID.randomUUID}"
+      try {
+        val tagged = joined.withColumn("__graft_action", action)
+        val projection =
+          Seq(col("__graft_action")) ++
+          cols.zipWithIndex.map { case (c, i) =>
+            outValue(c).as(s"__graft_out_$i") } ++
+          (if (snap.cdfEnabled)
+            cols.zipWithIndex.map { case (c, i) =>
+              col(s"t.`$c`").as(s"__graft_pre_$i") }
+           else Nil)
+        tagged.select(projection: _*).write.parquet(s"$dir/$tagSeg")
+        val staged = spark.read.parquet(s"$dir/$tagSeg")
+        val act = col("__graft_action")
+        def outCols = cols.zipWithIndex.map { case (c, i) =>
+          col(s"__graft_out_$i").as(c) }
+        def preCols = cols.zipWithIndex.map { case (c, i) =>
+          col(s"__graft_pre_$i").as(c) }
+        val updateTags = (mTags ++ bTags).collect {
+          case (_: MergeUpdateClause, tag) => tag }
+        val deleteTags = (mTags ++ bTags).collect {
+          case (_: MergeDeleteClause, tag) => tag }
+        val insertTags = iTags.map(_._2)
+        val survives = act.isin(("keep" +: (updateTags ++ insertTags)): _*)
+        val newData = staged.filter(survives).select(outCols: _*)
+        val seg = newSegment(dir, newData, applyDefaults = false,
+          snapOpt = Some(snap))
+        reclaimOnFailure(dir, Seq(seg)) {
+          // CDF classes ride the staged tags: update pre/post images,
+          // delete pre-images, inserts — cost ∝ changed rows
+          val cdc =
+            if (!snap.cdfEnabled) Seq.empty
+            else stageCdc(dir) { buf =>
+              def cls(tags: Seq[String], rows: DataFrame, t: String): Unit =
+                if (tags.nonEmpty) {
+                  val w = writeCdc(dir, rows, t, snap)
+                  if (spark.read.parquet(s"$dir/${w._1}").limit(1).count() > 0)
+                    buf += w
+                  else store(dir).deleteRecursively(s"$dir/${w._1}")
+                }
+              cls(updateTags, staged.filter(act.isin(updateTags: _*))
+                .select(preCols: _*), "update_preimage")
+              cls(updateTags, staged.filter(act.isin(updateTags: _*))
+                .select(outCols: _*), "update_postimage")
+              cls(deleteTags, staged.filter(act.isin(deleteTags: _*))
+                .select(preCols: _*), "delete")
+              cls(insertTags, staged.filter(act.isin(insertTags: _*))
+                .select(outCols: _*), "insert")
+            }
+          val sidecars = cdc.collect { case (f, _) if f.startsWith("cdc-") => f }
+          reclaimOnFailure(dir, sidecars) {
+            commitOrReclaim(dir, "merge", Seq(seg), dirty, snap.version,
+              segStats(spark, dir, seg, statsCols, snap),
+              extraLines = cdcLines(cdc), alsoReclaim = sidecars,
+              retryPastAppends = true)
+          }
+        }
+      } finally store(dir).deleteRecursively(s"$dir/$tagSeg")
+    } finally store(dir).deleteRecursively(s"$dir/$uSeg")
+  }
+
   /** CHECK-constraint-enforced append (Delta's table constraints): the
     * batch is admitted only if EVERY row satisfies every predicate —
     * one distributed scan counts violations per constraint BEFORE any

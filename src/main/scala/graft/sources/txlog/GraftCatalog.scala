@@ -373,6 +373,44 @@ private[txlog] object GraftProcedures {
     }
   }
 
+  private val analyze = new Proc("analyze",
+    "recompute per-segment min/max stats (and optionally bloom " +
+      "sidecars) for the named columns — makes an existing layout " +
+      "prunable without rewriting data",
+    Array(p("table", StringType), p("stats_cols", StringType),
+      pd("bloom_cols", StringType, "NULL")),
+    StructType(Seq(StructField("version", LongType, nullable = true),
+      StructField("recomputed", BooleanType, nullable = false)))) {
+    override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] = {
+      val v = TxLog.analyze(spark, dirOf(spark, str(a, 0)),
+        csv(Some(str(a, 1))), csv(strOpt(a, 2)))
+      Seq(InternalRow(v.map(x => Long.box(x.toLong)).orNull, v.isDefined))
+    }
+  }
+
+  private val clone_ = new Proc("clone",
+    "shallow-clone the table to target_path: a new log whose first " +
+      "commit references the source segments by path — zero data copied",
+    Array(p("table", StringType), p("target_path", StringType)),
+    StructType(Seq(StructField("version", LongType, nullable = false)))) {
+    override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] =
+      Seq(InternalRow(
+        TxLog.cloneShallow(dirOf(spark, str(a, 0)), str(a, 1)).toLong))
+  }
+
+  private val dvCoalesce = new Proc("dv_coalesce",
+    "fold accumulated deletion-vector sidecars down to max_sidecars " +
+      "per segment (MoR read-amplification maintenance; no data rewrite)",
+    Array(p("table", StringType), pd("max_sidecars", IntegerType, "1")),
+    StructType(Seq(StructField("version", LongType, nullable = true),
+      StructField("coalesced", BooleanType, nullable = false)))) {
+    override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] = {
+      val v = TxLog.coalesceDvs(spark, dirOf(spark, str(a, 0)), a.getInt(1))
+      Seq(InternalRow(v.map(x => Long.box(x.toLong)).orNull, v.isDefined))
+    }
+  }
+
   val byName: Map[String, UnboundProcedure] =
-    Seq(history, vacuum, optimize, compact, restore).map(x => x.name -> x).toMap
+    Seq(history, vacuum, optimize, compact, restore,
+      analyze, clone_, dvCoalesce).map(x => x.name -> x).toMap
 }

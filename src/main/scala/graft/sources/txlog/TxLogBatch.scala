@@ -77,8 +77,23 @@ class TxLogTable(private[txlog] val dir: String,
       else filters.map(f => TxLogSqlDml.filterToSql(f).getOrElse(
         throw new UnsupportedOperationException(
           s"txlog DELETE: unrenderable pushed filter $f"))).mkString(" AND ")
-    TxLog.delete(SparkSession.active, dir, pred)
+    if (dmlMor) TxLog.deleteMoR(SparkSession.active, dir, pred)
+    else TxLog.delete(SparkSession.active, dir, pred)
   }
+  /** `TBLPROPERTIES ('dmlMode'='mor')` routes SQL DELETE/UPDATE and the
+    * upsert MERGE through the merge-on-read engine paths (deletion
+    * vectors / tombstone sidecars — Delta's enableDeletionVectors
+    * posture: DML cost ∝ changed rows, the rewrite deferred to
+    * OPTIMIZE/compaction). Default `cow` keeps copy-on-write. The
+    * GENERAL merge shapes have no MoR form (the action-tagged rewrite
+    * IS the operation) and stay CoW regardless. */
+  private[txlog] def dmlMor: Boolean =
+    Option(props.get("dmlMode")).map(_.toLowerCase) match {
+      case None | Some("cow") => false
+      case Some("mor")        => true
+      case Some(v) => throw new IllegalArgumentException(
+        s"table property dmlMode must be 'cow' or 'mor', got '$v'")
+    }
   /** LAZY shared snapshot (mapping-applied, evolution-merged schema +
     * the replayed state the scan build reuses): the streaming fallback
     * probe constructs this Table but consumes only capabilities, so

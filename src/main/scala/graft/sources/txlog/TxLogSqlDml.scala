@@ -76,7 +76,8 @@ object TxLogSqlDml extends Rule[LogicalPlan] with PredicateHelper {
       // SupportsDelete path (planner-translated, deleteWhere renders)
       // — this rule claims only what that path cannot express
       if (nativeDeletable(cond)) d
-      else TxLogDeleteCommand(t.dir, exprSql(cond, "DELETE condition"))
+      else TxLogDeleteCommand(t.dir, exprSql(cond, "DELETE condition"),
+        t.dmlMor)
 
     case u @ UpdateTable(TxLogRel(t), assignments, cond) if u.resolved =>
       requireCurrent(t, "UPDATE")
@@ -92,7 +93,7 @@ object TxLogSqlDml extends Rule[LogicalPlan] with PredicateHelper {
       }
       TxLogUpdateCommand(t.dir,
         cond.map(exprSql(_, "UPDATE condition")).getOrElse("true"),
-        sets.toMap)
+        sets.toMap, t.dmlMor)
 
     case m: MergeIntoTable if m.resolved =>
       m.targetTable match {
@@ -185,25 +186,27 @@ object TxLogSqlDml extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** MERGE shape validation + compilation to [[TxLogMergeCommand]]:
-    * the upsert contract ([[TxLog.merge]]) is "matched target rows are
-    * REPLACED by the source row, unmatched source rows are INSERTED",
-    * so the SQL shape must pin exactly that — one unconditional
-    * UPDATE SET * + one unconditional INSERT *, per-column agreement
-    * between the two, ON a plain key equality. */
+  /** MERGE shape validation + compilation. The full-row upsert — one
+    * unconditional UPDATE SET * + one unconditional INSERT *,
+    * per-column agreement between the two — compiles to
+    * [[TxLogMergeCommand]] ([[TxLog.merge]]: the probe-pruned
+    * replace-or-insert fast path). EVERY other supported shape —
+    * conditional / multiple / partial-SET matched clauses, matched
+    * DELETE, conditional inserts, NOT MATCHED BY SOURCE — compiles to
+    * [[TxLogMergeGeneralCommand]] ([[TxLog.mergeGeneral]]'s
+    * action-tagged rewrite). Both demand `ON target.key = source.key`
+    * (the engine's merge key contract — stats pruning and the
+    * match-probe hang off one equi-key). */
   private def planMerge(t: TxLogTable, m: MergeIntoTable): LogicalPlan = {
     def unsupported(why: String): Nothing =
       throw new UnsupportedOperationException(
-        s"txlog MERGE INTO supports the full-row upsert shape only — " +
-          "ON target.key = source.key WHEN MATCHED THEN UPDATE SET * " +
-          "WHEN NOT MATCHED THEN INSERT * — but " + why + ". For " +
-          "conditional/partial merges, compose the TxLog API " +
-          "(merge/mergeMoR, update, replaceWhere) instead.")
+        s"txlog MERGE INTO: $why. Supported: ON target.key = source.key " +
+          "with WHEN MATCHED [AND cond] THEN UPDATE SET …|DELETE, " +
+          "WHEN NOT MATCHED [AND cond] THEN INSERT …, " +
+          "WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …|DELETE.")
     if (m.withSchemaEvolution)
       unsupported("WITH SCHEMA EVOLUTION was requested (txlog MERGE " +
         "keeps the target schema; evolve via append/alter first)")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE actions are present")
     val target = EliminateSubqueryAliases(m.targetTable)
     val source = m.sourceTable
     val (tKey, sKey) = m.mergeCondition match {
@@ -218,82 +221,138 @@ object TxLogSqlDml extends Rule[LogicalPlan] with PredicateHelper {
       case other => unsupported("the ON condition is " +
         s"'${other.sql}', not a plain target.key = source.key equality")
     }
-    val uAssigns = m.matchedActions match {
-      case Seq(UpdateAction(None, as, _)) => as
-      case Seq(UpdateAction(Some(_), _, _)) =>
-        unsupported("the WHEN MATCHED UPDATE carries a condition")
-      case as => unsupported(s"the matched actions are " +
-        s"${as.map(_.getClass.getSimpleName).mkString("[", ", ", "]")}" +
-        ", not exactly one unconditional UPDATE")
-    }
-    val iAssigns = m.notMatchedActions match {
-      case Seq(InsertAction(None, as)) => as
-      case Seq(InsertAction(Some(_), _)) =>
-        unsupported("the WHEN NOT MATCHED INSERT carries a condition")
-      case as => unsupported(s"the not-matched actions are " +
-        s"${as.map(_.getClass.getSimpleName).mkString("[", ", ", "]")}" +
-        ", not exactly one unconditional INSERT")
-    }
     def byColumn(as: Seq[Assignment], what: String): Map[String, Expression] =
       as.map { a =>
         a.key match {
           case ar: AttributeReference => ar.name -> a.value
           case other => unsupported(s"the $what assigns " +
-            s"'${other.sql}', not a top-level target column")
+            s"'${other.sql}', not a top-level target column (nested " +
+            "fields are not mergeable)")
         }
       }.toMap
-    val uBy = byColumn(uAssigns, "UPDATE")
-    val iBy = byColumn(iAssigns, "INSERT")
-    val cols = target.output.map(_.name)
-    val values: Seq[(String, Expression)] = cols.map { c =>
-      val vu = uBy.getOrElse(c, unsupported(
-        s"the UPDATE does not assign column '$c' (partial SET — the " +
-          "upsert replaces whole rows)"))
-      val vi = iBy.getOrElse(c, unsupported(
-        s"the INSERT does not assign column '$c'"))
-      if (!vu.semanticEquals(vi))
-        unsupported(s"column '$c' takes '${vu.sql}' when matched but " +
-          s"'${vi.sql}' when not matched — the upsert writes ONE " +
-          "source row either way")
-      if (!vu.references.subsetOf(source.outputSet))
-        unsupported(s"column '$c' is assigned '${vu.sql}', which " +
-          "references the TARGET row — upsert values must come from " +
-          "the source")
-      c -> vu
+    // The upsert FAST PATH fires only when the statement is provably
+    // the whole-row replace-or-insert: one unconditional UPDATE + one
+    // unconditional INSERT, both assigning every column the SAME
+    // source-only value, key written = key joined. Anything else —
+    // including a partial SET or target-referencing value that the
+    // upsert could not honor — routes to the general action-tagged
+    // merge instead of erroring.
+    val upsert = (m.matchedActions, m.notMatchedActions,
+        m.notMatchedBySourceActions) match {
+      case (Seq(UpdateAction(None, uAssigns, _)),
+            Seq(InsertAction(None, iAssigns)), Nil) =>
+        val uBy = byColumn(uAssigns, "UPDATE")
+        val iBy = byColumn(iAssigns, "INSERT")
+        val cols = target.output.map(_.name)
+        val values: Option[Seq[(String, Expression)]] =
+          cols.foldLeft(Option(Seq.empty[(String, Expression)])) {
+            (acc, c) => acc.flatMap { vs =>
+              (uBy.get(c), iBy.get(c)) match {
+                case (Some(vu), Some(vi))
+                    if vu.semanticEquals(vi) &&
+                       vu.references.subsetOf(source.outputSet) =>
+                  Some(vs :+ (c -> vu))
+                case _ => None
+              }
+            }
+          }.filter(_.find(_._1 == tKey.name)
+            .forall { case (_, v) => v.semanticEquals(sKey) })
+        values.map(vs =>
+          TxLogMergeCommand(t.dir, tKey.name,
+            Project(vs.map { case (n, v) => Alias(v, n)() }, source),
+            t.dmlMor))
+      case _ => None
     }
-    values.find(_._1 == tKey.name).foreach { case (_, v) =>
-      if (!v.semanticEquals(sKey))
-        unsupported(s"the key column '${tKey.name}' is assigned " +
-          s"'${v.sql}', not the ON condition's source key " +
-          s"'${sKey.name}' — the join key and the written key must " +
-          "agree")
+    upsert.getOrElse(
+      planMergeGeneral(t, m, target, source, tKey, byColumn _,
+        why => unsupported(why)))
+  }
+
+  /** The general shapes → [[TxLogMergeGeneralCommand]]: each resolved
+    * action's condition/assignments render to SQL with TWO-SIDED
+    * qualifiers — an attribute from the target's output renders as
+    * `t`.`col`, one from the source's as `s`.`col` — which is exactly
+    * the reference language [[TxLog.mergeGeneral]] resolves its
+    * clauses in (the joined frame aliases its sides `t` and `s`).
+    * Catalyst has already enforced side-correctness (insert values
+    * reference the source only, NOT MATCHED BY SOURCE the target
+    * only); the rendering just preserves it. */
+  private def planMergeGeneral(t: TxLogTable, m: MergeIntoTable,
+      target: LogicalPlan, source: LogicalPlan,
+      tKey: AttributeReference,
+      byColumn: (Seq[Assignment], String) => Map[String, Expression],
+      unsupported: String => Nothing): LogicalPlan = {
+    val targetIds = target.outputSet
+    val sourceIds = source.outputSet
+    def sided(e: Expression, what: String): String = {
+      if (e.exists(_.isInstanceOf[SubqueryExpression]))
+        throw new UnsupportedOperationException(
+          s"txlog MERGE $what: subqueries in clause conditions/values " +
+            "are not supported — materialize them into the source")
+      e.transform {
+        case a: AttributeReference if targetIds.contains(a) =>
+          a.withQualifier(Seq("t"))
+        case a: AttributeReference if sourceIds.contains(a) =>
+          a.withQualifier(Seq("s"))
+      }.sql
     }
-    val updates = Project(
-      values.map { case (n, v) => Alias(v, n)() }, source)
-    TxLogMergeCommand(t.dir, tKey.name, updates)
+    def updateOf(cond: Option[Expression], as: Seq[Assignment],
+                 what: String): TxLog.MergeUpdateClause =
+      TxLog.MergeUpdateClause(cond.map(sided(_, what)),
+        byColumn(as, what).map { case (c, v) => c -> sided(v, what) })
+    val matched = m.matchedActions.map {
+      case UpdateAction(c, as, _) => updateOf(c, as, "WHEN MATCHED UPDATE")
+      case DeleteAction(c) =>
+        TxLog.MergeDeleteClause(c.map(sided(_, "WHEN MATCHED DELETE")))
+      case other => unsupported(s"unsupported WHEN MATCHED action $other")
+    }
+    val notMatched = m.notMatchedActions.map {
+      case InsertAction(c, as) =>
+        TxLog.MergeInsertClause(c.map(sided(_, "WHEN NOT MATCHED INSERT")),
+          byColumn(as, "INSERT").map { case (col, v) =>
+            col -> sided(v, "INSERT value") })
+      case other => unsupported(s"unsupported WHEN NOT MATCHED action $other")
+    }
+    val bySource = m.notMatchedBySourceActions.map {
+      case UpdateAction(c, as, _) =>
+        updateOf(c, as, "WHEN NOT MATCHED BY SOURCE UPDATE")
+      case DeleteAction(c) => TxLog.MergeDeleteClause(
+        c.map(sided(_, "WHEN NOT MATCHED BY SOURCE DELETE")))
+      case other =>
+        unsupported(s"unsupported WHEN NOT MATCHED BY SOURCE action $other")
+    }
+    TxLogMergeGeneralCommand(t.dir, tKey.name, source,
+      matched, notMatched, bySource)
   }
 }
 
 /** `DELETE FROM` with a condition Spark's filter translation cannot
   * express — compiled to predicate SQL, committed by [[TxLog.delete]]
-  * (stats-pruned CoW + OCC retry, identical to the Scala API). */
-case class TxLogDeleteCommand(dir: String, predicate: String)
+  * (stats-pruned CoW + OCC retry, identical to the Scala API) — or by
+  * [[TxLog.deleteMoR]] (tombstone sidecar, no rewrite) when the table
+  * carries `dmlMode=mor`. */
+case class TxLogDeleteCommand(dir: String, predicate: String,
+                              mor: Boolean = false)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    TxLog.delete(session, dir, predicate)
+    if (mor) TxLog.deleteMoR(session, dir, predicate)
+    else TxLog.delete(session, dir, predicate)
     Seq.empty
   }
 }
 
-/** `UPDATE … SET … [WHERE …]` → [[TxLog.update]]: every SET expression
+/** `UPDATE … SET … [WHERE …]` → [[TxLog.update]] (or
+  * [[TxLog.updateMoR]] under `dmlMode=mor`): every SET expression
   * evaluates against the PRE-update row (SQL UPDATE semantics — the
   * engine applies all assignments in one projection, so
   * `SET x = y, y = x` swaps), only match-bearing segments rewrite. */
 case class TxLogUpdateCommand(dir: String, predicate: String,
-                              sets: Map[String, String])
+                              sets: Map[String, String],
+                              mor: Boolean = false)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    TxLog.update(session, dir, predicate, sets)
+    if (mor) TxLog.updateMoR(session, dir, predicate, sets)
+    else TxLog.update(session, dir, predicate, sets)
     Seq.empty
   }
 }
@@ -303,12 +362,33 @@ case class TxLogUpdateCommand(dir: String, predicate: String,
   * matched keys replace rows in exactly the match-bearing segments,
   * unmatched keys append. */
 case class TxLogMergeCommand(dir: String, key: String,
-                             updates: LogicalPlan)
+                             updates: LogicalPlan, mor: Boolean = false)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
     Seq(updates)
   override def run(session: SparkSession): Seq[Row] = {
-    TxLog.merge(session, dir, ColumnShim.ofRows(session, updates), key)
+    if (mor)
+      TxLog.mergeMoR(session, dir, ColumnShim.ofRows(session, updates), key)
+    else TxLog.merge(session, dir, ColumnShim.ofRows(session, updates), key)
+    Seq.empty
+  }
+}
+
+/** General-shape `MERGE INTO` → [[TxLog.mergeGeneral]]: the source
+  * plan runs as-is; the clause conditions/assignments arrive as
+  * two-sided (`t.`/`s.`) SQL the engine resolves against its
+  * action-tagged join. */
+case class TxLogMergeGeneralCommand(dir: String, key: String,
+    source: LogicalPlan,
+    matched: Seq[TxLog.MergeClause],
+    notMatched: Seq[TxLog.MergeInsertClause],
+    notMatchedBySource: Seq[TxLog.MergeClause])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    TxLog.mergeGeneral(session, dir, ColumnShim.ofRows(session, source),
+      key, matched, notMatched, notMatchedBySource)
     Seq.empty
   }
 }

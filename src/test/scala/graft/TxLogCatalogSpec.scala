@@ -228,8 +228,63 @@ class TxLogCatalogSpec extends SparkTestBase {
       .sessionState.catalogManager.catalog("spark_catalog")
       .asInstanceOf[graft.sources.txlog.GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).toSet ==
-      Set("history", "vacuum", "optimize", "compact", "restore"))
+      Set("history", "vacuum", "optimize", "compact", "restore",
+        "analyze", "clone", "dv_coalesce"))
     assert(cat.listProcedures(Array("nosuch")).isEmpty)
+  }
+
+  test("CALL system.analyze / clone / dv_coalesce bridge the remaining maintenance") {
+    val dir = mk("cat_mx", Seq("a" -> 1, "b" -> 2), Seq("c" -> 3))
+    // analyze records stats that make the layout prunable
+    val an = spark.sql(
+      "CALL system.analyze(table => 'cat_mx', stats_cols => 'v')").collect()
+    assert(an.head.getBoolean(1))
+    val (_, read) = countRecordsRead {
+      TxLog.readWhere(spark, dir, "v >= 3").collect()
+    }
+    assert(read <= 1, s"post-analyze stats must prune, read $read rows")
+    // shallow clone: new log, zero data copied, same content
+    val tgt = freshDir() + "/cloned"
+    spark.sql(s"CALL system.clone('cat_mx', '$tgt')")
+    assert(ks(TxLog.read(spark, tgt)) == Seq("a", "b", "c"))
+    // dv_coalesce folds MoR tombstone sidecars
+    TxLog.deleteMoR(spark, dir, "k = 'a'")
+    TxLog.deleteMoR(spark, dir, "k = 'b'")
+    val dv = spark.sql("CALL system.dv_coalesce('cat_mx')").collect()
+    assert(dv.head.getBoolean(1), "two sidecars on one segment must fold")
+    assert(ks(spark.table("cat_mx")) == Seq("c"))
+  }
+
+  test("TBLPROPERTIES dmlMode=mor routes SQL DML through deletion vectors") {
+    val dir = freshDir()
+    spark.sql("DROP TABLE IF EXISTS cat_mor")
+    import spark.implicits._
+    TxLog.append(Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4)).toDF("k", "v"), dir)
+    spark.sql(s"CREATE TABLE cat_mor USING txlog LOCATION '$dir' " +
+      "TBLPROPERTIES ('dmlMode'='mor')")
+    spark.sql("DELETE FROM cat_mor WHERE k = 'a'")          // native route
+    assert(TxLog.commitOp(dir, 1) == "delete_mor",
+      "filter-translatable DELETE must take the MoR path")
+    spark.sql("DELETE FROM cat_mor WHERE length(k) + v = 3") // rule route (b)
+    assert(TxLog.commitOp(dir, 2) == "delete_mor")
+    spark.sql("UPDATE cat_mor SET v = v + 10 WHERE k = 'c'")
+    assert(TxLog.commitOp(dir, 3) == "update_mor")
+    spark.sql("""MERGE INTO cat_mor t USING (SELECT 'd' AS k, 40 AS v) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(TxLog.commitOp(dir, 4) == "merge_mor",
+      "the upsert fast path must honor dmlMode=mor")
+    assert(spark.table("cat_mor").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq("c" -> 13, "d" -> 40))
+    // a bad mode value is loud at use
+    spark.sql("DROP TABLE IF EXISTS cat_badmode")
+    spark.sql(s"CREATE TABLE cat_badmode USING txlog LOCATION '$dir' " +
+      "TBLPROPERTIES ('dmlMode'='sideways')")
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM cat_badmode WHERE k = 'x'"))
+    assert(e.getMessage.contains("dmlMode"))
   }
 
   test("ALTER TABLE RENAME/DROP COLUMN commit to the log, versioned like the API") {

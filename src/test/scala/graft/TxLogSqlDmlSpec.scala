@@ -157,21 +157,16 @@ class TxLogSqlDmlSpec extends SparkTestBase {
     dml.sql(s"DROP TABLE IF EXISTS $tbl")
     seedSql(dml, tbl, dir)
 
-    val conditional = intercept[UnsupportedOperationException] {
+    // conditional / DELETE merge shapes route to the GENERAL merge
+    // since r14 (TxLogMergeGeneralSpec owns them) — what stays loud is
+    // what no engine path represents: a non-equi ON condition
+    val nonEqui = intercept[UnsupportedOperationException] {
       dml.sql(s"""MERGE INTO $tbl t USING ($mergeSourceSql) s
-        ON t.id = s.id
-        WHEN MATCHED AND s.cents > 0 THEN UPDATE SET *
+        ON t.id < s.id
+        WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *""")
     }
-    assert(conditional.getMessage.contains("full-row upsert"))
-
-    val del = intercept[UnsupportedOperationException] {
-      dml.sql(s"""MERGE INTO $tbl t USING ($mergeSourceSql) s
-        ON t.id = s.id
-        WHEN MATCHED THEN DELETE
-        WHEN NOT MATCHED THEN INSERT *""")
-    }
-    assert(del.getMessage.contains("full-row upsert"))
+    assert(nonEqui.getMessage.contains("ON condition"))
 
     val sub = intercept[UnsupportedOperationException] {
       dml.sql(s"DELETE FROM $tbl WHERE id IN " +
