@@ -178,11 +178,11 @@ class TxLogTable(private[txlog] val dir: String,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
         TableCapability.STREAMING_WRITE,
-        TableCapability.TRUNCATE)
+        TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
     else
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-        TableCapability.TRUNCATE)
+        TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxLogScanBuilder(SparkSession.active, dir, asOf, this,
       n => Option(options.get(n)).orElse(Option(props.get(n))))
@@ -220,9 +220,31 @@ private[txlog] class TxLogPendingTable(declared: StructType) extends Table {
 
 class TxLogWriteBuilder(dir: String, asOf: Int, info: LogicalWriteInfo,
                         props: CaseInsensitiveStringMap)
-    extends org.apache.spark.sql.graftshim.StreamingCapableWriteBuilder {
+    extends org.apache.spark.sql.graftshim.StreamingCapableWriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var truncateFirst = false
+  private var replacePred: Option[String] = None
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  /** `INSERT INTO … REPLACE WHERE cond` / `writeTo(t).overwrite(cond)`
+    * → [[TxLog.replaceWhere]]: ONE commit replaces exactly the rows
+    * matching the planner-translated condition (all-match segments
+    * drop wholesale, straddlers rewrite, incoming rows are validated
+    * to satisfy the frame — Delta's replaceWhere contract, same
+    * entry point as the Scala API). `canOverwrite` is exact — it
+    * accepts only filters the predicate renderer can express, so a
+    * claimed overwrite can never dead-end here. */
+  override def canOverwrite(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => TxLogSqlDml.filterToSql(f).isDefined)
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    if (filters.isEmpty ||
+        filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      truncateFirst = true
+    else replacePred = Some(filters.map(f =>
+      TxLogSqlDml.filterToSql(f).getOrElse(throw new UnsupportedOperationException(
+        s"txlog REPLACE WHERE: unrenderable pushed filter $f — " +
+          "use TxLog.replaceWhere with predicate SQL"))).mkString(" AND "))
+    this
+  }
   private def opt(name: String): Option[String] =
     Option(info.options.get(name)).orElse(Option(props.get(name)))
   private def cols(name: String): Seq[String] = opt(name).toSeq
@@ -233,13 +255,19 @@ class TxLogWriteBuilder(dir: String, asOf: Int, info: LogicalWriteInfo,
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
           require(asOf < 0,
             "cannot write through a time-travel (asOf) txlog relation")
-          if (truncateFirst || overwrite) TxLog.overwrite(data, dir)
-          else {
-            val (stats, blooms) = (cols("statsCols"), cols("bloomCols"))
-            if (stats.nonEmpty || blooms.nonEmpty)
-              TxLog.appendWithStats(data.sparkSession, data, dir,
-                stats, blooms)
-            else TxLog.append(data, dir)
+          replacePred match {
+            case Some(pred) =>
+              TxLog.replaceWhere(data.sparkSession, dir, pred, data,
+                cols("statsCols"))
+            case None =>
+              if (truncateFirst || overwrite) TxLog.overwrite(data, dir)
+              else {
+                val (stats, blooms) = (cols("statsCols"), cols("bloomCols"))
+                if (stats.nonEmpty || blooms.nonEmpty)
+                  TxLog.appendWithStats(data.sparkSession, data, dir,
+                    stats, blooms)
+                else TxLog.append(data, dir)
+              }
           }
         }
       }

@@ -202,6 +202,43 @@ class TxLogDsv2Spec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS txdsv2_w")
   }
 
+  test("INSERT INTO ... REPLACE WHERE and writeTo.overwrite(cond) → replaceWhere") {
+    val dir = slicedTable() // 4 day-sliced segments, 8 rows each
+    spark.sql("DROP TABLE IF EXISTS txdsv2_rw")
+    try {
+      spark.sql(s"CREATE TABLE txdsv2_rw USING txlog OPTIONS (path '$dir')")
+      // replace exactly one day's slice: one commit, the frame's
+      // segment drops wholesale, the other three carry by reference
+      spark.sql("""INSERT INTO txdsv2_rw REPLACE WHERE day = '1995-06-15'
+        SELECT id, '1995-06-15' AS day FROM range(2)""")
+      assert(TxLog.commitOp(dir, 4) == "replace_where",
+        "REPLACE WHERE must land as the engine's replaceWhere commit")
+      assert(spark.sql(
+        "SELECT count(*) FROM txdsv2_rw WHERE day = '1995-06-15'")
+        .head().getLong(0) == 2)
+      assert(spark.table("txdsv2_rw").count() == 26) // 3*8 + 2
+      // an incoming row OUTSIDE the declared frame is rejected
+      // (Delta's replaceWhere contract), nothing committed
+      val e = intercept[Exception](spark.sql(
+        """INSERT INTO txdsv2_rw REPLACE WHERE day = '1995-06-15'
+           SELECT 1 AS id, '1997-01-01' AS day"""))
+      assert(e.getMessage.contains("do not satisfy"))
+      assert(TxLog.headVersion(dir) == 4)
+      // the DataFrameWriterV2 spelling routes identically
+      Seq((7L, "1996-06-15")).toDF("id", "day").writeTo("txdsv2_rw")
+        .overwrite(col("day") === "1996-06-15")
+      assert(TxLog.commitOp(dir, 5) == "replace_where")
+      assert(spark.sql(
+        "SELECT count(*) FROM txdsv2_rw WHERE day = '1996-06-15'")
+        .head().getLong(0) == 1)
+      // an unconditional writeTo overwrite degenerates to truncate
+      Seq((42L, "x")).toDF("id", "day").writeTo("txdsv2_rw")
+        .overwrite(lit(true))
+      assert(TxLog.read(spark, dir).collect().map(_.getLong(0)).toSeq ==
+        Seq(42L))
+    } finally spark.sql("DROP TABLE IF EXISTS txdsv2_rw")
+  }
+
   test("CREATE TABLE with declared columns: first INSERT lands, pre-INSERT scan is empty") {
     val dir = freshDir()
     spark.sql("DROP TABLE IF EXISTS txdsv2_new")
