@@ -127,7 +127,11 @@ class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
     * existing-rows validation scan), and the `changeDataFeed` table
     * property toggles CDF recording. Property changes the log does
     * not own (comments, `streamApi`, arbitrary user properties) still
-    * delegate to the metastore. Shapes the log cannot represent —
+    * delegate to the metastore. Granularity: each change commits
+    * separately, in statement order — a multi-change ALTER that fails
+    * midway leaves the earlier changes standing, exactly as if issued
+    * as separate statements (single-change ALTERs, the common shape,
+    * are atomic). Shapes the log cannot represent —
     * ADD COLUMNS (the schema is segment-footer-derived; evolution
     * happens by writing data with the widened schema, `mergeSchema`
     * style), type/nullability/position changes — fail loud with the
