@@ -70,45 +70,77 @@ class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
       case _ => None
     }
 
+  /** PATH-addressed tables in SQL — `SELECT … FROM txlog.`/dir``
+    * (Delta's `delta.`/path`` spelling): the parser hands the catalog
+    * an identifier with namespace `txlog` and the path as the name,
+    * and the catalog answers it directly — the same trick DeltaCatalog
+    * uses, because Spark's own `ResolveSQLOnFile` rejects non-file
+    * sources for direct queries. A path always carries a separator,
+    * so a genuine database named `txlog` is never shadowed. DML and
+    * time travel compose (the relation IS a TxLogTable). */
+  private def pathIdent(ident: Identifier): Option[String] =
+    if (ident.namespace.length == 1 &&
+        ident.namespace()(0).equalsIgnoreCase("txlog") &&
+        ident.name.contains("/")) Some(ident.name)
+    else None
+
   /** The conversion the builtin catalog runs for the default session
     * catalog: route through the provider's own `getTable`, so catalog
     * resolution and a path `load()` build byte-identical Tables
     * (external schema for the empty-table case, table properties —
     * `streamApi` included — as the construction-time options). */
-  override def loadTable(ident: Identifier): Table = {
-    val t = super.loadTable(ident)
-    CatalogShim.v1DataSourceOptions(t) match {
-      case Some((p, opts, schema)) if p.equalsIgnoreCase("txlog") =>
-        new TxLogSourceProvider().getTable(schema,
-          Array.empty[org.apache.spark.sql.connector.expressions.Transform],
-          opts.asCaseSensitiveMap())
-      case _ => t
+  override def loadTable(ident: Identifier): Table =
+    pathIdent(ident) match {
+      case Some(p) => new TxLogTable(p, -1)
+      case None =>
+        val t = super.loadTable(ident)
+        CatalogShim.v1DataSourceOptions(t) match {
+          case Some((pr, opts, schema)) if pr.equalsIgnoreCase("txlog") =>
+            new TxLogSourceProvider().getTable(schema,
+              Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+              opts.asCaseSensitiveMap())
+          case _ => t
+        }
+    }
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    def pinned(dir: String, opts: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+               schema: org.apache.spark.sql.types.StructType): Table = {
+      val v = version.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"txlog VERSION AS OF takes an integer commit version, got '$version'"))
+      new TxLogTable(dir, v, Option(schema).filter(_.nonEmpty), opts)
+    }
+    pathIdent(ident) match {
+      case Some(p) =>
+        pinned(p, org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(),
+          new org.apache.spark.sql.types.StructType())
+      case None => txlogParts(ident) match {
+        case Some((opts, schema)) => pinned(dirOfOpts(opts), opts, schema)
+        case None => super.loadTable(ident, version)
+      }
     }
   }
-
-  override def loadTable(ident: Identifier, version: String): Table =
-    txlogParts(ident) match {
-      case Some((opts, schema)) =>
-        val v = version.toIntOption.getOrElse(
-          throw new IllegalArgumentException(
-            s"txlog VERSION AS OF takes an integer commit version, got '$version'"))
-        new TxLogTable(dirOfOpts(opts), v,
-          Option(schema).filter(_.nonEmpty), opts)
-      case None => super.loadTable(ident, version)
-    }
 
   /** `timestampMicros` is the session-timezone-resolved instant the
     * engine hands every `TableCatalog` (microseconds since epoch);
     * the commit clock is millisecond-grained, so floor-divide. */
-  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
-    txlogParts(ident) match {
-      case Some((opts, schema)) =>
-        val dir = dirOfOpts(opts)
-        new TxLogTable(dir,
-          TxLog.versionAsOfTimestamp(dir, Math.floorDiv(timestampMicros, 1000L)),
-          Option(schema).filter(_.nonEmpty), opts)
-      case None => super.loadTable(ident, timestampMicros)
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    def pinned(dir: String, opts: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+               schema: org.apache.spark.sql.types.StructType): Table =
+      new TxLogTable(dir,
+        TxLog.versionAsOfTimestamp(dir, Math.floorDiv(timestampMicros, 1000L)),
+        Option(schema).filter(_.nonEmpty), opts)
+    pathIdent(ident) match {
+      case Some(p) =>
+        pinned(p, org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(),
+          new org.apache.spark.sql.types.StructType())
+      case None => txlogParts(ident) match {
+        case Some((opts, schema)) => pinned(dirOfOpts(opts), opts, schema)
+        case None => super.loadTable(ident, timestampMicros)
+      }
     }
+  }
 
   private def dirOfOpts(
       opts: org.apache.spark.sql.util.CaseInsensitiveStringMap): String =
@@ -138,7 +170,11 @@ class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
     * supported route named rather than landing metastore-only. */
   override def alterTable(ident: Identifier,
                           changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
-    txlogParts(ident) match {
+    pathIdent(ident).map(p =>
+        (new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.singletonMap("path", p)),
+         new org.apache.spark.sql.types.StructType()))
+      .orElse(txlogParts(ident)) match {
       case Some((opts, _)) =>
         import org.apache.spark.sql.connector.catalog.TableChange._
         val dir = dirOfOpts(opts)

@@ -385,6 +385,28 @@ class TxLogCatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("PARTITIONED BY"))
   }
 
+  test("path-addressed SQL: SELECT / time travel / DML / ALTER on txlog.`/dir`") {
+    import spark.implicits._
+    val dir = freshDir()
+    TxLog.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"), dir)
+    TxLog.append(Seq(("c", 3)).toDF("k", "v"), dir)
+    // Delta's delta.`/path` spelling: the catalog answers namespace
+    // ["txlog"] + a path name directly (stock ResolveSQLOnFile rejects
+    // non-file sources for direct queries)
+    assert(ks(spark.sql(s"SELECT * FROM txlog.`$dir`")) == Seq("a", "b", "c"))
+    assert(ks(spark.sql(s"SELECT * FROM txlog.`$dir` VERSION AS OF 0")) ==
+      Seq("a", "b"))
+    spark.sql(s"DELETE FROM txlog.`$dir` WHERE k = 'a'")
+    spark.sql(s"INSERT INTO txlog.`$dir` VALUES ('d', 4)")
+    assert(ks(spark.sql(s"SELECT * FROM txlog.`$dir`")) == Seq("b", "c", "d"))
+    spark.sql(s"ALTER TABLE txlog.`$dir` RENAME COLUMN v TO amount")
+    assert(spark.sql(s"SELECT * FROM txlog.`$dir`").columns.toSeq ==
+      Seq("k", "amount"))
+    // a non-path name under the txlog namespace keeps Spark's stock
+    // direct-query rejection (no database shadowing)
+    intercept[Exception](spark.sql("SELECT * FROM txlog.nosuch").collect())
+  }
+
   test("empty declared-schema table resolves, scans empty, accepts first INSERT") {
     val dir = freshDir()
     spark.sql("DROP TABLE IF EXISTS cat_empty")
