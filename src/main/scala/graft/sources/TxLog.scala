@@ -2386,13 +2386,24 @@ object TxLog {
     * same full scan); the Scaladoc price of the clause, not a bug.
     * The action-tagged full-outer join is staged ONCE and every
     * consumer (rewrite projection, each CDF class, the empty-result
-    * probe) re-reads those bytes — no job re-runs the join. */
+    * probe) re-reads those bytes — no job re-runs the join.
+    *
+    * `srcKey` names the SOURCE side of the ON equality when it differs
+    * from the target's (`ON t.id = s.customer_id`); default = `key`.
+    * `targetSchema` supplies the target's columns when the table is
+    * still EMPTY (the post-CREATE bootstrap MERGE): matched / NOT
+    * MATCHED BY SOURCE clauses are then vacuous no-ops (no target
+    * rows) and the insert clauses append — without it an empty table
+    * rejects loud, because the output projection needs column types
+    * and an empty log carries none. */
   def mergeGeneral(spark: SparkSession, dir: String, source: DataFrame,
                    key: String,
                    matched: Seq[MergeClause] = Nil,
                    notMatched: Seq[MergeInsertClause] = Nil,
                    notMatchedBySource: Seq[MergeClause] = Nil,
-                   statsCols: Seq[String] = Nil): Int = {
+                   statsCols: Seq[String] = Nil,
+                   srcKey: Option[String] = None,
+                   targetSchema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
     require(matched.nonEmpty || notMatched.nonEmpty ||
       notMatchedBySource.nonEmpty, "MERGE needs at least one WHEN clause")
     matched.foreach {
@@ -2405,9 +2416,15 @@ object TxLog {
         "WHEN NOT MATCHED BY SOURCE takes UPDATE/DELETE, not INSERT")
       case _ => ()
     }
-    val snap = state(dir)
-    require(snap.live.nonEmpty,
-      s"MERGE into empty table $dir — append the source instead")
+    val sKey = srcKey.getOrElse(key)
+    // snapshotOrEmpty, not state: a freshly CREATEd managed table has
+    // no log yet — with targetSchema the bootstrap MERGE claims slot 0
+    val snap =
+      if (targetSchema.nonEmpty) snapshotOrEmpty(dir) else state(dir)
+    require(snap.live.nonEmpty || targetSchema.nonEmpty,
+      s"MERGE into empty table $dir — the empty log carries no schema " +
+        "to resolve the clauses against; pass targetSchema (the SQL " +
+        "route does, from the catalog), or append the source instead")
     // no CDF-determinism guard here (unlike delete/update): those ops
     // re-evaluate the predicate in separate jobs (cdc scan, rewrite
     // scan) and a nondeterministic expression could diverge between
@@ -2421,25 +2438,27 @@ object TxLog {
     source.write.parquet(s"$dir/$uSeg")
     try {
       val s0 = spark.read.parquet(s"$dir/$uSeg")
-      require(s0.columns.contains(key), s"MERGE source lacks key '$key'")
-      val dup = s0.agg(count(col(key)).as("n"),
-        countDistinct(col(key)).as("d")).head()
+      require(s0.columns.contains(sKey), s"MERGE source lacks key '$sKey'")
+      val dup = s0.agg(count(s0(sKey)).as("n"),
+        countDistinct(s0(sKey)).as("d")).head()
       require(dup.getLong(0) == dup.getLong(1),
-        s"MERGE source keys must be unique on '$key': ${dup.getLong(0)} " +
+        s"MERGE source keys must be unique on '$sKey': ${dup.getLong(0)} " +
           s"rows, ${dup.getLong(1)} distinct — a duplicate key would " +
           "multiply its matched target row")
       val rewriteAll = notMatchedBySource.nonEmpty
       val candidates =
         if (rewriteAll) snap.live
         else {
-          val bounds = s0.agg(min(col(key)).cast("string"),
-            max(col(key)).cast("string")).head()
+          val bounds = s0.agg(min(s0(sKey)).cast("string"),
+            max(s0(sKey)).cast("string")).head()
           val (lo, hi) = (Option(bounds.getString(0)),
             Option(bounds.getString(1)))
           snap.live.filter(seg =>
             !canPrune(snap.stats.get((seg, snap.physCol(key))), lo, hi))
         }
-      val uKeys = broadcast(s0.select(col(key)).distinct())
+      // probe keys carry the TARGET's key name so the semi-join binds
+      // by name against the candidate scan
+      val uKeys = broadcast(s0.select(s0(sKey).as(key)).distinct())
       val dirty =
         if (rewriteAll || candidates.isEmpty) candidates
         else {
@@ -2455,16 +2474,21 @@ object TxLog {
       // target side: the dirty rows (logical columns); when nothing
       // matched the join degenerates to source-only rows, but the
       // TARGET SCHEMA is still needed for projections — a zero-row
-      // plan over the live set carries it without reading data
+      // plan over the live set carries it without reading data, and an
+      // EMPTY table's comes from the caller's declared `targetSchema`
       val t0 =
         if (dirty.nonEmpty) segScan(spark, dir, snap, dirty, mergeSchema = true)
-        else segScan(spark, dir, snap, snap.live, mergeSchema = true).limit(0)
+        else if (snap.live.nonEmpty)
+          segScan(spark, dir, snap, snap.live, mergeSchema = true).limit(0)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          targetSchema.get)
       val cols = t0.columns.toSeq
       val colType = t0.schema.map(f => f.name -> f.dataType).toMap
       val tj = t0.withColumn("__graft_tp", lit(true)).as("t")
       val sj = s0.withColumn("__graft_sp", lit(true)).as("s")
       val joined = tj.join(sj,
-        col(s"t.`$key`") === col(s"s.`$key`"), "full_outer")
+        col(s"t.`$key`") === col(s"s.`$sKey`"), "full_outer")
       val tp = col("t.__graft_tp").isNotNull
       val sp = col("s.__graft_sp").isNotNull
       def condOf(c: MergeClause): Column =

@@ -159,11 +159,17 @@ class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
     * existing-rows validation scan), and the `changeDataFeed` table
     * property toggles CDF recording. Property changes the log does
     * not own (comments, `streamApi`, arbitrary user properties) still
-    * delegate to the metastore. Granularity: each change commits
-    * separately, in statement order — a multi-change ALTER that fails
-    * midway leaves the earlier changes standing, exactly as if issued
-    * as separate statements (single-change ALTERs, the common shape,
-    * are atomic). Shapes the log cannot represent —
+    * delegate to the metastore. Granularity: ALL changes VALIDATE
+    * before ANY commits — shape checks (nested names, constraint
+    * kinds, property values) and the metastore delegate's acceptance
+    * both happen up front, so the statically-rejectable failure modes
+    * leave the statement un-applied. The log-side commits then land
+    * in statement order; only a DATA-dependent failure (ADD
+    * CONSTRAINT whose existing-rows validation scan finds violations)
+    * can still leave the earlier changes of one statement standing,
+    * exactly as if issued as separate statements (single-change
+    * ALTERs, the common shape, are atomic). Shapes the log cannot
+    * represent —
     * ADD COLUMNS (the schema is segment-footer-derived; evolution
     * happens by writing data with the widened schema, `mergeSchema`
     * style), type/nullability/position changes — fail loud with the
@@ -185,40 +191,52 @@ class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
               s"got ${names.mkString(".")}")
           names(0)
         }
+        // PASS 1 — validate every change and build its commit thunk;
+        // nothing (log or metastore) commits until the whole statement
+        // validates, so a late bad change cannot half-apply the ALTER
         val toCatalog = Seq.newBuilder[org.apache.spark.sql.connector.catalog.TableChange]
+        val logSide = Seq.newBuilder[() => Unit]
         changes.foreach {
           case rc: RenameColumn =>
-            TxLog.renameColumn(spark, dir,
-              one(rc.fieldNames, "RENAME COLUMN"), rc.newName)
+            val c = one(rc.fieldNames, "RENAME COLUMN")
+            logSide += (() => TxLog.renameColumn(spark, dir, c, rc.newName))
           case dc: DeleteColumn =>
             val c = one(dc.fieldNames, "DROP COLUMN")
-            if (!(dc.ifExists == java.lang.Boolean.TRUE) ||
-                TxLog.visibleSchemaOf(spark, dir).exists(_._1 == c))
-              TxLog.dropColumn(spark, dir, c)
+            logSide += (() =>
+              if (!(dc.ifExists == java.lang.Boolean.TRUE) ||
+                  TxLog.visibleSchemaOf(spark, dir).exists(_._1 == c))
+                TxLog.dropColumn(spark, dir, c))
           case ud: UpdateColumnDefaultValue =>
             val c = one(ud.fieldNames, "ALTER COLUMN DEFAULT")
             Option(ud.newDefaultValue).map(_.trim).filter(_.nonEmpty) match {
-              case Some(sql) => TxLog.setColumnDefault(dir, c, sql)
-              case None      => TxLog.unsetColumnDefault(dir, c)
+              case Some(sql) =>
+                logSide += (() => TxLog.setColumnDefault(dir, c, sql))
+              case None =>
+                logSide += (() => TxLog.unsetColumnDefault(dir, c))
             }
           case ac: AddConstraint => ac.constraint match {
             case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
-              TxLog.addConstraint(spark, dir, ck.name, ck.predicateSql)
+              logSide += (() =>
+                TxLog.addConstraint(spark, dir, ck.name, ck.predicateSql))
             case other => throw new UnsupportedOperationException(
               s"txlog supports CHECK constraints only, got $other")
           }
           case dcn: DropConstraint =>
-            if (!dcn.ifExists || TxLog.constraintsOf(dir).contains(dcn.name))
-              TxLog.dropConstraint(dir, dcn.name)
+            logSide += (() =>
+              if (!dcn.ifExists || TxLog.constraintsOf(dir).contains(dcn.name))
+                TxLog.dropConstraint(dir, dcn.name))
           case sp: SetProperty if sp.property.equalsIgnoreCase("changeDataFeed") =>
-            sp.value.toLowerCase match {
-              case "true"  => TxLog.enableChangeDataFeed(dir)
-              case "false" => TxLog.disableChangeDataFeed(dir)
+            val enable = sp.value.toLowerCase match {
+              case "true"  => true
+              case "false" => false
               case v => throw new IllegalArgumentException(
                 s"table property changeDataFeed must be true/false, got '$v'")
             }
+            logSide += (() =>
+              if (enable) TxLog.enableChangeDataFeed(dir)
+              else TxLog.disableChangeDataFeed(dir))
           case rp: RemoveProperty if rp.property.equalsIgnoreCase("changeDataFeed") =>
-            TxLog.disableChangeDataFeed(dir)
+            logSide += (() => TxLog.disableChangeDataFeed(dir))
           case p @ (_: SetProperty | _: RemoveProperty) => toCatalog += p
           case unsupported => throw new UnsupportedOperationException(
             s"txlog tables do not support this ALTER shape: $unsupported — " +
@@ -227,8 +245,11 @@ class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
               "COLUMN, SET/DROP DEFAULT, ADD/DROP CHECK CONSTRAINT, " +
               "SET TBLPROPERTIES('changeDataFeed')")
         }
+        // PASS 2 — metastore delegate first (its rejection leaves the
+        // log untouched), then the log commits in statement order
         val rest = toCatalog.result()
         if (rest.nonEmpty) super.alterTable(ident, rest: _*)
+        logSide.result().foreach(_.apply())
         loadTable(ident)
       case None => super.alterTable(ident, changes: _*)
     }

@@ -44,16 +44,21 @@ import graft.sources.TxLog
   * reaches the same conclusion: its DML resolves via injected analyzer
   * rules into engine commands, not via the generic rewrite.
   *
-  * Shape contract (loud, never silent): MERGE must be the full-row
-  * upsert the engine's merge implements — `ON t.k = s.k WHEN MATCHED
-  * THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` (star-expanded
-  * assignments; matched and not-matched values must agree per column)
-  * — anything else (action conditions, partial SET, DELETE actions,
-  * NOT MATCHED BY SOURCE, schema evolution) raises with the supported
-  * shape and the programmatic escape hatch named. Like the API,
-  * `MERGE` assumes the source is key-unique (the usual contract;
-  * duplicate source keys multiply matched rows instead of raising).
-  * DML through a time-travel (`asOf`) relation raises. */
+  * MERGE routes by shape, TWO paths into the engine: a statement that
+  * is provably the whole-row upsert — one unconditional `UPDATE SET *`
+  * plus one unconditional `INSERT *`, matched and not-matched values
+  * agreeing per column, all source-side — compiles to [[TxLog.merge]]
+  * (the probe-pruned replace-or-insert fast path). EVERY other
+  * supported shape — conditional / multiple / partial-SET matched
+  * clauses, matched DELETE, conditional inserts, NOT MATCHED BY
+  * SOURCE UPDATE/DELETE — compiles to [[TxLog.mergeGeneral]]'s
+  * action-tagged rewrite. Both demand `ON target.key = source.key`
+  * (one equi-key; the source side may be a differently-named column)
+  * and a key-unique source (the fast path overwrites on duplicates,
+  * the general path rejects them loud). Still loud, never silent:
+  * WITH SCHEMA EVOLUTION, non-equi ON conditions, nested-field
+  * assignments, and subqueries in clauses raise with the supported
+  * shape named. DML through a time-travel (`asOf`) relation raises. */
 object TxLogSqlDml extends Rule[LogicalPlan] with PredicateHelper {
 
   /** The target-relation matcher: any alias/subquery wrapping peeled,
@@ -264,7 +269,7 @@ object TxLogSqlDml extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
     upsert.getOrElse(
-      planMergeGeneral(t, m, target, source, tKey, byColumn _,
+      planMergeGeneral(t, m, target, source, tKey, sKey, byColumn _,
         why => unsupported(why)))
   }
 
@@ -279,7 +284,7 @@ object TxLogSqlDml extends Rule[LogicalPlan] with PredicateHelper {
     * only); the rendering just preserves it. */
   private def planMergeGeneral(t: TxLogTable, m: MergeIntoTable,
       target: LogicalPlan, source: LogicalPlan,
-      tKey: AttributeReference,
+      tKey: AttributeReference, sKey: AttributeReference,
       byColumn: (Seq[Assignment], String) => Map[String, Expression],
       unsupported: String => Nothing): LogicalPlan = {
     val targetIds = target.outputSet
@@ -321,7 +326,16 @@ object TxLogSqlDml extends Rule[LogicalPlan] with PredicateHelper {
       case other =>
         unsupported(s"unsupported WHEN NOT MATCHED BY SOURCE action $other")
     }
-    TxLogMergeGeneralCommand(t.dir, tKey.name, source,
+    // the SOURCE-side key name rides along (ON t.id = s.customer_id
+    // joins t.`id` = s.`customer_id`, NOT t.`id` = s.`id` — the source
+    // may legitimately also carry an unrelated column named `id`), and
+    // the catalog-declared target schema makes the post-CREATE
+    // bootstrap MERGE (empty table, insert-only in effect) land as an
+    // append instead of rejecting
+    TxLogMergeGeneralCommand(t.dir, tKey.name, sKey.name, source,
+      org.apache.spark.sql.types.StructType(
+        target.output.map(a =>
+          org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))),
       matched, notMatched, bySource)
   }
 }
@@ -379,7 +393,9 @@ case class TxLogMergeCommand(dir: String, key: String,
   * two-sided (`t.`/`s.`) SQL the engine resolves against its
   * action-tagged join. */
 case class TxLogMergeGeneralCommand(dir: String, key: String,
+    srcKey: String,
     source: LogicalPlan,
+    targetSchema: org.apache.spark.sql.types.StructType,
     matched: Seq[TxLog.MergeClause],
     notMatched: Seq[TxLog.MergeInsertClause],
     notMatchedBySource: Seq[TxLog.MergeClause])
@@ -388,7 +404,8 @@ case class TxLogMergeGeneralCommand(dir: String, key: String,
     Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     TxLog.mergeGeneral(session, dir, ColumnShim.ofRows(session, source),
-      key, matched, notMatched, notMatchedBySource)
+      key, matched, notMatched, notMatchedBySource,
+      srcKey = Some(srcKey), targetSchema = Some(targetSchema))
     Seq.empty
   }
 }

@@ -120,14 +120,23 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
     if (opts.containsKey("path"))
       new TxLogTable(batchDir(opts), asOfOf(opts),
         Option(schema).filter(_.nonEmpty), opts)
-    else
+    else if (schema != null && schema.nonEmpty)
       // CREATE TABLE without LOCATION (a MANAGED table):
       // V2SessionCatalog.createTable probes getTable BEFORE the
       // metastore assigns the default table path, so there is no dir
       // to resolve yet — return a create-time descriptor; every
       // post-create resolution re-loads through the catalog and
-      // carries the assigned location
-      new TxLogPendingTable(Option(schema).getOrElse(new StructType()))
+      // carries the assigned location. Only a create probe carries
+      // DECLARED columns — a pathless direct read arrives with the
+      // empty inferSchema result and falls through to the loud error
+      // below instead of a baffling capability failure on a pending
+      // table.
+      new TxLogPendingTable(schema)
+    else
+      throw new IllegalArgumentException(
+        "txlog requires a table dir: spark.read.format(\"txlog\")" +
+          ".load(dir) for direct reads; a MANAGED CREATE TABLE (no " +
+          "LOCATION) must declare its columns")
   }
 
   /** A catalog-declared schema (CREATE TABLE columns / CTAS) is

@@ -305,6 +305,33 @@ class TxLogCatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("mergeSchema"))
   }
 
+  test("a multi-change ALTER validates ALL changes before committing any") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    val dir = mk("cat_atomic", Seq("a" -> 1, "b" -> 2))
+    val head = TxLog.headVersion(dir)
+    // SQL reaches alterTable one action kind at a time, so drive the
+    // catalog contract directly: a valid log-side change FOLLOWED by a
+    // statically-invalid one must reject as a whole — the earlier
+    // change must not have committed first (the pre-fix behavior)
+    val cat = spark.sessionState.catalogManager.currentCatalog
+      .asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array("default"), "cat_atomic")
+    val e = intercept[Exception](cat.alterTable(ident,
+      TableChange.renameColumn(Array("v"), "amount"),
+      TableChange.setProperty("changeDataFeed", "maybe")))
+    assert(e.getMessage.contains("true/false"), s"got: ${e.getMessage}")
+    assert(TxLog.headVersion(dir) == head,
+      "a statement with a late-invalid change must commit nothing")
+    assert(spark.table("cat_atomic").columns.toSeq == Seq("k", "v"),
+      "the earlier valid rename must not have applied")
+    val e2 = intercept[Exception](cat.alterTable(ident,
+      TableChange.renameColumn(Array("v"), "amount"),
+      TableChange.deleteColumn(Array("nested", "field"), false)))
+    assert(e2.getMessage.contains("top-level"), s"got: ${e2.getMessage}")
+    assert(TxLog.headVersion(dir) == head)
+    assert(spark.table("cat_atomic").columns.toSeq == Seq("k", "v"))
+  }
+
   test("ALTER TABLE SET DEFAULT / TBLPROPERTIES bridge to the governance commits") {
     val dir = mk("cat_gov", Seq("a" -> 1))
     spark.sql("ALTER TABLE cat_gov ALTER COLUMN v SET DEFAULT 7")

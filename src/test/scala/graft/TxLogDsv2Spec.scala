@@ -318,4 +318,13 @@ class TxLogDsv2Spec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS txdsv2_r")
     }
   }
+  test("a pathless direct read fails with the table-dir message, not a pending probe") {
+    // MANAGED CREATE TABLE probes getTable without a path (legitimate);
+    // a pathless spark.read must not surface as a capability error on
+    // a pending descriptor — it names the missing dir outright
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("txlog").load()
+    }
+    assert(e.getMessage.contains("table dir"), s"got: ${e.getMessage}")
+  }
 }

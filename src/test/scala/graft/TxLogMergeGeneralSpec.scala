@@ -176,6 +176,59 @@ class TxLogMergeGeneralSpec extends SparkTestBase {
     assert(e3.getMessage.contains("UPDATE/DELETE"))
   }
 
+  test("ON t.key = s.otherName joins the named source column, not a decoy") {
+    import spark.implicits._
+    val dir = seed("mg_skey")
+    // the source's join key is customer_id; it ALSO carries an
+    // unrelated column named `id` (the target key's name) with decoy
+    // values — joining by name would match nothing real and corrupt
+    // the matched/not-matched classification
+    spark.sql("""CREATE OR REPLACE TEMP VIEW mg_skey_src AS
+      SELECT CAST(id AS INT) AS customer_id,
+             CAST(id + 1000 AS INT) AS id,
+             id * 100 AS cents
+      FROM range(8, 12)""")
+    spark.sql("""MERGE INTO mg_skey t USING mg_skey_src s
+      ON t.id = s.customer_id
+      WHEN MATCHED THEN UPDATE SET cents = s.cents
+      WHEN NOT MATCHED THEN INSERT (id, cents) VALUES (s.customer_id, s.cents)""")
+    val want = (0 to 7).map(i => (i, i * 10L)) ++
+      (8 to 11).map(i => (i, i * 100L))
+    assert(rows(spark.table("mg_skey")) == want,
+      "8,9 update in place; 10,11 insert under their customer_id — " +
+        "never under the decoy id")
+  }
+
+  test("MERGE into a freshly created EMPTY table: inserts append, matched/NMBS are vacuous") {
+    import spark.implicits._
+    val dir = freshDir()
+    spark.sql("DROP TABLE IF EXISTS mg_boot")
+    spark.sql(s"""CREATE TABLE mg_boot (id INT, cents BIGINT)
+      USING txlog OPTIONS (path '$dir')""")
+    srcView("mg_boot_src")
+    // a general shape (conditional insert + matched/NMBS clauses that
+    // CANNOT fire — no target rows): the post-CREATE bootstrap pattern
+    spark.sql("""MERGE INTO mg_boot t USING mg_boot_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET cents = s.cents
+      WHEN NOT MATCHED AND s.id % 2 = 0 THEN
+        INSERT (id, cents) VALUES (s.id, s.cents)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(rows(spark.table("mg_boot")) ==
+      Seq(6, 8, 10, 12).map(i => (i, i * 100L)))
+    // API route: targetSchema unlocks the same bootstrap
+    val dirA = freshDir()
+    TxLog.mergeGeneral(spark, dirA,
+      Seq((1, 5L), (2, 6L)).toDF("id", "cents"), "id",
+      notMatched = Seq(TxLog.MergeInsertClause(None,
+        Map("id" -> "s.id", "cents" -> "s.cents"))),
+      targetSchema = Some(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType)))))
+    assert(rows(TxLog.read(spark, dirA)) == Seq((1, 5L), (2, 6L)))
+  }
+
   test("SQL parity: the same general merge through SQL and the API agree") {
     import spark.implicits._
     val (dirS, dirA) = (freshDir(), freshDir())
