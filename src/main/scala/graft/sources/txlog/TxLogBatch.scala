@@ -129,6 +129,10 @@ class TxLogTable(private[txlog] val dir: String,
     * need different schemas). */
   private def streamV2: Boolean =
     TxLogMicroBatch.streamV2(n => Option(props.get(n)))
+  /** The sink's independent default (v2 since r15; write side has no
+    * schema ambiguity — [[TxLogMicroBatch.sinkV2]]). */
+  private def sinkV2: Boolean =
+    TxLogMicroBatch.sinkV2(n => Option(props.get(n)))
   /** The AUTHORITY for the opt-in: schema(), capabilities() and the
     * scan must agree, and only the construction-time props reach all
     * three (per-read scan options never reach capabilities). */
@@ -171,18 +175,17 @@ class TxLogTable(private[txlog] val dir: String,
     // table claims BATCH_WRITE — the Write we build is a V1Write, and
     // the physical strategy dispatches on THAT (AppendDataExecV1), so
     // toBatch() is never reached
-    if (streamV2)
-      // STREAMING_WRITE rides the same opt-in: writeStream routes to
-      // the DSv2 TxLogStreamingWrite instead of the v1 Sink fallback
-      java.util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.MICRO_BATCH_READ,
-        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-        TableCapability.STREAMING_WRITE,
-        TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
-    else
-      java.util.EnumSet.of(TableCapability.BATCH_READ,
+    {
+      // the READ half stays opt-in (schema ambiguity — see
+      // TxLogMicroBatch.streamV2); the SINK defaults to the DSv2
+      // StreamingWrite since r15, with streamApi=v1 the escape hatch
+      val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
         TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      if (streamV2) caps.add(TableCapability.MICRO_BATCH_READ)
+      if (sinkV2) caps.add(TableCapability.STREAMING_WRITE)
+      caps
+    }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxLogScanBuilder(SparkSession.active, dir, asOf, this,
       n => Option(options.get(n)).orElse(Option(props.get(n))))
@@ -281,9 +284,9 @@ class TxLogWriteBuilder(dir: String, asOf: Int, info: LogicalWriteInfo,
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(asOf < 0,
         "cannot stream-write through a time-travel (asOf) txlog relation")
-      require(TxLogMicroBatch.streamV2(opt),
-        "txlog streaming write reached the DSv2 path without " +
-          "streamApi=v2 — the default streaming sink is the v1 Sink")
+      require(TxLogMicroBatch.sinkV2(opt),
+        "txlog streaming write reached the DSv2 path under " +
+          "streamApi=v1 — the v1 Sink should have claimed this write")
       val mergeKey = opt("mergeKey")
       val mergeSchema = TxLogSource.strictBool(opt, "mergeSchema")
       require(!(mergeKey.nonEmpty && truncateFirst),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.sources.TxLog
 
 /** The native streaming sink over a TxLog table
-  * (`writeStream.format("txlog")`) — the write half of the CDC pair:
+  * (`writeStream.format("txlog").option("streamApi", "v1")`) — the write half of the CDC pair:
   * Append mode appends one idempotent segment per micro-batch, Update
   * mode (with `mergeKey`) applies each batch as a merge-on-read
   * upsert, Complete mode replaces the table per trigger. All three
@@ -35,7 +35,7 @@ class TxLogStreamSinkSpec extends SparkTestBase {
   test("append mode: one idempotent commit per micro-batch, replay skipped") {
     val src = feedDir()
     val out = freshDir("graft-sinkout")
-    val q = feed(src).writeStream.format("txlog")
+    val q = feed(src).writeStream.format("txlog").option("streamApi", "v1")
       .option("path", out).option("statsCols", "id")
       .option("checkpointLocation", freshDir("graft-sinkckpt"))
       .outputMode("append").start()
@@ -60,7 +60,7 @@ class TxLogStreamSinkSpec extends SparkTestBase {
     val src = feedDir()
     val out = freshDir("graft-sinkout")
     val ckpt = freshDir("graft-sinkckpt")
-    def start() = feed(src).writeStream.format("txlog")
+    def start() = feed(src).writeStream.format("txlog").option("streamApi", "v1")
       .option("path", out).option("checkpointLocation", ckpt)
       .outputMode("append").start()
     val q1 = start()
@@ -81,7 +81,7 @@ class TxLogStreamSinkSpec extends SparkTestBase {
     // seed the table with stale values for half the keys
     TxLog.append(spark.range(0L, 20L)
       .select(col("id"), (col("id") % 4).as("k"), lit(-1L).as("v")), out)
-    val q = feed(src).writeStream.format("txlog")
+    val q = feed(src).writeStream.format("txlog").option("streamApi", "v1")
       .option("path", out).option("mergeKey", "id")
       .option("checkpointLocation", freshDir("graft-sinkckpt"))
       .outputMode("update").start()
@@ -116,7 +116,7 @@ class TxLogStreamSinkSpec extends SparkTestBase {
       .coalesce(1).write.mode("append").parquet(srcB)
     val out = freshDir("graft-sinkout")
     def run(src: String): Unit = {
-      val q = feed(src).writeStream.format("txlog")
+      val q = feed(src).writeStream.format("txlog").option("streamApi", "v1")
         .option("path", out)
         .option("checkpointLocation", freshDir("graft-sinkckpt"))
         .outputMode("append").start()
@@ -134,7 +134,7 @@ class TxLogStreamSinkSpec extends SparkTestBase {
     val out = freshDir("graft-sinkout")
     val q = feed(src)
       .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("v_sum"))
-      .writeStream.format("txlog")
+      .writeStream.format("txlog").option("streamApi", "v1")
       .option("path", out)
       .option("checkpointLocation", freshDir("graft-sinkckpt"))
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -160,7 +160,7 @@ class TxLogStreamSinkSpec extends SparkTestBase {
         org.apache.spark.sql.Row] => org.apache.spark.sql.streaming
         .DataStreamWriter[org.apache.spark.sql.Row]): Throwable =
       intercept[Exception] {
-        val q = f(feed(src).writeStream.format("txlog").option("path", out)
+        val q = f(feed(src).writeStream.format("txlog").option("streamApi", "v1").option("path", out)
           .option("checkpointLocation", freshDir("graft-sinkckpt"))).start()
         try q.processAllAvailable() finally q.stop()
       }
@@ -184,7 +184,7 @@ class TxLogStreamSinkSpec extends SparkTestBase {
       .filter(col("_commit_op").startsWith("append") ||
         col("_commit_op").startsWith("stream-"))
       .drop("_commit_version", "_commit_op")
-      .writeStream.format("txlog")
+      .writeStream.format("txlog").option("streamApi", "v1")
       .option("path", dstTable).option("checkpointLocation", ckpt)
       .outputMode("append").start()
     val q = relay()
@@ -206,7 +206,7 @@ class TxLogStreamSinkSpec extends SparkTestBase {
     val out = freshDir("graft-sinkout")
     val q = feed(src)
       .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("v_sum"))
-      .writeStream.format("txlog")
+      .writeStream.format("txlog").option("streamApi", "v1")
       .option("path", out).option("statsCols", "k")
       .option("checkpointLocation", freshDir("graft-sinkckpt"))
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -228,7 +228,7 @@ class TxLogStreamSinkSpec extends SparkTestBase {
       Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
     def run(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
             merge: Boolean): Throwable = {
-      var w = f(feed(src)).writeStream.format("txlog")
+      var w = f(feed(src)).writeStream.format("txlog").option("streamApi", "v1")
         .option("path", out).option("checkpointLocation", freshDir("graft-sinkckpt"))
       if (merge) w = w.option("mergeSchema", "true")
       intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
@@ -262,7 +262,7 @@ class TxLogStreamSinkSpec extends SparkTestBase {
       val base = feed(src).select(col("id"), col("k"), col("v"))
       val proj = if (extraCol) base.withColumn("tag", concat(lit("t"), col("k")))
                  else base
-      var w = proj.writeStream.format("txlog")
+      var w = proj.writeStream.format("txlog").option("streamApi", "v1")
         .option("path", out).option("checkpointLocation", ckpt)
       if (merge) w = w.option("mergeSchema", "true")
       val q = w.outputMode("append").trigger(Trigger.AvailableNow()).start()

@@ -39,6 +39,29 @@ class TxLogStreamSinkV2Spec extends SparkTestBase {
     TxLog.liveSegments(dir).filter(_.matches(
       "seg-[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}-\\d+"))
 
+  test("the sink DEFAULT is v2 (r15 flip): no option → task-staged segments") {
+    val src = feedDir()
+    val out = freshDir("graft-sinkout")
+    val q = feed(src).writeStream.format("txlog")
+      .option("path", out)
+      .option("checkpointLocation", freshDir("graft-sinkckpt"))
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(TxLog.read(spark, out).count() == 40)
+    assert(v2Segs(out).size == 4,
+      s"default writeStream must stage v2, got ${TxLog.liveSegments(out)}")
+    // the narrow escape hatch still selects the v1 Sink
+    val out1 = freshDir("graft-sinkout")
+    val q1 = feed(src).writeStream.format("txlog")
+      .option("path", out1).option("streamApi", "v1")
+      .option("checkpointLocation", freshDir("graft-sinkckpt"))
+      .outputMode("append").start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(TxLog.read(spark, out1).count() == 40)
+    assert(v2Segs(out1).isEmpty,
+      s"streamApi=v1 must stage v1 segments, got ${TxLog.liveSegments(out1)}")
+  }
+
   test("v2 append: one idempotent commit per micro-batch, replay skipped") {
     val src = feedDir()
     val out = freshDir("graft-sinkout")
@@ -77,7 +100,7 @@ class TxLogStreamSinkV2Spec extends SparkTestBase {
       val q = w.outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
     }
-    run(None) // v1 drains the 4 seed batches
+    run(Some("v1")) // v1 (explicit since the r15 default flip) drains the 4 seed batches
     assert(TxLog.headVersion(out) == 3)
     // two more feed files land while the query is down; v2 resumes
     (4 until 6).foreach(i =>
