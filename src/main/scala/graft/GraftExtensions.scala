@@ -37,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the engine's own commit machinery; see TxLogSqlDml for why this
     // bridge beats the generic SupportsRowLevelOperations rewrite here
     ext.injectPostHocResolutionRule(_ => graft.sources.txlog.TxLogSqlDml)
+    // the bare maintenance statements (OPTIMIZE / VACUUM / DESCRIBE
+    // HISTORY, Delta's spellings) — parser-level sugar that rewrites
+    // to CALL system.<proc> text and re-parses, so statements and
+    // procedures are ONE implementation (GraftSqlParser)
+    ext.injectParser((_, delegate) =>
+      new graft.sources.txlog.GraftSqlParser(delegate))
     ext.injectFunction((FunctionIdentifier("minhash_md5"),
       new ExpressionInfo(classOf[MinHashMd5].getName, "minhash_md5"),
       Functions.minhashMd5Builder))

@@ -4362,6 +4362,52 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // The BARE maintenance STATEMENTS (r15): OPTIMIZE / VACUUM /
+    // DESCRIBE HISTORY as Delta-spelled SQL — parser sugar that
+    // rewrites each to the CALL system.<proc> text (GraftSqlParser),
+    // so this key proves the statement spellings drive the SAME
+    // engine tape the procedures key drives. Content-neutral
+    // maintenance: the final relation is the same orders aggregation.
+    "table_log_maintenance_sql" -> ((s, d) => {
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = s"/tmp/graft_txmaint_$tag"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)
+      val tbl = s"graft_txmaint_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl USING txlog OPTIONS (path '$dir') AS
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0""")
+      s.sql(s"""INSERT INTO $tbl
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 1""")
+      val hist = s.sql(s"DESCRIBE HISTORY $tbl").collect()
+      require(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((0L, "append"), (1L, "append")),
+        s"DESCRIBE HISTORY must show the two appends, got ${hist.mkString}")
+      s.sql(s"OPTIMIZE $tbl ZORDER BY (o_orderkey)")             // v2
+      require(graft.sources.TxLog.commitOp(dir, 2) == "optimize",
+        "OPTIMIZE ... ZORDER BY must land as an optimize commit")
+      // the where-framed spelling re-clusters only the stats frame
+      s.sql(s"OPTIMIZE $tbl WHERE o_orderkey BETWEEN 1 AND 500 " +
+        "ZORDER BY (o_orderkey)")                                // v3
+      s.sql(s"OPTIMIZE $tbl")                                    // v4: compact
+      require(graft.sources.TxLog.commitOp(dir, 4) == "compact",
+        "plain OPTIMIZE must consolidate (compact)")
+      require(graft.sources.TxLog.liveSegments(dir).size == 1,
+        "plain OPTIMIZE must leave one live segment")
+      val dry = s.sql(s"VACUUM $tbl KEEP 1 VERSIONS DRY RUN").collect()
+      require(dry.head.getLong(0) > 0, "DRY RUN must report reclaimables")
+      val real = s.sql(s"VACUUM $tbl KEEP 1 VERSIONS").collect()
+      require(real.head.getLong(0) == dry.head.getLong(0),
+        "real VACUUM must reclaim exactly what DRY RUN reported")
+      s.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // MoR SQL DML — the same four-statement tape as table_log_sql_dml
     // but on a table declaring TBLPROPERTIES('dmlMode'='mor'): every
     // statement lands as a deletion-vector / tombstone commit
@@ -7001,6 +7047,13 @@ object SparkEntry {
     // compact / vacuum are content-neutral physical maintenance — so
     // the surviving logical tape is just CTAS + INSERT = all orders
     "table_log_procedures_sql" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // maintenance is content-neutral: the statement tape ends at the
+    // same full-orders aggregation the procedures tape ends at
+    "table_log_maintenance_sql" ->
       """SELECT o_orderstatus, count(*) AS n,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                   AS cents

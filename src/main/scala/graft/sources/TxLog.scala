@@ -3565,7 +3565,8 @@ object TxLog {
     * reclamation engine (live-set union, DV sidecar liveness,
     * external-ref ownership). */
   def vacuumRetain(dir: String, retainMillis: Long,
-                   asOfMillis: Long = System.currentTimeMillis): Seq[String] = {
+                   asOfMillis: Long = System.currentTimeMillis,
+                   dryRun: Boolean = false): Seq[String] = {
     require(retainMillis >= 0, s"negative retention $retainMillis")
     val head = headVersion(dir)
     if (head < 0) return Seq.empty
@@ -3573,7 +3574,7 @@ object TxLog {
     val horizon =
       if (cutoff < commitTimestamp(dir, 0)) 0
       else versionAsOfTimestamp(dir, cutoff)
-    vacuum(dir, keepVersions = head - horizon + 1)
+    vacuum(dir, keepVersions = head - horizon + 1, dryRun = dryRun)
   }
 
   /** Change data feed for append-only consumption: every row ADDED by

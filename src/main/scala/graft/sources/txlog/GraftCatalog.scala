@@ -366,13 +366,20 @@ private[txlog] object GraftProcedures {
   }
 
   private val vacuum = new Proc("vacuum",
-    "delete segments unreferenced by the last keep_versions snapshots",
+    "delete segments unreferenced by the last keep_versions snapshots " +
+      "(or, with retain_hours, by any snapshot younger than the cutoff " +
+      "— Delta's RETAIN spelling)",
     Array(p("table", StringType), pd("keep_versions", IntegerType, "2"),
-      pd("dry_run", BooleanType, "false")),
+      pd("dry_run", BooleanType, "false"),
+      pd("retain_hours", DoubleType, "NULL")),
     StructType(Seq(StructField("removed_files", LongType, nullable = false)))) {
     override def run(spark: SparkSession, a: InternalRow): Seq[InternalRow] = {
-      val removed = TxLog.vacuum(dirOf(spark, str(a, 0)), a.getInt(1),
-        dryRun = a.getBoolean(2))
+      val dir = dirOf(spark, str(a, 0))
+      val removed =
+        if (a.isNullAt(3)) TxLog.vacuum(dir, a.getInt(1),
+          dryRun = a.getBoolean(2))
+        else TxLog.vacuumRetain(dir,
+          (a.getDouble(3) * 3600 * 1000).toLong, dryRun = a.getBoolean(2))
       Seq(InternalRow(removed.size.toLong))
     }
   }

@@ -255,6 +255,48 @@ class TxLogCatalogSpec extends SparkTestBase {
     assert(ks(spark.table("cat_mx")) == Seq("c"))
   }
 
+  test("bare OPTIMIZE / VACUUM / DESCRIBE HISTORY statements are CALL sugar") {
+    val dir = mk("cat_stmt", Seq("a" -> 1, "b" -> 2), Seq("c" -> 3))
+    // DESCRIBE HISTORY ≡ CALL system.history, row for row
+    val viaStmt = spark.sql("DESCRIBE HISTORY cat_stmt").collect().toSeq
+    val viaCall = spark.sql("CALL system.history('cat_stmt')").collect().toSeq
+    assert(viaStmt == viaCall)
+    // plain OPTIMIZE consolidates (compact); ZORDER re-clusters
+    spark.sql("OPTIMIZE cat_stmt")
+    assert(TxLog.commitOp(dir, 2) == "compact")
+    assert(TxLog.liveSegments(dir).size == 1)
+    spark.sql("OPTIMIZE cat_stmt ZORDER BY (k)")
+    assert(TxLog.commitOp(dir, 3) == "optimize")
+    assert(ks(spark.table("cat_stmt")) == Seq("a", "b", "c"),
+      "maintenance statements must be content-neutral")
+    // the path spelling reaches the same procedures; DRY RUN deletes
+    // nothing, the real run reclaims the reported segments from disk
+    val preSegs = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("seg-"))
+    val dry = spark.sql(s"VACUUM '$dir' KEEP 1 VERSIONS DRY RUN").collect()
+    assert(dry.head.getLong(0) > 0)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("seg-")) == preSegs, "DRY RUN must not delete")
+    spark.sql(s"VACUUM txlog.`$dir` KEEP 1 VERSIONS")
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("seg-")) ==
+        preSegs - dry.head.getLong(0).toInt,
+      "real VACUUM must reclaim exactly what DRY RUN reported")
+    // Delta's hour-based retention maps to the engine's vacuumRetain:
+    // everything is younger than 168h, so nothing reclaims
+    assert(spark.sql("VACUUM cat_stmt RETAIN 168 HOURS DRY RUN")
+      .collect().head.getLong(0) == 0)
+    val both = intercept[Exception](
+      spark.sql("VACUUM cat_stmt KEEP 1 VERSIONS RETAIN 1 HOURS"))
+    assert(both.getMessage.contains("not both"), s"got: ${both.getMessage}")
+    val e2 = intercept[Exception](
+      spark.sql("OPTIMIZE cat_stmt WHERE k > 'a' ZORDER BY (k)"))
+    assert(e2.getMessage.contains("BETWEEN"), s"got: ${e2.getMessage}")
+    // unclaimed statements pass through the delegate untouched
+    assert(spark.sql("SELECT 'OPTIMIZE t' AS s").head().getString(0)
+      == "OPTIMIZE t")
+  }
+
   test("TBLPROPERTIES dmlMode=mor routes SQL DML through deletion vectors") {
     val dir = freshDir()
     spark.sql("DROP TABLE IF EXISTS cat_mor")
