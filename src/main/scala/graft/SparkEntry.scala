@@ -1012,10 +1012,20 @@ object SparkEntry {
     "count_distinct" -> ((s, d) =>
       orders(s, d).agg(countDistinct(col("o_custkey")).as("n"))),
 
-    // §2.4 — HLL sketch variant, the 100 TB path for A1 (rows-only: HLL
-    // estimates differ across engines; accuracy asserted in spec)
+    // §2.4 — HLL sketch variant, the 100 TB path for A1. The raw HLL
+    // estimate differs across engines, so the ORACLE-CHECKABLE surface
+    // (r15) is the error CONTRACT: the exact count (hash-matched
+    // against DuckDB's COUNT DISTINCT) plus a boolean asserting the
+    // estimate landed within 5×rsd of it — DuckDB answers `true` by
+    // definition, so a drifting estimator hash-mismatches the gate
+    // instead of hiding behind rows-only.
     "approx_distinct" -> ((s, d) =>
-      orders(s, d).agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_approx"))),
+      orders(s, d).agg(
+          countDistinct(col("o_custkey")).as("n_exact"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+        .select(col("n_exact"),
+          (abs(col("approx") - col("n_exact")) <=
+            col("n_exact") * lit(0.10)).as("within_bound"))),
 
     // §2.4 A2 — group + sorted collect list + concat (posting-list shape)
     "group_collect_list" -> ((s, d) =>
@@ -4408,6 +4418,62 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // PARTITIONED txlog tables (r15): CREATE ... PARTITIONED BY lands
+    // a partcols governance commit; every write splits into one
+    // value-labeled segment per partition tuple with exact min=max +
+    // zero-null stats, so the EXISTING triage prunes partition reads
+    // to the matching dirs (plan-guarded via plannedSegments) and a
+    // partition-predicate DELETE / REPLACE WHERE drops whole segments
+    // from METADATA (guarded: the delete adds no segments). The
+    // partition column stays ordinary data in the files — split and
+    // unsplit segments co-scan. The oracle replays the tape
+    // relationally: all orders, minus the dropped partition, with the
+    // replaced partition's rows substituted.
+    "table_log_partitioned" -> ((s, d) => {
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = s"/tmp/graft_txpart_$tag"
+      graft.sources.TxLog.deleteRecursively(new java.io.File(dir).toPath)
+      val tbl = s"graft_txpart_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl USING txlog OPTIONS (path '$dir')
+        PARTITIONED BY (o_orderstatus) AS
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM parquet.`$d/orders.parquet`""")
+      require(graft.sources.TxLog.partitionColumnsOf(dir) ==
+        Seq("o_orderstatus"), "CTAS must record the partition spec")
+      val segs0 = graft.sources.TxLog.liveSegments(dir)
+      require(segs0.forall(_.contains("o_orderstatus=")) && segs0.size == 3,
+        s"one value-labeled segment per status, got $segs0")
+      // PLAN GUARD: a partition-filtered scan lists ONLY the matching
+      // partition's dirs
+      val planned = graft.sources.txlog.TxLogBatch.plannedSegments(
+        s.read.format("txlog").load(dir)
+          .filter(col("o_orderstatus") === "F"))
+      require(planned.nonEmpty && planned.forall(_.contains("o_orderstatus=F")),
+        s"partition filter must scan only o_orderstatus=F dirs, got $planned")
+      // partition DELETE: metadata-only — the commit adds NOTHING and
+      // removes exactly the partition's segments
+      s.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'P'")
+      val after = graft.sources.TxLog.liveSegments(dir)
+      require(after.toSet.subsetOf(segs0.toSet) &&
+        (segs0.toSet -- after.toSet).forall(_.contains("o_orderstatus=P")),
+        "a partition drop must remove whole segments and rewrite none")
+      // partition REPLACE WHERE: the old partition drops wholesale,
+      // the incoming frame lands split
+      s.sql(s"""INSERT INTO $tbl REPLACE WHERE o_orderstatus = 'F'
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) + 1 AS cents
+        FROM parquet.`$d/orders.parquet` WHERE o_orderstatus = 'F'""")
+      require(graft.sources.TxLog.liveSegments(dir)
+        .forall(_.contains("o_orderstatus=")),
+        "the replaceWhere rewrite must stay value-labeled")
+      s.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // MoR SQL DML — the same four-statement tape as table_log_sql_dml
     // but on a table declaring TBLPROPERTIES('dmlMode'='mor'): every
     // statement lands as a deletion-vector / tombstone commit
@@ -7051,6 +7117,15 @@ object SparkEntry {
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                   AS cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the partition tape replayed relationally: drop status P, bump
+    // status F by the replaceWhere's +1, keep O untouched
+    "table_log_partitioned" ->
+      """SELECT o_orderstatus, count(*) AS n, CAST(sum(
+           CAST(round(o_totalprice * 100) AS BIGINT) +
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS cents
+         FROM orders WHERE o_orderstatus <> 'P'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // maintenance is content-neutral: the statement tape ends at the
     // same full-orders aggregation the procedures tape ends at
     "table_log_maintenance_sql" ->
@@ -9353,6 +9428,13 @@ object SparkEntry {
          SELECT user_id, min(t_us) AS start_us,
              max(t_us) + 1800000000 AS end_us, count(*) AS n_events
          FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
+    // the HLL estimate itself is engine-specific; what IS checkable is
+    // the exact count plus the error contract (estimate within 5×rsd),
+    // which DuckDB answers `true` by definition — a drifting estimator
+    // now hash-mismatches instead of hiding behind a rows-only check
+    "approx_distinct" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+                true AS within_bound FROM orders""",
     // the bitmap path must equal the plain exact distinct
     "bitmap_distinct" ->
       """SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust

@@ -87,7 +87,13 @@ object TxLog {
   /** Per-segment, per-column min/max recorded at write time — the
     * data-skipping stats of the log formats. `typeName` decides the
     * comparison domain at prune time (numeric vs lexicographic). */
-  private[graft] case class ColStats(typeName: String, min: String, max: String)
+  /** Per-segment, per-column skipping stats. `nulls` is the RECORDED
+  * null count (-1 = unknown, the pre-r15 line format): min/max alone
+  * can prove a predicate EXCLUDES a segment, but proving it matches
+  * ALL rows (the metadata-only whole-segment DML drop) additionally
+  * needs "no nulls" — a null row fails every comparison. */
+private[graft] case class ColStats(typeName: String, min: String,
+                                   max: String, nulls: Long = -1L)
 
   /** Per-segment, per-column Bloom filter recorded at write time — the
     * point-lookup complement to [[ColStats]]: range min/max cannot
@@ -147,7 +153,8 @@ object TxLog {
                            genSets: Seq[(String, String)] = Seq.empty,
                            genUnsets: Seq[String] = Seq.empty,
                            cdfSet: Option[Boolean] = None,
-                           cdc: Seq[(String, String)] = Seq.empty)
+                           cdc: Seq[(String, String)] = Seq.empty,
+                           partCols: Option[Seq[String]] = None)
 
   /** Replayed log state as of some version: what every reader/pruner
     * actually consumes — built from checkpoint + tail, never a full
@@ -168,7 +175,8 @@ object TxLog {
                            constraints: Map[String, String] = Map.empty,
                            defaults: Map[String, String] = Map.empty,
                            generated: Map[String, String] = Map.empty,
-                           cdfEnabled: Boolean = false) {
+                           cdfEnabled: Boolean = false,
+                           partitionCols: Seq[String] = Seq.empty) {
     /** logical name → PHYSICAL (stored) name, for mapped columns. */
     def physByLogical: Map[String, String] = renames.map(_.swap)
     /** The physical (stored) name behind a user-facing column name. */
@@ -202,7 +210,11 @@ object TxLog {
       s.defaults.toSeq.sorted.map { case (n, e) => s"d:${enc(n)}=${enc(e)}" } ++
       s.generated.toSeq.sorted.map { case (n, e) => s"g:${enc(n)}=${enc(e)}" } ++
       s.dropped.toSeq.sorted.map(n => s"x:${enc(n)}") ++
-      s.renames.toSeq.sorted.map { case (p, l) => s"r:${enc(p)}=${enc(l)}" })
+      s.renames.toSeq.sorted.map { case (p, l) => s"r:${enc(p)}=${enc(l)}" } ++
+      // partitioning shapes how a staged batch is laid out (one
+      // segment per tuple) — a spec landing under an in-flight blind
+      // append must force the restage like any governance change
+      s.partitionCols.map(c => s"p:${enc(c)}"))
       .mkString(";")
 
   /** Test hook: the table's CURRENT governance fingerprint (what a
@@ -421,6 +433,9 @@ object TxLog {
       line.split("\\|", -1) match {
         case Array(seg, c, tn, mn, mx) =>
           Some((dec(seg), dec(c)) -> ColStats(dec(tn), dec(mn), dec(mx)))
+        case Array(seg, c, tn, mn, mx, nn) =>
+          Some((dec(seg), dec(c)) -> ColStats(dec(tn), dec(mn), dec(mx),
+            nn.toLongOption.getOrElse(-1L)))
         case _ => None // malformed / future-format stats line: ignorable metadata
       }
     }.toMap
@@ -482,7 +497,9 @@ object TxLog {
       cdc = vals(lines, "cdc").flatMap(_.split("\\|", -1) match {
         case Array(f, t) => Some((dec(f), dec(t)))
         case _           => None
-      }))
+      }),
+      partCols = vals(lines, "partcols").headOption
+        .map(_.split("\\|", -1).toSeq.map(dec)))
 
   private def parseProtocol(s: String): Option[(Int, Int)] =
     s.split("\\|", -1) match {
@@ -548,7 +565,9 @@ object TxLog {
           case Array(n, c) => Some((dec(n), dec(c)))
           case _           => None
         }).toMap,
-        cdfEnabled = vals(lines, "setcdf").headOption.contains("true")))
+        cdfEnabled = vals(lines, "setcdf").headOption.contains("true"),
+        partitionCols = vals(lines, "partcols").headOption
+          .map(_.split("\\|", -1).toSeq.map(dec)).getOrElse(Seq.empty)))
     } catch { case _: java.io.IOException => None }
 
   /** Newest checkpoint at-or-before `asOf` (-1 = no bound): pointer
@@ -594,6 +613,7 @@ object TxLog {
     var defs = cp.map(_.defaults).getOrElse(Map.empty[String, String])
     var gens = cp.map(_.generated).getOrElse(Map.empty[String, String])
     var cdf = cp.exists(_.cdfEnabled)
+    var pcols = cp.map(_.partitionCols).getOrElse(Seq.empty[String])
     var version = cp.map(_.version).getOrElse(-1)
     var v = version + 1
     while ((asOf < 0 || v <= asOf) && st.exists(entryPath(dir, v))) {
@@ -620,6 +640,7 @@ object TxLog {
       defs = defs ++ e.defSets -- e.defUnsets
       gens = gens ++ e.genSets -- e.genUnsets
       e.cdfSet.foreach(cdf = _)
+      e.partCols.foreach(pcols = _)
       version = v; v += 1
     }
     // reader gate: refusing is the only safe response to a floor above
@@ -631,7 +652,7 @@ object TxLog {
           s"supports $SupportedReaderVersion — upgrade the client to read")
     State(version, live.toSeq, stats, blooms, ops, dvs, renames, dropped,
       protocol = proto, constraints = cons, defaults = defs,
-      generated = gens, cdfEnabled = cdf)
+      generated = gens, cdfEnabled = cdf, partitionCols = pcols)
   }
 
   /** Fold the state at version `v` into a checkpoint file + advance
@@ -665,7 +686,9 @@ object TxLog {
             s"default=${enc(n)}|${enc(c)}" } ++
           s.generated.toSeq.sorted.map { case (n, c) =>
             s"generated=${enc(n)}|${enc(c)}" } ++
-          (if (s.cdfEnabled) Seq("setcdf=true") else Seq.empty))
+          (if (s.cdfEnabled) Seq("setcdf=true") else Seq.empty) ++
+          (if (s.partitionCols.isEmpty) Seq.empty
+           else Seq("partcols=" + s.partitionCols.map(enc).mkString("|"))))
           .mkString("", "\n", "\n")
         // idempotent across racing checkpointers: same version folds the
         // same content, so losing the put-if-absent race is fine
@@ -721,7 +744,8 @@ object TxLog {
   private def statLines(stats: Map[(String, String), ColStats]): Seq[String] =
     stats.toSeq.sortBy { case ((seg, c), _) => (seg, c) }
       .map { case ((seg, c), st) =>
-        s"stats=${enc(seg)}|${enc(c)}|${enc(st.typeName)}|${enc(st.min)}|${enc(st.max)}"
+        s"stats=${enc(seg)}|${enc(c)}|${enc(st.typeName)}|${enc(st.min)}|" +
+          s"${enc(st.max)}|${st.nulls}"
       }
 
   private def bloomLines(blooms: Map[(String, String), BloomStats]): Seq[String] =
@@ -1000,6 +1024,40 @@ object TxLog {
       extraLines = Seq(s"unsetdefault=${enc(colName)}"))
   }
 
+  /** Declare HIVE-STYLE PARTITION COLUMNS (`CREATE TABLE … PARTITIONED
+    * BY` / the programmatic twin): a metadata-only governance commit
+    * recording the spec in the LOG — from then on every row-adding
+    * write splits its batch into one value-labeled segment per present
+    * partition tuple with exact (min=max) stats, so the EXISTING
+    * segment triage gives exact partition pruning and partition-
+    * predicate DELETE/REPLACE WHERE drop whole partitions from
+    * metadata (see [[newSegments]] for the layout). Set-once-on-empty:
+    * the spec must land before any data (retro-partitioning existing
+    * segments would be a rewrite — that's OPTIMIZE's job, not a
+    * metadata commit); re-declaring the identical spec is an idempotent
+    * no-op (CTAS and CREATE OR REPLACE replay it). Streaming-sink
+    * segments stay unsplit (correct reads — the partition column is
+    * ordinary data everywhere; partition DMLs on them rewrite instead
+    * of metadata-drop) until an OPTIMIZE/compact re-splits them. */
+  def setPartitionColumns(dir: String, cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "PARTITIONED BY needs at least one column")
+    require(cols.distinct == cols, s"duplicate partition column in $cols")
+    val snap = snapshotOrEmpty(dir)
+    if (snap.partitionCols == cols) return snap.version
+    require(snap.partitionCols.isEmpty,
+      s"$dir is already partitioned by ${snap.partitionCols.mkString(", ")}" +
+        " — the spec is immutable once set")
+    require(snap.live.isEmpty,
+      s"$dir already holds data — declare PARTITIONED BY before the " +
+        "first write (existing layout rewrites are OPTIMIZE's job)")
+    commit(dir, "set_partition", Seq.empty, Seq.empty, Some(snap.version),
+      extraLines = Seq("partcols=" + cols.map(enc).mkString("|")))
+  }
+
+  /** The table's declared partition columns (empty = unpartitioned). */
+  def partitionColumnsOf(dir: String): Seq[String] =
+    snapshotOrEmpty(dir).partitionCols
+
   /** ALTER TABLE DROP CONSTRAINT: metadata-only commit. */
   def dropConstraint(dir: String, name: String): Int = {
     val snap = state(dir)
@@ -1037,27 +1095,26 @@ object TxLog {
     if (store(dir).isDirectory(logDir(dir))) state(dir)
     else State(-1, Seq.empty, Map.empty, Map.empty, Set.empty, Map.empty)
 
-  private def newSegment(dir: String, df: DataFrame,
-                         applyDefaults: Boolean = true,
-                         snapOpt: Option[State] = None): String = {
-    val name = s"seg-${java.util.UUID.randomUUID}"
-    val snap = snapOpt.getOrElse(snapshotOrEmpty(dir))
-    // COLUMN DEFAULTS: a batch that LACKS a defaulted column gets it
-    // materialized at write time (Delta's defaultColumns — defaults
-    // shape new writes only; rows written before the default existed
-    // read as null, not retroactively rewritten). Applied before the
-    // physical re-label and before the constraint check, so a
-    // constraint over a defaulted column sees the filled value.
-    // GENERATED columns provided by the writer are validated below;
-    // absent ones are computed exactly like defaults (Delta's split:
-    // compute on INSERT-without, validate on INSERT-with)
+  /** COLUMN DEFAULTS: a batch that LACKS a defaulted column gets it
+    * materialized at write time (Delta's defaultColumns — defaults
+    * shape new writes only; rows written before the default existed
+    * read as null, not retroactively rewritten). Applied before the
+    * physical re-label and before the constraint check, so a
+    * constraint over a defaulted column sees the filled value.
+    * GENERATED columns provided by the writer are validated at the
+    * invariant scan; absent ones are computed exactly like defaults
+    * (Delta's split: compute on INSERT-without, validate on
+    * INSERT-with). TWO ORDERED passes, defaults strictly before
+    * generated: a generated expression legitimately references
+    * data/defaulted columns (the table_log_generated shape), so
+    * filling both in one unordered Map fold would make
+    * `GENERATED ... AS (f(defaulted))` on a batch missing BOTH columns
+    * succeed or throw depending on hash iteration order — a
+    * nondeterministic spurious write failure. Returns the filled frame
+    * plus the writer-provided generated-column set. */
+  private def fillGoverned(df: DataFrame, snap: State,
+                           applyDefaults: Boolean): (DataFrame, Set[String]) = {
     val providedGen = snap.generated.keySet.filter(df.columns.contains)
-    // TWO ORDERED passes, defaults strictly before generated: a
-    // generated expression legitimately references data/defaulted
-    // columns (the table_log_generated shape), so filling both in one
-    // unordered Map fold would make `GENERATED ... AS (f(defaulted))`
-    // on a batch missing BOTH columns succeed or throw depending on
-    // hash iteration order — a nondeterministic spurious write failure
     val filled =
       if (!applyDefaults) df
       else {
@@ -1068,11 +1125,97 @@ object TxLog {
           .foldLeft(defaulted) { case (d, (c, e)) =>
             if (d.columns.contains(c)) d else d.withColumn(c, expr(e)) }
       }
+    (filled, providedGen)
+  }
+
+  private def newSegment(dir: String, df: DataFrame,
+                         applyDefaults: Boolean = true,
+                         snapOpt: Option[State] = None): String = {
+    val name = s"seg-${java.util.UUID.randomUUID}"
+    val snap = snapOpt.getOrElse(snapshotOrEmpty(dir))
+    val (filled, providedGen) = fillGoverned(df, snap, applyDefaults)
     // segment bytes always carry PHYSICAL column names (column
     // mapping's storage invariant — reads re-label, writes un-label)
     toPhysical(filled, snap).write.mode("overwrite").parquet(s"$dir/$name")
     enforceWriteInvariants(df.sparkSession, dir, name, snap, providedGen)
     name
+  }
+
+  /** Stage a row-adding batch on a PARTITIONED table as ONE SEGMENT
+    * PER PARTITION TUPLE (the unpartitioned case degenerates to
+    * [[newSegment]]). The split is ONE distributed write job —
+    * `partitionBy` over DUPLICATED key columns lays out hive-style
+    * value dirs while the real columns STAY IN the data files — then
+    * driver-side promotion renames each leaf dir's files into its own
+    * value-labeled segment (`seg-<uuid>-day=2000-01-01`), metadata
+    * work ∝ present tuples, exactly Delta's file-per-partition log
+    * granularity. Because the partition column is ordinary DATA in
+    * every file, split and unsplit segments co-scan in one multi-root
+    * parquet job (no path inference, no mixed-layout conflicts), and
+    * because each segment holds exactly one tuple its min=max stats
+    * make the EXISTING triage exact: partition-predicate reads prune
+    * to the matching dirs and partition-predicate DELETE/REPLACE WHERE
+    * classify whole segments as all-match drops — metadata-only, no
+    * row rewrites. Write invariants (CHECK constraints, provided
+    * generated columns) scan the staging ONCE before promotion.
+    * Zero-row batches stage no leaves and return empty. */
+  private def newSegments(dir: String, df: DataFrame,
+                          applyDefaults: Boolean = true,
+                          snapOpt: Option[State] = None): Seq[String] = {
+    val snap = snapOpt.getOrElse(snapshotOrEmpty(dir))
+    if (snap.partitionCols.isEmpty)
+      return Seq(newSegment(dir, df, applyDefaults, snapOpt = Some(snap)))
+    val (filled, providedGen) = fillGoverned(df, snap, applyDefaults)
+    val phys = toPhysical(filled, snap)
+    val pPhys = snap.partitionCols.map(snap.physCol)
+    pPhys.foreach(c => require(phys.columns.contains(c),
+      s"partitioned table $dir: the batch lacks partition column '$c' " +
+        s"(partitioned by ${snap.partitionCols.mkString(", ")})"))
+    val dupNames = pPhys.indices.map(i => s"__graft_part_$i")
+    dupNames.foreach(n => require(!phys.columns.contains(n),
+      s"column name $n is reserved by the partitioned write path"))
+    val dup = pPhys.zip(dupNames).foldLeft(phys) { case (d, (c, n)) =>
+      d.withColumn(n, d(c)) }
+    val staging = s"staging-${java.util.UUID.randomUUID}"
+    val st = store(dir)
+    try {
+      dup.write.partitionBy(dupNames: _*).parquet(s"$dir/$staging")
+      def leaves(rel: String, depth: Int): Seq[String] =
+        if (depth == dupNames.size) Seq(rel)
+        else st.list(s"$dir/$staging$rel").filter(_.contains("="))
+          .sorted.flatMap(d => leaves(s"$rel/$d", depth + 1))
+      val found = leaves("", 0)
+      // the invariant scan reads the staged bytes once, pre-promotion
+      // (the inferred __graft_part_* path columns ride along unused);
+      // a zero-row batch staged no leaves — nothing to validate
+      if (found.nonEmpty)
+        enforceWriteInvariants(df.sparkSession, dir, staging, snap,
+          providedGen)
+      val promoted = scala.collection.mutable.ArrayBuffer.empty[String]
+      try {
+        found.foreach { rel =>
+          // human-readable hive labels on the segment dir itself (the
+          // value keeps partitionBy's own path escaping); the stats
+          // recorded at commit are the pruning truth, the name is layout
+          val label = rel.split('/').filter(_.nonEmpty).zip(pPhys)
+            .map { case (d, c) => c + d.dropWhile(_ != '=') }
+            .mkString("-", "-", "")
+          val name = s"seg-${java.util.UUID.randomUUID}$label"
+          st.mkdirs(s"$dir/$name")
+          promoted += name
+          st.list(s"$dir/$staging$rel").filter(_.startsWith("part-"))
+            .foreach(f => st.rename(s"$dir/$staging$rel/$f", s"$dir/$name/$f"))
+        }
+        promoted.toSeq
+      } catch {
+        // a mid-promotion failure must not leak the already-renamed
+        // half: the caller's reclaim scope sees these names only after
+        // this method RETURNS them
+        case scala.util.control.NonFatal(e) =>
+          promoted.foreach(seg => st.deleteRecursively(s"$dir/$seg"))
+          throw e
+      }
+    } finally st.deleteRecursively(s"$dir/$staging")
   }
 
   /** TABLE CHECK constraints, enforced at the one choke point every
@@ -1329,7 +1472,10 @@ object TxLog {
     * live under a `.../seg-abc.../` parent directory from attributing
     * every tombstone to that nonexistent segment. */
   private def segOfFile(file: org.apache.spark.sql.Column) =
-    regexp_extract(file, "/(seg-[0-9a-fA-F-]+)/[^/]*$", 1)
+    // [^/]+ (not a hex charset): partitioned segments carry value
+    // labels (`seg-<uuid>-day=2024-01-01`); the `$`-anchored immediate
+    // parent is what guards against `.../seg-abc.../` ancestor dirs
+    regexp_extract(file, "/(seg-[^/]+)/[^/]*$", 1)
 
   /** MERGE-ON-READ update: the matched rows' NEW images land in one
     * appended segment and their OLD images are tombstoned by a
@@ -1374,15 +1520,16 @@ object TxLog {
           case None    => col(c)
         }
       }: _*)
-      val newSeg = newSegment(dir, newImages, applyDefaults = false,
+      val newSegs = newSegments(dir, newImages, applyDefaults = false,
         snapOpt = Some(snap))
       val entryOf = snap.live.map(n => bareName(n) -> n).toMap
-      // commitOrReclaim reclaims newSeg+dvName itself on a true
+      // commitOrReclaim reclaims newSegs+dvName itself on a true
       // conflict; this catch covers the remaining NonFatal exits
       // (deleteRecursively is a no-op on an already-reclaimed path)
-      try commitOrReclaim(dir, "update_mor", Seq(newSeg), Seq.empty,
+      try commitOrReclaim(dir, "update_mor", newSegs, Seq.empty,
         snap.version,
-        stats = segStats(spark, dir, newSeg, statsCols, snap),
+        stats = segStatsMany(spark, dir, newSegs,
+          (snap.partitionCols ++ statsCols).distinct, snap),
         dvs = dirty.map { case (seg, n) =>
           (entryOf.getOrElse(seg, seg), dvName, n) },
         extraLines = protoBump(snap), alsoReclaim = Seq(dvName),
@@ -1390,7 +1537,7 @@ object TxLog {
       catch {
         case scala.util.control.NonFatal(e) =>
           store(dir).deleteRecursively(s"$dir/$dvName")
-          store(dir).deleteRecursively(s"$dir/$newSeg")
+          newSegs.foreach(s0 => store(dir).deleteRecursively(s"$dir/$s0"))
           throw e
       }
     } finally store(dir).deleteRecursively(s"$dir/$stage")
@@ -1594,7 +1741,11 @@ object TxLog {
           s"setgenerated=${enc(n)}|${enc(c)}" } ++
         // CDF is a write contract too: a clone of a change-recording
         // table must keep recording (Delta CLONE copies the property)
-        (if (snap.cdfEnabled) Seq("setcdf=true") else Seq.empty))
+        (if (snap.cdfEnabled) Seq("setcdf=true") else Seq.empty) ++
+        // partitioning is a write-layout contract: appends into the
+        // clone must keep splitting per partition like the source
+        (if (snap.partitionCols.isEmpty) Seq.empty
+         else Seq("partcols=" + snap.partitionCols.map(enc).mkString("|"))))
   }
 
   /** Targeted CLONE LOCALIZATION — sever a shallow clone's dependency
@@ -1693,9 +1844,13 @@ object TxLog {
     * after this batch was staged and validated ([[govFingerprint]]). */
   def append(df: DataFrame, dir: String): Int = {
     val snap = snapshotOrEmpty(dir)
-    val seg = newSegment(dir, df, snapOpt = Some(snap))
-    reclaimOnFailure(dir, Seq(seg)) {
-      commit(dir, "append", Seq(seg), Seq.empty,
+    val segs = newSegments(dir, df, snapOpt = Some(snap))
+    reclaimOnFailure(dir, segs) {
+      // partitioned tables ALWAYS record the partition columns' exact
+      // (min=max) stats — they are the pruning contract the split buys
+      commit(dir, "append", segs, Seq.empty,
+        stats = segStatsMany(df.sparkSession, dir, segs,
+          snap.partitionCols, snap),
         requireGov = Some(govFingerprint(snap)))
     }
   }
@@ -1720,12 +1875,15 @@ object TxLog {
     statsCols.foreach(c => require(types.contains(c), s"no column $c in segment $seg"))
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).cast("string").as(s"mn_$c"),
-          max(col(c)).cast("string").as(s"mx_$c")))
+          max(col(c)).cast("string").as(s"mx_$c"),
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .as(s"nl_$c")))
     val row = sdf.agg(aggs.head, aggs.tail: _*).head()
     statsCols.flatMap { c =>
       val mn = row.getAs[String](s"mn_$c"); val mx = row.getAs[String](s"mx_$c")
       if (mn == null || mx == null) None
-      else Some((seg, c) -> ColStats(types(c), mn, mx))
+      else Some((seg, c) -> ColStats(types(c), mn, mx,
+        row.getAs[Long](s"nl_$c")))
     }.toMap
   }
 
@@ -1800,13 +1958,14 @@ object TxLog {
                       statsCols: Seq[String],
                       bloomCols: Seq[String] = Nil): Int = {
     val snap = snapshotOrEmpty(dir)
-    val seg = newSegment(dir, df, snapOpt = Some(snap))
+    val segs = newSegments(dir, df, snapOpt = Some(snap))
+    val allStatsCols = (snap.partitionCols ++ statsCols).distinct
     // stats/bloom failures (e.g. a statsCol missing from the batch)
     // happen AFTER the segment bytes are staged but BEFORE any entry
     // records them — reclaim on the way out or vacuum (which only sees
     // entry-recorded segments) could never delete the orphan
-    reclaimOnFailure(dir, Seq(seg)) {
-      val stats = segStats(spark, dir, seg, statsCols, snap)
+    reclaimOnFailure(dir, segs) {
+      val stats = segStatsMany(spark, dir, segs, allStatsCols, snap)
       // ZERO-ROW batch: min/max fold to null, so the segment would
       // commit with NO stats — permanently unprunable, kept forever by
       // every pruning surface (triage/point/DSv2) on a stats-indexed
@@ -1814,16 +1973,19 @@ object TxLog {
       // without the segment instead (callers still get their slot; an
       // occasionally-empty date-sliced loader no longer accumulates
       // prune-defeating dirs). Probed only when stats came back empty
-      // — the hot non-empty path pays nothing extra.
-      if (statsCols.nonEmpty && stats.isEmpty &&
-          spark.read.parquet(segPath(dir, seg)).isEmpty) {
-        store(dir).deleteRecursively(s"$dir/$seg")
+      // — the hot non-empty path pays nothing extra. (A partitioned
+      // zero-row batch already staged no segments at all.)
+      if (segs.isEmpty ||
+          (statsCols.nonEmpty && stats.isEmpty &&
+            segs.forall(s0 => spark.read.parquet(segPath(dir, s0)).isEmpty))) {
+        segs.foreach(s0 => store(dir).deleteRecursively(s"$dir/$s0"))
         commit(dir, "append", Seq.empty, Seq.empty,
           requireGov = Some(govFingerprint(snap)))
       } else
-        commit(dir, "append", Seq(seg), Seq.empty,
+        commit(dir, "append", segs, Seq.empty,
           stats = stats,
-          blooms = segBlooms(spark, dir, seg, bloomCols, snap),
+          blooms = segs.flatMap(s0 =>
+            segBlooms(spark, dir, s0, bloomCols, snap)).toMap,
           requireGov = Some(govFingerprint(snap)))
     }
   }
@@ -1920,27 +2082,32 @@ object TxLog {
     * emoji would be falsely pruned for a probe like '�' — for a
     * DML triage that is silent row loss, so the compare must match the
     * stats' own collation exactly. */
+  /** `a < b` in the stat column's own domain (see [[canPrune]]'s
+    * collation notes) — throws NumberFormatException on unparseable
+    * probes, which every caller treats as "proves nothing". */
+  private def statLt(tn: String, a: String, b: String): Boolean = {
+    val integral = Set("byte", "short", "integer", "long").contains(tn) ||
+      tn.startsWith("decimal")
+    val fp = tn == "float" || tn == "double"
+    if (tn == "float")
+      // compare in the FLOAT domain: the residual filter casts the
+      // probe to float, so a probe string carrying more precision
+      // than float holds (double-rounding above the stored max while
+      // float-rounding TO it) must not prune the segment whose max
+      // row the residual >= filter would match
+      java.lang.Float.parseFloat(a) < java.lang.Float.parseFloat(b)
+    else if (fp) java.lang.Double.parseDouble(a) < java.lang.Double.parseDouble(b)
+    else if (integral) BigDecimal(a) < BigDecimal(b)
+    else java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+  }
+
   private def canPrune(st: Option[ColStats], lo: Option[String],
                        hi: Option[String]): Boolean = st match {
     case None => false
-    case Some(ColStats(tn, mn, mx)) =>
-      val integral = Set("byte", "short", "integer", "long").contains(tn) ||
-        tn.startsWith("decimal")
-      val fp = tn == "float" || tn == "double"
-      def lt(a: String, b: String): Boolean =
-        if (tn == "float")
-          // compare in the FLOAT domain: the residual filter casts the
-          // probe to float, so a probe string carrying more precision
-          // than float holds (double-rounding above the stored max while
-          // float-rounding TO it) must not prune the segment whose max
-          // row the residual >= filter would match
-          java.lang.Float.parseFloat(a) < java.lang.Float.parseFloat(b)
-        else if (fp) java.lang.Double.parseDouble(a) < java.lang.Double.parseDouble(b)
-        else if (integral) BigDecimal(a) < BigDecimal(b)
-        else java.util.Arrays.compareUnsigned(
-          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
-      lo.exists(l => lt(mx, l)) || hi.exists(h => lt(h, mn))
+    case Some(ColStats(tn, mn, mx, _)) =>
+      lo.exists(l => statLt(tn, mx, l)) || hi.exists(h => statLt(tn, h, mn))
   }
 
   /** Split the live set (as of `asOf`) into (kept, pruned) for the
@@ -1999,24 +2166,37 @@ object TxLog {
     if (dirty.isEmpty)
       return commitOrReclaim(dir, "delete", Seq.empty, Seq.empty,
         snap.version, Map.empty, retryPastAppends = true)
-    val sdf = segScan(spark, dir, snap, dirty, mergeSchema = true)
+    // all-match segments drop wholesale (metadata-only), like delete:
+    // a whole-partition range drop never rewrites a row — but a
+    // NULL-keyed row never matches a range, so a segment is only
+    // all-match when it holds no NULL keys
+    val (_, straddling) = dirty.partition(seg => counts(seg)._2)
+    val sdf0 =
+      if (straddling.isEmpty) None
+      else Some(segScan(spark, dir, snap, straddling, mergeSchema = true))
     // CHANGE DATA FEED (when enabled): same exact-delete contract as
     // the arbitrary-predicate path — without it a deleteRange commit
     // (also op 'delete') would be indistinguishable from a cdc-exact
-    // one while silently feeding kept rows as phantom inserts
+    // one while silently feeding kept rows as phantom inserts; the
+    // pre-image scan must cover the WHOLE dirty set, wholesale included
     val cdc =
       if (!snap.cdfEnabled) Seq.empty
-      else Seq(writeCdc(dir,
-        sdf.filter(rangeCond(sdf) && col(c).isNotNull), "delete", snap))
+      else {
+        val all = segScan(spark, dir, snap, dirty, mergeSchema = true)
+        Seq(writeCdc(dir,
+          all.filter(rangeCond(all) && col(c).isNotNull), "delete", snap))
+      }
     reclaimOnFailure(dir, cdc.map(_._1)) {
-      val kept = sdf.filter(!rangeCond(sdf) || col(c).isNull)
-      val seg = newSegment(dir, kept, applyDefaults = false,
-        snapOpt = Some(snap))
-      // the staged segment joins the scope: a segStats/commit failure
-      // must not leak a dir no entry records
-      reclaimOnFailure(dir, Seq(seg)) {
-        commitOrReclaim(dir, "delete", Seq(seg), dirty, snap.version,
-          segStats(spark, dir, seg, statsCols, snap),
+      val adds = sdf0.toSeq.flatMap { sdf =>
+        newSegments(dir, sdf.filter(!rangeCond(sdf) || col(c).isNull),
+          applyDefaults = false, snapOpt = Some(snap))
+      }
+      // the staged segments join the scope: a segStats/commit failure
+      // must not leak dirs no entry records
+      reclaimOnFailure(dir, adds) {
+        commitOrReclaim(dir, "delete", adds, dirty, snap.version,
+          segStatsMany(spark, dir, adds,
+            (snap.partitionCols ++ statsCols).distinct, snap),
           extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1),
           retryPastAppends = true)
       }
@@ -2084,25 +2264,36 @@ object TxLog {
                                       snap: State, statsCols: Seq[String],
                                       op: String = "optimize"): Int = {
     val st = store(dir)
-    val staging = newSegment(dir, clustered, applyDefaults = false,
-      snapOpt = Some(snap))
-    val parts = st.list(s"$dir/$staging")
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-      .sorted
-    val segs = parts.map { p =>
-      val name = s"seg-${java.util.UUID.randomUUID}"
-      st.mkdirs(s"$dir/$name")
-      st.rename(s"$dir/$staging/$p", s"$dir/$name/$p")
-      name
-    }
-    // drop the emptied staging dir (only _SUCCESS etc. remain)
-    st.deleteRecursively(s"$dir/$staging")
+    // PARTITIONED tables re-split through the shared partition stager:
+    // maintenance is exactly how unsplit segments (streaming ingest,
+    // pre-spec history) regain the one-tuple-per-segment layout
+    val segs =
+      if (snap.partitionCols.nonEmpty)
+        newSegments(dir, clustered, applyDefaults = false,
+          snapOpt = Some(snap))
+      else {
+        val staging = newSegment(dir, clustered, applyDefaults = false,
+          snapOpt = Some(snap))
+        val parts = st.list(s"$dir/$staging")
+          .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+          .sorted
+        val named = parts.map { p =>
+          val name = s"seg-${java.util.UUID.randomUUID}"
+          st.mkdirs(s"$dir/$name")
+          st.rename(s"$dir/$staging/$p", s"$dir/$name/$p")
+          name
+        }
+        // drop the emptied staging dir (only _SUCCESS etc. remain)
+        st.deleteRecursively(s"$dir/$staging")
+        named
+      }
     // the renamed segments join the reclaim scope: a segStats/commit
     // failure must not leak a live-set-sized family of dirs no entry
     // records and no vacuum can find
     reclaimOnFailure(dir, segs) {
       commitOrReclaim(dir, op, segs, live, snap.version,
-        segStatsMany(spark, dir, segs, statsCols, snap),
+        segStatsMany(spark, dir, segs,
+          (snap.partitionCols ++ statsCols).distinct, snap),
         retryPastAppends = true)
     }
   }
@@ -2128,7 +2319,9 @@ object TxLog {
       require(types.contains(c), s"no column $c in staged segments"))
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).cast("string").as(s"mn_$c"),
-          max(col(c)).cast("string").as(s"mx_$c")))
+          max(col(c)).cast("string").as(s"mx_$c"),
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .as(s"nl_$c")))
     val entryOf = segs.map(n => bareName(n) -> n).toMap
     sdf.withColumn("__seg", segOfFile(col("_metadata.file_path")))
       .groupBy("__seg").agg(aggs.head, aggs.tail: _*)
@@ -2138,7 +2331,8 @@ object TxLog {
         statsCols.flatMap { c =>
           val mn = r.getAs[String](s"mn_$c"); val mx = r.getAs[String](s"mx_$c")
           if (mn == null || mx == null) None
-          else Some((seg, c) -> ColStats(types(c), mn, mx))
+          else Some((seg, c) -> ColStats(types(c), mn, mx,
+            r.getAs[Long](s"nl_$c")))
         }
       }.toMap
   }
@@ -2217,13 +2411,14 @@ object TxLog {
         buf += writeCdc(dir, post, "update_postimage", snap)
       }
     reclaimOnFailure(dir, cdc.map(_._1)) {
-      val newSeg = newSegment(dir, rewritten, applyDefaults = false,
+      val newSegs = newSegments(dir, rewritten, applyDefaults = false,
         snapOpt = Some(snap))
-      // the staged segment joins the scope: a segStats/commit failure
-      // must not leak a dir no entry records
-      reclaimOnFailure(dir, Seq(newSeg)) {
-        commitOrReclaim(dir, "update", Seq(newSeg), dirty, snap.version,
-          segStats(spark, dir, newSeg, statsCols, snap),
+      // the staged segments join the scope: a segStats/commit failure
+      // must not leak dirs no entry records
+      reclaimOnFailure(dir, newSegs) {
+        commitOrReclaim(dir, "update", newSegs, dirty, snap.version,
+          segStatsMany(spark, dir, newSegs,
+            (snap.partitionCols ++ statsCols).distinct, snap),
           extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1),
           retryPastAppends = true)
       }
@@ -2296,21 +2491,21 @@ object TxLog {
           .unionByName(u)
       // defaults were already applied staging `uSeg` (user data); the
       // dirty-kept rows are a rewrite and must not be back-filled
-      val seg = newSegment(dir, newData, applyDefaults = false,
+      val segs = newSegments(dir, newData, applyDefaults = false,
         snapOpt = Some(snap))
-      // EVERYTHING after the rewrite segment is staged runs inside its
-      // reclaim scope: a cdc job, segStats, or commit failure must not
-      // leak a dirty-set-sized dir that no entry records and no vacuum
-      // can find
-      reclaimOnFailure(dir, Seq(seg)) {
+      // EVERYTHING after the rewrite segments are staged runs inside
+      // their reclaim scope: a cdc job, segStats, or commit failure
+      // must not leak dirty-set-sized dirs that no entry records and
+      // no vacuum can find
+      reclaimOnFailure(dir, segs) {
         // CHANGE DATA FEED (when enabled): MERGE decomposes into
         // update_preimage (matched target rows) + update_postimage
         // (their replacing update rows) + insert (unmatched updates) —
         // Delta's CDC classes for MERGE. All-insert merges record the
-        // committed segment BY REFERENCE (it IS the insert set).
+        // committed segments BY REFERENCE (they ARE the insert set).
         val cdc =
           if (!snap.cdfEnabled) Seq.empty
-          else if (dirty.isEmpty) Seq((seg, "insert"))
+          else if (dirty.isEmpty) segs.map(s0 => (s0, "insert"))
           else stageCdc(dir) { buf =>
             val pre = segScan(spark, dir, snap, dirty, mergeSchema = true)
               .join(uKeys, Seq(key), "left_semi")
@@ -2333,8 +2528,9 @@ object TxLog {
           }
         val sidecars = cdc.collect { case (f, _) if f.startsWith("cdc-") => f }
         reclaimOnFailure(dir, sidecars) {
-          commitOrReclaim(dir, "merge", Seq(seg), dirty, snap.version,
-            segStats(spark, dir, seg, statsCols, snap),
+          commitOrReclaim(dir, "merge", segs, dirty, snap.version,
+            segStatsMany(spark, dir, segs,
+              (snap.partitionCols ++ statsCols).distinct, snap),
             extraLines = cdcLines(cdc), alsoReclaim = sidecars,
             retryPastAppends = true)
         }
@@ -2562,9 +2758,9 @@ object TxLog {
         val insertTags = iTags.map(_._2)
         val survives = act.isin(("keep" +: (updateTags ++ insertTags)): _*)
         val newData = staged.filter(survives).select(outCols: _*)
-        val seg = newSegment(dir, newData, applyDefaults = false,
+        val segs = newSegments(dir, newData, applyDefaults = false,
           snapOpt = Some(snap))
-        reclaimOnFailure(dir, Seq(seg)) {
+        reclaimOnFailure(dir, segs) {
           // CDF classes ride the staged tags: update pre/post images,
           // delete pre-images, inserts — cost ∝ changed rows
           val cdc =
@@ -2588,8 +2784,9 @@ object TxLog {
             }
           val sidecars = cdc.collect { case (f, _) if f.startsWith("cdc-") => f }
           reclaimOnFailure(dir, sidecars) {
-            commitOrReclaim(dir, "merge", Seq(seg), dirty, snap.version,
-              segStats(spark, dir, seg, statsCols, snap),
+            commitOrReclaim(dir, "merge", segs, dirty, snap.version,
+              segStatsMany(spark, dir, segs,
+                (snap.partitionCols ++ statsCols).distinct, snap),
               extraLines = cdcLines(cdc), alsoReclaim = sidecars,
               retryPastAppends = true)
           }
@@ -2614,10 +2811,15 @@ object TxLog {
     // the check pass itself throws (e.g. a malformed constraint
     // expression), not just on a counted violation
     val snap = snapshotOrEmpty(dir)
-    val seg = newSegment(dir, df, snapOpt = Some(snap))
-    reclaimOnFailure(dir, Seq(seg)) {
+    val segs = newSegments(dir, df, snapOpt = Some(snap))
+    if (segs.isEmpty)
+      // partitioned zero-row batch staged nothing: commit the slot
+      return commit(dir, "append", Seq.empty, Seq.empty,
+        requireGov = Some(govFingerprint(snap)))
+    reclaimOnFailure(dir, segs) {
       // constraints are written in logical terms; staged bytes are physical
-      val staged = applyMapping(spark.read.parquet(s"$dir/$seg"), snap)
+      val staged = applyMapping(
+        spark.read.parquet(segs.map(s0 => s"$dir/$s0"): _*), snap)
       // SQL CHECK semantics: a row violates only when the predicate is
       // explicitly FALSE (NULL passes, like Delta's constraints)
       // coalesce: an EMPTY batch sums to null, which must read as 0 violations
@@ -2629,8 +2831,9 @@ object TxLog {
       if (violated.nonEmpty)
         throw new IllegalArgumentException("constraint violation(s): " +
           violated.map { case (c, n) => s"[$c] $n row(s)" }.mkString("; "))
-      commit(dir, "append", Seq(seg), Seq.empty,
-        stats = segStats(spark, dir, seg, statsCols, snap),
+      commit(dir, "append", segs, Seq.empty,
+        stats = segStatsMany(spark, dir, segs,
+          (snap.partitionCols ++ statsCols).distinct, snap),
         requireGov = Some(govFingerprint(snap)))
     }
   }
@@ -2822,9 +3025,9 @@ object TxLog {
     * set would be stale. */
   def overwrite(df: DataFrame, dir: String): Int = {
     val snap = snapshotOrEmpty(dir)
-    commitOrReclaim(dir, "overwrite",
-      Seq(newSegment(dir, df, snapOpt = Some(snap))), snap.live,
-      snap.version, Map.empty)
+    val segs = newSegments(dir, df, snapOpt = Some(snap))
+    commitOrReclaim(dir, "overwrite", segs, snap.live, snap.version,
+      segStatsMany(df.sparkSession, dir, segs, snap.partitionCols, snap))
   }
 
   /** PRUNABLE CONJUNCTS of an arbitrary SQL predicate: (logical
@@ -3202,9 +3405,124 @@ object TxLog {
     * matchless and equally absent. Keys are ENTRY names (possibly
     * external clone refs). */
   private def matchCounts(spark: SparkSession, dir: String, snap: State,
-                          predicate: String): Map[String, (Boolean, Boolean)] =
-    matchCountsOn(spark, dir, snap,
-      triageCandidates(snap, predicate, spark), _ => expr(predicate))
+                          predicate: String): Map[String, (Boolean, Boolean)] = {
+    val cands = triageCandidates(snap, predicate, spark)
+    // stats-PROVEN all-match segments classify from METADATA and skip
+    // the scan: a partition-predicate DELETE/REPLACE WHERE on a
+    // partitioned table (every segment single-valued, min=max,
+    // zero-null recorded) drops whole segments having read NOTHING
+    val proven = allMatchByStats(snap, predicate, spark, cands)
+    matchCountsOn(spark, dir, snap, cands.filterNot(proven),
+      _ => expr(predicate)) ++ proven.iterator.map(_ -> (true, true))
+  }
+
+  /** Candidate segments `predicate` PROVABLY matches EVERY row of,
+    * from log metadata alone — the metadata-only half of the DML
+    * triage (exclusion's dual). Sufficient proof, strictly
+    * conservative: every top-level conjunct must be a recognized
+    * col-vs-literal shape WITH ITS STRICTNESS intact (`col > v` over
+    * min=v is NOT all-match — the shared exclusion walker collapses
+    * strict/inclusive because for pruning that is conservative, so
+    * this one re-walks carrying it), and per conjunct the segment's
+    * stats must record ZERO nulls (a null row fails every comparison)
+    * and one alternative range covering [min,max] in the comparable
+    * type domain. Anything else — unrecognized conjunct, missing/
+    * legacy stats (nulls=-1), type-family mismatch, unparseable probe
+    * — proves nothing and the segment takes the ordinary scan. */
+  private def allMatchByStats(snap: State, predicate: String,
+      spark: SparkSession, cands: Seq[String]): Set[String] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types._
+    if (cands.isEmpty) return Set.empty
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(predicate)
+      catch { case scala.util.control.NonFatal(_) => return Set.empty }
+    def split(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(a, b) => split(a) ++ split(b)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+          f.arguments.size == 3 && !f.isDistinct && f.filter.isEmpty =>
+        split(ce.And(ce.GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
+          ce.LessThanOrEqual(f.arguments(0), f.arguments(2))))
+      case ce.Between(input, lower, upper, _) =>
+        split(ce.And(ce.GreaterThanOrEqual(input, lower),
+          ce.LessThanOrEqual(input, upper)))
+      case other => Seq(other)
+    }
+    def attr(e: ce.Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+        Some(a.nameParts.head)
+      case a: ce.AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def lit(e: ce.Expression): Option[(String, Char)] = e match {
+      case l: ce.Literal if l.value != null => l.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | _: DecimalType => Some((l.value.toString, 'N'))
+        case StringType                   => Some((l.value.toString, 'S'))
+        case _                            => None
+      }
+      case _ => None
+    }
+    // one recognized conjunct = (col, kind, alternatives), each
+    // alternative (lo, loStrict, hi, hiStrict); the conjunct matches a
+    // whole segment when SOME alternative's range covers [min,max]
+    type Alt = (Option[String], Boolean, Option[String], Boolean)
+    type Conj = (String, Char, Seq[Alt])
+    def cmp(a: ce.Expression, b: ce.Expression,
+            mk: String => Alt, flip: String => Alt): Option[Conj] =
+      attr(a).flatMap(c => lit(b).map { case (v, k) => (c, k, Seq(mk(v))) })
+        .orElse(attr(b).flatMap(c =>
+          lit(a).map { case (v, k) => (c, k, Seq(flip(v))) }))
+    val mapped: Seq[Option[Conj]] = split(parsed).map {
+      case ce.EqualTo(a, b) =>
+        cmp(a, b, v => (Some(v), false, Some(v), false),
+          v => (Some(v), false, Some(v), false))
+      case ce.GreaterThan(a, b) =>
+        cmp(a, b, v => (Some(v), true, None, false),
+          v => (None, false, Some(v), true))
+      case ce.GreaterThanOrEqual(a, b) =>
+        cmp(a, b, v => (Some(v), false, None, false),
+          v => (None, false, Some(v), false))
+      case ce.LessThan(a, b) =>
+        cmp(a, b, v => (None, false, Some(v), true),
+          v => (Some(v), true, None, false))
+      case ce.LessThanOrEqual(a, b) =>
+        cmp(a, b, v => (None, false, Some(v), false),
+          v => (Some(v), false, None, false))
+      case ce.In(a, list) if list.nonEmpty && list.size <= 64 =>
+        attr(a).flatMap { c =>
+          val ls = list.map(lit)
+          if (ls.exists(_.isEmpty)) None
+          else ls.flatten.map(_._2).distinct match {
+            case Seq(k) => Some((c, k, ls.flatten.map {
+              case (v, _) => (Some(v), false, Some(v), false): Alt }))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+    if (mapped.isEmpty || mapped.exists(_.isEmpty)) return Set.empty
+    val conjuncts = mapped.flatten
+    def covers(tn: String, mn: String, mx: String, alt: Alt): Boolean = {
+      val (lo, loStrict, hi, hiStrict) = alt
+      // lo covers min when lo < min (always) or lo == min (inclusive
+      // only); dually for hi/max — strict bounds exclude the boundary
+      def loOk = lo.forall(l =>
+        statLt(tn, l, mn) || (!loStrict && !statLt(tn, mn, l)))
+      def hiOk = hi.forall(h =>
+        statLt(tn, mx, h) || (!hiStrict && !statLt(tn, h, mx)))
+      try loOk && hiOk catch { case _: NumberFormatException => false }
+    }
+    cands.filter { seg =>
+      conjuncts.forall { case (c, kind, alts) =>
+        snap.stats.get((seg, snap.physCol(c))).exists(st =>
+          st.nulls == 0L && statComparable(st.typeName, kind.toString) &&
+            alts.exists(covers(st.typeName, st.min, st.max, _)))
+      }
+    }.toSet
+  }
 
   /** The general form: flags over an explicit segment subset (e.g.
     * stats-pruned candidates), with the predicate built FROM the scan
@@ -3289,6 +3607,12 @@ object TxLog {
     if (dirty.isEmpty)
       return commitOrReclaim(dir, "delete", Seq.empty, Seq.empty,
         snap.version, Map.empty, retryPastAppends = true)
+    // ALL-MATCH segments drop WHOLESALE (metadata removal, bytes never
+    // scanned for the rewrite — the replaceWhere classification): a
+    // partition-predicate delete on a partitioned table removes whole
+    // value-labeled segments with zero row rewrites; only straddlers
+    // (segments mixing kept and deleted rows) rewrite
+    val (wholesale, straddling) = dirty.partition(seg => counts(seg)._2)
     // CHANGE DATA FEED (when enabled): the deleted PRE-IMAGES ride in
     // a cdc sidecar recorded by the same commit — exact row-level CDF
     // for copy-on-write deletes, cost ∝ deleted rows
@@ -3298,13 +3622,16 @@ object TxLog {
         mergeSchema = true).filter(coalesce(expr(predicate), lit(false))),
         "delete", snap))
     reclaimOnFailure(dir, cdc.map(_._1)) {
-      val kept = segScan(spark, dir, snap, dirty, mergeSchema = true)
-        .filter(not(coalesce(expr(predicate), lit(false))))
-      val seg = newSegment(dir, kept, applyDefaults = false,
-        snapOpt = Some(snap))
-      reclaimOnFailure(dir, Seq(seg)) {
-        commitOrReclaim(dir, "delete", Seq(seg), dirty, snap.version,
-          Map.empty, extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1),
+      val adds =
+        if (straddling.isEmpty) Seq.empty
+        else newSegments(dir,
+          segScan(spark, dir, snap, straddling, mergeSchema = true)
+            .filter(not(coalesce(expr(predicate), lit(false)))),
+          applyDefaults = false, snapOpt = Some(snap))
+      reclaimOnFailure(dir, adds) {
+        commitOrReclaim(dir, "delete", adds, dirty, snap.version,
+          segStatsMany(spark, dir, adds, snap.partitionCols, snap),
+          extraLines = cdcLines(cdc), alsoReclaim = cdc.map(_._1),
           retryPastAppends = true)
       }
     }
@@ -3359,7 +3686,7 @@ object TxLog {
         // `NOT(pred)` alone would silently DROP a NULL-evaluating row
         // (NOT(NULL) is NULL), losing rows that matched neither the
         // replacement frame nor the incoming data
-        adds += newSegment(dir, segScan(spark, dir, snap, straddling,
+        adds ++= newSegments(dir, segScan(spark, dir, snap, straddling,
           mergeSchema = true)
             .filter(not(coalesce(expr(predicate), lit(false)))),
           applyDefaults = false, snapOpt = Some(snap))
@@ -3369,25 +3696,32 @@ object TxLog {
       // (the appendChecked pattern). The check counts rows whose
       // predicate is not TRUE — a NULL-evaluating row is OUTSIDE the
       // declared replacement frame and must be rejected too.
-      val dfSeg = newSegment(dir, df, snapOpt = Some(snap))
-      adds += dfSeg
-      val staged = applyMapping(spark.read.parquet(s"$dir/$dfSeg"), snap)
-      val vc = staged.agg(count(lit(1)).as("n"),
-        coalesce(sum(when(not(coalesce(expr(predicate), lit(false))), 1L)
-          .otherwise(0L)), lit(0L)).as("bad")).head()
-      if (vc.getLong(1) > 0)
-        throw new IllegalArgumentException(
-          s"replaceWhere: ${vc.getLong(1)} incoming row(s) do not " +
-            s"satisfy ($predicate)")
-      if (vc.getLong(0) == 0) { // empty incoming frame: nothing to add
-        adds -= dfSeg
-        store(dir).deleteRecursively(s"$dir/$dfSeg")
-      } else if (snap.cdfEnabled) {
-        cdc += ((dfSeg, "insert")) // by reference: the segment IS the insert set
+      val dfSegs = newSegments(dir, df, snapOpt = Some(snap))
+      adds ++= dfSegs
+      if (dfSegs.nonEmpty) {
+        val staged = applyMapping(
+          spark.read.parquet(dfSegs.map(s0 => s"$dir/$s0"): _*), snap)
+        val vc = staged.agg(count(lit(1)).as("n"),
+          coalesce(sum(when(not(coalesce(expr(predicate), lit(false))), 1L)
+            .otherwise(0L)), lit(0L)).as("bad")).head()
+        if (vc.getLong(1) > 0)
+          throw new IllegalArgumentException(
+            s"replaceWhere: ${vc.getLong(1)} incoming row(s) do not " +
+              s"satisfy ($predicate)")
+        if (vc.getLong(0) == 0) { // empty incoming frame: nothing to add
+          dfSegs.foreach { s0 =>
+            adds -= s0
+            store(dir).deleteRecursively(s"$dir/$s0")
+          }
+        } else if (snap.cdfEnabled) {
+          // by reference: the segments ARE the insert set
+          dfSegs.foreach(s0 => cdc += ((s0, "insert")))
+        }
       }
+      val allStatsCols = (snap.partitionCols ++ statsCols).distinct
       val stats =
-        if (statsCols.isEmpty) Map.empty[(String, String), ColStats]
-        else adds.toSeq.flatMap(seg => segStats(spark, dir, seg, statsCols, snap)).toMap
+        if (allStatsCols.isEmpty) Map.empty[(String, String), ColStats]
+        else segStatsMany(spark, dir, adds.toSeq, allStatsCols, snap)
       commit(dir, "replace_where", adds.toSeq, dropped ++ straddling,
         Some(snap.version), stats, extraLines = cdcLines(cdc.toSeq))
     } catch {
@@ -3440,12 +3774,18 @@ object TxLog {
   def compact(spark: SparkSession, dir: String): Int = {
     val snap = state(dir)
     require(snap.live.nonEmpty, s"compact of empty table $dir")
-    // DV-applied scan: compaction materializes tombstones away
+    // DV-applied scan: compaction materializes tombstones away.
+    // Partitioned tables consolidate to ONE SEGMENT PER TUPLE (the
+    // declared layout bounds "one segment" — this is also how unsplit
+    // streaming-ingest segments regain it)
     val all = segScan(spark, dir, snap, snap.live, mergeSchema = true).coalesce(1)
-    commitOrReclaim(dir, "compact",
-      Seq(newSegment(dir, all, applyDefaults = false, snapOpt = Some(snap))),
-      snap.live,
-      snap.version, Map.empty, retryPastAppends = true)
+    val segs = newSegments(dir, all, applyDefaults = false,
+      snapOpt = Some(snap))
+    reclaimOnFailure(dir, segs) {
+      commitOrReclaim(dir, "compact", segs, snap.live, snap.version,
+        segStatsMany(spark, dir, segs, snap.partitionCols, snap),
+        retryPastAppends = true)
+    }
   }
 
   /** Incremental read: ONLY the segments commit `version` ADDED — the

@@ -277,7 +277,20 @@ class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
       "constraints at CREATE TABLE are not supported — create the table, " +
         "then ALTER TABLE ... ADD CONSTRAINT <name> CHECK (...) (recorded " +
         "as a governance commit in the table log)")
-    super.createTable(ident, info)
+    val created = super.createTable(ident, info)
+    // PARTITIONED BY on a txlog table (validated as identity columns by
+    // the provider's getTable probe inside super.createTable): record
+    // the spec in the LOG immediately — the log is the authority every
+    // later write resolves the partition split from, so a CTAS's own
+    // insert (which runs right after this) already splits. Recording
+    // here rather than in getTable keeps the provider probe pure, and
+    // works for MANAGED tables whose location only exists post-create.
+    val parts = Option(info.partitions).getOrElse(Array.empty)
+    if (parts.nonEmpty) txlogParts(ident).foreach { case (opts, _) =>
+      TxLog.setPartitionColumns(dirOfOpts(opts),
+        parts.toSeq.map(_.references()(0).fieldNames()(0)))
+    }
+    created
   }
 
   // ---- ProcedureCatalog: CALL system.<proc>(...) ----

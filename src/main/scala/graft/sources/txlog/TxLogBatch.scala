@@ -56,6 +56,15 @@ class TxLogTable(private[txlog] val dir: String,
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"txlog($dir)"
 
+  /** The LOG's declared partition spec, surfaced for DESCRIBE/SHOW
+    * (identity transforms only — the only kind the engine records);
+    * resolution cost is one checkpoint+tail metadata replay. */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    TxLog.partitionColumnsOf(dir).map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+        .asInstanceOf[org.apache.spark.sql.connector.expressions.Transform])
+      .toArray
+
   /** Filter-translatable `DELETE FROM` runs through Spark's NATIVE
     * SupportsDelete planning (no rewrite plan, no extensions needed):
     * the planner translates the condition to v1 filters, and this
@@ -165,9 +174,9 @@ class TxLogTable(private[txlog] val dir: String,
     // bridge routes INSERT/append into TxLog.append and
     // INSERT OVERWRITE/truncate into TxLog.overwrite — the full
     // stats/bloom/governance/OCC commit machinery, not a parallel
-    // write path). Streaming runs the spec-pinned v1 Source/Sink
-    // halves by default (no MICRO_BATCH_READ ⇒ DataStreamReader falls
-    // back); `streamApi=v2` claims MICRO_BATCH_READ and the DSv2
+    // write path). Streaming READS run the spec-pinned v1 Source by
+    // default (no MICRO_BATCH_READ ⇒ DataStreamReader falls back);
+    // `streamApi=v2` claims MICRO_BATCH_READ and the DSv2
     // [[TxLogMicroBatchStream]] runs instead, changeFeed mode
     // included (pre-images resolve reader-side there).
     // BATCH_WRITE is declared alongside V1_BATCH_WRITE because
@@ -580,7 +589,9 @@ object TxLogBatch {
     // in the path would attribute every file to a `seg-`-shaped
     // ancestor directory and collapse the count to a vacuous 1
     files(df.queryExecution.executedPlan)
-      .flatMap(f => "/(seg-[0-9a-fA-F-]+)/[^/]*$".r
+      // [^/]+, like TxLog.segOfFile: partitioned segments carry value
+      // labels after the uuid
+      .flatMap(f => "/(seg-[^/]+)/[^/]*$".r
         .findFirstMatchIn(f).map(_.group(1)))
       .distinct
   }

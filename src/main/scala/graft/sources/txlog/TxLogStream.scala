@@ -108,14 +108,17 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
       partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: java.util.Map[String, String]
       ): org.apache.spark.sql.connector.catalog.Table = {
-    // Hive-style PARTITIONED BY is a write-path directory contract the
-    // log deliberately does not carry (data skipping comes from
-    // per-segment stats/blooms; layout from OPTIMIZE clustering) —
-    // loud, or CREATE TABLE would silently record-and-ignore it
-    require(partitioning == null || partitioning.isEmpty,
-      "txlog tables do not support PARTITIONED BY — per-segment " +
-        "stats/bloom pruning replaces partition pruning; cluster with " +
-        "TxLog.optimize/optimizeBy (CALL system.optimize) instead")
+    // PARTITIONED BY (identity columns only — r15): validated here,
+    // RECORDED by GraftCatalog.createTable as a `partcols` governance
+    // commit in the log (the authority every later write resolves the
+    // split from); bucket/transform partitioning stays loud
+    Option(partitioning).getOrElse(Array.empty).foreach { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames().length == 1,
+        s"txlog PARTITIONED BY supports identity (top-level plain " +
+          s"column) partitioning only, got $t — cluster with " +
+          "TxLog.optimize/optimizeBy (OPTIMIZE ... ZORDER BY) instead")
+    }
     val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
     if (opts.containsKey("path"))
       new TxLogTable(batchDir(opts), asOfOf(opts),

@@ -448,10 +448,20 @@ class TxLogCatalogSpec extends SparkTestBase {
     clearLoc("cat_mg2")
     spark.sql("CREATE TABLE cat_mg2 USING txlog AS SELECT 'c' AS k, 3 AS v")
     assert(ks(spark.table("cat_mg2")) == Seq("c"))
-    // Hive-style partitioning is a contract the log does not carry — loud
-    val e = intercept[Exception](spark.sql(
-      "CREATE TABLE cat_pt (k STRING, v INT) USING txlog PARTITIONED BY (k)"))
-    assert(e.getMessage.contains("PARTITIONED BY"))
+    // a MANAGED PARTITIONED table (r15): the spec lands in the log at
+    // create, so the first INSERT already splits per tuple
+    clearLoc("cat_pt")
+    spark.sql("CREATE TABLE cat_pt (k STRING, v INT) USING txlog " +
+      "PARTITIONED BY (k)")
+    spark.sql("INSERT INTO cat_pt VALUES ('a', 1), ('b', 2)")
+    val ptLoc = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier("cat_pt")).getPath
+    assert(TxLog.partitionColumnsOf(ptLoc) == Seq("k"))
+    assert(TxLog.liveSegments(ptLoc).size == 2 &&
+      TxLog.liveSegments(ptLoc).forall(_.contains("k=")),
+      s"managed partitioned insert must split, got ${TxLog.liveSegments(ptLoc)}")
+    spark.sql("DROP TABLE cat_pt")
   }
 
   test("path-addressed SQL: SELECT / time travel / DML / ALTER on txlog.`/dir`") {
