@@ -3637,6 +3637,61 @@ private[graft] case class ColStats(typeName: String, min: String,
     }
   }
 
+  /** DYNAMIC PARTITION OVERWRITE (Hive/Delta's
+    * `partitionOverwriteMode=dynamic`): replace exactly the partitions
+    * PRESENT in the batch, leave every other partition untouched — the
+    * idempotent-backfill shape (`INSERT OVERWRITE` re-running a day
+    * re-lands that day only). Requires a PARTITIONED table; compiles
+    * the batch's distinct partition tuples (one small distinct job,
+    * result metadata-bounded and capped loud) into a disjunction
+    * predicate and delegates to [[replaceWhere]] — so touched
+    * partitions drop WHOLESALE from metadata (every split segment is
+    * single-valued; `allMatchByStats` proves it without a scan),
+    * straddling unsplit segments rewrite, and the incoming frame lands
+    * split per tuple. `df` executes twice (tuple probe + staging): a
+    * nondeterministic frame whose second run emits a partition the
+    * probe never saw fails replaceWhere's frame validation LOUD rather
+    * than silently widening the overwrite. */
+  def overwriteDynamic(spark: SparkSession, dir: String, df: DataFrame,
+                       statsCols: Seq[String] = Nil): Int = {
+    val snap = state(dir)
+    require(snap.partitionCols.nonEmpty,
+      s"dynamic partition overwrite needs a PARTITIONED table — $dir " +
+        "declares no partition columns (use overwrite/replaceWhere)")
+    val pCols = snap.partitionCols
+    val tuples = df.select(pCols.map(c => col(s"`$c`")): _*)
+      .distinct().collect()
+    if (tuples.isEmpty)
+      // empty batch overwrites nothing: commit the slot (idempotent
+      // loaders still observe a version per run)
+      return commitOrReclaim(dir, "replace_where", Seq.empty, Seq.empty,
+        snap.version, Map.empty)
+    require(tuples.length <= 10000,
+      s"dynamic overwrite touches ${tuples.length} partitions — above " +
+        "the 10k metadata bound; overwrite() or replaceWhere() instead")
+    def sqlLit(v: Any): String =
+      org.apache.spark.sql.catalyst.expressions.Literal(v).sql
+    // ONE partition column (the common spec) compiles to the `IN`
+    // shape the triage walkers recognize (point alternatives), so
+    // exclusion AND all-match both classify from metadata; a
+    // multi-column tuple disjunction has no conjunct form — correct
+    // but conservatively scan-classified
+    val pred =
+      if (pCols.size == 1) {
+        val c = pCols.head
+        val (nullT, valT) = tuples.partition(_.isNullAt(0))
+        (Option.when(valT.nonEmpty)(
+          s"`$c` IN (${valT.map(r => sqlLit(r.get(0))).mkString(", ")})") ++
+         Option.when(nullT.nonEmpty)(s"`$c` IS NULL")).mkString(" OR ")
+      } else tuples.map { r =>
+        pCols.zipWithIndex.map { case (c, i) =>
+          val v = r.get(i)
+          if (v == null) s"`$c` IS NULL" else s"`$c` = ${sqlLit(v)}"
+        }.mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+    replaceWhere(spark, dir, pred, df, statsCols)
+  }
+
   /** Predicate-scoped atomic OVERWRITE (Delta's `replaceWhere`, the
     * general form of dynamic partition overwrite): ONE commit replaces
     * every row matching `predicate` with `df`. Enforces, like Delta,

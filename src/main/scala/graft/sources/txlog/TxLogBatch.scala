@@ -190,7 +190,8 @@ class TxLogTable(private[txlog] val dir: String,
       // StreamingWrite since r15, with streamApi=v1 the escape hatch
       val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-        TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+        TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+        TableCapability.OVERWRITE_DYNAMIC)
       if (streamV2) caps.add(TableCapability.MICRO_BATCH_READ)
       if (sinkV2) caps.add(TableCapability.STREAMING_WRITE)
       caps
@@ -233,10 +234,20 @@ private[txlog] class TxLogPendingTable(declared: StructType) extends Table {
 class TxLogWriteBuilder(dir: String, asOf: Int, info: LogicalWriteInfo,
                         props: CaseInsensitiveStringMap)
     extends org.apache.spark.sql.graftshim.StreamingCapableWriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var truncateFirst = false
+  private var dynamicOverwrite = false
   private var replacePred: Option[String] = None
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  /** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic` on a
+    * partitioned table — Spark plans OverwritePartitionsDynamic the
+    * moment `Table.partitioning()` is non-empty, so this builder MUST
+    * claim it → [[TxLog.overwriteDynamic]] (touched partitions replace
+    * wholesale, the rest carry untouched). */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamicOverwrite = true; this
+  }
   /** `INSERT INTO … REPLACE WHERE cond` / `writeTo(t).overwrite(cond)`
     * → [[TxLog.replaceWhere]]: ONE commit replaces exactly the rows
     * matching the planner-translated condition (all-match segments
@@ -262,6 +273,16 @@ class TxLogWriteBuilder(dir: String, asOf: Int, info: LogicalWriteInfo,
   private def cols(name: String): Seq[String] = opt(name).toSeq
     .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
   override def build(): Write = new V1Write {
+    // only the dynamic-overwrite plan ever calls toBatch (its exec has
+    // no V1 fallback); it is claimed by the GraftExtensions analyzer
+    // rule before execution — reaching here means the extensions are
+    // not installed, so say that instead of "Batch write not supported"
+    override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+      throw new UnsupportedOperationException(
+        "txlog dynamic partition overwrite resolves through the " +
+          "GraftExtensions analyzer rule — configure " +
+          "spark.sql.extensions=graft.GraftExtensions (the same switch " +
+          "that enables UPDATE/MERGE), or use TxLog.overwriteDynamic")
     override def toInsertableRelation(): InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
@@ -270,6 +291,9 @@ class TxLogWriteBuilder(dir: String, asOf: Int, info: LogicalWriteInfo,
           replacePred match {
             case Some(pred) =>
               TxLog.replaceWhere(data.sparkSession, dir, pred, data,
+                cols("statsCols"))
+            case None if dynamicOverwrite =>
+              TxLog.overwriteDynamic(data.sparkSession, dir, data,
                 cols("statsCols"))
             case None =>
               if (truncateFirst || overwrite) TxLog.overwrite(data, dir)

@@ -108,6 +108,16 @@ object TxLogSqlDml extends Rule[LogicalPlan] with PredicateHelper {
         case _ => m
       }
 
+    // INSERT OVERWRITE under partitionOverwriteMode=dynamic: Spark's
+    // OverwritePartitionsDynamicExec has NO V1Write fallback (unlike
+    // append/overwrite-by-filter), so the statement bridges here into
+    // TxLog.overwriteDynamic — touched partitions replace wholesale,
+    // the rest carry untouched — keeping ONE physical write path
+    case o @ OverwritePartitionsDynamic(TxLogRel(t), query, _, _, _)
+        if o.resolved =>
+      requireCurrent(t, "INSERT OVERWRITE (dynamic partitions)")
+      TxLogDynamicOverwriteCommand(t.dir, query)
+
     case _ => plan
   }
 
@@ -384,6 +394,20 @@ case class TxLogMergeCommand(dir: String, key: String,
     if (mor)
       TxLog.mergeMoR(session, dir, ColumnShim.ofRows(session, updates), key)
     else TxLog.merge(session, dir, ColumnShim.ofRows(session, updates), key)
+    Seq.empty
+  }
+}
+
+/** `INSERT OVERWRITE` in dynamic-partition mode →
+  * [[TxLog.overwriteDynamic]]: the batch's present partition tuples
+  * replace wholesale, every other partition carries untouched. The
+  * query arrives analyzer-aligned to the table's columns. */
+case class TxLogDynamicOverwriteCommand(dir: String, query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(query)
+  override def run(session: SparkSession): Seq[Row] = {
+    TxLog.overwriteDynamic(session, dir, ColumnShim.ofRows(session, query))
     Seq.empty
   }
 }

@@ -193,6 +193,53 @@ class TxLogPartitionSpec extends SparkTestBase {
     assert(e.getMessage.contains("identity"), s"got: ${e.getMessage}")
   }
 
+  test("dynamic partition overwrite replaces exactly the batch's partitions") {
+    val dir = freshDir()
+    TxLog.setPartitionColumns(dir, Seq("day"))
+    TxLog.append(rows(1 to 3), dir)
+    val untouched = TxLog.liveSegments(dir).filter(_.contains("day=2024-01-01"))
+    // API: backfill days 2 and 3 — day 1 untouched, segments included
+    val batch = Seq((200L, "2024-01-02", 7L), (300L, "2024-01-03", 8L))
+      .toDF("id", "day", "cents")
+    val (_, read) = countRecordsRead {
+      TxLog.overwriteDynamic(spark, dir, batch)
+    }
+    assert(content(dir) == Seq((100L, "2024-01-01", 0L),
+      (101L, "2024-01-01", 10L), (102L, "2024-01-01", 20L),
+      (103L, "2024-01-01", 30L), (200L, "2024-01-02", 7L),
+      (300L, "2024-01-03", 8L)))
+    assert(untouched.forall(TxLog.liveSegments(dir).contains),
+      "untouched partitions carry by reference")
+    // the only rows read are the batch itself (tuple probe + staging +
+    // frame validation) — the dropped partitions never scan
+    assert(read <= 3 * batch.count(),
+      s"dynamic overwrite must not scan the table, read $read rows")
+    // SQL: INSERT OVERWRITE under dynamic mode
+    spark.sql("DROP TABLE IF EXISTS part_dyn")
+    spark.sql(s"CREATE TABLE part_dyn USING txlog LOCATION '$dir'")
+    val mode = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(mode)
+    try {
+      spark.conf.set(mode, "dynamic")
+      spark.sql("""INSERT OVERWRITE part_dyn
+        SELECT 999L AS id, '2024-01-02' AS day, 42L AS cents""")
+    } finally spark.conf.set(mode, prev)
+    assert(content(dir).filter(_._2 == "2024-01-02") ==
+      Seq((999L, "2024-01-02", 42L)))
+    assert(content(dir).count(_._2 == "2024-01-01") == 4,
+      "dynamic INSERT OVERWRITE must keep the other partitions")
+    // static mode stays whole-table-replace (Spark's contract)
+    spark.sql("""INSERT OVERWRITE part_dyn
+      SELECT 1L AS id, '2024-01-09' AS day, 1L AS cents""")
+    assert(content(dir) == Seq((1L, "2024-01-09", 1L)))
+    // unpartitioned tables reject dynamic overwrite loud
+    val flat = freshDir()
+    TxLog.append(rows(1 to 1), flat)
+    val e = intercept[Exception](TxLog.overwriteDynamic(spark, flat,
+      rows(1 to 1)))
+    assert(e.getMessage.contains("PARTITIONED"))
+  }
+
   test("defaults fill and clones carry the spec") {
     val dir = freshDir()
     TxLog.setPartitionColumns(dir, Seq("day"))
