@@ -1055,8 +1055,9 @@ private[graft] case class ColStats(typeName: String, min: String,
   }
 
   /** The table's declared partition columns (empty = unpartitioned). */
-  def partitionColumnsOf(dir: String): Seq[String] =
-    snapshotOrEmpty(dir).partitionCols
+  def partitionColumnsOf(dir: String, asOf: Int = -1): Seq[String] =
+    if (!store(dir).isDirectory(logDir(dir))) Seq.empty
+    else state(dir, asOf).partitionCols
 
   /** ALTER TABLE DROP CONSTRAINT: metadata-only commit. */
   def dropConstraint(dir: String, name: String): Int = {
@@ -1598,7 +1599,8 @@ private[graft] case class ColStats(typeName: String, min: String,
     // outer reclaim: any exit that didn't commit deletes the staged
     // updates segment (no entry records it, so vacuum never could)
     try {
-      val stats = segStats(spark, dir, uSeg, statsCols, snap)
+      val stats = segStats(spark, dir, uSeg,
+        (snap.partitionCols ++ statsCols).distinct, snap)
       while (true) {
         // per-attempt probe: tombstone COORDINATES are derived from the
         // exact snapshot the conditional commit is conditioned on — a
@@ -3026,8 +3028,13 @@ private[graft] case class ColStats(typeName: String, min: String,
   def overwrite(df: DataFrame, dir: String): Int = {
     val snap = snapshotOrEmpty(dir)
     val segs = newSegments(dir, df, snapOpt = Some(snap))
-    commitOrReclaim(dir, "overwrite", segs, snap.live, snap.version,
-      segStatsMany(df.sparkSession, dir, segs, snap.partitionCols, snap))
+    // the stats job runs inside the reclaim scope like every sibling
+    // write path: a transient stats failure must not leak staged dirs
+    // no entry records and no vacuum can find
+    reclaimOnFailure(dir, segs) {
+      commitOrReclaim(dir, "overwrite", segs, snap.live, snap.version,
+        segStatsMany(df.sparkSession, dir, segs, snap.partitionCols, snap))
+    }
   }
 
   /** PRUNABLE CONJUNCTS of an arbitrary SQL predicate: (logical
@@ -3129,9 +3136,11 @@ private[graft] case class ColStats(typeName: String, min: String,
         cmp(a, b, v => (None, Some(v)), v => (Some(v), None))
       case ce.LessThanOrEqual(a, b) =>
         cmp(a, b, v => (None, Some(v)), v => (Some(v), None))
-      case ce.In(a, list) if list.nonEmpty && list.size <= 64 =>
+      case ce.In(a, list) if list.nonEmpty && list.size <= 1024 =>
         // IN = OR of point probes; usable only when every element is a
-        // literal of ONE kind (bounded at 64 to cap metadata work)
+        // literal of ONE kind (bounded at 1024 to cap per-segment
+        // driver metadata work — the same bound overwriteDynamic
+        // enforces so its IN-shaped predicate is always recognized)
         attr(a).flatMap { c =>
           val ls = list.map(lit)
           if (ls.exists(_.isEmpty)) None
@@ -3491,7 +3500,7 @@ private[graft] case class ColStats(typeName: String, min: String,
       case ce.LessThanOrEqual(a, b) =>
         cmp(a, b, v => (None, false, Some(v), false),
           v => (Some(v), false, None, false))
-      case ce.In(a, list) if list.nonEmpty && list.size <= 64 =>
+      case ce.In(a, list) if list.nonEmpty && list.size <= 1024 =>
         attr(a).flatMap { c =>
           val ls = list.map(lit)
           if (ls.exists(_.isEmpty)) None
@@ -3518,7 +3527,17 @@ private[graft] case class ColStats(typeName: String, min: String,
     cands.filter { seg =>
       conjuncts.forall { case (c, kind, alts) =>
         snap.stats.get((seg, snap.physCol(c))).exists(st =>
-          st.nulls == 0L && statComparable(st.typeName, kind.toString) &&
+          st.nulls == 0L &&
+            // FLOATING-POINT columns never classify all-match: Spark
+            // evaluates a float-vs-fractional-literal predicate in the
+            // DOUBLE domain where (double)0.1f != 0.1 — a float-domain
+            // "covers" proof here would drop rows the predicate does
+            // not actually match. (For EXCLUSION canPrune's float
+            // compare is the conservative direction; the all-match
+            // dual is not.) Integrals/decimals/strings compare exactly
+            // in one domain, so they stay provable.
+            st.typeName != "float" && st.typeName != "double" &&
+            statComparable(st.typeName, kind.toString) &&
             alts.exists(covers(st.typeName, st.min, st.max, _)))
       }
     }.toSet
@@ -3666,9 +3685,14 @@ private[graft] case class ColStats(typeName: String, min: String,
       // loaders still observe a version per run)
       return commitOrReclaim(dir, "replace_where", Seq.empty, Seq.empty,
         snap.version, Map.empty)
-    require(tuples.length <= 10000,
+    // 1024 = the triage walkers' IN-recognition bound: staying inside
+    // it keeps the touched-partition classification METADATA-ONLY (a
+    // wider batch would silently degrade the triage to a full-table
+    // scan — reject loud instead and point at the whole-table op)
+    require(tuples.length <= 1024,
       s"dynamic overwrite touches ${tuples.length} partitions — above " +
-        "the 10k metadata bound; overwrite() or replaceWhere() instead")
+        "the 1024 metadata bound; use overwrite() (whole table) or " +
+        "batch the backfill")
     def sqlLit(v: Any): String =
       org.apache.spark.sql.catalyst.expressions.Literal(v).sql
     // ONE partition column (the common spec) compiles to the `IN`

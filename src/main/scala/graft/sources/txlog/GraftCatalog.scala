@@ -287,8 +287,18 @@ class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
     // works for MANAGED tables whose location only exists post-create.
     val parts = Option(info.partitions).getOrElse(Array.empty)
     if (parts.nonEmpty) txlogParts(ident).foreach { case (opts, _) =>
-      TxLog.setPartitionColumns(dirOfOpts(opts),
+      try TxLog.setPartitionColumns(dirOfOpts(opts),
         parts.toSeq.map(_.references()(0).fieldNames()(0)))
+      catch {
+        // spec rejection (location already holds data / a different
+        // spec): the metastore registration must not outlive the
+        // failed CREATE — drop the phantom so a corrected retry
+        // doesn't hit TableAlreadyExists
+        case scala.util.control.NonFatal(e) =>
+          try super.dropTable(ident)
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+      }
     }
     created
   }
@@ -391,8 +401,17 @@ private[txlog] object GraftProcedures {
       val removed =
         if (a.isNullAt(3)) TxLog.vacuum(dir, a.getInt(1),
           dryRun = a.getBoolean(2))
-        else TxLog.vacuumRetain(dir,
-          (a.getDouble(3) * 3600 * 1000).toLong, dryRun = a.getBoolean(2))
+        else {
+          // the same mutual exclusion the VACUUM statement enforces —
+          // a non-default keep_versions alongside retain_hours would
+          // be silently ignored otherwise (2 = the declared default,
+          // indistinguishable from an explicit 2: harmless, same
+          // horizon semantics as omitting it)
+          require(a.getInt(1) == 2,
+            "vacuum takes keep_versions or retain_hours, not both")
+          TxLog.vacuumRetain(dir,
+            (a.getDouble(3) * 3600 * 1000).toLong, dryRun = a.getBoolean(2))
+        }
       Seq(InternalRow(removed.size.toLong))
     }
   }

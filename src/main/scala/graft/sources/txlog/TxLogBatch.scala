@@ -56,11 +56,17 @@ class TxLogTable(private[txlog] val dir: String,
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"txlog($dir)"
 
-  /** The LOG's declared partition spec, surfaced for DESCRIBE/SHOW
-    * (identity transforms only — the only kind the engine records);
-    * resolution cost is one checkpoint+tail metadata replay. */
+  /** The LOG's declared partition spec, surfaced for DESCRIBE/SHOW and
+    * the analyzer's static-vs-dynamic INSERT OVERWRITE routing
+    * (identity transforms only — the only kind the engine records).
+    * Cached lazily: partitioning() is consulted on every INSERT
+    * analysis, and the spec is immutable once set, so ONE
+    * checkpoint+tail replay per Table instance suffices (the same
+    * pin-for-lifetime posture as the snapshot); asOf-pinned relations
+    * read the era-correct spec. */
+  private lazy val partCols: Seq[String] = TxLog.partitionColumnsOf(dir, asOf)
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    TxLog.partitionColumnsOf(dir).map(c =>
+    partCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)
         .asInstanceOf[org.apache.spark.sql.connector.expressions.Transform])
       .toArray

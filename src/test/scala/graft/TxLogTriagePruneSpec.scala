@@ -292,4 +292,32 @@ class TxLogTriagePruneSpec extends SparkTestBase {
     // the empty append yields the empty frame, not an exception
     assert(TxLog.readCommit(spark, dir, v).count() == 0)
   }
+  test("float columns never classify all-match: the DOUBLE-domain literal mismatch") {
+    // Spark evaluates `f = 0.1` on a float column in the DOUBLE domain,
+    // where (double)0.1f != 0.1 — the predicate matches NO rows. A
+    // float-domain stats proof (min=max="0.1", nulls=0) would claim
+    // all-match and drop the segment wholesale, silently deleting every
+    // row; the classifier must refuse fp columns.
+    val dir = freshDir()
+    TxLog.appendWithStats(spark,
+      (0 until 8).map(i => (i.toLong, 0.1f)).toDF("id", "f"), dir, Seq("f"))
+    TxLog.delete(spark, dir, "f = 0.1")
+    assert(TxLog.read(spark, dir).count() == 8,
+      "f = 0.1 matches nothing in the double domain — no row may vanish")
+    // the exact-domain spelling still deletes (scan-classified)
+    TxLog.delete(spark, dir, "f = CAST(0.1 AS FLOAT)")
+    assert(TxLog.liveSegments(dir).isEmpty,
+      "the float-typed probe matches every row — table empties")
+  }
+
+  test("IN recognition holds to 1024 elements (the dynamic-overwrite bound)") {
+    val (dir, segOfYear) = slicedTable()
+    // a 100-element IN whose only live hit is the 1996 slice: the
+    // triage must still prune to that one segment (the pre-r15 cap of
+    // 64 silently degraded this to a full scan)
+    val vals = (Seq("'1996-06-15'") ++
+      (1 to 99).map(i => s"'2100-01-${(i % 28) + 1}'")).mkString(", ")
+    val cands = TxLog.triageCandidatesOf(spark, dir, s"day IN ($vals)")
+    assert(cands == Seq(segOfYear("1996")), s"cands=$cands")
+  }
 }
