@@ -11,7 +11,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite {
 
   private val noOracle = Set(
-    "approx_distinct", // HLL sketch — no portable mirror
     "dedup_simhash",   // xxhash64 — engine-specific by design
     "pagerank")        // unrounded twin of pagerank_oracle
 
