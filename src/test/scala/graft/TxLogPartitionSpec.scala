@@ -240,6 +240,35 @@ class TxLogPartitionSpec extends SparkTestBase {
     assert(e.getMessage.contains("PARTITIONED"))
   }
 
+  test("multi-column specs: nested split, conjunct drops, dynamic overwrite") {
+    val dir = freshDir()
+    TxLog.setPartitionColumns(dir, Seq("day", "grp"))
+    val batch = Seq(
+      (1L, "2024-01-01", "a", 10L), (2L, "2024-01-01", "b", 20L),
+      (3L, "2024-01-02", "a", 30L), (4L, "2024-01-02", "b", 40L))
+      .toDF("id", "day", "grp", "cents")
+    TxLog.append(batch, dir)
+    val segs = TxLog.liveSegments(dir)
+    assert(segs.size == 4 && segs.forall(s =>
+      s.contains("day=") && s.contains("grp=")),
+      s"one segment per (day, grp) tuple, got $segs")
+    // a full-tuple conjunct delete drops its segment from metadata
+    val (_, read) = countRecordsRead {
+      TxLog.delete(spark, dir, "day = '2024-01-01' AND grp = 'b'")
+    }
+    assert(read == 0, s"conjunct tuple drop must be metadata-only, read $read")
+    assert(TxLog.liveSegments(dir).size == 3)
+    // dynamic overwrite with two key columns: tuple-exact semantics —
+    // (01,a) replaces, (02,b) replaces, (02,a) stays (the OR-of-ANDs
+    // predicate is scan-classified for multi-column specs, still exact)
+    TxLog.overwriteDynamic(spark, dir, Seq(
+      (11L, "2024-01-01", "a", 1L), (44L, "2024-01-02", "b", 4L))
+      .toDF("id", "day", "grp", "cents"))
+    assert(TxLog.read(spark, dir).select("id").as[Long].collect().sorted
+      .toSeq == Seq(3L, 11L, 44L),
+      "only the touched (day,grp) tuples may be replaced")
+  }
+
   test("defaults fill and clones carry the spec") {
     val dir = freshDir()
     TxLog.setPartitionColumns(dir, Seq("day"))
