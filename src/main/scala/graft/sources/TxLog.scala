@@ -1035,10 +1035,11 @@ private[graft] case class ColStats(typeName: String, min: String,
     * the spec must land before any data (retro-partitioning existing
     * segments would be a rewrite — that's OPTIMIZE's job, not a
     * metadata commit); re-declaring the identical spec is an idempotent
-    * no-op (CTAS and CREATE OR REPLACE replay it). Streaming-sink
-    * segments stay unsplit (correct reads — the partition column is
-    * ordinary data everywhere; partition DMLs on them rewrite instead
-    * of metadata-drop) until an OPTIMIZE/compact re-splits them. */
+    * no-op (CTAS and CREATE OR REPLACE replay it). Streaming appends
+    * and Complete-mode replaces split like every batch write; only the
+    * MoR streaming upsert's updates segment stays unsplit (reads stay
+    * correct — the partition column is ordinary data everywhere — and
+    * OPTIMIZE/compact re-splits, like every MoR rewrite debt). */
   def setPartitionColumns(dir: String, cols: Seq[String]): Int = {
     require(cols.nonEmpty, "PARTITIONED BY needs at least one column")
     require(cols.distinct == cols, s"duplicate partition column in $cols")
@@ -1284,6 +1285,27 @@ private[graft] case class ColStats(typeName: String, min: String,
         enforceWriteInvariants(spark, dir, rawSeg, snap, providedGen)
         rawSeg
       }
+    } catch { case scala.util.control.NonFatal(e) =>
+      store(dir).deleteRecursively(s"$dir/$rawSeg"); throw e }
+
+  /** [[finalizeStagedSegment]] for the append/Complete stream paths of
+    * a PARTITIONED table: the task-staged bytes re-split into
+    * value-labeled one-tuple segments — one rewrite of the micro-batch,
+    * the price of keeping the partition contract (metadata-only
+    * partition DMLs) under streaming ingest instead of deferring the
+    * whole debt to OPTIMIZE. Unpartitioned tables keep the zero-copy
+    * promote. (The MoR upsert mode stays single-segment by design: its
+    * appended updates frame is tombstone-paired, and its layout debt
+    * is OPTIMIZE's, like every MoR rewrite debt.) */
+  private def finalizeStagedSegments(spark: SparkSession, dir: String,
+      rawSeg: String, snap: State): Seq[String] =
+    if (snap.partitionCols.isEmpty)
+      Seq(finalizeStagedSegment(spark, dir, rawSeg, snap))
+    else try {
+      val df = applyMapping(spark.read.parquet(s"$dir/$rawSeg"), snap)
+      val segs = newSegments(dir, df, snapOpt = Some(snap))
+      store(dir).deleteRecursively(s"$dir/$rawSeg")
+      segs
     } catch { case scala.util.control.NonFatal(e) =>
       store(dir).deleteRecursively(s"$dir/$rawSeg"); throw e }
 
@@ -2858,7 +2880,7 @@ private[graft] case class ColStats(typeName: String, min: String,
                    statsCols: Seq[String] = Nil,
                    txnAppId: Option[String] = None): Option[Int] =
     appendStreamVia(df.sparkSession, dir, batchId, statsCols, None,
-      txnAppId)(snap => newSegment(dir, df, snapOpt = Some(snap)))
+      txnAppId)(snap => newSegments(dir, df, snapOpt = Some(snap)))
 
   /** The committed-batch dedup KEY. `txnAppId` is Delta's
     * txnAppId/txnVersion split: batch ids are PER WRITER, so two
@@ -2882,12 +2904,12 @@ private[graft] case class ColStats(typeName: String, min: String,
       statsCols: Seq[String] = Nil,
       txnAppId: Option[String] = None): Option[Int] =
     appendStreamVia(spark, dir, batchId, statsCols, Some(rawSeg),
-      txnAppId)(snap => finalizeStagedSegment(spark, dir, rawSeg, snap))
+      txnAppId)(snap => finalizeStagedSegments(spark, dir, rawSeg, snap))
 
   private def appendStreamVia(spark: SparkSession, dir: String,
       batchId: Long, statsCols: Seq[String], preStaged: Option[String],
       txnAppId: Option[String])(
-      stage: State => String): Option[Int] = {
+      stage: State => Seq[String]): Option[Int] = {
     val op = streamOp(txnAppId, batchId)
     var snap = state(dir)
     if (snap.streamOps.contains(op)) {
@@ -2897,23 +2919,24 @@ private[graft] case class ColStats(typeName: String, min: String,
       return None
     }
     val gov = govFingerprint(snap)
-    val seg = stage(snap)
-    // any exit that didn't commit reclaims the staged segment — a
+    val segs = stage(snap)
+    // any exit that didn't commit reclaims the staged segments — a
     // stats failure, a raised writer floor, a governance change — not
-    // just the duplicate-batch path (no entry records it, so vacuum
-    // could never collect the orphan)
+    // just the duplicate-batch path (no entry records them, so vacuum
+    // could never collect the orphans)
     try {
-      val stats = segStats(spark, dir, seg, statsCols, snap)
+      val stats = segStatsMany(spark, dir, segs,
+        (snap.partitionCols ++ statsCols).distinct, snap)
       while (true) {
-        try return Some(commit(dir, op, Seq(seg), Seq.empty,
+        try return Some(commit(dir, op, segs, Seq.empty,
           Some(snap.version), stats = stats))
         catch {
           case _: java.util.ConcurrentModificationException =>
             snap = state(dir)
             if (snap.streamOps.contains(op)) {
-              // the duplicate won the slot: our staged segment is
+              // the duplicate won the slot: our staged segments are
               // referenced by no entry — reclaim, report already-committed
-              store(dir).deleteRecursively(s"$dir/$seg")
+              segs.foreach(s0 => store(dir).deleteRecursively(s"$dir/$s0"))
               return None
             }
             // unrelated commit: retry at the new head — unless it
@@ -2930,7 +2953,7 @@ private[graft] case class ColStats(typeName: String, min: String,
       None // unreachable
     } catch {
       case scala.util.control.NonFatal(e) =>
-        store(dir).deleteRecursively(s"$dir/$seg")
+        segs.foreach(s0 => store(dir).deleteRecursively(s"$dir/$s0"))
         throw e
     }
   }
@@ -2967,7 +2990,7 @@ private[graft] case class ColStats(typeName: String, min: String,
                       statsCols: Seq[String] = Nil,
                       txnAppId: Option[String] = None): Option[Int] =
     overwriteStreamVia(df.sparkSession, dir, batchId, statsCols, None,
-      txnAppId)(snap => newSegment(dir, df, snapOpt = Some(snap)))
+      txnAppId)(snap => newSegments(dir, df, snapOpt = Some(snap)))
 
   /** [[overwriteStream]] over a TASK-STAGED segment (the v2 streaming
     * sink's Complete mode): identical dedup/replace contract. */
@@ -2976,12 +2999,12 @@ private[graft] case class ColStats(typeName: String, min: String,
       statsCols: Seq[String] = Nil,
       txnAppId: Option[String] = None): Option[Int] =
     overwriteStreamVia(spark, dir, batchId, statsCols, Some(rawSeg),
-      txnAppId)(snap => finalizeStagedSegment(spark, dir, rawSeg, snap))
+      txnAppId)(snap => finalizeStagedSegments(spark, dir, rawSeg, snap))
 
   private def overwriteStreamVia(spark: SparkSession, dir: String,
       batchId: Long, statsCols: Seq[String], preStaged: Option[String],
       txnAppId: Option[String])(
-      stage: State => String): Option[Int] = {
+      stage: State => Seq[String]): Option[Int] = {
     val op = streamOp(txnAppId, batchId)
     var snap = state(dir)
     if (snap.streamOps.contains(op)) {
@@ -2989,23 +3012,24 @@ private[graft] case class ColStats(typeName: String, min: String,
       return None
     }
     val gov = govFingerprint(snap)
-    val seg = stage(snap)
-    // reclaim the staged segment on ANY non-commit exit (see
+    val segs = stage(snap)
+    // reclaim the staged segments on ANY non-commit exit (see
     // [[appendStream]]); retries re-resolve the remove set so a racing
     // append is replaced rather than resurrected, and a governance
     // change fails loud so the engine's batch retry restages
     try {
       // stats once, like appendStream: physical names are stable for
       // the table's lifetime, so the snapshot retries need no re-agg
-      val stats = segStats(spark, dir, seg, statsCols, snap)
+      val stats = segStatsMany(spark, dir, segs,
+        (snap.partitionCols ++ statsCols).distinct, snap)
       while (true) {
-        try return Some(commit(dir, op, Seq(seg), snap.live, Some(snap.version),
+        try return Some(commit(dir, op, segs, snap.live, Some(snap.version),
           stats = stats))
         catch {
           case _: java.util.ConcurrentModificationException =>
             snap = state(dir)
             if (snap.streamOps.contains(op)) {
-              store(dir).deleteRecursively(s"$dir/$seg")
+              segs.foreach(s0 => store(dir).deleteRecursively(s"$dir/$s0"))
               return None
             }
             if (govFingerprint(snap) != gov)
@@ -3017,7 +3041,7 @@ private[graft] case class ColStats(typeName: String, min: String,
       None // unreachable
     } catch {
       case scala.util.control.NonFatal(e) =>
-        store(dir).deleteRecursively(s"$dir/$seg")
+        segs.foreach(s0 => store(dir).deleteRecursively(s"$dir/$s0"))
         throw e
     }
   }

@@ -113,12 +113,40 @@ class TxLogPartitionSpec extends SparkTestBase {
       Seq((999L, "2024-01-02", 7L)))
   }
 
-  test("unsplit (streaming) segments coexist; maintenance re-splits them") {
+  test("streaming appends split too: the sink keeps the partition contract") {
+    val dir = freshDir()
+    TxLog.setPartitionColumns(dir, Seq("day"))
+    // the foreachBatch-shaped API: each micro-batch splits per tuple
+    TxLog.appendStream(rows(1 to 2), dir, batchId = 0L)
+    assert(TxLog.liveSegments(dir).forall(_.contains("day=")),
+      s"streamed batches must split, got ${TxLog.liveSegments(dir)}")
+    // the DEFAULT (v2) sink through writeStream: same contract
+    val feed = freshDir()
+    rows(3 to 4).coalesce(1).write.mode("overwrite").parquet(feed)
+    val q = spark.readStream.schema(spark.read.parquet(feed).schema)
+      .parquet(feed + "/*.parquet")
+      .writeStream.format("txlog").option("path", dir)
+      .option("checkpointLocation", freshDir())
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(TxLog.liveSegments(dir).forall(_.contains("day=")),
+      s"the v2 sink must split, got ${TxLog.liveSegments(dir)}")
+    assert(content(dir).map(_._2).distinct.size == 4)
+    // ...so a partition drop right after streaming ingest is
+    // metadata-only, no OPTIMIZE needed first
+    val (_, read) = countRecordsRead {
+      TxLog.delete(spark, dir, "day = '2024-01-03'")
+    }
+    assert(read == 0, s"post-ingest partition drop read $read rows")
+  }
+
+  test("unsplit (MoR upsert) segments coexist; maintenance re-splits them") {
     val dir = freshDir()
     TxLog.setPartitionColumns(dir, Seq("day"))
     TxLog.append(rows(1 to 2), dir)
-    // a streaming append stages one unsplit segment spanning two days
-    TxLog.appendStream(rows(3 to 4), dir, batchId = 0L)
+    // the MoR streaming upsert stays single-segment by design: its
+    // appended updates frame spans two days in one unsplit segment
+    TxLog.mergeStreamMoR(spark, dir, rows(3 to 4), "id", batchId = 0L)
     val mixed = TxLog.liveSegments(dir)
     assert(mixed.exists(s => !s.contains("day=")), s"unsplit present: $mixed")
     assert(content(dir).map(_._2).distinct.sorted ==
