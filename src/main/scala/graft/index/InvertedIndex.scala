@@ -28,8 +28,22 @@ import graft.ops.TextOps
   */
 object InvertedIndex {
 
-  /** (word, docId) pair stream — one row per occurrence. */
+  /** (word, docId) pair stream — one row per occurrence. Since r16 the
+    * scrub → lower → split → explode chain is the fused single-pass
+    * byte scan [[graft.functions.AlphaTokens]] (maximal ASCII-letter
+    * runs, lowercased): the composed form cost two regex passes plus
+    * two whole-string copies per document — the dominant per-task cost
+    * of the GB-scale dump_index leg. Bit-identical tokens (TokensSpec
+    * pins the equivalence; the inverted_index oracles re-certify it). */
   def occurrences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.AlphaTokens.tokens(col(textCol))).as("word"))
+      .select(col("word"), col("doc_id"))
+
+  /** The pre-r16 composed form of [[occurrences]] — the TokensSpec
+    * cross-check target. */
+  private[graft] def occurrencesComposed(docs: DataFrame, idCol: String,
+                                         textCol: String): DataFrame =
     TextOps
       .explodeTokens(
         docs.select(col(idCol).as("doc_id"),

@@ -41,10 +41,18 @@ object TextOps {
 
   /** F2 — tokenize: one row per word occurrence
     * (ref: InvertedIndex.java:102-106 StringTokenizer loop).
-    * Uses split on whitespace runs; empty tokens dropped like
-    * StringTokenizer does.
+    * Whitespace-run splitting with empty tokens dropped, like
+    * StringTokenizer — since r16 via the fused single-pass byte scan
+    * [[graft.functions.WsTokens]] (one input read, no regex engine, no
+    * scrub/lower copies) instead of `filter(split(trim(c), "\\s+"))`.
+    * Bit-identical output — pinned by TokensSpec against
+    * [[tokenizeComposed]] and by every tokenizing oracle key.
     */
-  def tokenize(c: Column): Column = {
+  def tokenize(c: Column): Column = graft.functions.WsTokens.tokens(c)
+
+  /** The pre-r16 composed Catalyst form of [[tokenize]] — kept as the
+    * independent cross-check TokensSpec compares the fused scan against. */
+  private[graft] def tokenizeComposed(c: Column): Column = {
     val arr = split(trim(c), "\\s+")
     filter(arr, t => length(t) > 0)
   }

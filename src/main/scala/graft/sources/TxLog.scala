@@ -134,8 +134,15 @@ private[graft] case class ColStats(typeName: String, min: String,
       case "float"  => Some(java.lang.Float.parseFloat(value).toString)
       case "double" => Some(java.lang.Double.parseDouble(value).toString)
       case "string" => Some(value)
+      // canonical ISO dates only: LocalDate.parse round-trips exactly
+      // the cast-to-string form segBlooms hashed; a non-canonical probe
+      // ("2024-1-5") fails the parse and conservatively cannot prune
+      case "date"   => Some(java.time.LocalDate.parse(value).toString)
       case _        => None
-    } catch { case _: NumberFormatException => None }
+    } catch {
+      case _: NumberFormatException => None
+      case _: java.time.format.DateTimeParseException => None
+    }
 
   private case class Entry(version: Int, op: String,
                            add: Seq[String], remove: Seq[String],
@@ -3128,18 +3135,10 @@ private[graft] case class ColStats(typeName: String, min: String,
       case a: ce.AttributeReference => Some(a.name)
       case _ => None
     }
-    // literal kind: N = numeric (compares exactly against numeric stat
-    // types), S = string (compares lexicographically against string
-    // stat columns only); anything else is unusable
-    def lit(e: ce.Expression): Option[(String, Char)] = e match {
-      case l: ce.Literal if l.value != null => l.dataType match {
-        case ByteType | ShortType | IntegerType | LongType | FloatType |
-             DoubleType | _: DecimalType => Some((l.value.toString, 'N'))
-        case StringType                   => Some((l.value.toString, 'S'))
-        case _                            => None
-      }
-      case _ => None
-    }
+    // literal kinds: the shared [[literalBound]] recognizer (r16) —
+    // exact numerics, gated float/double, binary-collation strings,
+    // and date/timestamp literals rendered to the stats' string domain
+    def lit(e: ce.Expression): Option[(String, Char)] = literalBound(e)
     // one conjunct = (col, kind, ALTERNATIVE ranges): the conjunct is
     // an OR of its ranges (one for comparisons, k for IN), so a
     // segment is skippable only when EVERY alternative is excluded
@@ -3180,11 +3179,91 @@ private[graft] case class ColStats(typeName: String, min: String,
   }
 
   /** True iff `tn` (a stat column's recorded type name) and a literal
-    * kind from [[prunableConjuncts]] compare in the same domain. */
+    * kind from [[prunableConjuncts]] compare in the same domain.
+    *
+    * Kinds (r16, ADVICE r15): `N` = exact numeric literal (integral /
+    * decimal — compares exactly in any numeric stat domain), `F` =
+    * float/double literal — pairs ONLY with float/double stat columns:
+    * Spark evaluates a fractional-literal-vs-integral-column predicate
+    * in the DOUBLE domain, where a long beyond 2^53 can round ONTO the
+    * literal; an exact BigDecimal compare against integral stats would
+    * then prune (or all-match-drop) a segment whose rows the predicate
+    * actually matches — silent row loss both directions. `S` = string,
+    * `D`/`T`/`U` = date / timestamp / timestamp_ntz literals rendered
+    * to the stats' own cast-to-string domain (ISO forms, byte-ordered
+    * chronologically — see [[literalBound]]). */
   private def statComparable(tn: String, kind: String): Boolean = {
-    val numericTn = Set("byte", "short", "integer", "long",
-      "float", "double").contains(tn) || tn.startsWith("decimal")
-    if (kind == "N") numericTn else tn == "string"
+    val fpTn = tn == "float" || tn == "double"
+    val exactTn = Set("byte", "short", "integer", "long").contains(tn) ||
+      tn.startsWith("decimal")
+    kind match {
+      case "N" => exactTn || fpTn
+      case "F" => fpTn
+      case "S" => tn == "string"
+      case "D" => tn == "date"
+      case "T" => tn == "timestamp"
+      case "U" => tn == "timestamp_ntz"
+      case _   => false
+    }
+  }
+
+  /** True when the session's DEFAULT string collation is binary.
+    * Non-binary defaults (UTF8_LCASE) make every byte-order string
+    * proof unsound — `col = 'apple'` matches 'APPLE' rows that byte
+    * stats order far from the literal — so the walkers refuse string
+    * bounds entirely under them (ADVICE r15). */
+  private def binaryCollationDefault: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.session.collation.default", "UTF8_BINARY")
+      .equalsIgnoreCase("UTF8_BINARY")
+    catch { case scala.util.control.NonFatal(_) => true }
+
+  /** Render a date/timestamp literal through Spark's OWN Cast-to-string
+    * — bit-identical to the `min(col).cast("string")` form the stats
+    * recorded, so the byte-order compare is chronologically exact.
+    * Guards: 4-digit-year renderings only (years < 0 or > 9999 render
+    * with signs/5 digits and break byte order — refused, conservative);
+    * TimestampType (tz-AWARE) only under a UTC session — its rendering
+    * bakes in the session zone, so classification across differently-
+    * zoned sessions would compare apples to oranges (the engine pins
+    * UTC everywhere; other zones just fall back to the scan path).
+    * Date / timestamp_ntz render zone-independently. */
+  private def renderTemporalLiteral(
+      l: org.apache.spark.sql.catalyst.expressions.Literal): Option[String] = {
+    import org.apache.spark.sql.types._
+    val zone = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    if (l.dataType == TimestampType && zone != "UTC") return None
+    val rendered = org.apache.spark.sql.catalyst.expressions
+      .Cast(l, StringType, Some(zone)).eval(null)
+    Option(rendered).map(_.toString).filter(s =>
+      s.length >= 5 && s.charAt(4) == '-' &&
+        s.substring(0, 4).forall(c => c >= '0' && c <= '9'))
+  }
+
+  /** The shared literal recognizer of both triage walkers
+    * ([[conjunctBoundsOf]] exclusion, [[allMatchByStats]] all-match):
+    * Some((rendered value, kind)) for literals that compare soundly
+    * against recorded stats, None for everything else (strictly
+    * conservative — an unrecognized literal just means a scan). */
+  private def literalBound(
+      e: org.apache.spark.sql.catalyst.expressions.Expression
+      ): Option[(String, Char)] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.types._
+    e match {
+      case l: ce.Literal if l.value != null => l.dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             _: DecimalType => Some((l.value.toString, 'N'))
+        case FloatType | DoubleType => Some((l.value.toString, 'F'))
+        case StringType if binaryCollationDefault =>
+          Some((l.value.toString, 'S'))
+        case DateType => renderTemporalLiteral(l).map((_, 'D'))
+        case TimestampType => renderTemporalLiteral(l).map((_, 'T'))
+        case TimestampNTZType => renderTemporalLiteral(l).map((_, 'U'))
+        case _ => None
+      }
+      case _ => None
+    }
   }
 
   /** Live segments that can possibly hold a `predicate` match, from
@@ -3489,15 +3568,7 @@ private[graft] case class ColStats(typeName: String, min: String,
       case a: ce.AttributeReference => Some(a.name)
       case _ => None
     }
-    def lit(e: ce.Expression): Option[(String, Char)] = e match {
-      case l: ce.Literal if l.value != null => l.dataType match {
-        case ByteType | ShortType | IntegerType | LongType | FloatType |
-             DoubleType | _: DecimalType => Some((l.value.toString, 'N'))
-        case StringType                   => Some((l.value.toString, 'S'))
-        case _                            => None
-      }
-      case _ => None
-    }
+    def lit(e: ce.Expression): Option[(String, Char)] = literalBound(e)
     // one recognized conjunct = (col, kind, alternatives), each
     // alternative (lo, loStrict, hi, hiStrict); the conjunct matches a
     // whole segment when SOME alternative's range covers [min,max]

@@ -291,12 +291,22 @@ class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
         parts.toSeq.map(_.references()(0).fieldNames()(0)))
       catch {
         // spec rejection (location already holds data / a different
-        // spec): the metastore registration must not outlive the
-        // failed CREATE — drop the phantom so a corrected retry
-        // doesn't hit TableAlreadyExists
+        // spec): drop the phantom registration ONLY when the location
+        // holds no committed table — then a corrected retry doesn't
+        // hit TableAlreadyExists and nothing real is lost. When the
+        // location DOES hold a live txlog table (exactly the
+        // CREATE-OR-REPLACE-with-new-spec case: ReplaceTableExec
+        // already dropped the old registration before this ran, so
+        // dropping again would leave intact data UNREGISTERED —
+        // ADVICE r15), keep the registration pointing at the
+        // surviving data and let the error explain.
         case scala.util.control.NonFatal(e) =>
-          try super.dropTable(ident)
-          catch { case scala.util.control.NonFatal(_) => () }
+          val hasData =
+            try TxLog.headVersion(dirOfOpts(opts)) >= 0
+            catch { case scala.util.control.NonFatal(_) => false }
+          if (!hasData)
+            try super.dropTable(ident)
+            catch { case scala.util.control.NonFatal(_) => () }
           throw e
       }
     }

@@ -324,8 +324,12 @@ class TxLogWriteBuilder(dir: String, asOf: Int, info: LogicalWriteInfo,
       require(asOf < 0,
         "cannot stream-write through a time-travel (asOf) txlog relation")
       require(TxLogMicroBatch.sinkV2(opt),
-        "txlog streaming write reached the DSv2 path under " +
-          "streamApi=v1 — the v1 Sink should have claimed this write")
+        "txlog streaming write reached the DSv2 path with streamApi=v1: " +
+          "a per-write .option cannot downgrade a CATALOG-resolved table " +
+          "— its stored capabilities already claimed STREAMING_WRITE " +
+          "before options were read. Set the table property streamApi=v1 " +
+          "or SPARK_GRAFT_STREAM_API=v1 process-wide instead (path-based " +
+          "writeStream.format(\"txlog\") honors the per-write option)")
       val mergeKey = opt("mergeKey")
       val mergeSchema = TxLogSource.strictBool(opt, "mergeSchema")
       require(!(mergeKey.nonEmpty && truncateFirst),

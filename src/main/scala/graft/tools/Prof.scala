@@ -141,6 +141,35 @@ object Prof {
             println(s"""    // "$k" FAILED: ${e.getMessage}""")
           }
         }
+      case "tokab" =>
+        // r16 tokenizer-fusion A/B in ONE window (steal-proof): the
+        // composed regex chains vs the fused byte-scan expressions, on
+        // the GB dump (index occurrences) and the sf documents corpus
+        // (whitespace tokenize — the dedup/text hot path)
+        import org.apache.spark.sql.functions._
+        val path = sys.env.getOrElse("SPARK_GRAFT_DUMP_PATH", "/tmp/graft_dump.xml")
+        val docsDf = graft.parse.WikiParser.docs(
+          graft.parse.WikiParser.pagesFused(
+            graft.sources.TextKV.readPages(spark, path))).localCheckpoint()
+        for (r <- 1 to 2) {
+          t(s"occurrences composed r$r")(
+            graft.index.InvertedIndex.occurrencesComposed(docsDf, "doc_id", "text")
+              .agg(count(lit(1))).collect())
+          t(s"occurrences fused r$r")(
+            graft.index.InvertedIndex.occurrences(docsDf, "doc_id", "text")
+              .agg(count(lit(1))).collect())
+          t(s"postings salted fused r$r")(
+            graft.index.InvertedIndex.postingsSalted(docsDf, "doc_id", "text").count())
+        }
+        val sfDocs = graft.Tables.documents(spark, sfDir)
+        for (r <- 1 to 2) {
+          t(s"ws composed r$r")(sfDocs.select(
+            explode(graft.ops.TextOps.tokenizeComposed(col("text"))).as("w"))
+            .agg(count(lit(1))).collect())
+          t(s"ws fused r$r")(sfDocs.select(
+            explode(graft.ops.TextOps.tokenize(col("text"))).as("w"))
+            .agg(count(lit(1))).collect())
+        }
       case "indexsalt" =>
         // skew drill (VERDICT r5 #6): plain two-level posting build vs
         // the range-salted three-level variant, on the bench dump with

@@ -310,6 +310,90 @@ class TxLogTriagePruneSpec extends SparkTestBase {
       "the float-typed probe matches every row — table empties")
   }
 
+  test("DATE-typed literals prune and metadata-drop (ADVICE r15 medium)") {
+    // date-partitioned tables are the COMMON partitioning shape; before
+    // r16 the walkers recognized only numeric/string literals, so every
+    // DATE predicate silently degraded to scan classification
+    val dir = freshDir()
+    val segs = (1 to 3).map { m =>
+      val rows = (0 until 4).map(i =>
+        ((m * 10 + i).toLong, java.sql.Date.valueOf(f"2024-0$m%d-15")))
+      TxLog.appendWithStats(spark, rows.toDF("id", "day"), dir, Seq("day"))
+      TxLog.liveSegments(dir).last
+    }
+    // typed DATE literal: equality, range, reversed operand, IN
+    assert(TxLog.triageCandidatesOf(spark, dir,
+      "day = DATE'2024-02-15'") == Seq(segs(1)))
+    assert(TxLog.triageCandidatesOf(spark, dir,
+      "day >= DATE'2024-03-01'") == Seq(segs(2)))
+    assert(TxLog.triageCandidatesOf(spark, dir,
+      "DATE'2024-01-20' > day") == Seq(segs(0)))
+    assert(TxLog.triageCandidatesOf(spark, dir,
+      "day IN (DATE'2024-01-15', DATE'2024-03-15')").toSet ==
+      Set(segs(0), segs(2)))
+    // the all-match dual: a whole-slice DELETE classifies from
+    // metadata (zero-null, min=max covering) and reads NOTHING
+    val (_, recs) = countRecordsRead {
+      TxLog.delete(spark, dir, "day = DATE'2024-01-15'")
+    }
+    assert(recs == 0, s"date-slice delete read $recs records")
+    assert(TxLog.read(spark, dir).count() == 8)
+    assert(!TxLog.liveSegments(dir).contains(segs(0)))
+  }
+
+  test("TIMESTAMP literals prune under the UTC session (ADVICE r15)") {
+    val dir = freshDir()
+    val segs = (1 to 2).map { m =>
+      val rows = (0 until 3).map(i => ((m * 10 + i).toLong,
+        java.sql.Timestamp.valueOf(f"2024-0$m%d-15 12:30:0$i%d")))
+      TxLog.appendWithStats(spark, rows.toDF("id", "ts"), dir, Seq("ts"))
+      TxLog.liveSegments(dir).last
+    }
+    assert(TxLog.triageCandidatesOf(spark, dir,
+      "ts < TIMESTAMP'2024-02-01 00:00:00'") == Seq(segs(0)))
+    assert(TxLog.triageCandidatesOf(spark, dir,
+      "ts BETWEEN TIMESTAMP'2024-02-01 00:00:00' AND " +
+        "TIMESTAMP'2024-02-28 23:59:59'") == Seq(segs(1)))
+  }
+
+  test("fractional literal over an integral column proves nothing (ADVICE r15 low)") {
+    // `longCol >= 4.6E18`: Spark evaluates after casting the column to
+    // DOUBLE, where 4599999999999999999L rounds ONTO 4.6E18 and
+    // matches — but the exact BigDecimal compare puts the segment max
+    // strictly below the bound and would prune it: silent row loss.
+    // The 'F' literal kind must refuse integral stat columns entirely.
+    val dir = freshDir()
+    TxLog.appendWithStats(spark,
+      Seq((4599999999999999999L, "hi")).toDF("v", "s"), dir, Seq("v"))
+    TxLog.appendWithStats(spark,
+      Seq((1L, "lo")).toDF("v", "s"), dir, Seq("v"))
+    val live = TxLog.liveSegments(dir).toSet
+    assert(TxLog.triageCandidatesOf(spark, dir, "v >= 4.6E18").toSet == live,
+      "double-kind literal over a long column must not prune")
+    // and the DML stays correct end-to-end: the row Spark's double-
+    // domain evaluation matches is deleted
+    TxLog.delete(spark, dir, "v >= 4.6E18")
+    assert(TxLog.read(spark, dir).count() == 1)
+  }
+
+  test("non-binary default collation refuses string bounds (ADVICE r15)") {
+    val (dir, segOfYear) = slicedTable()
+    val key = "spark.sql.session.collation.default"
+    val had = scala.util.Try(spark.conf.get(key)).toOption
+    try {
+      spark.conf.set(key, "UTF8_LCASE")
+      // byte-order proofs are unsound under case-insensitive compare —
+      // the walker must fall back to the full live set
+      assert(TxLog.triageCandidatesOf(spark, dir,
+        "day = '1996-06-15'").toSet == TxLog.liveSegments(dir).toSet)
+    } finally {
+      spark.conf.set(key, had.getOrElse("UTF8_BINARY"))
+    }
+    // back under binary collation the slice prunes again
+    assert(TxLog.triageCandidatesOf(spark, dir,
+      "day = '1996-06-15'") == Seq(segOfYear("1996")))
+  }
+
   test("IN recognition holds to 1024 elements (the dynamic-overwrite bound)") {
     val (dir, segOfYear) = slicedTable()
     // a 100-element IN whose only live hit is the 1996 slice: the
