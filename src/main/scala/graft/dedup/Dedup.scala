@@ -223,27 +223,36 @@ object Dedup {
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
       .localCheckpoint()
+    // r16: SORTED DISTINCT shingle HASHES instead of shingle strings
+    // (HashedShingles scaladoc — identity is all the verify needs):
+    // the re-attach joins ship 8-byte cells instead of ~30-byte
+    // strings and the per-pair intersection becomes the sorted merge.
+    // The fused kernel consumes the token array once, so the old
+    // explode(array(tokenize)) Generate barrier (HOF-lambda re-split
+    // protection) has nothing left to protect.
     val sgl = docs
       .join(broadcastIfUnder(candDocs, BroadcastIdGate),
         docs(idCol) === candDocs("doc_id"), "left_semi")
-      // Generate barrier before shingling: without it the split() inlines
-      // into every element_at of the shingle lambda (HOF lambdas get no
-      // codegen subexpression elimination) — O(tokens²) per doc; see
-      // TextAnalysis.decontaminate for the measurement
       .select(col(idCol).as("doc_id"),
-        explode(array(TextOps.tokenize(col(textCol)))).as("w"))
-      .select(col("doc_id"), shingles(col("w"), shingleSize).as("sgl"))
+        graft.functions.HashedShingles.of(
+          TextOps.tokenize(col(textCol)), shingleSize).as("sgl"))
     val a = sgl.select(col("doc_id").as("doc_a"), col("sgl").as("sgl_a"))
     val b = sgl.select(col("doc_id").as("doc_b"), col("sgl").as("sgl_b"))
     cands.join(a, "doc_a").join(b, "doc_b")
   }
+
+  /** `|A ∩ B|` of two sorted distinct hash arrays — the codegen'd merge
+    * (Triangles' verify kernel), shared by every shingle verify below. */
+  private def sortedInter(a: Column, b: Column): Column =
+    ColumnShim.column(graft.functions.SortedIntersectCount(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, numPerms: Int = 8,
                         shingleSize: Int = 3,
                         materializeCandidates: Boolean = true): DataFrame =
     candidateShingles(docs, idCol, textCol, numPerms, shingleSize, materializeCandidates)
-      .withColumn("inter", size(array_intersect(col("sgl_a"), col("sgl_b"))).cast("long"))
+      .withColumn("inter", sortedInter(col("sgl_a"), col("sgl_b")))
       .withColumn("uni",
         size(col("sgl_a")).cast("long") + size(col("sgl_b")).cast("long") - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
@@ -261,7 +270,7 @@ object Dedup {
                        shingleSize: Int = 3,
                        materializeCandidates: Boolean = true): DataFrame =
     candidateShingles(docs, idCol, textCol, numPerms, shingleSize, materializeCandidates)
-      .withColumn("inter", size(array_intersect(col("sgl_a"), col("sgl_b"))).cast("long"))
+      .withColumn("inter", sortedInter(col("sgl_a"), col("sgl_b")))
       .withColumn("mn", least(size(col("sgl_a")), size(col("sgl_b"))).cast("long"))
       .withColumn("containment", round(col("inter").cast("double") / col("mn"), 6))
       .filter(col("inter").cast("double") / col("mn") >= threshold)
@@ -453,7 +462,8 @@ object Dedup {
     *
     * The prefix-filter theorem (Chaudhuri et al. 2006 / Xiao et al.
     * PPJoin 2008): order every doc's shingles by ONE global canonical
-    * order — rarest first, here (document-frequency asc, shingle asc) —
+    * order — rarest first, here (document-frequency asc, shingle-hash
+    * asc; any fixed total order satisfies the theorem) —
     * and keep only each doc's first |d| − ⌈t·|d|⌉ + 1 shingles. Any pair
     * with J ≥ t needs overlap ≥ ⌈t·max(|a|,|b|)⌉, and two sets whose
     * overlap exceeds what they can cover outside their prefixes must
@@ -474,26 +484,31 @@ object Dedup {
                         maxBucket: Int = 1000,
                         idBroadcastGate: Long = BroadcastIdGate,
                         cellBroadcastGate: Long = BroadcastCellGate): DataFrame = {
-    // Shingling the WHOLE corpus is the CPU-heavy step (tokenize +
-    // n·concat_ws + array_distinct per doc) and inherits the SCAN's
-    // partitioning — a sub-128MB compressed input is one partition, so
-    // it ran in ONE task (measured 19.6 s of the key's 24 s at sf0.1).
-    // Repartitioning the raw text first is a trivially small shuffle
-    // that fans the compute across the session's parallelism; no-op
-    // when the scan already splits (the 100 TB case).
+    // Shingling the WHOLE corpus is the CPU-heavy step and inherits
+    // the SCAN's partitioning — a sub-128MB compressed input is one
+    // partition, so it ran in ONE task (measured 19.6 s of the key's
+    // 24 s at sf0.1). Repartitioning the raw text first is a trivially
+    // small shuffle that fans the compute across the session's
+    // parallelism; no-op when the scan already splits (the 100 TB case).
     val conf = docs.sparkSession.sessionState.conf
     val src =
       if (docs.rdd.getNumPartitions < conf.numShufflePartitions)
         docs.repartition(conf.numShufflePartitions)
       else docs
-    // Generate barrier before shingling (the candidateShingles rule):
-    // without it the tokenize split() inlines into every element_at of
-    // the shingle lambda — O(tokens²) per doc, measured ~10 s of this
-    // key's cost at sf0.1
+    // r16: SORTED DISTINCT shingle HASHES end to end (HashedShingles
+    // scaladoc): the df shuffle, prefix ranking and bucket keys carry
+    // 8-byte longs instead of ~30-byte strings, and the verify is the
+    // allocation-free sorted merge. The prefix-filter theorem needs
+    // ONE global canonical order — (document-frequency asc, hash asc)
+    // is as valid as (df asc, text asc); the exactness guarantee
+    // comes from the verify, which is unchanged in structure. The
+    // fused kernel consumes the token array once, so the old
+    // explode(array(tokenize)) Generate barrier is gone with the HOF
+    // lambdas it protected against.
     val sh = src
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(array(graft.ops.TextOps.tokenize(col(textCol)))).as("w"))
-      .select(col("doc_id"), shingles(col("w"), shingleSize).as("sgl"))
+        graft.functions.HashedShingles.of(
+          graft.ops.TextOps.tokenize(col(textCol)), shingleSize).as("sgl"))
       .filter(size(col("sgl")) > 0)
       .localCheckpoint() // consumed 3×: df count, prefix ranking, verify
     val df = sh.select(explode(col("sgl")).as("s"))
@@ -530,10 +545,10 @@ object Dedup {
     // column-pruned agg over checkpointed `sh` semi-joined to the
     // materialized candidate set, not a corpus pass.
     // explode(array(…)) Generate barrier around the intersection (the
-    // minhashSignatures trick): CollapseProject would otherwise inline
-    // the array_intersect into uni + jaccard + the filter — ~6
-    // evaluations of the O(|A|+|B|) intersection per pair (measured
-    // 24 s -> 4 s on the 409k-pair sf0.1 verify)
+    // minhashSignatures trick), kept defensively: CollapseProject would
+    // otherwise inline the merge into uni + jaccard + the filter (the
+    // string form measured 24 s -> 4 s on the 409k-pair sf0.1 verify;
+    // the sorted merge is ~10× cheaper per pair but still O(|A|+|B|))
     val cells = pruned.agg(coalesce(sum(size(col("sgl"))), lit(0L)))
       .head().getLong(0)
     def side(asId: String, asArr: String) = {
@@ -546,8 +561,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         size(col("sgl_a")).cast("long").as("sa"),
         size(col("sgl_b")).cast("long").as("sb"),
-        explode(array(size(array_intersect(col("sgl_a"), col("sgl_b")))
-          .cast("long"))).as("inter"))
+        explode(array(sortedInter(col("sgl_a"), col("sgl_b")))).as("inter"))
       .withColumn("uni", col("sa") + col("sb") - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
       .filter(col("inter").cast("double") / col("uni") >= threshold)

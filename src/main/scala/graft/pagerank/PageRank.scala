@@ -726,13 +726,32 @@ object PageRank {
   def weightedDataFrame(edges: DataFrame, iters: Int = 5, d: Double = 0.85,
                         roundTo: Int = 9, checkpointEvery: Int = 2): DataFrame = {
     val agg = edges.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-    val wsum = agg.groupBy("src").agg(sum(col("w")).as("wsum"))
-    val e = agg.join(wsum, "src")
+    // r16 (guide §2.4 "remove shuffles outright"): the out-weight sum
+    // W(u) is a WINDOW over the src partitioning instead of a
+    // groupBy+self-join (one exchange fewer, exact same LONG sums),
+    // and both static relations are PRE-PARTITIONED on their join key
+    // and PERSISTED — runDataFrame's discipline: InMemoryRelation
+    // preserves outputPartitioning (localCheckpoint under AQE reports
+    // UnknownPartitioning and loses it — measured in the tail plan),
+    // so every iteration's e⋈ranks join reads the edge side's cached
+    // hash(src) layout without re-exchanging it, and the verts left
+    // join aligns with the contribution agg's hash(title): the loop
+    // pays the contribution shuffle, not a re-shuffle of the static
+    // sides — at 100 TB the edge relation is the heavy side, so this
+    // is the scale shape; the explicit partition count keeps AQE from
+    // re-coalescing the layout mid-loop.
+    val nShuffle = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = agg
+      .repartition(nShuffle, col("src"))
+      .withColumn("wsum", sum(col("w"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("wsum").cast("double")).as("frac"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val verts = edges.select(col("src").as("title"))
-      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+      .union(edges.select(col("dst"))).distinct()
+      .repartition(nShuffle, col("title"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
     var ranks = verts.select(col("title"),
       round(lit(1.0 / n), roundTo).as("rank"))

@@ -141,6 +141,87 @@ object Prof {
             println(s"""    // "$k" FAILED: ${e.getMessage}""")
           }
         }
+      case "jobs" =>
+        // `Prof <sf> jobs <key>`: run the key twice (cold, warm) and on
+        // the warm rep print every Spark job's description + wall — the
+        // "where do 3 s of wall go when task_sec is 1 s" drill for the
+        // tape keys (many small sequential driver-issued jobs)
+        val key = args(2)
+        val q = graft.SparkEntry.queries(key)
+        t(s"$key cold")(q(spark, sfDir).count())
+        val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        val done = scala.collection.mutable.ArrayBuffer[(Int, Double, String)]()
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.put(j.jobId, (j.time,
+              Option(j.properties.getProperty("spark.job.description"))
+                .orElse(Option(j.properties.getProperty("callSite.short")))
+                .getOrElse("?")))
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = jobs.get(j.jobId)
+            if (s != null) done.synchronized {
+              done += ((j.jobId, (j.time - s._1) / 1e3, s._2)) }
+          }
+        }
+        spark.sparkContext.addSparkListener(l)
+        t(s"$key warm")(q(spark, sfDir).count())
+        Thread.sleep(500)
+        spark.sparkContext.removeSparkListener(l)
+        val sorted = done.sortBy(_._1)
+        println(s"JOBS n=${sorted.size} total=${sorted.map(_._2).sum}%.2f")
+        sorted.foreach { case (id, sec, desc) =>
+          println(f"JOB $id%4d ${sec}%7.3f s  ${desc.take(110)}") }
+      case "auditall" =>
+        // r16 plan audit over EVERY declared key: one line per key with
+        // the shape signals the optimization guide says to read —
+        // exchange count, join strategies, scans with/without pushed
+        // filters, cartesian products, non-codegen spans. Output TSV to
+        // stdout (AUDIT<tab>…); planning only, nothing executed (stream
+        // keys are skipped: building their plan runs the stream).
+        val skip = Set[String]()
+        graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, fn) =>
+          if (k.startsWith("stream_") || skip(k)) println(s"AUDIT\t$k\tSKIP_STREAM")
+          else try {
+            val df = fn(spark, sfDir)
+            val p = df.queryExecution.executedPlan.toString
+            def c(s: String) = s.r.findAllIn(p).size
+            val exch = c("Exchange ")
+            val bhj = c("BroadcastHashJoin"); val smj = c("SortMergeJoin")
+            val shj = c("ShuffledHashJoin"); val bnl = c("BroadcastNestedLoopJoin")
+            val cart = c("CartesianProduct")
+            val scans = c("Scan parquet"); val pushed = c("PushedFilters: \\[[^\\]]")
+            println(s"AUDIT\t$k\texch=$exch bhj=$bhj smj=$smj shj=$shj " +
+              s"bnl=$bnl cart=$cart scans=$scans pushedScans=$pushed")
+          } catch { case e: Throwable =>
+            println(s"AUDIT\t$k\tERROR ${Option(e.getMessage).getOrElse("?").take(80)}")
+          }
+        }
+      case "prefixstep" =>
+        // stage-wise cost of prefixFilterPairs at the dedup_prefix /
+        // dedup_eval settings: where do the seconds go — shingling,
+        // df-count, prefix ranking, bucket expansion, or the verify?
+        import org.apache.spark.sql.functions._
+        val docs = graft.Tables.documents(spark, sfDir)
+        val conf = spark.sessionState.conf
+        val src = if (docs.rdd.getNumPartitions < conf.numShufflePartitions)
+          docs.repartition(conf.numShufflePartitions) else docs
+        val sh = src.select(col("doc_id").cast("long").as("doc_id"),
+            explode(array(graft.ops.TextOps.tokenize(col("text")))).as("w"))
+          .select(col("doc_id"), graft.dedup.Dedup.shingles(col("w"), 3).as("sgl"))
+          .filter(size(col("sgl")) > 0)
+        val shc = t("shingle+checkpoint")(sh.localCheckpoint())
+        t("df count")(shc.select(explode(col("sgl")).as("s"))
+          .groupBy("s").agg(count(lit(1))).agg(count(lit(1))).collect())
+        for (r <- 1 to 2; th <- Seq(0.8, 0.5)) {
+          t(s"full prefixFilterPairs t=$th r$r")(
+            graft.dedup.Dedup.prefixFilterPairs(docs, "doc_id", "text",
+              threshold = th, maxBucket = if (th == 0.5) 1 << 20 else 1000)
+              .count())
+        }
+        t("lsh candidates (dedup_eval cand side)")(
+          graft.dedup.Dedup.lshCandidatePairs(
+            graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text"))
+            .count())
       case "tokab" =>
         // r16 tokenizer-fusion A/B in ONE window (steal-proof): the
         // composed regex chains vs the fused byte-scan expressions, on
