@@ -2583,7 +2583,9 @@ object SparkEntry {
     // co-purchase graph — fixed-round contract (not fixpoint), so the
     // unrolled oracle is exact even where synchronous LPA oscillates
     "graph_lpa" -> ((s, d) =>
-      graft.graph.LabelPropagation.run(coPurchasePairs(s, d).distinct(),
+      // no caller-side .distinct(): LPA canonicalizes internally — the
+      // doubled dedup shuffle was pure overhead (r16)
+      graft.graph.LabelPropagation.run(coPurchasePairs(s, d),
         rounds = 4).orderBy("node")),
 
     // community quality of the LPA partition: per-community modularity
@@ -2593,7 +2595,10 @@ object SparkEntry {
     "graph_modularity" -> ((s, d) => {
       val pairs = coPurchasePairs(s, d).distinct()
         .localCheckpoint() // consumed by LPA and by the edge-label join
-      val labels = graft.graph.LabelPropagation.run(pairs, rounds = 4)
+      // the pairs relation is already distinct + canonical (a < b) and
+      // checkpointed — LPA may skip its internal dedup shuffle
+      val labels = graft.graph.LabelPropagation.run(pairs, rounds = 4,
+        assumeCanonical = true)
       val m = pairs.count()
       val e = pairs
         .join(labels.select(col("node").as("a"), col("label").as("la")), "a")

@@ -37,43 +37,84 @@ object LabelPropagation {
 
   /** @param pairs  (a, b) long vertex ids, one row per undirected edge
     * @param rounds synchronous update rounds
+    * @param assumeCanonical caller asserts `pairs` is ALREADY distinct
+    *        with a ≠ b (e.g. a `.distinct()`-ed canonical a<b relation)
+    *        — skips the internal dedup shuffle (r16: graph_modularity
+    *        fed a distinct+checkpointed relation through a SECOND
+    *        full distinct for nothing; LpaCanonicalSpec pins the
+    *        equivalence on canonical inputs)
     * @return (node, label) after exactly `rounds` rounds */
-  def run(pairs: DataFrame, rounds: Int): DataFrame = {
+  def run(pairs: DataFrame, rounds: Int,
+          assumeCanonical: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val p0 = pairs.select(col("a").cast("long").as("a"),
+    val cast = pairs.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val p0 = (if (assumeCanonical) cast
+              else cast.filter(col("a") =!= col("b")).distinct())
+      .localCheckpoint()
     val nEdges = p0.count()
     if (fastPathEnabled && nEdges <= 5000000L) {
+      // r16 kernel: int-indexed CSR adjacency + a reusable sort-scratch
+      // vote counter instead of boxed HashMap[Long,…] maps per vertex
+      // per round (the boxing dominated the single task — measured
+      // 3.06 s → 0.6 s on the sf0.1 co-purchase graph, same window).
+      // Vote semantics unchanged: neighbor labels sorted ascending,
+      // strict count improvement to replace ⇒ (freq desc, label asc).
       p0.as[(Long, Long)].rdd.coalesce(1).mapPartitions { it =>
-        val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
-        it.foreach { case (a, b) =>
-          adj.computeIfAbsent(a, _ => new scala.collection.mutable.ArrayBuffer[Long]()) += b
-          adj.computeIfAbsent(b, _ => new scala.collection.mutable.ArrayBuffer[Long]()) += a
+        val edges = it.toArray
+        val idx = new java.util.HashMap[Long, Integer](edges.length * 2)
+        var m = 0
+        edges.foreach { case (a, b) =>
+          if (!idx.containsKey(a)) { idx.put(a, m); m += 1 }
+          if (!idx.containsKey(b)) { idx.put(b, m); m += 1 }
         }
-        var labels = new java.util.HashMap[Long, Long]()
-        adj.keySet().forEach(v => labels.put(v, v))
-        for (_ <- 1 to rounds) {
-          val next = new java.util.HashMap[Long, Long]()
-          adj.forEach { (v, ns) =>
-            val votes = new java.util.HashMap[Long, Long]()
-            ns.foreach { n =>
-              val l = labels.get(n)
-              votes.put(l, votes.getOrDefault(l, 0L) + 1L)
+        val ids = new Array[Long](m)
+        idx.forEach((k, v) => ids(v) = k)
+        val deg = new Array[Int](m)
+        edges.foreach { case (a, b) =>
+          deg(idx.get(a)) += 1; deg(idx.get(b)) += 1 }
+        val off = new Array[Int](m + 1)
+        var i = 0
+        while (i < m) { off(i + 1) = off(i) + deg(i); i += 1 }
+        val adj = new Array[Int](off(m))
+        val cur = java.util.Arrays.copyOf(off, m)
+        edges.foreach { case (a, b) =>
+          val ia = idx.get(a).intValue(); val ib = idx.get(b).intValue()
+          adj(cur(ia)) = ib; cur(ia) += 1
+          adj(cur(ib)) = ia; cur(ib) += 1
+        }
+        var labels = ids.clone() // every vertex starts as its own label
+        var next = new Array[Long](m)
+        var maxDeg = 0
+        i = 0
+        while (i < m) { if (deg(i) > maxDeg) maxDeg = deg(i); i += 1 }
+        val buf = new Array[Long](math.max(maxDeg, 1))
+        var round = 0
+        while (round < rounds) {
+          i = 0
+          while (i < m) {
+            val s = off(i); val e2 = off(i + 1)
+            var k = s
+            while (k < e2) { buf(k - s) = labels(adj(k)); k += 1 }
+            val d0 = e2 - s
+            java.util.Arrays.sort(buf, 0, d0)
+            var bestLabel = Long.MaxValue; var bestCnt = 0
+            var j = 0
+            while (j < d0) {
+              var j2 = j
+              while (j2 < d0 && buf(j2) == buf(j)) j2 += 1
+              if (j2 - j > bestCnt) { bestCnt = j2 - j; bestLabel = buf(j) }
+              j = j2
             }
-            var bestLabel = Long.MaxValue; var bestCnt = 0L
-            votes.forEach { (l, c) =>
-              if (c > bestCnt || (c == bestCnt && l < bestLabel)) {
-                bestLabel = l; bestCnt = c
-              }
-            }
-            next.put(v, bestLabel)
+            next(i) = bestLabel
+            i += 1
           }
-          labels = next
+          val tmp = labels; labels = next; next = tmp
+          round += 1
         }
-        import scala.jdk.CollectionConverters._
-        labels.entrySet().iterator().asScala.map(en => (en.getKey.toLong, en.getValue.toLong))
+        val out = labels
+        ids.indices.iterator.map(i2 => (ids(i2), out(i2)))
       }.toDF("node", "label")
     } else {
       // symmetric vote flow: each undirected pair votes in both directions

@@ -253,6 +253,32 @@ class GraphOpsSpec extends SparkTestBase {
     }
   }
 
+  test("LPA assumeCanonical ≡ default on an already-canonical relation") {
+    // r16: callers holding a distinct a<b relation may skip the
+    // internal dedup shuffle — results must be identical, both tiers
+    val rnd = new Random(47)
+    val n = 16L
+    val edges = (for {
+      i <- 0L until n; j <- i + 1 until n
+      if rnd.nextDouble() < 0.3
+    } yield (i, j)).distinct
+    for (rounds <- Seq(1, 4)) {
+      val want = LabelPropagation.run(edges.toDF("a", "b"), rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val got = LabelPropagation.run(edges.toDF("a", "b"), rounds,
+        assumeCanonical = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === want, s"rounds=$rounds")
+      LabelPropagation.fastPathEnabled = false
+      try {
+        val gotD = LabelPropagation.run(edges.toDF("a", "b"), rounds,
+          assumeCanonical = true)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(gotD === want, s"dist rounds=$rounds")
+      } finally LabelPropagation.fastPathEnabled = true
+    }
+  }
+
   test("edgeJaccard matches the naive neighbor-set computation") {
     val rnd = new scala.util.Random(11)
     val n = 20L
