@@ -59,9 +59,7 @@ object PageRank {
     def getPartition(key: Any): Int = key.asInstanceOf[Int]
   }
 
-  private def sizeParts(raw: org.apache.spark.rdd.RDD[(String, Seq[String])],
-                        n: Long, confParts: Int): Int = {
-    val edges = raw.map(_._2.size.toLong).fold(0L)(_ + _)
+  private def sizeParts(n: Long, edges: Long, confParts: Int): Int = {
     val small = fastPathEnabled && n <= 250000L && edges <= 5000000L
     if (small) 1
     else
@@ -76,6 +74,18 @@ object PageRank {
         math.max(1L + (n - 1).max(0L) / 50000L,
                  1L + (edges - 1).max(0L) / 150000L)).toInt
   }
+
+  /** ONE materializing pass over the fat cached relation computing both
+    * sizing aggregates — r17 (guide §1.2 step 1): `count()` + a separate
+    * edge-sum pass cost two full reads of the (title, outlinks) cache
+    * before any ranking work started. */
+  private def sizeCounts(
+      raw: org.apache.spark.rdd.RDD[(String, Seq[String])]): (Long, Long) =
+    raw.mapPartitions { it =>
+      var n = 0L; var e = 0L
+      while (it.hasNext) { n += 1L; e += it.next()._2.size }
+      Iterator.single((n, e))
+    }.fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
 
   /** @param vertices (title: String, outlinks: Array[String]) — one row
     *                 per page; outlinks may repeat and may self-reference.
@@ -113,9 +123,11 @@ object PageRank {
     // (e.g. wiki parse) is evaluated once, not twice.
     val raw = vertices.select("title", "outlinks").as[(String, Seq[String])]
       .rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    val n = raw.count()
+    // one materializing pass computes BOTH sizing aggregates (r17 —
+    // count() + a separate edge-sum pass read the fat cache twice)
+    val (n, nEdges) = sizeCounts(raw)
     val confParts = spark.sessionState.conf.numShufflePartitions
-    val numParts = sizeParts(raw, n, confParts)
+    val numParts = sizeParts(n, nEdges, confParts)
     val part = new org.apache.spark.HashPartitioner(numParts)
 
     // Optional per-iteration decimal rounding: pins every iteration's
@@ -207,13 +219,35 @@ object PageRank {
         // (ref :369,:392-394). Dangling/linkless vertices emit nothing
         // and rest at 1−d. Lineage: cadenced eager localCheckpoint as
         // before (ADVICE r1) — the delete-behind discipline.
-        val pPart = IndexPartitioner(numParts)
-        val links = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-        links.count()
-        raw.unpersist(false)
+        // r17 (guide §2.4 remove shuffles outright; §8 move heavy bytes
+        // once): the loop never needs a hash(title) layout — ids, the
+        // message routing and the rank arrays all key by PARTITION INDEX,
+        // so ANY layout works as long as links/csr/ranks share it.
+        // Hash-shuffling the fat (title, outlinks) rows was a full extra
+        // serialization round-trip of the heaviest relation in the job;
+        // when the scan already yields a usable partition count (within
+        // 3x of the sizing target), run the loop on the scan's own layout
+        // (coalesced under the conf ceiling — narrow, no shuffle). Only a
+        // severely under-split scan (one gzip file feeding a big graph)
+        // still pays the spreading shuffle. The title-resolution join
+        // keeps its own HashPartitioner(numParts) parallelism either way
+        // (on the native layout it additionally shuffles `ids` — 16 bytes
+        // a row against the adjacency payload it saves).
+        val nativeParts = raw.getNumPartitions
+        val useNative = nativeParts >= math.max(1, numParts / 3)
+        val links =
+          if (useNative) {
+            if (nativeParts > confParts) raw.coalesce(confParts) else raw
+          } else {
+            val l = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+            l.count()
+            l
+          }
+        val loopParts = links.getNumPartitions
+        val pPart = IndexPartitioner(loopParts)
         val ids = links.mapPartitionsWithIndex({ (p, it) =>
           it.zipWithIndex.map { case ((t, _), i) => (t, (p.toLong << 32) | i) }
-        }, preservesPartitioning = true).persist(StorageLevel.MEMORY_AND_DISK)
+        }, preservesPartitioning = true)
         val csr = links.mapPartitionsWithIndex { (p, it) =>
           it.zipWithIndex.flatMap { case ((_, ls), i) =>
             val src = (p.toLong << 32) | i
@@ -256,7 +290,7 @@ object PageRank {
             else {
               val (degs, targets) = git.next()
               val rank = rit.next()
-              val accs = Array.fill(numParts)(
+              val accs = Array.fill(loopParts)(
                 new scala.collection.mutable.LongMap[Double]())
               var v = 0
               while (v < degs.length) {
@@ -274,7 +308,7 @@ object PageRank {
                 }
                 v += 1
               }
-              (0 until numParts).iterator.filter(p => accs(p).nonEmpty).map { p =>
+              (0 until loopParts).iterator.filter(p => accs(p).nonEmpty).map { p =>
                 val m2 = accs(p)
                 val idx = new Array[Int](m2.size)
                 val s2 = new Array[Double](m2.size)
@@ -335,9 +369,8 @@ object PageRank {
         }
         named.localCheckpoint()
         named.count()
-        ids.unpersist(false)
         graph.unpersist(false)
-        links.unpersist(false)
+        if (!useNative) links.unpersist(false) // native layout = raw's cache
         teleRdd.foreach(_.unpersist(false))
         lastCkpt.foreach(_.unpersist(false))
         named
@@ -373,13 +406,13 @@ object PageRank {
     import spark.implicits._
     val raw0 = vertices.select("title", "outlinks").as[(String, Seq[String])]
       .rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    val n = raw0.count()
+    val (n, nEdges0) = sizeCounts(raw0)
     if (n == 0) {
       raw0.unpersist(false)
       return Seq.empty[(String, Double)].toDF("title", "rank")
     }
     val confParts = spark.sessionState.conf.numShufflePartitions
-    val numParts = sizeParts(raw0, n, confParts)
+    val numParts = sizeParts(n, nEdges0, confParts)
     // Only the DISTRIBUTED tier closes the graph relationally (explode +
     // vertex semi-join + regroup): the fast path prunes red links for
     // free while building its target-index arrays, so the extra pass
@@ -530,13 +563,13 @@ object PageRank {
     import spark.implicits._
     val raw = vertices.select("title", "outlinks").as[(String, Seq[String])]
       .rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    val n = raw.count()
+    val (n, nEdgesC) = sizeCounts(raw)
     if (n == 0) {
       raw.unpersist(false)
       return Seq.empty[(String, Double)].toDF("title", "rank")
     }
     val confParts = spark.sessionState.conf.numShufflePartitions
-    val numParts = sizeParts(raw, n, confParts)
+    val numParts = sizeParts(n, nEdgesC, confParts)
     val part = new org.apache.spark.HashPartitioner(numParts)
     val links = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     links.count()

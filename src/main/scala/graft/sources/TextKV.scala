@@ -79,10 +79,28 @@ object TextKV {
     import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", "</page>")
-    if (maxSplitSize > 0)
-      conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplitSize)
     val paths = splitPaths(path)
     require(paths.nonEmpty, s"readPages: no input path in '$path'")
+    if (maxSplitSize > 0)
+      conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplitSize)
+    else {
+      // SCALE-ADAPTIVE split sizing (r17, guide §2/§6): the default local
+      // block size handed a multi-GB dump to ~10 map tasks, so the parse —
+      // the dominant per-leg cost — used a third of a 32-core session.
+      // Target ~2 waves of tasks per core, clamped to [16 MB, 128 MB] so
+      // small inputs keep one split and huge ones keep split overhead
+      // amortized. Derived from the INPUT size, not the core count alone —
+      // the same formula yields the old behavior on sf-scale fixtures.
+      try {
+        val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+        val totalLen = paths.map { p =>
+          fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+        }.sum
+        val waves = 2L * math.max(1, spark.sparkContext.defaultParallelism)
+        val adaptive = math.max(16L << 20, math.min(128L << 20, totalLen / waves))
+        conf.setLong("mapreduce.input.fileinputformat.split.maxsize", adaptive)
+      } catch { case _: Exception => () } // metadata miss: default splits
+    }
     val records = paths.map { p =>
       spark.sparkContext
         .newAPIHadoopFile(p, classOf[TextInputFormat],

@@ -343,6 +343,55 @@ object Prof {
           }
         }
         t("int final count")(r.count())
+      case "dumpgc" =>
+        // r17 anti-scaling drill: the three dump legs with WALL + task
+        // CPU (executorRunTime) + JVM GC attribution per leg — the
+        // one-number answer to "is the 32c task-sec blowup GC pressure
+        // at the driver's heap size". Run with SPARK_DRIVER_MEM=8g and
+        // =48g in the same window and compare.
+        val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        def gcMs(): Long = {
+          var s = 0L; gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime)); s
+        }
+        val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+        val gcTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+        val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              taskMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+              gcTaskMs.addAndGet(sc.stageInfo.taskMetrics.jvmGCTime)
+              cpuNs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
+            }
+          })
+        val path = sys.env.getOrElse("SPARK_GRAFT_DUMP_PATH", "/tmp/graft_dump.xml")
+        val spec = path + "," + path + ".part2"
+        def steal(): Double =
+          try {
+            val src = scala.io.Source.fromFile("/proc/stat")
+            try {
+              val cols = src.getLines().next().trim.split("\\s+")
+              if (cols.length > 8) cols(8).toDouble / 100.0 else -1.0
+            } finally src.close()
+          } catch { case _: Exception => -1.0 }
+        def leg(name: String)(body: => Unit): Unit = {
+          org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+          val t0 = System.nanoTime; val g0 = gcMs(); val s0 = steal()
+          val tk0 = taskMs.get(); val gt0 = gcTaskMs.get(); val cp0 = cpuNs.get()
+          body
+          val wall = (System.nanoTime - t0) / 1e9
+          org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+          println(f"DUMPGC $name wall=${wall}%.2f s task=${(taskMs.get - tk0) / 1e3}%.1f s " +
+            f"cpu=${(cpuNs.get - cp0) / 1e9}%.1f s " +
+            f"taskGc=${(gcTaskMs.get - gt0) / 1e3}%.1f s jvmGc=${(gcMs() - g0) / 1e3}%.1f s " +
+            f"steal=${steal() - s0}%.1f s " +
+            f"heapMax=${Runtime.getRuntime.maxMemory / (1 << 20)}m")
+        }
+        leg("ingest")(graft.sources.TextKV.readPages(spark, spec).count())
+        leg("pagerank")(graft.pipelines.WikiPipelines.pageRank(spark, spec).count())
+        leg("index")(graft.pipelines.WikiPipelines.invertedIndex(spark, spec).count())
+        leg("curate")(graft.pipelines.WikiPipelines.curate(spark, spec).count())
       case "deconstep" =>
         import org.apache.spark.sql.functions._
         val docs = graft.Tables.documents(spark, sfDir)
@@ -370,18 +419,25 @@ object Prof {
         import spark.implicits._
         val raw = edgesDf.select("title", "outlinks").as[(String, Seq[String])]
           .rdd.persist(StorageLevel.MEMORY_AND_DISK)
-        val n = raw.count()
+        val n = t("raw persist+count")(raw.count())
+        println(s"PROF raw partitions=${raw.getNumPartitions}")
         val parts = Integer.parseInt(sys.env.getOrElse("SPARK_GRAFT_PROF_PARTS", "24"))
         val part = new org.apache.spark.HashPartitioner(parts)
         val pPart = new org.apache.spark.Partitioner {
           def numPartitions: Int = parts
           def getPartition(key: Any): Int = key.asInstanceOf[Int]
         }
-        val links = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-        links.count(); raw.unpersist(false)
-        val ids = links.mapPartitionsWithIndex({ (p, it) =>
-          it.zipWithIndex.map { case ((t, _), i) => (t, (p.toLong << 32) | i) }
-        }, preservesPartitioning = true).persist(StorageLevel.MEMORY_AND_DISK)
+        val links = t("links partitionBy+count") {
+          val l = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+          l.count(); l
+        }
+        raw.unpersist(false)
+        val ids = t("ids build") {
+          val i = links.mapPartitionsWithIndex({ (p, it) =>
+            it.zipWithIndex.map { case ((t, _), i) => (t, (p.toLong << 32) | i) }
+          }, preservesPartitioning = true).persist(StorageLevel.MEMORY_AND_DISK)
+          i.count(); i
+        }
         val csr = t("csr build") {
           val c = links.mapPartitionsWithIndex { (p, it) =>
             it.zipWithIndex.flatMap { case ((_, ls), i) =>
