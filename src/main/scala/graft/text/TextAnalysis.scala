@@ -137,6 +137,34 @@ object TextAnalysis {
     * semi-join. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     evalPred: Column, shingleSize: Int = 5): DataFrame = {
+    // r17 (guide §2.3 shuffle/broadcast keys, not payloads): both sides
+    // carry 8-byte shingle HASHES instead of ~30-byte shingle strings —
+    // HashedShingles emits the SORTED DISTINCT xxhash64 of each doc's
+    // n-grams in one byte-scan pass (no per-position string build, no
+    // HOF-lambda re-tokenize), so the broadcast eval set and the train
+    // explode shrink ~4x and the per-doc distinct in the agg is already
+    // done (count(1) == countDistinct over per-doc-distinct hashes).
+    // Collision posture: identical to the r16 dedup pipelines (2⁻⁶⁴ —
+    // a collision can only merge two shingles); the string-keyed form
+    // stays below as [[decontaminateComposed]] for the equivalence spec.
+    val hsgl = graft.functions.HashedShingles.of(
+      TextOps.tokenize(col(textCol)), shingleSize)
+    val evalShingles = docs.filter(evalPred)
+      .select(explode(hsgl).as("sgl")).distinct()
+    docs.filter(!evalPred)
+      .select(col(idCol).as("doc_id"), explode(hsgl).as("sgl"))
+      .join(broadcast(evalShingles), Seq("sgl"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The pre-r17 string-shingle formulation of [[decontaminate]] — the
+    * equivalence-spec cross-check target (collision-free by
+    * construction, so the two must agree exactly on any corpus the
+    * specs run). */
+  private[graft] def decontaminateComposed(docs: DataFrame, idCol: String,
+                                           textCol: String, evalPred: Column,
+                                           shingleSize: Int = 5): DataFrame = {
     // The token array must be MATERIALIZED behind a one-row Generate
     // barrier before shingling: CollapseProject would otherwise inline
     // the split() into every element_at inside the shingle lambda, and

@@ -47,6 +47,33 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got == Map(10L -> 1L))
   }
 
+  test("decontaminate: hashed form ≡ string-shingle composed form") {
+    // r17 equivalence pin: the broadcast + explode now carry xxhash64
+    // shingle hashes; on any collision-free corpus (all realistic ones)
+    // the per-doc hit counts must equal the string-keyed formulation,
+    // including edge cases — short docs (< n tokens), empty text, docs
+    // with repeated shingles (per-doc distinctness), multi-hit docs.
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "tiny doc"),                                     // < 5 tokens
+      (10L, "x alpha beta gamma delta epsilon y"),
+      (11L, "one two three four five one two three four five"), // repeats
+      (12L, "alpha beta gamma delta epsilon zeta extra"),   // 2 distinct hits
+      (13L, ""),
+      (14L, "totally unrelated words in this one here")
+    ).toDF("doc_id", "text")
+    val pred = col("doc_id") < 10
+    val fused = TextAnalysis.decontaminate(docs, "doc_id", "text", pred)
+      .as[(Long, Long)].collect().toMap
+    val composed = graft.text.TextAnalysis
+      .decontaminateComposed(docs, "doc_id", "text", pred)
+      .as[(Long, Long)].collect().toMap
+    assert(fused == composed)
+    assert(fused == Map(10L -> 1L, 11L -> 1L, 12L -> 2L))
+  }
+
   test("quality features on a crafted doc") {
     val docs = Seq((1L, "the cat the cat mat")).toDF("doc_id", "text")
     val r = TextAnalysis.quality(docs, "doc_id", "text").head()
