@@ -6574,7 +6574,85 @@ object SparkEntry {
            FROM ${p}scored)"""
   }
 
+  /** DuckDB-dialect Spark `xxhash64` (seed 42) of every distinct corpus
+    * word, unrolled for the <= 8-byte ASCII words the deterministic
+    * documents corpus carries (verified at sf0.001/0.01/0.1: max word
+    * length 8 bytes, zero non-ASCII, 31 distinct words) — which closes
+    * the `dedup_simhash` oracle gap (VERDICT r16 item 6) without
+    * touching the query: the oracle recomputes the exact XXH64 bit
+    * pattern in 128-bit SQL arithmetic.
+    *
+    * Arithmetic mapping (all values HUGEINT in [0, 2^64)):
+    *  - a*b mod 2^64 splits a into 32-bit halves so no intermediate
+    *    exceeds 2^97 (HUGEINT holds 2^127);
+    *  - rotl(a,r) = (a*2^r mod 2^64) + (a // 2^(64-r)) — the two parts
+    *    occupy disjoint bit ranges, so + is |;
+    *  - xor() is DuckDB-native on HUGEINT;
+    *  - bit i of h is (h // 2^i) % 2 with 2^i from power(2,i) (exact as
+    *    a double for powers of two; `1::UBIGINT << 63` raises instead).
+    * Word-length phases: one 8-byte lane (n = 8), one 4-byte lane
+    * (4 <= n < 8), then up to three single-byte steps, then the final
+    * avalanche — Spark's XXH64.hashUnsafeBytes for n < 32 exactly. */
+  private[graft] lazy val simhashOracleSql: String = {
+    val M = BigInt(1) << 64
+    val P1 = BigInt("9E3779B185EBCA87", 16); val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+    val P3 = BigInt("165667B19E3779F9", 16); val P4 = BigInt("85EBCA77C2B2AE63", 16)
+    val P5 = BigInt("27D4EB2F165667C5", 16)
+    def mul64(a: String, b: BigInt): String =
+      s"((((($a) // 4294967296) * ($b)) % 4294967296) * 4294967296" +
+        s" + (($a) % 4294967296) * ($b)) % $M"
+    def rotl(a: String, r: Int): String =
+      s"((($a) * ${BigInt(1) << r}) % $M + (($a) // ${BigInt(1) << (64 - r)}))"
+    def xor(a: String, b: String): String = s"xor(($a)::HUGEINT, ($b)::HUGEINT)"
+    val bcols = (1 to 8).map(k =>
+      s"CASE WHEN len(word) >= $k THEN ord(substr(word, $k, 1))::HUGEINT" +
+        s" ELSE 0::HUGEINT END AS b$k").mkString(", ")
+    val le64 = (1 to 8).map(k => s"b$k * ${BigInt(1) << (8 * (k - 1))}::HUGEINT").mkString(" + ")
+    val le32 = (1 to 4).map(k => s"b$k * ${BigInt(1) << (8 * (k - 1))}::HUGEINT").mkString(" + ")
+    val byteSteps = (1 to 3).map { j =>
+      val bidx = s"CASE WHEN n >= 4 THEN b${math.min(4 + j, 8)} ELSE b$j END"
+      val cond = s"((n >= 4 AND n < 8 AND n >= ${4 + j}) OR (n < 4 AND n >= $j))"
+      val prevCte = if (j == 1) "s2" else s"s3${j - 1}"
+      val prevCol = if (j == 1) "h2" else s"h3${j - 1}"
+      s"s3$j AS (SELECT *, CASE WHEN $cond THEN" +
+        s" ${mul64(rotl(xor(prevCol, mul64(s"($bidx)", P5)), 11), P1)}" +
+        s" ELSE $prevCol END AS h3$j FROM $prevCte)"
+    }.mkString(",\n         ")
+    s"""WITH occ AS (SELECT doc_id, word, count(*)::HUGEINT AS cnt FROM
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE word != '' GROUP BY doc_id, word),
+         wrds AS (SELECT DISTINCT word FROM occ),
+         wb AS (SELECT word, len(word)::HUGEINT AS n, $bcols FROM wrds),
+         s0 AS (SELECT *, (42 + $P5 + n) % $M AS h0 FROM wb),
+         sk AS (SELECT *, ${mul64(s"($le64)", P2)} AS kw0 FROM s0),
+         sk2 AS (SELECT *, ${mul64(rotl("kw0", 31), P1)} AS kw FROM sk),
+         s1 AS (SELECT *, CASE WHEN n = 8 THEN
+             (${mul64(rotl(xor("h0", "kw"), 27), P1)} + $P4) % $M
+           ELSE h0 END AS h1 FROM sk2),
+         s2 AS (SELECT *, CASE WHEN n >= 4 AND n < 8 THEN
+             (${mul64(rotl(xor("h1", mul64(s"($le32)", P1)), 23), P2)} + $P3) % $M
+           ELSE h1 END AS h2 FROM s1),
+         $byteSteps,
+         f1 AS (SELECT *, ${xor("h33", s"h33 // ${BigInt(1) << 33}")} AS fa FROM s33),
+         f2 AS (SELECT *, ${mul64("fa", P2)} AS fb FROM f1),
+         f3 AS (SELECT *, ${xor("fb", s"fb // ${BigInt(1) << 29}")} AS fc FROM f2),
+         f4 AS (SELECT *, ${mul64("fc", P3)} AS fd FROM f3),
+         wh AS (SELECT word, ${xor("fd", s"fd // ${BigInt(1) << 32}")} AS h FROM f4),
+         bits AS (SELECT CAST(power(2, i) AS HUGEINT) AS p FROM range(64) t(i)),
+         bsum AS (SELECT o.doc_id, b.p,
+             sum(CASE WHEN ((w.h // b.p) % 2) = 1 THEN o.cnt ELSE -o.cnt END) AS s
+           FROM occ o JOIN wh w USING (word) CROSS JOIN bits b
+           GROUP BY o.doc_id, b.p),
+         sig AS (SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN p ELSE 0::HUGEINT END) AS u
+           FROM bsum GROUP BY doc_id)
+         SELECT doc_id, CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT
+             THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS simhash
+         FROM sig ORDER BY doc_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_simhash" -> simhashOracleSql,
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
          FROM lineitem WHERE l_quantity >= 30
