@@ -5895,15 +5895,22 @@ object SparkEntry {
     // order-absorbed by the per-iteration 1e-9 rounding that keeps the
     // DuckDB CTE oracle in lock-step), and sorting 150k arrays was pure
     // graph-build overhead in both pagerank bench keys.
+    // r17 (guide §2.3 narrower types): collect the raw LONG keys and
+    // apply the 'p'/'o' prefix AFTER the aggregation — the groupBy
+    // exchanges carry 8-byte longs instead of variable-width strings
+    // (locally neutral at sf0.1; at scale the collect exchanges are the
+    // build's dominant bytes). Same arrays, same order, same titles.
     val orderParts = li.groupBy(col("l_orderkey"))
-      .agg(collect_list(concat(lit("p"), col("l_partkey"))).as("parts"))
+      .agg(collect_list(col("l_partkey")).as("pkeys"))
     val orderVerts = o.join(orderParts, o("o_orderkey") === orderParts("l_orderkey"), "left")
       .select(concat(lit("o"), col("o_orderkey")).as("title"),
         concat(array(concat(lit("c"), col("o_custkey"))),
-          coalesce(col("parts"), array().cast("array<string>"))).as("outlinks"))
+          transform(coalesce(col("pkeys"), array().cast("array<long>")),
+            x => concat(lit("p"), x))).as("outlinks"))
     val custVerts = o.groupBy(col("o_custkey"))
-      .agg(collect_list(concat(lit("o"), col("o_orderkey"))).as("outlinks"))
-      .select(concat(lit("c"), col("o_custkey")).as("title"), col("outlinks"))
+      .agg(collect_list(col("o_orderkey")).as("okeys"))
+      .select(concat(lit("c"), col("o_custkey")).as("title"),
+        transform(col("okeys"), x => concat(lit("o"), x)).as("outlinks"))
     orderVerts.unionByName(custVerts)
   }
 

@@ -343,6 +343,62 @@ object Prof {
           }
         }
         t("int final count")(r.count())
+      case "prbuild" =>
+        // r17 VERDICT#5 drill: where does the pagerank-family setup go,
+        // and does shuffling LONGS (concat after collect) or coalesce(1)
+        // (vs partitionBy(1)) pay? Times the full input materialization
+        // (build -> Dataset decode -> persist -> count) per variant, in
+        // one JVM, alternating.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.storage.StorageLevel
+        import spark.implicits._
+        val oDf = graft.Tables.orders(spark, sfDir)
+        val liDf = graft.Tables.lineitem(spark, sfDir)
+        def current() = {
+          val orderParts = liDf.groupBy(col("l_orderkey"))
+            .agg(collect_list(concat(lit("p"), col("l_partkey"))).as("parts"))
+          val orderVerts = oDf.join(orderParts, oDf("o_orderkey") === orderParts("l_orderkey"), "left")
+            .select(concat(lit("o"), col("o_orderkey")).as("title"),
+              concat(array(concat(lit("c"), col("o_custkey"))),
+                coalesce(col("parts"), array().cast("array<string>"))).as("outlinks"))
+          val custVerts = oDf.groupBy(col("o_custkey"))
+            .agg(collect_list(concat(lit("o"), col("o_orderkey"))).as("outlinks"))
+            .select(concat(lit("c"), col("o_custkey")).as("title"), col("outlinks"))
+          orderVerts.unionByName(custVerts)
+        }
+        def longsFirst() = {
+          val orderParts = liDf.groupBy(col("l_orderkey"))
+            .agg(collect_list(col("l_partkey")).as("pkeys"))
+          val orderVerts = oDf.join(orderParts, oDf("o_orderkey") === orderParts("l_orderkey"), "left")
+            .select(concat(lit("o"), col("o_orderkey")).as("title"),
+              concat(array(concat(lit("c"), col("o_custkey"))),
+                transform(coalesce(col("pkeys"), array().cast("array<long>")),
+                  x => concat(lit("p"), x))).as("outlinks"))
+          val custVerts = oDf.groupBy(col("o_custkey"))
+            .agg(collect_list(col("o_orderkey")).as("okeys"))
+            .select(concat(lit("c"), col("o_custkey")).as("title"),
+              transform(col("okeys"), x => concat(lit("o"), x)).as("outlinks"))
+          orderVerts.unionByName(custVerts)
+        }
+        for (r <- 1 to 3) {
+          for ((nm, mk) <- Seq("current" -> current _, "longsFirst" -> longsFirst _)) {
+            val raw = t(s"$nm build+decode+persist r$r") {
+              val rdd = mk().select("title", "outlinks").as[(String, Seq[String])]
+                .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+              rdd.count(); rdd
+            }
+            t(s"$nm partitionBy(1) r$r") {
+              val l = raw.partitionBy(new org.apache.spark.HashPartitioner(1))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+              l.count(); l.unpersist(false)
+            }
+            t(s"$nm coalesce(1) r$r") {
+              val l = raw.coalesce(1).persist(StorageLevel.MEMORY_AND_DISK)
+              l.count(); l.unpersist(false)
+            }
+            raw.unpersist(false)
+          }
+        }
       case "dumpgc" =>
         // r17 anti-scaling drill: the three dump legs with WALL + task
         // CPU (executorRunTime) + JVM GC attribution per leg — the
