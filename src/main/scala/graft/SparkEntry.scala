@@ -2597,12 +2597,19 @@ object SparkEntry {
         .localCheckpoint() // consumed by LPA and by the edge-label join
       // the pairs relation is already distinct + canonical (a < b) and
       // checkpointed — LPA may skip its internal dedup shuffle
+      // r17: labels materialized ONCE — the kernel's un-persisted RDD was
+      // re-evaluated by each of the two join legs — and the attach
+      // broadcasts when the label relation is measured small (guide
+      // §3.1; the count is free on the checkpoint). At scale the gate
+      // falls back to the shuffle join — labels is |V|-sized.
       val labels = graft.graph.LabelPropagation.run(pairs, rounds = 4,
-        assumeCanonical = true)
+        assumeCanonical = true).localCheckpoint()
       val m = pairs.count()
+      val lab =
+        if (labels.count() <= (1L << 24)) broadcast(labels) else labels
       val e = pairs
-        .join(labels.select(col("node").as("a"), col("label").as("la")), "a")
-        .join(labels.select(col("node").as("b"), col("label").as("lb")), "b")
+        .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
+        .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
         .localCheckpoint()
       val inc = e.filter(col("la") === col("lb"))
         .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
