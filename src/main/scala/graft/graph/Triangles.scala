@@ -32,25 +32,132 @@ import org.apache.spark.sql.graftshim.ColumnShim
   */
 object Triangles {
 
-  /** @param pairs undirected pair relation (any orientation, dups ok)
-    * @return (node, n_tri) for every vertex in ≥1 triangle; `node`
-    *         keeps the input column type */
-  def perVertex(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = pairs
+  /** Effective degree cap for the skew hybrid: an explicit positive
+    * argument wins; otherwise the session conf `graft.graph.degreeCap`
+    * (the 100 TB deployment knob); otherwise Int.MaxValue — hybrid off,
+    * plan byte-identical to the pure intersection form. */
+  private def effectiveCap(pairs: DataFrame, cap: Int): Int =
+    if (cap > 0) cap
+    else pairs.sparkSession.conf.getOption("graft.graph.degreeCap")
+      .map(_.toInt).getOrElse(Int.MaxValue)
+
+  private def canonical(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") < col("b")) // drops self-loops; < also drops a=b ties
       .distinct()
       .localCheckpoint()
-    val adj = e.select(col("a").as("n"), col("b").as("nb"))
-      .union(e.select(col("b").as("n"), col("a").as("nb")))
+
+  private def sortedInter = (na: org.apache.spark.sql.Column,
+                             nb: org.apache.spark.sql.Column) =>
+    ColumnShim.column(graft.functions.SortedIntersectCount(
+      ColumnShim.expression(na), ColumnShim.expression(nb)))
+
+  /** DEGREE-CAPPED common-neighbor counts (guide §2.5 skew): one row
+    * (a, b, common, da, db) per canonical edge, with per-edge merge work
+    * bounded by `cap` instead of max-degree. Three tiers, each exact:
+    *
+    *  - low-low edges keep the sorted-merge intersection over adjacency
+    *    arrays, which are built ONLY for vertices of degree ≤ cap (a hub
+    *    never materializes its array — the §5 memory hazard);
+    *  - hub-low edges enumerate the LOW endpoint's ≤ cap neighbors and
+    *    close each wedge with a semi-join against the edge relation
+    *    (the scaladoc'd "wedge enumeration for hub edges": Σ rows ≤
+    *    cap · |hub-low edges| instead of Σ deg(hub)² merge visits);
+    *  - hub-hub edges count wedges from the CENTER vertex side: each
+    *    vertex's sorted hub-neighbor array (≤ |hubs| entries) expands to
+    *    its unordered hub pairs, counted per pair and attached to the
+    *    hub-hub edges — Σ|hubNeighbors(x)|² work, bounded by |E|·|hubs|.
+    *
+    * Counting is exact integers in every tier, so hybrid ≡ plain on any
+    * graph (GraphOpsSpec pins it, including the string-order vs
+    * long-order canonicalization edge). */
+  private def cappedCommons(e: DataFrame, cap: Int): DataFrame = {
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val et = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .localCheckpoint() // consumed by all three tiers
+    val low = deg.filter(col("deg") <= cap).select(col("n"))
+    val adjLow = e.select(col("a").as("n"), col("b").as("nb"))
+      .unionByName(e.select(col("b").as("n"), col("a").as("nb")))
+      .join(low, Seq("n"), "left_semi")
       .groupBy("n")
       .agg(sort_array(collect_list(col("nb").cast("long"))).as("adj"))
-    val common = ColumnShim.column(graft.functions.SortedIntersectCount(
-      ColumnShim.expression(col("na")), ColumnShim.expression(col("nb"))))
-    e.join(adj.select(col("n").as("a"), col("adj").as("na")), "a")
-      .join(adj.select(col("n").as("b"), col("adj").as("nb")), "b")
-      .select(col("a"), col("b"), common.as("common"))
+      .localCheckpoint() // consumed by the low-low AND hub-low tiers
+    val ll = et.filter(col("da") <= cap && col("db") <= cap)
+      .join(adjLow.select(col("n").as("a"), col("adj").as("na")), "a")
+      .join(adjLow.select(col("n").as("b"), col("adj").as("nb")), "b")
+      .select(col("a"), col("b"),
+        sortedInter(col("na"), col("nb")).as("common"), col("da"), col("db"))
+    // hub-low: wedge from the low endpoint, closed against the edge set
+    val elong = e.select(col("a").cast("long").as("pa"),
+      col("b").cast("long").as("pb"))
+    val hlEdges = et.filter((col("da") <= cap) =!= (col("db") <= cap))
+      .localCheckpoint() // left side of the re-attach AND the probe feed
+    val hlHits = hlEdges
+      .select(col("a"), col("b"),
+        when(col("da") <= cap, col("a")).otherwise(col("b")).as("lo"),
+        when(col("da") <= cap, col("b")).otherwise(col("a")).as("hi"))
+      .join(adjLow.select(col("n").as("lo"), col("adj").as("loAdj")), "lo")
+      .select(col("a"), col("b"), col("hi").cast("long").as("hiL"),
+        explode(col("loAdj")).as("x"))
+      .select(col("a"), col("b"),
+        least(col("hiL"), col("x")).as("pa"),
+        greatest(col("hiL"), col("x")).as("pb"))
+      .join(elong, Seq("pa", "pb"), "left_semi")
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val hl = hlEdges.join(hlHits, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("c"), lit(0L)).as("common"),
+        col("da"), col("db"))
+    // hub-hub: unordered hub pairs per center vertex, counted and
+    // attached to the hub-hub edges (long-canonical pair keys)
+    val hubs = deg.filter(col("deg") > cap).select(col("n").as("nb"))
+    val wedges = e.select(col("a").as("n"), col("b").as("nb"))
+      .unionByName(e.select(col("b").as("n"), col("a").as("nb")))
+      .join(hubs, Seq("nb"), "left_semi")
+      .groupBy("n")
+      .agg(sort_array(collect_list(col("nb").cast("long"))).as("hadj"))
+      .filter(size(col("hadj")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(hadj, (x, i) -> " +
+          "transform(slice(hadj, i + 2, size(hadj)), y -> struct(x AS h1, y AS h2))))"))
+        .as("w"))
+      .groupBy(col("w.h1").as("pa"), col("w.h2").as("pb"))
+      .agg(count(lit(1)).as("c"))
+    val hh = et.filter(col("da") > cap && col("db") > cap)
+      .select(col("a"), col("b"), col("da"), col("db"),
+        least(col("a").cast("long"), col("b").cast("long")).as("pa"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("pb"))
+      .join(wedges, Seq("pa", "pb"), "left")
+      .select(col("a"), col("b"), coalesce(col("c"), lit(0L)).as("common"),
+        col("da"), col("db"))
+    ll.unionByName(hl).unionByName(hh)
+  }
+
+  /** @param pairs undirected pair relation (any orientation, dups ok)
+    * @param degreeCap positive = the skew-hybrid degree cap (see
+    *        [[cappedCommons]]); 0/negative = session conf
+    *        `graft.graph.degreeCap`, default off
+    * @return (node, n_tri) for every vertex in ≥1 triangle; `node`
+    *         keeps the input column type */
+  def perVertex(pairs: DataFrame, aCol: String, bCol: String,
+                degreeCap: Int = 0): DataFrame = {
+    val cap = effectiveCap(pairs, degreeCap)
+    val e = canonical(pairs, aCol, bCol)
+    val commons =
+      if (cap == Int.MaxValue) {
+        val adj = e.select(col("a").as("n"), col("b").as("nb"))
+          .union(e.select(col("b").as("n"), col("a").as("nb")))
+          .groupBy("n")
+          .agg(sort_array(collect_list(col("nb").cast("long"))).as("adj"))
+        e.join(adj.select(col("n").as("a"), col("adj").as("na")), "a")
+          .join(adj.select(col("n").as("b"), col("adj").as("nb")), "b")
+          .select(col("a"), col("b"), sortedInter(col("na"), col("nb")).as("common"))
+      } else cappedCommons(e, cap).select("a", "b", "common")
+    commons
       .select(explode(array(col("a"), col("b"))).as("node"), col("common"))
       .groupBy("node")
       .agg((sum(col("common")) / 2).cast("long").as("n_tri"))
@@ -69,13 +176,14 @@ object Triangles {
     * INTEGER floor division: counts are exact, so the whole result is
     * float-free and engine-exact.
     */
-  def edgeJaccard(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = pairs
-      .select(least(col(aCol), col(bCol)).as("a"),
-        greatest(col(aCol), col(bCol)).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
-      .localCheckpoint()
+  def edgeJaccard(pairs: DataFrame, aCol: String, bCol: String,
+                  degreeCap: Int = 0): DataFrame = {
+    val cap = effectiveCap(pairs, degreeCap)
+    val e = canonical(pairs, aCol, bCol)
+    if (cap != Int.MaxValue)
+      return cappedCommons(e, cap)
+        .select(col("a"), col("b"), col("common"),
+          expr("common * 1000000 DIV (da + db - common)").as("jac_ppm"))
     val adj = e.select(col("a").as("n"), col("b").as("nb"))
       .union(e.select(col("b").as("n"), col("a").as("nb")))
       .groupBy("n")

@@ -343,6 +343,42 @@ object Prof {
           }
         }
         t("int final count")(r.count())
+      case "triskew" =>
+        // r17 VERDICT#7 fixture: hub graph (vertex 0 wired to 1..N, plus
+        // the ring i—i+1, so every hub edge closes a triangle) where the
+        // pure intersection form pays Σ deg(hub)² merge visits and holds
+        // the hub's full adjacency array. A/B: plain vs degreeCap=1000,
+        // alternating in one JVM; then the UNIFORM co-purchase graph at
+        // sf both ways (the "flat on uniform" check).
+        import spark.implicits._
+        val nHub = Integer.parseInt(sys.env.getOrElse("SPARK_GRAFT_TRI_N", "40000"))
+        val hubEdges = (1 to nHub).map(i => (0L, i.toLong)) ++
+          (1 until nHub).map(i => (i.toLong, (i + 1).toLong))
+        val hubDf = hubEdges.toDF("a", "b").repartition(32).localCheckpoint()
+        for (r <- 1 to 2) {
+          t(s"skew plain r$r")(
+            graft.graph.Triangles.perVertex(hubDf, "a", "b").count())
+          t(s"skew capped r$r")(
+            graft.graph.Triangles.perVertex(hubDf, "a", "b", degreeCap = 1000).count())
+          t(s"skew jaccard plain r$r")(
+            graft.graph.Triangles.edgeJaccard(hubDf, "a", "b").count())
+          t(s"skew jaccard capped r$r")(
+            graft.graph.Triangles.edgeJaccard(hubDf, "a", "b", degreeCap = 1000).count())
+        }
+        for (r <- 1 to 2) {
+          t(s"uniform graph_triangles plain r$r")(
+            graft.SparkEntry.queries("graph_triangles")(spark, sfDir).count())
+          t(s"uniform graph_jaccard plain r$r")(
+            graft.SparkEntry.queries("graph_jaccard")(spark, sfDir).count())
+          spark.conf.set("graft.graph.degreeCap", "1000000000")
+          try {
+            // cap far above every degree: hybrid plan shape, zero hub rows
+            t(s"uniform graph_triangles capped-shape r$r")(
+              graft.SparkEntry.queries("graph_triangles")(spark, sfDir).count())
+            t(s"uniform graph_jaccard capped-shape r$r")(
+              graft.SparkEntry.queries("graph_jaccard")(spark, sfDir).count())
+          } finally spark.conf.unset("graft.graph.degreeCap")
+        }
       case "prbuild" =>
         // r17 VERDICT#5 drill: where does the pagerank-family setup go,
         // and does shuffling LONGS (concat after collect) or coalesce(1)

@@ -300,6 +300,41 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("degree-capped hybrid ≡ plain intersection (perVertex + edgeJaccard)") {
+    // random graph + two hubs wired to (almost) everyone: at small caps
+    // all three hybrid tiers run (low-low merges, hub-low wedge probes,
+    // hub-hub center-wedge counts); at a huge cap the hybrid must still
+    // reproduce the plain path bit for bit. Reversed duplicates feed the
+    // canonicalization as in the plain tests.
+    val rnd = new scala.util.Random(7)
+    val n = 30
+    val base = (for {
+      i <- 0 until n; j <- i + 1 until n
+      if rnd.nextDouble() < 0.15
+    } yield (i, j)) ++ (1 until n).map(i => (0, i)) ++ (2 until n).map(i => (1, i))
+    val df = (base ++ base.map(e => (e._2, e._1))).toDF("a", "b")
+    val planTri = Triangles.perVertex(df, "a", "b")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val planJ = Triangles.edgeJaccard(df, "a", "b")
+      .as[(Int, Int, Long, Long)].collect().toSet
+    assert(planTri.nonEmpty && planJ.nonEmpty)
+    for (cap <- Seq(2, 8, 1000)) {
+      val capTri = Triangles.perVertex(df, "a", "b", degreeCap = cap)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(capTri === planTri, s"perVertex cap=$cap")
+      val capJ = Triangles.edgeJaccard(df, "a", "b", degreeCap = cap)
+        .as[(Int, Int, Long, Long)].collect().toSet
+      assert(capJ === planJ, s"edgeJaccard cap=$cap")
+    }
+    // the 100 TB deployment knob: session conf instead of the argument
+    spark.conf.set("graft.graph.degreeCap", "3")
+    try {
+      val confTri = Triangles.perVertex(df, "a", "b")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(confTri === planTri, "conf-gated hybrid")
+    } finally spark.conf.unset("graft.graph.degreeCap")
+  }
+
   test("weighted PageRank: unit weights reduce to the unweighted recurrence") {
     // star + cycle graph with every edge weight 1: weightedDataFrame must
     // equal runDataFrame on the same topology (same iters, no rounding
